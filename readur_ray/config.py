@@ -1,0 +1,58 @@
+"""Extraction configuration.
+
+Mirrors the reference's per-user ``Settings`` defaults
+(/root/reference/src/models/settings.rs:302-379) plus the engine-level
+caps hard-coded in the reference OCR service
+(/root/reference/src/ocr/enhanced.rs:825,1449,1461).
+
+A single frozen dataclass is built once on the driver and passed to
+actor constructors (loaded once per actor, never per batch/row).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ExtractionConfig:
+    # --- quality gating (settings.rs:336; enhanced.rs:1562-1597) ---
+    ocr_min_confidence: float = 30.0
+    min_alnum_ratio: float = 0.3
+
+    # --- size caps (enhanced.rs:825,1449,1461; enhanced_processing.rs:24-25) ---
+    max_pdf_bytes: int = 100 * 1024 * 1024
+    max_text_file_bytes: int = 50 * 1024 * 1024
+    max_text_content_bytes: int = 10 * 1024 * 1024
+    max_image_pixels: tuple[int, int] = (10_000, 10_000)
+
+    # --- retry (migrations/20250620100001_add_ocr_queue.sql:8) ---
+    max_attempts: int = 3
+
+    # --- allowed types (settings.rs:314-322) ---
+    allowed_file_types: tuple[str, ...] = (
+        "pdf", "png", "jpg", "jpeg", "tiff", "bmp", "txt",
+    )
+
+    # --- confidence constants for PDF paths (enhanced.rs:870-877,1111-1118) ---
+    conf_pdf_quick: float = 95.0
+    conf_pdf_ocr: float = 85.0
+    conf_pdf_bytes: float = 50.0
+    conf_plain_text: float = 100.0
+
+    # --- dedup policy (document_ingestion.rs:20-29) ---
+    # 'skip' | 'return_existing' | 'allow' | 'track'
+    dedup_policy: str = "skip"
+
+    # --- Ray execution knobs (engine-level; tuned via bench) ---
+    extract_concurrency: int = 8       # actor-pool size for the media stage
+    extract_batch_size: int = 128      # docs per batch in the media stage
+    text_batch_size: int = 4096       # docs per batch in the vectorized text stage
+    page_explode_threshold: int = 64   # PDFs with more pages fan out per-page
+    num_output_partitions: int = 32    # hash(doc_id) % N resumable partitions
+
+    # resolver spec understood by readur_ray.sources.media
+    media_resolver: str = "synth"      # 'synth' | 'parquet:<path>'
+
+
+DEFAULT_CONFIG = ExtractionConfig()

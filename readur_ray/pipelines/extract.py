@@ -1,0 +1,610 @@
+"""The extraction pipeline — streaming Ray Data end to end.
+
+Replaces the reference's ingest → Postgres queue → OCR-worker loop
+(/root/reference/src/ingestion/batch_ingest.rs,
+/root/reference/src/ocr/queue.rs:610-694) with a single lazy Dataset
+DAG executed by the streaming executor with backpressure:
+
+    read_parquet (pruned columns)
+      → classify (vectorized map_batches: route, cost, part_id)
+      → [text branch]  stateless vectorized plain-text extraction (M10/M17/M18)
+      → [media branch] DocExtractor actor pool (warm engines, M11-M16)
+      → [skew branch]  per-page-window explode (flat map_batches)
+                        → PageExtractor actor pool
+                        → groupby(doc_id) reassembly  [the mandated shuffle]
+      → union → (optional dedup pass D1 over a 2-column projection)
+      → write partitioned parquet + metrics + ledger
+
+Scale notes (the design assumptions, explicit per north_rule):
+- The input is re-scanned once per branch (3 branch filters). The scan
+  + classify are cheap vectorized column work; media payloads are NOT
+  read at classify time, so the duplicated work is a column projection,
+  not I/O. The alternative (materialize the classified dataset) would
+  pin the whole input in the object store — wrong at 10^12 docs.
+- Media payload bytes never enter a shuffle: they are resolved inside
+  the extraction actors (readur_ray.sources.media) and reduced to span
+  text + sha256 digests immediately.
+- Only the skewed tail (page_count > threshold, a fixed small fraction)
+  pays the explode + groupby(doc_id) shuffle; normal documents are
+  flattened and reassembled WITHIN a batch (zero shuffle).
+- Dedup (D1) runs over a (doc_id, file_hash) projection of the written
+  extraction output — column pruning makes this a tiny read — with a
+  partial-aggregate → filter(count>1) → broadcast-loser-set plan; the
+  full corpus is never shuffled for dedup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..config import DEFAULT_CONFIG, ExtractionConfig
+from ..functions.errors import ExtractionError, failure_for_message
+from ..functions.hashing import merkle_from_span_hashes
+from ..functions.plaintext import extract_plain_text, extract_plain_text_array
+from ..functions.quality import validate_ocr_quality
+from ..functions.wordcount import count_words_array, count_words_safely
+from ..schema import EXTRACTED, OUT_SPAN
+from ..sources.media import make_resolver
+from ..stages.engines import HermeticImageOcrEngine, HermeticPdfEngine
+from .. import synth
+
+_ALLOWED_MIMES = {
+    "text/plain", "application/pdf", "image/png", "image/jpeg",
+    "image/tiff", "image/bmp", "multipart/mixed",
+}
+PAGE_WINDOW = 16  # pages per unit in the skew explode
+
+
+# ---------------------------------------------------------------------------
+# classify (vectorized, stateless)
+# ---------------------------------------------------------------------------
+
+def part_id_array(doc_ids: pa.Array, num_parts: int) -> pa.Array:
+    """Stable partition assignment: crc32(doc_id) % N (resume-safe)."""
+    ids = doc_ids.to_pylist()
+    return pa.array(
+        [zlib.crc32(s.encode()) % num_parts for s in ids], type=pa.int32()
+    )
+
+
+def classify_batch(batch: pa.Table, cfg: ExtractionConfig) -> pa.Table:
+    from ..functions.cost import estimate_cost, priority_array
+
+    batch = batch.combine_chunks()
+    mime = batch.column("mime_type").combine_chunks()
+    batch = batch.append_column("part_id", part_id_array(
+        batch.column("doc_id").combine_chunks(), cfg.num_output_partitions))
+    batch = batch.append_column("priority", priority_array(
+        batch.column("file_size").combine_chunks(), mime))
+    batch = batch.append_column("est_cost", estimate_cost(
+        batch.column("file_size").combine_chunks(), mime,
+        batch.column("page_count").combine_chunks()))
+    return batch
+
+
+def _route_masks(batch: pa.Table, cfg: ExtractionConfig):
+    mime = batch.column("mime_type")
+    pages = batch.column("page_count")
+    is_text = pc.equal(mime, "text/plain")
+    is_skew = pc.greater(pages, cfg.page_explode_threshold)
+    is_media = pc.and_(pc.invert(is_text), pc.invert(is_skew))
+    return is_text, is_media, is_skew
+
+
+def route_filter(route: str, cfg: ExtractionConfig):
+    def f(batch: pa.Table) -> pa.Table:
+        t, m, s = _route_masks(batch, cfg)
+        mask = {"text": t, "media": m, "skew": s}[route]
+        return batch.filter(mask)
+    return f
+
+
+# ---------------------------------------------------------------------------
+# text branch — fully vectorized (M10 + M17 + M18)
+# ---------------------------------------------------------------------------
+
+def _sorted_flat_spans(batch: pa.Table):
+    """Flatten spans; enforce offset order within each doc (lexsort)."""
+    spans = batch.column("spans").combine_chunks()
+    counts = pc.list_value_length(spans)
+    counts = pc.fill_null(counts, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = spans.flatten()
+    doc_idx = np.repeat(np.arange(len(counts)), counts)
+    offsets_col = flat.field("offset").to_numpy(zero_copy_only=False)
+    order = np.lexsort((offsets_col, doc_idx))
+    if not np.array_equal(order, np.arange(order.size)):
+        flat = flat.take(pa.array(order))
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return flat, counts, starts, doc_idx
+
+
+def _first_per_doc(mask: np.ndarray, doc_idx: np.ndarray, n_docs: int) -> np.ndarray:
+    """Index of the first True per doc, -1 where none."""
+    out = np.full(n_docs, -1, dtype=np.int64)
+    pos = np.flatnonzero(mask)
+    if pos.size:
+        docs = doc_idx[pos]
+        uniq, first = np.unique(docs, return_index=True)
+        out[uniq] = pos[first]
+    return out
+
+
+def _segment_sum(values: np.ndarray, counts: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(counts), dtype=np.int64)
+    nz = counts > 0
+    if nz.any():
+        out[nz] = np.add.reduceat(values, starts[nz])
+    return out
+
+
+def make_extract_text_fn(cfg: ExtractionConfig):
+    min_conf = cfg.ocr_min_confidence
+
+    def extract_text_docs(batch: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        batch = batch.combine_chunks()
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({}, schema=EXTRACTED)
+        flat, counts, starts, doc_idx = _sorted_flat_spans(batch)
+        texts = flat.field("text")
+        extracted, words, too_large = extract_plain_text_array(texts)
+
+        # M18 vectorized (confidence is the constant 100 → only the
+        # word-count / emptiness / alnum-ratio gates can reject).
+        byte_len = pc.binary_length(extracted).cast(pa.float64())
+        alnum = pc.count_substring_regex(extracted, pattern=r"[\pL\pN]").cast(pa.float64())
+        ratio = pc.divide(alnum, pc.max_element_wise(byte_len, 1.0))
+        low_conf = pc.or_(
+            pc.or_(pc.equal(byte_len, 0.0), pc.equal(words, 0)),
+            pc.less(ratio, 0.3),
+        ).to_numpy(zero_copy_only=False)
+        too_large_np = too_large.to_numpy(zero_copy_only=False)
+
+        n_docs = n
+        fail_large = _first_per_doc(too_large_np, doc_idx, n_docs) >= 0
+        fail_low = _first_per_doc(low_conf & ~too_large_np, doc_idx, n_docs) >= 0
+        # span order decides which failure wins per doc
+        first_any = _first_per_doc(too_large_np | low_conf, doc_idx, n_docs)
+        failed = first_any >= 0
+        large_wins = np.zeros(n_docs, dtype=bool)
+        large_wins[failed] = too_large_np[first_any[failed]]
+        reason = np.where(
+            failed, np.where(large_wins, "file_too_large", "low_ocr_confidence"), ""
+        )
+        stage = np.where(failed, np.where(large_wins, "validation", "ocr"), "")
+
+        word_sum = _segment_sum(words.to_numpy(zero_copy_only=False), counts, starts)
+        word_sum = np.where(failed, 0, word_sum)
+
+        # output spans: drop spans of failed docs
+        keep_span = ~failed[doc_idx]
+        out_counts = np.where(failed, 0, counts)
+        kept = pa.array(keep_span)
+        out_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(np.full(int(keep_span.sum()), "plain_text"), pa.string()),
+                extracted.filter(kept),
+                pa.array([""] * int(keep_span.sum()), pa.string()),
+                flat.field("offset").filter(kept),
+            ],
+            fields=list(OUT_SPAN),
+        )
+        out_offsets = np.concatenate([[0], np.cumsum(out_counts)]).astype(np.int32)
+        out_spans = pa.ListArray.from_arrays(pa.array(out_offsets, pa.int32()), out_struct)
+
+        # file_hash (completed docs only): merkle over original span texts
+        orig_texts = texts.to_pylist()
+        hashes = []
+        for d in range(n_docs):
+            if failed[d]:
+                hashes.append("")
+                continue
+            h = hashlib.sha256()
+            for j in range(starts[d], starts[d] + counts[d]):
+                s = orig_texts[j] or ""
+                h.update(hashlib.sha256(s.encode("utf-8", errors="surrogatepass")).digest())
+            hashes.append(h.hexdigest())
+
+        ms = int((time.perf_counter() - t0) * 1000 / max(n_docs, 1))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "spans": out_spans,
+                "status": pa.array(np.where(failed, "failed", "completed"), pa.string()),
+                "failure_reason": pa.array(reason, pa.string()),
+                "failure_stage": pa.array(stage, pa.string()),
+                "confidence": pa.array(
+                    np.where(failed, 0.0, 100.0).astype(np.float32), pa.float32()
+                ),
+                "word_count": pa.array(word_sum.astype(np.int32), pa.int32()),
+                "processing_time_ms": pa.array(np.full(n_docs, ms), pa.int64()),
+                "file_hash": pa.array(hashes, pa.string()),
+                "dedup_status": pa.array(["kept"] * n_docs, pa.string()),
+                "part_id": batch.column("part_id"),
+            },
+            schema=EXTRACTED,
+        )
+
+    return extract_text_docs
+
+
+# ---------------------------------------------------------------------------
+# media branch — actor pool with warm engines
+# ---------------------------------------------------------------------------
+
+def _empty_extracted() -> pa.Table:
+    return pa.table({name: [] for name in EXTRACTED.names}, schema=EXTRACTED)
+
+
+class DocExtractor:
+    """Stateful stage: resolver + hermetic engines built once per actor
+    (the reference builds Tesseract once per worker, ST1/ST4;
+    /root/reference/src/ocr/health.rs:13-57)."""
+
+    def __init__(self, cfg: ExtractionConfig):
+        self.cfg = cfg
+        self.resolver = make_resolver(cfg.media_resolver)
+        self.pdf = HermeticPdfEngine(cfg)
+        self.img = HermeticImageOcrEngine(cfg)
+
+    def _one_span(self, span: dict):
+        """→ (out_span_dict, confidence, word_count, payload_sha256_hex)."""
+        cfg = self.cfg
+        if span["kind"] == "text":
+            raw = span["text"].encode("utf-8", errors="surrogatepass")
+            text = extract_plain_text(span["text"])
+            kind, conf = "plain_text", cfg.conf_plain_text
+            wc = count_words_safely(text)
+            digest = hashlib.sha256(raw).hexdigest()
+        else:
+            ref = span["media_ref"]
+            payload = self.resolver.fetch(ref)
+            digest = hashlib.sha256(payload).hexdigest()
+            declared = self.resolver.declared_size(ref)
+            if b"%PDF-" in payload[:1024] or ref.startswith("synth://pdf"):
+                res = self.pdf.extract(payload, declared)
+            else:
+                res = self.img.extract(payload)
+            text, conf, kind, wc = res.text, res.confidence, res.kind, res.word_count
+        if text.strip() == "":
+            raise ExtractionError("No extractable text found in document (0 words)")
+        ok, _ = validate_ocr_quality(text, conf, wc, cfg.ocr_min_confidence)
+        if not ok:
+            raise ExtractionError(
+                f"OCR validation failed: low_ocr_confidence (confidence {conf:.1f}, {wc} words)"
+            )
+        out = {"kind": kind, "text": text, "media_ref": span["media_ref"],
+               "offset": span["offset"]}
+        return out, conf, wc, digest
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        rows_spans = batch.column("spans").to_pylist()
+        doc_ids = batch.column("doc_id").to_pylist()
+        mimes = batch.column("mime_type").to_pylist()
+        parts = batch.column("part_id").to_pylist()
+        out = {name: [] for name in EXTRACTED.names}
+        for doc_id, spans, mime, part in zip(doc_ids, rows_spans, mimes, parts):
+            t0 = time.perf_counter()
+            status, reason, stage = "completed", "", ""
+            out_spans, confs, words, digests = [], [], 0, []
+            if mime not in _ALLOWED_MIMES:
+                status, reason, stage = "failed", "unsupported_format", "validation"
+            else:
+                try:
+                    for span in sorted(spans, key=lambda s: s["offset"]):
+                        o, c, w, d = self._one_span(span)
+                        out_spans.append(o)
+                        confs.append(c)
+                        words += w
+                        digests.append(d)
+                except ExtractionError as e:
+                    status = "failed"
+                    reason, stage = failure_for_message(str(e))
+                    out_spans, confs, words, digests = [], [], 0, []
+            out["doc_id"].append(doc_id)
+            out["spans"].append(out_spans)
+            out["status"].append(status)
+            out["failure_reason"].append(reason)
+            out["failure_stage"].append(stage)
+            out["confidence"].append(min(confs) if confs else 0.0)
+            out["word_count"].append(words)
+            out["processing_time_ms"].append(int((time.perf_counter() - t0) * 1000))
+            out["file_hash"].append(
+                merkle_from_span_hashes(digests) if status == "completed" else ""
+            )
+            out["dedup_status"].append("kept")
+            out["part_id"].append(part)
+        return pa.table(out, schema=EXTRACTED)
+
+
+# ---------------------------------------------------------------------------
+# skew branch — per-page-window explode → actor pool → groupby(doc_id)
+# ---------------------------------------------------------------------------
+
+_UNIT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()), ("mime_type", pa.string()), ("part_id", pa.int32()),
+        ("n_spans", pa.int32()),
+        ("offset", pa.int32()), ("unit_idx", pa.int32()), ("n_units", pa.int32()),
+        ("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()),
+    ]
+)
+
+
+def make_explode_fn(cfg: ExtractionConfig):
+    threshold = cfg.page_explode_threshold
+
+    def explode_skew(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        out = {name: [] for name in _UNIT_SCHEMA.names}
+        for doc_id, spans, mime, part in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist(),
+            batch.column("mime_type").to_pylist(), batch.column("part_id").to_pylist(),
+        ):
+            spans = sorted(spans, key=lambda s: s["offset"])
+            for span in spans:
+                units: list[tuple[str, str, str]] = []   # (kind, text, ref)
+                if span["kind"] == "media" and span["media_ref"].startswith("synth://pdf"):
+                    p = synth.parse_ref(span["media_ref"])
+                    pages = int(p.get("pages", 1))
+                    if pages > threshold and "sz" not in p:
+                        for a in range(0, pages, PAGE_WINDOW):
+                            b = min(a + PAGE_WINDOW, pages)
+                            units.append(
+                                ("media", "", f"{span['media_ref']}&p0={a}&p1={b}")
+                            )
+                if not units:
+                    units = [(span["kind"], span["text"], span["media_ref"])]
+                for ui, (kind, text, ref) in enumerate(units):
+                    out["doc_id"].append(doc_id)
+                    out["mime_type"].append(mime)
+                    out["part_id"].append(part)
+                    out["n_spans"].append(len(spans))
+                    out["offset"].append(span["offset"])
+                    out["unit_idx"].append(ui)
+                    out["n_units"].append(len(units))
+                    out["kind"].append(kind)
+                    out["text"].append(text)
+                    out["media_ref"].append(ref)
+        return pa.table(out, schema=_UNIT_SCHEMA)
+
+    return explode_skew
+
+
+_UNIT_RESULT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()), ("mime_type", pa.string()), ("part_id", pa.int32()),
+        ("n_spans", pa.int32()),
+        ("offset", pa.int32()), ("unit_idx", pa.int32()), ("n_units", pa.int32()),
+        ("media_ref", pa.string()),
+        ("out_kind", pa.string()), ("out_text", pa.string()),
+        ("confidence", pa.float32()), ("error", pa.string()),
+        ("payload_sha", pa.string()),
+    ]
+)
+
+
+class PageExtractor:
+    """Actor pool over exploded units (pages windows / spans of skewed docs)."""
+
+    def __init__(self, cfg: ExtractionConfig):
+        self.cfg = cfg
+        self.resolver = make_resolver(cfg.media_resolver)
+        self.pdf = HermeticPdfEngine(cfg)
+        self.img = HermeticImageOcrEngine(cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        out_kind, out_text, confs, errors, shas = [], [], [], [], []
+        for kind, text, ref, mime in zip(
+            batch.column("kind").to_pylist(), batch.column("text").to_pylist(),
+            batch.column("media_ref").to_pylist(), batch.column("mime_type").to_pylist(),
+        ):
+            try:
+                if mime not in _ALLOWED_MIMES:
+                    raise ExtractionError(f"unsupported file type: {mime}")
+                if kind == "text":
+                    raw = text.encode("utf-8", errors="surrogatepass")
+                    sha = hashlib.sha256(raw).hexdigest()
+                    t = extract_plain_text(text)
+                    k, c = "plain_text", self.cfg.conf_plain_text
+                else:
+                    payload = self.resolver.fetch(ref)
+                    sha = hashlib.sha256(payload).hexdigest()
+                    declared = self.resolver.declared_size(ref)
+                    if b"%PDF-" in payload[:1024] or ref.startswith("synth://pdf"):
+                        res = self.pdf.extract(payload, declared)
+                    else:
+                        res = self.img.extract(payload)
+                    t, c, k = res.text, res.confidence, res.kind
+                out_kind.append(k)
+                out_text.append(t)
+                confs.append(c)
+                errors.append("")
+                shas.append(sha)
+            except ExtractionError as e:
+                out_kind.append("")
+                out_text.append("")
+                confs.append(0.0)
+                errors.append(str(e))
+                shas.append("")
+        result = pa.table(
+            {
+                "doc_id": batch.column("doc_id"), "mime_type": batch.column("mime_type"),
+                "part_id": batch.column("part_id"), "n_spans": batch.column("n_spans"),
+                "offset": batch.column("offset"), "unit_idx": batch.column("unit_idx"),
+                "n_units": batch.column("n_units"), "media_ref": batch.column("media_ref"),
+                "out_kind": pa.array(out_kind, pa.string()),
+                "out_text": pa.array(out_text, pa.string()),
+                "confidence": pa.array(confs, pa.float32()),
+                "error": pa.array(errors, pa.string()),
+                "payload_sha": pa.array(shas, pa.string()),
+            },
+            schema=_UNIT_RESULT_SCHEMA,
+        )
+        return result
+
+
+def make_reassemble_fn(cfg: ExtractionConfig):
+    min_conf = cfg.ocr_min_confidence
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        """groupby(doc_id) shuffle target: order units by (offset,
+        unit_idx), join window texts with '\\n\\n', rebuild the doc row.
+        Span order is data (the offset column), never block order."""
+        g = group.combine_chunks()
+        idx = pc.sort_indices(
+            g, sort_keys=[("offset", "ascending"), ("unit_idx", "ascending")]
+        )
+        g = g.take(idx)
+        doc_id = g.column("doc_id")[0].as_py()
+        part = g.column("part_id")[0].as_py()
+        offs = g.column("offset").to_pylist()
+        errors = g.column("error").to_pylist()
+        texts = g.column("out_text").to_pylist()
+        kinds = g.column("out_kind").to_pylist()
+        confs = g.column("confidence").to_pylist()
+        refs = g.column("media_ref").to_pylist()
+        shas = g.column("payload_sha").to_pylist()
+
+        def emit(status, reason, stage, spans, conf, wc, fh):
+            return pa.table(
+                {
+                    "doc_id": [doc_id], "spans": [spans], "status": [status],
+                    "failure_reason": [reason], "failure_stage": [stage],
+                    "confidence": pa.array([conf], pa.float32()),
+                    "word_count": pa.array([wc], pa.int32()),
+                    "processing_time_ms": pa.array([0], pa.int64()),
+                    "file_hash": [fh], "dedup_status": ["kept"],
+                    "part_id": pa.array([part], pa.int32()),
+                },
+                schema=EXTRACTED,
+            )
+
+        # first failing unit in (offset, unit) order fails the doc
+        for err in errors:
+            if err:
+                reason, stage = failure_for_message(err)
+                return emit("failed", reason, stage, [], 0.0, 0, "")
+
+        out_spans, confs_per_span, span_hashes, total_wc = [], [], [], 0
+        i = 0
+        n = len(offs)
+        while i < n:
+            j = i
+            while j < n and offs[j] == offs[i]:
+                j += 1
+            units_text = [t for t in texts[i:j]]
+            joined = "\n\n".join(units_text).strip() if j - i > 1 else units_text[0]
+            kind = kinds[i]
+            conf = min(confs[i:j])
+            if j - i > 1:
+                h = hashlib.sha256()
+                for s in shas[i:j]:
+                    h.update(bytes.fromhex(s))
+                span_hash = h.hexdigest()
+                # strip '&p0=..&p1=..' window suffix to restore the span ref
+                ref = refs[i].split("&p0=")[0]
+            else:
+                span_hash = shas[i]
+                ref = refs[i]
+            wc = count_words_safely(joined)
+            if joined.strip() == "":
+                reason, stage = failure_for_message(
+                    "No extractable text found in document (0 words)")
+                return emit("failed", reason, stage, [], 0.0, 0, "")
+            ok, _ = validate_ocr_quality(joined, conf, wc, min_conf)
+            if not ok:
+                return emit("failed", "low_ocr_confidence", "ocr", [], 0.0, 0, "")
+            out_spans.append(
+                {"kind": kind, "text": joined, "media_ref": ref, "offset": offs[i]}
+            )
+            confs_per_span.append(conf)
+            span_hashes.append(span_hash)
+            total_wc += wc
+            i = j
+        return emit(
+            "completed", "", "", out_spans,
+            min(confs_per_span) if confs_per_span else 0.0, total_wc,
+            merkle_from_span_hashes(span_hashes),
+        )
+
+    return reassemble
+
+
+# ---------------------------------------------------------------------------
+# assembly
+# ---------------------------------------------------------------------------
+
+def load_documents(path: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        path, columns=["doc_id", "spans", "mime_type", "file_size", "page_count"]
+    )
+
+
+def _pool_sizes(cfg: ExtractionConfig) -> tuple[int, int]:
+    """Actor-pool sizes with headroom so the pools never reserve every
+    CPU (a pool that takes the whole node starves the stateless read /
+    classify / write tasks and stalls the streaming executor)."""
+    import ray as _ray
+
+    ncpu = cfg.extract_concurrency
+    if _ray.is_initialized():
+        ncpu = int(_ray.cluster_resources().get("CPU", ncpu))
+    main_pool = max(1, min(cfg.extract_concurrency, (ncpu * 3) // 4))
+    page_pool = max(1, ncpu // 4)
+    return main_pool, page_pool
+
+
+def build_extracted(
+    path: str, cfg: ExtractionConfig = DEFAULT_CONFIG
+) -> "ray.data.Dataset":
+    """The lazy extraction DAG (no dedup pass; see run_extraction)."""
+    main_pool, page_pool = _pool_sizes(cfg)
+
+    def branch():
+        ds = load_documents(path)
+        return ds.map_batches(
+            lambda b: classify_batch(b, cfg), batch_format="pyarrow",
+            batch_size=cfg.text_batch_size,
+        )
+
+    text_ds = (
+        branch()
+        .map_batches(route_filter("text", cfg), batch_format="pyarrow")
+        .map_batches(
+            make_extract_text_fn(cfg), batch_format="pyarrow",
+            batch_size=cfg.text_batch_size,
+        )
+    )
+    media_ds = (
+        branch()
+        .map_batches(route_filter("media", cfg), batch_format="pyarrow")
+        .map_batches(
+            DocExtractor, fn_constructor_args=(cfg,), batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size, concurrency=(1, main_pool),
+            num_cpus=1,
+        )
+    )
+    skew_ds = (
+        branch()
+        .map_batches(route_filter("skew", cfg), batch_format="pyarrow")
+        .map_batches(make_explode_fn(cfg), batch_format="pyarrow", batch_size=64)
+        .map_batches(
+            PageExtractor, fn_constructor_args=(cfg,), batch_format="pyarrow",
+            batch_size=32, concurrency=(1, page_pool), num_cpus=1,
+        )
+        .groupby("doc_id")
+        .map_groups(make_reassemble_fn(cfg), batch_format="pyarrow")
+    )
+    return text_ds.union(media_ds).union(skew_ds)

@@ -1,0 +1,89 @@
+"""End-to-end pipeline vs oracle: span-sequence equality per document.
+
+The contract (BASELINE.json input_hint): for every input doc_id the
+pipeline's output spans must equal the oracle's on
+(kind, text, media_ref, offset order), plus status / failure_reason /
+failure_stage / confidence / word_count / file_hash; and every input
+doc appears exactly once in the output (never-drop-a-row,
+/root/reference/src/ocr/queue.rs:336-590 always resolves)."""
+
+import pytest
+
+from readur_ray import oracle
+from readur_ray.config import ExtractionConfig
+from readur_ray.pipelines.extract import build_extracted
+
+
+@pytest.fixture(scope="module")
+def pipeline_rows(ray_session, corpus_dir):
+    cfg = ExtractionConfig(extract_concurrency=2)
+    ds = build_extracted(corpus_dir, cfg)
+    rows = {r["doc_id"]: r for r in ds.take_all()}
+    return rows
+
+
+@pytest.fixture(scope="module")
+def oracle_rows(small_corpus):
+    docs = small_corpus.to_pylist()
+    return {d["doc_id"]: (oracle.expected_doc(d), d["_cls"]) for d in docs}
+
+
+def test_accounting_exactly_once(pipeline_rows, oracle_rows):
+    assert set(pipeline_rows) == set(oracle_rows)
+
+
+def test_span_sequence_equality(pipeline_rows, oracle_rows):
+    mismatches = []
+    for doc_id, (exp, cls) in oracle_rows.items():
+        got = pipeline_rows[doc_id]
+        got_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in got["spans"]
+        ]
+        exp_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in exp["spans"]
+        ]
+        if got_spans != exp_spans:
+            mismatches.append((doc_id, cls, "spans"))
+    assert not mismatches, mismatches[:5]
+
+
+def test_status_and_failure_fields(pipeline_rows, oracle_rows):
+    mismatches = []
+    for doc_id, (exp, cls) in oracle_rows.items():
+        got = pipeline_rows[doc_id]
+        for f in ("status", "failure_reason", "failure_stage"):
+            if got[f] != exp[f]:
+                mismatches.append((doc_id, cls, f, got[f], exp[f]))
+    assert not mismatches, mismatches[:5]
+
+
+def test_confidence_word_count_hash(pipeline_rows, oracle_rows):
+    mismatches = []
+    for doc_id, (exp, cls) in oracle_rows.items():
+        got = pipeline_rows[doc_id]
+        if abs(got["confidence"] - exp["confidence"]) > 1e-4:
+            mismatches.append((doc_id, cls, "confidence", got["confidence"], exp["confidence"]))
+        if got["word_count"] != exp["word_count"]:
+            mismatches.append((doc_id, cls, "word_count", got["word_count"], exp["word_count"]))
+        if got["file_hash"] != exp["file_hash"]:
+            mismatches.append((doc_id, cls, "file_hash"))
+    assert not mismatches, mismatches[:5]
+
+
+def test_duplicates_share_hash(pipeline_rows, small_corpus):
+    cls = small_corpus.column("_cls").to_pylist()
+    ids = small_corpus.column("doc_id").to_pylist()
+    dup_ids = [i for i, c in zip(ids, cls) if c == "dup_content"]
+    assert dup_ids
+    hashes = {}
+    for r in pipeline_rows.values():
+        if r["file_hash"]:
+            hashes.setdefault(r["file_hash"], []).append(r["doc_id"])
+    # every completed dup shares its hash with at least one other doc
+    shared = 0
+    for d in dup_ids:
+        fh = pipeline_rows[d]["file_hash"]
+        if fh and len(hashes[fh]) > 1:
+            shared += 1
+    completed_dups = [d for d in dup_ids if pipeline_rows[d]["status"] == "completed"]
+    assert shared == len(completed_dups)
