@@ -1,0 +1,243 @@
+"""Resumable end-to-end runner: extract → dedup (D1) → metrics.
+
+Phases (each a separate streaming job over parquet, so no phase holds
+the corpus in memory and a crash resumes at chunk granularity):
+
+1. **extract** — input files are split into chunks; each uncommitted
+   chunk runs the extraction DAG and writes
+   ``out/extracted/chunk-<k>/`` atomically (tmp dir + rename), then a
+   ledger line commits it. Committed chunks are skipped on resume —
+   whole input fragments are pruned at the read.
+2. **dedup** (D1, /root/reference/src/ingestion/document_ingestion.rs:
+   121-169 keep-first semantics, deterministic winner = min doc_id) —
+   over a 2-column (doc_id, file_hash) projection of the extracted
+   output: per-batch partial (hash → count, min_id) → small
+   groupby(file_hash) aggregate → filter count>1 → collect ONLY the
+   duplicate groups (tiny) → broadcast winner map. The corpus is never
+   shuffled for dedup.
+3. **finalize** — re-stream extracted output, apply dedup marks
+   (policy 'skip' empties loser spans and sets status
+   'skipped_duplicate'; 'track' keeps spans, marks
+   'tracked_duplicate'; 'allow' skips the pass) → ``out/final/``; then
+   aggregate per-partition metrics (A5 analog: status / failure_reason
+   counts, confidence histogram, word totals per part_id,
+   /root/reference/migrations/20250620100001_add_ocr_queue.sql:33-46)
+   → ``out/metrics.parquet``.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Min, Sum
+
+from ..config import DEFAULT_CONFIG, ExtractionConfig
+from ..state import ledger
+from .extract import build_extracted
+
+
+def _input_chunks(input_path: str, n_chunks: int) -> list[list[str]]:
+    if os.path.isdir(input_path):
+        files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+    else:
+        files = [input_path]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_path}")
+    n = min(n_chunks, len(files))
+    return [files[i::n] for i in range(n)]
+
+
+def run_extract_phase(
+    input_path: str,
+    out_dir: str,
+    cfg: ExtractionConfig = DEFAULT_CONFIG,
+    n_chunks: int = 4,
+    _stop_after: int | None = None,
+) -> list[int]:
+    """Run uncommitted chunks; returns the chunk ids executed."""
+    chunks = _input_chunks(input_path, n_chunks)
+    done = ledger.committed_chunks(out_dir)
+    executed = []
+    extracted_root = os.path.join(out_dir, "extracted")
+    os.makedirs(extracted_root, exist_ok=True)
+    for k, files in enumerate(chunks):
+        if k in done:
+            continue
+        t0 = time.perf_counter()
+        tmp = os.path.join(extracted_root, f".tmp-chunk-{k}")
+        final = os.path.join(extracted_root, f"chunk-{k}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds = build_extracted(files, cfg)
+        ds.write_parquet(tmp)
+        # commit: atomic rename + ledger line
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp, final)
+        out = ray.data.read_parquet(final, columns=["status"])
+        counts = {r["status"]: r["count()"] for r in out.groupby("status").count().take_all()}
+        ledger.append_entry(
+            out_dir,
+            {
+                "kind": "chunk", "chunk": k, "input_files": files,
+                "rows": sum(counts.values()), "status_counts": counts,
+                "wall_sec": round(time.perf_counter() - t0, 3),
+            },
+        )
+        executed.append(k)
+        if _stop_after is not None and len(executed) >= _stop_after:
+            break
+    return executed
+
+
+def compute_duplicate_winners(extracted_dir: str) -> dict[str, str]:
+    """{file_hash: winner_doc_id} for hashes with >1 completed doc."""
+    proj = ray.data.read_parquet(extracted_dir, columns=["doc_id", "file_hash"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.not_equal(batch.column("file_hash"), ""))
+        if batch.num_rows == 0:
+            return pa.table({"file_hash": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "min_id": pa.array([], pa.string())})
+        g = batch.group_by("file_hash").aggregate(
+            [("doc_id", "count"), ("doc_id", "min")]
+        )
+        return pa.table({
+            "file_hash": g.column("file_hash"),
+            "n": g.column("doc_id_count").cast(pa.int64()),
+            "min_id": g.column("doc_id_min"),
+        })
+
+    agg = (
+        proj.map_batches(partial, batch_format="pyarrow")
+        .groupby("file_hash")
+        .aggregate(Sum("n", alias_name="n"), Min("min_id", alias_name="winner"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
+        )
+    )
+    return {r["file_hash"]: r["winner"] for r in agg.take_all()}
+
+
+def make_dedup_marker(winners: dict[str, str], policy: str):
+    loser_status = "tracked_duplicate" if policy == "track" else "skipped_duplicate"
+    keep_spans = policy == "track"
+
+    def mark(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        hashes = batch.column("file_hash").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        loser = np.array(
+            [h in winners and winners[h] != i for h, i in zip(hashes, ids)]
+        )
+        if not loser.any():
+            return batch
+        status = np.where(loser, "skipped_duplicate", batch.column("status").to_pylist())
+        dstat = np.where(loser, loser_status, batch.column("dedup_status").to_pylist())
+        cols = {name: batch.column(name) for name in batch.schema.names}
+        cols["status"] = pa.array(status, pa.string())
+        cols["dedup_status"] = pa.array(dstat, pa.string())
+        if not keep_spans:
+            spans = batch.column("spans").to_pylist()
+            cols["spans"] = pa.array(
+                [[] if L else s for s, L in zip(spans, loser)],
+                type=batch.schema.field("spans").type,
+            )
+        return pa.table(cols, schema=batch.schema)
+
+    return mark
+
+
+_CONF_BUCKETS = [0, 10, 20, 30, 40, 50, 60, 70, 80, 90, 101]
+
+
+def metrics_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial metrics keyed by (part_id, status, failure_reason,
+    conf_bucket) — the pre-aggregate before the tiny groupby."""
+    batch = batch.combine_chunks()
+    conf = batch.column("confidence").to_numpy(zero_copy_only=False)
+    bucket = np.digitize(conf, _CONF_BUCKETS) - 1
+    key = pa.table({
+        "part_id": batch.column("part_id"),
+        "status": batch.column("status"),
+        "failure_reason": batch.column("failure_reason"),
+        "conf_bucket": pa.array(bucket.astype(np.int32)),
+        "words": batch.column("word_count").cast(pa.int64()),
+        "proc_ms": batch.column("processing_time_ms"),
+    })
+    g = key.group_by(["part_id", "status", "failure_reason", "conf_bucket"]).aggregate(
+        [("words", "sum"), ("proc_ms", "sum"), ("status", "count")]
+    )
+    return pa.table({
+        "part_id": g.column("part_id"),
+        "status": g.column("status"),
+        "failure_reason": g.column("failure_reason"),
+        "conf_bucket": g.column("conf_bucket"),
+        "docs": g.column("status_count").cast(pa.int64()),
+        "words": g.column("words_sum"),
+        "proc_ms": g.column("proc_ms_sum"),
+    })
+
+
+def run_finalize_phase(out_dir: str, cfg: ExtractionConfig = DEFAULT_CONFIG) -> dict:
+    extracted_dir = os.path.join(out_dir, "extracted")
+    final_dir = os.path.join(out_dir, "final")
+    winners: dict[str, str] = {}
+    if cfg.dedup_policy != "allow":
+        winners = compute_duplicate_winners(extracted_dir)
+
+    ds = ray.data.read_parquet(extracted_dir)
+    if winners:
+        ds = ds.map_batches(
+            make_dedup_marker(winners, cfg.dedup_policy), batch_format="pyarrow"
+        )
+    tmp = final_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp)
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.rename(tmp, final_dir)
+
+    metrics = (
+        ray.data.read_parquet(
+            final_dir,
+            columns=["part_id", "status", "failure_reason", "confidence",
+                     "word_count", "processing_time_ms"],
+        )
+        .map_batches(metrics_partial, batch_format="pyarrow")
+        .groupby(["part_id", "status", "failure_reason", "conf_bucket"])
+        .aggregate(
+            Sum("docs", alias_name="docs"),
+            Sum("words", alias_name="words"),
+            Sum("proc_ms", alias_name="proc_ms"),
+        )
+    )
+    metrics_table = pa.Table.from_pylist(metrics.take_all())
+    import pyarrow.parquet as pq
+
+    pq.write_table(metrics_table, os.path.join(out_dir, "metrics.parquet"))
+    summary = {
+        "duplicate_groups": len(winners),
+        "final_dir": final_dir,
+        "metrics_rows": metrics_table.num_rows,
+    }
+    ledger.append_entry(out_dir, {"kind": "finalize", **summary})
+    return summary
+
+
+def run_extraction(
+    input_path: str,
+    out_dir: str,
+    cfg: ExtractionConfig = DEFAULT_CONFIG,
+    n_chunks: int = 4,
+) -> dict:
+    """Full resumable run. Safe to call again after a crash."""
+    run_extract_phase(input_path, out_dir, cfg, n_chunks)
+    return run_finalize_phase(out_dir, cfg)

@@ -1,0 +1,96 @@
+"""Resumable runner: dedup D1, metrics, ledger, crash-resume equality."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from readur_ray import synth
+from readur_ray.config import ExtractionConfig
+from readur_ray.pipelines.run import (
+    run_extract_phase,
+    run_extraction,
+    run_finalize_phase,
+)
+from readur_ray.state import ledger
+
+
+@pytest.fixture(scope="module")
+def sharded_corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sharded")
+    synth.write_corpus(str(d), 600, seed=11, rows_per_file=150)  # 4 files
+    return str(d)
+
+
+def _read_final(out_dir):
+    t = pq.read_table(os.path.join(out_dir, "final"))
+    rows = {r["doc_id"]: r for r in t.to_pylist()}
+    return t, rows
+
+
+def test_full_run_dedup_and_metrics(ray_session, sharded_corpus, tmp_path):
+    out = str(tmp_path / "out")
+    summary = run_extraction(sharded_corpus, out, ExtractionConfig(), n_chunks=4)
+    t, rows = _read_final(out)
+    assert len(rows) == 600  # never drop a row
+    # duplicates: losers marked, exactly one winner per dup hash
+    by_hash = {}
+    for r in rows.values():
+        if r["file_hash"]:
+            by_hash.setdefault(r["file_hash"], []).append(r)
+    n_losers = 0
+    for h, group in by_hash.items():
+        if len(group) > 1:
+            winners = [g for g in group if g["dedup_status"] == "kept"]
+            losers = [g for g in group if g["dedup_status"] == "skipped_duplicate"]
+            assert len(winners) == 1
+            assert winners[0]["doc_id"] == min(g["doc_id"] for g in group)
+            assert all(g["status"] == "skipped_duplicate" for g in losers)
+            assert all(g["spans"] == [] for g in losers)
+            n_losers += len(losers)
+    assert summary["duplicate_groups"] >= 1
+    assert n_losers >= 1
+    # metrics present and doc counts add up
+    m = pq.read_table(os.path.join(out, "metrics.parquet"))
+    assert sum(m.column("docs").to_pylist()) == 600
+    # ledger has 4 chunk entries + finalize
+    entries = ledger.read_ledger(out)
+    assert len([e for e in entries if e["kind"] == "chunk"]) == 4
+    assert entries[-1]["kind"] == "finalize"
+
+
+def test_crash_resume_byte_equal(ray_session, sharded_corpus, tmp_path):
+    cfg = ExtractionConfig()
+    # reference run in one shot
+    ref_out = str(tmp_path / "ref")
+    run_extraction(sharded_corpus, ref_out, cfg, n_chunks=4)
+    _, ref_rows = _read_final(ref_out)
+
+    # crashed run: stop after 2 chunks, then resume
+    out = str(tmp_path / "resumed")
+    executed = run_extract_phase(sharded_corpus, out, cfg, n_chunks=4, _stop_after=2)
+    assert len(executed) == 2
+    assert ledger.committed_chunks(out) == set(executed)
+    executed2 = run_extract_phase(sharded_corpus, out, cfg, n_chunks=4)
+    assert len(executed2) == 2 and not (set(executed2) & set(executed))
+    run_finalize_phase(out, cfg)
+    _, rows = _read_final(out)
+
+    assert set(rows) == set(ref_rows)
+    for doc_id, ref in ref_rows.items():
+        got = rows[doc_id]
+        for f in ("spans", "status", "failure_reason", "failure_stage",
+                  "word_count", "file_hash", "dedup_status"):
+            assert got[f] == ref[f], (doc_id, f)
+
+
+def test_resume_skips_committed_chunks(ray_session, sharded_corpus, tmp_path):
+    out = str(tmp_path / "skip")
+    run_extract_phase(sharded_corpus, out, ExtractionConfig(), n_chunks=4)
+    before = sorted(glob.glob(os.path.join(out, "extracted", "chunk-*", "*")))
+    mtimes = {p: os.path.getmtime(p) for p in before}
+    again = run_extract_phase(sharded_corpus, out, ExtractionConfig(), n_chunks=4)
+    assert again == []  # nothing re-run
+    after = {p: os.path.getmtime(p) for p in before}
+    assert mtimes == after
