@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() / queries() / oracle_sql().
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — no
+ray.init()/shutdown() here or in any callable.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Every queries() entry is a Ray-Data-first pipeline from
+readur_ray.pipelines.*; each SQL-expressible one has a DuckDB oracle
+below built from the SAME deterministic primitives (RE2 regexes, md5 /
+sha256 hex, integer cents / integer ratio thresholds), so values match
+bit-for-bit. Non-SQL-expressible entries (the full interleaved
+extraction DAG with hermetic media engines) are listed in queries()
+only → the driver records a rows-only check for them.
 """
 
 from __future__ import annotations
@@ -18,27 +17,382 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# --- shared SQL fragments -------------------------------------------------
+
+# lowercased alnum words / distinct word-3-shingles of documents.text
+_WORDS_CTE = (
+    "w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws "
+    "FROM documents)"
+)
+_SHINGLES_CTE = (
+    "sh AS ("
+    " SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s"
+    " FROM w, UNNEST(range(1, len(ws)-1)) AS t(i) WHERE len(ws) >= 3"
+    " UNION"
+    " SELECT doc_id, array_to_string(ws, ' ') AS s FROM w"
+    " WHERE len(ws) BETWEEN 1 AND 2)"
+)
+
+_STOP_EN = r"\b(?:the|and|of|to|in|is|was|for|on|as|with|at|by|it|a)\b"
+_STOP_DE = r"\b(?:der|die|das|und|ist|von|zu|mit|den|im|ein|eine|nicht|auch)\b"
+_STOP_FR = r"\b(?:le|la|les|et|des|du|est|une|pour|dans|que|sur|pas|plus)\b"
+_STOP_ES = r"\b(?:el|los|las|es|un|una|por|para|con|del|no|se|su|como)\b"
+
+_SIMHASH_CTE = (
+    "toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t"
+    " FROM documents), "
+    "bits AS ("
+    " SELECT doc_id, bit,"
+    "  sum(CASE WHEN ((CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT) >> bit) & 1) = 1"
+    "      THEN 1 ELSE -1 END) AS wsum"
+    " FROM toks, UNNEST(range(0, 64)) AS r(bit) GROUP BY doc_id, bit), "
+    "fp AS ("
+    " SELECT doc_id, CAST(sum(CASE WHEN wsum > 0 THEN CAST(1 AS UBIGINT) << bit"
+    "   ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS f"
+    " FROM bits GROUP BY doc_id), "
+    "fps AS ("
+    " SELECT d.doc_id,"
+    "  coalesce(lpad(lower(hex(fp.f)), 16, '0'), '0000000000000000') AS simhash"
+    " FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id)"
+)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: interleaved corpus derived from sf0.001
+    documents → full extraction DAG (text / media / skew branches)."""
+    from readur_ray.pipelines.e2e import extraction_e2e
+
+    return extraction_e2e("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from readur_ray.pipelines import analytics, dedup, e2e, multimodal, similarity, textops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- extraction semantics over documents.text (M10/M17/M18/M9) ---
+        "plaintext_extract": textops.plaintext_extract,
+        "extract_status": textops.extract_status,
+        "doc_metadata": textops.doc_metadata,
+        # --- text analysis ---
+        "lang_id": textops.lang_id,
+        "quality_score": textops.quality_score,
+        "fingerprints": textops.fingerprints,
+        # --- dedup suite ---
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "dedup_simhash": dedup.simhash_fingerprints,
+        "dedup_simhash_pairs": dedup.simhash_pairs,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_embedding": dedup.embedding_neardup_pairs,
+        # --- similarity search ---
+        "ann_topk": similarity.ann_topk,
+        "ann_lsh_buckets": similarity.lsh_buckets,
+        "ann_topk_lsh": similarity.ann_topk_lsh,
+        # --- relational operators (A1-A6, O1-O3, J1/J4, M20, M4-M6) ---
+        "status_counts": analytics.status_counts,
+        "source_facets": analytics.source_facets,
+        "hourly_event_metrics": analytics.hourly_event_metrics,
+        "orders_per_nation": analytics.orders_per_nation,
+        "pricing_summary": analytics.pricing_summary,
+        "top_docs": analytics.top_docs,
+        "priority_buckets": analytics.priority_buckets,
+        "filter_allowed": analytics.filter_allowed,
+        # --- multimodal plumbing (deterministic stub codec) ---
+        "multimodal_meta": multimodal.multimodal_meta,
+        # --- flagship extraction DAG (hermetic engines; rows-only) ---
+        "extraction_e2e": e2e.extraction_e2e,
+        "extraction_summary": e2e.extraction_summary,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+
+    sql["plaintext_extract"] = r"""
+        SELECT doc_id,
+               trim(text) AS extracted,
+               CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS word_count,
+               CAST(length(trim(text)) AS BIGINT) AS char_count,
+               CAST(strlen(trim(text)) AS BIGINT) AS byte_len,
+               sha256(trim(text)) AS text_sha256
+        FROM documents
     """
-    return {}
+
+    sql["extract_status"] = r"""
+        SELECT doc_id,
+               CASE WHEN fail THEN 'failed' ELSE 'completed' END AS status,
+               CASE WHEN fail THEN 'low_ocr_confidence' ELSE '' END AS failure_reason,
+               CASE WHEN fail THEN 0 ELSE wc END AS word_count
+        FROM (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(t, '\S+')) AS BIGINT) AS wc,
+                 (strlen(t) = 0 OR len(regexp_extract_all(t, '\S+')) = 0
+                  OR len(regexp_extract_all(t, '[\pL\pN]')) * 10 < strlen(t) * 3) AS fail
+          FROM (SELECT doc_id, trim(text) AS t FROM documents)
+        )
+    """
+
+    sql["doc_metadata"] = r"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS char_count,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS word_count,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+               CAST(length(text) - length(replace(text, chr(10), '')) + 1 AS BIGINT) AS line_count
+        FROM documents
+    """
+
+    sql["lang_id"] = f"""
+        SELECT doc_id,
+               CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es
+                         AND hits_en > 0 THEN 'en'
+                    WHEN hits_de >= hits_fr AND hits_de >= hits_es AND hits_de > 0 THEN 'de'
+                    WHEN hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+                    WHEN hits_es > 0 THEN 'es'
+                    ELSE 'unknown' END AS pred_lang,
+               hits_en, hits_de, hits_fr, hits_es
+        FROM (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(lower(text), '{_STOP_EN}')) AS BIGINT) AS hits_en,
+                 CAST(len(regexp_extract_all(lower(text), '{_STOP_DE}')) AS BIGINT) AS hits_de,
+                 CAST(len(regexp_extract_all(lower(text), '{_STOP_FR}')) AS BIGINT) AS hits_fr,
+                 CAST(len(regexp_extract_all(lower(text), '{_STOP_ES}')) AS BIGINT) AS hits_es
+          FROM documents
+        )
+    """
+
+    sql["quality_score"] = f"""
+        SELECT doc_id, ws_tokens, chars, punct, digits, upper_count, hits_en,
+               CAST((ws_tokens >= 20)::BIGINT + (10 * hits_en >= ws_tokens)::BIGINT
+                  + (5 * punct <= chars)::BIGINT + (10 * digits <= chars)::BIGINT
+                  AS BIGINT) AS quality_score
+        FROM (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
+                 CAST(length(text) AS BIGINT) AS chars,
+                 CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS punct,
+                 CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digits,
+                 CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS upper_count,
+                 CAST(len(regexp_extract_all(lower(text), '{_STOP_EN}')) AS BIGINT) AS hits_en
+          FROM documents
+        )
+    """
+
+    sql["fingerprints"] = f"""
+        WITH {_WORDS_CTE}, {_SHINGLES_CTE},
+        agg AS (
+          SELECT doc_id,
+                 min(CAST('0x' || substr(md5(s), 1, 15) AS UBIGINT)) AS mn,
+                 count(*) AS n
+          FROM sh GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               md5(array_to_string(w.ws, ' ')) AS fingerprint,
+               CAST(coalesce(agg.mn, 0) AS BIGINT) AS min_shingle_hash,
+               CAST(coalesce(agg.n, 0) AS BIGINT) AS n_shingles
+        FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
+    """
+
+    sql["dedup_exact"] = """
+        WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+        g AS (SELECT content_hash, min(doc_id) AS winner FROM h GROUP BY 1)
+        SELECT h.doc_id, h.content_hash,
+               CASE WHEN h.doc_id = g.winner THEN 'kept'
+                    ELSE 'skipped_duplicate' END AS dedup_status,
+               g.winner AS winner_doc_id
+        FROM h JOIN g USING (content_hash)
+    """
+
+    sql["dedup_minhash_lsh"] = f"""
+        WITH {_WORDS_CTE}, {_SHINGLES_CTE},
+        sig AS (
+          SELECT doc_id, b,
+                 min(CAST('0x' || substr(md5(b::VARCHAR || ':' || s), 1, 15) AS UBIGINT)) AS mh
+          FROM sh, UNNEST(range(0, 16)) AS t(b)
+          GROUP BY doc_id, b
+        ),
+        sigf AS (
+          SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY b, mh) AS bs FROM sig)
+          WHERE bs <= 128
+        )
+        SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared_bands
+        FROM sigf a JOIN sigf c
+          ON a.b = c.b AND a.mh = c.mh AND a.doc_id < c.doc_id
+        GROUP BY 1, 2
+    """
+
+    sql["dedup_simhash"] = f"""
+        WITH {_SIMHASH_CTE}
+        SELECT doc_id, simhash FROM fps
+    """
+
+    sql["dedup_simhash_pairs"] = f"""
+        WITH {_SIMHASH_CTE}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(CAST('0x' || a.simhash AS UBIGINT),
+                                  CAST('0x' || b.simhash AS UBIGINT))) AS BIGINT) AS hamming
+        FROM fps a, fps b
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(CAST('0x' || a.simhash AS UBIGINT),
+                            CAST('0x' || b.simhash AS UBIGINT))) <= 3
+    """
+
+    sql["dedup_ngram_jaccard"] = f"""
+        WITH {_WORDS_CTE}, {_SHINGLES_CTE},
+        szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        shf AS (
+          SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY s) AS sc FROM sh)
+          WHERE sc <= 32
+        ),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS intersection
+          FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, intersection, sa.n AS size_a, sb.n AS size_b
+        FROM inter
+        JOIN szs sa ON doc_a = sa.doc_id
+        JOIN szs sb ON doc_b = sb.doc_id
+        WHERE intersection * 10 >= (sa.n + sb.n - intersection) * 1
+    """
+
+    sql["dedup_embedding"] = """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """
+
+    sql["ann_topk"] = """
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(e.embedding AS DOUBLE[])) DESC,
+                            e.vec_id ASC
+                 ) AS BIGINT) AS rank
+          FROM embeddings q, embeddings e
+          WHERE q.vec_id < 16 AND e.vec_id <> q.vec_id
+        ) WHERE rank <= 5
+    """
+
+    sql["ann_lsh_buckets"] = """
+        SELECT e.vec_id,
+               string_agg(CASE WHEN list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                           CAST(a.embedding AS DOUBLE[])) > 0
+                          THEN '1' ELSE '0' END, '' ORDER BY a.vec_id) AS bucket
+        FROM embeddings e, embeddings a
+        WHERE a.vec_id >= 16 AND a.vec_id < 24
+        GROUP BY e.vec_id
+    """
+
+    sql["ann_topk_lsh"] = """
+        WITH b AS (
+          SELECT e.vec_id,
+                 string_agg(CASE WHEN list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                             CAST(a.embedding AS DOUBLE[])) > 0
+                            THEN '1' ELSE '0' END, '' ORDER BY a.vec_id) AS bucket
+          FROM embeddings e, embeddings a
+          WHERE a.vec_id >= 16 AND a.vec_id < 24
+          GROUP BY e.vec_id
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(e.embedding AS DOUBLE[])) DESC,
+                            e.vec_id ASC
+                 ) AS BIGINT) AS rank
+          FROM embeddings q, embeddings e, b qb, b eb
+          WHERE q.vec_id < 16 AND e.vec_id <> q.vec_id
+            AND qb.vec_id = q.vec_id AND eb.vec_id = e.vec_id
+            AND qb.bucket = eb.bucket
+        ) WHERE rank <= 5
+    """
+
+    sql["status_counts"] = """
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM orders GROUP BY 1
+    """
+
+    sql["source_facets"] = """
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1, 2
+    """
+
+    sql["hourly_event_metrics"] = """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events GROUP BY 1, 2
+    """
+
+    sql["orders_per_nation"] = """
+        SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1
+    """
+
+    sql["pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS count_order,
+               CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents
+        FROM lineitem GROUP BY 1, 2
+    """
+
+    sql["top_docs"] = """
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+    """
+
+    sql["priority_buckets"] = """
+        SELECT doc_id, n_chars,
+               CAST(CASE WHEN n_chars <= 1024 THEN 10
+                         WHEN n_chars <= 5120 THEN 8
+                         WHEN n_chars <= 10240 THEN 6
+                         WHEN n_chars <= 51200 THEN 4
+                         ELSE 2 END AS BIGINT) AS priority
+        FROM documents
+    """
+
+    sql["filter_allowed"] = """
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM documents
+        WHERE n_chars BETWEEN 100 AND 2000 AND source NOT IN ('src13', 'src7')
+        GROUP BY 1
+    """
+
+    sql["multimodal_meta"] = """
+        SELECT doc_id, width, height,
+               CASE WHEN greatest(width, height) > 512
+                    THEN (width * 512) // greatest(width, height) ELSE width END AS resized_w,
+               CASE WHEN greatest(width, height) > 512
+                    THEN (height * 512) // greatest(width, height) ELSE height END AS resized_h,
+               n_frames,
+               (n_frames + 6) // 7 AS n_sampled_frames,
+               feat_checksum
+        FROM (
+          SELECT doc_id,
+                 CAST(256 + CAST('0x' || substr(md5(text), 1, 8) AS UBIGINT) % 1792 AS BIGINT) AS width,
+                 CAST(256 + CAST('0x' || substr(md5(text), 9, 8) AS UBIGINT) % 1792 AS BIGINT) AS height,
+                 CAST(1 + CAST('0x' || substr(md5(text), 17, 8) AS UBIGINT) % 240 AS BIGINT) AS n_frames,
+                 CAST(CAST('0x' || substr(md5(text), 25, 8) AS UBIGINT) AS BIGINT) AS feat_checksum
+          FROM documents
+        )
+    """
+
+    # extraction_e2e / extraction_summary: hermetic media engines → not
+    # SQL-expressible; the driver records a rows-only check.
+    return sql

@@ -1,0 +1,277 @@
+"""Relational analytics operators over the fixture star schema.
+
+Re-expressions of the reference's SQL-side operators (SURVEY.md §2.6
+aggregations A1-A6, §2.7 sorts/top-k O1-O3, §2.5 joins J1/J4, M20
+priority buckets, M4-M6 filters) as Ray Data plans with the shapes that
+survive 100 TB:
+
+- every aggregate is PARTIAL first (pyarrow group_by inside
+  map_batches) then a small groupby over pre-reduced rows;
+- small dimension tables (customer→nation, nation names) are broadcast
+  via ``ray.put`` and joined as lookups inside map_batches — never an
+  all-to-all shuffle join;
+- money columns become integer cents per-row (floor(x*100+0.5)) BEFORE
+  any sum, so results are order-independent and bit-equal to the
+  DuckDB oracle regardless of reduction order.
+
+Reference analogs cited per function (file:line into /root/reference).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """float dollars → int64 cents, floor(x*100+0.5): deterministic and
+    identical to CAST(floor(x*100+0.5) AS BIGINT) in the oracle."""
+    x = col.to_numpy(zero_copy_only=False)
+    return pa.array(np.floor(x * 100.0 + 0.5).astype(np.int64), pa.int64())
+
+
+def status_counts(sf_dir: str) -> "ray.data.Dataset":
+    """A2 analog (/root/reference/src/db/documents/operations.rs:251-275):
+    counts + total cents by order status."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderstatus": batch.column("o_orderstatus"),
+                "cents": _cents(batch.column("o_totalprice")),
+            }
+        )
+        g = t.group_by("o_orderstatus").aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return pa.table(
+            {
+                "o_orderstatus": g.column("o_orderstatus"),
+                "cents": g.column("cents_sum"),
+                "n": g.column("cents_count").cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(Sum("n", alias_name="n_orders"),
+                   Sum("cents", alias_name="total_cents"))
+    )
+
+
+def source_facets(sf_dir: str) -> "ray.data.Dataset":
+    """A3 analog (management.rs:150-183): doc counts per (lang, source)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+    return ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n_docs"))
+
+
+def hourly_event_metrics(sf_dir: str) -> "ray.data.Dataset":
+    """A5 analog (migrations/20250620100001_add_ocr_queue.sql:33-46):
+    hourly per-type counts + integer-cents value sums over `events`."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        t = pa.table(
+            {
+                "hour": hour,
+                "event_type": batch.column("event_type"),
+                "value_cents": _cents(batch.column("value")),
+            }
+        )
+        g = t.group_by(["hour", "event_type"]).aggregate(
+            [("value_cents", "sum"), ("value_cents", "count")]
+        )
+        return pa.table(
+            {
+                "hour": g.column("hour"),
+                "event_type": g.column("event_type"),
+                "cents": g.column("value_cents_sum"),
+                "n": g.column("value_cents_count").cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Sum("n", alias_name="n_events"),
+                   Sum("cents", alias_name="value_cents"))
+    )
+
+
+def orders_per_nation(sf_dir: str) -> "ray.data.Dataset":
+    """A4/J1 analog (management.rs:184-233): order counts per nation via
+    BROADCAST customer→nation lookup (1 ray.put, read per task — the
+    small-side join that replaces a shuffle at scale)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    cust_map = dict(
+        zip(
+            cust.column("c_custkey").to_pylist(),
+            cust.column("c_nationkey").to_pylist(),
+        )
+    )
+    nation_map = dict(
+        zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist(),
+        )
+    )
+    ref = ray.put((cust_map, nation_map))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cmap, nmap = ray.get(ref)
+        keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        names = [nmap[cmap[k]] for k in keys]
+        t = pa.table({"n_name": pa.array(names, pa.string())})
+        g = t.group_by("n_name").aggregate([("n_name", "count")])
+        return pa.table(
+            {
+                "n_name": g.column("n_name"),
+                "n": g.column("n_name_count").cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("n", alias_name="n_orders"))
+    )
+
+
+def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H-Q1-shaped headline aggregate over lineitem: per
+    (returnflag, linestatus) counts, integer quantity sums and integer
+    cent sums of base / discounted price. The widest partial-aggregate
+    showcase: 600k rows at sf0.1 reduce to 4 groups before the shuffle."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        base_cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        disc_cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": pa.array(np.floor(qty + 0.5).astype(np.int64), pa.int64()),
+                "base_cents": pa.array(base_cents, pa.int64()),
+                "disc_cents": pa.array(disc_cents, pa.int64()),
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_cents", "sum"), ("disc_cents", "sum"),
+             ("qty", "count")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "l_linestatus": g.column("l_linestatus"),
+                "qty": g.column("qty_sum"),
+                "base_cents": g.column("base_cents_sum"),
+                "disc_cents": g.column("disc_cents_sum"),
+                "n": g.column("qty_count").cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("n", alias_name="count_order"),
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+        )
+    )
+
+
+def top_docs(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """O2/O3 analog (search.rs:147-151): top-k docs by size.
+    sort().limit() — Ray keeps only block boundaries + k rows."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(k)
+
+
+def priority_buckets(sf_dir: str) -> "ray.data.Dataset":
+    """M20 priority calculator (batch_ingest.rs:281-294) re-keyed on
+    n_chars: ≤1 KB → 10, ≤5 KB → 8, ≤10 KB → 6, ≤50 KB → 4, else 2."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        prio = np.select(
+            [n <= 1024, n <= 5 * 1024, n <= 10 * 1024, n <= 50 * 1024],
+            [10, 8, 6, 4],
+            default=2,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": batch.column("n_chars"),
+                "priority": pa.array(prio, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def filter_allowed(sf_dir: str) -> "ray.data.Dataset":
+    """M4-M6 filter chain re-keyed on fixture columns: keep docs with
+    100 ≤ n_chars ≤ 2000 whose source is not in the deny list, count
+    the survivors per source (the allowed-type + size-gate analog,
+    file_service.rs:204-214 / watcher.rs:374-385)."""
+    deny = ("src13", "src7")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch.column("n_chars"), 100),
+                pc.less_equal(batch.column("n_chars"), 2000),
+            ),
+            pc.invert(pc.is_in(batch.column("source"), value_set=pa.array(deny))),
+        )
+        return batch.filter(keep)
+
+    return (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"), Min("n_chars", alias_name="min_chars"),
+                   Max("n_chars", alias_name="max_chars"))
+    )

@@ -1,0 +1,119 @@
+"""End-to-end extraction over a corpus derived from the fixture tables.
+
+``documents_to_corpus`` deterministically re-expresses the driver's
+`documents` table (doc_id:int64, text, …) as the engine's interleaved
+span table (doc_id:string, spans:list<struct<kind,text,media_ref,
+offset>>, mime_type, file_size, page_count): every doc keeps its text
+as span 0; a deterministic subset gains synthetic image / PDF media
+spans (resolvable from the media_ref alone via readur_ray.synth), so
+the media + skew branches of the extraction DAG are exercised on
+driver data with zero external inputs.
+
+``extraction_e2e`` is the flagship pipeline: corpus → classify →
+text / media / skew branches → union (readur_ray.pipelines.extract).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+import pyarrow as pa
+
+import ray.data
+
+from ..config import DEFAULT_CONFIG, ExtractionConfig
+from ..schema import DOCUMENTS
+from ..synth import declared_size_for_ref, make_ref
+from .extract import build_extracted
+
+
+def _corpus_rows(batch: pa.Table) -> pa.Table:
+    rows = {name: [] for name in DOCUMENTS.names}
+    for doc_id, text in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        sid = f"doc-{doc_id:012d}"
+        text = text or ""
+        spans = [{"kind": "text", "text": text, "media_ref": "", "offset": 0}]
+        pages = 0
+        if doc_id % 5 == 0:
+            spans.append(
+                {"kind": "media", "text": "",
+                 "media_ref": make_ref("img", sid, 1, cls="img_ok"), "offset": 1}
+            )
+        if doc_id % 11 == 0:
+            pages += 2
+            spans.append(
+                {"kind": "media", "text": "",
+                 "media_ref": make_ref("pdf", sid, 2, cls="pdf_text_layer", pages=2),
+                 "offset": 2}
+            )
+        if doc_id % 97 == 0:
+            pages += 3
+            spans.append(
+                {"kind": "media", "text": "",
+                 "media_ref": make_ref("pdf", sid, 3, cls="pdf_scanned", pages=3),
+                 "offset": 3}
+            )
+        size = len(text.encode("utf-8")) + sum(
+            declared_size_for_ref(s["media_ref"]) for s in spans if s["kind"] == "media"
+        )
+        rows["doc_id"].append(sid)
+        rows["spans"].append(spans)
+        rows["mime_type"].append(
+            "text/plain" if len(spans) == 1 else "multipart/mixed"
+        )
+        rows["file_size"].append(size)
+        rows["page_count"].append(pages)
+    return pa.table(rows, schema=DOCUMENTS)
+
+
+def documents_to_corpus(sf_dir: str, out_dir: str | None = None) -> str:
+    """Materialize the derived interleaved corpus as parquet; returns
+    the directory (stable per sf_dir, rebuilt on every call)."""
+    if out_dir is None:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out_dir = f"/tmp/readur_corpus_{tag}"
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds.map_batches(_corpus_rows, batch_format="pyarrow").write_parquet(tmp)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.rename(tmp, out_dir)
+    return out_dir
+
+
+def extraction_e2e(
+    sf_dir: str, cfg: ExtractionConfig = DEFAULT_CONFIG
+) -> "ray.data.Dataset":
+    """Flagship: derived corpus → full extraction DAG. Returns the
+    extracted dataset (doc_id, spans, status, …)."""
+    corpus = documents_to_corpus(sf_dir)
+    return build_extracted(corpus, cfg)
+
+
+def extraction_summary(
+    sf_dir: str, cfg: ExtractionConfig = DEFAULT_CONFIG
+) -> "ray.data.Dataset":
+    """Per-status/failure_reason doc + word counts of the flagship run
+    (integer-only output; deterministic given the derived corpus)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = extraction_e2e(sf_dir, cfg)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "status": batch.column("status"),
+                "failure_reason": batch.column("failure_reason"),
+                "words": batch.column("word_count").cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(["status", "failure_reason"])
+        .aggregate(Count(alias_name="n_docs"), Sum("words", alias_name="total_words"))
+    )

@@ -1,0 +1,136 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as `binary` columns with sidecar
+metadata; decode / resize / frame-sample run as actor-pool
+``map_batches`` stages (stateful: codec/toolchain built once per actor
+in ``__init__``, mirroring the warm-Tesseract pattern ST1,
+/root/reference/src/ocr/enhanced.rs:275-318).
+
+The image/audio libraries are NOT in this container, so the decode step
+is STUBBED: ``PayloadCodec`` tries to import PIL/cv2 in ``__init__``
+and, absent them, derives deterministic metadata (dims, frame count,
+feature checksum) from the payload's md5 — the Ray-side plumbing
+(schema, batch sizing, actor signature, output layout) is real and
+tested, and the fake is SQL-mirrorable so even the stub has a DuckDB
+oracle. Swapping in a real decoder changes only ``_decode_real``.
+
+Scale notes: binary payloads are large → ``batch_size`` is small
+(default 64) and payloads never enter a shuffle; the output is
+metadata-only (a few ints per row).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+RESIZE_TARGET = 512       # smart-resize target (P2 analog, enhanced.rs:354-386)
+FRAME_STRIDE = 7          # sample every k-th frame
+
+
+def _md5_bucket(payload: bytes, lo: int, span: int, salt: str = "") -> int:
+    h = hashlib.md5(salt.encode() + payload).hexdigest()
+    return lo + int(h[:8], 16) % span
+
+
+class PayloadCodec:
+    """Actor: decode→resize→frame-sample over a binary column.
+
+    Real path requires PIL/cv2 (absent here); the deterministic fake
+    keeps every downstream contract intact."""
+
+    def __init__(self, resize_target: int = RESIZE_TARGET, frame_stride: int = FRAME_STRIDE):
+        self.resize_target = resize_target
+        self.frame_stride = frame_stride
+        try:
+            import PIL.Image  # noqa: F401
+
+            self.real = True
+        except ImportError:
+            self.real = False
+
+    def _decode_real(self, payload: bytes) -> tuple[int, int, int]:
+        raise NotImplementedError(
+            "real image decode needs PIL/cv2 — not available in this container"
+        )
+
+    def _decode_fake(self, payload: bytes) -> tuple[int, int, int]:
+        """Deterministic (width, height, n_frames) from the payload md5:
+        width = 256 + md5[0:8] % 1792, height = 256 + md5[8:16] % 1792,
+        n_frames = 1 + md5[16:24] % 240."""
+        h = hashlib.md5(payload).hexdigest()
+        width = 256 + int(h[0:8], 16) % 1792
+        height = 256 + int(h[8:16], 16) % 1792
+        n_frames = 1 + int(h[16:24], 16) % 240
+        return width, height, n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        w_out, h_out, rw_out, rh_out, nf_out, ns_out, ck_out = [], [], [], [], [], [], []
+        for p in payloads:
+            p = p or b""
+            if self.real:
+                w, h, nf = self._decode_real(p)
+            else:
+                w, h, nf = self._decode_fake(p)
+            # smart resize (P2): scale the longer edge down to target,
+            # integer floor arithmetic (SQL-mirrorable)
+            longer = max(w, h)
+            if longer > self.resize_target:
+                rw = (w * self.resize_target) // longer
+                rh = (h * self.resize_target) // longer
+            else:
+                rw, rh = w, h
+            n_sampled = (nf + self.frame_stride - 1) // self.frame_stride
+            checksum = int(hashlib.md5(p).hexdigest()[24:32], 16)
+            w_out.append(w)
+            h_out.append(h)
+            rw_out.append(rw)
+            rh_out.append(rh)
+            nf_out.append(nf)
+            ns_out.append(n_sampled)
+            ck_out.append(checksum)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "width": pa.array(w_out, pa.int64()),
+                "height": pa.array(h_out, pa.int64()),
+                "resized_w": pa.array(rw_out, pa.int64()),
+                "resized_h": pa.array(rh_out, pa.int64()),
+                "n_frames": pa.array(nf_out, pa.int64()),
+                "n_sampled_frames": pa.array(ns_out, pa.int64()),
+                "feat_checksum": pa.array(ck_out, pa.int64()),
+            }
+        )
+
+
+def multimodal_meta(sf_dir: str) -> "ray.data.Dataset":
+    """Treat documents.text bytes as the opaque payload column and run
+    the decode→resize→frame-sample actor pool over it. Deterministic →
+    oracle-checkable; with a real decoder this is the image pipeline."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": pa.array(
+                    [(t or "").encode("utf-8") for t in texts], pa.binary()
+                ),
+            }
+        )
+
+    return ds.map_batches(to_payload, batch_format="pyarrow").map_batches(
+        PayloadCodec,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )

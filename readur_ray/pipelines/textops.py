@@ -1,0 +1,165 @@
+"""Text-analysis query pipelines over the `documents` table.
+
+Each function takes ``sf_dir`` (a directory of parquet tables) and
+returns a lazy ``ray.data.Dataset``. All are single-pass vectorized
+``map_batches`` stages over a column-pruned read — no shuffle, no
+driver-side loops — so they stream at any scale.
+
+The matching DuckDB oracle SQL lives in ``__ray_entry__.oracle_sql``;
+every kernel here uses RE2 regexes / md5 / sha256 / integer arithmetic
+only, so the SQL reproduces each value bit-for-bit.
+
+Reference analogs: M9 text metadata
+(/root/reference/src/metadata_extraction.rs:139-178), M10 plain-text
+extraction (/root/reference/src/ocr/enhanced.rs:1441-1480), M17 word
+count (enhanced.rs:1487-1558), M18 quality gate (enhanced.rs:1562-1597).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..functions.textstats import (
+    fingerprint_batch,
+    predict_lang,
+    quality_scores,
+    stopword_hits,
+    token_stats,
+)
+
+ALNUM_PATTERN = r"[\pL\pN]"  # RE2 unicode classes — identical in DuckDB
+
+
+def read_documents(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def plaintext_extract(sf_dir: str) -> "ray.data.Dataset":
+    """M10 + M17 over documents.text: trimmed text, word/char/byte
+    counts, sha256 content hash (the file_hash analog)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        extracted = pc.utf8_trim_whitespace(text)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "extracted": extracted,
+                "word_count": pc.count_substring_regex(
+                    extracted, pattern=r"\S+"
+                ).cast(pa.int64()),
+                "char_count": pc.utf8_length(extracted).cast(pa.int64()),
+                "byte_len": pc.binary_length(extracted).cast(pa.int64()),
+                "text_sha256": pa.array(
+                    [hashlib.sha256(s.encode()).hexdigest()
+                     for s in extracted.to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def extract_status(sf_dir: str) -> "ray.data.Dataset":
+    """The text-branch quality gate (M18) as integer arithmetic:
+    fail iff empty, zero words, or alnum_chars*10 < bytes*3 (<30%)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.utf8_trim_whitespace(
+            pc.fill_null(batch.column("text").combine_chunks(), "")
+        )
+        wc = pc.count_substring_regex(text, pattern=r"\S+").cast(pa.int64())
+        byte_len = pc.binary_length(text).cast(pa.int64())
+        alnum = pc.count_substring_regex(text, pattern=ALNUM_PATTERN).cast(pa.int64())
+        failed = pc.or_(
+            pc.or_(pc.equal(byte_len, 0), pc.equal(wc, 0)),
+            pc.less(pc.multiply(alnum, 10), pc.multiply(byte_len, 3)),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "status": pc.if_else(failed, "failed", "completed"),
+                "failure_reason": pc.if_else(failed, "low_ocr_confidence", ""),
+                "word_count": pc.if_else(failed, pa.scalar(0, pa.int64()), wc),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def doc_metadata(sf_dir: str) -> "ray.data.Dataset":
+    """M9 text metadata: char/word/line counts + token stats."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        ts = token_stats(text)
+        newlines = pc.count_substring(text, pattern="\n").cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "char_count": ts["chars"],
+                "word_count": ts["ws_tokens"],
+                "bpe_tokens": ts["bpe_tokens"],
+                "line_count": pc.add(newlines, 1).cast(pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def lang_id(sf_dir: str) -> "ray.data.Dataset":
+    """Language-ID by per-language stopword hit counts (argmax with
+    fixed priority; zero hits → 'unknown')."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text").combine_chunks()
+        hits = stopword_hits(text)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pred_lang": predict_lang(hits),
+                **hits,
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def quality_score(sf_dir: str) -> "ray.data.Dataset":
+    """Quality scoring: integer length/punct/digit/stopword components
+    plus the 0-4 composite score."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = quality_scores(batch.column("text").combine_chunks())
+        return pa.table({"doc_id": batch.column("doc_id"), **cols})
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def fingerprints(sf_dir: str) -> "ray.data.Dataset":
+    """Document fingerprinting: md5 over the normalized word sequence +
+    min-shingle-hash (winnowing floor) + shingle count."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = fingerprint_batch(batch.column("text").combine_chunks())
+        return pa.table({"doc_id": batch.column("doc_id"), **cols})
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
