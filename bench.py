@@ -1,0 +1,139 @@
+"""Benchmark harness. Prints ONE JSON line.
+
+    python bench.py                 # all headline pipelines over $GRAFT_SF_DIR
+    python bench.py --scaling       # headline extraction at 8 vs 32 CPUs
+                                    # (fresh ray sessions), + efficiency
+    python bench.py --headline-only # internal: one headline run, used by --scaling
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32), BENCH_CORPUS_DOCS (default 20000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_DOCS = int(os.environ.get("BENCH_CORPUS_DOCS", "20000"))
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=num_cpus, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _consume(ds) -> int:
+    """Fully execute a Dataset (or accept an already-concrete table)."""
+    if hasattr(ds, "iter_batches"):
+        return sum(b.num_rows for b in ds.iter_batches(batch_format="pyarrow"))
+    return len(ds)
+
+
+def _corpus_dir(n_docs: int) -> str:
+    """Synthetic interleaved corpus, cached across runs (deterministic)."""
+    from readur_ray import synth
+
+    path = f"/tmp/bench_corpus_{n_docs}"
+    marker = os.path.join(path, ".complete")
+    if not os.path.exists(marker):
+        synth.write_corpus(path, n_docs, seed=42, rows_per_file=2000)
+        open(marker, "w").close()
+    return path
+
+
+def run_headline(num_cpus: int) -> dict:
+    """End-to-end extraction (read → classify → 3 branches → write) on
+    the synthetic interleaved corpus: the BASELINE.json metric."""
+    _init_ray(num_cpus)
+    from readur_ray.config import ExtractionConfig
+    from readur_ray.pipelines.extract import build_extracted
+
+    corpus = _corpus_dir(CORPUS_DOCS)
+    out = f"/tmp/bench_out_{num_cpus}"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_extracted(corpus, ExtractionConfig()).write_parquet(out)
+    dt = time.perf_counter() - t0
+    return {"docs": CORPUS_DOCS, "sec": round(dt, 3),
+            "docs_per_sec": round(CORPUS_DOCS / dt, 1), "num_cpus": num_cpus}
+
+
+def run_queries() -> dict[str, float]:
+    """Time the headline operator pipelines over the sf dir."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    picks = [
+        "extraction_e2e", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_simhash_pairs", "dedup_embedding", "ann_topk", "ann_topk_lsh",
+        "pricing_summary", "hourly_event_metrics", "orders_per_nation",
+        "multimodal_meta", "quality_score", "fingerprints", "dedup_exact",
+    ]
+    out: dict[str, float] = {}
+    for name in picks:
+        t0 = time.perf_counter()
+        _consume(qs[name](SF_DIR))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    if "--headline-only" in sys.argv:
+        print(json.dumps(run_headline(NUM_CPUS)))
+        return
+
+    if "--scaling" in sys.argv:
+        # fresh process per parallelism level, same input
+        lo_cpus, hi_cpus = 8, 32
+        results = {}
+        for cpus in (lo_cpus, hi_cpus):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline-only"],
+                capture_output=True, text=True, env=env, timeout=1800,
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            results[cpus] = json.loads(line)
+        tp_lo = results[lo_cpus]["docs_per_sec"]
+        tp_hi = results[hi_cpus]["docs_per_sec"]
+        eff = tp_hi / (tp_lo * (hi_cpus / lo_cpus))
+        print(json.dumps({
+            "metric": "scaling_efficiency_8_to_32_cpus",
+            "value": round(eff, 3), "unit": "ratio",
+            "throughput_docs_per_sec": {str(lo_cpus): tp_lo, str(hi_cpus): tp_hi},
+            "docs": CORPUS_DOCS, "sf": SF_DIR,
+        }))
+        return
+
+    _init_ray(NUM_CPUS)
+    headline = run_headline(NUM_CPUS)
+    queries = run_queries()
+    total = round(headline["sec"] + sum(queries.values()), 3)
+    queries["extract_synth_corpus"] = headline["sec"]
+    print(json.dumps({
+        "metric": "end_to_end_pipeline_seconds",
+        "value": total, "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR, "num_cpus": NUM_CPUS,
+        "extraction_docs_per_sec": headline["docs_per_sec"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -87,7 +87,9 @@ def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    proj = docs.map_batches(hashed, batch_format="pyarrow")
+    # materialized: the 2-column (hash, id) projection is read twice
+    # (winner aggregation + mark pass) — ~48 B/doc, never the text
+    proj = docs.map_batches(hashed, batch_format="pyarrow").materialize()
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by("content_hash").aggregate([("doc_id", "min")])
@@ -128,19 +130,29 @@ def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+@__import__("functools").lru_cache(maxsize=262144)
+def _band_hashes(s: str) -> np.ndarray:
+    """The NUM_MINHASH per-band hashes of one shingle (cached per
+    worker process — shingle vocabularies repeat heavily across docs)."""
+    return np.array(
+        [md5_int60(f"{b}:{s}") for b in range(NUM_MINHASH)], dtype=np.int64
+    )
+
+
 def _signature_rows(batch: pa.Table) -> pa.Table:
     """(doc_id, band, minhash) rows — NUM_MINHASH per doc with ≥1 shingle."""
     out_id, out_band, out_mh = [], [], []
+    bands = list(range(NUM_MINHASH))
     for doc_id, text in zip(
         batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
     ):
         sh = shingles_of(text or "", 3)
         if not sh:
             continue
-        for b in range(NUM_MINHASH):
-            out_id.append(doc_id)
-            out_band.append(b)
-            out_mh.append(min(md5_int60(f"{b}:{s}") for s in sh))
+        sig = np.min(np.stack([_band_hashes(s) for s in sh]), axis=0)
+        out_id.extend([doc_id] * NUM_MINHASH)
+        out_band.extend(bands)
+        out_mh.extend(sig.tolist())
     return pa.table(
         {
             "doc_id": pa.array(out_id, pa.int64()),
@@ -150,23 +162,44 @@ def _signature_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def _pairs_in_groups(key_cols: list[str]):
-    """map_groups fn: emit all (doc_a < doc_b) pairs within a bucket,
-    dropping buckets larger than MAX_BUCKET."""
+N_COARSE_PARTS = 64  # buckets are coarse-hashed into this many shuffle keys
 
-    def fn(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column("doc_id").to_pylist())
-        if len(ids) < 2 or len(ids) > MAX_BUCKET:
-            return pa.table(
-                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
-            )
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
+
+def _bucket_pairs_fn(key_cols: list[str], max_bucket: int):
+    """Vectorized pair emission over a COARSE partition that contains
+    many buckets: one pandas groupby per partition (not one Python call
+    per bucket — that is what makes this scale: a naive
+    groupby(bucket).map_groups costs a Python invocation per bucket,
+    ~100k of them per million docs)."""
+
+    def fn(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+        if part.num_rows == 0:
+            return empty
+        df = part.select([*key_cols, "doc_id"]).to_pandas()
+        df = df.sort_values([*key_cols, "doc_id"], ignore_index=True)
+        sizes = df.groupby(key_cols, sort=False)["doc_id"].transform("size").to_numpy()
+        keep = (sizes >= 2) & (sizes <= max_bucket)
+        if not keep.any():
+            return empty
+        ids_all = df["doc_id"].to_numpy()[keep]
+        sz = sizes[keep]
+        # groups are contiguous (sorted) and id-sorted within; emit pairs
+        # per SIZE CLASS with one reshape + triu each (≤ max_bucket numpy
+        # ops total — no Python loop over the ~#buckets groups)
+        a_out, b_out = [], []
+        for s in np.unique(sz):
+            mat = ids_all[sz == s].reshape(-1, s)
+            ii, jj = np.triu_indices(int(s), 1)
+            a_out.append(mat[:, ii].ravel())
+            b_out.append(mat[:, jj].ravel())
         return pa.table(
-            {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
+            {
+                "doc_a": pa.array(np.concatenate(a_out), pa.int64()),
+                "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
+            }
         )
 
     return fn
@@ -175,12 +208,23 @@ def _pairs_in_groups(key_cols: list[str]):
 def minhash_lsh_pairs(sf_dir: str) -> "ray.data.Dataset":
     """Candidate near-dup pairs: docs sharing ≥1 of 16 minhash bands.
 
-    shingle→minhash (map_batches) → groupby(band, minhash) bucket →
-    per-bucket pairs → groupby(pair) count = shared-band count."""
+    shingle→minhash (map_batches) → shuffle on a coarse hash of the
+    (band, minhash) bucket → vectorized per-partition pair emission →
+    groupby(pair) count = shared-band count. Only (doc_id, band,
+    minhash) rows are shuffled — never text."""
     sig = _read_docs(sf_dir).map_batches(_signature_rows, batch_format="pyarrow")
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        mh = batch.column("minhash").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array((mh % N_COARSE_PARTS).astype(np.int64), pa.int64())
+        )
+
     pairs = (
-        sig.groupby(["band", "minhash"])
-        .map_groups(_pairs_in_groups(["band", "minhash"]), batch_format="pyarrow")
+        sig.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_bucket_pairs_fn(["band", "minhash"], MAX_BUCKET),
+                    batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_shared_bands"))
     )
@@ -215,14 +259,37 @@ def _simhash64(text: str) -> int:
     return fp
 
 
+def _simhash_batch(texts: list[str]) -> list[str]:
+    """Vectorized simhash for a batch: ±1 bit rows for the batch's
+    UNIQUE tokens once, then per-doc segment sums (np.add.reduceat) —
+    identical output to _simhash64 per doc."""
+    toks_per_doc = [words_of(t or "") for t in texts]
+    vocab = {t: None for toks in toks_per_doc for t in toks}
+    if not vocab:
+        return ["0" * 16] * len(texts)
+    idx = {t: i for i, t in enumerate(vocab)}
+    bitmat = np.stack([_token_pm_bits(t) for t in vocab])  # (V, 64)
+    flat = np.fromiter(
+        (idx[t] for toks in toks_per_doc for t in toks), dtype=np.int64
+    )
+    counts = np.array([len(toks) for toks in toks_per_doc], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    sums = np.zeros((len(texts), 64), dtype=np.int64)
+    nz = counts > 0
+    if nz.any():
+        # starts[nz] is strictly increasing (zero-count docs excluded),
+        # which reduceat requires for correct segment sums
+        sums[nz] = np.add.reduceat(bitmat[flat], starts[nz], axis=0)
+    powers = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    fps = np.where(sums > 0, powers, np.uint64(0)).sum(axis=1, dtype=np.uint64)
+    return [format(int(f), "016x") for f in fps]
+
+
 def simhash_fingerprints(sf_dir: str) -> "ray.data.Dataset":
     """(doc_id, simhash as 16-char lowercase hex)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        fps = [
-            format(_simhash64(t or ""), "016x")
-            for t in batch.column("text").to_pylist()
-        ]
+        fps = _simhash_batch(batch.column("text").to_pylist())
         return pa.table(
             {"doc_id": batch.column("doc_id"), "simhash": pa.array(fps, pa.string())}
         )
@@ -238,7 +305,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING) -> pa.Tab
     uint64 xor). At 10^12 docs this becomes banded-bit LSH (split the
     64 bits into max_hamming+1 bands; exact-match groupby per band
     guarantees recall) — the band path reuses minhash_lsh machinery."""
-    fp_ds = simhash_fingerprints(sf_dir)
+    fp_ds = simhash_fingerprints(sf_dir).materialize()  # tiny: 8B+id per doc
     fps = fp_ds.to_pandas()
     all_ids = fps["doc_id"].to_numpy()
     all_fp = np.array([int(s, 16) for s in fps["simhash"]], dtype=np.uint64)
@@ -296,29 +363,33 @@ def ngram_jaccard_pairs(sf_dir: str) -> "ray.data.Dataset":
     docs = _read_docs(sf_dir)
     sh = docs.map_batches(_shingle_rows, batch_format="pyarrow")
 
-    sizes = {
-        r["doc_id"]: r["count()"] for r in sh.groupby("doc_id").count().take_all()
-    }
+    # set sizes per doc: one (doc_id, n) row per doc from a shuffle-free
+    # second pass over the pruned read (cheaper than a groupby sort)
+    def _size_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        ns = [len(shingles_of(t or "", 3)) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "n": pa.array(ns, pa.int64())}
+        )
+
+    sizes: dict[int, int] = {}
+    for b in docs.map_batches(_size_rows, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        sizes.update(zip(b.column("doc_id").to_pylist(), b.column("n").to_pylist()))
     sizes_ref = ray.put(sizes)
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column("doc_id").to_pylist())
-        if len(ids) < 2 or len(ids) > MAX_SHINGLE_DOCS:
-            return pa.table(
-                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
-            )
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table(
-            {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
+    def add_part(batch: pa.Table) -> pa.Table:
+        s = batch.column("shingle").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array((s % N_COARSE_PARTS).astype(np.int64), pa.int64())
         )
 
     inter = (
-        sh.groupby("shingle")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        sh.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_bucket_pairs_fn(["shingle"], MAX_SHINGLE_DOCS),
+                    batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="intersection"))
     )
