@@ -102,7 +102,7 @@ def _route_masks(batch: pa.Table, cfg: ExtractionConfig):
 def route_filter(route: str, cfg: ExtractionConfig):
     def f(batch: pa.Table) -> pa.Table:
         t, m, s = _route_masks(batch, cfg)
-        mask = {"text": t, "media": m, "skew": s}[route]
+        mask = {"text": t, "media": m, "skew": s, "main": pc.invert(s)}[route]
         return batch.filter(mask)
     return f
 
@@ -546,65 +546,132 @@ def make_reassemble_fn(cfg: ExtractionConfig):
 # assembly
 # ---------------------------------------------------------------------------
 
-def load_documents(path: str) -> "ray.data.Dataset":
+def load_documents(path: str, row_filter=None) -> "ray.data.Dataset":
+    """Column-pruned (and optionally row-filtered) read with block
+    count scaled to the cluster.
+
+    - ``row_filter`` is a pyarrow.dataset expression pushed into the
+      scan (row-group pruning + row-level filtering), so the skew
+      branch never materializes the spans of the 99.9% of docs it
+      discards.
+    - Ray sizes read parallelism by estimated bytes and will coalesce
+      a small-file corpus into a handful of blocks; the downstream
+      ACTOR POOL is fed whole blocks, so fewer blocks than actors
+      serializes the heavy extract stage (observed: SplitBlocks(2)
+      capped the pool at 2 concurrent actors). Target ≥4 blocks per
+      CPU; at petabyte scale native row-group splitting already yields
+      more blocks than CPUs and the override is a no-op upper bound."""
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
     return ray.data.read_parquet(
-        path, columns=["doc_id", "spans", "mime_type", "file_size", "page_count"]
+        path,
+        columns=["doc_id", "spans", "mime_type", "file_size", "page_count"],
+        filter=row_filter,
+        override_num_blocks=max(16, ncpu * 4),
     )
+
+
+class UnifiedExtractor(DocExtractor):
+    """One actor pool for BOTH routes: text rows take the fully
+    vectorized M10/M17/M18 path, media rows the per-span engine path.
+
+    Folding text into the media pool (instead of a third task-pool
+    branch) matters for utilization: with separate branches the corpus
+    is scanned 3×, and on a node where the pools reserve most CPUs the
+    task-pool text branch starves — measured near-serial branch
+    execution. One scan + one pool keeps every actor fed."""
+
+    def __init__(self, cfg: ExtractionConfig):
+        super().__init__(cfg)
+        self._text_fn = make_extract_text_fn(cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        is_text, is_media, _ = _route_masks(batch, self.cfg)
+        text_part = batch.filter(is_text)
+        media_part = batch.filter(is_media)
+        outs = []
+        if text_part.num_rows:
+            outs.append(self._text_fn(text_part))
+        if media_part.num_rows:
+            outs.append(DocExtractor.__call__(self, media_part))
+        if not outs:
+            return _empty_extracted()
+        return pa.concat_tables(outs).combine_chunks()
 
 
 def _pool_sizes(cfg: ExtractionConfig) -> tuple[int, int]:
     """Actor-pool sizes with headroom so the pools never reserve every
     CPU (a pool that takes the whole node starves the stateless read /
-    classify / write tasks and stalls the streaming executor)."""
+    classify / write tasks and DEADLOCKS the streaming executor behind
+    its own upstream). Fixed-size pools — autoscaling (1, N) pools ramp
+    too slowly to ever reach size on short jobs."""
     import ray as _ray
 
-    ncpu = cfg.extract_concurrency
+    ncpu = 8
     if _ray.is_initialized():
         ncpu = int(_ray.cluster_resources().get("CPU", ncpu))
-    main_pool = max(1, min(cfg.extract_concurrency, (ncpu * 3) // 4))
-    page_pool = max(1, ncpu // 4)
+    # budget: ~3/16 of CPUs to the page pool (the skew tail), ~1/8
+    # left FREE for stateless tasks (read/classify/sort/write), the
+    # rest to the main pool
+    page_pool = max(1, (ncpu * 3) // 16)
+    free = max(1, ncpu // 16)
+    main_pool = max(1, min(cfg.extract_concurrency, ncpu - page_pool - free))
     return main_pool, page_pool
 
 
 def build_extracted(
     path: str, cfg: ExtractionConfig = DEFAULT_CONFIG
 ) -> "ray.data.Dataset":
-    """The lazy extraction DAG (no dedup pass; see run_extraction)."""
+    """The lazy extraction DAG (no dedup pass; see run_extraction).
+
+    Two scans: the MAIN scan feeds the unified text+media actor pool;
+    the SKEW scan (page_count above the explode threshold — a fixed
+    small fraction) feeds explode → page pool → groupby(doc_id)
+    reassembly, the mandated skew shuffle."""
     main_pool, page_pool = _pool_sizes(cfg)
 
-    def branch():
-        ds = load_documents(path)
+    import pyarrow.dataset as _pads
+
+    def branch(route: str):
+        row_filter = (
+            _pads.field("page_count") > cfg.page_explode_threshold
+            if route == "skew"
+            else _pads.field("page_count") <= cfg.page_explode_threshold
+        )
+        ds = load_documents(path, row_filter=row_filter)
+        # batch_size=None → one batch per block: a larger batch_size
+        # here makes operator fusion BUNDLE read blocks into that many
+        # rows per downstream actor task, collapsing 160 blocks to ~18
+        # tasks and starving the actor pool (measured).
         return ds.map_batches(
             lambda b: classify_batch(b, cfg), batch_format="pyarrow",
-            batch_size=cfg.text_batch_size,
         )
 
-    text_ds = (
-        branch()
-        .map_batches(route_filter("text", cfg), batch_format="pyarrow")
+    main_ds = (
+        branch("main")
+        .map_batches(route_filter("main", cfg), batch_format="pyarrow")
         .map_batches(
-            make_extract_text_fn(cfg), batch_format="pyarrow",
-            batch_size=cfg.text_batch_size,
-        )
-    )
-    media_ds = (
-        branch()
-        .map_batches(route_filter("media", cfg), batch_format="pyarrow")
-        .map_batches(
-            DocExtractor, fn_constructor_args=(cfg,), batch_format="pyarrow",
-            batch_size=cfg.extract_batch_size, concurrency=(1, main_pool),
+            UnifiedExtractor, fn_constructor_args=(cfg,), batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size, concurrency=main_pool,
             num_cpus=1,
         )
     )
     skew_ds = (
-        branch()
+        branch("skew")
         .map_batches(route_filter("skew", cfg), batch_format="pyarrow")
         .map_batches(make_explode_fn(cfg), batch_format="pyarrow", batch_size=64)
+        # the pushdown-filtered read often yields ONE block; spread the
+        # (tiny) unit stream across the page pool or a single actor
+        # OCRs every giant serially — this repartition IS the skew
+        # load-balancing step and costs ~nothing (unit rows are small)
+        .repartition(page_pool * 4)
         .map_batches(
             PageExtractor, fn_constructor_args=(cfg,), batch_format="pyarrow",
-            batch_size=32, concurrency=(1, page_pool), num_cpus=1,
+            batch_size=32, concurrency=page_pool, num_cpus=1,
         )
         .groupby("doc_id")
         .map_groups(make_reassemble_fn(cfg), batch_format="pyarrow")
     )
-    return text_ds.union(media_ds).union(skew_ds)
+    return main_ds.union(skew_ds)

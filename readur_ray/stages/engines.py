@@ -39,6 +39,19 @@ from ..functions.quality import pdf_text_quality_sufficient
 from ..functions.wordcount import count_words_safely
 
 _PAGE_RE = re.compile(rb"<<PAGE (\d+)>>")
+
+
+def _burn_ms(ms: float) -> None:
+    """Occupy this core for ~ms milliseconds of ALU work (simulated
+    OCR inference; see ExtractionConfig.simulated_ocr_ms_per_page)."""
+    if ms <= 0:
+        return
+    end = time.perf_counter() + ms / 1000.0
+    x = 0
+    while time.perf_counter() < end:
+        for _ in range(256):
+            x = (x * 1664525 + 1013904223) & 0xFFFFFFFF
+
 _BT_RE = re.compile(rb"BT \((.*?)\) ET", re.S)
 _OCR_RE = re.compile(rb"%OCR\(([A-Za-z0-9+/=]*)\|([0-9.]+)\)")
 _IMG_HEAD_RE = re.compile(rb"SYNTH;w=(\d+);h=(\d+);conf=([0-9.]+);")
@@ -120,6 +133,8 @@ class HermeticPdfEngine:
             raise ExtractionError(
                 "Invalid PDF file: Missing or corrupted PDF header"
             )
+        _burn_ms(self.cfg.simulated_ocr_ms_per_page
+                 * max(1, len(_PAGE_RE.findall(payload))))
         # quick path → quality gate → OCR → byte-scan (enhanced.rs:861-919)
         text = self._quick_text(payload)        # fatal errors propagate
         wc = count_words_safely(text)
@@ -157,6 +172,7 @@ class HermeticImageOcrEngine:
         t0 = time.perf_counter()
         if not (payload.startswith(b"\x89PNG\r\n\x1a\n") or payload.startswith(b"\xff\xd8\xff")):
             raise ExtractionError("unsupported image format")
+        _burn_ms(self.cfg.simulated_ocr_ms_per_page)
         head = _IMG_HEAD_RE.search(payload)
         data = _OCRDATA_RE.search(payload)
         if head is None or data is None:

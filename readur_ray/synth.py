@@ -314,6 +314,62 @@ def make_corpus(n_docs: int, seed: int = 42, with_class: bool = False) -> pa.Tab
     return table
 
 
+def make_corpus_range(
+    n_docs: int, start: int, stop: int, seed: int = 42
+) -> pa.Table:
+    """Rows [start, stop) of make_corpus(n_docs, seed) — deterministic
+    per range, so shards can be generated in parallel (the class list
+    is O(n) seeded choices, recomputed per shard; dup_content sources
+    are re-derived from the class list alone)."""
+    classes = _choose_classes(n_docs, seed)
+    rows: list[dict] = []
+    for i in range(start, stop):
+        cls = classes[i]
+        doc_id = f"doc-{i:012d}"
+        if cls == "dup_content":
+            src_i = _rng("dup", seed, i).randrange(n_docs)
+            if src_i == i or classes[src_i] == "dup_content":
+                src_i = (src_i + 1) % n_docs
+                if classes[src_i] == "dup_content" or src_i == i:
+                    src_i = 0 if i != 0 else 1
+            src = _make_doc(f"doc-{src_i:012d}", classes[src_i], seed)
+            rows.append({**src, "doc_id": doc_id})
+        else:
+            rows.append(_make_doc(doc_id, cls, seed))
+    cols = {name: [r.get(name) for r in rows] for name in DOCUMENTS.names}
+    return pa.table(cols, schema=DOCUMENTS)
+
+
+def write_corpus_parallel(
+    path: str, n_docs: int, seed: int = 42, rows_per_file: int = 20_000
+) -> str:
+    """Parallel corpus writer: one Ray task per shard (falls back to
+    the serial writer when Ray isn't initialised)."""
+    import os
+
+    import ray as _ray
+
+    if not _ray.is_initialized():
+        return write_corpus(path, n_docs, seed, rows_per_file)
+
+    os.makedirs(path, exist_ok=True)
+
+    @_ray.remote
+    def _shard(shard_no: int, start: int, stop: int) -> int:
+        import pyarrow.parquet as pq
+
+        t = make_corpus_range(n_docs, start, stop, seed)
+        pq.write_table(t, os.path.join(path, f"part-{shard_no:05d}.parquet"))
+        return t.num_rows
+
+    refs = [
+        _shard.remote(k, s, min(s + rows_per_file, n_docs))
+        for k, s in enumerate(range(0, n_docs, rows_per_file))
+    ]
+    _ray.get(refs)
+    return path
+
+
 def write_corpus(path: str, n_docs: int, seed: int = 42, rows_per_file: int = 20_000) -> str:
     """Write the corpus as a directory of parquet files (sharded)."""
     import os
