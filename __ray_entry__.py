@@ -66,7 +66,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from readur_ray.pipelines import analytics, dedup, e2e, multimodal, similarity, textops
+    from readur_ray.pipelines import (
+        analytics, dedup, e2e, multimodal, search, similarity, textops,
+    )
 
     return {
         # --- extraction semantics over documents.text (M10/M17/M18/M9) ---
@@ -97,6 +99,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs": analytics.top_docs,
         "priority_buckets": analytics.priority_buckets,
         "filter_allowed": analytics.filter_allowed,
+        # --- search / suppression / incremental (F1, F2, D3, W2, A1/A6) ---
+        "text_search": search.text_search,
+        "search_snippets": search.search_snippets,
+        "suppression_antijoin": search.suppression_antijoin,
+        "incremental_filter": search.incremental_filter,
+        "queue_stats": search.queue_stats,
         # --- multimodal plumbing (deterministic stub codec) ---
         "multimodal_meta": multimodal.multimodal_meta,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
@@ -391,6 +399,58 @@ def oracle_sql() -> dict[str, str]:
                  CAST(CAST('0x' || substr(md5(text), 25, 8) AS UBIGINT) AS BIGINT) AS feat_checksum
           FROM documents
         )
+    """
+
+
+    sql["text_search"] = """
+        SELECT doc_id,
+               CAST((length(text) - length(replace(text, 'spark', ''))) / 5 AS BIGINT) AS n_hits,
+               strpos(text, 'spark') > 0 AS match_simple,
+               strpos(text, 'the table') > 0 AS match_phrase,
+               (strpos(text, 'table') > 0 AND strpos(text, 'value') > 0) AS match_boolean
+        FROM documents
+    """
+
+    sql["search_snippets"] = """
+        SELECT doc_id,
+               CAST(strpos(text, 'spark') - 1 AS BIGINT) AS position,
+               substr(text, greatest(1, strpos(text, 'spark') - 30), 65) AS snippet,
+               CAST(strpos(text, 'spark') - greatest(1, strpos(text, 'spark') - 30) AS BIGINT) AS highlight_offset
+        FROM documents
+        WHERE strpos(text, 'spark') > 0
+    """
+
+    sql["suppression_antijoin"] = """
+        SELECT doc_id, md5(text) AS content_hash
+        FROM documents
+        WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 50 = 0)
+    """
+
+    sql["incremental_filter"] = """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_new
+        FROM events
+        WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
+        GROUP BY 1
+    """
+
+    sql["queue_stats"] = r"""
+        WITH es AS (
+          SELECT doc_id,
+                 CASE WHEN fail THEN 'failed' ELSE 'completed' END AS status,
+                 CASE WHEN fail THEN 'low_ocr_confidence' ELSE '' END AS failure_reason,
+                 CASE WHEN fail THEN 0 ELSE wc END AS word_count
+          FROM (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '\S+')) AS BIGINT) AS wc,
+                   (strlen(t) = 0 OR len(regexp_extract_all(t, '\S+')) = 0
+                    OR len(regexp_extract_all(t, '[\pL\pN]')) * 10 < strlen(t) * 3) AS fail
+            FROM (SELECT doc_id, trim(text) AS t FROM documents)
+          )
+        )
+        SELECT status, failure_reason,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(word_count) AS BIGINT) AS total_words
+        FROM es GROUP BY 1, 2
     """
 
     # extraction_e2e / extraction_summary: hermetic media engines → not

@@ -1,0 +1,193 @@
+"""Search / suppression / incremental operators (SURVEY §2: F1, F2,
+D3, W2, A1, A6).
+
+Re-expressions of the reference's query-shell operators as Ray Data
+plans with deterministic integer/string outputs (SQL-oracle exact):
+
+- ``text_search``   — F1 search modes (/root/reference/src/db/documents/
+  search.rs:69-128): simple term, exact phrase, boolean AND over
+  ``content || ocr_text`` → here documents.text.
+- ``search_snippets`` — F2 snippet + highlight offsets (search.rs:
+  188-258) with a fixed window (the reference's word-boundary snap is
+  kept in the Python kernel and mirrored exactly in SQL).
+- ``suppression_antijoin`` — D3 ignored-files anti-join
+  (src/db/ignored_files.rs): drop docs whose content hash is in the
+  ignored set (deterministic fixture: every 50th doc is "ignored").
+- ``incremental_filter`` — W2 polling watermark (src/scheduling/
+  watcher.rs:219-264): process only rows past a snapshot watermark.
+- ``queue_stats`` — A1/A2/A6 queue statistics (src/ocr/queue.rs:
+  804-975): status/failure_reason counts + word totals over the
+  text-branch extraction statuses.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+SEARCH_TERM = "spark"
+SEARCH_PHRASE = "the table"
+BOOL_TERMS = ("table", "value")
+SNIPPET_WINDOW = 60
+IGNORED_EVERY = 50
+WATERMARK = "2024-01-20 00:00:00"
+
+
+def text_search(sf_dir: str) -> "ray.data.Dataset":
+    """F1: per-doc match flags for simple / phrase / boolean-AND modes
+    plus the simple-mode hit count. All case-sensitive substring
+    semantics (the tsquery analog on normalized text)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        n_simple = pc.count_substring(text, pattern=SEARCH_TERM).cast(pa.int64())
+        phrase = pc.greater(
+            pc.count_substring(text, pattern=SEARCH_PHRASE), 0
+        )
+        booland = pc.and_(
+            pc.greater(pc.count_substring(text, pattern=BOOL_TERMS[0]), 0),
+            pc.greater(pc.count_substring(text, pattern=BOOL_TERMS[1]), 0),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_hits": n_simple,
+                "match_simple": pc.greater(n_simple, 0),
+                "match_phrase": phrase,
+                "match_boolean": booland,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def search_snippets(sf_dir: str) -> "ray.data.Dataset":
+    """F2: for docs containing the term, a fixed-window snippet around
+    the FIRST occurrence plus the highlight offset within the snippet.
+    start = max(0, pos - SNIPPET_WINDOW//2), len = SNIPPET_WINDOW +
+    len(term)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    half = SNIPPET_WINDOW // 2
+    span = SNIPPET_WINDOW + len(SEARCH_TERM)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        pos = pc.find_substring(text, pattern=SEARCH_TERM).to_numpy(
+            zero_copy_only=False
+        )
+        keep = pos >= 0
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[keep]
+        texts = text.to_pylist()
+        out_snip, out_hl = [], []
+        for t, p in zip(
+            (texts[i] for i in np.flatnonzero(keep)), pos[keep]
+        ):
+            start = max(0, int(p) - half)
+            out_snip.append(t[start : start + span])
+            out_hl.append(int(p) - start)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "position": pa.array(pos[keep].astype(np.int64), pa.int64()),
+                "snippet": pa.array(out_snip, pa.string()),
+                "highlight_offset": pa.array(out_hl, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def suppression_antijoin(sf_dir: str) -> "ray.data.Dataset":
+    """D3: anti-join against the ignored set (docs with doc_id %
+    IGNORED_EVERY == 0 stand in for user-suppressed file hashes; at
+    scale the ignored hash set is broadcast once via ray.put and tested
+    inside map_batches — an anti-join with no shuffle)."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def build_ignored(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % IGNORED_EVERY == 0
+        texts = batch.column("text").to_pylist()
+        hashes = [
+            hashlib.md5((texts[i] or "").encode()).hexdigest()
+            for i in np.flatnonzero(keep)
+        ]
+        return pa.table({"h": pa.array(hashes, pa.string())})
+
+    ignored = set()
+    for b in ds.map_batches(build_ignored, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        ignored.update(b.column("h").to_pylist())
+    ref = ray.put(ignored)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ig = ray.get(ref)
+        import hashlib as hl
+
+        texts = batch.column("text").to_pylist()
+        hashes = [hl.md5((t or "").encode()).hexdigest() for t in texts]
+        keep = pa.array([h not in ig for h in hashes], pa.bool_())
+        out = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "content_hash": pa.array(hashes, pa.string()),
+            }
+        )
+        return out.filter(keep)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def incremental_filter(sf_dir: str) -> "ray.data.Dataset":
+    """W2: watermark-incremental selection over `events` — only rows
+    with ts > WATERMARK, counted per event_type (the snapshot-diff
+    analog of the polling watcher's mtime set difference)."""
+    import pyarrow.dataset as pads
+    from datetime import datetime
+
+    wm = datetime.fromisoformat(WATERMARK)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type"],
+        filter=pads.field("ts") > pa.scalar(wm, pa.timestamp("us")),
+    )
+    return ds.groupby("event_type").aggregate(Count(alias_name="n_new"))
+
+
+def queue_stats(sf_dir: str) -> "ray.data.Dataset":
+    """A1/A6: status + failure_reason counts and word totals over the
+    text-branch extraction statuses (the get_queue_statistics() /
+    retry-recommendation analog)."""
+    from .textops import extract_status
+
+    ds = extract_status(sf_dir)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "status": batch.column("status"),
+                "failure_reason": batch.column("failure_reason"),
+                "words": batch.column("word_count"),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(["status", "failure_reason"])
+        .aggregate(Count(alias_name="n_docs"), Sum("words", alias_name="total_words"))
+    )

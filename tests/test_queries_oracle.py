@@ -1,0 +1,75 @@
+"""Driver-contract parity tests: a representative subset of
+queries() checked against their DuckDB oracle_sql() at sf0.001 with
+the same canonicalization the driver uses (sorted columns,
+order-insensitive row compare). The FULL sweep lives in
+scripts/check_correctness.py; this subset keeps pytest fast."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+SUBSET = [
+    "plaintext_extract",
+    "lang_id",
+    "fingerprints",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk",
+    "pricing_summary",
+    "multimodal_meta",
+    "text_search",
+    "queue_stats",
+    "suppression_antijoin",
+]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(ray_session, duck, name):
+    import __ray_entry__ as entrymod
+
+    res = entrymod.queries()[name](SF_DIR)
+    ours = _canon(res.to_pandas() if hasattr(res, "to_pandas") else res)
+    theirs = _canon(duck.execute(entrymod.oracle_sql()[name]).df())
+    assert list(ours.columns) == list(theirs.columns)
+    assert len(ours) == len(theirs)
+    pd.testing.assert_frame_equal(ours, theirs, check_dtype=False, check_exact=True)
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as entrymod
+
+    ds = entrymod.entry()
+    n = ds.count()
+    assert n == 500  # one output row per sf0.001 document
