@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "queue_stats": search.queue_stats,
         # --- multimodal plumbing (deterministic stub codec) ---
         "multimodal_meta": multimodal.multimodal_meta,
+        "preprocess_stats": multimodal.preprocess_stats,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,

@@ -56,6 +56,11 @@ class ExtractionConfig:
     # resolver spec understood by readur_ray.sources.media
     media_resolver: str = "synth"      # 'synth' | 'parquet:<path>'
 
+    # run the P1-P12 preprocessing chain on decoded image arrays inside
+    # the image-OCR actor (settings.rs enable_image_preprocessing; the
+    # hermetic path decodes a deterministic synthetic array)
+    enable_image_preprocessing: bool = False
+
     # Simulated OCR compute per page/image (ms of core occupancy), off
     # by default. The hermetic engines parse in ~µs where real
     # Tesseract/ocrmypdf burn 1-5 s of CPU per page

@@ -108,6 +108,74 @@ class PayloadCodec:
         )
 
 
+class PreprocessAnalyzer:
+    """Actor: decode (synthetic) grayscale → P1-P12 chain → integer
+    quality metrics + applied steps. Chain settings built once per
+    actor (the reference loads Settings once per worker)."""
+
+    def __init__(self):
+        from ..stages.preprocess import PreprocessSettings
+
+        self.settings = PreprocessSettings()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib as hl
+
+        from ..stages.preprocess import preprocess_image, synth_gray_image
+
+        payloads = batch.column("payload").to_pylist()
+        rows = {k: [] for k in
+                ("brightness_x1000", "contrast_x1000", "noise_x1000",
+                 "sharpness_x1000", "n_steps", "steps")}
+        for p in payloads:
+            p = p or b""
+            h = hl.md5(p).hexdigest()
+            w = 64 + int(h[0:8], 16) % 320
+            ht = 64 + int(h[8:16], 16) % 320
+            arr = synth_gray_image(p, w, ht)
+            _, stats, applied = preprocess_image(arr, self.settings)
+            rows["brightness_x1000"].append(int(stats.average_brightness * 1000))
+            rows["contrast_x1000"].append(int(stats.contrast_ratio * 1000))
+            rows["noise_x1000"].append(int(stats.noise_level * 1000))
+            rows["sharpness_x1000"].append(int(stats.sharpness * 1000))
+            rows["n_steps"].append(len(applied))
+            rows["steps"].append("|".join(applied))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                **{k: pa.array(v, pa.int64() if k != "steps" else pa.string())
+                   for k, v in rows.items()},
+            }
+        )
+
+
+def preprocess_stats(sf_dir: str) -> "ray.data.Dataset":
+    """P1-P12 chain over per-doc synthetic decoded images (actor pool;
+    deterministic → stable rows-only check)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": pa.array(
+                    [(t or "").encode("utf-8") for t in texts], pa.binary()
+                ),
+            }
+        )
+
+    return ds.map_batches(to_payload, batch_format="pyarrow").map_batches(
+        PreprocessAnalyzer,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
 def multimodal_meta(sf_dir: str) -> "ray.data.Dataset":
     """Treat documents.text bytes as the opaque payload column and run
     the decode→resize→frame-sample actor pool over it. Deterministic →

@@ -185,12 +185,23 @@ class HermeticImageOcrEngine:
                 f"Image too large: {w}x{h} (max: {max_w}x{max_h})"
             )
         prep: list[str] = []
-        if h > 0 and w / h > 2.0:
-            prep.append("orientation_correction(rotate90)")   # P1
-        if max(w, h) > 2048:
-            prep.append("resize_down(2048)")                   # P2
-        elif min(w, h) < 300:
-            prep.append("upscale(600)")                        # P2
+        if self.cfg.enable_image_preprocessing:
+            # full P1-P12 chain over the (synthetic) decoded array; the
+            # hermetic decode is capped at 384px per side so the chain
+            # cost stays bounded (real decoders pass the true array)
+            from .preprocess import preprocess_image, synth_gray_image
+
+            arr = synth_gray_image(payload, min(w, 384), min(h, 384))
+            _, _, prep = preprocess_image(arr)
+            if h > 0 and w / h > 2.0 and "orientation_correction" not in prep:
+                prep.insert(0, "orientation_correction")
+        else:
+            if h > 0 and w / h > 2.0:
+                prep.append("orientation_correction(rotate90)")   # P1
+            if max(w, h) > 2048:
+                prep.append("resize_down(2048)")                   # P2
+            elif min(w, h) < 300:
+                prep.append("upscale(600)")                        # P2
         text = base64.b64decode(data.group(1)).decode("utf-8", errors="ignore")
         wc = count_words_safely(text)
         ms = int((time.perf_counter() - t0) * 1000)
