@@ -67,7 +67,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from readur_ray.pipelines import (
-        analytics, dedup, e2e, multimodal, search, similarity, textops,
+        analytics, dedup, e2e, extras, multimodal, search, similarity, textops,
     )
 
     return {
@@ -108,6 +108,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing (deterministic stub codec) ---
         "multimodal_meta": multimodal.multimodal_meta,
         "preprocess_stats": multimodal.preprocess_stats,
+        # --- remaining M/F/A items: MIME lattice, fuzzy trigram, DSL ---
+        "fuzzy_search": extras.fuzzy_search,
+        "retry_selection": extras.retry_selection,
+        "mime_detection": extras.mime_detection,
+        "extraction_metrics": extras.extraction_metrics,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -452,6 +457,66 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(word_count) AS BIGINT) AS total_words
         FROM es GROUP BY 1, 2
+    """
+
+
+    sql["fuzzy_search"] = """
+        WITH q AS (
+          SELECT list_distinct(list_transform(range(1, length(s)-1),
+                 i -> substr(s, i, 3))) AS g
+          FROM (SELECT lower('spark query plan') AS s)
+        ),
+        d AS (
+          SELECT doc_id,
+                 CASE WHEN length(t) < 3 THEN
+                        (CASE WHEN length(t) = 0 THEN [] ELSE [t] END)
+                      ELSE list_distinct(list_transform(range(1, length(t)-1),
+                           i -> substr(t, i, 3))) END AS g
+          FROM (SELECT doc_id, lower(text) AS t FROM documents)
+        )
+        SELECT doc_id,
+               CAST(len(list_intersect(d.g, q.g)) AS BIGINT) AS intersection,
+               CAST(len(d.g) AS BIGINT) AS n_doc_trigrams
+        FROM d, q
+        WHERE len(list_intersect(d.g, q.g)) * 100 >=
+              (len(d.g) + len(q.g) - len(list_intersect(d.g, q.g))) * 3
+    """
+
+    sql["retry_selection"] = """
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE lang IN ('en', 'de') AND n_chars BETWEEN 200 AND 1500
+          AND source LIKE 'src1%'
+        ORDER BY doc_id LIMIT 50
+    """
+
+    sql["mime_detection"] = """
+        SELECT doc_id, detected_mime, server_mime,
+               (server_mime <> '' AND (
+                  detected_mime = server_mime
+                  OR (detected_mime = 'image/jpeg' AND server_mime = 'image/jpg')
+                  OR (detected_mime = 'image/jpg' AND server_mime = 'image/jpeg')
+                  OR split_part(detected_mime, '/', 1) = split_part(server_mime, '/', 1)
+               )) AS compatible
+        FROM (
+          SELECT doc_id,
+                 CASE doc_id % 5
+                   WHEN 0 THEN 'application/pdf'
+                   WHEN 1 THEN 'image/png'
+                   WHEN 2 THEN 'image/jpeg'
+                   WHEN 3 THEN 'application/zip'
+                   ELSE CASE WHEN srv NOT IN ('application/octet-stream',
+                                'application/binary', 'binary/octet-stream',
+                                '', 'unknown')
+                             THEN srv ELSE 'text/plain' END
+                 END AS detected_mime,
+                 srv AS server_mime
+          FROM (
+            SELECT doc_id,
+                   ['application/pdf', 'application/octet-stream', 'image/jpg',
+                    '', 'text/plain'][CAST((doc_id // 5) % 5 AS INT) + 1] AS srv
+            FROM documents
+          )
+        )
     """
 
     # extraction_e2e / extraction_summary: hermetic media engines → not
