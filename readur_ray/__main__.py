@@ -1,0 +1,55 @@
+"""CLI driver for the resumable extraction job — the `ray job submit`
+entry point (replaces the reference's batch_ingest CLI + OCR worker
+loop, /root/reference/src/bin/batch_ingest.rs:28-60).
+
+    python -m readur_ray --input <parquet dir> --out <dir> \
+        [--chunks 8] [--dedup-policy skip|track|allow] [--num-cpus N]
+
+Safe to re-run after a crash: committed chunks are skipped via the
+ledger (see readur_ray.pipelines.run).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="readur_ray")
+    ap.add_argument("--input", required=True, help="parquet dir/file of documents")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--chunks", type=int, default=8)
+    ap.add_argument("--dedup-policy", default="skip",
+                    choices=["skip", "track", "allow"])
+    ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--sim-ocr-ms", type=float, default=0.0)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address="local", **kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from .config import ExtractionConfig
+    from .pipelines.run import run_extraction
+
+    cfg = ExtractionConfig(
+        dedup_policy=args.dedup_policy,
+        simulated_ocr_ms_per_page=args.sim_ocr_ms,
+    )
+    summary = run_extraction(args.input, args.out, cfg, n_chunks=args.chunks)
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
