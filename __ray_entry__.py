@@ -67,7 +67,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from readur_ray.pipelines import (
-        analytics, dedup, e2e, extras, multimodal, search, similarity, textops,
+        analytics, dedup, e2e, extras, multimodal, search, sessions,
+        similarity, textops,
     )
 
     return {
@@ -113,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retry_selection": extras.retry_selection,
         "mime_detection": extras.mime_detection,
         "extraction_metrics": extras.extraction_metrics,
+        "sessionize": sessions.sessionize,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -517,6 +519,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
           )
         )
+    """
+
+
+    sql["sessionize"] = """
+        WITH m AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 30 * 60 * 1000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+        ),
+        s AS (
+          SELECT user_id, ts,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM m
+        )
+        SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+               min(ts) AS session_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+        FROM s GROUP BY 1, 2
     """
 
     # extraction_e2e / extraction_summary: hermetic media engines → not

@@ -563,11 +563,13 @@ def load_documents(path: str, row_filter=None) -> "ray.data.Dataset":
       more blocks than CPUs and the override is a no-op upper bound."""
     import ray as _ray
 
+    from ..sources.tables import read_table
+
     ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-    return ray.data.read_parquet(
+    return read_table(
         path,
         columns=["doc_id", "spans", "mime_type", "file_size", "page_count"],
-        filter=row_filter,
+        row_filter=row_filter,
         override_num_blocks=max(16, ncpu * 4),
     )
 

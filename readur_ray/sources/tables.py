@@ -1,0 +1,58 @@
+"""Table-format adapter: Lance first, parquet fallback.
+
+The north-star input is a Lance table of interleaved documents; this
+container has no `lance`/`pylance` wheel, so the reader resolves the
+format at runtime — `ray.data.read_lance` when the dataset is a
+`.lance` directory AND the lance library imports, else
+`ray.data.read_parquet` with the same column pruning / row filter /
+block-count arguments. Every pipeline reads through here, so a Lance
+deployment is a data-path change only.
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data
+
+
+def lance_available() -> bool:
+    try:
+        import lance  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def is_lance_dataset(path: str) -> bool:
+    return path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions"))
+
+
+def read_table(
+    path: str,
+    columns: list[str] | None = None,
+    row_filter=None,
+    override_num_blocks: int | None = None,
+) -> "ray.data.Dataset":
+    """Format-dispatching read with pushdown. `row_filter` is a
+    pyarrow.dataset expression (both readers accept it)."""
+    if is_lance_dataset(path):
+        if not lance_available():
+            raise NotImplementedError(
+                f"{path} is a Lance dataset but the lance library is not "
+                "installed in this environment; install pylance or convert "
+                "to parquet."
+            )
+        kwargs = {}
+        if columns is not None:
+            kwargs["columns"] = columns
+        if override_num_blocks is not None:
+            kwargs["override_num_blocks"] = override_num_blocks
+        return ray.data.read_lance(path, **kwargs)
+    return ray.data.read_parquet(
+        path,
+        columns=columns,
+        filter=row_filter,
+        override_num_blocks=override_num_blocks,
+    )
