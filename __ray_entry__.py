@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": similarity.ann_topk,
         "ann_lsh_buckets": similarity.lsh_buckets,
         "ann_topk_lsh": similarity.ann_topk_lsh,
+        "ann_topk_ivf": similarity.ann_topk_ivf,
         # --- relational operators (A1-A6, O1-O3, J1/J4, M20, M4-M6) ---
         "status_counts": analytics.status_counts,
         "source_facets": analytics.source_facets,
@@ -541,6 +542,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
         FROM s GROUP BY 1, 2
+    """
+
+
+    sql["ann_topk_ivf"] = """
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(e.embedding AS DOUBLE[])) DESC,
+                            e.vec_id ASC
+                 ) AS BIGINT) AS rank
+          FROM embeddings q, embeddings e
+          WHERE q.vec_id < 16 AND e.vec_id <> q.vec_id AND e.label = q.label
+        ) WHERE rank <= 5
     """
 
     # extraction_e2e / extraction_summary: hermetic media engines → not

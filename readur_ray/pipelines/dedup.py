@@ -173,9 +173,7 @@ def _bucket_pairs_fn(key_cols: list[str], max_bucket: int):
     ~100k of them per million docs)."""
 
     def fn(part: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
-        )
+        empty = pa.table({"pair_key": pa.array([], pa.int64())})
         if part.num_rows == 0:
             return empty
         df = part.select([*key_cols, "doc_id"]).to_pandas()
@@ -188,21 +186,33 @@ def _bucket_pairs_fn(key_cols: list[str], max_bucket: int):
         sz = sizes[keep]
         # groups are contiguous (sorted) and id-sorted within; emit pairs
         # per SIZE CLASS with one reshape + triu each (≤ max_bucket numpy
-        # ops total — no Python loop over the ~#buckets groups)
-        a_out, b_out = [], []
+        # ops total — no Python loop over the ~#buckets groups). Pairs
+        # are PACKED into one int64 (a<<32 | b) so the downstream count
+        # shuffles a single fixed-width key; ids ≥ 2^31 would switch to
+        # the two-column key (assert guards the assumption).
+        keys = []
         for s in np.unique(sz):
             mat = ids_all[sz == s].reshape(-1, s)
             ii, jj = np.triu_indices(int(s), 1)
-            a_out.append(mat[:, ii].ravel())
-            b_out.append(mat[:, jj].ravel())
-        return pa.table(
-            {
-                "doc_a": pa.array(np.concatenate(a_out), pa.int64()),
-                "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
-            }
-        )
+            a = mat[:, ii].ravel()
+            b = mat[:, jj].ravel()
+            keys.append((a << np.int64(32)) | b)
+        out = np.concatenate(keys)
+        assert ids_all.size == 0 or ids_all.max() < 2**31
+        return pa.table({"pair_key": pa.array(out, pa.int64())})
 
     return fn
+
+
+def _unpack_pairs(batch: pa.Table, count_name: str) -> pa.Table:
+    k = batch.column("pair_key").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_a": pa.array(k >> np.int64(32), pa.int64()),
+            "doc_b": pa.array(k & np.int64(0xFFFFFFFF), pa.int64()),
+            count_name: batch.column("count()").cast(pa.int64()),
+        }
+    )
 
 
 def minhash_lsh_pairs(sf_dir: str) -> "ray.data.Dataset":
@@ -225,8 +235,10 @@ def minhash_lsh_pairs(sf_dir: str) -> "ray.data.Dataset":
         .groupby("part")
         .map_groups(_bucket_pairs_fn(["band", "minhash"], MAX_BUCKET),
                     batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_shared_bands"))
+        .groupby("pair_key")
+        .count()
+        .map_batches(lambda b: _unpack_pairs(b, "n_shared_bands"),
+                     batch_format="pyarrow")
     )
     return pairs
 
@@ -390,8 +402,10 @@ def ngram_jaccard_pairs(sf_dir: str) -> "ray.data.Dataset":
         .groupby("part")
         .map_groups(_bucket_pairs_fn(["shingle"], MAX_SHINGLE_DOCS),
                     batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="intersection"))
+        .groupby("pair_key")
+        .count()
+        .map_batches(lambda b: _unpack_pairs(b, "intersection"),
+                     batch_format="pyarrow")
     )
 
     def finalize(batch: pa.Table) -> pa.Table:

@@ -116,6 +116,64 @@ def ann_topk(
     )
 
 
+def ann_topk_ivf(
+    sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> "ray.data.Dataset":
+    """IVF-style ANN: the `label` column acts as the coarse quantizer
+    (inverted file list); each query probes ONLY its own list's
+    vectors. At scale this is the partition-pruned path: lists are
+    hash-partitioned by label, a query touches 1/nlist of the data.
+    Output (query_id, neighbor_id, rank) like ann_topk."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(f"{sf_dir}/embeddings.parquet")
+    qt = dset.to_table(
+        columns=["vec_id", "embedding", "label"],
+        filter=pads.field("vec_id") < n_queries,
+    )
+    qids, qmat = _normalized(qt.select(["vec_id", "embedding"]))
+    order = np.argsort(qids)
+    qids, qmat = qids[order], qmat[order]
+    qlabels = np.array(qt.column("label").to_pylist())[
+        np.argsort(qt.column("vec_id").to_numpy(zero_copy_only=False))
+    ]
+    ref = ray.put((qids, qmat, qlabels))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat, q_labels = ray.get(ref)
+        ids, mat = _normalized(batch.select(["vec_id", "embedding"]))
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        sims = q_mat @ mat.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            mask = (labels == q_labels[qi]) & (ids != q_ids[qi])
+            cand = np.flatnonzero(mask)
+            if cand.size == 0:
+                continue
+            row = sims[qi]
+            take = cand[np.argsort(-row[cand], kind="stable")[:k]]
+            out_q.extend([q_ids[qi]] * len(take))
+            out_n.extend(ids[take].tolist())
+            out_s.extend(row[take].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_topk_groups(k), batch_format="pyarrow")
+    )
+
+
 def lsh_buckets(sf_dir: str) -> "ray.data.Dataset":
     """(vec_id, bucket): bucket = sign bits of cosine vs the anchor
     embeddings, most-significant anchor first (anchor order = vec_id)."""
