@@ -26,8 +26,30 @@ class ExtractionConfig:
     max_text_content_bytes: int = 10 * 1024 * 1024
     max_image_pixels: tuple[int, int] = (10_000, 10_000)
 
-    # --- retry (migrations/20250620100001_add_ocr_queue.sql:8) ---
+    # --- retry (migrations/20250620100001_add_ocr_queue.sql:8):
+    # recoverable failures (errors.RECOVERABLE_REASONS) are retried
+    # in-actor up to max_attempts before dead-lettering ---
     max_attempts: int = 3
+
+    # --- OCR engine settings (settings.rs:7-65 defaults; consumed by
+    # real engine backends, recorded for the hermetic ones) ---
+    ocr_language: str = "eng"
+    preferred_languages: tuple[str, ...] = ("eng",)
+    ocr_page_segmentation_mode: int = 3
+    ocr_engine_mode: int = 3
+    ocr_timeout_seconds: int = 300          # settings.rs:312
+    concurrent_ocr_jobs: int = 4            # settings.rs:311 (per-user)
+    max_file_size_mb: int = 50              # settings.rs:313
+
+    # --- preprocessing knobs (settings.rs:302-379; feed
+    # stages.preprocess.PreprocessSettings) ---
+    ocr_detect_orientation: bool = True
+    ocr_brightness_boost: float = 0.0
+    ocr_contrast_multiplier: float = 0.0
+    ocr_noise_reduction_level: int = 0
+    ocr_sharpening_strength: float = 0.0
+    ocr_morphological_operations: bool = False
+    ocr_adaptive_threshold_window_size: int = 0
 
     # --- allowed types (settings.rs:314-322) ---
     allowed_file_types: tuple[str, ...] = (
@@ -70,6 +92,20 @@ class ExtractionConfig:
     # bench enables this to restore a realistic compute:byte ratio
     # (still ~1000× cheaper than real OCR).
     simulated_ocr_ms_per_page: float = 0.0
+
+
+    def preprocess_settings(self):
+        from .stages.preprocess import PreprocessSettings
+
+        return PreprocessSettings(
+            detect_orientation=self.ocr_detect_orientation,
+            brightness_boost=self.ocr_brightness_boost,
+            contrast_multiplier=self.ocr_contrast_multiplier,
+            noise_reduction_level=self.ocr_noise_reduction_level,
+            sharpening_strength=self.ocr_sharpening_strength,
+            morphological_operations=self.ocr_morphological_operations,
+            adaptive_threshold_window_size=self.ocr_adaptive_threshold_window_size,
+        )
 
 
 DEFAULT_CONFIG = ExtractionConfig()

@@ -46,6 +46,19 @@ def classify_error(error_str: str) -> tuple[str, bool]:
     return "other", False
 
 
+# Recoverable failure reasons (retried up to max_attempts before
+# dead-lettering) — mirrors OcrError::is_recoverable
+# (/root/reference/src/ocr/error.rs:53-60: InsufficientMemory,
+# OcrTimeout, LowConfidence; everything else is terminal).
+RECOVERABLE_REASONS = frozenset(
+    {"ocr_memory_limit", "ocr_timeout", "low_ocr_confidence"}
+)
+
+
+def is_recoverable_reason(reason: str) -> bool:
+    return reason in RECOVERABLE_REASONS
+
+
 class ExtractionError(Exception):
     """Engine-raised error whose message drives classify_error."""
 

@@ -46,7 +46,11 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..config import DEFAULT_CONFIG, ExtractionConfig
-from ..functions.errors import ExtractionError, failure_for_message
+from ..functions.errors import (
+    ExtractionError,
+    failure_for_message,
+    is_recoverable_reason,
+)
 from ..functions.hashing import merkle_from_span_hashes
 from ..functions.plaintext import extract_plain_text, extract_plain_text_array
 from ..functions.quality import validate_ocr_quality
@@ -256,6 +260,22 @@ class DocExtractor:
         self.pdf = HermeticPdfEngine(cfg)
         self.img = HermeticImageOcrEngine(cfg)
 
+    def _with_retry(self, fn, *args):
+        """Bounded in-actor retry: RECOVERABLE failures (timeout /
+        memory / low-confidence — errors.RECOVERABLE_REASONS, mirroring
+        OcrError::is_recoverable) get up to cfg.max_attempts tries
+        before dead-lettering; terminal failures raise immediately
+        (the queue's attempts/max_attempts loop, queue.rs:307-333)."""
+        attempt = 1
+        while True:
+            try:
+                return fn(*args)
+            except ExtractionError as e:
+                reason, _stage = failure_for_message(str(e))
+                if attempt >= self.cfg.max_attempts or not is_recoverable_reason(reason):
+                    raise
+                attempt += 1
+
     def _one_span(self, span: dict):
         """→ (out_span_dict, confidence, word_count, payload_sha256_hex)."""
         cfg = self.cfg
@@ -302,7 +322,7 @@ class DocExtractor:
             else:
                 try:
                     for span in sorted(spans, key=lambda s: s["offset"]):
-                        o, c, w, d = self._one_span(span)
+                        o, c, w, d = self._with_retry(self._one_span, span)
                         out_spans.append(o)
                         confs.append(c)
                         words += w

@@ -232,6 +232,71 @@ def run_finalize_phase(out_dir: str, cfg: ExtractionConfig = DEFAULT_CONFIG) -> 
     return summary
 
 
+def run_requeue_phase(
+    input_path: str, out_dir: str, cfg: ExtractionConfig = DEFAULT_CONFIG
+) -> dict:
+    """D4 requeue-failed (/root/reference/src/ocr/queue.rs:978-1082):
+    re-extract the docs whose failure_reason is RECOVERABLE, then merge
+    the fresh rows over the stale ones.
+
+    Plan: select failed (doc_id) rows from the finalized output with a
+    column-pruned read → broadcast the (small) retry id-set → re-run
+    the extraction DAG over the input filtered to those ids →
+    write a `retry/` partition; the merged view = final minus retried
+    ids union retry rows (re-streamed, no full-corpus shuffle)."""
+    from ..functions.errors import RECOVERABLE_REASONS
+    from .extract import build_extracted
+
+    final_dir = os.path.join(out_dir, "final")
+    retry_dir = os.path.join(out_dir, "retry")
+    failed = ray.data.read_parquet(
+        final_dir, columns=["doc_id", "status", "failure_reason"]
+    )
+
+    def sel(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(batch.column("status"), "failed"),
+            pc.is_in(
+                batch.column("failure_reason"),
+                value_set=pa.array(sorted(RECOVERABLE_REASONS)),
+            ),
+        )
+        return batch.filter(keep).select(["doc_id"])
+
+    retry_ids = set()
+    for b in failed.map_batches(sel, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        retry_ids.update(b.column("doc_id").to_pylist())
+    if not retry_ids:
+        ledger.append_entry(out_dir, {"kind": "requeue", "retried": 0})
+        return {"retried": 0, "retry_dir": None}
+
+    ids_ref = ray.put(retry_ids)
+
+    def only_retry(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        keep = pa.array([i in ids for i in batch.column("doc_id").to_pylist()])
+        return batch.filter(keep)
+
+    # materialize the (tiny) retry input first so the re-extraction DAG
+    # reads only those rows — never a second full-corpus scan per stage
+    full = ray.data.read_parquet(input_path).map_batches(
+        only_retry, batch_format="pyarrow"
+    )
+    tmp = retry_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    retry_input = os.path.join(tmp, "input")
+    full.write_parquet(retry_input)
+    out = build_extracted(retry_input, cfg)
+    out.write_parquet(os.path.join(tmp, "extracted"))
+    shutil.rmtree(retry_dir, ignore_errors=True)
+    os.rename(tmp, retry_dir)
+    ledger.append_entry(out_dir, {"kind": "requeue", "retried": len(retry_ids)})
+    return {"retried": len(retry_ids), "retry_dir": retry_dir}
+
+
 def run_extraction(
     input_path: str,
     out_dir: str,

@@ -25,7 +25,9 @@ def lance_available() -> bool:
         return False
 
 
-def is_lance_dataset(path: str) -> bool:
+def is_lance_dataset(path) -> bool:
+    if not isinstance(path, str):  # list of parquet files (chunked runner)
+        return False
     return path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions"))
 
 

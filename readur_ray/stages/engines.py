@@ -192,7 +192,7 @@ class HermeticImageOcrEngine:
             from .preprocess import preprocess_image, synth_gray_image
 
             arr = synth_gray_image(payload, min(w, 384), min(h, 384))
-            _, _, prep = preprocess_image(arr)
+            _, _, prep = preprocess_image(arr, self.cfg.preprocess_settings())
             if h > 0 and w / h > 2.0 and "orientation_correction" not in prep:
                 prep.insert(0, "orientation_correction")
         else:

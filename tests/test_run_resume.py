@@ -94,3 +94,32 @@ def test_resume_skips_committed_chunks(ray_session, sharded_corpus, tmp_path):
     assert again == []  # nothing re-run
     after = {p: os.path.getmtime(p) for p in before}
     assert mtimes == after
+
+
+def test_requeue_failed_phase(ray_session, tmp_path):
+    """D4: recoverable failures are re-extracted into a retry partition."""
+    import pyarrow.parquet as pq
+
+    from readur_ray import synth
+    from readur_ray.config import ExtractionConfig
+    from readur_ray.pipelines.run import run_extraction, run_requeue_phase
+
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    synth.write_corpus(corpus, 400, seed=21)
+    cfg = ExtractionConfig()
+    run_extraction(corpus, out, cfg, n_chunks=2)
+    res = run_requeue_phase(corpus, out, cfg)
+    final = pq.read_table(f"{out}/final", columns=["doc_id", "status", "failure_reason"])
+    recoverable_failed = {
+        r["doc_id"]
+        for r in final.to_pylist()
+        if r["status"] == "failed"
+        and r["failure_reason"] in ("low_ocr_confidence", "ocr_timeout", "ocr_memory_limit")
+    }
+    assert res["retried"] == len(recoverable_failed)
+    if recoverable_failed:
+        retried = pq.read_table(f"{out}/retry/extracted", columns=["doc_id", "status"])
+        assert set(retried.column("doc_id").to_pylist()) == recoverable_failed
+        # deterministic engines → still failed, but each retried exactly once
+        assert retried.num_rows == len(recoverable_failed)
