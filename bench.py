@@ -108,9 +108,9 @@ def main() -> None:
         # and each level reports its best run — the minimum-interference
         # estimate of the machine's true throughput at that parallelism.
         lo_cpus, hi_cpus = int(os.environ.get("BENCH_SCALING_LO", "4")), int(os.environ.get("BENCH_SCALING_HI", "16"))
-        reps = int(os.environ.get("BENCH_SCALING_REPS", "2"))
-        scaling_docs = str(int(os.environ.get("BENCH_SCALING_DOCS", "100000")))
-        sim_ms = os.environ.get("BENCH_SIM_MS", "1.0")
+        reps = int(os.environ.get("BENCH_SCALING_REPS", "1"))
+        scaling_docs = str(int(os.environ.get("BENCH_SCALING_DOCS", "200000")))
+        sim_ms = os.environ.get("BENCH_SIM_MS", "4.0")
         runs: dict[int, list[dict]] = {lo_cpus: [], hi_cpus: []}
         for _ in range(reps):
             for cpus in (lo_cpus, hi_cpus):
