@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textops.lang_id,
         "quality_score": textops.quality_score,
         "fingerprints": textops.fingerprints,
+        "html_extract": textops.html_extract,
         # --- dedup suite ---
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
@@ -557,6 +558,13 @@ def oracle_sql() -> dict[str, str]:
           FROM embeddings q, embeddings e
           WHERE q.vec_id < 16 AND e.vec_id <> q.vec_id AND e.label = q.label
         ) WHERE rank <= 5
+    """
+
+
+    sql["html_extract"] = """
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) >= 25 THEN trim(text) ELSE '' END AS main_text
+        FROM documents
     """
 
     # extraction_e2e / extraction_summary: hermetic media engines → not

@@ -47,7 +47,7 @@ def _corpus_dir(n_docs: int) -> str:
     from readur_ray import synth
 
     path = f"/tmp/bench_corpus_{n_docs}"
-    marker = os.path.join(path, ".complete")
+    marker = os.path.join(path, ".complete_v2")
     if not os.path.exists(marker):
         synth.write_corpus_parallel(path, n_docs, seed=42, rows_per_file=2000)
         open(marker, "w").close()
@@ -86,6 +86,7 @@ def run_queries() -> dict[str, float]:
         "dedup_simhash_pairs", "dedup_embedding", "ann_topk", "ann_topk_lsh",
         "pricing_summary", "hourly_event_metrics", "orders_per_nation",
         "multimodal_meta", "quality_score", "fingerprints", "dedup_exact",
+        "sessionize", "fuzzy_search", "ann_topk_ivf", "text_search",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -47,7 +47,7 @@ from .stages.engines import (
 )
 
 _ALLOWED_MIMES = {
-    "text/plain", "application/pdf", "image/png", "image/jpeg",
+    "text/plain", "text/html", "application/pdf", "image/png", "image/jpeg",
     "image/tiff", "image/bmp", "multipart/mixed",
 }
 
@@ -79,7 +79,16 @@ def expected_doc(
     digests: list[str] = []
     for span in sorted(doc["spans"], key=lambda s: s["offset"]):
         try:
-            if span["kind"] == "text":
+            if span["kind"] == "text" and doc["mime_type"] == "text/html":
+                from .functions.html import extract_main_content
+
+                raw = span["text"].encode("utf-8", errors="surrogatepass")
+                digests.append(hashlib.sha256(raw).hexdigest())
+                text = extract_main_content(span["text"])
+                res = EngineResult(
+                    text, cfg.conf_plain_text, "html_text", count_words_safely(text)
+                )
+            elif span["kind"] == "text":
                 raw = span["text"].encode("utf-8", errors="surrogatepass")
                 digests.append(hashlib.sha256(raw).hexdigest())
                 text = extract_plain_text(span["text"])

@@ -36,7 +36,15 @@ def _corpus_rows(batch: pa.Table) -> pa.Table:
     ):
         sid = f"doc-{doc_id:012d}"
         text = text or ""
-        spans = [{"kind": "text", "text": text, "media_ref": "", "offset": 0}]
+        if doc_id % 13 == 0:
+            from ..functions.html import wrap_boilerplate
+
+            spans = [{"kind": "text", "text": wrap_boilerplate(text, sid),
+                      "media_ref": "", "offset": 0}]
+            mime_override = "text/html"
+        else:
+            spans = [{"kind": "text", "text": text, "media_ref": "", "offset": 0}]
+            mime_override = None
         pages = 0
         if doc_id % 5 == 0:
             spans.append(
@@ -63,7 +71,9 @@ def _corpus_rows(batch: pa.Table) -> pa.Table:
         rows["doc_id"].append(sid)
         rows["spans"].append(spans)
         rows["mime_type"].append(
-            "text/plain" if len(spans) == 1 else "multipart/mixed"
+            mime_override
+            if (mime_override and len(spans) == 1)
+            else ("text/plain" if len(spans) == 1 else "multipart/mixed")
         )
         rows["file_size"].append(size)
         rows["page_count"].append(pages)

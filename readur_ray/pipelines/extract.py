@@ -61,7 +61,7 @@ from ..stages.engines import HermeticImageOcrEngine, HermeticPdfEngine
 from .. import synth
 
 _ALLOWED_MIMES = {
-    "text/plain", "application/pdf", "image/png", "image/jpeg",
+    "text/plain", "text/html", "application/pdf", "image/png", "image/jpeg",
     "image/tiff", "image/bmp", "multipart/mixed",
 }
 PAGE_WINDOW = 16  # pages per unit in the skew explode
@@ -276,10 +276,19 @@ class DocExtractor:
                     raise
                 attempt += 1
 
-    def _one_span(self, span: dict):
+    def _one_span(self, span: dict, mime: str = ""):
         """→ (out_span_dict, confidence, word_count, payload_sha256_hex)."""
         cfg = self.cfg
-        if span["kind"] == "text":
+        if span["kind"] == "text" and mime == "text/html":
+            # north-star HTML branch: DOM text-density boilerplate strip
+            from ..functions.html import extract_main_content
+
+            raw = span["text"].encode("utf-8", errors="surrogatepass")
+            text = extract_main_content(span["text"])
+            kind, conf = "html_text", cfg.conf_plain_text
+            wc = count_words_safely(text)
+            digest = hashlib.sha256(raw).hexdigest()
+        elif span["kind"] == "text":
             raw = span["text"].encode("utf-8", errors="surrogatepass")
             text = extract_plain_text(span["text"])
             kind, conf = "plain_text", cfg.conf_plain_text
@@ -322,7 +331,7 @@ class DocExtractor:
             else:
                 try:
                     for span in sorted(spans, key=lambda s: s["offset"]):
-                        o, c, w, d = self._with_retry(self._one_span, span)
+                        o, c, w, d = self._with_retry(self._one_span, span, mime)
                         out_spans.append(o)
                         confs.append(c)
                         words += w

@@ -163,3 +163,31 @@ def fingerprints(sf_dir: str) -> "ray.data.Dataset":
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow"
     )
+
+
+def html_extract(sf_dir: str) -> "ray.data.Dataset":
+    """North-star HTML branch as a standalone query: wrap each doc's
+    text into a deterministic boilerplate page (header/nav/aside/footer
+    link blocks around one main paragraph), strip it with the DOM
+    text-density heuristic, and emit the recovered main content —
+    the recovery property (main == trim(text) for texts ≥ the block
+    threshold) is the SQL oracle."""
+    from ..functions.html import extract_main_content, wrap_boilerplate
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        mains = [
+            extract_main_content(wrap_boilerplate(t or "", str(i)))
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "main_text": pa.array(mains, pa.string()),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )

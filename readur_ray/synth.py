@@ -174,6 +174,7 @@ _CLASS_WEIGHTS = [
     ("plain_continuous", 3),
     ("plain_special", 3),
     ("plain_mixed", 3),
+    ("html_page", 6),
     ("pdf_text_layer", 16),
     ("pdf_multipage", 8),
     ("pdf_scanned", 8),
@@ -221,7 +222,13 @@ def _make_doc(doc_id: str, cls: str, seed: int) -> dict:
         return {"kind": "media", "text": "", "media_ref": ref, "offset": off}
 
     mime, pages = "text/plain", 0
-    if cls == "plain_normal":
+    if cls == "html_page":
+        from .functions.html import wrap_boilerplate
+
+        mime = "text/html"
+        inner = gen_words(("html", doc_id), r.randint(30, 90))
+        spans = [text_span(0, wrap_boilerplate(inner, doc_id))]
+    elif cls == "plain_normal":
         spans = [text_span(0, gen_words(("t", doc_id), r.randint(20, 120)))]
     elif cls == "plain_multiline":
         lines = [gen_words(("l", doc_id, i), r.randint(4, 12)) for i in range(r.randint(3, 8))]
