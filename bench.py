@@ -108,7 +108,7 @@ def main() -> None:
         # minutes (shared VM), so reps are INTERLEAVED (lo,hi,lo,hi,…)
         # and each level reports its best run — the minimum-interference
         # estimate of the machine's true throughput at that parallelism.
-        lo_cpus, hi_cpus = int(os.environ.get("BENCH_SCALING_LO", "4")), int(os.environ.get("BENCH_SCALING_HI", "16"))
+        lo_cpus, hi_cpus = int(os.environ.get("BENCH_SCALING_LO", "8")), int(os.environ.get("BENCH_SCALING_HI", "32"))
         reps = int(os.environ.get("BENCH_SCALING_REPS", "1"))
         scaling_docs = str(int(os.environ.get("BENCH_SCALING_DOCS", "200000")))
         sim_ms = os.environ.get("BENCH_SIM_MS", "4.0")

@@ -37,15 +37,13 @@ Scale notes (explicit, per north_rule):
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Min
 
 from ..functions.textstats import md5_hex, md5_int60, md5_int64, shingles_of, words_of
 

@@ -11,13 +11,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Sum
 
-from ..functions.mime import (
-    are_mime_types_compatible,
-    detect_mime_from_content,
-    sniff_magic,
-)
+from ..functions.mime import are_mime_types_compatible, detect_mime_from_content
 
 FUZZY_QUERY = "spark query plan"
 FUZZY_THRESHOLD_NUM = 3    # similarity >= 3/100 (pg_trgm default is 0.3;

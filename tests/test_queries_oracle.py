@@ -32,6 +32,9 @@ SUBSET = [
     "text_search",
     "queue_stats",
     "suppression_antijoin",
+    "html_extract",
+    "sessionize",
+    "ann_topk_ivf",
 ]
 
 
