@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": dedup.simhash_pairs,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_embedding": dedup.embedding_neardup_pairs,
+        "dedup_embedding_lsh": dedup.embedding_neardup_lsh,
         # --- similarity search ---
         "ann_topk": similarity.ann_topk,
         "ann_lsh_buckets": similarity.lsh_buckets,
@@ -565,6 +566,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                CASE WHEN length(trim(text)) >= 25 THEN trim(text) ELSE '' END AS main_text
         FROM documents
+    """
+
+
+    sql["dedup_embedding_lsh"] = """
+        WITH b AS (
+          SELECT e.vec_id,
+                 string_agg(CASE WHEN list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                             CAST(a.embedding AS DOUBLE[])) > 0
+                            THEN '1' ELSE '0' END, '' ORDER BY a.vec_id) AS bucket
+          FROM embeddings e, embeddings a
+          WHERE a.vec_id >= 16 AND a.vec_id < 24
+          GROUP BY e.vec_id
+        )
+        SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+        FROM embeddings x
+        JOIN b bx ON bx.vec_id = x.vec_id
+        JOIN b by2 ON TRUE
+        JOIN embeddings y ON y.vec_id = by2.vec_id
+        WHERE x.vec_id < y.vec_id AND bx.bucket = by2.bucket
+          AND list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                     CAST(y.embedding AS DOUBLE[])) >= 0.4
     """
 
     # extraction_e2e / extraction_summary: hermetic media engines → not

@@ -443,6 +443,53 @@ def _normalized_matrix(table: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, emb / norms
 
 
+def embedding_neardup_lsh(
+    sf_dir: str, threshold: float = EMBED_COS_THRESHOLD
+) -> "ray.data.Dataset":
+    """Scale path for embedding near-dup: candidates restricted to the
+    same random-hyperplane LSH bucket (similarity.lsh_buckets sign
+    bits), then exact cosine ≥ threshold. At 10^12 rows the bucket
+    groupby replaces the all-pairs matmul — each bucket holds ~n/2^k
+    rows; recall < 1 is the documented tradeoff (mitigated by
+    multi-probe in practice)."""
+    from .similarity import ANCHOR_LO, N_ANCHORS, _load_rows, lsh_buckets
+
+    aids, amat = _load_rows(sf_dir, ANCHOR_LO, ANCHOR_LO + N_ANCHORS)
+    ref = ray.put(amat)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        anchors = ray.get(ref)
+        ids, mat = _normalized_matrix(batch)
+        bits = (mat @ anchors.T) > 0
+        buckets = ["".join("1" if b else "0" for b in row) for row in bits]
+        return batch.append_column("bucket", pa.array(buckets, pa.string()))
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids, mat = _normalized_matrix(group)
+        if len(ids) < 2:
+            return pa.table(
+                {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
+            )
+        sims = mat @ mat.T
+        ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[ii], pa.int64()),
+                "vec_b": pa.array(ids[jj], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(with_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+
+
 def embedding_neardup_pairs(
     sf_dir: str, threshold: float = EMBED_COS_THRESHOLD
 ) -> "ray.data.Dataset":

@@ -119,3 +119,16 @@ def test_snippet_window_math():
     snippet = text[start : start + SNIPPET_WINDOW + len(SEARCH_TERM)]
     assert SEARCH_TERM in snippet
     assert len(snippet) == SNIPPET_WINDOW + len(SEARCH_TERM)
+
+
+def test_lance_adapter_fallback_and_guard(tmp_path):
+    from readur_ray.sources.tables import is_lance_dataset, lance_available, read_table
+
+    assert not is_lance_dataset(str(tmp_path / "x.parquet"))
+    assert not is_lance_dataset(["a.parquet", "b.parquet"])
+    assert is_lance_dataset("/data/docs.lance")
+    if not lance_available():
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            read_table("/data/docs.lance")
