@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash_fingerprints,
         "dedup_simhash_pairs": dedup.simhash_pairs,
+        "dedup_simhash_banded": dedup.simhash_pairs_banded,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_embedding": dedup.embedding_neardup_pairs,
         "dedup_embedding_lsh": dedup.embedding_neardup_lsh,
@@ -255,6 +256,8 @@ def oracle_sql() -> dict[str, str]:
           AND bit_count(xor(CAST('0x' || a.simhash AS UBIGINT),
                             CAST('0x' || b.simhash AS UBIGINT))) <= 3
     """
+
+    sql["dedup_simhash_banded"] = sql["dedup_simhash_pairs"]
 
     sql["dedup_ngram_jaccard"] = f"""
         WITH {_WORDS_CTE}, {_SHINGLES_CTE},

@@ -1,6 +1,6 @@
 """Deduplication suite over the `documents` / `embeddings` tables.
 
-Five near/exact-dup operators, each Ray-Data-first and mirrored by a
+Exact + near-dup operators (plus banded/bucketed scale variants), each Ray-Data-first and mirrored by a
 DuckDB oracle in ``__ray_entry__`` (md5/sha256 + integer arithmetic
 only, so values match bit-for-bit):
 
@@ -340,6 +340,78 @@ def simhash_pairs(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING) -> pa.Tab
         )
 
     return fp_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def simhash_pairs_banded(
+    sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> "ray.data.Dataset":
+    """Scale path for simhash near-dup: split the 64-bit fingerprint
+    into max_hamming+1 bands; by pigeonhole, any pair within
+    max_hamming differs in at most max_hamming bands, so it matches
+    EXACTLY on ≥1 band → candidates = exact-match groupby per band
+    (same machinery as MinHash LSH), then popcount-verify. Identical
+    output to simhash_pairs (and the same SQL oracle) with no O(n²)
+    comparison — the plan that survives 10^12 docs."""
+    n_bands = max_hamming + 1
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
+
+    fp_ds = simhash_fingerprints(sf_dir).materialize()
+    fps = fp_ds.to_pandas()
+    fp_map = dict(zip(fps["doc_id"], (int(s, 16) for s in fps["simhash"])))
+    fp_ref = ray.put(fp_map)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_band, out_key = [], [], []
+        for i, s in zip(ids, batch.column("simhash").to_pylist()):
+            f = int(s, 16)
+            for b in range(n_bands):
+                out_id.append(i)
+                out_band.append(b)
+                out_key.append((f >> (b * band_bits)) & mask)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "band": pa.array(out_band, pa.int64()),
+                "key": pa.array(out_key, pa.int64()),
+            }
+        )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array((k % N_COARSE_PARTS).astype(np.int64), pa.int64())
+        )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        fm = ray.get(fp_ref)
+        keys = batch.column("pair_key").to_numpy(zero_copy_only=False)
+        a = keys >> np.int64(32)
+        b = keys & np.int64(0xFFFFFFFF)
+        ham = np.array(
+            [bin(fm[int(x)] ^ fm[int(y)]).count("1") for x, y in zip(a, b)],
+            dtype=np.int64,
+        )
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+                "hamming": pa.array(ham[keep], pa.int64()),
+            }
+        )
+
+    return (
+        fp_ds.map_batches(band_rows, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_bucket_pairs_fn(["band", "key"], 4096),
+                    batch_format="pyarrow")
+        .groupby("pair_key")
+        .count()
+        .map_batches(verify, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------
