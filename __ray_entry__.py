@@ -38,6 +38,19 @@ _STOP_DE = r"\b(?:der|die|das|und|ist|von|zu|mit|den|im|ein|eine|nicht|auch)\b"
 _STOP_FR = r"\b(?:le|la|les|et|des|du|est|une|pour|dans|que|sur|pas|plus)\b"
 _STOP_ES = r"\b(?:el|los|las|es|un|una|por|para|con|del|no|se|su|como)\b"
 
+# MinHash band-hash constants — the SAME frozen literals as
+# readur_ray.pipelines.dedup._A_MIX/_C_MIX (band hash =
+# ((md5_int60(shingle) * A[b] + C[b]) mod 2^64) >> 4, HUGEINT-safe).
+def _band_values() -> str:
+    from readur_ray.pipelines.dedup import _A_MIX, _C_MIX
+
+    return ", ".join(
+        f"({b}, {int(_A_MIX[b])}, {int(_C_MIX[b])})" for b in range(len(_A_MIX))
+    )
+
+
+_BAND_VALUES = _band_values()
+
 _SIMHASH_CTE = (
     "toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t"
     " FROM documents), "
@@ -224,10 +237,12 @@ def oracle_sql() -> dict[str, str]:
 
     sql["dedup_minhash_lsh"] = f"""
         WITH {_WORDS_CTE}, {_SHINGLES_CTE},
+        bandk AS (SELECT * FROM (VALUES {_BAND_VALUES}) AS t(b, am, ac)),
         sig AS (
           SELECT doc_id, b,
-                 min(CAST('0x' || substr(md5(b::VARCHAR || ':' || s), 1, 15) AS UBIGINT)) AS mh
-          FROM sh, UNNEST(range(0, 16)) AS t(b)
+                 min(CAST(((CAST(CAST('0x' || substr(md5(s), 1, 15) AS UBIGINT) AS HUGEINT)
+                            * am + ac) % 18446744073709551616) // 16 AS BIGINT)) AS mh
+          FROM sh, bandk
           GROUP BY doc_id, b
         ),
         sigf AS (

@@ -81,9 +81,11 @@ def run_queries() -> dict[str, float]:
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
+    # Scale paths only — the pipelines one would actually run at 100 TB
+    # (banded simhash not O(n²) popcount; LSH-bucketed embedding near-dup).
     picks = [
         "extraction_e2e", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "dedup_simhash_pairs", "dedup_embedding", "ann_topk", "ann_topk_lsh",
+        "dedup_simhash_banded", "dedup_embedding_lsh", "ann_topk", "ann_topk_lsh",
         "pricing_summary", "hourly_event_metrics", "orders_per_nation",
         "multimodal_meta", "quality_score", "fingerprints", "dedup_exact",
         "sessionize", "fuzzy_search", "ann_topk_ivf", "text_search",

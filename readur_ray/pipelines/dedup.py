@@ -25,14 +25,13 @@ Scale notes (explicit, per north_rule):
   than ``MAX_BUCKET`` — standard LSH practice; at 100 TB this is what
   keeps the skew bounded (salting is not needed because oversized
   buckets carry no near-dup signal).
-- Doc-level lookup tables (shingle-set sizes, simhash fingerprints,
-  query matrices) are broadcast via ``ray.put`` once and read inside
-  ``map_batches`` — never re-shipped per batch, never a shuffle join.
-  At 10^12 docs the fingerprint table no longer fits one node; the
-  same plan then becomes a hash-join keyed on doc_id, which Ray
-  expresses as a groupby over the union of both sides (documented
-  here; the broadcast path is correct for the ≤10^8-doc per-job shards
-  this engine processes per partition).
+- No driver-side state proportional to doc count anywhere in the
+  QUERY paths: per-doc attributes a pair needs downstream (shingle-set
+  sizes, simhash fingerprints) are CARRIED through the bucket shuffle
+  as extra int64 columns on the (id, bucket) rows and reduced with the
+  pair groupby — never collected into a driver dict, never broadcast.
+  The only remaining ``ray.put`` broadcasts are genuinely small fixed
+  tables (LSH anchor matrices, the labeled O(n²) baseline variants).
 """
 
 from __future__ import annotations
@@ -43,7 +42,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Min
+
 
 from ..functions.textstats import md5_hex, md5_int60, md5_int64, shingles_of, words_of
 
@@ -69,93 +68,120 @@ def _read_docs(sf_dir: str) -> "ray.data.Dataset":
 def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
     """Hash-partition on md5(text); keep-first = min doc_id per group.
 
-    Plan: vectorized hash → per-batch partial (hash → min_id) →
-    small groupby(hash) final → broadcast winner map → mark pass.
-    The full rows are never shuffled — only (hash, doc_id)."""
+    Plan: vectorized hash → ONE shuffle of the (hash, doc_id)
+    projection on a coarse hash partition → per-partition vectorized
+    winner resolution (pandas transform('min') over the contained
+    hash groups). No driver-side state: the winner map of round 1
+    (``take_all`` into a dict — O(n_docs) driver memory) is gone;
+    everything stays in the dataset. Mirrors the reference's
+    hash-indexed keep-first policy
+    (/root/reference/src/ingestion/document_ingestion.rs:121-169)."""
     docs = _read_docs(sf_dir)
 
     def hashed(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
+        hexes = [md5_hex(t or "") for t in texts]
+        part = np.array(
+            [int(h[:8], 16) % N_COARSE_PARTS for h in hexes], dtype=np.int64
+        )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "content_hash": pa.array(
-                    [md5_hex(t or "") for t in texts], pa.string()
-                ),
+                "content_hash": pa.array(hexes, pa.string()),
+                "part": pa.array(part, pa.int64()),
             }
         )
 
-    # materialized: the 2-column (hash, id) projection is read twice
-    # (winner aggregation + mark pass) — ~48 B/doc, never the text
-    proj = docs.map_batches(hashed, batch_format="pyarrow").materialize()
-
-    def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by("content_hash").aggregate([("doc_id", "min")])
-        return pa.table(
-            {"content_hash": g.column("content_hash"),
-             "winner": g.column("doc_id_min")}
-        )
-
-    winners = (
-        proj.map_batches(partial, batch_format="pyarrow")
-        .groupby("content_hash")
-        .aggregate(Min("winner", alias_name="winner_doc_id"))
-    )
-    winner_map = {
-        r["content_hash"]: r["winner_doc_id"] for r in winners.take_all()
-    }
-    ref = ray.put(winner_map)
-
-    def mark(batch: pa.Table) -> pa.Table:
-        wm = ray.get(ref)
-        hashes = batch.column("content_hash").to_pylist()
-        ids = batch.column("doc_id").to_pylist()
-        win = [wm[h] for h in hashes]
-        status = ["kept" if w == i else "skipped_duplicate" for w, i in zip(win, ids)]
+    def winners_part(part_tbl: pa.Table) -> pa.Table:
+        # one COARSE partition = many content-hash groups; resolve all
+        # of them with a single vectorized pandas groupby-transform
+        df = part_tbl.select(["doc_id", "content_hash"]).to_pandas()
+        win = df.groupby("content_hash")["doc_id"].transform("min").to_numpy()
+        ids = df["doc_id"].to_numpy()
+        status = np.where(win == ids, "kept", "skipped_duplicate")
         return pa.table(
             {
-                "doc_id": batch.column("doc_id"),
-                "content_hash": batch.column("content_hash"),
+                "doc_id": pa.array(ids, pa.int64()),
+                "content_hash": pa.array(df["content_hash"], pa.string()),
                 "dedup_status": pa.array(status, pa.string()),
                 "winner_doc_id": pa.array(win, pa.int64()),
             }
         )
 
-    return proj.map_batches(mark, batch_format="pyarrow")
+    return (
+        docs.map_batches(hashed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(winners_part, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-@__import__("functools").lru_cache(maxsize=262144)
-def _band_hashes(s: str) -> np.ndarray:
-    """The NUM_MINHASH per-band hashes of one shingle (cached per
-    worker process — shingle vocabularies repeat heavily across docs)."""
-    return np.array(
-        [md5_int60(f"{b}:{s}") for b in range(NUM_MINHASH)], dtype=np.int64
-    )
+# Fixed 60-bit odd affine-mixing constants (derived once from
+# md5("band-mul:{b}") / md5("band-add:{b}") and frozen as literals so
+# the DuckDB oracle can inline the identical numbers). Band hash of a
+# shingle = ((base * A[b] + C[b]) mod 2^64) >> 4 with base =
+# md5_int60(shingle): ONE md5 per shingle, the 16 band hashes are pure
+# numpy uint64 arithmetic (wrapping multiply == mod 2^64).
+_A_MIX = np.array(
+    [970093128813337019, 510547309370229577, 217891425458540569,
+     178928418295206349, 268731137621810575, 522160043042962475,
+     658289319908064803, 540568891208713709, 592568348734868099,
+     738474748503612773, 659330698441125471, 420042759954707237,
+     148739015299098375, 885448385652878741, 14317369570486797,
+     366583070843983143], dtype=np.uint64,
+)
+_C_MIX = np.array(
+    [1066810541400733247, 345639057427858655, 1132013555772544811,
+     534874867018421977, 1128815086626920035, 740944653119211399,
+     607254188639757903, 215659733032312389, 539884348829010659,
+     748464624269991483, 338154912357382831, 185999683221543221,
+     769706543339830707, 1099288866385350813, 128291640397467975,
+     152824843291383751], dtype=np.uint64,
+)
+
+_shingle_base = __import__("functools").lru_cache(maxsize=1 << 20)(md5_int60)
 
 
 def _signature_rows(batch: pa.Table) -> pa.Table:
-    """(doc_id, band, minhash) rows — NUM_MINHASH per doc with ≥1 shingle."""
-    out_id, out_band, out_mh = [], [], []
-    bands = list(range(NUM_MINHASH))
+    """(doc_id, band, minhash) rows — NUM_MINHASH per doc with ≥1 shingle.
+
+    One md5 per unique shingle (process-cached), then a single
+    (n_shingles × 16) uint64 affine mix + per-doc segment minima
+    (np.minimum.reduceat) for the whole batch — no per-band hashing."""
+    bases_flat: list[int] = []
+    starts: list[int] = []
+    out_ids: list[int] = []
     for doc_id, text in zip(
         batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
     ):
         sh = shingles_of(text or "", 3)
         if not sh:
             continue
-        sig = np.min(np.stack([_band_hashes(s) for s in sh]), axis=0)
-        out_id.extend([doc_id] * NUM_MINHASH)
-        out_band.extend(bands)
-        out_mh.extend(sig.tolist())
+        starts.append(len(bases_flat))
+        bases_flat.extend(_shingle_base(s) for s in sh)
+        out_ids.append(doc_id)
+    if not out_ids:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "band": pa.array([], pa.int64()),
+                "minhash": pa.array([], pa.int64()),
+            }
+        )
+    base = np.array(bases_flat, dtype=np.uint64)
+    mixed = (base[:, None] * _A_MIX[None, :] + _C_MIX[None, :]) >> np.uint64(4)
+    sigs = np.minimum.reduceat(mixed, np.array(starts, dtype=np.int64), axis=0)
+    n = len(out_ids)
     return pa.table(
         {
-            "doc_id": pa.array(out_id, pa.int64()),
-            "band": pa.array(out_band, pa.int64()),
-            "minhash": pa.array(out_mh, pa.int64()),
+            "doc_id": pa.array(
+                np.repeat(np.array(out_ids, dtype=np.int64), NUM_MINHASH), pa.int64()
+            ),
+            "band": pa.array(np.tile(np.arange(NUM_MINHASH, dtype=np.int64), n), pa.int64()),
+            "minhash": pa.array(sigs.astype(np.int64).ravel(), pa.int64()),
         }
     )
 
@@ -163,24 +189,33 @@ def _signature_rows(batch: pa.Table) -> pa.Table:
 N_COARSE_PARTS = 64  # buckets are coarse-hashed into this many shuffle keys
 
 
-def _bucket_pairs_fn(key_cols: list[str], max_bucket: int):
+def _bucket_pairs_fn(key_cols: list[str], max_bucket: int, carry: tuple[str, ...] = ()):
     """Vectorized pair emission over a COARSE partition that contains
     many buckets: one pandas groupby per partition (not one Python call
     per bucket — that is what makes this scale: a naive
     groupby(bucket).map_groups costs a Python invocation per bucket,
-    ~100k of them per million docs)."""
+    ~100k of them per million docs).
+
+    ``carry`` names int64 per-doc attribute columns riding on the
+    input rows (shingle-set size, simhash fingerprint); for every
+    emitted pair they are re-emitted as ``{c}_a`` / ``{c}_b`` so the
+    downstream pair groupby can reduce them (Min — every duplicate of
+    a pair carries identical values) instead of the driver broadcasting
+    an O(n_docs) lookup dict."""
+    out_cols = ["pair_key", *(f"{c}_a" for c in carry), *(f"{c}_b" for c in carry)]
 
     def fn(part: pa.Table) -> pa.Table:
-        empty = pa.table({"pair_key": pa.array([], pa.int64())})
+        empty = pa.table({c: pa.array([], pa.int64()) for c in out_cols})
         if part.num_rows == 0:
             return empty
-        df = part.select([*key_cols, "doc_id"]).to_pandas()
+        df = part.select([*key_cols, "doc_id", *carry]).to_pandas()
         df = df.sort_values([*key_cols, "doc_id"], ignore_index=True)
         sizes = df.groupby(key_cols, sort=False)["doc_id"].transform("size").to_numpy()
         keep = (sizes >= 2) & (sizes <= max_bucket)
         if not keep.any():
             return empty
         ids_all = df["doc_id"].to_numpy()[keep]
+        carr = {c: df[c].to_numpy()[keep] for c in carry}
         sz = sizes[keep]
         # groups are contiguous (sorted) and id-sorted within; emit pairs
         # per SIZE CLASS with one reshape + triu each (≤ max_bucket numpy
@@ -189,27 +224,49 @@ def _bucket_pairs_fn(key_cols: list[str], max_bucket: int):
         # shuffles a single fixed-width key; ids ≥ 2^31 would switch to
         # the two-column key (assert guards the assumption).
         keys = []
+        carry_out: dict[str, list[np.ndarray]] = {c: [] for c in out_cols[1:]}
         for s in np.unique(sz):
-            mat = ids_all[sz == s].reshape(-1, s)
+            m = sz == s
+            mat = ids_all[m].reshape(-1, s)
             ii, jj = np.triu_indices(int(s), 1)
             a = mat[:, ii].ravel()
             b = mat[:, jj].ravel()
             keys.append((a << np.int64(32)) | b)
-        out = np.concatenate(keys)
+            for c in carry:
+                cm = carr[c][m].reshape(-1, s)
+                carry_out[f"{c}_a"].append(cm[:, ii].ravel())
+                carry_out[f"{c}_b"].append(cm[:, jj].ravel())
         assert ids_all.size == 0 or ids_all.max() < 2**31
-        return pa.table({"pair_key": pa.array(out, pa.int64())})
+        cols = {"pair_key": pa.array(np.concatenate(keys), pa.int64())}
+        for c in out_cols[1:]:
+            cols[c] = pa.array(np.concatenate(carry_out[c]), pa.int64())
+        return pa.table(cols)
 
     return fn
 
 
-def _unpack_pairs(batch: pa.Table, count_name: str) -> pa.Table:
-    k = batch.column("pair_key").to_numpy(zero_copy_only=False)
-    return pa.table(
-        {
-            "doc_a": pa.array(k >> np.int64(32), pa.int64()),
-            "doc_b": pa.array(k & np.int64(0xFFFFFFFF), pa.int64()),
-            count_name: batch.column("count()").cast(pa.int64()),
-        }
+def _unpack_key(k: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return k >> np.int64(32), k & np.int64(0xFFFFFFFF)
+
+
+def _reduce_pairs(pairs_ds: "ray.data.Dataset", reduce_fn):
+    """Pair-key reduction as coarse-hash shuffle + vectorized pandas
+    per partition. Ray's generic hash Aggregate pays per-group overhead
+    — catastrophic with millions of distinct pair keys (273 s of remote
+    wall at sf0.1 in round 1's plan); a 64-way repartition + one pandas
+    groupby per partition does the same reduction in well under a
+    second of compute."""
+
+    def add_p2(batch: pa.Table) -> pa.Table:
+        k = batch.column("pair_key").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part2", pa.array((k % N_COARSE_PARTS).astype(np.int64), pa.int64())
+        )
+
+    return (
+        pairs_ds.map_batches(add_p2, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(reduce_fn, batch_format="pyarrow")
     )
 
 
@@ -228,17 +285,26 @@ def minhash_lsh_pairs(sf_dir: str) -> "ray.data.Dataset":
             "part", pa.array((mh % N_COARSE_PARTS).astype(np.int64), pa.int64())
         )
 
-    pairs = (
+    def count_shared(part: pa.Table) -> pa.Table:
+        keys, counts = np.unique(
+            part.column("pair_key").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        a, b = _unpack_key(keys)
+        return pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "n_shared_bands": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    candidates = (
         sig.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(_bucket_pairs_fn(["band", "minhash"], MAX_BUCKET),
                     batch_format="pyarrow")
-        .groupby("pair_key")
-        .count()
-        .map_batches(lambda b: _unpack_pairs(b, "n_shared_bands"),
-                     batch_format="pyarrow")
     )
-    return pairs
+    return _reduce_pairs(candidates, count_shared)
 
 
 # ---------------------------------------------------------------------------
@@ -307,39 +373,15 @@ def simhash_fingerprints(sf_dir: str) -> "ray.data.Dataset":
     return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING) -> pa.Table:
+def simhash_pairs(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING) -> "ray.data.Dataset":
     """Pairs with hamming(simhash) ≤ max_hamming.
 
-    The fingerprint table is tiny (8 bytes/doc); it is broadcast and
-    each batch popcounts itself against the whole table (vectorized
-    uint64 xor). At 10^12 docs this becomes banded-bit LSH (split the
-    64 bits into max_hamming+1 bands; exact-match groupby per band
-    guarantees recall) — the band path reuses minhash_lsh machinery."""
-    fp_ds = simhash_fingerprints(sf_dir).materialize()  # tiny: 8B+id per doc
-    fps = fp_ds.to_pandas()
-    all_ids = fps["doc_id"].to_numpy()
-    all_fp = np.array([int(s, 16) for s in fps["simhash"]], dtype=np.uint64)
-    ref = ray.put((all_ids, all_fp))
-
-    def fn(batch: pa.Table) -> pa.Table:
-        ids_g, fp_g = ray.get(ref)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        fp = np.array(
-            [int(s, 16) for s in batch.column("simhash").to_pylist()], dtype=np.uint64
-        )
-        x = fp[:, None] ^ fp_g[None, :]
-        # vectorized popcount on uint64 via byte view
-        ham = np.unpackbits(x.view(np.uint8).reshape(x.shape[0], x.shape[1], 8), axis=2).sum(axis=2)
-        ii, jj = np.nonzero((ham <= max_hamming) & (ids[:, None] < ids_g[None, :]))
-        return pa.table(
-            {
-                "doc_a": pa.array(ids[ii], pa.int64()),
-                "doc_b": pa.array(ids_g[jj], pa.int64()),
-                "hamming": pa.array(ham[ii, jj].astype(np.int64), pa.int64()),
-            }
-        )
-
-    return fp_ds.map_batches(fn, batch_format="pyarrow")
+    Delegates to the banded-bit LSH plan: by pigeonhole it has EXACT
+    recall (any pair within max_hamming matches ≥1 of max_hamming+1
+    bands), so the former O(n²) broadcast-popcount baseline added
+    nothing but driver-side O(n) state and was removed (round-1
+    verdict) — one plan, one oracle, no all-pairs comparison."""
+    return simhash_pairs_banded(sf_dir, max_hamming)
 
 
 def simhash_pairs_banded(
@@ -354,27 +396,28 @@ def simhash_pairs_banded(
     comparison — the plan that survives 10^12 docs."""
     n_bands = max_hamming + 1
     band_bits = 64 // n_bands
-    mask = (1 << band_bits) - 1
-
-    fp_ds = simhash_fingerprints(sf_dir).materialize()
-    fps = fp_ds.to_pandas()
-    fp_map = dict(zip(fps["doc_id"], (int(s, 16) for s in fps["simhash"])))
-    fp_ref = ray.put(fp_map)
+    mask = np.uint64((1 << band_bits) - 1)
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        out_id, out_band, out_key = [], [], []
-        for i, s in zip(ids, batch.column("simhash").to_pylist()):
-            f = int(s, 16)
-            for b in range(n_bands):
-                out_id.append(i)
-                out_band.append(b)
-                out_key.append((f >> (b * band_bits)) & mask)
+        """n_bands rows per doc: (doc_id, band, key, fp). The 8-byte
+        fingerprint RIDES ON the band rows (stored as the int64 bit
+        pattern) so verification after the bucket shuffle is local —
+        no driver-side fingerprint dict (round-1 scale bug)."""
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        fp = np.array(
+            [int(s, 16) for s in batch.column("simhash").to_pylist()],
+            dtype=np.uint64,
+        )
+        shifts = (np.arange(n_bands, dtype=np.uint64) * np.uint64(band_bits))
+        keys = ((fp[:, None] >> shifts[None, :]) & mask).astype(np.int64).ravel()
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int64()),
-                "key": pa.array(out_key, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(n_bands, dtype=np.int64), len(ids)), pa.int64()
+                ),
+                "key": pa.array(keys, pa.int64()),
+                "fp": pa.array(np.repeat(fp.view(np.int64), n_bands), pa.int64()),
             }
         )
 
@@ -384,14 +427,19 @@ def simhash_pairs_banded(
             "part", pa.array((k % N_COARSE_PARTS).astype(np.int64), pa.int64())
         )
 
-    def verify(batch: pa.Table) -> pa.Table:
-        fm = ray.get(fp_ref)
-        keys = batch.column("pair_key").to_numpy(zero_copy_only=False)
-        a = keys >> np.int64(32)
-        b = keys & np.int64(0xFFFFFFFF)
-        ham = np.array(
-            [bin(fm[int(x)] ^ fm[int(y)]).count("1") for x, y in zip(a, b)],
-            dtype=np.int64,
+    def verify_part(part: pa.Table) -> pa.Table:
+        # dedupe candidate pairs (same pair can match several bands),
+        # then local popcount-verify on the carried fingerprints
+        keys = part.column("pair_key").to_numpy(zero_copy_only=False)
+        _, first = np.unique(keys, return_index=True)
+        a, b = _unpack_key(keys[first])
+        fa = part.column("fp_a").to_numpy(zero_copy_only=False)[first].view(np.uint64)
+        fb = part.column("fp_b").to_numpy(zero_copy_only=False)[first].view(np.uint64)
+        x = fa ^ fb
+        ham = (
+            np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+            .sum(axis=1)
+            .astype(np.int64)
         )
         keep = ham <= max_hamming
         return pa.table(
@@ -402,16 +450,15 @@ def simhash_pairs_banded(
             }
         )
 
-    return (
-        fp_ds.map_batches(band_rows, batch_format="pyarrow")
+    candidates = (
+        simhash_fingerprints(sf_dir)
+        .map_batches(band_rows, batch_format="pyarrow")
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(_bucket_pairs_fn(["band", "key"], 4096),
+        .map_groups(_bucket_pairs_fn(["band", "key"], 4096, carry=("fp",)),
                     batch_format="pyarrow")
-        .groupby("pair_key")
-        .count()
-        .map_batches(verify, batch_format="pyarrow")
     )
+    return _reduce_pairs(candidates, verify_part)
 
 
 # ---------------------------------------------------------------------------
@@ -419,17 +466,22 @@ def simhash_pairs_banded(
 # ---------------------------------------------------------------------------
 
 def _shingle_rows(batch: pa.Table) -> pa.Table:
-    out_id, out_sh = [], []
+    """(doc_id, shingle_hash, n) rows — n = the doc's shingle-set size,
+    carried on every row so pair finalization never needs a driver-side
+    size lookup (round-1 scale bug: sizes dict built on the driver)."""
+    out_id, out_sh, out_n = [], [], []
     for doc_id, text in zip(
         batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
     ):
-        for s in shingles_of(text or "", 3):
-            out_id.append(doc_id)
-            out_sh.append(md5_int60(s))
+        sh = shingles_of(text or "", 3)
+        out_id.extend([doc_id] * len(sh))
+        out_sh.extend(_shingle_base(s) for s in sh)
+        out_n.extend([len(sh)] * len(sh))
     return pa.table(
         {
             "doc_id": pa.array(out_id, pa.int64()),
             "shingle": pa.array(out_sh, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
         }
     )
 
@@ -438,28 +490,13 @@ def ngram_jaccard_pairs(sf_dir: str) -> "ray.data.Dataset":
     """Pairs with Jaccard(3-shingles) ≥ JACCARD_NUM/JACCARD_DEN,
     computed exactly with integer arithmetic.
 
-    Inverted-index plan: explode (shingle, doc_id) → drop shingles in
-    > MAX_SHINGLE_DOCS docs (hot-key guard) → per-shingle pairs →
-    groupby(pair) count = |A∩B| → attach broadcast set sizes →
-    integer-threshold filter."""
+    Inverted-index plan: explode (shingle, doc_id, set_size) → drop
+    shingles in > MAX_SHINGLE_DOCS docs (hot-key guard) → per-shingle
+    pairs carrying both set sizes → groupby(pair) Count+Min =
+    (|A∩B|, |A|, |B|) → local integer-threshold filter. One shuffle,
+    no driver state, nothing but int64 columns in flight."""
     docs = _read_docs(sf_dir)
     sh = docs.map_batches(_shingle_rows, batch_format="pyarrow")
-
-    # set sizes per doc: one (doc_id, n) row per doc from a shuffle-free
-    # second pass over the pruned read (cheaper than a groupby sort)
-    def _size_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        ns = [len(shingles_of(t or "", 3)) for t in batch.column("text").to_pylist()]
-        return pa.table(
-            {"doc_id": pa.array(ids, pa.int64()), "n": pa.array(ns, pa.int64())}
-        )
-
-    sizes: dict[int, int] = {}
-    for b in docs.map_batches(_size_rows, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        sizes.update(zip(b.column("doc_id").to_pylist(), b.column("n").to_pylist()))
-    sizes_ref = ray.put(sizes)
 
     def add_part(batch: pa.Table) -> pa.Table:
         s = batch.column("shingle").to_numpy(zero_copy_only=False)
@@ -467,40 +504,33 @@ def ngram_jaccard_pairs(sf_dir: str) -> "ray.data.Dataset":
             "part", pa.array((s % N_COARSE_PARTS).astype(np.int64), pa.int64())
         )
 
-    inter = (
-        sh.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(_bucket_pairs_fn(["shingle"], MAX_SHINGLE_DOCS),
-                    batch_format="pyarrow")
-        .groupby("pair_key")
-        .count()
-        .map_batches(lambda b: _unpack_pairs(b, "intersection"),
-                     batch_format="pyarrow")
-    )
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        sz = ray.get(sizes_ref)
-        a = batch.column("doc_a").to_pylist()
-        b = batch.column("doc_b").to_pylist()
-        inter_n = batch.column("intersection").to_pylist()
-        size_a = [sz[i] for i in a]
-        size_b = [sz[i] for i in b]
-        union = [sa + sb - n for sa, sb, n in zip(size_a, size_b, inter_n)]
-        keep = [
-            n * JACCARD_DEN >= u * JACCARD_NUM for n, u in zip(inter_n, union)
-        ]
-        t = pa.table(
+    def finalize_part(part: pa.Table) -> pa.Table:
+        # per-pair row count = |A∩B|; sizes ride on every row
+        keys = part.column("pair_key").to_numpy(zero_copy_only=False)
+        uk, first, counts = np.unique(keys, return_index=True, return_counts=True)
+        a, b = _unpack_key(uk)
+        inter_n = counts.astype(np.int64)
+        size_a = part.column("n_a").to_numpy(zero_copy_only=False)[first]
+        size_b = part.column("n_b").to_numpy(zero_copy_only=False)[first]
+        union = size_a + size_b - inter_n
+        keep = inter_n * JACCARD_DEN >= union * JACCARD_NUM
+        return pa.table(
             {
-                "doc_a": pa.array(a, pa.int64()),
-                "doc_b": pa.array(b, pa.int64()),
-                "intersection": pa.array(inter_n, pa.int64()),
-                "size_a": pa.array(size_a, pa.int64()),
-                "size_b": pa.array(size_b, pa.int64()),
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+                "intersection": pa.array(inter_n[keep], pa.int64()),
+                "size_a": pa.array(size_a[keep], pa.int64()),
+                "size_b": pa.array(size_b[keep], pa.int64()),
             }
         )
-        return t.filter(pa.array(keep, pa.bool_()))
 
-    return inter.map_batches(finalize, batch_format="pyarrow")
+    candidates = (
+        sh.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_bucket_pairs_fn(["shingle"], MAX_SHINGLE_DOCS, carry=("n",)),
+                    batch_format="pyarrow")
+    )
+    return _reduce_pairs(candidates, finalize_part)
 
 
 # ---------------------------------------------------------------------------

@@ -111,6 +111,27 @@ def route_filter(route: str, cfg: ExtractionConfig):
     return f
 
 
+def cost_order_batch(batch: pa.Table) -> pa.Table:
+    """Longest-job-first dispatch (O1): order each block by est_cost
+    descending (doc_id tiebreak for determinism) before the actor pool.
+
+    This is the streaming remap of the reference's priority dequeue
+    (/root/reference/src/ocr/queue.rs:165-180 — ORDER BY priority DESC):
+    the executor slices blocks into batches IN ORDER, so the expensive
+    docs of every block are dispatched to the pool first and the final,
+    straggler-prone tasks hold only cheap docs. Scoped per block on
+    purpose — a global ``ds.sort("est_cost")`` would all-to-all-shuffle
+    the span payloads (forbidden by the no-payload-shuffle invariant)
+    and add a pipeline barrier; read order already randomizes cost
+    across blocks at scale."""
+    if batch.num_rows <= 1:
+        return batch
+    idx = pc.sort_indices(
+        batch, sort_keys=[("est_cost", "descending"), ("doc_id", "ascending")]
+    )
+    return batch.take(idx)
+
+
 # ---------------------------------------------------------------------------
 # text branch — fully vectorized (M10 + M17 + M18)
 # ---------------------------------------------------------------------------
@@ -683,6 +704,7 @@ def build_extracted(
     main_ds = (
         branch("main")
         .map_batches(route_filter("main", cfg), batch_format="pyarrow")
+        .map_batches(cost_order_batch, batch_format="pyarrow")
         .map_batches(
             UnifiedExtractor, fn_constructor_args=(cfg,), batch_format="pyarrow",
             batch_size=cfg.extract_batch_size, concurrency=main_pool,
