@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract": textops.html_extract,
         # --- dedup suite ---
         "dedup_exact": dedup.exact_dedup,
+        "dedup_path": dedup.path_dedup,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash_fingerprints,
         "dedup_simhash_pairs": dedup.simhash_pairs,
@@ -119,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_allowed": analytics.filter_allowed,
         # --- search / suppression / incremental (F1, F2, D3, W2, A1/A6) ---
         "text_search": search.text_search,
+        "search_ranked": search.search_ranked,
         "search_snippets": search.search_snippets,
         "suppression_antijoin": search.suppression_antijoin,
         "incremental_filter": search.incremental_filter,
@@ -233,6 +235,20 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'skipped_duplicate' END AS dedup_status,
                g.winner AS winner_doc_id
         FROM h JOIN g USING (content_hash)
+    """
+
+    sql["dedup_path"] = """
+        WITH p AS (
+          SELECT doc_id,
+                 source || '/doc-' || CAST(doc_id % 13 AS VARCHAR) || '.txt' AS rel_path
+          FROM documents
+        ),
+        g AS (SELECT rel_path, min(doc_id) AS winner FROM p GROUP BY 1)
+        SELECT p.doc_id, p.rel_path,
+               CASE WHEN p.doc_id = g.winner THEN 'kept'
+                    ELSE 'skipped_duplicate_path' END AS dedup_status,
+               g.winner AS winner_doc_id
+        FROM p JOIN g USING (rel_path)
     """
 
     sql["dedup_minhash_lsh"] = f"""
@@ -431,6 +447,33 @@ def oracle_sql() -> dict[str, str]:
     """
 
 
+    sql["preprocess_stats"] = """
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(64 + CAST('0x' || substr(md5(text), 1, 8) AS UBIGINT) % 320 AS BIGINT) AS width,
+                 CAST(64 + CAST('0x' || substr(md5(text), 9, 8) AS UBIGINT) % 320 AS BIGINT) AS height
+          FROM documents
+        ),
+        rot AS (
+          SELECT doc_id, width, height,
+                 CAST(width AS DOUBLE) / height > 2.0 AS rotated,
+                 CASE WHEN CAST(width AS DOUBLE) / height > 2.0 THEN height ELSE width END AS w2,
+                 CASE WHEN CAST(width AS DOUBLE) / height > 2.0 THEN width ELSE height END AS h2
+          FROM dims
+        ),
+        sc AS (
+          SELECT *, CASE WHEN greatest(w2, h2) > 2048 THEN 2048.0 / greatest(w2, h2)
+                         WHEN least(w2, h2) < 300 THEN 600.0 / least(w2, h2)
+                         ELSE 1.0 END AS scale
+          FROM rot
+        )
+        SELECT doc_id, width, height, rotated,
+               scale <> 1.0 AS resized,
+               greatest(1, CAST(trunc(w2 * scale) AS BIGINT)) AS out_w,
+               greatest(1, CAST(trunc(h2 * scale) AS BIGINT)) AS out_h
+        FROM sc
+    """
+
     sql["text_search"] = """
         SELECT doc_id,
                CAST((length(text) - length(replace(text, 'spark', ''))) / 5 AS BIGINT) AS n_hits,
@@ -438,6 +481,22 @@ def oracle_sql() -> dict[str, str]:
                strpos(text, 'the table') > 0 AS match_phrase,
                (strpos(text, 'table') > 0 AND strpos(text, 'value') > 0) AS match_boolean
         FROM documents
+    """
+
+    sql["search_ranked"] = """
+        SELECT doc_id, rank_score, rnk FROM (
+          SELECT doc_id, rank_score,
+                 CAST(row_number() OVER (ORDER BY rank_score DESC, doc_id ASC)
+                      AS BIGINT) AS rnk
+          FROM (
+            SELECT doc_id,
+                   CAST(10 * (length(text) - length(replace(text, 'spark', ''))) / 5
+                      +  5 * (length(text) - length(replace(text, 'table', ''))) / 5
+                      +      (length(text) - length(replace(text, 'value', ''))) / 5
+                        AS BIGINT) AS rank_score
+            FROM documents
+          ) WHERE rank_score > 0
+        ) WHERE rnk > 20 AND rnk <= 40
     """
 
     sql["search_snippets"] = """

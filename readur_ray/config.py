@@ -78,6 +78,12 @@ class ExtractionConfig:
     # resolver spec understood by readur_ray.sources.media
     media_resolver: str = "synth"      # 'synth' | 'parquet:<path>'
 
+    # 'hermetic' (synthetic payload parsers, always available) or
+    # 'real' (pypdfium2 + tesserocr/pytesseract — import-guarded; the
+    # extraction DAG is identical either way, only the per-actor engine
+    # objects differ)
+    engine_backend: str = "hermetic"
+
     # run the P1-P12 preprocessing chain on decoded image arrays inside
     # the image-OCR actor (settings.rs enable_image_preprocessing; the
     # hermetic path decodes a deterministic synthetic array)

@@ -115,6 +115,57 @@ def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def path_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """D2 — path-level keep-first: the reference's WebDAV discovery
+    keeps the FIRST occurrence per relative path
+    (/root/reference/src/services/webdav/service.rs:1295-1301). The
+    synthetic relative path is source || '/doc-' || (doc_id % 13) ||
+    '.txt' (re-observations of the same path collide by construction);
+    winner = min doc_id per path. Same single-shuffle coarse-partition
+    plan as exact_dedup — nothing driver-side."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def pathed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        srcs = batch.column("source").to_pylist()
+        paths = [f"{s}/doc-{i % 13}.txt" for s, i in zip(srcs, ids)]
+        part = np.array(
+            [hash_part % N_COARSE_PARTS for hash_part in
+             (int(__import__("hashlib").md5(p.encode()).hexdigest()[:8], 16)
+              for p in paths)],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "rel_path": pa.array(paths, pa.string()),
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    def winners_part(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.select(["doc_id", "rel_path"]).to_pandas()
+        win = df.groupby("rel_path")["doc_id"].transform("min").to_numpy()
+        ids = df["doc_id"].to_numpy()
+        status = np.where(win == ids, "kept", "skipped_duplicate_path")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "rel_path": pa.array(df["rel_path"], pa.string()),
+                "dedup_status": pa.array(status, pa.string()),
+                "winner_doc_id": pa.array(win, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(pathed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(winners_part, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

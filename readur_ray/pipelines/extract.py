@@ -57,7 +57,7 @@ from ..functions.quality import validate_ocr_quality
 from ..functions.wordcount import count_words_array, count_words_safely
 from ..schema import EXTRACTED, OUT_SPAN
 from ..sources.media import make_resolver
-from ..stages.engines import HermeticImageOcrEngine, HermeticPdfEngine
+from ..stages.engines import make_image_engine, make_pdf_engine
 from .. import synth
 
 _ALLOWED_MIMES = {
@@ -278,8 +278,11 @@ class DocExtractor:
     def __init__(self, cfg: ExtractionConfig):
         self.cfg = cfg
         self.resolver = make_resolver(cfg.media_resolver)
-        self.pdf = HermeticPdfEngine(cfg)
-        self.img = HermeticImageOcrEngine(cfg)
+        # backend-selected engines (hermetic or real), built once per
+        # actor — construction fails fast if a real backend's wheels
+        # are missing (ST4 preflight)
+        self.pdf = make_pdf_engine(cfg)
+        self.img = make_image_engine(cfg)
 
     def _with_retry(self, fn, *args):
         """Bounded in-actor retry: RECOVERABLE failures (timeout /
@@ -450,8 +453,11 @@ class PageExtractor:
     def __init__(self, cfg: ExtractionConfig):
         self.cfg = cfg
         self.resolver = make_resolver(cfg.media_resolver)
-        self.pdf = HermeticPdfEngine(cfg)
-        self.img = HermeticImageOcrEngine(cfg)
+        # backend-selected engines (hermetic or real), built once per
+        # actor — construction fails fast if a real backend's wheels
+        # are missing (ST4 preflight)
+        self.pdf = make_pdf_engine(cfg)
+        self.img = make_image_engine(cfg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()

@@ -149,9 +149,11 @@ class PreprocessAnalyzer:
         )
 
 
-def preprocess_stats(sf_dir: str) -> "ray.data.Dataset":
-    """P1-P12 chain over per-doc synthetic decoded images (actor pool;
-    deterministic → stable rows-only check)."""
+def preprocess_chain_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Full P1-P12 chain over per-doc synthetic decoded images (actor
+    pool; deterministic but float-convolution-based → pytest-verified,
+    not SQL-expressible). Library entry point; the driver query
+    ``preprocess_stats`` is the SQL-oracle-checkable decision subset."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
@@ -174,6 +176,50 @@ def preprocess_stats(sf_dir: str) -> "ray.data.Dataset":
         concurrency=(1, 4),
         num_cpus=1,
     )
+
+
+def preprocess_stats(sf_dir: str) -> "ray.data.Dataset":
+    """P1/P2 preprocessing DECISIONS (orientation + smart-resize
+    geometry, /root/reference/src/ocr/enhanced.rs:339-386) per doc,
+    with md5-derived synthetic dimensions — pure integer/float64
+    geometry, mirrored exactly by the DuckDB oracle.
+
+    Decision math (identical to stages.preprocess correct_orientation /
+    smart_resize): rotate 90° iff w/h > 2; then if the longest edge
+    > 2048 scale by 2048/max, elif the shortest < 300 scale by 600/min;
+    out dims = max(1, trunc(dim * scale))."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        hexes = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+        w = np.array([64 + int(h[0:8], 16) % 320 for h in hexes], dtype=np.int64)
+        h = np.array([64 + int(x[8:16], 16) % 320 for x in hexes], dtype=np.int64)
+        rotated = w.astype(np.float64) / h.astype(np.float64) > 2.0
+        w2 = np.where(rotated, h, w)
+        h2 = np.where(rotated, w, h)
+        mx = np.maximum(w2, h2).astype(np.float64)
+        mn = np.minimum(w2, h2).astype(np.float64)
+        scale = np.where(mx > 2048.0, 2048.0 / mx,
+                         np.where(mn < 300.0, 600.0 / mn, 1.0))
+        resized = scale != 1.0
+        out_w = np.maximum(1, (w2.astype(np.float64) * scale).astype(np.int64))
+        out_h = np.maximum(1, (h2.astype(np.float64) * scale).astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "width": pa.array(w, pa.int64()),
+                "height": pa.array(h, pa.int64()),
+                "rotated": pa.array(rotated, pa.bool_()),
+                "resized": pa.array(resized, pa.bool_()),
+                "out_w": pa.array(out_w, pa.int64()),
+                "out_h": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def multimodal_meta(sf_dir: str) -> "ray.data.Dataset":

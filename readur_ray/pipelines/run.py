@@ -272,11 +272,10 @@ def run_requeue_phase(
         ledger.append_entry(out_dir, {"kind": "requeue", "retried": 0})
         return {"retried": 0, "retry_dir": None}
 
-    ids_ref = ray.put(retry_ids)
+    ids_ref = ray.put(pa.array(sorted(retry_ids)))
 
     def only_retry(batch: pa.Table) -> pa.Table:
-        ids = ray.get(ids_ref)
-        keep = pa.array([i in ids for i in batch.column("doc_id").to_pylist()])
+        keep = pc.is_in(batch.column("doc_id"), value_set=ray.get(ids_ref))
         return batch.filter(keep)
 
     # materialize the (tiny) retry input first so the re-extraction DAG

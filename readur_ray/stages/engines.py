@@ -103,19 +103,7 @@ class HermeticPdfEngine:
         words: list[str] = []
         for m in _BT_RE.findall(payload):
             words.extend(m.decode("utf-8", errors="ignore").split())
-        run: list[str] = []
-        cur = []
-        for b in payload:
-            if 32 <= b <= 126:
-                cur.append(chr(b))
-            else:
-                if len(cur) > 3:
-                    run.append("".join(cur))
-                cur = []
-        if len(cur) > 3:
-            run.append("".join(cur))
-        for token in " ".join(run).split():
-            words.append(token)
+        words.extend(_printable_runs_text(payload).split())
         cleaned = " ".join(w for w in words if len(w) > 1)
         if not cleaned.strip():
             raise ExtractionError("No readable text found in PDF")
@@ -208,33 +196,240 @@ class HermeticImageOcrEngine:
         return EngineResult(text, conf, "ocr_text", wc, prep, ms)
 
 
-class RealPdfEngine:
-    """STUB — real pdfium/pdfminer/ocrmypdf backend (not in container)."""
+def _printable_runs_text(payload: bytes) -> str:
+    """M12 last resort: printable-ASCII runs (>3 chars) from the raw
+    bytes, tokens >1 char — shared by the hermetic and real byte-scan
+    (/root/reference/src/ocr/enhanced.rs:980-1119)."""
+    run: list[str] = []
+    cur: list[str] = []
+    for b in payload:
+        if 32 <= b <= 126:
+            cur.append(chr(b))
+        else:
+            if len(cur) > 3:
+                run.append("".join(cur))
+            cur = []
+    if len(cur) > 3:
+        run.append("".join(cur))
+    return " ".join(w for w in " ".join(run).split() if len(w) > 1)
+
+
+class _TesseractBackend:
+    """Warm Tesseract handle shared by the real engines: prefers
+    tesserocr (in-process API, one warm handle per ACTOR — the ST1
+    semantics; /root/reference/src/ocr/health.rs:13-57), falls back to
+    pytesseract (subprocess per call). Raises NotImplementedError when
+    neither wheel is installed."""
+
+    def __init__(self, cfg: ExtractionConfig):
+        self.cfg = cfg
+        self._api = None
+        self._pytesseract = None
+        try:
+            import tesserocr
+
+            self._api = tesserocr.PyTessBaseAPI(
+                lang=cfg.ocr_language,
+                psm=tesserocr.PSM(cfg.ocr_page_segmentation_mode),
+                oem=tesserocr.OEM(cfg.ocr_engine_mode),
+            )
+        except ImportError:
+            try:
+                import pytesseract
+
+                self._pytesseract = pytesseract
+            except ImportError as e:
+                raise NotImplementedError(
+                    "real engine backend requires tesserocr or pytesseract "
+                    "(neither installed); use engine_backend='hermetic'"
+                ) from e
+
+    def ocr_array(self, arr) -> tuple[str, float]:
+        """(text, mean word confidence 0-100) for a grayscale/RGB
+        numpy array."""
+        from PIL import Image
+
+        img = Image.fromarray(arr)
+        if self._api is not None:
+            self._api.SetImage(img)
+            text = self._api.GetUTF8Text()
+            conf = float(self._api.MeanTextConf())
+            return text, conf
+        data = self._pytesseract.image_to_data(
+            img,
+            lang=self.cfg.ocr_language,
+            config=f"--psm {self.cfg.ocr_page_segmentation_mode} "
+                   f"--oem {self.cfg.ocr_engine_mode}",
+            output_type=self._pytesseract.Output.DICT,
+            timeout=self.cfg.ocr_timeout_seconds,
+        )
+        words = [w for w, c in zip(data["text"], data["conf"])
+                 if w.strip() and float(c) >= 0]
+        confs = [float(c) for w, c in zip(data["text"], data["conf"])
+                 if w.strip() and float(c) >= 0]
+        text = " ".join(words)
+        conf = sum(confs) / len(confs) if confs else 0.0
+        return text, conf
+
+
+class RealTesseractEngine:
+    """Real image-OCR backend (M16 + P1-P12 on the true decoded array).
+
+    Same interface and decision chain as HermeticImageOcrEngine:
+    decode (PIL) → dimension caps → preprocessing chain on the real
+    grayscale array → Tesseract OCR with mean-word-confidence
+    (/root/reference/src/ocr/enhanced.rs:339-386,52-119). Construction
+    raises NotImplementedError when the OCR wheels are absent, so a
+    misconfigured cluster fails fast at actor __init__ (ST4 preflight),
+    not mid-stream."""
 
     def __init__(self, cfg: ExtractionConfig | None = None):
+        self.cfg = cfg or ExtractionConfig()
+        try:
+            import numpy  # noqa: F401
+            from PIL import Image  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "RealTesseractEngine requires Pillow (not installed); "
+                "use engine_backend='hermetic'"
+            ) from e
+        self._tess = _TesseractBackend(self.cfg)
+
+    def extract(self, payload: bytes) -> EngineResult:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        t0 = time.perf_counter()
+        try:
+            img = Image.open(io.BytesIO(payload))
+            img.load()
+        except Exception as e:
+            raise ExtractionError(f"corrupted image payload: {e}") from None
+        w, h = img.size
+        max_w, max_h = self.cfg.max_image_pixels
+        if w > max_w or h > max_h:
+            raise ExtractionError(f"Image too large: {w}x{h} (max: {max_w}x{max_h})")
+        arr = np.asarray(img.convert("L"))
+        prep: list[str] = []
+        if self.cfg.enable_image_preprocessing:
+            from .preprocess import preprocess_image
+
+            arr, _, prep = preprocess_image(arr, self.cfg.preprocess_settings())
+        text, conf = self._tess.ocr_array(arr)
+        text = text.strip()
+        wc = count_words_safely(text)
+        ms = int((time.perf_counter() - t0) * 1000)
+        return EngineResult(text, conf, "ocr_text", wc, prep, ms)
+
+
+class RealPdfEngine:
+    """Real PDF backend: pypdfium2 text layer → M13 quality gate →
+    per-page rasterize + Tesseract OCR → printable-byte-scan last
+    resort — the reference chain at
+    /root/reference/src/ocr/enhanced.rs:816-919 with ocrmypdf's
+    force-OCR step replaced by in-process pdfium rendering (same
+    outcome: OCR of the rasterized pages). Interface-identical to
+    HermeticPdfEngine; the DAG runs unchanged with
+    engine_backend='real'."""
+
+    RENDER_SCALE = 300 / 72  # rasterize at ~300 dpi for OCR
+
+    def __init__(self, cfg: ExtractionConfig | None = None):
+        self.cfg = cfg or ExtractionConfig()
         try:
             import pypdfium2  # noqa: F401
         except ImportError as e:
             raise NotImplementedError(
-                "RealPdfEngine requires pypdfium2/ocrmypdf which are not "
-                "installed in this environment; use HermeticPdfEngine."
+                "RealPdfEngine requires pypdfium2 (not installed); "
+                "use engine_backend='hermetic'"
             ) from e
+        self._pdfium = __import__("pypdfium2")
+        self._tess: _TesseractBackend | None = None  # lazy: text-layer PDFs never need it
+
+    def _quick_text(self, pdf) -> str:
+        pages = []
+        for page in pdf:
+            tp = page.get_textpage()
+            try:
+                pages.append(tp.get_text_range())
+            finally:
+                tp.close()
+        return "\n\n".join(pages).strip()
+
+    def _ocr_pages(self, pdf) -> tuple[str, float]:
+        import numpy as np
+
+        if self._tess is None:
+            self._tess = _TesseractBackend(self.cfg)
+        texts, confs = [], []
+        for page in pdf:
+            bitmap = page.render(scale=self.RENDER_SCALE, grayscale=True)
+            arr = np.asarray(bitmap.to_pil().convert("L"))
+            if self.cfg.enable_image_preprocessing:
+                from .preprocess import preprocess_image
+
+                arr, _, _ = preprocess_image(arr, self.cfg.preprocess_settings())
+            t, c = self._tess.ocr_array(arr)
+            if t.strip():
+                texts.append(t.strip())
+                confs.append(c)
+        if not texts:
+            raise ExtractionError("No extractable text found by OCR (0 words)")
+        return "\n\n".join(texts), min(confs)
 
     def extract(self, payload: bytes, declared_size: int | None = None) -> EngineResult:
-        raise NotImplementedError
-
-
-class RealTesseractEngine:
-    """STUB — real tesserocr backend (not in container)."""
-
-    def __init__(self, cfg: ExtractionConfig | None = None):
+        t0 = time.perf_counter()
+        size = declared_size if declared_size is not None else len(payload)
+        if size > self.cfg.max_pdf_bytes:
+            raise ExtractionError(
+                f"PDF file too large: {size / (1024.0 * 1024.0):.1f} MB "
+                f"(max: {self.cfg.max_pdf_bytes / (1024.0 * 1024.0):.1f} MB)."
+            )
+        if not is_valid_pdf(payload[:1024]):
+            raise ExtractionError("Invalid PDF file: Missing or corrupted PDF header")
         try:
-            import tesserocr  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "RealTesseractEngine requires tesserocr which is not "
-                "installed in this environment; use HermeticImageOcrEngine."
-            ) from e
+            pdf = self._pdfium.PdfDocument(payload)
+        except Exception as e:
+            raise ExtractionError(
+                f"PDF has corrupted internal structure: {e}"
+            ) from None
+        try:
+            text = self._quick_text(pdf)
+            wc = count_words_safely(text)
+            if pdf_text_quality_sufficient(text, wc, size):
+                ms = int((time.perf_counter() - t0) * 1000)
+                return EngineResult(text, self.cfg.conf_pdf_quick, "pdf_text", wc,
+                                    ["PDF text extraction (pdfium)"], ms)
+            try:
+                text, conf = self._ocr_pages(pdf)
+                wc = count_words_safely(text)
+                if wc > 0:
+                    ms = int((time.perf_counter() - t0) * 1000)
+                    return EngineResult(text, conf, "pdf_ocr", wc,
+                                        ["PDF OCR (pdfium render + tesseract)"], ms)
+                raise ExtractionError("No extractable text found by OCR (0 words)")
+            except ExtractionError as ocr_err:
+                text = _printable_runs_text(payload)
+                if not text.strip():
+                    raise ocr_err from None
+                wc = count_words_safely(text)
+                ms = int((time.perf_counter() - t0) * 1000)
+                return EngineResult(text, self.cfg.conf_pdf_bytes, "pdf_bytes", wc,
+                                    ["Direct PDF text extraction (last resort)"], ms)
+        finally:
+            pdf.close()
 
-    def extract(self, payload: bytes) -> EngineResult:
-        raise NotImplementedError
+
+def make_pdf_engine(cfg: ExtractionConfig):
+    """Per-actor engine factory (called once in actor __init__)."""
+    if cfg.engine_backend == "real":
+        return RealPdfEngine(cfg)
+    return HermeticPdfEngine(cfg)
+
+
+def make_image_engine(cfg: ExtractionConfig):
+    if cfg.engine_backend == "real":
+        return RealTesseractEngine(cfg)
+    return HermeticImageOcrEngine(cfg)

@@ -23,6 +23,9 @@ from __future__ import annotations
 
 import json
 import os
+import time
+
+COMPACTION_TTL_SECONDS = 7 * 86400  # reference: 7-day completed-item TTL
 
 
 def ledger_path(out_dir: str) -> str:
@@ -43,12 +46,66 @@ def read_ledger(out_dir: str) -> list[dict]:
 
 
 def committed_chunks(out_dir: str) -> set[int]:
-    return {e["chunk"] for e in read_ledger(out_dir) if e.get("kind") == "chunk"}
+    out: set[int] = set()
+    for e in read_ledger(out_dir):
+        if e.get("kind") == "chunk":
+            out.add(e["chunk"])
+        elif e.get("kind") == "snapshot":
+            out.update(e["chunks"])
+    return out
 
 
 def append_entry(out_dir: str, entry: dict) -> None:
+    entry.setdefault("ts", time.time())
     os.makedirs(out_dir, exist_ok=True)
     with open(ledger_path(out_dir), "a") as f:
         f.write(json.dumps(entry, sort_keys=True) + "\n")
         f.flush()
         os.fsync(f.fileno())
+
+
+def compact_ledger(
+    out_dir: str, ttl_seconds: float = COMPACTION_TTL_SECONDS, now: float | None = None
+) -> int:
+    """W6 — completed-item TTL compaction
+    (/root/reference/src/ocr/queue.rs:1085-1098: DELETE completed items
+    older than 7 days). The ledger analog folds chunk entries older
+    than the TTL (plus any prior snapshot) into ONE snapshot line that
+    preserves the committed-chunk set and row total, then atomically
+    rewrites the file (tmp + rename — the same crash-safety rule as
+    chunk commits). Returns the number of entries folded away."""
+    entries = read_ledger(out_dir)
+    if not entries:
+        return 0
+    now = time.time() if now is None else now
+    cutoff = now - ttl_seconds
+    old_chunks: set[int] = set()
+    rows = 0
+    n_folded = 0
+    keep: list[dict] = []
+    for e in entries:
+        if e.get("kind") == "snapshot":
+            old_chunks.update(e["chunks"])
+            rows += e.get("rows", 0)
+            n_folded += 1
+        elif e.get("kind") == "chunk" and e.get("ts", now) <= cutoff:
+            old_chunks.add(e["chunk"])
+            rows += e.get("rows", 0)
+            n_folded += 1
+        else:
+            keep.append(e)
+    if n_folded <= 1:
+        return 0  # nothing to fold (a lone snapshot is already compact)
+    snapshot = {
+        "kind": "snapshot", "chunks": sorted(old_chunks), "rows": rows,
+        "ts": now,
+    }
+    p = ledger_path(out_dir)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        for e in [snapshot, *keep]:
+            f.write(json.dumps(e, sort_keys=True) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+    return n_folded

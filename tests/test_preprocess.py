@@ -124,3 +124,28 @@ def test_engine_integration_records_steps():
     res = eng.extract(payload)
     assert res.text
     assert isinstance(res.preprocessing_applied, list)
+
+
+def test_preprocess_stats_decisions_match_chain_geometry():
+    """The driver query's P1/P2 decision columns must agree with what
+    correct_orientation + smart_resize actually do at those dims."""
+    import hashlib
+
+    for text in ("hello world", "abc", "the table of values", "x" * 500):
+        h = hashlib.md5(text.encode()).hexdigest()
+        w = 64 + int(h[0:8], 16) % 320
+        ht = 64 + int(h[8:16], 16) % 320
+        img = np.zeros((ht, w), dtype=np.uint8)
+        img2, rotated = P.correct_orientation(img)
+        img3, resized = P.smart_resize(img2)
+        # query math (pipelines.multimodal.preprocess_stats)
+        q_rot = w / ht > 2.0
+        w2, h2 = (ht, w) if q_rot else (w, ht)
+        mx, mn = max(w2, h2), min(w2, h2)
+        scale = 2048.0 / mx if mx > 2048 else (600.0 / mn if mn < 300 else 1.0)
+        q_resized = scale != 1.0
+        q_out_w = max(1, int(w2 * scale))
+        q_out_h = max(1, int(h2 * scale))
+        assert q_rot == rotated
+        assert q_resized == resized
+        assert (q_out_h, q_out_w) == img3.shape

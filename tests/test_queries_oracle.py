@@ -24,12 +24,15 @@ SUBSET = [
     "lang_id",
     "fingerprints",
     "dedup_exact",
+    "dedup_path",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_topk",
     "pricing_summary",
     "multimodal_meta",
     "text_search",
+    "search_ranked",
+    "preprocess_stats",
     "queue_stats",
     "suppression_antijoin",
     "html_extract",

@@ -1,0 +1,99 @@
+"""W6 ledger compaction, D2 path-dedup plan, S8 s3:// pass-through."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from readur_ray.sources import tables
+from readur_ray.state import ledger
+
+
+def test_compact_ledger_folds_old_chunks(tmp_path):
+    out = str(tmp_path)
+    now = 1_000_000.0
+    for k in range(5):
+        ledger.append_entry(out, {"kind": "chunk", "chunk": k, "rows": 10,
+                                  "ts": now - 10 * 86400})
+    ledger.append_entry(out, {"kind": "chunk", "chunk": 5, "rows": 7, "ts": now})
+    ledger.append_entry(out, {"kind": "finalize", "total": 57, "ts": now})
+
+    folded = ledger.compact_ledger(out, now=now)
+    assert folded == 5
+    # committed-chunk set is preserved across compaction
+    assert ledger.committed_chunks(out) == {0, 1, 2, 3, 4, 5}
+    entries = ledger.read_ledger(out)
+    kinds = [e["kind"] for e in entries]
+    assert kinds == ["snapshot", "chunk", "finalize"]
+    assert entries[0]["chunks"] == [0, 1, 2, 3, 4]
+    assert entries[0]["rows"] == 50
+
+    # idempotent: a second pass folds the snapshot only if there is
+    # something new to merge
+    assert ledger.compact_ledger(out, now=now) == 0
+
+    # a later run's old chunk merges INTO the existing snapshot
+    ledger.append_entry(out, {"kind": "chunk", "chunk": 6, "rows": 3,
+                              "ts": now - 9 * 86400})
+    assert ledger.compact_ledger(out, now=now) == 2
+    assert ledger.committed_chunks(out) == {0, 1, 2, 3, 4, 5, 6}
+
+
+def test_compact_ledger_atomic_file(tmp_path):
+    out = str(tmp_path)
+    ledger.append_entry(out, {"kind": "chunk", "chunk": 0, "rows": 1, "ts": 0.0})
+    ledger.append_entry(out, {"kind": "chunk", "chunk": 1, "rows": 1, "ts": 0.0})
+    ledger.compact_ledger(out, now=10 * 86400.0)
+    # no tmp residue; file is valid jsonl
+    assert not (tmp_path / "ledger.jsonl.tmp").exists()
+    for line in (tmp_path / "ledger.jsonl").read_text().splitlines():
+        json.loads(line)
+
+
+def test_read_table_forwards_s3_uri(monkeypatch):
+    """S8: object-store URIs ride through to ray.data.read_parquet
+    untouched (no local-path mangling), with pruning args intact —
+    Ray/pyarrow handle s3:// natively so this pass-through IS the S3
+    source (/root/reference/src/services/s3_service.rs:82,219)."""
+    captured = {}
+
+    def fake_read_parquet(path, **kwargs):
+        captured["path"] = path
+        captured.update(kwargs)
+        return "DS"
+
+    monkeypatch.setattr(tables.ray.data, "read_parquet", fake_read_parquet)
+    out = tables.read_table(
+        "s3://bucket/prefix/documents.parquet",
+        columns=["doc_id"],
+        override_num_blocks=8,
+    )
+    assert out == "DS"
+    assert captured["path"] == "s3://bucket/prefix/documents.parquet"
+    assert captured["columns"] == ["doc_id"]
+    assert captured["override_num_blocks"] == 8
+
+
+def test_path_dedup_matches_oracle(ray_session, duck_sf0001):
+    import __ray_entry__ as entrymod
+
+    res = entrymod.queries()["dedup_path"]("/root/testdata/sf0.001").to_pandas()
+    exp = duck_sf0001.execute(entrymod.oracle_sql()["dedup_path"]).df()
+    res = res.sort_values(["doc_id"], ignore_index=True)[sorted(res.columns)]
+    exp = exp.sort_values(["doc_id"], ignore_index=True)[sorted(exp.columns)]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(res, exp, check_dtype=False)
+    assert (res["dedup_status"] == "skipped_duplicate_path").any()
+
+
+@pytest.fixture(scope="module")
+def duck_sf0001():
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    return con
