@@ -134,6 +134,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mime_detection": extras.mime_detection,
         "extraction_metrics": extras.extraction_metrics,
         "sessionize": sessions.sessionize,
+        "sliding_window": sessions.sliding_window_counts,
+        "asof_join": sessions.asof_join_clicks,
+        "median_by_type": analytics.median_value_by_type,
+        "hash_sample": analytics.hash_sample_docs,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -623,6 +627,46 @@ def oracle_sql() -> dict[str, str]:
         FROM s GROUP BY 1, 2
     """
 
+
+    sql["sliding_window"] = """
+        SELECT event_type, ts,
+               CAST(count(*) OVER (
+                 PARTITION BY event_type ORDER BY ts
+                 RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_win
+        FROM events
+    """
+
+    sql["asof_join"] = """
+        WITH c AS (
+          SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+               lat.click_id, lat.click_ts,
+               epoch_us(p.ts) - epoch_us(lat.click_ts) AS gap_us
+        FROM p, LATERAL (
+          SELECT event_id AS click_id, ts AS click_ts
+          FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts
+          ORDER BY ts DESC, event_id DESC LIMIT 1
+        ) lat
+    """
+
+    sql["median_by_type"] = """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(quantile_disc(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.5)
+                    AS BIGINT) AS median_cents
+        FROM events GROUP BY 1
+    """
+
+    sql["hash_sample"] = """
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sample_hash
+        FROM documents
+        ORDER BY sample_hash LIMIT 100
+    """
 
     sql["ann_topk_ivf"] = """
         SELECT query_id, neighbor_id, rank FROM (

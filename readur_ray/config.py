@@ -78,6 +78,11 @@ class ExtractionConfig:
     # resolver spec understood by readur_ray.sources.media
     media_resolver: str = "synth"      # 'synth' | 'parquet:<path>'
 
+    # per-user Settings rows (settings.rs:7-65): (user_id, ((field,
+    # value), ...)) tuples; resolved once per actor by
+    # state.settings.SettingsStore for rows carrying a user_id column
+    user_overrides: tuple[tuple[str, tuple[tuple[str, object], ...]], ...] = ()
+
     # 'hermetic' (synthetic payload parsers, always available) or
     # 'real' (pypdfium2 + tesserocr/pytesseract — import-guarded; the
     # extraction DAG is identical either way, only the per-actor engine

@@ -275,3 +275,83 @@ def filter_allowed(sf_dir: str) -> "ray.data.Dataset":
         .aggregate(Count(alias_name="n_docs"), Min("n_chars", alias_name="min_chars"),
                    Max("n_chars", alias_name="max_chars"))
     )
+
+
+def median_value_by_type(sf_dir: str) -> "ray.data.Dataset":
+    """Exact per-group discrete median (lower middle) of integer value
+    cents per event_type — an exact-quantile aggregate the reference's
+    stats endpoints lack but a training-data pipeline needs (length /
+    score distributions).
+
+    Scale note: an exact median needs the group's values together —
+    here via ONE shuffle of a 2-column (type, cents) projection; at
+    10^12 rows the same query becomes a t-digest/KLL sketch merge
+    (approximate) or a two-pass count+offset select (exact); the
+    integer-cents projection keeps this shuffle ~16 B/row."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {"event_type": batch.column("event_type"),
+             "cents": pa.array(cents, pa.int64())}
+        )
+
+    def median_group(group: pa.Table) -> pa.Table:
+        v = np.sort(group.column("cents").to_numpy(zero_copy_only=False))
+        med = int(v[(len(v) - 1) // 2]) if len(v) else 0
+        return pa.table(
+            {
+                "event_type": pa.array([group.column("event_type")[0].as_py()]),
+                "n_events": pa.array([len(v)], pa.int64()),
+                "median_cents": pa.array([med], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(median_group, batch_format="pyarrow")
+    )
+
+
+SAMPLE_K = 100
+
+
+def hash_sample_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic distributed sampling: the SAMPLE_K docs with the
+    smallest md5(doc_id) — a reproducible uniform sample (hash order is
+    independent of doc order/partitioning, so the SAME sample comes
+    back on any cluster layout, which ad-hoc .random_sample cannot
+    promise).
+
+    Plan: per-batch local top-K by hash → global sort of (≤ K per
+    block) survivors → limit K. The sort input is bounded by
+    K × n_blocks tiny rows — never the corpus."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        hs = np.array(
+            [hashlib.md5(str(i).encode()).hexdigest() for i in ids], dtype=object
+        )
+        order = np.argsort(hs, kind="stable")[:SAMPLE_K]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "sample_hash": pa.array(hs[order], pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .sort("sample_hash")
+        .limit(SAMPLE_K)
+    )

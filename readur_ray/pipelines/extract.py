@@ -276,7 +276,10 @@ class DocExtractor:
     /root/reference/src/ocr/health.rs:13-57)."""
 
     def __init__(self, cfg: ExtractionConfig):
+        from ..state.settings import SettingsStore
+
         self.cfg = cfg
+        self.settings = SettingsStore(cfg)  # per-user configs, built once
         self.resolver = make_resolver(cfg.media_resolver)
         # backend-selected engines (hermetic or real), built once per
         # actor — construction fails fast if a real backend's wheels
@@ -284,25 +287,26 @@ class DocExtractor:
         self.pdf = make_pdf_engine(cfg)
         self.img = make_image_engine(cfg)
 
-    def _with_retry(self, fn, *args):
+    def _with_retry(self, fn, *args, ucfg: ExtractionConfig | None = None):
         """Bounded in-actor retry: RECOVERABLE failures (timeout /
         memory / low-confidence — errors.RECOVERABLE_REASONS, mirroring
         OcrError::is_recoverable) get up to cfg.max_attempts tries
         before dead-lettering; terminal failures raise immediately
         (the queue's attempts/max_attempts loop, queue.rs:307-333)."""
+        max_attempts = (ucfg or self.cfg).max_attempts
         attempt = 1
         while True:
             try:
                 return fn(*args)
             except ExtractionError as e:
                 reason, _stage = failure_for_message(str(e))
-                if attempt >= self.cfg.max_attempts or not is_recoverable_reason(reason):
+                if attempt >= max_attempts or not is_recoverable_reason(reason):
                     raise
                 attempt += 1
 
-    def _one_span(self, span: dict, mime: str = ""):
+    def _one_span(self, span: dict, mime: str = "", ucfg: ExtractionConfig | None = None):
         """→ (out_span_dict, confidence, word_count, payload_sha256_hex)."""
-        cfg = self.cfg
+        cfg = ucfg or self.cfg
         if span["kind"] == "text" and mime == "text/html":
             # north-star HTML branch: DOM text-density boilerplate strip
             from ..functions.html import extract_main_content
@@ -345,9 +349,17 @@ class DocExtractor:
         doc_ids = batch.column("doc_id").to_pylist()
         mimes = batch.column("mime_type").to_pylist()
         parts = batch.column("part_id").to_pylist()
+        # optional per-row owner → per-user Settings (settings.rs:7-65)
+        users = (
+            batch.column("user_id").to_pylist()
+            if "user_id" in batch.column_names else [None] * batch.num_rows
+        )
         out = {name: [] for name in EXTRACTED.names}
-        for doc_id, spans, mime, part in zip(doc_ids, rows_spans, mimes, parts):
+        for doc_id, spans, mime, part, user in zip(
+            doc_ids, rows_spans, mimes, parts, users
+        ):
             t0 = time.perf_counter()
+            ucfg = self.settings.for_user(user)
             status, reason, stage = "completed", "", ""
             out_spans, confs, words, digests = [], [], 0, []
             if mime not in _ALLOWED_MIMES:
@@ -355,7 +367,9 @@ class DocExtractor:
             else:
                 try:
                     for span in sorted(spans, key=lambda s: s["offset"]):
-                        o, c, w, d = self._with_retry(self._one_span, span, mime)
+                        o, c, w, d = self._with_retry(
+                            self._one_span, span, mime, ucfg, ucfg=ucfg
+                        )
                         out_spans.append(o)
                         confs.append(c)
                         words += w

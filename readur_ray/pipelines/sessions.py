@@ -53,3 +53,177 @@ def sessionize(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+WINDOW_MINUTES = 30        # sliding-window width
+BUCKET_SECONDS = 3600      # halo-bucket size (must be >= window)
+N_WINDOW_PARTS = 64
+
+
+def sliding_window_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Sliding-window aggregate: per event, the count of SAME-TYPE
+    events with ts in [t - 30 min, t] (inclusive) — the
+    count(*) OVER (PARTITION BY type ORDER BY ts RANGE 30min PRECEDING)
+    window of the SQL oracle.
+
+    Scale plan (halo buckets — the pattern a 100 TB event stream
+    needs; a plain groupby(event_type) would put an entire type's
+    history in one group): events are bucketed by hour; every event in
+    the LAST 30 min of a bucket is also emitted as a halo row into the
+    NEXT bucket, so each (type, bucket) group is self-contained for a
+    30-min look-back. One shuffle on a coarse hash of (type, bucket);
+    counts via two searchsorted calls per group; halo rows counted in
+    windows but emit no output rows."""
+    win_us = WINDOW_MINUTES * 60 * 1_000_000
+    bucket_us = BUCKET_SECONDS * 1_000_000
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = batch.combine_chunks()
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        types = b.column("event_type").to_numpy(zero_copy_only=False)
+        bucket = ts // bucket_us
+        # halo: events within window of the bucket end roll into bucket+1
+        halo_mask = (ts % bucket_us) >= (bucket_us - win_us)
+        out_ts = np.concatenate([ts, ts[halo_mask]])
+        out_ty = np.concatenate([types, types[halo_mask]])
+        out_bk = np.concatenate([bucket, bucket[halo_mask] + 1])
+        out_halo = np.concatenate(
+            [np.zeros(len(ts), dtype=bool), np.ones(int(halo_mask.sum()), dtype=bool)]
+        )
+        # coarse shuffle key over (type, bucket) — crc32, NOT Python
+        # hash() (randomized per process → would split groups)
+        import zlib
+
+        type_codes = np.array(
+            [zlib.crc32(t.encode()) for t in out_ty], dtype=np.int64
+        )
+        part = (type_codes * 1000003 + out_bk) % N_WINDOW_PARTS
+        return pa.table(
+            {
+                "event_type": pa.array(out_ty, pa.string()),
+                "ts": pa.array(out_ts, pa.int64()),
+                "bucket": pa.array(out_bk, pa.int64()),
+                "halo": pa.array(out_halo, pa.bool_()),
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    def count_part(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.select(["event_type", "bucket", "ts", "halo"]).to_pandas()
+        df = df.sort_values(["event_type", "bucket", "ts"], ignore_index=True)
+        out_ty, out_ts, out_n = [], [], []
+        for (ty, _bk), g in df.groupby(["event_type", "bucket"], sort=False):
+            ts = g["ts"].to_numpy()
+            own = ~g["halo"].to_numpy()
+            if not own.any():
+                continue
+            t_own = ts[own]
+            n = (
+                np.searchsorted(ts, t_own, side="right")
+                - np.searchsorted(ts, t_own - win_us, side="left")
+            )
+            out_ty.append(np.full(len(t_own), ty, dtype=object))
+            out_ts.append(t_own)
+            out_n.append(n)
+        if not out_ty:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "n_win": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "event_type": pa.array(np.concatenate(out_ty), pa.string()),
+                "ts": pa.array(np.concatenate(out_ts), pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "n_win": pa.array(
+                    np.concatenate(out_n).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(count_part, batch_format="pyarrow")
+    )
+
+
+def asof_join_clicks(sf_dir: str) -> "ray.data.Dataset":
+    """As-of join (custom operator per SURVEY §4: Ray Data has no
+    native asof): for every 'purchase' event, the LATEST 'click' by the
+    same user with click.ts <= purchase.ts (ties on ts broken by max
+    event_id — fully deterministic, unlike a raw ASOF JOIN). Emits
+    matched purchases only.
+
+    Plan: one pruned read, filter to the two types, groupby(user_id)
+    → in-group sort + searchsorted (vectorized over the group's
+    purchases). Partitioning assumption: one user's history fits a
+    group (same contract as sessionize); at 10^12 events this becomes
+    time-bucketed with carried-forward last-click state per bucket."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.is_in(batch.column("event_type"),
+                     value_set=pa.array(["click", "purchase"]))
+        )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        empty = pa.table(
+            {
+                "purchase_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "purchase_ts": pa.array([], pa.timestamp("us")),
+                "click_id": pa.array([], pa.int64()),
+                "click_ts": pa.array([], pa.timestamp("us")),
+                "gap_us": pa.array([], pa.int64()),
+            }
+        )
+        types = g.column("event_type").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = g.column("event_id").to_numpy(zero_copy_only=False)
+        uid = g.column("user_id")[0].as_py()
+        is_c = types == "click"
+        is_p = types == "purchase"
+        if not is_c.any() or not is_p.any():
+            return empty
+        c_order = np.lexsort((ids[is_c], ts[is_c]))
+        c_ts = ts[is_c][c_order]
+        c_id = ids[is_c][c_order]
+        p_ts = ts[is_p]
+        p_id = ids[is_p]
+        pos = np.searchsorted(c_ts, p_ts, side="right") - 1
+        ok = pos >= 0
+        if not ok.any():
+            return empty
+        pos = pos[ok]
+        return pa.table(
+            {
+                "purchase_id": pa.array(p_id[ok], pa.int64()),
+                "user_id": pa.array(np.full(int(ok.sum()), uid), pa.int64()),
+                "purchase_ts": pa.array(p_ts[ok], pa.int64()).cast(pa.timestamp("us")),
+                "click_id": pa.array(c_id[pos], pa.int64()),
+                "click_ts": pa.array(c_ts[pos], pa.int64()).cast(pa.timestamp("us")),
+                "gap_us": pa.array(p_ts[ok] - c_ts[pos], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(keep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
