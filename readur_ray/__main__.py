@@ -25,7 +25,16 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["skip", "track", "allow"])
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--sim-ocr-ms", type=float, default=0.0)
+    ap.add_argument("--compact-ledger", action="store_true",
+                    help="only fold old ledger chunk entries into a "
+                         "snapshot (W6 TTL cleanup), then exit")
     args = ap.parse_args(argv)
+
+    if args.compact_ledger:
+        from .state.ledger import compact_ledger
+
+        print(json.dumps({"compacted": compact_ledger(args.out)}))
+        return 0
 
     import ray
 

@@ -229,6 +229,9 @@ def run_finalize_phase(out_dir: str, cfg: ExtractionConfig = DEFAULT_CONFIG) -> 
         "metrics_rows": metrics_table.num_rows,
     }
     ledger.append_entry(out_dir, {"kind": "finalize", **summary})
+    # W6: fold chunk entries older than the TTL into one snapshot line
+    # (the reference's 7-day completed-item cleanup, queue.rs:1085-1098)
+    ledger.compact_ledger(out_dir)
     return summary
 
 

@@ -37,6 +37,10 @@ SUBSET = [
     "suppression_antijoin",
     "html_extract",
     "sessionize",
+    "sliding_window",
+    "asof_join",
+    "median_by_type",
+    "hash_sample",
     "ann_topk_ivf",
 ]
 
