@@ -80,7 +80,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from readur_ray.pipelines import (
-        analytics, dedup, e2e, extras, multimodal, search, sessions,
+        analytics, dedup, e2e, extras, multimodal, prep, search, sessions,
         similarity, textops,
     )
 
@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": sessions.asof_join_clicks,
         "median_by_type": analytics.median_value_by_type,
         "hash_sample": analytics.hash_sample_docs,
+        # --- composite training-data prep (stats → gate → dedup) ---
+        "training_prep": prep.training_prep,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -708,6 +710,37 @@ def oracle_sql() -> dict[str, str]:
         WHERE x.vec_id < y.vec_id AND bx.bucket = by2.bucket
           AND list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                                      CAST(y.embedding AS DOUBLE[])) >= 0.4
+    """
+
+    sql["training_prep"] = f"""
+        WITH st AS (
+          SELECT doc_id, text,
+                 CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
+                 CAST(length(text) AS BIGINT) AS chars,
+                 CAST((len(regexp_extract_all(text, '\\S+')) >= 20)::BIGINT
+                    + (10 * len(regexp_extract_all(lower(text), '{_STOP_EN}'))
+                       >= len(regexp_extract_all(text, '\\S+')))::BIGINT
+                    + (5 * len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                       <= length(text))::BIGINT
+                    + (10 * len(regexp_extract_all(text, '[0-9]'))
+                       <= length(text))::BIGINT AS BIGINT) AS quality_score,
+                 CAST(len(regexp_extract_all(lower(text), '{_STOP_EN}')) AS BIGINT) AS hits_en,
+                 CAST(len(regexp_extract_all(lower(text), '{_STOP_DE}')) AS BIGINT) AS hits_de,
+                 CAST(len(regexp_extract_all(lower(text), '{_STOP_FR}')) AS BIGINT) AS hits_fr,
+                 CAST(len(regexp_extract_all(lower(text), '{_STOP_ES}')) AS BIGINT) AS hits_es
+          FROM documents
+        ),
+        gated AS (
+          SELECT doc_id, ws_tokens, chars, quality_score, md5(text) AS content_hash
+          FROM st
+          WHERE quality_score >= 3
+            AND hits_en >= hits_de AND hits_en >= hits_fr
+            AND hits_en >= hits_es AND hits_en > 0
+        ),
+        g AS (SELECT content_hash, min(doc_id) AS winner FROM gated GROUP BY 1)
+        SELECT gated.doc_id, ws_tokens, chars, quality_score, content_hash
+        FROM gated JOIN g USING (content_hash)
+        WHERE gated.doc_id = g.winner
     """
 
     # extraction_e2e / extraction_summary: hermetic media engines → not

@@ -10,6 +10,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def ray_session():
     import ray
 
+    # workers inherit the driver env: make the repo root AND tests dir
+    # importable in workers so test-defined actor classes (pickled by
+    # reference to their top-level test module) can be unpickled there
+    _root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _tests = os.path.join(_root, "tests")
+    os.environ["PYTHONPATH"] = os.pathsep.join(
+        [p for p in (_root, _tests, os.environ.get("PYTHONPATH", "")) if p]
+    )
+
     if not ray.is_initialized():
         ray.init(
             address="local",
