@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": textops.quality_score,
         "fingerprints": textops.fingerprints,
         "html_extract": textops.html_extract,
+        "tfidf_top_terms": textops.tfidf_top_terms,
         # --- dedup suite ---
         "dedup_exact": dedup.exact_dedup,
         "dedup_path": dedup.path_dedup,
@@ -710,6 +711,31 @@ def oracle_sql() -> dict[str, str]:
         WHERE x.vec_id < y.vec_id AND bx.bucket = by2.bucket
           AND list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                                      CAST(y.embedding AS DOUBLE[])) >= 0.4
+    """
+
+    sql["tfidf_top_terms"] = """
+        WITH w AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2
+        ),
+        dfreq AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                 (tf.tf * 1000000) // dfreq.df AS score
+          FROM tf JOIN dfreq USING (term)
+        ),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term ASC
+                 ) AS BIGINT) AS rnk
+          FROM scored
+        )
+        SELECT doc_id, term, tf, df, score, rnk FROM ranked WHERE rnk <= 3
     """
 
     sql["training_prep"] = f"""

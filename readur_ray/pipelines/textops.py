@@ -30,6 +30,7 @@ from ..functions.textstats import (
     quality_scores,
     stopword_hits,
     token_stats,
+    words_of,
 )
 
 ALNUM_PATTERN = r"[\pL\pN]"  # RE2 unicode classes — identical in DuckDB
@@ -190,4 +191,105 @@ def html_extract(sf_dir: str) -> "ray.data.Dataset":
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow"
+    )
+
+
+TFIDF_TOP_K = 3
+TFIDF_SCALE = 1_000_000
+_N_TF_PARTS = 64
+
+
+def tfidf_top_terms(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc top-K terms by an integer tf-idf proxy
+    (score = tf × 10^6 // df, ties → term asc) — the inverted-index +
+    document-frequency join + per-group top-k composite a retrieval /
+    data-curation pipeline needs (the reference's tsvector ranking,
+    /root/reference/src/db/documents/search.rs:147-151, done batch).
+
+    Plan (two coarse-hash shuffles, all int64/string columns):
+      1. per-batch term counts → (doc_id, term, tf) rows partitioned by
+         crc32(term) — a TERM's rows are co-located, so document
+         frequency is a per-partition vectorized transform (no driver
+         state, no broadcast vocab);
+      2. re-partition by doc_id → per-partition vectorized top-K.
+    Payload text never shuffles; the tf rows are the index."""
+    import zlib
+
+    import numpy as np
+
+    ds = read_documents(sf_dir, ["doc_id", "text"])
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        out_doc, out_term, out_tf = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = words_of(text or "")
+            if not ws:
+                continue
+            terms, counts = np.unique(np.array(ws, dtype=object), return_counts=True)
+            out_doc.append(np.full(len(terms), doc_id, dtype=np.int64))
+            out_term.append(terms)
+            out_tf.append(counts.astype(np.int64))
+        if not out_doc:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "term": pa.array([], pa.string()),
+                 "tf": pa.array([], pa.int64()),
+                 "part": pa.array([], pa.int64())}
+            )
+        terms = np.concatenate(out_term)
+        part = np.array([zlib.crc32(t.encode()) % _N_TF_PARTS for t in terms],
+                        dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(np.concatenate(out_tf), pa.int64()),
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    def score_part(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.select(["doc_id", "term", "tf"]).to_pandas()
+        dfreq = df.groupby("term", sort=False)["doc_id"].transform("size").to_numpy()
+        score = df["tf"].to_numpy() * TFIDF_SCALE // dfreq
+        docs = df["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.int64()),
+                "term": pa.array(df["term"], pa.string()),
+                "tf": pa.array(df["tf"].to_numpy(), pa.int64()),
+                "df": pa.array(dfreq.astype(np.int64), pa.int64()),
+                "score": pa.array(score.astype(np.int64), pa.int64()),
+                "part2": pa.array(docs % _N_TF_PARTS, pa.int64()),
+            }
+        )
+
+    def topk_part(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.select(["doc_id", "term", "tf", "df", "score"]).to_pandas()
+        df = df.sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True],
+            ignore_index=True,
+        )
+        rnk = df.groupby("doc_id", sort=False).cumcount().to_numpy() + 1
+        keep = rnk <= TFIDF_TOP_K
+        out = df[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+                "term": pa.array(out["term"], pa.string()),
+                "tf": pa.array(out["tf"].to_numpy(), pa.int64()),
+                "df": pa.array(out["df"].to_numpy(), pa.int64()),
+                "score": pa.array(out["score"].to_numpy(), pa.int64()),
+                "rnk": pa.array(rnk[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tf_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(score_part, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(topk_part, batch_format="pyarrow")
     )
