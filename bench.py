@@ -99,6 +99,7 @@ def run_queries() -> dict[str, float]:
         "pricing_summary", "hourly_event_metrics", "orders_per_nation",
         "multimodal_meta", "quality_score", "fingerprints", "dedup_exact",
         "sessionize", "fuzzy_search", "ann_topk_ivf", "text_search",
+        "training_prep", "tfidf_top_terms", "sliding_window", "asof_join",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -253,15 +253,25 @@ def tfidf_top_terms(sf_dir: str) -> "ray.data.Dataset":
     def score_part(part_tbl: pa.Table) -> pa.Table:
         df = part_tbl.select(["doc_id", "term", "tf"]).to_pandas()
         dfreq = df.groupby("term", sort=False)["doc_id"].transform("size").to_numpy()
-        score = df["tf"].to_numpy() * TFIDF_SCALE // dfreq
+        df["df"] = dfreq.astype(np.int64)
+        df["score"] = (df["tf"].to_numpy() * TFIDF_SCALE // dfreq).astype(np.int64)
+        # prune BEFORE the doc shuffle: a doc's global top-K is a
+        # subset of the union of its per-partition top-Ks, so keeping
+        # K rows per (doc, partition) is lossless and cuts the second
+        # shuffle from |vocab explosion| to ≤ K rows per doc per part
+        df = df.sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True],
+            ignore_index=True,
+        )
+        df = df[df.groupby("doc_id", sort=False).cumcount() < TFIDF_TOP_K]
         docs = df["doc_id"].to_numpy()
         return pa.table(
             {
                 "doc_id": pa.array(docs, pa.int64()),
                 "term": pa.array(df["term"], pa.string()),
                 "tf": pa.array(df["tf"].to_numpy(), pa.int64()),
-                "df": pa.array(dfreq.astype(np.int64), pa.int64()),
-                "score": pa.array(score.astype(np.int64), pa.int64()),
+                "df": pa.array(df["df"].to_numpy(), pa.int64()),
+                "score": pa.array(df["score"].to_numpy(), pa.int64()),
                 "part2": pa.array(docs % _N_TF_PARTS, pa.int64()),
             }
         )
