@@ -45,6 +45,7 @@ import ray.data
 
 
 from ..functions.textstats import md5_hex, md5_int60, md5_int64, shingles_of, words_of
+from ..stages.shuffle import N_COARSE_PARTS, int_partition, partitioned_map
 
 NUM_MINHASH = 16          # 16 bands × 1 row
 MAX_BUCKET = 128          # LSH band buckets larger than this are dropped
@@ -237,7 +238,6 @@ def _signature_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-N_COARSE_PARTS = 64  # buckets are coarse-hashed into this many shuffle keys
 
 
 def _bucket_pairs_fn(key_cols: list[str], max_bucket: int, carry: tuple[str, ...] = ()):
@@ -310,15 +310,9 @@ def _reduce_pairs(pairs_ds: "ray.data.Dataset", reduce_fn):
 
     def add_p2(batch: pa.Table) -> pa.Table:
         k = batch.column("pair_key").to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "part2", pa.array((k % N_COARSE_PARTS).astype(np.int64), pa.int64())
-        )
+        return batch.append_column("part2", pa.array(int_partition(k), pa.int64()))
 
-    return (
-        pairs_ds.map_batches(add_p2, batch_format="pyarrow")
-        .groupby("part2")
-        .map_groups(reduce_fn, batch_format="pyarrow")
-    )
+    return partitioned_map(pairs_ds, add_p2, reduce_fn, part_col="part2")
 
 
 def minhash_lsh_pairs(sf_dir: str) -> "ray.data.Dataset":
@@ -332,9 +326,7 @@ def minhash_lsh_pairs(sf_dir: str) -> "ray.data.Dataset":
 
     def add_part(batch: pa.Table) -> pa.Table:
         mh = batch.column("minhash").to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "part", pa.array((mh % N_COARSE_PARTS).astype(np.int64), pa.int64())
-        )
+        return batch.append_column("part", pa.array(int_partition(mh), pa.int64()))
 
     def count_shared(part: pa.Table) -> pa.Table:
         keys, counts = np.unique(
@@ -474,9 +466,7 @@ def simhash_pairs_banded(
 
     def add_part(batch: pa.Table) -> pa.Table:
         k = batch.column("key").to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "part", pa.array((k % N_COARSE_PARTS).astype(np.int64), pa.int64())
-        )
+        return batch.append_column("part", pa.array(int_partition(k), pa.int64()))
 
     def verify_part(part: pa.Table) -> pa.Table:
         # dedupe candidate pairs (same pair can match several bands),
@@ -550,9 +540,9 @@ def ngram_jaccard_pairs(sf_dir: str) -> "ray.data.Dataset":
     sh = docs.map_batches(_shingle_rows, batch_format="pyarrow")
 
     def add_part(batch: pa.Table) -> pa.Table:
-        s = batch.column("shingle").to_numpy(zero_copy_only=False)
+        sh_col = batch.column("shingle").to_numpy(zero_copy_only=False)
         return batch.append_column(
-            "part", pa.array((s % N_COARSE_PARTS).astype(np.int64), pa.int64())
+            "part", pa.array(int_partition(sh_col), pa.int64())
         )
 
     def finalize_part(part: pa.Table) -> pa.Table:
