@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_buckets": similarity.lsh_buckets,
         "ann_topk_lsh": similarity.ann_topk_lsh,
         "ann_topk_ivf": similarity.ann_topk_ivf,
+        "ann_topk_ivf_kmeans": similarity.ann_topk_ivf_kmeans,
         # --- relational operators (A1-A6, O1-O3, J1/J4, M20, M4-M6) ---
         "status_counts": analytics.status_counts,
         "source_facets": analytics.source_facets,
@@ -630,6 +631,59 @@ def oracle_sql() -> dict[str, str]:
         FROM s GROUP BY 1, 2
     """
 
+
+    sql["ann_topk_ivf_kmeans"] = """
+        WITH qv AS (
+          SELECT vec_id, dim,
+                 CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 1000000 + 0.5)
+                      AS BIGINT) AS q
+          FROM embeddings, UNNEST(range(0, 64)) t(dim)
+        ),
+        seed AS (
+          SELECT vec_id - 16 AS c, dim, q FROM qv
+          WHERE vec_id BETWEEN 16 AND 23
+        ),
+        d0 AS (
+          SELECT v.vec_id, s.c, sum((v.q - s.q) * (v.q - s.q)) AS d2
+          FROM qv v JOIN seed s USING (dim) GROUP BY 1, 2
+        ),
+        a0 AS (
+          SELECT vec_id, c FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS rn
+            FROM d0) WHERE rn = 1
+        ),
+        cent AS (
+          SELECT a0.c, qv.dim, CAST(sum(qv.q) // count(*) AS BIGINT) AS q
+          FROM qv JOIN a0 USING (vec_id) GROUP BY 1, 2
+        ),
+        d1 AS (
+          SELECT v.vec_id, cn.c, sum((v.q - cn.q) * (v.q - cn.q)) AS d2
+          FROM qv v JOIN cent cn USING (dim) GROUP BY 1, 2
+        ),
+        a1 AS (
+          SELECT vec_id, c FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS rn
+            FROM d1) WHERE rn = 1
+        ),
+        pd AS (
+          SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
+                 sum((x.q - y.q) * (x.q - y.q)) AS d2
+          FROM qv x
+          JOIN a1 ax ON ax.vec_id = x.vec_id
+          JOIN a1 ay ON TRUE
+          JOIN qv y ON y.vec_id = ay.vec_id AND y.dim = x.dim
+          WHERE x.vec_id < 16 AND y.vec_id <> x.vec_id AND ax.c = ay.c
+          GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC
+                 ) AS BIGINT) AS rank
+          FROM pd) WHERE rank <= 5
+    """
 
     sql["sliding_window"] = """
         SELECT event_type, ts,

@@ -243,3 +243,141 @@ def ann_topk_lsh(
         .groupby("query_id")
         .map_groups(_topk_groups(k), batch_format="pyarrow")
     )
+
+
+QUANT = 1_000_000   # fixed-point grid for the exact-integer k-means
+KM_K = N_ANCHORS    # k = 8 cells, seeded from the anchor vectors
+
+
+def _quantize(mat: np.ndarray) -> np.ndarray:
+    """float → int64 fixed-point (floor(x*1e6 + 0.5)) — every distance
+    and centroid below is EXACT integer math, so the DuckDB oracle
+    reproduces the whole clustering bit-for-bit."""
+    return np.floor(mat * QUANT + 0.5).astype(np.int64)
+
+
+def _assign(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Nearest centroid by squared L2 (ties → lower centroid index)."""
+    # (n, k) int64 distances: ||v||² - 2 v·c + ||c||² stays exact in
+    # int64 at this quantization (|q| ≤ ~4e5, 64 dims → d² ≤ ~4e13)
+    d2 = (
+        (q * q).sum(axis=1, keepdims=True)
+        - 2 * (q @ cents.T)
+        + (cents * cents).sum(axis=1)[None, :]
+    )
+    return np.argmin(d2, axis=1)  # argmin takes the FIRST min → lower c
+
+
+def ann_topk_ivf_kmeans(
+    sf_dir: str, k: int = TOP_K, nprobe: int = 1
+) -> "ray.data.Dataset":
+    """IVF with LEARNED centroids: one exact-integer k-means step
+    (seed = anchor vectors, assign by squared L2, centroid update =
+    truncating integer division of coordinate sums), then each query
+    probes its own cell and ranks the cell's members. The coarse
+    quantizer is trained on a pass over the data — unlike ann_topk_ivf
+    (label partitions) and ann_topk_lsh (random hyperplanes), this is
+    the FAISS-style IVF construction, kept bit-reproducible.
+
+    Scale shape: the centroid update is a fixed-size (k × dim) integer
+    aggregate — per-batch partial sums, tiny driver reduce (k·dim
+    ints, NOT O(n) state); assignment + per-cell ranking is one
+    groupby(cell) over (cell, vec_id, qvec) rows."""
+    import pyarrow.parquet as _pq
+
+    ds = _read_embeddings(sf_dir)
+
+    # seed centroids: the anchor rows (fixed ids → one pruned point read)
+    seed_tbl = _pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", ">=", ANCHOR_LO), ("vec_id", "<", ANCHOR_LO + KM_K)],
+    ).sort_by("vec_id")
+    seed = _quantize(np.array(seed_tbl.column("embedding").to_pylist(), dtype=np.float64))
+    seed_ref = ray.put(seed)
+
+    # one k-means step: per-batch partial (cell, count, coord sums)
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        cents = ray.get(seed_ref)
+        q = _quantize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        a = _assign(q, cents)
+        rows_c, rows_n, rows_s = [], [], []
+        for c in np.unique(a):
+            m = a == c
+            rows_c.append(int(c))
+            rows_n.append(int(m.sum()))
+            rows_s.append(q[m].sum(axis=0))
+        return pa.table(
+            {
+                "c": pa.array(rows_c, pa.int64()),
+                "n": pa.array(rows_n, pa.int64()),
+                "s": pa.array([s.tolist() for s in rows_s],
+                              pa.list_(pa.int64())),
+            }
+        )
+
+    # tiny fixed-size reduce on the driver (k×dim ints — NOT O(n))
+    parts = ds.map_batches(partial_sums, batch_format="pyarrow").take_all()
+    dim = seed.shape[1]
+    sums = np.zeros((KM_K, dim), dtype=np.int64)
+    counts = np.zeros(KM_K, dtype=np.int64)
+    for r in parts:
+        sums[r["c"]] += np.array(r["s"], dtype=np.int64)
+        counts[r["c"]] += r["n"]
+    counts = np.maximum(counts, 1)
+    # truncating integer division — matches DuckDB's `//`
+    cents = (np.sign(sums) * (np.abs(sums) // counts[:, None])).astype(np.int64)
+    cents_ref = ray.put(cents)
+
+    def assign_rows(batch: pa.Table) -> pa.Table:
+        cn = ray.get(cents_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        q = _quantize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        a = _assign(q, cn)
+        return pa.table(
+            {
+                "cell": pa.array(a.astype(np.int64), pa.int64()),
+                "vec_id": pa.array(ids, pa.int64()),
+                "qvec": pa.array([r.tolist() for r in q], pa.list_(pa.int64())),
+            }
+        )
+
+    def per_cell(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        q = np.array(group.column("qvec").to_pylist(), dtype=np.int64)
+        is_q = ids < N_QUERIES
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+        if not is_q.any() or len(ids) < 2:
+            return empty
+        qs = q[is_q]
+        d2 = (
+            (qs * qs).sum(axis=1, keepdims=True)
+            - 2 * (qs @ q.T)
+            + (q * q).sum(axis=1)[None, :]
+        )
+        out_q, out_n, out_r = [], [], []
+        for i, qid in enumerate(ids[is_q]):
+            mask = ids != qid
+            order = np.lexsort((ids[mask], d2[i][mask]))[:k]
+            nb = ids[mask][order]
+            out_q.extend([qid] * len(nb))
+            out_n.extend(nb.tolist())
+            out_r.extend(range(1, len(nb) + 1))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "rank": pa.array(out_r, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(assign_rows, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(per_cell, batch_format="pyarrow")
+    )
