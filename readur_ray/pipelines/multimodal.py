@@ -43,20 +43,34 @@ class PayloadCodec:
     Real path requires PIL/cv2 (absent here); the deterministic fake
     keeps every downstream contract intact."""
 
-    def __init__(self, resize_target: int = RESIZE_TARGET, frame_stride: int = FRAME_STRIDE):
+    def __init__(
+        self,
+        resize_target: int = RESIZE_TARGET,
+        frame_stride: int = FRAME_STRIDE,
+        use_real: bool = False,
+    ):
         self.resize_target = resize_target
         self.frame_stride = frame_stride
-        try:
+        # real decode is OPT-IN (not auto-detected): the driver queries
+        # promise the deterministic fake regardless of what wheels the
+        # environment happens to have; a real deployment constructs the
+        # codec with use_real=True and fails fast here if PIL is absent
+        self.real = use_real
+        if use_real:
             import PIL.Image  # noqa: F401
 
-            self.real = True
-        except ImportError:
-            self.real = False
-
     def _decode_real(self, payload: bytes) -> tuple[int, int, int]:
-        raise NotImplementedError(
-            "real image decode needs PIL/cv2 — not available in this container"
-        )
+        """PIL decode: (width, height, n_frames) — used when Pillow is
+        installed (guarded in __init__); multi-frame formats (GIF/TIFF)
+        report their real frame count, stills report 1."""
+        import io
+
+        import PIL.Image
+
+        img = PIL.Image.open(io.BytesIO(payload))
+        img.load()
+        w, h = img.size
+        return w, h, int(getattr(img, "n_frames", 1))
 
     def _decode_fake(self, payload: bytes) -> tuple[int, int, int]:
         """Deterministic (width, height, n_frames) from the payload md5:

@@ -89,3 +89,28 @@ def test_real_image_ocr():
     res = eng.extract(buf.getvalue())
     assert res.kind == "ocr_text"
     assert isinstance(res.confidence, float)
+
+
+def test_payload_codec_real_decode():
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from readur_ray.pipelines.multimodal import PayloadCodec
+
+    img = Image.new("L", (320, 200), 128)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    codec = PayloadCodec(use_real=True)
+    w, h, nf = codec._decode_real(buf.getvalue())
+    assert (w, h, nf) == (320, 200, 1)
+
+
+def test_payload_codec_fake_is_default():
+    from readur_ray.pipelines.multimodal import PayloadCodec
+
+    codec = PayloadCodec()
+    assert codec.real is False
+    w, h, nf = codec._decode_fake(b"deterministic")
+    assert codec._decode_fake(b"deterministic") == (w, h, nf)
