@@ -25,6 +25,9 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["skip", "track", "allow"])
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--sim-ocr-ms", type=float, default=0.0)
+    ap.add_argument("--incremental", action="store_true",
+                    help="manifest-diff run: skip/full/targeted per the "
+                         "smart-sync decision table (W2+W3+W4)")
     ap.add_argument("--compact-ledger", action="store_true",
                     help="only fold old ledger chunk entries into a "
                          "snapshot (W6 TTL cleanup), then exit")
@@ -54,7 +57,12 @@ def main(argv: list[str] | None = None) -> int:
         dedup_policy=args.dedup_policy,
         simulated_ocr_ms_per_page=args.sim_ocr_ms,
     )
-    summary = run_extraction(args.input, args.out, cfg, n_chunks=args.chunks)
+    if args.incremental:
+        from .pipelines.run import run_incremental
+
+        summary = run_incremental(args.input, args.out, cfg)
+    else:
+        summary = run_extraction(args.input, args.out, cfg, n_chunks=args.chunks)
     print(json.dumps(summary))
     ray.shutdown()
     return 0

@@ -308,3 +308,120 @@ def run_extraction(
     """Full resumable run. Safe to call again after a crash."""
     run_extract_phase(input_path, out_dir, cfg, n_chunks)
     return run_finalize_phase(out_dir, cfg)
+
+
+def file_etag(path: str) -> str:
+    """Content-based file etag: size + md5 of the first 64 KiB (the
+    parquet footer/metadata churns on any rewrite, so a head sample +
+    size catches real changes without reading multi-GB files; mtime is
+    deliberately excluded — replays and copies must not look like
+    edits)."""
+    import hashlib
+
+    st = os.stat(path)
+    h = hashlib.md5(str(st.st_size).encode())
+    with open(path, "rb") as f:
+        h.update(f.read(65536))
+    return h.hexdigest()
+
+
+def _file_chunk_id(path: str) -> str:
+    import zlib
+
+    return f"f{zlib.crc32(os.path.basename(path).encode()):08x}"
+
+
+def run_incremental(
+    input_path: str,
+    out_dir: str,
+    cfg: ExtractionConfig = DEFAULT_CONFIG,
+    finalize: bool = True,
+) -> dict:
+    """W2+W3+W4 combined: snapshot-diff the input FILE manifest against
+    the previous run's, decide skip / full / targeted with the
+    reference's smart-sync table (state.sync.plan_sync), re-extract
+    only what changed, and keep the output consistent with deletions.
+
+    Remap note: the reference's targeted scan saves WebDAV directory
+    LISTING cost; with a flat file manifest the listing is free, so
+    here full-vs-targeted converge to "which files re-extract" — the
+    decision table is kept for semantic parity, and etag-validated
+    per-file chunks give resume-after-input-mutation correctness the
+    positional chunking of run_extract_phase cannot (a changed file's
+    chunk re-runs because its ETAG no longer matches, not because its
+    position moved)."""
+    import json
+
+    from ..state.sync import plan_sync
+
+    if os.path.isdir(input_path):
+        files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+    else:
+        files = [input_path]
+    current = {f: file_etag(f) for f in files}
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    previous: dict[str, str] = {}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            previous = json.load(fh)
+
+    plan = plan_sync(previous, current)
+    result: dict = {"mode": plan.decision, "changed": plan.changed,
+                    "new": plan.new, "deleted": plan.deleted}
+    if plan.decision == "skip":
+        ledger.append_entry(out_dir, {"kind": "incremental", "mode": "skip"})
+        return result
+
+    # committed file-chunks with still-matching etags are reusable
+    committed_etags = {
+        e["chunk"]: e.get("etag")
+        for e in ledger.read_ledger(out_dir) if e.get("kind") == "filechunk"
+    }
+    extracted_root = os.path.join(out_dir, "extracted")
+    os.makedirs(extracted_root, exist_ok=True)
+    targets = files if plan.decision == "full" else [
+        f for f in files if f in plan.targets
+    ]
+    executed = []
+    for f in targets:
+        cid = _file_chunk_id(f)
+        final = os.path.join(extracted_root, f"chunk-{cid}")
+        if committed_etags.get(cid) == current[f] and os.path.isdir(final):
+            continue  # unchanged file, valid chunk — W4 reuse
+        t0 = time.perf_counter()
+        tmp = os.path.join(extracted_root, f".tmp-chunk-{cid}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        build_extracted([f], cfg).write_parquet(tmp)
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp, final)
+        ledger.append_entry(
+            out_dir,
+            {"kind": "filechunk", "chunk": cid, "input_files": [f],
+             "etag": current[f],
+             "wall_sec": round(time.perf_counter() - t0, 3)},
+        )
+        executed.append(cid)
+
+    # deletions: drop the vanished files' chunks from the output
+    removed = []
+    for f in plan.deleted:
+        cid = _file_chunk_id(f)
+        gone = os.path.join(extracted_root, f"chunk-{cid}")
+        if os.path.isdir(gone):
+            shutil.rmtree(gone)
+            removed.append(cid)
+    if removed:
+        ledger.append_entry(
+            out_dir, {"kind": "incremental_removed", "chunks": removed}
+        )
+
+    tmp_manifest = manifest_path + ".tmp"
+    with open(tmp_manifest, "w") as fh:
+        json.dump(current, fh, sort_keys=True)
+    os.replace(tmp_manifest, manifest_path)
+
+    result["executed"] = executed
+    result["removed"] = removed
+    if finalize:
+        result["summary"] = run_finalize_phase(out_dir, cfg)
+    return result

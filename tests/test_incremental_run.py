@@ -1,0 +1,94 @@
+"""run_incremental: manifest-diff-driven skip / full / targeted
+re-extraction with etag-validated chunk reuse and deletion cleanup."""
+
+import os
+
+import pyarrow.parquet as pq
+
+from readur_ray import synth
+from readur_ray.config import ExtractionConfig
+from readur_ray.pipelines.run import file_etag, run_incremental
+
+
+import pyarrow as pa
+
+
+def _corpus(n, seed, prefix):
+    """make_corpus with per-file doc_id prefixes (ids are positional)."""
+    t = synth.make_corpus(n, seed=seed)
+    ids = pa.array([f"{prefix}-{v}" for v in t.column("doc_id").to_pylist()])
+    return t.set_column(t.schema.get_field_index("doc_id"), "doc_id", ids)
+
+
+def _write_corpus_files(d, specs):
+    """specs: {filename: (n_docs, seed)}"""
+    os.makedirs(d, exist_ok=True)
+    for name, (n, seed) in specs.items():
+        pq.write_table(
+            _corpus(n, seed, name.split(".")[0]), os.path.join(d, name)
+        )
+
+
+def _final_ids(out):
+    t = pq.read_table(os.path.join(out, "final"), columns=["doc_id"])
+    return set(t.column("doc_id").to_pylist())
+
+
+def test_incremental_full_then_skip_then_targeted(ray_session, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    cfg = ExtractionConfig()
+    specs = {f"s{i}.parquet": (30, i + 1) for i in range(6)}
+    _write_corpus_files(inp, specs)
+
+    r1 = run_incremental(inp, out, cfg)
+    assert r1["mode"] == "full"
+    assert len(r1["executed"]) == 6
+    ids1 = _final_ids(out)
+    assert len(ids1) == 180
+
+    # unchanged rerun: skipped entirely, nothing re-extracted
+    r2 = run_incremental(inp, out, cfg)
+    assert r2["mode"] == "skip"
+
+    # mutate ONE of six files (ratio 1/6 <= 0.3) → targeted
+    _write_corpus_files(inp, {"s2.parquet": (40, 20)})
+    r3 = run_incremental(inp, out, cfg)
+    assert r3["mode"] == "targeted"
+    assert len(r3["executed"]) == 1
+    ids3 = _final_ids(out)
+    new_b = set(_corpus(40, 20, "s2").column("doc_id").to_pylist())
+    old_b = set(_corpus(30, 3, "s2").column("doc_id").to_pylist())
+    assert new_b <= ids3
+    assert not (old_b - new_b) & ids3
+    # the other five files untouched
+    assert set(_corpus(30, 1, "s0").column("doc_id").to_pylist()) <= ids3
+
+
+def test_incremental_deletion_forces_full_and_cleans_up(ray_session, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    cfg = ExtractionConfig()
+    _write_corpus_files(inp, {"a.parquet": (50, 1), "b.parquet": (50, 2)})
+    run_incremental(inp, out, cfg)
+    os.remove(os.path.join(inp, "b.parquet"))
+
+    r = run_incremental(inp, out, cfg)
+    assert r["mode"] == "full"
+    assert r["removed"], "deleted file's chunk must be dropped"
+    ids = _final_ids(out)
+    b_ids = set(_corpus(50, 2, "b").column("doc_id").to_pylist())
+    a_ids = set(_corpus(50, 1, "a").column("doc_id").to_pylist())
+    assert a_ids <= ids
+    assert not (b_ids - a_ids) & ids
+
+
+def test_file_etag_content_based(tmp_path):
+    p = str(tmp_path / "x.parquet")
+    pq.write_table(synth.make_corpus(10, seed=5), p)
+    e1 = file_etag(p)
+    assert file_etag(p) == e1          # stable across calls
+    os.utime(p, (1, 1))                # mtime change alone is invisible
+    assert file_etag(p) == e1
+    pq.write_table(synth.make_corpus(11, seed=5), p)
+    assert file_etag(p) != e1          # content change is visible
