@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textops.fingerprints,
         "html_extract": textops.html_extract,
         "tfidf_top_terms": textops.tfidf_top_terms,
+        "normalize_text": textops.normalize_text,
+        "redact_pii": textops.redact_pii,
         # --- dedup suite ---
         "dedup_exact": dedup.exact_dedup,
         "dedup_path": dedup.path_dedup,
@@ -765,6 +767,31 @@ def oracle_sql() -> dict[str, str]:
         WHERE x.vec_id < y.vec_id AND bx.bucket = by2.bucket
           AND list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                                      CAST(y.embedding AS DOUBLE[])) >= 0.4
+    """
+
+    sql["normalize_text"] = r"""
+        SELECT doc_id,
+               trim(regexp_replace(nfc_normalize(coalesce(text, '')),
+                                   '\s+', ' ', 'g')) AS norm_text,
+               trim(regexp_replace(nfc_normalize(coalesce(text, '')),
+                                   '\s+', ' ', 'g')) <> coalesce(text, '') AS changed
+        FROM documents
+    """
+
+    sql["redact_pii"] = r"""
+        SELECT doc_id,
+               regexp_replace(step1, '[0-9]{7,}', '[NUM]', 'g') AS redacted,
+               n_emails,
+               CAST(len(regexp_extract_all(step1, '[0-9]{7,}')) AS BIGINT) AS n_numbers
+        FROM (
+          SELECT doc_id,
+                 regexp_replace(coalesce(text, ''),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g') AS step1,
+                 CAST(len(regexp_extract_all(coalesce(text, ''),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
+          FROM documents
+        )
     """
 
     sql["tfidf_top_terms"] = """

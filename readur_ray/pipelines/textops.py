@@ -303,3 +303,67 @@ def tfidf_top_terms(sf_dir: str) -> "ray.data.Dataset":
         .groupby("part2")
         .map_groups(topk_part, batch_format="pyarrow")
     )
+
+
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_NUM_PATTERN = r"[0-9]{7,}"
+
+
+def normalize_text(sf_dir: str) -> "ray.data.Dataset":
+    """Unicode NFC normalization + whitespace collapse — the first
+    stage of any text-training-data cleanup. NFC via unicodedata
+    (pyarrow's utf8_normalize leaves combining sequences uncomposed in
+    this build — verified — while unicodedata matches DuckDB's
+    nfc_normalize exactly); whitespace collapse is a vectorized RE2
+    pass shared with the oracle."""
+    import unicodedata
+
+    ds = read_documents(sf_dir, ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        nfc = [unicodedata.normalize("NFC", t or "") for t in texts]
+        arr = pa.array(nfc, pa.string())
+        collapsed = pc.replace_substring_regex(arr, pattern=r"\s+", replacement=" ")
+        # trim ASCII space only — matches SQL trim(); RE2 \s is ASCII so
+        # the collapse leaves a single leading/trailing space at most
+        stripped = pc.utf8_trim(collapsed, characters=" ")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "norm_text": stripped,
+                "changed": pc.not_equal(stripped, pc.fill_null(batch.column("text"), "")),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def redact_pii(sf_dir: str) -> "ray.data.Dataset":
+    """PII scrubbing: emails → [EMAIL], digit runs ≥ 7 → [NUM] —
+    vectorized RE2 replacements (identical engine and patterns in the
+    DuckDB oracle), plus per-doc redaction counts. The pattern set is
+    deliberately small/deterministic: the contract is exact-parity
+    scrubbing plumbing, not NER coverage."""
+    ds = read_documents(sf_dir, ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        n_email = pc.count_substring_regex(text, pattern=EMAIL_PATTERN).cast(pa.int64())
+        step1 = pc.replace_substring_regex(
+            text, pattern=EMAIL_PATTERN, replacement="[EMAIL]"
+        )
+        n_num = pc.count_substring_regex(step1, pattern=LONG_NUM_PATTERN).cast(pa.int64())
+        out = pc.replace_substring_regex(
+            step1, pattern=LONG_NUM_PATTERN, replacement="[NUM]"
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "redacted": out,
+                "n_emails": n_email,
+                "n_numbers": n_num,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
