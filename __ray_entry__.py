@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": sessions.sessionize,
         "sliding_window": sessions.sliding_window_counts,
         "asof_join": sessions.asof_join_clicks,
+        "funnel_stages": sessions.funnel_stages,
         "median_by_type": analytics.median_value_by_type,
         "hash_sample": analytics.hash_sample_docs,
         # --- composite training-data prep (stats → gate → dedup) ---
@@ -694,6 +695,47 @@ def oracle_sql() -> dict[str, str]:
                  RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS n_win
         FROM events
+    """
+
+    sql["funnel_stages"] = """
+        WITH m AS (
+          SELECT user_id, ts, event_type,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 30 * 60 * 1000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+        ),
+        s AS (
+          SELECT user_id, ts, event_type,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM m
+        ),
+        v AS (
+          SELECT user_id, session_no, min(ts) AS t_v FROM s
+          WHERE event_type = 'view' GROUP BY 1, 2
+        ),
+        c AS (
+          SELECT s.user_id, s.session_no, min(s.ts) AS t_c
+          FROM s JOIN v USING (user_id, session_no)
+          WHERE s.event_type = 'click' AND s.ts >= v.t_v GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT s.user_id, s.session_no, min(s.ts) AS t_p
+          FROM s JOIN c USING (user_id, session_no)
+          WHERE s.event_type = 'purchase' AND s.ts >= c.t_c GROUP BY 1, 2
+        )
+        SELECT s.user_id, CAST(s.session_no AS BIGINT) AS session_no,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(CASE WHEN p.t_p IS NOT NULL THEN 3
+                         WHEN c.t_c IS NOT NULL THEN 2
+                         WHEN v.t_v IS NOT NULL THEN 1
+                         ELSE 0 END AS BIGINT) AS funnel_stage
+        FROM s
+        LEFT JOIN v USING (user_id, session_no)
+        LEFT JOIN c USING (user_id, session_no)
+        LEFT JOIN p USING (user_id, session_no)
+        GROUP BY s.user_id, s.session_no, v.t_v, c.t_c, p.t_p
     """
 
     sql["asof_join"] = """

@@ -227,3 +227,60 @@ def asof_join_clicks(sf_dir: str) -> "ray.data.Dataset":
         .groupby("user_id")
         .map_groups(per_user, batch_format="pyarrow")
     )
+
+
+FUNNEL_ORDER = ("view", "click", "purchase")
+
+
+def funnel_stages(sf_dir: str) -> "ray.data.Dataset":
+    """Conversion funnel per session: stage 1 if the session has a
+    view, 2 if a click at-or-after the first view, 3 if a purchase
+    at-or-after that click — the ORDERED subsequence, not mere
+    presence. Sessions are the same 30-min-gap windows as sessionize.
+
+    Plan: groupby(user_id) → in-group sort once, session split, then
+    per-session first-view / first-click≥view / first-purchase≥click
+    via searchsorted on the session's (tiny) per-type arrays. Output is
+    one row per session — integers only, window-function oracle."""
+    gap_us = GAP_MINUTES * 60 * 1_000_000
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        types = g.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        ts, types = ts[order], types[order]
+        uid = g.column("user_id")[0].as_py()
+        new_session = np.concatenate([[True], np.diff(ts) > gap_us])
+        starts = np.flatnonzero(new_session)
+        ends = np.concatenate([starts[1:], [len(ts)]])
+        out_no, out_n, out_stage = [], [], []
+        for sno, (a, b) in enumerate(zip(starts, ends), start=1):
+            seg_ts, seg_ty = ts[a:b], types[a:b]
+            stage = 0
+            v = seg_ts[seg_ty == FUNNEL_ORDER[0]]
+            if v.size:
+                stage = 1
+                c = seg_ts[(seg_ty == FUNNEL_ORDER[1]) & (seg_ts >= v.min())]
+                if c.size:
+                    stage = 2
+                    p = seg_ts[(seg_ty == FUNNEL_ORDER[2]) & (seg_ts >= c.min())]
+                    if p.size:
+                        stage = 3
+            out_no.append(sno)
+            out_n.append(int(b - a))
+            out_stage.append(stage)
+        return pa.table(
+            {
+                "user_id": pa.array([uid] * len(out_no), pa.int64()),
+                "session_no": pa.array(out_no, pa.int64()),
+                "n_events": pa.array(out_n, pa.int64()),
+                "funnel_stage": pa.array(out_stage, pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
