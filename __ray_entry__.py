@@ -656,13 +656,17 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS rn
             FROM d0) WHERE rn = 1
         ),
-        cent AS (
+        cent1 AS (
           SELECT a0.c, qv.dim, CAST(sum(qv.q) // count(*) AS BIGINT) AS q
           FROM qv JOIN a0 USING (vec_id) GROUP BY 1, 2
         ),
+        cent1f AS (  -- empty cells keep the previous centroid
+          SELECT s.c, s.dim, coalesce(c1.q, s.q) AS q
+          FROM seed s LEFT JOIN cent1 c1 ON c1.c = s.c AND c1.dim = s.dim
+        ),
         d1 AS (
           SELECT v.vec_id, cn.c, sum((v.q - cn.q) * (v.q - cn.q)) AS d2
-          FROM qv v JOIN cent cn USING (dim) GROUP BY 1, 2
+          FROM qv v JOIN cent1f cn USING (dim) GROUP BY 1, 2
         ),
         a1 AS (
           SELECT vec_id, c FROM (
@@ -670,12 +674,30 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS rn
             FROM d1) WHERE rn = 1
         ),
+        cent2 AS (
+          SELECT a1.c, qv.dim, CAST(sum(qv.q) // count(*) AS BIGINT) AS q
+          FROM qv JOIN a1 USING (vec_id) GROUP BY 1, 2
+        ),
+        cent2f AS (
+          SELECT f.c, f.dim, coalesce(c2.q, f.q) AS q
+          FROM cent1f f LEFT JOIN cent2 c2 ON c2.c = f.c AND c2.dim = f.dim
+        ),
+        d2c AS (
+          SELECT v.vec_id, cn.c, sum((v.q - cn.q) * (v.q - cn.q)) AS d2
+          FROM qv v JOIN cent2f cn USING (dim) GROUP BY 1, 2
+        ),
+        a2 AS (
+          SELECT vec_id, c FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS rn
+            FROM d2c) WHERE rn = 1
+        ),
         pd AS (
           SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
                  sum((x.q - y.q) * (x.q - y.q)) AS d2
           FROM qv x
-          JOIN a1 ax ON ax.vec_id = x.vec_id
-          JOIN a1 ay ON TRUE
+          JOIN a2 ax ON ax.vec_id = x.vec_id
+          JOIN a2 ay ON TRUE
           JOIN qv y ON y.vec_id = ay.vec_id AND y.dim = x.dim
           WHERE x.vec_id < 16 AND y.vec_id <> x.vec_id AND ax.c = ay.c
           GROUP BY 1, 2

@@ -247,6 +247,7 @@ def ann_topk_lsh(
 
 QUANT = 1_000_000   # fixed-point grid for the exact-integer k-means
 KM_K = N_ANCHORS    # k = 8 cells, seeded from the anchor vectors
+KM_ITERS = 2        # exact-integer k-means refinement passes
 
 
 def _quantize(mat: np.ndarray) -> np.ndarray:
@@ -271,17 +272,19 @@ def _assign(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
 def ann_topk_ivf_kmeans(
     sf_dir: str, k: int = TOP_K, nprobe: int = 1
 ) -> "ray.data.Dataset":
-    """IVF with LEARNED centroids: one exact-integer k-means step
-    (seed = anchor vectors, assign by squared L2, centroid update =
-    truncating integer division of coordinate sums), then each query
-    probes its own cell and ranks the cell's members. The coarse
-    quantizer is trained on a pass over the data — unlike ann_topk_ivf
-    (label partitions) and ann_topk_lsh (random hyperplanes), this is
-    the FAISS-style IVF construction, kept bit-reproducible.
+    """IVF with LEARNED centroids: KM_ITERS exact-integer k-means
+    steps (seed = anchor vectors, assign by squared L2, centroid
+    update = truncating integer division of coordinate sums), then
+    each query probes its own cell and ranks the cell's members. The
+    coarse quantizer is trained on passes over the data — unlike
+    ann_topk_ivf (label partitions) and ann_topk_lsh (random
+    hyperplanes), this is the FAISS-style IVF construction, kept
+    bit-reproducible (the iterative driver loop holds only the k × dim
+    centroid matrix between passes).
 
-    Scale shape: the centroid update is a fixed-size (k × dim) integer
-    aggregate — per-batch partial sums, tiny driver reduce (k·dim
-    ints, NOT O(n) state); assignment + per-cell ranking is one
+    Scale shape: each centroid update is a fixed-size (k × dim)
+    integer aggregate — per-batch partial sums, tiny driver reduce
+    (k·dim ints, NOT O(n) state); assignment + per-cell ranking is one
     groupby(cell) over (cell, vec_id, qvec) rows."""
     import pyarrow.parquet as _pq
 
@@ -292,40 +295,47 @@ def ann_topk_ivf_kmeans(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
         filters=[("vec_id", ">=", ANCHOR_LO), ("vec_id", "<", ANCHOR_LO + KM_K)],
     ).sort_by("vec_id")
-    seed = _quantize(np.array(seed_tbl.column("embedding").to_pylist(), dtype=np.float64))
-    seed_ref = ray.put(seed)
+    cents = _quantize(np.array(seed_tbl.column("embedding").to_pylist(), dtype=np.float64))
+    dim = cents.shape[1]
 
-    # one k-means step: per-batch partial (cell, count, coord sums)
-    def partial_sums(batch: pa.Table) -> pa.Table:
-        cents = ray.get(seed_ref)
-        q = _quantize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
-        a = _assign(q, cents)
-        rows_c, rows_n, rows_s = [], [], []
-        for c in np.unique(a):
-            m = a == c
-            rows_c.append(int(c))
-            rows_n.append(int(m.sum()))
-            rows_s.append(q[m].sum(axis=0))
-        return pa.table(
-            {
-                "c": pa.array(rows_c, pa.int64()),
-                "n": pa.array(rows_n, pa.int64()),
-                "s": pa.array([s.tolist() for s in rows_s],
-                              pa.list_(pa.int64())),
-            }
-        )
+    for _ in range(KM_ITERS):
+        cur_ref = ray.put(cents)
 
-    # tiny fixed-size reduce on the driver (k×dim ints — NOT O(n))
-    parts = ds.map_batches(partial_sums, batch_format="pyarrow").take_all()
-    dim = seed.shape[1]
-    sums = np.zeros((KM_K, dim), dtype=np.int64)
-    counts = np.zeros(KM_K, dtype=np.int64)
-    for r in parts:
-        sums[r["c"]] += np.array(r["s"], dtype=np.int64)
-        counts[r["c"]] += r["n"]
-    counts = np.maximum(counts, 1)
-    # truncating integer division — matches DuckDB's `//`
-    cents = (np.sign(sums) * (np.abs(sums) // counts[:, None])).astype(np.int64)
+        def partial_sums(batch: pa.Table, _ref=cur_ref) -> pa.Table:
+            cn = ray.get(_ref)
+            q = _quantize(
+                np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            )
+            a = _assign(q, cn)
+            rows_c, rows_n, rows_s = [], [], []
+            for c in np.unique(a):
+                m = a == c
+                rows_c.append(int(c))
+                rows_n.append(int(m.sum()))
+                rows_s.append(q[m].sum(axis=0))
+            return pa.table(
+                {
+                    "c": pa.array(rows_c, pa.int64()),
+                    "n": pa.array(rows_n, pa.int64()),
+                    "s": pa.array([s.tolist() for s in rows_s],
+                                  pa.list_(pa.int64())),
+                }
+            )
+
+        # tiny fixed-size reduce on the driver (k×dim ints — NOT O(n))
+        parts = ds.map_batches(partial_sums, batch_format="pyarrow").take_all()
+        sums = np.zeros((KM_K, dim), dtype=np.int64)
+        counts = np.zeros(KM_K, dtype=np.int64)
+        for r in parts:
+            sums[r["c"]] += np.array(r["s"], dtype=np.int64)
+            counts[r["c"]] += r["n"]
+        # empty cells keep their previous centroid (counts guard)
+        prev = cents
+        counts_safe = np.maximum(counts, 1)
+        # truncating integer division — matches DuckDB's `//`
+        cents = (np.sign(sums) * (np.abs(sums) // counts_safe[:, None])).astype(np.int64)
+        cents[counts == 0] = prev[counts == 0]
+
     cents_ref = ray.put(cents)
 
     def assign_rows(batch: pa.Table) -> pa.Table:
