@@ -58,3 +58,21 @@ def read_table(
         filter=row_filter,
         override_num_blocks=override_num_blocks,
     )
+
+
+def write_table(ds: "ray.data.Dataset", path: str, fmt: str = "auto") -> str:
+    """Format-dispatching SINK (the S9 analog of read_table): write a
+    Dataset as Lance when requested/available, else partitioned
+    parquet. 'auto' prefers Lance only when the library is importable —
+    the format choice is a data-path change, mirroring the reader.
+    Returns the format actually written."""
+    if fmt == "lance" or (fmt == "auto" and lance_available()):
+        if not lance_available():
+            raise NotImplementedError(
+                "lance output requested but the lance library is not "
+                "installed; use fmt='parquet'."
+            )
+        ds.write_lance(path)
+        return "lance"
+    ds.write_parquet(path)
+    return "parquet"

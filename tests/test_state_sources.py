@@ -97,3 +97,22 @@ def duck_sf0001():
         "read_parquet('/root/testdata/sf0.001/documents.parquet')"
     )
     return con
+
+
+def test_write_table_parquet_fallback(ray_session, tmp_path):
+    import ray
+
+    ds = ray.data.range(10)
+    out = str(tmp_path / "o")
+    fmt = tables.write_table(ds, out)
+    if tables.lance_available():
+        assert fmt == "lance"
+    else:
+        assert fmt == "parquet"
+        assert ray.data.read_parquet(out).count() == 10
+    # explicit lance request without the wheel fails fast
+    if not tables.lance_available():
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            tables.write_table(ds, str(tmp_path / "o2"), fmt="lance")
