@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": dedup.simhash_pairs,
         "dedup_simhash_banded": dedup.simhash_pairs_banded,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_components": dedup.neardup_components,
         "dedup_embedding": dedup.embedding_neardup_pairs,
         "dedup_embedding_lsh": dedup.embedding_neardup_lsh,
         # --- similarity search ---
@@ -282,6 +283,35 @@ def oracle_sql() -> dict[str, str]:
           ON a.b = c.b AND a.mh = c.mh AND a.doc_id < c.doc_id
         GROUP BY 1, 2
     """
+
+    sql["dedup_components"] = f"""
+        WITH {_WORDS_CTE}, {_SHINGLES_CTE},
+        bandk AS (SELECT * FROM (VALUES {_BAND_VALUES}) AS t(b, am, ac)),
+        sig AS (
+          SELECT doc_id, b,
+                 min(CAST(((CAST(CAST('0x' || substr(md5(s), 1, 15) AS UBIGINT) AS HUGEINT)
+                            * am + ac) % 18446744073709551616) // 16 AS BIGINT)) AS mh
+          FROM sh, bandk
+          GROUP BY doc_id, b
+        ),
+        sigf AS (
+          SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY b, mh) AS bs FROM sig)
+          WHERE bs <= 128
+        ),
+        e AS (
+          SELECT DISTINCT a.doc_id AS src, c.doc_id AS dst
+          FROM sigf a JOIN sigf c ON a.b = c.b AND a.mh = c.mh
+          WHERE a.doc_id <> c.doc_id
+        ),
+        reach AS (
+          SELECT doc_id AS doc, doc_id AS lab FROM documents
+          UNION
+          SELECT e.src AS doc, r.lab
+          FROM reach r JOIN e ON e.dst = r.doc
+        )
+        SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS component_id
+        FROM reach GROUP BY 1
+    """.replace("WITH w AS", "WITH RECURSIVE w AS")
 
     sql["dedup_simhash"] = f"""
         WITH {_SIMHASH_CTE}

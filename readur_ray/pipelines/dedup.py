@@ -664,3 +664,164 @@ def embedding_neardup_pairs(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+class _UnionFind:
+    """Path-compressing union-find keyed by int labels (used per
+    partition over its edge slice, and once on the driver over the
+    tiny contracted bridge graph)."""
+
+    def __init__(self):
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent.setdefault(x, x)
+        while p != self.parent[p]:
+            self.parent[p] = self.parent[self.parent[p]]
+            p = self.parent[p]
+        self.parent[x] = p
+        return p
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # min-root convention → component id is the minimum member
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            self.parent[hi] = lo
+
+
+def neardup_components(sf_dir: str) -> "ray.data.Dataset":
+    """Connected components over the MinHash-LSH candidate-pair graph:
+    component_id = min doc_id reachable through near-dup pairs (docs
+    with no pair are their own singleton component) — the curation
+    step that turns pairwise near-dup evidence into one representative
+    per cluster.
+
+    CONTRACTION plan (no per-round barrier loop — a label-propagation
+    prototype paid ~19 s of shuffle fixed-cost PER ROUND):
+      1. one shuffle of the edge list on a coarse hash of min(a, b);
+         per-partition UNION-FIND collapses each partition's slice to
+         (doc_id, local_label) assignments;
+      2. one shuffle of assignments by doc_id; docs seen in several
+         partitions emit BRIDGE pairs between their local labels;
+      3. the bridge graph is CONTRACTED — one pair per cross-partition
+         component adjacency, orders of magnitude smaller than the
+         edge list — and is union-found on the driver, the only
+         driver-side state (documented bound: ≤ (n_parts-1) bridges
+         per multi-partition component; a second contraction round
+         would bound it further at extreme scale);
+      4. the tiny root map broadcasts; a final co-partition of
+         (all-doc rows ∪ assignments) resolves every doc to its
+         component, singletons to themselves.
+    Exact result (same fixed point as the oracle's recursive CTE)."""
+    edges = minhash_lsh_pairs(sf_dir).map_batches(
+        lambda b: pa.table({"doc_a": b.column("doc_a"), "doc_b": b.column("doc_b")}),
+        batch_format="pyarrow",
+    )
+
+    def part_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array(int_partition(np.minimum(a, b)), pa.int64())
+        )
+
+    def local_cc(part_tbl: pa.Table) -> pa.Table:
+        uf = _UnionFind()
+        a = part_tbl.column("doc_a").to_numpy(zero_copy_only=False)
+        b = part_tbl.column("doc_b").to_numpy(zero_copy_only=False)
+        for x, y in zip(a.tolist(), b.tolist()):
+            uf.union(x, y)
+        docs = sorted(uf.parent)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.int64()),
+                "label": pa.array([uf.find(d) for d in docs], pa.int64()),
+            }
+        )
+
+    assignments = partitioned_map(edges, part_edges, local_cc)
+
+    def part_docs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array(int_partition(ids), pa.int64())
+        )
+
+    def merge_doc_labels(part_tbl: pa.Table) -> pa.Table:
+        """Per doc: keep the min local label; every additional local
+        label becomes a bridge pair (marked kind=1)."""
+        df = part_tbl.select(["doc_id", "label"]).to_pandas()
+        gm = df.groupby("doc_id", sort=False)["label"]
+        mn = gm.transform("min").to_numpy()
+        lab = df["label"].to_numpy()
+        doc = df["doc_id"].to_numpy()
+        is_min = lab == mn
+        # assignment rows: one per doc (its min label)
+        uniq_doc, first_idx = np.unique(doc, return_index=True)
+        # bridge rows: (min_label, other_label) for every non-min label
+        bridge_a = mn[~is_min]
+        bridge_b = lab[~is_min]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([uniq_doc, np.full(bridge_a.size, -1)]),
+                    pa.int64(),
+                ),
+                "la": pa.array(
+                    np.concatenate([mn[first_idx], bridge_a]), pa.int64()
+                ),
+                "lb": pa.array(
+                    np.concatenate([np.full(uniq_doc.size, -1), bridge_b]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    merged = partitioned_map(assignments, part_docs, merge_doc_labels).materialize()
+
+    # driver union-find over the contracted bridge graph only
+    uf = _UnionFind()
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        la = b.column("la").to_numpy(zero_copy_only=False)
+        lb = b.column("lb").to_numpy(zero_copy_only=False)
+        for x, y in zip(la[lb >= 0].tolist(), lb[lb >= 0].tolist()):
+            uf.union(x, y)
+    root_map = {x: uf.find(x) for x in uf.parent}
+    root_ref = ray.put(root_map)
+
+    def resolve(part_tbl: pa.Table) -> pa.Table:
+        roots = ray.get(root_ref)
+        df = part_tbl.select(["doc_id", "la"]).to_pandas()
+        # rows: all-doc seeds (la == doc_id) ∪ edge assignments; per doc
+        # the final label = root(min assignment label), else itself
+        lab = np.array([roots.get(v, v) for v in df["la"].to_numpy()], dtype=np.int64)
+        df = df.assign(lab=lab)
+        out = df.groupby("doc_id", sort=False)["lab"].min().reset_index()
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+                "component_id": pa.array(out["lab"].to_numpy(), pa.int64()),
+            }
+        )
+
+    all_docs = _read_docs(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "la": b.column("doc_id"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    doc_assign = merged.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("doc_id"), 0)
+        ).select(["doc_id", "la"]),
+        batch_format="pyarrow",
+    )
+    return partitioned_map(all_docs.union(doc_assign), part_docs, resolve)

@@ -26,6 +26,7 @@ SUBSET = [
     "dedup_exact",
     "dedup_path",
     "dedup_minhash_lsh",
+    "dedup_components",
     "dedup_simhash",
     "ann_topk",
     "pricing_summary",
