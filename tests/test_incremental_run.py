@@ -38,38 +38,38 @@ def test_incremental_full_then_skip_then_targeted(ray_session, tmp_path):
     inp = str(tmp_path / "in")
     out = str(tmp_path / "out")
     cfg = ExtractionConfig()
-    specs = {f"s{i}.parquet": (30, i + 1) for i in range(6)}
+    specs = {f"s{i}.parquet": (24, i + 1) for i in range(4)}
     _write_corpus_files(inp, specs)
 
     r1 = run_incremental(inp, out, cfg)
     assert r1["mode"] == "full"
-    assert len(r1["executed"]) == 6
+    assert len(r1["executed"]) == 4
     ids1 = _final_ids(out)
-    assert len(ids1) == 180
+    assert len(ids1) == 96
 
     # unchanged rerun: skipped entirely, nothing re-extracted
     r2 = run_incremental(inp, out, cfg)
     assert r2["mode"] == "skip"
 
-    # mutate ONE of six files (ratio 1/6 <= 0.3) → targeted
-    _write_corpus_files(inp, {"s2.parquet": (40, 20)})
+    # mutate ONE of four files (ratio 1/4 <= 0.3) → targeted
+    _write_corpus_files(inp, {"s2.parquet": (30, 20)})
     r3 = run_incremental(inp, out, cfg)
     assert r3["mode"] == "targeted"
     assert len(r3["executed"]) == 1
     ids3 = _final_ids(out)
-    new_b = set(_corpus(40, 20, "s2").column("doc_id").to_pylist())
-    old_b = set(_corpus(30, 3, "s2").column("doc_id").to_pylist())
+    new_b = set(_corpus(30, 20, "s2").column("doc_id").to_pylist())
+    old_b = set(_corpus(24, 3, "s2").column("doc_id").to_pylist())
     assert new_b <= ids3
     assert not (old_b - new_b) & ids3
     # the other five files untouched
-    assert set(_corpus(30, 1, "s0").column("doc_id").to_pylist()) <= ids3
+    assert set(_corpus(24, 1, "s0").column("doc_id").to_pylist()) <= ids3
 
 
 def test_incremental_deletion_forces_full_and_cleans_up(ray_session, tmp_path):
     inp = str(tmp_path / "in")
     out = str(tmp_path / "out")
     cfg = ExtractionConfig()
-    _write_corpus_files(inp, {"a.parquet": (50, 1), "b.parquet": (50, 2)})
+    _write_corpus_files(inp, {"a.parquet": (30, 1), "b.parquet": (30, 2)})
     run_incremental(inp, out, cfg)
     os.remove(os.path.join(inp, "b.parquet"))
 
@@ -77,8 +77,8 @@ def test_incremental_deletion_forces_full_and_cleans_up(ray_session, tmp_path):
     assert r["mode"] == "full"
     assert r["removed"], "deleted file's chunk must be dropped"
     ids = _final_ids(out)
-    b_ids = set(_corpus(50, 2, "b").column("doc_id").to_pylist())
-    a_ids = set(_corpus(50, 1, "a").column("doc_id").to_pylist())
+    b_ids = set(_corpus(30, 2, "b").column("doc_id").to_pylist())
+    a_ids = set(_corpus(30, 1, "a").column("doc_id").to_pylist())
     assert a_ids <= ids
     assert not (b_ids - a_ids) & ids
 
