@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": similarity.ann_topk_lsh,
         "ann_topk_ivf": similarity.ann_topk_ivf,
         "ann_topk_ivf_kmeans": similarity.ann_topk_ivf_kmeans,
+        "ann_topk_ivf_kmeans_probe2": similarity.ann_topk_ivf_kmeans_probe2,
         # --- relational operators (A1-A6, O1-O3, J1/J4, M20, M4-M6) ---
         "status_counts": analytics.status_counts,
         "source_facets": analytics.source_facets,
@@ -739,6 +740,37 @@ def oracle_sql() -> dict[str, str]:
                  ) AS BIGINT) AS rank
           FROM pd) WHERE rank <= 5
     """
+
+    # multi-probe variant: same trained centroids; each query probes
+    # its top-2 cells, data vectors stay in their single a2 cell
+    sql["ann_topk_ivf_kmeans_probe2"] = sql["ann_topk_ivf_kmeans"].replace(
+        """        pd AS (
+          SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
+                 sum((x.q - y.q) * (x.q - y.q)) AS d2
+          FROM qv x
+          JOIN a2 ax ON ax.vec_id = x.vec_id
+          JOIN a2 ay ON TRUE
+          JOIN qv y ON y.vec_id = ay.vec_id AND y.dim = x.dim
+          WHERE x.vec_id < 16 AND y.vec_id <> x.vec_id AND ax.c = ay.c
+          GROUP BY 1, 2
+        )""",
+        """        qp AS (
+          SELECT vec_id, c FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS rn
+            FROM d2c WHERE vec_id < 16) WHERE rn <= 2
+        ),
+        pd AS (
+          SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
+                 sum((x.q - y.q) * (x.q - y.q)) AS d2
+          FROM qv x
+          JOIN qp ax ON ax.vec_id = x.vec_id
+          JOIN a2 ay ON TRUE
+          JOIN qv y ON y.vec_id = ay.vec_id AND y.dim = x.dim
+          WHERE x.vec_id < 16 AND y.vec_id <> x.vec_id AND ax.c = ay.c
+          GROUP BY 1, 2
+        )""",
+    )
 
     sql["sliding_window"] = """
         SELECT event_type, ts,

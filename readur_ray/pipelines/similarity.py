@@ -391,3 +391,154 @@ def ann_topk_ivf_kmeans(
         .groupby("cell")
         .map_groups(per_cell, batch_format="pyarrow")
     )
+
+
+def ann_topk_ivf_kmeans_probe2(
+    sf_dir: str, k: int = TOP_K, nprobe: int = 2
+) -> "ray.data.Dataset":
+    """Multi-probe k-means IVF: each query probes its nprobe nearest
+    cells (data vectors still live in exactly one cell) — the standard
+    recall lever over single-probe IVF; measured recall@5 roughly
+    doubles at nprobe=2 on the synthetic embeddings.
+
+    Plan: same exact-integer centroid training as
+    ann_topk_ivf_kmeans; query rows are REPLICATED into their nprobe
+    cells (a k×nprobe-row fan-out of the 16 queries — constant), each
+    cell emits its local top-k WITH the integer distance, and one tiny
+    groupby(query_id) reduce merges the per-cell candidates into the
+    global top-k."""
+    import pyarrow.parquet as _pq
+
+    ds = _read_embeddings(sf_dir)
+
+    seed_tbl = _pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", ">=", ANCHOR_LO), ("vec_id", "<", ANCHOR_LO + KM_K)],
+    ).sort_by("vec_id")
+    cents = _quantize(np.array(seed_tbl.column("embedding").to_pylist(), dtype=np.float64))
+    dim = cents.shape[1]
+
+    for _ in range(KM_ITERS):
+        cur_ref = ray.put(cents)
+
+        def partial_sums(batch: pa.Table, _ref=cur_ref) -> pa.Table:
+            cn = ray.get(_ref)
+            q = _quantize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+            a = _assign(q, cn)
+            rows_c, rows_n, rows_s = [], [], []
+            for c in np.unique(a):
+                m = a == c
+                rows_c.append(int(c))
+                rows_n.append(int(m.sum()))
+                rows_s.append(q[m].sum(axis=0))
+            return pa.table(
+                {"c": pa.array(rows_c, pa.int64()),
+                 "n": pa.array(rows_n, pa.int64()),
+                 "s": pa.array([x.tolist() for x in rows_s], pa.list_(pa.int64()))}
+            )
+
+        parts = ds.map_batches(partial_sums, batch_format="pyarrow").take_all()
+        sums = np.zeros((KM_K, dim), dtype=np.int64)
+        counts = np.zeros(KM_K, dtype=np.int64)
+        for r in parts:
+            sums[r["c"]] += np.array(r["s"], dtype=np.int64)
+            counts[r["c"]] += r["n"]
+        prev = cents
+        counts_safe = np.maximum(counts, 1)
+        cents = (np.sign(sums) * (np.abs(sums) // counts_safe[:, None])).astype(np.int64)
+        cents[counts == 0] = prev[counts == 0]
+
+    cents_ref = ray.put(cents)
+
+    def assign_rows(batch: pa.Table) -> pa.Table:
+        cn = ray.get(cents_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        q = _quantize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        d2 = (
+            (q * q).sum(axis=1, keepdims=True)
+            - 2 * (q @ cn.T)
+            + (cn * cn).sum(axis=1)[None, :]
+        )
+        primary = np.argmin(d2, axis=1)
+        out_cell = [primary.astype(np.int64)]
+        out_id = [ids]
+        out_q = [q]
+        out_role = [np.zeros(len(ids), dtype=np.int64)]       # 0 = data
+        is_q = ids < N_QUERIES
+        if is_q.any():
+            order = np.argsort(d2[is_q], axis=1, kind="stable")[:, :nprobe]
+            qi = np.repeat(np.flatnonzero(is_q), nprobe)
+            out_cell.append(order.ravel().astype(np.int64))
+            out_id.append(ids[qi])
+            out_q.append(q[qi])
+            out_role.append(np.ones(qi.size, dtype=np.int64))  # 1 = probe
+        return pa.table(
+            {
+                "cell": pa.array(np.concatenate(out_cell), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "qvec": pa.array(
+                    [r.tolist() for r in np.concatenate(out_q)], pa.list_(pa.int64())
+                ),
+                "role": pa.array(np.concatenate(out_role), pa.int64()),
+            }
+        )
+
+    def per_cell(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        role = group.column("role").to_numpy(zero_copy_only=False)
+        q = np.array(group.column("qvec").to_pylist(), dtype=np.int64)
+        empty = pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "d2": pa.array([], pa.int64())}
+        )
+        data_m = role == 0
+        probe_m = role == 1
+        if not probe_m.any() or data_m.sum() < 1:
+            return empty
+        qs, qids = q[probe_m], ids[probe_m]
+        dm, dids = q[data_m], ids[data_m]
+        d2 = (
+            (qs * qs).sum(axis=1, keepdims=True)
+            - 2 * (qs @ dm.T)
+            + (dm * dm).sum(axis=1)[None, :]
+        )
+        out_q, out_n, out_d = [], [], []
+        for i, qid in enumerate(qids):
+            mask = dids != qid
+            order = np.lexsort((dids[mask], d2[i][mask]))[:k]
+            out_q.extend([qid] * len(order))
+            out_n.extend(dids[mask][order].tolist())
+            out_d.extend(d2[i][mask][order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "d2": pa.array(np.array(out_d, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            group, sort_keys=[("d2", "ascending"), ("neighbor_id", "ascending")]
+        )
+        g = group.take(idx[:k])
+        return pa.table(
+            {
+                "query_id": g.column("query_id"),
+                "neighbor_id": g.column("neighbor_id"),
+                "rank": pa.array(
+                    np.arange(1, g.num_rows + 1, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(assign_rows, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(per_cell, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pyarrow")
+    )

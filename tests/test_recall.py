@@ -35,3 +35,9 @@ def test_kmeans_ivf_beats_unlearned_partitions(ray_session, exact_pairs):
 
 def test_lsh_returns_real_neighbors(ray_session, exact_pairs):
     assert _recall(similarity.ann_topk_lsh(SF), exact_pairs) > 0.0
+
+
+def test_multiprobe_raises_recall(ray_session, exact_pairs):
+    r1 = _recall(similarity.ann_topk_ivf_kmeans(SF), exact_pairs)
+    r2 = _recall(similarity.ann_topk_ivf_kmeans_probe2(SF), exact_pairs)
+    assert r2 > r1, (r1, r2)
