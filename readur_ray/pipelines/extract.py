@@ -54,7 +54,7 @@ from ..functions.errors import (
 from ..functions.hashing import merkle_from_span_hashes
 from ..functions.plaintext import extract_plain_text, extract_plain_text_array
 from ..functions.quality import validate_ocr_quality
-from ..functions.wordcount import count_words_array, count_words_safely
+from ..functions.wordcount import count_words_safely
 from ..schema import EXTRACTED, OUT_SPAN
 from ..sources.media import make_resolver
 from ..stages.engines import make_image_engine, make_pdf_engine
