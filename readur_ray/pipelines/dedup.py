@@ -14,7 +14,11 @@ only, so values match bit-for-bit):
 - ``ngram_jaccard_pairs`` — shingle inverted index self-join; pairs
   with integer-threshold Jaccard (inter*10 ≥ union).
 - ``embedding_neardup_pairs`` — cosine ≥ threshold over the embedding
-  column (brute force per batch against a broadcast matrix).
+  column (brute force per batch against a broadcast matrix; LSH
+  bucketed scale variant alongside).
+- ``path_dedup`` — D2 keep-first per relative path.
+- ``neardup_components`` — connected components over the candidate
+  pairs (contraction plan; recursive-CTE oracle).
 
 Scale notes (explicit, per north_rule):
 - All pair generation goes through hash buckets (band key / shingle),
@@ -694,34 +698,19 @@ class _UnionFind:
             self.parent[hi] = lo
 
 
-def neardup_components(sf_dir: str) -> "ray.data.Dataset":
-    """Connected components over the MinHash-LSH candidate-pair graph:
-    component_id = min doc_id reachable through near-dup pairs (docs
-    with no pair are their own singleton component) — the curation
-    step that turns pairwise near-dup evidence into one representative
-    per cluster.
+def _part_by_doc(batch: pa.Table) -> pa.Table:
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    return batch.append_column("part", pa.array(int_partition(ids), pa.int64()))
 
-    CONTRACTION plan (no per-round barrier loop — a label-propagation
-    prototype paid ~19 s of shuffle fixed-cost PER ROUND):
-      1. one shuffle of the edge list on a coarse hash of min(a, b);
-         per-partition UNION-FIND collapses each partition's slice to
-         (doc_id, local_label) assignments;
-      2. one shuffle of assignments by doc_id; docs seen in several
-         partitions emit BRIDGE pairs between their local labels;
-      3. the bridge graph is CONTRACTED — one pair per cross-partition
-         component adjacency, orders of magnitude smaller than the
-         edge list — and is union-found on the driver, the only
-         driver-side state (documented bound: ≤ (n_parts-1) bridges
-         per multi-partition component; a second contraction round
-         would bound it further at extreme scale);
-      4. the tiny root map broadcasts; a final co-partition of
-         (all-doc rows ∪ assignments) resolves every doc to its
-         component, singletons to themselves.
-    Exact result (same fixed point as the oracle's recursive CTE)."""
-    edges = minhash_lsh_pairs(sf_dir).map_batches(
-        lambda b: pa.table({"doc_a": b.column("doc_a"), "doc_b": b.column("doc_b")}),
-        batch_format="pyarrow",
-    )
+
+def _contract_edges(edge_ds: "ray.data.Dataset"):
+    """One contraction round over an edge dataset (doc_a, doc_b):
+    per-partition union-find → (node, local min label) assignments →
+    per-node merge emitting bridge pairs between a node's local labels.
+    Returns (assignments_ds [doc_id, la], bridges_ds [doc_a, doc_b],
+    n_bridges) — the bridge graph has one edge per cross-partition
+    component adjacency, typically orders of magnitude smaller than
+    the input edge list."""
 
     def part_edges(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy(zero_copy_only=False)
@@ -744,26 +733,15 @@ def neardup_components(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    assignments = partitioned_map(edges, part_edges, local_cc)
-
-    def part_docs(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "part", pa.array(int_partition(ids), pa.int64())
-        )
-
     def merge_doc_labels(part_tbl: pa.Table) -> pa.Table:
-        """Per doc: keep the min local label; every additional local
-        label becomes a bridge pair (marked kind=1)."""
+        """Per node: keep the min local label; every additional local
+        label becomes a bridge pair (doc_id = -1 marker)."""
         df = part_tbl.select(["doc_id", "label"]).to_pandas()
-        gm = df.groupby("doc_id", sort=False)["label"]
-        mn = gm.transform("min").to_numpy()
+        mn = df.groupby("doc_id", sort=False)["label"].transform("min").to_numpy()
         lab = df["label"].to_numpy()
         doc = df["doc_id"].to_numpy()
         is_min = lab == mn
-        # assignment rows: one per doc (its min label)
         uniq_doc, first_idx = np.unique(doc, return_index=True)
-        # bridge rows: (min_label, other_label) for every non-min label
         bridge_a = mn[~is_min]
         bridge_b = lab[~is_min]
         return pa.table(
@@ -782,46 +760,167 @@ def neardup_components(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    merged = partitioned_map(assignments, part_docs, merge_doc_labels).materialize()
+    assignments = partitioned_map(edge_ds, part_edges, local_cc)
+    merged = partitioned_map(assignments, _part_by_doc, merge_doc_labels).materialize()
 
-    # driver union-find over the contracted bridge graph only
+    assign = merged.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("doc_id"), 0)).select(
+            ["doc_id", "la"]
+        ),
+        batch_format="pyarrow",
+    )
+    bridges = merged.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_a": b.filter(pc.less(b.column("doc_id"), 0)).column("la"),
+                "doc_b": b.filter(pc.less(b.column("doc_id"), 0)).column("lb"),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    return assign, bridges, bridges.count()
+
+
+BRIDGE_DRIVER_CAP = 5_000_000  # bridges above this trigger another contraction
+CC_MAX_CONTRACTIONS = 3
+
+
+def neardup_components(
+    sf_dir: str, bridge_driver_cap: int = BRIDGE_DRIVER_CAP
+) -> "ray.data.Dataset":
+    """Connected components over the MinHash-LSH candidate-pair graph:
+    component_id = min doc_id reachable through near-dup pairs (docs
+    with no pair are their own singleton component) — the curation
+    step that turns pairwise near-dup evidence into one representative
+    per cluster.
+
+    CONTRACTION plan (no per-round barrier loop — a label-propagation
+    prototype paid ~19 s of shuffle fixed-cost PER ROUND):
+      1. contract the edge list once (per-partition union-find →
+         per-node bridge pairs between local labels);
+      2. while the bridge graph exceeds ``bridge_driver_cap``, contract
+         the BRIDGE GRAPH itself the same way (each round shrinks it by
+         the local-component factor), recording each level's
+         label→super-label assignment dataset;
+      3. the final (small) bridge graph is union-found on the driver —
+         the only driver-side state — and its root map broadcasts;
+      4. resolution walks back down: each level's assignments map
+         through the level above via a co-partitioned merge, and the
+         doc level finally unions with the all-docs seed so singletons
+         resolve to themselves.
+    Exact result (same fixed point as the oracle's recursive CTE)."""
+    edges = minhash_lsh_pairs(sf_dir).map_batches(
+        lambda b: pa.table({"doc_a": b.column("doc_a"), "doc_b": b.column("doc_b")}),
+        batch_format="pyarrow",
+    )
+
+    assign, bridges, n_bridges = _contract_edges(edges)
+    levels = [assign]          # levels[i]: node -> label at level i
+    for _ in range(CC_MAX_CONTRACTIONS):
+        if n_bridges <= bridge_driver_cap:
+            break
+        assign_i, bridges, n_bridges = _contract_edges(bridges)
+        levels.append(assign_i)
+
+    # driver union-find over the final (capped) bridge graph
     uf = _UnionFind()
-    for b in merged.iter_batches(batch_format="pyarrow"):
-        la = b.column("la").to_numpy(zero_copy_only=False)
-        lb = b.column("lb").to_numpy(zero_copy_only=False)
-        for x, y in zip(la[lb >= 0].tolist(), lb[lb >= 0].tolist()):
+    for b in bridges.iter_batches(batch_format="pyarrow"):
+        la = b.column("doc_a").to_numpy(zero_copy_only=False)
+        lb = b.column("doc_b").to_numpy(zero_copy_only=False)
+        for x, y in zip(la.tolist(), lb.tolist()):
             uf.union(x, y)
     root_map = {x: uf.find(x) for x in uf.parent}
     root_ref = ray.put(root_map)
 
-    def resolve(part_tbl: pa.Table) -> pa.Table:
+    def resolve_with_roots(part_tbl: pa.Table) -> pa.Table:
+        """Per-node min label, then through the broadcast root map."""
         roots = ray.get(root_ref)
         df = part_tbl.select(["doc_id", "la"]).to_pandas()
-        # rows: all-doc seeds (la == doc_id) ∪ edge assignments; per doc
-        # the final label = root(min assignment label), else itself
-        lab = np.array([roots.get(v, v) for v in df["la"].to_numpy()], dtype=np.int64)
-        df = df.assign(lab=lab)
-        out = df.groupby("doc_id", sort=False)["lab"].min().reset_index()
+        lab = np.array(
+            [roots.get(v, v) for v in df["la"].to_numpy()], dtype=np.int64
+        )
+        out = (
+            df.assign(lab=lab).groupby("doc_id", sort=False)["lab"].min().reset_index()
+        )
         return pa.table(
             {
                 "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
-                "component_id": pa.array(out["lab"].to_numpy(), pa.int64()),
+                "la": pa.array(out["lab"].to_numpy(), pa.int64()),
             }
         )
 
+    # walk back DOWN the levels: the top level's labels resolve through
+    # the driver roots; each lower level joins its labels against the
+    # resolved level above (co-partitioned merge on the label id)
+    resolved = partitioned_map(levels[-1], _part_by_doc, resolve_with_roots)
+    for lower in reversed(levels[:-1]):
+        def join_level(part_tbl: pa.Table) -> pa.Table:
+            roots = ray.get(root_ref)
+            df = part_tbl.to_pandas()
+            # rows from `lower` are (doc_id, la, kind=0); rows from
+            # `resolved` (the level above) are (doc_id=node, la=root, kind=1)
+            low = df[df["kind"] == 0]
+            up = df[df["kind"] == 1][["doc_id", "la"]].rename(
+                columns={"doc_id": "node", "la": "root"}
+            )
+            m = low.merge(up, left_on="la", right_on="node", how="left")
+            # labels absent above: they were never bridged — resolve via
+            # the driver roots directly (covers single-level labels)
+            lab = np.where(
+                m["root"].notna(), m["root"].to_numpy(),
+                np.array([roots.get(v, v) for v in m["la"].to_numpy()]),
+            ).astype(np.int64)
+            out = (
+                m.assign(lab=lab)
+                .groupby("doc_id", sort=False)["lab"].min().reset_index()
+            )
+            return pa.table(
+                {
+                    "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+                    "la": pa.array(out["lab"].to_numpy(), pa.int64()),
+                }
+            )
+
+        def tag(kind):
+            def fn(batch: pa.Table) -> pa.Table:
+                return batch.append_column(
+                    "kind", pa.array(np.full(batch.num_rows, kind), pa.int64())
+                )
+            return fn
+
+        def part_by_key(batch: pa.Table) -> pa.Table:
+            # lower rows co-partition on their LABEL (the join key);
+            # upper rows on their node id
+            k = np.where(
+                batch.column("kind").to_numpy(zero_copy_only=False) == 0,
+                batch.column("la").to_numpy(zero_copy_only=False),
+                batch.column("doc_id").to_numpy(zero_copy_only=False),
+            )
+            return batch.append_column(
+                "part", pa.array(int_partition(k), pa.int64())
+            )
+
+        combined = lower.map_batches(tag(0), batch_format="pyarrow").union(
+            resolved.map_batches(tag(1), batch_format="pyarrow")
+        )
+        resolved = partitioned_map(combined, part_by_key, join_level)
+
+    # finally: all docs (singleton seeds la=doc_id) ∪ doc-level resolution
     all_docs = _read_docs(sf_dir).map_batches(
         lambda b: pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "la": b.column("doc_id"),
-            }
+            {"doc_id": b.column("doc_id"), "la": b.column("doc_id")}
         ),
         batch_format="pyarrow",
     )
-    doc_assign = merged.map_batches(
-        lambda b: b.filter(
-            pc.greater_equal(b.column("doc_id"), 0)
-        ).select(["doc_id", "la"]),
-        batch_format="pyarrow",
-    )
-    return partitioned_map(all_docs.union(doc_assign), part_docs, resolve)
+
+    def final_min(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.select(["doc_id", "la"]).to_pandas()
+        out = df.groupby("doc_id", sort=False)["la"].min().reset_index()
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+                "component_id": pa.array(out["la"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return partitioned_map(all_docs.union(resolved), _part_by_doc, final_min)

@@ -132,3 +132,20 @@ def test_lance_adapter_fallback_and_guard(tmp_path):
 
         with pytest.raises(NotImplementedError):
             read_table("/data/docs.lance")
+
+
+def test_components_multilevel_contraction_identical(ray_session):
+    """Forcing extra bridge-graph contraction rounds (cap=1) must not
+    change the result — the recursive contraction is exact."""
+    from readur_ray.pipelines import dedup
+
+    sf = "/root/testdata/sf0.001"
+    base = sorted(
+        (r["doc_id"], r["component_id"])
+        for r in dedup.neardup_components(sf).take_all()
+    )
+    multi = sorted(
+        (r["doc_id"], r["component_id"])
+        for r in dedup.neardup_components(sf, bridge_driver_cap=1).take_all()
+    )
+    assert base == multi and len(base) == 500
