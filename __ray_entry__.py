@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs": analytics.top_docs,
         "priority_buckets": analytics.priority_buckets,
         "filter_allowed": analytics.filter_allowed,
+        "label_facets": analytics.label_facets,
         # --- search / suppression / incremental (F1, F2, D3, W2, A1/A6) ---
         "text_search": search.text_search,
         "search_ranked": search.search_ranked,
@@ -466,6 +467,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(n_chars) AS BIGINT) AS max_chars
         FROM documents
         WHERE n_chars BETWEEN 100 AND 2000 AND source NOT IN ('src13', 'src7')
+        GROUP BY 1
+    """
+
+    sql["label_facets"] = """
+        SELECT 'label-' || CAST((doc_id + k) % 7 AS VARCHAR) AS label,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS min_doc,
+               CAST(max(doc_id) AS BIGINT) AS max_doc
+        FROM documents, UNNEST(range(0, 3)) t(k)
+        WHERE k < doc_id % 3 + 1
         GROUP BY 1
     """
 

@@ -355,3 +355,54 @@ def hash_sample_docs(sf_dir: str) -> "ray.data.Dataset":
         .sort("sample_hash")
         .limit(SAMPLE_K)
     )
+
+
+def label_facets(sf_dir: str) -> "ray.data.Dataset":
+    """J3 — document↔labels many-to-many
+    (/root/reference/src/db/labels.rs join tables): each doc carries
+    1-3 deterministic labels (label-((doc_id + k) % 7) for
+    k < doc_id % 3 + 1); facet = per label the doc count and id range.
+
+    Plan: vectorized explode (one batch pass, numpy repeat — no row
+    loop) → per-batch partial aggregate → tiny groupby(label): the
+    many-to-many join never shuffles more than (label, count, min, max)
+    partials."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def explode_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_labels = ids % 3 + 1
+        doc_rep = np.repeat(ids, n_labels)
+        k = np.concatenate([np.arange(n) for n in n_labels]) if len(ids) else np.array([], dtype=np.int64)
+        label_no = (doc_rep + k) % 7
+        t = pa.table(
+            {
+                "label": pa.array(
+                    [f"label-{v}" for v in label_no], pa.string()
+                ),
+                "doc_id": pa.array(doc_rep, pa.int64()),
+            }
+        )
+        g = t.group_by("label").aggregate(
+            [("doc_id", "count"), ("doc_id", "min"), ("doc_id", "max")]
+        )
+        return pa.table(
+            {
+                "label": g.column("label"),
+                "n": g.column("doc_id_count").cast(pa.int64()),
+                "mn": g.column("doc_id_min"),
+                "mx": g.column("doc_id_max"),
+            }
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    return (
+        ds.map_batches(explode_partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(
+            Sum("n", alias_name="n_docs"),
+            Min("mn", alias_name="min_doc"),
+            Max("mx", alias_name="max_doc"),
+        )
+    )
