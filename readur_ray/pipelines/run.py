@@ -311,24 +311,31 @@ def run_extraction(
 
 
 def file_etag(path: str) -> str:
-    """Content-based file etag: size + md5 of the first 64 KiB (the
-    parquet footer/metadata churns on any rewrite, so a head sample +
-    size catches real changes without reading multi-GB files; mtime is
-    deliberately excluded — replays and copies must not look like
-    edits)."""
+    """Content-based file etag: size + md5 of the first AND last 64 KiB.
+    The head catches prepended/row-group-0 edits; the TAIL is where the
+    parquet footer/metadata lives, so any rewrite — including a
+    same-size value edit in a late row group — changes the etag without
+    reading multi-GB files. mtime is deliberately excluded: replays and
+    copies must not look like edits."""
     import hashlib
 
     st = os.stat(path)
     h = hashlib.md5(str(st.st_size).encode())
     with open(path, "rb") as f:
         h.update(f.read(65536))
+        if st.st_size > 65536:
+            f.seek(max(65536, st.st_size - 65536))
+            h.update(f.read(65536))
     return h.hexdigest()
 
 
 def _file_chunk_id(path: str) -> str:
-    import zlib
+    """128-bit-derived chunk id (md5 of the full path, 64 bits kept).
+    crc32-of-basename was a birthday bomb: ~50% collision odds at ~77k
+    files, and a collision silently overwrites another file's rows."""
+    import hashlib
 
-    return f"f{zlib.crc32(os.path.basename(path).encode()):08x}"
+    return f"f{hashlib.md5(path.encode()).hexdigest()[:16]}"
 
 
 def run_incremental(
@@ -372,12 +379,25 @@ def run_incremental(
         ledger.append_entry(out_dir, {"kind": "incremental", "mode": "skip"})
         return result
 
-    # committed file-chunks with still-matching etags are reusable
-    committed_etags = {
-        e["chunk"]: e.get("etag")
-        for e in ledger.read_ledger(out_dir) if e.get("kind") == "filechunk"
-    }
     extracted_root = os.path.join(out_dir, "extracted")
+    if not previous and os.path.isdir(extracted_root):
+        # first incremental run over a dir previously populated by the
+        # positional runner (or vice versa): foreign chunk-* dirs would
+        # double every doc in final/ because finalize reads the whole
+        # directory. Refuse loudly rather than emit duplicates.
+        foreign = [
+            d for d in sorted(os.listdir(extracted_root))
+            if d.startswith("chunk-") and not d.startswith("chunk-f")
+        ]
+        if foreign:
+            raise ValueError(
+                f"out_dir {out_dir!r} holds positional chunks {foreign} from "
+                "run_extraction; incremental file-chunks would duplicate "
+                "their rows in final/. Use a fresh out_dir or delete them."
+            )
+
+    # committed file-chunks with still-matching etags are reusable
+    committed_etags = ledger.committed_etags(out_dir)
     os.makedirs(extracted_root, exist_ok=True)
     targets = files if plan.decision == "full" else [
         f for f in files if f in plan.targets

@@ -55,6 +55,23 @@ def committed_chunks(out_dir: str) -> set[int]:
     return out
 
 
+def committed_etags(out_dir: str) -> dict[str, str]:
+    """{file-chunk id: etag} for committed incremental file-chunks,
+    replayed in ledger order so later commits / removals / compaction
+    snapshots compose correctly."""
+    etags: dict[str, str] = {}
+    for e in read_ledger(out_dir):
+        kind = e.get("kind")
+        if kind == "snapshot":
+            etags.update(e.get("etags", {}))
+        elif kind == "filechunk":
+            etags[e["chunk"]] = e.get("etag")
+        elif kind == "incremental_removed":
+            for cid in e.get("chunks", []):
+                etags.pop(cid, None)
+    return etags
+
+
 def append_entry(out_dir: str, entry: dict) -> None:
     entry.setdefault("ts", time.time())
     os.makedirs(out_dir, exist_ok=True)
@@ -69,29 +86,44 @@ def compact_ledger(
 ) -> int:
     """W6 — completed-item TTL compaction
     (/root/reference/src/ocr/queue.rs:1085-1098: DELETE completed items
-    older than 7 days). The ledger analog folds chunk entries older
-    than the TTL (plus any prior snapshot) into ONE snapshot line that
-    preserves the committed-chunk set and row total, then atomically
-    rewrites the file (tmp + rename — the same crash-safety rule as
-    chunk commits). Returns the number of entries folded away."""
+    older than 7 days). The ledger analog folds aged entries — positional
+    ``chunk`` commits, incremental ``filechunk`` commits (their
+    chunk→etag map survives in the snapshot so resume keeps working),
+    removal / bookkeeping lines, plus any prior snapshot — into ONE
+    snapshot line, then atomically rewrites the file (tmp + rename —
+    the same crash-safety rule as chunk commits). Returns the number of
+    entries folded away."""
     entries = read_ledger(out_dir)
     if not entries:
         return 0
     now = time.time() if now is None else now
     cutoff = now - ttl_seconds
     old_chunks: set[int] = set()
+    etags: dict[str, str] = {}
     rows = 0
     n_folded = 0
     keep: list[dict] = []
     for e in entries:
-        if e.get("kind") == "snapshot":
-            old_chunks.update(e["chunks"])
+        kind = e.get("kind")
+        aged = e.get("ts", now) <= cutoff
+        if kind == "snapshot":
+            old_chunks.update(e.get("chunks", []))
+            etags.update(e.get("etags", {}))
             rows += e.get("rows", 0)
             n_folded += 1
-        elif e.get("kind") == "chunk" and e.get("ts", now) <= cutoff:
+        elif kind == "chunk" and aged:
             old_chunks.add(e["chunk"])
             rows += e.get("rows", 0)
             n_folded += 1
+        elif kind == "filechunk" and aged:
+            etags[e["chunk"]] = e.get("etag")
+            n_folded += 1
+        elif kind == "incremental_removed" and aged:
+            for cid in e.get("chunks", []):
+                etags.pop(cid, None)
+            n_folded += 1
+        elif kind in ("finalize", "incremental", "requeue") and aged:
+            n_folded += 1  # bookkeeping only — no state to carry
         else:
             keep.append(e)
     if n_folded <= 1:
@@ -100,6 +132,8 @@ def compact_ledger(
         "kind": "snapshot", "chunks": sorted(old_chunks), "rows": rows,
         "ts": now,
     }
+    if etags:
+        snapshot["etags"] = dict(sorted(etags.items()))
     p = ledger_path(out_dir)
     tmp = p + ".tmp"
     with open(tmp, "w") as f:

@@ -92,3 +92,45 @@ def test_file_etag_content_based(tmp_path):
     assert file_etag(p) == e1
     pq.write_table(synth.make_corpus(11, seed=5), p)
     assert file_etag(p) != e1          # content change is visible
+
+
+def test_file_etag_sees_tail_edit_same_size(tmp_path):
+    """A same-size edit beyond the first 64 KiB (where the parquet
+    footer lives) must change the etag — a head-only hash misses it and
+    run_incremental would silently serve stale output."""
+    p = str(tmp_path / "big.bin")
+    data = bytearray(b"\x5a" * 300_000)
+    with open(p, "wb") as f:
+        f.write(data)
+    e1 = file_etag(p)
+    data[-100] ^= 0xFF                 # flip one byte near the tail
+    with open(p, "wb") as f:
+        f.write(data)
+    assert os.path.getsize(p) == 300_000
+    assert file_etag(p) != e1
+
+
+def test_file_chunk_id_hashes_full_path():
+    from readur_ray.pipelines.run import _file_chunk_id
+
+    a = _file_chunk_id("/data/a/part.parquet")
+    b = _file_chunk_id("/data/b/part.parquet")
+    assert a != b                      # same basename, different dirs
+    assert a.startswith("f") and len(a) == 17  # 64 bits of md5, not crc32
+
+
+def test_incremental_refuses_foreign_positional_chunks(ray_session, tmp_path):
+    """An out_dir previously populated by run_extraction holds
+    chunk-<int> dirs; finalize reads the whole extracted/ directory, so
+    mixing modes would double every doc — refuse instead."""
+    import pytest
+
+    from readur_ray.pipelines.run import run_extract_phase
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    cfg = ExtractionConfig()
+    _write_corpus_files(inp, {"a.parquet": (12, 1)})
+    run_extract_phase(inp, out, cfg, n_chunks=1)
+    with pytest.raises(ValueError, match="positional chunks"):
+        run_incremental(inp, out, cfg)

@@ -39,6 +39,38 @@ def test_compact_ledger_folds_old_chunks(tmp_path):
     assert ledger.committed_chunks(out) == {0, 1, 2, 3, 4, 5, 6}
 
 
+def test_compact_ledger_folds_filechunks_keeps_etags(tmp_path):
+    """Aged filechunk commits fold into the snapshot WITH their etag map
+    (resume must keep reading them); aged removals drop their etags;
+    aged bookkeeping lines vanish."""
+    out = str(tmp_path)
+    now = 1_000_000.0
+    old = now - 10 * 86400
+    ledger.append_entry(out, {"kind": "filechunk", "chunk": "faaa", "etag": "e1",
+                              "ts": old})
+    ledger.append_entry(out, {"kind": "filechunk", "chunk": "fbbb", "etag": "e2",
+                              "ts": old})
+    ledger.append_entry(out, {"kind": "incremental_removed",
+                              "chunks": ["fbbb"], "ts": old})
+    ledger.append_entry(out, {"kind": "incremental", "mode": "targeted",
+                              "ts": old})
+    ledger.append_entry(out, {"kind": "filechunk", "chunk": "fccc", "etag": "e3",
+                              "ts": now})
+
+    before = ledger.committed_etags(out)
+    assert before == {"faaa": "e1", "fccc": "e3"}
+    folded = ledger.compact_ledger(out, now=now)
+    assert folded == 4
+    assert ledger.committed_etags(out) == before
+    kinds = [e["kind"] for e in ledger.read_ledger(out)]
+    assert kinds == ["snapshot", "filechunk"]
+
+    # re-committing a removed chunk later resurrects it
+    ledger.append_entry(out, {"kind": "filechunk", "chunk": "fbbb", "etag": "e4",
+                              "ts": now})
+    assert ledger.committed_etags(out)["fbbb"] == "e4"
+
+
 def test_compact_ledger_atomic_file(tmp_path):
     out = str(tmp_path)
     ledger.append_entry(out, {"kind": "chunk", "chunk": 0, "rows": 1, "ts": 0.0})
