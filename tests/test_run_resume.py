@@ -96,6 +96,53 @@ def test_resume_skips_committed_chunks(ray_session, sharded_corpus, tmp_path):
     assert mtimes == after
 
 
+def test_heavy_duplicate_corpus_no_driver_state(ray_session, tmp_path):
+    """~50% exact-duplicate corpus (every doc has a twin) — the web-scale
+    shape the round-2 broadcast winner dict could not survive. The
+    shuffle-based marker must mark exactly one loser per group, keep-first
+    by min doc_id, with no corpus-proportional driver state (the code
+    path holds none by construction)."""
+    corpus = str(tmp_path / "dupcorpus")
+    os.makedirs(corpus)
+    base = synth.make_corpus(120, seed=9)
+    ids = base.column("doc_id").to_pylist()
+    import pyarrow as pa
+
+    twin = base.set_column(
+        base.schema.get_field_index("doc_id"), "doc_id",
+        pa.array([f"z-{i}" for i in ids]),
+    )
+    pq.write_table(base, os.path.join(corpus, "a.parquet"))
+    pq.write_table(twin, os.path.join(corpus, "b.parquet"))
+
+    out = str(tmp_path / "out")
+    summary = run_extraction(corpus, out, ExtractionConfig(), n_chunks=2)
+    t, rows = _read_final(out)
+    assert len(rows) == 240
+    by_hash = {}
+    for r in rows.values():
+        if r["file_hash"]:
+            by_hash.setdefault(r["file_hash"], []).append(r)
+    n_groups = sum(1 for g in by_hash.values() if len(g) > 1)
+    assert n_groups >= 50  # every hashed doc has a twin
+    assert summary["duplicate_groups"] == n_groups
+    n_losers = 0
+    for group in by_hash.values():
+        if len(group) == 1:
+            assert group[0]["dedup_status"] == "kept"
+            continue
+        winner_id = min(g["doc_id"] for g in group)
+        for g in group:
+            if g["doc_id"] == winner_id:
+                assert g["dedup_status"] == "kept"
+            else:
+                assert g["dedup_status"] == "skipped_duplicate"
+                assert g["status"] == "skipped_duplicate"
+                assert g["spans"] == []
+                n_losers += 1
+    assert n_losers >= n_groups  # >=1 loser per group (synth dups add more)
+
+
 def test_requeue_failed_phase(ray_session, tmp_path):
     """D4: recoverable failures are re-extracted into a retry partition."""
     import pyarrow.parquet as pq
