@@ -609,11 +609,14 @@ def embedding_neardup_lsh(
     )
 
     def with_bucket(batch: pa.Table) -> pa.Table:
+        from .similarity import bucket_strings
+
         anchors = ray.get(ref)
         ids, mat = _normalized_matrix(batch)
         bits = (mat @ anchors.T) > 0
-        buckets = ["".join("1" if b else "0" for b in row) for row in bits]
-        return batch.append_column("bucket", pa.array(buckets, pa.string()))
+        return batch.append_column(
+            "bucket", pa.array(bucket_strings(bits), pa.string())
+        )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids, mat = _normalized_matrix(group)

@@ -174,6 +174,24 @@ def ann_topk_ivf(
     )
 
 
+def bucket_strings(bits: np.ndarray) -> np.ndarray:
+    """Vectorized '0101…' bucket strings from an (n, b) bool matrix: a
+    U1 char matrix viewed as U<b> rows — no per-row Python join."""
+    n, b = bits.shape
+    if n == 0:
+        return np.empty(0, dtype=f"<U{b}")
+    chars = np.where(bits, "1", "0").astype("<U1")
+    return np.ascontiguousarray(chars).view(f"<U{b}").ravel()
+
+
+def pack_bits(bits: np.ndarray) -> np.ndarray:
+    """Sign bits → one int64 per row (for comparisons; string form is
+    only for SQL-mirrorable output)."""
+    b = bits.shape[1]
+    weights = (1 << np.arange(b - 1, -1, -1)).astype(np.int64)
+    return bits.astype(np.int64) @ weights
+
+
 def lsh_buckets(sf_dir: str) -> "ray.data.Dataset":
     """(vec_id, bucket): bucket = sign bits of cosine vs the anchor
     embeddings, most-significant anchor first (anchor order = vec_id)."""
@@ -184,11 +202,10 @@ def lsh_buckets(sf_dir: str) -> "ray.data.Dataset":
         anchors = ray.get(ref)
         ids, mat = _normalized(batch)
         bits = (mat @ anchors.T) > 0               # (batch, n_anchors)
-        buckets = ["".join("1" if b else "0" for b in row) for row in bits]
         return pa.table(
             {
                 "vec_id": pa.array(ids, pa.int64()),
-                "bucket": pa.array(buckets, pa.string()),
+                "bucket": pa.array(bucket_strings(bits), pa.string()),
             }
         )
 
@@ -204,19 +221,13 @@ def ann_topk_lsh(
     path buys at scale."""
     qids, qmat = _load_rows(sf_dir, 0, n_queries)
     aids, amat = _load_rows(sf_dir, ANCHOR_LO, ANCHOR_LO + N_ANCHORS)
-    qbits = (qmat @ amat.T) > 0
-    qbuckets = np.array(
-        ["".join("1" if b else "0" for b in row) for row in qbits]
-    )
+    qbuckets = pack_bits((qmat @ amat.T) > 0)
     ref = ray.put((qids, qmat, qbuckets, amat))
 
     def local_topk(batch: pa.Table) -> pa.Table:
         q_ids, q_mat, q_buckets, anchors = ray.get(ref)
         ids, mat = _normalized(batch)
-        bits = (mat @ anchors.T) > 0
-        ebuckets = np.array(
-            ["".join("1" if b else "0" for b in row) for row in bits]
-        )
+        ebuckets = pack_bits((mat @ anchors.T) > 0)
         sims = q_mat @ mat.T
         out_q, out_n, out_s = [], [], []
         for qi in range(len(q_ids)):
@@ -269,28 +280,14 @@ def _assign(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return np.argmin(d2, axis=1)  # argmin takes the FIRST min → lower c
 
 
-def ann_topk_ivf_kmeans(
-    sf_dir: str, k: int = TOP_K, nprobe: int = 1
-) -> "ray.data.Dataset":
-    """IVF with LEARNED centroids: KM_ITERS exact-integer k-means
-    steps (seed = anchor vectors, assign by squared L2, centroid
-    update = truncating integer division of coordinate sums), then
-    each query probes its own cell and ranks the cell's members. The
-    coarse quantizer is trained on passes over the data — unlike
-    ann_topk_ivf (label partitions) and ann_topk_lsh (random
-    hyperplanes), this is the FAISS-style IVF construction, kept
-    bit-reproducible (the iterative driver loop holds only the k × dim
-    centroid matrix between passes).
-
-    Scale shape: each centroid update is a fixed-size (k × dim)
-    integer aggregate — per-batch partial sums, tiny driver reduce
-    (k·dim ints, NOT O(n) state); assignment + per-cell ranking is one
-    groupby(cell) over (cell, vec_id, qvec) rows."""
+def _train_centroids(ds: "ray.data.Dataset", sf_dir: str) -> np.ndarray:
+    """KM_ITERS exact-integer k-means passes (seed = anchor vectors,
+    assign by squared L2, centroid update = truncating integer division
+    of coordinate sums — matches DuckDB's `//`). Each pass is a
+    fixed-size (k × dim) integer aggregate: per-batch partial sums,
+    tiny driver reduce holding k·dim ints — NOT O(n) state."""
     import pyarrow.parquet as _pq
 
-    ds = _read_embeddings(sf_dir)
-
-    # seed centroids: the anchor rows (fixed ids → one pruned point read)
     seed_tbl = _pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
         filters=[("vec_id", ">=", ANCHOR_LO), ("vec_id", "<", ANCHOR_LO + KM_K)],
@@ -322,7 +319,6 @@ def ann_topk_ivf_kmeans(
                 }
             )
 
-        # tiny fixed-size reduce on the driver (k×dim ints — NOT O(n))
         parts = ds.map_batches(partial_sums, batch_format="pyarrow").take_all()
         sums = np.zeros((KM_K, dim), dtype=np.int64)
         counts = np.zeros(KM_K, dtype=np.int64)
@@ -332,184 +328,60 @@ def ann_topk_ivf_kmeans(
         # empty cells keep their previous centroid (counts guard)
         prev = cents
         counts_safe = np.maximum(counts, 1)
-        # truncating integer division — matches DuckDB's `//`
         cents = (np.sign(sums) * (np.abs(sums) // counts_safe[:, None])).astype(np.int64)
         cents[counts == 0] = prev[counts == 0]
-
-    cents_ref = ray.put(cents)
-
-    def assign_rows(batch: pa.Table) -> pa.Table:
-        cn = ray.get(cents_ref)
-        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        q = _quantize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
-        a = _assign(q, cn)
-        return pa.table(
-            {
-                "cell": pa.array(a.astype(np.int64), pa.int64()),
-                "vec_id": pa.array(ids, pa.int64()),
-                "qvec": pa.array([r.tolist() for r in q], pa.list_(pa.int64())),
-            }
-        )
-
-    def per_cell(group: pa.Table) -> pa.Table:
-        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
-        q = np.array(group.column("qvec").to_pylist(), dtype=np.int64)
-        is_q = ids < N_QUERIES
-        empty = pa.table(
-            {
-                "query_id": pa.array([], pa.int64()),
-                "neighbor_id": pa.array([], pa.int64()),
-                "rank": pa.array([], pa.int64()),
-            }
-        )
-        if not is_q.any() or len(ids) < 2:
-            return empty
-        qs = q[is_q]
-        d2 = (
-            (qs * qs).sum(axis=1, keepdims=True)
-            - 2 * (qs @ q.T)
-            + (q * q).sum(axis=1)[None, :]
-        )
-        out_q, out_n, out_r = [], [], []
-        for i, qid in enumerate(ids[is_q]):
-            mask = ids != qid
-            order = np.lexsort((ids[mask], d2[i][mask]))[:k]
-            nb = ids[mask][order]
-            out_q.extend([qid] * len(nb))
-            out_n.extend(nb.tolist())
-            out_r.extend(range(1, len(nb) + 1))
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_n, pa.int64()),
-                "rank": pa.array(out_r, pa.int64()),
-            }
-        )
-
-    return (
-        ds.map_batches(assign_rows, batch_format="pyarrow")
-        .groupby("cell")
-        .map_groups(per_cell, batch_format="pyarrow")
-    )
+    return cents
 
 
-def ann_topk_ivf_kmeans_probe2(
-    sf_dir: str, k: int = TOP_K, nprobe: int = 2
-) -> "ray.data.Dataset":
-    """Multi-probe k-means IVF: each query probes its nprobe nearest
-    cells (data vectors still live in exactly one cell) — the standard
-    recall lever over single-probe IVF; measured recall@5 roughly
-    doubles at nprobe=2 on the synthetic embeddings.
+def _ann_ivf_kmeans(sf_dir: str, k: int, nprobe: int) -> "ray.data.Dataset":
+    """k-means IVF ranking, STREAMED: after training, the queries (a
+    constant-size set) are quantized, assigned their nprobe nearest
+    cells, and broadcast with the centroids. One map_batches pass then
+    does batch-local candidate selection (rows whose cell is among the
+    query's probe cells) + batch-local top-k by (d2, id); a tiny
+    groupby(query_id) reduce merges k-per-query-per-batch rows into the
+    global top-k — the same shape as ann_topk. No task ever
+    materializes a whole cell (the round-2 groupby("cell") plan held
+    ~n/nlist rows per map_groups task, an OOM at 10^12 vectors)."""
+    ds = _read_embeddings(sf_dir)
+    cents = _train_centroids(ds, sf_dir)
 
-    Plan: same exact-integer centroid training as
-    ann_topk_ivf_kmeans; query rows are REPLICATED into their nprobe
-    cells (a k×nprobe-row fan-out of the 16 queries — constant), each
-    cell emits its local top-k WITH the integer distance, and one tiny
-    groupby(query_id) reduce merges the per-cell candidates into the
-    global top-k."""
     import pyarrow.parquet as _pq
 
-    ds = _read_embeddings(sf_dir)
-
-    seed_tbl = _pq.read_table(
+    qt = _pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
-        filters=[("vec_id", ">=", ANCHOR_LO), ("vec_id", "<", ANCHOR_LO + KM_K)],
+        filters=[("vec_id", "<", N_QUERIES)],
     ).sort_by("vec_id")
-    cents = _quantize(np.array(seed_tbl.column("embedding").to_pylist(), dtype=np.float64))
-    dim = cents.shape[1]
+    qids = qt.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    qint = _quantize(np.array(qt.column("embedding").to_pylist(), dtype=np.float64))
+    qd2 = (
+        (qint * qint).sum(axis=1, keepdims=True)
+        - 2 * (qint @ cents.T)
+        + (cents * cents).sum(axis=1)[None, :]
+    )
+    qprobe = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]
+    ref = ray.put((qids, qint, qprobe, cents))
 
-    for _ in range(KM_ITERS):
-        cur_ref = ray.put(cents)
-
-        def partial_sums(batch: pa.Table, _ref=cur_ref) -> pa.Table:
-            cn = ray.get(_ref)
-            q = _quantize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
-            a = _assign(q, cn)
-            rows_c, rows_n, rows_s = [], [], []
-            for c in np.unique(a):
-                m = a == c
-                rows_c.append(int(c))
-                rows_n.append(int(m.sum()))
-                rows_s.append(q[m].sum(axis=0))
-            return pa.table(
-                {"c": pa.array(rows_c, pa.int64()),
-                 "n": pa.array(rows_n, pa.int64()),
-                 "s": pa.array([x.tolist() for x in rows_s], pa.list_(pa.int64()))}
-            )
-
-        parts = ds.map_batches(partial_sums, batch_format="pyarrow").take_all()
-        sums = np.zeros((KM_K, dim), dtype=np.int64)
-        counts = np.zeros(KM_K, dtype=np.int64)
-        for r in parts:
-            sums[r["c"]] += np.array(r["s"], dtype=np.int64)
-            counts[r["c"]] += r["n"]
-        prev = cents
-        counts_safe = np.maximum(counts, 1)
-        cents = (np.sign(sums) * (np.abs(sums) // counts_safe[:, None])).astype(np.int64)
-        cents[counts == 0] = prev[counts == 0]
-
-    cents_ref = ray.put(cents)
-
-    def assign_rows(batch: pa.Table) -> pa.Table:
-        cn = ray.get(cents_ref)
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q_int, q_probe, cn = ray.get(ref)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        q = _quantize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        v = _quantize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        cells = _assign(v, cn)
         d2 = (
-            (q * q).sum(axis=1, keepdims=True)
-            - 2 * (q @ cn.T)
-            + (cn * cn).sum(axis=1)[None, :]
-        )
-        primary = np.argmin(d2, axis=1)
-        out_cell = [primary.astype(np.int64)]
-        out_id = [ids]
-        out_q = [q]
-        out_role = [np.zeros(len(ids), dtype=np.int64)]       # 0 = data
-        is_q = ids < N_QUERIES
-        if is_q.any():
-            order = np.argsort(d2[is_q], axis=1, kind="stable")[:, :nprobe]
-            qi = np.repeat(np.flatnonzero(is_q), nprobe)
-            out_cell.append(order.ravel().astype(np.int64))
-            out_id.append(ids[qi])
-            out_q.append(q[qi])
-            out_role.append(np.ones(qi.size, dtype=np.int64))  # 1 = probe
-        return pa.table(
-            {
-                "cell": pa.array(np.concatenate(out_cell), pa.int64()),
-                "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
-                "qvec": pa.array(
-                    [r.tolist() for r in np.concatenate(out_q)], pa.list_(pa.int64())
-                ),
-                "role": pa.array(np.concatenate(out_role), pa.int64()),
-            }
-        )
-
-    def per_cell(group: pa.Table) -> pa.Table:
-        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
-        role = group.column("role").to_numpy(zero_copy_only=False)
-        q = np.array(group.column("qvec").to_pylist(), dtype=np.int64)
-        empty = pa.table(
-            {"query_id": pa.array([], pa.int64()),
-             "neighbor_id": pa.array([], pa.int64()),
-             "d2": pa.array([], pa.int64())}
-        )
-        data_m = role == 0
-        probe_m = role == 1
-        if not probe_m.any() or data_m.sum() < 1:
-            return empty
-        qs, qids = q[probe_m], ids[probe_m]
-        dm, dids = q[data_m], ids[data_m]
-        d2 = (
-            (qs * qs).sum(axis=1, keepdims=True)
-            - 2 * (qs @ dm.T)
-            + (dm * dm).sum(axis=1)[None, :]
+            (q_int * q_int).sum(axis=1, keepdims=True)
+            - 2 * (q_int @ v.T)
+            + (v * v).sum(axis=1)[None, :]
         )
         out_q, out_n, out_d = [], [], []
-        for i, qid in enumerate(qids):
-            mask = dids != qid
-            order = np.lexsort((dids[mask], d2[i][mask]))[:k]
-            out_q.extend([qid] * len(order))
-            out_n.extend(dids[mask][order].tolist())
-            out_d.extend(d2[i][mask][order].tolist())
+        for qi in range(len(q_ids)):
+            mask = np.isin(cells, q_probe[qi]) & (ids != q_ids[qi])
+            cand = np.flatnonzero(mask)
+            if cand.size == 0:
+                continue
+            take = cand[np.lexsort((ids[cand], d2[qi][cand]))[:k]]
+            out_q.extend([q_ids[qi]] * len(take))
+            out_n.extend(ids[take].tolist())
+            out_d.extend(d2[qi][take].tolist())
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
@@ -536,9 +408,28 @@ def ann_topk_ivf_kmeans_probe2(
         )
 
     return (
-        ds.map_batches(assign_rows, batch_format="pyarrow")
-        .groupby("cell")
-        .map_groups(per_cell, batch_format="pyarrow")
+        ds.map_batches(local_topk, batch_format="pyarrow")
         .groupby("query_id")
         .map_groups(merge_topk, batch_format="pyarrow")
     )
+
+
+def ann_topk_ivf_kmeans(
+    sf_dir: str, k: int = TOP_K, nprobe: int = 1
+) -> "ray.data.Dataset":
+    """IVF with LEARNED centroids (FAISS-style construction, kept
+    bit-reproducible): exact-integer k-means training, then each query
+    probes its own cell. See _ann_ivf_kmeans for the streamed ranking
+    plan — batch-local top-k + per-query merge, never a whole-cell
+    materialization."""
+    return _ann_ivf_kmeans(sf_dir, k, 1)
+
+
+def ann_topk_ivf_kmeans_probe2(
+    sf_dir: str, k: int = TOP_K, nprobe: int = 2
+) -> "ray.data.Dataset":
+    """Multi-probe k-means IVF: each query probes its nprobe=2 nearest
+    cells (data vectors still live in exactly one cell) — the standard
+    recall lever over single-probe IVF; measured recall@5 roughly
+    doubles at nprobe=2 on the synthetic embeddings."""
+    return _ann_ivf_kmeans(sf_dir, k, 2)
