@@ -815,7 +815,54 @@ def neardup_components(
     edges = minhash_lsh_pairs(sf_dir).map_batches(
         lambda b: pa.table({"doc_a": b.column("doc_a"), "doc_b": b.column("doc_b")}),
         batch_format="pyarrow",
-    )
+    ).materialize()
+
+    # Small-graph fast path — the SAME driver-capacity test the bridge
+    # graph uses, applied one level earlier: when the whole edge list
+    # fits under the cap, contraction would only add shuffle rounds, so
+    # union-find the edges on the driver directly and broadcast roots.
+    # At web scale the edge list exceeds the cap and the full
+    # contraction plan below runs (forced in tests via cap=1).
+    if edges.count() <= bridge_driver_cap:
+        uf0 = _UnionFind()
+        for b in edges.iter_batches(batch_format="pyarrow"):
+            a_np = b.column("doc_a").to_numpy(zero_copy_only=False)
+            b_np = b.column("doc_b").to_numpy(zero_copy_only=False)
+            for x, y in zip(a_np.tolist(), b_np.tolist()):
+                uf0.union(x, y)
+        roots0 = {x: uf0.find(x) for x in uf0.parent}
+        roots0_ref = ray.put(roots0)
+
+        def endpoint_labels(batch: pa.Table) -> pa.Table:
+            roots = ray.get(roots0_ref)
+            a_np = batch.column("doc_a").to_numpy(zero_copy_only=False)
+            b_np = batch.column("doc_b").to_numpy(zero_copy_only=False)
+            docs = np.concatenate([a_np, b_np])
+            lab = np.array([roots.get(v, v) for v in docs], dtype=np.int64)
+            return pa.table(
+                {"doc_id": pa.array(docs, pa.int64()),
+                 "la": pa.array(lab, pa.int64())}
+            )
+
+        labeled = edges.map_batches(endpoint_labels, batch_format="pyarrow")
+        all_docs0 = _read_docs(sf_dir).map_batches(
+            lambda b: pa.table(
+                {"doc_id": b.column("doc_id"), "la": b.column("doc_id")}
+            ),
+            batch_format="pyarrow",
+        )
+
+        def final_min0(part_tbl: pa.Table) -> pa.Table:
+            df = part_tbl.select(["doc_id", "la"]).to_pandas()
+            out = df.groupby("doc_id", sort=False)["la"].min().reset_index()
+            return pa.table(
+                {
+                    "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+                    "component_id": pa.array(out["la"].to_numpy(), pa.int64()),
+                }
+            )
+
+        return partitioned_map(all_docs0.union(labeled), _part_by_doc, final_min0)
 
     assign, bridges, n_bridges = _contract_edges(edges)
     levels = [assign]          # levels[i]: node -> label at level i

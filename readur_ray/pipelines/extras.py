@@ -6,6 +6,8 @@ metrics (A5).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -134,15 +136,38 @@ def mime_detection(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def metrics_parquet_dir(sf_dir: str) -> str:
+    """Deterministic scratch path the oracle SQL reads back (the
+    extraction itself is hermetic-engine work no SQL can mirror, so the
+    oracle verifies the metrics AGGREGATION over the materialized e2e
+    output — bucket edges, groupby, sums — in DuckDB)."""
+    base = os.path.basename(os.path.normpath(sf_dir)) or "corpus"
+    return f"/tmp/readur_ray_metrics/{base}/extracted"
+
+
 def extraction_metrics(sf_dir: str) -> "ray.data.Dataset":
     """A5 per-partition extraction metrics (ocr_metrics analog,
     /root/reference/migrations/20250620100001_add_ocr_queue.sql:33-46)
     over the flagship e2e run: per (part_id, status) doc counts, word
     totals and confidence-bucket histogram — partial-aggregated inside
-    map_batches before the tiny groupby."""
+    map_batches before the tiny groupby. The e2e output is first
+    materialized to metrics_parquet_dir(sf_dir) so the DuckDB oracle
+    can recompute the identical aggregation from the same rows."""
+    import shutil
+
     from .e2e import extraction_e2e
 
-    ds = extraction_e2e(sf_dir)
+    out_dir = metrics_parquet_dir(sf_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    # materialize ONLY the metric inputs (4 narrow columns — the spans
+    # never hit disk here; the oracle needs the same rows, not the text)
+    extraction_e2e(sf_dir).select_columns(
+        ["part_id", "status", "confidence", "word_count"]
+    ).write_parquet(out_dir)
+    ds = ray.data.read_parquet(
+        out_dir, columns=["part_id", "status", "confidence", "word_count"]
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         conf = batch.column("confidence").to_numpy(zero_copy_only=False)
