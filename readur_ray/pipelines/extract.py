@@ -254,6 +254,11 @@ def make_extract_text_fn(cfg: ExtractionConfig):
                 "processing_time_ms": pa.array(np.full(n_docs, ms), pa.int64()),
                 "file_hash": pa.array(hashes, pa.string()),
                 "dedup_status": pa.array(["kept"] * n_docs, pa.string()),
+                # reference labels plain-text reads (enhanced.rs:1477)
+                "preprocessing_applied": pa.array(
+                    [[] if f else ["Plain text read"] for f in failed],
+                    pa.list_(pa.string()),
+                ),
                 "part_id": batch.column("part_id"),
             },
             schema=EXTRACTED,
@@ -268,6 +273,19 @@ def make_extract_text_fn(cfg: ExtractionConfig):
 
 def _empty_extracted() -> pa.Table:
     return pa.table({name: [] for name in EXTRACTED.names}, schema=EXTRACTED)
+
+
+def _unique_in_order(steps: list[str]) -> list[str]:
+    """Doc-level preprocessing lineage: unique-in-order union of the
+    per-span engine step lists (a 63-window skewed PDF contributes its
+    OCR label once, not 63 times)."""
+    seen: set[str] = set()
+    out: list[str] = []
+    for s in steps:
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
 
 
 class DocExtractor:
@@ -305,7 +323,8 @@ class DocExtractor:
                 attempt += 1
 
     def _one_span(self, span: dict, mime: str = "", ucfg: ExtractionConfig | None = None):
-        """→ (out_span_dict, confidence, word_count, payload_sha256_hex)."""
+        """→ (out_span_dict, confidence, word_count, payload_sha256_hex,
+        preprocessing_steps)."""
         cfg = ucfg or self.cfg
         if span["kind"] == "text" and mime == "text/html":
             # north-star HTML branch: DOM text-density boilerplate strip
@@ -316,12 +335,14 @@ class DocExtractor:
             kind, conf = "html_text", cfg.conf_plain_text
             wc = count_words_safely(text)
             digest = hashlib.sha256(raw).hexdigest()
+            prep = ["HTML main-content extraction (text-density)"]
         elif span["kind"] == "text":
             raw = span["text"].encode("utf-8", errors="surrogatepass")
             text = extract_plain_text(span["text"])
             kind, conf = "plain_text", cfg.conf_plain_text
             wc = count_words_safely(text)
             digest = hashlib.sha256(raw).hexdigest()
+            prep = ["Plain text read"]
         else:
             ref = span["media_ref"]
             payload = self.resolver.fetch(ref)
@@ -332,6 +353,7 @@ class DocExtractor:
             else:
                 res = self.img.extract(payload)
             text, conf, kind, wc = res.text, res.confidence, res.kind, res.word_count
+            prep = list(res.preprocessing_applied)
         if text.strip() == "":
             raise ExtractionError("No extractable text found in document (0 words)")
         ok, _ = validate_ocr_quality(text, conf, wc, cfg.ocr_min_confidence)
@@ -341,7 +363,7 @@ class DocExtractor:
             )
         out = {"kind": kind, "text": text, "media_ref": span["media_ref"],
                "offset": span["offset"]}
-        return out, conf, wc, digest
+        return out, conf, wc, digest, prep
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
@@ -362,22 +384,25 @@ class DocExtractor:
             ucfg = self.settings.for_user(user)
             status, reason, stage = "completed", "", ""
             out_spans, confs, words, digests = [], [], 0, []
+            prep_steps: list[str] = []
             if mime not in _ALLOWED_MIMES:
                 status, reason, stage = "failed", "unsupported_format", "validation"
             else:
                 try:
                     for span in sorted(spans, key=lambda s: s["offset"]):
-                        o, c, w, d = self._with_retry(
+                        o, c, w, d, p = self._with_retry(
                             self._one_span, span, mime, ucfg, ucfg=ucfg
                         )
                         out_spans.append(o)
                         confs.append(c)
                         words += w
                         digests.append(d)
+                        prep_steps.extend(p)
                 except ExtractionError as e:
                     status = "failed"
                     reason, stage = failure_for_message(str(e))
                     out_spans, confs, words, digests = [], [], 0, []
+                    prep_steps = []
             out["doc_id"].append(doc_id)
             out["spans"].append(out_spans)
             out["status"].append(status)
@@ -390,6 +415,7 @@ class DocExtractor:
                 merkle_from_span_hashes(digests) if status == "completed" else ""
             )
             out["dedup_status"].append("kept")
+            out["preprocessing_applied"].append(_unique_in_order(prep_steps))
             out["part_id"].append(part)
         return pa.table(out, schema=EXTRACTED)
 
@@ -457,6 +483,7 @@ _UNIT_RESULT_SCHEMA = pa.schema(
         ("out_kind", pa.string()), ("out_text", pa.string()),
         ("confidence", pa.float32()), ("error", pa.string()),
         ("payload_sha", pa.string()),
+        ("prep", pa.list_(pa.string())),
     ]
 )
 
@@ -475,7 +502,7 @@ class PageExtractor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
-        out_kind, out_text, confs, errors, shas = [], [], [], [], []
+        out_kind, out_text, confs, errors, shas, preps = [], [], [], [], [], []
         for kind, text, ref, mime in zip(
             batch.column("kind").to_pylist(), batch.column("text").to_pylist(),
             batch.column("media_ref").to_pylist(), batch.column("mime_type").to_pylist(),
@@ -488,6 +515,7 @@ class PageExtractor:
                     sha = hashlib.sha256(raw).hexdigest()
                     t = extract_plain_text(text)
                     k, c = "plain_text", self.cfg.conf_plain_text
+                    p = ["Plain text read"]
                 else:
                     payload = self.resolver.fetch(ref)
                     sha = hashlib.sha256(payload).hexdigest()
@@ -497,17 +525,20 @@ class PageExtractor:
                     else:
                         res = self.img.extract(payload)
                     t, c, k = res.text, res.confidence, res.kind
+                    p = list(res.preprocessing_applied)
                 out_kind.append(k)
                 out_text.append(t)
                 confs.append(c)
                 errors.append("")
                 shas.append(sha)
+                preps.append(p)
             except ExtractionError as e:
                 out_kind.append("")
                 out_text.append("")
                 confs.append(0.0)
                 errors.append(str(e))
                 shas.append("")
+                preps.append([])
         result = pa.table(
             {
                 "doc_id": batch.column("doc_id"), "mime_type": batch.column("mime_type"),
@@ -519,6 +550,7 @@ class PageExtractor:
                 "confidence": pa.array(confs, pa.float32()),
                 "error": pa.array(errors, pa.string()),
                 "payload_sha": pa.array(shas, pa.string()),
+                "prep": pa.array(preps, pa.list_(pa.string())),
             },
             schema=_UNIT_RESULT_SCHEMA,
         )
@@ -546,8 +578,9 @@ def make_reassemble_fn(cfg: ExtractionConfig):
         confs = g.column("confidence").to_pylist()
         refs = g.column("media_ref").to_pylist()
         shas = g.column("payload_sha").to_pylist()
+        unit_preps = g.column("prep").to_pylist()
 
-        def emit(status, reason, stage, spans, conf, wc, fh):
+        def emit(status, reason, stage, spans, conf, wc, fh, prep=None):
             return pa.table(
                 {
                     "doc_id": [doc_id], "spans": [spans], "status": [status],
@@ -556,6 +589,9 @@ def make_reassemble_fn(cfg: ExtractionConfig):
                     "word_count": pa.array([wc], pa.int32()),
                     "processing_time_ms": pa.array([0], pa.int64()),
                     "file_hash": [fh], "dedup_status": ["kept"],
+                    "preprocessing_applied": pa.array(
+                        [prep or []], pa.list_(pa.string())
+                    ),
                     "part_id": pa.array([part], pa.int32()),
                 },
                 schema=EXTRACTED,
@@ -568,6 +604,7 @@ def make_reassemble_fn(cfg: ExtractionConfig):
                 return emit("failed", reason, stage, [], 0.0, 0, "")
 
         out_spans, confs_per_span, span_hashes, total_wc = [], [], [], 0
+        all_prep: list[str] = []
         i = 0
         n = len(offs)
         while i < n:
@@ -602,11 +639,14 @@ def make_reassemble_fn(cfg: ExtractionConfig):
             confs_per_span.append(conf)
             span_hashes.append(span_hash)
             total_wc += wc
+            for up in unit_preps[i:j]:
+                all_prep.extend(up)
             i = j
         return emit(
             "completed", "", "", out_spans,
             min(confs_per_span) if confs_per_span else 0.0, total_wc,
             merkle_from_span_hashes(span_hashes),
+            prep=_unique_in_order(all_prep),
         )
 
     return reassemble

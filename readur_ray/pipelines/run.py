@@ -274,68 +274,125 @@ def run_finalize_phase(out_dir: str, cfg: ExtractionConfig = DEFAULT_CONFIG) -> 
     return summary
 
 
+def _retryable_mask(batch: pa.Table) -> "pa.Array":
+    """status == failed AND failure_reason recoverable — the D4
+    selection predicate. The retried set is DEFINED by this predicate
+    over the final output, which is what makes the merged view joinless:
+    a final row is superseded iff the predicate holds for it."""
+    from ..functions.errors import RECOVERABLE_REASONS
+
+    return pc.and_(
+        pc.equal(batch.column("status"), "failed"),
+        pc.is_in(
+            batch.column("failure_reason"),
+            value_set=pa.array(sorted(RECOVERABLE_REASONS)),
+        ),
+    )
+
+
 def run_requeue_phase(
     input_path: str, out_dir: str, cfg: ExtractionConfig = DEFAULT_CONFIG
 ) -> dict:
     """D4 requeue-failed (/root/reference/src/ocr/queue.rs:978-1082):
-    re-extract the docs whose failure_reason is RECOVERABLE, then merge
-    the fresh rows over the stale ones.
+    re-extract the docs whose failure_reason is RECOVERABLE, then emit
+    the merged view (final − retried ∪ retry).
 
-    Plan: select failed (doc_id) rows from the finalized output with a
-    column-pruned read → broadcast the (small) retry id-set → re-run
-    the extraction DAG over the input filtered to those ids →
-    write a `retry/` partition; the merged view = final minus retried
-    ids union retry rows (re-streamed, no full-corpus shuffle)."""
-    from ..functions.errors import RECOVERABLE_REASONS
+    Plan, zero driver state:
+    1. retry ids = predicate rows of final (column-pruned read);
+    2. input rows to re-extract are selected by a co-partitioned
+       SEMI-JOIN on crc32(doc_id) — input rows union'd with id rows
+       (schema-padded), matched inside each partition — never a
+       broadcast id set;
+    3. re-run the extraction DAG over the selected input → `retry/`;
+    4. merged view `merged/` = final rows NOT matching the predicate
+       ∪ retry rows — joinless, because the retried set is exactly the
+       predicate's extension over final (exactly-once per doc_id)."""
     from .extract import build_extracted
 
     final_dir = os.path.join(out_dir, "final")
     retry_dir = os.path.join(out_dir, "retry")
+    merged_dir = os.path.join(out_dir, "merged")
+
     failed = ray.data.read_parquet(
         final_dir, columns=["doc_id", "status", "failure_reason"]
     )
 
     def sel(batch: pa.Table) -> pa.Table:
-        keep = pc.and_(
-            pc.equal(batch.column("status"), "failed"),
-            pc.is_in(
-                batch.column("failure_reason"),
-                value_set=pa.array(sorted(RECOVERABLE_REASONS)),
-            ),
-        )
-        return batch.filter(keep).select(["doc_id"])
+        return batch.filter(_retryable_mask(batch)).select(["doc_id"])
 
-    retry_ids = set()
-    for b in failed.map_batches(sel, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        retry_ids.update(b.column("doc_id").to_pylist())
-    if not retry_ids:
+    retry_ids_ds = failed.map_batches(sel, batch_format="pyarrow").materialize()
+    n_retry = retry_ids_ds.count()
+    if n_retry == 0:
         ledger.append_entry(out_dir, {"kind": "requeue", "retried": 0})
-        return {"retried": 0, "retry_dir": None}
+        return {"retried": 0, "retry_dir": None, "merged_dir": None}
 
-    ids_ref = ray.put(pa.array(sorted(retry_ids)))
+    # --- co-partitioned semi-join: input rows whose doc_id is retryable
+    from ..stages.shuffle import partitioned_map, str_partition
 
-    def only_retry(batch: pa.Table) -> pa.Table:
-        keep = pc.is_in(batch.column("doc_id"), value_set=ray.get(ids_ref))
-        return batch.filter(keep)
+    inp = ray.data.read_parquet(input_path)
+    inp_schema = inp.schema()
 
-    # materialize the (tiny) retry input first so the re-extraction DAG
-    # reads only those rows — never a second full-corpus scan per stage
-    full = ray.data.read_parquet(input_path).map_batches(
-        only_retry, batch_format="pyarrow"
+    def pad_ids(batch: pa.Table) -> pa.Table:
+        cols: dict = {}
+        for f in inp_schema.base_schema:    # exact input column order
+            cols[f.name] = (
+                batch.column("doc_id") if f.name == "doc_id"
+                else pa.nulls(batch.num_rows, f.type)
+            )
+        cols["_is_id"] = pa.array(np.ones(batch.num_rows, dtype=bool))
+        return pa.table(cols)
+
+    def pad_input(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_is_id", pa.array(np.zeros(batch.num_rows, dtype=bool))
+        )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part",
+            pa.array(str_partition(batch.column("doc_id").to_pylist()), pa.int64()),
+        )
+
+    def semi_join(part_tbl: pa.Table) -> pa.Table:
+        is_id = part_tbl.column("_is_id").to_numpy(zero_copy_only=False)
+        ids = part_tbl.column("doc_id").to_pandas()
+        wanted = set(ids[is_id])
+        keep = (~is_id) & ids.isin(wanted).to_numpy()
+        return part_tbl.filter(pa.array(keep)).drop_columns(["_is_id", "part"])
+
+    selected = partitioned_map(
+        inp.map_batches(pad_input, batch_format="pyarrow").union(
+            retry_ids_ds.map_batches(pad_ids, batch_format="pyarrow")
+        ),
+        add_part,
+        semi_join,
     )
+
     tmp = retry_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     retry_input = os.path.join(tmp, "input")
-    full.write_parquet(retry_input)
+    selected.write_parquet(retry_input)
     out = build_extracted(retry_input, cfg)
     out.write_parquet(os.path.join(tmp, "extracted"))
     shutil.rmtree(retry_dir, ignore_errors=True)
     os.rename(tmp, retry_dir)
-    ledger.append_entry(out_dir, {"kind": "requeue", "retried": len(retry_ids)})
-    return {"retried": len(retry_ids), "retry_dir": retry_dir}
+
+    # --- merged view: final − predicate rows ∪ retry rows (joinless)
+    keep_final = ray.data.read_parquet(final_dir).map_batches(
+        lambda b: b.filter(pc.invert(_retryable_mask(b))), batch_format="pyarrow"
+    )
+    retry_rows = ray.data.read_parquet(os.path.join(retry_dir, "extracted"))
+    mtmp = merged_dir + ".tmp"
+    shutil.rmtree(mtmp, ignore_errors=True)
+    keep_final.union(retry_rows).write_parquet(mtmp)
+    shutil.rmtree(merged_dir, ignore_errors=True)
+    os.rename(mtmp, merged_dir)
+
+    ledger.append_entry(
+        out_dir, {"kind": "requeue", "retried": n_retry, "merged": True}
+    )
+    return {"retried": n_retry, "retry_dir": retry_dir, "merged_dir": merged_dir}
 
 
 def run_extraction(

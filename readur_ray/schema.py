@@ -61,6 +61,9 @@ EXTRACTED = pa.schema(
         ("processing_time_ms", pa.int64()),
         ("file_hash", pa.string()),          # hex sha256 (Merkle over span payloads)
         ("dedup_status", pa.string()),       # kept | skipped_duplicate | tracked_duplicate
+        ("preprocessing_applied", pa.list_(pa.string())),  # OcrResult lineage
+                                             # (enhanced.rs:28-36): unique-in-order
+                                             # union of per-span engine steps
         ("part_id", pa.int32()),             # hash(doc_id) % num_output_partitions
     ]
 )

@@ -20,9 +20,20 @@ outcome semantics*:
   mean (embedded in the synthetic payload, standing in for Tesseract's
   ``mean_text_conf``).
 
-Real engines (pdfium / tesserocr / ocrmypdf) are not installed in this
-container; ``RealPdfEngine`` / ``RealTesseractEngine`` are
-clearly-marked stubs behind import guards with the same interface.
+``RealPdfEngine`` / ``RealTesseractEngine`` are FULL implementations of
+the same interface (pdfium text layer → quality gate → 300-dpi
+rasterize + Tesseract; warm tesserocr handle per actor) behind
+fail-fast import guards — the container ships no pdfium/tesseract
+wheels, so their tests skip here, but the code paths are complete and
+selected with ``engine_backend='real'``.
+
+The reference's ocrmypdf step tries THREE progressive strategy
+invocations before failing (enhanced.rs:1008-1052: 1. force-ocr -O2
+--deskew --clean; 2. --fix-metadata --remove-background -O1;
+3. --skip-big); both engines model that chain and record the winning
+strategy in ``preprocessing_applied``. The hermetic payload marker
+``%OCRFAILS(n)%`` makes the first n strategies fail (n ≥ 3 → the whole
+OCR step errors), so fallback behavior is unit-testable.
 """
 
 from __future__ import annotations
@@ -54,6 +65,16 @@ def _burn_ms(ms: float) -> None:
 
 _BT_RE = re.compile(rb"BT \((.*?)\) ET", re.S)
 _OCR_RE = re.compile(rb"%OCR\(([A-Za-z0-9+/=]*)\|([0-9.]+)\)")
+_OCRFAILS_RE = re.compile(rb"%OCRFAILS\((\d)\)%")
+
+# The reference's progressive ocrmypdf fallback chain
+# (/root/reference/src/ocr/enhanced.rs:1008-1052); the winning strategy
+# is recorded in preprocessing_applied.
+OCR_STRATEGY_LABELS = [
+    "OCR via ocrmypdf (strategy 1: --force-ocr -O2 --deskew --clean)",
+    "OCR via ocrmypdf (strategy 2: --fix-metadata --remove-background -O1)",
+    "OCR via ocrmypdf (strategy 3: --skip-big)",
+]
 _IMG_HEAD_RE = re.compile(rb"SYNTH;w=(\d+);h=(\d+);conf=([0-9.]+);")
 _OCRDATA_RE = re.compile(rb"OCRDATA:([A-Za-z0-9+/=]*);END")
 
@@ -91,12 +112,27 @@ class HermeticPdfEngine:
         return "\n\n".join(page_texts).strip()
 
     # -- M14 analog: OCR the rasterized pages ----------------------------
-    def _ocr_text(self, payload: bytes) -> tuple[str, float]:
+    def _ocr_text(self, payload: bytes) -> tuple[str, float, str]:
+        """Models the 3-strategy ocrmypdf chain: the %OCRFAILS(n)%
+        payload marker fails the first n strategy invocations, so
+        strategy 2/3 fallbacks (and total failure at n >= 3) are
+        deterministic and testable. Returns (text, conf, strategy
+        label) — the label lands in preprocessing_applied."""
+        m = _OCRFAILS_RE.search(payload)
+        n_fail = int(m.group(1)) if m else 0
+        if n_fail >= len(OCR_STRATEGY_LABELS):
+            raise ExtractionError(
+                "ocrmypdf failed: exit code 1 (all fallback strategies exhausted)"
+            )
         matches = _OCR_RE.findall(payload)
         if not matches:
             raise ExtractionError("No extractable text found by OCR (0 words)")
         texts = [base64.b64decode(b64).decode("utf-8", errors="ignore") for b64, _ in matches]
-        return "\n\n".join(texts).strip(), self.cfg.conf_pdf_ocr
+        return (
+            "\n\n".join(texts).strip(),
+            self.cfg.conf_pdf_ocr,
+            OCR_STRATEGY_LABELS[n_fail],
+        )
 
     # -- M12 analog: direct byte-scan last resort ------------------------
     def _bytes_text(self, payload: bytes) -> str:
@@ -131,12 +167,11 @@ class HermeticPdfEngine:
             return EngineResult(text, self.cfg.conf_pdf_quick, "pdf_text", wc,
                                 ["PDF text extraction (pdftotext)"], ms)
         try:
-            text, conf = self._ocr_text(payload)
+            text, conf, strategy = self._ocr_text(payload)
             wc = count_words_safely(text)
             if wc > 0:
                 ms = int((time.perf_counter() - t0) * 1000)
-                return EngineResult(text, conf, "pdf_ocr", wc,
-                                    ["PDF OCR (ocrmypdf force-ocr)"], ms)
+                return EngineResult(text, conf, "pdf_ocr", wc, [strategy], ms)
             raise ExtractionError("No extractable text found by OCR (0 words)")
         except ExtractionError as ocr_err:
             try:
@@ -358,16 +393,30 @@ class RealPdfEngine:
                 tp.close()
         return "\n\n".join(pages).strip()
 
-    def _ocr_pages(self, pdf) -> tuple[str, float]:
+    # (scale, preprocess, skip_big_px): the in-process remap of the
+    # reference's 3 ocrmypdf strategies — full quality, recovery
+    # without preprocessing, minimal at reduced dpi skipping oversized
+    # pages (enhanced.rs:1008-1052, --skip-big).
+    _STRATEGIES = [
+        (300 / 72, True, None),
+        (300 / 72, False, None),
+        (150 / 72, False, 50_000_000),
+    ]
+
+    def _ocr_pages_once(self, pdf, scale: float, preprocess: bool,
+                        skip_big_px: int | None) -> tuple[str, float]:
         import numpy as np
 
         if self._tess is None:
             self._tess = _TesseractBackend(self.cfg)
         texts, confs = [], []
         for page in pdf:
-            bitmap = page.render(scale=self.RENDER_SCALE, grayscale=True)
+            w, h = page.get_size()
+            if skip_big_px is not None and (w * scale) * (h * scale) > skip_big_px:
+                continue
+            bitmap = page.render(scale=scale, grayscale=True)
             arr = np.asarray(bitmap.to_pil().convert("L"))
-            if self.cfg.enable_image_preprocessing:
+            if preprocess and self.cfg.enable_image_preprocessing:
                 from .preprocess import preprocess_image
 
                 arr, _, _ = preprocess_image(arr, self.cfg.preprocess_settings())
@@ -378,6 +427,20 @@ class RealPdfEngine:
         if not texts:
             raise ExtractionError("No extractable text found by OCR (0 words)")
         return "\n\n".join(texts), min(confs)
+
+    def _ocr_pages(self, pdf) -> tuple[str, float, str]:
+        """Progressive 3-strategy OCR mirroring the reference chain;
+        returns (text, conf, winning strategy label)."""
+        last_err: ExtractionError | None = None
+        for i, (scale, preprocess, skip_big) in enumerate(self._STRATEGIES):
+            try:
+                text, conf = self._ocr_pages_once(pdf, scale, preprocess, skip_big)
+                return text, conf, OCR_STRATEGY_LABELS[i]
+            except ExtractionError as e:
+                last_err = e
+        raise last_err if last_err is not None else ExtractionError(
+            "ocrmypdf failed: exit code 1 (all fallback strategies exhausted)"
+        )
 
     def extract(self, payload: bytes, declared_size: int | None = None) -> EngineResult:
         t0 = time.perf_counter()
@@ -403,12 +466,11 @@ class RealPdfEngine:
                 return EngineResult(text, self.cfg.conf_pdf_quick, "pdf_text", wc,
                                     ["PDF text extraction (pdfium)"], ms)
             try:
-                text, conf = self._ocr_pages(pdf)
+                text, conf, strategy = self._ocr_pages(pdf)
                 wc = count_words_safely(text)
                 if wc > 0:
                     ms = int((time.perf_counter() - t0) * 1000)
-                    return EngineResult(text, conf, "pdf_ocr", wc,
-                                        ["PDF OCR (pdfium render + tesseract)"], ms)
+                    return EngineResult(text, conf, "pdf_ocr", wc, [strategy], ms)
                 raise ExtractionError("No extractable text found by OCR (0 words)")
             except ExtractionError as ocr_err:
                 text = _printable_runs_text(payload)

@@ -70,6 +70,37 @@ def test_pdf_window_equals_full_join(pdf):
     assert "\n\n".join(parts) == full.text
 
 
+def test_pdf_ocr_strategy_fallback_chain(pdf):
+    """The reference tries 3 progressive ocrmypdf strategies
+    (enhanced.rs:1008-1052); the %OCRFAILS(n)% marker fails the first n
+    hermetically and the winning strategy lands in
+    preprocessing_applied."""
+    from readur_ray.stages.engines import OCR_STRATEGY_LABELS
+
+    base = synth.pdf_payload("ds", 0, "pdf_scanned", pages=2)
+    res1 = pdf.extract(base)
+    assert res1.preprocessing_applied == [OCR_STRATEGY_LABELS[0]]
+
+    res2 = pdf.extract(base + b"%OCRFAILS(1)%")
+    assert res2.kind == "pdf_ocr"
+    assert res2.text == res1.text
+    assert res2.preprocessing_applied == [OCR_STRATEGY_LABELS[1]]
+
+    res3 = pdf.extract(base + b"%OCRFAILS(2)%")
+    assert res3.preprocessing_applied == [OCR_STRATEGY_LABELS[2]]
+
+    # all three fail → the OCR step errors; the chain falls through to
+    # the byte-scan last resort (which succeeds on this payload)
+    res4 = pdf.extract(base + b"%OCRFAILS(3)%")
+    assert res4.kind == "pdf_bytes"
+    assert res4.confidence == 50.0
+
+
+def test_pdf_quick_path_lineage(pdf):
+    res = pdf.extract(synth.pdf_payload("dq", 0, "pdf_text_layer", pages=2))
+    assert res.preprocessing_applied == ["PDF text extraction (pdftotext)"]
+
+
 def test_img_ok(img):
     payload = synth.img_payload("d8", 0, "img_ok")
     res = img.extract(payload)

@@ -57,6 +57,34 @@ def test_status_and_failure_fields(pipeline_rows, oracle_rows):
     assert not mismatches, mismatches[:5]
 
 
+def test_preprocessing_lineage_propagates(pipeline_rows):
+    """EngineResult.preprocessing_applied reaches the EXTRACTED schema
+    (the reference's OcrResult carries it, enhanced.rs:28-36): failed
+    docs carry [], completed docs carry each span kind's label."""
+    from readur_ray.stages.engines import OCR_STRATEGY_LABELS
+
+    seen_kinds = set()
+    for doc_id, got in pipeline_rows.items():
+        prep = got["preprocessing_applied"]
+        assert isinstance(prep, list)
+        if got["status"] != "completed":
+            assert prep == [], doc_id
+            continue
+        kinds = {s["kind"] for s in got["spans"]}
+        seen_kinds |= kinds
+        if "plain_text" in kinds:
+            assert "Plain text read" in prep, doc_id
+        if "pdf_text" in kinds:
+            assert "PDF text extraction (pdftotext)" in prep, doc_id
+        if "pdf_ocr" in kinds:
+            assert OCR_STRATEGY_LABELS[0] in prep, doc_id
+        if "pdf_bytes" in kinds:
+            assert "Direct PDF text extraction (last resort)" in prep, doc_id
+        assert len(prep) == len(set(prep)), doc_id  # unique-in-order
+    # the corpus must actually exercise the text + both pdf outcomes
+    assert {"plain_text", "pdf_text", "pdf_ocr"} <= seen_kinds
+
+
 def test_confidence_word_count_hash(pipeline_rows, oracle_rows):
     mismatches = []
     for doc_id, (exp, cls) in oracle_rows.items():

@@ -170,3 +170,19 @@ def test_requeue_failed_phase(ray_session, tmp_path):
         assert set(retried.column("doc_id").to_pylist()) == recoverable_failed
         # deterministic engines → still failed, but each retried exactly once
         assert retried.num_rows == len(recoverable_failed)
+
+        # merged view: final − retried ∪ retry, exactly once per doc_id
+        merged = pq.read_table(res["merged_dir"])
+        mrows = {r["doc_id"]: r for r in merged.to_pylist()}
+        assert len(mrows) == merged.num_rows == final.num_rows  # exactly-once
+        assert set(mrows) == set(final.column("doc_id").to_pylist())
+        full_final = {r["doc_id"]: r for r in pq.read_table(f"{out}/final").to_pylist()}
+        retry_rows = {
+            r["doc_id"]: r
+            for r in pq.read_table(f"{out}/retry/extracted").to_pylist()
+        }
+        for doc_id, row in mrows.items():
+            src = retry_rows if doc_id in recoverable_failed else full_final
+            exp = src[doc_id]
+            for f in ("status", "failure_reason", "word_count", "file_hash"):
+                assert row[f] == exp[f], (doc_id, f)
