@@ -100,6 +100,8 @@ def run_queries() -> dict[str, float]:
         "multimodal_meta", "quality_score", "fingerprints", "dedup_exact",
         "sessionize", "fuzzy_search", "ann_topk_ivf", "text_search",
         "training_prep", "tfidf_top_terms", "sliding_window", "asof_join",
+        "line_dedup", "contamination", "stratified_sample", "repetition_score",
+        "fuzzy_dedup_keep",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -673,16 +673,19 @@ def load_documents(path: str, row_filter=None) -> "ray.data.Dataset":
       more dispatch overhead, 1/CPU straggles); at petabyte scale
       native row-group splitting already yields more blocks than CPUs
       and the override is a no-op upper bound."""
+    import os as _os
+
     import ray as _ray
 
     from ..sources.tables import read_table
 
     ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    per_cpu = int(_os.environ.get("READUR_SCAN_BLOCKS_PER_CPU", "2"))
     return read_table(
         path,
         columns=["doc_id", "spans", "mime_type", "file_size", "page_count"],
         row_filter=row_filter,
-        override_num_blocks=max(16, ncpu * 2),
+        override_num_blocks=max(16, ncpu * per_cpu),
     )
 
 
@@ -733,23 +736,28 @@ class UnifiedExtractor(DocExtractor):
 
 
 def _pool_sizes(cfg: ExtractionConfig) -> tuple[int, int]:
-    """Actor-pool sizes with headroom so the pools never reserve every
-    CPU (a pool that takes the whole node starves the stateless read /
-    classify / write tasks and DEADLOCKS the streaming executor behind
-    its own upstream). Fixed-size pools — autoscaling (1, N) pools ramp
-    too slowly to ever reach size on short jobs."""
+    """(main_pool, page_pool_max) with headroom so the pools never
+    reserve every CPU (a pool that takes the whole node starves the
+    stateless read / classify / write tasks and DEADLOCKS the streaming
+    executor behind its own upstream).
+
+    The MAIN pool is fixed-size — autoscaling (1, N) pools ramp too
+    slowly to ever reach size on short jobs. The PAGE pool autoscales
+    (1, max): the skew branch carries only a few % of the work and its
+    units arrive late (behind the scan), so a fixed page pool spent the
+    whole main phase reserving idle CPUs — measured ~20% of the node at
+    32 CPUs, a cost the 8-CPU leg (page pool 1) never paid, directly
+    depressing 8→32 scaling. Only the 1-actor floor is budgeted; the
+    main pool gets the rest minus the free slots."""
     import ray as _ray
 
     ncpu = 8
     if _ray.is_initialized():
         ncpu = int(_ray.cluster_resources().get("CPU", ncpu))
-    # budget: ~3/16 of CPUs to the page pool (the skew tail), ~1/8
-    # left FREE for stateless tasks (read/classify/sort/write), the
-    # rest to the main pool
-    page_pool = max(1, (ncpu * 3) // 16)
     free = max(1, ncpu // 16)
-    main_pool = max(1, min(cfg.extract_concurrency, ncpu - page_pool - free))
-    return main_pool, page_pool
+    main_pool = max(1, min(cfg.extract_concurrency, ncpu - 1 - free))
+    page_pool_max = max(1, (ncpu * 3) // 16)
+    return main_pool, page_pool_max
 
 
 def build_extracted(
@@ -801,7 +809,7 @@ def build_extracted(
         .repartition(page_pool * 4)
         .map_batches(
             PageExtractor, fn_constructor_args=(cfg,), batch_format="pyarrow",
-            batch_size=32, concurrency=page_pool, num_cpus=1,
+            batch_size=32, concurrency=(1, page_pool), num_cpus=1,
         )
         .groupby("doc_id")
         .map_groups(make_reassemble_fn(cfg), batch_format="pyarrow")

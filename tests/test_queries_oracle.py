@@ -43,6 +43,11 @@ SUBSET = [
     "median_by_type",
     "hash_sample",
     "ann_topk_ivf",
+    "line_dedup",
+    "contamination",
+    "stratified_sample",
+    "repetition_score",
+    "fuzzy_dedup_keep",
 ]
 
 
