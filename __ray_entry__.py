@@ -115,7 +115,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational operators (A1-A6, O1-O3, J1/J4, M20, M4-M6) ---
         "status_counts": analytics.status_counts,
         "source_facets": analytics.source_facets,
-        "hourly_event_metrics": analytics.hourly_event_metrics,
         "orders_per_nation": analytics.orders_per_nation,
         "pricing_summary": analytics.pricing_summary,
         "priority_buckets": analytics.priority_buckets,
@@ -156,14 +155,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_embedding_lsh": dedup.embedding_neardup_lsh,
         "tfidf_top_terms": textops.tfidf_top_terms,
-        # --- similarity search ---
+        # --- similarity search / semantic dedup ---
         "ann_topk": similarity.ann_topk,
         "ann_topk_ivf_kmeans_probe2": similarity.ann_topk_ivf_kmeans_probe2,
+        "semdedup": similarity.semdedup,
         # --- expensive-but-unique: within the first 50 by design ---
         "dedup_components": dedup.neardup_components,
         "fuzzy_dedup_keep": curation.fuzzy_dedup_keep,
         "extraction_metrics": extras.extraction_metrics,
-        # --- tail: redundant-with-a-sibling or rows-only (see above) ---
+        # --- tail: redundant-with-a-sibling or rows-only (see above;
+        # hourly_event_metrics' A5 semantics are driver-covered by
+        # extraction_metrics since its oracle landed) ---
+        "hourly_event_metrics": analytics.hourly_event_metrics,
         "top_docs": analytics.top_docs,
         "hash_sample": analytics.hash_sample_docs,
         "dedup_simhash": dedup.simhash_fingerprints,
@@ -807,6 +810,38 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY 1, 2
         )""",
     )
+
+    # semdedup: the SAME trained quantizer (every CTE up to the final
+    # assignment a2 is reused verbatim), then within-cell cosine
+    # components with one kept representative per component
+    sql["semdedup"] = (
+        sql["ann_topk_ivf_kmeans"].split("        pd AS (")[0]
+        + """        pairs AS (
+          SELECT x.vec_id AS src, y.vec_id AS dst
+          FROM embeddings x
+          JOIN a2 ax ON ax.vec_id = x.vec_id
+          JOIN a2 ay ON ay.c = ax.c
+          JOIN embeddings y ON y.vec_id = ay.vec_id
+          WHERE x.vec_id <> y.vec_id
+            AND list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                       CAST(y.embedding AS DOUBLE[])) >= 0.4
+        ),
+        reach AS (
+          SELECT vec_id AS v, vec_id AS lab FROM embeddings
+          UNION
+          SELECT p.src AS v, r.lab
+          FROM reach r JOIN pairs p ON p.dst = r.v
+        ),
+        comp AS (
+          SELECT v AS vec_id, CAST(min(lab) AS BIGINT) AS rep_id
+          FROM reach GROUP BY 1
+        )
+        SELECT c.vec_id, CAST(a2.c AS BIGINT) AS cell, c.rep_id,
+               CAST(CASE WHEN c.rep_id = c.vec_id THEN 1 ELSE 0 END AS BIGINT)
+                   AS kept
+        FROM comp c JOIN a2 ON a2.vec_id = c.vec_id
+    """
+    ).replace("WITH qv AS", "WITH RECURSIVE qv AS")
 
     sql["sliding_window"] = """
         SELECT event_type, ts,

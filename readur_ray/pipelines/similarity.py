@@ -433,3 +433,61 @@ def ann_topk_ivf_kmeans_probe2(
     recall lever over single-probe IVF; measured recall@5 roughly
     doubles at nprobe=2 on the synthetic embeddings."""
     return _ann_ivf_kmeans(sf_dir, k, 2)
+
+
+def semdedup(sf_dir: str) -> "ray.data.Dataset":
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public): cluster the embedding space with the
+    SAME exact-integer k-means quantizer the IVF index trains, then
+    within each cluster connect vectors whose cosine ≥
+    EMBED_COS_THRESHOLD and keep one representative (min vec_id) per
+    within-cell component. Output per vector: (vec_id, cell, rep_id,
+    kept) — ``kept == 0`` rows are the semantic duplicates a curation
+    pass drops.
+
+    Scale shape: training is KM_ITERS fixed-size (k × dim) integer
+    aggregates (never O(n) driver state); assignment is one vectorized
+    pass; the only shuffle is groupby(cell), and the per-cluster
+    pairwise that follows is the published algorithm's own execution
+    shape — nlist scales with corpus size so E[cell size] stays
+    bounded (the paper used 50k clusters for 100M items; KM_K here
+    mirrors the 8-cell oracle). Embeddings ride that one shuffle
+    because within-cell pairwise needs them co-located."""
+    from .dedup import EMBED_COS_THRESHOLD, _normalized_matrix, _UnionFind
+
+    ds = _read_embeddings(sf_dir)
+    cents = _train_centroids(ds, sf_dir)
+    cref = ray.put(cents)
+
+    def assign_rows(batch: pa.Table) -> pa.Table:
+        cn = ray.get(cref)
+        q = _quantize(
+            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        )
+        cells = _assign(q, cn).astype(np.int64)
+        return batch.append_column("cell", pa.array(cells, pa.int64()))
+
+    def cell_dedup(group: pa.Table) -> pa.Table:
+        ids, mat = _normalized_matrix(group)
+        sims = mat @ mat.T
+        ii, jj = np.nonzero(
+            (sims >= EMBED_COS_THRESHOLD) & (ids[:, None] < ids[None, :])
+        )
+        uf = _UnionFind()
+        for a, b in zip(ids[ii].tolist(), ids[jj].tolist()):
+            uf.union(a, b)
+        rep = np.array([uf.find(int(i)) for i in ids], dtype=np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cell": group.column("cell"),
+                "rep_id": pa.array(rep, pa.int64()),
+                "kept": pa.array((rep == ids).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(assign_rows, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(cell_dedup, batch_format="pyarrow")
+    )

@@ -48,6 +48,7 @@ SUBSET = [
     "stratified_sample",
     "repetition_score",
     "fuzzy_dedup_keep",
+    "semdedup",
 ]
 
 
