@@ -31,6 +31,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--compact-ledger", action="store_true",
                     help="only fold old ledger chunk entries into a "
                          "snapshot (W6 TTL cleanup), then exit")
+    ap.add_argument("--dedup-against", default=None,
+                    help="prior run's final/ dir: content whose file_hash "
+                         "already exists there is marked duplicate here "
+                         "(J1 cross-run lookup)")
     args = ap.parse_args(argv)
 
     if args.compact_ledger:
@@ -62,7 +66,10 @@ def main(argv: list[str] | None = None) -> int:
 
         summary = run_incremental(args.input, args.out, cfg)
     else:
-        summary = run_extraction(args.input, args.out, cfg, n_chunks=args.chunks)
+        summary = run_extraction(
+            args.input, args.out, cfg, n_chunks=args.chunks,
+            dedup_against=args.dedup_against,
+        )
     print(json.dumps(summary))
     ray.shutdown()
     return 0

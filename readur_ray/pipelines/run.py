@@ -128,7 +128,10 @@ _DEDUP_PART_COL = "_dedup_part"
 
 
 def mark_duplicates(
-    ds: "ray.data.Dataset", policy: str, num_parts: int = 64
+    ds: "ray.data.Dataset",
+    policy: str,
+    num_parts: int = 64,
+    existing: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """D1 keep-first dedup marking with ZERO driver state (replaces the
     round-2 broadcast winner dict, which held one entry per duplicate
@@ -143,9 +146,44 @@ def mark_duplicates(
     are marked, all vectorized. Scale note: a partition materializes
     ~corpus/num_parts rows (spans included); size num_parts so that
     fits a worker heap — the shuffle moves the corpus once, which is
-    the price of a join against a loser set too large to broadcast."""
+    the price of a join against a loser set too large to broadcast.
+
+    ``existing`` is the CROSS-RUN half of J1: the reference's ingest
+    looks each new doc's file_hash up against the already-stored
+    documents (document_ingestion.rs:134-169 via crud.rs:117-136).
+    Here a prior run's (file_hash) projection rides the SAME shuffle as
+    schema-padded sentinel rows (doc_id = "" sorts before every real
+    id, so existing content always wins) and every new doc sharing a
+    hash is marked a loser — co-partitioned, never a broadcast set."""
     loser_status = "tracked_duplicate" if policy == "track" else "skipped_duplicate"
     keep_spans = policy == "track"
+
+    if existing is not None:
+        schema = ds.schema().base_schema
+
+        def pad_existing(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols: dict = {}
+            for f in schema:
+                if f.name == "file_hash":
+                    cols[f.name] = batch.column("file_hash").cast(f.type)
+                elif f.name == "doc_id":
+                    cols[f.name] = pa.array([""] * n, f.type)
+                else:
+                    cols[f.name] = pa.nulls(n, f.type)
+            cols["_existing"] = pa.array(np.ones(n, dtype=bool))
+            return pa.table(cols)
+
+        ex = existing.map_batches(
+            lambda b: b.filter(pc.not_equal(b.column("file_hash"), "")),
+            batch_format="pyarrow",
+        ).map_batches(pad_existing, batch_format="pyarrow")
+        ds = ds.map_batches(
+            lambda b: b.append_column(
+                "_existing", pa.array(np.zeros(b.num_rows, dtype=bool))
+            ),
+            batch_format="pyarrow",
+        ).union(ex)
 
     def add_part(batch: pa.Table) -> pa.Table:
         import zlib
@@ -164,6 +202,19 @@ def mark_duplicates(
         import pandas as pd
 
         t = t.drop_columns([_DEDUP_PART_COL]).combine_chunks()
+        ex_hashes: set | None = None
+        if "_existing" in t.schema.names:
+            ex_mask = t.column("_existing").to_numpy(zero_copy_only=False)
+            ex_hashes = set(
+                t.filter(pa.array(ex_mask)).column("file_hash").to_pylist()
+            )
+            t = (
+                t.filter(pa.array(~ex_mask))
+                .drop_columns(["_existing"])
+                .combine_chunks()
+            )
+            if t.num_rows == 0:
+                return t
         h = t.column("file_hash").to_pandas()
         ids = t.column("doc_id").to_pandas()
         hashed = (h != "").to_numpy()
@@ -172,6 +223,8 @@ def mark_duplicates(
             df = pd.DataFrame({"h": h[hashed], "i": ids[hashed]})
             g = df.groupby("h")["i"]
             sub_loser = (g.transform("size") > 1) & (df["i"] != g.transform("min"))
+            if ex_hashes:
+                sub_loser |= df["h"].isin(ex_hashes)
             loser[np.flatnonzero(hashed)] = sub_loser.to_numpy()
         if not loser.any():
             return t
@@ -229,15 +282,27 @@ def metrics_partial(batch: pa.Table) -> pa.Table:
     })
 
 
-def run_finalize_phase(out_dir: str, cfg: ExtractionConfig = DEFAULT_CONFIG) -> dict:
+def run_finalize_phase(
+    out_dir: str,
+    cfg: ExtractionConfig = DEFAULT_CONFIG,
+    dedup_against: str | None = None,
+) -> dict:
+    """``dedup_against``: path to a PRIOR run's final/ dir — its
+    (file_hash) projection joins the dedup shuffle so content already
+    ingested there is marked duplicate here (J1 cross-run lookup)."""
     extracted_dir = os.path.join(out_dir, "extracted")
     final_dir = os.path.join(out_dir, "final")
     dup_groups = 0
     ds = ray.data.read_parquet(extracted_dir)
     if cfg.dedup_policy != "allow":
         dup_groups = count_duplicate_groups(extracted_dir)
-        if dup_groups:
-            ds = mark_duplicates(ds, cfg.dedup_policy)
+        existing = (
+            ray.data.read_parquet(dedup_against, columns=["file_hash"])
+            if dedup_against
+            else None
+        )
+        if dup_groups or existing is not None:
+            ds = mark_duplicates(ds, cfg.dedup_policy, existing=existing)
     tmp = final_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     ds.write_parquet(tmp)
@@ -400,10 +465,11 @@ def run_extraction(
     out_dir: str,
     cfg: ExtractionConfig = DEFAULT_CONFIG,
     n_chunks: int = 4,
+    dedup_against: str | None = None,
 ) -> dict:
     """Full resumable run. Safe to call again after a crash."""
     run_extract_phase(input_path, out_dir, cfg, n_chunks)
-    return run_finalize_phase(out_dir, cfg)
+    return run_finalize_phase(out_dir, cfg, dedup_against=dedup_against)
 
 
 def file_etag(path: str) -> str:
