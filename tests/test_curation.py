@@ -121,3 +121,35 @@ def test_fuzzy_dedup_keep_partition(ray_session):
     assert df["group_size"].sum() == n_docs
     assert (df["n_removed"] == df["group_size"] - 1).all()
     assert df["component_id"].is_unique
+
+
+def test_line_dedup_randomized_vs_naive(ray_session, tmp_path):
+    """30-doc corpus of lines drawn from a tiny pool (dense cross-doc
+    collisions) checked against a naive single-threaded reference."""
+    import random
+
+    rng = random.Random(1234)
+    pool = [f"line {i}" for i in range(12)] + [""]
+    rows = []
+    for d in range(1, 31):
+        n = rng.randint(0, 6)
+        rows.append((d, "\n".join(rng.choice(pool) for _ in range(n))))
+    sf = _write_docs(tmp_path, rows)
+
+    # naive reference: first global occurrence by (doc_id, line_idx)
+    seen: set = set()
+    expect = {}
+    for d, text in rows:  # rows already in doc_id order
+        lines = (text or "").split("\n")
+        kept = []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        expect[d] = (len(lines), len(kept), _sha("\n".join(kept)))
+
+    got = {
+        r["doc_id"]: (r["n_lines"], r["kept_lines"], r["kept_sha256"])
+        for r in curation.line_dedup(sf).to_pandas().to_dict("records")
+    }
+    assert got == expect
