@@ -41,3 +41,44 @@ def test_multiprobe_raises_recall(ray_session, exact_pairs):
     r1 = _recall(similarity.ann_topk_ivf_kmeans(SF), exact_pairs)
     r2 = _recall(similarity.ann_topk_ivf_kmeans_probe2(SF), exact_pairs)
     assert r2 > r1, (r1, r2)
+
+
+@pytest.fixture(scope="module")
+def clustered_dir(tmp_path_factory):
+    """Deterministic CLUSTERED embeddings — the regime real text/image
+    embeddings live in (sf tables are near-uniform, the worst case).
+    500 vectors in 8 well-separated 64-dim clusters; vec_id layout
+    matches the pipelines' contract (ids < 16 are queries, 16-23 seed
+    the quantizer) and ids are assigned round-robin so queries and
+    anchors cover all clusters."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(4242)
+    centers = rng.normal(size=(8, 64)) * 5.0
+    n = 500
+    cluster = np.arange(n) % 8          # round-robin -> ids 0..15 hit 8 clusters
+    emb = centers[cluster] + rng.normal(size=(n, 64)) * 0.3
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in emb], pa.list_(pa.float64())
+            ),
+        }
+    )
+    d = tmp_path_factory.mktemp("clustered")
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_kmeans_ivf_high_recall_on_clustered_embeddings(ray_session, clustered_dir):
+    """On clustered data the learned quantizer recovers the structure:
+    single-probe recall should be near-perfect (vs 0.35 on uniform)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_topk(clustered_dir).take_all()
+    }
+    r_kmeans = _recall(similarity.ann_topk_ivf_kmeans(clustered_dir), exact)
+    assert r_kmeans >= 0.8, r_kmeans
