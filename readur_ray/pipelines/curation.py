@@ -83,12 +83,26 @@ def line_dedup(sf_dir: str) -> "ray.data.Dataset":
             out_id.extend([doc_id] * len(lines))
             out_idx.extend(range(1, len(lines) + 1))
             out_line.extend(lines)
+        # COMBINER (hot-line guard): min-by-(doc_id, line_idx) is
+        # associative, so keep only the batch-local first occurrence of
+        # each distinct line before the shuffle. Web corpora are full of
+        # hot lines ("" and boilerplate repeat billions of times); without
+        # this every occurrence lands in one partition — with it the
+        # shuffle carries at most one row per distinct line per batch.
+        import pandas as pd
+
+        df = (
+            pd.DataFrame({"i": out_id, "x": out_idx, "l": out_line})
+            .sort_values(["l", "i", "x"], kind="stable")
+            .drop_duplicates("l", keep="first")
+        )
+        lines_u = df["l"].tolist()
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "line_idx": pa.array(out_idx, pa.int64()),
-                "line": pa.array(out_line, pa.string()),
-                "part": pa.array(str_partition(out_line), pa.int64()),
+                "doc_id": pa.array(df["i"].to_numpy(), pa.int64()),
+                "line_idx": pa.array(df["x"].to_numpy(), pa.int64()),
+                "line": pa.array(lines_u, pa.string()),
+                "part": pa.array(str_partition(lines_u), pa.int64()),
             }
         )
 
