@@ -110,10 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": textops.quality_score,
         "fingerprints": textops.fingerprints,
         "html_extract": textops.html_extract,
-        "normalize_text": textops.normalize_text,
         "redact_pii": textops.redact_pii,
         # --- relational operators (A1-A6, O1-O3, J1/J4, M20, M4-M6) ---
-        "status_counts": analytics.status_counts,
         "source_facets": analytics.source_facets,
         "orders_per_nation": analytics.orders_per_nation,
         "pricing_summary": analytics.pricing_summary,
@@ -126,6 +124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": curation.stratified_sample,
         "contamination": curation.contamination,
         "line_dedup": curation.line_dedup,
+        "pack_sequences": curation.pack_sequences,
+        "top_ngrams": curation.top_ngrams,
+        "common_ngram_score": curation.common_ngram_score,
         # --- sessions / windows / joins ---
         "sessionize": sessions.sessionize,
         "sliding_window": sessions.sliding_window_counts,
@@ -140,7 +141,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "queue_stats": search.queue_stats,
         # --- multimodal plumbing (deterministic stub codec) ---
         "multimodal_meta": multimodal.multimodal_meta,
-        "preprocess_stats": multimodal.preprocess_stats,
         # --- remaining M/F/A items: MIME lattice, fuzzy trigram, DSL ---
         "fuzzy_search": extras.fuzzy_search,
         "retry_selection": extras.retry_selection,
@@ -165,7 +165,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extraction_metrics": extras.extraction_metrics,
         # --- tail: redundant-with-a-sibling or rows-only (see above;
         # hourly_event_metrics' A5 semantics are driver-covered by
-        # extraction_metrics since its oracle landed) ---
+        # extraction_metrics since its oracle landed; status_counts is
+        # the count-only subset of source_facets' facet plan;
+        # normalize_text shares redact_pii's single-pass textops shape;
+        # preprocess_stats' P1-P12 kernels carry dedicated unit +
+        # property tests and multimodal_meta keeps the actor-decode
+        # path driver-checked) ---
+        "status_counts": analytics.status_counts,
+        "normalize_text": textops.normalize_text,
+        "preprocess_stats": multimodal.preprocess_stats,
         "hourly_event_metrics": analytics.hourly_event_metrics,
         "top_docs": analytics.top_docs,
         "hash_sample": analytics.hash_sample_docs,
@@ -1185,6 +1193,70 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) - 1 AS BIGINT) AS n_removed
         FROM comp GROUP BY 1
     """.replace("WITH w AS", "WITH RECURSIVE w AS")
+
+    # pack_sequences: global prefix sum under doc_id order == a window
+    # cumulative sum; DuckDB `//` truncates like floor on these
+    # non-negative values. Token rule: BPE-ish tokens + 1 EOS per doc.
+    sql["pack_sequences"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                   + 1 AS n_tokens
+          FROM documents
+        ),
+        ofs AS (
+          SELECT doc_id, n_tokens,
+                 CAST(coalesce(SUM(n_tokens) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS start_offset
+          FROM toks
+        )
+        SELECT doc_id, n_tokens, start_offset,
+               CAST(start_offset // 256 AS BIGINT) AS first_chunk,
+               CAST((start_offset + n_tokens - 1) // 256 AS BIGINT) AS last_chunk,
+               CAST((start_offset + n_tokens - 1) // 256
+                    - start_offset // 256 + 1 AS BIGINT) AS n_chunks
+        FROM ofs
+    """
+
+    _BIGRAM_CNTS_CTE = f"""
+        {_WORDS_CTE},
+        big AS (
+          SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+          FROM w, UNNEST(range(1, len(ws))) AS t(i)
+          WHERE len(ws) >= 2
+        ),
+        cnts AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS cnt FROM big GROUP BY g
+        )"""
+
+    sql["top_ngrams"] = f"""
+        WITH {_BIGRAM_CNTS_CTE}
+        SELECT g AS ngram, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, g) AS BIGINT) AS rank
+        FROM cnts ORDER BY cnt DESC, g LIMIT 50
+    """
+
+    sql["common_ngram_score"] = f"""
+        WITH {_BIGRAM_CNTS_CTE},
+        topv AS (SELECT g FROM cnts ORDER BY cnt DESC, g LIMIT 100),
+        agg AS (
+          SELECT b.doc_id,
+                 CAST(count(*) AS BIGINT) AS tot,
+                 CAST(sum(CASE WHEN tv.g IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS com
+          FROM big b LEFT JOIN topv tv ON b.g = tv.g
+          GROUP BY b.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(tot, 0) AS BIGINT) AS bigrams_total,
+               CAST(coalesce(com, 0) AS BIGINT) AS bigrams_common,
+               CAST(CASE WHEN coalesce(tot, 0) > 0 AND com * 2 >= tot * 1
+                         THEN 1 ELSE 0 END AS BIGINT) AS common
+        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """
 
     # extraction_e2e / extraction_summary: hermetic media engines → not
     # SQL-expressible; the driver records a rows-only check.

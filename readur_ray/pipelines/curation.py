@@ -18,6 +18,17 @@ with a bit-exact DuckDB oracle in ``__ray_entry__.oracle_sql``:
 - ``fuzzy_dedup_keep``  the end of the fuzzy-dedup funnel: MinHash-LSH
                         pairs → connected components → one kept
                         representative + removed-count per cluster.
+- ``pack_sequences``    LLM training sequence packing: deterministic
+                        global doc order (doc_id), each doc's token
+                        span placed at its exact global prefix-sum
+                        offset, chunk ids at SEQ_LEN boundaries.
+- ``top_ngrams``        corpus-wide heavy hitters: global top-K word
+                        bigrams by count (combiner → coarse shuffle →
+                        per-partition top-K prune → tiny final reduce).
+- ``common_ngram_score`` bigram-LM commonness filter: fraction of each
+                        doc's bigram occurrences that land in the
+                        corpus's top-V bigram table (the integer-exact
+                        stand-in for an n-gram-LM perplexity gate).
 
 Scale shapes (100 TB):
 - line_dedup is TWO coarse shuffles: lines partition by crc32(line)
@@ -33,6 +44,22 @@ Scale shapes (100 TB):
 - repetition_score is a single pass, no shuffle.
 - fuzzy_dedup_keep adds one partial-count combine + tiny coarse
   reduce on top of dedup.neardup_components (already contraction-based).
+- pack_sequences is the textbook distributed prefix sum: pass 1 emits
+  per-doc token counts bucketed by doc_id RANGE (PACK_BUCKETS buckets,
+  width derived from a column-pruned min/max pass); per-bucket totals
+  (one int64 per bucket) prefix-sum on the driver and broadcast; pass
+  2 shuffles only (doc_id, n_tokens) int64 pairs — never text — and
+  finishes each bucket with a local sort + cumsum. Bucket count is the
+  memory dial: scale PACK_BUCKETS with n so a bucket's 16 B/doc group
+  fits a worker (at 10^12 docs, 2^16 buckets → 244 MB/group).
+- top_ngrams / common_ngram_score share one counting plan: per-batch
+  Counter COMBINER (bounds the shuffle at one row per distinct bigram
+  per batch — Zipf makes this the whole ballgame), coarse crc32 shuffle,
+  per-partition sum + top-max(K,V) prune (keys are partition-disjoint,
+  so the global top-K survives pruning), final reduce over ≤64·K rows.
+  common_ngram_score then broadcasts ONLY the V winning bigrams (one
+  ray.put, KBs) and streams the corpus once more — the n-gram-LM-filter
+  shape: small model out of a big corpus, applied in a single pass.
 """
 
 from __future__ import annotations
@@ -374,3 +401,219 @@ def fuzzy_dedup_keep(sf_dir: str) -> "ray.data.Dataset":
         .groupby("part")
         .map_groups(final_counts, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM training sequence packing (distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = 256         # tokens per packed training sequence
+PACK_BUCKETS = 256    # doc_id range buckets (the scale dial, see module doc)
+
+
+def pack_sequences(sf_dir: str) -> "ray.data.Dataset":
+    """Place every doc's token span (BPE-ish tokens + 1 EOS) at its
+    exact global offset under deterministic doc_id order, and report
+    which SEQ_LEN-token training chunks it lands in: (doc_id, n_tokens,
+    start_offset, first_chunk, last_chunk, n_chunks). Offsets are a
+    distributed prefix sum — per-bucket totals to the driver (one int64
+    per bucket), cumsum, broadcast, then a bucket-local sort+cumsum."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    from ..functions.textstats import token_stats
+
+    path = f"{sf_dir}/documents.parquet"
+    lohi = ray.data.read_parquet(path, columns=["doc_id"]).aggregate(
+        Min("doc_id"), Max("doc_id")
+    )
+    lo, hi = int(lohi["min(doc_id)"]), int(lohi["max(doc_id)"])
+    width = (hi - lo) // PACK_BUCKETS + 1
+
+    def tok_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = token_stats(batch.column("text"))["bpe_tokens"].to_numpy(
+            zero_copy_only=False
+        ) + 1  # +1 EOS per doc
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n.astype(np.int64), pa.int64()),
+                "bucket": pa.array((ids - lo) // width, pa.int64()),
+            }
+        )
+
+    toks = ray.data.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        tok_batch, batch_format="pyarrow"
+    )
+
+    # pass 1: per-bucket token totals (PACK_BUCKETS int64s total)
+    def bucket_totals(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(PACK_BUCKETS, dtype=np.int64)
+        np.add.at(
+            acc,
+            batch.column("bucket").to_numpy(zero_copy_only=False),
+            batch.column("n_tokens").to_numpy(zero_copy_only=False),
+        )
+        nz = np.nonzero(acc)[0]
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "tok_sum": pa.array(acc[nz], pa.int64()),
+            }
+        )
+
+    totals = np.zeros(PACK_BUCKETS, dtype=np.int64)
+    for b in toks.map_batches(bucket_totals, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        np.add.at(
+            totals,
+            b.column("bucket").to_numpy(zero_copy_only=False),
+            b.column("tok_sum").to_numpy(zero_copy_only=False),
+        )
+    base = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    base_ref = ray.put(base)
+
+    # pass 2: bucket-local sort + cumsum on (doc_id, n_tokens) pairs only
+    def pack_bucket(part_tbl: pa.Table) -> pa.Table:
+        bases = ray.get(base_ref)
+        df = part_tbl.to_pandas().sort_values("doc_id", kind="stable")
+        n = df["n_tokens"].to_numpy()
+        start = bases[int(df["bucket"].iloc[0])] + np.concatenate(
+            ([0], np.cumsum(n)[:-1])
+        )
+        first_chunk = start // SEQ_LEN
+        last_chunk = (start + n - 1) // SEQ_LEN
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "start_offset": pa.array(start, pa.int64()),
+                "first_chunk": pa.array(first_chunk, pa.int64()),
+                "last_chunk": pa.array(last_chunk, pa.int64()),
+                "n_chunks": pa.array(last_chunk - first_chunk + 1, pa.int64()),
+            }
+        )
+
+    return toks.groupby("bucket").map_groups(pack_bucket, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide bigram heavy hitters + bigram-LM commonness filter
+# ---------------------------------------------------------------------------
+
+NGRAM_K = 50          # heavy-hitter report size
+NGRAM_V = 100         # "LM vocabulary": top-V bigrams used for scoring
+COMMON_NUM = 1        # common iff bigrams_common * 2 >= bigrams_total * 1
+COMMON_DEN = 2
+
+
+def _bigram_candidates(docs: "ray.data.Dataset", keep: int) -> "ray.data.Dataset":
+    """Global bigram counts, pruned to the per-partition top-``keep``
+    by (cnt DESC, g ASC). Partitions hold disjoint bigram sets, so the
+    global top-``keep`` is a subset of the union of survivors."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            ws = words_of(text or "")
+            c.update(f"{ws[i]} {ws[i + 1]}" for i in range(len(ws) - 1))
+        gs = list(c.keys())
+        return pa.table(
+            {
+                "g": pa.array(gs, pa.string()),
+                "cnt": pa.array([c[g] for g in gs], pa.int64()),
+                "part": pa.array(str_partition(gs), pa.int64()),
+            }
+        )
+
+    def reduce_part(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part_tbl.select(["g", "cnt"]).to_pandas()
+        out = df.groupby("g", sort=False)["cnt"].sum().reset_index()
+        out = out.sort_values(
+            ["cnt", "g"], ascending=[False, True], kind="stable"
+        ).head(keep)
+        return pa.table(
+            {
+                "g": pa.array(out["g"], pa.string()),
+                "cnt": pa.array(out["cnt"].to_numpy(), pa.int64()),
+                "fin": pa.array(np.zeros(len(out), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+    )
+
+
+def top_ngrams(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus-wide top-NGRAM_K word bigrams: (ngram, cnt, rank) with
+    deterministic (cnt DESC, ngram ASC) ordering. The per-batch Counter
+    combiner means the shuffle carries at most one row per distinct
+    bigram per batch, and the final reduce sees ≤ 64·K pruned rows."""
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    cand = _bigram_candidates(docs, NGRAM_K)
+
+    def final(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.select(["g", "cnt"]).to_pandas()
+        df = df.sort_values(
+            ["cnt", "g"], ascending=[False, True], kind="stable"
+        ).head(NGRAM_K)
+        return pa.table(
+            {
+                "ngram": pa.array(df["g"], pa.string()),
+                "cnt": pa.array(df["cnt"].to_numpy(), pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, len(df) + 1, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return cand.groupby("fin").map_groups(final, batch_format="pyarrow")
+
+
+def common_ngram_score(sf_dir: str) -> "ray.data.Dataset":
+    """Bigram-LM commonness per doc: how many of its bigram OCCURRENCES
+    (with multiplicity) are in the corpus top-NGRAM_V bigram table, and
+    an integer `common` flag at ≥ 1/2 — the exact-arithmetic stand-in
+    for an n-gram-LM perplexity gate. The broadcast side is V strings
+    (one ray.put); the corpus streams once more, no shuffle."""
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    cand = _bigram_candidates(docs, NGRAM_V)
+
+    rows: list[tuple[int, str]] = []
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        rows.extend(zip(b.column("cnt").to_pylist(), b.column("g").to_pylist()))
+    rows.sort(key=lambda t: (-t[0], t[1]))
+    topv_ref = ray.put(frozenset(g for _, g in rows[:NGRAM_V]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        topv = ray.get(topv_ref)
+        out_tot, out_com, out_flag = [], [], []
+        for text in batch.column("text").to_pylist():
+            ws = words_of(text or "")
+            grams = [f"{ws[i]} {ws[i + 1]}" for i in range(len(ws) - 1)]
+            tot = len(grams)
+            com = sum(1 for g in grams if g in topv)
+            out_tot.append(tot)
+            out_com.append(com)
+            out_flag.append(
+                1 if tot > 0 and com * COMMON_DEN >= tot * COMMON_NUM else 0
+            )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "bigrams_total": pa.array(out_tot, pa.int64()),
+                "bigrams_common": pa.array(out_com, pa.int64()),
+                "common": pa.array(out_flag, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

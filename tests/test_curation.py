@@ -153,3 +153,100 @@ def test_line_dedup_randomized_vs_naive(ray_session, tmp_path):
         for r in curation.line_dedup(sf).to_pandas().to_dict("records")
     }
     assert got == expect
+
+
+def test_pack_sequences_prefix_sum_and_chunks(ray_session, tmp_path):
+    # doc ids deliberately sparse + out of write order: packing must
+    # follow doc_id order, not file order, and offsets must be the
+    # exact global prefix sum. SEQ_LEN=256; craft token counts that
+    # straddle a chunk boundary.
+    texts = {
+        7: "a " * 300,        # 300 bpe tokens + EOS = 301
+        100: "b c d",         # 3 + 1 = 4
+        3: "",                # 0 + 1 = 1 (EOS only)
+        5000: "x" * 10,       # 1 letter-run token + 1 = 2
+    }
+    sf = _write_docs(tmp_path, [(i, t) for i, t in texts.items()])
+    out = {r["doc_id"]: r for r in curation.pack_sequences(sf).take_all()}
+    assert set(out) == set(texts)
+    # doc_id order: 3, 7, 100, 5000 with n_tokens 1, 301, 4, 2
+    assert [out[i]["n_tokens"] for i in (3, 7, 100, 5000)] == [1, 301, 4, 2]
+    assert [out[i]["start_offset"] for i in (3, 7, 100, 5000)] == [0, 1, 302, 306]
+    # doc 7 spans offsets 1..301 -> chunks 0 and 1 (boundary at 256)
+    assert (out[7]["first_chunk"], out[7]["last_chunk"], out[7]["n_chunks"]) == (
+        0, 1, 2,
+    )
+    assert out[100]["first_chunk"] == out[100]["last_chunk"] == 1
+
+
+def test_pack_sequences_randomized_contiguity(ray_session, tmp_path):
+    # property: sorted by doc_id, each start_offset equals the previous
+    # doc's start + n_tokens (no gaps, no overlaps), regardless of how
+    # docs scatter across buckets.
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (rng.randrange(10**9), " ".join(f"w{rng.randrange(50)}" for _ in range(rng.randrange(0, 40))))
+        for _ in range(200)
+    ]
+    rows = list({r[0]: r for r in rows}.values())  # unique doc_ids
+    sf = _write_docs(tmp_path, rows)
+    got = sorted(curation.pack_sequences(sf).take_all(), key=lambda r: r["doc_id"])
+    off = 0
+    for r in got:
+        assert r["start_offset"] == off
+        off += r["n_tokens"]
+
+
+def _naive_bigrams(rows):
+    from collections import Counter
+
+    from readur_ray.functions.textstats import words_of
+
+    c = Counter()
+    per_doc = {}
+    for doc_id, text, *_ in rows:
+        ws = words_of(text or "")
+        grams = [f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)]
+        per_doc[doc_id] = grams
+        c.update(grams)
+    return c, per_doc
+
+
+def test_top_ngrams_vs_naive(ray_session, tmp_path):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(f"t{rng.randrange(12)}" for _ in range(rng.randrange(0, 30))))
+        for i in range(150)
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = curation.top_ngrams(sf).take_all()
+    c, _ = _naive_bigrams(rows)
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[: curation.NGRAM_K]
+    got = sorted(got, key=lambda r: r["rank"])
+    assert [(r["ngram"], r["cnt"]) for r in got] == want
+    assert [r["rank"] for r in got] == list(range(1, len(want) + 1))
+
+
+def test_common_ngram_score_vs_naive(ray_session, tmp_path):
+    rows = [
+        (1, "the cat sat on the cat mat"),
+        (2, "zq yx wv"),            # rare bigrams only
+        (3, ""),                     # no bigrams -> zeros, flag 0
+        (4, "the cat the cat the cat"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    c, per_doc = _naive_bigrams(rows)
+    topv = {g for g, _ in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[: curation.NGRAM_V]}
+    got = {r["doc_id"]: r for r in curation.common_ngram_score(sf).take_all()}
+    assert set(got) == {1, 2, 3, 4}
+    for doc_id, grams in per_doc.items():
+        tot, com = len(grams), sum(1 for g in grams if g in topv)
+        assert got[doc_id]["bigrams_total"] == tot
+        assert got[doc_id]["bigrams_common"] == com
+        flag = 1 if tot > 0 and com * curation.COMMON_DEN >= tot * curation.COMMON_NUM else 0
+        assert got[doc_id]["common"] == flag
+    assert got[3]["common"] == 0
