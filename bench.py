@@ -101,7 +101,8 @@ def run_queries() -> dict[str, float]:
         "sessionize", "fuzzy_search", "ann_topk_ivf", "text_search",
         "training_prep", "tfidf_top_terms", "sliding_window", "asof_join",
         "line_dedup", "contamination", "stratified_sample", "repetition_score",
-        "fuzzy_dedup_keep", "semdedup",
+        "fuzzy_dedup_keep", "semdedup", "pack_sequences", "top_ngrams",
+        "common_ngram_score",
     ]
     out: dict[str, float] = {}
     for name in picks:
