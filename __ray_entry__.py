@@ -170,7 +170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # normalize_text shares redact_pii's single-pass textops shape;
         # preprocess_stats' P1-P12 kernels carry dedicated unit +
         # property tests and multimodal_meta keeps the actor-decode
-        # path driver-checked) ---
+        # path driver-checked; training_shuffle reuses pack_sequences'
+        # driver-checked prefix-sum primitive) ---
+        "training_shuffle": curation.training_shuffle,
         "status_counts": analytics.status_counts,
         "normalize_text": textops.normalize_text,
         "preprocess_stats": multimodal.preprocess_stats,
@@ -1256,6 +1258,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN coalesce(tot, 0) > 0 AND com * 2 >= tot * 1
                          THEN 1 ELSE 0 END AS BIGINT) AS common
         FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """
+
+    sql["training_shuffle"] = """
+        WITH r AS (
+          SELECT doc_id,
+                 md5('shuf:' || CAST(doc_id AS VARCHAR)) AS rk
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(rk, 1, 8) AS UBIGINT) % 8
+                    AS BIGINT) AS shard,
+               CAST(row_number() OVER (
+                      PARTITION BY CAST('0x' || substr(rk, 1, 8) AS UBIGINT) % 8
+                      ORDER BY rk, doc_id) AS BIGINT) AS pos
+        FROM r
     """
 
     # extraction_e2e / extraction_summary: hermetic media engines → not

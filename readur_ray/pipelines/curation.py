@@ -29,6 +29,11 @@ with a bit-exact DuckDB oracle in ``__ray_entry__.oracle_sql``:
                         doc's bigram occurrences that land in the
                         corpus's top-V bigram table (the integer-exact
                         stand-in for an n-gram-LM perplexity gate).
+- ``training_shuffle``  deterministic global training-order shuffle:
+                        md5-rank permutation split into SHUF_SHARDS
+                        output shards with the exact 1-based position
+                        of every doc inside its shard — reproducible
+                        on any cluster layout, unlike random_shuffle.
 
 Scale shapes (100 TB):
 - line_dedup is TWO coarse shuffles: lines partition by crc32(line)
@@ -60,6 +65,12 @@ Scale shapes (100 TB):
   common_ngram_score then broadcasts ONLY the V winning bigrams (one
   ray.put, KBs) and streams the corpus once more — the n-gram-LM-filter
   shape: small model out of a big corpus, applied in a single pass.
+- training_shuffle reuses the prefix-sum primitive once per shard:
+  positions need only per-(shard, rank-prefix-bucket) COUNTS (a
+  SHUF_SHARDS×SHUF_RBUCKETS int64 grid) prefix-summed on the driver;
+  the rank-prefix bucket is monotone in the md5 rank, so a bucket-local
+  sort + arange lands every doc at its exact global in-shard position.
+  Only (doc_id, rank) pairs shuffle; bucket count is the memory dial.
 """
 
 from __future__ import annotations
@@ -617,3 +628,89 @@ def common_ngram_score(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# deterministic global training-order shuffle
+# ---------------------------------------------------------------------------
+
+SHUF_SHARDS = 8       # training output shards
+SHUF_RBUCKETS = 32    # md5-rank prefix buckets per shard (memory dial)
+
+
+def training_shuffle(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, shard, pos): the deterministic training-order shuffle.
+    rank = md5('shuf:'||doc_id); shard = uint64(rank[:8]) % SHUF_SHARDS;
+    pos = exact 1-based position of the doc inside its shard under
+    (rank, doc_id) order. Positions come from the prefix-sum primitive:
+    the rank's first byte gives a bucket MONOTONE in rank, per-(shard,
+    bucket) counts prefix-sum on the driver (a SHUF_SHARDS×SHUF_RBUCKETS
+    int64 grid), and each bucket finishes with a local sort + arange."""
+
+    def rank_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        rk = [hashlib.md5(f"shuf:{i}".encode()).hexdigest() for i in ids]
+        shard = np.array([int(r[:8], 16) % SHUF_SHARDS for r in rk], dtype=np.int64)
+        # first byte of the rank: 256 values folded monotonically into
+        # SHUF_RBUCKETS buckets (equal first byte -> equal bucket, so
+        # bucket boundaries never split a rank tie — md5 ranks are
+        # distinct anyway)
+        rbucket = np.array(
+            [int(r[:2], 16) * SHUF_RBUCKETS // 256 for r in rk], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "rank": pa.array(rk, pa.string()),
+                "shard": pa.array(shard, pa.int64()),
+                "key": pa.array(shard * SHUF_RBUCKETS + rbucket, pa.int64()),
+            }
+        )
+
+    docs = _read_docs(sf_dir, ["doc_id"])
+    ranked = docs.map_batches(rank_batch, batch_format="pyarrow")
+
+    # pass 1: per-(shard, rbucket) counts -> driver prefix sums per shard
+    def key_counts(batch: pa.Table) -> pa.Table:
+        uc, counts = np.unique(
+            batch.column("key").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "key": pa.array(uc, pa.int64()),
+                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    grid = np.zeros(SHUF_SHARDS * SHUF_RBUCKETS, dtype=np.int64)
+    for b in ranked.map_batches(key_counts, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        np.add.at(
+            grid,
+            b.column("key").to_numpy(zero_copy_only=False),
+            b.column("cnt").to_numpy(zero_copy_only=False),
+        )
+    g2 = grid.reshape(SHUF_SHARDS, SHUF_RBUCKETS)
+    bases = np.concatenate(
+        (np.zeros((SHUF_SHARDS, 1), dtype=np.int64), np.cumsum(g2, axis=1)[:, :-1]),
+        axis=1,
+    ).reshape(-1)
+    bases_ref = ray.put(bases)
+
+    # pass 2: bucket-local sort + arange at the broadcast base offset
+    def place(part_tbl: pa.Table) -> pa.Table:
+        bases_ = ray.get(bases_ref)
+        df = part_tbl.to_pandas().sort_values(["rank", "doc_id"], kind="stable")
+        base = int(bases_[int(df["key"].iloc[0])])
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "shard": pa.array(df["shard"].to_numpy(), pa.int64()),
+                "pos": pa.array(
+                    base + np.arange(1, len(df) + 1, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ranked.groupby("key").map_groups(place, batch_format="pyarrow")

@@ -250,3 +250,27 @@ def test_common_ngram_score_vs_naive(ray_session, tmp_path):
         flag = 1 if tot > 0 and com * curation.COMMON_DEN >= tot * curation.COMMON_NUM else 0
         assert got[doc_id]["common"] == flag
     assert got[3]["common"] == 0
+
+
+def test_training_shuffle_exact_permutation(ray_session, tmp_path):
+    # positions within each shard must be exactly 1..shard_size under
+    # (md5 rank, doc_id) order — verified against a naive local shuffle.
+    import hashlib as _h
+
+    rows = [(i * 13 + 1, f"doc {i}") for i in range(120)]
+    sf = _write_docs(tmp_path, rows)
+    got = curation.training_shuffle(sf).take_all()
+    assert len(got) == len(rows)
+    naive = {}
+    for doc_id, _ in rows:
+        rk = _h.md5(f"shuf:{doc_id}".encode()).hexdigest()
+        naive[doc_id] = (int(rk[:8], 16) % curation.SHUF_SHARDS, rk)
+    by_shard = {}
+    for doc_id, (shard, rk) in naive.items():
+        by_shard.setdefault(shard, []).append((rk, doc_id))
+    want_pos = {}
+    for shard, lst in by_shard.items():
+        for pos, (_, doc_id) in enumerate(sorted(lst), 1):
+            want_pos[doc_id] = (shard, pos)
+    for r in got:
+        assert (r["shard"], r["pos"]) == want_pos[r["doc_id"]]
