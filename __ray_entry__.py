@@ -171,8 +171,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # preprocess_stats' P1-P12 kernels carry dedicated unit +
         # property tests and multimodal_meta keeps the actor-decode
         # path driver-checked; training_shuffle reuses pack_sequences'
-        # driver-checked prefix-sum primitive) ---
+        # driver-checked prefix-sum primitive; dup_spans reuses the
+        # driver-checked jaccard/line_dedup inverted-index + seed-union
+        # shapes) ---
         "training_shuffle": curation.training_shuffle,
+        "dup_spans": curation.dup_spans,
         "status_counts": analytics.status_counts,
         "normalize_text": textops.normalize_text,
         "preprocess_stats": multimodal.preprocess_stats,
@@ -1273,6 +1276,45 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY CAST('0x' || substr(rk, 1, 8) AS UBIGINT) % 8
                       ORDER BY rk, doc_id) AS BIGINT) AS pos
         FROM r
+    """
+
+    # dup_spans: the oracle hashes grams with the SAME 60-bit md5
+    # prefix as the Ray side, so both sides merge (hypothetical)
+    # collisions identically and the comparison stays bit-exact.
+    sql["dup_spans"] = f"""
+        WITH {_WORDS_CTE},
+        g8 AS (
+          SELECT doc_id,
+                 CAST(CAST('0x' || substr(md5(
+                        ws[i]   || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                        ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+                        ws[i+6] || ' ' || ws[i+7]), 1, 15) AS UBIGINT)
+                      AS BIGINT) AS gh
+          FROM w, UNNEST(range(1, len(ws) - 6)) AS t(i)
+          WHERE len(ws) >= 8
+        ),
+        occ AS (
+          SELECT doc_id, gh, CAST(count(*) AS BIGINT) AS occ
+          FROM g8 GROUP BY doc_id, gh
+        ),
+        gt AS (SELECT gh, CAST(sum(occ) AS BIGINT) AS gtot FROM occ GROUP BY gh),
+        dup AS (
+          SELECT o.doc_id, CAST(sum(o.occ) AS BIGINT) AS d
+          FROM occ o JOIN gt ON o.gh = gt.gh
+          WHERE gt.gtot >= 2 GROUP BY o.doc_id
+        ),
+        tot AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN len(ws) >= 8 THEN len(ws) - 7 ELSE 0 END
+                      AS BIGINT) AS t
+          FROM w
+        )
+        SELECT tot.doc_id,
+               tot.t AS grams_total,
+               CAST(coalesce(dup.d, 0) AS BIGINT) AS grams_dup,
+               CAST(CASE WHEN tot.t > 0 AND coalesce(dup.d, 0) * 5 >= tot.t * 1
+                         THEN 1 ELSE 0 END AS BIGINT) AS dup_flag
+        FROM tot LEFT JOIN dup ON tot.doc_id = dup.doc_id
     """
 
     # extraction_e2e / extraction_summary: hermetic media engines → not

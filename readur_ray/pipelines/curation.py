@@ -34,6 +34,11 @@ with a bit-exact DuckDB oracle in ``__ray_entry__.oracle_sql``:
                         output shards with the exact 1-based position
                         of every doc inside its shard — reproducible
                         on any cluster layout, unlike random_shuffle.
+- ``dup_spans``         exact duplicated-passage detection (the
+                        8-gram-granular form of Lee et al. 2022
+                        suffix-array substring dedup): per doc, how
+                        many of its word-8-gram occurrences appear
+                        more than once in the whole corpus.
 
 Scale shapes (100 TB):
 - line_dedup is TWO coarse shuffles: lines partition by crc32(line)
@@ -65,6 +70,14 @@ Scale shapes (100 TB):
   common_ngram_score then broadcasts ONLY the V winning bigrams (one
   ray.put, KBs) and streams the corpus once more — the n-gram-LM-filter
   shape: small model out of a big corpus, applied in a single pass.
+- dup_spans is two coarse shuffles of int64-only rows: (doc_id,
+  gram_hash, occ) occurrence rows partition by gram hash (per-doc
+  Counter combiner folds within-doc repeats before the wire), each
+  partition computes exact global gram counts vectorized and sends
+  per-doc duplicated-occurrence partials back by doc_id; seed rows
+  carry per-doc totals so zero-gram docs still appear. Gram text never
+  ships — only 60-bit md5 hashes (the SQL oracle hashes identically,
+  so even a collision cannot diverge the comparison).
 - training_shuffle reuses the prefix-sum primitive once per shard:
   positions need only per-(shard, rank-prefix-bucket) COUNTS (a
   SHUF_SHARDS×SHUF_RBUCKETS int64 grid) prefix-summed on the driver;
@@ -714,3 +727,118 @@ def training_shuffle(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ranked.groupby("key").map_groups(place, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-passage detection (8-gram granularity)
+# ---------------------------------------------------------------------------
+
+DUP_GRAM_N = 8        # words per passage gram
+DUP_NUM = 1           # flagged iff grams_dup * 5 >= grams_total * 1
+DUP_DEN = 5
+
+
+def dup_spans(sf_dir: str) -> "ray.data.Dataset":
+    """Per doc: total word-8-gram occurrences, how many of those
+    occurrences are globally duplicated (the gram appears ≥ 2 times
+    corpus-wide, counting multiplicity), and an integer flag at ≥ 20% —
+    the copied-passage signal that document-level MinHash misses. Two
+    int64-only coarse shuffles; see the module docstring."""
+    from ..functions.textstats import md5_int60
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        out_id, out_gh, out_occ = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = words_of(text or "")
+            c: Counter = Counter(
+                md5_int60(" ".join(ws[i : i + DUP_GRAM_N]))
+                for i in range(len(ws) - DUP_GRAM_N + 1)
+            )
+            out_id.extend([doc_id] * len(c))
+            out_gh.extend(c.keys())
+            out_occ.extend(c.values())
+        gh = np.array(out_gh, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "gh": pa.array(gh, pa.int64()),
+                "occ": pa.array(out_occ, pa.int64()),
+                "part": pa.array(gh % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def dup_partials(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part_tbl.select(["doc_id", "gh", "occ"]).to_pandas()
+        gtot = df.groupby("gh", sort=False)["occ"].transform("sum")
+        dup = (
+            df[gtot >= 2]
+            .groupby("doc_id", sort=False)["occ"]
+            .sum()
+            .reset_index()
+        )
+        ids = dup["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "val": pa.array(dup["occ"].to_numpy().astype(np.int64), pa.int64()),
+                "kind": pa.array(np.ones(len(ids), dtype=np.int64), pa.int64()),
+                "part": pa.array(ids % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    dup_side = (
+        docs.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dup_partials, batch_format="pyarrow")
+    )
+
+    def seed_totals(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        tot = np.array(
+            [
+                max(len(words_of(t or "")) - DUP_GRAM_N + 1, 0)
+                for t in batch.column("text").to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "val": pa.array(tot, pa.int64()),
+                "kind": pa.array(np.zeros(len(ids), dtype=np.int64), pa.int64()),
+                "part": pa.array(ids % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    seeds = docs.map_batches(seed_totals, batch_format="pyarrow")
+
+    def combine_part(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.to_pandas()
+        tot = df[df["kind"] == 0].set_index("doc_id")["val"]
+        dup = df[df["kind"] == 1].groupby("doc_id")["val"].sum()
+        dup = dup.reindex(tot.index, fill_value=0)
+        t = tot.to_numpy().astype(np.int64)
+        d = dup.to_numpy().astype(np.int64)
+        flag = ((t > 0) & (d * DUP_DEN >= t * DUP_NUM)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(tot.index.to_numpy(), pa.int64()),
+                "grams_total": pa.array(t, pa.int64()),
+                "grams_dup": pa.array(d, pa.int64()),
+                "dup_flag": pa.array(flag, pa.int64()),
+            }
+        )
+
+    return (
+        seeds.union(dup_side)
+        .groupby("part")
+        .map_groups(combine_part, batch_format="pyarrow")
+    )

@@ -274,3 +274,43 @@ def test_training_shuffle_exact_permutation(ray_session, tmp_path):
             want_pos[doc_id] = (shard, pos)
     for r in got:
         assert (r["shard"], r["pos"]) == want_pos[r["doc_id"]]
+
+
+def test_dup_spans_crafted(ray_session, tmp_path):
+    # doc 1 and doc 2 share an 8-word passage; doc 3 repeats its own
+    # passage twice (within-doc dup counts too); doc 4 is short (<8
+    # words -> zero grams); doc 5 is all-unique.
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, passage + " one two three"),
+        (2, "x y " + passage),
+        (3, passage2 := "p q r s t u v w " + "p q r s t u v w"),
+        (4, "too short"),
+        (5, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = {r["doc_id"]: r for r in curation.dup_spans(sf).take_all()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    # naive reference
+    from collections import Counter
+
+    from readur_ray.functions.textstats import words_of
+
+    allg = Counter()
+    per_doc = {}
+    for doc_id, text in rows:
+        ws = words_of(text)
+        grams = [" ".join(ws[i:i + 8]) for i in range(max(len(ws) - 7, 0))]
+        per_doc[doc_id] = grams
+        allg.update(grams)
+    for doc_id, grams in per_doc.items():
+        tot = len(grams)
+        dup = sum(1 for g in grams if allg[g] >= 2)
+        assert got[doc_id]["grams_total"] == tot, doc_id
+        assert got[doc_id]["grams_dup"] == dup, doc_id
+        flag = 1 if tot > 0 and dup * curation.DUP_DEN >= tot * curation.DUP_NUM else 0
+        assert got[doc_id]["dup_flag"] == flag, doc_id
+    assert got[4]["grams_total"] == 0 and got[4]["dup_flag"] == 0
+    assert got[1]["grams_dup"] >= 1 and got[2]["grams_dup"] >= 1
+    assert got[3]["grams_dup"] > 0  # within-doc repetition detected
+    assert got[5]["grams_dup"] == 0
