@@ -173,9 +173,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # path driver-checked; training_shuffle reuses pack_sequences'
         # driver-checked prefix-sum primitive; dup_spans reuses the
         # driver-checked jaccard/line_dedup inverted-index + seed-union
-        # shapes) ---
+        # shapes; mix_weights' per-source count is the source_facets /
+        # stratified_sample combiner shape with a tiny exact-integer
+        # normalization on top) ---
         "training_shuffle": curation.training_shuffle,
         "dup_spans": curation.dup_spans,
+        "mix_weights": curation.mix_weights,
         "status_counts": analytics.status_counts,
         "normalize_text": textops.normalize_text,
         "preprocess_stats": multimodal.preprocess_stats,
@@ -1315,6 +1318,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN tot.t > 0 AND coalesce(dup.d, 0) * 5 >= tot.t * 1
                          THEN 1 ELSE 0 END AS BIGINT) AS dup_flag
         FROM tot LEFT JOIN dup ON tot.doc_id = dup.doc_id
+    """
+
+    # mix_weights: floor(sqrt(double(n))) == isqrt(n) exactly for
+    # n < 2^52; the ppm division is integer on both sides (operands
+    # positive, so DuckDB's truncating // equals Python's floor //).
+    sql["mix_weights"] = """
+        WITH c AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source
+        ), w AS (
+          SELECT source, n_docs,
+                 CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)
+                   AS weight_sqrt
+          FROM c
+        )
+        SELECT source, n_docs, weight_sqrt,
+               CAST(weight_sqrt * 1000000 //
+                    (SELECT sum(weight_sqrt) FROM w) AS BIGINT) AS weight_ppm
+        FROM w
     """
 
     # extraction_e2e / extraction_summary: hermetic media engines → not

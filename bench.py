@@ -102,7 +102,7 @@ def run_queries() -> dict[str, float]:
         "training_prep", "tfidf_top_terms", "sliding_window", "asof_join",
         "line_dedup", "contamination", "stratified_sample", "repetition_score",
         "fuzzy_dedup_keep", "semdedup", "pack_sequences", "top_ngrams",
-        "common_ngram_score", "training_shuffle", "dup_spans",
+        "common_ngram_score", "training_shuffle", "dup_spans", "mix_weights",
     ]
     out: dict[str, float] = {}
     for name in picks:

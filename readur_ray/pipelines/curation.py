@@ -39,6 +39,12 @@ with a bit-exact DuckDB oracle in ``__ray_entry__.oracle_sql``:
                         suffix-array substring dedup): per doc, how
                         many of its word-8-gram occurrences appear
                         more than once in the whole corpus.
+- ``mix_weights``       temperature-sampled domain-mixing weights
+                        (tau = 0.5): per-source sampling weight
+                        proportional to sqrt(n_docs), the p_s ∝ n_s^a
+                        rebalance rule of XLM / T5
+                        examples-proportional mixing, in exact
+                        integer math (isqrt + ppm floor division).
 
 Scale shapes (100 TB):
 - line_dedup is TWO coarse shuffles: lines partition by crc32(line)
@@ -78,6 +84,13 @@ Scale shapes (100 TB):
   carry per-doc totals so zero-gram docs still appear. Gram text never
   ships — only 60-bit md5 hashes (the SQL oracle hashes identically,
   so even a collision cannot diverge the comparison).
+- mix_weights is the smallest possible shuffle: a per-batch
+  value_counts COMBINER emits one row per (source, block); the
+  per-source sum over that set is the only exchange. Source
+  cardinality is the stratum count (small by the contract
+  stratified_sample documents), so the final normalization reads the
+  per-source sums — take_all bounded by #sources, never the corpus —
+  and emits one row per source.
 - training_shuffle reuses the prefix-sum primitive once per shard:
   positions need only per-(shard, rank-prefix-bucket) COUNTS (a
   SHUF_SHARDS×SHUF_RBUCKETS int64 grid) prefix-summed on the driver;
@@ -344,6 +357,69 @@ def stratified_sample(sf_dir: str) -> "ray.data.Dataset":
         ds.map_batches(local_topk, batch_format="pyarrow")
         .groupby("source")
         .map_groups(final_topk, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature-sampled domain-mixing weights
+# ---------------------------------------------------------------------------
+
+MIX_PPM = 1_000_000   # weight resolution: parts-per-million
+
+
+def mix_weights(sf_dir: str) -> pa.Table:
+    """Per-source sampling weight proportional to sqrt(n_docs) — the
+    temperature-sampling rebalance p_s ∝ n_s^a (a = 0.5) used for
+    multilingual / domain mixing (XLM's alpha-smoothed sampling, T5's
+    examples-proportional mixing), kept bit-exact by integer math:
+    ``weight_sqrt = isqrt(n_docs)`` (``floor(sqrt(double(n)))`` is
+    exact for n < 2^52, far above any per-source doc count) and
+    ``weight_ppm = weight_sqrt * MIX_PPM // total_weight``.
+
+    Scale shape (100 TB): a per-batch ``value_counts`` combiner emits
+    one int64 row per (source, block) — the only thing that crosses
+    the wire — then ``groupby(source).sum`` over that tiny set. The
+    final normalization needs the global weight total, so it reads
+    the per-source sums with ``take_all`` bounded by #sources (the
+    stratum count, small by the same contract ``stratified_sample``
+    documents), never the corpus, and returns one row per source.
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    ds = _read_docs(sf_dir, ["source"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("source"))
+        return pa.table(
+            {
+                "source": vc.field("values"),
+                "n_partial": pa.array(
+                    vc.field("counts").to_numpy(zero_copy_only=False), pa.int64()
+                ),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("source")
+        .sum("n_partial")
+        .take_all()
+    )  # O(#sources) rows by contract
+    rows.sort(key=lambda r: r["source"])
+    sources = [r["source"] for r in rows]
+    n_docs = np.array([r["sum(n_partial)"] for r in rows], dtype=np.int64)
+    w = np.array([math.isqrt(int(c)) for c in n_docs], dtype=np.int64)
+    total = int(w.sum())
+    ppm = np.array([int(x) * MIX_PPM // total for x in w], dtype=np.int64)
+    return pa.table(
+        {
+            "source": pa.array(sources, pa.string()),
+            "n_docs": pa.array(n_docs, pa.int64()),
+            "weight_sqrt": pa.array(w, pa.int64()),
+            "weight_ppm": pa.array(ppm, pa.int64()),
+        }
     )
 
 

@@ -314,3 +314,27 @@ def test_dup_spans_crafted(ray_session, tmp_path):
     assert got[1]["grams_dup"] >= 1 and got[2]["grams_dup"] >= 1
     assert got[3]["grams_dup"] > 0  # within-doc repetition detected
     assert got[5]["grams_dup"] == 0
+
+
+def test_mix_weights_skewed_sources(ray_session, tmp_path):
+    # sources with doc counts 1 / 4 / 100: sqrt-temperature weights
+    # 1 / 2 / 10 -> ppm 1000000*w//13; uniform counts (the sf tables)
+    # never exercise the sqrt, so skew is crafted here
+    rows = []
+    did = 0
+    for src, n in (("tiny", 1), ("small", 4), ("big", 100)):
+        for _ in range(n):
+            rows.append((did, f"text {did}", src))
+            did += 1
+    sf = _write_docs(tmp_path, rows)
+    tbl = curation.mix_weights(sf)
+    got = {r["source"]: r for r in tbl.to_pylist()}
+    assert got["tiny"]["n_docs"] == 1 and got["tiny"]["weight_sqrt"] == 1
+    assert got["small"]["n_docs"] == 4 and got["small"]["weight_sqrt"] == 2
+    assert got["big"]["n_docs"] == 100 and got["big"]["weight_sqrt"] == 10
+    total = 13
+    for src in ("tiny", "small", "big"):
+        w = got[src]["weight_sqrt"]
+        assert got[src]["weight_ppm"] == w * curation.MIX_PPM // total
+    # sqrt-temperature flattens: big is 100x tiny by count, 10x by weight
+    assert got["big"]["weight_ppm"] == 10 * got["tiny"]["weight_ppm"]

@@ -54,6 +54,7 @@ SUBSET = [
     "common_ngram_score",
     "training_shuffle",
     "dup_spans",
+    "mix_weights",
 ]
 
 
