@@ -16,6 +16,18 @@ import json
 import sys
 
 
+def ray_init_plan(env_addr: str | None, num_cpus: int | None):
+    """(address, kwargs) for ray.init: attach when `ray job submit`
+    (or any cluster) set RAY_ADDRESS; boot single-node otherwise.
+    num_cpus is a local-boot knob only — never sent to a cluster."""
+    if env_addr in (None, "", "local"):
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        return "local", kwargs
+    return None, {"logging_level": "ERROR"}
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="readur_ray")
     ap.add_argument("--input", required=True, help="parquet dir/file of documents")
@@ -43,13 +55,16 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"compacted": compact_ledger(args.out)}))
         return 0
 
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
-        if args.num_cpus:
-            kwargs["num_cpus"] = args.num_cpus
-        ray.init(address="local", **kwargs)
+        addr, kwargs = ray_init_plan(os.environ.get("RAY_ADDRESS"), args.num_cpus)
+        if addr is not None:
+            ray.init(address=addr, **kwargs)
+        else:
+            ray.init(**kwargs)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

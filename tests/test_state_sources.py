@@ -148,3 +148,18 @@ def test_write_table_parquet_fallback(ray_session, tmp_path):
 
         with _pytest.raises(NotImplementedError):
             tables.write_table(ds, str(tmp_path / "o2"), fmt="lance")
+
+
+def test_cli_ray_init_plan_cluster_vs_local():
+    # `ray job submit` sets RAY_ADDRESS to the cluster: the CLI must
+    # attach (no address, no num_cpus) instead of booting a local Ray
+    from readur_ray.__main__ import ray_init_plan
+
+    addr, kwargs = ray_init_plan("ray://head:10001", 16)
+    assert addr is None and "num_cpus" not in kwargs
+
+    for env in (None, "", "local"):
+        addr, kwargs = ray_init_plan(env, 8)
+        assert addr == "local" and kwargs["num_cpus"] == 8
+    addr, kwargs = ray_init_plan("local", None)
+    assert addr == "local" and "num_cpus" not in kwargs
