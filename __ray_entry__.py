@@ -179,6 +179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_shuffle": curation.training_shuffle,
         "dup_spans": curation.dup_spans,
         "mix_weights": curation.mix_weights,
+        # (leakage_split is the hash_sample/stratified_sample md5-bucket
+        # primitive applied at group grain — one shuffle-free pass)
+        "leakage_split": curation.leakage_split,
         "status_counts": analytics.status_counts,
         "normalize_text": textops.normalize_text,
         "preprocess_stats": multimodal.preprocess_stats,
@@ -1337,6 +1340,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(weight_sqrt * 1000000 //
                     (SELECT sum(weight_sqrt) FROM w) AS BIGINT) AS weight_ppm
         FROM w
+    """
+
+    sql["leakage_split"] = """
+        WITH b AS (
+          SELECT doc_id, source,
+                 CAST(CAST('0x' || substr(md5('split:' || source), 1, 8)
+                           AS UBIGINT) % 100 AS BIGINT) AS bucket
+          FROM documents
+        )
+        SELECT doc_id, source, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
     """
 
     # extraction_e2e / extraction_summary: hermetic media engines → not

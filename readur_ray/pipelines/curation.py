@@ -39,6 +39,10 @@ with a bit-exact DuckDB oracle in ``__ray_entry__.oracle_sql``:
                         suffix-array substring dedup): per doc, how
                         many of its word-8-gram occurrences appear
                         more than once in the whole corpus.
+- ``leakage_split``     leakage-safe train/val/test split keyed on
+                        md5(source) — group-atomic (a source never
+                        straddles the eval boundary), one streaming
+                        pass, no shuffle.
 - ``mix_weights``       temperature-sampled domain-mixing weights
                         (tau = 0.5): per-source sampling weight
                         proportional to sqrt(n_docs), the p_s ∝ n_s^a
@@ -358,6 +362,56 @@ def stratified_sample(sf_dir: str) -> "ray.data.Dataset":
         .groupby("source")
         .map_groups(final_topk, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe group split
+# ---------------------------------------------------------------------------
+
+SPLIT_MOD = 100       # md5(source) bucket space
+SPLIT_TRAIN = 80      # bucket < 80 → train
+SPLIT_VAL = 90        # 80 ≤ bucket < 90 → val, else test
+
+
+def leakage_split(sf_dir: str) -> "ray.data.Dataset":
+    """Train/val/test assignment keyed on md5 of the GROUP (source),
+    not the row: every document from one origin lands in the same
+    split, so near-duplicate documents within a source can never
+    straddle the train/eval boundary (the leakage mode a per-row
+    random split causes). 80/10/10 by ``md5('split:'||source) %
+    SPLIT_MOD`` — deterministic on any cluster layout.
+
+    Scale shape (100 TB): one streaming pass, no shuffle — the split
+    is a pure function of the source string, so no coordination or
+    group materialization is needed (contrast with stratified
+    sampling, which must rank within the group).
+    """
+    docs = _read_docs(sf_dir, ["doc_id", "source"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("source").to_pylist()
+        buckets = np.array(
+            [
+                int(hashlib.md5(f"split:{s}".encode()).hexdigest()[:8], 16)
+                % SPLIT_MOD
+                for s in srcs
+            ],
+            dtype=np.int64,
+        )
+        split = np.where(
+            buckets < SPLIT_TRAIN, "train",
+            np.where(buckets < SPLIT_VAL, "val", "test"),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "bucket": pa.array(buckets, pa.int64()),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return docs.map_batches(assign, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

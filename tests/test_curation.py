@@ -338,3 +338,27 @@ def test_mix_weights_skewed_sources(ray_session, tmp_path):
         assert got[src]["weight_ppm"] == w * curation.MIX_PPM // total
     # sqrt-temperature flattens: big is 100x tiny by count, 10x by weight
     assert got["big"]["weight_ppm"] == 10 * got["tiny"]["weight_ppm"]
+
+
+def test_leakage_split_group_atomic(ray_session, tmp_path):
+    # many sources, several docs each: a source's docs must all land
+    # in ONE split, and the 80/10/10 thresholds must hold per bucket
+    rows = []
+    did = 0
+    for s in range(40):
+        for _ in range(3):
+            rows.append((did, f"text {did}", f"origin{s}"))
+            did += 1
+    sf = _write_docs(tmp_path, rows)
+    df = curation.leakage_split(sf).to_pandas()
+    assert len(df) == did
+    per_src = df.groupby("source")["split"].nunique()
+    assert (per_src == 1).all()  # group-atomic: no source straddles splits
+    import hashlib as h
+
+    for _, r in df.iterrows():
+        b = int(h.md5(f"split:{r['source']}".encode()).hexdigest()[:8], 16) % 100
+        assert r["bucket"] == b
+        want = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert r["split"] == want
+    assert set(df["split"]) == {"train", "val", "test"}  # 40 sources hit all three

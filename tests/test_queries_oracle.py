@@ -55,6 +55,7 @@ SUBSET = [
     "training_shuffle",
     "dup_spans",
     "mix_weights",
+    "leakage_split",
 ]
 
 
