@@ -1080,7 +1080,8 @@ def oracle_sql() -> dict[str, str]:
                LEAST(GREATEST(CAST(FLOOR(confidence / 10) AS BIGINT), 0), 10)
                    AS conf_bucket,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(word_count) AS BIGINT) AS total_words
+               CAST(SUM(word_count) AS BIGINT) AS total_words,
+               CAST(SUM(pages_ocrd) AS BIGINT) AS total_pages_ocrd
         FROM read_parquet('{_mdir}/*.parquet')
         GROUP BY 1, 2, 3
     """

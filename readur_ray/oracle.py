@@ -67,7 +67,7 @@ def expected_doc(
             "doc_id": doc["doc_id"], "spans": [], "status": "failed",
             "failure_reason": reason, "failure_stage": stage,
             "confidence": 0.0, "word_count": 0, "file_hash": "",
-            "dedup_status": "kept",
+            "dedup_status": "kept", "pages_ocrd": 0,
         }
 
     if doc["mime_type"] not in _ALLOWED_MIMES:
@@ -76,6 +76,7 @@ def expected_doc(
     out_spans: list[dict] = []
     confs: list[float] = []
     words = 0
+    pages = 0
     digests: list[str] = []
     for span in sorted(doc["spans"], key=lambda s: s["offset"]):
         try:
@@ -124,13 +125,14 @@ def expected_doc(
         )
         confs.append(res.confidence)
         words += res.word_count
+        pages += res.pages_ocrd
 
     return {
         "doc_id": doc["doc_id"], "spans": out_spans, "status": "completed",
         "failure_reason": "", "failure_stage": "",
         "confidence": min(confs) if confs else 0.0, "word_count": words,
         "file_hash": merkle_from_span_hashes(digests),
-        "dedup_status": "kept",
+        "dedup_status": "kept", "pages_ocrd": pages,
     }
 
 

@@ -259,6 +259,9 @@ def make_extract_text_fn(cfg: ExtractionConfig):
                     [[] if f else ["Plain text read"] for f in failed],
                     pa.list_(pa.string()),
                 ),
+                "pages_ocrd": pa.array(
+                    np.zeros(n_docs, dtype=np.int32), pa.int32()
+                ),
                 "part_id": batch.column("part_id"),
             },
             schema=EXTRACTED,
@@ -324,7 +327,7 @@ class DocExtractor:
 
     def _one_span(self, span: dict, mime: str = "", ucfg: ExtractionConfig | None = None):
         """→ (out_span_dict, confidence, word_count, payload_sha256_hex,
-        preprocessing_steps)."""
+        preprocessing_steps, pages_ocrd)."""
         cfg = ucfg or self.cfg
         if span["kind"] == "text" and mime == "text/html":
             # north-star HTML branch: DOM text-density boilerplate strip
@@ -336,6 +339,7 @@ class DocExtractor:
             wc = count_words_safely(text)
             digest = hashlib.sha256(raw).hexdigest()
             prep = ["HTML main-content extraction (text-density)"]
+            pages = 0
         elif span["kind"] == "text":
             raw = span["text"].encode("utf-8", errors="surrogatepass")
             text = extract_plain_text(span["text"])
@@ -343,6 +347,7 @@ class DocExtractor:
             wc = count_words_safely(text)
             digest = hashlib.sha256(raw).hexdigest()
             prep = ["Plain text read"]
+            pages = 0
         else:
             ref = span["media_ref"]
             payload = self.resolver.fetch(ref)
@@ -354,6 +359,7 @@ class DocExtractor:
                 res = self.img.extract(payload)
             text, conf, kind, wc = res.text, res.confidence, res.kind, res.word_count
             prep = list(res.preprocessing_applied)
+            pages = res.pages_ocrd
         if text.strip() == "":
             raise ExtractionError("No extractable text found in document (0 words)")
         ok, _ = validate_ocr_quality(text, conf, wc, cfg.ocr_min_confidence)
@@ -363,7 +369,7 @@ class DocExtractor:
             )
         out = {"kind": kind, "text": text, "media_ref": span["media_ref"],
                "offset": span["offset"]}
-        return out, conf, wc, digest, prep
+        return out, conf, wc, digest, prep, pages
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
@@ -385,12 +391,13 @@ class DocExtractor:
             status, reason, stage = "completed", "", ""
             out_spans, confs, words, digests = [], [], 0, []
             prep_steps: list[str] = []
+            pages_ocrd = 0
             if mime not in _ALLOWED_MIMES:
                 status, reason, stage = "failed", "unsupported_format", "validation"
             else:
                 try:
                     for span in sorted(spans, key=lambda s: s["offset"]):
-                        o, c, w, d, p = self._with_retry(
+                        o, c, w, d, p, pg = self._with_retry(
                             self._one_span, span, mime, ucfg, ucfg=ucfg
                         )
                         out_spans.append(o)
@@ -398,11 +405,13 @@ class DocExtractor:
                         words += w
                         digests.append(d)
                         prep_steps.extend(p)
+                        pages_ocrd += pg
                 except ExtractionError as e:
                     status = "failed"
                     reason, stage = failure_for_message(str(e))
                     out_spans, confs, words, digests = [], [], 0, []
                     prep_steps = []
+                    pages_ocrd = 0
             out["doc_id"].append(doc_id)
             out["spans"].append(out_spans)
             out["status"].append(status)
@@ -416,6 +425,7 @@ class DocExtractor:
             )
             out["dedup_status"].append("kept")
             out["preprocessing_applied"].append(_unique_in_order(prep_steps))
+            out["pages_ocrd"].append(pages_ocrd)
             out["part_id"].append(part)
         return pa.table(out, schema=EXTRACTED)
 
@@ -484,6 +494,7 @@ _UNIT_RESULT_SCHEMA = pa.schema(
         ("confidence", pa.float32()), ("error", pa.string()),
         ("payload_sha", pa.string()),
         ("prep", pa.list_(pa.string())),
+        ("pages", pa.int32()),
     ]
 )
 
@@ -503,6 +514,7 @@ class PageExtractor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
         out_kind, out_text, confs, errors, shas, preps = [], [], [], [], [], []
+        pages_list: list[int] = []
         for kind, text, ref, mime in zip(
             batch.column("kind").to_pylist(), batch.column("text").to_pylist(),
             batch.column("media_ref").to_pylist(), batch.column("mime_type").to_pylist(),
@@ -516,6 +528,7 @@ class PageExtractor:
                     t = extract_plain_text(text)
                     k, c = "plain_text", self.cfg.conf_plain_text
                     p = ["Plain text read"]
+                    pg = 0
                 else:
                     payload = self.resolver.fetch(ref)
                     sha = hashlib.sha256(payload).hexdigest()
@@ -526,12 +539,14 @@ class PageExtractor:
                         res = self.img.extract(payload)
                     t, c, k = res.text, res.confidence, res.kind
                     p = list(res.preprocessing_applied)
+                    pg = res.pages_ocrd
                 out_kind.append(k)
                 out_text.append(t)
                 confs.append(c)
                 errors.append("")
                 shas.append(sha)
                 preps.append(p)
+                pages_list.append(pg)
             except ExtractionError as e:
                 out_kind.append("")
                 out_text.append("")
@@ -539,6 +554,7 @@ class PageExtractor:
                 errors.append(str(e))
                 shas.append("")
                 preps.append([])
+                pages_list.append(0)
         result = pa.table(
             {
                 "doc_id": batch.column("doc_id"), "mime_type": batch.column("mime_type"),
@@ -551,6 +567,7 @@ class PageExtractor:
                 "error": pa.array(errors, pa.string()),
                 "payload_sha": pa.array(shas, pa.string()),
                 "prep": pa.array(preps, pa.list_(pa.string())),
+                "pages": pa.array(pages_list, pa.int32()),
             },
             schema=_UNIT_RESULT_SCHEMA,
         )
@@ -579,8 +596,9 @@ def make_reassemble_fn(cfg: ExtractionConfig):
         refs = g.column("media_ref").to_pylist()
         shas = g.column("payload_sha").to_pylist()
         unit_preps = g.column("prep").to_pylist()
+        unit_pages = g.column("pages").to_pylist()
 
-        def emit(status, reason, stage, spans, conf, wc, fh, prep=None):
+        def emit(status, reason, stage, spans, conf, wc, fh, prep=None, pages=0):
             return pa.table(
                 {
                     "doc_id": [doc_id], "spans": [spans], "status": [status],
@@ -592,6 +610,7 @@ def make_reassemble_fn(cfg: ExtractionConfig):
                     "preprocessing_applied": pa.array(
                         [prep or []], pa.list_(pa.string())
                     ),
+                    "pages_ocrd": pa.array([pages], pa.int32()),
                     "part_id": pa.array([part], pa.int32()),
                 },
                 schema=EXTRACTED,
@@ -647,6 +666,7 @@ def make_reassemble_fn(cfg: ExtractionConfig):
             min(confs_per_span) if confs_per_span else 0.0, total_wc,
             merkle_from_span_hashes(span_hashes),
             prep=_unique_in_order(all_prep),
+            pages=int(sum(unit_pages)),
         )
 
     return reassemble

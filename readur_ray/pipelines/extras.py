@@ -163,10 +163,11 @@ def extraction_metrics(sf_dir: str) -> "ray.data.Dataset":
     # materialize ONLY the metric inputs (4 narrow columns — the spans
     # never hit disk here; the oracle needs the same rows, not the text)
     extraction_e2e(sf_dir).select_columns(
-        ["part_id", "status", "confidence", "word_count"]
+        ["part_id", "status", "confidence", "word_count", "pages_ocrd"]
     ).write_parquet(out_dir)
     ds = ray.data.read_parquet(
-        out_dir, columns=["part_id", "status", "confidence", "word_count"]
+        out_dir,
+        columns=["part_id", "status", "confidence", "word_count", "pages_ocrd"],
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -178,10 +179,11 @@ def extraction_metrics(sf_dir: str) -> "ray.data.Dataset":
                 "status": batch.column("status"),
                 "conf_bucket": pa.array(bucket, pa.int64()),
                 "words": batch.column("word_count").cast(pa.int64()),
+                "pages": batch.column("pages_ocrd").cast(pa.int64()),
             }
         )
         g = t.group_by(["part_id", "status", "conf_bucket"]).aggregate(
-            [("words", "sum"), ("words", "count")]
+            [("words", "sum"), ("pages", "sum"), ("words", "count")]
         )
         return pa.table(
             {
@@ -189,6 +191,7 @@ def extraction_metrics(sf_dir: str) -> "ray.data.Dataset":
                 "status": g.column("status"),
                 "conf_bucket": g.column("conf_bucket"),
                 "words": g.column("words_sum"),
+                "pages": g.column("pages_sum"),
                 "n": g.column("words_count").cast(pa.int64()),
             }
         )
@@ -196,5 +199,9 @@ def extraction_metrics(sf_dir: str) -> "ray.data.Dataset":
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["part_id", "status", "conf_bucket"])
-        .aggregate(Sum("n", alias_name="n_docs"), Sum("words", alias_name="total_words"))
+        .aggregate(
+            Sum("n", alias_name="n_docs"),
+            Sum("words", alias_name="total_words"),
+            Sum("pages", alias_name="total_pages_ocrd"),
+        )
     )

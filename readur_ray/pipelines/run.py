@@ -20,7 +20,7 @@ the corpus in memory and a crash resumes at chunk granularity):
    'skipped_duplicate'; 'track' keeps spans, marks
    'tracked_duplicate'; 'allow' skips the pass) → ``out/final/``; then
    aggregate per-partition metrics (A5 analog: status / failure_reason
-   counts, confidence histogram, word totals per part_id,
+   counts, confidence histogram, word + pages-OCR'd totals per part_id,
    /root/reference/migrations/20250620100001_add_ocr_queue.sql:33-46)
    → ``out/metrics.parquet``.
 """
@@ -266,10 +266,11 @@ def metrics_partial(batch: pa.Table) -> pa.Table:
         "failure_reason": batch.column("failure_reason"),
         "conf_bucket": pa.array(bucket.astype(np.int32)),
         "words": batch.column("word_count").cast(pa.int64()),
+        "pages": batch.column("pages_ocrd").cast(pa.int64()),
         "proc_ms": batch.column("processing_time_ms"),
     })
     g = key.group_by(["part_id", "status", "failure_reason", "conf_bucket"]).aggregate(
-        [("words", "sum"), ("proc_ms", "sum"), ("status", "count")]
+        [("words", "sum"), ("pages", "sum"), ("proc_ms", "sum"), ("status", "count")]
     )
     return pa.table({
         "part_id": g.column("part_id"),
@@ -278,6 +279,7 @@ def metrics_partial(batch: pa.Table) -> pa.Table:
         "conf_bucket": g.column("conf_bucket"),
         "docs": g.column("status_count").cast(pa.int64()),
         "words": g.column("words_sum"),
+        "pages": g.column("pages_sum"),
         "proc_ms": g.column("proc_ms_sum"),
     })
 
@@ -313,13 +315,14 @@ def run_finalize_phase(
         ray.data.read_parquet(
             final_dir,
             columns=["part_id", "status", "failure_reason", "confidence",
-                     "word_count", "processing_time_ms"],
+                     "word_count", "pages_ocrd", "processing_time_ms"],
         )
         .map_batches(metrics_partial, batch_format="pyarrow")
         .groupby(["part_id", "status", "failure_reason", "conf_bucket"])
         .aggregate(
             Sum("docs", alias_name="docs"),
             Sum("words", alias_name="words"),
+            Sum("pages", alias_name="pages_ocrd"),
             Sum("proc_ms", alias_name="proc_ms"),
         )
     )

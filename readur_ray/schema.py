@@ -64,6 +64,10 @@ EXTRACTED = pa.schema(
         ("preprocessing_applied", pa.list_(pa.string())),  # OcrResult lineage
                                              # (enhanced.rs:28-36): unique-in-order
                                              # union of per-span engine steps
+        ("pages_ocrd", pa.int32()),          # pages actually run through OCR
+                                             # across all spans (north-star
+                                             # metrics field; 0 for text-layer
+                                             # / plain-text / byte-scan docs)
         ("part_id", pa.int32()),             # hash(doc_id) % num_output_partitions
     ]
 )

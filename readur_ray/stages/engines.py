@@ -87,6 +87,8 @@ class EngineResult:
     word_count: int
     preprocessing_applied: list[str] = field(default_factory=list)
     processing_time_ms: int = 0
+    pages_ocrd: int = 0          # pages actually run through OCR (north-star
+                                 # metrics field; 0 for text-layer/byte-scan)
 
 
 class HermeticPdfEngine:
@@ -112,12 +114,13 @@ class HermeticPdfEngine:
         return "\n\n".join(page_texts).strip()
 
     # -- M14 analog: OCR the rasterized pages ----------------------------
-    def _ocr_text(self, payload: bytes) -> tuple[str, float, str]:
+    def _ocr_text(self, payload: bytes) -> tuple[str, float, str, int]:
         """Models the 3-strategy ocrmypdf chain: the %OCRFAILS(n)%
         payload marker fails the first n strategy invocations, so
         strategy 2/3 fallbacks (and total failure at n >= 3) are
         deterministic and testable. Returns (text, conf, strategy
-        label) — the label lands in preprocessing_applied."""
+        label, pages OCR'd) — the label lands in
+        preprocessing_applied, the page count in pages_ocrd."""
         m = _OCRFAILS_RE.search(payload)
         n_fail = int(m.group(1)) if m else 0
         if n_fail >= len(OCR_STRATEGY_LABELS):
@@ -132,6 +135,7 @@ class HermeticPdfEngine:
             "\n\n".join(texts).strip(),
             self.cfg.conf_pdf_ocr,
             OCR_STRATEGY_LABELS[n_fail],
+            len(matches),
         )
 
     # -- M12 analog: direct byte-scan last resort ------------------------
@@ -167,11 +171,12 @@ class HermeticPdfEngine:
             return EngineResult(text, self.cfg.conf_pdf_quick, "pdf_text", wc,
                                 ["PDF text extraction (pdftotext)"], ms)
         try:
-            text, conf, strategy = self._ocr_text(payload)
+            text, conf, strategy, n_pages = self._ocr_text(payload)
             wc = count_words_safely(text)
             if wc > 0:
                 ms = int((time.perf_counter() - t0) * 1000)
-                return EngineResult(text, conf, "pdf_ocr", wc, [strategy], ms)
+                return EngineResult(text, conf, "pdf_ocr", wc, [strategy], ms,
+                                    pages_ocrd=n_pages)
             raise ExtractionError("No extractable text found by OCR (0 words)")
         except ExtractionError as ocr_err:
             try:
@@ -228,7 +233,7 @@ class HermeticImageOcrEngine:
         text = base64.b64decode(data.group(1)).decode("utf-8", errors="ignore")
         wc = count_words_safely(text)
         ms = int((time.perf_counter() - t0) * 1000)
-        return EngineResult(text, conf, "ocr_text", wc, prep, ms)
+        return EngineResult(text, conf, "ocr_text", wc, prep, ms, pages_ocrd=1)
 
 
 def _printable_runs_text(payload: bytes) -> str:
@@ -356,7 +361,7 @@ class RealTesseractEngine:
         text = text.strip()
         wc = count_words_safely(text)
         ms = int((time.perf_counter() - t0) * 1000)
-        return EngineResult(text, conf, "ocr_text", wc, prep, ms)
+        return EngineResult(text, conf, "ocr_text", wc, prep, ms, pages_ocrd=1)
 
 
 class RealPdfEngine:
@@ -404,12 +409,12 @@ class RealPdfEngine:
     ]
 
     def _ocr_pages_once(self, pdf, scale: float, preprocess: bool,
-                        skip_big_px: int | None) -> tuple[str, float]:
+                        skip_big_px: int | None) -> tuple[str, float, int]:
         import numpy as np
 
         if self._tess is None:
             self._tess = _TesseractBackend(self.cfg)
-        texts, confs = [], []
+        texts, confs, n_ocr = [], [], 0
         for page in pdf:
             w, h = page.get_size()
             if skip_big_px is not None and (w * scale) * (h * scale) > skip_big_px:
@@ -421,21 +426,24 @@ class RealPdfEngine:
 
                 arr, _, _ = preprocess_image(arr, self.cfg.preprocess_settings())
             t, c = self._tess.ocr_array(arr)
+            n_ocr += 1
             if t.strip():
                 texts.append(t.strip())
                 confs.append(c)
         if not texts:
             raise ExtractionError("No extractable text found by OCR (0 words)")
-        return "\n\n".join(texts), min(confs)
+        return "\n\n".join(texts), min(confs), n_ocr
 
-    def _ocr_pages(self, pdf) -> tuple[str, float, str]:
+    def _ocr_pages(self, pdf) -> tuple[str, float, str, int]:
         """Progressive 3-strategy OCR mirroring the reference chain;
-        returns (text, conf, winning strategy label)."""
+        returns (text, conf, winning strategy label, pages OCR'd)."""
         last_err: ExtractionError | None = None
         for i, (scale, preprocess, skip_big) in enumerate(self._STRATEGIES):
             try:
-                text, conf = self._ocr_pages_once(pdf, scale, preprocess, skip_big)
-                return text, conf, OCR_STRATEGY_LABELS[i]
+                text, conf, n_ocr = self._ocr_pages_once(
+                    pdf, scale, preprocess, skip_big
+                )
+                return text, conf, OCR_STRATEGY_LABELS[i], n_ocr
             except ExtractionError as e:
                 last_err = e
         raise last_err if last_err is not None else ExtractionError(
@@ -466,11 +474,12 @@ class RealPdfEngine:
                 return EngineResult(text, self.cfg.conf_pdf_quick, "pdf_text", wc,
                                     ["PDF text extraction (pdfium)"], ms)
             try:
-                text, conf, strategy = self._ocr_pages(pdf)
+                text, conf, strategy, n_ocr = self._ocr_pages(pdf)
                 wc = count_words_safely(text)
                 if wc > 0:
                     ms = int((time.perf_counter() - t0) * 1000)
-                    return EngineResult(text, conf, "pdf_ocr", wc, [strategy], ms)
+                    return EngineResult(text, conf, "pdf_ocr", wc, [strategy], ms,
+                                        pages_ocrd=n_ocr)
                 raise ExtractionError("No extractable text found by OCR (0 words)")
             except ExtractionError as ocr_err:
                 text = _printable_runs_text(payload)

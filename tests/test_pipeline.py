@@ -115,3 +115,23 @@ def test_duplicates_share_hash(pipeline_rows, small_corpus):
             shared += 1
     completed_dups = [d for d in dup_ids if pipeline_rows[d]["status"] == "completed"]
     assert shared == len(completed_dups)
+
+
+def test_pages_ocrd_matches_oracle(pipeline_rows, oracle_rows):
+    """pages_ocrd (north-star metrics field): 0 for plain-text /
+    text-layer / byte-scan docs, the OCR'd page count for pdf_ocr
+    docs, 1 per image OCR span — summed across spans, 0 on failure;
+    the skew-exploded path must sum its page windows back to the
+    whole-doc count."""
+    mismatches = []
+    ocr_docs = 0
+    for doc_id, (exp, cls) in oracle_rows.items():
+        got = pipeline_rows[doc_id]
+        if got["pages_ocrd"] != exp["pages_ocrd"]:
+            mismatches.append(
+                (doc_id, cls, got["pages_ocrd"], exp["pages_ocrd"])
+            )
+        if exp["pages_ocrd"] > 0:
+            ocr_docs += 1
+    assert not mismatches, mismatches[:5]
+    assert ocr_docs > 0  # the corpus must exercise the OCR path
