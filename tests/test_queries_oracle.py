@@ -111,3 +111,18 @@ def test_registry_head50_ordering_contract():
     assert all(k in o for k in head), [k for k in head if k not in o]
     missing = [k for k in q if k not in o]
     assert set(missing) <= {"extraction_e2e", "extraction_summary"}
+
+
+def test_bench_sweep_keys_are_registered():
+    # bench.py times a hand-picked sweep; a registry rename must fail
+    # here, not as a KeyError mid-benchmark in the driver's run
+    import re as _re
+
+    import __ray_entry__ as entrymod
+
+    src = open("/root/repo/bench.py").read()
+    m = _re.search(r"picks = \[(.*?)\]", src, _re.S)
+    picks = _re.findall(r'"([a-z0-9_]+)"', m.group(1))
+    assert picks, "bench.py sweep list not found"
+    missing = [p for p in picks if p not in entrymod.queries()]
+    assert not missing, missing
