@@ -4,9 +4,12 @@ loop, /root/reference/src/bin/batch_ingest.rs:28-60).
 
     python -m readur_ray --input <parquet dir> --out <dir> \
         [--chunks 8] [--dedup-policy skip|track|allow] [--num-cpus N]
+    python -m readur_ray --input <docs parquet> --out <dir> --curate
 
 Safe to re-run after a crash: committed chunks are skipped via the
-ledger (see readur_ray.pipelines.run).
+ledger (see readur_ray.pipelines.run). ``--curate`` runs the
+training-data funnel (quality/lang gate → exact dedup) instead of
+the extraction job.
 """
 
 from __future__ import annotations
@@ -47,6 +50,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="prior run's final/ dir: content whose file_hash "
                          "already exists there is marked duplicate here "
                          "(J1 cross-run lookup)")
+    ap.add_argument("--curate", action="store_true",
+                    help="run the training-data curation funnel "
+                         "(quality/lang gate -> exact dedup keep-first) "
+                         "over a documents-shaped parquet instead of "
+                         "the extraction job")
     args = ap.parse_args(argv)
 
     if args.compact_ledger:
@@ -71,6 +79,13 @@ def main(argv: list[str] | None = None) -> int:
 
     from .config import ExtractionConfig
     from .pipelines.run import run_extraction
+
+    if args.curate:
+        from .pipelines.prep import run_curation
+
+        print(json.dumps(run_curation(args.input, args.out)))
+        ray.shutdown()
+        return 0
 
     cfg = ExtractionConfig(
         dedup_policy=args.dedup_policy,

@@ -33,6 +33,12 @@ def training_prep(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
+    return training_prep_plan(ds)
+
+
+def training_prep_plan(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """The funnel as a plan over any (doc_id, text) Dataset — shared by
+    the driver query above and the ``--curate`` CLI job."""
 
     def stats_and_gate(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").combine_chunks()
@@ -91,3 +97,28 @@ def training_prep(sf_dir: str) -> "ray.data.Dataset":
         .groupby("part")
         .map_groups(dedup_part, batch_format="pyarrow")
     )
+
+
+def run_curation(input_path: str, out_dir: str) -> dict:
+    """One-shot curation JOB over any documents-shaped parquet
+    (doc_id:int64, text:string): quality/lang gate → exact-dedup
+    keep-first → partitioned parquet of kept doc ids + stats under
+    ``out_dir/curated``. Counts are metadata-only reads (no second
+    scan of the corpus); the curation itself is the same single
+    streaming plan the bit-verified ``training_prep`` query runs."""
+    import os
+    import shutil
+
+    ds = ray.data.read_parquet(input_path, columns=["doc_id", "text"])
+    n_in = ds.count()  # parquet metadata, no scan
+    out = os.path.join(out_dir, "curated")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    training_prep_plan(ds).write_parquet(out)
+    n_kept = ray.data.read_parquet(out).count()
+    return {
+        "docs_in": n_in,
+        "docs_kept": n_kept,
+        "docs_dropped": n_in - n_kept,
+        "curated_dir": out,
+    }

@@ -362,3 +362,35 @@ def test_leakage_split_group_atomic(ray_session, tmp_path):
         want = "train" if b < 80 else ("val" if b < 90 else "test")
         assert r["split"] == want
     assert set(df["split"]) == {"train", "val", "test"}  # 40 sources hit all three
+
+
+def test_run_curation_job_matches_query_plan(ray_session, tmp_path):
+    # the --curate CLI job must keep exactly the rows the bit-verified
+    # training_prep query keeps: en + quality pass, exact-dup losers out
+    from readur_ray.pipelines import prep
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog and then "
+            "the fox rests under a tree with the other animals."),
+        (2, "The quick brown fox jumps over the lazy dog and then "
+            "the fox rests under a tree with the other animals."),  # dup of 1
+        (3, "zzz qqq xxx"),  # junk: fails the quality/lang gate
+        (4, "It was the best of times and it was the worst of times "
+            "for all of the people in that old and busy city."),
+    ]
+    sf = _write_docs(tmp_path, [(i, t) for i, t in rows])
+    out = tmp_path / "curated_out"
+    summary = prep.run_curation(str(tmp_path / "documents.parquet"), str(out))
+    assert summary["docs_in"] == 4
+    assert summary["docs_in"] == summary["docs_kept"] + summary["docs_dropped"]
+
+    import pyarrow.parquet as pq
+
+    got = pq.read_table(summary["curated_dir"]).to_pandas()
+    want = prep.training_prep(sf).to_pandas()
+    got = got.sort_values("doc_id", ignore_index=True)[sorted(got.columns)]
+    want = want.sort_values("doc_id", ignore_index=True)[sorted(want.columns)]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert set(got["doc_id"]) == {1, 4}  # dup loser 2 and junk 3 dropped
