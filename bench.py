@@ -175,9 +175,14 @@ def main() -> None:
         tp_lo = results[lo_cpus]["docs_per_sec"]
         tp_hi = results[hi_cpus]["docs_per_sec"]
         eff = tp_hi / (tp_lo * (hi_cpus / lo_cpus))
+        # the shared VM itself often scales lo→hi at < 1.0 (throttled
+        # windows, BASELINE.md); report efficiency relative to the
+        # bracketing pure-ALU ceiling so the number self-interprets
+        ceiling = (alu_pre + alu_post) / 2
         print(json.dumps({
             "metric": "scaling_efficiency_8_to_32_cpus",
             "value": round(eff, 3), "unit": "ratio",
+            "efficiency_vs_host_alu_ceiling": round(eff / ceiling, 3),
             "host_alu_ceiling_pre_post": [alu_pre, alu_post],
             "throughput_docs_per_sec": {str(lo_cpus): tp_lo, str(hi_cpus): tp_hi},
             "sec": {str(lo_cpus): results[lo_cpus]["sec"],

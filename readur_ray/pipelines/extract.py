@@ -755,11 +755,11 @@ class UnifiedExtractor(DocExtractor):
         return pa.concat_tables(outs).combine_chunks()
 
 
-def _pool_sizes(cfg: ExtractionConfig) -> tuple[int, int]:
-    """(main_pool, page_pool_max) with headroom so the pools never
-    reserve every CPU (a pool that takes the whole node starves the
-    stateless read / classify / write tasks and DEADLOCKS the streaming
-    executor behind its own upstream).
+def _pool_sizes(cfg: ExtractionConfig) -> tuple[int, int, float]:
+    """(main_pool, page_pool_max, cpus_per_actor) with headroom so the
+    pools never reserve every CPU (a pool that takes the whole node
+    starves the stateless read / classify / write tasks and DEADLOCKS
+    the streaming executor behind its own upstream).
 
     The MAIN pool is fixed-size — autoscaling (1, N) pools ramp too
     slowly to ever reach size on short jobs. The PAGE pool autoscales
@@ -768,16 +768,22 @@ def _pool_sizes(cfg: ExtractionConfig) -> tuple[int, int]:
     whole main phase reserving idle CPUs — measured ~20% of the node at
     32 CPUs, a cost the 8-CPU leg (page pool 1) never paid, directly
     depressing 8→32 scaling. Only the 1-actor floor is budgeted; the
-    main pool gets the rest minus the free slots."""
+    main pool gets the rest minus the free slots.
+
+    cpus_per_actor drops to 0.5 on degenerate nodes (< 4 CPUs), where
+    the two pool floors (main 1 + page 1) would otherwise reserve the
+    whole node and hang the scan (reproduced at num_cpus=2)."""
     import ray as _ray
 
     ncpu = 8
     if _ray.is_initialized():
         ncpu = int(_ray.cluster_resources().get("CPU", ncpu))
+    if ncpu < 4:
+        return 1, 1, 0.5
     free = max(1, ncpu // 16)
     main_pool = max(1, min(cfg.extract_concurrency, ncpu - 1 - free))
     page_pool_max = max(1, (ncpu * 3) // 16)
-    return main_pool, page_pool_max
+    return main_pool, page_pool_max, 1.0
 
 
 def build_extracted(
@@ -789,7 +795,7 @@ def build_extracted(
     the SKEW scan (page_count above the explode threshold — a fixed
     small fraction) feeds explode → page pool → groupby(doc_id)
     reassembly, the mandated skew shuffle."""
-    main_pool, page_pool = _pool_sizes(cfg)
+    main_pool, page_pool, actor_cpus = _pool_sizes(cfg)
 
     import pyarrow.dataset as _pads
 
@@ -815,7 +821,7 @@ def build_extracted(
         .map_batches(
             UnifiedExtractor, fn_constructor_args=(cfg,), batch_format="pyarrow",
             batch_size=cfg.extract_batch_size, concurrency=main_pool,
-            num_cpus=1,
+            num_cpus=actor_cpus,
         )
     )
     skew_ds = (
@@ -829,7 +835,7 @@ def build_extracted(
         .repartition(page_pool * 4)
         .map_batches(
             PageExtractor, fn_constructor_args=(cfg,), batch_format="pyarrow",
-            batch_size=32, concurrency=(1, page_pool), num_cpus=1,
+            batch_size=32, concurrency=(1, page_pool), num_cpus=actor_cpus,
         )
         .groupby("doc_id")
         .map_groups(make_reassemble_fn(cfg), batch_format="pyarrow")

@@ -135,3 +135,27 @@ def test_pages_ocrd_matches_oracle(pipeline_rows, oracle_rows):
             ocr_docs += 1
     assert not mismatches, mismatches[:5]
     assert ocr_docs > 0  # the corpus must exercise the OCR path
+
+
+def test_pool_sizes_never_reserve_every_cpu(ray_session, monkeypatch):
+    """Degenerate nodes: at 2-3 CPUs the two pool floors (main 1 +
+    page 1) at num_cpus=1 reserved the whole node and deadlocked the
+    scan (reproduced at num_cpus=2); they must drop to fractional
+    CPUs so at least one full CPU stays free for stateless tasks."""
+    import ray as _ray
+
+    from readur_ray.config import ExtractionConfig
+    from readur_ray.pipelines import extract
+
+    cfg = ExtractionConfig()
+    for ncpu in (2, 3):
+        monkeypatch.setattr(_ray, "cluster_resources", lambda n=ncpu: {"CPU": n})
+        m, p, c = extract._pool_sizes(cfg)
+        assert (m, p, c) == (1, 1, 0.5), ncpu
+        assert m * c + p * c <= ncpu - 1
+    for ncpu in (4, 8, 32):
+        monkeypatch.setattr(_ray, "cluster_resources", lambda n=ncpu: {"CPU": n})
+        m, p, c = extract._pool_sizes(cfg)
+        assert c == 1.0
+        # main pool + the page pool's 1-actor floor leave ≥1 CPU free
+        assert m + 1 <= ncpu - 1, ncpu
