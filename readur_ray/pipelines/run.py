@@ -56,6 +56,31 @@ def _input_chunks(input_path: str, n_chunks: int) -> list[list[str]]:
     return [files[i::n] for i in range(n)]
 
 
+def _has_parquet(path: str) -> bool:
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def _read_extracted_or_empty(path: str, columns: list[str] | None = None):
+    """read_parquet that tolerates a committed-but-EMPTY chunk dir:
+    a zero-row write_parquet creates no files (reproduced on an empty
+    input corpus / a chunk whose rows were all filtered), and a plain
+    read_parquet over it raises. Falls back to a zero-row dataset with
+    the EXTRACTED schema so downstream plans still see the columns."""
+    if _has_parquet(path):
+        if columns is not None:
+            return ray.data.read_parquet(path, columns=columns)
+        return ray.data.read_parquet(path)
+    from ..schema import EXTRACTED
+
+    tbl = pa.table({n: [] for n in EXTRACTED.names}, schema=EXTRACTED)
+    if columns is not None:
+        tbl = tbl.select(columns)
+    return ray.data.from_arrow(tbl)
+
+
 def run_extract_phase(
     input_path: str,
     out_dir: str,
@@ -78,10 +103,11 @@ def run_extract_phase(
         shutil.rmtree(tmp, ignore_errors=True)
         ds = build_extracted(files, cfg)
         ds.write_parquet(tmp)
+        os.makedirs(tmp, exist_ok=True)  # zero-row writes create no dir
         # commit: atomic rename + ledger line
         shutil.rmtree(final, ignore_errors=True)
         os.rename(tmp, final)
-        out = ray.data.read_parquet(final, columns=["status"])
+        out = _read_extracted_or_empty(final, columns=["status"])
         counts = {r["status"]: r["count()"] for r in out.groupby("status").count().take_all()}
         ledger.append_entry(
             out_dir,
@@ -100,7 +126,7 @@ def run_extract_phase(
 def count_duplicate_groups(extracted_dir: str) -> int:
     """Number of file_hash groups with >1 doc — a scalar, computed with
     the partial-agg pattern over an ids-only projection; never a dict."""
-    proj = ray.data.read_parquet(extracted_dir, columns=["doc_id", "file_hash"])
+    proj = _read_extracted_or_empty(extracted_dir, columns=["doc_id", "file_hash"])
 
     def partial(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.not_equal(batch.column("file_hash"), ""))
@@ -295,7 +321,7 @@ def run_finalize_phase(
     extracted_dir = os.path.join(out_dir, "extracted")
     final_dir = os.path.join(out_dir, "final")
     dup_groups = 0
-    ds = ray.data.read_parquet(extracted_dir)
+    ds = _read_extracted_or_empty(extracted_dir)
     if cfg.dedup_policy != "allow":
         dup_groups = count_duplicate_groups(extracted_dir)
         existing = (
@@ -308,11 +334,12 @@ def run_finalize_phase(
     tmp = final_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     ds.write_parquet(tmp)
+    os.makedirs(tmp, exist_ok=True)  # zero-row writes create no dir
     shutil.rmtree(final_dir, ignore_errors=True)
     os.rename(tmp, final_dir)
 
     metrics = (
-        ray.data.read_parquet(
+        _read_extracted_or_empty(
             final_dir,
             columns=["part_id", "status", "failure_reason", "confidence",
                      "word_count", "pages_ocrd", "processing_time_ms"],
@@ -326,7 +353,23 @@ def run_finalize_phase(
             Sum("proc_ms", alias_name="proc_ms"),
         )
     )
-    metrics_table = pa.Table.from_pylist(metrics.take_all())
+    metric_rows = metrics.take_all()
+    metrics_table = (
+        pa.Table.from_pylist(metric_rows)
+        if metric_rows
+        else pa.table(
+            {
+                "part_id": pa.array([], pa.int32()),
+                "status": pa.array([], pa.string()),
+                "failure_reason": pa.array([], pa.string()),
+                "conf_bucket": pa.array([], pa.int32()),
+                "docs": pa.array([], pa.int64()),
+                "words": pa.array([], pa.int64()),
+                "pages_ocrd": pa.array([], pa.int64()),
+                "proc_ms": pa.array([], pa.int64()),
+            }
+        )
+    )
     import pyarrow.parquet as pq
 
     pq.write_table(metrics_table, os.path.join(out_dir, "metrics.parquet"))
@@ -577,6 +620,7 @@ def run_incremental(
         tmp = os.path.join(extracted_root, f".tmp-chunk-{cid}")
         shutil.rmtree(tmp, ignore_errors=True)
         build_extracted([f], cfg).write_parquet(tmp)
+        os.makedirs(tmp, exist_ok=True)  # zero-row writes create no dir
         shutil.rmtree(final, ignore_errors=True)
         os.rename(tmp, final)
         ledger.append_entry(

@@ -186,3 +186,33 @@ def test_requeue_failed_phase(ray_session, tmp_path):
             exp = src[doc_id]
             for f in ("status", "failure_reason", "word_count", "file_hash"):
                 assert row[f] == exp[f], (doc_id, f)
+
+
+def test_run_extraction_empty_corpus(ray_session, tmp_path):
+    """A zero-row corpus (or an all-filtered chunk) must commit empty
+    chunks and finalize cleanly: write_parquet of a zero-row dataset
+    creates NO directory, which used to crash the atomic chunk-commit
+    rename (reproduced), and the finalize read raised on the fileless
+    dir. The job must end with an empty final/ and zero-row metrics."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from readur_ray.config import ExtractionConfig
+    from readur_ray.pipelines.run import run_extraction
+    from readur_ray.schema import DOCUMENTS
+
+    src = tmp_path / "empty_corpus"
+    os.makedirs(src)
+    pq.write_table(
+        pa.table({n: [] for n in DOCUMENTS.names}, schema=DOCUMENTS),
+        str(src / "part.parquet"),
+    )
+    out = tmp_path / "out"
+    summary = run_extraction(str(src), str(out), ExtractionConfig(), n_chunks=2)
+    assert summary["duplicate_groups"] == 0
+    assert summary["metrics_rows"] == 0
+    assert os.path.isdir(summary["final_dir"])
+    mt = pq.read_table(str(out / "metrics.parquet"))
+    assert mt.num_rows == 0 and "pages_ocrd" in mt.column_names
