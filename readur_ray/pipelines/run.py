@@ -325,7 +325,7 @@ def run_finalize_phase(
     if cfg.dedup_policy != "allow":
         dup_groups = count_duplicate_groups(extracted_dir)
         existing = (
-            ray.data.read_parquet(dedup_against, columns=["file_hash"])
+            _read_extracted_or_empty(dedup_against, columns=["file_hash"])
             if dedup_against
             else None
         )

@@ -84,3 +84,44 @@ def test_without_existing_unchanged(ray_session, prior_run, tmp_path):
     rb = sorted(b.select(["doc_id", "status", "dedup_status"]).to_pylist(),
                 key=lambda r: r["doc_id"])
     assert ra == rb
+
+
+def test_dedup_against_empty_prior_run(ray_session, tmp_path):
+    """A prior run over an empty corpus leaves a fileless final/; a
+    second run pointing --dedup-against at it must behave exactly like
+    no prior run (used to raise on the read of the fileless dir)."""
+    import pyarrow as pa
+
+    from readur_ray.schema import DOCUMENTS
+
+    empty_src = tmp_path / "empty_src"
+    os.makedirs(empty_src)
+    pq.write_table(
+        pa.table({n: [] for n in DOCUMENTS.names}, schema=DOCUMENTS),
+        str(empty_src / "p.parquet"),
+    )
+    empty_out = tmp_path / "empty_out"
+    run_extraction(str(empty_src), str(empty_out), ExtractionConfig(), n_chunks=1)
+
+    corpus = tmp_path / "corpus"
+    synth.write_corpus(str(corpus), 60, seed=5)
+    out = tmp_path / "out"
+    s = run_extraction(
+        str(corpus), str(out), ExtractionConfig(), n_chunks=2,
+        dedup_against=str(empty_out / "final"),
+    )
+    t = pq.read_table(os.path.join(str(out), "final"))
+    assert t.num_rows == 60
+    # bit-identical to a run WITHOUT dedup_against: an empty prior can
+    # never mark anything (cross-run losers get skipped_duplicate)
+    out_ref = tmp_path / "out_ref"
+    run_extraction(str(corpus), str(out_ref), ExtractionConfig(), n_chunks=2)
+    ref = pq.read_table(os.path.join(str(out_ref), "final"))
+    key = lambda r: r["doc_id"]  # noqa: E731
+    got_rows = sorted(
+        t.select(["doc_id", "status", "dedup_status"]).to_pylist(), key=key
+    )
+    ref_rows = sorted(
+        ref.select(["doc_id", "status", "dedup_status"]).to_pylist(), key=key
+    )
+    assert got_rows == ref_rows
