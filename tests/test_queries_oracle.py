@@ -56,6 +56,17 @@ SUBSET = [
     "dup_spans",
     "mix_weights",
     "leakage_split",
+    # tail entries the driver's 50-cap never sees: keep them pytest-
+    # covered too, not only via scripts/check_correctness.py
+    "status_counts",
+    "normalize_text",
+    "hourly_event_metrics",
+    "top_docs",
+    "ann_topk_lsh",
+    "dedup_simhash_pairs",
+    "ann_topk_ivf_kmeans",
+    "dedup_embedding",
+    "ann_lsh_buckets",
 ]
 
 
