@@ -755,35 +755,46 @@ class UnifiedExtractor(DocExtractor):
         return pa.concat_tables(outs).combine_chunks()
 
 
-def _pool_sizes(cfg: ExtractionConfig) -> tuple[int, int, float]:
-    """(main_pool, page_pool_max, cpus_per_actor) with headroom so the
-    pools never reserve every CPU (a pool that takes the whole node
-    starves the stateless read / classify / write tasks and DEADLOCKS
-    the streaming executor behind its own upstream).
+def _pool_sizes(
+    cfg: ExtractionConfig,
+) -> tuple[tuple[int, int], tuple[int, int], float, float]:
+    """(main_pool_(min,max), page_pool_(min,max), main_cpus, page_cpus).
 
-    The MAIN pool is fixed-size — autoscaling (1, N) pools ramp too
-    slowly to ever reach size on short jobs. The PAGE pool autoscales
-    (1, max): the skew branch carries only a few % of the work and its
-    units arrive late (behind the scan), so a fixed page pool spent the
-    whole main phase reserving idle CPUs — measured ~20% of the node at
-    32 CPUs, a cost the 8-CPU leg (page pool 1) never paid, directly
-    depressing 8→32 scaling. Only the 1-actor floor is budgeted; the
-    main pool gets the rest minus the free slots.
+    BOTH pools autoscale with a SMALL min. This is not (only) about
+    ramp: Ray Data's ReservationOpResourceAllocator reserves each map
+    operator's `min_max_resource_requirements()` — for a FIXED-size
+    actor pool that minimum is the ENTIRE pool (pool_size × num_cpus),
+    so a fixed 29-actor pool on a 32-CPU node left ~3 CPUs of budget
+    for every other operator in the DAG: the read crawled, the skew
+    branch ran essentially AFTER the main branch, and the write
+    operator drained one block at a time through the backpressure
+    escape hatch. Measured (20k-doc corpus, interleaved A/B in one
+    session): fixed main pool 10.5-12.2 s end-to-end vs autoscaling
+    (4, max) 3.7 s — the round-3 headline regression. An autoscaling
+    pool reserves only its min; it still scales into the allocator's
+    shared budget up to max when the input queue builds (verified to
+    reach full width on the 200k-doc scaling corpus).
 
-    cpus_per_actor drops to 0.5 on degenerate nodes (< 4 CPUs), where
-    the two pool floors (main 1 + page 1) would otherwise reserve the
-    whole node and hang the scan (reproduced at num_cpus=2)."""
+    The page pool additionally runs at num_cpus=0.5: its actors are
+    busy only while a giant PDF's pages stream through, and halving
+    the logical claim lets the skew branch coexist with the main pool
+    instead of queueing behind it.
+
+    Degenerate nodes (< 4 CPUs): both pools pin to a single
+    0.5-CPU actor so at least one full CPU stays free for stateless
+    tasks (a full-CPU floor deadlocked the scan at num_cpus=2)."""
     import ray as _ray
 
     ncpu = 8
     if _ray.is_initialized():
         ncpu = int(_ray.cluster_resources().get("CPU", ncpu))
     if ncpu < 4:
-        return 1, 1, 0.5
-    free = max(1, ncpu // 16)
-    main_pool = max(1, min(cfg.extract_concurrency, ncpu - 1 - free))
-    page_pool_max = max(1, (ncpu * 3) // 16)
-    return main_pool, page_pool_max, 1.0
+        return (1, 1), (1, 1), 0.5, 0.5
+    free = max(2, ncpu // 8)
+    main_max = max(1, min(cfg.extract_concurrency, ncpu - 1 - free))
+    main_min = min(main_max, max(2, ncpu // 8))
+    page_max = max(1, (ncpu * 3) // 16)
+    return (main_min, main_max), (1, page_max), 1.0, 0.5
 
 
 def build_extracted(
@@ -795,7 +806,7 @@ def build_extracted(
     the SKEW scan (page_count above the explode threshold — a fixed
     small fraction) feeds explode → page pool → groupby(doc_id)
     reassembly, the mandated skew shuffle."""
-    main_pool, page_pool, actor_cpus = _pool_sizes(cfg)
+    main_pool, page_pool, main_cpus, page_cpus = _pool_sizes(cfg)
 
     import pyarrow.dataset as _pads
 
@@ -821,7 +832,7 @@ def build_extracted(
         .map_batches(
             UnifiedExtractor, fn_constructor_args=(cfg,), batch_format="pyarrow",
             batch_size=cfg.extract_batch_size, concurrency=main_pool,
-            num_cpus=actor_cpus,
+            num_cpus=main_cpus,
         )
     )
     skew_ds = (
@@ -832,10 +843,10 @@ def build_extracted(
         # (tiny) unit stream across the page pool or a single actor
         # OCRs every giant serially — this repartition IS the skew
         # load-balancing step and costs ~nothing (unit rows are small)
-        .repartition(page_pool * 4)
+        .repartition(page_pool[1] * 4)
         .map_batches(
             PageExtractor, fn_constructor_args=(cfg,), batch_format="pyarrow",
-            batch_size=32, concurrency=(1, page_pool), num_cpus=actor_cpus,
+            batch_size=32, concurrency=page_pool, num_cpus=page_cpus,
         )
         .groupby("doc_id")
         .map_groups(make_reassemble_fn(cfg), batch_format="pyarrow")

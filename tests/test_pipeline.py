@@ -150,12 +150,18 @@ def test_pool_sizes_never_reserve_every_cpu(ray_session, monkeypatch):
     cfg = ExtractionConfig()
     for ncpu in (2, 3):
         monkeypatch.setattr(_ray, "cluster_resources", lambda n=ncpu: {"CPU": n})
-        m, p, c = extract._pool_sizes(cfg)
-        assert (m, p, c) == (1, 1, 0.5), ncpu
-        assert m * c + p * c <= ncpu - 1
+        m, p, mc, pc = extract._pool_sizes(cfg)
+        assert (m, p, mc, pc) == ((1, 1), (1, 1), 0.5, 0.5), ncpu
+        assert m[1] * mc + p[1] * pc <= ncpu - 1
     for ncpu in (4, 8, 32):
         monkeypatch.setattr(_ray, "cluster_resources", lambda n=ncpu: {"CPU": n})
-        m, p, c = extract._pool_sizes(cfg)
-        assert c == 1.0
-        # main pool + the page pool's 1-actor floor leave ≥1 CPU free
-        assert m + 1 <= ncpu - 1, ncpu
+        m, p, mc, pc = extract._pool_sizes(cfg)
+        assert mc == 1.0 and pc == 0.5
+        # the RESERVED floor (pool mins — what the allocator budgets
+        # for the whole run) must leave real task headroom: the
+        # round-3 fixed main pool reserved ncpu-3 of 32 CPUs and
+        # serialized the skew branch behind the main one
+        reserved = m[0] * mc + p[0] * pc
+        assert reserved <= ncpu * 0.5, ncpu
+        # and the max widths still leave ≥1 CPU for stateless tasks
+        assert m[1] * mc + 1 <= ncpu - 1, ncpu
