@@ -280,17 +280,25 @@ def _assign(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return np.argmin(d2, axis=1)  # argmin takes the FIRST min → lower c
 
 
-def _train_centroids(ds: "ray.data.Dataset", sf_dir: str) -> np.ndarray:
+def _train_centroids(
+    ds: "ray.data.Dataset", sf_dir: str, k: int = KM_K
+) -> np.ndarray:
     """KM_ITERS exact-integer k-means passes (seed = anchor vectors,
     assign by squared L2, centroid update = truncating integer division
     of coordinate sums — matches DuckDB's `//`). Each pass is a
     fixed-size (k × dim) integer aggregate: per-batch partial sums,
-    tiny driver reduce holding k·dim ints — NOT O(n) state."""
+    tiny driver reduce holding k·dim ints — NOT O(n) state.
+
+    ``k`` is the nlist dial: the oracle queries train the default
+    KM_K(=8)-cell quantizer seeded from the anchor block; a scale run
+    passes k ~ corpus_size / target_cell_size (SemDeDup used 50k cells
+    for 100M items) and seeds from the k vec_ids starting at
+    ANCHOR_LO, which stays deterministic for any k."""
     import pyarrow.parquet as _pq
 
     seed_tbl = _pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
-        filters=[("vec_id", ">=", ANCHOR_LO), ("vec_id", "<", ANCHOR_LO + KM_K)],
+        filters=[("vec_id", ">=", ANCHOR_LO), ("vec_id", "<", ANCHOR_LO + k)],
     ).sort_by("vec_id")
     cents = _quantize(np.array(seed_tbl.column("embedding").to_pylist(), dtype=np.float64))
     dim = cents.shape[1]
@@ -320,8 +328,8 @@ def _train_centroids(ds: "ray.data.Dataset", sf_dir: str) -> np.ndarray:
             )
 
         parts = ds.map_batches(partial_sums, batch_format="pyarrow").take_all()
-        sums = np.zeros((KM_K, dim), dtype=np.int64)
-        counts = np.zeros(KM_K, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
         for r in parts:
             sums[r["c"]] += np.array(r["s"], dtype=np.int64)
             counts[r["c"]] += r["n"]
@@ -435,7 +443,13 @@ def ann_topk_ivf_kmeans_probe2(
     return _ann_ivf_kmeans(sf_dir, k, 2)
 
 
-def semdedup(sf_dir: str) -> "ray.data.Dataset":
+SEMDEDUP_BLOCK = 1024   # pairwise tile width — caps the sim matrix
+                        # at block² floats regardless of cell size
+
+
+def semdedup(
+    sf_dir: str, nlist: int = KM_K, block: int = SEMDEDUP_BLOCK
+) -> "ray.data.Dataset":
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — public): cluster the embedding space with the
     SAME exact-integer k-means quantizer the IVF index trains, then
@@ -445,18 +459,26 @@ def semdedup(sf_dir: str) -> "ray.data.Dataset":
     kept) — ``kept == 0`` rows are the semantic duplicates a curation
     pass drops.
 
-    Scale shape: training is KM_ITERS fixed-size (k × dim) integer
+    Scale shape: training is KM_ITERS fixed-size (nlist × dim) integer
     aggregates (never O(n) driver state); assignment is one vectorized
-    pass; the only shuffle is groupby(cell), and the per-cluster
-    pairwise that follows is the published algorithm's own execution
-    shape — nlist scales with corpus size so E[cell size] stays
-    bounded (the paper used 50k clusters for 100M items; KM_K here
-    mirrors the 8-cell oracle). Embeddings ride that one shuffle
-    because within-cell pairwise needs them co-located."""
+    pass; the only shuffle is groupby(cell). Two explicit dials keep
+    the within-cell stage bounded at 10^12 rows:
+
+    - ``nlist`` — cells scale with corpus size so E[cell size] stays
+      fixed (the paper used 50k clusters for 100M items; the default
+      mirrors the 8-cell oracle). A cell must fit one map_groups task:
+      nlist ≈ corpus_size / target_cell_rows.
+    - ``block`` — the within-cell pairwise runs as block × block
+      TILES over the id-sorted cell matrix, feeding a running
+      union-find; peak memory is block² floats + the cell's own
+      embeddings, never cell² (the round-3 dense `mat @ mat.T` OOMed
+      at 100× cell growth). Tiling visits the identical i<j edge set,
+      so components and min-id reps are bit-equal to the dense path.
+    """
     from .dedup import EMBED_COS_THRESHOLD, _normalized_matrix, _UnionFind
 
     ds = _read_embeddings(sf_dir)
-    cents = _train_centroids(ds, sf_dir)
+    cents = _train_centroids(ds, sf_dir, nlist)
     cref = ray.put(cents)
 
     def assign_rows(batch: pa.Table) -> pa.Table:
@@ -469,18 +491,32 @@ def semdedup(sf_dir: str) -> "ray.data.Dataset":
 
     def cell_dedup(group: pa.Table) -> pa.Table:
         ids, mat = _normalized_matrix(group)
-        sims = mat @ mat.T
-        ii, jj = np.nonzero(
-            (sims >= EMBED_COS_THRESHOLD) & (ids[:, None] < ids[None, :])
-        )
+        order = np.argsort(ids)         # deterministic tiling order
+        ids, mat = ids[order], mat[order]
+        m = len(ids)
         uf = _UnionFind()
-        for a, b in zip(ids[ii].tolist(), ids[jj].tolist()):
-            uf.union(a, b)
+        for a0 in range(0, m, block):
+            a1 = min(a0 + block, m)
+            left = mat[a0:a1]
+            # j tiles start at the i tile: ids are sorted, so every
+            # i<j pair lives in the upper triangle of some tile pair
+            for b0 in range(a0, m, block):
+                b1 = min(b0 + block, m)
+                sims = left @ mat[b0:b1].T
+                ii, jj = np.nonzero(
+                    (sims >= EMBED_COS_THRESHOLD)
+                    & (ids[a0:a1, None] < ids[None, b0:b1])
+                )
+                for a, b in zip(
+                    ids[a0 + ii].tolist(), ids[b0 + jj].tolist()
+                ):
+                    uf.union(a, b)
         rep = np.array([uf.find(int(i)) for i in ids], dtype=np.int64)
+        cells = group.column("cell").to_numpy(zero_copy_only=False)[order]
         return pa.table(
             {
                 "vec_id": pa.array(ids, pa.int64()),
-                "cell": group.column("cell"),
+                "cell": pa.array(cells, pa.int64()),
                 "rep_id": pa.array(rep, pa.int64()),
                 "kept": pa.array((rep == ids).astype(np.int64), pa.int64()),
             }

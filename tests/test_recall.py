@@ -82,3 +82,35 @@ def test_kmeans_ivf_high_recall_on_clustered_embeddings(ray_session, clustered_d
     }
     r_kmeans = _recall(similarity.ann_topk_ivf_kmeans(clustered_dir), exact)
     assert r_kmeans >= 0.8, r_kmeans
+
+
+def _semdedup_rows(ds):
+    return sorted(
+        (r["vec_id"], r["cell"], r["rep_id"], r["kept"])
+        for r in ds.take_all()
+    )
+
+
+def test_semdedup_blockwise_tiling_matches_dense(ray_session):
+    """The block × block tiled pairwise (scale path for the round-3
+    dense cell² sim matrix) must produce bit-identical components:
+    a tiny 7-row tile forces many partial tiles, a huge one degenerates
+    to the dense single-tile path."""
+    tiny = _semdedup_rows(similarity.semdedup(SF, block=7))
+    dense = _semdedup_rows(similarity.semdedup(SF, block=1 << 30))
+    assert tiny == dense
+    assert len(tiny) > 0
+
+
+def test_semdedup_nlist_dial(ray_session):
+    """nlist is the scale dial (cells ~ corpus / target cell size):
+    a 16-cell run still assigns every vector exactly once and keeps
+    exactly one representative per (cell, rep) component."""
+    rows = _semdedup_rows(similarity.semdedup(SF, nlist=16))
+    base = _semdedup_rows(similarity.semdedup(SF))
+    assert len(rows) == len(base)  # every vector covered, both ways
+    cells = {c for _, c, _, _ in rows}
+    assert len(cells) > 8  # the dial actually widened the quantizer
+    reps = {(c, rp) for _, c, rp, _ in rows}
+    kept = {(c, rp) for _, c, rp, k in rows if k == 1}
+    assert reps == kept  # one kept representative per component
