@@ -676,7 +676,9 @@ def make_reassemble_fn(cfg: ExtractionConfig):
 # assembly
 # ---------------------------------------------------------------------------
 
-def load_documents(path: str, row_filter=None) -> "ray.data.Dataset":
+def load_documents(
+    path: str, row_filter=None, row_filter_sql: str | None = None
+) -> "ray.data.Dataset":
     """Column-pruned (and optionally row-filtered) read with block
     count scaled to the cluster.
 
@@ -705,6 +707,7 @@ def load_documents(path: str, row_filter=None) -> "ray.data.Dataset":
         path,
         columns=["doc_id", "spans", "mime_type", "file_size", "page_count"],
         row_filter=row_filter,
+        row_filter_sql=row_filter_sql,
         override_num_blocks=max(16, ncpu * per_cpu),
     )
 
@@ -811,12 +814,14 @@ def build_extracted(
     import pyarrow.dataset as _pads
 
     def branch(route: str):
-        row_filter = (
-            _pads.field("page_count") > cfg.page_explode_threshold
-            if route == "skew"
-            else _pads.field("page_count") <= cfg.page_explode_threshold
-        )
-        ds = load_documents(path, row_filter=row_filter)
+        thr = cfg.page_explode_threshold
+        if route == "skew":
+            row_filter = _pads.field("page_count") > thr
+            row_sql = f"page_count > {thr}"
+        else:
+            row_filter = _pads.field("page_count") <= thr
+            row_sql = f"page_count <= {thr}"
+        ds = load_documents(path, row_filter=row_filter, row_filter_sql=row_sql)
         # batch_size=None → one batch per block: a larger batch_size
         # here makes operator fusion BUNDLE read blocks into that many
         # rows per downstream actor task, collapsing 160 blocks to ~18

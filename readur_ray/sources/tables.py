@@ -36,9 +36,16 @@ def read_table(
     columns: list[str] | None = None,
     row_filter=None,
     override_num_blocks: int | None = None,
+    row_filter_sql: str | None = None,
 ) -> "ray.data.Dataset":
     """Format-dispatching read with pushdown. `row_filter` is a
-    pyarrow.dataset expression (both readers accept it)."""
+    pyarrow.dataset expression (the parquet reader's pushdown form);
+    `row_filter_sql` is the SAME predicate as a SQL string, which is
+    what `ray.data.read_lance` pushes down. Callers with a filter pass
+    both spellings; omitting `row_filter_sql` on a Lance dataset is
+    still CORRECT whenever the caller re-applies the predicate
+    in-stream (extraction's route_filter does) — only the row-group
+    pruning is lost."""
     if is_lance_dataset(path):
         if not lance_available():
             raise NotImplementedError(
@@ -51,6 +58,8 @@ def read_table(
             kwargs["columns"] = columns
         if override_num_blocks is not None:
             kwargs["override_num_blocks"] = override_num_blocks
+        if row_filter_sql is not None:
+            kwargs["filter"] = row_filter_sql
         return ray.data.read_lance(path, **kwargs)
     return ray.data.read_parquet(
         path,
