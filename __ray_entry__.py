@@ -195,6 +195,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf_kmeans": similarity.ann_topk_ivf_kmeans,
         "dedup_embedding": dedup.embedding_neardup_pairs,
         "ann_lsh_buckets": similarity.lsh_buckets,
+        # (embed_documents is the documents→embeddings PRODUCTION stage
+        # — signed feature hashing in an actor pool; its md5
+        # bucket/sign arithmetic is the driver-checked fingerprints /
+        # leakage_split md5-hash primitive applied per token)
+        "embed_documents": textops.embed_documents,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -1355,6 +1360,31 @@ def oracle_sql() -> dict[str, str]:
                     WHEN bucket < 90 THEN 'val'
                     ELSE 'test' END AS split
         FROM b
+    """
+
+    # embed_documents: the signed-feature-hashing featurizer is pure
+    # md5 integer arithmetic (bucket = md5(tok)[:8] % dim, sign = 9th
+    # nibble parity), so the whole production stage is reproduced
+    # exactly. LONG (doc_id, bucket, value) output — scalar columns
+    # hash-compare robustly.
+    sql["embed_documents"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(
+                     text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS t
+          FROM documents
+        ),
+        hb AS (
+          SELECT doc_id,
+                 CAST(CAST('0x' || substr(md5(t), 1, 8) AS UBIGINT) % 16
+                      AS BIGINT) AS bucket,
+                 CASE WHEN CAST('0x' || substr(md5(t), 9, 1) AS UBIGINT)
+                           % 2 = 0
+                      THEN 1 ELSE -1 END AS sgn
+          FROM toks
+        )
+        SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS value
+        FROM hb GROUP BY doc_id, bucket
     """
 
     # extraction_e2e / extraction_summary: hermetic media engines → not

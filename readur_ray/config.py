@@ -93,6 +93,10 @@ class ExtractionConfig:
     # the image-OCR actor (settings.rs enable_image_preprocessing; the
     # hermetic path decodes a deterministic synthetic array)
     enable_image_preprocessing: bool = False
+    # persist ProcessedImage lineage rows (processed-artifact pointer,
+    # dims, steps) in the EXTRACTED output + a side table at finalize
+    # (settings.rs save_processed_images; document.rs:194-238)
+    save_processed_images: bool = False
 
     # Simulated OCR compute per page/image (ms of core occupancy), off
     # by default. The hermetic engines parse in ~µs where real

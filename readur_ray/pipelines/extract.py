@@ -55,7 +55,7 @@ from ..functions.hashing import merkle_from_span_hashes
 from ..functions.plaintext import extract_plain_text, extract_plain_text_array
 from ..functions.quality import validate_ocr_quality
 from ..functions.wordcount import count_words_safely
-from ..schema import EXTRACTED, OUT_SPAN
+from ..schema import EXTRACTED, OUT_SPAN, PROCESSED_IMAGE
 from ..sources.media import make_resolver
 from ..stages.engines import make_image_engine, make_pdf_engine
 from .. import synth
@@ -262,6 +262,9 @@ def make_extract_text_fn(cfg: ExtractionConfig):
                 "pages_ocrd": pa.array(
                     np.zeros(n_docs, dtype=np.int32), pa.int32()
                 ),
+                "processed_images": pa.array(
+                    [[]] * n_docs, pa.list_(PROCESSED_IMAGE)
+                ),
                 "part_id": batch.column("part_id"),
             },
             schema=EXTRACTED,
@@ -327,7 +330,7 @@ class DocExtractor:
 
     def _one_span(self, span: dict, mime: str = "", ucfg: ExtractionConfig | None = None):
         """→ (out_span_dict, confidence, word_count, payload_sha256_hex,
-        preprocessing_steps, pages_ocrd)."""
+        preprocessing_steps, pages_ocrd, processed_image_row_or_None)."""
         cfg = ucfg or self.cfg
         if span["kind"] == "text" and mime == "text/html":
             # north-star HTML branch: DOM text-density boilerplate strip
@@ -340,6 +343,7 @@ class DocExtractor:
             digest = hashlib.sha256(raw).hexdigest()
             prep = ["HTML main-content extraction (text-density)"]
             pages = 0
+            pimg = None
         elif span["kind"] == "text":
             raw = span["text"].encode("utf-8", errors="surrogatepass")
             text = extract_plain_text(span["text"])
@@ -348,6 +352,7 @@ class DocExtractor:
             digest = hashlib.sha256(raw).hexdigest()
             prep = ["Plain text read"]
             pages = 0
+            pimg = None
         else:
             ref = span["media_ref"]
             payload = self.resolver.fetch(ref)
@@ -360,6 +365,18 @@ class DocExtractor:
             text, conf, kind, wc = res.text, res.confidence, res.kind, res.word_count
             prep = list(res.preprocessing_applied)
             pages = res.pages_ocrd
+            pimg = None
+            if cfg.save_processed_images and res.processed_dims is not None:
+                # ProcessedImage row (document.rs:194-238): the artifact
+                # ref is a pure function of the payload hash, so resume
+                # and re-runs point at the same object
+                pw, ph, nbytes = res.processed_dims
+                pimg = {
+                    "media_ref": ref,
+                    "processed_image_ref": f"processed/{digest[:16]}.png",
+                    "image_width": pw, "image_height": ph,
+                    "file_size": nbytes, "steps": prep,
+                }
         if text.strip() == "":
             raise ExtractionError("No extractable text found in document (0 words)")
         ok, _ = validate_ocr_quality(text, conf, wc, cfg.ocr_min_confidence)
@@ -369,7 +386,7 @@ class DocExtractor:
             )
         out = {"kind": kind, "text": text, "media_ref": span["media_ref"],
                "offset": span["offset"]}
-        return out, conf, wc, digest, prep, pages
+        return out, conf, wc, digest, prep, pages, pimg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
@@ -392,12 +409,13 @@ class DocExtractor:
             out_spans, confs, words, digests = [], [], 0, []
             prep_steps: list[str] = []
             pages_ocrd = 0
+            pimgs: list[dict] = []
             if mime not in _ALLOWED_MIMES:
                 status, reason, stage = "failed", "unsupported_format", "validation"
             else:
                 try:
                     for span in sorted(spans, key=lambda s: s["offset"]):
-                        o, c, w, d, p, pg = self._with_retry(
+                        o, c, w, d, p, pg, pi = self._with_retry(
                             self._one_span, span, mime, ucfg, ucfg=ucfg
                         )
                         out_spans.append(o)
@@ -406,12 +424,15 @@ class DocExtractor:
                         digests.append(d)
                         prep_steps.extend(p)
                         pages_ocrd += pg
+                        if pi is not None:
+                            pimgs.append(pi)
                 except ExtractionError as e:
                     status = "failed"
                     reason, stage = failure_for_message(str(e))
                     out_spans, confs, words, digests = [], [], 0, []
                     prep_steps = []
                     pages_ocrd = 0
+                    pimgs = []
             out["doc_id"].append(doc_id)
             out["spans"].append(out_spans)
             out["status"].append(status)
@@ -426,6 +447,7 @@ class DocExtractor:
             out["dedup_status"].append("kept")
             out["preprocessing_applied"].append(_unique_in_order(prep_steps))
             out["pages_ocrd"].append(pages_ocrd)
+            out["processed_images"].append(pimgs)
             out["part_id"].append(part)
         return pa.table(out, schema=EXTRACTED)
 
@@ -611,6 +633,9 @@ def make_reassemble_fn(cfg: ExtractionConfig):
                         [prep or []], pa.list_(pa.string())
                     ),
                     "pages_ocrd": pa.array([pages], pa.int32()),
+                    "processed_images": pa.array(
+                        [[]], pa.list_(PROCESSED_IMAGE)
+                    ),
                     "part_id": pa.array([part], pa.int32()),
                 },
                 schema=EXTRACTED,

@@ -63,6 +63,19 @@ def _has_parquet(path: str) -> bool:
     return False
 
 
+_PIMG_TABLE = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("processed_image_ref", pa.string()),
+        ("image_width", pa.int32()),
+        ("image_height", pa.int32()),
+        ("file_size", pa.int64()),
+        ("steps", pa.list_(pa.string())),
+    ]
+)
+
+
 def _read_extracted_or_empty(path: str, columns: list[str] | None = None):
     """read_parquet that tolerates a committed-but-EMPTY chunk dir:
     a zero-row write_parquet creates no files (reproduced on an empty
@@ -373,10 +386,49 @@ def run_finalize_phase(
     import pyarrow.parquet as pq
 
     pq.write_table(metrics_table, os.path.join(out_dir, "metrics.parquet"))
+
+    pimg_rows = 0
+    if cfg.save_processed_images:
+        # ProcessedImage side table (db/images.rs create_processed_image):
+        # explode the per-doc lineage lists into one row per processed
+        # artifact — a pruned-column streaming pass, never the payloads
+        def explode_pimgs(batch: pa.Table) -> pa.Table:
+            out = {"doc_id": [], "media_ref": [], "processed_image_ref": [],
+                   "image_width": [], "image_height": [], "file_size": [],
+                   "steps": []}
+            for doc_id, lst in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("processed_images").to_pylist(),
+            ):
+                for r in lst or []:
+                    out["doc_id"].append(doc_id)
+                    for k in ("media_ref", "processed_image_ref",
+                              "image_width", "image_height", "file_size",
+                              "steps"):
+                        out[k].append(r[k])
+            return pa.table(out, schema=_PIMG_TABLE)
+
+        pimg_dir = os.path.join(out_dir, "processed_images")
+        ptmp = pimg_dir + ".tmp"
+        shutil.rmtree(ptmp, ignore_errors=True)
+        pimg_ds = _read_extracted_or_empty(
+            final_dir, columns=["doc_id", "processed_images"]
+        ).map_batches(explode_pimgs, batch_format="pyarrow")
+        pimg_ds.write_parquet(ptmp)
+        os.makedirs(ptmp, exist_ok=True)
+        shutil.rmtree(pimg_dir, ignore_errors=True)
+        os.rename(ptmp, pimg_dir)
+        pimg_rows = sum(
+            b.num_rows for b in _read_extracted_or_empty(
+                pimg_dir, columns=["doc_id"]
+            ).iter_batches(batch_format="pyarrow")
+        )
+
     summary = {
         "duplicate_groups": dup_groups,
         "final_dir": final_dir,
         "metrics_rows": metrics_table.num_rows,
+        "processed_image_rows": pimg_rows,
     }
     ledger.append_entry(out_dir, {"kind": "finalize", **summary})
     # W6: fold chunk entries older than the TTL into one snapshot line

@@ -367,3 +367,72 @@ def redact_pii(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+EMBED_DIM = 16  # feature-hashing dimensionality (the scale dial)
+
+
+class HashEmbedder:
+    """Document → sparse embedding GENERATION via the signed hashing
+    trick (Weinberger et al. 2009, arXiv:0902.2206 — public): token t
+    contributes sign(md5(t)) to dimension md5(t) % dim. Emitted LONG
+    (doc_id, bucket, value) with exact-integer values, so the DuckDB
+    oracle reproduces the whole featurization bit-for-bit.
+
+    Stateful actor-pool stage: the token → (bucket, sign) map is a
+    per-actor cache (a Zipfian corpus re-hashes the same head tokens
+    ~every batch; the cache turns md5 calls into dict hits). At 10^12
+    docs this is a single embarrassingly-parallel pass — no shuffle —
+    and dim is the only scale knob (the paper's setting: dim 2^18+ for
+    real models; 16 here keeps the oracle's cross join tiny)."""
+
+    def __init__(self, dim: int = EMBED_DIM):
+        import re as _re
+
+        from ..functions.textstats import BPE_TOKEN_PATTERN
+
+        self.dim = dim
+        self._re = _re.compile(BPE_TOKEN_PATTERN)
+        self._cache: dict[str, tuple[int, int]] = {}
+
+    def _tok(self, t: str) -> tuple[int, int]:
+        r = self._cache.get(t)
+        if r is None:
+            h = hashlib.md5(t.encode()).hexdigest()
+            r = (int(h[:8], 16) % self.dim, 1 if int(h[8], 16) % 2 == 0 else -1)
+            if len(self._cache) < 1_000_000:  # bound actor heap
+                self._cache[t] = r
+        return r
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        take_idx: list[int] = []
+        out_b: list[int] = []
+        out_v: list[int] = []
+        for i, text in enumerate(batch.column("text").to_pylist()):
+            acc: dict[int, int] = {}
+            for t in self._re.findall(text or ""):
+                b, s = self._tok(t)
+                acc[b] = acc.get(b, 0) + s
+            for b in sorted(acc):
+                take_idx.append(i)
+                out_b.append(b)
+                out_v.append(acc[b])
+        return pa.table(
+            {
+                # doc_id keeps the source column's type (int or string)
+                "doc_id": batch.column("doc_id").take(pa.array(take_idx)),
+                "bucket": pa.array(out_b, pa.int64()),
+                "value": pa.array(out_v, pa.int64()),
+            }
+        )
+
+
+def embed_documents(sf_dir: str, dim: int = EMBED_DIM) -> "ray.data.Dataset":
+    """The documents → embeddings production stage (what populated an
+    `embeddings` table in the first place), as an actor-pool
+    map_batches over (doc_id, text)."""
+    ds = read_documents(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        HashEmbedder, fn_constructor_args=(dim,), batch_format="pyarrow",
+        concurrency=(1, 8),
+    )

@@ -49,6 +49,17 @@ OUT_SPAN = pa.struct(
     ]
 )
 
+PROCESSED_IMAGE = pa.struct(
+    [
+        ("media_ref", pa.string()),           # original image locator
+        ("processed_image_ref", pa.string()), # deterministic artifact pointer
+        ("image_width", pa.int32()),          # processed dimensions
+        ("image_height", pa.int32()),
+        ("file_size", pa.int64()),            # processed payload bytes
+        ("steps", pa.list_(pa.string())),     # the P1-P12 steps applied
+    ]
+)
+
 EXTRACTED = pa.schema(
     [
         ("doc_id", pa.string()),
@@ -68,6 +79,13 @@ EXTRACTED = pa.schema(
                                              # across all spans (north-star
                                              # metrics field; 0 for text-layer
                                              # / plain-text / byte-scan docs)
+        ("processed_images", pa.list_(PROCESSED_IMAGE)),
+                                             # ProcessedImage lineage rows
+                                             # (document.rs:194-238): one per
+                                             # image span whose preprocessing
+                                             # produced a new artifact; kept
+                                             # only when cfg.save_processed_images
+                                             # (settings.rs save_processed_images)
         ("part_id", pa.int32()),             # hash(doc_id) % num_output_partitions
     ]
 )

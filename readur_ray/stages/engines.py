@@ -89,6 +89,11 @@ class EngineResult:
     processing_time_ms: int = 0
     pages_ocrd: int = 0          # pages actually run through OCR (north-star
                                  # metrics field; 0 for text-layer/byte-scan)
+    processed_dims: tuple[int, int, int] | None = None
+                                 # (width, height, bytes) of the PREPROCESSED
+                                 # image when preprocessing produced a new
+                                 # artifact (OcrResult.processed_image_path,
+                                 # enhanced.rs:96-108); None otherwise
 
 
 class HermeticPdfEngine:
@@ -213,6 +218,7 @@ class HermeticImageOcrEngine:
                 f"Image too large: {w}x{h} (max: {max_w}x{max_h})"
             )
         prep: list[str] = []
+        pdims: tuple[int, int, int] | None = None
         if self.cfg.enable_image_preprocessing:
             # full P1-P12 chain over the (synthetic) decoded array; the
             # hermetic decode is capped at 384px per side so the chain
@@ -220,9 +226,14 @@ class HermeticImageOcrEngine:
             from .preprocess import preprocess_image, synth_gray_image
 
             arr = synth_gray_image(payload, min(w, 384), min(h, 384))
-            _, _, prep = preprocess_image(arr, self.cfg.preprocess_settings())
+            out_arr, _, prep = preprocess_image(
+                arr, self.cfg.preprocess_settings()
+            )
             if h > 0 and w / h > 2.0 and "orientation_correction" not in prep:
                 prep.insert(0, "orientation_correction")
+            if prep:  # a new artifact exists only if any step ran
+                ph, pw = out_arr.shape[:2]
+                pdims = (int(pw), int(ph), int(out_arr.nbytes))
         else:
             if h > 0 and w / h > 2.0:
                 prep.append("orientation_correction(rotate90)")   # P1
@@ -233,7 +244,8 @@ class HermeticImageOcrEngine:
         text = base64.b64decode(data.group(1)).decode("utf-8", errors="ignore")
         wc = count_words_safely(text)
         ms = int((time.perf_counter() - t0) * 1000)
-        return EngineResult(text, conf, "ocr_text", wc, prep, ms, pages_ocrd=1)
+        return EngineResult(text, conf, "ocr_text", wc, prep, ms, pages_ocrd=1,
+                            processed_dims=pdims)
 
 
 def _printable_runs_text(payload: bytes) -> str:
@@ -353,15 +365,20 @@ class RealTesseractEngine:
             raise ExtractionError(f"Image too large: {w}x{h} (max: {max_w}x{max_h})")
         arr = np.asarray(img.convert("L"))
         prep: list[str] = []
+        pdims: tuple[int, int, int] | None = None
         if self.cfg.enable_image_preprocessing:
             from .preprocess import preprocess_image
 
             arr, _, prep = preprocess_image(arr, self.cfg.preprocess_settings())
+            if prep:
+                ph, pw = arr.shape[:2]
+                pdims = (int(pw), int(ph), int(arr.nbytes))
         text, conf = self._tess.ocr_array(arr)
         text = text.strip()
         wc = count_words_safely(text)
         ms = int((time.perf_counter() - t0) * 1000)
-        return EngineResult(text, conf, "ocr_text", wc, prep, ms, pages_ocrd=1)
+        return EngineResult(text, conf, "ocr_text", wc, prep, ms, pages_ocrd=1,
+                            processed_dims=pdims)
 
 
 class RealPdfEngine:

@@ -67,6 +67,7 @@ SUBSET = [
     "ann_topk_ivf_kmeans",
     "dedup_embedding",
     "ann_lsh_buckets",
+    "embed_documents",
 ]
 
 

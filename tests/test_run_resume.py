@@ -216,3 +216,53 @@ def test_run_extraction_empty_corpus(ray_session, tmp_path):
     assert os.path.isdir(summary["final_dir"])
     mt = pq.read_table(str(out / "metrics.parquet"))
     assert mt.num_rows == 0 and "pages_ocrd" in mt.column_names
+
+
+def test_processed_image_lineage_side_table(ray_session, sharded_corpus,
+                                            tmp_path):
+    """ProcessedImage lineage (document.rs:194-238): with
+    save_processed_images + preprocessing on, every completed image doc
+    whose preprocessing ran gets a side-table row with a deterministic
+    artifact ref, processed dims, and the steps; with the flag off
+    (default) the column stays empty and no side table is written."""
+    out = str(tmp_path / "pimg_on")
+    cfg = ExtractionConfig(
+        enable_image_preprocessing=True, save_processed_images=True
+    )
+    summary = run_extraction(sharded_corpus, out, cfg, n_chunks=2)
+    assert summary["processed_image_rows"] > 0
+    side = pq.read_table(os.path.join(out, "processed_images"))
+    assert summary["processed_image_rows"] == side.num_rows
+    rows = side.to_pylist()
+    for r in rows:
+        assert r["processed_image_ref"].startswith("processed/")
+        assert r["processed_image_ref"].endswith(".png")
+        assert r["image_width"] > 0 and r["image_height"] > 0
+        assert r["file_size"] > 0
+        assert r["steps"]
+        assert r["media_ref"].startswith("synth://")
+    # the side table is exactly the explode of the final/ column
+    fin = pq.read_table(
+        os.path.join(out, "final"), columns=["doc_id", "processed_images"]
+    ).to_pylist()
+    want = sorted(
+        (d["doc_id"], p["processed_image_ref"])
+        for d in fin for p in d["processed_images"]
+    )
+    assert want == sorted((r["doc_id"], r["processed_image_ref"]) for r in rows)
+    # deterministic ref: same payload -> same pointer across runs
+    out2 = str(tmp_path / "pimg_on2")
+    run_extraction(sharded_corpus, out2, cfg, n_chunks=2)
+    side2 = pq.read_table(os.path.join(out2, "processed_images"))
+    assert sorted(side2.to_pylist(), key=lambda r: r["doc_id"]) == sorted(
+        rows, key=lambda r: r["doc_id"]
+    )
+
+    out_off = str(tmp_path / "pimg_off")
+    s2 = run_extraction(sharded_corpus, out_off, ExtractionConfig(), n_chunks=2)
+    assert s2["processed_image_rows"] == 0
+    assert not os.path.exists(os.path.join(out_off, "processed_images"))
+    fin_off = pq.read_table(
+        os.path.join(out_off, "final"), columns=["processed_images"]
+    )
+    assert all(not r["processed_images"] for r in fin_off.to_pylist())
