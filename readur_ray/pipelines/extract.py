@@ -803,10 +803,24 @@ def _pool_sizes(
     shared budget up to max when the input queue builds (verified to
     reach full width on the 200k-doc scaling corpus).
 
-    The page pool additionally runs at num_cpus=0.5: its actors are
-    busy only while a giant PDF's pages stream through, and halving
-    the logical claim lets the skew branch coexist with the main pool
-    instead of queueing behind it.
+    Ramp vs reservation, the second constraint: Ray's actor autoscaler
+    adds ONE actor per decision and no-ops while any actor is pending
+    (default_actor_autoscaler.py "pending actors") — so ramping from a
+    tiny min costs ~1 actor per actor-startup (~1.5 s), and a 32-CPU
+    long job plateaued at 13 of 27 actors (measured 1,078 docs/s vs a
+    full-width fixed pool's 1,786). But a pool BELOW its min scales to
+    min in ONE parallel burst. The min is therefore set to ~half the
+    node's actor budget: instant parallel ramp to useful width, serial
+    autoscaling tops it off on long jobs, and at num_cpus=0.5 the
+    reserved floor stays ~22% of the node so sibling operators never
+    starve. Measured (union DAG, one session, interleaved): long job
+    35-37 s vs 48-50 s for a min=4 pool; short job within ~3 s of it.
+
+    Both pools run at num_cpus=0.5: single-threaded Python actors do
+    not need a full logical core reserved, and halving the claim both
+    halves the reserved floor and lets main + page + stateless tasks
+    coexist. Ray Core still places by PHYSICAL logical CPUs, so the
+    node cannot be oversubscribed beyond 2 tasks/core.
 
     Degenerate nodes (< 4 CPUs): both pools pin to a single
     0.5-CPU actor so at least one full CPU stays free for stateless
@@ -820,9 +834,54 @@ def _pool_sizes(
         return (1, 1), (1, 1), 0.5, 0.5
     free = max(2, ncpu // 8)
     main_max = max(1, min(cfg.extract_concurrency, ncpu - 1 - free))
-    main_min = min(main_max, max(2, ncpu // 8))
+    main_min = min(main_max, max(2, (ncpu * 7) // 16))
     page_max = max(1, (ncpu * 3) // 16)
-    return (main_min, main_max), (1, page_max), 1.0, 0.5
+    page_min = min(page_max, 2)
+    return (main_min, main_max), (page_min, page_max), 0.5, 0.5
+
+
+def _tune_pool_autoscaler() -> None:
+    """Ray Data's default actor-pool upscaling threshold is 2.0 —
+    a pool only grows once submitted tasks reach 2× its current
+    capacity, one actor per decision. On a fresh pool at its small
+    reserved min (see _pool_sizes) that ramp measured ~1 actor per
+    2-3 s: a 60 s 32-CPU job peaked at 13 of 27 actors and ran at
+    half the fixed-pool throughput. Threshold 1.0 upscales as soon
+    as the pool is saturated, recovering the fixed pool's width
+    without its full-size resource reservation. Session-global and
+    idempotent; READUR_POOL_UPSCALE_THRESHOLD overrides."""
+    import os as _os
+
+    from ray.data import DataContext
+    from ray.data.context import AutoscalingConfig
+
+    thr = float(_os.environ.get("READUR_POOL_UPSCALE_THRESHOLD", "1.0"))
+    ctx = DataContext.get_current()
+    if ctx.autoscaling_config.actor_pool_util_upscaling_threshold != thr:
+        ctx.autoscaling_config = AutoscalingConfig(
+            actor_pool_util_upscaling_threshold=thr,
+        )
+
+    # The reservation allocator splits the non-reserved budget EQUALLY
+    # across eligible operators each tick (resource_manager.py
+    # update_usages), so in a ~8-operator DAG one hot actor pool can
+    # never be granted more than ~min + shared/8 CPUs — measured: the
+    # pool plateaued at 13 of 27 actors with 19 CPUs idle. Doubling the
+    # executor's CPU *budget* lets the hot op's grant reach node width,
+    # while Ray Core placement still enforces the PHYSICAL CPU count —
+    # the extra budget admits queued work, it cannot oversubscribe
+    # cores. Memory budgets are untouched. READUR_CPU_BUDGET_FACTOR=1
+    # restores the stock limit.
+    import ray as _ray
+
+    factor = float(_os.environ.get("READUR_CPU_BUDGET_FACTOR", "2.0"))
+    if factor != 1.0 and _ray.is_initialized():
+        ncpu = int(_ray.cluster_resources().get("CPU", 0))
+        if ncpu:
+            limits = ctx.execution_options.resource_limits
+            ctx.execution_options.resource_limits = limits.copy(
+                cpu=ncpu * factor
+            )
 
 
 def build_extracted(
@@ -835,6 +894,7 @@ def build_extracted(
     small fraction) feeds explode → page pool → groupby(doc_id)
     reassembly, the mandated skew shuffle."""
     main_pool, page_pool, main_cpus, page_cpus = _pool_sizes(cfg)
+    _tune_pool_autoscaler()
 
     import pyarrow.dataset as _pads
 

@@ -156,7 +156,7 @@ def test_pool_sizes_never_reserve_every_cpu(ray_session, monkeypatch):
     for ncpu in (4, 8, 32):
         monkeypatch.setattr(_ray, "cluster_resources", lambda n=ncpu: {"CPU": n})
         m, p, mc, pc = extract._pool_sizes(cfg)
-        assert mc == 1.0 and pc == 0.5
+        assert mc == 0.5 and pc == 0.5
         # the RESERVED floor (pool mins — what the allocator budgets
         # for the whole run) must leave real task headroom: the
         # round-3 fixed main pool reserved ncpu-3 of 32 CPUs and
