@@ -840,50 +840,6 @@ def _pool_sizes(
     return (main_min, main_max), (page_min, page_max), 0.5, 0.5
 
 
-def _tune_pool_autoscaler() -> None:
-    """Ray Data's default actor-pool upscaling threshold is 2.0 —
-    a pool only grows once submitted tasks reach 2× its current
-    capacity, one actor per decision. On a fresh pool at its small
-    reserved min (see _pool_sizes) that ramp measured ~1 actor per
-    2-3 s: a 60 s 32-CPU job peaked at 13 of 27 actors and ran at
-    half the fixed-pool throughput. Threshold 1.0 upscales as soon
-    as the pool is saturated, recovering the fixed pool's width
-    without its full-size resource reservation. Session-global and
-    idempotent; READUR_POOL_UPSCALE_THRESHOLD overrides."""
-    import os as _os
-
-    from ray.data import DataContext
-    from ray.data.context import AutoscalingConfig
-
-    thr = float(_os.environ.get("READUR_POOL_UPSCALE_THRESHOLD", "1.0"))
-    ctx = DataContext.get_current()
-    if ctx.autoscaling_config.actor_pool_util_upscaling_threshold != thr:
-        ctx.autoscaling_config = AutoscalingConfig(
-            actor_pool_util_upscaling_threshold=thr,
-        )
-
-    # The reservation allocator splits the non-reserved budget EQUALLY
-    # across eligible operators each tick (resource_manager.py
-    # update_usages), so in a ~8-operator DAG one hot actor pool can
-    # never be granted more than ~min + shared/8 CPUs — measured: the
-    # pool plateaued at 13 of 27 actors with 19 CPUs idle. Doubling the
-    # executor's CPU *budget* lets the hot op's grant reach node width,
-    # while Ray Core placement still enforces the PHYSICAL CPU count —
-    # the extra budget admits queued work, it cannot oversubscribe
-    # cores. Memory budgets are untouched. READUR_CPU_BUDGET_FACTOR=1
-    # restores the stock limit.
-    import ray as _ray
-
-    factor = float(_os.environ.get("READUR_CPU_BUDGET_FACTOR", "2.0"))
-    if factor != 1.0 and _ray.is_initialized():
-        ncpu = int(_ray.cluster_resources().get("CPU", 0))
-        if ncpu:
-            limits = ctx.execution_options.resource_limits
-            ctx.execution_options.resource_limits = limits.copy(
-                cpu=ncpu * factor
-            )
-
-
 def build_extracted(
     path: str, cfg: ExtractionConfig = DEFAULT_CONFIG
 ) -> "ray.data.Dataset":
@@ -893,8 +849,10 @@ def build_extracted(
     the SKEW scan (page_count above the explode threshold — a fixed
     small fraction) feeds explode → page pool → groupby(doc_id)
     reassembly, the mandated skew shuffle."""
+    from ..stages.tuning import tune_pool_autoscaler
+
     main_pool, page_pool, main_cpus, page_cpus = _pool_sizes(cfg)
-    _tune_pool_autoscaler()
+    tune_pool_autoscaler()
 
     import pyarrow.dataset as _pads
 

@@ -183,6 +183,9 @@ def preprocess_chain_stats(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
+    from ..stages.tuning import tune_pool_autoscaler
+
+    tune_pool_autoscaler()
     return ds.map_batches(to_payload, batch_format="pyarrow").map_batches(
         PreprocessAnalyzer,
         batch_format="pyarrow",
@@ -255,6 +258,9 @@ def multimodal_meta(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
+    from ..stages.tuning import tune_pool_autoscaler
+
+    tune_pool_autoscaler()
     return ds.map_batches(to_payload, batch_format="pyarrow").map_batches(
         PayloadCodec,
         batch_format="pyarrow",
