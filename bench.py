@@ -101,7 +101,7 @@ def run_queries() -> dict[str, float]:
         "sessionize", "fuzzy_search", "ann_topk_ivf", "text_search",
         "training_prep", "tfidf_top_terms", "sliding_window", "asof_join",
         "line_dedup", "contamination", "stratified_sample", "repetition_score",
-        "fuzzy_dedup_keep", "semdedup", "pack_sequences", "top_ngrams",
+        "dedup_components", "fuzzy_dedup_keep", "semdedup", "pack_sequences", "top_ngrams",
         "common_ngram_score", "training_shuffle", "dup_spans", "mix_weights",
         "leakage_split", "embed_documents",
     ]

@@ -165,3 +165,32 @@ def test_pool_sizes_never_reserve_every_cpu(ray_session, monkeypatch):
         assert reserved <= ncpu * 0.5, ncpu
         # and the max widths still leave ≥1 CPU for stateless tasks
         assert m[1] * mc + 1 <= ncpu - 1, ncpu
+
+
+def test_tune_pool_autoscaler_sets_context(ray_session, monkeypatch):
+    """The shared executor tuning must set the pool-upscale threshold
+    (stock 2.0 requires 2x backlog before growing) and raise the CPU
+    budget without touching memory limits; READUR_CPU_BUDGET_FACTOR=1
+    restores the stock limit."""
+    from ray.data import DataContext
+
+    from readur_ray.stages.tuning import tune_pool_autoscaler
+
+    ctx = DataContext.get_current()
+    tune_pool_autoscaler()
+    assert ctx.autoscaling_config.actor_pool_util_upscaling_threshold == 1.0
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources()["CPU"])
+    assert ctx.execution_options.resource_limits.cpu == ncpu * 2.0
+    # memory budgets untouched
+    assert ctx.execution_options.resource_limits.object_store_memory in (
+        None, float("inf")
+    )
+    monkeypatch.setenv("READUR_CPU_BUDGET_FACTOR", "1.0")
+    monkeypatch.setenv("READUR_POOL_UPSCALE_THRESHOLD", "1.5")
+    tune_pool_autoscaler()
+    assert ctx.autoscaling_config.actor_pool_util_upscaling_threshold == 1.5
+    # factor 1.0 leaves the previous limit rather than re-raising it
+    tune_pool_autoscaler()
+    assert ctx.autoscaling_config.actor_pool_util_upscaling_threshold == 1.5
