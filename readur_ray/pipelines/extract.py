@@ -849,10 +849,9 @@ def build_extracted(
     the SKEW scan (page_count above the explode threshold — a fixed
     small fraction) feeds explode → page pool → groupby(doc_id)
     reassembly, the mandated skew shuffle."""
-    from ..stages.tuning import tune_pool_autoscaler
+    from ..stages.tuning import tuned_executor
 
     main_pool, page_pool, main_cpus, page_cpus = _pool_sizes(cfg)
-    tune_pool_autoscaler()
 
     import pyarrow.dataset as _pads
 
@@ -873,6 +872,15 @@ def build_extracted(
             lambda b: classify_batch(b, cfg), batch_format="pyarrow",
         )
 
+    # the reads inside this block capture the tuned DataContext COPY,
+    # so the tuned budget applies to THIS DAG's execution only
+    # (see stages/tuning.py)
+    with tuned_executor():
+        return _assemble(branch, cfg, main_pool, page_pool,
+                         main_cpus, page_cpus)
+
+
+def _assemble(branch, cfg, main_pool, page_pool, main_cpus, page_cpus):
     main_ds = (
         branch("main")
         .map_batches(route_filter("main", cfg), batch_format="pyarrow")

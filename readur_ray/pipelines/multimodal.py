@@ -168,10 +168,6 @@ def preprocess_chain_stats(sf_dir: str) -> "ray.data.Dataset":
     pool; deterministic but float-convolution-based → pytest-verified,
     not SQL-expressible). Library entry point; the driver query
     ``preprocess_stats`` is the SQL-oracle-checkable decision subset."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
-
     def to_payload(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         return pa.table(
@@ -183,16 +179,20 @@ def preprocess_chain_stats(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    from ..stages.tuning import tune_pool_autoscaler
+    from ..stages.tuning import tuned_executor
 
-    tune_pool_autoscaler()
-    return ds.map_batches(to_payload, batch_format="pyarrow").map_batches(
-        PreprocessAnalyzer,
-        batch_format="pyarrow",
-        batch_size=64,
-        concurrency=(1, 4),
-        num_cpus=1,
-    )
+    # the read captures the tuned context COPY → scoped to this DAG
+    with tuned_executor():
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return ds.map_batches(to_payload, batch_format="pyarrow").map_batches(
+            PreprocessAnalyzer,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 4),
+            num_cpus=1,
+        )
 
 
 def preprocess_stats(sf_dir: str) -> "ray.data.Dataset":
@@ -243,10 +243,6 @@ def multimodal_meta(sf_dir: str) -> "ray.data.Dataset":
     """Treat documents.text bytes as the opaque payload column and run
     the decode→resize→frame-sample actor pool over it. Deterministic →
     oracle-checkable; with a real decoder this is the image pipeline."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
-
     def to_payload(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         return pa.table(
@@ -258,13 +254,17 @@ def multimodal_meta(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    from ..stages.tuning import tune_pool_autoscaler
+    from ..stages.tuning import tuned_executor
 
-    tune_pool_autoscaler()
-    return ds.map_batches(to_payload, batch_format="pyarrow").map_batches(
-        PayloadCodec,
-        batch_format="pyarrow",
-        batch_size=64,
-        concurrency=(1, 4),
-        num_cpus=1,
-    )
+    # the read captures the tuned context COPY → scoped to this DAG
+    with tuned_executor():
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return ds.map_batches(to_payload, batch_format="pyarrow").map_batches(
+            PayloadCodec,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 4),
+            num_cpus=1,
+        )

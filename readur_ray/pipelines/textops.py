@@ -431,11 +431,12 @@ def embed_documents(sf_dir: str, dim: int = EMBED_DIM) -> "ray.data.Dataset":
     """The documents → embeddings production stage (what populated an
     `embeddings` table in the first place), as an actor-pool
     map_batches over (doc_id, text)."""
-    from ..stages.tuning import tune_pool_autoscaler
+    from ..stages.tuning import tuned_executor
 
-    tune_pool_autoscaler()
-    ds = read_documents(sf_dir, ["doc_id", "text"])
-    return ds.map_batches(
-        HashEmbedder, fn_constructor_args=(dim,), batch_format="pyarrow",
-        concurrency=(2, 8), num_cpus=0.5,
-    )
+    # the read captures the tuned context COPY → scoped to this DAG
+    with tuned_executor():
+        ds = read_documents(sf_dir, ["doc_id", "text"])
+        return ds.map_batches(
+            HashEmbedder, fn_constructor_args=(dim,), batch_format="pyarrow",
+            concurrency=(2, 8), num_cpus=0.5,
+        )

@@ -1,4 +1,4 @@
-"""Session-global Ray Data executor tuning for actor-pool stages.
+"""Scoped Ray Data executor tuning for actor-pool pipelines.
 
 Two defaults in Ray 2.49 idle actor-pool stages on a busy node (both
 measured on the extraction DAG, BASELINE.md "Round-4 addendum"):
@@ -11,40 +11,51 @@ measured on the extraction DAG, BASELINE.md "Round-4 addendum"):
    DAG one hot pool is never granted more than ~min + shared/8 CPUs
    (a 32-CPU pool plateaued at 13 of 27 actors with the node idle).
 
-`tune_pool_autoscaler()` sets the threshold to 1.0 (grow as soon as
-the pool is saturated) and doubles the executor's CPU *budget* — Ray
-Core still places tasks by the node's physical logical-CPU count, so
-cores are never oversubscribed beyond the per-task num_cpus math; the
-extra budget only stops the equal split from idling the node. Called
-by every pipeline that builds an actor pool; idempotent; env
-overrides: READUR_POOL_UPSCALE_THRESHOLD, READUR_CPU_BUDGET_FACTOR
-(set 1.0 to restore stock behavior).
+`tuned_executor()` sets the threshold to 1.0 and doubles the
+executor's CPU *budget* — Ray Core still places tasks by the node's
+physical logical-CPU count, so cores are never oversubscribed beyond
+the per-task num_cpus math.
+
+It is a CONTEXT MANAGER, not a global switch, because every
+`ray.data.read_*` captures a COPY of the ambient DataContext: build
+the actor-pool DAG inside the `with` block and only those datasets
+execute with the tuned budget. Leaving the tuning session-global was
+measured to THRASH unrelated shuffle-heavy queries that ran later in
+the same session (the 2× budget admits 2× concurrent shuffle tasks:
+semdedup 8 s → 46 s, pack_sequences 1.8 s → 8 s in one sweep).
+
+Env overrides: READUR_POOL_UPSCALE_THRESHOLD,
+READUR_CPU_BUDGET_FACTOR (set 1.0 to keep the stock budget).
 """
 
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 
-def tune_pool_autoscaler() -> None:
+@contextmanager
+def tuned_executor():
     import ray
     from ray.data import DataContext
     from ray.data.context import AutoscalingConfig
 
-    thr = float(os.environ.get("READUR_POOL_UPSCALE_THRESHOLD", "1.0"))
     ctx = DataContext.get_current()
-    if ctx.autoscaling_config.actor_pool_util_upscaling_threshold != thr:
+    prev_autoscaling = ctx.autoscaling_config
+    prev_limits = ctx.execution_options.resource_limits
+    try:
+        thr = float(os.environ.get("READUR_POOL_UPSCALE_THRESHOLD", "1.0"))
         ctx.autoscaling_config = AutoscalingConfig(
             actor_pool_util_upscaling_threshold=thr,
         )
-
-    factor = float(os.environ.get("READUR_CPU_BUDGET_FACTOR", "2.0"))
-    if factor != 1.0 and ray.is_initialized():
-        ncpu = int(ray.cluster_resources().get("CPU", 0))
-        if ncpu:
-            limits = ctx.execution_options.resource_limits
-            target = ncpu * factor
-            if limits.cpu != target:
-                ctx.execution_options.resource_limits = limits.copy(
-                    cpu=target
+        factor = float(os.environ.get("READUR_CPU_BUDGET_FACTOR", "2.0"))
+        if factor != 1.0 and ray.is_initialized():
+            ncpu = int(ray.cluster_resources().get("CPU", 0))
+            if ncpu:
+                ctx.execution_options.resource_limits = prev_limits.copy(
+                    cpu=ncpu * factor
                 )
+        yield ctx
+    finally:
+        ctx.autoscaling_config = prev_autoscaling
+        ctx.execution_options.resource_limits = prev_limits

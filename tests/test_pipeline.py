@@ -167,30 +167,39 @@ def test_pool_sizes_never_reserve_every_cpu(ray_session, monkeypatch):
         assert m[1] * mc + 1 <= ncpu - 1, ncpu
 
 
-def test_tune_pool_autoscaler_sets_context(ray_session, monkeypatch):
-    """The shared executor tuning must set the pool-upscale threshold
-    (stock 2.0 requires 2x backlog before growing) and raise the CPU
-    budget without touching memory limits; READUR_CPU_BUDGET_FACTOR=1
-    restores the stock limit."""
+def test_tuned_executor_scopes_context(ray_session, monkeypatch):
+    """tuned_executor must set the pool-upscale threshold (stock 2.0
+    requires 2x backlog before growing) and raise the CPU budget INSIDE
+    the block, and restore both on exit — leaving it session-global was
+    measured to thrash unrelated shuffle-heavy queries (semdedup 8s ->
+    46s in one sweep). Datasets created inside keep the tuned copy."""
+    import ray as _ray
+    import ray.data as rd
     from ray.data import DataContext
 
-    from readur_ray.stages.tuning import tune_pool_autoscaler
+    from readur_ray.stages.tuning import tuned_executor
 
     ctx = DataContext.get_current()
-    tune_pool_autoscaler()
-    assert ctx.autoscaling_config.actor_pool_util_upscaling_threshold == 1.0
-    import ray as _ray
-
+    before_thr = ctx.autoscaling_config.actor_pool_util_upscaling_threshold
+    before_cpu = ctx.execution_options.resource_limits.cpu
     ncpu = int(_ray.cluster_resources()["CPU"])
-    assert ctx.execution_options.resource_limits.cpu == ncpu * 2.0
-    # memory budgets untouched
-    assert ctx.execution_options.resource_limits.object_store_memory in (
-        None, float("inf")
+    with tuned_executor():
+        assert (
+            ctx.autoscaling_config.actor_pool_util_upscaling_threshold == 1.0
+        )
+        assert ctx.execution_options.resource_limits.cpu == ncpu * 2.0
+        inside = rd.range(4)
+    # restored after the block
+    assert (
+        ctx.autoscaling_config.actor_pool_util_upscaling_threshold
+        == before_thr
     )
+    assert ctx.execution_options.resource_limits.cpu == before_cpu
+    # the dataset created inside keeps its tuned context copy
+    assert inside.context.execution_options.resource_limits.cpu == ncpu * 2.0
+    outside = rd.range(4)
+    assert outside.context.execution_options.resource_limits.cpu == before_cpu
+    # env override: factor 1.0 keeps the stock budget
     monkeypatch.setenv("READUR_CPU_BUDGET_FACTOR", "1.0")
-    monkeypatch.setenv("READUR_POOL_UPSCALE_THRESHOLD", "1.5")
-    tune_pool_autoscaler()
-    assert ctx.autoscaling_config.actor_pool_util_upscaling_threshold == 1.5
-    # factor 1.0 leaves the previous limit rather than re-raising it
-    tune_pool_autoscaler()
-    assert ctx.autoscaling_config.actor_pool_util_upscaling_threshold == 1.5
+    with tuned_executor():
+        assert ctx.execution_options.resource_limits.cpu == before_cpu
