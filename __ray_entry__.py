@@ -200,6 +200,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bucket/sign arithmetic is the driver-checked fingerprints /
         # leakage_split md5-hash primitive applied per token)
         "embed_documents": textops.embed_documents,
+        # (chunk_documents is the RAG/context-window token chunker —
+        # one shuffle-free pass; its regex tokenization is the
+        # driver-checked doc_metadata/fingerprints token primitive
+        # applied per window)
+        "chunk_documents": textops.chunk_documents,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -1385,6 +1390,29 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS value
         FROM hb GROUP BY doc_id, bucket
+    """
+
+    # chunk_documents: token-space windows — list_slice/array_to_string
+    # over the SAME RE2 token extraction reproduces chunk_text exactly.
+    sql["chunk_documents"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_extract_all(
+                     text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS t
+          FROM documents
+        ),
+        ks AS (
+          SELECT doc_id, t,
+                 unnest(range(0, len(t), 48)) AS s
+          FROM toks WHERE len(t) > 0
+        )
+        SELECT doc_id,
+               CAST(s // 48 AS BIGINT) AS chunk_id,
+               CAST(s AS BIGINT) AS start_tok,
+               CAST(least(s + 64, len(t)) - s AS BIGINT) AS n_tokens,
+               array_to_string(list_slice(t, s + 1, least(s + 64, len(t))),
+                               ' ') AS chunk_text
+        FROM ks
     """
 
     # extraction_e2e / extraction_summary: hermetic media engines → not

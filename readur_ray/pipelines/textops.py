@@ -440,3 +440,57 @@ def embed_documents(sf_dir: str, dim: int = EMBED_DIM) -> "ray.data.Dataset":
             HashEmbedder, fn_constructor_args=(dim,), batch_format="pyarrow",
             concurrency=(2, 8), num_cpus=0.5,
         )
+
+
+CHUNK_TOKENS = 64   # tokens per chunk
+CHUNK_STRIDE = 48   # stride (CHUNK_TOKENS - stride = 16-token overlap)
+
+
+def chunk_documents(
+    sf_dir: str, chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> "ray.data.Dataset":
+    """Overlapping token-window chunking (the RAG / context-window prep
+    staple): split each doc's BPE-ish token sequence into windows of
+    ``chunk`` tokens every ``stride`` tokens; the final window is
+    short. Token-space chunking on purpose — chunk_text re-joins with
+    single spaces, identically to the SQL oracle's
+    ``array_to_string(list_slice(...), ' ')``, so the whole operator
+    is bit-reproducible.
+
+    Scale shape: one embarrassingly-parallel pass, no shuffle; output
+    is ~len/stride rows per doc. Zero-token docs emit no chunks."""
+    import re as _re
+
+    from ..functions.textstats import BPE_TOKEN_PATTERN
+
+    rex = _re.compile(BPE_TOKEN_PATTERN)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        take_idx: list[int] = []
+        c_id: list[int] = []
+        c_start: list[int] = []
+        c_len: list[int] = []
+        c_text: list[str] = []
+        for i, text in enumerate(batch.column("text").to_pylist()):
+            toks = rex.findall(text or "")
+            n = len(toks)
+            for k, s in enumerate(range(0, n, stride)):
+                e = min(s + chunk, n)
+                take_idx.append(i)
+                c_id.append(k)
+                c_start.append(s)
+                c_len.append(e - s)
+                c_text.append(" ".join(toks[s:e]))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").take(pa.array(take_idx)),
+                "chunk_id": pa.array(c_id, pa.int64()),
+                "start_tok": pa.array(c_start, pa.int64()),
+                "n_tokens": pa.array(c_len, pa.int64()),
+                "chunk_text": pa.array(c_text, pa.string()),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )

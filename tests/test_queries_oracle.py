@@ -68,6 +68,7 @@ SUBSET = [
     "dedup_embedding",
     "ann_lsh_buckets",
     "embed_documents",
+    "chunk_documents",
 ]
 
 
