@@ -394,3 +394,33 @@ def test_run_curation_job_matches_query_plan(ray_session, tmp_path):
 
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert set(got["doc_id"]) == {1, 4}  # dup loser 2 and junk 3 dropped
+
+
+def test_fuzzy_funnel_shares_one_pair_graph(ray_session, monkeypatch):
+    """dedup_components and fuzzy_dedup_keep must build the minhash
+    pair graph ONCE per corpus (round-3 bench: the keep stage spent
+    half its 6.2 s recomputing the shingle→band shuffle verbatim)."""
+    from readur_ray.pipelines import dedup as ddp
+
+    ddp._EDGES_CACHE.clear()
+    calls = {"n": 0}
+    real = ddp.minhash_lsh_pairs
+
+    def counting(sf_dir):
+        calls["n"] += 1
+        return real(sf_dir)
+
+    monkeypatch.setattr(ddp, "minhash_lsh_pairs", counting)
+    sf = "/root/testdata/sf0.001"
+    n1 = sum(
+        b.num_rows
+        for b in ddp.neardup_components(sf).iter_batches(batch_format="pyarrow")
+    )
+    from readur_ray.pipelines.curation import fuzzy_dedup_keep
+
+    n2 = sum(
+        b.num_rows
+        for b in fuzzy_dedup_keep(sf).iter_batches(batch_format="pyarrow")
+    )
+    assert n1 > 0 and n2 >= 0
+    assert calls["n"] == 1  # second stage reused the materialized graph
