@@ -82,14 +82,29 @@ def _corpus_rows(batch: pa.Table) -> pa.Table:
 
 def documents_to_corpus(sf_dir: str, out_dir: str | None = None) -> str:
     """Materialize the derived interleaved corpus as parquet; returns
-    the directory (stable per sf_dir, rebuilt on every call)."""
+    the directory (stable per sf_dir). The materialization is pure in
+    the source table, so it is cached on the source's mtime — a marker
+    file records the mtime that built the directory and any change
+    rebuilds it (rebuilding on EVERY call re-ran the full synth write
+    ahead of each timed extraction)."""
+    src = f"{sf_dir}/documents.parquet"
     if out_dir is None:
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         out_dir = f"/tmp/readur_corpus_{tag}"
+    stamp = str(os.path.getmtime(src))
+    marker = os.path.join(out_dir, ".source_mtime")
+    try:
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return out_dir
+    except OSError:
+        pass
     tmp = out_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ray.data.read_parquet(src, columns=["doc_id", "text"])
     ds.map_batches(_corpus_rows, batch_format="pyarrow").write_parquet(tmp)
+    with open(os.path.join(tmp, ".source_mtime"), "w") as fh:
+        fh.write(stamp)
     shutil.rmtree(out_dir, ignore_errors=True)
     os.rename(tmp, out_dir)
     return out_dir
