@@ -57,11 +57,25 @@ class ParquetResolver(MediaResolver):
 
 
 def make_resolver(spec: str) -> MediaResolver:
-    """'synth' | 'parquet:<path>'."""
+    """'synth' | 'parquet:<path>' | 'webdav:<base_url>'.
+
+    WebDAV credentials come from READUR_WEBDAV_USERNAME / _PASSWORD so
+    secrets never appear in resolver specs (which are logged and
+    serialized into actor constructors)."""
     if spec == "synth":
         return SynthResolver()
     if spec.startswith("parquet:"):
         return ParquetResolver(spec.split(":", 1)[1])
+    if spec.startswith("webdav:"):
+        import os
+
+        from .webdav import WebDavResolver
+
+        return WebDavResolver(
+            spec.split(":", 1)[1],
+            os.environ.get("READUR_WEBDAV_USERNAME", ""),
+            os.environ.get("READUR_WEBDAV_PASSWORD", ""),
+        )
     raise ValueError(f"unknown media resolver spec: {spec}")
 
 
