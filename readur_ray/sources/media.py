@@ -57,7 +57,7 @@ class ParquetResolver(MediaResolver):
 
 
 def make_resolver(spec: str) -> MediaResolver:
-    """'synth' | 'parquet:<path>' | 'webdav:<base_url>'.
+    """'synth' | 'parquet:<path>' | 'spool:<dir>' | 'webdav:<base_url>'.
 
     WebDAV credentials come from READUR_WEBDAV_USERNAME / _PASSWORD so
     secrets never appear in resolver specs (which are logged and
@@ -66,6 +66,10 @@ def make_resolver(spec: str) -> MediaResolver:
         return SynthResolver()
     if spec.startswith("parquet:"):
         return ParquetResolver(spec.split(":", 1)[1])
+    if spec.startswith("spool:"):
+        from .upload import SpoolResolver
+
+        return SpoolResolver(spec.split(":", 1)[1])
     if spec.startswith("webdav:"):
         import os
 
