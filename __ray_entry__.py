@@ -150,7 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup suite ---
         "dedup_exact": dedup.exact_dedup,
         "dedup_path": dedup.path_dedup,
-        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "dedup_minhash_lsh": dedup.pairs_materialized,
         "dedup_simhash_banded": dedup.simhash_pairs_banded,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_embedding_lsh": dedup.embedding_neardup_lsh,
@@ -205,6 +205,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-checked doc_metadata/fingerprints token primitive
         # applied per window)
         "chunk_documents": textops.chunk_documents,
+        # (range_join is the two-relation band join — asof_join's
+        # driver-checked groupby(user)+searchsorted primitive widened
+        # from latest-single-match to a per-left interval aggregate)
+        "range_join": sessions.range_join_clicks,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -937,6 +941,20 @@ def oracle_sql() -> dict[str, str]:
           FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts
           ORDER BY ts DESC, event_id DESC LIMIT 1
         ) lat
+    """
+
+    sql["range_join"] = """
+        SELECT p.event_id AS purchase_id,
+               p.user_id,
+               CAST(count(c.event_id) AS BIGINT) AS n_clicks_1h
+        FROM events p
+        LEFT JOIN events c
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 1 HOUR
+         AND c.ts < p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY 1, 2
     """
 
     sql["median_by_type"] = """

@@ -787,42 +787,76 @@ def _contract_edges(edge_ds: "ray.data.Dataset"):
 BRIDGE_DRIVER_CAP = 5_000_000  # bridges above this trigger another contraction
 CC_MAX_CONTRACTIONS = 3
 
-# The materialized candidate-pair edge list, memoized per corpus: the
-# whole fuzzy-dedup funnel (pair query → components → keep/remove
-# accounting) reads the SAME graph, and recomputing the shingle →
+# Session-scoped memos for the fuzzy-dedup funnel. Each stage of
+# pairs → edges → components is computed ONCE per (corpus path, mtime,
+# ray job) and shared by every consumer (the dedup_minhash_lsh query,
+# dedup_components, fuzzy_dedup_keep): recomputing the shingle →
 # minhash → band shuffle per funnel stage dominated the funnel's cost
 # (round-3 bench: fuzzy_dedup_keep 6.2 s, ~half of it a verbatim rerun
-# of the 3.0 s pair computation). Keyed on (path, mtime) so a rewritten
-# corpus at the same path never serves stale pairs; blocks live in the
-# object store (spillable), never on the driver heap.
-_EDGES_CACHE: dict[tuple, "ray.data.Dataset"] = {}
+# of the 3.0 s pair computation; round-4 bench: components re-resolved
+# the full contraction per consumer, another ~6 s). mtime keys out a
+# rewritten corpus at the same path; the job id keys out blocks whose
+# object refs died with a previous cluster. Blocks live in the object
+# store (spillable), never on the driver heap.
+_FUNNEL_CACHE: dict[tuple, "ray.data.Dataset"] = {}
 
 
-def _minhash_edges_materialized(sf_dir: str) -> "ray.data.Dataset":
+def _funnel_memo(stage: str, sf_dir: str, build, extra: tuple = ()):
     import os as _os
 
     doc_path = _os.path.join(sf_dir, "documents.parquet")
-    # the session id keys out cached blocks from a previous ray.init
-    # (their object refs die with the cluster)
     try:
         session = ray.get_runtime_context().get_job_id()
     except Exception:
         session = None
-    key = (_os.path.abspath(sf_dir), _os.path.getmtime(doc_path), session)
-    ds = _EDGES_CACHE.get(key)
+    scope = (_os.path.abspath(sf_dir), _os.path.getmtime(doc_path), session)
+    key = (stage, *scope, *extra)
+    ds = _FUNNEL_CACHE.get(key)
     if ds is None:
-        ds = minhash_lsh_pairs(sf_dir).map_batches(
+        ds = build().materialize()
+        # one corpus+session at a time: evict other scopes, keep this
+        # scope's other stages — the cache never outgrows one funnel
+        for k in [k for k in _FUNNEL_CACHE if k[1:4] != scope]:
+            del _FUNNEL_CACHE[k]
+        _FUNNEL_CACHE[key] = ds
+    return ds
+
+
+def pairs_materialized(sf_dir: str) -> "ray.data.Dataset":
+    """The memoized (doc_a, doc_b, n_shared_bands) candidate-pair
+    graph — the registry's dedup_minhash_lsh entry and the funnel's
+    shared root."""
+    return _funnel_memo("pairs", sf_dir, lambda: minhash_lsh_pairs(sf_dir))
+
+
+def _minhash_edges_materialized(sf_dir: str) -> "ray.data.Dataset":
+    return _funnel_memo(
+        "edges",
+        sf_dir,
+        lambda: pairs_materialized(sf_dir).map_batches(
             lambda b: pa.table(
                 {"doc_a": b.column("doc_a"), "doc_b": b.column("doc_b")}
             ),
             batch_format="pyarrow",
-        ).materialize()
-        _EDGES_CACHE.clear()  # one corpus at a time — never grows
-        _EDGES_CACHE[key] = ds
-    return ds
+        ),
+    )
 
 
 def neardup_components(
+    sf_dir: str, bridge_driver_cap: int = BRIDGE_DRIVER_CAP
+) -> "ray.data.Dataset":
+    """Memoized connected components (see _build_neardup_components):
+    fuzzy_dedup_keep and the dedup_components query consume the same
+    resolved assignment instead of re-running the contraction."""
+    return _funnel_memo(
+        "components",
+        sf_dir,
+        lambda: _build_neardup_components(sf_dir, bridge_driver_cap),
+        extra=(bridge_driver_cap,),
+    )
+
+
+def _build_neardup_components(
     sf_dir: str, bridge_driver_cap: int = BRIDGE_DRIVER_CAP
 ) -> "ray.data.Dataset":
     """Connected components over the MinHash-LSH candidate-pair graph:

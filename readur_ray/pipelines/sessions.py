@@ -284,3 +284,71 @@ def funnel_stages(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+RANGE_JOIN_WINDOW_US = 60 * 60 * 1_000_000  # 1 hour look-back
+
+
+def range_join_clicks(sf_dir: str) -> "ray.data.Dataset":
+    """Interval (range) join — the band-join custom operator Ray Data
+    lacks: for every 'purchase' event, the COUNT of 'click' events by
+    the same user with click.ts in [purchase.ts - 1h, purchase.ts).
+    Unlike asof_join_clicks (latest single match) this aggregates a
+    whole time band per left row, and unlike sliding_window_counts it
+    joins two relations (purchases ← clicks), not one stream to
+    itself. Every purchase is emitted (band may be empty → 0), so the
+    result is a LEFT range join.
+
+    Plan: one pruned read, filter to the two types, groupby(user_id)
+    → in-group click-ts sort + two vectorized searchsorted calls per
+    group (band = [lo, hi) indices; count = hi - lo). Partitioning
+    assumption: one user's history fits a group (same contract as
+    asof_join_clicks); at 10^12 events this becomes the halo-bucket
+    plan of sliding_window_counts — hour buckets with a 1h click halo
+    replicated into the next bucket."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.is_in(batch.column("event_type"),
+                     value_set=pa.array(["click", "purchase"]))
+        )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        types = g.column("event_type").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = g.column("event_id").to_numpy(zero_copy_only=False)
+        uid = g.column("user_id")[0].as_py()
+        is_p = types == "purchase"
+        if not is_p.any():
+            return pa.table(
+                {
+                    "purchase_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "n_clicks_1h": pa.array([], pa.int64()),
+                }
+            )
+        p_ts = ts[is_p]
+        p_id = ids[is_p]
+        c_ts = np.sort(ts[types == "click"])
+        lo = np.searchsorted(c_ts, p_ts - RANGE_JOIN_WINDOW_US, side="left")
+        hi = np.searchsorted(c_ts, p_ts, side="left")
+        return pa.table(
+            {
+                "purchase_id": pa.array(p_id, pa.int64()),
+                "user_id": pa.array(np.full(len(p_id), uid), pa.int64()),
+                "n_clicks_1h": pa.array((hi - lo).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(keep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )

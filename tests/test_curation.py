@@ -402,15 +402,21 @@ def test_fuzzy_funnel_shares_one_pair_graph(ray_session, monkeypatch):
     half its 6.2 s recomputing the shingle→band shuffle verbatim)."""
     from readur_ray.pipelines import dedup as ddp
 
-    ddp._EDGES_CACHE.clear()
-    calls = {"n": 0}
+    ddp._FUNNEL_CACHE.clear()
+    calls = {"n": 0, "cc": 0}
     real = ddp.minhash_lsh_pairs
+    real_cc = ddp._build_neardup_components
 
     def counting(sf_dir):
         calls["n"] += 1
         return real(sf_dir)
 
+    def counting_cc(sf_dir, cap):
+        calls["cc"] += 1
+        return real_cc(sf_dir, cap)
+
     monkeypatch.setattr(ddp, "minhash_lsh_pairs", counting)
+    monkeypatch.setattr(ddp, "_build_neardup_components", counting_cc)
     sf = "/root/testdata/sf0.001"
     n1 = sum(
         b.num_rows
@@ -423,4 +429,5 @@ def test_fuzzy_funnel_shares_one_pair_graph(ray_session, monkeypatch):
         for b in fuzzy_dedup_keep(sf).iter_batches(batch_format="pyarrow")
     )
     assert n1 > 0 and n2 >= 0
-    assert calls["n"] == 1  # second stage reused the materialized graph
+    assert calls["n"] == 1   # second stage reused the materialized graph
+    assert calls["cc"] == 1  # ...and the resolved components themselves

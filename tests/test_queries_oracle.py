@@ -69,6 +69,7 @@ SUBSET = [
     "ann_lsh_buckets",
     "embed_documents",
     "chunk_documents",
+    "range_join",
 ]
 
 
