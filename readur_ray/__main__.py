@@ -31,9 +31,48 @@ def ray_init_plan(env_addr: str | None, num_cpus: int | None):
     return None, {"logging_level": "ERROR"}
 
 
+def land_connector_input(out_dir: str, webdav_url: str | None = None,
+                         spool_dir: str | None = None) -> tuple[str, str]:
+    """S5/S6 connector ingest: land connector rows as a DOCUMENTS
+    table under <out>/ingested/ (the reference's discover → download →
+    ingest step) and return (input_path, media_resolver_spec) for the
+    extraction job. The landing write is itself the resumable
+    boundary: a crashed extraction re-run skips re-discovery."""
+    import os
+    import shutil
+
+    ingested = os.path.join(out_dir, "ingested")
+    shutil.rmtree(ingested, ignore_errors=True)
+    if webdav_url:
+        from .sources.webdav import read_webdav
+
+        ds = read_webdav(
+            webdav_url,
+            username=os.environ.get("READUR_WEBDAV_USERNAME", ""),
+            password=os.environ.get("READUR_WEBDAV_PASSWORD", ""),
+        )
+        resolver = f"webdav:{webdav_url}"
+    else:
+        from .sources.upload import read_uploads
+
+        ds = read_uploads(spool_dir)
+        resolver = f"spool:{spool_dir}"
+    ds.write_parquet(ingested)
+    return ingested, resolver
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="readur_ray")
-    ap.add_argument("--input", required=True, help="parquet dir/file of documents")
+    ap.add_argument("--input", default=None, help="parquet dir/file of documents")
+    ap.add_argument("--ingest-webdav", default=None, metavar="URL",
+                    help="S6: discover a WebDAV share (base URL incl. mount), "
+                         "land it as <out>/ingested/ DOCUMENTS rows, and "
+                         "extract it (credentials via READUR_WEBDAV_USERNAME/"
+                         "_PASSWORD; media stays lazy behind the webdav: "
+                         "resolver)")
+    ap.add_argument("--ingest-spool", default=None, metavar="DIR",
+                    help="S5: read an upload spool directory into "
+                         "<out>/ingested/ DOCUMENTS rows and extract it")
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--chunks", type=int, default=8)
     ap.add_argument("--dedup-policy", default="skip",
@@ -87,17 +126,27 @@ def main(argv: list[str] | None = None) -> int:
         ray.shutdown()
         return 0
 
+    if args.ingest_webdav or args.ingest_spool:
+        input_path, resolver = land_connector_input(
+            args.out, webdav_url=args.ingest_webdav, spool_dir=args.ingest_spool
+        )
+    elif args.input is not None:
+        input_path, resolver = args.input, "synth"
+    else:
+        ap.error("one of --input / --ingest-webdav / --ingest-spool is required")
+
     cfg = ExtractionConfig(
         dedup_policy=args.dedup_policy,
         simulated_ocr_ms_per_page=args.sim_ocr_ms,
+        media_resolver=resolver,
     )
     if args.incremental:
         from .pipelines.run import run_incremental
 
-        summary = run_incremental(args.input, args.out, cfg)
+        summary = run_incremental(input_path, args.out, cfg)
     else:
         summary = run_extraction(
-            args.input, args.out, cfg, n_chunks=args.chunks,
+            input_path, args.out, cfg, n_chunks=args.chunks,
             dedup_against=args.dedup_against,
         )
     print(json.dumps(summary))

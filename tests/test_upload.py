@@ -198,3 +198,34 @@ def test_read_uploads_to_extraction(ray_session, tmp_path):
 def test_read_uploads_empty_spool(ray_session, tmp_path):
     ds = read_uploads(str(tmp_path / "empty_spool"))
     assert ds.count() == 0
+
+
+def test_land_connector_input_full_runner(ray_session, tmp_path):
+    """The CLI ingest path end-to-end minus argparse: connector rows
+    land under <out>/ingested/, and the resumable runner extracts them
+    with the returned resolver spec."""
+    from readur_ray import synth
+    from readur_ray.__main__ import land_connector_input
+    from readur_ray.config import ExtractionConfig
+    from readur_ray.pipelines.run import run_extraction
+
+    spool_dir = str(tmp_path / "spool")
+    with UploadServer(spool_dir) as srv:
+        for fn, ct, data in (
+            ("a.txt", "text/plain", b"cli ingest text"),
+            ("b.pdf", "application/pdf", synth.pdf_payload("cli1", 0, "pdf_text_layer", 1)),
+        ):
+            body, ctype = _multipart([("file", fn, ct, data)])
+            code, resp = _post(srv.url, body, ctype)
+            assert code == 200 and resp["status"] == "success"
+
+    out = str(tmp_path / "out")
+    input_path, resolver = land_connector_input(out, spool_dir=spool_dir)
+    assert input_path.endswith("ingested") and resolver == f"spool:{spool_dir}"
+    cfg = ExtractionConfig(media_resolver=resolver, extract_concurrency=2)
+    summary = run_extraction(input_path, out, cfg, n_chunks=1)
+    import ray as _ray
+
+    final = _ray.data.read_parquet(summary["final_dir"]).take_all()
+    assert sorted(r["doc_id"] for r in final) == ["upload/a.txt", "upload/b.pdf"]
+    assert all(r["status"] == "completed" for r in final)
