@@ -299,56 +299,79 @@ def range_join_clicks(sf_dir: str) -> "ray.data.Dataset":
     itself. Every purchase is emitted (band may be empty → 0), so the
     result is a LEFT range join.
 
-    Plan: one pruned read, filter to the two types, groupby(user_id)
-    → in-group click-ts sort + two vectorized searchsorted calls per
-    group (band = [lo, hi) indices; count = hi - lo). Partitioning
-    assumption: one user's history fits a group (same contract as
-    asof_join_clicks); at 10^12 events this becomes the halo-bucket
+    Plan: one pruned read, filter to the two types, ONE coarse-hash
+    shuffle on user_id (partitioned_map — Ray's per-key map_groups
+    pays a Python call per user), then a fully vectorized partition
+    kernel: clicks sorted once on a composite (user, ts-offset) int64
+    key, band = two searchsorted calls over ALL the partition's
+    purchases at once. At 10^12 events this becomes the halo-bucket
     plan of sliding_window_counts — hour buckets with a 1h click halo
     replicated into the next bucket."""
+    from ..stages.shuffle import int_partition, partitioned_map
+
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type"],
     )
 
-    def keep(batch: pa.Table) -> pa.Table:
+    def keep_and_part(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return batch.filter(
+        b = batch.filter(
             pc.is_in(batch.column("event_type"),
                      value_set=pa.array(["click", "purchase"]))
         )
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column("part", pa.array(int_partition(uid), pa.int64()))
 
-    def per_user(group: pa.Table) -> pa.Table:
-        g = group.combine_chunks()
+    empty = pa.table(
+        {
+            "purchase_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "n_clicks_1h": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(part_tbl: pa.Table) -> pa.Table:
+        g = part_tbl.combine_chunks()
         types = g.column("event_type").to_numpy(zero_copy_only=False)
         ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         ids = g.column("event_id").to_numpy(zero_copy_only=False)
-        uid = g.column("user_id")[0].as_py()
+        uids = g.column("user_id").to_numpy(zero_copy_only=False)
         is_p = types == "purchase"
         if not is_p.any():
-            return pa.table(
-                {
-                    "purchase_id": pa.array([], pa.int64()),
-                    "user_id": pa.array([], pa.int64()),
-                    "n_clicks_1h": pa.array([], pa.int64()),
-                }
-            )
-        p_ts = ts[is_p]
-        p_id = ids[is_p]
-        c_ts = np.sort(ts[types == "click"])
-        lo = np.searchsorted(c_ts, p_ts - RANGE_JOIN_WINDOW_US, side="left")
-        hi = np.searchsorted(c_ts, p_ts, side="left")
+            return empty
+        p_ts, p_id, p_u = ts[is_p], ids[is_p], uids[is_p]
+        is_c = types == "click"
+        if not is_c.any():
+            n = np.zeros(len(p_id), dtype=np.int64)
+        else:
+            c_ts, c_u = ts[is_c], uids[is_c]
+            # composite int64 key: user in the high bits, ts offset in
+            # the low — one sort + two searchsorted calls cover every
+            # user in the partition at once
+            t0 = int(ts.min())
+            span = int(ts.max()) - t0 + 1
+            shift = max(span.bit_length(), 1)
+            if int(uids.max()) >= (1 << (63 - shift)):  # pragma: no cover
+                raise OverflowError(
+                    "user_id × ts-span exceeds the composite int64 key; "
+                    "narrow the partition's time range (halo buckets)"
+                )
+            key_c = np.sort((c_u << shift) | (c_ts - t0))
+            hi_key = (p_u << shift) | (p_ts - t0)
+            lo_off = np.maximum(p_ts - RANGE_JOIN_WINDOW_US - t0, 0)
+            lo_key = (p_u << shift) | lo_off
+            n = (
+                np.searchsorted(key_c, hi_key, side="left")
+                - np.searchsorted(key_c, lo_key, side="left")
+            ).astype(np.int64)
         return pa.table(
             {
                 "purchase_id": pa.array(p_id, pa.int64()),
-                "user_id": pa.array(np.full(len(p_id), uid), pa.int64()),
-                "n_clicks_1h": pa.array((hi - lo).astype(np.int64), pa.int64()),
+                "user_id": pa.array(p_u, pa.int64()),
+                "n_clicks_1h": pa.array(n, pa.int64()),
             }
         )
 
-    return (
-        ds.map_batches(keep, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pyarrow")
-    )
+    return partitioned_map(ds, keep_and_part, per_part)
