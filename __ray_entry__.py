@@ -117,7 +117,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_buckets": analytics.priority_buckets,
         "filter_allowed": analytics.filter_allowed,
         "label_facets": analytics.label_facets,
-        "median_by_type": analytics.median_value_by_type,
+        # (round 4) two-pass exact per-group percentile thresholds +
+        # broadcast filter — supersedes median_by_type's head seat (the
+        # sibling one-shuffle exact-quantile primitive, now in the tail
+        # with pytest parity)
+        "quantile_gate": curation.quantile_gate,
         # --- training-data curation suite ---
         "repetition_score": curation.repetition_score,
         "stratified_sample": curation.stratified_sample,
@@ -211,6 +215,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_nation": analytics.orders_per_nation,
         "funnel_stages": sessions.funnel_stages,
         "ann_topk_ivf_kmeans_probe2": similarity.ann_topk_ivf_kmeans_probe2,
+        # (median_by_type's single-shuffle exact quantile is the
+        # sibling of quantile_gate's head-seat two-pass percentile)
+        "median_by_type": analytics.median_value_by_type,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -965,6 +972,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(quantile_disc(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.5)
                     AS BIGINT) AS median_cents
         FROM events GROUP BY 1
+    """
+
+    sql["quantile_gate"] = """
+        WITH th AS (
+            SELECT source,
+                   percentile_disc(0.1) WITHIN GROUP (ORDER BY n_chars)
+                       AS lo_chars,
+                   percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)
+                       AS hi_chars
+            FROM documents GROUP BY source
+        )
+        SELECT d.doc_id, d.source, d.n_chars, th.lo_chars, th.hi_chars
+        FROM documents d JOIN th ON d.source = th.source
+        WHERE d.n_chars BETWEEN th.lo_chars AND th.hi_chars
     """
 
     sql["hash_sample"] = """

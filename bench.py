@@ -103,7 +103,7 @@ def run_queries() -> dict[str, float]:
         "line_dedup", "contamination", "stratified_sample", "repetition_score",
         "dedup_components", "fuzzy_dedup_keep", "semdedup", "pack_sequences", "top_ngrams",
         "common_ngram_score", "training_shuffle", "dup_spans", "mix_weights",
-        "leakage_split", "embed_documents", "range_join",
+        "leakage_split", "embed_documents", "range_join", "quantile_gate",
     ]
     out: dict[str, float] = {}
     for name in picks:

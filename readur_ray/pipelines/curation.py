@@ -43,6 +43,11 @@ with a bit-exact DuckDB oracle in ``__ray_entry__.oracle_sql``:
                         md5(source) — group-atomic (a source never
                         straddles the eval boundary), one streaming
                         pass, no shuffle.
+- ``quantile_gate``     per-source EXACT length-percentile filter
+                        ([p10, p90] of n_chars): distinct-length
+                        combiner → per-source cumulative pick →
+                        broadcast thresholds → one streaming pass
+                        (the data-derived outlier-length gate).
 - ``mix_weights``       temperature-sampled domain-mixing weights
                         (tau = 0.5): per-source sampling weight
                         proportional to sqrt(n_docs), the p_s ∝ n_s^a
@@ -362,6 +367,110 @@ def stratified_sample(sf_dir: str) -> "ray.data.Dataset":
         .groupby("source")
         .map_groups(final_topk, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact per-group percentile length gate
+# ---------------------------------------------------------------------------
+
+Q_LO_NUM, Q_LO_DEN = 1, 10    # lower gate: percentile_disc(0.1)
+Q_HI_NUM, Q_HI_DEN = 9, 10    # upper gate: percentile_disc(0.9)
+
+
+def quantile_gate(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source exact length-percentile gate: keep documents whose
+    ``n_chars`` lies within [p10, p90] of their source's length
+    distribution — the Gopher/C4-family outlier-length filter, made
+    EXACT and distributed (reference analog: the min/max size filters
+    of /root/reference/src/services/file_service.rs, generalized from
+    fixed caps to data-derived per-domain thresholds).
+
+    Two-pass plan (the shape that survives 10^12 rows):
+
+    1. thresholds — per-batch ``(source, n_chars)`` pre-count inside
+       ``map_batches`` (the combiner: one row per distinct length per
+       batch, never one per doc) → ``groupby(source)`` over the
+       pre-reduced partials → per-source sorted cumulative count →
+       discrete percentile pick. A group's size is bounded by the
+       DISCRETE length domain (≤ the 50 MB text cap), not corpus rows.
+    2. gate — the per-source threshold table (ONE row per source,
+       bounded by the stratum contract stratified_sample documents) is
+       the only driver materialization; it is broadcast via one
+       ``ray.put`` and applied as a vectorized filter in a single
+       streaming pass — no second shuffle.
+
+    Percentile semantics mirror DuckDB's ``percentile_disc(p)``
+    exactly: the sorted group's value at 1-indexed position
+    ``max(ceil(p*n), 1)`` — integer arithmetic only, so the gate is
+    bit-stable under any partitioning."""
+    ds = _read_docs(sf_dir, ["source", "n_chars"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source", "n_chars"]).aggregate(
+            [("n_chars", "count")]
+        )
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n_chars": g.column("n_chars"),
+                "n": g.column("n_chars_count").cast(pa.int64()),
+            }
+        )
+
+    def thresholds(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().groupby("n_chars", sort=True)["n"].sum()
+        vals = df.index.to_numpy(dtype=np.int64)
+        cum = df.to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+
+        def pick(num: int, den: int) -> int:
+            pos = max(-(-(num * n) // den), 1)  # ceil(p*n), 1-indexed
+            return int(vals[np.searchsorted(cum, pos, side="left")])
+
+        return pa.table(
+            {
+                "source": pa.array([group.column("source")[0].as_py()]),
+                "lo_chars": pa.array([pick(Q_LO_NUM, Q_LO_DEN)], pa.int64()),
+                "hi_chars": pa.array([pick(Q_HI_NUM, Q_HI_DEN)], pa.int64()),
+            }
+        )
+
+    th_rows = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(thresholds, batch_format="pyarrow")
+        .take_all()  # bounded: one row per source (stratum contract)
+    )
+    th_ref = ray.put(
+        {r["source"]: (r["lo_chars"], r["hi_chars"]) for r in th_rows}
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        th = ray.get(th_ref)
+        # dictionary-encode so Python touches one entry per DISTINCT
+        # source in the batch, never one per row
+        enc = pc.dictionary_encode(batch.column("source").combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        uniq = enc.dictionary.to_pylist()
+        lo_u = np.array([th[s][0] for s in uniq], dtype=np.int64)
+        hi_u = np.array([th[s][1] for s in uniq], dtype=np.int64)
+        lo, hi = lo_u[codes], hi_u[codes]
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        keep = (nc >= lo) & (nc <= hi)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+                "source": batch.column("source").filter(pa.array(keep)),
+                "n_chars": batch.column("n_chars").filter(pa.array(keep)),
+                "lo_chars": pa.array(lo[keep], pa.int64()),
+                "hi_chars": pa.array(hi[keep], pa.int64()),
+            }
+        )
+
+    docs = _read_docs(sf_dir, ["doc_id", "source", "n_chars"])
+    return docs.map_batches(gate, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -75,6 +75,9 @@ SUBSET = [
     "orders_per_nation",
     "funnel_stages",
     "ann_topk_ivf_kmeans_probe2",
+    "median_by_type",
+    # round-4 head addition: two-pass exact percentile gate
+    "quantile_gate",
 ]
 
 
