@@ -113,7 +113,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": textops.redact_pii,
         # --- relational operators (A1-A6, O1-O3, J1/J4, M20, M4-M6) ---
         "source_facets": analytics.source_facets,
-        "pricing_summary": analytics.pricing_summary,
         "priority_buckets": analytics.priority_buckets,
         "filter_allowed": analytics.filter_allowed,
         "label_facets": analytics.label_facets,
@@ -168,6 +167,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search / semantic dedup ---
         "ann_topk": similarity.ann_topk,
         "semdedup": similarity.semdedup,
+        # (round 4) SSL-prototypes data-pruning scores on the same
+        # trained quantizer — takes pricing_summary's head seat (its
+        # grouped multi-aggregate shape stays driver-covered by
+        # queue_stats; tail keeps pytest parity)
+        "prototype_score": similarity.prototype_score,
         # --- expensive-but-unique: within the first 50 by design ---
         "dedup_components": dedup.neardup_components,
         "fuzzy_dedup_keep": curation.fuzzy_dedup_keep,
@@ -218,6 +222,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (median_by_type's single-shuffle exact quantile is the
         # sibling of quantile_gate's head-seat two-pass percentile)
         "median_by_type": analytics.median_value_by_type,
+        # (pricing_summary's grouped multi-aggregate with integer
+        # cents is the sibling of queue_stats / status_counts)
+        "pricing_summary": analytics.pricing_summary,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -851,6 +858,26 @@ def oracle_sql() -> dict[str, str]:
           WHERE x.vec_id < 16 AND y.vec_id <> x.vec_id AND ax.c = ay.c
           GROUP BY 1, 2
         )""",
+    )
+
+    # prototype_score: the SAME trained quantizer; per vector, the
+    # exact int64 distance to its own (a2) centroid and the
+    # hardest-first rank within its cell
+    sql["prototype_score"] = (
+        sql["ann_topk_ivf_kmeans"].split("        pd AS (")[0]
+        + """        proto AS (
+          SELECT vec_id, c, d2 FROM (
+            SELECT vec_id, c, d2,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS rn
+            FROM d2c) WHERE rn = 1
+        )
+        SELECT vec_id, CAST(c AS BIGINT) AS cell,
+               CAST(d2 AS BIGINT) AS d2_centroid,
+               CAST(row_number() OVER (
+                 PARTITION BY c ORDER BY d2 DESC, vec_id ASC
+               ) AS BIGINT) AS hardness_rank
+        FROM proto
+    """
     )
 
     # semdedup: the SAME trained quantizer (every CTE up to the final

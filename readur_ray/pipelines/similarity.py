@@ -527,3 +527,70 @@ def semdedup(
         .groupby("cell")
         .map_groups(cell_dedup, batch_format="pyarrow")
     )
+
+
+def prototype_score(sf_dir: str, nlist: int = KM_K) -> "ray.data.Dataset":
+    """Prototypicality scoring for data pruning (Sorscher et al. 2022,
+    arXiv:2206.14486 "Beyond neural scaling laws", SSL-prototypes —
+    public): cluster the embedding space with the SAME exact-integer
+    k-means quantizer the IVF index trains, then score every vector by
+    its squared distance to its own cell centroid and rank vectors
+    within each cell hardest-first. ``hardness_rank == 1`` is the
+    cell's most atypical example — the rank a pruning pass thresholds
+    (keep hard examples when data is abundant, easy ones when scarce).
+
+    Scale shape: training is KM_ITERS fixed-size (nlist × dim) integer
+    aggregates; scoring is one vectorized streaming pass. The ONLY
+    shuffle is groupby(cell) over (vec_id, cell, d2) int64 triples —
+    24 B/row, embeddings never ride the wire — and the in-cell rank
+    sort holds just those triples, so even a 10^8-row cell is ~2.4 GB;
+    ``nlist`` scales with corpus size to bound E[cell size] (same dial
+    and contract as semdedup). All distances are exact int64 on the
+    QUANT fixed-point grid, so the DuckDB oracle reproduces cell
+    assignment, distance and rank bit-for-bit.
+    """
+    ds = _read_embeddings(sf_dir)
+    cents = _train_centroids(ds, sf_dir, nlist)
+    cref = ray.put(cents)
+
+    def score_rows(batch: pa.Table) -> pa.Table:
+        cn = ray.get(cref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        q = _quantize(
+            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        )
+        d2 = (
+            (q * q).sum(axis=1, keepdims=True)
+            - 2 * (q @ cn.T)
+            + (cn * cn).sum(axis=1)[None, :]
+        )
+        cells = np.argmin(d2, axis=1)  # first min → lower centroid id
+        dmin = d2[np.arange(len(ids)), cells]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cell": pa.array(cells.astype(np.int64), pa.int64()),
+                "d2_centroid": pa.array(dmin.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def rank_cell(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        d2 = group.column("d2_centroid").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -d2))  # hardest first, vec_id tiebreak
+        rank = np.empty(len(ids), dtype=np.int64)
+        rank[order] = np.arange(1, len(ids) + 1)
+        return pa.table(
+            {
+                "vec_id": group.column("vec_id"),
+                "cell": group.column("cell"),
+                "d2_centroid": group.column("d2_centroid"),
+                "hardness_rank": pa.array(rank, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(score_rows, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(rank_cell, batch_format="pyarrow")
+    )

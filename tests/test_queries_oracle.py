@@ -76,8 +76,11 @@ SUBSET = [
     "funnel_stages",
     "ann_topk_ivf_kmeans_probe2",
     "median_by_type",
-    # round-4 head addition: two-pass exact percentile gate
+    "pricing_summary",
+    # round-4 head additions: two-pass exact percentile gate +
+    # SSL-prototypes data-pruning scores
     "quantile_gate",
+    "prototype_score",
 ]
 
 
