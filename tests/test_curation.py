@@ -431,3 +431,39 @@ def test_fuzzy_funnel_shares_one_pair_graph(ray_session, monkeypatch):
     assert n1 > 0 and n2 >= 0
     assert calls["n"] == 1   # second stage reused the materialized graph
     assert calls["cc"] == 1  # ...and the resolved components themselves
+
+
+def test_quantile_gate_crafted_multifile(ray_session, tmp_path):
+    """percentile_disc semantics on a crafted distribution, with the
+    corpus split across four parquet fragments so the distinct-length
+    combiner must re-aggregate the same (source, n_chars) key across
+    batches: srcA holds lengths 1..10 (p10=1, p90=9 -> the length-10
+    doc is gated out), srcB holds {5,1,4,2,3} (p10=1, p90=5 -> all
+    kept), and duplicates of length 5 straddle fragments."""
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    rows = [(i, "x" * i, "srcA") for i in range(1, 11)]
+    rows += [(100 + j, "x" * k, "srcB") for j, k in enumerate([5, 1, 4, 2, 3])]
+    rows += [(200, "x" * 5, "srcB"), (201, "x" * 5, "srcB")]  # cum dups
+    for frag in range(4):
+        part = rows[frag::4]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in part], pa.int64()),
+                "text": pa.array([r[1] for r in part], pa.string()),
+                "lang": pa.array(["en"] * len(part), pa.string()),
+                "source": pa.array([r[2] for r in part], pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in part], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(d / f"part-{frag}.parquet"))
+
+    out = curation.quantile_gate(str(tmp_path)).to_pandas()
+    a = out[out["source"] == "srcA"]
+    b = out[out["source"] == "srcB"]
+    # srcA: n=10 -> lo = v[ceil(1)-1] = 1, hi = v[ceil(9)-1] = 9
+    assert set(a["lo_chars"]) == {1} and set(a["hi_chars"]) == {9}
+    assert sorted(a["n_chars"]) == list(range(1, 10))  # 10 gated out
+    # srcB: n=7 sorted [1,2,3,4,5,5,5] -> lo = v[0] = 1, hi = v[ceil(6.3)-1] = 5
+    assert set(b["lo_chars"]) == {1} and set(b["hi_chars"]) == {5}
+    assert len(b) == 7  # nothing gated

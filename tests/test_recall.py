@@ -114,3 +114,28 @@ def test_semdedup_nlist_dial(ray_session):
     reps = {(c, rp) for _, c, rp, _ in rows}
     kept = {(c, rp) for _, c, rp, k in rows if k == 1}
     assert reps == kept  # one kept representative per component
+
+
+def test_prototype_score_rank_contract(ray_session):
+    """Structural contract on the data-pruning scores, at a NON-default
+    nlist (the dial the oracle can't reach): every vector scored exactly
+    once, ranks are a 1..m permutation per cell with d2 non-increasing
+    hardest-first, and the whole output is deterministic across runs."""
+    import pandas as pd
+
+    def run():
+        return (
+            similarity.prototype_score(SF, nlist=16)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+
+    a, b = run(), run()
+    pd.testing.assert_frame_equal(a, b)
+    assert a["vec_id"].is_unique and len(a) == 500
+    assert a["cell"].nunique() > 8  # the dial widened the quantizer
+    for _, g in a.groupby("cell"):
+        g = g.sort_values("hardness_rank")
+        assert list(g["hardness_rank"]) == list(range(1, len(g) + 1))
+        assert (g["d2_centroid"].diff().dropna() <= 0).all()
