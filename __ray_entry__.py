@@ -162,7 +162,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": dedup.pairs_materialized,
         "dedup_simhash_banded": dedup.simhash_pairs_banded,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
-        "dedup_embedding_lsh": dedup.embedding_neardup_lsh,
         "tfidf_top_terms": textops.tfidf_top_terms,
         # --- similarity search / semantic dedup ---
         "ann_topk": similarity.ann_topk,
@@ -172,6 +171,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped multi-aggregate shape stays driver-covered by
         # queue_stats; tail keeps pytest parity)
         "prototype_score": similarity.prototype_score,
+        # (round 4) cell-local kNN graph over ALL vectors — takes
+        # dedup_embedding_lsh's head seat (embedding near-dup stays
+        # driver-checked via semdedup; the LSH-bucket arithmetic stays
+        # driver-checked via dedup_simhash_banded, and the tail keeps
+        # the embedding-LSH family bit-green under pytest)
+        "knn_graph": similarity.knn_graph,
         # --- expensive-but-unique: within the first 50 by design ---
         "dedup_components": dedup.neardup_components,
         "fuzzy_dedup_keep": curation.fuzzy_dedup_keep,
@@ -225,6 +230,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (pricing_summary's grouped multi-aggregate with integer
         # cents is the sibling of queue_stats / status_counts)
         "pricing_summary": analytics.pricing_summary,
+        # (embedding-LSH near-dup: the bucket arithmetic is the tail's
+        # ann_lsh_buckets / dedup_embedding family; head keeps
+        # embedding near-dup via semdedup and kNN via knn_graph)
+        "dedup_embedding_lsh": dedup.embedding_neardup_lsh,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -858,6 +867,32 @@ def oracle_sql() -> dict[str, str]:
           WHERE x.vec_id < 16 AND y.vec_id <> x.vec_id AND ax.c = ay.c
           GROUP BY 1, 2
         )""",
+    )
+
+    # knn_graph: the SAME trained quantizer; for EVERY vector, its
+    # KNN_K nearest same-cell neighbors by exact int64 squared L2,
+    # ranked by (d2, neighbor_id)
+    sql["knn_graph"] = (
+        sql["ann_topk_ivf_kmeans"].split("        pd AS (")[0]
+        + """        pd AS (
+          SELECT x.vec_id AS src, y.vec_id AS dst,
+                 sum((x.q - y.q) * (x.q - y.q)) AS d2
+          FROM qv x
+          JOIN a2 ax ON ax.vec_id = x.vec_id
+          JOIN a2 ay ON ay.c = ax.c
+          JOIN qv y ON y.vec_id = ay.vec_id AND y.dim = x.dim
+          WHERE x.vec_id <> y.vec_id
+          GROUP BY 1, 2
+        )
+        SELECT src AS vec_id, dst AS neighbor_id,
+               CAST(d2 AS BIGINT) AS d2, rank
+        FROM (
+          SELECT src, dst, d2,
+                 CAST(row_number() OVER (
+                   PARTITION BY src ORDER BY d2 ASC, dst ASC
+                 ) AS BIGINT) AS rank
+          FROM pd) WHERE rank <= 3
+    """
     )
 
     # prototype_score: the SAME trained quantizer; per vector, the

@@ -594,3 +594,109 @@ def prototype_score(sf_dir: str, nlist: int = KM_K) -> "ray.data.Dataset":
         .groupby("cell")
         .map_groups(rank_cell, batch_format="pyarrow")
     )
+
+
+KNN_K = 3   # neighbors per vector in the cell-local kNN graph
+
+
+def knn_graph(sf_dir: str, k: int = KNN_K, nlist: int = KM_K,
+              block: int = SEMDEDUP_BLOCK) -> "ray.data.Dataset":
+    """Cell-local kNN-graph construction: for EVERY vector, its k
+    nearest same-cell neighbors by exact int64 squared L2 on the
+    QUANT fixed-point grid — the all-vectors graph that SemDeDup-family
+    curation, density filtering and graph-based near-dup clustering
+    consume (vs ann_topk's fixed query set). Output: (vec_id,
+    neighbor_id, d2, rank), rank 1..k ordered by (d2, neighbor_id).
+
+    Scale shape: same contract as semdedup — one groupby(cell) shuffle,
+    ``nlist`` scales with corpus size to bound E[cell size], and the
+    in-cell pairwise runs as block × block tiles carrying a RUNNING
+    top-k per row (k ints per row, never the cell² distance matrix).
+    Tiles see the identical candidate set as a dense pass, so the graph
+    is bit-equal to the oracle's full within-cell ranking."""
+    ds = _read_embeddings(sf_dir)
+    cents = _train_centroids(ds, sf_dir, nlist)
+    cref = ray.put(cents)
+
+    def assign_rows(batch: pa.Table) -> pa.Table:
+        cn = ray.get(cref)
+        q = _quantize(
+            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        )
+        cells = _assign(q, cn).astype(np.int64)
+        return batch.append_column("cell", pa.array(cells, pa.int64()))
+
+    SENT = np.iinfo(np.int64).max  # pads rows with < k real neighbors
+
+    def _rowwise_topk(cand_d: np.ndarray, cand_i: np.ndarray, keep: int):
+        """Per-row exact (d2, neighbor_id)-ordered first ``keep``
+        columns: two stable argsorts (id then d2) give the row-wise
+        two-key order fully vectorized — no per-row Python."""
+        o1 = np.argsort(cand_i, axis=1, kind="stable")
+        cand_d = np.take_along_axis(cand_d, o1, axis=1)
+        cand_i = np.take_along_axis(cand_i, o1, axis=1)
+        o2 = np.argsort(cand_d, axis=1, kind="stable")
+        return (
+            np.take_along_axis(cand_d, o2, axis=1)[:, :keep],
+            np.take_along_axis(cand_i, o2, axis=1)[:, :keep],
+        )
+
+    def cell_knn(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _quantize(
+            np.array(group.column("embedding").to_pylist(), dtype=np.float64)
+        )
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        m = len(ids)
+        sq = (mat * mat).sum(axis=1)
+        src_parts, dst_parts, d2_parts, rank_parts = [], [], [], []
+        for a0 in range(0, m, block):
+            a1 = min(a0 + block, m)
+            # running best-k per row: exact (d2, id) order maintained
+            # tile by tile, width ≤ k + block, never the cell² matrix
+            best_d = np.empty((a1 - a0, 0), dtype=np.int64)
+            best_i = np.empty((a1 - a0, 0), dtype=np.int64)
+            for b0 in range(0, m, block):
+                b1 = min(b0 + block, m)
+                d2 = (
+                    sq[a0:a1, None]
+                    - 2 * (mat[a0:a1] @ mat[b0:b1].T)
+                    + sq[None, b0:b1]
+                )
+                # self-pairs leave the candidate set via the sentinel
+                d2[ids[a0:a1, None] == ids[None, b0:b1]] = SENT
+                best_d, best_i = _rowwise_topk(
+                    np.concatenate([best_d, d2], axis=1),
+                    np.concatenate(
+                        [best_i, np.broadcast_to(ids[b0:b1], d2.shape)], axis=1
+                    ),
+                    min(k, best_d.shape[1] + d2.shape[1]),
+                )
+            valid = best_d != SENT  # rows already (d2, id)-ordered
+            counts = valid.sum(axis=1)
+            src_parts.append(np.repeat(ids[a0:a1], counts))
+            dst_parts.append(best_i[valid])
+            d2_parts.append(best_d[valid])
+            # sentinels sort last, so valid entries fill the leading
+            # columns and the column index IS the (rank - 1)
+            rank_parts.append(
+                np.broadcast_to(
+                    np.arange(1, best_d.shape[1] + 1, dtype=np.int64),
+                    best_d.shape,
+                )[valid]
+            )
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(src_parts), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(dst_parts), pa.int64()),
+                "d2": pa.array(np.concatenate(d2_parts), pa.int64()),
+                "rank": pa.array(np.concatenate(rank_parts), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(assign_rows, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(cell_knn, batch_format="pyarrow")
+    )

@@ -81,6 +81,8 @@ SUBSET = [
     # SSL-prototypes data-pruning scores
     "quantile_gate",
     "prototype_score",
+    "knn_graph",
+    "dedup_embedding_lsh",
 ]
 
 

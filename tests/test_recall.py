@@ -139,3 +139,23 @@ def test_prototype_score_rank_contract(ray_session):
         g = g.sort_values("hardness_rank")
         assert list(g["hardness_rank"]) == list(range(1, len(g) + 1))
         assert (g["d2_centroid"].diff().dropna() <= 0).all()
+
+
+def test_knn_graph_tiling_matches_dense(ray_session):
+    """The running-top-k tile pass must produce the identical graph to
+    a dense single-tile pass — including (d2, neighbor_id) tie-breaks
+    at the k-th boundary, which a d2-only partition would get wrong."""
+    import pandas as pd
+
+    def rows(block):
+        return (
+            similarity.knn_graph(SF, block=block)
+            .to_pandas()
+            .sort_values(["vec_id", "rank"])
+            .reset_index(drop=True)
+        )
+
+    tiny, dense = rows(7), rows(1 << 30)
+    pd.testing.assert_frame_equal(tiny, dense)
+    assert (tiny.groupby("vec_id")["rank"].max() <= 3).all()
+    assert len(tiny) > 0
