@@ -280,6 +280,15 @@ def _assign(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return np.argmin(d2, axis=1)  # argmin takes the FIRST min → lower c
 
 
+# Session-scoped memo for the trained quantizer: semdedup,
+# prototype_score, knn_graph and the kmeans-IVF rankers all train the
+# IDENTICAL centroids for a given (corpus, nlist) — the training passes
+# (KM_ITERS full scans) dominated each query's cost when swept
+# back-to-back. Keyed like dedup._FUNNEL_CACHE: (abspath, mtime, job,
+# k); the value is a k×dim int64 array (KBs on the driver heap).
+_CENTROID_CACHE: dict[tuple, np.ndarray] = {}
+
+
 def _train_centroids(
     ds: "ray.data.Dataset", sf_dir: str, k: int = KM_K
 ) -> np.ndarray:
@@ -294,7 +303,20 @@ def _train_centroids(
     passes k ~ corpus_size / target_cell_size (SemDeDup used 50k cells
     for 100M items) and seeds from the k vec_ids starting at
     ANCHOR_LO, which stays deterministic for any k."""
+    import os as _os
+
     import pyarrow.parquet as _pq
+
+    emb_path = _os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        session = ray.get_runtime_context().get_job_id()
+    except Exception:
+        session = None
+    scope = (_os.path.abspath(sf_dir), _os.path.getmtime(emb_path), session)
+    key = (*scope, k)
+    hit = _CENTROID_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     seed_tbl = _pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
@@ -338,6 +360,11 @@ def _train_centroids(
         counts_safe = np.maximum(counts, 1)
         cents = (np.sign(sums) * (np.abs(sums) // counts_safe[:, None])).astype(np.int64)
         cents[counts == 0] = prev[counts == 0]
+    # one corpus+session at a time: evict other scopes, keep this
+    # scope's other k values (the dial queries share a sweep)
+    for stale in [c for c in _CENTROID_CACHE if c[:3] != scope]:
+        del _CENTROID_CACHE[stale]
+    _CENTROID_CACHE[key] = cents
     return cents
 
 

@@ -159,3 +159,15 @@ def test_knn_graph_tiling_matches_dense(ray_session):
     pd.testing.assert_frame_equal(tiny, dense)
     assert (tiny.groupby("vec_id")["rank"].max() <= 3).all()
     assert len(tiny) > 0
+
+
+def test_centroid_training_memoized(ray_session):
+    """One quantizer training per (corpus, nlist, session): semdedup,
+    prototype_score, knn_graph and kmeans-IVF share the cached array;
+    the nlist dial keys separately."""
+    ds = similarity._read_embeddings(SF)
+    a = similarity._train_centroids(ds, SF)
+    b = similarity._train_centroids(ds, SF)
+    assert a is b
+    c = similarity._train_centroids(ds, SF, k=16)
+    assert c is not a and c.shape[0] == 16
