@@ -82,6 +82,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--incremental", action="store_true",
                     help="manifest-diff run: skip/full/targeted per the "
                          "smart-sync decision table (W2+W3+W4)")
+    ap.add_argument("--incr-group", type=int, default=None,
+                    help="input files per incremental pipeline launch "
+                         "(default READUR_INCR_GROUP or 16; 1 = finest "
+                         "targeted granularity, one launch per file)")
     ap.add_argument("--compact-ledger", action="store_true",
                     help="only fold old ledger chunk entries into a "
                          "snapshot (W6 TTL cleanup), then exit")
@@ -143,7 +147,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.incremental:
         from .pipelines.run import run_incremental
 
-        summary = run_incremental(input_path, args.out, cfg)
+        summary = run_incremental(
+            input_path, args.out, cfg, group_files=args.incr_group
+        )
     else:
         summary = run_extraction(
             input_path, args.out, cfg, n_chunks=args.chunks,

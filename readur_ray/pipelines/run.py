@@ -598,11 +598,31 @@ def _file_chunk_id(path: str) -> str:
     return f"f{hashlib.md5(path.encode()).hexdigest()[:16]}"
 
 
+# How many pending input files one incremental pipeline execution
+# covers. 1 reproduces the round-3 per-file behavior (finest targeted
+# granularity, one DAG + actor-pool spin-up PER FILE — measured 11m24s
+# for a 101-shard 200k-doc full run where the positional 8-chunk runner
+# takes ~3m). The default trades that fixed cost against re-run
+# amplification: a changed file re-extracts its whole group (≤ the
+# dial), everything else stays reused. At shard counts in the millions
+# this dial is what keeps the number of pipeline launches sane.
+INCR_GROUP_FILES = int(os.environ.get("READUR_INCR_GROUP", "16"))
+
+
+def _group_chunk_id(paths: list[str]) -> str:
+    """Membership-derived group id: deterministic for resume (the same
+    pending slice regroups to the same id after a crash)."""
+    import hashlib
+
+    return f"g{hashlib.md5('|'.join(paths).encode()).hexdigest()[:16]}"
+
+
 def run_incremental(
     input_path: str,
     out_dir: str,
     cfg: ExtractionConfig = DEFAULT_CONFIG,
     finalize: bool = True,
+    group_files: int | None = None,
 ) -> dict:
     """W2+W3+W4 combined: snapshot-diff the input FILE manifest against
     the previous run's, decide skip / full / targeted with the
@@ -613,10 +633,19 @@ def run_incremental(
     LISTING cost; with a flat file manifest the listing is free, so
     here full-vs-targeted converge to "which files re-extract" — the
     decision table is kept for semantic parity, and etag-validated
-    per-file chunks give resume-after-input-mutation correctness the
-    positional chunking of run_extract_phase cannot (a changed file's
-    chunk re-runs because its ETAG no longer matches, not because its
-    position moved)."""
+    chunks give resume-after-input-mutation correctness the positional
+    chunking of run_extract_phase cannot (a changed file's chunk
+    re-runs because its ETAG no longer matches, not because its
+    position moved).
+
+    Execution granularity (round 4): pending files run in GROUPS of
+    ``group_files`` (default INCR_GROUP_FILES) — one pipeline launch
+    per group instead of per file. The ledger records each group's full
+    {path: etag} membership; a group is reused only while EVERY member
+    matches, so a changed/deleted member invalidates exactly its group
+    (dir removed, surviving members regrouped and re-extracted).
+    Invariant the finalize scan relies on: every input file is covered
+    by exactly one live chunk dir."""
     import json
 
     from ..state.sync import plan_sync
@@ -647,7 +676,8 @@ def run_incremental(
         # directory. Refuse loudly rather than emit duplicates.
         foreign = [
             d for d in sorted(os.listdir(extracted_root))
-            if d.startswith("chunk-") and not d.startswith("chunk-f")
+            if d.startswith("chunk-")
+            and not d.startswith(("chunk-f", "chunk-g"))
         ]
         if foreign:
             raise ValueError(
@@ -656,45 +686,75 @@ def run_incremental(
                 "their rows in final/. Use a fresh out_dir or delete them."
             )
 
-    # committed file-chunks with still-matching etags are reusable
-    committed_etags = ledger.committed_etags(out_dir)
     os.makedirs(extracted_root, exist_ok=True)
-    targets = files if plan.decision == "full" else [
-        f for f in files if f in plan.targets
-    ]
-    executed = []
-    for f in targets:
-        cid = _file_chunk_id(f)
-        final = os.path.join(extracted_root, f"chunk-{cid}")
-        if committed_etags.get(cid) == current[f] and os.path.isdir(final):
-            continue  # unchanged file, valid chunk — W4 reuse
-        t0 = time.perf_counter()
-        tmp = os.path.join(extracted_root, f".tmp-chunk-{cid}")
-        shutil.rmtree(tmp, ignore_errors=True)
-        build_extracted([f], cfg).write_parquet(tmp)
-        os.makedirs(tmp, exist_ok=True)  # zero-row writes create no dir
-        shutil.rmtree(final, ignore_errors=True)
-        os.rename(tmp, final)
-        ledger.append_entry(
-            out_dir,
-            {"kind": "filechunk", "chunk": cid, "input_files": [f],
-             "etag": current[f],
-             "wall_sec": round(time.perf_counter() - t0, 3)},
-        )
-        executed.append(cid)
-
-    # deletions: drop the vanished files' chunks from the output
     removed = []
-    for f in plan.deleted:
+
+    # legacy per-file chunks (round-3 runs): reusable while the file's
+    # etag matches; a mismatch on a still-present file is re-extracted
+    # below (possibly inside a group), so its stale dir must go now
+    legacy_etags = ledger.committed_etags(out_dir)
+    covered: set[str] = set()
+    for f in files:
+        cid = _file_chunk_id(f)
+        dirp = os.path.join(extracted_root, f"chunk-{cid}")
+        if cid in legacy_etags:
+            if legacy_etags[cid] == current[f] and os.path.isdir(dirp):
+                covered.add(f)
+            elif os.path.isdir(dirp):
+                shutil.rmtree(dirp)
+                removed.append(cid)
+    for f in plan.deleted:  # legacy chunks of vanished files
         cid = _file_chunk_id(f)
         gone = os.path.join(extracted_root, f"chunk-{cid}")
         if os.path.isdir(gone):
             shutil.rmtree(gone)
             removed.append(cid)
+
+    # group chunks: reusable only while EVERY member file still exists
+    # with a matching etag — otherwise the whole group's dir goes and
+    # its surviving members regroup with the rest of the pending set
+    for cid, members in ledger.committed_groups(out_dir).items():
+        dirp = os.path.join(extracted_root, f"chunk-{cid}")
+        ok = os.path.isdir(dirp) and all(
+            current.get(p) == e for p, e in members.items()
+        )
+        if ok:
+            covered.update(members)
+        else:
+            if os.path.isdir(dirp):
+                shutil.rmtree(dirp)
+            removed.append(cid)
     if removed:
         ledger.append_entry(
             out_dir, {"kind": "incremental_removed", "chunks": removed}
         )
+
+    pending = [f for f in files if f not in covered]
+    group_n = max(1, INCR_GROUP_FILES if group_files is None else group_files)
+    executed = []
+    for i in range(0, len(pending), group_n):
+        grp = pending[i:i + group_n]
+        cid = _file_chunk_id(grp[0]) if len(grp) == 1 else _group_chunk_id(grp)
+        final = os.path.join(extracted_root, f"chunk-{cid}")
+        t0 = time.perf_counter()
+        tmp = os.path.join(extracted_root, f".tmp-chunk-{cid}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        build_extracted(grp, cfg).write_parquet(tmp)
+        os.makedirs(tmp, exist_ok=True)  # zero-row writes create no dir
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp, final)
+        entry = {
+            "chunk": cid, "input_files": grp,
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }
+        if len(grp) == 1:
+            entry.update(kind="filechunk", etag=current[grp[0]])
+        else:
+            entry.update(
+                kind="groupchunk", etags={p: current[p] for p in grp}
+            )
+        ledger.append_entry(out_dir, entry)
+        executed.append(cid)
 
     tmp_manifest = manifest_path + ".tmp"
     with open(tmp_manifest, "w") as fh:

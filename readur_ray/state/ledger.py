@@ -72,6 +72,25 @@ def committed_etags(out_dir: str) -> dict[str, str]:
     return etags
 
 
+def committed_groups(out_dir: str) -> dict[str, dict[str, str]]:
+    """{group-chunk id: {member path: etag}} for committed incremental
+    GROUP chunks (several input files extracted in one pipeline run).
+    Unlike per-file chunks, a group's id is not derivable from any one
+    path, so the ledger carries the full membership; replayed in ledger
+    order like committed_etags."""
+    groups: dict[str, dict[str, str]] = {}
+    for e in read_ledger(out_dir):
+        kind = e.get("kind")
+        if kind == "snapshot":
+            groups.update(e.get("groups", {}))
+        elif kind == "groupchunk":
+            groups[e["chunk"]] = dict(e.get("etags", {}))
+        elif kind == "incremental_removed":
+            for cid in e.get("chunks", []):
+                groups.pop(cid, None)
+    return groups
+
+
 def append_entry(out_dir: str, entry: dict) -> None:
     entry.setdefault("ts", time.time())
     os.makedirs(out_dir, exist_ok=True)
@@ -100,6 +119,7 @@ def compact_ledger(
     cutoff = now - ttl_seconds
     old_chunks: set[int] = set()
     etags: dict[str, str] = {}
+    groups: dict[str, dict[str, str]] = {}
     rows = 0
     n_folded = 0
     keep: list[dict] = []
@@ -109,6 +129,7 @@ def compact_ledger(
         if kind == "snapshot":
             old_chunks.update(e.get("chunks", []))
             etags.update(e.get("etags", {}))
+            groups.update(e.get("groups", {}))
             rows += e.get("rows", 0)
             n_folded += 1
         elif kind == "chunk" and aged:
@@ -118,9 +139,13 @@ def compact_ledger(
         elif kind == "filechunk" and aged:
             etags[e["chunk"]] = e.get("etag")
             n_folded += 1
+        elif kind == "groupchunk" and aged:
+            groups[e["chunk"]] = dict(e.get("etags", {}))
+            n_folded += 1
         elif kind == "incremental_removed" and aged:
             for cid in e.get("chunks", []):
                 etags.pop(cid, None)
+                groups.pop(cid, None)
             n_folded += 1
         elif kind in ("finalize", "incremental", "requeue") and aged:
             n_folded += 1  # bookkeeping only — no state to carry
@@ -134,6 +159,8 @@ def compact_ledger(
     }
     if etags:
         snapshot["etags"] = dict(sorted(etags.items()))
+    if groups:
+        snapshot["groups"] = {k: groups[k] for k in sorted(groups)}
     p = ledger_path(out_dir)
     tmp = p + ".tmp"
     with open(tmp, "w") as f:

@@ -41,19 +41,19 @@ def test_incremental_full_then_skip_then_targeted(ray_session, tmp_path):
     specs = {f"s{i}.parquet": (24, i + 1) for i in range(4)}
     _write_corpus_files(inp, specs)
 
-    r1 = run_incremental(inp, out, cfg)
+    r1 = run_incremental(inp, out, cfg, group_files=1)
     assert r1["mode"] == "full"
     assert len(r1["executed"]) == 4
     ids1 = _final_ids(out)
     assert len(ids1) == 96
 
     # unchanged rerun: skipped entirely, nothing re-extracted
-    r2 = run_incremental(inp, out, cfg)
+    r2 = run_incremental(inp, out, cfg, group_files=1)
     assert r2["mode"] == "skip"
 
     # mutate ONE of four files (ratio 1/4 <= 0.3) → targeted
     _write_corpus_files(inp, {"s2.parquet": (30, 20)})
-    r3 = run_incremental(inp, out, cfg)
+    r3 = run_incremental(inp, out, cfg, group_files=1)
     assert r3["mode"] == "targeted"
     assert len(r3["executed"]) == 1
     ids3 = _final_ids(out)
@@ -70,10 +70,10 @@ def test_incremental_deletion_forces_full_and_cleans_up(ray_session, tmp_path):
     out = str(tmp_path / "out")
     cfg = ExtractionConfig()
     _write_corpus_files(inp, {"a.parquet": (30, 1), "b.parquet": (30, 2)})
-    run_incremental(inp, out, cfg)
+    run_incremental(inp, out, cfg, group_files=1)
     os.remove(os.path.join(inp, "b.parquet"))
 
-    r = run_incremental(inp, out, cfg)
+    r = run_incremental(inp, out, cfg, group_files=1)
     assert r["mode"] == "full"
     assert r["removed"], "deleted file's chunk must be dropped"
     ids = _final_ids(out)
@@ -134,3 +134,79 @@ def test_incremental_refuses_foreign_positional_chunks(ray_session, tmp_path):
     run_extract_phase(inp, out, cfg, n_chunks=1)
     with pytest.raises(ValueError, match="positional chunks"):
         run_incremental(inp, out, cfg)
+
+
+def test_incremental_grouped_execution(ray_session, tmp_path):
+    """Round-4 group chunks: one pipeline launch per GROUP of pending
+    files; a changed member invalidates exactly its group (the other
+    group is reused untouched), surviving members regroup, and the
+    exactly-once cover holds throughout."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    cfg = ExtractionConfig()
+    specs = {f"s{i}.parquet": (12, i + 1) for i in range(6)}
+    _write_corpus_files(inp, specs)
+
+    # full run: 6 files, groups of 3 -> 2 pipeline launches
+    r1 = run_incremental(inp, out, cfg, group_files=3)
+    assert r1["mode"] == "full"
+    assert len(r1["executed"]) == 2
+    assert len(_final_ids(out)) == 72
+
+    # unchanged rerun: skip (no group touched)
+    assert run_incremental(inp, out, cfg, group_files=3)["mode"] == "skip"
+
+    # mutate ONE file: its whole group (3 files) re-extracts as one
+    # launch; the other group's chunk dir is reused byte-untouched
+    chunks = sorted(os.listdir(os.path.join(out, "extracted")))
+    mtimes = {
+        c: os.path.getmtime(os.path.join(out, "extracted", c))
+        for c in chunks
+    }
+    _write_corpus_files(inp, {"s1.parquet": (20, 99)})
+    r2 = run_incremental(inp, out, cfg, group_files=3)
+    assert r2["mode"] == "targeted"
+    assert len(r2["executed"]) == 1 and len(r2["removed"]) == 1
+    after = sorted(os.listdir(os.path.join(out, "extracted")))
+    # the re-executed group regroups to the SAME membership, hence the
+    # same gid — exclude it; the OTHER group must be byte-untouched
+    untouched = [
+        c for c in set(chunks) & set(after)
+        if c.removeprefix("chunk-") not in r2["executed"]
+    ]
+    assert untouched, "the unchanged group must survive"
+    for c in untouched:
+        assert os.path.getmtime(os.path.join(out, "extracted", c)) == mtimes[c]
+    ids = _final_ids(out)
+    assert len(ids) == 72 - 12 + 20
+    new_ids = set(_corpus(20, 99, "s1").column("doc_id").to_pylist())
+    assert new_ids <= ids
+
+    # delete a member of the rebuilt group: group invalidated, the two
+    # survivors re-extract, and the deleted file's rows leave final/
+    os.remove(os.path.join(inp, "s2.parquet"))
+    r3 = run_incremental(inp, out, cfg, group_files=3)
+    assert len(r3["removed"]) >= 1
+    ids3 = _final_ids(out)
+    gone = set(_corpus(12, 3, "s2").column("doc_id").to_pylist())
+    assert not gone & ids3
+    assert len(ids3) == 72 - 12 + 20 - 12
+
+
+def test_incremental_legacy_filechunks_upgrade(ray_session, tmp_path):
+    """A round-3 out_dir (per-file chunks) keeps working under the
+    grouped runner: valid legacy chunks are reused, a stale one is
+    removed and its file re-extracted inside a new group."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    cfg = ExtractionConfig()
+    _write_corpus_files(inp, {"a.parquet": (10, 1), "b.parquet": (10, 2),
+                              "c.parquet": (10, 3), "d.parquet": (10, 4)})
+    run_incremental(inp, out, cfg, group_files=1)   # legacy layout
+    _write_corpus_files(inp, {"b.parquet": (15, 9)})  # 1/4 <= 0.3 ratio
+    r = run_incremental(inp, out, cfg)              # grouped default
+    assert r["mode"] == "targeted"
+    assert len(r["executed"]) == 1
+    ids = _final_ids(out)
+    assert len(ids) == 10 + 15 + 10 + 10
+    assert set(_corpus(15, 9, "b").column("doc_id").to_pylist()) <= ids
