@@ -122,7 +122,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # with pytest parity)
         "quantile_gate": curation.quantile_gate,
         # --- training-data curation suite ---
-        "repetition_score": curation.repetition_score,
+        # (round 4) Lee-et-al exact substring dedup with REMOVAL —
+        # takes repetition_score's head seat (its within-doc duplicate
+        # -bigram fraction is sibling arithmetic of common_ngram_score
+        # and the tail's dup_spans; pytest keeps it bit-green)
+        "dedup_substrings": curation.dedup_substrings,
         "stratified_sample": curation.stratified_sample,
         "contamination": curation.contamination,
         "line_dedup": curation.line_dedup,
@@ -234,6 +238,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ann_lsh_buckets / dedup_embedding family; head keeps
         # embedding near-dup via semdedup and kNN via knn_graph)
         "dedup_embedding_lsh": dedup.embedding_neardup_lsh,
+        # (within-doc duplicate-bigram fraction: sibling arithmetic of
+        # head's common_ngram_score + dedup_substrings)
+        "repetition_score": curation.repetition_score,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -1435,6 +1442,47 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN tot.t > 0 AND coalesce(dup.d, 0) * 5 >= tot.t * 1
                          THEN 1 ELSE 0 END AS BIGINT) AS dup_flag
         FROM tot LEFT JOIN dup ON tot.doc_id = dup.doc_id
+    """
+
+    # dedup_substrings: same 60-bit gram hash as dup_spans; a word
+    # position is removed iff covered by any occurrence of a globally
+    # duplicated 8-gram; survivors reassemble in order
+    sql["dedup_substrings"] = f"""
+        WITH {_WORDS_CTE},
+        g8 AS (
+          SELECT doc_id, i,
+                 CAST(CAST('0x' || substr(md5(
+                        ws[i]   || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                        ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+                        ws[i+6] || ' ' || ws[i+7]), 1, 15) AS UBIGINT)
+                      AS BIGINT) AS gh
+          FROM w, UNNEST(range(1, len(ws) - 6)) AS t(i)
+          WHERE len(ws) >= 8
+        ),
+        gt AS (SELECT gh FROM g8 GROUP BY gh HAVING count(*) >= 2),
+        ds AS (SELECT g8.doc_id, g8.i FROM g8 JOIN gt USING (gh)),
+        pos AS (
+          SELECT doc_id, p, ws[p] AS word
+          FROM w, UNNEST(range(1, len(ws) + 1)) AS t(p)
+        ),
+        kept AS (
+          SELECT pos.doc_id, pos.p, pos.word FROM pos
+          WHERE NOT EXISTS (
+            SELECT 1 FROM ds
+            WHERE ds.doc_id = pos.doc_id
+              AND pos.p BETWEEN ds.i AND ds.i + 7
+          )
+        ),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_n,
+                 string_agg(word, ' ' ORDER BY p) AS ktext
+          FROM kept GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(len(ws) - coalesce(agg.kept_n, 0) AS BIGINT) AS n_removed,
+               sha256(coalesce(agg.ktext, '')) AS kept_sha256
+        FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
     """
 
     # mix_weights: floor(sqrt(double(n))) == isqrt(n) exactly for

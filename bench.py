@@ -104,7 +104,7 @@ def run_queries() -> dict[str, float]:
         "dedup_components", "fuzzy_dedup_keep", "semdedup", "pack_sequences", "top_ngrams",
         "common_ngram_score", "training_shuffle", "dup_spans", "mix_weights",
         "leakage_split", "embed_documents", "range_join", "quantile_gate",
-        "prototype_score", "knn_graph",
+        "prototype_score", "knn_graph", "dedup_substrings",
     ]
     out: dict[str, float] = {}
     for name in picks:

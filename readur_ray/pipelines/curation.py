@@ -43,6 +43,11 @@ with a bit-exact DuckDB oracle in ``__ray_entry__.oracle_sql``:
                         md5(source) — group-atomic (a source never
                         straddles the eval boundary), one streaming
                         pass, no shuffle.
+- ``dedup_substrings``  exact substring dedup with REMOVAL (the Lee
+                        et al. 2022 cleaning pass at 8-gram
+                        granularity): positions covered by any
+                        globally duplicated 8-gram occurrence drop,
+                        docs reassemble from surviving words.
 - ``quantile_gate``     per-source EXACT length-percentile filter
                         ([p10, p90] of n_chars): distinct-length
                         combiner → per-source cumulative pick →
@@ -1080,4 +1085,130 @@ def dup_spans(sf_dir: str) -> "ray.data.Dataset":
         seeds.union(dup_side)
         .groupby("part")
         .map_groups(combine_part, batch_format="pyarrow")
+    )
+
+
+def dedup_substrings(sf_dir: str) -> "ray.data.Dataset":
+    """Exact substring dedup with REMOVAL (Lee et al. 2022,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    Better" — public; the suffix-array pass, at word-8-gram
+    granularity): a word position is dropped iff it is covered by any
+    occurrence of a GLOBALLY duplicated 8-gram (appears ≥ 2 times
+    corpus-wide, counting multiplicity, within-doc repeats included);
+    docs are reassembled from the surviving words. Per doc: word count,
+    words removed, sha256 of the ' '-joined surviving lowercased words
+    — `dup_spans` detects copied passages, this op CLEANS them.
+
+    Scale shape — two coarse shuffles, int64-only on the gram leg:
+    occurrence rows (gh, doc_id, pos) partition by gram hash; each
+    partition computes global counts vectorized and emits dup START
+    rows (doc_id, pos) back on a doc_id-keyed shuffle, where seed rows
+    carry each doc's text once for reassembly (the same union +
+    co-partition plan as line_dedup). Unlike dup_spans, removal cannot
+    Counter-fold occurrences (every position matters), so a hot gram
+    contributes its whole occurrence mass to one partition —
+    N_COARSE_PARTS is the dial, and the 60-bit md5 gram hash spreads
+    everything else uniformly. Coverage per doc is O(n) via a cumsum
+    over start flags, never a per-position scan of starts."""
+    from ..functions.textstats import md5_int60
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def occ_rows(batch: pa.Table) -> pa.Table:
+        out_id: list[int] = []
+        out_gh: list[int] = []
+        out_pos: list[int] = []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = words_of(text or "")
+            n_g = len(ws) - DUP_GRAM_N + 1
+            for i in range(max(n_g, 0)):
+                out_gh.append(md5_int60(" ".join(ws[i : i + DUP_GRAM_N])))
+                out_pos.append(i + 1)  # 1-indexed, matches the oracle
+            out_id.extend([doc_id] * max(n_g, 0))
+        gh = np.array(out_gh, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "pos": pa.array(out_pos, pa.int64()),
+                "gh": pa.array(gh, pa.int64()),
+                "part": pa.array(gh % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def dup_starts(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part_tbl.select(["doc_id", "pos", "gh"]).to_pandas()
+        gtot = df.groupby("gh", sort=False)["gh"].transform("size")
+        d = df[gtot >= 2]
+        ids = d["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(d["pos"].to_numpy(), pa.int64()),
+                "text": pa.array([""] * len(ids), pa.string()),
+                "kind": pa.array(np.ones(len(ids), dtype=np.int64), pa.int64()),
+                "part": pa.array(ids % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    dup_side = (
+        docs.map_batches(occ_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dup_starts, batch_format="pyarrow")
+    )
+
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(np.zeros(len(ids), dtype=np.int64), pa.int64()),
+                "text": batch.column("text"),
+                "kind": pa.array(np.zeros(len(ids), dtype=np.int64), pa.int64()),
+                "part": pa.array(ids % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    seeds = docs.map_batches(seed_rows, batch_format="pyarrow")
+
+    def reassemble(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.to_pandas()
+        starts = df[df["kind"] == 1].groupby("doc_id", sort=False)["pos"]
+        starts = {k: v.to_numpy() for k, v in starts}
+        out_id, out_n, out_rm, out_sha = [], [], [], []
+        for doc_id, text in df[df["kind"] == 0][["doc_id", "text"]].itertuples(
+            index=False
+        ):
+            ws = words_of(text or "")
+            n = len(ws)
+            s = np.zeros(n + 1, dtype=np.int64)  # 1-indexed start flags
+            st = starts.get(doc_id)
+            if st is not None:
+                s[st] = 1
+            c = np.cumsum(s)  # s[0] == 0, so c[p] = sum s[1..p]
+            p = np.arange(1, n + 1)
+            hi = np.minimum(p, max(n - DUP_GRAM_N + 1, 0))
+            lo = np.maximum(p - DUP_GRAM_N + 1, 1)
+            covered = c[hi] - c[lo - 1] > 0  # any dup start in [lo, hi]
+            kept = [w for w, cv in zip(ws, covered) if not cv]
+            out_id.append(doc_id)
+            out_n.append(n)
+            out_rm.append(int(covered.sum()))
+            out_sha.append(hashlib.sha256(" ".join(kept).encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_words": pa.array(out_n, pa.int64()),
+                "n_removed": pa.array(out_rm, pa.int64()),
+                "kept_sha256": pa.array(out_sha, pa.string()),
+            }
+        )
+
+    return (
+        seeds.union(dup_side)
+        .groupby("part")
+        .map_groups(reassemble, batch_format="pyarrow")
     )

@@ -467,3 +467,33 @@ def test_quantile_gate_crafted_multifile(ray_session, tmp_path):
     # srcB: n=7 sorted [1,2,3,4,5,5,5] -> lo = v[0] = 1, hi = v[ceil(6.3)-1] = 5
     assert set(b["lo_chars"]) == {1} and set(b["hi_chars"]) == {5}
     assert len(b) == 7  # nothing gated
+
+
+def test_dedup_substrings_crafted(ray_session, tmp_path):
+    """Removal semantics on crafted duplicates: an 8-word passage shared
+    by two docs is removed from BOTH (global count >= 2, coverage spans
+    all 8 positions); unique surroundings survive; a short doc (< 8
+    words) has no grams and is untouched; a within-doc repeat of the
+    same 8-gram is also removed."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, f"intro {shared} outro"),
+            (2, f"{shared} tail"),
+            (3, "too short to gram"),
+            (4, f"{shared} {shared}"),  # within-doc repeat
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curation.dedup_substrings(sf).to_pandas().to_dict("records")
+    }
+    assert out[1]["n_words"] == 10 and out[1]["n_removed"] == 8
+    assert out[1]["kept_sha256"] == _sha("intro outro")
+    assert out[2]["n_words"] == 9 and out[2]["n_removed"] == 8
+    assert out[2]["kept_sha256"] == _sha("tail")
+    assert out[3]["n_removed"] == 0
+    assert out[3]["kept_sha256"] == _sha("too short to gram")
+    assert out[4]["n_words"] == 16 and out[4]["n_removed"] == 16
+    assert out[4]["kept_sha256"] == _sha("")

@@ -83,6 +83,8 @@ SUBSET = [
     "prototype_score",
     "knn_graph",
     "dedup_embedding_lsh",
+    "repetition_score",
+    "dedup_substrings",
 ]
 
 
