@@ -163,3 +163,29 @@ def test_cli_ray_init_plan_cluster_vs_local():
         assert addr == "local" and kwargs["num_cpus"] == 8
     addr, kwargs = ray_init_plan("local", None)
     assert addr == "local" and "num_cpus" not in kwargs
+
+
+def test_compact_ledger_folds_groupchunks_keeps_membership(tmp_path):
+    """Aged groupchunk commits fold into the snapshot WITH their full
+    {path: etag} membership (group reuse validation needs every member);
+    aged removals drop the whole group."""
+    out = str(tmp_path)
+    now = 1_000_000.0
+    old = now - 10 * 86400
+    ledger.append_entry(out, {"kind": "groupchunk", "chunk": "gaaa",
+                              "etags": {"/d/a": "e1", "/d/b": "e2"}, "ts": old})
+    ledger.append_entry(out, {"kind": "groupchunk", "chunk": "gbbb",
+                              "etags": {"/d/c": "e3"}, "ts": old})
+    ledger.append_entry(out, {"kind": "incremental_removed",
+                              "chunks": ["gbbb"], "ts": old})
+    ledger.append_entry(out, {"kind": "groupchunk", "chunk": "gccc",
+                              "etags": {"/d/d": "e4"}, "ts": now})
+
+    before = ledger.committed_groups(out)
+    assert before == {"gaaa": {"/d/a": "e1", "/d/b": "e2"},
+                      "gccc": {"/d/d": "e4"}}
+    folded = ledger.compact_ledger(out, now=now)
+    assert folded == 3
+    assert ledger.committed_groups(out) == before
+    kinds = [e["kind"] for e in ledger.read_ledger(out)]
+    assert kinds == ["snapshot", "groupchunk"]
