@@ -497,3 +497,82 @@ def test_dedup_substrings_crafted(ray_session, tmp_path):
     assert out[3]["kept_sha256"] == _sha("too short to gram")
     assert out[4]["n_words"] == 16 and out[4]["n_removed"] == 16
     assert out[4]["kept_sha256"] == _sha("")
+
+
+def test_dedup_substrings_randomized_vs_naive(ray_session, tmp_path):
+    """40-doc corpus of words drawn from a tiny vocab (dense 8-gram
+    collisions, within- and cross-doc) checked against a naive
+    single-threaded reference of the published semantics: position p
+    drops iff some occurrence of a globally duplicated 8-gram covers
+    it."""
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(6)]
+    rows = []
+    for d in range(1, 41):
+        n = rng.randint(0, 24)
+        rows.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+    sf = _write_docs(tmp_path, rows)
+
+    from collections import Counter
+
+    from readur_ray.functions.textstats import words_of
+
+    gcount: Counter = Counter()
+    grams = {}
+    for d, text in rows:
+        ws = words_of(text)
+        gs = [tuple(ws[i : i + 8]) for i in range(len(ws) - 7)]
+        grams[d] = (ws, gs)
+        gcount.update(gs)
+    expect = {}
+    for d, (ws, gs) in grams.items():
+        covered = [False] * len(ws)
+        for i, g in enumerate(gs):
+            if gcount[g] >= 2:
+                for p in range(i, i + 8):
+                    covered[p] = True
+        kept = [w for w, c in zip(ws, covered) if not c]
+        expect[d] = (len(ws), sum(covered), _sha(" ".join(kept)))
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_removed"], r["kept_sha256"])
+        for r in curation.dedup_substrings(sf).to_pandas().to_dict("records")
+    }
+    assert got == expect
+
+
+def test_quantile_gate_randomized_vs_naive(ray_session, tmp_path):
+    """Random lengths over 3 sources checked against a naive
+    percentile_disc: sorted v, 1-indexed pos max(ceil(p*n), 1)."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    did = 0
+    for s, nsrc in (("sa", 23), ("sb", 7), ("sc", 1)):
+        for _ in range(nsrc):
+            did += 1
+            rows.append((did, "x" * rng.randint(0, 40), s))
+    sf = _write_docs(tmp_path, rows)
+
+    by_src: dict = {}
+    for d, t, s in rows:
+        by_src.setdefault(s, []).append((d, len(t)))
+    expect = set()
+    for s, docs in by_src.items():
+        v = sorted(n for _, n in docs)
+        n = len(v)
+        lo = v[max(math.ceil(0.1 * n), 1) - 1]
+        hi = v[max(math.ceil(0.9 * n), 1) - 1]
+        for d, nc in docs:
+            if lo <= nc <= hi:
+                expect.add((d, s, nc, lo, hi))
+
+    got = {
+        (r["doc_id"], r["source"], r["n_chars"], r["lo_chars"], r["hi_chars"])
+        for r in curation.quantile_gate(sf).to_pandas().to_dict("records")
+    }
+    assert got == expect
