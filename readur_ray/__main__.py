@@ -148,7 +148,8 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.run import run_incremental
 
         summary = run_incremental(
-            input_path, args.out, cfg, group_files=args.incr_group
+            input_path, args.out, cfg, group_files=args.incr_group,
+            dedup_against=args.dedup_against,
         )
     else:
         summary = run_extraction(

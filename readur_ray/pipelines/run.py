@@ -623,6 +623,7 @@ def run_incremental(
     cfg: ExtractionConfig = DEFAULT_CONFIG,
     finalize: bool = True,
     group_files: int | None = None,
+    dedup_against: str | None = None,
 ) -> dict:
     """W2+W3+W4 combined: snapshot-diff the input FILE manifest against
     the previous run's, decide skip / full / targeted with the
@@ -764,5 +765,7 @@ def run_incremental(
     result["executed"] = executed
     result["removed"] = removed
     if finalize:
-        result["summary"] = run_finalize_phase(out_dir, cfg)
+        result["summary"] = run_finalize_phase(
+            out_dir, cfg, dedup_against=dedup_against
+        )
     return result

@@ -125,3 +125,29 @@ def test_dedup_against_empty_prior_run(ray_session, tmp_path):
         ref.select(["doc_id", "status", "dedup_status"]).to_pylist(), key=key
     )
     assert got_rows == ref_rows
+
+
+def test_cross_run_composes_with_incremental(ray_session, prior_run, tmp_path):
+    """--incremental --dedup-against compose: the manifest-diff runner's
+    finalize rides the same cross-run hash shuffle, so content already
+    in the prior run's final/ is marked duplicate in an incremental
+    job too."""
+    from readur_ray.pipelines.run import run_incremental
+
+    prior_corpus, prior_out = prior_run
+    corpus_b = str(tmp_path / "corpus_b")
+    os.makedirs(corpus_b)
+    shard = sorted(os.listdir(prior_corpus))[0]
+    shutil.copy(os.path.join(prior_corpus, shard), corpus_b)
+    out = str(tmp_path / "out")
+    r = run_incremental(
+        corpus_b, out, ExtractionConfig(),
+        dedup_against=os.path.join(prior_out, "final"),
+    )
+    assert r["mode"] == "full"
+    t = pq.read_table(os.path.join(out, "final"),
+                      columns=["doc_id", "dedup_status"])
+    st = t.column("dedup_status").to_pylist()
+    assert any(s == "skipped_duplicate" for s in st), (
+        "prior-run content must be marked duplicate in the incremental job"
+    )
