@@ -131,8 +131,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": curation.contamination,
         "line_dedup": curation.line_dedup,
         "pack_sequences": curation.pack_sequences,
-        "top_ngrams": curation.top_ngrams,
         "common_ngram_score": curation.common_ngram_score,
+        # (round 4) exact distributed COUNT(DISTINCT) — takes
+        # top_ngrams' head seat (common_ngram_score's plan CONTAINS the
+        # top-K bigram counting stage verbatim; top_ngrams keeps pytest
+        # parity in the tail)
+        "distinct_users_daily": analytics.distinct_users_daily,
         # (round 4) documents→embeddings production stage: signed
         # feature hashing in an actor pool with a per-actor token cache
         "embed_documents": textops.embed_documents,
@@ -241,6 +245,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (within-doc duplicate-bigram fraction: sibling arithmetic of
         # head's common_ngram_score + dedup_substrings)
         "repetition_score": curation.repetition_score,
+        # (global top-K bigram heavy hitters: the identical counting
+        # plan runs inside head's common_ngram_score)
+        "top_ngrams": curation.top_ngrams,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -520,6 +527,12 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
         FROM events GROUP BY 1, 2
+    """
+
+    sql["distinct_users_daily"] = """
+        SELECT date_trunc('day', ts) AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1
     """
 
     sql["orders_per_nation"] = """

@@ -105,6 +105,7 @@ def run_queries() -> dict[str, float]:
         "common_ngram_score", "training_shuffle", "dup_spans", "mix_weights",
         "leakage_split", "embed_documents", "range_join", "quantile_gate",
         "prototype_score", "knn_graph", "dedup_substrings",
+        "distinct_users_daily",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -406,3 +406,60 @@ def label_facets(sf_dir: str) -> "ray.data.Dataset":
             Max("mx", alias_name="max_doc"),
         )
     )
+
+
+def distinct_users_daily(sf_dir: str) -> "ray.data.Dataset":
+    """Exact distributed COUNT(DISTINCT): daily active users over the
+    event stream — the two-stage distinct-pair plan (the aggregate
+    shape Ray Data's built-in aggregates don't cover and a naive
+    groupby(day) would get wrong under combining).
+
+    Plan: per-batch LOCAL distinct (day, user) pairs (the combiner —
+    bounds the shuffle at one row per distinct pair per batch) → one
+    coarse shuffle keyed on the PAIR (both columns fold into the int64
+    partition hash, so all copies of a pair land together while one
+    hot day still spreads over all partitions — the skew resistance a
+    groupby(day) plan lacks) → per-partition global distinct +
+    per-day partial counts → tiny groupby(day) sum (day cardinality).
+    Everything on the wire is (int64 epoch-day, int64 user, int64
+    part)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def local_pairs(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        t = pa.table({"day": day, "user_id": batch.column("user_id")})
+        g = t.group_by(["day", "user_id"]).aggregate([])
+        epoch_day = pc.divide(
+            g.column("day").cast(pa.int64()), 86_400_000_000
+        ).to_numpy(zero_copy_only=False)
+        users = g.column("user_id").to_numpy(zero_copy_only=False)
+        from ..stages.shuffle import N_COARSE_PARTS
+
+        part = (epoch_day * 1_000_003 + users) % N_COARSE_PARTS
+        return pa.table(
+            {
+                "day": g.column("day"),
+                "user_id": g.column("user_id"),
+                "part": pa.array(part.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def partition_counts(group: pa.Table) -> pa.Table:
+        df = group.select(["day", "user_id"]).to_pandas()
+        per_day = df.drop_duplicates().groupby("day", sort=False).size()
+        return pa.table(
+            {
+                "day": pa.array(per_day.index, pa.timestamp("us")),
+                "n": pa.array(per_day.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(local_pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(partition_counts, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n_users"))
+    )

@@ -72,19 +72,20 @@ SUBSET = [
     "range_join",
     # displaced to the tail in round 4 (head seats went to the three
     # new round-4 semantics above) — keep their oracle parity here
+    # displaced to the tail in round 4 (head seats went to the new
+    # round-4 semantics; median_by_type / pricing_summary /
+    # repetition_score / top_ngrams already appear above) — keep
+    # their oracle parity here
     "orders_per_nation",
     "funnel_stages",
     "ann_topk_ivf_kmeans_probe2",
-    "median_by_type",
-    "pricing_summary",
-    # round-4 head additions: two-pass exact percentile gate +
-    # SSL-prototypes data-pruning scores
+    "dedup_embedding_lsh",
+    # round-4 head additions
     "quantile_gate",
     "prototype_score",
     "knn_graph",
-    "dedup_embedding_lsh",
-    "repetition_score",
     "dedup_substrings",
+    "distinct_users_daily",
 ]
 
 
