@@ -137,6 +137,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top-K bigram counting stage verbatim; top_ngrams keeps pytest
         # parity in the tail)
         "distinct_users_daily": analytics.distinct_users_daily,
+        # (round 4) mergeable HLL cardinality-sketch registers in exact
+        # integers — takes search_snippets' head seat (snippet
+        # windowing composes head-checked text_search's predicate with
+        # the token-window arithmetic of doc_metadata/chunk_documents;
+        # pytest keeps it bit-green in the tail)
+        "hll_registers": analytics.hll_registers,
         # (round 4) documents→embeddings production stage: signed
         # feature hashing in an actor pool with a per-actor token cache
         "embed_documents": textops.embed_documents,
@@ -152,7 +158,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- search / suppression / incremental (F1, F2, D3, W2, A1/A6) ---
         "text_search": search.text_search,
         "search_ranked": search.search_ranked,
-        "search_snippets": search.search_snippets,
         "suppression_antijoin": search.suppression_antijoin,
         "incremental_filter": search.incremental_filter,
         "queue_stats": search.queue_stats,
@@ -248,6 +253,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (global top-K bigram heavy hitters: the identical counting
         # plan runs inside head's common_ngram_score)
         "top_ngrams": curation.top_ngrams,
+        # (F2 snippets: head-checked text_search predicate + the
+        # token-window arithmetic of doc_metadata/chunk_documents)
+        "search_snippets": search.search_snippets,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -527,6 +535,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
         FROM events GROUP BY 1, 2
+    """
+
+    # hll_registers: exact-integer HyperLogLog registers; rho via the
+    # binary-string length of the 52-bit suffix (bin() drops leading
+    # zeros, so len(bin(x)) IS bit_length(x))
+    sql["hll_registers"] = """
+        WITH h AS (
+          SELECT DISTINCT
+                 CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                      AS UBIGINT) AS BIGINT) AS h
+          FROM events
+        ),
+        r AS (
+          SELECT h // 4503599627370496 AS bucket,
+                 h % 4503599627370496 AS suffix
+          FROM h
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(max(CASE WHEN suffix = 0 THEN 53
+                        ELSE 52 - len(bin(CAST(suffix AS UBIGINT))) + 1 END)
+                    AS BIGINT) AS max_rho
+        FROM r GROUP BY 1
     """
 
     sql["distinct_users_daily"] = """

@@ -105,7 +105,7 @@ def run_queries() -> dict[str, float]:
         "common_ngram_score", "training_shuffle", "dup_spans", "mix_weights",
         "leakage_split", "embed_documents", "range_join", "quantile_gate",
         "prototype_score", "knn_graph", "dedup_substrings",
-        "distinct_users_daily",
+        "distinct_users_daily", "hll_registers",
     ]
     out: dict[str, float] = {}
     for name in picks:

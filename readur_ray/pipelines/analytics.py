@@ -463,3 +463,61 @@ def distinct_users_daily(sf_dir: str) -> "ray.data.Dataset":
         .groupby("day")
         .aggregate(Sum("n", alias_name="n_users"))
     )
+
+
+HLL_P = 8                      # 2^8 = 256 registers
+HLL_W = 52                     # 60-bit md5 hash minus the bucket bits
+HLL_SUFFIX_MOD = 1 << HLL_W
+
+
+def hll_registers(sf_dir: str) -> "ray.data.Dataset":
+    """Mergeable HyperLogLog register table over ``events.user_id`` in
+    EXACT integer arithmetic (Flajolet et al. 2007 — public): h =
+    md5_int60(user), bucket = top HLL_P bits, rho = 1-indexed position
+    of the first 1-bit in the HLL_W-bit suffix (W+1 for an all-zero
+    suffix), register[bucket] = max rho. The float estimator is left to
+    the consumer — the REGISTERS are the distributed artifact, and
+    they are what merges: per-batch partial max (the combiner) then a
+    256-group ``Max`` aggregate, so the full sketch of a 10^12-row
+    stream costs one pass plus a fixed 2^P-row exchange. This is the
+    sketch-merge path the exact quantile/median docstrings point to
+    at scales where exact per-group state no longer fits."""
+    from ..functions.textstats import md5_int60
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial_registers(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        # one md5 per DISTINCT user in the batch (C-level hash loop,
+        # same idiom as every other md5-keyed op in this engine)
+        uniq = np.unique(users)
+        h = np.array([md5_int60(str(u)) for u in uniq], dtype=np.int64)
+        bucket = h >> HLL_W
+        suffix = h & (HLL_SUFFIX_MOD - 1)
+        # rho = W - bit_length(suffix) + 1; all-zero suffix -> W + 1
+        bl = np.zeros(len(h), dtype=np.int64)
+        nz = suffix > 0
+        bl[nz] = np.floor(np.log2(suffix[nz])).astype(np.int64) + 1
+        # float log2 is exact for integers < 2^53 EXCEPT possibly at
+        # power-of-two boundaries; verify and correct in integers
+        bad = nz & ((1 << np.maximum(bl - 1, 0)) > suffix)
+        bl[bad] -= 1
+        bad = nz & ((1 << bl) <= suffix)
+        bl[bad] += 1
+        rho = np.where(nz, HLL_W - bl + 1, HLL_W + 1)
+        t = pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "rho": pa.array(rho.astype(np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by("bucket").aggregate([("rho", "max")])
+        return pa.table(
+            {"bucket": g.column("bucket"), "max_rho": g.column("rho_max")}
+        )
+
+    return (
+        ds.map_batches(partial_registers, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Max("max_rho", alias_name="max_rho"))
+    )

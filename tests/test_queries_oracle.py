@@ -70,8 +70,6 @@ SUBSET = [
     "embed_documents",
     "chunk_documents",
     "range_join",
-    # displaced to the tail in round 4 (head seats went to the three
-    # new round-4 semantics above) — keep their oracle parity here
     # displaced to the tail in round 4 (head seats went to the new
     # round-4 semantics; median_by_type / pricing_summary /
     # repetition_score / top_ngrams already appear above) — keep
@@ -86,6 +84,8 @@ SUBSET = [
     "knn_graph",
     "dedup_substrings",
     "distinct_users_daily",
+    "hll_registers",
+    "search_snippets",
 ]
 
 
