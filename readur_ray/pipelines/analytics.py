@@ -470,6 +470,22 @@ HLL_W = 52                     # 60-bit md5 hash minus the bucket bits
 HLL_SUFFIX_MOD = 1 << HLL_W
 
 
+def _bit_length(x: np.ndarray) -> np.ndarray:
+    """Vectorized int.bit_length for non-negative int64 (< 2^53):
+    float log2 is exact on exactly-representable ints EXCEPT that the
+    log can round across power-of-two boundaries — verify and correct
+    in pure integer arithmetic (tested exhaustively around every 2^k
+    in test_functions)."""
+    bl = np.zeros(len(x), dtype=np.int64)
+    nz = x > 0
+    bl[nz] = np.floor(np.log2(x[nz])).astype(np.int64) + 1
+    bad = nz & ((1 << np.maximum(bl - 1, 0)) > x)
+    bl[bad] -= 1
+    bad = nz & ((1 << bl) <= x)
+    bl[bad] += 1
+    return bl
+
+
 def hll_registers(sf_dir: str) -> "ray.data.Dataset":
     """Mergeable HyperLogLog register table over ``events.user_id`` in
     EXACT integer arithmetic (Flajolet et al. 2007 — public): h =
@@ -495,16 +511,8 @@ def hll_registers(sf_dir: str) -> "ray.data.Dataset":
         bucket = h >> HLL_W
         suffix = h & (HLL_SUFFIX_MOD - 1)
         # rho = W - bit_length(suffix) + 1; all-zero suffix -> W + 1
-        bl = np.zeros(len(h), dtype=np.int64)
-        nz = suffix > 0
-        bl[nz] = np.floor(np.log2(suffix[nz])).astype(np.int64) + 1
-        # float log2 is exact for integers < 2^53 EXCEPT possibly at
-        # power-of-two boundaries; verify and correct in integers
-        bad = nz & ((1 << np.maximum(bl - 1, 0)) > suffix)
-        bl[bad] -= 1
-        bad = nz & ((1 << bl) <= suffix)
-        bl[bad] += 1
-        rho = np.where(nz, HLL_W - bl + 1, HLL_W + 1)
+        bl = _bit_length(suffix)
+        rho = np.where(suffix > 0, HLL_W - bl + 1, HLL_W + 1)
         t = pa.table(
             {
                 "bucket": pa.array(bucket, pa.int64()),

@@ -182,3 +182,22 @@ def test_plain_too_large_raises():
 )
 def test_priority_buckets(size, mime, prio):
     assert calculate_priority(size, mime) == prio
+
+
+def test_hll_bit_length_exact():
+    """_bit_length must equal int.bit_length everywhere the HLL suffix
+    domain reaches — exhaustive near every power of two (the float-log2
+    rounding pitfall) plus random 52-bit values."""
+    import numpy as np
+
+    from readur_ray.pipelines.analytics import _bit_length
+
+    vals = [0, 1, 2, 3]
+    for k in range(1, 53):
+        vals += [(1 << k) - 1, 1 << k, (1 << k) + 1]
+    rng = np.random.default_rng(5)
+    vals += rng.integers(0, 1 << 52, size=10_000).tolist()
+    arr = np.array(vals, dtype=np.int64)
+    got = _bit_length(arr)
+    expect = np.array([int(v).bit_length() for v in vals], dtype=np.int64)
+    assert (got == expect).all()
