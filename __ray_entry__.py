@@ -112,8 +112,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract": textops.html_extract,
         "redact_pii": textops.redact_pii,
         # --- relational operators (A1-A6, O1-O3, J1/J4, M20, M4-M6) ---
-        "source_facets": analytics.source_facets,
-        "priority_buckets": analytics.priority_buckets,
         "filter_allowed": analytics.filter_allowed,
         "label_facets": analytics.label_facets,
         # (round 4) two-pass exact per-group percentile thresholds +
@@ -121,6 +119,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sibling one-shuffle exact-quantile primitive, now in the tail
         # with pytest parity)
         "quantile_gate": curation.quantile_gate,
+        # (round 4) mergeable log2-histogram quantile sketch — the
+        # fixed-memory scale path the exact-quantile docstrings
+        # promise; takes priority_buckets' head seat (its per-row CASE
+        # bucket arithmetic is the shape of head-checked quality_score
+        # / filter_allowed; pytest keeps it bit-green in the tail)
+        "hist_quantiles": analytics.hist_quantiles,
         # --- training-data curation suite ---
         # (round 4) Lee-et-al exact substring dedup with REMOVAL —
         # takes repetition_score's head seat (its within-doc duplicate
@@ -143,6 +147,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the token-window arithmetic of doc_metadata/chunk_documents;
         # pytest keeps it bit-green in the tail)
         "hll_registers": analytics.hll_registers,
+        # (round 4) mergeable Count-Min frequency-sketch registers —
+        # completes the sketch triad (HLL cardinality / Bloom
+        # membership / CMS frequency); takes source_facets' head seat
+        # (its group-count facet plan is the shape of head-checked
+        # label_facets / queue_stats; pytest keeps it bit-green)
+        "cms_registers": analytics.cms_registers,
         # (round 4) documents→embeddings production stage: signed
         # feature hashing in an actor pool with a per-actor token cache
         "embed_documents": textops.embed_documents,
@@ -171,7 +181,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_prep": prep.training_prep,
         # --- dedup suite ---
         "dedup_exact": dedup.exact_dedup,
-        "dedup_path": dedup.path_dedup,
+        # (round 4) partitioned Bloom-filter membership gate — the
+        # fixed-memory probabilistic sibling of exact/cross-run dedup;
+        # takes dedup_path's head seat (path dedup is the identical
+        # hash-partition keep-first plan on a different key column,
+        # driver-covered by dedup_exact; pytest keeps it bit-green)
+        "bloom_gate": dedup.bloom_gate,
         "dedup_minhash_lsh": dedup.pairs_materialized,
         "dedup_simhash_banded": dedup.simhash_pairs_banded,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -256,6 +271,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (F2 snippets: head-checked text_search predicate + the
         # token-window arithmetic of doc_metadata/chunk_documents)
         "search_snippets": search.search_snippets,
+        # (round 4 second-wave displacements — head seats went to the
+        # sketch triad's bloom_gate/cms_registers and the histogram
+        # quantile sketch: source_facets' group-count facet plan stays
+        # driver-checked via label_facets/queue_stats; priority_buckets'
+        # per-row CASE arithmetic via quality_score/filter_allowed;
+        # dedup_path's hash-partition keep-first via dedup_exact)
+        "source_facets": analytics.source_facets,
+        "priority_buckets": analytics.priority_buckets,
+        "dedup_path": dedup.path_dedup,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -563,6 +587,73 @@ def oracle_sql() -> dict[str, str]:
         SELECT date_trunc('day', ts) AS day,
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY 1
+    """
+
+    # cms_registers: Count-Min rows via Kirsch-Mitzenmacher double
+    # hashing of one md5 (h1 + d*h2 < 4*2^60 — BIGINT-safe)
+    sql["cms_registers"] = """
+        WITH h AS (
+          SELECT CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                      AS UBIGINT) AS BIGINT) AS h1,
+                 CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 16, 15)
+                      AS UBIGINT) AS BIGINT) AS h2
+          FROM events
+        )
+        SELECT d.d AS row_d, (h1 + d.d * h2) % 256 AS pos,
+               CAST(count(*) AS BIGINT) AS count
+        FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) d
+        GROUP BY 1, 2
+    """
+
+    # hist_quantiles: log2-histogram bins via bin()-string length
+    # (bin() drops leading zeros, so len(bin(x)) IS bit_length(x));
+    # quantile rank in pure integers: smallest bin with 100*cum >= q*n
+    sql["hist_quantiles"] = """
+        WITH b AS (
+          SELECT event_type,
+                 CASE WHEN cents <= 0 THEN 0
+                      ELSE CAST(len(bin(CAST(cents AS UBIGINT))) AS BIGINT) END AS bin
+          FROM (SELECT event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events)
+        ),
+        g AS (SELECT event_type, bin, count(*) AS n FROM b GROUP BY 1, 2),
+        cum AS (
+          SELECT event_type, bin,
+                 sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                 sum(n) OVER (PARTITION BY event_type) AS total
+          FROM g
+        )
+        SELECT event_type,
+               CAST(max(total) AS BIGINT) AS n_events,
+               CAST(min(CASE WHEN 100 * cum >= 50 * total THEN bin END) AS BIGINT) AS p50_bin,
+               CAST((1 << min(CASE WHEN 100 * cum >= 50 * total THEN bin END)) - 1 AS BIGINT) AS p50_upper,
+               CAST(min(CASE WHEN 100 * cum >= 90 * total THEN bin END) AS BIGINT) AS p90_bin,
+               CAST((1 << min(CASE WHEN 100 * cum >= 90 * total THEN bin END)) - 1 AS BIGINT) AS p90_upper,
+               CAST(min(CASE WHEN 100 * cum >= 99 * total THEN bin END) AS BIGINT) AS p99_bin,
+               CAST((1 << min(CASE WHEN 100 * cum >= 99 * total THEN bin END)) - 1 AS BIGINT) AS p99_upper
+        FROM cum GROUP BY 1
+    """
+
+    # bloom_gate: prior = even doc_id, probes = odd; k=3 double-hashed
+    # probe positions per Kirsch-Mitzenmacher; maybe_dup = ALL set
+    sql["bloom_gate"] = """
+        WITH h AS (
+          SELECT doc_id,
+                 CAST(CAST('0x' || substr(md5(text), 1, 15) AS UBIGINT) AS BIGINT) AS h1,
+                 CAST(CAST('0x' || substr(md5(text), 16, 15) AS UBIGINT) AS BIGINT) AS h2
+          FROM documents
+        ),
+        probes AS (
+          SELECT doc_id, h1 % 8 AS part, (h1 + i.i * h2) % 256 AS pos
+          FROM h CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) i
+        ),
+        bits AS (SELECT DISTINCT part, pos FROM probes WHERE doc_id % 2 = 0)
+        SELECT p.doc_id,
+               CAST(min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS maybe_dup
+        FROM probes p LEFT JOIN bits b ON b.part = p.part AND b.pos = p.pos
+        WHERE p.doc_id % 2 = 1
+        GROUP BY p.doc_id
     """
 
     sql["orders_per_nation"] = """
@@ -1231,12 +1322,14 @@ def oracle_sql() -> dict[str, str]:
 
     # extraction_metrics: the extraction itself is hermetic-engine work
     # no SQL can mirror, so the query materializes its e2e output to a
-    # deterministic parquet path and the oracle recomputes the metrics
-    # aggregation (bucket edges, groupby, sums) from those same rows in
-    # DuckDB — verifying the metrics operator end-to-end.
+    # fixed sf-agnostic parquet path and the oracle recomputes the
+    # metrics aggregation (bucket edges, groupby, sums) from those same
+    # rows in DuckDB — verifying the metrics operator end-to-end. The
+    # path must not depend on sf (oracle strings are built before the
+    # harness picks its sf_dir; the query always runs first).
     from readur_ray.pipelines.extras import metrics_parquet_dir
 
-    _mdir = metrics_parquet_dir("/root/testdata/sf0.01")
+    _mdir = metrics_parquet_dir("")
     sql["extraction_metrics"] = f"""
         SELECT CAST(part_id AS BIGINT) AS part_id,
                status,

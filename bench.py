@@ -106,6 +106,7 @@ def run_queries() -> dict[str, float]:
         "leakage_split", "embed_documents", "range_join", "quantile_gate",
         "prototype_score", "knn_graph", "dedup_substrings",
         "distinct_users_daily", "hll_registers",
+        "bloom_gate", "cms_registers", "hist_quantiles",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -19,6 +19,8 @@ Reference analogs cited per function (file:line into /root/reference).
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -528,4 +530,143 @@ def hll_registers(sf_dir: str) -> "ray.data.Dataset":
         ds.map_batches(partial_registers, batch_format="pyarrow")
         .groupby("bucket")
         .aggregate(Max("max_rho", alias_name="max_rho"))
+    )
+
+
+HIST_QS = ((50, "p50"), (90, "p90"), (99, "p99"))
+
+
+def hist_quantiles(sf_dir: str) -> "ray.data.Dataset":
+    """Mergeable log2-histogram quantile sketch of event value cents
+    per event_type — the sketch-merge scale path that the exact
+    quantile operators' docstrings (``median_by_type``,
+    ``quantile_gate``) promise at 10^12 rows, in EXACT integer
+    arithmetic (power-of-two equi-depth-in-log-space histograms, the
+    public HdrHistogram / DDSketch idea with log base 2 so bucket
+    boundaries are integers).
+
+    Sketch: bin(v) = bit_length(cents) — bucket k holds cents in
+    [2^(k-1), 2^k), bucket 0 holds 0 — so a value column of ANY range
+    compresses to ≤64 counters. Per batch the combiner emits
+    (event_type, bin, n_partial) partial counts (bounded: #types ×
+    64 rows per batch, independent of batch size), a fixed-size
+    ``Sum`` aggregate merges them, and quantile extraction walks the
+    ≤64-entry cumulative counts per type: qXX_bin = smallest bin with
+    100·cum ≥ XX·n (lower-quantile convention), qXX_upper = 2^bin − 1
+    (the bucket's inclusive upper bound, the sketch's guaranteed
+    overestimate). Relative error is bounded by the bucket width
+    (≤2×); the merge is associative and commutative, so the same
+    registers accumulate across streams, runs and clusters — unlike
+    the exact median's one-shuffle-of-everything.
+
+    Scale shape: ONE streaming pass, no row-level shuffle at all —
+    only the #types×64 partial-count grid moves; the final
+    ``map_groups`` touches #event_type groups (small by contract:
+    a facet column, not an id). Reference analog: the stats
+    endpoints of /root/reference/src/routes/metrics.rs, made
+    distribution-aware."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial_bins(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        bins = _bit_length(cents)
+        t = pa.table(
+            {"event_type": batch.column("event_type"),
+             "bin": pa.array(bins, pa.int64())}
+        )
+        g = t.group_by(["event_type", "bin"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "bin": g.column("bin"),
+                "n_partial": g.column("count_all"),
+            }
+        )
+
+    def quantiles_of(group: pa.Table) -> pa.Table:
+        bins = group.column("bin").to_numpy(zero_copy_only=False)
+        counts = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(bins)
+        bins, counts = bins[order], counts[order]
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        out: dict[str, "pa.Array"] = {
+            "event_type": pa.array([group.column("event_type")[0].as_py()]),
+            "n_events": pa.array([n], pa.int64()),
+        }
+        for q, name in HIST_QS:
+            k = int(bins[np.argmax(100 * cum >= q * n)])
+            out[f"{name}_bin"] = pa.array([k], pa.int64())
+            out[f"{name}_upper"] = pa.array([(1 << k) - 1], pa.int64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(partial_bins, batch_format="pyarrow")
+        .groupby(["event_type", "bin"])
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .groupby("event_type")
+        .map_groups(quantiles_of, batch_format="pyarrow")
+    )
+
+
+CMS_D = 4        # count-min rows (independent hash functions)
+CMS_W = 256      # counters per row
+
+
+def cms_registers(sf_dir: str) -> "ray.data.Dataset":
+    """Mergeable Count-Min sketch registers of per-user event
+    frequency in EXACT integers (Cormode & Muthukrishnan 2005 —
+    public; row hashes via Kirsch-Mitzenmacher double hashing of one
+    md5, the same construction as ``bloom_gate``). Completes this
+    engine's mergeable-sketch triad: HyperLogLog (``hll_registers``,
+    cardinality, Max-merge), Bloom (``bloom_gate``, membership,
+    OR-merge), Count-Min (frequency, Sum-merge) — the three fixed-size
+    answers to "how many distinct / seen before / how often" that
+    replace unbounded exact state at 10^12 rows.
+
+    Sketch: h1/h2 = two 60-bit halves of md5(user); register row d ∈
+    [0, CMS_D) column = (h1 + d·h2) mod CMS_W; register value = SUM of
+    occurrences hashed there. Estimate(u) = min over d — an
+    overestimate only (one-sided error ≤ εN with ε = e/W at the
+    classic bound). Per batch the combiner collapses the user stream
+    to the D×W partial-count grid via one value_counts + bincount per
+    row (bounded output: D·W rows per batch regardless of batch
+    size); a fixed 1024-group ``Sum`` merges partials, so the sketch
+    of any stream costs one pass plus a fixed-size exchange, and
+    register tables from different runs/clusters merge by addition.
+
+    Scale shape: no row-level shuffle — only D×W integer partials
+    move. Reference analog: the per-user activity counters of
+    /root/reference/src/routes/metrics.rs, made fixed-memory."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial_grid(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(users, return_counts=True)
+        hexes = [hashlib.md5(str(u).encode()).hexdigest() for u in uniq]
+        h1 = np.array([int(h[:15], 16) for h in hexes], dtype=np.int64)
+        h2 = np.array([int(h[15:30], 16) for h in hexes], dtype=np.int64)
+        rows, poss, ns = [], [], []
+        for d in range(CMS_D):
+            pos = (h1 + d * h2) % CMS_W  # < 4*2^60: no int64 overflow
+            grid = np.bincount(pos, weights=counts, minlength=CMS_W)
+            nz = np.flatnonzero(grid)
+            rows.append(np.full(len(nz), d, dtype=np.int64))
+            poss.append(nz.astype(np.int64))
+            ns.append(grid[nz].astype(np.int64))
+        return pa.table(
+            {
+                "row_d": pa.array(np.concatenate(rows), pa.int64()),
+                "pos": pa.array(np.concatenate(poss), pa.int64()),
+                "n_partial": pa.array(np.concatenate(ns), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial_grid, batch_format="pyarrow")
+        .groupby(["row_d", "pos"])
+        .aggregate(Sum("n_partial", alias_name="count"))
     )

@@ -1039,3 +1039,78 @@ def _build_neardup_components(
         )
 
     return partitioned_map(all_docs.union(resolved), _part_by_doc, final_min)
+
+
+# ---------------------------------------------------------------------------
+# partitioned Bloom-filter membership gate
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 256      # bits per partition-local filter
+BLOOM_K = 3        # hash probes per key (double hashing, Kirsch-Mitzenmacher)
+BLOOM_PARTS = 8    # key-space shards; each owns an independent filter
+
+
+def bloom_gate(sf_dir: str) -> "ray.data.Dataset":
+    """Partitioned Bloom-filter membership gate: has this document's
+    content been seen in the prior corpus? (Bloom 1970; double-hashed
+    probes per Kirsch & Mitzenmacher 2006 — public.) The approximate,
+    O(bits)-memory sibling of the exact hash-join dedup in
+    ``exact_dedup`` / the cross-run ``--dedup-against`` path
+    (reference analog: the duplicate-hash check of
+    /root/reference/src/db/documents.rs find_by_file_hash, made
+    probabilistic so the "seen" state fits in bits instead of rows).
+
+    Prior corpus = even ``doc_id`` documents; probes = odd. For each
+    doc, h1/h2 are two independent 60-bit halves of one md5(text);
+    probe positions are ``(h1 + i*h2) % BLOOM_M`` for i < BLOOM_K. A
+    probe doc is ``maybe_dup`` iff ALL its positions are set — true
+    duplicates always hit (no false negatives); hash collisions give
+    deterministic false positives at the classic (1-e^(-kn/m))^k rate.
+
+    Scale shape (the reason this is PARTITIONED): one global filter
+    sized for 10^12 keys at 10 bits/key is ~1.25 TB — not
+    broadcastable. Instead the key space is sharded by ``h1 %
+    BLOOM_PARTS`` and each shard owns an independent BLOOM_M-bit
+    filter, so build and probe co-locate in ONE coarse shuffle
+    (``partitioned_map``, the same idiom as every dedup here) and no
+    filter ever leaves its partition: per-partition memory is
+    BLOOM_M/8 bytes regardless of corpus size, and BLOOM_PARTS scales
+    with the cluster while BLOOM_M stays cache-resident. Only int64
+    triples (doc_id, h1, h2) ride the shuffle — never text."""
+    ds = _read_docs(sf_dir)
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        hexes = [md5_hex(t) for t in batch.column("text").to_pylist()]
+        h1 = np.array([int(h[:15], 16) for h in hexes], dtype=np.int64)
+        h2 = np.array([int(h[15:30], 16) for h in hexes], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "h1": pa.array(h1, pa.int64()),
+                "h2": pa.array(h2, pa.int64()),
+                "part": pa.array(h1 % BLOOM_PARTS, pa.int64()),
+            }
+        )
+
+    def gate(part_tbl: pa.Table) -> pa.Table:
+        ids = part_tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        h1 = part_tbl.column("h1").to_numpy(zero_copy_only=False)
+        h2 = part_tbl.column("h2").to_numpy(zero_copy_only=False)
+        # (n, k) probe positions; h1 + 2*h2 < 3*2^60 — no int64 overflow
+        pos = (
+            h1[:, None] + np.arange(BLOOM_K, dtype=np.int64)[None, :] * h2[:, None]
+        ) % BLOOM_M
+        prior = ids % 2 == 0
+        bits = np.zeros(BLOOM_M, dtype=bool)
+        bits[pos[prior].ravel()] = True
+        probe = ~prior
+        hit = bits[pos[probe]].all(axis=1)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[probe], pa.int64()),
+                "maybe_dup": pa.array(hit.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return partitioned_map(ds, hash_rows, gate)

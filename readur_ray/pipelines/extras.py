@@ -140,9 +140,17 @@ def metrics_parquet_dir(sf_dir: str) -> str:
     """Deterministic scratch path the oracle SQL reads back (the
     extraction itself is hermetic-engine work no SQL can mirror, so the
     oracle verifies the metrics AGGREGATION over the materialized e2e
-    output — bucket edges, groupby, sums — in DuckDB)."""
-    base = os.path.basename(os.path.normpath(sf_dir)) or "corpus"
-    return f"/tmp/readur_ray_metrics/{base}/extracted"
+    output — bucket edges, groupby, sums — in DuckDB).
+
+    Deliberately sf-agnostic: oracle_sql() strings are built without
+    knowing the sf_dir the harness will pass to queries(), so the
+    oracle must read whatever run the query JUST wrote. One fixed dir
+    gives exactly that (the harness always runs the Ray query before
+    its oracle); an sf-keyed dir made a check at sf0.001 compare
+    against a stale sf0.01 run — same group structure (statuses and
+    confidences key off doc_id), different sf-dependent word totals."""
+    del sf_dir
+    return "/tmp/readur_ray_metrics/extracted"
 
 
 def extraction_metrics(sf_dir: str) -> "ray.data.Dataset":

@@ -86,6 +86,13 @@ SUBSET = [
     "distinct_users_daily",
     "hll_registers",
     "search_snippets",
+    # round-4 second wave: the sketch triad + histogram quantiles,
+    # plus the three entries they displaced to the tail
+    "bloom_gate",
+    "cms_registers",
+    "hist_quantiles",
+    "source_facets",
+    "priority_buckets",
 ]
 
 
