@@ -133,7 +133,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substrings": curation.dedup_substrings,
         "stratified_sample": curation.stratified_sample,
         "contamination": curation.contamination,
-        "line_dedup": curation.line_dedup,
+        # (round 4) distributed uniform bottom-k sampler (mergeable
+        # md5-priority sketch) — takes line_dedup's head seat (global
+        # first-occurrence sub-document removal + reassembly is the
+        # head-checked dedup_substrings plan at line grain; pytest
+        # keeps it bit-green in the tail)
+        "bottomk_sample": curation.bottomk_sample,
         "pack_sequences": curation.pack_sequences,
         "common_ngram_score": curation.common_ngram_score,
         # (round 4) exact distributed COUNT(DISTINCT) — takes
@@ -160,19 +165,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": textops.chunk_documents,
         # --- sessions / windows / joins ---
         "sessionize": sessions.sessionize,
-        "sliding_window": sessions.sliding_window_counts,
+        # (round 4) streaming watermark gate — the distributed
+        # running-max prefix scan (Dataflow/Flink late-data semantics)
+        # — takes sliding_window's head seat (trailing-window counting
+        # is the head-checked range_join plan as a one-relation
+        # self-band; pytest keeps it bit-green in the tail)
+        "late_data_watermark": sessions.late_data_watermark,
         "asof_join": sessions.asof_join_clicks,
         # (round 4) two-relation interval (band) join — per purchase,
         # same-user click count in the prior hour
         "range_join": sessions.range_join_clicks,
         # --- search / suppression / incremental (F1, F2, D3, W2, A1/A6) ---
         "text_search": search.text_search,
-        "search_ranked": search.search_ranked,
+        # (round 4) one-pass multi-level ROLLUP aggregate — takes
+        # search_ranked's head seat (rank-then-limit is the
+        # head-checked ann_topk shape over the head-checked
+        # text_search predicate; pytest keeps it bit-green)
+        "status_rollup": analytics.status_rollup,
         "suppression_antijoin": search.suppression_antijoin,
         "incremental_filter": search.incremental_filter,
         "queue_stats": search.queue_stats,
         # --- multimodal plumbing (deterministic stub codec) ---
         "multimodal_meta": multimodal.multimodal_meta,
+        # (round 4) the audio leg of the multimodal plumbing:
+        # decode→window→energy actor pool — takes
+        # dedup_ngram_jaccard's head seat (its shingle-set pair plan
+        # is the head-checked dedup_minhash_lsh shuffle with exact set
+        # sizes instead of signatures; pytest keeps it bit-green)
+        "audio_features": multimodal.audio_features,
         # --- remaining M/F/A items: MIME lattice, fuzzy trigram, DSL ---
         "fuzzy_search": extras.fuzzy_search,
         "retry_selection": extras.retry_selection,
@@ -189,7 +209,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_gate": dedup.bloom_gate,
         "dedup_minhash_lsh": dedup.pairs_materialized,
         "dedup_simhash_banded": dedup.simhash_pairs_banded,
-        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "tfidf_top_terms": textops.tfidf_top_terms,
         # --- similarity search / semantic dedup ---
         "ann_topk": similarity.ann_topk,
@@ -280,6 +299,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_facets": analytics.source_facets,
         "priority_buckets": analytics.priority_buckets,
         "dedup_path": dedup.path_dedup,
+        # (round 4 third-wave displacements — head seats went to
+        # bottomk_sample / status_rollup / late_data_watermark /
+        # audio_features: line_dedup's removal+reassembly stays
+        # driver-checked via dedup_substrings; sliding_window's
+        # trailing-window count via range_join; search_ranked's
+        # rank-then-limit via ann_topk + text_search;
+        # dedup_ngram_jaccard's shingle-set pair plan via
+        # dedup_minhash_lsh)
+        "line_dedup": curation.line_dedup,
+        "sliding_window": sessions.sliding_window_counts,
+        "search_ranked": search.search_ranked,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -654,6 +685,79 @@ def oracle_sql() -> dict[str, str]:
         FROM probes p LEFT JOIN bits b ON b.part = p.part AND b.pos = p.pos
         WHERE p.doc_id % 2 = 1
         GROUP BY p.doc_id
+    """
+
+    # bottomk_sample: global bottom-k by md5 priority (ties by doc_id;
+    # md5 collisions are the only tie source — practically impossible,
+    # deterministic anyway)
+    sql["bottomk_sample"] = """
+        SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS priority
+        FROM documents
+        ORDER BY priority, doc_id
+        LIMIT 100
+    """
+
+    # status_rollup: lvl mirrors GROUPING(event_type)*2 + GROUPING(day)
+    sql["status_rollup"] = """
+        WITH b AS (
+          SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT COALESCE(event_type, '(all)') AS event_type,
+               COALESCE(day, '(all)') AS day,
+               CAST(GROUPING(event_type) * 2 + GROUPING(day) AS BIGINT) AS lvl,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM b GROUP BY ROLLUP(event_type, day)
+    """
+
+    # late_data_watermark: watermark = running max ts over events that
+    # arrived (event_id order) strictly before this one, minus 600 s;
+    # integer microseconds so no float crosses the boundary
+    sql["late_data_watermark"] = """
+        WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+        w AS (
+          SELECT event_id, ts_us,
+                 max(ts_us) OVER (ORDER BY event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS wm
+          FROM e
+        )
+        SELECT event_id,
+               CAST(CASE WHEN wm IS NOT NULL AND ts_us < wm - 600000000
+                         THEN 1 ELSE 0 END AS BIGINT) AS late
+        FROM w
+    """
+
+    # audio_features: mirrors the deterministic fake decode —
+    # n_samples = 8000 + md5(ref)[0:8] % 160000, window energy =
+    # md5(ref ':' w)[0:8] % 1e6 over ceil(n_samples/4000) windows
+    sql["audio_features"] = """
+        WITH s AS (
+          SELECT doc_id,
+                 'audio://' || CAST(doc_id AS VARCHAR) AS ref,
+                 8000 + CAST(CAST('0x' || substr(
+                     md5('audio://' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS UBIGINT) AS BIGINT) % 160000 AS n_samples
+          FROM documents
+        ),
+        w AS (SELECT doc_id, ref, n_samples,
+                     (n_samples + 3999) // 4000 AS n_windows
+              FROM s),
+        e AS (
+          SELECT doc_id, n_samples, n_windows,
+                 CAST(CAST('0x' || substr(
+                     md5(ref || ':' || CAST(wi AS VARCHAR)), 1, 8)
+                     AS UBIGINT) AS BIGINT) % 1000000 AS energy
+          FROM w, UNNEST(range(n_windows)) AS t(wi)
+        )
+        SELECT doc_id,
+               CAST(max(n_samples) AS BIGINT) AS n_samples,
+               CAST(max(n_windows) AS BIGINT) AS n_windows,
+               CAST(sum(energy) AS BIGINT) AS total_energy,
+               CAST(max(energy) AS BIGINT) AS peak_energy
+        FROM e GROUP BY doc_id
     """
 
     sql["orders_per_nation"] = """

@@ -107,6 +107,8 @@ def run_queries() -> dict[str, float]:
         "prototype_score", "knn_graph", "dedup_substrings",
         "distinct_users_daily", "hll_registers",
         "bloom_gate", "cms_registers", "hist_quantiles",
+        "bottomk_sample", "status_rollup", "late_data_watermark",
+        "audio_features",
     ]
     out: dict[str, float] = {}
     for name in picks:

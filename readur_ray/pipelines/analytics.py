@@ -670,3 +670,77 @@ def cms_registers(sf_dir: str) -> "ray.data.Dataset":
         .groupby(["row_d", "pos"])
         .aggregate(Sum("n_partial", alias_name="count"))
     )
+
+
+ROLLUP_ALL = "(all)"   # sentinel for the rolled-up level
+
+
+def status_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """OLAP ROLLUP in one streaming pass: event counts and exact cent
+    totals at THREE aggregation levels at once — (event_type, day),
+    (event_type, *), (*, *) — the GROUP BY ROLLUP(event_type, day)
+    plan, which the reference's stats endpoints issue per level
+    (/root/reference/src/routes/metrics.rs) and a warehouse computes
+    with one scan.
+
+    Scale shape: each batch collapses to its (type, day) grid ONCE and
+    replicates the already-aggregated grid rows to the coarser levels
+    with sentinel keys (bounded: <= 2*grid+1 partials per batch,
+    independent of batch size), so a single fixed-size ``Sum``
+    exchange produces every level — no second scan, no per-level
+    shuffle, and subtotals merge associatively across streams and
+    clusters. ``lvl`` (0 = leaf, 1 = per-type, 3 = grand total)
+    mirrors SQL GROUPING() so consumers can slice levels."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial_levels(batch: pa.Table) -> pa.Table:
+        days = (
+            batch.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(str)
+        )
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": pa.array(days, pa.string()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        et = g.column("event_type").to_pylist()
+        dy = g.column("day").to_pylist()
+        cs = g.column("cents_sum").to_numpy(zero_copy_only=False)
+        cn = g.column("cents_count").to_numpy(zero_copy_only=False)
+        n = len(et)
+        # leaf + per-type + grand-total partials from the SAME grid
+        out_type = et + et + [ROLLUP_ALL]
+        out_day = dy + [ROLLUP_ALL] * n + [ROLLUP_ALL]
+        out_lvl = [0] * n + [1] * n + [3]
+        out_sum = np.concatenate([cs, cs, [cs.sum()]]).astype(np.int64)
+        out_n = np.concatenate([cn, cn, [cn.sum()]]).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(out_type, pa.string()),
+                "day": pa.array(out_day, pa.string()),
+                "lvl": pa.array(out_lvl, pa.int64()),
+                "cents": pa.array(out_sum, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial_levels, batch_format="pyarrow")
+        .groupby(["event_type", "day", "lvl"])
+        .aggregate(
+            Sum("n", alias_name="n_events"),
+            Sum("cents", alias_name="total_cents"),
+        )
+    )

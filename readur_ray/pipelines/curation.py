@@ -123,7 +123,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.textstats import shingles_of, words_of
+from ..functions.textstats import md5_hex, shingles_of, words_of
 from ..stages.shuffle import N_COARSE_PARTS, str_partition
 
 BENCH_MOD = 20        # doc_id % BENCH_MOD == 0 → the held-out benchmark slice
@@ -1211,4 +1211,53 @@ def dedup_substrings(sf_dir: str) -> "ray.data.Dataset":
         seeds.union(dup_side)
         .groupby("part")
         .map_groups(reassemble, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed uniform bottom-k sampler
+# ---------------------------------------------------------------------------
+
+BOTTOMK = 100         # global sample size
+
+
+def bottomk_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Uniform random-without-replacement sample of BOTTOMK docs via
+    md5-priority bottom-k (the classic distributed-reservoir
+    equivalent: assign each row priority md5(doc_id), keep the k
+    smallest — every k-subset is equally likely under the hash's
+    uniformity, and the result is independent of partitioning,
+    arrival order and cluster layout, unlike an actual reservoir).
+
+    Scale shape: ONE streaming pass. Each batch prunes itself to its
+    local bottom-k (argpartition, O(batch) not O(batch log batch)),
+    so at most k rows per block survive to the final merge — bottom-k
+    is a mergeable sketch (bottom-k of unions == bottom-k of
+    bottom-ks), which also makes the sample refreshable across runs:
+    union last run's k winners with a new shard's k winners and take
+    bottom-k again. The final sort touches <= k * n_blocks pruned
+    rows, never the corpus. Complements ``stratified_sample`` (fixed
+    quota PER STRATUM) with the global unconditioned sample a
+    curation pipeline draws for eval slices and human audits."""
+    ds = _read_docs(sf_dir, ["doc_id", "source"])
+
+    def local_bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        pri = np.array([md5_hex(str(i)) for i in ids])
+        if len(ids) > BOTTOMK:
+            keep = np.argpartition(pri, BOTTOMK)[:BOTTOMK]
+        else:
+            keep = np.arange(len(ids))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "source": batch.column("source").take(pa.array(keep)),
+                "priority": pa.array(pri[keep], pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(local_bottomk, batch_format="pyarrow")
+        .sort(["priority", "doc_id"])
+        .limit(BOTTOMK)
     )

@@ -268,3 +268,102 @@ def multimodal_meta(sf_dir: str) -> "ray.data.Dataset":
             concurrency=(1, 4),
             num_cpus=1,
         )
+
+
+AUDIO_WINDOW = 4000       # samples per analysis window
+AUDIO_BASE_SAMPLES = 8000
+AUDIO_SPAN_SAMPLES = 160000
+AUDIO_ENERGY_MOD = 1_000_000
+
+
+class AudioFeaturizer:
+    """Actor: decode→window→feature-extract over audio refs — the
+    audio leg of the multimodal plumbing (PayloadCodec covers
+    image/video). Real decode needs an audio codec wheel (soundfile/
+    librosa — absent here) and is OPT-IN like PayloadCodec's; the
+    deterministic fake derives the stream length and per-window
+    energies from md5 chains so every downstream contract (schema,
+    batch size, actor signature, windowed reduction) is real and
+    oracle-checkable.
+
+    Fake decode: n_samples = 8000 + md5(ref)[0:8] % 160000; window w's
+    energy = md5(ref ':' w)[0:8] % 1e6. Per-doc features: window
+    count, total and peak energy — the shape of a real
+    energy/VAD/fingerprint pass, in exact integers."""
+
+    def __init__(self, window: int = AUDIO_WINDOW, use_real: bool = False):
+        self.window = window
+        self.real = use_real
+        if use_real:
+            import soundfile  # noqa: F401  (fail fast: wheel absent here)
+
+    def _decode_fake(self, ref: str) -> tuple[int, np.ndarray]:
+        n_samples = AUDIO_BASE_SAMPLES + int(
+            hashlib.md5(ref.encode()).hexdigest()[:8], 16
+        ) % AUDIO_SPAN_SAMPLES
+        n_windows = (n_samples + self.window - 1) // self.window
+        energies = np.array(
+            [
+                int(hashlib.md5(f"{ref}:{w}".encode()).hexdigest()[:8], 16)
+                % AUDIO_ENERGY_MOD
+                for w in range(n_windows)
+            ],
+            dtype=np.int64,
+        )
+        return n_samples, energies
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.real:
+            raise NotImplementedError(
+                "real audio decode requires a codec wheel; construct with "
+                "use_real=False for the deterministic fake"
+            )
+        refs = batch.column("audio_ref").to_pylist()
+        ns_out, nw_out, tot_out, peak_out = [], [], [], []
+        for ref in refs:
+            n_samples, energies = self._decode_fake(ref)
+            ns_out.append(n_samples)
+            nw_out.append(len(energies))
+            tot_out.append(int(energies.sum()))
+            peak_out.append(int(energies.max()))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_samples": pa.array(ns_out, pa.int64()),
+                "n_windows": pa.array(nw_out, pa.int64()),
+                "total_energy": pa.array(tot_out, pa.int64()),
+                "peak_energy": pa.array(peak_out, pa.int64()),
+            }
+        )
+
+
+def audio_features(sf_dir: str) -> "ray.data.Dataset":
+    """Audio-modality feature extraction: attach a deterministic
+    ``audio://<doc_id>`` ref per document (the opaque-binary-column
+    convention: payloads resolve from the ref, never ride the plan)
+    and run the decode→window→energy actor pool. Small batches +
+    bounded actor concurrency because a real decoder holds codec
+    buffers per actor; the windowed reduction happens inside the
+    actor so only 4 int64s per doc leave the stage."""
+    from ..stages.tuning import tuned_executor
+
+    def to_refs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "audio_ref": pa.array([f"audio://{i}" for i in ids], pa.string()),
+            }
+        )
+
+    with tuned_executor():
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )
+        return ds.map_batches(to_refs, batch_format="pyarrow").map_batches(
+            AudioFeaturizer,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 4),
+            num_cpus=1,
+        )

@@ -375,3 +375,104 @@ def range_join_clicks(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return partitioned_map(ds, keep_and_part, per_part)
+
+
+WM_DELAY_SECONDS = 600     # allowed lateness behind the watermark
+WM_BUCKETS = 256           # arrival-order buckets for the prefix max
+
+_I64_MIN = np.iinfo(np.int64).min
+
+
+def late_data_watermark(sf_dir: str) -> "ray.data.Dataset":
+    """Streaming watermark gate: events arrive in ``event_id`` order;
+    the watermark after event i is max(ts[0..i]) − WM_DELAY_SECONDS,
+    and event i is LATE (a stream processor would drop or side-output
+    it) iff its ts lies behind the watermark carried by the events
+    that arrived BEFORE it. The canonical event-time/processing-time
+    semantics of Millwheel / Dataflow / Flink watermarks (public), as
+    a batch audit: per event, ``late`` ∈ {0, 1}.
+
+    The core is a distributed RUNNING MAX over a global order — the
+    prefix-scan sibling of ``pack_sequences``' prefix sum: pass 1
+    computes per-bucket max ts (event_id range buckets; WM_BUCKETS
+    int64s reach the driver), an exclusive prefix max over that tiny
+    vector is broadcast, and pass 2 sorts each bucket locally and
+    combines the bucket's carry-in with the within-bucket running max
+    (shifted by one so an event never gates itself). No row-level
+    all-to-all: the only shuffle is the bucket groupby, and buckets
+    scale with the cluster, not the data."""
+    from ray.data.aggregate import Max, Min
+
+    path = f"{sf_dir}/events.parquet"
+    delay_us = WM_DELAY_SECONDS * 1_000_000
+    lohi = ray.data.read_parquet(path, columns=["event_id"]).aggregate(
+        Min("event_id"), Max("event_id")
+    )
+    lo, hi = int(lohi["min(event_id)"]), int(lohi["max(event_id)"])
+    width = (hi - lo) // WM_BUCKETS + 1
+
+    def key_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts_us": pa.array(ts, pa.int64()),
+                "bucket": pa.array((ids - lo) // width, pa.int64()),
+            }
+        )
+
+    keyed = ray.data.read_parquet(path, columns=["event_id", "ts"]).map_batches(
+        key_batch, batch_format="pyarrow"
+    )
+
+    # pass 1: per-bucket max ts -> exclusive prefix max (driver holds
+    # WM_BUCKETS int64s, never rows)
+    def bucket_max(batch: pa.Table) -> pa.Table:
+        acc = np.full(WM_BUCKETS, _I64_MIN, dtype=np.int64)
+        np.maximum.at(
+            acc,
+            batch.column("bucket").to_numpy(zero_copy_only=False),
+            batch.column("ts_us").to_numpy(zero_copy_only=False),
+        )
+        nz = np.flatnonzero(acc != _I64_MIN)
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "ts_max": pa.array(acc[nz], pa.int64()),
+            }
+        )
+
+    maxes = np.full(WM_BUCKETS, _I64_MIN, dtype=np.int64)
+    for b in keyed.map_batches(bucket_max, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        np.maximum.at(
+            maxes,
+            b.column("bucket").to_numpy(zero_copy_only=False),
+            b.column("ts_max").to_numpy(zero_copy_only=False),
+        )
+    carry_in = np.concatenate(
+        ([_I64_MIN], np.maximum.accumulate(maxes)[:-1])
+    )
+    carry_ref = ray.put(carry_in)
+
+    # pass 2: bucket-local sort + shifted running max + lateness test
+    def gate_bucket(part_tbl: pa.Table) -> pa.Table:
+        carries = ray.get(carry_ref)
+        ids = part_tbl.column("event_id").to_numpy(zero_copy_only=False)
+        ts = part_tbl.column("ts_us").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, ts = ids[order], ts[order]
+        base = carries[int(part_tbl.column("bucket")[0].as_py())]
+        run = np.maximum.accumulate(np.concatenate(([base], ts[:-1])))
+        # wm_prev == _I64_MIN means "no prior event": never late
+        late = (run != _I64_MIN) & (ts < run - delay_us)
+        return pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "late": pa.array(late.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return keyed.groupby("bucket").map_groups(gate_bucket, batch_format="pyarrow")

@@ -93,6 +93,16 @@ SUBSET = [
     "hist_quantiles",
     "source_facets",
     "priority_buckets",
+    # round-4 third wave: sampler / rollup / watermark / audio, plus
+    # the four entries they displaced to the tail
+    "bottomk_sample",
+    "status_rollup",
+    "late_data_watermark",
+    "audio_features",
+    "line_dedup",
+    "sliding_window",
+    "search_ranked",
+    "dedup_ngram_jaccard",
 ]
 
 
