@@ -108,7 +108,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ---
         "lang_id": textops.lang_id,
         "quality_score": textops.quality_score,
-        "fingerprints": textops.fingerprints,
+        # (round 4) distributed sort-rank: exact RANK()/PERCENT_RANK()
+        # within source — takes fingerprints' head seat (its
+        # single-pass md5/min-shingle arithmetic is the shape of
+        # head-checked lang_id/quality_score and the signature stage
+        # of dedup_minhash_lsh; pytest keeps it bit-green)
+        "percentile_rank": analytics.percentile_rank,
         "html_extract": textops.html_extract,
         "redact_pii": textops.redact_pii,
         # --- relational operators (A1-A6, O1-O3, J1/J4, M20, M4-M6) ---
@@ -171,7 +176,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # is the head-checked range_join plan as a one-relation
         # self-band; pytest keeps it bit-green in the tail)
         "late_data_watermark": sessions.late_data_watermark,
-        "asof_join": sessions.asof_join_clicks,
+        # (round 4) the big-big co-partitioned shuffle equi-join
+        # (TPC-H Q12 shape) — takes asof_join's head seat (nearest-
+        # prior lookup is head-checked range_join's composite-key
+        # searchsorted with k=1; pytest keeps it bit-green)
+        "order_priority_join": analytics.order_priority_join,
         # (round 4) two-relation interval (band) join — per purchase,
         # same-user click count in the prior hour
         "range_join": sessions.range_join_clicks,
@@ -184,7 +193,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "status_rollup": analytics.status_rollup,
         "suppression_antijoin": search.suppression_antijoin,
         "incremental_filter": search.incremental_filter,
-        "queue_stats": search.queue_stats,
+        # (round 4) wide-format pivot / crosstab — takes queue_stats'
+        # head seat (its single-row multi-aggregate is status_rollup's
+        # grand-total level plus label_facets' facet counts; pytest
+        # keeps it bit-green in the tail)
+        "pivot_daily": analytics.pivot_daily,
         # --- multimodal plumbing (deterministic stub codec) ---
         "multimodal_meta": multimodal.multimodal_meta,
         # (round 4) the audio leg of the multimodal plumbing:
@@ -311,6 +324,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": sessions.sliding_window_counts,
         "search_ranked": search.search_ranked,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        # (round 4 fourth-wave displacements — head seats went to
+        # percentile_rank / pivot_daily: fingerprints' single-pass
+        # hash arithmetic stays driver-checked via lang_id /
+        # quality_score / dedup_minhash_lsh's signature stage;
+        # queue_stats' single-row multi-aggregate via status_rollup's
+        # grand-total level + label_facets)
+        "fingerprints": textops.fingerprints,
+        "queue_stats": search.queue_stats,
+        # (round 4: displaced by order_priority_join — nearest-prior
+        # interval lookup stays driver-checked via range_join)
+        "asof_join": sessions.asof_join_clicks,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -758,6 +782,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(energy) AS BIGINT) AS total_energy,
                CAST(max(energy) AS BIGINT) AS peak_energy
         FROM e GROUP BY doc_id
+    """
+
+    # percentile_rank: SQL RANK() ties == 1 + count of strictly-smaller
+    # keys, exactly the bucket-prefix + searchsorted(left) arithmetic
+    sql["percentile_rank"] = """
+        SELECT doc_id, source, n_chars,
+               CAST(rank() OVER (PARTITION BY source ORDER BY n_chars)
+                    AS BIGINT) AS rnk,
+               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_source
+        FROM documents
+    """
+
+    # pivot_daily: the event_type domain is stable across sf dirs
+    # (click/error/purchase/signup/view); the Ray side discovers it
+    # with a distinct scan and emits the same fixed columns
+    sql["pivot_daily"] = """
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+               CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+               CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+               CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+               CAST(count(*) AS BIGINT) AS n_total
+        FROM events GROUP BY 1
+    """
+
+    # order_priority_join: inner fact-fact join on orderkey; revenue
+    # in exact integer cents of l_extendedprice
+    sql["order_priority_join"] = """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
     """
 
     sql["orders_per_nation"] = """

@@ -108,7 +108,8 @@ def run_queries() -> dict[str, float]:
         "distinct_users_daily", "hll_registers",
         "bloom_gate", "cms_registers", "hist_quantiles",
         "bottomk_sample", "status_rollup", "late_data_watermark",
-        "audio_features",
+        "audio_features", "percentile_rank", "pivot_daily",
+        "order_priority_join",
     ]
     out: dict[str, float] = {}
     for name in picks:

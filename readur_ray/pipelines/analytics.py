@@ -744,3 +744,310 @@ def status_rollup(sf_dir: str) -> "ray.data.Dataset":
             Sum("cents", alias_name="total_cents"),
         )
     )
+
+
+RANK_KEY_BUCKETS = 64     # key-range buckets per source for the sort-rank
+
+
+def percentile_rank(sf_dir: str) -> "ray.data.Dataset":
+    """Exact window-function RANK() / PERCENT_RANK() within source by
+    ``n_chars`` — FULL per-row rank assignment, the heavy member of
+    the window family (``quantile_gate`` emits per-group thresholds,
+    ``stratified_sample`` keeps top-k; this ranks every row). Output
+    per doc: rank (1 + #rows in the same source with strictly smaller
+    key — SQL RANK() tie semantics) and the source's row count, so
+    PERCENT_RANK() = (rnk-1)/(n_source-1) is exact integer arithmetic
+    for any consumer.
+
+    Scale shape — a distributed sort-rank, NOT a per-group sort: at
+    10^12 rows one source never fits a partition (the sessionize-style
+    "group fits" assumption fails), so the rank splits into
+    bucket-prefix + within-bucket offset, the ``pack_sequences``
+    prefix-sum machinery generalized to RANK: pass 1 counts rows per
+    (source, key-range bucket) — a bounded #sources × RANK_KEY_BUCKETS
+    grid reaches the driver and the per-source EXCLUSIVE prefix counts
+    are broadcast once — and pass 2 shuffles rows ONCE on the
+    composite (source, bucket) key and ranks bucket-locally with one
+    sort + searchsorted. Equal keys always share a bucket (bucket =
+    (key-lo)//width), so ties never straddle the prefix boundary, and
+    a skewed source spreads across RANK_KEY_BUCKETS partitions instead
+    of melting one."""
+    import zlib
+
+    from ray.data.aggregate import Max, Min
+
+    path = f"{sf_dir}/documents.parquet"
+    lohi = ray.data.read_parquet(path, columns=["n_chars"]).aggregate(
+        Min("n_chars"), Max("n_chars")
+    )
+    lo, hi = int(lohi["min(n_chars)"]), int(lohi["max(n_chars)"])
+    width = (hi - lo) // RANK_KEY_BUCKETS + 1
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_pylist()
+        k = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        kb = (k - lo) // width
+        part = np.array(
+            [zlib.crc32(f"{s}|{b}".encode()) for s, b in zip(src, kb)],
+            dtype=np.int64,
+        ) % (8 * RANK_KEY_BUCKETS)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "n_chars": pa.array(k, pa.int64()),
+                "kb": pa.array(kb, pa.int64()),
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    rows = ray.data.read_parquet(
+        path, columns=["doc_id", "source", "n_chars"]
+    ).map_batches(keyed, batch_format="pyarrow")
+
+    # pass 1: the (source, bucket) count grid — bounded, never rows
+    def grid_counts(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["source", "kb"])
+            .group_by(["source", "kb"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "kb": g.column("kb"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    grid: dict[str, np.ndarray] = {}
+    for b in rows.map_batches(grid_counts, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for s, kb, n in zip(
+            b.column("source").to_pylist(),
+            b.column("kb").to_pylist(),
+            b.column("n").to_pylist(),
+        ):
+            acc = grid.setdefault(s, np.zeros(RANK_KEY_BUCKETS, dtype=np.int64))
+            acc[kb] += n
+    prefix = {
+        s: np.concatenate(([0], np.cumsum(c)[:-1])) for s, c in grid.items()
+    }
+    totals = {s: int(c.sum()) for s, c in grid.items()}
+    bcast = ray.put((prefix, totals))
+
+    # pass 2: one composite-key shuffle, bucket-local sort-rank
+    def rank_part(part_tbl: pa.Table) -> pa.Table:
+        pre, tot = ray.get(bcast)
+        df = part_tbl.to_pandas()
+        out = []
+        for (s, kb), sub in df.groupby(["source", "kb"], sort=False):
+            k = sub["n_chars"].to_numpy()
+            order = np.sort(k)
+            rnk = pre[s][int(kb)] + np.searchsorted(order, k, side="left") + 1
+            out.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(sub["doc_id"].to_numpy(), pa.int64()),
+                        "source": pa.array(sub["source"], pa.string()),
+                        "n_chars": pa.array(k, pa.int64()),
+                        "rnk": pa.array(rnk.astype(np.int64), pa.int64()),
+                        "n_source": pa.array(
+                            np.full(len(sub), tot[s], dtype=np.int64), pa.int64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    return rows.groupby("part").map_groups(rank_part, batch_format="pyarrow")
+
+
+def pivot_daily(sf_dir: str) -> "ray.data.Dataset":
+    """Wide-format pivot (crosstab): one row per day, one count column
+    per event_type plus the day total — the reporting shape every
+    dashboard asks of long-format event logs. The column domain is
+    discovered with a tiny distinct scan (event_type is a facet
+    column, small by contract), then each batch collapses to its
+    day × type grid and emits ALREADY-WIDE partial rows, so a single
+    fixed-width ``Sum`` exchange per day produces the pivot — no
+    row-level shuffle, no per-type pass, and partials merge
+    associatively across streams and clusters."""
+    path = f"{sf_dir}/events.parquet"
+    types = sorted(
+        ray.data.read_parquet(path, columns=["event_type"]).unique("event_type")
+    )
+
+    def wide_partials(batch: pa.Table) -> pa.Table:
+        days = (
+            batch.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(str)
+        )
+        et = np.asarray(batch.column("event_type").to_pylist())
+        uday, day_idx = np.unique(days, return_inverse=True)
+        cols: dict[str, pa.Array] = {"day": pa.array(uday, pa.string())}
+        total = np.zeros(len(uday), dtype=np.int64)
+        for t in types:
+            cnt = np.bincount(
+                day_idx[et == t], minlength=len(uday)
+            ).astype(np.int64)
+            cols[f"n_{t}"] = pa.array(cnt, pa.int64())
+            total += cnt
+        cols["n_total"] = pa.array(total, pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in types]
+    aggs.append(Sum("n_total", alias_name="n_total"))
+    return (
+        ray.data.read_parquet(path, columns=["ts", "event_type"])
+        .map_batches(wide_partials, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(*aggs)
+    )
+
+
+HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def order_priority_join(sf_dir: str) -> "ray.data.Dataset":
+    """The big-big co-partitioned equi-join (TPC-H Q12 shape): lineitem
+    ⋈ orders on orderkey — BOTH sides fact-scale, so neither may be
+    broadcast — then per l_returnflag the high/low-priority line
+    counts and exact revenue cents. Completes the join inventory:
+    broadcast dim join (orders_per_nation), semi/anti
+    (suppression_antijoin, retry_selection), asof/range interval
+    joins, and now the shuffle equi-join of two large relations.
+
+    Scale shape: each side projects to its join columns only (orders:
+    key + a precomputed is_high bit; lineitem: key + flag + cents —
+    never a wide row), both are hash-co-partitioned on the SAME
+    ``orderkey % N_COARSE_PARTS`` map, and the union shuffles ONCE so
+    every partition holds matching key ranges of both sides. Inside a
+    partition the probe is a vectorized Series.map (orders side
+    becomes the build dict), and the partition emits only its
+    (returnflag × is_high) partial counts — bounded, independent of
+    partition size — so the final exchange is a handful of rows.
+    Skew: orderkey is a synthetic dense key, uniformly spread by the
+    mod; a skewed real key would salt the build side the same way
+    dedup's hot-bucket drop documents."""
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice"],
+    )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        pri = batch.column("o_orderpriority").to_pylist()
+        is_high = np.array(
+            [1 if p in HIGH_PRIORITIES else 0 for p in pri], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "is_high": pa.array(is_high, pa.int64()),
+                "flag": pa.array([""] * len(keys), pa.string()),
+                "cents": pa.array(np.zeros(len(keys), np.int64), pa.int64()),
+                "side": pa.array(np.zeros(len(keys), np.int64), pa.int64()),
+                "part": pa.array(keys % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        keys = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "is_high": pa.array(np.zeros(len(keys), np.int64), pa.int64()),
+                "flag": batch.column("l_returnflag"),
+                "cents": pa.array(cents, pa.int64()),
+                "side": pa.array(np.ones(len(keys), np.int64), pa.int64()),
+                "part": pa.array(keys % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    both = orders.map_batches(order_side, batch_format="pyarrow").union(
+        lines.map_batches(line_side, batch_format="pyarrow")
+    )
+
+    def join_part(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part_tbl.to_pandas()
+        build = df[df["side"] == 0].set_index("key")["is_high"]
+        probe = df[df["side"] == 1]
+        hi = probe["key"].map(build)
+        t = pd.DataFrame(
+            {"flag": probe["flag"], "hi": hi.to_numpy(), "cents": probe["cents"]}
+        ).dropna(subset=["hi"])  # inner join: unmatched probe rows drop
+        g = t.groupby(["flag", "hi"], sort=False).agg(
+            n=("cents", "size"), cents=("cents", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "flag": pa.array(g["flag"], pa.string()),
+                "hi": pa.array(g["hi"].astype(np.int64), pa.int64()),
+                "n": pa.array(g["n"].astype(np.int64), pa.int64()),
+                "cents": pa.array(g["cents"].astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = both.groupby("part").map_groups(join_part, batch_format="pyarrow")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        hi_n = df["n"].where(df["hi"] == 1, 0)
+        lo_n = df["n"].where(df["hi"] == 0, 0)
+        out = (
+            pd.DataFrame(
+                {
+                    "l_returnflag": df["flag"],
+                    "high_line_count": hi_n,
+                    "low_line_count": lo_n,
+                    "n_lines": df["n"],
+                    "revenue_cents": df["cents"],
+                }
+            )
+            .groupby("l_returnflag", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+                "high_line_count": pa.array(
+                    out["high_line_count"].astype(np.int64), pa.int64()
+                ),
+                "low_line_count": pa.array(
+                    out["low_line_count"].astype(np.int64), pa.int64()
+                ),
+                "n_lines": pa.array(out["n_lines"].astype(np.int64), pa.int64()),
+                "revenue_cents": pa.array(
+                    out["revenue_cents"].astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        partials.map_batches(finalize, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("high_line_count", alias_name="high_line_count"),
+            Sum("low_line_count", alias_name="low_line_count"),
+            Sum("n_lines", alias_name="n_lines"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+    )

@@ -103,6 +103,15 @@ SUBSET = [
     "sliding_window",
     "search_ranked",
     "dedup_ngram_jaccard",
+    # round-4 fourth wave: sort-rank + pivot, plus the two entries
+    # they displaced to the tail
+    "percentile_rank",
+    "pivot_daily",
+    "fingerprints",
+    "queue_stats",
+    # the big-big shuffle equi-join + the asof_join it displaced
+    "order_priority_join",
+    "asof_join",
 ]
 
 

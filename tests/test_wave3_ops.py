@@ -200,3 +200,54 @@ def test_audio_featurizer_real_path_fails_fast():
     # is absent in this container, never silently fall back to the fake
     with pytest.raises(ImportError):
         AudioFeaturizer(use_real=True)
+
+
+# --- percentile_rank ------------------------------------------------------
+
+def test_percentile_rank_ties_never_straddle_buckets(ray_session, tmp_path):
+    # adversarial: massive tie groups sitting exactly on bucket
+    # boundaries, one hot source — rank must equal the naive RANK()
+    from readur_ray.pipelines.analytics import percentile_rank
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    # keys concentrated on few values (huge ties) spanning the range
+    keys = rng.choice([0, 1, 63, 64, 65, 640, 641, 4095], size=n)
+    src = rng.choice(["hot", "hot", "hot", "cold"], size=n)  # skewed
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "source": pa.array(src, pa.string()),
+                "text": pa.array(["x"] * n, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "n_chars": pa.array(keys, pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = percentile_rank(str(tmp_path)).to_pandas()
+    df = pd.DataFrame({"doc_id": np.arange(n), "source": src, "k": keys})
+    df["rnk"] = df.groupby("source")["k"].rank(method="min").astype(int)
+    df["n_source"] = df.groupby("source")["k"].transform("size")
+    merged = got.merge(df, on="doc_id", suffixes=("", "_naive"))
+    assert len(merged) == n
+    assert (merged["rnk"] == merged["rnk_naive"]).all()
+    assert (merged["n_source"] == merged["n_source_naive"]).all()
+
+
+# --- pivot_daily ----------------------------------------------------------
+
+def test_pivot_daily_partials_merge_to_long_counts(ray_session):
+    from readur_ray.pipelines.analytics import pivot_daily
+
+    wide = pivot_daily(SF_DIR).to_pandas().set_index("day")
+    ev = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["ts", "event_type"]
+    ).to_pandas()
+    ev["day"] = ev["ts"].dt.strftime("%Y-%m-%d")
+    long = ev.groupby(["day", "event_type"]).size().unstack(fill_value=0)
+    assert len(wide) == len(long)
+    for t in long.columns:
+        assert (wide[f"n_{t}"].sort_index() == long[t].sort_index()).all()
+    assert (wide["n_total"] == wide[[c for c in wide.columns if c != "n_total"]].sum(axis=1)).all()
