@@ -226,11 +226,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search / semantic dedup ---
         "ann_topk": similarity.ann_topk,
         "semdedup": similarity.semdedup,
-        # (round 4) SSL-prototypes data-pruning scores on the same
-        # trained quantizer — takes pricing_summary's head seat (its
-        # grouped multi-aggregate shape stays driver-covered by
-        # queue_stats; tail keeps pytest parity)
-        "prototype_score": similarity.prototype_score,
+        # (round 4, wave 5) product-quantization ADC top-k — the
+        # compressed-code ANN memory lever (m bytes/vector instead of
+        # d floats); per-subspace exact-integer k-means codebooks +
+        # table-lookup asymmetric distances, new machinery no sibling
+        # covers — takes prototype_score's head seat (its trained
+        # quantizer stays driver-checked via semdedup and its
+        # rank-within-group shape via percentile_rank; pytest keeps it
+        # bit-green in the tail)
+        "pq_topk": similarity.pq_topk,
         # (round 4) cell-local kNN graph over ALL vectors — takes
         # dedup_embedding_lsh's head seat (embedding near-dup stays
         # driver-checked via semdedup; the LSH-bucket arithmetic stays
@@ -335,6 +339,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (round 4: displaced by order_priority_join — nearest-prior
         # interval lookup stays driver-checked via range_join)
         "asof_join": sessions.asof_join_clicks,
+        # (round 4 wave 5: displaced by pq_topk — prototype_score's
+        # trained quantizer stays driver-checked via semdedup, its
+        # per-cell cosine ranking via percentile_rank's sort-rank)
+        "prototype_score": similarity.prototype_score,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -1222,6 +1230,89 @@ def oracle_sql() -> dict[str, str]:
         FROM proto
     """
     )
+
+    # pq_topk: the k-means CTE chain replayed PER SUBSPACE (the extra
+    # `dim // 16` grouping key is the only change vs ann_topk_ivf_kmeans
+    # training); ADC distance = sum over subspaces of the query's exact
+    # subvector distance to the neighbor's assigned codebook entry
+    sql["pq_topk"] = """
+        WITH qv AS (
+          SELECT vec_id, dim, dim // 16 AS s,
+                 CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 1000000 + 0.5)
+                      AS BIGINT) AS q
+          FROM embeddings, UNNEST(range(0, 64)) t(dim)
+        ),
+        seed AS (
+          SELECT vec_id - 16 AS c, s, dim, q FROM qv
+          WHERE vec_id BETWEEN 16 AND 23
+        ),
+        d0 AS (
+          SELECT v.vec_id, v.s, sd.c, sum((v.q - sd.q) * (v.q - sd.q)) AS d2
+          FROM qv v JOIN seed sd ON sd.dim = v.dim GROUP BY 1, 2, 3
+        ),
+        a0 AS (
+          SELECT vec_id, s, c FROM (
+            SELECT vec_id, s, c,
+                   row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, c ASC) AS rn
+            FROM d0) WHERE rn = 1
+        ),
+        cent1 AS (
+          SELECT a0.c, qv.s, qv.dim, CAST(sum(qv.q) // count(*) AS BIGINT) AS q
+          FROM qv JOIN a0 ON a0.vec_id = qv.vec_id AND a0.s = qv.s
+          GROUP BY 1, 2, 3
+        ),
+        cent1f AS (  -- empty codes keep the previous centroid
+          SELECT sd.c, sd.s, sd.dim, coalesce(c1.q, sd.q) AS q
+          FROM seed sd LEFT JOIN cent1 c1 ON c1.c = sd.c AND c1.dim = sd.dim
+        ),
+        d1 AS (
+          SELECT v.vec_id, v.s, cn.c, sum((v.q - cn.q) * (v.q - cn.q)) AS d2
+          FROM qv v JOIN cent1f cn ON cn.dim = v.dim GROUP BY 1, 2, 3
+        ),
+        a1 AS (
+          SELECT vec_id, s, c FROM (
+            SELECT vec_id, s, c,
+                   row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, c ASC) AS rn
+            FROM d1) WHERE rn = 1
+        ),
+        cent2 AS (
+          SELECT a1.c, qv.s, qv.dim, CAST(sum(qv.q) // count(*) AS BIGINT) AS q
+          FROM qv JOIN a1 ON a1.vec_id = qv.vec_id AND a1.s = qv.s
+          GROUP BY 1, 2, 3
+        ),
+        cent2f AS (
+          SELECT f.c, f.s, f.dim, coalesce(c2.q, f.q) AS q
+          FROM cent1f f LEFT JOIN cent2 c2 ON c2.c = f.c AND c2.dim = f.dim
+        ),
+        d2c AS (
+          SELECT v.vec_id, v.s, cn.c, sum((v.q - cn.q) * (v.q - cn.q)) AS d2
+          FROM qv v JOIN cent2f cn ON cn.dim = v.dim GROUP BY 1, 2, 3
+        ),
+        a2 AS (  -- final per-(vector, subspace) code
+          SELECT vec_id, s, c FROM (
+            SELECT vec_id, s, c,
+                   row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, c ASC) AS rn
+            FROM d2c) WHERE rn = 1
+        ),
+        qtab AS (  -- the query's (subspace, code) ADC distance table
+          SELECT x.vec_id, cb.s, cb.c, sum((x.q - cb.q) * (x.q - cb.q)) AS d2
+          FROM qv x JOIN cent2f cb ON cb.dim = x.dim
+          WHERE x.vec_id < 16 GROUP BY 1, 2, 3
+        ),
+        pd AS (
+          SELECT t.vec_id AS query_id, ay.vec_id AS neighbor_id,
+                 sum(t.d2) AS d2
+          FROM a2 ay JOIN qtab t ON t.s = ay.s AND t.c = ay.c
+          WHERE ay.vec_id <> t.vec_id
+          GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC
+                 ) AS BIGINT) AS rank
+          FROM pd) WHERE rank <= 5
+    """
 
     # semdedup: the SAME trained quantizer (every CTE up to the final
     # assignment a2 is reused verbatim), then within-cell cosine

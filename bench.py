@@ -109,7 +109,7 @@ def run_queries() -> dict[str, float]:
         "bloom_gate", "cms_registers", "hist_quantiles",
         "bottomk_sample", "status_rollup", "late_data_watermark",
         "audio_features", "percentile_rank", "pivot_daily",
-        "order_priority_join",
+        "order_priority_join", "pq_topk",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -727,3 +727,193 @@ def knn_graph(sf_dir: str, k: int = KNN_K, nlist: int = KM_K,
         .groupby("cell")
         .map_groups(cell_knn, batch_format="pyarrow")
     )
+
+
+PQ_M = 4                 # subspaces (64 dims → 4 × 16)
+PQ_SUB = 64 // PQ_M      # dims per subspace
+PQ_K = KM_K              # codes per subspace, seeded from the anchors
+
+
+def _train_pq_codebooks(
+    ds: "ray.data.Dataset", sf_dir: str, m: int = PQ_M, k: int = PQ_K
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search", IEEE TPAMI — public):
+    split each vector into ``m`` contiguous subvectors and train an
+    INDEPENDENT exact-integer k-means per subspace — same grid
+    (QUANT), seeds (anchor block), iteration count (KM_ITERS), tie
+    rule (lower code) and truncating centroid division as
+    `_train_centroids`, so the DuckDB oracle replays every subspace
+    bit-for-bit with one extra `dim // PQ_SUB` grouping key.
+
+    One full pass per iteration trains ALL subspaces at once: a batch
+    emits per-(subspace, code) counts + coordinate sums (m × k rows of
+    PQ_SUB ints — fixed size, never O(n)); the driver reduce holds an
+    (m, k, PQ_SUB) int64 array. Memoized like `_CENTROID_CACHE`
+    (same scope key, "pq" tag) — the ADC query below and any IVF-PQ
+    composition share one training run per sweep."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    emb_path = _os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        session = ray.get_runtime_context().get_job_id()
+    except Exception:
+        session = None
+    scope = (_os.path.abspath(sf_dir), _os.path.getmtime(emb_path), session)
+    key = (*scope, ("pq", m, k))
+    hit = _CENTROID_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    seed_tbl = _pq.read_table(
+        emb_path, columns=["vec_id", "embedding"],
+        filters=[("vec_id", ">=", ANCHOR_LO), ("vec_id", "<", ANCHOR_LO + k)],
+    ).sort_by("vec_id")
+    seeds = _quantize(
+        np.array(seed_tbl.column("embedding").to_pylist(), dtype=np.float64)
+    )
+    sub = seeds.shape[1] // m
+    # (m, k, sub): codebook[s][c] = centroid c of subspace s
+    books = np.stack([seeds[:, s * sub:(s + 1) * sub] for s in range(m)])
+
+    for _ in range(KM_ITERS):
+        cur_ref = ray.put(books)
+
+        def partial_sums(batch: pa.Table, _ref=cur_ref) -> pa.Table:
+            bk = ray.get(_ref)
+            q = _quantize(
+                np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            )
+            rows_s, rows_c, rows_n, rows_sum = [], [], [], []
+            for s in range(bk.shape[0]):
+                qs = q[:, s * sub:(s + 1) * sub]
+                a = _assign(qs, bk[s])
+                for c in np.unique(a):
+                    msk = a == c
+                    rows_s.append(s)
+                    rows_c.append(int(c))
+                    rows_n.append(int(msk.sum()))
+                    rows_sum.append(qs[msk].sum(axis=0).tolist())
+            return pa.table(
+                {
+                    "s": pa.array(rows_s, pa.int64()),
+                    "c": pa.array(rows_c, pa.int64()),
+                    "n": pa.array(rows_n, pa.int64()),
+                    "sum": pa.array(rows_sum, pa.list_(pa.int64())),
+                }
+            )
+
+        parts = ds.map_batches(partial_sums, batch_format="pyarrow").take_all()
+        sums = np.zeros((m, k, sub), dtype=np.int64)
+        counts = np.zeros((m, k), dtype=np.int64)
+        for r in parts:
+            sums[r["s"], r["c"]] += np.array(r["sum"], dtype=np.int64)
+            counts[r["s"], r["c"]] += r["n"]
+        prev = books
+        safe = np.maximum(counts, 1)[:, :, None]
+        books = (np.sign(sums) * (np.abs(sums) // safe)).astype(np.int64)
+        books[counts == 0] = prev[counts == 0]
+
+    for stale in [c for c in _CENTROID_CACHE if c[:3] != scope]:
+        del _CENTROID_CACHE[stale]
+    _CENTROID_CACHE[key] = books
+    return books
+
+
+def pq_topk(
+    sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K, m: int = PQ_M
+) -> "ray.data.Dataset":
+    """PQ-ADC approximate top-k (query_id, neighbor_id, rank): every
+    data vector is compressed to ``m`` one-byte codes (its nearest
+    codebook entry per subspace); a query's distance to a data vector
+    is the ASYMMETRIC distance — exact query subvector vs the data
+    vector's reconstructed codes — computed as m table lookups into
+    the query's precomputed (m × PQ_K) distance table, never a d-dim
+    matmul against the corpus. All distances are exact int64 on the
+    QUANT grid, so the oracle replays them bit-for-bit.
+
+    Scale shape: this is the memory-side scale lever the rest of the
+    ANN family lacks — at 10^12 vectors the corpus no longer fits the
+    object store as floats (64 dims × f32 = 256 B/vec → 256 TB), but
+    PQ codes are m bytes/vec (4 TB at m=4), and the scan is a pure
+    table-lookup gather. Training is KM_ITERS fixed-size (m × PQ_K ×
+    PQ_SUB) integer aggregates; the query tables (n_queries × m ×
+    PQ_K ints) broadcast once via ray.put; per batch: encode
+    (batch × m argmins over PQ_K) + gather + batch-local top-k; the
+    only shuffle is the tiny k-per-query-per-batch merge, identical
+    to ann_topk's. Recall is tuned by m and PQ_K (and an IVF coarse
+    stage composes in front exactly like ann_topk_ivf_kmeans)."""
+    ds = _read_embeddings(sf_dir)
+    books = _train_pq_codebooks(ds, sf_dir, m)
+    sub = books.shape[2]
+
+    import pyarrow.parquet as _pq
+
+    qt = _pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    ).sort_by("vec_id")
+    qids = qt.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    qint = _quantize(np.array(qt.column("embedding").to_pylist(), dtype=np.float64))
+    # ADC tables: dtab[qi, s, c] = ||q_s - books[s, c]||² (exact int64)
+    dtab = np.zeros((len(qids), books.shape[0], books.shape[1]), dtype=np.int64)
+    for s in range(books.shape[0]):
+        qs = qint[:, s * sub:(s + 1) * sub]
+        diff = qs[:, None, :] - books[s][None, :, :]
+        dtab[:, s, :] = (diff * diff).sum(axis=2)
+    ref = ray.put((qids, dtab, books))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q_tab, bk = ray.get(ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        v = _quantize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        n, mm = len(ids), bk.shape[0]
+        codes = np.empty((n, mm), dtype=np.int64)
+        for s in range(mm):
+            codes[:, s] = _assign(v[:, s * sub:(s + 1) * sub], bk[s])
+        # adc[qi, i] = Σ_s dtab[qi, s, codes[i, s]] — pure gather
+        adc = np.zeros((len(q_ids), n), dtype=np.int64)
+        for s in range(mm):
+            adc += q_tab[:, s, codes[:, s]]
+        out_q, out_n, out_d = [], [], []
+        for qi in range(len(q_ids)):
+            mask = ids != q_ids[qi]
+            cand = np.flatnonzero(mask)
+            if cand.size == 0:
+                continue
+            take = cand[np.lexsort((ids[cand], adc[qi][cand]))[:k]]
+            out_q.extend([q_ids[qi]] * len(take))
+            out_n.extend(ids[take].tolist())
+            out_d.extend(adc[qi][take].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "d2": pa.array(np.array(out_d, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            group, sort_keys=[("d2", "ascending"), ("neighbor_id", "ascending")]
+        )
+        g = group.take(idx[:k])
+        return pa.table(
+            {
+                "query_id": g.column("query_id"),
+                "neighbor_id": g.column("neighbor_id"),
+                "rank": pa.array(
+                    np.arange(1, g.num_rows + 1, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pyarrow")
+    )

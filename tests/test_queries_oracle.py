@@ -112,6 +112,9 @@ SUBSET = [
     # the big-big shuffle equi-join + the asof_join it displaced
     "order_priority_join",
     "asof_join",
+    # round-4 wave 5: PQ-ADC top-k (prototype_score, which it
+    # displaced to the tail, already appears above)
+    "pq_topk",
 ]
 
 

@@ -171,3 +171,25 @@ def test_centroid_training_memoized(ray_session):
     assert a is b
     c = similarity._train_centroids(ds, SF, k=16)
     assert c is not a and c.shape[0] == 16
+
+
+def test_pq_adc_identifies_the_query_cluster(ray_session, clustered_dir):
+    """PQ-ADC with 8 codes/subspace collapses same-cluster members to
+    identical codes — it cannot rank WITHIN a cluster (ties break by
+    id), but every returned neighbor must come from the query's own
+    cluster (cluster = vec_id % 8 in the fixture): the codebooks
+    recover the cluster structure per subspace."""
+    rows = similarity.pq_topk(clustered_dir).take_all()
+    assert len(rows) == 16 * 5
+    cross = [
+        (r["query_id"], r["neighbor_id"])
+        for r in rows
+        if r["neighbor_id"] % 8 != r["query_id"] % 8
+    ]
+    assert not cross, cross
+
+
+def test_pq_uniform_returns_real_neighbors(ray_session, exact_pairs):
+    """On near-uniform embeddings (worst case) the ADC ranking still
+    recovers a real fraction of the exact top-5 (measured 0.1125)."""
+    assert _recall(similarity.pq_topk(SF), exact_pairs) > 0.0
