@@ -80,8 +80,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from readur_ray.pipelines import (
-        analytics, curation, dedup, e2e, extras, multimodal, prep, search,
-        sessions, similarity, textops,
+        analytics, curation, dedup, e2e, extras, graph, multimodal, prep,
+        search, sessions, similarity, textops,
     )
 
     # ORDERING CONTRACT: the driver's correctness sweep stopped at 50
@@ -136,7 +136,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -bigram fraction is sibling arithmetic of common_ngram_score
         # and the tail's dup_spans; pytest keeps it bit-green)
         "dedup_substrings": curation.dedup_substrings,
-        "stratified_sample": curation.stratified_sample,
+        # (round 4, wave 6) PMI collocation discovery: global bigram ⋈
+        # unigram counts co-partitioned on crc32(word) — unigram counts
+        # ride the shuffle, never a broadcast — then quantized-PMI
+        # top-K; takes stratified_sample's head seat (its per-stratum
+        # md5-rank quota is head-checked bottomk_sample's mergeable
+        # bottom-k priority primitive applied per source; pytest keeps
+        # it bit-green in the tail)
+        "pmi_bigrams": curation.pmi_bigrams,
         "contamination": curation.contamination,
         # (round 4) distributed uniform bottom-k sampler (mergeable
         # md5-priority sketch) — takes line_dedup's head seat (global
@@ -176,11 +183,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # is the head-checked range_join plan as a one-relation
         # self-band; pytest keeps it bit-green in the tail)
         "late_data_watermark": sessions.late_data_watermark,
-        # (round 4) the big-big co-partitioned shuffle equi-join
-        # (TPC-H Q12 shape) — takes asof_join's head seat (nearest-
-        # prior lookup is head-checked range_join's composite-key
-        # searchsorted with k=1; pytest keeps it bit-green)
-        "order_priority_join": analytics.order_priority_join,
+        # (round 4, wave 6) exact-integer synchronous PageRank — the
+        # iterative-graph class (Pregel supersteps as materialize
+        # barriers, 2 coarse shuffles per iteration, ranks never on
+        # the driver); its edge build RUNS the big-big co-partitioned
+        # orders ⋈ lineitem shuffle equi-join verbatim, so it takes
+        # order_priority_join's head seat (pytest keeps that bit-green
+        # in the tail)
+        "pagerank": graph.pagerank,
         # (round 4) two-relation interval (band) join — per purchase,
         # same-user click count in the prior hour
         "range_join": sessions.range_join_clicks,
@@ -221,7 +231,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-covered by dedup_exact; pytest keeps it bit-green)
         "bloom_gate": dedup.bloom_gate,
         "dedup_minhash_lsh": dedup.pairs_materialized,
-        "dedup_simhash_banded": dedup.simhash_pairs_banded,
+        # (round 4, wave 6) MOSS winnowing fingerprints — the
+        # guaranteed-density LOCAL copy detector (rightmost-min
+        # sliding-window selection), new machinery no sibling covers;
+        # takes dedup_simhash_banded's head seat (its band-bucket plan
+        # is head-checked dedup_minhash_lsh's banding over a different
+        # signature, and the simhash family keeps pytest parity in the
+        # tail via dedup_simhash / dedup_simhash_pairs)
+        "winnow_fingerprints": curation.winnow_fingerprints,
         "tfidf_top_terms": textops.tfidf_top_terms,
         # --- similarity search / semantic dedup ---
         "ann_topk": similarity.ann_topk,
@@ -343,6 +360,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # trained quantizer stays driver-checked via semdedup, its
         # per-cell cosine ranking via percentile_rank's sort-rank)
         "prototype_score": similarity.prototype_score,
+        # (round 4 wave 6 displacements — head seats went to pagerank /
+        # winnow_fingerprints / pmi_bigrams: the big-big shuffle
+        # equi-join runs verbatim inside pagerank's edge build; the
+        # simhash band-bucket plan is dedup_minhash_lsh's banding; the
+        # per-stratum md5-rank quota is bottomk_sample's priority
+        # primitive per source)
+        "order_priority_join": analytics.order_priority_join,
+        "dedup_simhash_banded": dedup.simhash_pairs_banded,
+        "stratified_sample": curation.stratified_sample,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -1962,4 +1988,99 @@ def oracle_sql() -> dict[str, str]:
 
     # extraction_e2e / extraction_summary: hermetic media engines → not
     # SQL-expressible; the driver records a rows-only check.
+    # pagerank: unroll PR_ITERS exact-integer iterations as chained
+    # CTEs — same SCALE/damping/truncating-division as the Ray side,
+    # so the comparison is bit-exact whatever the partitioning.
+    from readur_ray.pipelines.graph import (
+        PR_BASE, PR_DAMP_DEN, PR_DAMP_NUM, PR_ITERS, PR_SCALE,
+    )
+
+    pr_iters = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        pr_iters.append(
+            f"""r{i} AS (
+          SELECT e.dst AS node,
+                 CAST({PR_BASE} + ({PR_DAMP_NUM} * sum({prev}.r // deg.d))
+                      // {PR_DAMP_DEN} AS BIGINT) AS r
+          FROM e JOIN {prev} ON e.src = {prev}.node
+                 JOIN deg ON e.src = deg.src
+          GROUP BY e.dst
+        )"""
+        )
+        prev = f"r{i}"
+    sql["pagerank"] = f"""
+        WITH pairs AS (
+          SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        e AS (SELECT c AS src, s AS dst FROM pairs
+              UNION ALL SELECT s, c FROM pairs),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+        r0 AS (SELECT DISTINCT src AS node, CAST({PR_SCALE} AS BIGINT) AS r
+               FROM e),
+        {', '.join(pr_iters)}
+        SELECT node, r AS pagerank FROM {prev}
+    """
+
+    # winnow_fingerprints: same 60-bit md5 gram hash as dup_spans; the
+    # rightmost-min-per-window rule is max(i) over the argmin join.
+    sql["winnow_fingerprints"] = f"""
+        WITH {_WORDS_CTE},
+        g AS (
+          SELECT doc_id, i,
+                 CAST(CAST('0x' || substr(md5(
+                        ws[i] || ' ' || ws[i+1] || ' ' ||
+                        ws[i+2] || ' ' || ws[i+3]), 1, 15) AS UBIGINT)
+                      AS BIGINT) AS gh
+          FROM w, UNNEST(range(1, len(ws) - 2)) AS t(i)
+          WHERE len(ws) >= 4
+        ),
+        wmin AS (
+          SELECT doc_id, i AS j,
+                 min(gh) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+                 count(*) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+          FROM g
+        ),
+        sel AS (
+          SELECT f.doc_id, f.j, CAST(max(g.i) AS BIGINT) AS pos, f.m AS gh
+          FROM (SELECT doc_id, j, m FROM wmin WHERE wn = 4) f
+          JOIN g ON g.doc_id = f.doc_id
+                AND g.i BETWEEN f.j AND f.j + 3 AND g.gh = f.m
+          GROUP BY f.doc_id, f.j, f.m
+        )
+        SELECT DISTINCT doc_id, pos, gh FROM sel
+    """
+
+    # pmi_bigrams: the quantized-PMI ranking replayed with the same
+    # truncating integer division and (pmi DESC, cnt DESC, bigram) ties.
+    sql["pmi_bigrams"] = f"""
+        WITH {_WORDS_CTE},
+        uni AS (
+          SELECT ws[i] AS t, CAST(count(*) AS BIGINT) AS cnt
+          FROM w, UNNEST(range(1, len(ws) + 1)) AS x(i) GROUP BY ws[i]
+        ),
+        tot AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS n FROM w),
+        big AS (
+          SELECT ws[i] AS a, ws[i+1] AS b, CAST(count(*) AS BIGINT) AS cnt
+          FROM w, UNNEST(range(1, len(ws))) AS x(i)
+          WHERE len(ws) >= 2 GROUP BY ws[i], ws[i+1]
+        ),
+        sc AS (
+          SELECT big.a || ' ' || big.b AS bigram, big.cnt AS cnt,
+                 CAST((big.cnt * tot.n * 100) // (ua.cnt * ub.cnt)
+                      AS BIGINT) AS pmi_q
+          FROM big JOIN uni ua ON big.a = ua.t
+                   JOIN uni ub ON big.b = ub.t
+                   CROSS JOIN tot
+          WHERE big.cnt >= 5
+        )
+        SELECT bigram, cnt, pmi_q,
+               CAST(row_number() OVER (ORDER BY pmi_q DESC, cnt DESC, bigram)
+                    AS BIGINT) AS rank
+        FROM sc ORDER BY pmi_q DESC, cnt DESC, bigram LIMIT 50
+    """
+
     return sql

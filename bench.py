@@ -110,6 +110,7 @@ def run_queries() -> dict[str, float]:
         "bottomk_sample", "status_rollup", "late_data_watermark",
         "audio_features", "percentile_rank", "pivot_daily",
         "order_priority_join", "pq_topk",
+        "pagerank", "winnow_fingerprints", "pmi_bigrams",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -1261,3 +1261,241 @@ def bottomk_sample(sf_dir: str) -> "ray.data.Dataset":
         .sort(["priority", "doc_id"])
         .limit(BOTTOMK)
     )
+
+
+# ---------------------------------------------------------------------------
+# MOSS winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4   # words per k-gram
+WINNOW_W = 4   # grams per winnowing window
+
+
+def winnow_fingerprints(sf_dir: str) -> "ray.data.Dataset":
+    """MOSS winnowing: per doc, hash every word-WINNOW_K-gram (60-bit
+    md5, the dup_spans convention), slide a WINNOW_W-gram window and
+    select the window minimum — rightmost position on ties, the MOSS
+    rule — then keep the distinct selections (doc_id, pos, gh).
+    Winnowing guarantees any shared run of >= WINNOW_K + WINNOW_W - 1
+    words yields a shared fingerprint, with density 2/(w+1) — the
+    LOCAL plagiarism/copy detector that complements the document-level
+    MinHash and passage-level dup_spans signals.
+
+    Scale shape: a single streaming pass, no shuffle — each doc's
+    selection is independent. The sliding-window argmin is one numpy
+    pass (reverse-argmin gives the rightmost-tie rule); only selected
+    (int64, int64, int64) rows leave the task. Downstream matching is
+    one coarse shuffle on gh — the dup_spans plan verbatim."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from ..functions.textstats import md5_int60
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def winnow_batch(batch: pa.Table) -> pa.Table:
+        out_id, out_pos, out_gh = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = words_of(text or "")
+            n_g = len(ws) - WINNOW_K + 1
+            if n_g < WINNOW_W:  # no full window → no fingerprints
+                continue
+            h = np.array(
+                [
+                    md5_int60(" ".join(ws[i : i + WINNOW_K]))
+                    for i in range(n_g)
+                ],
+                dtype=np.int64,
+            )
+            wv = sliding_window_view(h, WINNOW_W)
+            # rightmost argmin: argmin of the reversed window is the
+            # FIRST minimum from the right
+            idx = WINNOW_W - 1 - np.argmin(wv[:, ::-1], axis=1)
+            pos = np.unique(np.arange(len(wv), dtype=np.int64) + idx)
+            out_id.extend([doc_id] * len(pos))
+            out_pos.extend(pos + 1)  # 1-based, matching the SQL UNNEST
+            out_gh.extend(h[pos])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "pos": pa.array(out_pos, pa.int64()),
+                "gh": pa.array(np.array(out_gh, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(winnow_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation discovery (pointwise mutual information, exact integers)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_CNT = 5    # minimum bigram support
+PMI_K = 50         # report size
+PMI_SCALE = 100    # fixed-point scale for the PMI ratio
+
+
+def pmi_bigrams(sf_dir: str) -> "ray.data.Dataset":
+    """Top-PMI_K collocations: bigrams with support >= PMI_MIN_CNT
+    ranked by quantized PMI — the monotone integer surrogate
+    ``pmi_q = (cnt_ab · total_words · PMI_SCALE) // (cnt_a · cnt_b)``
+    (dropping the log keeps the ranking and the arithmetic exact;
+    ties break by cnt DESC then bigram ASC). The collocation signal a
+    tokenizer-vocabulary or phrase-mining stage consumes.
+
+    Scale shape: two coarse shuffles, both on crc32(word) — stage 1
+    reduces bigram partials by first-word partition and joins cnt_a
+    (all occurrences of word w as a unigram AND as a bigram head land
+    in part crc32(w), so the join is partition-local); stage 2 re-keys
+    by second word, joins cnt_b from the SAME partition map, computes
+    pmi_q and prunes to a per-partition top-PMI_K (disjoint bigram
+    sets make the global top-K a subset of the survivors); the final
+    reduce sorts <= 64·PMI_K rows. total_words is one scalar
+    aggregate. Unigram counts are never broadcast — they ride the
+    shuffle co-partitioned with the bigrams that need them."""
+    from collections import Counter
+
+    docs = _read_docs(sf_dir, ["text"])
+
+    def n_words(batch: pa.Table) -> pa.Table:
+        n = sum(len(words_of(t or "")) for t in batch.column("text").to_pylist())
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    total_words = int(
+        docs.map_batches(n_words, batch_format="pyarrow").sum("n")
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        uni: Counter = Counter()
+        big: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            ws = words_of(text or "")
+            uni.update(ws)
+            big.update(zip(ws, ws[1:]))
+        w1 = [a for a, _ in big] + list(uni)
+        w2 = [b for _, b in big] + [""] * len(uni)
+        cnt = np.array(
+            list(big.values()) + list(uni.values()), dtype=np.int64
+        )
+        kind = np.concatenate(
+            [np.zeros(len(big), np.int64), np.ones(len(uni), np.int64)]
+        )
+        return pa.table(
+            {
+                "w1": pa.array(w1, pa.string()),
+                "w2": pa.array(w2, pa.string()),
+                "cnt": pa.array(cnt, pa.int64()),
+                "cnt_a": pa.array(np.zeros(len(cnt), np.int64), pa.int64()),
+                "kind": pa.array(kind, pa.int64()),
+                "part": pa.array(str_partition(w1), pa.int64()),
+            }
+        )
+
+    def join_cnt_a(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part_tbl.to_pandas()
+        uni = df[df["kind"] == 1].groupby("w1")["cnt"].sum()
+        big = (
+            df[df["kind"] == 0]
+            .groupby(["w1", "w2"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        big = big[big["cnt"] >= PMI_MIN_CNT]
+        cnt_a = big["w1"].map(uni).to_numpy().astype(np.int64)
+        # pass the global unigram counts through unchanged (same part:
+        # stage 2 needs cnt_b at part crc32(w2) == crc32(w) here)
+        out_w1 = list(big["w1"]) + list(uni.index)
+        out_w2 = list(big["w2"]) + [""] * len(uni)
+        out_cnt = np.concatenate(
+            [big["cnt"].to_numpy().astype(np.int64), uni.to_numpy().astype(np.int64)]
+        )
+        out_cnt_a = np.concatenate([cnt_a, np.zeros(len(uni), np.int64)])
+        kind = np.concatenate(
+            [np.zeros(len(big), np.int64), np.ones(len(uni), np.int64)]
+        )
+        part = np.concatenate(
+            [
+                str_partition(list(big["w2"])) if len(big) else np.array([], np.int64),
+                str_partition(list(uni.index)) if len(uni) else np.array([], np.int64),
+            ]
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "w1": pa.array(out_w1, pa.string()),
+                "w2": pa.array(out_w2, pa.string()),
+                "cnt": pa.array(out_cnt, pa.int64()),
+                "cnt_a": pa.array(out_cnt_a, pa.int64()),
+                "kind": pa.array(kind, pa.int64()),
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    def join_cnt_b(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part_tbl.to_pandas()
+        uni = df[df["kind"] == 1].set_index("w1")["cnt"]
+        big = df[df["kind"] == 0]
+        if not len(big):
+            return pa.table(
+                {
+                    "bigram": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                    "pmi_q": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        cnt_ab = big["cnt"].to_numpy().astype(np.int64)
+        cnt_a = big["cnt_a"].to_numpy().astype(np.int64)
+        cnt_b = big["w2"].map(uni).to_numpy().astype(np.int64)
+        pmi_q = (cnt_ab * total_words * PMI_SCALE) // (cnt_a * cnt_b)
+        t = pd.DataFrame(
+            {
+                "bigram": big["w1"].to_numpy() + " " + big["w2"].to_numpy(),
+                "cnt": cnt_ab,
+                "pmi_q": pmi_q,
+            }
+        ).sort_values(
+            ["pmi_q", "cnt", "bigram"], ascending=[False, False, True]
+        ).head(PMI_K)
+        return pa.table(
+            {
+                "bigram": pa.array(list(t["bigram"]), pa.string()),
+                "cnt": pa.array(t["cnt"].to_numpy(), pa.int64()),
+                "pmi_q": pa.array(t["pmi_q"].to_numpy(), pa.int64()),
+                "part": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+            }
+        )
+
+    def final_topk(part_tbl: pa.Table) -> pa.Table:
+        df = (
+            part_tbl.select(["bigram", "cnt", "pmi_q"])
+            .to_pandas()
+            .sort_values(
+                ["pmi_q", "cnt", "bigram"], ascending=[False, False, True]
+            )
+            .head(PMI_K)
+        )
+        return pa.table(
+            {
+                "bigram": pa.array(list(df["bigram"]), pa.string()),
+                "cnt": pa.array(df["cnt"].to_numpy(), pa.int64()),
+                "pmi_q": pa.array(df["pmi_q"].to_numpy(), pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, len(df) + 1, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(join_cnt_a, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(join_cnt_b, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )

@@ -1,0 +1,308 @@
+"""Iterative distributed graph algorithms over the fixture relations.
+
+PageRank is the canonical web-scale quality-weighting signal a
+training-data curation pipeline consumes (Common-Crawl-style corpus
+weighting ranks hosts by centrality before sampling; see the harmonic
+centrality discussion in PAPERS.md). The reference has no graph
+operator — this extends the engine the same way the dedup/curation
+suites do, with the shapes that survive 100 TB:
+
+- the graph is BUILT with one big-big co-partitioned shuffle equi-join
+  (orders ⋈ lineitem on orderkey, both fact-scale — the
+  ``order_priority_join`` pattern) followed by one pair-distinct
+  shuffle; vertex ids are disjoint integers (customer 2k, supplier
+  2k+1) and the graph is symmetrized so no vertex dangles;
+- iterations are Pregel supersteps with ONE message shuffle each: the
+  edge list is partitioned by ``src % P`` once and pinned in the
+  object store as P per-partition tables ({part: ObjectRef}); scatter
+  is a shuffle-FREE ``map_batches`` over the co-partitioned rank
+  blocks (each task plasma-reads only its partition's edges, computes
+  ``rank // outdeg`` per edge and pre-combines by dst — the combiner
+  that bounds skew), and gather is the one ``dst % P`` shuffle that
+  sums + damps. No driver-side state ever holds a vertex vector —
+  ranks checkpoint to the object store per superstep
+  (``materialize()`` is the Pregel barrier, and it also keeps Ray's
+  two-pass sort-shuffle from re-executing the superstep chain);
+- arithmetic is EXACT int64 fixed-point (SCALE = 1e9, truncating
+  division, damping 85/100) so the result is bit-equal to the DuckDB
+  oracle's unrolled-CTE replay regardless of partitioning, batch
+  order, or cluster layout. At 10^9+ vertices with celebrity in-degree
+  > 1e8 the 85·Σ term approaches int64 range — the scale dial is
+  SCALE (drop to 1e6) or a two-word accumulator, never float.
+
+Oracle: ``__ray_entry__.oracle_sql()['pagerank']`` unrolls the same
+PR_ITERS iterations as chained CTEs with identical integer ops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+PR_SCALE = 1_000_000_000   # fixed-point 1.0 (unnormalized PageRank: r0 = SCALE)
+PR_DAMP_NUM = 85           # damping d = 85/100
+PR_DAMP_DEN = 100
+PR_BASE = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN  # (1-d)·SCALE
+PR_ITERS = 5
+
+# Shuffle width for the rank iterations. At test scale the cost of an
+# iteration is the FIXED all-to-all barrier, not data volume, so a
+# narrow fan (16) halves wall time vs N_COARSE_PARTS=64; at 100 TB this
+# is the dial to raise toward #cores (results are invariant to it —
+# partitioning only routes rows).
+PR_PARTS = 16
+
+_EDGE = 0   # union-row kinds through the scatter shuffle
+_RANK = 1
+
+
+def _edges(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct symmetric customer↔supplier edges from orders ⋈
+    lineitem. Two coarse shuffles: co-partitioned join on orderkey,
+    then pair-distinct on src (symmetric emission makes every copy of
+    a pair share both endpoints, so src-partitioning sees them all).
+    Rows: (a=src, b=dst, kind=_EDGE, part=src % P), all int64."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cust = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "val": pa.array(cust.astype(np.int64), pa.int64()),
+                "side": pa.array(np.zeros(len(keys), np.int64), pa.int64()),
+                "part": pa.array(keys % PR_PARTS, pa.int64()),
+            }
+        )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        keys = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "val": pa.array(supp.astype(np.int64), pa.int64()),
+                "side": pa.array(np.ones(len(keys), np.int64), pa.int64()),
+                "part": pa.array(keys % PR_PARTS, pa.int64()),
+            }
+        )
+
+    both = orders.map_batches(order_side, batch_format="pyarrow").union(
+        lines.map_batches(line_side, batch_format="pyarrow")
+    )
+
+    def join_part(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part_tbl.to_pandas()
+        build = df[df["side"] == 0].set_index("key")["val"]  # orderkey → custkey
+        probe = df[df["side"] == 1]
+        cust = probe["key"].map(build)
+        pairs = pd.DataFrame(
+            {"c": cust.to_numpy(), "s": probe["val"].to_numpy()}
+        ).dropna(subset=["c"]).drop_duplicates()
+        c = pairs["c"].to_numpy().astype(np.int64) * 2
+        s = pairs["s"].to_numpy().astype(np.int64) * 2 + 1
+        src = np.concatenate([c, s])  # symmetric emission
+        dst = np.concatenate([s, c])
+        return pa.table(
+            {
+                "a": pa.array(src, pa.int64()),
+                "b": pa.array(dst, pa.int64()),
+                "part": pa.array(src % PR_PARTS, pa.int64()),
+            }
+        )
+
+    def distinct_part(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = (
+            part_tbl.select(["a", "b"]).to_pandas().drop_duplicates()
+        )
+        n = len(df)
+        return pa.table(
+            {
+                "a": pa.array(df["a"].to_numpy(), pa.int64()),
+                "b": pa.array(df["b"].to_numpy(), pa.int64()),
+                "kind": pa.array(np.full(n, _EDGE, np.int64), pa.int64()),
+                "part": pa.array(
+                    df["a"].to_numpy().astype(np.int64) % PR_PARTS,
+                    pa.int64(),
+                ),
+            }
+        )
+
+    # materialize before each sort-shuffle: Ray's sort samples
+    # boundaries in a separate pass, which would otherwise re-execute
+    # the upstream (including the parquet read) twice
+    joined = (
+        both.materialize()
+        .groupby("part")
+        .map_groups(join_part, batch_format="pyarrow")
+        .materialize()
+    )
+    return joined.groupby("part").map_groups(
+        distinct_part, batch_format="pyarrow"
+    )
+
+
+def pagerank(sf_dir: str, iters: int = PR_ITERS) -> "ray.data.Dataset":
+    """Exact-integer synchronous PageRank over the symmetric
+    customer↔supplier graph (vertex ids: customer 2k, supplier 2k+1).
+
+    r_0(v) = SCALE; r_{i+1}(v) = (1-d)·SCALE + d·Σ_{u→v} r_i(u)//deg(u)
+    with d = 85/100 and every division truncating int64 — bit-equal to
+    the oracle's unrolled CTEs. Returns (node, pagerank).
+
+    Scale shape: see the module docstring — edges pin in the object
+    store partitioned by src once ({part: ObjectRef}, P refs, never on
+    the driver); each superstep is a shuffle-free scatter over the
+    co-partitioned rank blocks + ONE message shuffle to gather. Outdeg
+    is recomputed inside the src-partition (all edges of a src
+    co-reside, so the local count IS the global outdegree)."""
+    edges = _edges(sf_dir).materialize()
+
+    # Pin each src-partition's edge table as one object-store ref.
+    # P probe tasks map block → part id; only refs reach the driver.
+    @ray.remote
+    def _probe(block) -> list:
+        if block.num_rows == 0 or "part" not in block.schema.names:
+            return []  # empty shuffle outputs carry no schema
+        parts = block.column("part").to_numpy(zero_copy_only=False)
+        return [int(p) for p in np.unique(parts)]
+
+    # A block may hold several partitions (map_groups packs multiple
+    # groups per task) and a partition may span several blocks (block
+    # splitting) — so map part → every block that contains it.
+    blocks = edges.get_internal_block_refs()
+    edge_parts: dict[int, list] = {}
+    for ref, parts in zip(blocks, ray.get([_probe.remote(b) for b in blocks])):
+        for part in parts:
+            edge_parts.setdefault(part, []).append(ref)
+
+    # r0: every vertex appears as a src (graph is symmetric), so the
+    # per-PARTITION distinct src set is the global vertex set. Seeded
+    # via map_groups (never per-block unique: a partition spanning two
+    # blocks would emit a node twice and double its contributions).
+    def seed_ranks(part_tbl: pa.Table) -> pa.Table:
+        src = np.unique(part_tbl.column("a").to_numpy(zero_copy_only=False))
+        n = len(src)
+        return pa.table(
+            {
+                "node": pa.array(src, pa.int64()),
+                "r": pa.array(np.full(n, PR_SCALE, np.int64), pa.int64()),
+                "part": pa.array(src % PR_PARTS, pa.int64()),
+            }
+        )
+
+    ranks = (
+        edges.groupby("part")
+        .map_groups(seed_ranks, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def scatter(rank_tbl: pa.Table) -> pa.Table:
+        """One rank partition (whole block): plasma-read the matching
+        edge partition, contribution r(src)//outdeg(src) per edge,
+        pre-combined by dst (the skew combiner), re-keyed by dst."""
+        import pandas as pd
+
+        if rank_tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "dst": pa.array([], pa.int64()),
+                    "contrib": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        # the batch may span several partitions (and a partition several
+        # blocks) — fetch every edge block touching them, deduped by ref
+        parts = np.unique(rank_tbl.column("part").to_numpy(zero_copy_only=False))
+        refs = list({r for p in parts for r in edge_parts.get(int(p), [])})
+        e = pa.concat_tables(ray.get(refs)).to_pandas() if refs else None
+        if e is None:
+            return pa.table(
+                {
+                    "dst": pa.array([], pa.int64()),
+                    "contrib": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        r = pd.Series(
+            rank_tbl.column("r").to_numpy(zero_copy_only=False),
+            index=rank_tbl.column("node").to_numpy(zero_copy_only=False),
+        )
+        # keep only edges whose src is in THIS batch: if Ray splits a
+        # rank partition into several blocks, each split emits its own
+        # srcs' contributions exactly once (a src's full edge set stays
+        # intact — the filter drops other srcs' edges, so the local
+        # degree below is still the global outdegree)
+        e = e[e["a"].isin(r.index)]
+        if not len(e):
+            return pa.table(
+                {
+                    "dst": pa.array([], pa.int64()),
+                    "contrib": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        deg = e.groupby("a")["b"].transform("size").to_numpy().astype(np.int64)
+        contrib = (
+            r.loc[e["a"].to_numpy()].to_numpy().astype(np.int64) // deg
+        )
+        g = (
+            pd.DataFrame({"dst": e["b"].to_numpy(), "c": contrib})
+            .groupby("dst", sort=False)["c"]
+            .sum()
+        )
+        dst = g.index.to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "dst": pa.array(dst, pa.int64()),
+                "contrib": pa.array(g.to_numpy().astype(np.int64), pa.int64()),
+                "part": pa.array(dst % PR_PARTS, pa.int64()),
+            }
+        )
+
+    def gather(part_tbl: pa.Table) -> pa.Table:
+        """One dst-partition: sum + damp → next ranks, co-partitioned
+        for the next scatter."""
+        df = part_tbl.to_pandas()
+        g = df.groupby("dst", sort=False)["contrib"].sum()
+        node = g.index.to_numpy().astype(np.int64)
+        r = PR_BASE + PR_DAMP_NUM * g.to_numpy().astype(np.int64) // PR_DAMP_DEN
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "r": pa.array(r, pa.int64()),
+                "part": pa.array(node % PR_PARTS, pa.int64()),
+            }
+        )
+
+    for _ in range(iters):
+        ranks = (
+            ranks.map_batches(scatter, batch_format="pyarrow", batch_size=None)
+            .groupby("part")
+            .map_groups(gather, batch_format="pyarrow")
+            .materialize()  # Pregel superstep barrier / checkpoint
+        )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "pagerank": batch.column("r"),
+            }
+        )
+
+    return ranks.map_batches(project, batch_format="pyarrow")

@@ -115,6 +115,13 @@ SUBSET = [
     # round-4 wave 5: PQ-ADC top-k (prototype_score, which it
     # displaced to the tail, already appears above)
     "pq_topk",
+    # round-4 wave 6: PageRank / winnowing / PMI, plus the simhash
+    # banded entry they displaced (order_priority_join and
+    # stratified_sample already appear above)
+    "pagerank",
+    "winnow_fingerprints",
+    "pmi_bigrams",
+    "dedup_simhash_banded",
 ]
 
 
