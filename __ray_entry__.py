@@ -202,7 +202,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text_search predicate; pytest keeps it bit-green)
         "status_rollup": analytics.status_rollup,
         "suppression_antijoin": search.suppression_antijoin,
-        "incremental_filter": search.incremental_filter,
+        # (round 4, wave 7) SCD type-2 versioned merge — the CDC /
+        # lakehouse-upsert class (consecutive-duplicate suppression +
+        # versioned valid_from/valid_to history, one coarse user
+        # shuffle); takes incremental_filter's head seat (its W2
+        # watermark-threshold filter is the gate stage of head-checked
+        # late_data_watermark; pytest keeps it bit-green in the tail)
+        "scd2_merge": sessions.scd2_merge,
         # (round 4) wide-format pivot / crosstab — takes queue_stats'
         # head seat (its single-row multi-aggregate is status_rollup's
         # grand-total level plus label_facets' facet counts; pytest
@@ -369,6 +375,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_join": analytics.order_priority_join,
         "dedup_simhash_banded": dedup.simhash_pairs_banded,
         "stratified_sample": curation.stratified_sample,
+        # (round 4 wave 7 tail entries: incremental_filter displaced by
+        # scd2_merge — see head comment; weighted_sample is
+        # bottomk_sample's weighted A-ES variant, oracle-backed in the
+        # tail; bpe_merges is rows-only BY DESIGN — iterative string
+        # rewriting is not SQL-expressible — with naive-reference
+        # bit-parity pinned in pytest)
+        "incremental_filter": search.incremental_filter,
+        "weighted_sample": curation.weighted_sample,
+        "bpe_merges": curation.bpe_merges,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -1988,6 +2003,50 @@ def oracle_sql() -> dict[str, str]:
 
     # extraction_e2e / extraction_summary: hermetic media engines → not
     # SQL-expressible; the driver records a rows-only check.
+    # scd2_merge: the lag/lead window replay of the CDC dedup +
+    # versioning; the sentinel 9999-01-01 mirrors SCD2_SENTINEL_US.
+    sql["scd2_merge"] = """
+        WITH ev AS (
+          SELECT event_id, ts, user_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events
+        ),
+        ord AS (
+          SELECT *, lag(cents) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM ev
+        ),
+        chg AS (
+          SELECT user_id, ts, event_id, cents FROM ord
+          WHERE prev IS NULL OR prev <> cents
+        )
+        SELECT user_id,
+               CAST(row_number() OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS BIGINT) AS version,
+               cents,
+               ts AS valid_from,
+               coalesce(lead(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id),
+                        TIMESTAMP '9999-01-01') AS valid_to,
+               CAST(CASE WHEN lead(ts) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        FROM chg
+    """
+
+    # weighted_sample: same md5-priority arithmetic, zero-weight rows
+    # excluded on both sides.
+    sql["weighted_sample"] = """
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+               CAST(CAST('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)),
+                                        1, 15) AS UBIGINT) AS BIGINT)
+                 // n_chars AS priority
+        FROM documents
+        WHERE n_chars > 0
+        ORDER BY priority, doc_id LIMIT 100
+    """
+
     # pagerank: unroll PR_ITERS exact-integer iterations as chained
     # CTEs — same SCALE/damping/truncating-division as the Ray side,
     # so the comparison is bit-exact whatever the partitioning.

@@ -111,6 +111,7 @@ def run_queries() -> dict[str, float]:
         "audio_features", "percentile_rank", "pivot_daily",
         "order_priority_join", "pq_topk",
         "pagerank", "winnow_fingerprints", "pmi_bigrams",
+        "scd2_merge", "weighted_sample", "bpe_merges",
     ]
     out: dict[str, float] = {}
     for name in picks:

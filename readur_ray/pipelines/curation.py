@@ -1499,3 +1499,178 @@ def pmi_bigrams(sf_dir: str) -> "ray.data.Dataset":
         .groupby("part")
         .map_groups(final_topk, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (Efraimidis–Spirakis shape, exact-integer keys)
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 100
+
+
+def weighted_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Weight-proportional-ish sample: keep the WSAMPLE_K docs with the
+    smallest priority = md5_60('wsamp:'||doc_id) // n_chars — the
+    integer surrogate of Efraimidis–Spirakis A-ES keys (u^(1/w) order
+    ≈ hash/w order): doubling a doc's length doubles its selection
+    odds, deterministically and layout-independently. Docs with
+    n_chars = 0 are excluded (zero weight).
+
+    Scale shape: identical to bottomk_sample — per-block bottom-k
+    prune (priority is a mergeable bottom-k sketch: bottom-k of unions
+    == bottom-k of bottom-ks), tiny global sort over <= k·n_blocks
+    survivors. The weighted variant a mixture-curation pipeline draws
+    when sampling proportional to token mass instead of uniformly."""
+    from ..functions.textstats import md5_int60
+
+    ds = _read_docs(sf_dir, ["doc_id", "n_chars"])
+
+    def local_bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        w = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        m = w > 0
+        ids, w = ids[m], w[m]
+        pri = np.array(
+            [md5_int60(f"wsamp:{i}") for i in ids], dtype=np.int64
+        ) // w.astype(np.int64)
+        if len(ids) > WSAMPLE_K:
+            keep = np.argpartition(pri, WSAMPLE_K)[:WSAMPLE_K]
+        else:
+            keep = np.arange(len(ids))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "weight": pa.array(w[keep].astype(np.int64), pa.int64()),
+                "priority": pa.array(pri[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(local_bottomk, batch_format="pyarrow")
+        .sort(["priority", "doc_id"])
+        .limit(WSAMPLE_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE vocabulary learning (tokenizer training)
+# ---------------------------------------------------------------------------
+
+BPE_TOP_WORDS = 4096   # candidate dictionary cap (the bounded-driver contract)
+BPE_MERGES = 16        # merge table size to learn
+BPE_EOW = "</w>"       # end-of-word marker (Sennrich et al. 2016)
+
+
+def _bpe_learn(word_counts: list[tuple[str, int]], n_merges: int):
+    """Textbook BPE on a (word, count) dictionary: repeatedly merge the
+    most frequent adjacent symbol pair (count DESC, pair ASC tie-break).
+    Shared by the pipeline and the pytest naive-reference parity test."""
+    from collections import Counter
+
+    seqs = {
+        w: tuple(list(w) + [BPE_EOW]) for w, _ in word_counts
+    }
+    counts = dict(word_counts)
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, seq in seqs.items():
+            c = counts[w]
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), cnt = best
+        merges.append((left, right, cnt))
+        fused = left + right
+        for w, seq in seqs.items():
+            if left not in seq:
+                continue
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[w] = tuple(out)
+    return merges
+
+
+def bpe_merges(sf_dir: str):
+    """Learn a BPE merge table over the corpus (Sennrich et al. 2016,
+    arXiv:1508.07909) — the tokenizer-training stage of an LLM data
+    pipeline. Returns (rank, left, right, pair_count) for BPE_MERGES
+    merges.
+
+    Scale shape — exactly how production trainers split the work: the
+    CORPUS-scale pass is one distributed word count (per-batch Counter
+    combiner → crc32(word) coarse shuffle → per-partition totals with
+    a top-(BPE_TOP_WORDS/64) prune); the merge loop then runs on the
+    BOUNDED word-frequency dictionary (≤ BPE_TOP_WORDS rows — the
+    documented driver-read contract, like the k×dim centroid sums),
+    never on the corpus. Iterative string rewriting is not
+    SQL-expressible, so this entry is rows-only for the driver;
+    bit-parity is pinned by pytest against the naive single-process
+    reference (same _bpe_learn on a Counter of the same corpus)."""
+    import pandas as pd
+    from collections import Counter
+
+    docs = _read_docs(sf_dir, ["text"])
+    # partitions hold disjoint word sets, so each must keep its own
+    # full top-V for the global top-V to be exact: the driver read is
+    # bounded at V · N_COARSE_PARTS rows (≤ 262k), never the vocabulary
+    per_part_keep = BPE_TOP_WORDS
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            c.update(words_of(text or ""))
+        wds = list(c)
+        return pa.table(
+            {
+                "w": pa.array(wds, pa.string()),
+                "cnt": pa.array([c[w] for w in wds], pa.int64()),
+                "part": pa.array(str_partition(wds), pa.int64()),
+            }
+        )
+
+    def reduce_part(part_tbl: pa.Table) -> pa.Table:
+        df = (
+            part_tbl.select(["w", "cnt"])
+            .to_pandas()
+            .groupby("w", sort=False)["cnt"]
+            .sum()
+            .reset_index()
+            .sort_values(["cnt", "w"], ascending=[False, True])
+            .head(per_part_keep)
+        )
+        return pa.table(
+            {
+                "w": pa.array(list(df["w"]), pa.string()),
+                "cnt": pa.array(df["cnt"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    survivors = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    top = survivors.sort_values(
+        ["cnt", "w"], ascending=[False, True], ignore_index=True
+    ).head(BPE_TOP_WORDS)
+    merges = _bpe_learn(
+        list(zip(top["w"], top["cnt"].astype(int))), BPE_MERGES
+    )
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(merges) + 1, dtype=np.int64),
+            "left": [m[0] for m in merges],
+            "right": [m[1] for m in merges],
+            "pair_count": np.array([m[2] for m in merges], dtype=np.int64),
+        }
+    )

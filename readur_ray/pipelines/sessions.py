@@ -476,3 +476,93 @@ def late_data_watermark(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return keyed.groupby("bucket").map_groups(gate_bucket, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 versioned merge (change-data-capture → dimension history)
+# ---------------------------------------------------------------------------
+
+SCD2_SENTINEL_US = 253_370_764_800_000_000  # TIMESTAMP '9999-01-01' in µs
+SCD2_PARTS = 64
+
+
+def scd2_merge(sf_dir: str) -> "ray.data.Dataset":
+    """Slowly-changing-dimension type 2: fold the `events` stream into
+    a versioned per-user attribute history. Events are a CDC change
+    feed of the user's `value` attribute (as exact integer cents);
+    consecutive duplicates are suppressed (classic CDC dedup) and each
+    surviving change opens a version row: (user_id, version, cents,
+    valid_from, valid_to, is_current) with valid_to = next change's
+    valid_from, sentinel 9999-01-01 on the open row. The lakehouse
+    upsert/merge primitive (Kimball SCD2; Delta/Hudi MERGE INTO).
+
+    Scale shape: ONE coarse shuffle on user_id % SCD2_PARTS, then a
+    per-partition vectorized sort by (user_id, ts, event_id) + shift
+    compare — all of a user's rows co-reside, so version numbering and
+    next-change lookup are partition-local. No driver state; ties are
+    broken by event_id so the result is layout-independent and
+    bit-equal to the lag/lead window oracle."""
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "ts": batch.column("ts"),
+                "user_id": batch.column("user_id"),
+                "cents": pa.array(cents, pa.int64()),
+                "part": pa.array(uid % SCD2_PARTS, pa.int64()),
+            }
+        )
+
+    def versions(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.select(
+            ["event_id", "ts", "user_id", "cents"]
+        ).to_pandas()
+        df = df.sort_values(
+            ["user_id", "ts", "event_id"], kind="stable", ignore_index=True
+        )
+        uid = df["user_id"].to_numpy()
+        cents = df["cents"].to_numpy()
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        changed = np.concatenate([[True], cents[1:] != cents[:-1]])
+        keep = new_user | changed
+        ki = np.flatnonzero(keep)
+        k_uid = uid[ki]
+        # version = running count within user over kept rows
+        k_new_user = np.concatenate([[True], k_uid[1:] != k_uid[:-1]])
+        grp_start = np.maximum.accumulate(
+            np.where(k_new_user, np.arange(len(ki)), 0)
+        )
+        version = np.arange(len(ki)) - grp_start + 1
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vfrom = ts_us[ki]
+        # valid_to = next kept row's valid_from within the same user
+        nxt = np.concatenate([vfrom[1:], [SCD2_SENTINEL_US]])
+        last_of_user = np.concatenate([k_uid[1:] != k_uid[:-1], [True]])
+        vto = np.where(last_of_user, SCD2_SENTINEL_US, nxt)
+        return pa.table(
+            {
+                "user_id": pa.array(k_uid.astype(np.int64), pa.int64()),
+                "version": pa.array(version.astype(np.int64), pa.int64()),
+                "cents": pa.array(cents[ki], pa.int64()),
+                "valid_from": pa.array(vfrom, pa.timestamp("us")),
+                "valid_to": pa.array(vto, pa.timestamp("us")),
+                "is_current": pa.array(
+                    last_of_user.astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(versions, batch_format="pyarrow")
+    )
