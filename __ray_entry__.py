@@ -164,12 +164,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the token-window arithmetic of doc_metadata/chunk_documents;
         # pytest keeps it bit-green in the tail)
         "hll_registers": analytics.hll_registers,
-        # (round 4) mergeable Count-Min frequency-sketch registers —
-        # completes the sketch triad (HLL cardinality / Bloom
-        # membership / CMS frequency); takes source_facets' head seat
-        # (its group-count facet plan is the shape of head-checked
-        # label_facets / queue_stats; pytest keeps it bit-green)
-        "cms_registers": analytics.cms_registers,
+        # (round 4, wave 8) Z-order clustering keys — the lakehouse
+        # OPTIMIZE ZORDER layout primitive (bit-interleaved
+        # multi-dimensional keys + z-range buckets), a class no
+        # sibling covers; takes cms_registers' head seat (the
+        # register-grid sketch arithmetic stays driver-checked via
+        # hll_registers' Max grid and bloom_gate's bit grid; CMS's Sum
+        # grid keeps pytest parity in the tail)
+        "zorder_keys": analytics.zorder_keys,
         # (round 4) documents→embeddings production stage: signed
         # feature hashing in an actor pool with a per-actor token cache
         "embed_documents": textops.embed_documents,
@@ -209,11 +211,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # watermark-threshold filter is the gate stage of head-checked
         # late_data_watermark; pytest keeps it bit-green in the tail)
         "scd2_merge": sessions.scd2_merge,
-        # (round 4) wide-format pivot / crosstab — takes queue_stats'
-        # head seat (its single-row multi-aggregate is status_rollup's
-        # grand-total level plus label_facets' facet counts; pytest
+        # (round 4, wave 8) exact-integer grouped least-squares trend —
+        # the statistical-moment aggregate class (regression /
+        # covariance beyond sum/count, merged from per-batch moment
+        # vectors); takes pivot_daily's head seat (the wide crosstab is
+        # status_rollup's grouped counting reshaped to columns; pytest
         # keeps it bit-green in the tail)
-        "pivot_daily": analytics.pivot_daily,
+        "trend_slopes": analytics.trend_slopes,
         # --- multimodal plumbing (deterministic stub codec) ---
         "multimodal_meta": multimodal.multimodal_meta,
         # (round 4) the audio leg of the multimodal plumbing:
@@ -384,6 +388,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_filter": search.incremental_filter,
         "weighted_sample": curation.weighted_sample,
         "bpe_merges": curation.bpe_merges,
+        # (round 4 wave 8 displacements — head seats went to
+        # zorder_keys / trend_slopes; see the head comments)
+        "cms_registers": analytics.cms_registers,
+        "pivot_daily": analytics.pivot_daily,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2003,6 +2011,54 @@ def oracle_sql() -> dict[str, str]:
 
     # extraction_e2e / extraction_summary: hermetic media engines → not
     # SQL-expressible; the driver records a rows-only check.
+    # zorder_keys: the identical unrolled shift/mask bit interleave.
+    from readur_ray.pipelines.analytics import ZORDER_BITS
+
+    z_terms = " + ".join(
+        f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+        for i in range(ZORDER_BITS)
+    )
+    sql["zorder_keys"] = f"""
+        WITH d AS (
+          SELECT event_id,
+                 user_id % {1 << ZORDER_BITS} AS x,
+                 (CAST(epoch_us(ts) AS BIGINT) // 3600000000)
+                   % {1 << ZORDER_BITS} AS y
+          FROM events
+        ),
+        z AS (SELECT event_id, CAST({z_terms} AS BIGINT) AS zval FROM d)
+        SELECT event_id, zval,
+               CAST(zval >> {2 * ZORDER_BITS - 6} AS BIGINT) AS bucket
+        FROM z
+    """
+
+    # trend_slopes: the same exact-integer moment arithmetic; sums
+    # come back from DuckDB's HUGEINT accumulator cast to BIGINT
+    # before the num/den products, mirroring the int64 pipeline.
+    sql["trend_slopes"] = """
+        WITH base AS (
+          SELECT event_type,
+                 CAST(epoch_us(ts) AS BIGINT) // 3600000000
+                   - (SELECT MIN(CAST(epoch_us(ts) AS BIGINT) // 3600000000)
+                      FROM events) AS x,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+          FROM events
+        ),
+        m AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM base GROUP BY event_type
+        )
+        SELECT event_type, n,
+               CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+        FROM m
+    """
+
     # scd2_merge: the lag/lead window replay of the CDC dedup +
     # versioning; the sentinel 9999-01-01 mirrors SCD2_SENTINEL_US.
     sql["scd2_merge"] = """

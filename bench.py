@@ -112,6 +112,7 @@ def run_queries() -> dict[str, float]:
         "order_priority_join", "pq_topk",
         "pagerank", "winnow_fingerprints", "pmi_bigrams",
         "scd2_merge", "weighted_sample", "bpe_merges",
+        "zorder_keys", "trend_slopes",
     ]
     out: dict[str, float] = {}
     for name in picks:

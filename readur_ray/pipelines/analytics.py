@@ -1051,3 +1051,129 @@ def order_priority_join(sf_dir: str) -> "ray.data.Dataset":
             Sum("revenue_cents", alias_name="revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering keys (multi-dimensional data layout / OPTIMIZE ZORDER)
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 16      # bits per dimension (32-bit z-value)
+ZORDER_BUCKETS = 64   # target layout files (z-range buckets)
+
+
+def zorder_keys(sf_dir: str) -> "ray.data.Dataset":
+    """Z-order (Morton) clustering keys over (user_id, event hour):
+    interleave the low ZORDER_BITS bits of each dimension into a
+    32-bit z-value and assign each event to one of ZORDER_BUCKETS
+    z-range buckets — the multi-dimensional data-layout primitive
+    behind lakehouse OPTIMIZE ZORDER: co-locating rows close in BOTH
+    dimensions so min/max zone maps prune scans filtered on either.
+    Returns (event_id, zval, bucket).
+
+    Scale shape: one map-only streaming pass (the bit interleave is 16
+    vectorized numpy shift/mask ops); the layout rewrite itself would
+    be ``.sort("zval")`` + partitioned write — the sort is the one
+    unavoidable all-to-all, identical to the training_shuffle plan.
+    Oracle: the identical unrolled 16-term shift/mask expression."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def add_z(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts_us = (
+            batch.column("ts")
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        x = (uid % (1 << ZORDER_BITS)).astype(np.int64)
+        y = ((ts_us // 3_600_000_000) % (1 << ZORDER_BITS)).astype(np.int64)
+        z = np.zeros(len(x), dtype=np.int64)
+        for i in range(ZORDER_BITS):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "zval": pa.array(z, pa.int64()),
+                "bucket": pa.array(
+                    z >> (2 * ZORDER_BITS - 6), pa.int64()
+                ),  # 2^6 = ZORDER_BUCKETS
+            }
+        )
+
+    return ds.map_batches(add_z, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact-integer grouped least-squares trend (statistical-moment aggregate)
+# ---------------------------------------------------------------------------
+
+def trend_slopes(sf_dir: str) -> "ray.data.Dataset":
+    """Per event_type, the least-squares slope of value-vs-time as an
+    EXACT integer rational: slope = slope_num / slope_den with
+    slope_num = n·Σxy − Σx·Σy and slope_den = n·Σx² − (Σx)², where
+    x = event hour since the corpus' first hour and y = integer cents.
+    The statistical-moment aggregate class (regression/covariance)
+    beyond sum/count — merged from per-batch partial moment vectors,
+    so it distributes exactly like a sum.
+
+    Scale shape: one tiny Min aggregate for the hour origin, then one
+    streaming pass emitting per-(batch × type) moment rows (n, Σx, Σy,
+    Σxy, Σx²) — five int64s per type per batch — and a small groupby
+    over #types rows. No float crosses the boundary. int64 headroom:
+    n·Σxy peaks ~2e18 at sf0.1 (documented dial: coarser hour grain or
+    per-window partials at larger corpora)."""
+    from ray.data.aggregate import Min
+
+    path = f"{sf_dir}/events.parquet"
+    origin = ray.data.read_parquet(path, columns=["ts"]).aggregate(Min("ts"))
+    min_hour = int(
+        pa.scalar(origin["min(ts)"]).cast(pa.int64()).as_py() // 3_600_000_000
+    )
+
+    ds = ray.data.read_parquet(path, columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ts_us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = (ts_us // 3_600_000_000 - min_hour).astype(np.int64)
+        y = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_pylist(),
+                "n": np.ones(len(x), np.int64),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+            }
+        )
+        g = df.groupby("event_type", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finalize(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = group.to_pandas()
+        et = df["event_type"].iloc[0]
+        n = int(df["n"].sum())
+        sx, sy = int(df["sx"].sum()), int(df["sy"].sum())
+        sxy, sxx = int(df["sxy"].sum()), int(df["sxx"].sum())
+        return pa.table(
+            {
+                "event_type": pa.array([et], pa.string()),
+                "n": pa.array([n], pa.int64()),
+                "slope_num": pa.array([n * sxy - sx * sy], pa.int64()),
+                "slope_den": pa.array([n * sxx - sx * sx], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(finalize, batch_format="pyarrow")
+    )

@@ -127,6 +127,10 @@ SUBSET = [
     "scd2_merge",
     "weighted_sample",
     "incremental_filter",
+    # round-4 wave 8: z-order layout keys + grouped LS trend (the
+    # displaced cms_registers / pivot_daily already appear above)
+    "zorder_keys",
+    "trend_slopes",
 ]
 
 
