@@ -124,12 +124,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sibling one-shuffle exact-quantile primitive, now in the tail
         # with pytest parity)
         "quantile_gate": curation.quantile_gate,
-        # (round 4) mergeable log2-histogram quantile sketch — the
-        # fixed-memory scale path the exact-quantile docstrings
-        # promise; takes priority_buckets' head seat (its per-row CASE
-        # bucket arithmetic is the shape of head-checked quality_score
-        # / filter_allowed; pytest keeps it bit-green in the tail)
-        "hist_quantiles": analytics.hist_quantiles,
+        # (round 4, wave 9) hourly gap-fill resample with forward fill
+        # — the time-series densification class (grid generation +
+        # carry-forward, one coarse user shuffle), new machinery no
+        # sibling covers; takes hist_quantiles' head seat (fixed-grid
+        # mergeable-sketch arithmetic stays driver-checked via
+        # hll_registers' Max grid and bloom_gate's bit grid; the
+        # log2-histogram keeps pytest parity in the tail)
+        "resample_ffill": sessions.resample_ffill,
         # --- training-data curation suite ---
         # (round 4) Lee-et-al exact substring dedup with REMOVAL —
         # takes repetition_score's head seat (its within-doc duplicate
@@ -392,6 +394,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # zorder_keys / trend_slopes; see the head comments)
         "cms_registers": analytics.cms_registers,
         "pivot_daily": analytics.pivot_daily,
+        # (round 4 wave 9: hist_quantiles displaced by resample_ffill —
+        # see head comment; json_props_extract's vectorized RE2
+        # extraction is redact_pii's head-checked single-pass shape
+        # over a different pattern, so it starts in the tail)
+        "hist_quantiles": analytics.hist_quantiles,
+        "json_props_extract": extras.json_props_extract,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2011,6 +2019,46 @@ def oracle_sql() -> dict[str, str]:
 
     # extraction_e2e / extraction_summary: hermetic media engines → not
     # SQL-expressible; the driver records a rows-only check.
+    # resample_ffill: grid via UNNEST(range), within-hour winner via
+    # row_number DESC, forward fill via IGNORE NULLS last_value —
+    # make_timestamp keeps the hour naive-UTC like the Ray side.
+    sql["resample_ffill"] = """
+        WITH ev AS (
+          SELECT user_id, ts, event_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                 CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS h
+          FROM events
+        ),
+        hr AS (
+          SELECT user_id, h, cents FROM (
+            SELECT user_id, h, cents,
+                   row_number() OVER (PARTITION BY user_id, h
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM ev) WHERE rn = 1
+        ),
+        bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+                   FROM ev GROUP BY user_id),
+        grid AS (SELECT user_id, UNNEST(range(h0, h1 + 1)) AS h FROM bounds),
+        j AS (
+          SELECT g.user_id, g.h, hr.cents
+          FROM grid g LEFT JOIN hr ON g.user_id = hr.user_id AND g.h = hr.h
+        )
+        SELECT user_id,
+               make_timestamp(h * 3600000000) AS hour,
+               CAST(last_value(cents IGNORE NULLS) OVER (
+                      PARTITION BY user_id ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cents
+        FROM j
+    """
+
+    # json_props_extract: identical RE2 pattern both sides.
+    sql["json_props_extract"] = r"""
+        SELECT event_id, event_type,
+               CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+        FROM events
+    """
+
     # zorder_keys: the identical unrolled shift/mask bit interleave.
     from readur_ray.pipelines.analytics import ZORDER_BITS
 

@@ -113,6 +113,7 @@ def run_queries() -> dict[str, float]:
         "pagerank", "winnow_fingerprints", "pmi_bigrams",
         "scd2_merge", "weighted_sample", "bpe_merges",
         "zorder_keys", "trend_slopes",
+        "resample_ffill", "json_props_extract",
     ]
     out: dict[str, float] = {}
     for name in picks:

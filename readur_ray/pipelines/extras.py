@@ -213,3 +213,38 @@ def extraction_metrics(sf_dir: str) -> "ray.data.Dataset":
             Sum("pages", alias_name="total_pages_ocrd"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# semi-structured JSON field extraction (ETL over the props column)
+# ---------------------------------------------------------------------------
+
+PROPS_K_PATTERN = r'"k":\s*(?P<k>-?\d+)'
+
+
+def json_props_extract(sf_dir: str) -> "ray.data.Dataset":
+    """Extract the integer field `k` from the events' JSON `props`
+    column — the semi-structured-ETL scalar class (§2.9 family):
+    vectorized RE2 extraction (pyarrow extract_regex; the oracle runs
+    the identical pattern through DuckDB regexp_extract), no Python
+    per-row loop, one streaming pass. Returns (event_id, event_type,
+    k)."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "props"],
+    )
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"), PROPS_K_PATTERN)
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "k": k,
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pyarrow")

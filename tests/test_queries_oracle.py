@@ -131,6 +131,10 @@ SUBSET = [
     # displaced cms_registers / pivot_daily already appear above)
     "zorder_keys",
     "trend_slopes",
+    # round-4 wave 9: gap-fill resample (head; displaces
+    # hist_quantiles, which already appears above) + JSON extraction
+    "resample_ffill",
+    "json_props_extract",
 ]
 
 
