@@ -232,8 +232,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_search": extras.fuzzy_search,
         "retry_selection": extras.retry_selection,
         "mime_detection": extras.mime_detection,
-        # --- composite training-data prep (stats → gate → dedup) ---
-        "training_prep": prep.training_prep,
+        # (round 4, wave 10) the WHOLE curation funnel with per-doc
+        # stage attribution (benchmark → gate → exact dup → fuzzy dup
+        # → contamination, survivor-scoped winners) — takes
+        # training_prep's head seat, whose gate→exact composition runs
+        # VERBATIM as this funnel's stages 2-3 (pytest keeps it
+        # bit-green in the tail)
+        "funnel_attribution": prep.funnel_attribution,
         # --- dedup suite ---
         "dedup_exact": dedup.exact_dedup,
         # (round 4) partitioned Bloom-filter membership gate — the
@@ -400,6 +405,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # over a different pattern, so it starts in the tail)
         "hist_quantiles": analytics.hist_quantiles,
         "json_props_extract": extras.json_props_extract,
+        # (round 4 wave 10: displaced by funnel_attribution, which runs
+        # the gate→exact-dedup composition verbatim as its stages 2-3)
+        "training_prep": prep.training_prep,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -1634,6 +1642,111 @@ def oracle_sql() -> dict[str, str]:
         FROM gated JOIN g USING (content_hash)
         WHERE gated.doc_id = g.winner
     """
+
+    # funnel_attribution: the WHOLE curation funnel composed in one
+    # statement — benchmark exclusion, the training_prep gate, exact
+    # dedup on the 60-bit md5 prefix among survivors, fuzzy dedup on
+    # the full-corpus MinHash component (min REMAINING doc wins), then
+    # the contamination flag — every sub-CTE reused verbatim from the
+    # per-stage oracles, so the COMPOSITION is what this verifies.
+    sql["funnel_attribution"] = f"""
+        WITH {_WORDS_CTE}, {_SHINGLES_CTE},
+        bandk AS (SELECT * FROM (VALUES {_BAND_VALUES}) AS t(b, am, ac)),
+        sig AS (
+          SELECT doc_id, b,
+                 min(CAST(((CAST(CAST('0x' || substr(md5(s), 1, 15) AS UBIGINT) AS HUGEINT)
+                            * am + ac) % 18446744073709551616) // 16 AS BIGINT)) AS mh
+          FROM sh, bandk
+          GROUP BY doc_id, b
+        ),
+        sigf AS (
+          SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY b, mh) AS bs FROM sig)
+          WHERE bs <= 128
+        ),
+        e AS (
+          SELECT DISTINCT a.doc_id AS src, c.doc_id AS dst
+          FROM sigf a JOIN sigf c ON a.b = c.b AND a.mh = c.mh
+          WHERE a.doc_id <> c.doc_id
+        ),
+        reach AS (
+          SELECT doc_id AS doc, doc_id AS lab FROM documents
+          UNION
+          SELECT e.src AS doc, r.lab
+          FROM reach r JOIN e ON e.dst = r.doc
+        ),
+        comp AS (SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS component_id
+                 FROM reach GROUP BY 1),
+        st AS (
+          SELECT doc_id,
+                 CAST((len(regexp_extract_all(text, '\\S+')) >= 20)::BIGINT
+                    + (10 * len(regexp_extract_all(lower(text), '{_STOP_EN}'))
+                       >= len(regexp_extract_all(text, '\\S+')))::BIGINT
+                    + (5 * len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                       <= length(text))::BIGINT
+                    + (10 * len(regexp_extract_all(text, '[0-9]'))
+                       <= length(text))::BIGINT AS BIGINT) AS quality_score,
+                 CAST(len(regexp_extract_all(lower(text), '{_STOP_EN}')) AS BIGINT) AS hits_en,
+                 CAST(len(regexp_extract_all(lower(text), '{_STOP_DE}')) AS BIGINT) AS hits_de,
+                 CAST(len(regexp_extract_all(lower(text), '{_STOP_FR}')) AS BIGINT) AS hits_fr,
+                 CAST(len(regexp_extract_all(lower(text), '{_STOP_ES}')) AS BIGINT) AS hits_es
+          FROM documents
+        ),
+        flags AS (
+          SELECT doc_id,
+                 (quality_score >= 3 AND hits_en >= hits_de
+                  AND hits_en >= hits_fr AND hits_en >= hits_es
+                  AND hits_en > 0) AS gate,
+                 doc_id % 20 = 0 AS bench
+          FROM st
+        ),
+        cand AS (
+          SELECT f.doc_id,
+                 CAST(CAST('0x' || substr(md5(d.text), 1, 15) AS UBIGINT)
+                      AS BIGINT) AS h
+          FROM flags f JOIN documents d USING (doc_id)
+          WHERE f.gate AND NOT f.bench
+        ),
+        ew AS (SELECT h, min(doc_id) AS w FROM cand GROUP BY 1),
+        exact_surv AS (
+          SELECT c.doc_id FROM cand c JOIN ew ON c.h = ew.h
+          WHERE c.doc_id = ew.w
+        ),
+        fz AS (SELECT s.doc_id, c.component_id
+               FROM exact_surv s JOIN comp c USING (doc_id)),
+        fw AS (SELECT component_id, min(doc_id) AS w FROM fz GROUP BY 1),
+        fuzzy_surv AS (
+          SELECT fz.doc_id FROM fz JOIN fw ON fz.component_id = fw.component_id
+          WHERE fz.doc_id = fw.w
+        ),
+        bench_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+        ct AS (
+          SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS o
+          FROM sh LEFT JOIN bench_sh b ON sh.s = b.s
+          WHERE sh.doc_id % 20 <> 0
+          GROUP BY sh.doc_id
+        ),
+        contam AS (
+          SELECT d.doc_id,
+                 CASE WHEN coalesce(ct.n, 0) > 0
+                       AND coalesce(ct.o, 0) * 10 >= ct.n * 1
+                      THEN 1 ELSE 0 END AS c
+          FROM documents d LEFT JOIN ct USING (doc_id)
+        )
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 20 = 0 THEN 'benchmark'
+                    WHEN NOT f.gate THEN 'gate'
+                    WHEN es.doc_id IS NULL THEN 'exact_dup'
+                    WHEN fs.doc_id IS NULL THEN 'fuzzy_dup'
+                    WHEN cm.c = 1 THEN 'contaminated'
+                    ELSE 'kept' END AS stage
+        FROM documents d
+        JOIN flags f USING (doc_id)
+        LEFT JOIN exact_surv es USING (doc_id)
+        LEFT JOIN fuzzy_surv fs USING (doc_id)
+        LEFT JOIN contam cm USING (doc_id)
+    """.replace("WITH w AS", "WITH RECURSIVE w AS")
 
     # extraction_metrics: the extraction itself is hermetic-engine work
     # no SQL can mirror, so the query materializes its e2e output to a

@@ -113,7 +113,7 @@ def run_queries() -> dict[str, float]:
         "pagerank", "winnow_fingerprints", "pmi_bigrams",
         "scd2_merge", "weighted_sample", "bpe_merges",
         "zorder_keys", "trend_slopes",
-        "resample_ffill", "json_props_extract",
+        "resample_ffill", "json_props_extract", "funnel_attribution",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -122,3 +122,204 @@ def run_curation(input_path: str, out_dir: str) -> dict:
         "docs_dropped": n_in - n_kept,
         "curated_dir": out,
     }
+
+
+# ---------------------------------------------------------------------------
+# full-funnel stage attribution (the complete curation pipeline, audited)
+# ---------------------------------------------------------------------------
+
+_K_BASE = 0      # per-doc flags: v = gate_pass + 2*benchmark
+_K_EXACT = 1     # exact-dedup winner marker
+_K_FUZZY = 2     # fuzzy-dedup winner marker
+_K_CONTAM = 3    # contamination flag: v = contaminated
+_K_CAND = 10     # transient: exact candidate keyed by content hash
+_K_COMP = 20     # transient: doc → component id
+
+STAGES = ("benchmark", "gate", "exact_dup", "fuzzy_dup", "contaminated", "kept")
+
+
+def funnel_attribution(sf_dir: str) -> "ray.data.Dataset":
+    """The WHOLE curation funnel with per-document attribution: every
+    input doc gets the stage that removed it (or 'kept') —
+    benchmark-slice exclusion → quality/language gate (the
+    training_prep gate verbatim) → exact dedup (min doc_id per
+    md5(text) among remaining) → fuzzy near-dup dedup (full-corpus
+    MinHash-LSH connected component; min REMAINING doc_id per
+    component survives) → benchmark decontamination (shingle-overlap
+    flag). The audit table a curation run ships with its output —
+    RefinedWeb/Dolma-style funnel reporting — and the proof that the
+    STAGE COMPOSITION (precedence, tie-breaks, survivor scoping) is
+    bit-exact, not just each stage alone.
+
+    Scale shape: markers are tiny int64 rows co-partitioned on
+    doc_id % P; the funnel adds three coarse shuffles of its own
+    (exact winners on crc32(hash), component winners on
+    component % P, final assembly on doc_id % P) on top of the
+    memoized component build and the streaming contamination pass —
+    text never rides a funnel shuffle. No driver state."""
+    from .curation import BENCH_MOD, contamination
+    from .dedup import neardup_components
+
+    P = N_COARSE_PARTS
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def base_rows(batch: pa.Table) -> pa.Table:
+        """Per doc: bench/gate flags (marker rows) + exact-dedup
+        candidate rows (gate survivors only) keyed by content hash."""
+        texts = pc.fill_null(batch.column("text").combine_chunks(), "")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        q = quality_scores(texts)["quality_score"].to_numpy(zero_copy_only=False)
+        lang = predict_lang(stopword_hits(texts)).to_numpy(zero_copy_only=False)
+        gate = (q >= MIN_QUALITY) & (lang == KEEP_LANG)
+        bench = ids % BENCH_MOD == 0
+        out_id = [ids]
+        out_kind = [np.full(len(ids), _K_BASE, np.int64)]
+        out_v = [gate.astype(np.int64) + 2 * bench.astype(np.int64)]
+        out_part = [ids % P]
+        cand = np.flatnonzero(gate & ~bench)
+        tl = texts.to_pylist()
+        hexes = [md5_hex(tl[int(i)]) for i in cand]
+        out_id.append(ids[cand])
+        out_kind.append(np.full(len(cand), _K_CAND, np.int64))
+        out_v.append(
+            np.array([int(h[:15], 16) for h in hexes], dtype=np.int64)
+        )  # 60-bit hash prefix: the dedup key (collision-free at corpus
+        #    scale is NOT assumed — both sides key on the same prefix)
+        out_part.append(
+            np.array([int(h[:8], 16) % P for h in hexes], dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "kind": pa.array(np.concatenate(out_kind), pa.int64()),
+                "v": pa.array(np.concatenate(out_v), pa.int64()),
+                "part": pa.array(
+                    np.concatenate(out_part).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    base = docs.map_batches(base_rows, batch_format="pyarrow").materialize()
+
+    def exact_winners(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.to_pandas()
+        df = df[df["kind"] == _K_CAND]
+        if not len(df):
+            return _empty_marker()
+        win = df.groupby("v")["doc_id"].transform("min").to_numpy()
+        ids = df["doc_id"].to_numpy()
+        kept = ids[win == ids]
+        return _marker(kept, _K_EXACT, np.ones(len(kept), np.int64), kept % P)
+
+    exact = (
+        base.groupby("part")
+        .map_groups(exact_winners, batch_format="pyarrow")
+        .materialize()
+    )
+
+    comp = neardup_components(sf_dir)
+
+    def comp_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        cid = batch.column("component_id").to_numpy(zero_copy_only=False)
+        return _marker(ids, _K_COMP, cid.astype(np.int64), ids % P)
+
+    def attach_comp(part_tbl: pa.Table) -> pa.Table:
+        """exact winners ⋈ components (co-partitioned on doc) →
+        (component, doc) rows keyed by component for the winner pick."""
+        import pandas as pd
+
+        df = part_tbl.to_pandas()
+        cids = df[df["kind"] == _K_COMP].set_index("doc_id")["v"]
+        surv = df[df["kind"] == _K_EXACT]["doc_id"].to_numpy()
+        cid = cids.loc[surv].to_numpy().astype(np.int64)
+        return _marker(surv, _K_COMP, cid, cid % P)
+
+    def fuzzy_winners(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.to_pandas()
+        if not len(df):
+            return _empty_marker()
+        win = df.groupby("v")["doc_id"].transform("min").to_numpy()
+        ids = df["doc_id"].to_numpy()
+        kept = ids[win == ids]
+        return _marker(kept, _K_FUZZY, np.ones(len(kept), np.int64), kept % P)
+
+    fuzzy = (
+        exact.union(comp.map_batches(comp_rows, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(attach_comp, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fuzzy_winners, batch_format="pyarrow")
+    )
+
+    def contam_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        flag = batch.column("contaminated").to_numpy(zero_copy_only=False)
+        return _marker(ids, _K_CONTAM, flag.astype(np.int64), ids % P)
+
+    contam = contamination(sf_dir).map_batches(
+        contam_rows, batch_format="pyarrow"
+    )
+
+    def decide(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part_tbl.to_pandas()
+        flags = df[df["kind"] == _K_BASE].set_index("doc_id")["v"]
+        ids = flags.index
+        v = flags.to_numpy()
+        in_exact = ids.isin(df[df["kind"] == _K_EXACT]["doc_id"])
+        in_fuzzy = ids.isin(df[df["kind"] == _K_FUZZY]["doc_id"])
+        contam_f = (
+            df[df["kind"] == _K_CONTAM]
+            .set_index("doc_id")["v"]
+            .reindex(ids, fill_value=0)
+            .to_numpy()
+        )
+        stage = np.select(
+            [
+                (v & 2) != 0,
+                (v & 1) == 0,
+                ~in_exact,
+                ~in_fuzzy,
+                contam_f == 1,
+            ],
+            ["benchmark", "gate", "exact_dup", "fuzzy_dup", "contaminated"],
+            default="kept",
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.to_numpy().astype(np.int64), pa.int64()),
+                "stage": pa.array(stage.astype(str), pa.string()),
+            }
+        )
+
+    return (
+        base.union(exact, fuzzy, contam)
+        .groupby("part")
+        .map_groups(decide, batch_format="pyarrow")
+    )
+
+
+def _marker(ids, kind, v, part) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array(np.asarray(ids, dtype=np.int64), pa.int64()),
+            "kind": pa.array(np.full(len(ids), kind, np.int64), pa.int64()),
+            "v": pa.array(np.asarray(v, dtype=np.int64), pa.int64()),
+            "part": pa.array(np.asarray(part, dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+def _empty_marker() -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "kind": pa.array([], pa.int64()),
+            "v": pa.array([], pa.int64()),
+            "part": pa.array([], pa.int64()),
+        }
+    )

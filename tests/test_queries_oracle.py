@@ -135,6 +135,9 @@ SUBSET = [
     # hist_quantiles, which already appears above) + JSON extraction
     "resample_ffill",
     "json_props_extract",
+    # round-4 wave 10: the full-funnel attribution composite
+    # (training_prep, which it displaced, already appears above)
+    "funnel_attribution",
 ]
 
 
