@@ -98,6 +98,12 @@ def main(argv: list[str] | None = None) -> int:
                          "(quality/lang gate -> exact dedup keep-first) "
                          "over a documents-shaped parquet instead of "
                          "the extraction job")
+    ap.add_argument("--funnel", action="store_true",
+                    help="run the FULL audited curation funnel "
+                         "(benchmark -> gate -> exact dup -> fuzzy dup "
+                         "-> contamination) over <input>/documents.parquet "
+                         "and write the per-doc stage table to "
+                         "<out>/funnel")
     args = ap.parse_args(argv)
 
     if args.compact_ledger:
@@ -127,6 +133,13 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.prep import run_curation
 
         print(json.dumps(run_curation(args.input, args.out)))
+        ray.shutdown()
+        return 0
+
+    if args.funnel:
+        from .pipelines.prep import run_funnel
+
+        print(json.dumps(run_funnel(args.input, args.out)))
         ray.shutdown()
         return 0
 

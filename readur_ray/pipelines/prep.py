@@ -323,3 +323,32 @@ def _empty_marker() -> pa.Table:
             "part": pa.array([], pa.int64()),
         }
     )
+
+
+def run_funnel(input_dir: str, out_dir: str) -> dict:
+    """One-shot funnel-attribution JOB: run the full audited curation
+    funnel over ``input_dir/documents.parquet`` and write the per-doc
+    stage table to ``out_dir/funnel`` (partitioned parquet), returning
+    the stage histogram — the audit artifact a curation run ships.
+    Same plan as the bit-verified ``funnel_attribution`` query."""
+    import os
+    import shutil
+    from collections import Counter
+
+    out = os.path.join(out_dir, "funnel")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    ds = funnel_attribution(input_dir)
+    ds.write_parquet(out)
+    counts: Counter = Counter()
+    for b in ray.data.read_parquet(out, columns=["stage"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        vc = b.column("stage").value_counts()
+        for item in vc:
+            counts[item["values"].as_py()] += item["counts"].as_py()
+    return {
+        "docs_in": sum(counts.values()),
+        "stages": dict(sorted(counts.items())),
+        "funnel_dir": out,
+    }

@@ -576,3 +576,34 @@ def test_quantile_gate_randomized_vs_naive(ray_session, tmp_path):
         for r in curation.quantile_gate(sf).to_pandas().to_dict("records")
     }
     assert got == expect
+
+
+def test_run_funnel_job_matches_query_plan(ray_session, tmp_path):
+    # the --funnel CLI job must write exactly the rows the bit-verified
+    # funnel_attribution query produces, and its histogram must sum to
+    # the corpus size (every doc attributed exactly once)
+    from readur_ray.pipelines import prep
+
+    sf = "/root/testdata/sf0.001"
+    out = tmp_path / "funnel_out"
+    summary = prep.run_funnel(sf, str(out))
+    assert summary["docs_in"] == 500
+    assert sum(summary["stages"].values()) == 500
+    assert set(summary["stages"]) <= set(prep.STAGES)
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    got = (
+        pq.read_table(summary["funnel_dir"])
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    want = (
+        prep.funnel_attribution(sf)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "stage"]], want[["doc_id", "stage"]], check_dtype=False
+    )
