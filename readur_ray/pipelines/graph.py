@@ -9,9 +9,11 @@ suites do, with the shapes that survive 100 TB:
 
 - the graph is BUILT with one big-big co-partitioned shuffle equi-join
   (orders ⋈ lineitem on orderkey, both fact-scale — the
-  ``order_priority_join`` pattern) followed by one pair-distinct
-  shuffle; vertex ids are disjoint integers (customer 2k, supplier
-  2k+1) and the graph is symmetrized so no vertex dangles;
+  ``order_priority_join`` pattern) whose output is already keyed by
+  src; pair-distinct folds into scatter's partition-local distinct
+  (exact: all copies of a pair share its src partition). Vertex ids
+  are disjoint integers (customer 2k, supplier 2k+1) and the graph is
+  symmetrized so no vertex dangles;
 - iterations are Pregel supersteps with ONE message shuffle each: the
   edge list is partitioned by ``src % P`` once and pinned in the
   object store as P per-partition tables ({part: ObjectRef}); scatter
@@ -56,16 +58,13 @@ PR_ITERS = 5
 # partitioning only routes rows).
 PR_PARTS = 16
 
-_EDGE = 0   # union-row kinds through the scatter shuffle
-_RANK = 1
-
-
 def _edges(sf_dir: str) -> "ray.data.Dataset":
-    """Distinct symmetric customer↔supplier edges from orders ⋈
-    lineitem. Two coarse shuffles: co-partitioned join on orderkey,
-    then pair-distinct on src (symmetric emission makes every copy of
-    a pair share both endpoints, so src-partitioning sees them all).
-    Rows: (a=src, b=dst, kind=_EDGE, part=src % P), all int64."""
+    """Symmetric customer↔supplier edges from orders ⋈ lineitem in ONE
+    coarse shuffle (the co-partitioned join on orderkey), emitted keyed
+    by src. Rows: (a=src, b=dst, part=src % P), all int64;
+    cross-partition duplicate pairs survive until scatter's
+    partition-local distinct (globally exact because every copy of a
+    pair shares its src partition)."""
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
@@ -110,7 +109,9 @@ def _edges(sf_dir: str) -> "ray.data.Dataset":
         cust = probe["key"].map(build)
         pairs = pd.DataFrame(
             {"c": cust.to_numpy(), "s": probe["val"].to_numpy()}
-        ).dropna(subset=["c"]).drop_duplicates()
+        ).dropna(subset=["c"]).drop_duplicates()  # partition-local dedup;
+        # cross-partition copies are dropped in scatter (all copies of a
+        # pair share its src partition)
         c = pairs["c"].to_numpy().astype(np.int64) * 2
         s = pairs["s"].to_numpy().astype(np.int64) * 2 + 1
         src = np.concatenate([c, s])  # symmetric emission
@@ -123,36 +124,19 @@ def _edges(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    def distinct_part(part_tbl: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = (
-            part_tbl.select(["a", "b"]).to_pandas().drop_duplicates()
-        )
-        n = len(df)
-        return pa.table(
-            {
-                "a": pa.array(df["a"].to_numpy(), pa.int64()),
-                "b": pa.array(df["b"].to_numpy(), pa.int64()),
-                "kind": pa.array(np.full(n, _EDGE, np.int64), pa.int64()),
-                "part": pa.array(
-                    df["a"].to_numpy().astype(np.int64) % PR_PARTS,
-                    pa.int64(),
-                ),
-            }
-        )
-
-    # materialize before each sort-shuffle: Ray's sort samples
+    # materialize before the sort-shuffle: Ray's sort samples
     # boundaries in a separate pass, which would otherwise re-execute
-    # the upstream (including the parquet read) twice
-    joined = (
+    # the upstream (including the parquet read) twice.
+    #
+    # Note: join_part may emit the same (src, dst) pair from different
+    # orderkey partitions — but ALL copies of a pair share its src, so
+    # they co-locate in the src-keyed output and the per-partition
+    # drop_duplicates in scatter() is globally exact. Folding the
+    # distinct into scatter saves a whole sort + materialize.
+    return (
         both.materialize()
         .groupby("part")
         .map_groups(join_part, batch_format="pyarrow")
-        .materialize()
-    )
-    return joined.groupby("part").map_groups(
-        distinct_part, batch_format="pyarrow"
     )
 
 
@@ -238,6 +222,9 @@ def pagerank(sf_dir: str, iters: int = PR_ITERS) -> "ray.data.Dataset":
                     "part": pa.array([], pa.int64()),
                 }
             )
+        # global pair-distinct: every copy of (a, b) shares a, so all
+        # copies co-reside in this src partition
+        e = e.drop_duplicates(["a", "b"])
         r = pd.Series(
             rank_tbl.column("r").to_numpy(zero_copy_only=False),
             index=rank_tbl.column("node").to_numpy(zero_copy_only=False),
