@@ -230,7 +230,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": multimodal.audio_features,
         # --- remaining M/F/A items: MIME lattice, fuzzy trigram, DSL ---
         "fuzzy_search": extras.fuzzy_search,
-        "retry_selection": extras.retry_selection,
+        # (round 4, wave 11) market-basket association support counting
+        # (distinct per-user baskets → vectorized pair self-merge →
+        # packed-pair count shuffle → pruned top-K) — the co-occurrence
+        # mining class; takes retry_selection's head seat (its
+        # predicate-DSL semi-join is head-checked suppression_antijoin's
+        # co-partitioned semi/anti shape with a CASE predicate; pytest
+        # keeps it bit-green in the tail)
+        "item_cooccurrence": extras.item_cooccurrence,
         "mime_detection": extras.mime_detection,
         # (round 4, wave 10) the WHOLE curation funnel with per-doc
         # stage attribution (benchmark → gate → exact dup → fuzzy dup
@@ -408,6 +415,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (round 4 wave 10: displaced by funnel_attribution, which runs
         # the gate→exact-dedup composition verbatim as its stages 2-3)
         "training_prep": prep.training_prep,
+        # (round 4 wave 11: retry_selection displaced by
+        # item_cooccurrence — see head comment; cdc_chunks is rows-only
+        # BY DESIGN — the data-dependent rolling hash has no SQL
+        # oracle — with byte-at-a-time naive parity + edit-stability
+        # pinned in tests/test_cdc.py)
+        "retry_selection": extras.retry_selection,
+        "cdc_chunks": curation.cdc_chunks,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2163,6 +2177,28 @@ def oracle_sql() -> dict[str, str]:
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS cents
         FROM j
+    """
+
+    # item_cooccurrence: distinct baskets + self-join pair support.
+    sql["item_cooccurrence"] = r"""
+        WITH ui AS (
+          SELECT DISTINCT user_id,
+                 CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)
+                   AS item
+          FROM events
+        ),
+        p AS (
+          SELECT a.item AS item_a, b.item AS item_b,
+                 CAST(count(*) AS BIGINT) AS support
+          FROM ui a JOIN ui b
+            ON a.user_id = b.user_id AND a.item < b.item
+          GROUP BY 1, 2
+        )
+        SELECT item_a, item_b, support,
+               CAST(row_number() OVER
+                    (ORDER BY support DESC, item_a, item_b) AS BIGINT) AS rank
+        FROM p WHERE support >= 3
+        ORDER BY support DESC, item_a, item_b LIMIT 50
     """
 
     # json_props_extract: identical RE2 pattern both sides.

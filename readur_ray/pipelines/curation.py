@@ -1674,3 +1674,106 @@ def bpe_merges(sf_dir: str):
             "pair_count": np.array([m[2] for m in merges], dtype=np.int64),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (Gear rolling hash — storage-dedup class)
+# ---------------------------------------------------------------------------
+
+CDC_WINDOW = 64        # gear hash effective window (bytes)
+CDC_MASK_BITS = 6      # boundary when the rolling hash's low 6 bits are 0
+                       # (expected chunk ~64 B — sized to the test corpus;
+                       # production uses 12-13 bits for ~4-8 KiB chunks)
+
+_GEAR: np.ndarray | None = None
+
+
+def _gear_table() -> np.ndarray:
+    """256 deterministic 60-bit gear constants (md5-derived — the
+    public Gear/FastCDC construction, no RNG, reproducible anywhere)."""
+    global _GEAR
+    if _GEAR is None:
+        import hashlib
+
+        _GEAR = np.array(
+            [
+                int(hashlib.md5(f"gear:{b}".encode()).hexdigest()[:15], 16)
+                for b in range(256)
+            ],
+            dtype=np.int64,
+        )
+    return _GEAR
+
+
+def _cdc_boundaries(data: bytes) -> np.ndarray:
+    """Boundary positions (exclusive ends) of content-defined chunks:
+    position i ends a chunk when the 64-byte gear hash
+    h_i = Σ_{k=0..63} gear[b_{i-k}] << k (mod 2^64) has its low
+    CDC_MASK_BITS bits zero. Vectorized as 64 shifted adds — no
+    per-byte Python. Pure content-defined (no min/max skip), so
+    boundaries are stable under ANY edit outside the 64-byte window —
+    the property that makes chunk-level dedup survive insertions."""
+    n = len(data)
+    if n == 0:
+        return np.array([], dtype=np.int64)
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    g = _gear_table()[b]
+    h = np.zeros(n, dtype=np.int64)
+    for k in range(min(CDC_WINDOW, n)):
+        # gear values of the byte k positions back, shifted by k
+        shifted = np.empty(n, dtype=np.int64)
+        shifted[:k] = 0
+        shifted[k:] = g[: n - k] if k else g
+        with np.errstate(over="ignore"):
+            h += shifted << k
+    mask = (1 << CDC_MASK_BITS) - 1
+    ends = np.flatnonzero((h & mask) == 0) + 1
+    if len(ends) == 0 or ends[-1] != n:
+        ends = np.concatenate([ends, [n]])
+    return ends.astype(np.int64)
+
+
+def cdc_chunks(sf_dir: str) -> "ray.data.Dataset":
+    """Content-defined chunking over document text bytes (Gear rolling
+    hash, the FastCDC family) — the storage-dedup primitive: chunk
+    boundaries depend only on local content, so identical passages in
+    different documents produce identical chunks, and the corpus
+    dedupes at chunk grain for incremental transfer/storage. Returns
+    (doc_id, chunk_no, length, chunk_hash) per chunk.
+
+    Rows-only for the driver BY DESIGN: the data-dependent rolling
+    hash is not SQL-expressible; bit-parity vs a byte-at-a-time naive
+    reference is pinned in tests/test_cdc.py. Scale shape: one
+    streaming pass, no shuffle (the downstream chunk-level dedup is
+    the dup_spans/line_dedup coarse-hash winner plan at chunk grain)."""
+    import hashlib
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def chunk_batch(batch: pa.Table) -> pa.Table:
+        out_id, out_no, out_len, out_h = [], [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            data = (text or "").encode("utf-8")
+            ends = _cdc_boundaries(data)
+            starts = np.concatenate([[0], ends[:-1]])
+            for no, (s, e) in enumerate(zip(starts, ends), start=1):
+                out_id.append(doc_id)
+                out_no.append(no)
+                out_len.append(int(e - s))
+                # hash the raw BYTES (a boundary may split a multi-byte
+                # char, so no utf-8 round-trip)
+                out_h.append(
+                    int(hashlib.md5(bytes(data[s:e])).hexdigest()[:15], 16)
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "chunk_no": pa.array(out_no, pa.int64()),
+                "length": pa.array(out_len, pa.int64()),
+                "chunk_hash": pa.array(np.array(out_h, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(chunk_batch, batch_format="pyarrow")

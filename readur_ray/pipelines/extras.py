@@ -248,3 +248,128 @@ def json_props_extract(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(extract, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# market-basket co-occurrence (association-rule support counting)
+# ---------------------------------------------------------------------------
+
+COOCCUR_MIN_SUPPORT = 3
+COOCCUR_K = 50
+
+
+def item_cooccurrence(sf_dir: str) -> "ray.data.Dataset":
+    """Association-rule support counting over the event stream: items
+    are the JSON `k` property, a basket is a user's distinct item set,
+    and the output is the top-COOCCUR_K item pairs by co-occurrence
+    support (distinct users holding both), min support
+    COOCCUR_MIN_SUPPORT, ties (support DESC, item_a, item_b). The
+    market-basket primitive (Apriori's first pass / co-click mining).
+
+    Scale shape: three coarse shuffles — (1) distinct (user, item) on
+    user % P (baskets co-locate, so the per-partition distinct is
+    global); (2) per-user pair emission via a vectorized self-merge
+    (bounded: a basket holds at most |item vocabulary| items — the
+    skew bound is the vocab, not the user count) with per-partition
+    partial counts, re-keyed by packed pair; (3) a per-partition
+    support filter + top-K prune into a one-partition final reduce
+    (disjoint pair sets make the global top-K a subset of survivors).
+    No driver state; nothing but int64 triples after stage 1."""
+    import pyarrow.compute as _pc
+
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "props"]
+    )
+
+    def user_items(batch: pa.Table) -> pa.Table:
+        m = _pc.extract_regex(batch.column("props"), PROPS_K_PATTERN)
+        k = _pc.cast(_pc.struct_field(m, "k"), pa.int64())
+        uid = batch.column("user_id")
+        t = pa.table({"user_id": uid, "item": k})
+        import pandas as pd
+
+        df = t.to_pandas().drop_duplicates()
+        u = df["user_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "item": pa.array(df["item"].to_numpy().astype(np.int64), pa.int64()),
+                "part": pa.array(u % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def pair_partials(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part_tbl.select(["user_id", "item"]).to_pandas().drop_duplicates()
+        m = df.merge(df, on="user_id")
+        m = m[m["item_x"] < m["item_y"]]
+        g = (
+            m.groupby(["item_x", "item_y"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        a = g["item_x"].to_numpy().astype(np.int64)
+        b = g["item_y"].to_numpy().astype(np.int64)
+        key = a * 1_000_003 + b  # packed pair key (items are small ints)
+        return pa.table(
+            {
+                "item_a": pa.array(a, pa.int64()),
+                "item_b": pa.array(b, pa.int64()),
+                "cnt": pa.array(g["cnt"].to_numpy().astype(np.int64), pa.int64()),
+                "part": pa.array(key % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def pair_totals(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part_tbl.select(["item_a", "item_b", "cnt"]).to_pandas()
+        g = (
+            df.groupby(["item_a", "item_b"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        g = g[g["cnt"] >= COOCCUR_MIN_SUPPORT].sort_values(
+            ["cnt", "item_a", "item_b"], ascending=[False, True, True]
+        ).head(COOCCUR_K)
+        return pa.table(
+            {
+                "item_a": pa.array(g["item_a"].to_numpy(), pa.int64()),
+                "item_b": pa.array(g["item_b"].to_numpy(), pa.int64()),
+                "support": pa.array(g["cnt"].to_numpy().astype(np.int64), pa.int64()),
+                "part": pa.array(np.zeros(len(g), np.int64), pa.int64()),
+            }
+        )
+
+    def final_topk(part_tbl: pa.Table) -> pa.Table:
+        df = (
+            part_tbl.select(["item_a", "item_b", "support"])
+            .to_pandas()
+            .sort_values(
+                ["support", "item_a", "item_b"], ascending=[False, True, True]
+            )
+            .head(COOCCUR_K)
+        )
+        return pa.table(
+            {
+                "item_a": pa.array(df["item_a"].to_numpy(), pa.int64()),
+                "item_b": pa.array(df["item_b"].to_numpy(), pa.int64()),
+                "support": pa.array(df["support"].to_numpy(), pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, len(df) + 1, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(user_items, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pair_partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pair_totals, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )
