@@ -607,3 +607,57 @@ def test_run_funnel_job_matches_query_plan(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got[["doc_id", "stage"]], want[["doc_id", "stage"]], check_dtype=False
     )
+
+
+def test_funnel_attribution_constructed_case(ray_session, tmp_path):
+    # a corpus built so every stage fires exactly once, with known
+    # precedence: doc 20 is the benchmark slice (20 % 20 == 0), doc 3
+    # fails the gate, doc 2 is an exact dup of doc 1, doc 21 is a
+    # near-dup (shares almost all shingles with doc 1) but not exact,
+    # and docs 1/4 survive everything
+    from readur_ray.pipelines import prep
+
+    # texts chosen to share NO word-3-shingle across funnel branches
+    # (any shared shingle can seed a MinHash band collision and merge
+    # components — which would be correct funnel behavior, but not the
+    # one-stage-per-branch construction this test wants)
+    good = ("The quick brown fox jumps over a lazy dog and then that "
+            "fox rests under its favorite tree beside several calm "
+            "animals near this quiet field by an old farm house.")
+    near = good.replace("quiet field", "sunny field")
+    bench = ("When winter came to our little town every child went "
+             "out to play in fresh snow on that big hill while bright "
+             "lamps were lit early in each window along main street.")
+    # shares bench's long second half → ≥10% shingle overlap with the
+    # benchmark slice, but nothing shared with `good` or `other`
+    leaky = ("Some folks say during cold months bright lamps were lit "
+             "early in each window along main street while every "
+             "child went out to play in fresh snow on that big hill.")
+    other = ("It was truly both wonderful and terrible back then for "
+             "many people living inside one busy ancient city whose "
+             "streets stayed full with carts plus very loud voices.")
+    rows = [
+        (1, good),
+        (2, good),           # exact duplicate of 1 → exact_dup
+        (3, "zzz qqq xxx"),  # junk → gate
+        (4, other),          # independent survivor
+        (5, leaky),          # overlaps the benchmark → contaminated
+        (20, bench),         # benchmark slice (doc_id % 20 == 0)
+        (21, near),          # near-duplicate of 1 → fuzzy_dup
+    ]
+    _write_docs(tmp_path, rows)
+    got = (
+        prep.funnel_attribution(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")["stage"]
+        .to_dict()
+    )
+    assert got == {
+        1: "kept",
+        2: "exact_dup",
+        3: "gate",
+        4: "kept",
+        5: "contaminated",
+        20: "benchmark",
+        21: "fuzzy_dup",
+    }
