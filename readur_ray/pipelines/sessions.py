@@ -522,49 +522,54 @@ def scd2_merge(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    def versions(part_tbl: pa.Table) -> pa.Table:
-        df = part_tbl.select(
-            ["event_id", "ts", "user_id", "cents"]
-        ).to_pandas()
-        df = df.sort_values(
-            ["user_id", "ts", "event_id"], kind="stable", ignore_index=True
-        )
-        uid = df["user_id"].to_numpy()
-        cents = df["cents"].to_numpy()
-        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
-        changed = np.concatenate([[True], cents[1:] != cents[:-1]])
-        keep = new_user | changed
-        ki = np.flatnonzero(keep)
-        k_uid = uid[ki]
-        # version = running count within user over kept rows
-        k_new_user = np.concatenate([[True], k_uid[1:] != k_uid[:-1]])
-        grp_start = np.maximum.accumulate(
-            np.where(k_new_user, np.arange(len(ki)), 0)
-        )
-        version = np.arange(len(ki)) - grp_start + 1
-        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        vfrom = ts_us[ki]
-        # valid_to = next kept row's valid_from within the same user
-        nxt = np.concatenate([vfrom[1:], [SCD2_SENTINEL_US]])
-        last_of_user = np.concatenate([k_uid[1:] != k_uid[:-1], [True]])
-        vto = np.where(last_of_user, SCD2_SENTINEL_US, nxt)
-        return pa.table(
-            {
-                "user_id": pa.array(k_uid.astype(np.int64), pa.int64()),
-                "version": pa.array(version.astype(np.int64), pa.int64()),
-                "cents": pa.array(cents[ki], pa.int64()),
-                "valid_from": pa.array(vfrom, pa.timestamp("us")),
-                "valid_to": pa.array(vto, pa.timestamp("us")),
-                "is_current": pa.array(
-                    last_of_user.astype(np.int64), pa.int64()
-                ),
-            }
-        )
-
     return (
         ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(versions, batch_format="pyarrow")
+        .map_groups(_scd2_versions, batch_format="pyarrow")
+    )
+
+
+def _scd2_versions(part_tbl: pa.Table) -> pa.Table:
+    """One user-partition of the SCD2 merge (module-level so the
+    hypothesis fuzz in tests/test_wave_properties.py drives the REAL
+    kernel): sort by (user_id, ts, event_id), suppress consecutive
+    duplicates, version + tile the timeline."""
+    df = part_tbl.select(
+        ["event_id", "ts", "user_id", "cents"]
+    ).to_pandas()
+    df = df.sort_values(
+        ["user_id", "ts", "event_id"], kind="stable", ignore_index=True
+    )
+    uid = df["user_id"].to_numpy()
+    cents = df["cents"].to_numpy()
+    new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+    changed = np.concatenate([[True], cents[1:] != cents[:-1]])
+    keep = new_user | changed
+    ki = np.flatnonzero(keep)
+    k_uid = uid[ki]
+    # version = running count within user over kept rows
+    k_new_user = np.concatenate([[True], k_uid[1:] != k_uid[:-1]])
+    grp_start = np.maximum.accumulate(
+        np.where(k_new_user, np.arange(len(ki)), 0)
+    )
+    version = np.arange(len(ki)) - grp_start + 1
+    ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    vfrom = ts_us[ki]
+    # valid_to = next kept row's valid_from within the same user
+    nxt = np.concatenate([vfrom[1:], [SCD2_SENTINEL_US]])
+    last_of_user = np.concatenate([k_uid[1:] != k_uid[:-1], [True]])
+    vto = np.where(last_of_user, SCD2_SENTINEL_US, nxt)
+    return pa.table(
+        {
+            "user_id": pa.array(k_uid.astype(np.int64), pa.int64()),
+            "version": pa.array(version.astype(np.int64), pa.int64()),
+            "cents": pa.array(cents[ki], pa.int64()),
+            "valid_from": pa.array(vfrom, pa.timestamp("us")),
+            "valid_to": pa.array(vto, pa.timestamp("us")),
+            "is_current": pa.array(
+                last_of_user.astype(np.int64), pa.int64()
+            ),
+        }
     )
 
 
