@@ -124,37 +124,42 @@ def run_queries() -> dict[str, float]:
     return out
 
 
+def _alu_worker(q):
+    t_end = time.perf_counter() + 3.0
+    n, x = 0, 1.0
+    while time.perf_counter() < t_end:
+        for _ in range(10000):
+            x = x * 1.0000001 + 1e-9
+        n += 10000
+    q.put(n / 3.0)
+
+
+def _alu_aggregate(nproc: int) -> float:
+    import multiprocessing as _mp
+
+    q = _mp.Queue()
+    ps = [_mp.Process(target=_alu_worker, args=(q,)) for _ in range(nproc)]
+    [p.start() for p in ps]
+    [p.join() for p in ps]
+    return sum(q.get() for _ in ps)
+
+
+def host_alu_eff(lo: int, hi: int) -> float:
+    """The HOST's own ceiling for any lo→hi scaling measurement in
+    this time window: aggregate pure-ALU throughput ratio of hi vs lo
+    concurrent processes (shared VM — steal/quota can cap the wide
+    leg; measured swinging 0.74-0.96 across hours). Every bench JSON
+    carries this so a reader can tell a code regression from a
+    throttled window."""
+    return round(_alu_aggregate(hi) / (_alu_aggregate(lo) * hi / lo), 3)
+
+
 def main() -> None:
     if "--headline-only" in sys.argv:
         print(json.dumps(run_headline(NUM_CPUS)))
         return
 
     if "--scaling" in sys.argv:
-        import multiprocessing as _mp
-
-        def _alu_worker(q):
-            t_end = time.perf_counter() + 3.0
-            n, x = 0, 1.0
-            while time.perf_counter() < t_end:
-                for _ in range(10000):
-                    x = x * 1.0000001 + 1e-9
-                n += 10000
-            q.put(n / 3.0)
-
-        def _alu_aggregate(nproc: int) -> float:
-            q = _mp.Queue()
-            ps = [_mp.Process(target=_alu_worker, args=(q,)) for _ in range(nproc)]
-            [p.start() for p in ps]
-            [p.join() for p in ps]
-            return sum(q.get() for _ in ps)
-
-        def host_alu_eff(lo: int, hi: int) -> float:
-            """The HOST's own ceiling for any lo→hi scaling measurement
-            in this time window: aggregate pure-ALU throughput ratio of
-            hi vs lo concurrent processes (shared VM — steal/quota can
-            cap the wide leg; measured swinging 0.82-0.94 across hours)."""
-            return round(_alu_aggregate(hi) / (_alu_aggregate(lo) * hi / lo), 3)
-
         # Fresh process per parallelism level, same input; corpus large
         # enough that per-doc compute dominates session/pool startup.
         # The sandbox host's effective CPU speed fluctuates ~2× over
@@ -206,6 +211,10 @@ def main() -> None:
         }))
         return
 
+    # bracket the sweep with the host's own 8→N ALU ceiling so the
+    # recorded numbers carry their window context (see BASELINE.md:
+    # per-query walls swing ~2-6× between throttled and clean windows)
+    alu_pre = host_alu_eff(min(8, NUM_CPUS), NUM_CPUS)
     _init_ray(NUM_CPUS)
     headline = run_headline(NUM_CPUS)
     queries = run_queries()
@@ -217,6 +226,7 @@ def main() -> None:
         "queries": queries,
         "sf": SF_DIR, "num_cpus": NUM_CPUS,
         "extraction_docs_per_sec": headline["docs_per_sec"],
+        "host_alu_ceiling_pre": alu_pre,
     }))
 
 
