@@ -104,7 +104,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- extraction semantics over documents.text (M10/M17/M18/M9) ---
         "plaintext_extract": textops.plaintext_extract,
         "extract_status": textops.extract_status,
-        "doc_metadata": textops.doc_metadata,
+        # (round 4, wave 12) argmax-per-group reduction (DISTINCT ON /
+        # idxmax: mergeable per-batch argmax, one row per group, never
+        # ranks the corpus) — takes doc_metadata's head seat (its
+        # per-doc token/line arithmetic is head-checked via
+        # plaintext_extract + chunk_documents; pytest keeps it
+        # bit-green in the tail)
+        "argmax_by_source": analytics.argmax_by_source,
         # --- text analysis ---
         "lang_id": textops.lang_id,
         "quality_score": textops.quality_score,
@@ -146,7 +152,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bottom-k priority primitive applied per source; pytest keeps
         # it bit-green in the tail)
         "pmi_bigrams": curation.pmi_bigrams,
-        "contamination": curation.contamination,
+        # (round 4, wave 12) ROWS-frame rolling window aggregate —
+        # completes the window-frame inventory (RANGE: sliding_window;
+        # rank: percentile_rank; cumulative: late_data_watermark /
+        # pack_sequences); takes contamination's head seat (its
+        # broadcast shingle-overlap pass runs VERBATIM as
+        # funnel_attribution's stage-5 CTE; pytest keeps it bit-green
+        # in the tail)
+        "rolling_sum": sessions.rolling_sum,
         # (round 4) distributed uniform bottom-k sampler (mergeable
         # md5-priority sketch) — takes line_dedup's head seat (global
         # first-occurrence sub-document removal + reassembly is the
@@ -393,6 +406,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_join": analytics.order_priority_join,
         "dedup_simhash_banded": dedup.simhash_pairs_banded,
         "stratified_sample": curation.stratified_sample,
+        # (round 4 wave 12 displacements — head seats went to
+        # rolling_sum / argmax_by_source: contamination's broadcast
+        # shingle-overlap pass runs VERBATIM as funnel_attribution's
+        # stage-5 CTE; doc_metadata's per-doc token/line arithmetic is
+        # head-checked via plaintext_extract + chunk_documents)
+        "contamination": curation.contamination,
+        "doc_metadata": textops.doc_metadata,
         # (round 4 wave 7 tail entries: incremental_filter displaced by
         # scd2_merge — see head comment; weighted_sample is
         # bottomk_sample's weighted A-ES variant, oracle-backed in the
@@ -2177,6 +2197,26 @@ def oracle_sql() -> dict[str, str]:
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS cents
         FROM j
+    """
+
+    # rolling_sum: ROWS-frame window replay, identical cents math.
+    sql["rolling_sum"] = """
+        SELECT event_id, user_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS roll_sum
+        FROM events
+    """
+
+    # argmax_by_source: DISTINCT ON replay (tie → min doc_id).
+    sql["argmax_by_source"] = """
+        SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM (
+          SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents) WHERE rn = 1
     """
 
     # item_cooccurrence: distinct baskets + self-join pair support.

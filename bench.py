@@ -114,7 +114,7 @@ def run_queries() -> dict[str, float]:
         "scd2_merge", "weighted_sample", "bpe_merges",
         "zorder_keys", "trend_slopes",
         "resample_ffill", "json_props_extract", "funnel_attribution",
-        "item_cooccurrence", "cdc_chunks",
+        "item_cooccurrence", "cdc_chunks", "rolling_sum", "argmax_by_source",
     ]
     out: dict[str, float] = {}
     for name in picks:

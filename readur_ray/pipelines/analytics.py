@@ -1177,3 +1177,56 @@ def trend_slopes(sf_dir: str) -> "ray.data.Dataset":
         .groupby("event_type")
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# argmax-per-group reduction (SELECT DISTINCT ON / idxmax class)
+# ---------------------------------------------------------------------------
+
+def argmax_by_source(sf_dir: str) -> "ray.data.Dataset":
+    """One row per source: its LONGEST document (argmax n_chars, tie →
+    min doc_id) — the argmax-per-group REDUCTION (DISTINCT ON /
+    idxmax), distinct from percentile_rank's full windowed output: the
+    result is one row per group and the combine is mergeable (argmax
+    of per-batch argmaxes), so it never ranks or sorts the corpus.
+    Returns (source, doc_id, n_chars).
+
+    Scale shape: per-batch vectorized idxmax per source (pandas
+    groupby-idxmax over the batch), then a tiny groupby over
+    #sources × #batches candidate rows — the same partial→final shape
+    as every aggregate here. No shuffle of the corpus."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        # argmax with tie → min doc_id: sort keys then take first
+        df = df.sort_values(
+            ["source", "n_chars", "doc_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        ).drop_duplicates("source")
+        return pa.Table.from_pandas(
+            df[["source", "doc_id", "n_chars"]], preserve_index=False
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = group.to_pandas().sort_values(
+            ["source", "n_chars", "doc_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        ).drop_duplicates("source")
+        return pa.Table.from_pandas(
+            df[["source", "doc_id", "n_chars"]], preserve_index=False
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -656,3 +656,73 @@ def resample_ffill(sf_dir: str) -> "ray.data.Dataset":
         .groupby("part")
         .map_groups(fill_part, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# ROWS-frame rolling window aggregate
+# ---------------------------------------------------------------------------
+
+ROLL_PRECEDING = 2   # SUM OVER (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+
+
+def rolling_sum(sf_dir: str) -> "ray.data.Dataset":
+    """Per user, ordered by (ts, event_id): the rolling sum of the
+    current + ROLL_PRECEDING preceding events' cents — the ROWS-frame
+    windowed aggregate (count-based frame), completing the window
+    inventory next to the RANGE/time frames (sliding_window), rank
+    frames (percentile_rank) and cumulative frames (late_data_watermark
+    / pack_sequences). Returns (event_id, user_id, cents, roll_sum).
+
+    Scale shape: one coarse shuffle on user_id % SCD2_PARTS, then a
+    purely vectorized per-partition pass — cumsum minus the cumsum
+    shifted by the frame width, reset at user boundaries via the
+    per-user running index. No per-row Python, no driver state."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "ts": batch.column("ts"),
+                "user_id": batch.column("user_id"),
+                "cents": pa.array(cents, pa.int64()),
+                "part": pa.array(uid % SCD2_PARTS, pa.int64()),
+            }
+        )
+
+    def roll_part(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.select(
+            ["event_id", "ts", "user_id", "cents"]
+        ).to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="stable", ignore_index=True
+        )
+        uid = df["user_id"].to_numpy()
+        c = df["cents"].to_numpy().astype(np.int64)
+        n = len(c)
+        cs = np.concatenate([[0], np.cumsum(c)])  # cs[i] = sum of c[:i]
+        # index within user: positions since the user's first row
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        starts = np.maximum.accumulate(np.where(new_user, np.arange(n), 0))
+        idx_in_user = np.arange(n) - starts
+        lo = np.arange(n) - np.minimum(idx_in_user, ROLL_PRECEDING)
+        roll = cs[np.arange(n) + 1] - cs[lo]
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+                "user_id": pa.array(uid.astype(np.int64), pa.int64()),
+                "cents": pa.array(c, pa.int64()),
+                "roll_sum": pa.array(roll.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(roll_part, batch_format="pyarrow")
+    )

@@ -142,6 +142,12 @@ SUBSET = [
     # displaced to the tail (cdc_chunks is rows-only: test_cdc.py)
     "item_cooccurrence",
     "retry_selection",
+    # round-4 wave 12: ROWS-frame rolling window + argmax-per-group,
+    # plus the doc_metadata they displaced (contamination already
+    # appears above)
+    "rolling_sum",
+    "argmax_by_source",
+    "doc_metadata",
 ]
 
 
