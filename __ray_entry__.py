@@ -2297,7 +2297,8 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # scd2_merge: the lag/lead window replay of the CDC dedup +
-    # versioning; the sentinel 9999-01-01 mirrors SCD2_SENTINEL_US.
+    # versioning; the sentinel 2200-01-01 mirrors SCD2_SENTINEL_US
+    # (inside pandas' datetime64[ns] range, unlike the classic 9999-12-31).
     sql["scd2_merge"] = """
         WITH ev AS (
           SELECT event_id, ts, user_id,
@@ -2321,7 +2322,7 @@ def oracle_sql() -> dict[str, str]:
                ts AS valid_from,
                coalesce(lead(ts) OVER
                         (PARTITION BY user_id ORDER BY ts, event_id),
-                        TIMESTAMP '9999-01-01') AS valid_to,
+                        TIMESTAMP '2200-01-01') AS valid_to,
                CAST(CASE WHEN lead(ts) OVER
                          (PARTITION BY user_id ORDER BY ts, event_id)
                          IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current

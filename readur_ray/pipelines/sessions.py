@@ -482,7 +482,10 @@ def late_data_watermark(sf_dir: str) -> "ray.data.Dataset":
 # SCD type-2 versioned merge (change-data-capture → dimension history)
 # ---------------------------------------------------------------------------
 
-SCD2_SENTINEL_US = 253_370_764_800_000_000  # TIMESTAMP '9999-01-01' in µs
+# open-row sentinel: TIMESTAMP '2200-01-01' in µs. Deliberately INSIDE
+# pandas' datetime64[ns] range (max 2262-04-11) — the classic 9999-12-31
+# SCD2 sentinel overflows any ns-precision consumer.
+SCD2_SENTINEL_US = 7_258_118_400_000_000
 SCD2_PARTS = 64
 
 
@@ -493,7 +496,7 @@ def scd2_merge(sf_dir: str) -> "ray.data.Dataset":
     consecutive duplicates are suppressed (classic CDC dedup) and each
     surviving change opens a version row: (user_id, version, cents,
     valid_from, valid_to, is_current) with valid_to = next change's
-    valid_from, sentinel 9999-01-01 on the open row. The lakehouse
+    valid_from, sentinel 2200-01-01 on the open row. The lakehouse
     upsert/merge primitive (Kimball SCD2; Delta/Hudi MERGE INTO).
 
     Scale shape: ONE coarse shuffle on user_id % SCD2_PARTS, then a
