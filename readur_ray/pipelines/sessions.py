@@ -95,12 +95,17 @@ def sliding_window_counts(sf_dir: str) -> "ray.data.Dataset":
             [np.zeros(len(ts), dtype=bool), np.ones(int(halo_mask.sum()), dtype=bool)]
         )
         # coarse shuffle key over (type, bucket) — crc32, NOT Python
-        # hash() (randomized per process → would split groups)
+        # hash() (randomized per process → would split groups). Hash
+        # each DISTINCT type once and broadcast via the inverse index:
+        # the per-row Python loop over 100k+ strings becomes a handful
+        # of crc calls + one numpy take.
         import zlib
 
-        type_codes = np.array(
-            [zlib.crc32(t.encode()) for t in out_ty], dtype=np.int64
+        uniq, inv = np.unique(out_ty, return_inverse=True)
+        uniq_codes = np.array(
+            [zlib.crc32(t.encode()) for t in uniq], dtype=np.int64
         )
+        type_codes = uniq_codes[inv]
         part = (type_codes * 1000003 + out_bk) % N_WINDOW_PARTS
         return pa.table(
             {
