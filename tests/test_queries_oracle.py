@@ -99,19 +99,13 @@ SUBSET = [
     "status_rollup",
     "late_data_watermark",
     "audio_features",
-    "line_dedup",
-    "sliding_window",
-    "search_ranked",
     "dedup_ngram_jaccard",
     # round-4 fourth wave: sort-rank + pivot, plus the two entries
     # they displaced to the tail
     "percentile_rank",
     "pivot_daily",
-    "fingerprints",
-    "queue_stats",
     # the big-big shuffle equi-join + the asof_join it displaced
     "order_priority_join",
-    "asof_join",
     # round-4 wave 5: PQ-ADC top-k (prototype_score, which it
     # displaced to the tail, already appears above)
     "pq_topk",
