@@ -142,6 +142,19 @@ SUBSET = [
     "rolling_sum",
     "argmax_by_source",
     "doc_metadata",
+    # completion: every remaining oracle-backed entry, so the pytest
+    # subset now covers ALL oracles except extraction_metrics (which
+    # needs the e2e pipeline's materialized output — driver-covered
+    # and exercised by scripts/check_correctness.py)
+    "extract_status",
+    "filter_allowed",
+    "fuzzy_search",
+    "label_facets",
+    "mime_detection",
+    "quality_score",
+    "redact_pii",
+    "tfidf_top_terms",
+    "training_prep",
 ]
 
 
