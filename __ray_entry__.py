@@ -112,7 +112,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bit-green in the tail)
         "argmax_by_source": analytics.argmax_by_source,
         # --- text analysis ---
-        "lang_id": textops.lang_id,
+        # (round 4, wave 13) the snowflake star join — fact ⋈
+        # supplier→nation→region chain ⋈ part, dims broadcast once,
+        # only pre-reduced partials exchange; exercises every remaining
+        # fixture table; takes lang_id's head seat (its stopword-hit
+        # language pick runs VERBATIM inside head-checked
+        # funnel_attribution's gate CTE; pytest keeps it bit-green)
+        "regional_brand_revenue": analytics.regional_brand_revenue,
         "quality_score": textops.quality_score,
         # (round 4) distributed sort-rank: exact RANK()/PERCENT_RANK()
         # within source — takes fingerprints' head seat (its
@@ -413,6 +419,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # head-checked via plaintext_extract + chunk_documents)
         "contamination": curation.contamination,
         "doc_metadata": textops.doc_metadata,
+        # (round 4 wave 13: displaced by regional_brand_revenue — see
+        # head comment)
+        "lang_id": textops.lang_id,
         # (round 4 wave 7 tail entries: incremental_filter displaced by
         # scd2_merge — see head comment; weighted_sample is
         # bottomk_sample's weighted A-ES variant, oracle-backed in the
@@ -2197,6 +2206,22 @@ def oracle_sql() -> dict[str, str]:
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS cents
         FROM j
+    """
+
+    # regional_brand_revenue: the same snowflake joins + discounted
+    # cents expression term-for-term.
+    sql["regional_brand_revenue"] = """
+        SELECT r.r_name, p.p_brand,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY r.r_name, p.p_brand
     """
 
     # rolling_sum: ROWS-frame window replay, identical cents math.

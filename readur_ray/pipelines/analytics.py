@@ -1230,3 +1230,102 @@ def argmax_by_source(sf_dir: str) -> "ray.data.Dataset":
         .groupby("source")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# snowflake star join: fact ⋈ supplier → nation → region, ⋈ part
+# ---------------------------------------------------------------------------
+
+def regional_brand_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """Revenue by (region, part brand): ONE streaming pass over the
+    lineitem fact with the entire dimension snowflake — supplier →
+    nation → region chain and the part→brand map — broadcast once
+    (ray.put) and applied as vectorized lookups per batch, then a tiny
+    groupby over (#regions × #brands) pre-reduced rows. The star-schema
+    join class that exercises every remaining fixture table (region,
+    supplier, part). Revenue = Σ floor(extendedprice·(1−discount)·100
+    + 0.5) in exact cents, discounted BEFORE rounding like the TPC-H
+    revenue expression, mirrored term-for-term by the oracle.
+
+    Scale shape: dims are small by star-schema definition — the
+    supplier→region and part→brand maps are one broadcast object read
+    per task, never a shuffle; the fact table never leaves its scan
+    partitioning and only (region, brand, partial sums) rows exchange."""
+    import pyarrow.parquet as pq
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    n2r = dict(
+        zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_regionkey").to_pylist(),
+        )
+    )
+    r2name = dict(
+        zip(
+            region.column("r_regionkey").to_pylist(),
+            region.column("r_name").to_pylist(),
+        )
+    )
+    supp_region = {
+        s: r2name[n2r[n]]
+        for s, n in zip(
+            supp.column("s_suppkey").to_pylist(),
+            supp.column("s_nationkey").to_pylist(),
+        )
+    }
+    part_brand = dict(
+        zip(
+            part.column("p_partkey").to_pylist(),
+            part.column("p_brand").to_pylist(),
+        )
+    )
+    ref = ray.put((supp_region, part_brand))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        smap, pmap = ray.get(ref)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        ep = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "r_name": pd.Series(sk).map(smap).to_numpy(),
+                "p_brand": pd.Series(pk).map(pmap).to_numpy(),
+                "cents": cents,
+                "n": np.ones(len(sk), np.int64),
+            }
+        )
+        g = (
+            df.groupby(["r_name", "p_brand"], sort=False)[["cents", "n"]]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["r_name", "p_brand"])
+        .aggregate(
+            Sum("cents", alias_name="revenue_cents"),
+            Sum("n", alias_name="n_lines"),
+        )
+    )

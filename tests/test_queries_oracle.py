@@ -146,6 +146,9 @@ SUBSET = [
     # subset now covers ALL oracles except extraction_metrics (which
     # needs the e2e pipeline's materialized output — driver-covered
     # and exercised by scripts/check_correctness.py)
+    # round-4 wave 13: the snowflake star join + the lang_id it
+    # displaced to the tail
+    "regional_brand_revenue",
     "extract_status",
     "filter_allowed",
     "fuzzy_search",
