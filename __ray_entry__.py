@@ -422,6 +422,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (round 4 wave 13: displaced by regional_brand_revenue — see
         # head comment)
         "lang_id": textops.lang_id,
+        # (round 4 wave 13 tail: sketch-quality evaluation — MinHash
+        # candidates vs exact-Jaccard truth, confusion + integer
+        # basis-point precision/recall; composition of two tail/head
+        # reps, so it starts in the tail with its own composed oracle)
+        "minhash_eval": dedup.minhash_eval,
         # (round 4 wave 7 tail entries: incremental_filter displaced by
         # scd2_merge — see head comment; weighted_sample is
         # bottomk_sample's weighted A-ES variant, oracle-backed in the
@@ -2206,6 +2211,59 @@ def oracle_sql() -> dict[str, str]:
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS cents
         FROM j
+    """
+
+    # minhash_eval: the exact-Jaccard truth CTEs and the MinHash
+    # candidate CTEs composed verbatim, confusion via join/anti-join.
+    sql["minhash_eval"] = f"""
+        WITH {_WORDS_CTE}, {_SHINGLES_CTE},
+        szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        shf AS (
+          SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY s) AS sc FROM sh)
+          WHERE sc <= 32
+        ),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS i
+          FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        truth AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN szs sa ON doc_a = sa.doc_id
+          JOIN szs sb ON doc_b = sb.doc_id
+          WHERE i * 10 >= (sa.n + sb.n - i) * 1
+        ),
+        bandk AS (SELECT * FROM (VALUES {_BAND_VALUES}) AS t(b, am, ac)),
+        sig AS (
+          SELECT doc_id, b,
+                 min(CAST(((CAST(CAST('0x' || substr(md5(s), 1, 15) AS UBIGINT) AS HUGEINT)
+                            * am + ac) % 18446744073709551616) // 16 AS BIGINT)) AS mh
+          FROM sh, bandk
+          GROUP BY doc_id, b
+        ),
+        sigf AS (
+          SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY b, mh) AS bs FROM sig)
+          WHERE bs <= 128
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+          FROM sigf a JOIN sigf c
+            ON a.b = c.b AND a.mh = c.mh AND a.doc_id < c.doc_id
+        ),
+        m AS (
+          SELECT
+            (SELECT count(*) FROM cand JOIN truth USING (doc_a, doc_b)) AS tp,
+            (SELECT count(*) FROM cand ANTI JOIN truth USING (doc_a, doc_b)) AS fp,
+            (SELECT count(*) FROM truth ANTI JOIN cand USING (doc_a, doc_b)) AS fn
+        )
+        SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn,
+               CAST(CASE WHEN tp + fp > 0 THEN tp * 10000 // (tp + fp)
+                         ELSE 0 END AS BIGINT) AS precision_bp,
+               CAST(CASE WHEN tp + fn > 0 THEN tp * 10000 // (tp + fn)
+                         ELSE 0 END AS BIGINT) AS recall_bp
+        FROM m
     """
 
     # regional_brand_revenue: the same snowflake joins + discounted

@@ -1114,3 +1114,82 @@ def bloom_gate(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return partitioned_map(ds, hash_rows, gate)
+
+
+# ---------------------------------------------------------------------------
+# sketch-quality evaluation: MinHash-LSH candidates vs exact Jaccard truth
+# ---------------------------------------------------------------------------
+
+EVAL_PACK = 1 << 31  # pair key packing (doc ids << 2^31)
+
+
+def minhash_eval(sf_dir: str):
+    """Confusion counts of the MinHash-LSH candidate pairs against the
+    EXACT Jaccard≥threshold truth set (dedup_ngram_jaccard's integer
+    threshold): tp / fp / fn plus integer basis-point precision and
+    recall — the sketch-quality report a pipeline owner reads before
+    trusting fuzzy dedup at 100 TB, as a first-class distributed query
+    (both pair sets stream through one coarse pair-key shuffle; only
+    three int64 partial counters leave each partition).
+
+    Returns a one-row DataFrame (tp, fp, fn, precision_bp, recall_bp);
+    the final three-counter reduce is a driver scalar by contract."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    truth = ngram_jaccard_pairs(sf_dir)
+    cand = pairs_materialized(sf_dir)
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+            b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+            key = a.astype(np.int64) * EVAL_PACK + b.astype(np.int64)
+            return pa.table(
+                {
+                    "key": pa.array(key, pa.int64()),
+                    "side": pa.array(np.full(len(key), side, np.int64), pa.int64()),
+                    "part": pa.array(key % N_COARSE_PARTS, pa.int64()),
+                }
+            )
+
+        return fn
+
+    both = truth.map_batches(tag(0), batch_format="pyarrow").union(
+        cand.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def confusion(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part_tbl.select(["key", "side"]).to_pandas()
+        g = df.groupby("key")["side"].agg(["min", "max", "count"])
+        in_both = (g["count"] == 2).sum()
+        only_truth = ((g["count"] == 1) & (g["min"] == 0)).sum()
+        only_cand = ((g["count"] == 1) & (g["min"] == 1)).sum()
+        return pa.table(
+            {
+                "tp": pa.array([int(in_both)], pa.int64()),
+                "fp": pa.array([int(only_cand)], pa.int64()),
+                "fn": pa.array([int(only_truth)], pa.int64()),
+            }
+        )
+
+    sums = (
+        both.groupby("part")
+        .map_groups(confusion, batch_format="pyarrow")
+        .aggregate(Sum("tp"), Sum("fp"), Sum("fn"))
+    )
+    tp, fp, fn = int(sums["sum(tp)"]), int(sums["sum(fp)"]), int(sums["sum(fn)"])
+    prec_bp = tp * 10000 // (tp + fp) if tp + fp else 0
+    rec_bp = tp * 10000 // (tp + fn) if tp + fn else 0
+    return pd.DataFrame(
+        {
+            "tp": np.array([tp], np.int64),
+            "fp": np.array([fp], np.int64),
+            "fn": np.array([fn], np.int64),
+            "precision_bp": np.array([prec_bp], np.int64),
+            "recall_bp": np.array([rec_bp], np.int64),
+        }
+    )

@@ -147,8 +147,9 @@ SUBSET = [
     # needs the e2e pipeline's materialized output — driver-covered
     # and exercised by scripts/check_correctness.py)
     # round-4 wave 13: the snowflake star join + the lang_id it
-    # displaced to the tail
+    # displaced to the tail, and the sketch-quality eval
     "regional_brand_revenue",
+    "minhash_eval",
     "extract_status",
     "filter_allowed",
     "fuzzy_search",
