@@ -422,6 +422,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (round 4 wave 13: displaced by regional_brand_revenue — see
         # head comment)
         "lang_id": textops.lang_id,
+        # (round 4 wave 14 tail: LMFAO-style shared-scan batch of
+        # group-bys — the GROUPING SETS generalization of head-checked
+        # status_rollup's hierarchy; one scan, per-batch partials per
+        # grid, grid-tagged exchange)
+        "multi_groupby": analytics.multi_groupby,
         # (round 4 wave 13 tail: sketch-quality evaluation — MinHash
         # candidates vs exact-Jaccard truth, confusion + integer
         # basis-point precision/recall; composition of two tail/head
@@ -2211,6 +2216,28 @@ def oracle_sql() -> dict[str, str]:
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS cents
         FROM j
+    """
+
+    # multi_groupby: the same three grouping sets via UNION ALL.
+    sql["multi_groupby"] = """
+        WITH c AS (
+          SELECT l_returnflag, l_linestatus,
+                 strftime(l_shipdate, '%Y-%m') AS month,
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM lineitem
+        )
+        SELECT CAST(0 AS BIGINT) AS grid, l_returnflag AS key1,
+               l_linestatus AS key2, CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM c GROUP BY 2, 3
+        UNION ALL
+        SELECT 1, l_returnflag, '', CAST(count(*) AS BIGINT),
+               CAST(sum(cents) AS BIGINT)
+        FROM c GROUP BY 2
+        UNION ALL
+        SELECT 2, month, '', CAST(count(*) AS BIGINT),
+               CAST(sum(cents) AS BIGINT)
+        FROM c GROUP BY 2
     """
 
     # minhash_eval: the exact-Jaccard truth CTEs and the MinHash

@@ -115,7 +115,7 @@ def run_queries() -> dict[str, float]:
         "zorder_keys", "trend_slopes",
         "resample_ffill", "json_props_extract", "funnel_attribution",
         "item_cooccurrence", "cdc_chunks", "rolling_sum", "argmax_by_source",
-        "regional_brand_revenue", "minhash_eval",
+        "regional_brand_revenue", "minhash_eval", "multi_groupby",
     ]
     out: dict[str, float] = {}
     for name in picks:

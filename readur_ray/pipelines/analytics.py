@@ -1329,3 +1329,71 @@ def regional_brand_revenue(sf_dir: str) -> "ray.data.Dataset":
             Sum("n", alias_name="n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# shared-scan batch of group-bys (LMFAO-style grouping sets)
+# ---------------------------------------------------------------------------
+
+def multi_groupby(sf_dir: str) -> "ray.data.Dataset":
+    """A BATCH of group-by aggregates over ONE shared scan (the LMFAO
+    idea — VLDB 2020 'An Engine for Batches of Group-By Aggregates',
+    see PAPERS.md): three grouping sets of lineitem —
+    grid 0: (returnflag, linestatus); grid 1: (returnflag); grid 2:
+    (ship month) — each with line count + exact revenue cents, all
+    produced from a single pass that emits per-batch partials tagged
+    with their grid id. The GROUPING SETS generalization of
+    status_rollup's hierarchy: sets need not nest, and the fact table
+    is read once however many aggregates ride on it.
+
+    Scale shape: one pruned scan; per batch one vectorized pandas
+    groupby per grid over the SAME in-memory columns (no re-scan, no
+    extra shuffle per grid); the exchange carries only
+    (grid, key1, key2, partials) rows bounded by the grids'
+    cardinalities × batches."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_shipdate", "l_extendedprice"],
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = np.floor(
+            df["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        df["month"] = pd.Series(df["l_shipdate"]).dt.strftime("%Y-%m")
+        df["n"] = np.int64(1)
+        grids = [
+            (0, df.groupby(["l_returnflag", "l_linestatus"], sort=False)),
+            (1, df.groupby(["l_returnflag"], sort=False)),
+            (2, df.groupby(["month"], sort=False)),
+        ]
+        out = []
+        for gid, g in grids:
+            agg = g[["n", "cents"]].sum().reset_index()
+            keys = agg.columns[:-2]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "grid": np.full(len(agg), gid, np.int64),
+                        "key1": agg[keys[0]].astype(str),
+                        "key2": agg[keys[1]].astype(str)
+                        if len(keys) > 1
+                        else [""] * len(agg),
+                        "n": agg["n"].to_numpy().astype(np.int64),
+                        "cents": agg["cents"].to_numpy().astype(np.int64),
+                    }
+                )
+            )
+        return pa.Table.from_pandas(pd.concat(out), preserve_index=False)
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["grid", "key1", "key2"])
+        .aggregate(
+            Sum("n", alias_name="n_lines"),
+            Sum("cents", alias_name="revenue_cents"),
+        )
+    )

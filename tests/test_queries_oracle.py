@@ -150,6 +150,8 @@ SUBSET = [
     # displaced to the tail, and the sketch-quality eval
     "regional_brand_revenue",
     "minhash_eval",
+    # round-4 wave 14: shared-scan grouping sets (LMFAO)
+    "multi_groupby",
     "extract_status",
     "filter_allowed",
     "fuzzy_search",
