@@ -246,12 +246,16 @@ def funnel_attribution(sf_dir: str) -> "ray.data.Dataset":
         kept = ids[win == ids]
         return _marker(kept, _K_FUZZY, np.ones(len(kept), np.int64), kept % P)
 
+    # materialized: Ray's sort-shuffle samples boundaries in a second
+    # pass, which would re-execute this whole chain (and the
+    # contamination pass below) once more inside the final assembly
     fuzzy = (
         exact.union(comp.map_batches(comp_rows, batch_format="pyarrow"))
         .groupby("part")
         .map_groups(attach_comp, batch_format="pyarrow")
         .groupby("part")
         .map_groups(fuzzy_winners, batch_format="pyarrow")
+        .materialize()
     )
 
     def contam_rows(batch: pa.Table) -> pa.Table:
@@ -261,7 +265,7 @@ def funnel_attribution(sf_dir: str) -> "ray.data.Dataset":
 
     contam = contamination(sf_dir).map_batches(
         contam_rows, batch_format="pyarrow"
-    )
+    ).materialize()
 
     def decide(part_tbl: pa.Table) -> pa.Table:
         import pandas as pd
