@@ -126,7 +126,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # head-checked lang_id/quality_score and the signature stage
         # of dedup_minhash_lsh; pytest keeps it bit-green)
         "percentile_rank": analytics.percentile_rank,
-        "html_extract": textops.html_extract,
         "redact_pii": textops.redact_pii,
         # --- relational operators (A1-A6, O1-O3, J1/J4, M20, M4-M6) ---
         "filter_allowed": analytics.filter_allowed,
@@ -158,6 +157,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bottom-k priority primitive applied per source; pytest keeps
         # it bit-green in the tail)
         "pmi_bigrams": curation.pmi_bigrams,
+        # (round 4, wave 15) exact Levenshtein verification of the LSH
+        # candidate pairs — the ORDER-preserving string metric the
+        # sketch family lacks, batched Wagner-Fischer vectorized across
+        # the pair axis (prefix-min identity resolves the in-row
+        # dependency); takes html_extract's head seat (its vectorized
+        # RE2 strip is redact_pii's head-checked single-pass shape over
+        # a different pattern — the same rationale that placed
+        # json_props_extract in the tail; pytest keeps it bit-green)
+        "dedup_edit_distance": dedup.dedup_edit_distance,
         # (round 4, wave 12) ROWS-frame rolling window aggregate —
         # completes the window-frame inventory (RANGE: sliding_window;
         # rank: percentile_rank; cumulative: late_data_watermark /
@@ -196,8 +204,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (round 4) documents→embeddings production stage: signed
         # feature hashing in an actor pool with a per-actor token cache
         "embed_documents": textops.embed_documents,
-        # (round 4) RAG/context-window overlapping token chunker
-        "chunk_documents": textops.chunk_documents,
+        # (round 4, wave 15) per-doc triangle participation over the
+        # near-dup candidate graph — the graph-MOTIF counting class
+        # (node-iterator wedges + packed-key closing join), distinct
+        # from pagerank's iterative passing and dedup_components'
+        # contraction; takes chunk_documents' head seat (its
+        # overlapping token-window arithmetic is the head-checked
+        # pack_sequences window shape over plaintext_extract's
+        # tokenization; pytest keeps it bit-green in the tail)
+        "triangle_count": graph.triangle_count,
         # --- sessions / windows / joins ---
         "sessionize": sessions.sessionize,
         # (round 4) streaming watermark gate — the distributed
@@ -461,6 +476,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pinned in tests/test_cdc.py)
         "retry_selection": extras.retry_selection,
         "cdc_chunks": curation.cdc_chunks,
+        # (round 4 wave 15 displacements — head seats went to
+        # dedup_edit_distance / triangle_count: html_extract's
+        # vectorized RE2 strip is redact_pii's head-checked single-pass
+        # shape over a different pattern; chunk_documents' overlapping
+        # token windows are pack_sequences' head-checked window
+        # arithmetic over plaintext tokenization)
+        "html_extract": textops.html_extract,
+        "chunk_documents": textops.chunk_documents,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -627,6 +650,88 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS component_id
         FROM reach GROUP BY 1
     """.replace("WITH w AS", "WITH RECURSIVE w AS")
+
+    # triangle participation over the same candidate edge set: wedges
+    # around each edge's min endpoint (centers capped at degree 1024,
+    # mirroring TRI_DEGREE_CAP), closed against the UNCAPPED edge set —
+    # a triangle is counted iff its minimum vertex is under the cap
+    sql["triangle_count"] = f"""
+        WITH {_WORDS_CTE}, {_SHINGLES_CTE},
+        bandk AS (SELECT * FROM (VALUES {_BAND_VALUES}) AS t(b, am, ac)),
+        sig AS (
+          SELECT doc_id, b,
+                 min(CAST(((CAST(CAST('0x' || substr(md5(s), 1, 15) AS UBIGINT) AS HUGEINT)
+                            * am + ac) % 18446744073709551616) // 16 AS BIGINT)) AS mh
+          FROM sh, bandk
+          GROUP BY doc_id, b
+        ),
+        sigf AS (
+          SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY b, mh) AS bs FROM sig)
+          WHERE bs <= 128
+        ),
+        e AS (
+          SELECT a.doc_id AS src, c.doc_id AS dst
+          FROM sigf a JOIN sigf c
+            ON a.b = c.b AND a.mh = c.mh AND a.doc_id < c.doc_id
+          GROUP BY 1, 2
+        ),
+        ecap AS (
+          SELECT src, dst FROM (
+            SELECT src, dst, count(*) OVER (PARTITION BY src) AS deg FROM e
+          ) WHERE deg <= 1024
+        ),
+        tri AS (
+          SELECT v.x, v.y, v.z
+          FROM (
+            SELECT a.src AS x, a.dst AS y, b.dst AS z
+            FROM ecap a JOIN ecap b ON a.src = b.src AND a.dst < b.dst
+          ) v JOIN e ON e.src = v.y AND e.dst = v.z
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM (
+          SELECT x AS doc_id FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri
+        )
+        GROUP BY 1
+    """
+
+    # exact Levenshtein verify of each candidate pair over 96-char
+    # prefixes (DuckDB levenshtein is byte-based; the Ray kernel runs
+    # the identical byte DP); is_dup = dist*10 <= max(prefix byte lens)
+    sql["dedup_edit_distance"] = f"""
+        WITH {_WORDS_CTE}, {_SHINGLES_CTE},
+        bandk AS (SELECT * FROM (VALUES {_BAND_VALUES}) AS t(b, am, ac)),
+        sig AS (
+          SELECT doc_id, b,
+                 min(CAST(((CAST(CAST('0x' || substr(md5(s), 1, 15) AS UBIGINT) AS HUGEINT)
+                            * am + ac) % 18446744073709551616) // 16 AS BIGINT)) AS mh
+          FROM sh, bandk
+          GROUP BY doc_id, b
+        ),
+        sigf AS (
+          SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY b, mh) AS bs FROM sig)
+          WHERE bs <= 128
+        ),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+          FROM sigf a JOIN sigf c
+            ON a.b = c.b AND a.mh = c.mh AND a.doc_id < c.doc_id
+          GROUP BY 1, 2
+        ),
+        pre AS (SELECT doc_id, substr(text, 1, 96) AS p FROM documents)
+        SELECT doc_a, doc_b,
+               CAST(d AS BIGINT) AS edit_distance,
+               CAST((d * 10 <= mx)::BIGINT AS BIGINT) AS is_dup
+        FROM (
+          SELECT pr.doc_a, pr.doc_b,
+                 levenshtein(x.p, y.p) AS d,
+                 greatest(strlen(x.p), strlen(y.p)) AS mx
+          FROM pairs pr
+          JOIN pre x ON x.doc_id = pr.doc_a
+          JOIN pre y ON y.doc_id = pr.doc_b
+        )
+    """
 
     sql["dedup_simhash"] = f"""
         WITH {_SIMHASH_CTE}

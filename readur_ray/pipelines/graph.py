@@ -293,3 +293,151 @@ def pagerank(sf_dir: str, iters: int = PR_ITERS) -> "ray.data.Dataset":
         )
 
     return ranks.map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# triangle counting over the near-dup candidate graph
+# ---------------------------------------------------------------------------
+
+# Wedge centers with more neighbors than this skip wedge emission (the
+# triangle is still counted iff its MINIMUM vertex is under the cap).
+# The MinHash edge list already bounds degree structurally — a doc can
+# gain at most (MAX_BUCKET - 1) neighbors per band, i.e. ≤ 16 × 127 =
+# 2032 — so the cap is a second, independent guard for graphs built by
+# other generators; the oracle mirrors it with a window QUALIFY.
+TRI_DEGREE_CAP = 1024
+
+
+def triangle_count(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc TRIANGLE participation counts over the MinHash-LSH
+    candidate-pair graph — the graph-MOTIF counting class (clustering
+    coefficient / community density), distinct from pagerank's
+    iterative message passing and neardup_components' contraction: a
+    triangle among near-dup candidates is the strongest non-transitive
+    duplicate-cluster evidence (A~B, B~C, AND A~C all observed), the
+    signal that separates dense template families from accidental
+    chains before committing to component-level removal.
+
+    Node-iterator plan (two coarse shuffles past the shared pair
+    graph, all int64 columns, no driver state):
+      1. edges (doc_a < doc_b) shuffle once on hash(doc_a); each
+         partition emits WEDGES around its min-vertices — for every
+         center x with sorted neighbors y < z, the packed candidate
+         (y << 32 | z) carrying x — via the same vectorized size-class
+         pair emitter the LSH buckets use (``_bucket_pairs_fn``), which
+         also enforces ``TRI_DEGREE_CAP``: hot centers (degree > cap)
+         emit nothing, so the quadratic wedge blowup is bounded and a
+         triangle is counted iff its minimum vertex is under the cap
+         (the oracle applies the identical rule);
+      2. wedges and edges meet on hash(packed pair key): a wedge
+         closes iff its (y, z) is an edge; each closed triangle
+         (x, y, z) emits three (doc, 1) rows;
+      3. one tiny groupby(doc) sum → (doc_id, n_triangles), only docs
+         in ≥ 1 triangle.
+
+    Skew: wedges per center are ≤ cap²/2 regardless of how hot a
+    template family is, and the closing-edge partition receives only
+    packed-int64 rows. At 100 TB the dial is TRI_DEGREE_CAP (drop hot
+    hubs — standard practice: their triangles are template noise, the
+    same argument as MAX_BUCKET) and the coarse width.
+    """
+    from .dedup import _bucket_pairs_fn, _unpack_key, pairs_materialized
+    from ..stages.shuffle import int_partition
+
+    edges = pairs_materialized(sf_dir)
+
+    # --- hop 1: wedge emission around each edge's min endpoint ---
+    def center_rows(batch: pa.Table) -> pa.Table:
+        src = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "doc_id": batch.column("doc_b"),
+                "ctr": pa.array(src, pa.int64()),  # rides as carry
+                "part": pa.array(int_partition(src), pa.int64()),
+            }
+        )
+
+    wedge_fn = _bucket_pairs_fn(["src"], TRI_DEGREE_CAP, carry=("ctr",))
+    wedges = (
+        edges.map_batches(center_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(wedge_fn, batch_format="pyarrow")
+    )
+    # (pair_key = y<<32|z, ctr_a = ctr_b = x); drop the duplicate col
+    wedges = wedges.map_batches(
+        lambda b: pa.table(
+            {
+                "pair_key": b.column("pair_key"),
+                "center": b.column("ctr_a"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    # --- hop 2: close wedges against the edge set ---
+    def edge_keys(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "pair_key": pa.array((a << np.int64(32)) | b, pa.int64()),
+                "center": pa.array(np.full(len(a), -1, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    both = wedges.union(edges.map_batches(edge_keys, batch_format="pyarrow"))
+
+    def add_part2(batch: pa.Table) -> pa.Table:
+        k = batch.column("pair_key").to_numpy(zero_copy_only=False)
+        return batch.append_column("part2", pa.array(int_partition(k), pa.int64()))
+
+    def close_part(part_tbl: pa.Table) -> pa.Table:
+        k = part_tbl.column("pair_key").to_numpy(zero_copy_only=False)
+        c = part_tbl.column("center").to_numpy(zero_copy_only=False)
+        is_edge = c == -1
+        edge_set = k[is_edge]
+        hit = np.isin(k[~is_edge], edge_set)
+        keys = k[~is_edge][hit]
+        if keys.size == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        x = c[~is_edge][hit]
+        y, z = _unpack_key(keys)
+        docs = np.concatenate([x, y, z])
+        ids, counts = np.unique(docs, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    closed = (
+        both.map_batches(add_part2, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(close_part, batch_format="pyarrow")
+    )
+
+    # --- final tiny reduce: per-doc triangle totals ---
+    def add_part3(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.append_column("part3", pa.array(int_partition(d), pa.int64()))
+
+    def sum_part(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.to_pandas()
+        g = df.groupby("doc_id", sort=False)["n"].sum()
+        return pa.table(
+            {
+                "doc_id": pa.array(g.index.to_numpy().astype(np.int64), pa.int64()),
+                "n_triangles": pa.array(g.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        closed.map_batches(add_part3, batch_format="pyarrow")
+        .groupby("part3")
+        .map_groups(sum_part, batch_format="pyarrow")
+    )

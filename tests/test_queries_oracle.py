@@ -150,6 +150,11 @@ SUBSET = [
     # displaced to the tail, and the sketch-quality eval
     "regional_brand_revenue",
     "minhash_eval",
+    # round-4 wave 15: exact edit-distance verify + triangle motif
+    # counting (html_extract / chunk_documents, which they displaced
+    # to the tail, already appear above)
+    "dedup_edit_distance",
+    "triangle_count",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
