@@ -116,6 +116,7 @@ def run_queries() -> dict[str, float]:
         "resample_ffill", "json_props_extract", "funnel_attribution",
         "item_cooccurrence", "cdc_chunks", "rolling_sum", "argmax_by_source",
         "regional_brand_revenue", "minhash_eval", "multi_groupby",
+        "dedup_edit_distance", "triangle_count",
     ]
     out: dict[str, float] = {}
     for name in picks:
