@@ -264,14 +264,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": multimodal.audio_features,
         # --- remaining M/F/A items: MIME lattice, fuzzy trigram, DSL ---
         "fuzzy_search": extras.fuzzy_search,
-        # (round 4, wave 11) market-basket association support counting
-        # (distinct per-user baskets → vectorized pair self-merge →
-        # packed-pair count shuffle → pruned top-K) — the co-occurrence
-        # mining class; takes retry_selection's head seat (its
-        # predicate-DSL semi-join is head-checked suppression_antijoin's
-        # co-partitioned semi/anti shape with a CASE predicate; pytest
+        # (round 4, wave 16) EXACT set-similarity self-join via
+        # AllPairs/PPJoin prefix filtering — the exactness-preserving
+        # pruning class the sketch family lacks (LSH can miss pairs;
+        # ngram_jaccard drops hot shingles): bounded heavy-hitter df
+        # broadcast fixes the token order, prefix rows open candidate
+        # buckets, co-partitioned set attachment + one lexsort verifies
+        # every pair exactly. Takes item_cooccurrence's head seat (its
+        # basket pair-support count is pmi_bigrams' head-checked
+        # packed-pair count shuffle over a different grouping; pytest
         # keeps it bit-green in the tail)
-        "item_cooccurrence": extras.item_cooccurrence,
+        "ppjoin_exact": dedup.ppjoin_exact,
         "mime_detection": extras.mime_detection,
         # (round 4, wave 10) the WHOLE curation funnel with per-doc
         # stage attribution (benchmark → gate → exact dup → fuzzy dup
@@ -282,12 +285,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_attribution": prep.funnel_attribution,
         # --- dedup suite ---
         "dedup_exact": dedup.exact_dedup,
-        # (round 4) partitioned Bloom-filter membership gate — the
-        # fixed-memory probabilistic sibling of exact/cross-run dedup;
-        # takes dedup_path's head seat (path dedup is the identical
-        # hash-partition keep-first plan on a different key column,
-        # driver-covered by dedup_exact; pytest keeps it bit-green)
-        "bloom_gate": dedup.bloom_gate,
+        # (round 4, wave 16) Pareto-frontier (skyline) selection — the
+        # multi-objective maxima class no ranking/top-k/quantile gate
+        # expresses: distribute-then-merge with a vectorized 2-D
+        # sort-and-sweep kernel per partition. Takes bloom_gate's head
+        # seat (its md5-bit register grid is hll_registers'
+        # head-checked register-grid reduce with OR in place of Max;
+        # pytest keeps it bit-green in the tail)
+        "skyline_users": analytics.skyline_users,
         "dedup_minhash_lsh": dedup.pairs_materialized,
         # (round 4, wave 6) MOSS winnowing fingerprints — the
         # guaranteed-density LOCAL copy detector (rightmost-min
@@ -484,6 +489,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # arithmetic over plaintext tokenization)
         "html_extract": textops.html_extract,
         "chunk_documents": textops.chunk_documents,
+        # (round 4 wave 16 displacements — head seats went to
+        # ppjoin_exact / skyline_users: item_cooccurrence's basket
+        # pair-support count is pmi_bigrams' head-checked packed-pair
+        # count shuffle over a different grouping; bloom_gate's md5-bit
+        # register grid is hll_registers' head-checked register-grid
+        # reduce with OR in place of Max)
+        "item_cooccurrence": extras.item_cooccurrence,
+        "bloom_gate": dedup.bloom_gate,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -769,6 +782,43 @@ def oracle_sql() -> dict[str, str]:
         JOIN szs sa ON doc_a = sa.doc_id
         JOIN szs sb ON doc_b = sb.doc_id
         WHERE intersection * 10 >= (sa.n + sb.n - intersection) * 1
+    """
+
+    # ppjoin_exact: the EXACT Jaccard ≥ 1/2 self-join — no hot-shingle
+    # drop, no banding; the prefix filter on the Ray side is pruning
+    # only, so the oracle is the plain inverted-index self-join
+    sql["ppjoin_exact"] = f"""
+        WITH {_WORDS_CTE}, {_SHINGLES_CTE},
+        szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS intersection
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, intersection, sa.n AS size_a, sb.n AS size_b
+        FROM inter
+        JOIN szs sa ON doc_a = sa.doc_id
+        JOIN szs sb ON doc_b = sb.doc_id
+        WHERE intersection * 2 >= (sa.n + sb.n - intersection) * 1
+    """
+
+    # skyline_users: 2-D Pareto maxima on (n_events, total_cents) —
+    # dominated iff another user is >= on both and > on at least one
+    sql["skyline_users"] = """
+        WITH agg AS (
+          SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+          FROM events GROUP BY 1
+        )
+        SELECT user_id, n_events, total_cents
+        FROM agg u
+        WHERE NOT EXISTS (
+          SELECT 1 FROM agg v
+          WHERE v.n_events >= u.n_events AND v.total_cents >= u.total_cents
+            AND (v.n_events > u.n_events OR v.total_cents > u.total_cents))
     """
 
     sql["dedup_embedding"] = """

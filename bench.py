@@ -117,6 +117,7 @@ def run_queries() -> dict[str, float]:
         "item_cooccurrence", "cdc_chunks", "rolling_sum", "argmax_by_source",
         "regional_brand_revenue", "minhash_eval", "multi_groupby",
         "dedup_edit_distance", "triangle_count",
+        "ppjoin_exact", "skyline_users",
     ]
     out: dict[str, float] = {}
     for name in picks:

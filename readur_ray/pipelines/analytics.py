@@ -1397,3 +1397,122 @@ def multi_groupby(sf_dir: str) -> "ray.data.Dataset":
             Sum("cents", alias_name="revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto-frontier (skyline) selection
+# ---------------------------------------------------------------------------
+
+def _skyline2d(n: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the 2-D maxima (skyline) of points
+    (n, c): a point survives iff NO other point is ≥ in both
+    coordinates and > in at least one. Equal duplicate points all
+    survive (neither strictly dominates). Sort-and-sweep, fully
+    vectorized: sort (n desc, c desc); within each distinct n only the
+    max-c points can survive; across n levels a level survives iff its
+    cmax strictly exceeds every cmax at a larger n (exclusive running
+    max). O(m log m), no Python loop."""
+    m = len(n)
+    if m == 0:
+        return np.zeros(0, bool)
+    order = np.lexsort((-c, -n))
+    ns, cs = n[order], c[order]
+    new_n = np.empty(m, bool)
+    new_n[0] = True
+    new_n[1:] = ns[1:] != ns[:-1]
+    grp = np.cumsum(new_n) - 1
+    cmax = cs[new_n]                       # first of each n-group = its max c
+    excl = np.empty_like(cmax)
+    excl[0] = np.iinfo(np.int64).min
+    np.maximum.accumulate(cmax[:-1], out=excl[1:])
+    keep_grp = cmax > excl
+    keep_sorted = keep_grp[grp] & (cs == cmax[grp])
+    keep = np.zeros(m, bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def skyline_users(sf_dir: str) -> "ray.data.Dataset":
+    """Pareto-frontier (skyline) selection — the multi-objective
+    maxima class (Börzsönyi et al., ICDE 2001), which no single
+    ranking, top-k, or per-dimension quantile gate expresses: users
+    whose (n_events, total_cents) engagement point is dominated by no
+    other user (v dominates u iff ≥ on both coordinates, > on one).
+    The curation use: picking the quality-vs-quantity frontier of
+    sources/domains before assigning mix weights.
+
+    Plan (distribute-then-merge, exact):
+      1. per-user aggregates via one coarse shuffle on hash(user) —
+         per-batch partial (count, cents-sum) combiners first, so only
+         pre-reduced int64 rows shuffle;
+      2. each partition computes its LOCAL skyline with the vectorized
+         sort-and-sweep kernel (`_skyline2d`);
+      3. local skylines union into ONE final task and the same kernel
+         runs once more — sound because dominance is transitive: a
+         globally dominated point is dominated by a global-skyline
+         point, which survives its own partition's local pass.
+    Scale: the merge task holds only the union of local skylines —
+    expected O(log m) per partition for 2-D data; the worst case
+    (perfectly anti-correlated coordinates) degrades toward O(n), and
+    the dial is a per-dimension pre-gate (quantile_gate) ahead of the
+    frontier. Only (user, n, cents) int64 triples ever shuffle."""
+    from ..stages.shuffle import int_partition
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        cents = _cents(batch.column("value")).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(users, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        c = np.bincount(inv, weights=cents).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "cents": pa.array(c, pa.int64()),
+                "part": pa.array(int_partition(uniq), pa.int64()),
+            }
+        )
+
+    def local_skyline(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.select(["user_id", "n", "cents"]).to_pandas()
+        g = df.groupby("user_id", sort=False).sum()
+        n = g["n"].to_numpy().astype(np.int64)
+        c = g["cents"].to_numpy().astype(np.int64)
+        keep = _skyline2d(n, c)
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    g.index.to_numpy().astype(np.int64)[keep], pa.int64()
+                ),
+                "n_events": pa.array(n[keep], pa.int64()),
+                "total_cents": pa.array(c[keep], pa.int64()),
+                "part2": pa.array(np.zeros(int(keep.sum()), np.int64), pa.int64()),
+            }
+        )
+
+    def final_skyline(part_tbl: pa.Table) -> pa.Table:
+        n = part_tbl.column("n_events").to_numpy(zero_copy_only=False)
+        c = part_tbl.column("total_cents").to_numpy(zero_copy_only=False)
+        keep = _skyline2d(n.astype(np.int64), c.astype(np.int64))
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    part_tbl.column("user_id").to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "n_events": pa.array(n[keep].astype(np.int64), pa.int64()),
+                "total_cents": pa.array(c[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(local_skyline, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(final_skyline, batch_format="pyarrow")
+    )

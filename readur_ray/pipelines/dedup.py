@@ -1372,3 +1372,293 @@ def dedup_edit_distance(sf_dir: str) -> "ray.data.Dataset":
         .groupby("part")
         .map_groups(verify_part, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity join with prefix filtering (AllPairs / PPJoin)
+# ---------------------------------------------------------------------------
+
+PP_NUM = 1                # exact Jaccard threshold = PP_NUM / PP_DEN
+PP_DEN = 2
+PP_HH_MIN_DF = 32         # shingles hotter than this are demoted to the
+                          # END of the global token order (pure perf dial
+                          # — the result stays exact for ANY total order)
+
+
+def _pp_prefix_len(n: np.ndarray) -> np.ndarray:
+    """AllPairs prefix length for Jaccard ≥ NUM/DEN: p = n - ceil(t·n) + 1.
+
+    Guarantee (Bayardo et al., WWW'07; Xiao et al. PPJoin, WWW'08): if
+    J(A,B) ≥ t, the k = |A∩B| ≥ max(ceil(t|A|), ceil(t|B|)) common
+    elements occupy, in each set's global-order sort, a run whose FIRST
+    element has rank ≤ |x| - k + 1 ≤ p(x) — so the two prefixes share
+    an element, for ANY fixed total order on tokens."""
+    return n - ((n * PP_NUM + PP_DEN - 1) // PP_DEN) + 1
+
+
+def _pp_heavy_hitters(sf_dir: str) -> dict[int, int]:
+    """Document frequency of the HOT shingles only (df > PP_HH_MIN_DF)
+    — the bounded broadcast that makes the prefix filter effective:
+    ordering tokens rare-first demotes boilerplate shingles out of
+    every prefix, so they never open a candidate bucket. Per-batch
+    np.unique partials → one coarse shuffle → per-partition sums; the
+    driver reads ONLY the > PP_HH_MIN_DF tail (boilerplate cardinality,
+    not corpus cardinality — the same bounded-read contract as
+    top_ngrams' 64·K rows)."""
+    sh = _read_docs(sf_dir).map_batches(_shingle_rows, batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = batch.column("shingle").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "shingle": pa.array(uniq, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                "part": pa.array(int_partition(uniq), pa.int64()),
+            }
+        )
+
+    def hot_only(part: pa.Table) -> pa.Table:
+        df = part.select(["shingle", "n"]).to_pandas()
+        g = df.groupby("shingle", sort=False)["n"].sum()
+        g = g[g > PP_HH_MIN_DF]
+        return pa.table(
+            {
+                "shingle": pa.array(g.index.to_numpy().astype(np.int64), pa.int64()),
+                "df": pa.array(g.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    hot = partitioned_map(sh, lambda b: partial(b), hot_only)
+    out: dict[int, int] = {}
+    for b in hot.iter_batches(batch_format="pyarrow"):
+        out.update(
+            zip(
+                b.column("shingle").to_pylist(),
+                b.column("df").to_pylist(),
+            )
+        )
+    return out
+
+
+def ppjoin_exact(sf_dir: str) -> "ray.data.Dataset":
+    """EXACT set-similarity self-join: every pair of documents with
+    Jaccard(3-shingle sets) ≥ PP_NUM/PP_DEN, via AllPairs/PPJoin-style
+    prefix filtering — NO approximation anywhere, unlike the sketch
+    family (`minhash_lsh_pairs` misses pairs a band never catches;
+    `ngram_jaccard_pairs` drops hot shingles). The exactness-preserving
+    pruning class: candidates shrink by orders of magnitude while the
+    guarantee stays total-recall.
+
+    Plan:
+      1. bounded heavy-hitter df broadcast (`_pp_heavy_hitters`) fixes
+         the global token order (df asc, hash asc): boilerplate sorts
+         LAST and out of every prefix;
+      2. each doc emits only its PREFIX tokens — p = n - ceil(t·n) + 1
+         rows — with its set size carried; one coarse shuffle on
+         hash(token) + vectorized pair emission (`_bucket_pairs_fn`,
+         uncapped: exactness forbids the hot-bucket drop, the order
+         makes it unnecessary) yields candidates;
+      3. pair-key reduce dedups candidates and applies the length
+         filter min·DEN ≥ max·NUM (J ≥ t forces |B| ≥ t·|A|);
+      4. verify: each doc's full shingle-hash set rides ONE
+         co-partitioned union-shuffle to its pairs (the
+         dedup_edit_distance two-hop shape); the exact intersection is
+         computed VECTORIZED across all pairs in a partition — concat
+         both sides' (pair_idx, hash) rows, one lexsort, adjacent-dup
+         count — no per-pair Python.
+
+    Scale: phases 1-3 shuffle only int64 rows, prefixes are ≤ half of
+    each set at t=0.5; the verify shuffle carries each doc's hash set
+    once (≈ the corpus token count — same class as line_dedup's
+    reassembly pass); hot boilerplate never opens buckets because the
+    order demotes it. Output: (doc_a, doc_b, intersection, size_a,
+    size_b), bit-equal to the oracle's exact-Jaccard self-join."""
+    hh_ref = ray.put(_pp_heavy_hitters(sf_dir))
+    docs = _read_docs(sf_dir)
+
+    class PrefixRows:
+        """Per-doc prefix emission; the hh dict is fetched once per
+        actor (ray.get zero-copies the plasma object)."""
+
+        def __init__(self, hh):
+            self.hh = ray.get(hh)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            hh = self.hh
+            out_id, out_sh, out_n = [], [], []
+            for doc_id, text in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("text").to_pylist(),
+            ):
+                sh = shingles_of(text or "", 3)
+                if not sh:
+                    continue
+                # md5_int60 (uncached) — the cached _shingle_base
+                # wrapper can't pickle into this by-value class
+                h = np.fromiter(
+                    (md5_int60(s) for s in sh), np.int64, len(sh)
+                )
+                df = np.fromiter((hh.get(int(x), 0) for x in h), np.int64, len(h))
+                order = np.lexsort((h, df))
+                p = int(_pp_prefix_len(np.int64(len(h))))
+                pre = h[order][:p]
+                out_id.extend([doc_id] * p)
+                out_sh.extend(pre.tolist())
+                out_n.extend([len(h)] * p)
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_id, pa.int64()),
+                    "shingle": pa.array(out_sh, pa.int64()),
+                    "n": pa.array(out_n, pa.int64()),
+                }
+            )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        sh_col = batch.column("shingle").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array(int_partition(sh_col), pa.int64())
+        )
+
+    candidates = (
+        docs.map_batches(
+            PrefixRows,
+            fn_constructor_args=(hh_ref,),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            _bucket_pairs_fn(["shingle"], 1 << 31, carry=("n",)),
+            batch_format="pyarrow",
+        )
+    )
+
+    def dedup_candidates(part: pa.Table) -> pa.Table:
+        keys = part.column("pair_key").to_numpy(zero_copy_only=False)
+        uk, first = np.unique(keys, return_index=True)
+        n_a = part.column("n_a").to_numpy(zero_copy_only=False)[first]
+        n_b = part.column("n_b").to_numpy(zero_copy_only=False)[first]
+        mn = np.minimum(n_a, n_b)
+        mx = np.maximum(n_a, n_b)
+        keep = mn * PP_DEN >= mx * PP_NUM
+        a, b = _unpack_key(uk[keep])
+        return pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+            }
+        )
+
+    pairs = _reduce_pairs(candidates, dedup_candidates)
+
+    # --- verify: attach both full hash sets via the two-hop union-join ---
+    def set_rows(batch: pa.Table) -> pa.Table:
+        ids, sets = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            sh = shingles_of(text or "", 3)
+            if not sh:
+                continue
+            ids.append(doc_id)
+            sets.append([md5_int60(s) for s in sh])
+        return pa.table(
+            {
+                "key": pa.array(ids, pa.int64()),
+                "doc_a": pa.array([-1] * len(ids), pa.int64()),
+                "doc_b": pa.array([-1] * len(ids), pa.int64()),
+                "hset": pa.array(sets, pa.list_(pa.int64())),
+                "part": pa.array(
+                    int_partition(np.asarray(ids, np.int64)), pa.int64()
+                ),
+            }
+        )
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(a, pa.int64()),
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "hset": pa.array([[]] * len(a), pa.list_(pa.int64())),
+                "part": pa.array(int_partition(a), pa.int64()),
+            }
+        )
+
+    def attach_a(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.select(["key", "doc_a", "doc_b", "hset"]).to_pandas()
+        is_doc = df["doc_a"].to_numpy() == -1
+        lut = dict(zip(df["key"][is_doc], df["hset"][is_doc]))
+        pr = df[~is_doc]
+        b = pr["doc_b"].to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(b, pa.int64()),
+                "doc_a": pa.array(pr["doc_a"].to_numpy(), pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "hset": pa.array(
+                    [list(lut[k]) for k in pr["key"]], pa.list_(pa.int64())
+                ),
+                "part": pa.array(int_partition(b), pa.int64()),
+            }
+        )
+
+    hop1 = (
+        docs.map_batches(set_rows, batch_format="pyarrow")
+        .union(pairs.map_batches(pair_rows, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(attach_a, batch_format="pyarrow")
+    )
+
+    _EMPTY = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "intersection": pa.array([], pa.int64()),
+            "size_a": pa.array([], pa.int64()),
+            "size_b": pa.array([], pa.int64()),
+        }
+    )
+
+    def verify_part(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.select(["key", "doc_a", "doc_b", "hset"]).to_pandas()
+        is_doc = df["doc_a"].to_numpy() == -1
+        lut = dict(zip(df["key"][is_doc], df["hset"][is_doc]))
+        pr = df[~is_doc]
+        if len(pr) == 0:
+            return _EMPTY
+        sets_a = [np.asarray(s, np.int64) for s in pr["hset"]]
+        sets_b = [np.asarray(lut[k], np.int64) for k in pr["doc_b"]]
+        P = len(pr)
+        len_a = np.array([len(s) for s in sets_a], np.int64)
+        len_b = np.array([len(s) for s in sets_b], np.int64)
+        idx = np.concatenate(
+            [np.repeat(np.arange(P, dtype=np.int64), len_a),
+             np.repeat(np.arange(P, dtype=np.int64), len_b)]
+        )
+        h = np.concatenate([np.concatenate(sets_a), np.concatenate(sets_b)])
+        o = np.lexsort((h, idx))
+        same = (idx[o][1:] == idx[o][:-1]) & (h[o][1:] == h[o][:-1])
+        inter = np.bincount(idx[o][1:][same], minlength=P).astype(np.int64)
+        keep = inter * PP_DEN >= (len_a + len_b - inter) * PP_NUM
+        return pa.table(
+            {
+                "doc_a": pa.array(pr["doc_a"].to_numpy()[keep], pa.int64()),
+                "doc_b": pa.array(pr["doc_b"].to_numpy()[keep], pa.int64()),
+                "intersection": pa.array(inter[keep], pa.int64()),
+                "size_a": pa.array(len_a[keep], pa.int64()),
+                "size_b": pa.array(len_b[keep], pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(set_rows, batch_format="pyarrow")
+        .union(hop1)
+        .groupby("part")
+        .map_groups(verify_part, batch_format="pyarrow")
+    )

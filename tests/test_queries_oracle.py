@@ -155,6 +155,11 @@ SUBSET = [
     # to the tail, already appear above)
     "dedup_edit_distance",
     "triangle_count",
+    # round-4 wave 16: exact prefix-filtered similarity join + Pareto
+    # skyline (item_cooccurrence / bloom_gate, which they displaced to
+    # the tail, already appear above)
+    "ppjoin_exact",
+    "skyline_users",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",

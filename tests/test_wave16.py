@@ -1,0 +1,93 @@
+"""Round-4 wave-16 kernel properties: the 2-D skyline sweep vs a naive
+O(n²) dominance check, and the AllPairs prefix-filter completeness
+theorem on arbitrary sets (no Ray needed — these pin the pure kernels
+the distributed plans call)."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, "/root/repo")
+
+
+def _naive_skyline(n: np.ndarray, c: np.ndarray) -> np.ndarray:
+    m = len(n)
+    keep = np.ones(m, bool)
+    for i in range(m):
+        for j in range(m):
+            if i == j:
+                continue
+            if (
+                n[j] >= n[i]
+                and c[j] >= c[i]
+                and (n[j] > n[i] or c[j] > c[i])
+            ):
+                keep[i] = False
+                break
+    return keep
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_skyline2d_fuzz_vs_naive(pts):
+    # tiny value range on purpose: forces heavy ties / duplicate points,
+    # the cases where dominance strictness is easy to get wrong
+    from readur_ray.pipelines.analytics import _skyline2d
+
+    n = np.array([p[0] for p in pts], np.int64)
+    c = np.array([p[1] for p in pts], np.int64)
+    got = _skyline2d(n, c)
+    want = _naive_skyline(n, c)
+    assert got.tolist() == want.tolist()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.data(),
+)
+def test_prefix_filter_never_loses_a_qualifying_pair(data):
+    # the AllPairs guarantee ppjoin_exact rests on: for ANY total token
+    # order, any pair with J >= PP_NUM/PP_DEN shares a token inside
+    # both prefixes of length p = n - ceil(t*n) + 1
+    from readur_ray.pipelines.dedup import PP_DEN, PP_NUM, _pp_prefix_len
+
+    universe = list(range(20))
+    a = set(data.draw(st.lists(st.sampled_from(universe), min_size=1, max_size=15)))
+    b = set(data.draw(st.lists(st.sampled_from(universe), min_size=1, max_size=15)))
+    order = data.draw(st.permutations(universe))
+    rank = {tok: i for i, tok in enumerate(order)}
+    inter = len(a & b)
+    union = len(a | b)
+    if inter * PP_DEN < union * PP_NUM:
+        return  # below threshold: no guarantee claimed
+    sa = sorted(a, key=rank.__getitem__)
+    sb = sorted(b, key=rank.__getitem__)
+    pa = int(_pp_prefix_len(np.int64(len(sa))))
+    pb = int(_pp_prefix_len(np.int64(len(sb))))
+    assert set(sa[:pa]) & set(sb[:pb]), (sa, sb, pa, pb)
+
+
+def test_prefix_len_integer_math():
+    from readur_ray.pipelines.dedup import _pp_prefix_len
+
+    n = np.arange(1, 200, dtype=np.int64)
+    p = _pp_prefix_len(n)
+    # p = n - ceil(n/2) + 1 at t=1/2: always within [1, n]
+    assert (p >= 1).all() and (p <= n).all()
+    import math
+
+    want = n - np.array([math.ceil(x / 2) for x in n]) + 1
+    assert (p == want).all()
