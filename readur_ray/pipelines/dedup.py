@@ -1396,20 +1396,76 @@ def _pp_prefix_len(n: np.ndarray) -> np.ndarray:
     return n - ((n * PP_NUM + PP_DEN - 1) // PP_DEN) + 1
 
 
+def _pp_set_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, hset) rows: each doc's distinct 3-shingle md5-60
+    hashes as ONE list<int64> cell — computed once and shared by every
+    ppjoin phase (df counting, prefix emission, verification) via the
+    funnel memo, so the corpus is shingled+hashed exactly once."""
+    ids, sets = [], []
+    for doc_id, text in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        sh = shingles_of(text or "", 3)
+        if not sh:
+            continue
+        ids.append(doc_id)
+        sets.append([_shingle_base(s) for s in sh])
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "hset": pa.array(sets, pa.list_(pa.int64())),
+        }
+    )
+
+
+def _pp_sets_materialized(sf_dir: str) -> "ray.data.Dataset":
+    return _funnel_memo(
+        "ppsets",
+        sf_dir,
+        lambda: _read_docs(sf_dir).map_batches(
+            _pp_set_rows, batch_format="pyarrow"
+        ),
+    )
+
+
+def _list_col_views(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(flat_values, offsets) numpy views of a list<int64> column —
+    the zero-copy alternative to to_pandas()'s per-row object arrays."""
+    arr = col.combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    # a sliced ListArray's offsets need not start at 0
+    return flat, offs
+
+
+def _gather_slices(
+    flat: np.ndarray, offs: np.ndarray, rows: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized gather of variable-length slices: returns
+    (values, lengths) where values concatenates flat[offs[r]:offs[r+1]]
+    for each r in rows — no Python loop over rows."""
+    L = offs[rows + 1] - offs[rows]
+    total = int(L.sum())
+    if total == 0:
+        return np.empty(0, np.int64), L
+    starts = np.concatenate(([0], np.cumsum(L)[:-1]))
+    pos = np.repeat(offs[rows] - starts, L) + np.arange(total, dtype=np.int64)
+    return flat[pos], L
+
+
 def _pp_heavy_hitters(sf_dir: str) -> dict[int, int]:
     """Document frequency of the HOT shingles only (df > PP_HH_MIN_DF)
     — the bounded broadcast that makes the prefix filter effective:
     ordering tokens rare-first demotes boilerplate shingles out of
     every prefix, so they never open a candidate bucket. Per-batch
-    np.unique partials → one coarse shuffle → per-partition sums; the
-    driver reads ONLY the > PP_HH_MIN_DF tail (boilerplate cardinality,
-    not corpus cardinality — the same bounded-read contract as
-    top_ngrams' 64·K rows)."""
-    sh = _read_docs(sf_dir).map_batches(_shingle_rows, batch_format="pyarrow")
+    np.unique partials over the memoized hash sets → one coarse
+    shuffle → per-partition sums; the driver reads ONLY the
+    > PP_HH_MIN_DF tail (boilerplate cardinality, not corpus
+    cardinality — the same bounded-read contract as top_ngrams)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        h = batch.column("shingle").to_numpy(zero_copy_only=False)
-        uniq, cnt = np.unique(h, return_counts=True)
+        flat, _ = _list_col_views(batch.column("hset"))
+        uniq, cnt = np.unique(flat, return_counts=True)
         return pa.table(
             {
                 "shingle": pa.array(uniq, pa.int64()),
@@ -1429,16 +1485,178 @@ def _pp_heavy_hitters(sf_dir: str) -> dict[int, int]:
             }
         )
 
-    hot = partitioned_map(sh, lambda b: partial(b), hot_only)
+    hot = partitioned_map(_pp_sets_materialized(sf_dir), partial, hot_only)
     out: dict[int, int] = {}
     for b in hot.iter_batches(batch_format="pyarrow"):
         out.update(
-            zip(
-                b.column("shingle").to_pylist(),
-                b.column("df").to_pylist(),
-            )
+            zip(b.column("shingle").to_pylist(), b.column("df").to_pylist())
         )
     return out
+
+
+class _PpPrefixRows:
+    """Prefix emission, vectorized ACROSS docs: one lexsort of the
+    whole batch's flattened hashes on (doc, df, hash) and a rank mask
+    select each doc's first p = n - ceil(t·n) + 1 tokens. The hot-df
+    broadcast is fetched once per actor and kept as two sorted arrays
+    for a searchsorted lookup (no per-token dict.get)."""
+
+    def __init__(self, hh_ref):
+        hh = ray.get(hh_ref)
+        keys = np.array(sorted(hh), dtype=np.int64)
+        self.hh_keys = keys
+        self.hh_vals = np.array([hh[int(k)] for k in keys], dtype=np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, offs = _list_col_views(batch.column("hset"))
+        base = offs[0]
+        lens = np.diff(offs)
+        flat = flat[base : offs[-1]]
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        df = np.zeros(len(flat), np.int64)
+        if len(self.hh_keys):
+            idx = np.searchsorted(self.hh_keys, flat)
+            idx_c = np.minimum(idx, len(self.hh_keys) - 1)
+            m = self.hh_keys[idx_c] == flat
+            df[m] = self.hh_vals[idx_c[m]]
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        order = np.lexsort((flat, df, doc_idx))
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        rank = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
+        p = _pp_prefix_len(lens)
+        keep = rank < np.repeat(p, lens)
+        sel = order[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[doc_idx[sel]], pa.int64()),
+                "shingle": pa.array(flat[sel], pa.int64()),
+                "n": pa.array(lens[doc_idx[sel]], pa.int64()),
+            }
+        )
+
+
+def _pp_doc_side(sets: "ray.data.Dataset") -> "ray.data.Dataset":
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        m = len(ids)
+        return pa.table(
+            {
+                "key": pa.array(ids, pa.int64()),
+                "doc_a": pa.array(np.full(m, -1, np.int64), pa.int64()),
+                "doc_b": pa.array(np.full(m, -1, np.int64), pa.int64()),
+                "hset": batch.column("hset"),
+                "part": pa.array(int_partition(ids), pa.int64()),
+            }
+        )
+
+    return sets.map_batches(fn, batch_format="pyarrow")
+
+
+def _pp_split_sides(
+    part_tbl: pa.Table,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, pa.Table]:
+    """Arrow-native side split: (sorted doc keys + their hset views,
+    pair rows) — no pandas object conversion of the doc side."""
+    is_doc = pc.equal(part_tbl.column("doc_a"), pa.scalar(-1, pa.int64()))
+    docs_t = part_tbl.filter(is_doc)
+    pairs_t = part_tbl.filter(pc.invert(is_doc))
+    keys = docs_t.column("key").to_numpy(zero_copy_only=False)
+    flat, offs = _list_col_views(docs_t.column("hset"))
+    korder = np.argsort(keys)
+    return keys[korder], flat, offs, pairs_t, korder
+
+
+def _pp_rows_for(keys_sorted: np.ndarray, korder: np.ndarray, want: np.ndarray) -> np.ndarray:
+    """Map doc ids -> row indices in the UNSORTED doc table."""
+    pos = np.searchsorted(keys_sorted, want)
+    return korder[pos]
+
+
+def _pp_attach_a(part_tbl: pa.Table) -> pa.Table:
+    keys_sorted, flat, offs, pairs_t, korder = _pp_split_sides(part_tbl)
+    if pairs_t.num_rows == 0:
+        return pa.table(
+            {
+                "key": pa.array([], pa.int64()),
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "hset": pa.array([], pa.list_(pa.int64())),
+                "part": pa.array([], pa.int64()),
+            }
+        )
+    a0 = pairs_t.column("doc_a").to_numpy(zero_copy_only=False)
+    b0 = pairs_t.column("doc_b").to_numpy(zero_copy_only=False)
+    # every copy of a pair routes here (keyed by doc_a): dedup locally,
+    # saving the dedicated pair-reduce barrier
+    uk = np.unique((a0 << np.int64(32)) | b0)
+    a, b = _unpack_key(uk)
+    rows = _pp_rows_for(keys_sorted, korder, a)
+    vals, L = _gather_slices(flat, offs, rows)
+    hset = pa.ListArray.from_arrays(
+        pa.array(np.concatenate(([0], np.cumsum(L))), pa.int32()),
+        pa.array(vals, pa.int64()),
+    )
+    return pa.table(
+        {
+            "key": pa.array(b, pa.int64()),
+            "doc_a": pa.array(a, pa.int64()),
+            "doc_b": pa.array(b, pa.int64()),
+            "hset": hset,
+            "part": pa.array(int_partition(b), pa.int64()),
+        }
+    )
+
+
+_PP_EMPTY = pa.table(
+    {
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "intersection": pa.array([], pa.int64()),
+        "size_a": pa.array([], pa.int64()),
+        "size_b": pa.array([], pa.int64()),
+    }
+)
+
+
+def _pp_verify(part_tbl: pa.Table) -> pa.Table:
+    """Exact intersection of EVERY candidate pair in the partition in
+    one vectorized pass: concat both sides' (pair_idx, hash) rows, one
+    lexsort, adjacent-duplicate count — elements are distinct within a
+    set, so each adjacent dup is exactly one shared element."""
+    keys_sorted, flat, offs, pairs_t, korder = _pp_split_sides(part_tbl)
+    if pairs_t.num_rows == 0:
+        return _PP_EMPTY
+    a_flat, a_offs = _list_col_views(pairs_t.column("hset"))
+    a_base = a_offs[0]
+    len_a = np.diff(a_offs)
+    a_vals = a_flat[a_base : a_offs[-1]]
+    b_ids = pairs_t.column("doc_b").to_numpy(zero_copy_only=False)
+    rows = _pp_rows_for(keys_sorted, korder, b_ids)
+    b_vals, len_b = _gather_slices(flat, offs, rows)
+    P = pairs_t.num_rows
+    idx = np.concatenate(
+        [
+            np.repeat(np.arange(P, dtype=np.int64), len_a),
+            np.repeat(np.arange(P, dtype=np.int64), len_b),
+        ]
+    )
+    h = np.concatenate([a_vals, b_vals])
+    o = np.lexsort((h, idx))
+    same = (idx[o][1:] == idx[o][:-1]) & (h[o][1:] == h[o][:-1])
+    inter = np.bincount(idx[o][1:][same], minlength=P).astype(np.int64)
+    keep = inter * PP_DEN >= (len_a + len_b - inter) * PP_NUM
+    return pa.table(
+        {
+            "doc_a": pa.array(
+                pairs_t.column("doc_a").to_numpy(zero_copy_only=False)[keep],
+                pa.int64(),
+            ),
+            "doc_b": pa.array(b_ids[keep], pa.int64()),
+            "intersection": pa.array(inter[keep], pa.int64()),
+            "size_a": pa.array(len_a[keep], pa.int64()),
+            "size_b": pa.array(len_b[keep], pa.int64()),
+        }
+    )
 
 
 def ppjoin_exact(sf_dir: str) -> "ray.data.Dataset":
@@ -1450,69 +1668,34 @@ def ppjoin_exact(sf_dir: str) -> "ray.data.Dataset":
     pruning class: candidates shrink by orders of magnitude while the
     guarantee stays total-recall.
 
-    Plan:
+    Plan (the corpus is shingled+hashed ONCE into a memoized
+    (doc_id, hset) dataset shared by all phases):
       1. bounded heavy-hitter df broadcast (`_pp_heavy_hitters`) fixes
          the global token order (df asc, hash asc): boilerplate sorts
          LAST and out of every prefix;
       2. each doc emits only its PREFIX tokens — p = n - ceil(t·n) + 1
-         rows — with its set size carried; one coarse shuffle on
-         hash(token) + vectorized pair emission (`_bucket_pairs_fn`,
-         uncapped: exactness forbids the hot-bucket drop, the order
-         makes it unnecessary) yields candidates;
+         rows, selected for the whole batch with one lexsort
+         (`_PpPrefixRows`); one coarse shuffle on hash(token) +
+         vectorized pair emission (`_bucket_pairs_fn`, uncapped:
+         exactness forbids the hot-bucket drop, the order makes it
+         unnecessary) yields candidates;
       3. pair-key reduce dedups candidates and applies the length
          filter min·DEN ≥ max·NUM (J ≥ t forces |B| ≥ t·|A|);
-      4. verify: each doc's full shingle-hash set rides ONE
-         co-partitioned union-shuffle to its pairs (the
-         dedup_edit_distance two-hop shape); the exact intersection is
-         computed VECTORIZED across all pairs in a partition — concat
-         both sides' (pair_idx, hash) rows, one lexsort, adjacent-dup
-         count — no per-pair Python.
+      4. verify: each doc's hash set rides the two-hop co-partitioned
+         union-shuffle to its pairs; side split, set gather and the
+         per-pair intersection are ALL Arrow/numpy vectorized — the
+         partition's whole candidate list resolves with one lexsort
+         (`_pp_verify`), no pandas object conversion, no per-pair
+         Python.
 
     Scale: phases 1-3 shuffle only int64 rows, prefixes are ≤ half of
     each set at t=0.5; the verify shuffle carries each doc's hash set
-    once (≈ the corpus token count — same class as line_dedup's
+    twice (≈ 2× the corpus token count — same class as line_dedup's
     reassembly pass); hot boilerplate never opens buckets because the
     order demotes it. Output: (doc_a, doc_b, intersection, size_a,
     size_b), bit-equal to the oracle's exact-Jaccard self-join."""
     hh_ref = ray.put(_pp_heavy_hitters(sf_dir))
-    docs = _read_docs(sf_dir)
-
-    class PrefixRows:
-        """Per-doc prefix emission; the hh dict is fetched once per
-        actor (ray.get zero-copies the plasma object)."""
-
-        def __init__(self, hh):
-            self.hh = ray.get(hh)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            hh = self.hh
-            out_id, out_sh, out_n = [], [], []
-            for doc_id, text in zip(
-                batch.column("doc_id").to_pylist(),
-                batch.column("text").to_pylist(),
-            ):
-                sh = shingles_of(text or "", 3)
-                if not sh:
-                    continue
-                # md5_int60 (uncached) — the cached _shingle_base
-                # wrapper can't pickle into this by-value class
-                h = np.fromiter(
-                    (md5_int60(s) for s in sh), np.int64, len(sh)
-                )
-                df = np.fromiter((hh.get(int(x), 0) for x in h), np.int64, len(h))
-                order = np.lexsort((h, df))
-                p = int(_pp_prefix_len(np.int64(len(h))))
-                pre = h[order][:p]
-                out_id.extend([doc_id] * p)
-                out_sh.extend(pre.tolist())
-                out_n.extend([len(h)] * p)
-            return pa.table(
-                {
-                    "doc_id": pa.array(out_id, pa.int64()),
-                    "shingle": pa.array(out_sh, pa.int64()),
-                    "n": pa.array(out_n, pa.int64()),
-                }
-            )
+    sets = _pp_sets_materialized(sf_dir)
 
     def add_part(batch: pa.Table) -> pa.Table:
         sh_col = batch.column("shingle").to_numpy(zero_copy_only=False)
@@ -1521,8 +1704,8 @@ def ppjoin_exact(sf_dir: str) -> "ray.data.Dataset":
         )
 
     candidates = (
-        docs.map_batches(
-            PrefixRows,
+        sets.map_batches(
+            _PpPrefixRows,
             fn_constructor_args=(hh_ref,),
             batch_format="pyarrow",
             concurrency=(1, 8),
@@ -1535,130 +1718,42 @@ def ppjoin_exact(sf_dir: str) -> "ray.data.Dataset":
         )
     )
 
-    def dedup_candidates(part: pa.Table) -> pa.Table:
-        keys = part.column("pair_key").to_numpy(zero_copy_only=False)
-        uk, first = np.unique(keys, return_index=True)
-        n_a = part.column("n_a").to_numpy(zero_copy_only=False)[first]
-        n_b = part.column("n_b").to_numpy(zero_copy_only=False)[first]
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        # straight off the bucket emitter: apply the length filter
+        # (J ≥ t forces min·DEN ≥ max·NUM) and route by doc_a; the
+        # per-pair DEDUP happens in _pp_attach_a, where every copy of
+        # a pair necessarily lands — no dedicated reduce barrier
+        k = batch.column("pair_key").to_numpy(zero_copy_only=False)
+        n_a = batch.column("n_a").to_numpy(zero_copy_only=False)
+        n_b = batch.column("n_b").to_numpy(zero_copy_only=False)
         mn = np.minimum(n_a, n_b)
         mx = np.maximum(n_a, n_b)
         keep = mn * PP_DEN >= mx * PP_NUM
-        a, b = _unpack_key(uk[keep])
-        return pa.table(
-            {
-                "doc_a": pa.array(a, pa.int64()),
-                "doc_b": pa.array(b, pa.int64()),
-            }
+        a, b = _unpack_key(k[keep])
+        empty = pa.ListArray.from_arrays(
+            pa.array(np.zeros(len(a) + 1, np.int32), pa.int32()),
+            pa.array([], pa.int64()),
         )
-
-    pairs = _reduce_pairs(candidates, dedup_candidates)
-
-    # --- verify: attach both full hash sets via the two-hop union-join ---
-    def set_rows(batch: pa.Table) -> pa.Table:
-        ids, sets = [], []
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(),
-            batch.column("text").to_pylist(),
-        ):
-            sh = shingles_of(text or "", 3)
-            if not sh:
-                continue
-            ids.append(doc_id)
-            sets.append([md5_int60(s) for s in sh])
-        return pa.table(
-            {
-                "key": pa.array(ids, pa.int64()),
-                "doc_a": pa.array([-1] * len(ids), pa.int64()),
-                "doc_b": pa.array([-1] * len(ids), pa.int64()),
-                "hset": pa.array(sets, pa.list_(pa.int64())),
-                "part": pa.array(
-                    int_partition(np.asarray(ids, np.int64)), pa.int64()
-                ),
-            }
-        )
-
-    def pair_rows(batch: pa.Table) -> pa.Table:
-        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
-        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "key": pa.array(a, pa.int64()),
                 "doc_a": pa.array(a, pa.int64()),
                 "doc_b": pa.array(b, pa.int64()),
-                "hset": pa.array([[]] * len(a), pa.list_(pa.int64())),
+                "hset": empty,
                 "part": pa.array(int_partition(a), pa.int64()),
             }
         )
 
-    def attach_a(part_tbl: pa.Table) -> pa.Table:
-        df = part_tbl.select(["key", "doc_a", "doc_b", "hset"]).to_pandas()
-        is_doc = df["doc_a"].to_numpy() == -1
-        lut = dict(zip(df["key"][is_doc], df["hset"][is_doc]))
-        pr = df[~is_doc]
-        b = pr["doc_b"].to_numpy()
-        return pa.table(
-            {
-                "key": pa.array(b, pa.int64()),
-                "doc_a": pa.array(pr["doc_a"].to_numpy(), pa.int64()),
-                "doc_b": pa.array(b, pa.int64()),
-                "hset": pa.array(
-                    [list(lut[k]) for k in pr["key"]], pa.list_(pa.int64())
-                ),
-                "part": pa.array(int_partition(b), pa.int64()),
-            }
-        )
-
     hop1 = (
-        docs.map_batches(set_rows, batch_format="pyarrow")
-        .union(pairs.map_batches(pair_rows, batch_format="pyarrow"))
+        _pp_doc_side(sets)
+        .union(candidates.map_batches(pair_rows, batch_format="pyarrow"))
         .groupby("part")
-        .map_groups(attach_a, batch_format="pyarrow")
+        .map_groups(_pp_attach_a, batch_format="pyarrow")
     )
-
-    _EMPTY = pa.table(
-        {
-            "doc_a": pa.array([], pa.int64()),
-            "doc_b": pa.array([], pa.int64()),
-            "intersection": pa.array([], pa.int64()),
-            "size_a": pa.array([], pa.int64()),
-            "size_b": pa.array([], pa.int64()),
-        }
-    )
-
-    def verify_part(part_tbl: pa.Table) -> pa.Table:
-        df = part_tbl.select(["key", "doc_a", "doc_b", "hset"]).to_pandas()
-        is_doc = df["doc_a"].to_numpy() == -1
-        lut = dict(zip(df["key"][is_doc], df["hset"][is_doc]))
-        pr = df[~is_doc]
-        if len(pr) == 0:
-            return _EMPTY
-        sets_a = [np.asarray(s, np.int64) for s in pr["hset"]]
-        sets_b = [np.asarray(lut[k], np.int64) for k in pr["doc_b"]]
-        P = len(pr)
-        len_a = np.array([len(s) for s in sets_a], np.int64)
-        len_b = np.array([len(s) for s in sets_b], np.int64)
-        idx = np.concatenate(
-            [np.repeat(np.arange(P, dtype=np.int64), len_a),
-             np.repeat(np.arange(P, dtype=np.int64), len_b)]
-        )
-        h = np.concatenate([np.concatenate(sets_a), np.concatenate(sets_b)])
-        o = np.lexsort((h, idx))
-        same = (idx[o][1:] == idx[o][:-1]) & (h[o][1:] == h[o][:-1])
-        inter = np.bincount(idx[o][1:][same], minlength=P).astype(np.int64)
-        keep = inter * PP_DEN >= (len_a + len_b - inter) * PP_NUM
-        return pa.table(
-            {
-                "doc_a": pa.array(pr["doc_a"].to_numpy()[keep], pa.int64()),
-                "doc_b": pa.array(pr["doc_b"].to_numpy()[keep], pa.int64()),
-                "intersection": pa.array(inter[keep], pa.int64()),
-                "size_a": pa.array(len_a[keep], pa.int64()),
-                "size_b": pa.array(len_b[keep], pa.int64()),
-            }
-        )
 
     return (
-        docs.map_batches(set_rows, batch_format="pyarrow")
+        _pp_doc_side(sets)
         .union(hop1)
         .groupby("part")
-        .map_groups(verify_part, batch_format="pyarrow")
+        .map_groups(_pp_verify, batch_format="pyarrow")
     )
