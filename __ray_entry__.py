@@ -261,7 +261,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup_ngram_jaccard's head seat (its shingle-set pair plan
         # is the head-checked dedup_minhash_lsh shuffle with exact set
         # sizes instead of signatures; pytest keeps it bit-green)
-        "audio_features": multimodal.audio_features,
+        # (round 4, wave 17) data-quality constraint audit — the
+        # expectation-suite class (range/format scans, exact duplicate
+        # PKs via key-partitioned distinct, orphan-key anti-joins and
+        # a cross-table date-order rule, all folded into one (check,
+        # count) report). Takes audio_features' head seat (its
+        # binary-payload framing runs the head-checked multimodal_meta
+        # decode plumbing over the same media column; pytest keeps it
+        # bit-green in the tail)
+        "data_quality_audit": analytics.data_quality_audit,
         # --- remaining M/F/A items: MIME lattice, fuzzy trigram, DSL ---
         "fuzzy_search": extras.fuzzy_search,
         # (round 4, wave 16) EXACT set-similarity self-join via
@@ -320,7 +328,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-checked via semdedup; the LSH-bucket arithmetic stays
         # driver-checked via dedup_simhash_banded, and the tail keeps
         # the embedding-LSH family bit-green under pytest)
-        "knn_graph": similarity.knn_graph,
+        # (round 4, wave 17) sorted-neighborhood blocking (SNM,
+        # SIGMOD'95) — the SORT-based record-linkage candidate
+        # generator LSH can't express: exact global ranks from an
+        # order-aligned bucket count grid (no global sort barrier),
+        # rank-block-local windowed pair emission. Takes knn_graph's
+        # head seat (its cell-local exact scan is semdedup's
+        # head-checked cell kernel emitting neighbor lists, with the
+        # ann family head-checked via ann_topk + pq_topk; pytest keeps
+        # it bit-green in the tail)
+        "snm_pairs": dedup.snm_pairs,
         # --- expensive-but-unique: within the first 50 by design ---
         "dedup_components": dedup.neardup_components,
         "fuzzy_dedup_keep": curation.fuzzy_dedup_keep,
@@ -497,6 +514,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reduce with OR in place of Max)
         "item_cooccurrence": extras.item_cooccurrence,
         "bloom_gate": dedup.bloom_gate,
+        # (round 4 wave 17 displacements — head seats went to
+        # data_quality_audit / snm_pairs: audio_features' binary-payload
+        # framing is multimodal_meta's head-checked decode plumbing over
+        # the same media column; knn_graph's cell-local exact scan is
+        # semdedup's head-checked cell kernel emitting neighbor lists)
+        "audio_features": multimodal.audio_features,
+        "knn_graph": similarity.knn_graph,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -801,6 +825,72 @@ def oracle_sql() -> dict[str, str]:
         JOIN szs sa ON doc_a = sa.doc_id
         JOIN szs sb ON doc_b = sb.doc_id
         WHERE intersection * 2 >= (sa.n + sb.n - intersection) * 1
+    """
+
+    # data_quality_audit: one row per constraint check with its exact
+    # violation count — range/format, uniqueness, referential, and the
+    # cross-table date-order rule
+    sql["data_quality_audit"] = """
+        SELECT 'lineitem_discount_range' AS check_name,
+               CAST(coalesce(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                                      THEN 1 END), 0) AS BIGINT) AS n_violations
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_nonpositive_price',
+               CAST(coalesce(sum(CASE WHEN l_extendedprice <= 0 THEN 1 END), 0)
+                    AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders_invalid_status',
+               CAST(coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                                      THEN 1 END), 0) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'events_null_props',
+               CAST(coalesce(sum(CASE WHEN props IS NULL OR props = ''
+                                      THEN 1 END), 0) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'orders_dup_pk',
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'customer_dup_pk',
+               CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+        FROM customer
+        UNION ALL
+        SELECT 'orders_orphan_custkey',
+               CAST((SELECT count(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem_orphan_orderkey',
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem_ship_before_order',
+               CAST((SELECT count(*) FROM lineitem l
+                     JOIN orders o ON l.l_orderkey = o.o_orderkey
+                     WHERE l.l_shipdate < o.o_orderdate) AS BIGINT)
+    """
+
+    # snm_pairs: global (key, doc_id) sort ranks, pairs within the
+    # SNM window — key = lang | first 12 chars of lowercased text
+    sql["snm_pairs"] = """
+        WITH k AS (
+          SELECT doc_id, lang || '|' || substr(lower(text), 1, 12) AS key
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY key, doc_id) - 1 AS rnk
+          FROM k
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(b.rnk - a.rnk AS BIGINT) AS rank_dist
+        FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
     """
 
     # skyline_users: 2-D Pareto maxima on (n_events, total_cents) —

@@ -118,6 +118,7 @@ def run_queries() -> dict[str, float]:
         "regional_brand_revenue", "minhash_eval", "multi_groupby",
         "dedup_edit_distance", "triangle_count",
         "ppjoin_exact", "skyline_users",
+        "data_quality_audit", "snm_pairs",
     ]
     out: dict[str, float] = {}
     for name in picks:

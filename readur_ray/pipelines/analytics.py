@@ -1516,3 +1516,263 @@ def skyline_users(sf_dir: str) -> "ray.data.Dataset":
         .groupby("part2")
         .map_groups(final_skyline, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# data-quality constraint audit
+# ---------------------------------------------------------------------------
+
+AUDIT_CHECKS = (
+    "lineitem_discount_range",
+    "lineitem_nonpositive_price",
+    "orders_invalid_status",
+    "events_null_props",
+    "orders_dup_pk",
+    "customer_dup_pk",
+    "orders_orphan_custkey",
+    "lineitem_orphan_orderkey",
+    "lineitem_ship_before_order",
+)
+
+
+def data_quality_audit(sf_dir: str) -> "ray.data.Dataset":
+    """Constraint-validation report — the data-quality audit class
+    (expectation suites / dbt tests): one row per named check with its
+    exact violation count, covering the three constraint families a
+    pipeline gate needs:
+
+    - RANGE/FORMAT (vectorized single-pass scans, partial counts per
+      batch): discounts outside [0,1], non-positive prices, unknown
+      order status codes, null/empty event props;
+    - UNIQUENESS (exact distributed distinct): duplicate primary keys
+      as rows − distinct(key), via one coarse shuffle on the key so
+      every copy of a key lands in one partition and per-partition
+      nunique sums are exact;
+    - REFERENTIAL (co-partitioned anti-join / join, both sides
+      fact-scale so neither broadcasts): orphan o_custkey vs customer,
+      orphan l_orderkey vs orders, and the cross-table ORDER of events
+      rule l_shipdate < o_orderdate through the order_priority_join
+      shuffle shape.
+
+    Every check stream emits tiny (check, n) partial rows — including
+    explicit zero rows so absent violations still report — and ONE
+    final groupby(check) Sum folds them; nothing but int64 counts
+    reaches the driver. At 100 TB each family stays a one-pass scan or
+    a single key-partitioned exchange of projected columns."""
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    def _counts(names_ns: list[tuple[str, int]]) -> pa.Table:
+        return pa.table(
+            {
+                "check_name": pa.array([n for n, _ in names_ns], pa.string()),
+                "n": pa.array([v for _, v in names_ns], pa.int64()),
+            }
+        )
+
+    # --- range/format scans ---
+    line_scan = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_discount", "l_extendedprice"]
+    ).map_batches(
+        lambda b: _counts(
+            [
+                (
+                    "lineitem_discount_range",
+                    int(
+                        (
+                            (b.column("l_discount").to_numpy(zero_copy_only=False) < 0)
+                            | (b.column("l_discount").to_numpy(zero_copy_only=False) > 1)
+                        ).sum()
+                    ),
+                ),
+                (
+                    "lineitem_nonpositive_price",
+                    int(
+                        (
+                            b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                            <= 0
+                        ).sum()
+                    ),
+                ),
+            ]
+        ),
+        batch_format="pyarrow",
+    )
+
+    order_scan = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderstatus"]
+    ).map_batches(
+        lambda b: _counts(
+            [
+                (
+                    "orders_invalid_status",
+                    int(
+                        (
+                            ~np.isin(
+                                np.asarray(b.column("o_orderstatus").to_pylist()),
+                                ("O", "F", "P"),
+                            )
+                        ).sum()
+                    ),
+                )
+            ]
+        ),
+        batch_format="pyarrow",
+    )
+
+    event_scan = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["props"]
+    ).map_batches(
+        lambda b: _counts(
+            [
+                (
+                    "events_null_props",
+                    int(
+                        pc.sum(
+                            pc.or_kleene(
+                                pc.is_null(b.column("props")),
+                                pc.equal(b.column("props"), ""),
+                            ).cast(pa.int64())
+                        ).as_py()
+                        or 0
+                    ),
+                )
+            ]
+        ),
+        batch_format="pyarrow",
+    )
+
+    # --- uniqueness: rows - distinct(key), key-partitioned ---
+    def dup_check(table: str, key: str, check: str) -> "ray.data.Dataset":
+        ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[key])
+
+        def add_part(batch: pa.Table) -> pa.Table:
+            k = (
+                batch.column(key)
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            return pa.table(
+                {
+                    "key": pa.array(k, pa.int64()),
+                    "part": pa.array(k % N_COARSE_PARTS, pa.int64()),
+                }
+            )
+
+        def extras(part_tbl: pa.Table) -> pa.Table:
+            k = part_tbl.column("key").to_numpy(zero_copy_only=False)
+            return _counts([(check, int(len(k) - len(np.unique(k))))])
+
+        return (
+            ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(extras, batch_format="pyarrow")
+        )
+
+    # --- referential: co-partitioned anti-join (side 0 = parent build) ---
+    def orphan_check(
+        child: str, child_key: str, parent: str, parent_key: str, check: str
+    ) -> "ray.data.Dataset":
+        def side(tbl: str, col: str, s: int):
+            def fn(batch: pa.Table) -> pa.Table:
+                k = batch.column(col).cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                )
+                return pa.table(
+                    {
+                        "key": pa.array(k, pa.int64()),
+                        "side": pa.array(np.full(len(k), s, np.int64), pa.int64()),
+                        "part": pa.array(k % N_COARSE_PARTS, pa.int64()),
+                    }
+                )
+
+            return ray.data.read_parquet(
+                f"{sf_dir}/{tbl}.parquet", columns=[col]
+            ).map_batches(fn, batch_format="pyarrow")
+
+        def anti(part_tbl: pa.Table) -> pa.Table:
+            k = part_tbl.column("key").to_numpy(zero_copy_only=False)
+            s = part_tbl.column("side").to_numpy(zero_copy_only=False)
+            parents = k[s == 0]
+            children = k[s == 1]
+            return _counts([(check, int((~np.isin(children, parents)).sum()))])
+
+        return (
+            side(parent, parent_key, 0)
+            .union(side(child, child_key, 1))
+            .groupby("part")
+            .map_groups(anti, batch_format="pyarrow")
+        )
+
+    # --- cross-table order rule: l_shipdate < o_orderdate ---
+    def ship_before_order() -> "ray.data.Dataset":
+        def order_side(batch: pa.Table) -> pa.Table:
+            k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+            d = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            return pa.table(
+                {
+                    "key": pa.array(k, pa.int64()),
+                    "dt": pa.array(d, pa.int64()),
+                    "side": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+                    "part": pa.array(k % N_COARSE_PARTS, pa.int64()),
+                }
+            )
+
+        def line_side(batch: pa.Table) -> pa.Table:
+            k = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            d = batch.column("l_shipdate").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            return pa.table(
+                {
+                    "key": pa.array(k, pa.int64()),
+                    "dt": pa.array(d, pa.int64()),
+                    "side": pa.array(np.ones(len(k), np.int64), pa.int64()),
+                    "part": pa.array(k % N_COARSE_PARTS, pa.int64()),
+                }
+            )
+
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+        ).map_batches(order_side, batch_format="pyarrow")
+        lines = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+        ).map_batches(line_side, batch_format="pyarrow")
+
+        def joined(part_tbl: pa.Table) -> pa.Table:
+            df = part_tbl.select(["key", "dt", "side"]).to_pandas()
+            build = df[df["side"] == 0].set_index("key")["dt"]
+            probe = df[df["side"] == 1]
+            odt = probe["key"].map(build).to_numpy()
+            n = int((probe["dt"].to_numpy() < odt).sum())
+            return _counts([("lineitem_ship_before_order", n)])
+
+        return (
+            orders.union(lines).groupby("part").map_groups(
+                joined, batch_format="pyarrow"
+            )
+        )
+
+    partials = (
+        line_scan.union(order_scan)
+        .union(event_scan)
+        .union(dup_check("orders", "o_orderkey", "orders_dup_pk"))
+        .union(dup_check("customer", "c_custkey", "customer_dup_pk"))
+        .union(
+            orphan_check(
+                "orders", "o_custkey", "customer", "c_custkey",
+                "orders_orphan_custkey",
+            )
+        )
+        .union(
+            orphan_check(
+                "lineitem", "l_orderkey", "orders", "o_orderkey",
+                "lineitem_orphan_orderkey",
+            )
+        )
+        .union(ship_before_order())
+    )
+    return partials.groupby("check_name").aggregate(
+        Sum("n", alias_name="n_violations")
+    )

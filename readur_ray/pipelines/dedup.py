@@ -1757,3 +1757,174 @@ def ppjoin_exact(sf_dir: str) -> "ray.data.Dataset":
         .groupby("part")
         .map_groups(_pp_verify, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking (SNM)
+# ---------------------------------------------------------------------------
+
+SNM_WINDOW = 3            # pair docs whose global sort ranks differ by <= w
+SNM_BUCKET_CHARS = 6      # order-bucket = first chars of the sort key (dial:
+                          # longer prefix -> more, smaller buckets at scale)
+SNM_BLOCK = 64            # rank-block width for pair generation (>= WINDOW)
+
+
+def snm_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95) —
+    the SORT-based candidate generator of record linkage, the class
+    LSH doesn't cover: docs adjacent under a domain sort key are
+    linkage candidates even with zero shingle overlap (think
+    'Jon Smith' / 'John Smith' rows). Key = lang | first 12 chars of
+    lowercased text; every pair whose global (key, doc_id) sort ranks
+    differ by ≤ SNM_WINDOW is emitted with its rank distance.
+
+    Exact global ranks WITHOUT a global sort barrier:
+      1. one pass computes keys and their ORDER-ALIGNED bucket (first
+         SNM_BUCKET_CHARS chars — each bucket is a contiguous key
+         range, so bucket counts give exact rank bases);
+      2. bucket counts → driver prefix sum over the sorted bucket
+         names (bounded by distinct prefixes, the documented dial) →
+         broadcast base offsets;
+      3. per-bucket local sort assigns rank = base + local index;
+      4. pair generation is rank-block-local: each (rank, doc) row is
+         emitted to block rank//SNM_BLOCK, and rows in a block's first
+         w ranks ALSO to the previous block (whose windows reach
+         across the boundary) — so a block holds the contiguous dense
+         rank range [64g, 64(g+1)+w-1]; one vectorized lexsort + w
+         shifted compares per partition emits every in-window pair
+         exactly once (owner rule: the block containing rank_a).
+    Only (int64 rank, doc_id, block) rows shuffle; dense global ranks
+    make position offset == rank offset inside a block, so the pair
+    scan is pure numpy."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keys = [
+            f"{lang}|{(text or '').lower()[:12]}"
+            for lang, text in zip(
+                batch.column("lang").to_pylist(), batch.column("text").to_pylist()
+            )
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "key": pa.array(keys, pa.string()),
+                "bucket": pa.array([k[:SNM_BUCKET_CHARS] for k in keys], pa.string()),
+            }
+        )
+
+    keyed_ds = docs.map_batches(keyed, batch_format="pyarrow")
+
+    # bucket → count grid (driver read bounded by distinct prefixes)
+    from ray.data.aggregate import Sum
+
+    counts: dict[str, int] = {}
+    for b in (
+        keyed_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "bucket": t.column("bucket"),
+                    "n": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .iter_batches(batch_format="pyarrow")
+    ):
+        counts.update(zip(b.column("bucket").to_pylist(), b.column("n").to_pylist()))
+    bases: dict[str, int] = {}
+    acc = 0
+    for bk in sorted(counts):
+        bases[bk] = acc
+        acc += counts[bk]
+    bases_ref = ray.put(bases)
+
+    class RankRows:
+        def __init__(self, bases_ref):
+            self.bases = ray.get(bases_ref)
+
+        def __call__(self, bucket_tbl: pa.Table) -> pa.Table:
+            df = bucket_tbl.select(["doc_id", "key", "bucket"]).to_pandas()
+            df = df.sort_values(["key", "doc_id"], ignore_index=True)
+            base = self.bases[df["bucket"].iloc[0]]
+            rank = base + np.arange(len(df), dtype=np.int64)
+            ids = df["doc_id"].to_numpy()
+            g1 = rank // SNM_BLOCK
+            # rows near a block START also ship to the PREVIOUS block,
+            # which owns windows that start there and reach across
+            g2 = (rank - SNM_WINDOW) // SNM_BLOCK
+            cp = (g2 != g1) & (g2 >= 0)
+            rep = np.concatenate([g1, g2[cp]])
+            out_rank = np.concatenate([rank, rank[cp]])
+            out_ids = np.concatenate([ids, ids[cp]])
+            return pa.table(
+                {
+                    "rank": pa.array(out_rank, pa.int64()),
+                    "doc_id": pa.array(out_ids, pa.int64()),
+                    "g": pa.array(rep, pa.int64()),
+                    "part": pa.array(int_partition(rep), pa.int64()),
+                }
+            )
+
+    ranked = (
+        keyed_ds.groupby("bucket")
+        .map_groups(
+            RankRows,
+            fn_constructor_args=(bases_ref,),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+    )
+
+    return ranked.groupby("part").map_groups(
+        _snm_window_pairs, batch_format="pyarrow"
+    )
+
+
+_SNM_EMPTY = pa.table(
+    {
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "rank_dist": pa.array([], pa.int64()),
+    }
+)
+
+
+def _snm_window_pairs(part_tbl: pa.Table) -> pa.Table:
+    """Vectorized in-window pair emission over a coarse partition of
+    rank-block rows: one lexsort on (g, rank), then w shifted compares
+    — valid because each block's rank range is contiguous and dense,
+    so position offset equals rank offset; the owner rule
+    rank_a//SNM_BLOCK == g dedups boundary copies."""
+    g = part_tbl.column("g").to_numpy(zero_copy_only=False)
+    rank = part_tbl.column("rank").to_numpy(zero_copy_only=False)
+    ids = part_tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    o = np.lexsort((rank, g))
+    g, rank, ids = g[o], rank[o], ids[o]
+    out_a, out_b, out_d = [], [], []
+    for d in range(1, SNM_WINDOW + 1):
+        if len(rank) <= d:
+            break
+        a, b = np.arange(len(rank) - d), np.arange(d, len(rank))
+        ok = (
+            (g[b] == g[a])
+            & (rank[b] - rank[a] == d)
+            & (rank[a] // SNM_BLOCK == g[a])
+        )
+        out_a.append(ids[a[ok]])
+        out_b.append(ids[b[ok]])
+        out_d.append(np.full(int(ok.sum()), d, np.int64))
+    if not out_a:
+        return _SNM_EMPTY
+    return pa.table(
+        {
+            "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "rank_dist": pa.array(np.concatenate(out_d), pa.int64()),
+        }
+    )

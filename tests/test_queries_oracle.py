@@ -160,6 +160,11 @@ SUBSET = [
     # the tail, already appear above)
     "ppjoin_exact",
     "skyline_users",
+    # round-4 wave 17: data-quality constraint audit + sorted-
+    # neighborhood blocking (audio_features / knn_graph, which they
+    # displaced to the tail, already appear above)
+    "data_quality_audit",
+    "snm_pairs",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",

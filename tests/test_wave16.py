@@ -91,3 +91,47 @@ def test_prefix_len_integer_math():
 
     want = n - np.array([math.ceil(x / 2) for x in n]) + 1
     assert (p == want).all()
+
+
+def test_snm_window_kernel_boundary_copies():
+    # ranks 60..67 span the block-63|64 boundary (SNM_BLOCK=64): rows
+    # 64..66 are copied into block 0 per the RankRows rule; the kernel
+    # must emit every pair with rank diff <= 3 exactly once
+    import pyarrow as pa
+
+    from readur_ray.pipelines.dedup import (
+        SNM_BLOCK,
+        SNM_WINDOW,
+        _snm_window_pairs,
+    )
+
+    assert SNM_BLOCK == 64 and SNM_WINDOW == 3
+    ranks = list(range(60, 68))
+    rows = []  # (rank, doc_id=rank*10, g)
+    for r in ranks:
+        rows.append((r, r * 10, r // SNM_BLOCK))
+        g2 = (r - SNM_WINDOW) // SNM_BLOCK
+        if g2 != r // SNM_BLOCK and g2 >= 0:
+            rows.append((r, r * 10, g2))
+    t = pa.table(
+        {
+            "rank": pa.array([r for r, _, _ in rows], pa.int64()),
+            "doc_id": pa.array([d for _, d, _ in rows], pa.int64()),
+            "g": pa.array([g for _, _, g in rows], pa.int64()),
+        }
+    )
+    out = _snm_window_pairs(t)
+    got = sorted(
+        zip(
+            out.column("doc_a").to_pylist(),
+            out.column("doc_b").to_pylist(),
+            out.column("rank_dist").to_pylist(),
+        )
+    )
+    want = sorted(
+        (a * 10, b * 10, b - a)
+        for a in ranks
+        for b in ranks
+        if 0 < b - a <= SNM_WINDOW
+    )
+    assert got == want
