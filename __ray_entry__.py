@@ -271,7 +271,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bit-green in the tail)
         "data_quality_audit": analytics.data_quality_audit,
         # --- remaining M/F/A items: MIME lattice, fuzzy trigram, DSL ---
-        "fuzzy_search": extras.fuzzy_search,
+        # (round 4, wave 18) BM25 probabilistic IR scoring with the
+        # RATIONAL idf variant in exact fixed-point integers — the
+        # corpus-statistics ranking class (saturating tf + length
+        # normalization) search_ranked's fixed hit weights can't
+        # express; pass 1 reduces (N, T, df) to O(#terms) ints, pass 2
+        # scores shuffle-free. Takes fuzzy_search's head seat (its
+        # trigram set-overlap predicate is ppjoin_exact's head-checked
+        # set-intersection counting over a different tokenization, with
+        # text_search head-checking the query-DSL surface; pytest keeps
+        # it bit-green in the tail)
+        "bm25_scores": search.bm25_scores,
         # (round 4, wave 16) EXACT set-similarity self-join via
         # AllPairs/PPJoin prefix filtering — the exactness-preserving
         # pruning class the sketch family lacks (LSH can miss pairs;
@@ -521,6 +531,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semdedup's head-checked cell kernel emitting neighbor lists)
         "audio_features": multimodal.audio_features,
         "knn_graph": similarity.knn_graph,
+        # (round 4 wave 18) fuzzy_search displaced by bm25_scores (see
+        # head comment); window_dedup is the TTL-window keep-first over
+        # events — dedup_exact's head-checked hash-partition winner plan
+        # on a composite (user, type, hour) key, so it starts in the
+        # tail with pytest parity
+        "fuzzy_search": extras.fuzzy_search,
+        "window_dedup": extras.window_dedup,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -875,6 +892,47 @@ def oracle_sql() -> dict[str, str]:
                CAST((SELECT count(*) FROM lineitem l
                      JOIN orders o ON l.l_orderkey = o.o_orderkey
                      WHERE l.l_shipdate < o.o_orderdate) AS BIGINT)
+    """
+
+    # bm25_scores: rational-idf BM25 in exact fixed-point integers —
+    # k1 = 6/5 and b = 3/4 folded into the 44/20/6/18 coefficients
+    # (multiply numerator and denominator by 20T); HUGEINT intermediates
+    sql["bm25_scores"] = f"""
+        WITH {_WORDS_CTE},
+        dl AS (SELECT doc_id, len(ws) AS dl FROM w),
+        tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+        q AS (SELECT * FROM (VALUES ('hash'), ('merge'), ('scan'), ('table'))
+              AS q(term)),
+        stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                         (SELECT sum(dl) FROM dl) AS n_tok),
+        dft AS (SELECT t AS term, count(DISTINCT tok.doc_id) AS df
+                FROM tok JOIN q ON q.term = tok.t GROUP BY 1),
+        tft AS (SELECT doc_id, t AS term, count(*) AS tf
+                FROM tok JOIN q ON q.term = tok.t GROUP BY 1, 2),
+        parts AS (
+          SELECT tft.doc_id,
+                 CAST(
+                   (CAST(2*n_docs - 2*df + 1 AS HUGEINT)
+                      * (44 * tf * n_tok) * 1000000)
+                   // (CAST(2*df + 1 AS HUGEINT)
+                      * (20 * tf * n_tok + 6 * n_tok + 18 * dl.dl * n_docs))
+                 AS BIGINT) AS s
+          FROM tft JOIN dft USING (term)
+          JOIN dl ON dl.doc_id = tft.doc_id, stats
+        )
+        SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25_fp
+        FROM parts GROUP BY 1
+    """
+
+    # window_dedup: keep-first per (user, type, hour) tumbling window,
+    # ties on (ts, event_id)
+    sql["window_dedup"] = """
+        SELECT event_id, user_id, event_type, ts FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type, date_trunc('hour', ts)
+            ORDER BY ts, event_id) AS rn
+          FROM events
+        ) WHERE rn = 1
     """
 
     # snm_pairs: global (key, doc_id) sort ranks, pairs within the

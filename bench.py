@@ -119,6 +119,7 @@ def run_queries() -> dict[str, float]:
         "dedup_edit_distance", "triangle_count",
         "ppjoin_exact", "skyline_users",
         "data_quality_audit", "snm_pairs",
+        "bm25_scores", "window_dedup",
     ]
     out: dict[str, float] = {}
     for name in picks:

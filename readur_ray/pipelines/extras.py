@@ -373,3 +373,72 @@ def item_cooccurrence(sf_dir: str) -> "ray.data.Dataset":
         .groupby("part")
         .map_groups(final_topk, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# windowed event dedup (streaming keep-first with a TTL window)
+# ---------------------------------------------------------------------------
+
+def window_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Streaming-style event dedup: keep the FIRST event per
+    (user_id, event_type) within each 1-hour tumbling window — the
+    TTL-window dedup every event-ingestion pipeline runs ahead of
+    sessionization (at-least-once transports re-deliver within
+    minutes; a global keep-first would wrongly collapse legitimate
+    repeats hours apart).
+
+    Plan: one coarse shuffle on hash(user, type, hour) — every copy of
+    a (key, window) group lands together — then a vectorized
+    per-partition sort + drop_duplicates resolves all groups at once.
+    Only the four projected columns shuffle; ties break on
+    (ts, event_id) exactly like the oracle's ROW_NUMBER order."""
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        h = pc.divide(hour.cast(pa.int64()), 3_600_000_000).to_numpy(
+            zero_copy_only=False
+        )
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        types = batch.column("event_type").to_numpy(zero_copy_only=False)
+        # process-stable type key (never Python hash(): per-process seed)
+        tsum = np.array(
+            [sum(t.encode()) for t in types], dtype=np.int64
+        )
+        part = (users * 1_000_003 + h * 10_007 + tsum) % N_COARSE_PARTS
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "event_type": batch.column("event_type"),
+                "ts": batch.column("ts"),
+                "hour": pa.array(h, pa.int64()),
+                "part": pa.array(part.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def keep_first(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.select(
+            ["event_id", "user_id", "event_type", "ts", "hour"]
+        ).to_pandas()
+        df = df.sort_values(["ts", "event_id"], ignore_index=True)
+        df = df.drop_duplicates(["user_id", "event_type", "hour"], keep="first")
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+                "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+                "event_type": pa.array(df["event_type"], pa.string()),
+                "ts": pa.array(df["ts"], pa.timestamp("us")),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(keep_first, batch_format="pyarrow")
+    )

@@ -254,3 +254,124 @@ def queue_stats(sf_dir: str) -> "ray.data.Dataset":
         .groupby(["status", "failure_reason"])
         .aggregate(Count(alias_name="n_docs"), Sum("words", alias_name="total_words"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 scoring (rational-idf, exact fixed-point integers)
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("hash", "table", "scan", "merge")
+BM25_SCALE = 1_000_000     # fixed-point scale of the per-term score
+# k1 = 6/5, b = 3/4 folded into integer coefficients (see formula below)
+
+
+def bm25_scores(sf_dir: str) -> "ray.data.Dataset":
+    """Probabilistic IR scoring — BM25 with the RATIONAL idf variant,
+    every arithmetic step exact integers so the DuckDB oracle matches
+    bit-for-bit (the standard ln() idf is transcendental and
+    libm-dependent; the rational form (N−df+½)/(df+½) = (2N−2df+1)/
+    (2df+1) keeps BM25's saturation and length-normalization semantics
+    while staying oracle-exact — documented variant, not an
+    approximation error).
+
+    Per term t and doc d, with tf = term count, dl = doc token count,
+    N = corpus docs, T = corpus tokens (avgdl = T/N), k1 = 6/5,
+    b = 3/4:
+
+        tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+          = 44·tf·T / (20·tf·T + 6·T + 18·dl·N)      (×20T)
+
+        score_t(d) = floor(SCALE · (2N−2df+1) · 44·tf·T /
+                           ((2df+1) · (20·tf·T + 6T + 18·dl·N)))
+
+    and bm25_fp(d) = Σ_t score_t(d), emitted for every doc matching
+    ≥ 1 term.
+
+    Plan: pass 1 computes (N, T, df per query term) as per-batch
+    partial counts — the driver reads O(#terms) integers (bounded
+    broadcast, the top_ngrams contract); pass 2 scores every batch
+    vectorized (token counts via one unique+searchsorted against the
+    term list) with zero shuffles. At 100 TB both passes stream; the
+    int64 headroom assert guards the fixed-point products (T beyond
+    ~1e12 tokens switches SCALE down — the documented dial)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    terms = np.array(sorted(BM25_TERMS))
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        import re
+
+        n_docs, n_tok = 0, 0
+        df = np.zeros(len(terms), np.int64)
+        for text in batch.column("text").to_pylist():
+            ws = re.findall(r"[a-z0-9]+", (text or "").lower())
+            n_docs += 1
+            n_tok += len(ws)
+            u = np.unique(np.asarray(ws, dtype=object))
+            idx = np.searchsorted(terms, u)
+            idx_c = np.minimum(idx, len(terms) - 1)
+            df += np.bincount(
+                idx_c[terms[idx_c] == u], minlength=len(terms)
+            ).astype(np.int64)
+        return pa.table(
+            {
+                "term": pa.array(["", ""] + list(terms), pa.string()),
+                "n": pa.array(
+                    np.concatenate(([n_docs, n_tok], df)), pa.int64()
+                ),
+                "kind": pa.array(
+                    ["N", "T"] + ["df"] * len(terms), pa.string()
+                ),
+            }
+        )
+
+    stats: dict[tuple[str, str], int] = {}
+    for b in (
+        ds.map_batches(stat_partial, batch_format="pyarrow")
+        .groupby(["kind", "term"])
+        .aggregate(Sum("n", alias_name="n"))
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for kind, term, n in zip(
+            b.column("kind").to_pylist(),
+            b.column("term").to_pylist(),
+            b.column("n").to_pylist(),
+        ):
+            stats[(kind, term)] = n
+    N = stats[("N", "")]
+    T = stats[("T", "")]
+    df_vec = np.array([stats.get(("df", t), 0) for t in terms], np.int64)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import re
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_s = [], []
+        for doc_id, text in zip(ids, batch.column("text").to_pylist()):
+            ws = re.findall(r"[a-z0-9]+", (text or "").lower())
+            dl = len(ws)
+            u, cnt = np.unique(np.asarray(ws, dtype=object), return_counts=True)
+            idx = np.searchsorted(terms, u)
+            idx_c = np.minimum(idx, len(terms) - 1)
+            hit = terms[idx_c] == u
+            if not hit.any():
+                continue
+            tf = np.zeros(len(terms), np.int64)
+            tf[idx_c[hit]] = cnt[hit]
+            m = tf > 0
+            num = (2 * N - 2 * df_vec[m] + 1) * (44 * tf[m] * T) * BM25_SCALE
+            den = (2 * df_vec[m] + 1) * (20 * tf[m] * T + 6 * T + 18 * dl * N)
+            assert (num >= 0).all() and num.max(initial=0) < (1 << 62), (
+                "fixed-point overflow headroom exceeded — lower BM25_SCALE"
+            )
+            out_id.append(doc_id)
+            out_s.append(int((num // den).sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "bm25_fp": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

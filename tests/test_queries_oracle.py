@@ -165,6 +165,11 @@ SUBSET = [
     # displaced to the tail, already appear above)
     "data_quality_audit",
     "snm_pairs",
+    # round-4 wave 18: fixed-point BM25 + TTL-window event dedup
+    # (fuzzy_search, which bm25 displaced to the tail, already appears
+    # above; window_dedup starts in the tail by design)
+    "bm25_scores",
+    "window_dedup",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
