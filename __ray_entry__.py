@@ -538,6 +538,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tail with pytest parity
         "fuzzy_search": extras.fuzzy_search,
         "window_dedup": extras.window_dedup,
+        # (round 4 wave 19, tail by design) dataset profiler — the
+        # statistics-collection sibling of the head-checked
+        # data_quality_audit (min/max/null partials + the same
+        # key-partitioned exact-distinct plan); and the robust
+        # median/MAD outlier gate — median_by_type's head-adjacent
+        # exact-median shuffle run twice plus a broadcast counting scan
+        "profile_columns": analytics.profile_columns,
+        "mad_outliers": analytics.mad_outliers,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -933,6 +941,61 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY ts, event_id) AS rn
           FROM events
         ) WHERE rn = 1
+    """
+
+    # profile_columns: per-column exact min/max/nulls/ndv over the
+    # same integer projections as the Ray kernels (cents for money,
+    # raw int for keys)
+    sql["profile_columns"] = """
+        SELECT 'l_quantity' AS "column", 'min' AS stat,
+               CAST(min(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS value FROM lineitem
+        UNION ALL SELECT 'l_quantity', 'max',
+               CAST(max(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               FROM lineitem
+        UNION ALL SELECT 'l_quantity', 'nulls',
+               CAST(count(*) - count(l_quantity) AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'l_quantity', 'ndv',
+               CAST(count(DISTINCT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', 'min',
+               CAST(min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', 'max',
+               CAST(max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', 'nulls',
+               CAST(count(*) - count(l_extendedprice) AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', 'ndv',
+               CAST(count(DISTINCT CAST(floor(l_extendedprice * 100 + 0.5)
+                    AS BIGINT)) AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'l_partkey', 'min', CAST(min(l_partkey) AS BIGINT)
+               FROM lineitem
+        UNION ALL SELECT 'l_partkey', 'max', CAST(max(l_partkey) AS BIGINT)
+               FROM lineitem
+        UNION ALL SELECT 'l_partkey', 'nulls',
+               CAST(count(*) - count(l_partkey) AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'l_partkey', 'ndv',
+               CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem
+    """
+
+    # mad_outliers: exact discrete median + MAD per type, outliers at
+    # |x - med| > 3*MAD (all integer cents)
+    sql["mad_outliers"] = """
+        WITH c AS (SELECT event_type,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                   FROM events),
+        med AS (SELECT event_type, quantile_disc(cents, 0.5) AS m
+                FROM c GROUP BY 1),
+        mad AS (SELECT c.event_type, quantile_disc(abs(cents - m), 0.5) AS d
+                FROM c JOIN med USING (event_type) GROUP BY 1)
+        SELECT c.event_type,
+               CAST(m AS BIGINT) AS median_cents,
+               CAST(d AS BIGINT) AS mad_cents,
+               CAST(coalesce(sum(CASE WHEN abs(cents - m) > 3 * d THEN 1 END), 0)
+                    AS BIGINT) AS n_outliers
+        FROM c JOIN med USING (event_type) JOIN mad USING (event_type)
+        GROUP BY 1, m, d
     """
 
     # snm_pairs: global (key, doc_id) sort ranks, pairs within the

@@ -120,6 +120,7 @@ def run_queries() -> dict[str, float]:
         "ppjoin_exact", "skyline_users",
         "data_quality_audit", "snm_pairs",
         "bm25_scores", "window_dedup",
+        "profile_columns", "mad_outliers",
     ]
     out: dict[str, float] = {}
     for name in picks:

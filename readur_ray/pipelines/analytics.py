@@ -1776,3 +1776,284 @@ def data_quality_audit(sf_dir: str) -> "ray.data.Dataset":
     return partials.groupby("check_name").aggregate(
         Sum("n", alias_name="n_violations")
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset profiling + robust (MAD) outlier gating
+# ---------------------------------------------------------------------------
+
+def profile_columns(sf_dir: str) -> "ray.data.Dataset":
+    """Dataset profiler — the statistics-collection sibling of
+    data_quality_audit (what a catalog / zone-map builder records per
+    column before anyone writes constraints): for each profiled
+    lineitem column, exact min, max, null count and exact distinct
+    count, as (column, stat, value) rows in integer cents/units.
+
+    Plan: min/max/nulls are per-batch partials folded by one tiny
+    groupby; exact ndv rides the same key-partitioned distinct plan as
+    the audit's duplicate-PK check (all copies of a value co-locate,
+    per-partition nunique sums are exact). Only (column-id, value)
+    int64 pairs shuffle for the ndv half; the min/max half never
+    shuffles more than #columns × #batches rows."""
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    cols = {
+        "l_quantity": lambda b: np.floor(
+            b.column("l_quantity").to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64),
+        "l_extendedprice": lambda b: np.floor(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+            + 0.5
+        ).astype(np.int64),
+        "l_partkey": lambda b: b.column("l_partkey").to_numpy(
+            zero_copy_only=False
+        ),
+    }
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=list(cols)
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        names, stats, vals = [], [], []
+        for name, fn in cols.items():
+            v = fn(batch)
+            nulls = int(batch.column(name).null_count)
+            names += [name] * 3
+            stats += ["min", "max", "nulls"]
+            vals += [int(v.min()), int(v.max()), nulls]
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "stat": pa.array(stats, pa.string()),
+                "value": pa.array(vals, pa.int64()),
+            }
+        )
+
+    minmax = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["column", "stat"])
+        .aggregate(
+            Min("value", alias_name="mn"),
+            Max("value", alias_name="mx"),
+            Sum("value", alias_name="sm"),
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "column": b.column("column"),
+                    "stat": b.column("stat"),
+                    "value": pa.array(
+                        np.where(
+                            np.asarray(b.column("stat").to_pylist()) == "min",
+                            b.column("mn").to_numpy(zero_copy_only=False),
+                            np.where(
+                                np.asarray(b.column("stat").to_pylist()) == "max",
+                                b.column("mx").to_numpy(zero_copy_only=False),
+                                b.column("sm").to_numpy(zero_copy_only=False),
+                            ),
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def ndv_rows(batch: pa.Table) -> pa.Table:
+        names, keys = [], []
+        for ci, (name, fn) in enumerate(sorted(cols.items())):
+            v = np.unique(fn(batch))
+            names.append(np.full(len(v), ci, np.int64))
+            keys.append(v)
+        ci_arr = np.concatenate(names)
+        k_arr = np.concatenate(keys)
+        return pa.table(
+            {
+                "ci": pa.array(ci_arr, pa.int64()),
+                "key": pa.array(k_arr, pa.int64()),
+                "part": pa.array(
+                    (ci_arr * 1_000_003 + k_arr) % N_COARSE_PARTS, pa.int64()
+                ),
+            }
+        )
+
+    names_sorted = sorted(cols)
+
+    def ndv_part(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.select(["ci", "key"]).to_pandas().drop_duplicates()
+        g = df.groupby("ci", sort=False).size()
+        return pa.table(
+            {
+                "column": pa.array(
+                    [names_sorted[int(i)] for i in g.index], pa.string()
+                ),
+                "stat": pa.array(["ndv"] * len(g), pa.string()),
+                "value": pa.array(g.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    ndv = (
+        ds.map_batches(ndv_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(ndv_part, batch_format="pyarrow")
+        .groupby(["column", "stat"])
+        .aggregate(Sum("value", alias_name="value"))
+    )
+    return minmax.union(ndv)
+
+
+MAD_K = 3  # flag events with |cents - median| > MAD_K * MAD
+
+
+def mad_outliers(sf_dir: str) -> "ray.data.Dataset":
+    """Robust per-group outlier gate — median/MAD instead of
+    mean/stddev (no sqrt, no float drift, breakdown point 50%): per
+    event_type compute the exact discrete median of integer cents,
+    then the exact discrete median of |cents − median| (the MAD), and
+    report per type how many events violate |x − med| > MAD_K·MAD.
+
+    Two exact-median passes (each the same coarse type-key shuffle as
+    median_value_by_type — per-partition quantile_disc over all
+    contained types at once) and one counting scan with the (median,
+    MAD) table broadcast; output (event_type, median_cents, mad_cents,
+    n_outliers). The broadcast is O(#types) — bounded."""
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def rows(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column("value")).to_numpy(zero_copy_only=False)
+        types = batch.column("event_type").to_numpy(zero_copy_only=False)
+        tsum = np.array([sum(t.encode()) for t in types], dtype=np.int64)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": pa.array(cents, pa.int64()),
+                "part": pa.array(tsum % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def med_part(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.select(["event_type", "cents"]).to_pandas()
+        med = df.groupby("event_type", sort=False)["cents"].apply(
+            lambda s: int(np.sort(s.to_numpy())[(len(s) - 1) // 2])
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(med.index, pa.string()),
+                "median_cents": pa.array(
+                    med.to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    keyed = ds.map_batches(rows, batch_format="pyarrow")
+    med_tbl: dict[str, int] = {}
+    for b in (
+        keyed.groupby("part")
+        .map_groups(med_part, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        med_tbl.update(
+            zip(
+                b.column("event_type").to_pylist(),
+                b.column("median_cents").to_pylist(),
+            )
+        )
+    med_ref = ray.put(med_tbl)
+
+    class AbsDev:
+        def __init__(self, med_ref):
+            self.med = ray.get(med_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            types = batch.column("event_type").to_pylist()
+            cents = batch.column("cents").to_numpy(zero_copy_only=False)
+            med = np.array([self.med[t] for t in types], np.int64)
+            return pa.table(
+                {
+                    "event_type": batch.column("event_type"),
+                    "cents": pa.array(np.abs(cents - med), pa.int64()),
+                    "part": batch.column("part"),
+                }
+            )
+
+    def mad_part(part_tbl: pa.Table) -> pa.Table:
+        t = med_part(part_tbl)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "mad_cents": t.column("median_cents"),
+            }
+        )
+
+    mad_tbl: dict[str, int] = {}
+    for b in (
+        keyed.map_batches(
+            AbsDev, fn_constructor_args=(med_ref,), batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+        .groupby("part")
+        .map_groups(mad_part, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        mad_tbl.update(
+            zip(
+                b.column("event_type").to_pylist(),
+                b.column("mad_cents").to_pylist(),
+            )
+        )
+    both_ref = ray.put((med_tbl, mad_tbl))
+
+    class CountOutliers:
+        def __init__(self, both_ref):
+            self.med, self.mad = ray.get(both_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            types = batch.column("event_type").to_pylist()
+            cents = _cents(batch.column("value")).to_numpy(
+                zero_copy_only=False
+            )
+            med = np.array([self.med[t] for t in types], np.int64)
+            mad = np.array([self.mad[t] for t in types], np.int64)
+            out = np.abs(cents - med) > MAD_K * mad
+            t = pa.table(
+                {
+                    "event_type": pa.array(types, pa.string()),
+                    "n": pa.array(out.astype(np.int64), pa.int64()),
+                }
+            )
+            return (
+                t.group_by("event_type")
+                .aggregate([("n", "sum")])
+                .rename_columns(["event_type", "n"])
+            )
+
+    counts = (
+        ds.map_batches(
+            CountOutliers,
+            fn_constructor_args=(both_ref,),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n_outliers"))
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type").to_pylist()
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "median_cents": pa.array(
+                    [med_tbl[t] for t in types], pa.int64()
+                ),
+                "mad_cents": pa.array([mad_tbl[t] for t in types], pa.int64()),
+                "n_outliers": batch.column("n_outliers"),
+            }
+        )
+
+    return counts.map_batches(attach, batch_format="pyarrow")

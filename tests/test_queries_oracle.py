@@ -170,6 +170,9 @@ SUBSET = [
     # above; window_dedup starts in the tail by design)
     "bm25_scores",
     "window_dedup",
+    # round-4 wave 19 (tail by design): dataset profiler + MAD gate
+    "profile_columns",
+    "mad_outliers",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",

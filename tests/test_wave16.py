@@ -135,3 +135,29 @@ def test_snm_window_kernel_boundary_copies():
         if 0 < b - a <= SNM_WINDOW
     )
     assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=50),      # tf
+    st.integers(min_value=1, max_value=500),     # dl
+    st.integers(min_value=1, max_value=10_000),  # N
+    st.integers(min_value=1, max_value=100),     # avgdl
+    st.integers(min_value=1, max_value=10_000),  # df (clamped to N)
+)
+def test_bm25_fixed_point_matches_float_formula(tf, dl, N, avgdl, df):
+    # the integer coefficients (44/20/6/18, x20T) must equal the float
+    # BM25 term score with k1=1.2, b=0.75 and the rational idf
+    # (N - df + 0.5)/(df + 0.5), to within 1/SCALE quantization
+    from readur_ray.pipelines.search import BM25_SCALE
+
+    df = min(df, N)
+    T = N * avgdl
+    num = (2 * N - 2 * df + 1) * (44 * tf * T) * BM25_SCALE
+    den = (2 * df + 1) * (20 * tf * T + 6 * T + 18 * dl * N)
+    got = (num // den) / BM25_SCALE
+    k1, b = 1.2, 0.75
+    idf = (N - df + 0.5) / (df + 0.5)
+    sat = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / (T / N)))
+    want = idf * sat
+    assert abs(got - want) <= 2 / BM25_SCALE + 1e-9 * want
