@@ -161,3 +161,55 @@ def test_bm25_fixed_point_matches_float_formula(tf, dl, N, avgdl, df):
     sat = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / (T / N)))
     want = idf * sat
     assert abs(got - want) <= 2 / BM25_SCALE + 1e-9 * want
+
+
+def test_snm_pairs_tie_heavy_corpus(ray_session, tmp_path):
+    # 200 docs drawn from only 5 distinct texts: masses of duplicate
+    # sort keys, so correctness hinges on the (key, doc_id) tie-break
+    # inside every bucket and across bucket boundaries
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from readur_ray.pipelines.dedup import SNM_WINDOW, snm_pairs
+
+    rng = np.random.default_rng(3)
+    texts5 = [f"{w} common tail words here" for w in
+              ("alpha", "beta", "gamma", "delta", "epsilon")]
+    n = 200
+    ids = rng.permutation(n * 3)[:n]  # non-contiguous, shuffled doc ids
+    texts = [texts5[int(i)] for i in rng.integers(0, 5, n)]
+    langs = [("en", "de", "fr")[int(i)] for i in rng.integers(0, 3, n)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = snm_pairs(str(tmp_path))
+    got = sorted(
+        (a, b, d)
+        for batch in out.iter_batches(batch_format="pyarrow")
+        for a, b, d in zip(
+            batch.column("doc_a").to_pylist(),
+            batch.column("doc_b").to_pylist(),
+            batch.column("rank_dist").to_pylist(),
+        )
+    )
+    # naive reference: global (key, doc_id) sort, all pairs within w
+    keyed = sorted(
+        (f"{lang}|{t.lower()[:12]}", int(i))
+        for i, t, lang in zip(ids, texts, langs)
+    )
+    want = sorted(
+        (keyed[i][1], keyed[j][1], j - i)
+        for i in range(n)
+        for j in range(i + 1, min(i + SNM_WINDOW + 1, n))
+    )
+    assert got == want
