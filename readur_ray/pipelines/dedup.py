@@ -1464,8 +1464,11 @@ def _pp_heavy_hitters(sf_dir: str) -> dict[int, int]:
     cardinality — the same bounded-read contract as top_ngrams)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        flat, _ = _list_col_views(batch.column("hset"))
-        uniq, cnt = np.unique(flat, return_counts=True)
+        flat, offs = _list_col_views(batch.column("hset"))
+        # window to THIS batch's slice: a sliced ListArray's .values is
+        # the whole block's child array, so counting `flat` unwindowed
+        # multiplies df by the number of slices per block
+        uniq, cnt = np.unique(flat[offs[0] : offs[-1]], return_counts=True)
         return pa.table(
             {
                 "shingle": pa.array(uniq, pa.int64()),

@@ -714,7 +714,8 @@ def run_incremental(
     # group chunks: reusable only while EVERY member file still exists
     # with a matching etag — otherwise the whole group's dir goes and
     # its surviving members regroup with the rest of the pending set
-    for cid, members in ledger.committed_groups(out_dir).items():
+    committed_group_map = ledger.committed_groups(out_dir)
+    for cid, members in committed_group_map.items():
         dirp = os.path.join(extracted_root, f"chunk-{cid}")
         ok = os.path.isdir(dirp) and all(
             current.get(p) == e for p, e in members.items()
@@ -725,6 +726,25 @@ def run_incremental(
             if os.path.isdir(dirp):
                 shutil.rmtree(dirp)
             removed.append(cid)
+    # orphan chunks: a crash BETWEEN a chunk dir's atomic rename and
+    # its ledger append leaves a dir no ledger entry owns. Its members
+    # are not in `covered`, so they re-extract — possibly under a
+    # DIFFERENT group id — and the orphan dir would double their rows
+    # in final/ (finalize reads the whole extracted/ tree). Sweep every
+    # incremental chunk dir the ledger doesn't know, plus stale tmps.
+    ledgered = set(legacy_etags) | set(committed_group_map)
+    for d in sorted(os.listdir(extracted_root)):
+        full = os.path.join(extracted_root, d)
+        if d.startswith(".tmp-chunk-"):
+            shutil.rmtree(full, ignore_errors=True)
+        elif (
+            d.startswith(("chunk-f", "chunk-g"))
+            and os.path.isdir(full)
+            and d[len("chunk-"):] not in ledgered
+        ):
+            shutil.rmtree(full)
+            removed.append(d[len("chunk-"):])
+
     if removed:
         ledger.append_entry(
             out_dir, {"kind": "incremental_removed", "chunks": removed}

@@ -333,7 +333,18 @@ def read_uploads(spool_dir: str) -> "ray.data.Dataset":
 
         from ..schema import DOCUMENTS
 
-        empty = pa.table({f.name: pa.array([], f.type) for f in DOCUMENTS})
+        # same 9-column schema as the non-empty branch (DOCUMENTS plus
+        # etag/source/owner/priority) — a state-dependent schema breaks
+        # unions with connector outputs and etag readers
+        empty = pa.table(
+            {
+                **{f.name: pa.array([], f.type) for f in DOCUMENTS},
+                "etag": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "owner": pa.array([], pa.string()),
+                "priority": pa.array([], pa.int32()),
+            }
+        )
         return ray.data.from_arrow(empty)
 
     def to_documents(batch):
@@ -353,7 +364,11 @@ def read_uploads(spool_dir: str) -> "ray.data.Dataset":
             else:
                 span = {"kind": "media", "text": "",
                         "media_ref": f"spool:{r['stored']}", "offset": 0}
-            cols["doc_id"].append(r["relative_path"])
+            # path alone collides when the same filename is uploaded
+            # twice with different content (the spool keeps both): the
+            # content-hash suffix makes the id collision-free while
+            # keeping the virtual path readable
+            cols["doc_id"].append(f"{r['relative_path']}#{r['sha256'][:12]}")
             cols["spans"].append([span])
             cols["mime_type"].append(r["mime_type"])
             cols["file_size"].append(r["size"])

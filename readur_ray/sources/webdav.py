@@ -117,15 +117,14 @@ def parse_propfind_response(
         metadata: dict[str, object] = {}
         is_collection = False
         status_ok = False
-        for el in resp.iter():
+
+        def harvest(el) -> None:
+            nonlocal is_collection
             name = _local(el.tag)
-            if name == "href":
-                href = (el.text or "").strip()
-            elif name == "collection":
+            if name == "collection":
                 is_collection = True
-            elif name == "status":
-                if "200" in (el.text or ""):
-                    status_ok = True
+            elif name in ("href", "status", "propstat", "prop", "response"):
+                return
             elif el.text and el.text.strip():
                 text = el.text.strip()
                 short = name.split(":")[-1]
@@ -149,6 +148,34 @@ def parse_propfind_response(
                     # vendor-specific property, kept verbatim
                     # (webdav_xml_parser.rs:141-145)
                     metadata[name] = text
+
+        for el in resp:
+            if _local(el.tag) == "href":
+                href = (el.text or "").strip()
+        propstats = [ps for ps in resp.iter() if _local(ps.tag) == "propstat"]
+        if propstats:
+            # props scoped to 200-status propstat blocks ONLY: a 404/403
+            # propstat in the same response (unauthorized / failed
+            # props) must not leak stale etags or sizes into the dict
+            for ps in propstats:
+                ps_ok = any(
+                    _local(s.tag) == "status" and "200" in (s.text or "")
+                    for s in ps.iter()
+                )
+                if not ps_ok:
+                    continue
+                status_ok = True
+                for el in ps.iter():
+                    harvest(el)
+        else:
+            # degenerate servers: no propstat wrapper, a bare response
+            # with a direct <status> — the pre-scoping behavior
+            for el in resp.iter():
+                name = _local(el.tag)
+                if name == "status" and "200" in (el.text or ""):
+                    status_ok = True
+                else:
+                    harvest(el)
         if not status_ok or not href:
             continue
         if is_collection and not include_directories:

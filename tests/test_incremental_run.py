@@ -210,3 +210,40 @@ def test_incremental_legacy_filechunks_upgrade(ray_session, tmp_path):
     ids = _final_ids(out)
     assert len(ids) == 10 + 15 + 10 + 10
     assert set(_corpus(15, 9, "b").column("doc_id").to_pylist()) <= ids
+
+
+def test_incremental_sweeps_orphan_chunk_dirs(ray_session, tmp_path):
+    # crash window: a chunk dir atomically renamed into place but whose
+    # ledger append never ran. On rerun its members re-extract (maybe
+    # under a different group id), so the orphan must be swept or its
+    # rows double in final/.
+    import shutil
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    cfg = ExtractionConfig()
+    _write_corpus_files(inp, {f"s{i}.parquet": (12, i + 1) for i in range(3)})
+
+    r1 = run_incremental(inp, out, cfg, group_files=2)
+    assert r1["mode"] == "full"
+    ids1 = _final_ids(out)
+    assert len(ids1) == 36
+
+    # simulate the crash artifact: a committed chunk dir cloned under a
+    # cid the ledger has never seen, plus a stale tmp dir
+    extracted = os.path.join(out, "extracted")
+    committed = [d for d in os.listdir(extracted) if d.startswith("chunk-")]
+    orphan = os.path.join(extracted, "chunk-gdeadbeefdeadbeef")
+    shutil.copytree(os.path.join(extracted, committed[0]), orphan)
+    os.makedirs(os.path.join(extracted, ".tmp-chunk-gfeedface"), exist_ok=True)
+
+    # force a re-run (mutate one file) — the orphan and tmp must be gone
+    # and final/ must hold exactly one row per doc
+    _write_corpus_files(inp, {"s1.parquet": (15, 9)})
+    r2 = run_incremental(inp, out, cfg, group_files=2)
+    assert r2["mode"] in ("targeted", "full")
+    assert not os.path.isdir(orphan)
+    assert not os.path.isdir(os.path.join(extracted, ".tmp-chunk-gfeedface"))
+    t = pq.read_table(os.path.join(out, "final"), columns=["doc_id"])
+    ids = t.column("doc_id").to_pylist()
+    assert len(ids) == len(set(ids)) == 39  # 12 + 15 + 12, no duplicates

@@ -180,15 +180,21 @@ def test_read_uploads_to_extraction(ray_session, tmp_path):
             assert code == 200 and resp["status"] == "success"
 
     ds = read_uploads(spool_dir)
-    rows = {r["doc_id"]: r for r in ds.take_all()}
+    # doc_id = <virtual path>#<sha256 prefix> (collision-free when the
+    # same filename is re-uploaded with different content)
+    rows = {r["doc_id"].split("#")[0]: r for r in ds.take_all()}
     assert set(rows) == {"upload/notes.txt", "upload/scan.pdf", "upload/photo.png"}
+    assert all("#" in r["doc_id"] for r in rows.values())
     assert rows["upload/notes.txt"]["spans"][0]["text"] == "uploaded plain text"
     assert rows["upload/scan.pdf"]["spans"][0]["media_ref"].startswith("spool:")
 
     out_dir = tmp_path / "upload_table"
     ds.write_parquet(str(out_dir))
     cfg = ExtractionConfig(media_resolver=f"spool:{spool_dir}", extract_concurrency=2)
-    extracted = {r["doc_id"]: r for r in build_extracted(str(out_dir), cfg).take_all()}
+    extracted = {
+        r["doc_id"].split("#")[0]: r
+        for r in build_extracted(str(out_dir), cfg).take_all()
+    }
     assert set(extracted) == set(rows)
     assert all(r["status"] == "completed" for r in extracted.values())
     assert extracted["upload/scan.pdf"]["spans"][0]["kind"] == "pdf_text"
@@ -227,5 +233,22 @@ def test_land_connector_input_full_runner(ray_session, tmp_path):
     import ray as _ray
 
     final = _ray.data.read_parquet(summary["final_dir"]).take_all()
-    assert sorted(r["doc_id"] for r in final) == ["upload/a.txt", "upload/b.pdf"]
+    assert sorted(r["doc_id"].split("#")[0] for r in final) == [
+        "upload/a.txt", "upload/b.pdf",
+    ]
     assert all(r["status"] == "completed" for r in final)
+
+
+def test_same_filename_different_content_distinct_doc_ids(ray_session, tmp_path):
+    # re-uploading report.txt with edited content must yield TWO docs
+    # with distinct doc_ids (path-only ids silently merged them)
+    spool_dir = str(tmp_path / "spool")
+    with UploadServer(spool_dir) as srv:
+        for data in (b"version one", b"version two, edited"):
+            body, ctype = _multipart([("file", "report.txt", "text/plain", data)])
+            code, resp = _post(srv.url, body, ctype)
+            assert code == 200 and resp["status"] == "success"
+    rows = read_uploads(spool_dir).take_all()
+    ids = sorted(r["doc_id"] for r in rows)
+    assert len(ids) == 2 and ids[0] != ids[1]
+    assert all(i.startswith("upload/report.txt#") for i in ids)

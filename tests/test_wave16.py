@@ -213,3 +213,33 @@ def test_snm_pairs_tie_heavy_corpus(ray_session, tmp_path):
         for j in range(i + 1, min(i + SNM_WINDOW + 1, n))
     )
     assert got == want
+
+
+def test_pp_heavy_hitters_df_not_inflated_by_batch_slicing(ray_session, tmp_path):
+    # one parquet file with 1400 docs -> blocks bigger than the 1024-row
+    # map_batches slice: an unwindowed ListArray.values would count the
+    # whole block per slice and inflate df by ~2x
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from readur_ray.functions.textstats import md5_int60
+    from readur_ray.pipelines import dedup as D
+
+    n = 1400
+    texts = [f"hot shingle here filler{i} filler{i} end" for i in range(n)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    hh = D._pp_heavy_hitters(str(tmp_path))
+    key = md5_int60("hot shingle here")
+    assert hh[key] == n  # every doc contains it exactly once
