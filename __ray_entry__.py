@@ -129,7 +129,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": textops.redact_pii,
         # --- relational operators (A1-A6, O1-O3, J1/J4, M20, M4-M6) ---
         "filter_allowed": analytics.filter_allowed,
-        "label_facets": analytics.label_facets,
+        # (round 4, wave 20) greedy max-coverage data selection — the
+        # SUBMODULAR-selection class (coreset / diversity picking,
+        # Nemhauser 1978): the objective is a function of the SET
+        # chosen so far, which no independent per-doc score expresses;
+        # K broadcast-scored streaming passes, zero shuffle. Takes
+        # label_facets' head seat (its many-to-many join + facet count
+        # is head-checked regional_brand_revenue's join shape feeding
+        # status_rollup's facet aggregate; pytest keeps it bit-green
+        # in the tail)
+        "coverage_greedy": curation.coverage_greedy,
         # (round 4) two-pass exact per-group percentile thresholds +
         # broadcast filter — supersedes median_by_type's head seat (the
         # sibling one-shuffle exact-quantile primitive, now in the tail
@@ -239,7 +248,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # head-checked ann_topk shape over the head-checked
         # text_search predicate; pytest keeps it bit-green)
         "status_rollup": analytics.status_rollup,
-        "suppression_antijoin": search.suppression_antijoin,
+        # (round 4, wave 20) exact vector second-moment (Gram) reduce
+        # over the embedding column — the linear-algebra moment class
+        # (covariance / PCA / whitening sufficient statistics): a
+        # fixed d(d+1)/2-size mergeable partial per batch, one tiny
+        # (i, j) reduce, no data-row shuffle. Takes
+        # suppression_antijoin's head seat (the anti-join shape is
+        # head-checked by data_quality_audit's orphan-key checks;
+        # pytest keeps it bit-green in the tail)
+        "gram_matrix": similarity.gram_matrix,
         # (round 4, wave 7) SCD type-2 versioned merge — the CDC /
         # lakehouse-upsert class (consecutive-duplicate suppression +
         # versioned valid_from/valid_to history, one coarse user
@@ -466,6 +483,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # head-checked via plaintext_extract + chunk_documents)
         "contamination": curation.contamination,
         "doc_metadata": textops.doc_metadata,
+        # (round 4 wave 20 displacements — head seats went to
+        # coverage_greedy / gram_matrix: label_facets' many-to-many
+        # join + facet count is regional_brand_revenue's join shape
+        # feeding status_rollup's facet aggregate; the anti-join is
+        # data_quality_audit's head-checked orphan-key shape)
+        "label_facets": analytics.label_facets,
+        "suppression_antijoin": search.suppression_antijoin,
         # (round 4 wave 13: displaced by regional_brand_revenue — see
         # head comment)
         "lang_id": textops.lang_id,
@@ -2910,6 +2934,73 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (ORDER BY pmi_q DESC, cnt DESC, bigram)
                     AS BIGINT) AS rank
         FROM sc ORDER BY pmi_q DESC, cnt DESC, bigram LIMIT 50
+    """
+
+    # gram_matrix: exact second-moment sufficient statistics on the
+    # shared QUANT fixed-point grid — one row per dim pair i <= j
+    sql["gram_matrix"] = """
+        WITH q AS (
+          SELECT vec_id, dim,
+                 CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 1000000 + 0.5)
+                      AS BIGINT) AS v
+          FROM embeddings, UNNEST(range(0, 64)) t(dim)
+        )
+        SELECT a.dim AS i, b.dim AS j, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a.v) AS BIGINT) AS sum_i,
+               CAST(sum(b.v) AS BIGINT) AS sum_j,
+               CAST(sum(a.v * b.v) AS BIGINT) AS dot
+        FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    # coverage_greedy: COV_K(=4) greedy max-coverage rounds, unrolled —
+    # each round picks the doc with the largest count of 3-shingles not
+    # yet covered (ties -> min doc_id), never re-picking a winner
+    sql["coverage_greedy"] = f"""
+        WITH {_WORDS_CTE}, {_SHINGLES_CTE},
+        docs0 AS (SELECT DISTINCT doc_id FROM sh),
+        g1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS g
+               FROM sh GROUP BY 1),
+        w1 AS (SELECT doc_id, g FROM g1 ORDER BY g DESC, doc_id LIMIT 1),
+        c1 AS (SELECT DISTINCT s FROM sh
+               WHERE doc_id IN (SELECT doc_id FROM w1)),
+        u2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS g FROM sh
+               WHERE s NOT IN (SELECT s FROM c1) GROUP BY 1),
+        g2 AS (SELECT d.doc_id, CAST(coalesce(u2.g, 0) AS BIGINT) AS g
+               FROM docs0 d LEFT JOIN u2 USING (doc_id)
+               WHERE d.doc_id NOT IN (SELECT doc_id FROM w1)),
+        w2 AS (SELECT doc_id, g FROM g2 ORDER BY g DESC, doc_id LIMIT 1),
+        c2 AS (SELECT s FROM c1 UNION
+               SELECT s FROM sh WHERE doc_id IN (SELECT doc_id FROM w2)),
+        u3 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS g FROM sh
+               WHERE s NOT IN (SELECT s FROM c2) GROUP BY 1),
+        g3 AS (SELECT d.doc_id, CAST(coalesce(u3.g, 0) AS BIGINT) AS g
+               FROM docs0 d LEFT JOIN u3 USING (doc_id)
+               WHERE d.doc_id NOT IN (SELECT doc_id FROM w1)
+                 AND d.doc_id NOT IN (SELECT doc_id FROM w2)),
+        w3 AS (SELECT doc_id, g FROM g3 ORDER BY g DESC, doc_id LIMIT 1),
+        c3 AS (SELECT s FROM c2 UNION
+               SELECT s FROM sh WHERE doc_id IN (SELECT doc_id FROM w3)),
+        u4 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS g FROM sh
+               WHERE s NOT IN (SELECT s FROM c3) GROUP BY 1),
+        g4 AS (SELECT d.doc_id, CAST(coalesce(u4.g, 0) AS BIGINT) AS g
+               FROM docs0 d LEFT JOIN u4 USING (doc_id)
+               WHERE d.doc_id NOT IN (SELECT doc_id FROM w1)
+                 AND d.doc_id NOT IN (SELECT doc_id FROM w2)
+                 AND d.doc_id NOT IN (SELECT doc_id FROM w3)),
+        w4 AS (SELECT doc_id, g FROM g4 ORDER BY g DESC, doc_id LIMIT 1),
+        c4 AS (SELECT s FROM c3 UNION
+               SELECT s FROM sh WHERE doc_id IN (SELECT doc_id FROM w4))
+        SELECT CAST(1 AS BIGINT) AS round_no, doc_id, g AS gain,
+               (SELECT CAST(count(*) AS BIGINT) FROM c1) AS covered_total
+        FROM w1
+        UNION ALL
+        SELECT 2, doc_id, g, (SELECT count(*) FROM c2) FROM w2
+        UNION ALL
+        SELECT 3, doc_id, g, (SELECT count(*) FROM c3) FROM w3
+        UNION ALL
+        SELECT 4, doc_id, g, (SELECT count(*) FROM c4) FROM w4
+        ORDER BY round_no
     """
 
     return sql

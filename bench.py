@@ -121,6 +121,7 @@ def run_queries() -> dict[str, float]:
         "data_quality_audit", "snm_pairs",
         "bm25_scores", "window_dedup",
         "profile_columns", "mad_outliers",
+        "coverage_greedy", "gram_matrix",
     ]
     out: dict[str, float] = {}
     for name in picks:

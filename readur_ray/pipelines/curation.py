@@ -1777,3 +1777,101 @@ def cdc_chunks(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return docs.map_batches(chunk_batch, batch_format="pyarrow")
+
+
+COV_K = 4  # selection budget; the oracle unrolls exactly K rounds
+
+
+def coverage_greedy(sf_dir: str) -> "ray.data.Dataset":
+    """Greedy max-coverage data selection over 3-shingle sets — the
+    SUBMODULAR-selection class (facility location / coreset picking
+    for training-data curation): pick COV_K documents maximizing the
+    UNION of covered shingles, one greedy round at a time. Greedy is
+    (1 - 1/e)-optimal for monotone submodular objectives (Nemhauser,
+    Wolsey & Fisher 1978); the diversity-selection step quality gates
+    and dedup cannot express (they score docs independently — this
+    objective is a function of the SET chosen so far).
+
+    Output: (round_no, doc_id, gain, covered_total) — the doc picked
+    each round, its exact marginal gain |hset \\ covered|, and the
+    cumulative covered-universe size. Ties break to min doc_id.
+
+    Scale shape: K streaming passes over the memoized (doc_id, hset)
+    materialization shared with ppjoin_exact. Each pass is one
+    vectorized map_batches (searchsorted against the SORTED covered
+    array — a bounded broadcast: <= sum of the K winners' set sizes,
+    one ray.put per round) emitting ONE candidate row per batch (the
+    batch-local argmax, carrying its hset), then a driver reduce over
+    #batches rows. No shuffle at all; driver state is K ids + the
+    covered array. At 10^12 docs the K-pass cost is the dial: lazy
+    greedy (Minoux 1978) or stochastic greedy (Mirzasoleiman et al.
+    2015) cut passes to ~1 epsilon-approximate pass — the exact
+    K-pass form here is the oracle-checkable base case."""
+    from .dedup import _gather_slices, _list_col_views, _pp_sets_materialized
+
+    sets = _pp_sets_materialized(sf_dir)
+    covered = np.empty(0, np.int64)
+    selected: list[int] = []
+    rows: list[tuple[int, int, int, int]] = []
+    for rnd in range(1, COV_K + 1):
+        cov_ref = ray.put(np.sort(covered))
+        sel_ref = ray.put(np.array(sorted(selected), dtype=np.int64))
+
+        def best_part(
+            batch: pa.Table, cov_ref=cov_ref, sel_ref=sel_ref
+        ) -> pa.Table:
+            cov = ray.get(cov_ref)
+            sel = ray.get(sel_ref)
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            flat, offs = _list_col_views(batch.column("hset"))
+            # window to THIS batch's slice (a sliced ListArray's
+            # .values spans the whole block)
+            flat = flat[offs[0] : offs[-1]]
+            offs = offs - offs[0]
+            if ids.size == 0:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "gain": pa.array([], pa.int64()),
+                        "hset": pa.array([], pa.list_(pa.int64())),
+                    }
+                )
+            # marginal gain: count of hset elements NOT in covered
+            # (hsets are distinct-per-doc by construction)
+            pos = np.searchsorted(cov, flat)
+            pos_c = np.minimum(pos, max(cov.size - 1, 0))
+            hit = (cov.size > 0) & (
+                cov[pos_c] == flat if cov.size else np.zeros(flat.size, bool)
+            )
+            new = (~hit).astype(np.int64)
+            gains = np.add.reduceat(new, offs[:-1])
+            gains[offs[:-1] == offs[1:]] = 0  # reduceat empty-slice quirk
+            gains[np.isin(ids, sel)] = -1  # never re-pick a winner
+            w = int(np.lexsort((ids, -gains))[0])
+            return pa.table(
+                {
+                    "doc_id": pa.array([int(ids[w])], pa.int64()),
+                    "gain": pa.array([int(gains[w])], pa.int64()),
+                    "hset": pa.array(
+                        [flat[offs[w] : offs[w + 1]].tolist()],
+                        pa.list_(pa.int64()),
+                    ),
+                }
+            )
+
+        cands = sets.map_batches(best_part, batch_format="pyarrow").take_all()
+        best = min(cands, key=lambda r: (-r["gain"], r["doc_id"]))
+        covered = np.union1d(covered, np.asarray(best["hset"], dtype=np.int64))
+        selected.append(int(best["doc_id"]))
+        rows.append((rnd, int(best["doc_id"]), int(best["gain"]), int(covered.size)))
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "round_no": pa.array([r[0] for r in rows], pa.int64()),
+                "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+                "gain": pa.array([r[2] for r in rows], pa.int64()),
+                "covered_total": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+    )

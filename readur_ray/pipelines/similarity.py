@@ -917,3 +917,69 @@ def pq_topk(
         .groupby("query_id")
         .map_groups(merge_topk, batch_format="pyarrow")
     )
+
+
+GRAM_DIMS = 64  # embedding width of the fixture table
+
+
+def gram_matrix(sf_dir: str) -> "ray.data.Dataset":
+    """Exact second-moment (Gram) sufficient statistics of the
+    embedding column: one row per dim pair i <= j carrying
+    (n, sum_i, sum_j, dot = sum over vectors of q_i*q_j) on the QUANT
+    fixed-point grid — the inputs to covariance / PCA / whitening /
+    linear probes (mean-center and eigendecompose the tiny d x d
+    matrix on the driver; LeCun et al. "Efficient BackProp" whitening,
+    the SemDeDup/SSL-prototypes preprocessing step at corpus scale).
+
+    The linear-algebra moment-REDUCE class: unlike trend_slopes'
+    per-group scalar (x, y) moments, the reduced object is the vector
+    OUTER PRODUCT over a list column — d(d+1)/2 pair statistics from
+    one pass.
+
+    Scale shape: each batch folds into ONE d x d int64 partial
+    (q.T @ q) plus a d-vector of coordinate sums — fixed size
+    regardless of batch rows — emitted as d(d+1)/2 partial rows; a
+    single groupby((i, j)).Sum() reduce over #batches x 2,080 integer
+    rows finishes. No data-row shuffle, no driver state. int64 stays
+    exact to ~3.7e7 rows per partial at |q| <= 5e5 (5e5^2 * 3.7e7 <
+    2^63); beyond, insert one more partial level (the partials are
+    mergeable) or move the dot column to the oracle's HUGEINT via
+    per-shard splits. Mirrors the reference's aggregate-statistics
+    surface (metrics collection) on the vector table."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    iu, ju = np.triu_indices(GRAM_DIMS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = _quantize(
+            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        )
+        g = q.T @ q
+        s = q.sum(axis=0)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64), pa.int64()),
+                "j": pa.array(ju.astype(np.int64), pa.int64()),
+                "n_p": pa.array(
+                    np.full(iu.size, q.shape[0], np.int64), pa.int64()
+                ),
+                "si_p": pa.array(s[iu], pa.int64()),
+                "sj_p": pa.array(s[ju], pa.int64()),
+                "dot_p": pa.array(g[iu, ju], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(
+            Sum("n_p", alias_name="n"),
+            Sum("si_p", alias_name="sum_i"),
+            Sum("sj_p", alias_name="sum_j"),
+            Sum("dot_p", alias_name="dot"),
+        )
+    )
+    return agg.sort(["i", "j"])

@@ -173,6 +173,11 @@ SUBSET = [
     # round-4 wave 19 (tail by design): dataset profiler + MAD gate
     "profile_columns",
     "mad_outliers",
+    # round-4 wave 20: greedy max-coverage selection + exact Gram
+    # second-moment reduce (label_facets / suppression_antijoin, which
+    # they displaced to the tail, already appear above)
+    "coverage_greedy",
+    "gram_matrix",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
