@@ -110,7 +110,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc token/line arithmetic is head-checked via
         # plaintext_extract + chunk_documents; pytest keeps it
         # bit-green in the tail)
-        "argmax_by_source": analytics.argmax_by_source,
+        # (round 4, wave 21) grouped top-K at high group cardinality —
+        # per customer, the top-3 orders by price with exact dense
+        # ranks: the mergeable K-prune (per-batch per-group top-K
+        # survives, so a group's shuffled footprint is K x #batches
+        # regardless of skew). Takes argmax_by_source's head seat — it
+        # is exactly this operator's K=1 case; pytest keeps it
+        # bit-green in the tail.
+        "grouped_topk": analytics.grouped_topk,
         # --- text analysis ---
         # (round 4, wave 13) the snowflake star join — fact ⋈
         # supplier→nation→region chain ⋈ part, dims broadcast once,
@@ -128,7 +135,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_rank": analytics.percentile_rank,
         "redact_pii": textops.redact_pii,
         # --- relational operators (A1-A6, O1-O3, J1/J4, M20, M4-M6) ---
-        "filter_allowed": analytics.filter_allowed,
+        # (round 4, wave 22) order-independent whole-table content
+        # digest — the anti-entropy / verification class (certify a
+        # resumed or re-partitioned copy unchanged without a sort or
+        # row diff): commutative sum lane on Z/(2^61-1) + xor lane
+        # over per-row md5, one streaming pass, fixed-size partials.
+        # Takes filter_allowed's head seat (its predicate-filter shape
+        # is head-checked by text_search; pytest keeps it bit-green in
+        # the tail).
+        "table_checksum": analytics.table_checksum,
         # (round 4, wave 20) greedy max-coverage data selection — the
         # SUBMODULAR-selection class (coreset / diversity picking,
         # Nemhauser 1978): the objective is a function of the SET
@@ -238,9 +253,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # order_priority_join's head seat (pytest keeps that bit-green
         # in the tail)
         "pagerank": graph.pagerank,
-        # (round 4) two-relation interval (band) join — per purchase,
-        # same-user click count in the prior hour
-        "range_join": sessions.range_join_clicks,
+        # (round 4, wave 21) interval-overlap self-join counted
+        # WITHOUT materializing pairs: per supplier, exact count of
+        # overlapping in-transit windows via the sorted-sweep identity
+        # pairs = sum_i (i - #{hi < lo_i}) — O(n log n) per group where
+        # the naive inequality join is O(n^2) pairs. Takes range_join's
+        # head seat (the sibling two-relation band join — same
+        # temporal-join class, its point-in-window probe is the
+        # searchsorted kernel this op runs twice; pytest keeps it
+        # bit-green in the tail).
+        "interval_overlaps": analytics.interval_overlaps,
         # --- search / suppression / incremental (F1, F2, D3, W2, A1/A6) ---
         "text_search": search.text_search,
         # (round 4) one-pass multi-level ROLLUP aggregate — takes
@@ -298,7 +320,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # set-intersection counting over a different tokenization, with
         # text_search head-checking the query-DSL surface; pytest keeps
         # it bit-green in the tail)
-        "bm25_scores": search.bm25_scores,
+        # (round 4, wave 22) reciprocal-rank fusion of the BM25 and
+        # trigram lists — the hybrid-retrieval fusion class (lexical +
+        # similarity lists merged before a reranker, Cormack 2009):
+        # exact ties-share-a-rank RANK() per list via the bucket-grid
+        # sort-rank (no global sort), one doc-keyed fusion shuffle,
+        # bounded top-20 reduce. Takes bm25_scores' head seat (any
+        # bm25 scoring error reorders this output; the full per-doc
+        # score surface stays bit-green in the pytest tail).
+        "rrf_fusion": search.rrf_fusion,
         # (round 4, wave 16) EXACT set-similarity self-join via
         # AllPairs/PPJoin prefix filtering — the exactness-preserving
         # pruning class the sketch family lacks (LSH can miss pairs;
@@ -483,6 +513,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # head-checked via plaintext_extract + chunk_documents)
         "contamination": curation.contamination,
         "doc_metadata": textops.doc_metadata,
+        # (round 4 wave 21 displacements — head seats went to
+        # grouped_topk / interval_overlaps: argmax_by_source is
+        # grouped_topk's K=1 case; range_join's band-join probe is the
+        # searchsorted kernel inside interval_overlaps' sweep)
+        "argmax_by_source": analytics.argmax_by_source,
+        "range_join": sessions.range_join_clicks,
+        # (round 4 wave 22 displacements — head seats went to
+        # table_checksum / rrf_fusion: filter_allowed's predicate
+        # filter is text_search's head-checked shape; bm25_scores is
+        # rank-order-checked inside rrf_fusion)
+        "filter_allowed": analytics.filter_allowed,
+        "bm25_scores": search.bm25_scores,
         # (round 4 wave 20 displacements — head seats went to
         # coverage_greedy / gram_matrix: label_facets' many-to-many
         # join + facet count is regional_brand_revenue's join shape
@@ -3001,6 +3043,106 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 4, doc_id, g, (SELECT count(*) FROM c4) FROM w4
         ORDER BY round_no
+    """
+
+    # grouped_topk: per-customer top-3 orders by integer cents,
+    # ties -> min o_orderkey, dense rank attached
+    sql["grouped_topk"] = """
+        WITH r AS (
+          SELECT o_custkey, o_orderkey,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS price_cents,
+                 row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY floor(o_totalprice * 100 + 0.5) DESC, o_orderkey
+                 ) AS rn
+          FROM orders
+        )
+        SELECT o_custkey, o_orderkey, price_cents, CAST(rn AS BIGINT) AS rnk
+        FROM r WHERE rn <= 3
+    """
+
+    # interval_overlaps: the naive O(n^2) pair join the sweep replaces —
+    # closed-interval overlap, window end synthesized from l_quantity.
+    # Unordered pairs via the ordered-minus-self identity (the fixture
+    # has duplicate (orderkey, linenumber) rows, so no row id exists):
+    # every row self-overlaps, so ordered = 2*unordered + n.
+    sql["interval_overlaps"] = """
+        WITH iv AS (
+          SELECT l_suppkey AS suppkey,
+                 l_shipdate AS lo,
+                 l_shipdate + to_days(
+                   CAST(floor(l_quantity + 0.5) AS INTEGER) % 30 + 1
+                 ) AS hi
+          FROM lineitem
+        ),
+        tot AS (SELECT suppkey, count(*) AS n FROM iv GROUP BY 1),
+        p AS (
+          SELECT a.suppkey, count(*) AS c
+          FROM iv a JOIN iv b
+            ON a.suppkey = b.suppkey AND a.lo <= b.hi AND b.lo <= a.hi
+          GROUP BY 1
+        )
+        SELECT p.suppkey, CAST((p.c - tot.n) // 2 AS BIGINT) AS n_overlaps
+        FROM p JOIN tot USING (suppkey)
+        WHERE p.c - tot.n > 0 ORDER BY 1
+    """
+
+    # table_checksum: order-independent md5-lane digest of documents —
+    # sum lane on Z/(2^61-1), xor lane overflow-free
+    sql["table_checksum"] = """
+        WITH lanes AS (
+          SELECT CAST(('0x' || substr(
+                   md5(CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '')),
+                   1, 15)) AS BIGINT) AS lane
+          FROM documents
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(lane AS HUGEINT)) % 2305843009213693951
+                    AS BIGINT) AS sum_lane,
+               bit_xor(lane) AS xor_lane
+        FROM lanes
+    """
+
+    # rrf_fusion: reciprocal-rank fusion of the BM25 list and the
+    # trigram-Jaccard list; rank() ties-share-a-rank on both sides,
+    # FULL OUTER JOIN with missing-list rank -> 0 contribution
+    sql["rrf_fusion"] = f"""
+        WITH bm AS ({sql["bm25_scores"]}),
+        trid AS (
+          SELECT doc_id,
+                 CASE WHEN length(t) < 3 THEN
+                        (CASE WHEN length(t) = 0 THEN [] ELSE [t] END)
+                      ELSE list_distinct(list_transform(range(1, length(t)-1),
+                           i -> substr(t, i, 3))) END AS g
+          FROM (SELECT doc_id, lower(text) AS t FROM documents)
+        ),
+        q AS (
+          SELECT list_distinct(list_transform(range(1, length(s)-1),
+                 i -> substr(s, i, 3))) AS g
+          FROM (SELECT lower('spark query plan') AS s)
+        ),
+        tri AS (
+          SELECT doc_id,
+                 (CAST(len(list_intersect(trid.g, q.g)) AS BIGINT) * 1000000)
+                   // CAST(len(trid.g) + len(q.g)
+                           - len(list_intersect(trid.g, q.g)) AS BIGINT)
+                   AS tri_fp
+          FROM trid, q
+          WHERE len(list_intersect(trid.g, q.g)) >= 1
+        ),
+        ra AS (SELECT doc_id, rank() OVER (ORDER BY bm25_fp DESC) AS r FROM bm),
+        rb AS (SELECT doc_id, rank() OVER (ORDER BY tri_fp DESC) AS r FROM tri),
+        f AS (
+          SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+                 coalesce(1000000 // (60 + ra.r), 0)
+                   + coalesce(1000000 // (60 + rb.r), 0) AS rrf_fp,
+                 CAST(coalesce(ra.r, 0) AS BIGINT) AS rank_lex,
+                 CAST(coalesce(rb.r, 0) AS BIGINT) AS rank_tri
+          FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+        )
+        SELECT doc_id, CAST(rrf_fp AS BIGINT) AS rrf_fp, rank_lex, rank_tri
+        FROM f ORDER BY rrf_fp DESC, doc_id LIMIT 20
     """
 
     return sql

@@ -122,6 +122,8 @@ def run_queries() -> dict[str, float]:
         "bm25_scores", "window_dedup",
         "profile_columns", "mad_outliers",
         "coverage_greedy", "gram_matrix",
+        "grouped_topk", "interval_overlaps",
+        "table_checksum", "rrf_fusion",
     ]
     out: dict[str, float] = {}
     for name in picks:

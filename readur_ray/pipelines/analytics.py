@@ -1545,236 +1545,207 @@ def data_quality_audit(sf_dir: str) -> "ray.data.Dataset":
       batch): discounts outside [0,1], non-positive prices, unknown
       order status codes, null/empty event props;
     - UNIQUENESS (exact distributed distinct): duplicate primary keys
-      as rows − distinct(key), via one coarse shuffle on the key so
-      every copy of a key lands in one partition and per-partition
-      nunique sums are exact;
+      as rows − distinct(key), key-partitioned so every copy of a key
+      lands in one partition and per-partition nunique sums are exact;
     - REFERENTIAL (co-partitioned anti-join / join, both sides
       fact-scale so neither broadcasts): orphan o_custkey vs customer,
       orphan l_orderkey vs orders, and the cross-table ORDER of events
-      rule l_shipdate < o_orderdate through the order_priority_join
-      shuffle shape.
+      rule l_shipdate < o_orderdate.
 
-    Every check stream emits tiny (check, n) partial rows — including
-    explicit zero rows so absent violations still report — and ONE
-    final groupby(check) Sum folds them; nothing but int64 counts
-    reaches the driver. At 100 TB each family stays a one-pass scan or
-    a single key-partitioned exchange of projected columns."""
+    Scale shape — ONE shuffle for the whole suite: every check's rows
+    ride a single unified (grp, key, dt, side, part) relation. Each
+    base table is read ONCE (pruned to the union of the columns its
+    checks need) and its batch fn emits the tagged key rows for ALL
+    checks touching that table — the scan-family counts fold to one
+    tiny grp row per batch with the count in ``key``. One
+    groupby(part) co-locates every key family at once (grp
+    disambiguates; all five key checks hash the same int64 key space
+    with the same mod-N function, so co-partitioning is free), the
+    per-partition fn computes all nine counts, and one final
+    groupby(check_name) Sum over ≤ 64×9 int64 partial rows finishes.
+    Explicit zero rows per partition keep absent violations visible.
+    The first cut unioned five independently-shuffled sub-plans (six
+    barriers total); this form is the same math in one exchange — the
+    multi-groupby/LMFAO shared-scan idea applied to a validation
+    suite. At 100 TB: one pass over each table's projected columns +
+    one key exchange, nothing but int64 counts reaches the driver."""
     from ..stages.shuffle import N_COARSE_PARTS
 
-    def _counts(names_ns: list[tuple[str, int]]) -> pa.Table:
+    GRP_NAMES = {
+        0: "orders_dup_pk",
+        1: "customer_dup_pk",
+        2: "orders_orphan_custkey",
+        3: "lineitem_orphan_orderkey",
+        4: "lineitem_ship_before_order",
+        5: "lineitem_discount_range",
+        6: "lineitem_nonpositive_price",
+        7: "orders_invalid_status",
+        8: "events_null_props",
+    }
+    SCAN_GRPS = (5, 6, 7, 8)
+
+    def _rows(grp, key, dt=None, side=0):
+        n = len(key)
         return pa.table(
             {
-                "check_name": pa.array([n for n, _ in names_ns], pa.string()),
-                "n": pa.array([v for _, v in names_ns], pa.int64()),
+                "grp": pa.array(np.full(n, grp, np.int64), pa.int64()),
+                "key": pa.array(key.astype(np.int64), pa.int64()),
+                "dt": pa.array(
+                    (dt if dt is not None else np.zeros(n)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "side": pa.array(np.full(n, side, np.int64), pa.int64()),
+                "part": pa.array(
+                    (key.astype(np.int64) % N_COARSE_PARTS), pa.int64()
+                ),
             }
         )
 
-    # --- range/format scans ---
-    line_scan = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_discount", "l_extendedprice"]
-    ).map_batches(
-        lambda b: _counts(
-            [
-                (
-                    "lineitem_discount_range",
-                    int(
-                        (
-                            (b.column("l_discount").to_numpy(zero_copy_only=False) < 0)
-                            | (b.column("l_discount").to_numpy(zero_copy_only=False) > 1)
-                        ).sum()
-                    ),
-                ),
-                (
-                    "lineitem_nonpositive_price",
-                    int(
-                        (
-                            b.column("l_extendedprice").to_numpy(zero_copy_only=False)
-                            <= 0
-                        ).sum()
-                    ),
-                ),
-            ]
-        ),
-        batch_format="pyarrow",
-    )
-
-    order_scan = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderstatus"]
-    ).map_batches(
-        lambda b: _counts(
-            [
-                (
-                    "orders_invalid_status",
-                    int(
-                        (
-                            ~np.isin(
-                                np.asarray(b.column("o_orderstatus").to_pylist()),
-                                ("O", "F", "P"),
-                            )
-                        ).sum()
-                    ),
-                )
-            ]
-        ),
-        batch_format="pyarrow",
-    )
-
-    event_scan = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["props"]
-    ).map_batches(
-        lambda b: _counts(
-            [
-                (
-                    "events_null_props",
-                    int(
-                        pc.sum(
-                            pc.or_kleene(
-                                pc.is_null(b.column("props")),
-                                pc.equal(b.column("props"), ""),
-                            ).cast(pa.int64())
-                        ).as_py()
-                        or 0
-                    ),
-                )
-            ]
-        ),
-        batch_format="pyarrow",
-    )
-
-    # --- uniqueness: rows - distinct(key), key-partitioned ---
-    def dup_check(table: str, key: str, check: str) -> "ray.data.Dataset":
-        ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[key])
-
-        def add_part(batch: pa.Table) -> pa.Table:
-            k = (
-                batch.column(key)
-                .cast(pa.int64())
-                .to_numpy(zero_copy_only=False)
-            )
-            return pa.table(
-                {
-                    "key": pa.array(k, pa.int64()),
-                    "part": pa.array(k % N_COARSE_PARTS, pa.int64()),
-                }
-            )
-
-        def extras(part_tbl: pa.Table) -> pa.Table:
-            k = part_tbl.column("key").to_numpy(zero_copy_only=False)
-            return _counts([(check, int(len(k) - len(np.unique(k))))])
-
-        return (
-            ds.map_batches(add_part, batch_format="pyarrow")
-            .groupby("part")
-            .map_groups(extras, batch_format="pyarrow")
+    def _scan_row(grp: int, count: int) -> pa.Table:
+        return pa.table(
+            {
+                "grp": pa.array([grp], pa.int64()),
+                "key": pa.array([count], pa.int64()),
+                "dt": pa.array([0], pa.int64()),
+                "side": pa.array([0], pa.int64()),
+                "part": pa.array([0], pa.int64()),
+            }
         )
 
-    # --- referential: co-partitioned anti-join (side 0 = parent build) ---
-    def orphan_check(
-        child: str, child_key: str, parent: str, parent_key: str, check: str
-    ) -> "ray.data.Dataset":
-        def side(tbl: str, col: str, s: int):
-            def fn(batch: pa.Table) -> pa.Table:
-                k = batch.column(col).cast(pa.int64()).to_numpy(
-                    zero_copy_only=False
+    def orders_rows(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ck = batch.column("o_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        od = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        bad_status = int(
+            (
+                ~np.isin(
+                    np.asarray(batch.column("o_orderstatus").to_pylist()),
+                    ("O", "F", "P"),
                 )
-                return pa.table(
-                    {
-                        "key": pa.array(k, pa.int64()),
-                        "side": pa.array(np.full(len(k), s, np.int64), pa.int64()),
-                        "part": pa.array(k % N_COARSE_PARTS, pa.int64()),
-                    }
-                )
-
-            return ray.data.read_parquet(
-                f"{sf_dir}/{tbl}.parquet", columns=[col]
-            ).map_batches(fn, batch_format="pyarrow")
-
-        def anti(part_tbl: pa.Table) -> pa.Table:
-            k = part_tbl.column("key").to_numpy(zero_copy_only=False)
-            s = part_tbl.column("side").to_numpy(zero_copy_only=False)
-            parents = k[s == 0]
-            children = k[s == 1]
-            return _counts([(check, int((~np.isin(children, parents)).sum()))])
-
-        return (
-            side(parent, parent_key, 0)
-            .union(side(child, child_key, 1))
-            .groupby("part")
-            .map_groups(anti, batch_format="pyarrow")
+            ).sum()
+        )
+        return pa.concat_tables(
+            [
+                _rows(0, ok),  # dup-PK check
+                _rows(2, ck, side=1),  # orphan custkey: child side
+                _rows(3, ok, side=0),  # orphan orderkey: parent side
+                _rows(4, ok, dt=od, side=0),  # date rule: order side
+                _scan_row(7, bad_status),
+            ]
         )
 
-    # --- cross-table order rule: l_shipdate < o_orderdate ---
-    def ship_before_order() -> "ray.data.Dataset":
-        def order_side(batch: pa.Table) -> pa.Table:
-            k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
-            d = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
-            return pa.table(
-                {
-                    "key": pa.array(k, pa.int64()),
-                    "dt": pa.array(d, pa.int64()),
-                    "side": pa.array(np.zeros(len(k), np.int64), pa.int64()),
-                    "part": pa.array(k % N_COARSE_PARTS, pa.int64()),
-                }
-            )
+    def customer_rows(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.concat_tables([_rows(1, ck), _rows(2, ck, side=0)])
 
-        def line_side(batch: pa.Table) -> pa.Table:
-            k = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
-            d = batch.column("l_shipdate").cast(pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
-            return pa.table(
-                {
-                    "key": pa.array(k, pa.int64()),
-                    "dt": pa.array(d, pa.int64()),
-                    "side": pa.array(np.ones(len(k), np.int64), pa.int64()),
-                    "part": pa.array(k % N_COARSE_PARTS, pa.int64()),
-                }
-            )
-
-        orders = ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
-        ).map_batches(order_side, batch_format="pyarrow")
-        lines = ray.data.read_parquet(
-            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
-        ).map_batches(line_side, batch_format="pyarrow")
-
-        def joined(part_tbl: pa.Table) -> pa.Table:
-            df = part_tbl.select(["key", "dt", "side"]).to_pandas()
-            build = df[df["side"] == 0].set_index("key")["dt"]
-            probe = df[df["side"] == 1]
-            odt = probe["key"].map(build).to_numpy()
-            n = int((probe["dt"].to_numpy() < odt).sum())
-            return _counts([("lineitem_ship_before_order", n)])
-
-        return (
-            orders.union(lines).groupby("part").map_groups(
-                joined, batch_format="pyarrow"
-            )
+    def lineitem_rows(batch: pa.Table) -> pa.Table:
+        lk = batch.column("l_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        sd = batch.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.concat_tables(
+            [
+                _rows(3, lk, side=1),  # orphan orderkey: child side
+                _rows(4, lk, dt=sd, side=1),  # date rule: line side
+                _scan_row(5, int(((disc < 0) | (disc > 1)).sum())),
+                _scan_row(6, int((price <= 0).sum())),
+            ]
         )
 
-    partials = (
-        line_scan.union(order_scan)
-        .union(event_scan)
-        .union(dup_check("orders", "o_orderkey", "orders_dup_pk"))
-        .union(dup_check("customer", "c_custkey", "customer_dup_pk"))
+    def events_rows(batch: pa.Table) -> pa.Table:
+        n = int(
+            pc.sum(
+                pc.or_kleene(
+                    pc.is_null(batch.column("props")),
+                    pc.equal(batch.column("props"), ""),
+                ).cast(pa.int64())
+            ).as_py()
+            or 0
+        )
+        return _scan_row(8, n)
+
+    unified = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"],
+        )
+        .map_batches(orders_rows, batch_format="pyarrow")
         .union(
-            orphan_check(
-                "orders", "o_custkey", "customer", "c_custkey",
-                "orders_orphan_custkey",
-            )
+            ray.data.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+            ).map_batches(customer_rows, batch_format="pyarrow")
         )
         .union(
-            orphan_check(
-                "lineitem", "l_orderkey", "orders", "o_orderkey",
-                "lineitem_orphan_orderkey",
-            )
+            ray.data.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=[
+                    "l_orderkey",
+                    "l_shipdate",
+                    "l_discount",
+                    "l_extendedprice",
+                ],
+            ).map_batches(lineitem_rows, batch_format="pyarrow")
         )
-        .union(ship_before_order())
+        .union(
+            ray.data.read_parquet(
+                f"{sf_dir}/events.parquet", columns=["props"]
+            ).map_batches(events_rows, batch_format="pyarrow")
+        )
     )
-    return partials.groupby("check_name").aggregate(
-        Sum("n", alias_name="n_violations")
+
+    def all_checks(part_tbl: pa.Table) -> pa.Table:
+        grp = part_tbl.column("grp").to_numpy(zero_copy_only=False)
+        key = part_tbl.column("key").to_numpy(zero_copy_only=False)
+        dt = part_tbl.column("dt").to_numpy(zero_copy_only=False)
+        side = part_tbl.column("side").to_numpy(zero_copy_only=False)
+        counts = {g: 0 for g in GRP_NAMES}
+        for g in (0, 1):  # uniqueness: rows - distinct
+            k = key[grp == g]
+            counts[g] = int(len(k) - len(np.unique(k)))
+        for g in (2, 3):  # referential anti-join
+            m = grp == g
+            parents = key[m & (side == 0)]
+            children = key[m & (side == 1)]
+            counts[g] = int((~np.isin(children, parents)).sum())
+        m = grp == 4  # cross-table date rule via a local hash join
+        bk, bd = key[m & (side == 0)], dt[m & (side == 0)]
+        pk, pd_ = key[m & (side == 1)], dt[m & (side == 1)]
+        if len(pk) and len(bk):
+            order = np.argsort(bk, kind="stable")
+            bk, bd = bk[order], bd[order]
+            pos = np.minimum(np.searchsorted(bk, pk), len(bk) - 1)
+            found = bk[pos] == pk  # orphan lines join to nothing
+            counts[4] = int((found & (pd_ < bd[pos])).sum())
+        for g in SCAN_GRPS:  # scan partials carried in `key`
+            counts[g] = int(key[grp == g].sum())
+        return pa.table(
+            {
+                "check_name": pa.array(
+                    [GRP_NAMES[g] for g in sorted(GRP_NAMES)], pa.string()
+                ),
+                "n": pa.array(
+                    [counts[g] for g in sorted(GRP_NAMES)], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        unified.groupby("part")
+        .map_groups(all_checks, batch_format="pyarrow")
+        .groupby("check_name")
+        .aggregate(Sum("n", alias_name="n_violations"))
     )
 
 
@@ -2057,3 +2028,238 @@ def mad_outliers(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return counts.map_batches(attach, batch_format="pyarrow")
+
+
+TOPK_PER_GROUP = 3  # the oracle pins rn <= 3
+
+
+def grouped_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Top-K rows PER GROUP at high group cardinality — the grouped
+    top-k class (top docs per query, top orders per customer, best
+    variants per experiment): per customer, the TOPK_PER_GROUP orders
+    with the highest o_totalprice (integer cents; ties → min
+    o_orderkey), with the exact dense rank 1..K attached. Generalizes
+    `argmax_by_source` (its K=1 case) to the mergeable K-prune.
+
+    Scale shape: top-k per group is MERGEABLE — a group's global top-K
+    is contained in the union of its per-batch top-Ks, so each batch
+    first prunes to ≤ K rows per group present (one lexsort, no
+    Python loop), and only those survivors enter the ONE coarse
+    shuffle on crc-free int key (o_custkey % N). The per-partition
+    finalizer re-runs the identical lexsort-rank kernel on ≤ K×(batch
+    count) rows per group. Skew-safe: a group's shuffled footprint is
+    bounded by K × #source-batches regardless of its row count.
+    Output: (o_custkey, o_orderkey, price_cents, rnk)."""
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    def _rank_prune(
+        cust: np.ndarray, okey: np.ndarray, cents: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Sort by (cust asc, cents desc, okey asc); return (order,
+        rank-within-group) for the kept rank < K prefix rows."""
+        order = np.lexsort((okey, -cents, cust))
+        cs = cust[order]
+        idx = np.arange(len(cs), dtype=np.int64)
+        flags = np.empty(len(cs), dtype=bool)
+        if len(cs):
+            flags[0] = True
+            flags[1:] = cs[1:] != cs[:-1]
+        start = np.maximum.accumulate(np.where(flags, idx, 0))
+        rank = idx - start
+        keep = rank < TOPK_PER_GROUP
+        return order[keep], rank[keep]
+
+    def prune(batch: pa.Table) -> pa.Table:
+        cust = batch.column("o_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        okey = batch.column("o_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        cents = _cents(batch.column("o_totalprice")).to_numpy(
+            zero_copy_only=False
+        )
+        kept, _ = _rank_prune(cust, okey, cents)
+        return pa.table(
+            {
+                "o_custkey": pa.array(cust[kept], pa.int64()),
+                "o_orderkey": pa.array(okey[kept], pa.int64()),
+                "price_cents": pa.array(cents[kept], pa.int64()),
+                "part": pa.array(cust[kept] % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def finalize(part_tbl: pa.Table) -> pa.Table:
+        cust = part_tbl.column("o_custkey").to_numpy(zero_copy_only=False)
+        okey = part_tbl.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cents = part_tbl.column("price_cents").to_numpy(zero_copy_only=False)
+        kept, rank = _rank_prune(cust, okey, cents)
+        return pa.table(
+            {
+                "o_custkey": pa.array(cust[kept], pa.int64()),
+                "o_orderkey": pa.array(okey[kept], pa.int64()),
+                "price_cents": pa.array(cents[kept], pa.int64()),
+                "rnk": pa.array(rank + 1, pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderkey", "o_totalprice"],
+        )
+        .map_batches(prune, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+def interval_overlaps(sf_dir: str) -> "ray.data.Dataset":
+    """Interval-overlap SELF-JOIN, counted without emitting pairs —
+    the temporal-join class (concurrent shipments in transit, session
+    overlap, resource double-booking): per supplier, the exact number
+    of unordered lineitem pairs whose in-transit windows
+    [l_shipdate, l_shipdate + (int(q) % 30 + 1) days] intersect
+    (closed intervals; the window end is synthesized deterministically
+    from l_quantity since the fixture has no receipt date).
+
+    Scale shape: the naive form is an O(n²)-pair inequality join — at
+    6k intervals/supplier that is 18M pairs per group. This plan never
+    materializes a pair: within one coarse shuffle on l_suppkey, each
+    partition sorts its intervals by lo once and uses the sweep
+    identity  pairs = Σ_i (i − #{hi < lo_i})  — every preceding
+    interval a (lo_a ≤ lo_i) overlaps i iff hi_a ≥ lo_i, and no
+    FOLLOWING interval has hi < lo_i (hi ≥ lo always) — two
+    searchsorted passes, O(n log n) per group; duplicate rows are
+    legitimate pair members (the oracle uses the ordered-minus-self
+    identity for the same reason). Groups with zero overlapping pairs
+    are dropped to match the oracle. Output: (suppkey, n_overlaps)."""
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    DAY_US = 86_400_000_000
+
+    def to_iv(batch: pa.Table) -> pa.Table:
+        sk = batch.column("l_suppkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        lo = batch.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        q = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        hi = lo + (q % 30 + 1) * DAY_US
+        return pa.table(
+            {
+                "suppkey": pa.array(sk, pa.int64()),
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(hi, pa.int64()),
+                "part": pa.array(sk % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def sweep(part_tbl: pa.Table) -> pa.Table:
+        sk = part_tbl.column("suppkey").to_numpy(zero_copy_only=False)
+        lo = part_tbl.column("lo").to_numpy(zero_copy_only=False)
+        hi = part_tbl.column("hi").to_numpy(zero_copy_only=False)
+        out_k: list[int] = []
+        out_n: list[int] = []
+        order = np.lexsort((lo, sk))
+        sk, lo, hi = sk[order], lo[order], hi[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], sk[1:] != sk[:-1], [True]))
+        )
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            g_lo, g_hi = lo[s:e], np.sort(hi[s:e])
+            pos = np.arange(e - s, dtype=np.int64)
+            n = int((pos - np.searchsorted(g_hi, g_lo, side="left")).sum())
+            if n > 0:
+                out_k.append(int(sk[s]))
+                out_n.append(n)
+        return pa.table(
+            {
+                "suppkey": pa.array(out_k, pa.int64()),
+                "n_overlaps": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_shipdate", "l_quantity"],
+        )
+        .map_batches(to_iv, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sweep, batch_format="pyarrow")
+    )
+
+
+CKSUM_MOD = 2305843009213693951  # 2^61 - 1: sum lane folds exactly
+
+
+def table_checksum(sf_dir: str) -> "ray.data.Dataset":
+    """Order-independent whole-table content digest — the
+    anti-entropy / verification class (did a resumed, migrated or
+    re-partitioned copy of this table change AT ALL?): one row of
+    (n_rows, sum_lane, xor_lane) over a 60-bit md5 lane of each
+    document's canonical `doc_id|text` string. Both aggregates are
+    commutative+associative, so the digest is identical for ANY block
+    layout, partition order or resume path — exactly what the
+    finalize ledger needs to certify "this output equals that output"
+    without a sort or a row-level diff (the distributed analogue of
+    the reference's per-file SHA-256 gate, src/ingestion/*).
+
+    Scale shape: one streaming pass; each batch folds to a single
+    (count, sum mod 2^61-1, xor) triple — the md5 is per row but each
+    call is C code over the row's own bytes (the same per-row cost the
+    span-merkle hash already pays in M8); partials then fold in ONE
+    tiny final group. The sum lane lives on Z/(2^61-1) so reduction
+    order can never overflow or wrap differently between runs; the
+    xor lane is overflow-free by construction. Collision odds for a
+    corpus-level accept gate: ~2^-60 per lane, independent lanes."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        txts = batch.column("text").to_pylist()
+        s, x = 0, 0
+        for i, t in zip(ids, txts):
+            lane = int(
+                hashlib.md5(f"{i}|{t or ''}".encode()).hexdigest()[:15], 16
+            )
+            s += lane
+            x ^= lane
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n_p": pa.array([len(ids)], pa.int64()),
+                "sum_p": pa.array([s % CKSUM_MOD], pa.int64()),
+                "xor_p": pa.array([x], pa.int64()),
+            }
+        )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        s = 0
+        x = 0
+        for v in tbl.column("sum_p").to_pylist():
+            s = (s + v) % CKSUM_MOD
+        for v in tbl.column("xor_p").to_pylist():
+            x ^= v
+        n = int(np.sum(tbl.column("n_p").to_numpy(zero_copy_only=False)))
+        return pa.table(
+            {
+                "n_rows": pa.array([n], pa.int64()),
+                "sum_lane": pa.array([s], pa.int64()),
+                "xor_lane": pa.array([x], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(fold, batch_format="pyarrow")
+    )

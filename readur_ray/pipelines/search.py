@@ -375,3 +375,214 @@ def bm25_scores(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_SCALE = 1_000_000
+RRF_TOP = 20
+RANK_BUCKETS = 256
+
+
+def _exact_desc_ranks(
+    scores: "ray.data.Dataset", score_col: str
+) -> "ray.data.Dataset":
+    """Exact RANK() OVER (ORDER BY score DESC) for a (doc_id, score)
+    relation — ties share a rank (1 + #{score' > s}), so the result is
+    layout-independent with no tie-break key needed.
+
+    The percentile_rank bucket-grid plan specialised to one global
+    group: pass 1 folds per-batch bucket counts (driver reads a
+    RANK_BUCKETS-int grid, builds the strictly-greater suffix counts,
+    broadcasts once); pass 2 shuffles rows ONCE on their score bucket
+    and ranks bucket-locally with one sort + searchsorted. Equal
+    scores share a bucket by construction, so ties never straddle the
+    suffix boundary."""
+    from ray.data.aggregate import Max, Min
+
+    scores = scores.materialize()  # consumed twice; int64 pairs only
+    mm = scores.aggregate(Min(score_col), Max(score_col))
+    lo, hi = int(mm[f"min({score_col})"]), int(mm[f"max({score_col})"])
+    width = (hi - lo) // RANK_BUCKETS + 1
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        s = batch.column(score_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "s": pa.array(s, pa.int64()),
+                "b": pa.array((s - lo) // width, pa.int64()),
+            }
+        )
+
+    rows = scores.map_batches(bucketed, batch_format="pyarrow")
+
+    grid = np.zeros(RANK_BUCKETS, dtype=np.int64)
+    for b in (
+        rows.map_batches(
+            lambda t: pa.table(
+                {
+                    "b": pa.array(
+                        np.arange(RANK_BUCKETS, dtype=np.int64), pa.int64()
+                    ),
+                    "n": pa.array(
+                        np.bincount(
+                            t.column("b").to_numpy(zero_copy_only=False),
+                            minlength=RANK_BUCKETS,
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    ).iter_batches(batch_format="pyarrow"):
+        grid += np.bincount(
+            b.column("b").to_numpy(zero_copy_only=False),
+            weights=b.column("n").to_numpy(zero_copy_only=False),
+            minlength=RANK_BUCKETS,
+        ).astype(np.int64)
+    # strictly-greater suffix: ranks in bucket b start after every row
+    # in buckets > b
+    above = np.concatenate(
+        (np.cumsum(grid[::-1])[::-1][1:], [0])
+    ).astype(np.int64)
+    above_ref = ray.put(above)
+
+    def rank_part(part_tbl: pa.Table) -> pa.Table:
+        gt = ray.get(above_ref)
+        s = part_tbl.column("s").to_numpy(zero_copy_only=False)
+        bs = part_tbl.column("b").to_numpy(zero_copy_only=False)
+        rnk = np.empty(len(s), dtype=np.int64)
+        order = np.argsort(bs, kind="stable")
+        bounds = np.flatnonzero(
+            np.concatenate(([True], bs[order][1:] != bs[order][:-1], [True]))
+        )
+        for i0, i1 in zip(bounds[:-1], bounds[1:]):
+            sel = order[i0:i1]
+            vals = np.sort(s[sel])
+            rnk[sel] = (
+                gt[bs[sel[0]]]
+                + (len(vals) - np.searchsorted(vals, s[sel], side="right"))
+                + 1
+            )
+        return pa.table(
+            {
+                "doc_id": part_tbl.column("doc_id"),
+                "rnk": pa.array(rnk, pa.int64()),
+            }
+        )
+
+    return rows.groupby("b").map_groups(rank_part, batch_format="pyarrow")
+
+
+def rrf_fusion(sf_dir: str) -> "ray.data.Dataset":
+    """Hybrid-retrieval rank fusion — reciprocal rank fusion (RRF,
+    Cormack et al. SIGIR 2009) of two independent ranked lists over
+    the SAME document corpus: the BM25 lexical list (`bm25_scores`)
+    and the char-trigram fuzzy list (the F1 pg_trgm similarity shape),
+    fused as  rrf(d) = Σ_lists floor(RRF_SCALE / (RRF_K + rank_l(d)))
+    with a missing doc contributing 0 — all integer arithmetic, so the
+    DuckDB oracle (rank() window + FULL OUTER JOIN) matches
+    bit-for-bit. This is the standard production shape for combining
+    lexical and similarity retrieval before a reranker.
+
+    Scale shape: each list's exact ties-share-a-rank RANK() comes from
+    the bucket-grid sort-rank (`_exact_desc_ranks` — one bounded grid
+    read + one bucket shuffle per list, never a global sort); the
+    fusion is one doc_id-keyed coarse shuffle of int64 triples; the
+    global top-RRF_TOP is a per-partition prune to RRF_TOP rows before
+    ONE final ≤ 64×RRF_TOP-row reduce. Output:
+    (doc_id, rrf_fp, rank_lex, rank_tri)."""
+    from ..stages.shuffle import N_COARSE_PARTS
+    from .extras import FUZZY_QUERY, _char_trigrams
+
+    lex = _exact_desc_ranks(bm25_scores(sf_dir), "bm25_fp")
+
+    qgrams = _char_trigrams(FUZZY_QUERY)
+    nq = len(qgrams)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def tri_score(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_i, out_s = [], []
+        for i, text in zip(ids, batch.column("text").to_pylist()):
+            dgrams = _char_trigrams(text or "")
+            inter = len(dgrams & qgrams)
+            if inter >= 1:
+                union = len(dgrams) + nq - inter
+                out_i.append(int(i))
+                out_s.append(inter * RRF_SCALE // union)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_i, pa.int64()),
+                "tri_fp": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    tri = _exact_desc_ranks(
+        docs.map_batches(tri_score, batch_format="pyarrow"), "tri_fp"
+    )
+
+    def contrib(which: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            r = batch.column("rnk").to_numpy(zero_copy_only=False)
+            c = RRF_SCALE // (RRF_K + r)
+            z = np.zeros(len(ids), dtype=np.int64)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "rrf_p": pa.array(c, pa.int64()),
+                    "rank_lex_p": pa.array(r if which == "lex" else z, pa.int64()),
+                    "rank_tri_p": pa.array(r if which == "tri" else z, pa.int64()),
+                    "part": pa.array(ids % N_COARSE_PARTS, pa.int64()),
+                }
+            )
+
+        return fn
+
+    fused = lex.map_batches(contrib("lex"), batch_format="pyarrow").union(
+        tri.map_batches(contrib("tri"), batch_format="pyarrow")
+    )
+
+    def local_top(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.to_pandas()
+        g = df.groupby("doc_id", sort=False).agg(
+            rrf_fp=("rrf_p", "sum"),
+            rank_lex=("rank_lex_p", "sum"),
+            rank_tri=("rank_tri_p", "sum"),
+        ).reset_index()
+        g = g.sort_values(
+            ["rrf_fp", "doc_id"], ascending=[False, True]
+        ).head(RRF_TOP)
+        return pa.table(
+            {
+                "k": pa.array(np.zeros(len(g), np.int64), pa.int64()),
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "rrf_fp": pa.array(g["rrf_fp"].to_numpy(), pa.int64()),
+                "rank_lex": pa.array(g["rank_lex"].to_numpy(), pa.int64()),
+                "rank_tri": pa.array(g["rank_tri"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def final_top(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas().sort_values(
+            ["rrf_fp", "doc_id"], ascending=[False, True]
+        ).head(RRF_TOP)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "rrf_fp": pa.array(df["rrf_fp"].to_numpy(), pa.int64()),
+                "rank_lex": pa.array(df["rank_lex"].to_numpy(), pa.int64()),
+                "rank_tri": pa.array(df["rank_tri"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        fused.groupby("part")
+        .map_groups(local_top, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(final_top, batch_format="pyarrow")
+    )

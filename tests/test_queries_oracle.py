@@ -178,6 +178,16 @@ SUBSET = [
     # they displaced to the tail, already appear above)
     "coverage_greedy",
     "gram_matrix",
+    # round-4 wave 21: grouped top-K + interval-overlap sweep join
+    # (argmax_by_source / range_join, which they displaced to the
+    # tail, already appear above)
+    "grouped_topk",
+    "interval_overlaps",
+    # round-4 wave 22: verification digest + reciprocal-rank fusion
+    # (filter_allowed / bm25_scores, which they displaced to the tail,
+    # already appear above)
+    "table_checksum",
+    "rrf_fusion",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
