@@ -210,7 +210,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top_ngrams' head seat (common_ngram_score's plan CONTAINS the
         # top-K bigram counting stage verbatim; top_ngrams keeps pytest
         # parity in the tail)
-        "distinct_users_daily": analytics.distinct_users_daily,
+        # (round 4, wave 23) exact SLIDING-window COUNT DISTINCT —
+        # rolling 7-day active users (WAU): per-user interval merge +
+        # day-delta prefix, one user-keyed shuffle, only int64 pairs
+        # and <= 2 x #days delta rows on the wire. Takes
+        # distinct_users_daily's head seat — that is this operator's
+        # degenerate W=1 case and its pass 1 verbatim; pytest keeps it
+        # bit-green in the tail.
+        "sliding_distinct": sessions.sliding_distinct,
         # (round 4) mergeable HLL cardinality-sketch registers in exact
         # integers — takes search_snippets' head seat (snippet
         # windowing composes head-checked text_search's predicate with
@@ -238,7 +245,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokenization; pytest keeps it bit-green in the tail)
         "triangle_count": graph.triangle_count,
         # --- sessions / windows / joins ---
-        "sessionize": sessions.sessionize,
+        # (round 4, wave 23) D7 cohort retention — per day, cohort
+        # size + users also active exactly day+7: the two-slice
+        # membership no pointwise aggregate expresses; same distinct-
+        # pair combiner + ONE user shuffle, presence answered by one
+        # searchsorted, never a self-join. Takes sessionize's head
+        # seat (its gap-segmentation kernel runs verbatim inside
+        # sliding_distinct's interval merge this wave; pytest keeps
+        # sessionize bit-green in the tail).
+        "retention_7d": sessions.retention_7d,
         # (round 4) streaming watermark gate — the distributed
         # running-max prefix scan (Dataflow/Flink late-data semantics)
         # — takes sliding_window's head seat (trailing-window counting
@@ -525,6 +540,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank-order-checked inside rrf_fusion)
         "filter_allowed": analytics.filter_allowed,
         "bm25_scores": search.bm25_scores,
+        # (round 4 wave 23 displacements — head seats went to
+        # sliding_distinct / retention_7d: distinct_users_daily is
+        # sliding_distinct's W=1 case and pass 1; sessionize's
+        # gap-segmentation kernel runs inside the interval merge)
+        "distinct_users_daily": analytics.distinct_users_daily,
+        "sessionize": sessions.sessionize,
         # (round 4 wave 20 displacements — head seats went to
         # coverage_greedy / gram_matrix: label_facets' many-to-many
         # join + facet count is regional_brand_revenue's join shape
@@ -3143,6 +3164,29 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, CAST(rrf_fp AS BIGINT) AS rrf_fp, rank_lex, rank_tri
         FROM f ORDER BY rrf_fp DESC, doc_id LIMIT 20
+    """
+
+    # sliding_distinct: rolling 7-day distinct users per present day
+    sql["sliding_distinct"] = """
+        WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                   FROM events),
+        days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+        SELECT CAST(days.d - DATE '1970-01-01' AS BIGINT) AS day,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users_7d
+        FROM days JOIN e ON e.d BETWEEN days.d - 6 AND days.d
+        GROUP BY 1 ORDER BY 1
+    """
+
+    # retention_7d: cohort size + users also active exactly day+7
+    sql["retention_7d"] = """
+        WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                   FROM events)
+        SELECT CAST(a.d - DATE '1970-01-01' AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS n_cohort,
+               CAST(count(b.user_id) AS BIGINT) AS n_retained
+        FROM e a LEFT JOIN e b
+          ON b.user_id = a.user_id AND b.d = a.d + 7
+        GROUP BY 1 ORDER BY 1
     """
 
     return sql

@@ -124,6 +124,7 @@ def run_queries() -> dict[str, float]:
         "coverage_greedy", "gram_matrix",
         "grouped_topk", "interval_overlaps",
         "table_checksum", "rrf_fusion",
+        "sliding_distinct", "retention_7d",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -734,3 +734,216 @@ def rolling_sum(sf_dir: str) -> "ray.data.Dataset":
         .groupby("part")
         .map_groups(roll_part, batch_format="pyarrow")
     )
+
+
+SLIDE_W = 7  # window width in days, [d - 6, d]
+DAY_US = 86_400_000_000
+
+
+def sliding_distinct(sf_dir: str) -> "ray.data.Dataset":
+    """Exact SLIDING-window COUNT DISTINCT — rolling 7-day active
+    users per day (WAU), the metric a daily distinct count cannot be
+    summed into (users active on several days of a window must count
+    once). `distinct_users_daily` is this operator's degenerate W=1
+    case; the window makes it a genuinely different plan.
+
+    Plan — the interval-merge + delta-prefix shape:
+    1. per-batch LOCAL distinct (user, epoch-day) pairs (combiner);
+    2. ONE coarse shuffle on user: per user, sorted unique days merge
+       into coverage intervals [a, a+W-1] (a new interval starts at a
+       gap > W-1 — the sessionize gap-segmentation kernel on the
+       user-day axis), each interval emitting two DELTA rows
+       (start, +1), (end+1, −1);
+    3. groupby(day) Sum over the deltas — after reduction at most
+       2 × #days + W rows — and a driver-side prefix sum over the
+       day-domain grid (bounded: the corpus time span in days, ~10³
+       for decades — the pack_sequences broadcast-base contract)
+       restricted to days with ≥ 1 event.
+
+    Nothing but int64 (user, day) pairs and day-delta rows ever
+    shuffle; a viral day costs nothing extra (the pair combiner owns
+    skew). Output: (day, n_users_7d) for each day present in the
+    events table."""
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        d = (
+            batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // DAY_US
+        )
+        key = np.unique(u.astype(np.int64) * (1 << 21) + d)
+        uu, dd = key >> 21, key & ((1 << 21) - 1)
+        return pa.table(
+            {
+                "user": pa.array(uu, pa.int64()),
+                "day": pa.array(dd, pa.int64()),
+                "part": pa.array(uu % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def deltas(part_tbl: pa.Table) -> pa.Table:
+        u = part_tbl.column("user").to_numpy(zero_copy_only=False)
+        d = part_tbl.column("day").to_numpy(zero_copy_only=False)
+        key = np.unique(u * (1 << 21) + d)  # global distinct per user
+        u, d = key >> 21, key & ((1 << 21) - 1)
+        # interval starts: user change OR day gap > W-1
+        new = np.empty(len(u), dtype=bool)
+        if len(u):
+            new[0] = True
+            new[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] > SLIDE_W - 1)
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [len(u)])) - 1
+        s_day = d[starts]
+        e_day = d[ends] + SLIDE_W  # first day AFTER coverage
+        return pa.table(
+            {
+                "day": pa.array(np.concatenate((s_day, e_day)), pa.int64()),
+                "delta": pa.array(
+                    np.concatenate(
+                        (
+                            np.ones(len(s_day), np.int64),
+                            -np.ones(len(e_day), np.int64),
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    shuffled = ds.map_batches(pairs, batch_format="pyarrow")
+    agg = (
+        shuffled.groupby("part")
+        .map_groups(deltas, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("delta", alias_name="d"))
+    )
+
+    # bounded driver reads: the delta grid (<= 2 x #days + W rows) and
+    # the present-day set (#days rows after the per-batch unique)
+    dd = agg.to_pandas()
+    present = np.unique(
+        np.concatenate(
+            [
+                b.column("day").to_numpy(zero_copy_only=False)
+                for b in shuffled.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "day": pa.array(
+                                np.unique(
+                                    t.column("day").to_numpy(
+                                        zero_copy_only=False
+                                    )
+                                ),
+                                pa.int64(),
+                            )
+                        }
+                    ),
+                    batch_format="pyarrow",
+                ).iter_batches(batch_format="pyarrow")
+            ]
+        )
+    )
+    days = dd["day"].to_numpy()
+    order = np.argsort(days)
+    days, vals = days[order], dd["d"].to_numpy()[order]
+    run = np.cumsum(vals)
+    # count at day x = running sum of deltas with day <= x
+    idx = np.searchsorted(days, present, side="right") - 1
+    counts = np.where(idx >= 0, run[np.maximum(idx, 0)], 0)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(present, pa.int64()),
+                "n_users_7d": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+    )
+
+
+RETAIN_GAP = 7  # cohort offset in days
+
+
+def retention_7d(sf_dir: str) -> "ray.data.Dataset":
+    """Cohort retention — for each day d, how many of that day's
+    distinct active users were ALSO active exactly d+7 (the classic
+    D7 retention numerator, plus the cohort size as denominator
+    input). The product-analytics class no pointwise aggregate
+    expresses: membership in TWO day slices of the same user's
+    timeline.
+
+    Plan: the same distinct (user, day) pair combiner and ONE
+    user-keyed coarse shuffle as `sliding_distinct`; per user the
+    sorted unique day array answers "is d+7 present" for every d with
+    one vectorized searchsorted against itself — no self-join, no
+    second shuffle. Per-partition (day, retained, cohort) partials
+    then fold in a tiny groupby(day). Output:
+    (day, n_cohort, n_retained) for every day with ≥ 1 active user."""
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        d = (
+            batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // DAY_US
+        )
+        key = np.unique(u.astype(np.int64) * (1 << 21) + d)
+        uu, dd = key >> 21, key & ((1 << 21) - 1)
+        return pa.table(
+            {
+                "user": pa.array(uu, pa.int64()),
+                "day": pa.array(dd, pa.int64()),
+                "part": pa.array(uu % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def per_part(part_tbl: pa.Table) -> pa.Table:
+        u = part_tbl.column("user").to_numpy(zero_copy_only=False)
+        d = part_tbl.column("day").to_numpy(zero_copy_only=False)
+        key = np.unique(u * (1 << 21) + d)
+        ret = np.isin(key + RETAIN_GAP, key)  # same user, day + 7
+        days = key & ((1 << 21) - 1)
+        g = (
+            pa.table(
+                {
+                    "day": pa.array(days, pa.int64()),
+                    "coh": pa.array(np.ones(len(days), np.int64), pa.int64()),
+                    "ret": pa.array(ret.astype(np.int64), pa.int64()),
+                }
+            )
+            .group_by("day")
+            .aggregate([("coh", "sum"), ("ret", "sum")])
+        )
+        return pa.table(
+            {
+                "day": g.column("day"),
+                "coh_p": g.column("coh_sum").cast(pa.int64()),
+                "ret_p": g.column("ret_sum").cast(pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": batch.column("day"),
+                "n_cohort": batch.column("coh"),
+                "n_retained": batch.column("ret"),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("coh_p", alias_name="coh"), Sum("ret_p", alias_name="ret"))
+        .map_batches(rename, batch_format="pyarrow")
+    )

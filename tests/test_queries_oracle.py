@@ -188,6 +188,11 @@ SUBSET = [
     # already appear above)
     "table_checksum",
     "rrf_fusion",
+    # round-4 wave 23: sliding-window distinct + D7 cohort retention
+    # (distinct_users_daily / sessionize, which they displaced to the
+    # tail, already appear above)
+    "sliding_distinct",
+    "retention_7d",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
