@@ -197,7 +197,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # broadcast shingle-overlap pass runs VERBATIM as
         # funnel_attribution's stage-5 CTE; pytest keeps it bit-green
         # in the tail)
-        "rolling_sum": sessions.rolling_sum,
+        # (round 4, wave 24) first-order Markov transition counts
+        # over each user's time-ordered events — the sequential-
+        # pattern class (ordered consecutive steps, vs
+        # item_cooccurrence's unordered baskets): one user shuffle,
+        # one partition-local lexsort, pre-reduced <= #types^2 rows
+        # out. Takes rolling_sum's head seat (its per-entity ordered
+        # ROWS-frame scan is the same sort kernel; resample_ffill
+        # keeps the time-frame family head-checked; pytest keeps
+        # rolling_sum bit-green in the tail).
+        "event_transitions": sessions.event_transitions,
         # (round 4) distributed uniform bottom-k sampler (mergeable
         # md5-priority sketch) — takes line_dedup's head seat (global
         # first-occurrence sub-document removal + reassembly is the
@@ -205,7 +214,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keeps it bit-green in the tail)
         "bottomk_sample": curation.bottomk_sample,
         "pack_sequences": curation.pack_sequences,
-        "common_ngram_score": curation.common_ngram_score,
+        # (round 4, wave 24) exact lexical-diversity statistics per
+        # source — Simpson / Gini-Simpson sufficient statistics
+        # (N, D, sum n^2) in pure integers, the template-spam signal
+        # quality ratios miss: per-batch (source, token) combiner, ONE
+        # pair-keyed shuffle, per-source partials fold immediately.
+        # Takes common_ngram_score's head seat (its Counter-combine →
+        # coarse-reduce corpus-count machinery is head-checked by
+        # pmi_bigrams, its bounded broadcast-score pass by
+        # coverage_greedy; pytest keeps it bit-green in the tail).
+        "token_diversity": textops.token_diversity,
         # (round 4) exact distributed COUNT(DISTINCT) — takes
         # top_ngrams' head seat (common_ngram_score's plan CONTAINS the
         # top-K bigram counting stage verbatim; top_ngrams keeps pytest
@@ -546,6 +564,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gap-segmentation kernel runs inside the interval merge)
         "distinct_users_daily": analytics.distinct_users_daily,
         "sessionize": sessions.sessionize,
+        # (round 4 wave 24 displacements — head seats went to
+        # token_diversity / event_transitions: see head comments)
+        "common_ngram_score": curation.common_ngram_score,
+        "rolling_sum": sessions.rolling_sum,
         # (round 4 wave 20 displacements — head seats went to
         # coverage_greedy / gram_matrix: label_facets' many-to-many
         # join + facet count is regional_brand_revenue's join shape
@@ -3187,6 +3209,36 @@ def oracle_sql() -> dict[str, str]:
         FROM e a LEFT JOIN e b
           ON b.user_id = a.user_id AND b.d = a.d + 7
         GROUP BY 1 ORDER BY 1
+    """
+
+    # token_diversity: Simpson-diversity sufficient statistics per
+    # source over the [a-z0-9]+ token stream
+    sql["token_diversity"] = """
+        WITH w AS (SELECT source,
+                          unnest(regexp_extract_all(lower(text),
+                                 '[a-z0-9]+')) AS t
+                   FROM documents),
+        c AS (SELECT source, t, count(*) AS n FROM w GROUP BY 1, 2)
+        SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(n * n) AS BIGINT) AS sum_sq
+        FROM c GROUP BY 1 ORDER BY 1
+    """
+
+    # event_transitions: consecutive-step counts per user timeline,
+    # ties broken by event_id exactly as the Ray-side lexsort
+    sql["event_transitions"] = """
+        WITH o AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS nxt
+          FROM events
+        )
+        SELECT event_type AS prev_type, nxt AS next_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM o WHERE nxt IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
     """
 
     return sql

@@ -125,6 +125,7 @@ def run_queries() -> dict[str, float]:
         "grouped_topk", "interval_overlaps",
         "table_checksum", "rrf_fusion",
         "sliding_distinct", "retention_7d",
+        "token_diversity", "event_transitions",
     ]
     out: dict[str, float] = {}
     for name in picks:

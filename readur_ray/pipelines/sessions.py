@@ -947,3 +947,94 @@ def retention_7d(sf_dir: str) -> "ray.data.Dataset":
         .aggregate(Sum("coh_p", alias_name="coh"), Sum("ret_p", alias_name="ret"))
         .map_batches(rename, batch_format="pyarrow")
     )
+
+
+def event_transitions(sf_dir: str) -> "ray.data.Dataset":
+    """First-order Markov transition counts over each user's
+    time-ordered event stream — the sequential-pattern class
+    (item_cooccurrence counts UNORDERED same-basket pairs; this counts
+    ORDERED consecutive steps, the input to Markov-chain next-action
+    models and funnel-drop diagnostics): one row per
+    (prev_type, next_type) with its exact corpus-wide count.
+
+    Plan: ONE coarse shuffle on user — a user's whole timeline must
+    co-locate, the same invariant sessionize documents — then each
+    partition sorts once by (user, ts, event_id) (the deterministic
+    tie order the oracle's window mirrors) and reads consecutive-pair
+    transitions vectorized (shift-by-one mask on the user boundary);
+    per-partition pair counts fold in a tiny final groupby. The wire
+    carries (user, ts, event_id, type) once; transition rows are
+    pre-reduced per partition (≤ #types² per task)."""
+    from ..stages.shuffle import N_COARSE_PARTS
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user": pa.array(u.astype(np.int64), pa.int64()),
+                "ts": batch.column("ts").cast(pa.int64()),
+                "eid": batch.column("event_id").cast(pa.int64()),
+                "etype": batch.column("event_type"),
+                "part": pa.array(
+                    u.astype(np.int64) % N_COARSE_PARTS, pa.int64()
+                ),
+            }
+        )
+
+    def transitions(part_tbl: pa.Table) -> pa.Table:
+        u = part_tbl.column("user").to_numpy(zero_copy_only=False)
+        ts = part_tbl.column("ts").to_numpy(zero_copy_only=False)
+        eid = part_tbl.column("eid").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        et = np.asarray(part_tbl.column("etype").to_pylist(), dtype=object)[
+            order
+        ]
+        same_user = u[order][1:] == u[order][:-1]
+        prev = et[:-1][same_user]
+        nxt = et[1:][same_user]
+        if len(prev) == 0:
+            return pa.table(
+                {
+                    "prev_type": pa.array([], pa.string()),
+                    "next_type": pa.array([], pa.string()),
+                    "n_p": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.table(
+            {
+                "prev_type": pa.array(prev.tolist(), pa.string()),
+                "next_type": pa.array(nxt.tolist(), pa.string()),
+                "one": pa.array(np.ones(len(prev), np.int64), pa.int64()),
+            }
+        ).group_by(["prev_type", "next_type"]).aggregate([("one", "sum")])
+        return pa.table(
+            {
+                "prev_type": t.column("prev_type"),
+                "next_type": t.column("next_type"),
+                "n_p": t.column("one_sum").cast(pa.int64()),
+            }
+        )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "prev_type": batch.column("prev_type"),
+                "next_type": batch.column("next_type"),
+                "n": batch.column("n"),
+            }
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(transitions, batch_format="pyarrow")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n_p", alias_name="n"))
+        .map_batches(rename, batch_format="pyarrow")
+    )

@@ -494,3 +494,130 @@ def chunk_documents(
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow"
     )
+
+
+def token_diversity(sf_dir: str) -> "ray.data.Dataset":
+    """Exact lexical-diversity sufficient statistics per source — the
+    diversity-measurement class (Simpson / Gini-Simpson index,
+    type-token ratio): per source, total tokens N, distinct tokens D,
+    and Σ n_t² over per-token counts, from which Simpson diversity
+    1 − Σ n²/N² (and TTR D/N) follow in exact integer arithmetic —
+    no logs, no floats, unlike Shannon entropy (the transcendental
+    sibling this surrogate replaces for oracle-exactness; Simpson is
+    the standard diversity index with the same ordering behavior on
+    skewed vocabularies). The curation signal: a source whose Σ n²
+    approaches N² is template spam even when its quality ratios pass.
+
+    Scale shape: per-batch (source, token) partial counts (pyarrow
+    group_by combiner — bounds the shuffle at one row per distinct
+    pair per batch) → ONE coarse shuffle on crc32(source|token) so
+    every copy of a pair lands together (a hot token spreads by
+    source, a hot source by token — neither melts a partition) →
+    per-partition exact per-pair totals fold immediately into
+    per-source (N, D, Σn²) partials → tiny groupby(source) Sum.
+    Token strings cross the wire once, pre-reduced."""
+    import re
+    import zlib
+
+    import numpy as np
+
+    from ..stages.shuffle import N_COARSE_PARTS
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    word_re = re.compile(r"[a-z0-9]+")
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        srcs, toks, cnts = [], [], []
+        for s, text in zip(
+            batch.column("source").to_pylist(), batch.column("text").to_pylist()
+        ):
+            from collections import Counter
+
+            c = Counter(word_re.findall((text or "").lower()))
+            srcs.extend([s] * len(c))
+            toks.extend(c.keys())
+            cnts.extend(c.values())
+        # batch-local combine across docs of the same source
+        t = pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "token": pa.array(toks, pa.string()),
+                "n": pa.array(cnts, pa.int64()),
+            }
+        ).group_by(["source", "token"]).aggregate([("n", "sum")])
+        part = pa.array(
+            np.array(
+                [
+                    zlib.crc32(f"{s}|{w}".encode()) % N_COARSE_PARTS
+                    for s, w in zip(
+                        t.column("source").to_pylist(),
+                        t.column("token").to_pylist(),
+                    )
+                ],
+                dtype=np.int64,
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "token": t.column("token"),
+                "n": t.column("n_sum").cast(pa.int64()),
+                "part": part,
+            }
+        )
+
+    def per_part(part_tbl: pa.Table) -> pa.Table:
+        # exact per-(source, token) totals, folded straight into
+        # per-source partials — token strings never leave this task
+        tot = part_tbl.select(["source", "token", "n"]).group_by(
+            ["source", "token"]
+        ).aggregate([("n", "sum")])
+        n = tot.column("n_sum").cast(pa.int64())
+        sq = pc.multiply_checked(n, n)
+        agg = pa.table(
+            {
+                "source": tot.column("source"),
+                "n_tok": n,
+                "one": pa.array(
+                    np.ones(tot.num_rows, dtype=np.int64), pa.int64()
+                ),
+                "sq": sq,
+            }
+        ).group_by("source").aggregate(
+            [("n_tok", "sum"), ("one", "sum"), ("sq", "sum")]
+        )
+        return pa.table(
+            {
+                "source": agg.column("source"),
+                "nt_p": agg.column("n_tok_sum").cast(pa.int64()),
+                "nd_p": agg.column("one_sum").cast(pa.int64()),
+                "sq_p": agg.column("sq_sum").cast(pa.int64()),
+            }
+        )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_tokens": batch.column("nt"),
+                "n_distinct": batch.column("nd"),
+                "sum_sq": batch.column("sq"),
+            }
+        )
+
+    return (
+        ds.map_batches(pair_counts, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("nt_p", alias_name="nt"),
+            Sum("nd_p", alias_name="nd"),
+            Sum("sq_p", alias_name="sq"),
+        )
+        .map_batches(rename, batch_format="pyarrow")
+    )

@@ -193,6 +193,11 @@ SUBSET = [
     # tail, already appear above)
     "sliding_distinct",
     "retention_7d",
+    # round-4 wave 24: Simpson lexical diversity + Markov transitions
+    # (common_ngram_score / rolling_sum, which they displaced to the
+    # tail, already appear above)
+    "token_diversity",
+    "event_transitions",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
