@@ -213,7 +213,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # head-checked dedup_substrings plan at line grain; pytest
         # keeps it bit-green in the tail)
         "bottomk_sample": curation.bottomk_sample,
-        "pack_sequences": curation.pack_sequences,
+        # (round 4, wave 25) EXACT phi-frequent tokens via two-pass
+        # mergeable Misra-Gries — the sound heavy-hitter class: the
+        # per-batch summary w(x) = max(0, c(x) - t) carries the
+        # PODS'12 mergeability bound, so no global heavy hitter can
+        # ever be dropped (unlike a top-K prune); bounded candidate
+        # list, streaming exact second pass. Takes pack_sequences'
+        # head seat (its bucket-prefix broadcast-base machinery is
+        # percentile_rank's head-checked pass 1; pytest keeps it
+        # bit-green in the tail).
+        "heavy_hitters_exact": curation.heavy_hitters_exact,
         # (round 4, wave 24) exact lexical-diversity statistics per
         # source — Simpson / Gini-Simpson sufficient statistics
         # (N, D, sum n^2) in pure integers, the template-spam signal
@@ -568,6 +577,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # token_diversity / event_transitions: see head comments)
         "common_ngram_score": curation.common_ngram_score,
         "rolling_sum": sessions.rolling_sum,
+        # (round 4 wave 25 displacement — head seat went to
+        # heavy_hitters_exact; prefix-sum shape head-checked by
+        # percentile_rank)
+        "pack_sequences": curation.pack_sequences,
         # (round 4 wave 20 displacements — head seats went to
         # coverage_greedy / gram_matrix: label_facets' many-to-many
         # join + facet count is regional_brand_revenue's join shape
@@ -597,6 +610,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_filter": search.incremental_filter,
         "weighted_sample": curation.weighted_sample,
         "bpe_merges": curation.bpe_merges,
+        # (round 4, wave 25; tail by design — iterative string
+        # rewriting, not SQL-expressible; naive-apply parity pinned in
+        # test_bpe.py) tokenizer APPLY: encode every doc with the
+        # trained merge table in a warm actor pool with a per-actor
+        # word->length memo; per-doc word/BPE-token counts out.
+        "bpe_encode": curation.bpe_encode,
         # (round 4 wave 8 displacements — head seats went to
         # zorder_keys / trend_slopes; see the head comments)
         "cms_registers": analytics.cms_registers,
@@ -3239,6 +3258,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n
         FROM o WHERE nxt IS NOT NULL
         GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    # heavy_hitters_exact: tokens with count * HH_K(=40) > corpus total
+    sql["heavy_hitters_exact"] = """
+        WITH w AS (SELECT unnest(regexp_extract_all(lower(text),
+                          '[a-z0-9]+')) AS t
+                   FROM documents),
+        tot AS (SELECT count(*) AS total FROM w)
+        SELECT t AS token, CAST(count(*) AS BIGINT) AS n
+        FROM w, tot GROUP BY 1, tot.total
+        HAVING count(*) * 40 > tot.total ORDER BY 1
     """
 
     return sql

@@ -126,6 +126,7 @@ def run_queries() -> dict[str, float]:
         "table_checksum", "rrf_fusion",
         "sliding_distinct", "retention_7d",
         "token_diversity", "event_transitions",
+        "heavy_hitters_exact", "bpe_encode",
     ]
     out: dict[str, float] = {}
     for name in picks:

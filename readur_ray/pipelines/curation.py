@@ -1875,3 +1875,205 @@ def coverage_greedy(sf_dir: str) -> "ray.data.Dataset":
             }
         )
     )
+
+
+HH_K = 40     # heavy = count * HH_K > total tokens (phi = 1/40)
+MG_CAP = 64   # per-batch Misra-Gries capacity; error <= n_batch/(MG_CAP+1)
+
+
+def heavy_hitters_exact(sf_dir: str) -> "ray.data.Dataset":
+    """EXACT phi-frequent tokens (count > N/HH_K) via the two-pass
+    Misra-Gries guarantee — the sound heavy-hitter class. The
+    `top_ngrams` Counter-prune keeps each batch's top-K and can in
+    principle drop an item that is never batch-locally hot yet heavy
+    globally; Misra-Gries summaries are MERGEABLE with a proven bound
+    (Agarwal et al., Mergeable Summaries, PODS'12): per batch the
+    summary weight w(x) = max(0, c(x) − t) with t the (MG_CAP+1)-th
+    largest batch count satisfies w(x) ≥ c(x) − n_batch/(MG_CAP+1),
+    so summed over batches  Σw(x) ≥ C(x) − N/(MG_CAP+1)  and EVERY
+    true heavy hitter survives the candidate filter
+    Σw·HH_K·(MG_CAP+1) > N·(MG_CAP+1−HH_K). Pass 2 then counts the
+    ≤ ~N/(N/HH_K − N/(MG_CAP+1)) ≈ 100 candidates exactly.
+
+    Scale shape: pass 1 emits ≤ MG_CAP summary rows per batch plus a
+    1-row total partial — one tiny groupby(token) Sum, driver reads
+    only the filtered candidate list; pass 2 is a streaming broadcast
+    count (sorted candidate array + searchsorted per batch) and a
+    second tiny Sum. No token ever shuffles un-summarized; both
+    passes' wire cost is O(batches × MG_CAP) rows total."""
+    import re
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    path = f"{sf_dir}/documents.parquet"
+    word_re = re.compile(r"[a-z0-9]+")
+
+    def mg_summary(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            c.update(word_re.findall((text or "").lower()))
+        n_batch = sum(c.values())
+        toks = np.array(list(c.keys()), dtype=object)
+        cnts = np.array(list(c.values()), dtype=np.int64)
+        if len(cnts) > MG_CAP:
+            t = np.partition(cnts, len(cnts) - (MG_CAP + 1))[
+                len(cnts) - (MG_CAP + 1)
+            ]
+        else:
+            t = 0
+        w = cnts - t
+        keep = w > 0
+        return pa.table(
+            {
+                "token": pa.array(
+                    list(toks[keep]) + ["\x00total"], pa.string()
+                ),
+                "w": pa.array(
+                    np.concatenate((w[keep], [n_batch])), pa.int64()
+                ),
+            }
+        )
+
+    summaries = (
+        ray.data.read_parquet(path, columns=["text"])
+        .map_batches(mg_summary, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("w", alias_name="sw"))
+        .to_pandas()
+    )  # bounded driver read: <= batches x MG_CAP pre-reduced rows,
+    #    ~1 row per surviving candidate after the Sum
+    n_total = int(summaries.loc[summaries["token"] == "\x00total", "sw"].iloc[0])
+    cand = summaries[summaries["token"] != "\x00total"]
+    keep = (
+        cand["sw"].to_numpy() * HH_K * (MG_CAP + 1)
+        > n_total * (MG_CAP + 1 - HH_K)
+    )
+    cand_arr = np.sort(cand["token"].to_numpy()[keep].astype(object))
+    cand_ref = ray.put(cand_arr)
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        c: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            c.update(word_re.findall((text or "").lower()))
+        toks = np.array(list(c.keys()), dtype=object)
+        cnts = np.array(list(c.values()), dtype=np.int64)
+        if len(cands) == 0 or len(toks) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "n_p": pa.array([], pa.int64())}
+            )
+        pos = np.searchsorted(cands, toks)
+        pos_c = np.minimum(pos, len(cands) - 1)
+        hit = cands[pos_c] == toks
+        return pa.table(
+            {
+                "token": pa.array(list(toks[hit]), pa.string()),
+                "n_p": pa.array(cnts[hit], pa.int64()),
+            }
+        )
+
+    def final_filter(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        keep = n * HH_K > n_total
+        return pa.table(
+            {
+                "token": batch.column("token").filter(pa.array(keep)),
+                "n": pa.array(n[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(path, columns=["text"])
+        .map_batches(exact_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .map_batches(final_filter, batch_format="pyarrow")
+    )
+
+
+def _bpe_apply(word: str, ranks: dict) -> int:
+    """Number of BPE symbols `word` encodes to under the trained merge
+    table (rank-ordered greedy application — textbook apply step).
+    Shared by the pipeline and the naive-parity test."""
+    seq = list(word) + [BPE_EOW]
+    for (left, right), _rank in sorted(ranks.items(), key=lambda kv: kv[1]):
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    return len(seq)
+
+
+class BpeEncoder:
+    """Warm tokenizer actor: the trained merge table is fetched ONCE
+    per actor from the object store and every distinct word's encoded
+    length is memoized across batches — the stateful-stage pattern
+    (ST1): setup in __init__, per-batch work in __call__."""
+
+    def __init__(self, merges_ref):
+        self._ranks = {
+            (l, r): i for i, (l, r, _c) in enumerate(ray.get(merges_ref))
+        }
+        self._cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import re
+
+        word_re = re.compile(r"[a-z0-9]+")
+        ids, n_words, n_toks = [], [], []
+        for i, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            ws = word_re.findall((text or "").lower())
+            total = 0
+            for w in ws:
+                got = self._cache.get(w)
+                if got is None:
+                    got = self._cache[w] = _bpe_apply(w, self._ranks)
+                total += got
+            ids.append(i)
+            n_words.append(len(ws))
+            n_toks.append(total)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_bpe_tokens": pa.array(n_toks, pa.int64()),
+            }
+        )
+
+
+def bpe_encode(sf_dir: str) -> "ray.data.Dataset":
+    """Tokenizer APPLY — encode every document with the merge table
+    `bpe_merges` trains, reporting per-doc word and BPE-token counts
+    (the token-budget accounting step every training-data pipeline
+    runs after tokenizer training; Sennrich et al. 2016 apply phase).
+
+    Scale shape: training happens once (the bpe_merges pipeline — a
+    bounded 4096-word dictionary reduce); the merge table (BPE_MERGES
+    rows) is ray.put ONCE and applied by a warm ACTOR POOL whose
+    per-word encodings memoize across batches (Zipf makes the cache
+    hit rate ~1 after the first batches). Iterative string rewriting
+    is not SQL-expressible — rows-only by design; bit-parity with the
+    naive reference apply is pinned in pytest instead."""
+    merges = bpe_merges(sf_dir)  # pandas DataFrame, BPE_MERGES rows
+    merges_ref = ray.put(
+        list(zip(merges["left"], merges["right"], merges["pair_count"]))
+    )
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        BpeEncoder,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_args=(merges_ref,),
+    )

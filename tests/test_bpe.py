@@ -56,3 +56,47 @@ def test_bpe_merges_matches_naive_reference(ray_session):
 
     got_rows = list(zip(got["left"], got["right"], got["pair_count"]))
     assert got_rows == want
+
+
+def test_bpe_encode_naive_parity(ray_session):
+    """bpe_encode's per-doc BPE token counts must equal a driver-side
+    naive apply of the same trained merge table (rows-only entry — this
+    parity test is its correctness gate)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from readur_ray.pipelines.curation import (
+        BPE_EOW,
+        _bpe_apply,
+        bpe_encode,
+        bpe_merges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        bpe_encode(sf)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    merges = bpe_merges(sf)
+    ranks = {
+        (l, r): i
+        for i, (l, r) in enumerate(zip(merges["left"], merges["right"]))
+    }
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    word_re = re.compile(r"[a-z0-9]+")
+    cache: dict = {}
+    for _, row in docs.sample(60, random_state=7).iterrows():
+        ws = word_re.findall((row["text"] or "").lower())
+        want = 0
+        for w in ws:
+            if w not in cache:
+                cache[w] = _bpe_apply(w, ranks)
+            want += cache[w]
+        sub = got[got["doc_id"] == row["doc_id"]]
+        assert len(sub) == 1
+        assert int(sub["n_words"].iloc[0]) == len(ws)
+        assert int(sub["n_bpe_tokens"].iloc[0]) == want

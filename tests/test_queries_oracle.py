@@ -198,6 +198,10 @@ SUBSET = [
     # tail, already appear above)
     "token_diversity",
     "event_transitions",
+    # round-4 wave 25: exact Misra-Gries heavy hitters (pack_sequences,
+    # which it displaced to the tail, already appears above;
+    # bpe_encode is rows-only — parity in test_bpe.py)
+    "heavy_hitters_exact",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
@@ -268,7 +272,8 @@ def test_registry_head50_ordering_contract():
     # (data-dependent rolling hash) — neither SQL-expressible;
     # naive-reference parity pinned in test_bpe.py / test_cdc.py
     assert set(missing) <= {
-        "extraction_e2e", "extraction_summary", "bpe_merges", "cdc_chunks",
+        "extraction_e2e", "extraction_summary", "bpe_merges", "bpe_encode",
+        "cdc_chunks",
     }
 
 
