@@ -334,7 +334,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vectors); takes pivot_daily's head seat (the wide crosstab is
         # status_rollup's grouped counting reshaped to columns; pytest
         # keeps it bit-green in the tail)
-        "trend_slopes": analytics.trend_slopes,
+        # (round 4, wave 26) exact chi-square sufficient statistics
+        # for the lang x source contingency table — the independence-
+        # test / feature-selection class: per observed cell the count,
+        # marginals, grand total and signed deviation O*N - R*C, all
+        # integer. Takes trend_slopes' head seat (its per-group scalar
+        # (x, y) moment reduce is gram_matrix's head-checked K=1 case;
+        # pytest keeps it bit-green in the tail).
+        "contingency_grid": analytics.contingency_grid,
         # --- multimodal plumbing (deterministic stub codec) ---
         "multimodal_meta": multimodal.multimodal_meta,
         # (round 4) the audio leg of the multimodal plumbing:
@@ -411,7 +418,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": curation.winnow_fingerprints,
         "tfidf_top_terms": textops.tfidf_top_terms,
         # --- similarity search / semantic dedup ---
-        "ann_topk": similarity.ann_topk,
+        # (round 4, wave 26) one-round kNN majority-vote label
+        # propagation over the knn_graph edges — the graph-based
+        # semi-supervised class (label-noise auditing: a vector
+        # out-voted by its neighbors is a mislabel candidate). The
+        # label side is vector-cardinality so it is NEVER broadcast:
+        # co-partitioned union join + argmax-per-group, two int64
+        # exchanges. Takes ann_topk's head seat (the exact-cosine
+        # ranking family stays head-checked via pq_topk's ADC merge
+        # and semdedup; pytest keeps ann_topk bit-green in the tail).
+        "knn_label_vote": similarity.knn_label_vote,
         "semdedup": similarity.semdedup,
         # (round 4, wave 5) product-quantization ADC top-k — the
         # compressed-code ANN memory lever (m bytes/vector instead of
@@ -581,6 +597,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # heavy_hitters_exact; prefix-sum shape head-checked by
         # percentile_rank)
         "pack_sequences": curation.pack_sequences,
+        # (round 4 wave 26 displacements — head seats went to
+        # knn_label_vote / contingency_grid: see head comments)
+        "ann_topk": similarity.ann_topk,
+        "trend_slopes": analytics.trend_slopes,
         # (round 4 wave 20 displacements — head seats went to
         # coverage_greedy / gram_matrix: label_facets' many-to-many
         # join + facet count is regional_brand_revenue's join shape
@@ -3269,6 +3289,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT t AS token, CAST(count(*) AS BIGINT) AS n
         FROM w, tot GROUP BY 1, tot.total
         HAVING count(*) * 40 > tot.total ORDER BY 1
+    """
+
+    # knn_label_vote: majority label among knn_graph's k neighbors,
+    # ties -> min label
+    sql["knn_label_vote"] = f"""
+        WITH g AS ({sql["knn_graph"]}),
+        v AS (SELECT g.vec_id, e.label
+              FROM g JOIN embeddings e ON e.vec_id = g.neighbor_id),
+        c AS (SELECT vec_id, label, count(*) AS n FROM v GROUP BY 1, 2)
+        SELECT vec_id, label AS pred_label, CAST(n AS BIGINT) AS n_votes
+        FROM (SELECT vec_id, label, n,
+                     row_number() OVER (
+                       PARTITION BY vec_id ORDER BY n DESC, label ASC
+                     ) AS rn FROM c)
+        WHERE rn = 1 ORDER BY 1
+    """
+
+    # contingency_grid: observed cells with marginals and the exact
+    # signed chi-square deviation O*N - R*C
+    sql["contingency_grid"] = """
+        WITH c AS (SELECT lang, source, count(*) AS n
+                   FROM documents GROUP BY 1, 2),
+        r AS (SELECT lang, sum(n) AS rn FROM c GROUP BY 1),
+        cl AS (SELECT source, sum(n) AS cn FROM c GROUP BY 1),
+        t AS (SELECT sum(n) AS nt FROM c)
+        SELECT c.lang, c.source, CAST(c.n AS BIGINT) AS n_obs,
+               CAST(r.rn AS BIGINT) AS row_total,
+               CAST(cl.cn AS BIGINT) AS col_total,
+               CAST(t.nt AS BIGINT) AS n_total,
+               CAST(c.n * t.nt - r.rn * cl.cn AS BIGINT) AS dev
+        FROM c JOIN r USING (lang) JOIN cl USING (source), t
+        ORDER BY 1, 2
     """
 
     return sql

@@ -127,6 +127,7 @@ def run_queries() -> dict[str, float]:
         "sliding_distinct", "retention_7d",
         "token_diversity", "event_transitions",
         "heavy_hitters_exact", "bpe_encode",
+        "knn_label_vote", "contingency_grid",
     ]
     out: dict[str, float] = {}
     for name in picks:

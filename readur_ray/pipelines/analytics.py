@@ -2263,3 +2263,65 @@ def table_checksum(sf_dir: str) -> "ray.data.Dataset":
         .groupby("k")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def contingency_grid(sf_dir: str) -> "ray.data.Dataset":
+    """Exact chi-square sufficient statistics for the lang × source
+    contingency table — the independence-test / feature-selection
+    class (chi2 feature scoring, drift detection between a categorical
+    feature and a label): per OBSERVED cell, the count, both
+    marginals, the grand total, and the exact signed deviation
+    dev = O·N − R·C (the χ² numerator's root: χ² = Σ dev²/(R·C·N),
+    derivable downstream in one vectorized step; zero cells follow
+    from the marginals). All integer — no expected-value floats ever
+    materialize.
+
+    Scale shape: per-batch pyarrow group_by partial counts (the
+    combiner) → one tiny groupby((lang, source)) Sum → the driver
+    reads ONLY the reduced grid (#langs × #sources rows — the
+    mix_weights bounded-read contract) and attaches marginals with
+    two bincounts. int64 holds dev up to N ≈ 3×10⁹ per shard; beyond,
+    per-shard grids merge by summing counts first (the partials are
+    mergeable) — the documented dial."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "source": t.column("source"),
+                "n_p": t.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    grid = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+    )  # bounded: #langs x #sources rows
+    n = grid["n"].to_numpy()
+    n_total = int(n.sum())
+    row_tot = grid.groupby("lang")["n"].transform("sum").to_numpy()
+    col_tot = grid.groupby("source")["n"].transform("sum").to_numpy()
+    dev = n.astype(object) * n_total - row_tot.astype(object) * col_tot
+    dev64 = np.array([int(v) for v in dev], dtype=np.int64)  # overflow-checked
+    out = pa.table(
+        {
+            "lang": pa.array(grid["lang"], pa.string()),
+            "source": pa.array(grid["source"], pa.string()),
+            "n_obs": pa.array(n, pa.int64()),
+            "row_total": pa.array(row_tot, pa.int64()),
+            "col_total": pa.array(col_tot, pa.int64()),
+            "n_total": pa.array(
+                np.full(len(n), n_total, np.int64), pa.int64()
+            ),
+            "dev": pa.array(dev64, pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(out)

@@ -983,3 +983,109 @@ def gram_matrix(sf_dir: str) -> "ray.data.Dataset":
         )
     )
     return agg.sort(["i", "j"])
+
+
+def knn_label_vote(sf_dir: str, k: int = KNN_K) -> "ray.data.Dataset":
+    """Graph-based semi-supervised inference — one round of kNN
+    majority-vote label propagation over the `knn_graph` edges: every
+    vector's predicted label is the most frequent label among its k
+    nearest same-cell neighbors (ties → min label) — the
+    nearest-neighbor classifier / label-propagation seed step (Zhu &
+    Ghahramani 2002) that curation uses to audit label noise (a vector
+    whose vote disagrees with its own label is a mislabel candidate).
+
+    Scale shape: the label side is vector-cardinality, so it is NEVER
+    broadcast — neighbor labels attach via a co-partitioned union join
+    (label rows and edge rows share one coarse shuffle keyed on the
+    labeled vector id), votes pre-reduce per partition, and a second
+    vec_id-keyed shuffle runs the argmax-per-group kernel. Two coarse
+    exchanges of int64 triples total, on top of knn_graph's one
+    cell shuffle. Output: (vec_id, pred_label, n_votes)."""
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    edges = knn_graph(sf_dir)
+    labels = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+
+    def label_side(batch: pa.Table) -> pa.Table:
+        key = batch.column("vec_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "val": batch.column("label").cast(pa.int64()),
+                "side": pa.array(np.zeros(len(key), np.int64), pa.int64()),
+                "part": pa.array(key % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def edge_side(batch: pa.Table) -> pa.Table:
+        key = batch.column("neighbor_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "val": batch.column("vec_id").cast(pa.int64()),
+                "side": pa.array(np.ones(len(key), np.int64), pa.int64()),
+                "part": pa.array(key % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def attach(part_tbl: pa.Table) -> pa.Table:
+        key = part_tbl.column("key").to_numpy(zero_copy_only=False)
+        val = part_tbl.column("val").to_numpy(zero_copy_only=False)
+        side = part_tbl.column("side").to_numpy(zero_copy_only=False)
+        lk, lv = key[side == 0], val[side == 0]
+        ek, ev = key[side == 1], val[side == 1]  # ev = voting vec_id
+        order = np.argsort(lk, kind="stable")
+        lk, lv = lk[order], lv[order]
+        pos = np.searchsorted(lk, ek)
+        lab = lv[np.minimum(pos, max(len(lk) - 1, 0))]
+        # pre-reduce votes per (vec_id, label) before shuffle 2
+        t = pa.table(
+            {
+                "vec_id": pa.array(ev, pa.int64()),
+                "lab": pa.array(lab, pa.int64()),
+                "one": pa.array(np.ones(len(ev), np.int64), pa.int64()),
+            }
+        ).group_by(["vec_id", "lab"]).aggregate([("one", "sum")])
+        v = t.column("vec_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vec_id": pa.array(v, pa.int64()),
+                "lab": t.column("lab"),
+                "n": t.column("one_sum").cast(pa.int64()),
+                "part": pa.array(v % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def vote(part_tbl: pa.Table) -> pa.Table:
+        t = part_tbl.select(["vec_id", "lab", "n"]).group_by(
+            ["vec_id", "lab"]
+        ).aggregate([("n", "sum")])
+        v = t.column("vec_id").to_numpy(zero_copy_only=False)
+        lab = t.column("lab").to_numpy(zero_copy_only=False)
+        n = t.column("n_sum").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((lab, -n, v))  # per vec: n DESC, label ASC
+        vs, ls, ns = v[order], lab[order], n[order]
+        first = np.empty(len(vs), dtype=bool)
+        if len(vs):
+            first[0] = True
+            first[1:] = vs[1:] != vs[:-1]
+        return pa.table(
+            {
+                "vec_id": pa.array(vs[first], pa.int64()),
+                "pred_label": pa.array(ls[first], pa.int64()),
+                "n_votes": pa.array(ns[first], pa.int64()),
+            }
+        )
+
+    return (
+        labels.map_batches(label_side, batch_format="pyarrow")
+        .union(edges.map_batches(edge_side, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(attach, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(vote, batch_format="pyarrow")
+    )

@@ -202,6 +202,11 @@ SUBSET = [
     # which it displaced to the tail, already appears above;
     # bpe_encode is rows-only — parity in test_bpe.py)
     "heavy_hitters_exact",
+    # round-4 wave 26: kNN label vote + chi-square contingency grid
+    # (ann_topk / trend_slopes, which they displaced to the tail,
+    # already appear above)
+    "knn_label_vote",
+    "contingency_grid",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
