@@ -166,7 +166,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mergeable-sketch arithmetic stays driver-checked via
         # hll_registers' Max grid and bloom_gate's bit grid; the
         # log2-histogram keeps pytest parity in the tail)
-        "resample_ffill": sessions.resample_ffill,
+        # (round 4, wave 27) time-series densification with exact
+        # integer LINEAR interpolation — the two-sided imputation
+        # class (carry-forward bias removed): same one-user-shuffle
+        # machinery, lerp kernel on the hourly anchors. Takes
+        # resample_ffill's head seat (strictly richer kernel over the
+        # identical gap-fill plan; pytest keeps ffill bit-green in
+        # the tail).
+        "resample_lerp": sessions.resample_lerp,
         # --- training-data curation suite ---
         # (round 4) Lee-et-al exact substring dedup with REMOVAL —
         # takes repetition_score's head seat (its within-doc duplicate
@@ -212,7 +219,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # first-occurrence sub-document removal + reassembly is the
         # head-checked dedup_substrings plan at line grain; pytest
         # keeps it bit-green in the tail)
-        "bottomk_sample": curation.bottomk_sample,
+        # (round 4, wave 27) proportional stratified sampling with
+        # EXACT Hamilton largest-remainder apportionment — a fixed
+        # total budget split so quotas sum to B exactly (what
+        # independent per-group rates cannot give), then per-source
+        # deterministic md5-bottom-k with the mergeable grouped
+        # K-prune. Takes bottomk_sample's head seat (its md5-bottom-k
+        # kernel is this operator's pass 2 verbatim; pytest keeps it
+        # bit-green in the tail).
+        "quota_sample": curation.quota_sample,
         # (round 4, wave 25) EXACT phi-frequent tokens via two-pass
         # mergeable Misra-Gries — the sound heavy-hitter class: the
         # per-batch summary w(x) = max(0, c(x) - t) carries the
@@ -601,6 +616,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # knn_label_vote / contingency_grid: see head comments)
         "ann_topk": similarity.ann_topk,
         "trend_slopes": analytics.trend_slopes,
+        # (round 4 wave 27 displacements — head seats went to
+        # resample_lerp / quota_sample: see head comments)
+        "resample_ffill": sessions.resample_ffill,
+        "bottomk_sample": curation.bottomk_sample,
         # (round 4 wave 20 displacements — head seats went to
         # coverage_greedy / gram_matrix: label_facets' many-to-many
         # join + facet count is regional_brand_revenue's join shape
@@ -3321,6 +3340,83 @@ def oracle_sql() -> dict[str, str]:
                CAST(c.n * t.nt - r.rn * cl.cn AS BIGINT) AS dev
         FROM c JOIN r USING (lang) JOIN cl USING (source), t
         ORDER BY 1, 2
+    """
+
+    # resample_lerp: hourly grid per user, interior gaps linearly
+    # interpolated between bracketing anchors in exact integers
+    # (all cents >= 0, so // floor-division matches numpy)
+    sql["resample_lerp"] = """
+        WITH ev AS (
+          SELECT user_id, ts, event_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                 CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS h
+          FROM events
+        ),
+        hr AS (
+          SELECT user_id, h, cents FROM (
+            SELECT user_id, h, cents,
+                   row_number() OVER (PARTITION BY user_id, h
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM ev) WHERE rn = 1
+        ),
+        bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+                   FROM ev GROUP BY user_id),
+        grid AS (SELECT user_id, UNNEST(range(h0, h1 + 1)) AS h FROM bounds),
+        j AS (
+          SELECT g.user_id, g.h, hr.cents,
+                 CASE WHEN hr.cents IS NOT NULL THEN g.h END AS ah
+          FROM grid g LEFT JOIN hr ON g.user_id = hr.user_id AND g.h = hr.h
+        ),
+        w AS (
+          SELECT user_id, h, cents,
+                 last_value(ah IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+                 last_value(cents IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS py,
+                 first_value(ah IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh,
+                 first_value(cents IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ny
+          FROM j
+        )
+        SELECT user_id, make_timestamp(h * 3600000000) AS hour,
+               CAST(CASE WHEN cents IS NOT NULL THEN cents
+                         ELSE (py * (nh - h) + ny * (h - ph)) // (nh - ph)
+                    END AS BIGINT) AS cents
+        FROM w
+    """
+
+    # quota_sample: Hamilton apportionment of a 200-doc budget across
+    # sources, then per-source md5-bottom-quota picks with rank
+    sql["quota_sample"] = """
+        WITH n AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
+        t AS (SELECT sum(ns) AS nt FROM n),
+        q AS (SELECT source, ns, (200 * ns) // nt AS base,
+                     (200 * ns) % nt AS rem
+              FROM n, t),
+        ex AS (SELECT 200 - sum(base) AS extra FROM q),
+        r AS (SELECT source, base, rem,
+                     row_number() OVER (ORDER BY rem DESC, source) AS rr
+              FROM q),
+        quota AS (SELECT source,
+                         base + CASE WHEN rr <= (SELECT extra FROM ex)
+                                     THEN 1 ELSE 0 END AS qu
+                  FROM r),
+        ranked AS (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR))
+                 ) AS rk
+          FROM documents
+        )
+        SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+        FROM ranked JOIN quota USING (source)
+        WHERE rk <= qu ORDER BY source, rk
     """
 
     return sql

@@ -128,6 +128,7 @@ def run_queries() -> dict[str, float]:
         "token_diversity", "event_transitions",
         "heavy_hitters_exact", "bpe_encode",
         "knn_label_vote", "contingency_grid",
+        "resample_lerp", "quota_sample",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -2077,3 +2077,115 @@ def bpe_encode(sf_dir: str) -> "ray.data.Dataset":
         concurrency=(1, 4),
         fn_constructor_args=(merges_ref,),
     )
+
+
+QUOTA_BUDGET = 200  # total sample size the apportionment distributes
+
+
+def quota_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Proportional stratified sampling with EXACT Hamilton
+    largest-remainder apportionment — the survey-sampling class:
+    a fixed total budget B is split across sources as
+    q_s = ⌊B·n_s/N⌋ plus one extra seat for the ⌊·⌋-remainder's
+    largest values (ties → source ASC) so Σ q_s = B exactly —
+    the property `stratified_sample`'s independent per-group rates
+    cannot give (their total drifts). Each source then contributes
+    its q_s docs with the smallest md5(doc_id) (the deterministic
+    bottom-k "random" order `bottomk_sample` pins), rank attached.
+
+    Scale shape: pass 1 is a per-batch source-count combiner → tiny
+    groupby — the driver reads ONLY #sources rows, computes the
+    apportionment in exact integers and broadcasts the quota dict
+    once. Pass 2 is the grouped-bottom-k mergeable prune: each batch
+    keeps ≤ q_s rows per source (a group's shuffled footprint is
+    q_s × #batches max), ONE coarse source shuffle, finalizer re-runs
+    the same kernel. Output: (doc_id, source, rk ≤ quota)."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+    from ..stages.shuffle import N_COARSE_PARTS, str_partition
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def src_counts(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("source").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n_p": t.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    grid = (
+        ray.data.read_parquet(path, columns=["source"])
+        .map_batches(src_counts, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_p", alias_name="ns"))
+        .to_pandas()
+        .sort_values("source", ignore_index=True)
+    )  # bounded driver read: one row per source
+    ns = grid["ns"].to_numpy().astype(np.int64)
+    n_total = int(ns.sum())
+    base = QUOTA_BUDGET * ns // n_total
+    rem = QUOTA_BUDGET * ns % n_total
+    extra = QUOTA_BUDGET - int(base.sum())
+    order = np.lexsort((np.arange(len(ns)), -rem))  # rem DESC, source ASC
+    quota = base.copy()
+    quota[order[:extra]] += 1
+    quotas = dict(zip(grid["source"], quota.astype(int)))
+    qref = ray.put(quotas)
+
+    def _prune(ids, srcs, digests, qmap):
+        order = np.lexsort((digests, srcs))
+        s_sorted = srcs[order]
+        idx = np.arange(len(s_sorted), dtype=np.int64)
+        flags = np.empty(len(s_sorted), dtype=bool)
+        if len(s_sorted):
+            flags[0] = True
+            flags[1:] = s_sorted[1:] != s_sorted[:-1]
+        start = np.maximum.accumulate(np.where(flags, idx, 0))
+        rank = idx - start
+        caps = np.array([qmap.get(s, 0) for s in s_sorted], dtype=np.int64)
+        keep = rank < caps
+        return order[keep], rank[keep]
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        qmap = ray.get(qref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        srcs = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        digests = np.array(
+            [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
+            dtype=object,
+        )
+        kept, _ = _prune(ids, srcs, digests, qmap)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[kept], pa.int64()),
+                "source": pa.array(list(srcs[kept]), pa.string()),
+                "digest": pa.array(list(digests[kept]), pa.string()),
+                "part": pa.array(
+                    str_partition(srcs[kept], N_COARSE_PARTS), pa.int64()
+                ),
+            }
+        )
+
+    def finalize(part_tbl: pa.Table) -> pa.Table:
+        qmap = ray.get(qref)
+        ids = part_tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        srcs = np.asarray(part_tbl.column("source").to_pylist(), dtype=object)
+        digests = np.asarray(part_tbl.column("digest").to_pylist(), dtype=object)
+        kept, rank = _prune(ids, srcs, digests, qmap)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[kept], pa.int64()),
+                "source": pa.array(list(srcs[kept]), pa.string()),
+                "rk": pa.array(rank + 1, pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(path, columns=["doc_id", "source"])
+        .map_batches(local_prune, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(finalize, batch_format="pyarrow")
+    )

@@ -1038,3 +1038,93 @@ def event_transitions(sf_dir: str) -> "ray.data.Dataset":
         .aggregate(Sum("n_p", alias_name="n"))
         .map_batches(rename, batch_format="pyarrow")
     )
+
+
+def resample_lerp(sf_dir: str) -> "ray.data.Dataset":
+    """Time-series densification with LINEAR interpolation — the
+    two-sided imputation sibling of `resample_ffill`: per user, the
+    hourly grid from first to last event hour where a gap hour takes
+    the exact integer lerp between its bracketing hourly anchors,
+    cents = ⌊(y0·(h1−h) + y1·(h−h0)) / (h1−h0)⌋ (anchor hours keep
+    their own last-event cents; all cents are ≥ 0 in this corpus so
+    numpy floor-division and the oracle's `//` agree — the documented
+    precondition). The imputation step feature pipelines run when
+    carry-forward bias is unacceptable.
+
+    Scale shape: identical to resample_ffill — ONE coarse shuffle on
+    user, per-user anchors from one sort, then a fully vectorized
+    searchsorted + lerp over the grid; the densified grid streams to
+    the sink. Returns (user_id, hour, cents)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        ts_us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "ts_us": pa.array(ts_us, pa.int64()),
+                "user_id": batch.column("user_id"),
+                "cents": pa.array(cents, pa.int64()),
+                "h": pa.array(ts_us // US_PER_HOUR, pa.int64()),
+                "part": pa.array(uid % RES_PARTS, pa.int64()),
+            }
+        )
+
+    def lerp_part(part_tbl: pa.Table) -> pa.Table:
+        df = (
+            part_tbl.select(["event_id", "ts_us", "user_id", "cents", "h"])
+            .to_pandas()
+            .sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        )
+        out_uid, out_h, out_c = [], [], []
+        for uid, g in df.groupby("user_id", sort=False):
+            hourly = g.groupby("h", sort=True)["cents"].last()
+            hrs = hourly.index.to_numpy()
+            vals = hourly.to_numpy()
+            grid = np.arange(hrs[0], hrs[-1] + 1, dtype=np.int64)
+            i1 = np.searchsorted(hrs, grid, side="left")  # next anchor
+            i0 = np.searchsorted(hrs, grid, side="right") - 1  # prev anchor
+            h0, y0 = hrs[i0], vals[i0]
+            h1, y1 = hrs[np.minimum(i1, len(hrs) - 1)], vals[
+                np.minimum(i1, len(hrs) - 1)
+            ]
+            on_anchor = h0 == grid
+            span = np.where(on_anchor, 1, h1 - h0)
+            filled = np.where(
+                on_anchor,
+                y0,
+                (y0 * (h1 - grid) + y1 * (grid - h0)) // span,
+            )
+            out_uid.append(np.full(len(grid), uid, np.int64))
+            out_h.append(grid)
+            out_c.append(filled.astype(np.int64))
+        if not out_uid:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "hour": pa.array([], pa.timestamp("us")),
+                    "cents": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate(out_uid), pa.int64()),
+                "hour": pa.array(
+                    np.concatenate(out_h) * US_PER_HOUR, pa.timestamp("us")
+                ),
+                "cents": pa.array(np.concatenate(out_c), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lerp_part, batch_format="pyarrow")
+    )

@@ -207,6 +207,11 @@ SUBSET = [
     # already appear above)
     "knn_label_vote",
     "contingency_grid",
+    # round-4 wave 27: integer-lerp imputation + Hamilton quota sample
+    # (resample_ffill / bottomk_sample, which they displaced to the
+    # tail, already appear above)
+    "resample_lerp",
+    "quota_sample",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
