@@ -285,7 +285,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # overlapping token-window arithmetic is the head-checked
         # pack_sequences window shape over plaintext_extract's
         # tokenization; pytest keeps it bit-green in the tail)
-        "triangle_count": graph.triangle_count,
+        # (round 4, wave 28) pairwise audience-intersection matrix
+        # via the BITMASK ROLLUP — a user's engagement profile is one
+        # T-bit int, the corpus reduces to a <= 2^T mask histogram and
+        # every k-way intersection follows by summation: no pair ever
+        # shuffles (the naive form is a distinct-pair self-join).
+        # Takes triangle_count's head seat (packed-key co-membership
+        # counting is the item_cooccurrence family, pytest-covered;
+        # graph motifs stay head-checked via pagerank + knn_label_vote).
+        "audience_overlap": analytics.audience_overlap,
         # --- sessions / windows / joins ---
         # (round 4, wave 23) D7 cohort retention — per day, cohort
         # size + users also active exactly day+7: the two-slice
@@ -326,7 +334,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # search_ranked's head seat (rank-then-limit is the
         # head-checked ann_topk shape over the head-checked
         # text_search predicate; pytest keeps it bit-green)
-        "status_rollup": analytics.status_rollup,
+        # (round 4, wave 28) ordered sequence materialization — per
+        # user the chronological '>'-joined event-type path (first 20
+        # steps) + true event count: the collect / string_agg class no
+        # scalar aggregate expresses, the behavior-sequence feature
+        # for sequence models. One user shuffle, vectorized truncation
+        # (a hot user ships 20 steps, not their event count). Takes
+        # status_rollup's head seat (grouping-sets hierarchy is
+        # pytest-covered via multi_groupby and its facet marginals are
+        # contingency_grid's head-checked shape).
+        "user_paths": sessions.user_paths,
         # (round 4, wave 20) exact vector second-moment (Gram) reduce
         # over the embedding column — the linear-algebra moment class
         # (covariance / PCA / whitening sufficient statistics): a
@@ -620,6 +637,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # resample_lerp / quota_sample: see head comments)
         "resample_ffill": sessions.resample_ffill,
         "bottomk_sample": curation.bottomk_sample,
+        # (round 4 wave 28 displacements — head seats went to
+        # user_paths / audience_overlap: see head comments)
+        "status_rollup": analytics.status_rollup,
+        "triangle_count": graph.triangle_count,
         # (round 4 wave 20 displacements — head seats went to
         # coverage_greedy / gram_matrix: label_facets' many-to-many
         # join + facet count is regional_brand_revenue's join shape
@@ -3417,6 +3438,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
         FROM ranked JOIN quota USING (source)
         WHERE rk <= qu ORDER BY source, rk
+    """
+
+    # user_paths: first-20-step chronological event-type path + true
+    # event count per user
+    sql["user_paths"] = """
+        WITH r AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS rn
+          FROM events
+        ),
+        agg AS (
+          SELECT user_id,
+                 string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM r WHERE rn <= 20 GROUP BY 1
+        ),
+        cnt AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+        SELECT user_id, CAST(n AS BIGINT) AS n_events, path
+        FROM agg JOIN cnt USING (user_id) ORDER BY 1
+    """
+
+    # audience_overlap: users engaging with BOTH event types, all
+    # unordered type pairs — the naive distinct-pair self-join
+    sql["audience_overlap"] = """
+        WITH p AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM p a JOIN p b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2 ORDER BY 1, 2
     """
 
     return sql

@@ -129,6 +129,7 @@ def run_queries() -> dict[str, float]:
         "heavy_hitters_exact", "bpe_encode",
         "knn_label_vote", "contingency_grid",
         "resample_lerp", "quota_sample",
+        "user_paths", "audience_overlap",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -2325,3 +2325,109 @@ def contingency_grid(sf_dir: str) -> "ray.data.Dataset":
         }
     )
     return ray.data.from_arrow(out)
+
+
+def audience_overlap(sf_dir: str) -> "ray.data.Dataset":
+    """Pairwise audience-intersection matrix — for every unordered
+    pair of event types, the exact number of users who did BOTH (the
+    audience-overlap / co-engagement matrix segmentation and
+    cross-sell analyses ask for). The naive form is a distinct-pair
+    self-join; this plan is the BITMASK ROLLUP: with T event types a
+    user's whole engagement profile is one T-bit integer, and the
+    entire corpus reduces to a ≤ 2^T-row mask histogram from which
+    EVERY pairwise (indeed every k-way) intersection follows by
+    summing masks containing the bits — no pair ever shuffles.
+
+    Scale shape: the type domain (bounded, collected via one tiny
+    distinct aggregate) broadcasts once; per-batch distinct
+    (user, type) pairs OR into per-user masks after ONE coarse user
+    shuffle; per-partition mask histograms (≤ 2^T int64 rows) fold in
+    a tiny groupby; the driver expands the final histogram to the
+    T(T−1)/2 pair counts. Output: (type_a, type_b, n_users), pairs
+    with zero overlap omitted (the oracle's inner join)."""
+    from ray.data.aggregate import Sum
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    path = f"{sf_dir}/events.parquet"
+
+    # bounded type domain: per-batch distinct → driver union (T rows
+    # per batch before the union; T is the event-type vocabulary)
+    tset: set = set()
+    for b in (
+        ray.data.read_parquet(path, columns=["event_type"])
+        .map_batches(
+            lambda t: pa.table(
+                {"event_type": pc.unique(t.column("event_type"))}
+            ),
+            batch_format="pyarrow",
+        )
+        .iter_batches(batch_format="pyarrow")
+    ):
+        tset.update(b.column("event_type").to_pylist())
+    types = np.sort(np.array(sorted(tset), dtype=object))
+    tref = ray.put(types)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        tl = ray.get(tref)
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        bit = np.searchsorted(tl, et)
+        key = np.unique(u.astype(np.int64) * len(tl) + bit)
+        uu, bb = key // len(tl), key % len(tl)
+        return pa.table(
+            {
+                "user": pa.array(uu, pa.int64()),
+                "bit": pa.array(bb, pa.int64()),
+                "part": pa.array(uu % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def masks(part_tbl: pa.Table) -> pa.Table:
+        u = part_tbl.column("user").to_numpy(zero_copy_only=False)
+        b = part_tbl.column("bit").to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        us, bs = u[order], b[order]
+        flags = np.empty(len(us), dtype=bool)
+        if len(us):
+            flags[0] = True
+            flags[1:] = us[1:] != us[:-1]
+        seg = np.cumsum(flags) - 1
+        n_users = int(seg[-1]) + 1 if len(us) else 0
+        mask = np.zeros(n_users, dtype=np.int64)
+        np.bitwise_or.at(mask, seg, np.int64(1) << bs)
+        vals, cnts = np.unique(mask, return_counts=True)
+        return pa.table(
+            {
+                "mask": pa.array(vals, pa.int64()),
+                "n_p": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        ray.data.read_parquet(path, columns=["user_id", "event_type"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(masks, batch_format="pyarrow")
+        .groupby("mask")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+    )  # bounded driver read: <= 2^T rows
+    m = hist["mask"].to_numpy().astype(np.int64)
+    n = hist["n"].to_numpy().astype(np.int64)
+    out_a, out_b, out_n = [], [], []
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            both = int(n[(m & (1 << i) > 0) & (m & (1 << j) > 0)].sum())
+            if both > 0:
+                out_a.append(types[i])
+                out_b.append(types[j])
+                out_n.append(both)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "type_a": pa.array(out_a, pa.string()),
+                "type_b": pa.array(out_b, pa.string()),
+                "n_users": pa.array(out_n, pa.int64()),
+            }
+        )
+    )

@@ -1128,3 +1128,85 @@ def resample_lerp(sf_dir: str) -> "ray.data.Dataset":
         .groupby("part")
         .map_groups(lerp_part, batch_format="pyarrow")
     )
+
+
+PATH_MAX_STEPS = 20  # sequence truncation the oracle mirrors (rn <= 20)
+
+
+def user_paths(sf_dir: str) -> "ray.data.Dataset":
+    """Ordered sequence materialization — the collect / string_agg
+    class (the per-entity ordered list no scalar aggregate expresses):
+    per user, the chronological '>'-joined event-type path truncated
+    to the first PATH_MAX_STEPS steps, plus the untruncated event
+    count — the behavior-sequence feature sequence models and funnel
+    exploration consume.
+
+    Scale shape: ONE coarse user shuffle; inside a partition one
+    lexsort by (user, ts, event_id) orders every user at once, a
+    cumcount-style rank (arange minus segment starts) applies the
+    truncation VECTORIZED, and only the ≤ PATH_MAX_STEPS surviving
+    steps per user are joined into a string (output-row-bounded by
+    construction — a hot user contributes 20 steps, not their event
+    count; the count column still reports the true total). Returns
+    (user_id, n_events, path)."""
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user": pa.array(u.astype(np.int64), pa.int64()),
+                "ts": batch.column("ts").cast(pa.int64()),
+                "eid": batch.column("event_id").cast(pa.int64()),
+                "etype": batch.column("event_type"),
+                "part": pa.array(
+                    u.astype(np.int64) % N_COARSE_PARTS, pa.int64()
+                ),
+            }
+        )
+
+    def build(part_tbl: pa.Table) -> pa.Table:
+        u = part_tbl.column("user").to_numpy(zero_copy_only=False)
+        ts = part_tbl.column("ts").to_numpy(zero_copy_only=False)
+        eid = part_tbl.column("eid").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        us = u[order]
+        et = np.asarray(part_tbl.column("etype").to_pylist(), dtype=object)[
+            order
+        ]
+        idx = np.arange(len(us), dtype=np.int64)
+        flags = np.empty(len(us), dtype=bool)
+        if len(us):
+            flags[0] = True
+            flags[1:] = us[1:] != us[:-1]
+        start = np.maximum.accumulate(np.where(flags, idx, 0))
+        rank = idx - start
+        starts = np.flatnonzero(flags)
+        ends = np.concatenate((starts[1:], [len(us)]))
+        keep = rank < PATH_MAX_STEPS
+        out_u, out_n, out_p = [], [], []
+        ke = et[keep]
+        kstarts = np.searchsorted(np.flatnonzero(keep), starts)
+        kends = np.concatenate((kstarts[1:], [len(ke)]))
+        for s, e, s2, e2 in zip(starts, ends, kstarts, kends):
+            out_u.append(int(us[s]))
+            out_n.append(int(e - s))
+            out_p.append(">".join(ke[s2:e2]))
+        return pa.table(
+            {
+                "user_id": pa.array(out_u, pa.int64()),
+                "n_events": pa.array(out_n, pa.int64()),
+                "path": pa.array(out_p, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(build, batch_format="pyarrow")
+    )

@@ -212,6 +212,11 @@ SUBSET = [
     # tail, already appear above)
     "resample_lerp",
     "quota_sample",
+    # round-4 wave 28: ordered sequence collect + bitmask overlap
+    # (status_rollup / triangle_count, which they displaced to the
+    # tail, already appear above)
+    "user_paths",
+    "audience_overlap",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
