@@ -158,7 +158,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # broadcast filter — supersedes median_by_type's head seat (the
         # sibling one-shuffle exact-quantile primitive, now in the tail
         # with pytest parity)
-        "quantile_gate": curation.quantile_gate,
+        # (round 4, wave 29) exact WEIGHTED lower median per return
+        # flag (quantity-weighted typical price) — the weighted
+        # order-statistic class; quantile_gate/median_by_type are its
+        # weight==1 special case. Same discrete-domain combiner plan,
+        # weighted cumulative pick. Takes quantile_gate's head seat
+        # (identical two-pass machinery, strictly richer statistic;
+        # pytest keeps the gate bit-green in the tail).
+        "weighted_median": curation.weighted_median,
         # (round 4, wave 9) hourly gap-fill resample with forward fill
         # — the time-series densification class (grid generation +
         # carry-forward, one coarse user shuffle), new machinery no
@@ -196,7 +203,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RE2 strip is redact_pii's head-checked single-pass shape over
         # a different pattern — the same rationale that placed
         # json_props_extract in the tail; pytest keeps it bit-green)
-        "dedup_edit_distance": dedup.dedup_edit_distance,
+        # (round 4, wave 29) per-cell k-means quality report — member
+        # count + EXACT integer within-cluster inertia on the QUANT
+        # grid, from the shared memoized trainer: the elbow /
+        # convergence metric that turns semdedup's nlist dial into a
+        # measurement. One streaming pass, nlist-row partials, no data
+        # shuffle. Takes dedup_edit_distance's head seat (pairwise
+        # verification is head-checked by ppjoin_exact's exact-verify
+        # machinery; pytest keeps edit-distance bit-green in the
+        # tail).
+        "kmeans_inertia": similarity.kmeans_inertia,
         # (round 4, wave 12) ROWS-frame rolling window aggregate —
         # completes the window-frame inventory (RANGE: sliding_window;
         # rank: percentile_rank; cumulative: late_data_watermark /
@@ -641,6 +657,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # user_paths / audience_overlap: see head comments)
         "status_rollup": analytics.status_rollup,
         "triangle_count": graph.triangle_count,
+        # (round 4 wave 29 displacements — head seats went to
+        # weighted_median / kmeans_inertia: see head comments)
+        "quantile_gate": curation.quantile_gate,
+        "dedup_edit_distance": dedup.dedup_edit_distance,
         # (round 4 wave 20 displacements — head seats went to
         # coverage_greedy / gram_matrix: label_facets' many-to-many
         # join + facet count is regional_brand_revenue's join shape
@@ -3469,6 +3489,100 @@ def oracle_sql() -> dict[str, str]:
         FROM p a JOIN p b
           ON a.user_id = b.user_id AND a.event_type < b.event_type
         GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    # weighted_median: smallest price-cents whose cumulative quantity
+    # weight reaches half the flag's total quantity
+    sql["weighted_median"] = """
+        WITH x AS (
+          SELECT l_returnflag AS f,
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+                 CAST(floor(l_quantity + 0.5) AS BIGINT) AS q
+          FROM lineitem
+        ),
+        t AS (SELECT f, sum(q) AS tq FROM x GROUP BY 1),
+        g AS (SELECT f, c, sum(q) AS qc FROM x GROUP BY 1, 2),
+        w AS (SELECT f, c,
+                     sum(qc) OVER (PARTITION BY f ORDER BY c) AS cum
+              FROM g)
+        SELECT w.f AS l_returnflag,
+               CAST(min(w.c) AS BIGINT) AS w_median_cents,
+               CAST(any_value(t.tq) AS BIGINT) AS total_qty
+        FROM w JOIN t USING (f)
+        WHERE 2 * w.cum >= t.tq
+        GROUP BY 1 ORDER BY 1
+    """
+
+    # kmeans_inertia: per-cell member count + exact integer inertia
+    # against the SAME trained centroids as the IVF oracles (prefix
+    # mirrors sql["ann_topk_ivf_kmeans"] through a2/cent2f)
+    sql["kmeans_inertia"] = """
+        WITH qv AS (
+          SELECT vec_id, dim,
+                 CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 1000000 + 0.5)
+                      AS BIGINT) AS q
+          FROM embeddings, UNNEST(range(0, 64)) t(dim)
+        ),
+        seed AS (
+          SELECT vec_id - 16 AS c, dim, q FROM qv
+          WHERE vec_id BETWEEN 16 AND 23
+        ),
+        d0 AS (
+          SELECT v.vec_id, s.c, sum((v.q - s.q) * (v.q - s.q)) AS d2
+          FROM qv v JOIN seed s USING (dim) GROUP BY 1, 2
+        ),
+        a0 AS (
+          SELECT vec_id, c FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS rn
+            FROM d0) WHERE rn = 1
+        ),
+        cent1 AS (
+          SELECT a0.c, qv.dim, CAST(sum(qv.q) // count(*) AS BIGINT) AS q
+          FROM qv JOIN a0 USING (vec_id) GROUP BY 1, 2
+        ),
+        cent1f AS (  -- empty cells keep the previous centroid
+          SELECT s.c, s.dim, coalesce(c1.q, s.q) AS q
+          FROM seed s LEFT JOIN cent1 c1 ON c1.c = s.c AND c1.dim = s.dim
+        ),
+        d1 AS (
+          SELECT v.vec_id, cn.c, sum((v.q - cn.q) * (v.q - cn.q)) AS d2
+          FROM qv v JOIN cent1f cn USING (dim) GROUP BY 1, 2
+        ),
+        a1 AS (
+          SELECT vec_id, c FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS rn
+            FROM d1) WHERE rn = 1
+        ),
+        cent2 AS (
+          SELECT a1.c, qv.dim, CAST(sum(qv.q) // count(*) AS BIGINT) AS q
+          FROM qv JOIN a1 USING (vec_id) GROUP BY 1, 2
+        ),
+        cent2f AS (
+          SELECT f.c, f.dim, coalesce(c2.q, f.q) AS q
+          FROM cent1f f LEFT JOIN cent2 c2 ON c2.c = f.c AND c2.dim = f.dim
+        ),
+        d2c AS (
+          SELECT v.vec_id, cn.c, sum((v.q - cn.q) * (v.q - cn.q)) AS d2
+          FROM qv v JOIN cent2f cn USING (dim) GROUP BY 1, 2
+        ),
+        a2 AS (
+          SELECT vec_id, c FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS rn
+            FROM d2c) WHERE rn = 1
+        ),
+        m AS (
+          SELECT a2.vec_id, a2.c,
+                 sum((v.q - cn.q) * (v.q - cn.q)) AS d2
+          FROM qv v JOIN a2 ON a2.vec_id = v.vec_id
+          JOIN cent2f cn ON cn.c = a2.c AND cn.dim = v.dim
+          GROUP BY 1, 2
+        )
+        SELECT c AS cell, CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(sum(d2) AS BIGINT) AS inertia
+        FROM m GROUP BY 1 ORDER BY 1
     """
 
     return sql

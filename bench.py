@@ -130,6 +130,7 @@ def run_queries() -> dict[str, float]:
         "knn_label_vote", "contingency_grid",
         "resample_lerp", "quota_sample",
         "user_paths", "audience_overlap",
+        "weighted_median", "kmeans_inertia",
     ]
     out: dict[str, float] = {}
     for name in picks:

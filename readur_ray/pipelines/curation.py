@@ -2189,3 +2189,73 @@ def quota_sample(sf_dir: str) -> "ray.data.Dataset":
         .groupby("part")
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+def weighted_median(sf_dir: str) -> "ray.data.Dataset":
+    """Exact WEIGHTED lower median — per return flag, the smallest
+    price (integer cents) whose cumulative quantity weight reaches
+    half the group's total quantity: the weighted order-statistic
+    class (volume-weighted typical price, fairness thresholds —
+    `median_by_type` / `quantile_gate` are its weight≡1 special
+    case; a quantity-weighted median resists the cheap-line-item
+    flood an unweighted median falls for).
+
+    Scale shape — the quantile_gate discrete-domain plan generalized
+    to weights: per-batch (flag, cents) → SUM(qty) pre-reduction (one
+    row per distinct price per batch, never one per line item) → one
+    groupby(flag) over pre-reduced partials → per-group sorted
+    cumulative weight → the 2·cum ≥ total pick. A group's shuffled
+    size is bounded by the DISCRETE price domain, not corpus rows;
+    pure integers end to end. Output:
+    (l_returnflag, w_median_cents, total_qty)."""
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        qty = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "f": batch.column("l_returnflag"),
+                "c": pa.array(cents, pa.int64()),
+                "q": pa.array(qty, pa.int64()),
+            }
+        ).group_by(["f", "c"]).aggregate([("q", "sum")])
+        return pa.table(
+            {
+                "f": t.column("f"),
+                "c": t.column("c"),
+                "q": t.column("q_sum").cast(pa.int64()),
+            }
+        )
+
+    def pick(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().groupby("c", sort=True)["q"].sum()
+        vals = df.index.to_numpy(dtype=np.int64)
+        cum = df.to_numpy(dtype=np.int64).cumsum()
+        total = int(cum[-1])
+        v = int(vals[np.searchsorted(2 * cum, total, side="left")])
+        return pa.table(
+            {
+                "l_returnflag": pa.array(
+                    [group.column("f")[0].as_py()], pa.string()
+                ),
+                "w_median_cents": pa.array([v], pa.int64()),
+                "total_qty": pa.array([total], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("f")
+        .map_groups(pick, batch_format="pyarrow")
+    )

@@ -1089,3 +1089,66 @@ def knn_label_vote(sf_dir: str, k: int = KNN_K) -> "ray.data.Dataset":
         .groupby("part")
         .map_groups(vote, batch_format="pyarrow")
     )
+
+
+def kmeans_inertia(sf_dir: str, nlist: int = KM_K) -> "ray.data.Dataset":
+    """Clustering-quality report — per k-means cell, the member count
+    and EXACT within-cluster inertia Σ‖q − c‖² on the QUANT integer
+    grid: the elbow/convergence metric every IVF/semdedup deployment
+    monitors (a cell whose inertia per member explodes needs a larger
+    nlist — the dial the semdedup docstring points at, now measured
+    instead of guessed).
+
+    Scale shape: centroids come from the shared memoized trainer
+    (fixed nlist × dim integer aggregates); ONE streaming pass assigns
+    each batch and folds it into nlist partial rows (count, inertia —
+    int64-exact: d2 ≤ dim·(2·QUANT)² ≈ 2.6e14 per vector, 3.5e4
+    vectors per unit before any risk at 2^63, and the per-batch
+    partial sums are mergeable); a tiny groupby(cell) Sum finishes.
+    No shuffle of data rows at all. Output:
+    (cell, n_vectors, inertia)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_embeddings(sf_dir)
+    cents = _train_centroids(ds, sf_dir, nlist)
+    cref = ray.put(cents)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cn = ray.get(cref)
+        q = _quantize(
+            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        )
+        cells = _assign(q, cn).astype(np.int64)
+        # exact d2 to the OWN centroid per row
+        diff = q - cn[cells]
+        d2 = (diff * diff).sum(axis=1)
+        t = pa.table(
+            {
+                "cell": pa.array(cells, pa.int64()),
+                "one": pa.array(np.ones(len(cells), np.int64), pa.int64()),
+                "d2": pa.array(d2.astype(np.int64), pa.int64()),
+            }
+        ).group_by("cell").aggregate([("one", "sum"), ("d2", "sum")])
+        return pa.table(
+            {
+                "cell": t.column("cell"),
+                "n_p": t.column("one_sum").cast(pa.int64()),
+                "i_p": t.column("d2_sum").cast(pa.int64()),
+            }
+        )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cell": batch.column("cell"),
+                "n_vectors": batch.column("n"),
+                "inertia": batch.column("i"),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n_p", alias_name="n"), Sum("i_p", alias_name="i"))
+        .map_batches(rename, batch_format="pyarrow")
+    )

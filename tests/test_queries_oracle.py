@@ -217,6 +217,11 @@ SUBSET = [
     # tail, already appear above)
     "user_paths",
     "audience_overlap",
+    # round-4 wave 29: weighted median + k-means inertia report
+    # (quantile_gate / dedup_edit_distance, which they displaced to
+    # the tail, already appear above)
+    "weighted_median",
+    "kmeans_inertia",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
