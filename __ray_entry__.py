@@ -319,7 +319,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # seat (its gap-segmentation kernel runs verbatim inside
         # sliding_distinct's interval merge this wave; pytest keeps
         # sessionize bit-green in the tail).
-        "retention_7d": sessions.retention_7d,
+        # (round 4, wave 30) the FULL cohort-retention triangle —
+        # distinct users per (first-week cohort, activity week), every
+        # offset at once: retention_7d's strict generalization (that
+        # op is this matrix sampled at offset 7). Same pair combiner +
+        # one user shuffle; cohort and contributions fall out of one
+        # sorted pass. Takes retention_7d's head seat; pytest keeps it
+        # bit-green in the tail.
+        "cohort_matrix": sessions.cohort_matrix,
         # (round 4) streaming watermark gate — the distributed
         # running-max prefix scan (Dataflow/Flink late-data semantics)
         # — takes sliding_window's head seat (trailing-window counting
@@ -503,7 +510,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_pairs": dedup.snm_pairs,
         # --- expensive-but-unique: within the first 50 by design ---
         "dedup_components": dedup.neardup_components,
-        "fuzzy_dedup_keep": curation.fuzzy_dedup_keep,
+        # (round 4, wave 30) leak ATTRIBUTION — for each contaminated
+        # doc, WHICH benchmark item it shares the most shingles with
+        # (the name a decontamination report hands to a human):
+        # CSR inverted benchmark index broadcast once (eval-suites-
+        # are-MBs contract), one streaming argmax pass. Takes
+        # fuzzy_dedup_keep's head seat (that funnel composes three
+        # head-checked pieces: dedup_minhash_lsh pairs,
+        # dedup_components contraction, dedup_exact winner policy;
+        # pytest keeps it bit-green in the tail).
+        "best_benchmark_match": curation.best_benchmark_match,
         "extraction_metrics": extras.extraction_metrics,
         # --- tail: redundant-with-a-sibling or rows-only (see above;
         # hourly_event_metrics' A5 semantics are driver-covered by
@@ -661,6 +677,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weighted_median / kmeans_inertia: see head comments)
         "quantile_gate": curation.quantile_gate,
         "dedup_edit_distance": dedup.dedup_edit_distance,
+        # (round 4 wave 30 displacements — head seats went to
+        # cohort_matrix / best_benchmark_match: see head comments)
+        "retention_7d": sessions.retention_7d,
+        "fuzzy_dedup_keep": curation.fuzzy_dedup_keep,
         # (round 4 wave 20 displacements — head seats went to
         # coverage_greedy / gram_matrix: label_facets' many-to-many
         # join + facet count is regional_brand_revenue's join shape
@@ -3583,6 +3603,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT c AS cell, CAST(count(*) AS BIGINT) AS n_vectors,
                CAST(sum(d2) AS BIGINT) AS inertia
         FROM m GROUP BY 1 ORDER BY 1
+    """
+
+    # cohort_matrix: distinct users per (first-active-week cohort,
+    # activity week); week = epoch-day // 7
+    sql["cohort_matrix"] = """
+        WITH p AS (
+          SELECT DISTINCT user_id,
+                 (CAST(epoch_us(ts) AS BIGINT) // 86400000000) // 7 AS w
+          FROM events
+        ),
+        c AS (SELECT user_id, min(w) AS w0 FROM p GROUP BY 1)
+        SELECT c.w0 AS cohort_week, p.w AS act_week,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM p JOIN c USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    # best_benchmark_match: per non-benchmark doc, the benchmark doc
+    # sharing the most distinct word-3-shingles (ties -> min bench id)
+    sql["best_benchmark_match"] = f"""
+        WITH {_WORDS_CTE}, {_SHINGLES_CTE},
+        b AS (SELECT doc_id AS bench_id, s FROM sh
+              WHERE doc_id % 20 = 0),
+        tg AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
+        m AS (SELECT tg.doc_id, b.bench_id, count(*) AS ns
+              FROM tg JOIN b USING (s) GROUP BY 1, 2)
+        SELECT doc_id, bench_id, CAST(ns AS BIGINT) AS n_shared
+        FROM (SELECT doc_id, bench_id, ns,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY ns DESC, bench_id
+                     ) AS rn FROM m)
+        WHERE rn = 1 ORDER BY doc_id
     """
 
     return sql

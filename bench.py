@@ -131,6 +131,7 @@ def run_queries() -> dict[str, float]:
         "resample_lerp", "quota_sample",
         "user_paths", "audience_overlap",
         "weighted_median", "kmeans_inertia",
+        "cohort_matrix", "best_benchmark_match",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -2259,3 +2259,94 @@ def weighted_median(sf_dir: str) -> "ray.data.Dataset":
         .groupby("f")
         .map_groups(pick, batch_format="pyarrow")
     )
+
+
+def best_benchmark_match(sf_dir: str) -> "ray.data.Dataset":
+    """Leak ATTRIBUTION — for every non-benchmark document, WHICH
+    benchmark document it shares the most distinct word-3-shingles
+    with (ties → min benchmark id): `contamination` flags that a doc
+    overlaps the eval suite; this asymmetric best-match names the
+    offending benchmark item, which is what a decontamination report
+    hands to a human (and the join key for removing the whole leaked
+    family). Docs sharing nothing are omitted.
+
+    Scale shape: the benchmark inverted index (shingle → sorted bench
+    ids, CSR layout: one sorted shingle array + offsets + a flat id
+    array) is collected once and broadcast with ONE ray.put — bounded
+    by benchmark size, the same eval-suites-are-MBs contract
+    contamination documents. Scoring is a single streaming pass: per
+    doc, searchsorted into the shingle array, gather the touched id
+    ranges, one np.unique for per-bench counts, argmax. At a
+    benchmark too large to broadcast the same query becomes the
+    shuffle form (explode shingles, coarse-partition by shingle hash,
+    count per (doc, bench) pair) — the documented dial."""
+    from ..functions.textstats import shingles_of
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def bench_pairs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = ids % BENCH_MOD == 0
+        out_s, out_b = [], []
+        sub = batch.filter(pa.array(mask))
+        for bid, text in zip(
+            sub.column("doc_id").to_pylist(), sub.column("text").to_pylist()
+        ):
+            for sh in shingles_of(text or "", 3):
+                out_s.append(sh)
+                out_b.append(bid)
+        return pa.table(
+            {
+                "s": pa.array(out_s, pa.string()),
+                "b": pa.array(out_b, pa.int64()),
+            }
+        )
+
+    # CSR inverted index on the driver (bounded by benchmark size)
+    ss, bb = [], []
+    for t in docs.map_batches(bench_pairs, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        ss.extend(t.column("s").to_pylist())
+        bb.extend(t.column("b").to_pylist())
+    s_arr = np.array(ss, dtype=object)
+    b_arr = np.array(bb, dtype=np.int64)
+    order = np.lexsort((b_arr, s_arr))
+    s_arr, b_arr = s_arr[order], b_arr[order]
+    uniq_s, starts = np.unique(s_arr, return_index=True)
+    offsets = np.concatenate((starts, [len(s_arr)]))
+    idx_ref = ray.put((uniq_s, offsets, b_arr))
+
+    def score(batch: pa.Table) -> pa.Table:
+        uq, off, bid = ray.get(idx_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % BENCH_MOD != 0))
+        out_d, out_b, out_n = [], [], []
+        for doc_id, text in zip(
+            sub.column("doc_id").to_pylist(), sub.column("text").to_pylist()
+        ):
+            sh = np.array(shingles_of(text or "", 3), dtype=object)
+            if len(sh) == 0 or len(uq) == 0:
+                continue
+            pos = np.searchsorted(uq, sh)
+            pos_c = np.minimum(pos, len(uq) - 1)
+            hit = np.flatnonzero(uq[pos_c] == sh)
+            if len(hit) == 0:
+                continue
+            touched = np.concatenate(
+                [bid[off[p] : off[p + 1]] for p in pos_c[hit]]
+            )
+            benches, counts = np.unique(touched, return_counts=True)
+            w = int(np.lexsort((benches, -counts))[0])
+            out_d.append(int(doc_id))
+            out_b.append(int(benches[w]))
+            out_n.append(int(counts[w]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "bench_id": pa.array(out_b, pa.int64()),
+                "n_shared": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

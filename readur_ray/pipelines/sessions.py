@@ -1210,3 +1210,90 @@ def user_paths(sf_dir: str) -> "ray.data.Dataset":
         .groupby("part")
         .map_groups(build, batch_format="pyarrow")
     )
+
+
+WEEK_DAYS = 7
+
+
+def cohort_matrix(sf_dir: str) -> "ray.data.Dataset":
+    """The full cohort-retention TRIANGLE — distinct users per
+    (signup-week cohort, activity week): the product-analytics matrix
+    `retention_7d` samples at one fixed offset, generalized to every
+    offset (cohort week w0, active week w ≥ w0). Week = epoch-day //
+    7. A user's cohort is their FIRST active week.
+
+    Scale shape: the same distinct (user, day) pair combiner and ONE
+    user-keyed coarse shuffle as sliding_distinct — a user's whole
+    timeline co-locates, so cohort assignment (min week) and the
+    (cohort, week) contribution rows fall out of one sorted pass with
+    no second data shuffle; per-partition (cohort, week) partial
+    counts fold in a tiny groupby over ≤ #weeks² rows. Output:
+    (cohort_week, act_week, n_users)."""
+    from ..stages.shuffle import N_COARSE_PARTS
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        w = (
+            batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // DAY_US
+            // WEEK_DAYS
+        )
+        key = np.unique(u.astype(np.int64) * (1 << 21) + w)
+        uu, ww = key >> 21, key & ((1 << 21) - 1)
+        return pa.table(
+            {
+                "user": pa.array(uu, pa.int64()),
+                "week": pa.array(ww, pa.int64()),
+                "part": pa.array(uu % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def contribute(part_tbl: pa.Table) -> pa.Table:
+        u = part_tbl.column("user").to_numpy(zero_copy_only=False)
+        w = part_tbl.column("week").to_numpy(zero_copy_only=False)
+        key = np.unique(u * (1 << 21) + w)  # sorted by (user, week)
+        uu, ww = key >> 21, key & ((1 << 21) - 1)
+        flags = np.empty(len(uu), dtype=bool)
+        if len(uu):
+            flags[0] = True
+            flags[1:] = uu[1:] != uu[:-1]
+        idx = np.arange(len(uu), dtype=np.int64)
+        start = np.maximum.accumulate(np.where(flags, idx, 0))
+        cohort = ww[start]  # first (min) week of each user's run
+        t = pa.table(
+            {
+                "cohort_week": pa.array(cohort, pa.int64()),
+                "act_week": pa.array(ww, pa.int64()),
+                "one": pa.array(np.ones(len(ww), np.int64), pa.int64()),
+            }
+        ).group_by(["cohort_week", "act_week"]).aggregate([("one", "sum")])
+        return pa.table(
+            {
+                "cohort_week": t.column("cohort_week"),
+                "act_week": t.column("act_week"),
+                "n_p": t.column("one_sum").cast(pa.int64()),
+            }
+        )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": batch.column("cohort_week"),
+                "act_week": batch.column("act_week"),
+                "n_users": batch.column("n"),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(contribute, batch_format="pyarrow")
+        .groupby(["cohort_week", "act_week"])
+        .aggregate(Sum("n_p", alias_name="n"))
+        .map_batches(rename, batch_format="pyarrow")
+    )

@@ -222,6 +222,11 @@ SUBSET = [
     # the tail, already appear above)
     "weighted_median",
     "kmeans_inertia",
+    # round-4 wave 30: cohort triangle + leak attribution
+    # (retention_7d / fuzzy_dedup_keep, which they displaced to the
+    # tail, already appear above)
+    "cohort_matrix",
+    "best_benchmark_match",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
