@@ -289,7 +289,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # register-grid sketch arithmetic stays driver-checked via
         # hll_registers' Max grid and bloom_gate's bit grid; CMS's Sum
         # grid keeps pytest parity in the tail)
-        "zorder_keys": analytics.zorder_keys,
+        # (round 4, wave 31) rendezvous (highest-random-weight) shard
+        # placement — the consistent-resharding class: add/remove a
+        # worker and only ~1/W of docs move, unlike mod-W; pure
+        # streaming map, no shuffle, no driver state. Takes
+        # zorder_keys' head seat (data-LAYOUT key derivation is the
+        # same family — zorder stays bit-green in the pytest tail and
+        # its interleave kernel is hypothesis-fuzzed).
+        "rendezvous_assign": analytics.rendezvous_assign,
         # (round 4) documents→embeddings production stage: signed
         # feature hashing in an actor pool with a per-actor token cache
         "embed_documents": textops.embed_documents,
@@ -470,7 +477,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # is head-checked dedup_minhash_lsh's banding over a different
         # signature, and the simhash family keeps pytest parity in the
         # tail via dedup_simhash / dedup_simhash_pairs)
-        "winnow_fingerprints": curation.winnow_fingerprints,
+        # (round 4, wave 31) inverted-index compression planning —
+        # per heavy token the exact raw vs delta+LEB128-varint byte
+        # cost of its posting list: the storage-engineering accounting
+        # behind codec choice; one distinct-pair combiner + one token
+        # shuffle, vectorized gap/varint math. Takes
+        # winnow_fingerprints' head seat (robust fingerprint SELECTION
+        # is head-checked by the dedup_minhash_lsh signature family +
+        # dedup_substrings; pytest keeps winnowing bit-green in the
+        # tail).
+        "posting_sizes": textops.posting_sizes,
         "tfidf_top_terms": textops.tfidf_top_terms,
         # --- similarity search / semantic dedup ---
         # (round 4, wave 26) one-round kNN majority-vote label
@@ -681,6 +697,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cohort_matrix / best_benchmark_match: see head comments)
         "retention_7d": sessions.retention_7d,
         "fuzzy_dedup_keep": curation.fuzzy_dedup_keep,
+        # (round 4 wave 31 displacements — head seats went to
+        # posting_sizes / rendezvous_assign: see head comments)
+        "winnow_fingerprints": curation.winnow_fingerprints,
+        "zorder_keys": analytics.zorder_keys,
         # (round 4 wave 20 displacements — head seats went to
         # coverage_greedy / gram_matrix: label_facets' many-to-many
         # join + facet count is regional_brand_revenue's join shape
@@ -3634,6 +3654,58 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (
                        PARTITION BY doc_id ORDER BY ns DESC, bench_id
                      ) AS rn FROM m)
+        WHERE rn = 1 ORDER BY doc_id
+    """
+
+    # posting_sizes: raw vs delta+LEB128 posting-list bytes per token
+    # with df >= 100; varint length via the exact 7-bit ladder
+    sql["posting_sizes"] = """
+        WITH p AS (
+          SELECT DISTINCT t AS token, doc_id FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+            FROM documents)
+        ),
+        o AS (SELECT token, doc_id,
+                     lag(doc_id) OVER (PARTITION BY token ORDER BY doc_id)
+                       AS prev
+              FROM p),
+        g AS (SELECT token,
+                     CASE WHEN prev IS NULL THEN doc_id
+                          ELSE doc_id - prev END AS gap
+              FROM o),
+        v AS (SELECT token,
+                     CASE WHEN gap = 0 THEN 1 ELSE
+                       1 + CAST(gap >= 128 AS INT)
+                         + CAST(gap >= 16384 AS INT)
+                         + CAST(gap >= 2097152 AS INT)
+                         + CAST(gap >= 268435456 AS INT)
+                         + CAST(gap >= 34359738368 AS INT)
+                         + CAST(gap >= 4398046511104 AS INT)
+                         + CAST(gap >= 562949953421312 AS INT)
+                         + CAST(gap >= 72057594037927936 AS INT)
+                     END AS nb
+              FROM g)
+        SELECT token, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(8 * count(*) AS BIGINT) AS raw_bytes,
+               CAST(sum(nb) AS BIGINT) AS varint_bytes
+        FROM v GROUP BY 1 HAVING count(*) >= 100 ORDER BY 1
+    """
+
+    # rendezvous_assign: per doc the worker with the largest
+    # md5(doc_id|worker) digest (highest-random-weight hashing)
+    sql["rendezvous_assign"] = """
+        WITH a AS (
+          SELECT doc_id, w,
+                 md5(CAST(doc_id AS VARCHAR) || '|' || w) AS h
+          FROM documents,
+               UNNEST(['w0','w1','w2','w3','w4','w5','w6','w7']) AS t(w)
+        )
+        SELECT doc_id, w AS worker
+        FROM (SELECT doc_id, w,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY h DESC, w
+                     ) AS rn FROM a)
         WHERE rn = 1 ORDER BY doc_id
     """
 

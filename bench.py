@@ -132,6 +132,7 @@ def run_queries() -> dict[str, float]:
         "user_paths", "audience_overlap",
         "weighted_median", "kmeans_inertia",
         "cohort_matrix", "best_benchmark_match",
+        "posting_sizes", "rendezvous_assign",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -2431,3 +2431,46 @@ def audience_overlap(sf_dir: str) -> "ray.data.Dataset":
             }
         )
     )
+
+
+RV_WORKERS = tuple(f"w{i}" for i in range(8))
+
+
+def rendezvous_assign(sf_dir: str) -> "ray.data.Dataset":
+    """Consistent shard placement via rendezvous (highest-random-
+    weight) hashing — every doc goes to the worker whose
+    md5(doc_id|worker) digest is lexicographically largest: the
+    placement class behind consistent resharding (adding/removing a
+    worker moves ONLY the docs whose argmax changes, ~1/W of the
+    corpus — the property mod-W placement lacks and the reason HRW is
+    the standard cache/shard assigner). Deterministic, coordination-
+    free, and computable independently per row — the ideal Ray Data
+    shape: one streaming map_batches, no shuffle, no driver state.
+
+    Output: (doc_id, worker). The per-worker load histogram is one
+    tiny groupby downstream; ties are impossible (md5 collisions
+    aside, the digest strings differ)."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_w = []
+        for i in ids:
+            best_w, best_h = None, ""
+            for w in RV_WORKERS:
+                h = hashlib.md5(f"{i}|{w}".encode()).hexdigest()
+                if h > best_h:
+                    best_h, best_w = h, w
+            out_w.append(best_w)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "worker": pa.array(out_w, pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -621,3 +621,103 @@ def token_diversity(sf_dir: str) -> "ray.data.Dataset":
         )
         .map_batches(rename, batch_format="pyarrow")
     )
+
+
+POSTING_MIN_DF = 100  # report tokens appearing in >= this many docs
+
+
+def posting_sizes(sf_dir: str) -> "ray.data.Dataset":
+    """Inverted-index compression planning — for every token with
+    document frequency ≥ POSTING_MIN_DF, the exact byte cost of its
+    posting list stored raw (8 B per doc id) vs delta-encoded LEB128
+    varints (1 B per 7 significant bits of each gap, first id kept
+    absolute): the storage-engineering accounting a search/index tier
+    runs before choosing codecs — sizes are deterministic integers,
+    so the DuckDB oracle matches bit-for-bit via a base-128
+    length ladder.
+
+    Scale shape: per-batch DISTINCT (token, doc_id) pairs (the
+    combiner) → ONE coarse token-keyed shuffle → per-partition each
+    token's sorted doc ids yield gaps and varint lengths in one
+    vectorized pass (log2 via bit_length on int64 gaps); only tokens
+    clearing the df floor are emitted, bounding output at the
+    heavy-tail vocabulary. Output:
+    (token, n_docs, raw_bytes, varint_bytes)."""
+    import re
+    import zlib
+
+    import numpy as np
+
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    word_re = re.compile(r"[a-z0-9]+")
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        out_t, out_d = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for t in set(word_re.findall((text or "").lower())):
+                out_t.append(t)
+                out_d.append(doc_id)
+        part = np.array(
+            [zlib.crc32(t.encode()) % N_COARSE_PARTS for t in out_t],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "token": pa.array(out_t, pa.string()),
+                "doc": pa.array(out_d, pa.int64()),
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    def sizes(part_tbl: pa.Table) -> pa.Table:
+        toks = np.asarray(part_tbl.column("token").to_pylist(), dtype=object)
+        docs = part_tbl.column("doc").to_numpy(zero_copy_only=False)
+        order = np.lexsort((docs, toks))
+        toks, docs = toks[order], docs[order]
+        flags = np.empty(len(toks), dtype=bool)
+        if len(toks):
+            flags[0] = True
+            flags[1:] = toks[1:] != toks[:-1]
+        starts = np.flatnonzero(flags)
+        ends = np.concatenate((starts[1:], [len(toks)]))
+        # per-element gap (first element of each run keeps absolute id)
+        gaps = np.empty(len(docs), dtype=np.int64)
+        if len(docs):
+            gaps[1:] = docs[1:] - docs[:-1]
+            gaps[starts] = docs[starts]
+        # LEB128 length: 1 byte per started 7-bit group; gap 0 -> 1 B.
+        # bit_length via log2 — exact for ids < 2^53 (powers of two hit
+        # exact float64 values; everything else lands strictly between
+        # integers), the documented id-width precondition.
+        g = np.maximum(gaps, 1)
+        bl = np.floor(np.log2(g.astype(np.float64))).astype(np.int64) + 1
+        vbytes = -(-bl // 7)
+        vbytes[gaps == 0] = 1
+        out_t, out_n, out_raw, out_v = [], [], [], []
+        for s, e in zip(starts, ends):
+            n = int(e - s)
+            if n >= POSTING_MIN_DF:
+                out_t.append(toks[s])
+                out_n.append(n)
+                out_raw.append(8 * n)
+                out_v.append(int(vbytes[s:e].sum()))
+        return pa.table(
+            {
+                "token": pa.array(out_t, pa.string()),
+                "n_docs": pa.array(out_n, pa.int64()),
+                "raw_bytes": pa.array(out_raw, pa.int64()),
+                "varint_bytes": pa.array(out_v, pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sizes, batch_format="pyarrow")
+    )

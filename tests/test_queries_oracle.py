@@ -227,6 +227,11 @@ SUBSET = [
     # tail, already appear above)
     "cohort_matrix",
     "best_benchmark_match",
+    # round-4 wave 31: posting-list codec accounting + HRW placement
+    # (winnow_fingerprints / zorder_keys, which they displaced to the
+    # tail, already appear above)
+    "posting_sizes",
+    "rendezvous_assign",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
