@@ -194,7 +194,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # md5-rank quota is head-checked bottomk_sample's mergeable
         # bottom-k priority primitive applied per source; pytest keeps
         # it bit-green in the tail)
-        "pmi_bigrams": curation.pmi_bigrams,
+        # (round 4, wave 32) reciprocal (mutual) nearest neighbors —
+        # the alignment-mining filter (bitext / image matching): pairs
+        # where BOTH directions appear in the knn_graph, killing
+        # hub-dominated false matches; one canonical-pair shuffle,
+        # mutual iff count == 2. Takes pmi_bigrams' head seat (its
+        # Counter-combine → coarse-reduce corpus counting is
+        # head-checked by token_diversity + heavy_hitters_exact;
+        # pytest keeps PMI bit-green in the tail).
+        "mutual_knn": similarity.mutual_knn,
         # (round 4, wave 15) exact Levenshtein verification of the LSH
         # candidate pairs — the ORDER-preserving string metric the
         # sketch family lacks, batched Wagner-Fischer vectorized across
@@ -523,7 +531,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # head-checked cell kernel emitting neighbor lists, with the
         # ann family head-checked via ann_topk + pq_topk; pytest keeps
         # it bit-green in the tail)
-        "snm_pairs": dedup.snm_pairs,
+        # (round 4, wave 32) record-linkage SCORING over the snm
+        # blocking — the Fellegi-Sunter agreement step: integer
+        # agreement vector (lang / source / length tolerance) +
+        # weighted score per candidate pair; the attribute side is
+        # doc-cardinality and never broadcast (the co-partitioned
+        # union-join pattern applied twice). Takes snm_pairs' head
+        # seat (any blocking error reorders this output — the
+        # rrf/bm25 transitive-check pattern; pytest keeps snm_pairs
+        # bit-green in the tail).
+        "linkage_scores": dedup.linkage_scores,
         # --- expensive-but-unique: within the first 50 by design ---
         "dedup_components": dedup.neardup_components,
         # (round 4, wave 30) leak ATTRIBUTION — for each contaminated
@@ -701,6 +718,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # posting_sizes / rendezvous_assign: see head comments)
         "winnow_fingerprints": curation.winnow_fingerprints,
         "zorder_keys": analytics.zorder_keys,
+        # (round 4 wave 32 displacements — head seats went to
+        # mutual_knn / linkage_scores: see head comments)
+        "pmi_bigrams": curation.pmi_bigrams,
+        "snm_pairs": dedup.snm_pairs,
         # (round 4 wave 20 displacements — head seats went to
         # coverage_greedy / gram_matrix: label_facets' many-to-many
         # join + facet count is regional_brand_revenue's join shape
@@ -3707,6 +3728,35 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY doc_id ORDER BY h DESC, w
                      ) AS rn FROM a)
         WHERE rn = 1 ORDER BY doc_id
+    """
+
+    # mutual_knn: pairs present in BOTH directions of the knn graph
+    sql["mutual_knn"] = f"""
+        WITH g AS ({sql["knn_graph"]})
+        SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b,
+               CAST(a.d2 AS BIGINT) AS d2
+        FROM g a JOIN g b
+          ON b.vec_id = a.neighbor_id AND b.neighbor_id = a.vec_id
+        WHERE a.vec_id < a.neighbor_id
+        ORDER BY 1, 2
+    """
+
+    # linkage_scores: integer agreement vector + weighted score per
+    # snm_pairs candidate
+    sql["linkage_scores"] = f"""
+        WITH sp AS ({sql["snm_pairs"]})
+        SELECT sp.doc_a, sp.doc_b,
+               CAST(da.lang = db.lang AS BIGINT) AS agree_lang,
+               CAST(da.source = db.source AS BIGINT) AS agree_src,
+               CAST(abs(da.n_chars - db.n_chars) <= 32 AS BIGINT)
+                 AS agree_len,
+               CAST(8 * CAST(da.lang = db.lang AS INT)
+                  + 4 * CAST(da.source = db.source AS INT)
+                  + 2 * CAST(abs(da.n_chars - db.n_chars) <= 32 AS INT)
+                 AS BIGINT) AS score
+        FROM sp JOIN documents da ON da.doc_id = sp.doc_a
+                JOIN documents db ON db.doc_id = sp.doc_b
+        ORDER BY 1, 2
     """
 
     return sql

@@ -133,6 +133,7 @@ def run_queries() -> dict[str, float]:
         "weighted_median", "kmeans_inertia",
         "cohort_matrix", "best_benchmark_match",
         "posting_sizes", "rendezvous_assign",
+        "mutual_knn", "linkage_scores",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -1931,3 +1931,159 @@ def _snm_window_pairs(part_tbl: pa.Table) -> pa.Table:
             "rank_dist": pa.array(np.concatenate(out_d), pa.int64()),
         }
     )
+
+
+LNK_W_LANG, LNK_W_SRC, LNK_W_LEN = 8, 4, 2  # fixed agreement weights
+LNK_LEN_TOL = 32                            # |n_chars delta| tolerance
+
+
+def linkage_scores(sf_dir: str) -> "ray.data.Dataset":
+    """Record-linkage SCORING on top of sorted-neighborhood blocking —
+    the Fellegi-Sunter-shaped agreement step: every snm_pairs
+    candidate gets an integer agreement vector over three fields
+    (same lang, same source, |n_chars delta| ≤ LNK_LEN_TOL) and the
+    weighted score 8·lang + 4·src + 2·len — blocking proposes,
+    scoring disposes, the clerical-review queue consumes the ranked
+    output. Fixed integer weights keep the oracle bit-exact (learned
+    log-odds weights drop in unchanged at deploy time).
+
+    Scale shape: the attribute side is doc-cardinality, so it is
+    NEVER broadcast — the knn_label_vote co-partitioned union-join
+    pattern applied twice: attach doc_a's attributes in one coarse
+    exchange keyed on doc_a, re-key on doc_b, attach again, then one
+    vectorized scoring map. Output:
+    (doc_a, doc_b, agree_lang, agree_src, agree_len, score)."""
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    pairs = snm_pairs(sf_dir)
+    attrs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+
+    def attr_side(batch: pa.Table) -> pa.Table:
+        k = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = len(k)
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "other": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "lang": batch.column("lang"),
+                "source": batch.column("source"),
+                "n_chars": batch.column("n_chars").cast(pa.int64()),
+                "lang_o": pa.array([""] * n, pa.string()),
+                "src_o": pa.array([""] * n, pa.string()),
+                "len_o": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "part": pa.array(k % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def pair_side(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = batch.column("doc_b").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = len(a)
+        return pa.table(
+            {
+                "key": pa.array(a, pa.int64()),
+                "other": pa.array(b, pa.int64()),
+                "lang": pa.array([""] * n, pa.string()),
+                "source": pa.array([""] * n, pa.string()),
+                "n_chars": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "lang_o": pa.array([""] * n, pa.string()),
+                "src_o": pa.array([""] * n, pa.string()),
+                "len_o": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "side": pa.array(np.ones(n, np.int64), pa.int64()),
+                "part": pa.array(a % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def attach_a(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.to_pandas()
+        at = df[df["side"] == 0].set_index("key")
+        pr = df[df["side"] == 1]
+        a = pr["key"].to_numpy()
+        b = pr["other"].to_numpy()
+        return pa.table(
+            {
+                # re-key on doc_b for the second attach; doc_a's attrs
+                # ride along in the lang/source/n_chars slots
+                "key": pa.array(b, pa.int64()),
+                "other": pa.array(a, pa.int64()),
+                "lang": pa.array(
+                    at["lang"].reindex(a).to_numpy(), pa.string()
+                ),
+                "source": pa.array(
+                    at["source"].reindex(a).to_numpy(), pa.string()
+                ),
+                "n_chars": pa.array(
+                    at["n_chars"].reindex(a).to_numpy().astype(np.int64),
+                    pa.int64(),
+                ),
+                "lang_o": pa.array([""] * len(a), pa.string()),
+                "src_o": pa.array([""] * len(a), pa.string()),
+                "len_o": pa.array(np.zeros(len(a), np.int64), pa.int64()),
+                "side": pa.array(np.ones(len(a), np.int64), pa.int64()),
+                "part": pa.array(b % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def attach_b_score(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.to_pandas()
+        at = df[df["side"] == 0].set_index("key")
+        pr = df[df["side"] == 1]
+        if len(pr) == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "agree_lang": pa.array([], pa.int64()),
+                    "agree_src": pa.array([], pa.int64()),
+                    "agree_len": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.int64()),
+                }
+            )
+        b = pr["key"].to_numpy()
+        a = pr["other"].to_numpy()
+        al = (pr["lang"].to_numpy() == at["lang"].reindex(b).to_numpy()).astype(
+            np.int64
+        )
+        asrc = (
+            pr["source"].to_numpy() == at["source"].reindex(b).to_numpy()
+        ).astype(np.int64)
+        alen = (
+            np.abs(
+                pr["n_chars"].to_numpy()
+                - at["n_chars"].reindex(b).to_numpy().astype(np.int64)
+            )
+            <= LNK_LEN_TOL
+        ).astype(np.int64)
+        score = LNK_W_LANG * al + LNK_W_SRC * asrc + LNK_W_LEN * alen
+        return pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "agree_lang": pa.array(al, pa.int64()),
+                "agree_src": pa.array(asrc, pa.int64()),
+                "agree_len": pa.array(alen, pa.int64()),
+                "score": pa.array(score, pa.int64()),
+            }
+        )
+
+    attrs_keyed = attrs.map_batches(attr_side, batch_format="pyarrow")
+    step1 = (
+        attrs_keyed.union(pairs.map_batches(pair_side, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(attach_a, batch_format="pyarrow")
+    )
+    return (
+        attrs_keyed.union(step1)
+        .groupby("part")
+        .map_groups(attach_b_score, batch_format="pyarrow")
+    )

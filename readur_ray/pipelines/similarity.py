@@ -1152,3 +1152,58 @@ def kmeans_inertia(sf_dir: str, nlist: int = KM_K) -> "ray.data.Dataset":
         .aggregate(Sum("n_p", alias_name="n"), Sum("i_p", alias_name="i"))
         .map_batches(rename, batch_format="pyarrow")
     )
+
+
+def mutual_knn(sf_dir: str) -> "ray.data.Dataset":
+    """Reciprocal (mutual) nearest neighbors — the pairs (a, b) where
+    b is in a's kNN list AND a is in b's: the alignment-mining filter
+    (margin-based bitext mining, mutual-NN image matching) that cuts
+    the hub-dominated false matches a one-directional kNN keeps. A
+    hub vector near many others appears in thousands of kNN lists but
+    reciprocates only a few — mutuality is the cheap exact filter.
+
+    Scale shape: one pass over the knn_graph edges emits each edge
+    keyed by its CANONICAL (min, max) pair; one coarse shuffle on the
+    packed pair key, and a pair is mutual iff both directions landed
+    (edges are unique per direction, so count == 2 — the
+    dedup_simhash verify shape). Output: (vec_a, vec_b, d2) with
+    vec_a < vec_b."""
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    edges = knn_graph(sf_dir)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = batch.column("neighbor_id").to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(hi, pa.int64()),
+                "d2": batch.column("d2"),
+                "part": pa.array((lo * 31 + hi) % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def mutual(part_tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        t = part_tbl.select(["lo", "hi", "d2"]).group_by(
+            ["lo", "hi"]
+        ).aggregate([("d2", "count"), ("d2", "max")])
+        t = t.filter(_pc.equal(t.column("d2_count"), 2))
+        return pa.table(
+            {
+                "vec_a": t.column("lo"),
+                "vec_b": t.column("hi"),
+                "d2": t.column("d2_max").cast(pa.int64()),
+            }
+        )
+
+    return (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(mutual, batch_format="pyarrow")
+    )

@@ -232,6 +232,11 @@ SUBSET = [
     # tail, already appear above)
     "posting_sizes",
     "rendezvous_assign",
+    # round-4 wave 32: mutual kNN + record-linkage scoring
+    # (pmi_bigrams / snm_pairs, which they displaced to the tail,
+    # already appear above)
+    "mutual_knn",
+    "linkage_scores",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
