@@ -459,7 +459,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # packed-pair count shuffle over a different grouping; pytest
         # keeps it bit-green in the tail)
         "ppjoin_exact": dedup.ppjoin_exact,
-        "mime_detection": extras.mime_detection,
+        # (round 4, wave 33) A/B experiment readout — deterministic
+        # parity assignment, per-variant distinct exposure, distinct
+        # converters and purchase totals in exact integers (lift and
+        # the chi-square test derive downstream): the experimentation-
+        # analytics class. One distinct-pair combiner + one user
+        # shuffle. Takes mime_detection's head seat (the M1-M3
+        # row-classifier map is plaintext_extract's head-checked shape
+        # and runs in every extraction e2e; pytest keeps it bit-green
+        # in the tail).
+        "ab_lift": analytics.ab_lift,
         # (round 4, wave 10) the WHOLE curation funnel with per-doc
         # stage attribution (benchmark → gate → exact dup → fuzzy dup
         # → contamination, survivor-scoped winners) — takes
@@ -722,6 +731,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mutual_knn / linkage_scores: see head comments)
         "pmi_bigrams": curation.pmi_bigrams,
         "snm_pairs": dedup.snm_pairs,
+        # (round 4 wave 33 displacement — head seat went to ab_lift)
+        "mime_detection": extras.mime_detection,
         # (round 4 wave 20 displacements — head seats went to
         # coverage_greedy / gram_matrix: label_facets' many-to-many
         # join + facet count is regional_brand_revenue's join shape
@@ -3757,6 +3768,23 @@ def oracle_sql() -> dict[str, str]:
         FROM sp JOIN documents da ON da.doc_id = sp.doc_a
                 JOIN documents db ON db.doc_id = sp.doc_b
         ORDER BY 1, 2
+    """
+
+    # ab_lift: per parity variant, distinct users / converters /
+    # purchase totals
+    sql["ab_lift"] = """
+        WITH u AS (
+          SELECT user_id,
+                 CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+                 sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS np
+          FROM events GROUP BY 1, 2
+        )
+        SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_converters,
+               CAST(sum(np) AS BIGINT) AS n_purchases
+        FROM u GROUP BY 1 ORDER BY 1
     """
 
     return sql

@@ -2474,3 +2474,95 @@ def rendezvous_assign(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def ab_lift(sf_dir: str) -> "ray.data.Dataset":
+    """Experiment readout — the A/B analytics class (treatment
+    assignment + conversion attribution, the decision table every
+    product experiment ends in): users deterministically assigned by
+    user_id parity (variant A = even — the hash-assignment stand-in),
+    per variant the distinct exposed users, distinct converters
+    (≥ 1 purchase), and total purchase events; lift and significance
+    derive downstream from these exact integers (paired with
+    contingency_grid's dev statistic for the chi-square test).
+
+    Scale shape: per-batch partials fold each batch to one row per
+    user seen (user id, purchase count) — a distinct-pair combiner —
+    then ONE coarse user shuffle dedups exposure and conversion per
+    user exactly (a user converting in two batches counts once), and
+    per-variant int64 partials reduce in a tiny final groupby.
+    Output: (variant, n_users, n_converters, n_purchases)."""
+    from ray.data.aggregate import Sum
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        is_p = np.asarray(
+            [t == "purchase" for t in batch.column("event_type").to_pylist()],
+            dtype=np.int64,
+        )
+        uu, inv = np.unique(u, return_inverse=True)
+        pc_ = np.bincount(inv, weights=is_p).astype(np.int64)
+        return pa.table(
+            {
+                "user": pa.array(uu.astype(np.int64), pa.int64()),
+                "np_p": pa.array(pc_, pa.int64()),
+                "part": pa.array(
+                    uu.astype(np.int64) % N_COARSE_PARTS, pa.int64()
+                ),
+            }
+        )
+
+    def per_part(part_tbl: pa.Table) -> pa.Table:
+        t = part_tbl.select(["user", "np_p"]).group_by("user").aggregate(
+            [("np_p", "sum")]
+        )
+        u = t.column("user").to_numpy(zero_copy_only=False)
+        npur = t.column("np_p_sum").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        out = []
+        for v, mask in (("A", u % 2 == 0), ("B", u % 2 == 1)):
+            out.append(
+                (
+                    v,
+                    int(mask.sum()),
+                    int((npur[mask] > 0).sum()),
+                    int(npur[mask].sum()),
+                )
+            )
+        return pa.table(
+            {
+                "variant": pa.array([o[0] for o in out], pa.string()),
+                "u_p": pa.array([o[1] for o in out], pa.int64()),
+                "c_p": pa.array([o[2] for o in out], pa.int64()),
+                "p_p": pa.array([o[3] for o in out], pa.int64()),
+            }
+        )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "variant": batch.column("variant"),
+                "n_users": batch.column("u"),
+                "n_converters": batch.column("c"),
+                "n_purchases": batch.column("p"),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pyarrow")
+        .groupby("variant")
+        .aggregate(
+            Sum("u_p", alias_name="u"),
+            Sum("c_p", alias_name="c"),
+            Sum("p_p", alias_name="p"),
+        )
+        .map_batches(rename, batch_format="pyarrow")
+    )

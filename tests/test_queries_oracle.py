@@ -237,6 +237,9 @@ SUBSET = [
     # already appear above)
     "mutual_knn",
     "linkage_scores",
+    # round-4 wave 33: A/B experiment readout (mime_detection, which
+    # it displaced to the tail, already appears above)
+    "ab_lift",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
