@@ -730,7 +730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (round 4 wave 32 displacements — head seats went to
         # mutual_knn / linkage_scores: see head comments)
         "pmi_bigrams": curation.pmi_bigrams,
-        "snm_pairs": dedup.snm_pairs,
+        "snm_pairs": dedup.snm_materialized,
         # (round 4 wave 33 displacement — head seat went to ab_lift)
         "mime_detection": extras.mime_detection,
         # (round 4 wave 20 displacements — head seats went to

@@ -1933,6 +1933,14 @@ def _snm_window_pairs(part_tbl: pa.Table) -> pa.Table:
     )
 
 
+def snm_materialized(sf_dir: str) -> "ray.data.Dataset":
+    """The memoized sorted-neighborhood candidate pairs — the
+    registry's snm_pairs entry and linkage_scores' shared blocking
+    root (one materialized build per corpus+session, the
+    pairs_materialized pattern)."""
+    return _funnel_memo("snm", sf_dir, lambda: snm_pairs(sf_dir))
+
+
 LNK_W_LANG, LNK_W_SRC, LNK_W_LEN = 8, 4, 2  # fixed agreement weights
 LNK_LEN_TOL = 32                            # |n_chars delta| tolerance
 
@@ -1951,11 +1959,14 @@ def linkage_scores(sf_dir: str) -> "ray.data.Dataset":
     NEVER broadcast — the knn_label_vote co-partitioned union-join
     pattern applied twice: attach doc_a's attributes in one coarse
     exchange keyed on doc_a, re-key on doc_b, attach again, then one
-    vectorized scoring map. Output:
+    vectorized scoring map. The snm blocking itself comes from the
+    funnel memo (one materialized build per corpus+session — the
+    pairs_materialized pattern), so scoring never re-runs the
+    blocking's rank machinery. Output:
     (doc_a, doc_b, agree_lang, agree_src, agree_len, score)."""
     from ..stages.shuffle import N_COARSE_PARTS
 
-    pairs = snm_pairs(sf_dir)
+    pairs = snm_materialized(sf_dir)
     attrs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "lang", "source", "n_chars"],
