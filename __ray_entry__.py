@@ -504,7 +504,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup_substrings; pytest keeps winnowing bit-green in the
         # tail).
         "posting_sizes": textops.posting_sizes,
-        "tfidf_top_terms": textops.tfidf_top_terms,
+        # (round 4, wave 34) the dataset-card summary row — exact
+        # corpus fact sheet (docs, sources, langs, chars, total +
+        # distinct tokens, exact duplicate-text count): the
+        # datasheets-for-datasets deliverable, three bounded passes
+        # (lane-shuffle exact distinct, token-shuffle totals, tiny
+        # domain union). Takes tfidf_top_terms' head seat (its
+        # inverted-index/df machinery is head-checked by
+        # posting_sizes' posting construction + rrf_fusion's BM25
+        # ranking; pytest keeps tfidf bit-green in the tail).
+        "dataset_card": curation.dataset_card,
         # --- similarity search / semantic dedup ---
         # (round 4, wave 26) one-round kNN majority-vote label
         # propagation over the knn_graph edges — the graph-based
@@ -733,6 +742,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_pairs": dedup.snm_materialized,
         # (round 4 wave 33 displacement — head seat went to ab_lift)
         "mime_detection": extras.mime_detection,
+        # (round 4 wave 34 displacement — head seat went to
+        # dataset_card; df/inverted-index machinery head-checked by
+        # posting_sizes + rrf_fusion)
+        "tfidf_top_terms": textops.tfidf_top_terms,
         # (round 4 wave 20 displacements — head seats went to
         # coverage_greedy / gram_matrix: label_facets' many-to-many
         # join + facet count is regional_brand_revenue's join shape
@@ -3785,6 +3798,26 @@ def oracle_sql() -> dict[str, str]:
                  AS n_converters,
                CAST(sum(np) AS BIGINT) AS n_purchases
         FROM u GROUP BY 1 ORDER BY 1
+    """
+
+    # dataset_card: one exact corpus fact row
+    sql["dataset_card"] = """
+        WITH tok AS (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+          FROM documents
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+               (SELECT CAST(count(DISTINCT source) AS BIGINT)
+                FROM documents) AS n_sources,
+               (SELECT CAST(count(DISTINCT lang) AS BIGINT)
+                FROM documents) AS n_langs,
+               (SELECT CAST(sum(length(coalesce(text, ''))) AS BIGINT)
+                FROM documents) AS total_chars,
+               (SELECT CAST(count(*) AS BIGINT) FROM tok) AS total_tokens,
+               (SELECT CAST(count(DISTINCT t) AS BIGINT) FROM tok)
+                 AS distinct_tokens,
+               (SELECT CAST(count(*) - count(DISTINCT md5(coalesce(text, '')))
+                       AS BIGINT) FROM documents) AS dup_texts
     """
 
     return sql

@@ -134,7 +134,7 @@ def run_queries() -> dict[str, float]:
         "cohort_matrix", "best_benchmark_match",
         "posting_sizes", "rendezvous_assign",
         "mutual_knn", "linkage_scores",
-        "ab_lift",
+        "ab_lift", "dataset_card",
     ]
     out: dict[str, float] = {}
     for name in picks:

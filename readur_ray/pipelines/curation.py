@@ -2350,3 +2350,200 @@ def best_benchmark_match(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def dataset_card(sf_dir: str) -> "ray.data.Dataset":
+    """The dataset-card summary row — the corpus-level fact sheet a
+    training-data release ships with (datasheets for datasets, Gebru
+    et al. 2021), every figure exact: document count, distinct
+    sources and languages, total characters, total and DISTINCT
+    corpus tokens, and the exact duplicate-text count
+    (docs − distinct md5(text) — 0 certifies the corpus dedup gate).
+
+    Scale shape — three bounded passes, nothing un-reduced reaches
+    the driver:
+    1. doc scan: per-batch partials (doc count, char sum, distinct
+       md5-text lanes pre-deduped per batch) → the lane rows ride ONE
+       coarse lane shuffle for an exact global distinct (the
+       distinct_users_daily plan on the text-hash axis);
+    2. token scan: per-batch distinct-token partial counts → one
+       token-keyed shuffle → per-partition (n_distinct, n_total)
+       partials (token_diversity's corpus-wide cut);
+    3. source/lang domains: tiny per-batch value sets → driver union
+       (bounded vocabularies).
+    Output: one row (n_docs, n_sources, n_langs, total_chars,
+    total_tokens, distinct_tokens, dup_texts)."""
+    import hashlib
+    import re
+
+    from ray.data.aggregate import Sum
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    path = f"{sf_dir}/documents.parquet"
+    word_re = re.compile(r"[a-z0-9]+")
+
+    # pass 1: counts + exact distinct text hashes
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        txts = batch.column("text").to_pylist()
+        lanes = np.unique(
+            np.array(
+                [
+                    int(hashlib.md5((t or "").encode()).hexdigest()[:15], 16)
+                    for t in txts
+                ],
+                dtype=np.int64,
+            )
+        )
+        return pa.table(
+            {
+                "lane": pa.array(lanes, pa.int64()),
+                "n_p": pa.array(
+                    np.concatenate(([len(txts)], np.zeros(len(lanes) - 1, np.int64)))
+                    if len(lanes)
+                    else np.array([], np.int64),
+                    pa.int64(),
+                ),
+                "ch_p": pa.array(
+                    np.concatenate(
+                        (
+                            [sum(len(t or "") for t in txts)],
+                            np.zeros(len(lanes) - 1, np.int64),
+                        )
+                    )
+                    if len(lanes)
+                    else np.array([], np.int64),
+                    pa.int64(),
+                ),
+                "part": pa.array(lanes % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def lane_distinct(part_tbl: pa.Table) -> pa.Table:
+        lanes = part_tbl.column("lane").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "docs": pa.array(
+                    [int(part_tbl.column("n_p").to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+                "chars": pa.array(
+                    [int(part_tbl.column("ch_p").to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+                "texts": pa.array([int(len(np.unique(lanes)))], pa.int64()),
+            }
+        )
+
+    g1 = (
+        ray.data.read_parquet(path, columns=["text"])
+        .map_batches(doc_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lane_distinct, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(
+            Sum("docs", alias_name="n_docs"),
+            Sum("chars", alias_name="total_chars"),
+            Sum("texts", alias_name="n_texts"),
+        )
+        .to_pandas()
+    )
+
+    # pass 2: corpus token totals + exact distinct tokens
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(word_re.findall((t or "").lower()))
+        toks = list(c.keys())
+        import zlib
+
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "n": pa.array(
+                    np.array(list(c.values()), np.int64), pa.int64()
+                ),
+                "part": pa.array(
+                    np.array(
+                        [zlib.crc32(t.encode()) % N_COARSE_PARTS for t in toks],
+                        np.int64,
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def tok_part(part_tbl: pa.Table) -> pa.Table:
+        t = part_tbl.select(["token", "n"]).group_by("token").aggregate(
+            [("n", "sum")]
+        )
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "tt": pa.array(
+                    [int(t.column("n_sum").cast(pa.int64()).to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+                "dt": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    g2 = (
+        ray.data.read_parquet(path, columns=["text"])
+        .map_batches(tok_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(tok_part, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(
+            Sum("tt", alias_name="total_tokens"),
+            Sum("dt", alias_name="distinct_tokens"),
+        )
+        .to_pandas()
+    )
+
+    # pass 3: bounded source/lang domains — per-batch distinct
+    # (tag, value) rows, driver union (vocabularies are bounded)
+    def domain_rows(batch: pa.Table) -> pa.Table:
+        vals: list[tuple[str, str]] = []
+        for col in ("source", "lang"):
+            for v in set(batch.column(col).to_pylist()):
+                if v is not None:
+                    vals.append((col, v))
+        return pa.table(
+            {
+                "tag": pa.array([t for t, _ in vals], pa.string()),
+                "val": pa.array([v for _, v in vals], pa.string()),
+            }
+        )
+
+    srcs: set = set()
+    langs: set = set()
+    for b in (
+        ray.data.read_parquet(path, columns=["source", "lang"])
+        .map_batches(domain_rows, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for t, v in zip(b.column("tag").to_pylist(), b.column("val").to_pylist()):
+            (srcs if t == "source" else langs).add(v)
+
+    n_docs = int(g1["n_docs"].iloc[0])
+    out = pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_sources": pa.array([len(srcs)], pa.int64()),
+            "n_langs": pa.array([len(langs)], pa.int64()),
+            "total_chars": pa.array([int(g1["total_chars"].iloc[0])], pa.int64()),
+            "total_tokens": pa.array(
+                [int(g2["total_tokens"].iloc[0])], pa.int64()
+            ),
+            "distinct_tokens": pa.array(
+                [int(g2["distinct_tokens"].iloc[0])], pa.int64()
+            ),
+            "dup_texts": pa.array(
+                [n_docs - int(g1["n_texts"].iloc[0])], pa.int64()
+            ),
+        }
+    )
+    return ray.data.from_arrow(out)

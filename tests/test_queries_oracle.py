@@ -240,6 +240,9 @@ SUBSET = [
     # round-4 wave 33: A/B experiment readout (mime_detection, which
     # it displaced to the tail, already appears above)
     "ab_lift",
+    # round-4 wave 34: the dataset-card fact row (tfidf_top_terms,
+    # which it displaced to the tail, already appears above)
+    "dataset_card",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
