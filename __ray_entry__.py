@@ -746,6 +746,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dataset_card; df/inverted-index machinery head-checked by
         # posting_sizes + rrf_fusion)
         "tfidf_top_terms": textops.tfidf_top_terms,
+        # (round 4, wave 35 — both tail by design: monitoring-grade
+        # diagnostics whose plans are head-checked siblings)
+        # hubness audit: top in-degree vectors of the knn graph — the
+        # metric that motivates mutual_knn's reciprocity filter
+        "knn_hubness": similarity.knn_hubness,
+        # association lift numerators for the top co-occurring pairs:
+        # support*N - n_a*n_b in exact integers (Apriori's null-model
+        # pass on top of item_cooccurrence)
+        "top_pairs_lift": extras.top_pairs_lift,
         # (round 4 wave 20 displacements — head seats went to
         # coverage_greedy / gram_matrix: label_facets' many-to-many
         # join + facet count is regional_brand_revenue's join shape
@@ -3818,6 +3827,40 @@ def oracle_sql() -> dict[str, str]:
                  AS distinct_tokens,
                (SELECT CAST(count(*) - count(DISTINCT md5(coalesce(text, '')))
                        AS BIGINT) FROM documents) AS dup_texts
+    """
+
+    # knn_hubness: top-20 in-degree vectors of the knn graph
+    sql["knn_hubness"] = f"""
+        WITH g AS ({sql["knn_graph"]})
+        SELECT neighbor_id AS vec_id, CAST(count(*) AS BIGINT)
+                 AS in_degree,
+               CAST(row_number() OVER (
+                 ORDER BY count(*) DESC, neighbor_id
+               ) AS BIGINT) AS rnk
+        FROM g GROUP BY neighbor_id
+        ORDER BY in_degree DESC, vec_id LIMIT 20
+    """
+
+    # top_pairs_lift: item_cooccurrence survivors with marginals and
+    # the exact signed lift numerator
+    sql["top_pairs_lift"] = f"""
+        WITH co AS ({sql["item_cooccurrence"]}),
+        ui AS (
+          SELECT DISTINCT user_id,
+                 CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                      AS BIGINT) AS item
+          FROM events
+        ),
+        m AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM ui
+              GROUP BY 1),
+        t AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+              FROM ui)
+        SELECT co.item_a, co.item_b, co.support,
+               ma.n AS n_a, mb.n AS n_b, t.nu AS n_users,
+               CAST(co.support * t.nu - ma.n * mb.n AS BIGINT) AS dev
+        FROM co JOIN m ma ON ma.item = co.item_a
+                JOIN m mb ON mb.item = co.item_b, t
+        ORDER BY co.support DESC, co.item_a, co.item_b
     """
 
     return sql

@@ -442,3 +442,120 @@ def window_dedup(sf_dir: str) -> "ray.data.Dataset":
         .groupby("part")
         .map_groups(keep_first, batch_format="pyarrow")
     )
+
+
+def top_pairs_lift(sf_dir: str) -> "ray.data.Dataset":
+    """Association LIFT for the top co-occurring item pairs — the
+    null-model step after support counting (Apriori's confidence/lift
+    pass): for each `item_cooccurrence` survivor, attach both items'
+    distinct-user marginals, the universe size, and the exact signed
+    lift numerator dev = support·N − n_a·n_b (dev > 0 ⟺ lift > 1,
+    positively associated; the float lift = support·N / (n_a·n_b)
+    derives downstream). All integers, so the oracle is bit-exact.
+
+    Scale shape: the pair list is the memo-shaped top-K output
+    (bounded), the per-item marginal table is item-vocabulary-bounded
+    (the same contract item_cooccurrence's pair emission documents) —
+    one distinct (user, item) pass + tiny groupby, marginals
+    broadcast once, attached in a single vectorized map. Output:
+    (item_a, item_b, support, n_a, n_b, n_users, dev)."""
+    import re as _re
+
+    from ray.data.aggregate import Sum
+
+    pairs = item_cooccurrence(sf_dir)
+
+    # per-item distinct-user marginals + the user universe (bounded)
+    def ui_partial(batch: pa.Table) -> pa.Table:
+        items, users = [], []
+        for u, p in zip(
+            batch.column("user_id").to_pylist(),
+            batch.column("props").to_pylist(),
+        ):
+            m = _re.search(r'"k":\s*(-?\d+)', p or "")
+            if m:
+                items.append(int(m.group(1)))
+                users.append(int(u))
+        key = np.unique(
+            np.array(users, np.int64) * (1 << 21) + np.array(items, np.int64)
+        )
+        return pa.table(
+            {
+                "user": pa.array(key >> 21, pa.int64()),
+                "item": pa.array(key & ((1 << 21) - 1), pa.int64()),
+            }
+        )
+
+    ui = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "props"]
+        )
+        .map_batches(ui_partial, batch_format="pyarrow")
+    )
+    # exact distinct via one user-keyed fold, then bounded marginals
+    def dedup_part(part_tbl: pa.Table) -> pa.Table:
+        key = np.unique(
+            part_tbl.column("user").to_numpy(zero_copy_only=False) * (1 << 21)
+            + part_tbl.column("item").to_numpy(zero_copy_only=False)
+        )
+        items = key & ((1 << 21) - 1)
+        u, c = np.unique(items, return_counts=True)
+        users = np.unique(key >> 21)
+        t = pa.table(
+            {
+                "item": pa.array(
+                    np.concatenate((u, [-1])), pa.int64()
+                ),  # -1 row carries the partition's distinct-user count
+                "n_p": pa.array(
+                    np.concatenate((c.astype(np.int64), [len(users)])),
+                    pa.int64(),
+                ),
+            }
+        )
+        return t
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        u = batch.column("user").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array(u % 64, pa.int64())
+        )
+
+    marg = (
+        ui.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup_part, batch_format="pyarrow")
+        .groupby("item")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+    )  # bounded: item vocabulary + 1 rows
+    n_users = int(marg.loc[marg["item"] == -1, "n"].iloc[0])
+    m = dict(
+        zip(
+            marg.loc[marg["item"] >= 0, "item"].astype(int),
+            marg.loc[marg["item"] >= 0, "n"].astype(int),
+        )
+    )
+    mref = ray.put((m, n_users))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        mm, nu = ray.get(mref)
+        a = batch.column("item_a").to_numpy(zero_copy_only=False)
+        b = batch.column("item_b").to_numpy(zero_copy_only=False)
+        s = batch.column("support").to_numpy(zero_copy_only=False)
+        na = np.array([mm[int(x)] for x in a], dtype=np.int64)
+        nb = np.array([mm[int(x)] for x in b], dtype=np.int64)
+        return pa.table(
+            {
+                "item_a": pa.array(a, pa.int64()),
+                "item_b": pa.array(b, pa.int64()),
+                "support": pa.array(s, pa.int64()),
+                "n_a": pa.array(na, pa.int64()),
+                "n_b": pa.array(nb, pa.int64()),
+                "n_users": pa.array(
+                    np.full(len(a), nu, np.int64), pa.int64()
+                ),
+                "dev": pa.array(s * nu - na * nb, pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(attach, batch_format="pyarrow")

@@ -1207,3 +1207,68 @@ def mutual_knn(sf_dir: str) -> "ray.data.Dataset":
         .groupby("part")
         .map_groups(mutual, batch_format="pyarrow")
     )
+
+
+HUB_TOP = 20
+
+
+def knn_hubness(sf_dir: str) -> "ray.data.Dataset":
+    """Hubness audit — the in-degree distribution head of the kNN
+    graph: the HUB_TOP vectors appearing in the most OTHER vectors'
+    k-NN lists (Radovanović et al., JMLR 2010 — high-dimensional
+    hubness is the failure mode that motivates `mutual_knn`'s
+    reciprocity filter; a monitoring-grade embedding-quality metric).
+    Output: (vec_id, in_degree, rnk), rank by (degree DESC, id ASC).
+
+    Scale shape: per-batch in-degree partial counts over the
+    knn_graph edges → one tiny groupby(vec_id) Sum → per-partition
+    top-HUB_TOP prune → a ≤ parts×HUB_TOP-row final reduce (the
+    grouped_topk merge discipline on the global group)."""
+    from ray.data.aggregate import Sum
+
+    edges = knn_graph(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.column("neighbor_id").to_numpy(zero_copy_only=False)
+        u, c = np.unique(n, return_counts=True)
+        return pa.table(
+            {
+                "vec_id": pa.array(u, pa.int64()),
+                "d_p": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        v = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        d = batch.column("d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -d))[:HUB_TOP]
+        return pa.table(
+            {
+                "k": pa.array(np.zeros(len(order), np.int64), pa.int64()),
+                "vec_id": pa.array(v[order], pa.int64()),
+                "d": pa.array(d[order], pa.int64()),
+            }
+        )
+
+    def final_top(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+        d = tbl.column("d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -d))[:HUB_TOP]
+        return pa.table(
+            {
+                "vec_id": pa.array(v[order], pa.int64()),
+                "in_degree": pa.array(d[order], pa.int64()),
+                "rnk": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("vec_id")
+        .aggregate(Sum("d_p", alias_name="d"))
+        .map_batches(local_top, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(final_top, batch_format="pyarrow")
+    )

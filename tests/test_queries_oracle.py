@@ -243,6 +243,9 @@ SUBSET = [
     # round-4 wave 34: the dataset-card fact row (tfidf_top_terms,
     # which it displaced to the tail, already appears above)
     "dataset_card",
+    # round-4 wave 35 (tail by design): hubness audit + pair lift
+    "knn_hubness",
+    "top_pairs_lift",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
