@@ -751,6 +751,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hubness audit: top in-degree vectors of the knn graph — the
         # metric that motivates mutual_knn's reciprocity filter
         "knn_hubness": similarity.knn_hubness,
+        # recall@k monitor: per query, exact-top-k hits the IVF index
+        # returned (the tuning gauge; aggregate pinned in
+        # test_recall.py) — the mutual count==2 shape on the
+        # query-neighbor axis over two head-checked rankings
+        "ann_recall_report": similarity.ann_recall_report,
         # association lift numerators for the top co-occurring pairs:
         # support*N - n_a*n_b in exact integers (Apriori's null-model
         # pass on top of item_cooccurrence)
@@ -3861,6 +3866,16 @@ def oracle_sql() -> dict[str, str]:
         FROM co JOIN m ma ON ma.item = co.item_a
                 JOIN m mb ON mb.item = co.item_b, t
         ORDER BY co.support DESC, co.item_a, co.item_b
+    """
+
+    # ann_recall_report: per-query exact/IVF intersection size
+    sql["ann_recall_report"] = f"""
+        WITH e AS ({sql["ann_topk"]}),
+        a AS ({sql["ann_topk_ivf_kmeans"]})
+        SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM e JOIN a ON a.query_id = e.query_id
+                     AND a.neighbor_id = e.neighbor_id
+        GROUP BY 1 ORDER BY 1
     """
 
     return sql

@@ -135,7 +135,7 @@ def run_queries() -> dict[str, float]:
         "posting_sizes", "rendezvous_assign",
         "mutual_knn", "linkage_scores",
         "ab_lift", "dataset_card",
-        "knn_hubness", "top_pairs_lift",
+        "knn_hubness", "top_pairs_lift", "ann_recall_report",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -1272,3 +1272,69 @@ def knn_hubness(sf_dir: str) -> "ray.data.Dataset":
         .groupby("k")
         .map_groups(final_top, batch_format="pyarrow")
     )
+
+
+def ann_recall_report(sf_dir: str) -> "ray.data.Dataset":
+    """Recall@k monitoring as a first-class query — per query vector,
+    how many of the exact cosine top-TOP_K neighbors the IVF-kmeans
+    index actually returned (the operational ANN quality gauge;
+    `tests/test_recall.py` pins the aggregate ≥ 0.8, this exposes the
+    per-query breakdown the index operator watches when tuning
+    nlist/probes). Output: (query_id, n_hits) with n_hits ≤ TOP_K —
+    recall@k = n_hits / TOP_K derives downstream.
+
+    Scale shape: both rankings are the head-checked streamed top-k
+    plans; the intersection is one tiny groupby over 2·N_QUERIES·k
+    tagged (query, neighbor) rows — a pair appears twice iff both
+    lists contain it (the mutual_knn count==2 shape on the
+    query-neighbor axis)."""
+    from ray.data.aggregate import Count, Sum
+
+    exact = ann_topk(sf_dir)
+    approx = ann_topk_ivf_kmeans(sf_dir)
+
+    def tag(which: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            q = batch.column("query_id").cast(pa.int64())
+            n = batch.column("neighbor_id").cast(pa.int64())
+            return pa.table(
+                {
+                    "query_id": q,
+                    "neighbor_id": n,
+                    "one": pa.array(
+                        np.ones(len(batch), np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return fn
+
+    def hits(part_tbl: pa.Table) -> pa.Table:
+        t = part_tbl.group_by(["query_id", "neighbor_id"]).aggregate(
+            [("one", "sum")]
+        )
+        import pyarrow.compute as _pc
+
+        both = t.filter(_pc.equal(t.column("one_sum"), 2))
+        g = both.group_by("query_id").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "query_id": g.column("query_id"),
+                "n_hits": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    # the union is 2 * N_QUERIES * TOP_K rows — one tiny single-group
+    # fold (bounded by the fixed query set, the ann_topk contract)
+    return (
+        exact.map_batches(tag(0), batch_format="pyarrow")
+        .union(approx.map_batches(tag(1), batch_format="pyarrow"))
+        .map_batches(
+            lambda b: b.append_column(
+                "k", pa.array(np.zeros(len(b), np.int64), pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("k")
+        .map_groups(hits, batch_format="pyarrow")
+    )

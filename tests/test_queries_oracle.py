@@ -246,6 +246,7 @@ SUBSET = [
     # round-4 wave 35 (tail by design): hubness audit + pair lift
     "knn_hubness",
     "top_pairs_lift",
+    "ann_recall_report",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
