@@ -756,6 +756,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # test_recall.py) — the mutual count==2 shape on the
         # query-neighbor axis over two head-checked rankings
         "ann_recall_report": similarity.ann_recall_report,
+        # PQ-codebook quality: per (subspace, code) member count +
+        # exact integer distortion — kmeans_inertia's sibling on the
+        # product quantizer; one streaming encode pass, <= m x k
+        # partials, no data shuffle
+        "pq_distortion": similarity.pq_distortion,
         # association lift numerators for the top co-occurring pairs:
         # support*N - n_a*n_b in exact integers (Apriori's null-model
         # pass on top of item_cooccurrence)
@@ -3876,6 +3881,79 @@ def oracle_sql() -> dict[str, str]:
         FROM e JOIN a ON a.query_id = e.query_id
                      AND a.neighbor_id = e.neighbor_id
         GROUP BY 1 ORDER BY 1
+    """
+
+    # pq_distortion: per (subspace, code) count + exact distortion
+    # against the SAME trained codebooks as pq_topk (prefix mirrors
+    # sql["pq_topk"] through a2/d2c)
+    sql["pq_distortion"] = """
+        WITH qv AS (
+          SELECT vec_id, dim, dim // 16 AS s,
+                 CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 1000000 + 0.5)
+                      AS BIGINT) AS q
+          FROM embeddings, UNNEST(range(0, 64)) t(dim)
+        ),
+        seed AS (
+          SELECT vec_id - 16 AS c, s, dim, q FROM qv
+          WHERE vec_id BETWEEN 16 AND 23
+        ),
+        d0 AS (
+          SELECT v.vec_id, v.s, sd.c, sum((v.q - sd.q) * (v.q - sd.q)) AS d2
+          FROM qv v JOIN seed sd ON sd.dim = v.dim GROUP BY 1, 2, 3
+        ),
+        a0 AS (
+          SELECT vec_id, s, c FROM (
+            SELECT vec_id, s, c,
+                   row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, c ASC) AS rn
+            FROM d0) WHERE rn = 1
+        ),
+        cent1 AS (
+          SELECT a0.c, qv.s, qv.dim, CAST(sum(qv.q) // count(*) AS BIGINT) AS q
+          FROM qv JOIN a0 ON a0.vec_id = qv.vec_id AND a0.s = qv.s
+          GROUP BY 1, 2, 3
+        ),
+        cent1f AS (  -- empty codes keep the previous centroid
+          SELECT sd.c, sd.s, sd.dim, coalesce(c1.q, sd.q) AS q
+          FROM seed sd LEFT JOIN cent1 c1 ON c1.c = sd.c AND c1.dim = sd.dim
+        ),
+        d1 AS (
+          SELECT v.vec_id, v.s, cn.c, sum((v.q - cn.q) * (v.q - cn.q)) AS d2
+          FROM qv v JOIN cent1f cn ON cn.dim = v.dim GROUP BY 1, 2, 3
+        ),
+        a1 AS (
+          SELECT vec_id, s, c FROM (
+            SELECT vec_id, s, c,
+                   row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, c ASC) AS rn
+            FROM d1) WHERE rn = 1
+        ),
+        cent2 AS (
+          SELECT a1.c, qv.s, qv.dim, CAST(sum(qv.q) // count(*) AS BIGINT) AS q
+          FROM qv JOIN a1 ON a1.vec_id = qv.vec_id AND a1.s = qv.s
+          GROUP BY 1, 2, 3
+        ),
+        cent2f AS (
+          SELECT f.c, f.s, f.dim, coalesce(c2.q, f.q) AS q
+          FROM cent1f f LEFT JOIN cent2 c2 ON c2.c = f.c AND c2.dim = f.dim
+        ),
+        d2c AS (
+          SELECT v.vec_id, v.s, cn.c, sum((v.q - cn.q) * (v.q - cn.q)) AS d2
+          FROM qv v JOIN cent2f cn ON cn.dim = v.dim GROUP BY 1, 2, 3
+        ),
+        a2 AS (  -- final per-(vector, subspace) code
+          SELECT vec_id, s, c FROM (
+            SELECT vec_id, s, c,
+                   row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, c ASC) AS rn
+            FROM d2c) WHERE rn = 1
+        ),
+        m AS (
+          SELECT a2.s, a2.c, count(*) AS n, sum(d.d2) AS dist
+          FROM a2 JOIN d2c d
+            ON d.vec_id = a2.vec_id AND d.s = a2.s AND d.c = a2.c
+          GROUP BY 1, 2
+        )
+        SELECT s AS subspace, c AS code, CAST(n AS BIGINT) AS n_vectors,
+               CAST(dist AS BIGINT) AS distortion
+        FROM m ORDER BY 1, 2
     """
 
     return sql

@@ -136,6 +136,7 @@ def run_queries() -> dict[str, float]:
         "mutual_knn", "linkage_scores",
         "ab_lift", "dataset_card",
         "knn_hubness", "top_pairs_lift", "ann_recall_report",
+        "pq_distortion",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -1338,3 +1338,73 @@ def ann_recall_report(sf_dir: str) -> "ray.data.Dataset":
         .groupby("k")
         .map_groups(hits, batch_format="pyarrow")
     )
+
+
+def pq_distortion(sf_dir: str, m: int = PQ_M) -> "ray.data.Dataset":
+    """Product-quantizer quality report — per (subspace, code) the
+    member count and EXACT integer distortion Σ‖q_s − c_{s,code}‖²
+    (Jégou 2011's training objective, surfaced as a monitor):
+    `kmeans_inertia` watches the COARSE quantizer, this watches the
+    PQ codebooks — together the two dials (nlist, PQ_K) an ANN
+    deployment tunes get measured, not guessed.
+
+    Scale shape: codebooks come from the memoized trainer (fixed
+    m × k × sub integer aggregates); one streaming pass encodes each
+    batch against the broadcast books and folds to ≤ m × k partial
+    rows; a tiny groupby finishes. No data-row shuffle. Output:
+    (subspace, code, n_vectors, distortion)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_embeddings(sf_dir)
+    books = _train_pq_codebooks(ds, sf_dir, m)
+    sub = books.shape[2]
+    bref = ray.put(books)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bk = ray.get(bref)
+        q = _quantize(
+            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        )
+        out_s, out_c, out_n, out_d = [], [], [], []
+        for s in range(bk.shape[0]):
+            qs = q[:, s * sub : (s + 1) * sub]
+            # exact int64 distances to the k codes of this subspace
+            d2 = (
+                (qs[:, None, :].astype(np.int64) - bk[s][None, :, :]) ** 2
+            ).sum(axis=2)
+            # argmin returns the FIRST min — the oracle's
+            # (d2 ASC, code ASC) tie rule
+            code = np.argmin(d2, axis=1)
+            own = d2[np.arange(len(qs)), code]
+            u, inv = np.unique(code, return_inverse=True)
+            out_s.extend([s] * len(u))
+            out_c.extend(u.tolist())
+            out_n.extend(np.bincount(inv).astype(np.int64).tolist())
+            out_d.extend(
+                np.bincount(inv, weights=own).astype(np.int64).tolist()
+            )
+        return pa.table(
+            {
+                "subspace": pa.array(out_s, pa.int64()),
+                "code": pa.array(out_c, pa.int64()),
+                "n_p": pa.array(out_n, pa.int64()),
+                "d_p": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subspace": batch.column("subspace"),
+                "code": batch.column("code"),
+                "n_vectors": batch.column("n"),
+                "distortion": batch.column("d"),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["subspace", "code"])
+        .aggregate(Sum("n_p", alias_name="n"), Sum("d_p", alias_name="d"))
+        .map_batches(rename, batch_format="pyarrow")
+    )

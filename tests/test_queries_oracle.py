@@ -247,6 +247,7 @@ SUBSET = [
     "knn_hubness",
     "top_pairs_lift",
     "ann_recall_report",
+    "pq_distortion",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
