@@ -842,7 +842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the same media column; knn_graph's cell-local exact scan is
         # semdedup's head-checked cell kernel emitting neighbor lists)
         "audio_features": multimodal.audio_features,
-        "knn_graph": similarity.knn_graph,
+        "knn_graph": similarity.knn_edges_materialized,
         # (round 4 wave 18) fuzzy_search displaced by bm25_scores (see
         # head comment); window_dedup is the TTL-window keep-first over
         # events — dedup_exact's head-checked hash-partition winner plan

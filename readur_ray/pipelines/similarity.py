@@ -1003,7 +1003,7 @@ def knn_label_vote(sf_dir: str, k: int = KNN_K) -> "ray.data.Dataset":
     cell shuffle. Output: (vec_id, pred_label, n_votes)."""
     from ..stages.shuffle import N_COARSE_PARTS
 
-    edges = knn_graph(sf_dir)
+    edges = knn_edges_materialized(sf_dir)
     labels = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
     )
@@ -1170,7 +1170,7 @@ def mutual_knn(sf_dir: str) -> "ray.data.Dataset":
     vec_a < vec_b."""
     from ..stages.shuffle import N_COARSE_PARTS
 
-    edges = knn_graph(sf_dir)
+    edges = knn_edges_materialized(sf_dir)
 
     def canon(batch: pa.Table) -> pa.Table:
         a = batch.column("vec_id").cast(pa.int64()).to_numpy(
@@ -1212,6 +1212,32 @@ def mutual_knn(sf_dir: str) -> "ray.data.Dataset":
 HUB_TOP = 20
 
 
+_KNN_EDGES_CACHE: dict[tuple, "ray.data.Dataset"] = {}
+
+
+def knn_edges_materialized(sf_dir: str) -> "ray.data.Dataset":
+    """The memoized knn_graph edge set — shared root for the three
+    registry consumers (knn_label_vote, mutual_knn, knn_hubness) and
+    the registry's knn_graph entry itself: one materialized build per
+    (corpus, session), the pairs_materialized/_CENTROID_CACHE
+    discipline, so the cell shuffle + in-cell tiling run once."""
+    import os as _os
+
+    emb_path = _os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        session = ray.get_runtime_context().get_job_id()
+    except Exception:
+        session = None
+    key = (_os.path.abspath(sf_dir), _os.path.getmtime(emb_path), session)
+    ds = _KNN_EDGES_CACHE.get(key)
+    if ds is None:
+        ds = knn_graph(sf_dir).materialize()
+        for stale in [k for k in _KNN_EDGES_CACHE if k != key]:
+            del _KNN_EDGES_CACHE[stale]
+        _KNN_EDGES_CACHE[key] = ds
+    return ds
+
+
 def knn_hubness(sf_dir: str) -> "ray.data.Dataset":
     """Hubness audit — the in-degree distribution head of the kNN
     graph: the HUB_TOP vectors appearing in the most OTHER vectors'
@@ -1226,7 +1252,7 @@ def knn_hubness(sf_dir: str) -> "ray.data.Dataset":
     grouped_topk merge discipline on the global group)."""
     from ray.data.aggregate import Sum
 
-    edges = knn_graph(sf_dir)
+    edges = knn_edges_materialized(sf_dir)
 
     def partial(batch: pa.Table) -> pa.Table:
         n = batch.column("neighbor_id").to_numpy(zero_copy_only=False)
