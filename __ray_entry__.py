@@ -127,12 +127,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # funnel_attribution's gate CTE; pytest keeps it bit-green)
         "regional_brand_revenue": analytics.regional_brand_revenue,
         "quality_score": textops.quality_score,
-        # (round 4) distributed sort-rank: exact RANK()/PERCENT_RANK()
-        # within source — takes fingerprints' head seat (its
-        # single-pass md5/min-shingle arithmetic is the shape of
-        # head-checked lang_id/quality_score and the signature stage
-        # of dedup_minhash_lsh; pytest keeps it bit-green)
-        "percentile_rank": analytics.percentile_rank,
+        # (round 4, wave 37) exact per-source Gini inequality numerator
+        # — the concentration monitor of a corpus mix; runs the SAME
+        # two-pass bucket-grid sort-rank as percentile_rank but folds
+        # it to algebraic per-bucket partials, so the head keeps the
+        # machinery checked while adding the inequality semantic.
+        # Takes percentile_rank's head seat (pytest keeps its per-row
+        # rank output bit-green in the tail).
+        "gini_sources": analytics.gini_sources,
         "redact_pii": textops.redact_pii,
         # --- relational operators (A1-A6, O1-O3, J1/J4, M20, M4-M6) ---
         # (round 4, wave 22) order-independent whole-table content
@@ -211,16 +213,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RE2 strip is redact_pii's head-checked single-pass shape over
         # a different pattern — the same rationale that placed
         # json_props_extract in the tail; pytest keeps it bit-green)
-        # (round 4, wave 29) per-cell k-means quality report — member
-        # count + EXACT integer within-cluster inertia on the QUANT
-        # grid, from the shared memoized trainer: the elbow /
-        # convergence metric that turns semdedup's nlist dial into a
-        # measurement. One streaming pass, nlist-row partials, no data
-        # shuffle. Takes dedup_edit_distance's head seat (pairwise
-        # verification is head-checked by ppjoin_exact's exact-verify
-        # machinery; pytest keeps edit-distance bit-green in the
-        # tail).
-        "kmeans_inertia": similarity.kmeans_inertia,
+        # (round 4, wave 37) exact two-sample KS drift statistic per
+        # source vs the corpus — integer max|n_all·F_s − n_s·F| over
+        # the bounded (source, value) count grid; the distribution-
+        # drift monitor no mean/quantile gate expresses. Takes
+        # kmeans_inertia's head seat (its _train_centroids machinery
+        # runs VERBATIM inside head-checked semdedup / knn_label_vote
+        # / pq_topk, and its per-cell algebraic fold is gram_matrix's
+        # shape; pytest keeps it bit-green in the tail).
+        "ks_drift": analytics.ks_drift,
         # (round 4, wave 12) ROWS-frame rolling window aggregate —
         # completes the window-frame inventory (RANGE: sliding_window;
         # rank: percentile_rank; cumulative: late_data_watermark /
@@ -858,6 +859,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-median shuffle run twice plus a broadcast counting scan
         "profile_columns": analytics.profile_columns,
         "mad_outliers": analytics.mad_outliers,
+        # (round 4 wave 37) displaced to the tail by gini_sources /
+        # ks_drift (see head comments); pytest keeps both bit-green
+        "percentile_rank": analytics.percentile_rank,
+        "kmeans_inertia": similarity.kmeans_inertia,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -1596,6 +1601,61 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS rnk,
                CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_source
         FROM documents
+    """
+
+    # gini_sources: Σ(2·rn − n − 1)·x over the ascending per-source
+    # sort is tie-order invariant, so ROW_NUMBER's arbitrary-but-
+    # deterministic tie order matches the Ray side's bucket-local sort
+    sql["gini_sources"] = """
+        WITH r AS (
+            SELECT source, n_chars,
+                   row_number() OVER (PARTITION BY source ORDER BY n_chars)
+                       AS rn,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM documents
+        )
+        SELECT source,
+               CAST(max(n) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS sum_x,
+               CAST(sum((2*rn - n - 1) * n_chars) AS BIGINT) AS gini_num
+        FROM r GROUP BY source
+    """
+
+    # ks_drift: exact integer KS numerator — at every global distinct
+    # value v, |n_all·cum_s(v) − n_s·cum_all(v)|, maxed per source
+    sql["ks_drift"] = """
+        WITH g AS (
+            SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1
+        ), gc AS (
+            SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum_all
+            FROM g
+        ), s AS (
+            SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1, 2
+        ), grid AS (
+            SELECT src.source, gc.v, gc.cum_all
+            FROM gc CROSS JOIN (SELECT DISTINCT source FROM documents) src
+        ), sc AS (
+            SELECT grid.source, grid.v, grid.cum_all,
+                   CAST(sum(COALESCE(s.c, 0)) OVER (
+                       PARTITION BY grid.source ORDER BY grid.v
+                   ) AS BIGINT) AS cum_s
+            FROM grid LEFT JOIN s
+              ON s.source = grid.source AND s.v = grid.v
+        ), tot AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_s
+            FROM documents GROUP BY 1
+        ), alln AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_all FROM documents
+        )
+        SELECT sc.source,
+               CAST(max(tot.n_s) AS BIGINT) AS n_s,
+               CAST(max(alln.n_all) AS BIGINT) AS n_all,
+               CAST(max(abs(alln.n_all * sc.cum_s - tot.n_s * sc.cum_all))
+                    AS BIGINT) AS ks_num
+        FROM sc JOIN tot ON tot.source = sc.source CROSS JOIN alln
+        GROUP BY sc.source
     """
 
     # pivot_daily: the event_type domain is stable across sf dirs

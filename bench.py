@@ -137,6 +137,7 @@ def run_queries() -> dict[str, float]:
         "ab_lift", "dataset_card",
         "knn_hubness", "top_pairs_lift", "ann_recall_report",
         "pq_distortion",
+        "gini_sources", "ks_drift",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -2566,3 +2566,211 @@ def ab_lift(sf_dir: str) -> "ray.data.Dataset":
         )
         .map_batches(rename, batch_format="pyarrow")
     )
+
+
+def gini_sources(sf_dir: str) -> "ray.data.Dataset":
+    """Exact Gini-coefficient numerator of the ``n_chars`` distribution
+    per source — the INEQUALITY/concentration monitor of a corpus mix
+    (a source whose byte mass concentrates in a few giant docs packs,
+    shards and trains differently from a uniform one, even at equal
+    totals — the dial mix_weights cannot see). Output per source:
+    ``n``, ``sum_x`` and ``gini_num`` = Σ_i (2·r_i − n − 1)·x_i over
+    the ascending sort, so gini = gini_num / (n · sum_x) is exact
+    integer arithmetic for any consumer. The sum is tie-order
+    invariant (equal x contribute equally wherever they land among
+    their ties), so any deterministic tie-break matches the oracle's
+    ROW_NUMBER bit-for-bit.
+
+    Scale shape — the percentile_rank bucket-grid sort-rank, folded
+    into ALGEBRAIC per-bucket partials instead of per-row ranks: pass 1
+    counts rows per (source, key-range bucket) — a bounded
+    #sources × RANK_KEY_BUCKETS grid — and broadcasts the per-source
+    EXCLUSIVE prefix counts once; pass 2 shuffles rows ONCE on the
+    composite (source, bucket) key, sorts bucket-locally, and emits a
+    single (Σ2rx, Σx, m) partial row per (source, bucket): only
+    grid-bounded partials reach the final per-source Sum. Equal keys
+    always share a bucket (bucket = (key−lo)//width) so ties never
+    straddle a prefix boundary. int64 headroom: 2·r·x ≤ 2·n·max_x;
+    at 10^12 rows the per-bucket partial would switch to a
+    (hi, lo) 128-bit split — the reduction stays the same."""
+    import zlib
+
+    path = f"{sf_dir}/documents.parquet"
+    lohi = ray.data.read_parquet(path, columns=["n_chars"]).aggregate(
+        Min("n_chars"), Max("n_chars")
+    )
+    lo, hi = int(lohi["min(n_chars)"]), int(lohi["max(n_chars)"])
+    width = (hi - lo) // RANK_KEY_BUCKETS + 1
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_pylist()
+        k = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        kb = (k - lo) // width
+        part = np.array(
+            [zlib.crc32(f"{s}|{b}".encode()) for s, b in zip(src, kb)],
+            dtype=np.int64,
+        ) % (8 * RANK_KEY_BUCKETS)
+        return pa.table(
+            {
+                "source": pa.array(src, pa.string()),
+                "x": pa.array(k.astype(np.int64), pa.int64()),
+                "kb": pa.array(kb, pa.int64()),
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    rows = ray.data.read_parquet(
+        path, columns=["source", "n_chars"]
+    ).map_batches(keyed, batch_format="pyarrow")
+
+    def grid_counts(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["source", "kb"])
+            .group_by(["source", "kb"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "kb": g.column("kb"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    grid: dict[str, np.ndarray] = {}
+    for b in rows.map_batches(grid_counts, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for s, kb, n in zip(
+            b.column("source").to_pylist(),
+            b.column("kb").to_pylist(),
+            b.column("n").to_pylist(),
+        ):
+            acc = grid.setdefault(s, np.zeros(RANK_KEY_BUCKETS, dtype=np.int64))
+            acc[kb] += n
+    prefix = {
+        s: np.concatenate(([0], np.cumsum(c)[:-1])) for s, c in grid.items()
+    }
+    bcast = ray.put(prefix)
+
+    def bucket_partials(part_tbl: pa.Table) -> pa.Table:
+        pre = ray.get(bcast)
+        df = part_tbl.to_pandas()
+        srcs, sum2rx, sumx, m = [], [], [], []
+        for (s, kb), sub in df.groupby(["source", "kb"], sort=False):
+            x = np.sort(sub["x"].to_numpy())
+            r = pre[s][int(kb)] + np.arange(1, len(x) + 1, dtype=np.int64)
+            srcs.append(s)
+            sum2rx.append(int(np.sum(2 * r * x)))
+            sumx.append(int(x.sum()))
+            m.append(len(x))
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "s2rx": pa.array(sum2rx, pa.int64()),
+                "sx": pa.array(sumx, pa.int64()),
+                "m": pa.array(m, pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("m").to_numpy(zero_copy_only=False)
+        sx = batch.column("sx").to_numpy(zero_copy_only=False)
+        s2rx = batch.column("s2rx").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n": pa.array(n, pa.int64()),
+                "sum_x": pa.array(sx, pa.int64()),
+                "gini_num": pa.array(s2rx - (n + 1) * sx, pa.int64()),
+            }
+        )
+
+    return (
+        rows.groupby("part")
+        .map_groups(bucket_partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("s2rx", alias_name="s2rx"),
+            Sum("sx", alias_name="sx"),
+            Sum("m", alias_name="m"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def ks_drift(sf_dir: str) -> "ray.data.Dataset":
+    """Exact two-sample Kolmogorov–Smirnov statistic of each source's
+    ``n_chars`` distribution against the whole corpus — the
+    distribution-DRIFT monitor (a source whose length profile diverges
+    from the pool signals a scraping change or a contamination event
+    long before means move). Output per source: ``n_s``, ``n_all`` and
+    ``ks_num`` = max over thresholds t of |n_all·F_s(t) − n_s·F(t)|
+    with F counting rows ≤ t, so D = ks_num / (n_s · n_all) is exact
+    integer arithmetic — no float ECDFs, no hash jitter.
+
+    Scale shape: the value domain of a length column is bounded
+    (distinct n_chars ≪ rows), so the plan reduces rows to the
+    (source, value) count grid with per-batch pyarrow group_by
+    partials, one small groupby folds the grid, the GLOBAL cumulative
+    (value → cum_all) is built once from the tiny value histogram and
+    broadcast, and a per-source map_groups scans its ≤|domain| grid
+    rows sorted by value to take the running max — rows never shuffle,
+    only grid cells do. For an unbounded real-valued column the same
+    plan runs on quantized buckets (KS on the binned ECDF brackets the
+    exact D within one bin mass)."""
+    path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(path, columns=["source", "n_chars"])
+
+    def cell_partials(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.group_by(["source", "n_chars"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "v": g.column("n_chars").cast(pa.int64()),
+                "c": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.map_batches(cell_partials, batch_format="pyarrow")
+        .groupby(["source", "v"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    # tiny global histogram → (sorted values, cumulative counts), once
+    hist: dict[int, int] = {}
+    for b in cells.iter_batches(batch_format="pyarrow"):
+        for v, c in zip(b.column("v").to_pylist(), b.column("c").to_pylist()):
+            hist[v] = hist.get(v, 0) + c
+    vals = np.array(sorted(hist), dtype=np.int64)
+    cum_all = np.cumsum([hist[int(v)] for v in vals]).astype(np.int64)
+    n_all = int(cum_all[-1])
+    bcast = ray.put((vals, cum_all))
+
+    def per_source(group: pa.Table) -> pa.Table:
+        gvals, gcum = ray.get(bcast)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        n_s = int(c.sum())
+        # source ECDF counts at EVERY global distinct value: step fn
+        cum_s = np.zeros(len(gvals), dtype=np.int64)
+        idx = np.searchsorted(gvals, v)
+        cum_s[idx] = c
+        cum_s = np.cumsum(cum_s)
+        ks = int(np.max(np.abs(n_all * cum_s - n_s * gcum)))
+        return pa.table(
+            {
+                "source": pa.array([group.column("source")[0].as_py()]),
+                "n_s": pa.array([n_s], pa.int64()),
+                "n_all": pa.array([n_all], pa.int64()),
+                "ks_num": pa.array([ks], pa.int64()),
+            }
+        )
+
+    return cells.groupby("source").map_groups(per_source, batch_format="pyarrow")

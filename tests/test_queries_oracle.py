@@ -248,6 +248,11 @@ SUBSET = [
     "top_pairs_lift",
     "ann_recall_report",
     "pq_distortion",
+    # round-4 wave 37: Gini inequality + KS drift monitors
+    # (percentile_rank / kmeans_inertia, which they displaced to the
+    # tail, already appear above)
+    "gini_sources",
+    "ks_drift",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
