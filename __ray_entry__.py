@@ -229,16 +229,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # broadcast shingle-overlap pass runs VERBATIM as
         # funnel_attribution's stage-5 CTE; pytest keeps it bit-green
         # in the tail)
-        # (round 4, wave 24) first-order Markov transition counts
-        # over each user's time-ordered events — the sequential-
-        # pattern class (ordered consecutive steps, vs
-        # item_cooccurrence's unordered baskets): one user shuffle,
-        # one partition-local lexsort, pre-reduced <= #types^2 rows
-        # out. Takes rolling_sum's head seat (its per-entity ordered
-        # ROWS-frame scan is the same sort kernel; resample_ffill
-        # keeps the time-frame family head-checked; pytest keeps
-        # rolling_sum bit-green in the tail).
-        "event_transitions": sessions.event_transitions,
+        # (round 4, wave 38) inter-arrival-time histogram — per user,
+        # the gap between consecutive events folded into power-of-two
+        # buckets: the cadence / burstiness DISTRIBUTION monitor that
+        # sessionize's single threshold collapses to a boolean. Takes
+        # event_transitions' head seat (the same one-user-shuffle +
+        # partition-local lexsort consecutive-pair kernel, different
+        # payload — type bigrams there, time deltas here; pytest keeps
+        # transitions bit-green in the tail).
+        "inter_event_gaps": sessions.inter_event_gaps,
         # (round 4) distributed uniform bottom-k sampler (mergeable
         # md5-priority sketch) — takes line_dedup's head seat (global
         # first-occurrence sub-document removal + reassembly is the
@@ -317,15 +316,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # overlapping token-window arithmetic is the head-checked
         # pack_sequences window shape over plaintext_extract's
         # tokenization; pytest keeps it bit-green in the tail)
-        # (round 4, wave 28) pairwise audience-intersection matrix
-        # via the BITMASK ROLLUP — a user's engagement profile is one
-        # T-bit int, the corpus reduces to a <= 2^T mask histogram and
-        # every k-way intersection follows by summation: no pair ever
-        # shuffles (the naive form is a distinct-pair self-join).
-        # Takes triangle_count's head seat (packed-key co-membership
-        # counting is the item_cooccurrence family, pytest-covered;
-        # graph motifs stay head-checked via pagerank + knn_label_vote).
-        "audience_overlap": analytics.audience_overlap,
+        # (round 4, wave 38) level-3 frequent itemsets — the Apriori
+        # step above pair mining: top-K item TRIPLES by distinct-user
+        # support within the top-M item gate (the practical lattice
+        # bound at level >= 3). Takes audience_overlap's head seat
+        # (its pairwise distinct-user intersection is this operator's
+        # k=2 case, and the bitmask-rollup shape stays pytest-green in
+        # the tail; item_cooccurrence keeps pair mining bit-green
+        # there too).
+        "frequent_triples": extras.frequent_triples,
         # --- sessions / windows / joins ---
         # (round 4, wave 23) D7 cohort retention — per day, cohort
         # size + users also active exactly day+7: the two-slice
@@ -863,6 +862,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ks_drift (see head comments); pytest keeps both bit-green
         "percentile_rank": analytics.percentile_rank,
         "kmeans_inertia": similarity.kmeans_inertia,
+        # (round 4 wave 38) displaced to the tail by inter_event_gaps /
+        # frequent_triples (see head comments); pytest keeps both
+        # bit-green
+        "event_transitions": sessions.event_transitions,
+        "audience_overlap": analytics.audience_overlap,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -3087,6 +3091,57 @@ def oracle_sql() -> dict[str, str]:
                     (ORDER BY support DESC, item_a, item_b) AS BIGINT) AS rank
         FROM p WHERE support >= 3
         ORDER BY support DESC, item_a, item_b LIMIT 50
+    """
+
+    # frequent_triples: the level-3 lattice within the top-M item gate;
+    # top-M ties (support DESC, item) on both sides
+    sql["frequent_triples"] = r"""
+        WITH ui AS (
+          SELECT DISTINCT user_id,
+                 CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)
+                   AS item
+          FROM events
+        ),
+        freq AS (
+          SELECT item, count(*) AS sup,
+                 row_number() OVER (ORDER BY count(*) DESC, item) AS rn
+          FROM ui GROUP BY item
+        ),
+        f AS (
+          SELECT ui.user_id, ui.item
+          FROM ui JOIN freq ON freq.item = ui.item AND freq.rn <= 32
+        ),
+        t AS (
+          SELECT a.item AS item_a, b.item AS item_b, c.item AS item_c,
+                 CAST(count(*) AS BIGINT) AS support
+          FROM f a JOIN f b ON a.user_id = b.user_id AND a.item < b.item
+                   JOIN f c ON b.user_id = c.user_id AND b.item < c.item
+          GROUP BY 1, 2, 3 HAVING count(*) >= 3
+        )
+        SELECT item_a, item_b, item_c, support,
+               CAST(row_number() OVER
+                    (ORDER BY support DESC, item_a, item_b, item_c)
+                    AS BIGINT) AS rank
+        FROM t ORDER BY support DESC, item_a, item_b, item_c LIMIT 50
+    """
+
+    # inter_event_gaps: integer '//' truncation equals numpy floor
+    # division for the non-negative gaps; floor(log2(n+1)) is float-
+    # safe on both sides for any realistic gap (see docstring)
+    sql["inter_event_gaps"] = """
+        WITH o AS (
+            SELECT user_id, ts,
+                   lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS pts
+            FROM events
+        )
+        SELECT CAST(floor(log2(
+                   (epoch_us(ts) - epoch_us(pts)) // 1000000 + 1
+               )) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM o WHERE pts IS NOT NULL
+        GROUP BY 1
     """
 
     # json_props_extract: identical RE2 pattern both sides.

@@ -138,6 +138,7 @@ def run_queries() -> dict[str, float]:
         "knn_hubness", "top_pairs_lift", "ann_recall_report",
         "pq_distortion",
         "gini_sources", "ks_drift",
+        "inter_event_gaps", "frequent_triples",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -559,3 +559,161 @@ def top_pairs_lift(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return pairs.map_batches(attach, batch_format="pyarrow")
+
+
+TRIPLE_TOP_M = 32          # mine triples within the top-M items only
+TRIPLE_MIN_SUPPORT = 3
+TRIPLE_K = 50
+
+
+def frequent_triples(sf_dir: str) -> "ray.data.Dataset":
+    """Level-3 frequent itemsets — the Apriori step above
+    item_cooccurrence's pair pass: the top-TRIPLE_K item TRIPLES by
+    support (distinct users holding all three), min support
+    TRIPLE_MIN_SUPPORT, ties (support DESC, item_a, item_b, item_c),
+    mined WITHIN the TRIPLE_TOP_M most-frequent items (ties: support
+    DESC, item). The top-M gate is the practical bound every
+    production basket miner applies at level ≥ 3: it caps the
+    candidate lattice at C(M,3) regardless of basket density (this
+    fixture's baskets average ~49 of a 100-item vocabulary — unbounded
+    level-3 emission would square the pair pass for no analytic gain).
+
+    Scale shape: stage 0 reduces to per-item distinct-user supports
+    (item-vocabulary-bounded partials, driver reads ≤ |vocab| rows)
+    and broadcasts the top-M id set once; stage 1 shuffles distinct
+    (user, item) rows ONCE on user % P so baskets co-locate; stage 2
+    emits per-partition triple partials via a vectorized double
+    self-merge over the M-filtered baskets (≤ C(M,3) distinct keys per
+    partition), re-keyed by packed int64 triple; stage 3 sums, applies
+    the support floor and per-partition top-K prune (disjoint key sets
+    make the global top-K a subset of survivors) into a one-partition
+    final rank. No driver state beyond the M-item set."""
+    import pandas as pd
+    import pyarrow.compute as _pc
+
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "props"]
+    )
+
+    def user_items(batch: pa.Table) -> pa.Table:
+        m = _pc.extract_regex(batch.column("props"), PROPS_K_PATTERN)
+        k = _pc.cast(_pc.struct_field(m, "k"), pa.int64())
+        df = pa.table(
+            {"user_id": batch.column("user_id"), "item": k}
+        ).to_pandas().drop_duplicates()
+        u = df["user_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "item": pa.array(df["item"].to_numpy().astype(np.int64), pa.int64()),
+                "part": pa.array(u % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    ui = ds.map_batches(user_items, batch_format="pyarrow")
+
+    # stage 0: per-item distinct-user supports → driver top-M (tiny)
+    def item_supports(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.select(["user_id", "item"]).to_pandas().drop_duplicates()
+        g = df.groupby("item", sort=False).size().reset_index(name="sup")
+        return pa.table(
+            {
+                "item": pa.array(g["item"].to_numpy(), pa.int64()),
+                "sup": pa.array(g["sup"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    sup: dict[int, int] = {}
+    for b in (
+        ui.groupby("part")
+        .map_groups(item_supports, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for i, s in zip(b.column("item").to_pylist(), b.column("sup").to_pylist()):
+            sup[i] = sup.get(i, 0) + s
+    topm = frozenset(
+        i for i, _ in sorted(sup.items(), key=lambda kv: (-kv[1], kv[0]))[:TRIPLE_TOP_M]
+    )
+    bcast = ray.put(topm)
+
+    # stage 2: per-partition triple partials over M-filtered baskets
+    def triple_partials(part_tbl: pa.Table) -> pa.Table:
+        keep = ray.get(bcast)
+        df = part_tbl.select(["user_id", "item"]).to_pandas().drop_duplicates()
+        df = df[df["item"].isin(keep)]
+        m2 = df.merge(df, on="user_id")
+        m2 = m2[m2["item_x"] < m2["item_y"]]
+        m3 = m2.merge(df.rename(columns={"item": "item_z"}), on="user_id")
+        m3 = m3[m3["item_y"] < m3["item_z"]]
+        g = (
+            m3.groupby(["item_x", "item_y", "item_z"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        a = g["item_x"].to_numpy().astype(np.int64)
+        b = g["item_y"].to_numpy().astype(np.int64)
+        c = g["item_z"].to_numpy().astype(np.int64)
+        key = (a * 1_000_003 + b) * 1_000_003 + c
+        return pa.table(
+            {
+                "item_a": pa.array(a, pa.int64()),
+                "item_b": pa.array(b, pa.int64()),
+                "item_c": pa.array(c, pa.int64()),
+                "cnt": pa.array(g["cnt"].to_numpy().astype(np.int64), pa.int64()),
+                "part": pa.array(key % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def triple_totals(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.select(["item_a", "item_b", "item_c", "cnt"]).to_pandas()
+        g = (
+            df.groupby(["item_a", "item_b", "item_c"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        g = g[g["cnt"] >= TRIPLE_MIN_SUPPORT].sort_values(
+            ["cnt", "item_a", "item_b", "item_c"],
+            ascending=[False, True, True, True],
+        ).head(TRIPLE_K)
+        return pa.table(
+            {
+                "item_a": pa.array(g["item_a"].to_numpy(), pa.int64()),
+                "item_b": pa.array(g["item_b"].to_numpy(), pa.int64()),
+                "item_c": pa.array(g["item_c"].to_numpy(), pa.int64()),
+                "support": pa.array(g["cnt"].to_numpy().astype(np.int64), pa.int64()),
+                "part": pa.array(np.zeros(len(g), np.int64), pa.int64()),
+            }
+        )
+
+    def final_topk(part_tbl: pa.Table) -> pa.Table:
+        df = (
+            part_tbl.select(["item_a", "item_b", "item_c", "support"])
+            .to_pandas()
+            .sort_values(
+                ["support", "item_a", "item_b", "item_c"],
+                ascending=[False, True, True, True],
+            )
+            .head(TRIPLE_K)
+        )
+        return pa.table(
+            {
+                "item_a": pa.array(df["item_a"].to_numpy(), pa.int64()),
+                "item_b": pa.array(df["item_b"].to_numpy(), pa.int64()),
+                "item_c": pa.array(df["item_c"].to_numpy(), pa.int64()),
+                "support": pa.array(df["support"].to_numpy(), pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, len(df) + 1, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ui.groupby("part")
+        .map_groups(triple_partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(triple_totals, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )

@@ -1297,3 +1297,79 @@ def cohort_matrix(sf_dir: str) -> "ray.data.Dataset":
         .aggregate(Sum("n_p", alias_name="n"))
         .map_batches(rename, batch_format="pyarrow")
     )
+
+
+def inter_event_gaps(sf_dir: str) -> "ray.data.Dataset":
+    """Inter-arrival-time histogram: per user, the gap in whole seconds
+    between consecutive events (chronological, event_id tie-break),
+    folded into power-of-two buckets — bucket = floor(log2(gap_s + 1)).
+    The cadence / burstiness monitor of an event stream (bot traffic
+    piles into the 0-1 s buckets, human sessions spread over minutes,
+    batch replays land as a spike at the replay period) — the
+    DISTRIBUTION of gaps, which sessionize's single 30-min threshold
+    collapses to a boolean. Output: (bucket, n_gaps), exact integers.
+    floor(log2) on int64 + 1 is float-safe for any realistic gap: a
+    double's 52-bit mantissa places log2(n) within 1e-12 of truth
+    while the nearest integer log2 is ≥ 1e-10 away for n < 2^31.
+
+    Scale shape: ONE coarse user shuffle (the sessionize/user_paths
+    assumption: a user's events fit a partition); inside a partition a
+    single lexsort orders every user at once, np.diff + a segment-
+    boundary mask drops cross-user pairs, and one bincount reduces the
+    partition to ≤ 64 (bucket, count) partials — a fixed-size final
+    Sum, rows never leave their partition after the shuffle."""
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user": pa.array(u, pa.int64()),
+                "ts": batch.column("ts").cast(pa.int64()),
+                "eid": batch.column("event_id").cast(pa.int64()),
+                "part": pa.array(u % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def bucket_partials(part_tbl: pa.Table) -> pa.Table:
+        u = part_tbl.column("user").to_numpy(zero_copy_only=False)
+        ts = part_tbl.column("ts").to_numpy(zero_copy_only=False)
+        eid = part_tbl.column("eid").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        us, tss = u[order], ts[order]
+        same_user = us[1:] == us[:-1]
+        gaps_us = (tss[1:] - tss[:-1])[same_user]
+        gsec = gaps_us // 1_000_000
+        bucket = np.floor(np.log2(gsec + 1)).astype(np.int64)
+        if len(bucket) == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        cnt = np.bincount(bucket)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "bucket": pa.array(nz.astype(np.int64), pa.int64()),
+                "n": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"bucket": batch.column("bucket"), "n": batch.column("n_p")}
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(bucket_partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(_Sum("n", alias_name="n_p"))
+        .map_batches(rename, batch_format="pyarrow")
+    )

@@ -253,6 +253,11 @@ SUBSET = [
     # tail, already appear above)
     "gini_sources",
     "ks_drift",
+    # round-4 wave 38: inter-arrival histogram + level-3 itemsets
+    # (event_transitions / audience_overlap, which they displaced to
+    # the tail, already appear above)
+    "inter_event_gaps",
+    "frequent_triples",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
