@@ -262,16 +262,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # percentile_rank's head-checked pass 1; pytest keeps it
         # bit-green in the tail).
         "heavy_hitters_exact": curation.heavy_hitters_exact,
-        # (round 4, wave 24) exact lexical-diversity statistics per
-        # source — Simpson / Gini-Simpson sufficient statistics
-        # (N, D, sum n^2) in pure integers, the template-spam signal
-        # quality ratios miss: per-batch (source, token) combiner, ONE
-        # pair-keyed shuffle, per-source partials fold immediately.
-        # Takes common_ngram_score's head seat (its Counter-combine →
-        # coarse-reduce corpus-count machinery is head-checked by
-        # pmi_bigrams, its bounded broadcast-score pass by
-        # coverage_greedy; pytest keeps it bit-green in the tail).
-        "token_diversity": textops.token_diversity,
+        # (round 4, wave 39) cluster LABELING — the BERTopic-style
+        # c-TF-IDF readout in an exact-integer variant: per k-means
+        # cell the top-T member-doc terms after a corpus-global
+        # stopword gate; three bounded exchanges (pruned term-keyed
+        # gate, id-co-partitioned membership join, cell-keyed top-T),
+        # raw text never shuffles. Takes token_diversity's head seat
+        # (its per-source (source, token) Counter-combine → pair-keyed
+        # reduce runs as this operator's stage 1/3 shape, and
+        # heavy_hitters_exact keeps exact corpus counting head-checked;
+        # pytest keeps it bit-green in the tail).
+        "cluster_top_terms": similarity.cluster_top_terms,
         # (round 4) exact distributed COUNT(DISTINCT) — takes
         # top_ngrams' head seat (common_ngram_score's plan CONTAINS the
         # top-K bigram counting stage verbatim; top_ngrams keeps pytest
@@ -382,15 +383,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest-covered via multi_groupby and its facet marginals are
         # contingency_grid's head-checked shape).
         "user_paths": sessions.user_paths,
-        # (round 4, wave 20) exact vector second-moment (Gram) reduce
-        # over the embedding column — the linear-algebra moment class
-        # (covariance / PCA / whitening sufficient statistics): a
-        # fixed d(d+1)/2-size mergeable partial per batch, one tiny
-        # (i, j) reduce, no data-row shuffle. Takes
-        # suppression_antijoin's head seat (the anti-join shape is
-        # head-checked by data_quality_audit's orphan-key checks;
-        # pytest keeps it bit-green in the tail)
-        "gram_matrix": similarity.gram_matrix,
+        # (round 4, wave 39) grouped pairwise co-moment statistics —
+        # Pearson / covariance / OLS sufficient statistics per group
+        # over the measure columns in exact scaled integers: the
+        # feature-redundancy readout profile_columns' per-column
+        # marginals cannot see. Takes gram_matrix's head seat (the
+        # same fixed-width mergeable moment-reduce class — dense
+        # vector Gram there, grouped scalar cross-moments here; pytest
+        # keeps gram_matrix bit-green in the tail).
+        "corr_moments": analytics.corr_moments,
         # (round 4, wave 7) SCD type-2 versioned merge — the CDC /
         # lakehouse-upsert class (consecutive-duplicate suppression +
         # versioned valid_from/valid_to history, one coarse user
@@ -867,6 +868,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bit-green
         "event_transitions": sessions.event_transitions,
         "audience_overlap": analytics.audience_overlap,
+        # (round 4 wave 39) displaced to the tail by cluster_top_terms /
+        # corr_moments (see head comments); pytest keeps both bit-green
+        "token_diversity": textops.token_diversity,
+        "gram_matrix": similarity.gram_matrix,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2405,6 +2410,118 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         )
         SELECT doc_id, term, tf, df, score, rnk FROM ranked WHERE rnk <= 3
+    """
+
+    # cluster_top_terms: the ann_topk_ivf_kmeans assignment chain
+    # (qv..a2, verbatim) + tfidf's tokenizer; stopword gate = global
+    # top-25 terms (ties count DESC, term ASC) mirrored both sides
+    sql["cluster_top_terms"] = """
+        WITH qv AS (
+          SELECT vec_id, dim,
+                 CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 1000000 + 0.5)
+                      AS BIGINT) AS q
+          FROM embeddings, UNNEST(range(0, 64)) t(dim)
+        ),
+        seed AS (
+          SELECT vec_id - 16 AS c, dim, q FROM qv
+          WHERE vec_id BETWEEN 16 AND 23
+        ),
+        d0 AS (
+          SELECT v.vec_id, s.c, sum((v.q - s.q) * (v.q - s.q)) AS d2
+          FROM qv v JOIN seed s USING (dim) GROUP BY 1, 2
+        ),
+        a0 AS (
+          SELECT vec_id, c FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS rn
+            FROM d0) WHERE rn = 1
+        ),
+        cent1 AS (
+          SELECT a0.c, qv.dim, CAST(sum(qv.q) // count(*) AS BIGINT) AS q
+          FROM qv JOIN a0 USING (vec_id) GROUP BY 1, 2
+        ),
+        cent1f AS (
+          SELECT s.c, s.dim, coalesce(c1.q, s.q) AS q
+          FROM seed s LEFT JOIN cent1 c1 ON c1.c = s.c AND c1.dim = s.dim
+        ),
+        d1 AS (
+          SELECT v.vec_id, cn.c, sum((v.q - cn.q) * (v.q - cn.q)) AS d2
+          FROM qv v JOIN cent1f cn USING (dim) GROUP BY 1, 2
+        ),
+        a1 AS (
+          SELECT vec_id, c FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS rn
+            FROM d1) WHERE rn = 1
+        ),
+        cent2 AS (
+          SELECT a1.c, qv.dim, CAST(sum(qv.q) // count(*) AS BIGINT) AS q
+          FROM qv JOIN a1 USING (vec_id) GROUP BY 1, 2
+        ),
+        cent2f AS (
+          SELECT f.c, f.dim, coalesce(c2.q, f.q) AS q
+          FROM cent1f f LEFT JOIN cent2 c2 ON c2.c = f.c AND c2.dim = f.dim
+        ),
+        d2c AS (
+          SELECT v.vec_id, cn.c, sum((v.q - cn.q) * (v.q - cn.q)) AS d2
+          FROM qv v JOIN cent2f cn USING (dim) GROUP BY 1, 2
+        ),
+        a2 AS (
+          SELECT vec_id, c FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS rn
+            FROM d2c) WHERE rn = 1
+        ),
+        w AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents
+        ),
+        gl AS (
+          SELECT term, count(*) AS gtf FROM w GROUP BY 1
+        ),
+        stop AS (
+          SELECT term FROM (
+            SELECT term, row_number() OVER (ORDER BY gtf DESC, term) AS rn
+            FROM gl) WHERE rn <= 25
+        ),
+        tc AS (
+          SELECT a2.c AS cell, w.term, CAST(count(*) AS BIGINT) AS tf
+          FROM w JOIN a2 ON a2.vec_id = w.doc_id
+          WHERE w.term NOT IN (SELECT term FROM stop)
+          GROUP BY 1, 2
+        )
+        SELECT CAST(cell AS BIGINT) AS cell, term, tf,
+               CAST(rn AS BIGINT) AS rnk
+        FROM (
+          SELECT cell, term, tf,
+                 row_number() OVER (
+                   PARTITION BY cell ORDER BY tf DESC, term ASC
+                 ) AS rn
+          FROM tc) WHERE rn <= 5
+    """
+
+    # corr_moments: ×100 scaling identical to the Ray side's
+    # floor(x*100+0.5); all sums exact int64
+    sql["corr_moments"] = """
+        WITH s AS (
+          SELECT l_returnflag,
+                 CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+                 CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+                 CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS t
+          FROM lineitem
+        )
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q) AS BIGINT) AS sum_q,
+               CAST(sum(d) AS BIGINT) AS sum_d,
+               CAST(sum(t) AS BIGINT) AS sum_t,
+               CAST(sum(q*q) AS BIGINT) AS sum_qq,
+               CAST(sum(d*d) AS BIGINT) AS sum_dd,
+               CAST(sum(t*t) AS BIGINT) AS sum_tt,
+               CAST(sum(q*d) AS BIGINT) AS sum_qd,
+               CAST(sum(q*t) AS BIGINT) AS sum_qt,
+               CAST(sum(d*t) AS BIGINT) AS sum_dt
+        FROM s GROUP BY 1
     """
 
     sql["training_prep"] = f"""

@@ -139,6 +139,7 @@ def run_queries() -> dict[str, float]:
         "pq_distortion",
         "gini_sources", "ks_drift",
         "inter_event_gaps", "frequent_triples",
+        "cluster_top_terms", "corr_moments",
     ]
     out: dict[str, float] = {}
     for name in picks:

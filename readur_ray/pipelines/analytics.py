@@ -2774,3 +2774,88 @@ def ks_drift(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return cells.groupby("source").map_groups(per_source, batch_format="pyarrow")
+
+
+def corr_moments(sf_dir: str) -> "ray.data.Dataset":
+    """Grouped pairwise co-moment statistics over lineitem's measure
+    columns (quantity, discount, tax — integer-scaled ×100) per
+    return flag: n, the three sums, the three squared sums and the
+    three cross sums, from which Pearson r, covariance and OLS betas
+    for every column pair are exact integer/rational arithmetic
+    downstream — the statistical-profiling CORRELATION class
+    (profile_columns reports per-column shape; this reports how
+    columns move TOGETHER, the multicollinearity / feature-redundancy
+    readout a feature-selection pass needs). Pairwise over k columns
+    is k(k+1)/2 accumulators — the grouped scalar sibling of
+    gram_matrix's dense vector Gram reduce.
+
+    Scale shape: one pruned scan, per-batch pandas groupby folds each
+    batch to ≤ #flags rows of fixed width, a tiny Sum exchange
+    finishes — rows never shuffle, the wire carries #flags × batches
+    partials. int64 headroom: q,d,t ≤ 5·10^3 scaled, so a cross sum
+    stays < 2^63 up to ~10^11 rows per group; past that the partial
+    splits into (hi, lo) lanes like gini_sources documents."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount", "l_tax"],
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "flag": batch.column("l_returnflag").to_pylist(),
+                "q": np.floor(
+                    batch.column("l_quantity").to_numpy(zero_copy_only=False)
+                    * 100.0 + 0.5
+                ).astype(np.int64),
+                "d": np.floor(
+                    batch.column("l_discount").to_numpy(zero_copy_only=False)
+                    * 100.0 + 0.5
+                ).astype(np.int64),
+                "t": np.floor(
+                    batch.column("l_tax").to_numpy(zero_copy_only=False)
+                    * 100.0 + 0.5
+                ).astype(np.int64),
+            }
+        )
+        df["one"] = np.int64(1)
+        for a, b in (("q", "q"), ("d", "d"), ("t", "t"),
+                     ("q", "d"), ("q", "t"), ("d", "t")):
+            df[f"{a}{b}"] = df[a] * df[b]
+        g = df.groupby("flag", sort=False).sum().reset_index()
+        return pa.table(
+            {
+                "l_returnflag": pa.array(g["flag"], pa.string()),
+                **{
+                    c: pa.array(g[c].to_numpy().astype(np.int64), pa.int64())
+                    for c in ("one", "q", "d", "t", "qq", "dd", "tt",
+                              "qd", "qt", "dt")
+                },
+            }
+        )
+
+    names = {
+        "one": "n", "q": "sum_q", "d": "sum_d", "t": "sum_t",
+        "qq": "sum_qq", "dd": "sum_dd", "tt": "sum_tt",
+        "qd": "sum_qd", "qt": "sum_qt", "dt": "sum_dt",
+    }
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                **{
+                    out: batch.column(f"{c}_p")
+                    for c, out in names.items()
+                },
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(*[Sum(c, alias_name=f"{c}_p") for c in names])
+        .map_batches(rename, batch_format="pyarrow")
+    )

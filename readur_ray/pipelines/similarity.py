@@ -1434,3 +1434,209 @@ def pq_distortion(sf_dir: str, m: int = PQ_M) -> "ray.data.Dataset":
         .aggregate(Sum("n_p", alias_name="n"), Sum("d_p", alias_name="d"))
         .map_batches(rename, batch_format="pyarrow")
     )
+
+
+CLUSTER_STOP_S = 25   # corpus-global stopword gate for cluster labels
+CLUSTER_TOP_T = 5     # keywords kept per cell
+
+
+def cluster_top_terms(sf_dir: str, nlist: int = KM_K) -> "ray.data.Dataset":
+    """Cluster LABELING — the topic-model readout over the k-means
+    cells (the BERTopic / c-TF-IDF step, in an exact-integer variant):
+    per cell, the top-CLUSTER_TOP_T terms by member-document term
+    count, after removing the corpus-global top-CLUSTER_STOP_S
+    stopwords (the integer-safe stand-in for the idf damping — the
+    gate kills exactly the terms idf would zero out). Membership is
+    the shared memoized quantizer's assignment; a doc joins through
+    doc_id = vec_id (the fixture's embedding table covers a prefix of
+    the corpus — the inner join scopes labeling to embedded docs).
+
+    Scale shape: three bounded exchanges, raw text never shuffles —
+    (1) stopword gate: per-batch term-count combiners shuffled by
+    crc32(term) so totals are partition-exact, per-partition top-S
+    prune (disjoint term sets make the global top-S a subset of
+    survivors), driver folds ≤ P·S rows and broadcasts S strings;
+    (2) membership join: (vec_id, cell) rows from the broadcast
+    centroids and (doc_id, term, tf) combiner rows co-partition on
+    id % P and join in-partition; (3) label grid: surviving
+    (cell, term, tf) partials re-key by crc32(term) for exact totals,
+    then the ≤ nlist × vocab grid shuffles ONCE by cell for the
+    per-cell top-T. Centroid training is the fixed nlist × dim
+    integer aggregate (_train_centroids); ``nlist`` scales with
+    corpus size exactly as semdedup's docstring prescribes."""
+    import zlib
+
+    from collections import Counter
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.textstats import words_of
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    # ---- stage 1: corpus-global stopword gate (term-keyed, pruned) --
+    def term_partials(batch: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            cnt.update(words_of(text or ""))
+        terms = list(cnt.keys())
+        part = np.array(
+            [zlib.crc32(t.encode()) for t in terms], dtype=np.int64
+        ) % N_COARSE_PARTS
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "c": pa.array([cnt[t] for t in terms], pa.int64()),
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    def stop_candidates(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.select(["term", "c"]).to_pandas()
+        g = df.groupby("term", sort=False)["c"].sum().reset_index()
+        g = g.sort_values(["c", "term"], ascending=[False, True]).head(
+            CLUSTER_STOP_S
+        )
+        return pa.table(
+            {
+                "term": pa.array(g["term"].to_numpy(), pa.string()),
+                "c": pa.array(g["c"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    cand: dict[str, int] = {}
+    for b in (
+        docs.map_batches(term_partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(stop_candidates, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for t, c in zip(b.column("term").to_pylist(), b.column("c").to_pylist()):
+            cand[t] = cand.get(t, 0) + c  # disjoint keys: never both>0
+    stop = frozenset(
+        t
+        for t, _ in sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :CLUSTER_STOP_S
+        ]
+    )
+    stop_ref = ray.put(stop)
+
+    # ---- stage 2: membership join on id % P (text never shuffles) --
+    cents = _train_centroids(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+        ),
+        sf_dir,
+        nlist,
+    )
+    cents_ref = ray.put(cents)
+
+    def member_rows(batch: pa.Table) -> pa.Table:
+        cn = ray.get(cents_ref)
+        q = _quantize(
+            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        )
+        a = _assign(q, cn)
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id": pa.array(vid.astype(np.int64), pa.int64()),
+                "cell": pa.array(a.astype(np.int64), pa.int64()),
+                "term": pa.array([""] * len(vid), pa.string()),
+                "tf": pa.array(np.zeros(len(vid), np.int64), pa.int64()),
+                "side": pa.array(np.zeros(len(vid), np.int64), pa.int64()),
+                "part": pa.array(vid.astype(np.int64) % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        keep_out: dict[str, list] = {"id": [], "term": [], "tf": []}
+        gate = ray.get(stop_ref)
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            cnt = Counter(words_of(text or ""))
+            for t, c in cnt.items():
+                if t in gate:
+                    continue
+                keep_out["id"].append(doc_id)
+                keep_out["term"].append(t)
+                keep_out["tf"].append(c)
+        ids = np.array(keep_out["id"], dtype=np.int64)
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "cell": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
+                "term": pa.array(keep_out["term"], pa.string()),
+                "tf": pa.array(np.array(keep_out["tf"], np.int64), pa.int64()),
+                "side": pa.array(np.ones(len(ids), np.int64), pa.int64()),
+                "part": pa.array(ids % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(member_rows, batch_format="pyarrow")
+    tfs = docs.map_batches(tf_rows, batch_format="pyarrow")
+
+    def join_in_part(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part_tbl.to_pandas()
+        cells = df[df["side"] == 0][["id", "cell"]]
+        terms = df[df["side"] == 1][["id", "term", "tf"]]
+        m = terms.merge(cells, on="id")
+        g = (
+            m.groupby(["cell", "term"], sort=False)["tf"].sum().reset_index()
+        )
+        part = np.array(
+            [zlib.crc32(t.encode()) for t in g["term"]], dtype=np.int64
+        ) % N_COARSE_PARTS
+        return pa.table(
+            {
+                "cell": pa.array(g["cell"].to_numpy().astype(np.int64), pa.int64()),
+                "term": pa.array(g["term"].to_numpy(), pa.string()),
+                "tf": pa.array(g["tf"].to_numpy().astype(np.int64), pa.int64()),
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    # ---- stage 3: exact (cell, term) totals, then per-cell top-T ----
+    def totals(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.select(["cell", "term", "tf"]).to_pandas()
+        g = df.groupby(["cell", "term"], sort=False)["tf"].sum().reset_index()
+        return pa.table(
+            {
+                "cell": pa.array(g["cell"].to_numpy().astype(np.int64), pa.int64()),
+                "term": pa.array(g["term"].to_numpy(), pa.string()),
+                "tf": pa.array(g["tf"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def per_cell_topt(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["tf", "term"], ascending=[False, True]
+        ).head(CLUSTER_TOP_T)
+        return pa.table(
+            {
+                "cell": pa.array(df["cell"].to_numpy().astype(np.int64), pa.int64()),
+                "term": pa.array(df["term"].to_numpy(), pa.string()),
+                "tf": pa.array(df["tf"].to_numpy().astype(np.int64), pa.int64()),
+                "rnk": pa.array(
+                    np.arange(1, len(df) + 1, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        emb.union(tfs)
+        .groupby("part")
+        .map_groups(join_in_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(totals, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(per_cell_topt, batch_format="pyarrow")
+    )

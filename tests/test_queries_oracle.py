@@ -258,6 +258,11 @@ SUBSET = [
     # the tail, already appear above)
     "inter_event_gaps",
     "frequent_triples",
+    # round-4 wave 39: cluster labeling + grouped co-moments
+    # (token_diversity / gram_matrix, which they displaced to the
+    # tail, already appear above)
+    "cluster_top_terms",
+    "corr_moments",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
