@@ -1451,80 +1451,32 @@ def cluster_top_terms(sf_dir: str, nlist: int = KM_K) -> "ray.data.Dataset":
     doc_id = vec_id (the fixture's embedding table covers a prefix of
     the corpus — the inner join scopes labeling to embedded docs).
 
-    Scale shape: three bounded exchanges, raw text never shuffles —
-    (1) stopword gate: per-batch term-count combiners shuffled by
-    crc32(term) so totals are partition-exact, per-partition top-S
-    prune (disjoint term sets make the global top-S a subset of
-    survivors), driver folds ≤ P·S rows and broadcasts S strings;
-    (2) membership join: (vec_id, cell) rows from the broadcast
-    centroids and (doc_id, term, tf) combiner rows co-partition on
-    id % P and join in-partition; (3) label grid: surviving
-    (cell, term, tf) partials re-key by crc32(term) for exact totals,
-    then the ≤ nlist × vocab grid shuffles ONCE by cell for the
-    per-cell top-T. Centroid training is the fixed nlist × dim
-    integer aggregate (_train_centroids); ``nlist`` scales with
-    corpus size exactly as semdedup's docstring prescribes."""
+    Scale shape — text is tokenized ONCE and never shuffles raw:
+    (1) docs fold to (doc_id, term, tf) combiner rows and embeddings
+    to (vec_id, cell) rows from the broadcast centroids, co-partitioned
+    on id % P and joined in-partition to (cell, term, tf) partials;
+    in parallel the same tf rows carry per-term marginal partials;
+    (2) both grids re-key by crc32(term): partition-exact term
+    marginals give a per-partition top-S stopword prune (disjoint
+    term sets make the global top-S a subset of survivors; driver
+    folds ≤ P·S rows and broadcasts S strings) and partition-exact
+    (cell, term) totals — the ≤ nlist × vocab grid; (3) the bounded
+    grid drops gated terms against the broadcast set and shuffles
+    ONCE by cell for the per-cell top-T. Centroid training is the
+    fixed nlist × dim integer aggregate (_train_centroids); ``nlist``
+    scales with corpus size exactly as semdedup's docstring
+    prescribes."""
     import zlib
 
     from collections import Counter
 
-    from ray.data.aggregate import Sum as _Sum
+    import pandas as pd
+    import pyarrow.compute as pc
 
     from ..functions.textstats import words_of
     from ..stages.shuffle import N_COARSE_PARTS
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
-
-    # ---- stage 1: corpus-global stopword gate (term-keyed, pruned) --
-    def term_partials(batch: pa.Table) -> pa.Table:
-        cnt: Counter = Counter()
-        for text in batch.column("text").to_pylist():
-            cnt.update(words_of(text or ""))
-        terms = list(cnt.keys())
-        part = np.array(
-            [zlib.crc32(t.encode()) for t in terms], dtype=np.int64
-        ) % N_COARSE_PARTS
-        return pa.table(
-            {
-                "term": pa.array(terms, pa.string()),
-                "c": pa.array([cnt[t] for t in terms], pa.int64()),
-                "part": pa.array(part, pa.int64()),
-            }
-        )
-
-    def stop_candidates(part_tbl: pa.Table) -> pa.Table:
-        df = part_tbl.select(["term", "c"]).to_pandas()
-        g = df.groupby("term", sort=False)["c"].sum().reset_index()
-        g = g.sort_values(["c", "term"], ascending=[False, True]).head(
-            CLUSTER_STOP_S
-        )
-        return pa.table(
-            {
-                "term": pa.array(g["term"].to_numpy(), pa.string()),
-                "c": pa.array(g["c"].to_numpy().astype(np.int64), pa.int64()),
-            }
-        )
-
-    cand: dict[str, int] = {}
-    for b in (
-        docs.map_batches(term_partials, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(stop_candidates, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
-    ):
-        for t, c in zip(b.column("term").to_pylist(), b.column("c").to_pylist()):
-            cand[t] = cand.get(t, 0) + c  # disjoint keys: never both>0
-    stop = frozenset(
-        t
-        for t, _ in sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[
-            :CLUSTER_STOP_S
-        ]
-    )
-    stop_ref = ray.put(stop)
-
-    # ---- stage 2: membership join on id % P (text never shuffles) --
+    # ---- stage 0: centroids (memoized, fixed-size) ------------------
     cents = _train_centroids(
         ray.data.read_parquet(
             f"{sf_dir}/embeddings.parquet", columns=["embedding"]
@@ -1553,25 +1505,21 @@ def cluster_top_terms(sf_dir: str, nlist: int = KM_K) -> "ray.data.Dataset":
         )
 
     def tf_rows(batch: pa.Table) -> pa.Table:
-        keep_out: dict[str, list] = {"id": [], "term": [], "tf": []}
-        gate = ray.get(stop_ref)
+        out_id, out_term, out_tf = [], [], []
         for doc_id, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
             cnt = Counter(words_of(text or ""))
-            for t, c in cnt.items():
-                if t in gate:
-                    continue
-                keep_out["id"].append(doc_id)
-                keep_out["term"].append(t)
-                keep_out["tf"].append(c)
-        ids = np.array(keep_out["id"], dtype=np.int64)
+            out_id.extend([doc_id] * len(cnt))
+            out_term.extend(cnt.keys())
+            out_tf.extend(cnt.values())
+        ids = np.array(out_id, dtype=np.int64)
         return pa.table(
             {
                 "id": pa.array(ids, pa.int64()),
                 "cell": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
-                "term": pa.array(keep_out["term"], pa.string()),
-                "tf": pa.array(np.array(keep_out["tf"], np.int64), pa.int64()),
+                "term": pa.array(out_term, pa.string()),
+                "tf": pa.array(np.array(out_tf, np.int64), pa.int64()),
                 "side": pa.array(np.ones(len(ids), np.int64), pa.int64()),
                 "part": pa.array(ids % N_COARSE_PARTS, pa.int64()),
             }
@@ -1580,41 +1528,86 @@ def cluster_top_terms(sf_dir: str, nlist: int = KM_K) -> "ray.data.Dataset":
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(member_rows, batch_format="pyarrow")
-    tfs = docs.map_batches(tf_rows, batch_format="pyarrow")
+    tfs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(tf_rows, batch_format="pyarrow")
 
+    # ---- stage 1: id-co-partitioned join → term-keyed twin grids ----
     def join_in_part(part_tbl: pa.Table) -> pa.Table:
-        import pandas as pd
-
         df = part_tbl.to_pandas()
         cells = df[df["side"] == 0][["id", "cell"]]
         terms = df[df["side"] == 1][["id", "term", "tf"]]
         m = terms.merge(cells, on="id")
-        g = (
-            m.groupby(["cell", "term"], sort=False)["tf"].sum().reset_index()
+        g = m.groupby(["cell", "term"], sort=False)["tf"].sum().reset_index()
+        # marginal lane: per-term counts over ALL docs (gate basis)
+        marg = terms.groupby("term", sort=False)["tf"].sum().reset_index()
+        marg["cell"] = np.int64(-1)
+        out = pd.concat(
+            [g[["cell", "term", "tf"]], marg[["cell", "term", "tf"]]],
+            ignore_index=True,
         )
         part = np.array(
-            [zlib.crc32(t.encode()) for t in g["term"]], dtype=np.int64
+            [zlib.crc32(t.encode()) for t in out["term"]], dtype=np.int64
         ) % N_COARSE_PARTS
         return pa.table(
             {
-                "cell": pa.array(g["cell"].to_numpy().astype(np.int64), pa.int64()),
-                "term": pa.array(g["term"].to_numpy(), pa.string()),
-                "tf": pa.array(g["tf"].to_numpy().astype(np.int64), pa.int64()),
+                "cell": pa.array(out["cell"].to_numpy().astype(np.int64), pa.int64()),
+                "term": pa.array(out["term"].to_numpy(), pa.string()),
+                "tf": pa.array(out["tf"].to_numpy().astype(np.int64), pa.int64()),
                 "part": pa.array(part, pa.int64()),
             }
         )
 
-    # ---- stage 3: exact (cell, term) totals, then per-cell top-T ----
+    # ---- stage 2: partition-exact totals; marginal lane → top-S -----
     def totals(part_tbl: pa.Table) -> pa.Table:
         df = part_tbl.select(["cell", "term", "tf"]).to_pandas()
         g = df.groupby(["cell", "term"], sort=False)["tf"].sum().reset_index()
+        marg = g[g["cell"] == -1].sort_values(
+            ["tf", "term"], ascending=[False, True]
+        ).head(CLUSTER_STOP_S)
+        out = pd.concat(
+            [g[g["cell"] >= 0], marg], ignore_index=True
+        )
         return pa.table(
             {
-                "cell": pa.array(g["cell"].to_numpy().astype(np.int64), pa.int64()),
-                "term": pa.array(g["term"].to_numpy(), pa.string()),
-                "tf": pa.array(g["tf"].to_numpy().astype(np.int64), pa.int64()),
+                "cell": pa.array(out["cell"].to_numpy().astype(np.int64), pa.int64()),
+                "term": pa.array(out["term"].to_numpy(), pa.string()),
+                "tf": pa.array(out["tf"].to_numpy().astype(np.int64), pa.int64()),
             }
         )
+
+    grid = (
+        emb.union(tfs)
+        .groupby("part")
+        .map_groups(join_in_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(totals, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # driver reads ONLY the pruned marginal lane: ≤ P·S rows
+    cand: dict[str, int] = {}
+    for b in grid.iter_batches(batch_format="pyarrow"):
+        m = b.filter(pc.equal(b.column("cell"), -1))
+        for t, c in zip(m.column("term").to_pylist(), m.column("tf").to_pylist()):
+            cand[t] = cand.get(t, 0) + c  # disjoint keys: never both>0
+    stop = frozenset(
+        t
+        for t, _ in sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :CLUSTER_STOP_S
+        ]
+    )
+    stop_ref = ray.put(stop)
+
+    # ---- stage 3: gate the bounded grid, per-cell top-T -------------
+    def gate(batch: pa.Table) -> pa.Table:
+        keep = ray.get(stop_ref)
+        cell = batch.column("cell").to_numpy(zero_copy_only=False)
+        terms = batch.column("term").to_pylist()
+        mask = np.array(
+            [c >= 0 and t not in keep for c, t in zip(cell, terms)], dtype=bool
+        )
+        return batch.filter(pa.array(mask))
 
     def per_cell_topt(group: pa.Table) -> pa.Table:
         df = group.to_pandas().sort_values(
@@ -1632,11 +1625,7 @@ def cluster_top_terms(sf_dir: str, nlist: int = KM_K) -> "ray.data.Dataset":
         )
 
     return (
-        emb.union(tfs)
-        .groupby("part")
-        .map_groups(join_in_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(totals, batch_format="pyarrow")
+        grid.map_batches(gate, batch_format="pyarrow")
         .groupby("cell")
         .map_groups(per_cell_topt, batch_format="pyarrow")
     )
