@@ -243,15 +243,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # first-occurrence sub-document removal + reassembly is the
         # head-checked dedup_substrings plan at line grain; pytest
         # keeps it bit-green in the tail)
-        # (round 4, wave 27) proportional stratified sampling with
-        # EXACT Hamilton largest-remainder apportionment — a fixed
-        # total budget split so quotas sum to B exactly (what
-        # independent per-group rates cannot give), then per-source
-        # deterministic md5-bottom-k with the mergeable grouped
-        # K-prune. Takes bottomk_sample's head seat (its md5-bottom-k
-        # kernel is this operator's pass 2 verbatim; pytest keeps it
-        # bit-green in the tail).
-        "quota_sample": curation.quota_sample,
+        # (round 4, wave 40) equal-frequency binning — exact NTILE(10)
+        # per language folded to the (lang, decile) count/sum table:
+        # the calibration / feature-binning readout equal-width
+        # histograms mislead on. Takes quota_sample's head seat (its
+        # Hamilton apportionment is driver arithmetic on a bounded
+        # strata grid — the grid-count machinery head-checked by
+        # gini_sources / pack_sequences — and stratified_sample keeps
+        # the per-stratum md5-rank kernel pytest-green in the tail;
+        # quota_sample joins it there bit-green).
+        "decile_table": analytics.decile_table,
         # (round 4, wave 25) EXACT phi-frequent tokens via two-pass
         # mergeable Misra-Gries — the sound heavy-hitter class: the
         # per-batch summary w(x) = max(0, c(x) - t) carries the
@@ -516,16 +517,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ranking; pytest keeps tfidf bit-green in the tail).
         "dataset_card": curation.dataset_card,
         # --- similarity search / semantic dedup ---
-        # (round 4, wave 26) one-round kNN majority-vote label
-        # propagation over the knn_graph edges — the graph-based
-        # semi-supervised class (label-noise auditing: a vector
-        # out-voted by its neighbors is a mislabel candidate). The
-        # label side is vector-cardinality so it is NEVER broadcast:
-        # co-partitioned union join + argmax-per-group, two int64
-        # exchanges. Takes ann_topk's head seat (the exact-cosine
-        # ranking family stays head-checked via pq_topk's ADC merge
-        # and semdedup; pytest keeps ann_topk bit-green in the tail).
-        "knn_label_vote": similarity.knn_label_vote,
+        # (round 4, wave 40) EXTERNAL clustering validity — per
+        # k-means cell the member count + majority ground-truth label:
+        # purity, the partner metric to kmeans_inertia's internal
+        # cohesion. One streaming assign pass folding to
+        # (cell, label) partials, tiny Sum + per-cell argmax — no
+        # data-row shuffle. Takes knn_label_vote's head seat (its knn
+        # edge set is the SAME memoized edge set consumed by
+        # head-checked mutual_knn, and its per-node majority argmax is
+        # grouped_topk's K=1 head-checked shape; pytest keeps the vote
+        # bit-green in the tail).
+        "cluster_purity": similarity.cluster_purity,
         "semdedup": similarity.semdedup,
         # (round 4, wave 5) product-quantization ADC top-k — the
         # compressed-code ANN memory lever (m bytes/vector instead of
@@ -872,6 +874,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corr_moments (see head comments); pytest keeps both bit-green
         "token_diversity": textops.token_diversity,
         "gram_matrix": similarity.gram_matrix,
+        # (round 4 wave 40) displaced to the tail by decile_table /
+        # cluster_purity (see head comments); pytest keeps both
+        # bit-green
+        "quota_sample": curation.quota_sample,
+        "knn_label_vote": similarity.knn_label_vote,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2412,11 +2419,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, term, tf, df, score, rnk FROM ranked WHERE rnk <= 3
     """
 
-    # cluster_top_terms: the ann_topk_ivf_kmeans assignment chain
-    # (qv..a2, verbatim) + tfidf's tokenizer; stopword gate = global
-    # top-25 terms (ties count DESC, term ASC) mirrored both sides
-    sql["cluster_top_terms"] = """
-        WITH qv AS (
+    # shared exact-integer k-means assignment chain (qv..a2) — the
+    # VERBATIM ann_topk_ivf_kmeans prefix, spliced into every oracle
+    # that needs the trained cell assignment
+    _km_chain = """qv AS (
           SELECT vec_id, dim,
                  CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 1000000 + 0.5)
                       AS BIGINT) AS q
@@ -2472,6 +2478,13 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS rn
             FROM d2c) WHERE rn = 1
         ),
+"""
+
+    # cluster_top_terms: the assignment chain + tfidf's tokenizer;
+    # stopword gate = global top-25 terms (ties count DESC, term ASC)
+    # mirrored both sides
+    sql["cluster_top_terms"] = f"""
+        WITH {_km_chain}
         w AS (
           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
           FROM documents
@@ -2522,6 +2535,49 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(q*t) AS BIGINT) AS sum_qt,
                CAST(sum(d*t) AS BIGINT) AS sum_dt
         FROM s GROUP BY 1
+    """
+
+    # cluster_purity: the assignment chain + the label column that
+    # rides in the embeddings table; majority ties → smaller label
+    sql["cluster_purity"] = f"""
+        WITH {_km_chain}
+        lc AS (
+          SELECT a2.c AS cell, e.label, CAST(count(*) AS BIGINT) AS cnt
+          FROM a2 JOIN embeddings e ON e.vec_id = a2.vec_id
+          GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT cell, CAST(sum(cnt) AS BIGINT) AS n_members
+          FROM lc GROUP BY 1
+        ),
+        top AS (
+          SELECT cell, label, cnt FROM (
+            SELECT cell, label, cnt,
+                   row_number() OVER (
+                     PARTITION BY cell ORDER BY cnt DESC, label ASC
+                   ) AS rn
+            FROM lc) WHERE rn = 1
+        )
+        SELECT CAST(top.cell AS BIGINT) AS cell,
+               tot.n_members,
+               CAST(top.label AS BIGINT) AS top_label,
+               top.cnt AS top_count
+        FROM top JOIN tot ON tot.cell = top.cell
+    """
+
+    # decile_table: NTILE ties break by doc_id on both sides
+    sql["decile_table"] = """
+        WITH r AS (
+            SELECT lang, n_chars,
+                   ntile(10) OVER (
+                     PARTITION BY lang ORDER BY n_chars, doc_id
+                   ) AS decile
+            FROM documents
+        )
+        SELECT lang, CAST(decile AS BIGINT) AS decile,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(n_chars) AS BIGINT) AS sum_x
+        FROM r GROUP BY 1, 2
     """
 
     sql["training_prep"] = f"""

@@ -140,6 +140,7 @@ def run_queries() -> dict[str, float]:
         "gini_sources", "ks_drift",
         "inter_event_gaps", "frequent_triples",
         "cluster_top_terms", "corr_moments",
+        "decile_table", "cluster_purity",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -2859,3 +2859,154 @@ def corr_moments(sf_dir: str) -> "ray.data.Dataset":
         .aggregate(*[Sum(c, alias_name=f"{c}_p") for c in names])
         .map_batches(rename, batch_format="pyarrow")
     )
+
+
+DECILE_K = 10  # equal-frequency bins per group
+
+
+def decile_table(sf_dir: str) -> "ray.data.Dataset":
+    """Equal-frequency binning — exact NTILE(10) of ``n_chars`` within
+    each language, reported as the per-(lang, decile) count and sum:
+    the calibration / binning table feature engineering and drift
+    dashboards consume (equal-WIDTH histograms mislead on skewed
+    length distributions; equal-frequency bins adapt). Ties break by
+    doc_id so the bin assignment is fully deterministic; the bucket
+    boundary arithmetic mirrors SQL NTILE exactly (first n%k bins get
+    ⌈n/k⌉ rows, the rest ⌊n/k⌋).
+
+    Scale shape: the gini_sources/percentile_rank bucket-grid
+    sort-rank, folded to a bounded output — pass 1 counts rows per
+    (lang, key-range bucket) and broadcasts per-lang exclusive prefix
+    counts; pass 2 shuffles rows ONCE on the composite key, assigns
+    row numbers bucket-locally (sort by (n_chars, doc_id)), maps each
+    to its NTILE bin with pure integer arithmetic, and emits
+    (lang, decile, count, sum) partials — ≤ #langs × DECILE_K × P
+    rows reach the final Sum. Equal keys share a bucket but NOT
+    necessarily a bin; the doc_id tie-break inside the bucket matches
+    the oracle's ORDER BY n_chars, doc_id because buckets partition
+    the key range."""
+    import zlib
+
+    path = f"{sf_dir}/documents.parquet"
+    lohi = ray.data.read_parquet(path, columns=["n_chars"]).aggregate(
+        Min("n_chars"), Max("n_chars")
+    )
+    lo, hi = int(lohi["min(n_chars)"]), int(lohi["max(n_chars)"])
+    width = (hi - lo) // RANK_KEY_BUCKETS + 1
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang").to_pylist()
+        k = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        kb = (k - lo) // width
+        part = np.array(
+            [zlib.crc32(f"{s}|{b}".encode()) for s, b in zip(lang, kb)],
+            dtype=np.int64,
+        ) % (8 * RANK_KEY_BUCKETS)
+        return pa.table(
+            {
+                "lang": pa.array(lang, pa.string()),
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "x": pa.array(k.astype(np.int64), pa.int64()),
+                "kb": pa.array(kb, pa.int64()),
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    rows = ray.data.read_parquet(
+        path, columns=["doc_id", "lang", "n_chars"]
+    ).map_batches(keyed, batch_format="pyarrow")
+
+    def grid_counts(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["lang", "kb"])
+            .group_by(["lang", "kb"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "kb": g.column("kb"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    grid: dict[str, np.ndarray] = {}
+    for b in rows.map_batches(grid_counts, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for s, kb, n in zip(
+            b.column("lang").to_pylist(),
+            b.column("kb").to_pylist(),
+            b.column("n").to_pylist(),
+        ):
+            acc = grid.setdefault(s, np.zeros(RANK_KEY_BUCKETS, dtype=np.int64))
+            acc[kb] += n
+    prefix = {
+        s: np.concatenate(([0], np.cumsum(c)[:-1])) for s, c in grid.items()
+    }
+    totals = {s: int(c.sum()) for s, c in grid.items()}
+    bcast = ray.put((prefix, totals))
+
+    def ntile_of(rn: np.ndarray, n: int, k: int = DECILE_K) -> np.ndarray:
+        """SQL NTILE: first n%k bins hold n//k+1 rows, the rest n//k."""
+        q, r = divmod(n, k)
+        if q == 0:
+            return rn  # n < k: bins of one row each
+        big = r * (q + 1)
+        return np.where(
+            rn <= big, (rn - 1) // (q + 1) + 1, r + (rn - 1 - big) // q + 1
+        ).astype(np.int64)
+
+    def bin_partials(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        pre, tot = ray.get(bcast)
+        df = part_tbl.to_pandas()
+        out = []
+        for (s, kb), sub in df.groupby(["lang", "kb"], sort=False):
+            order = np.lexsort((sub["doc_id"].to_numpy(), sub["x"].to_numpy()))
+            x = sub["x"].to_numpy()[order]
+            rn = pre[s][int(kb)] + np.arange(1, len(x) + 1, dtype=np.int64)
+            dec = ntile_of(rn, tot[s])
+            g = (
+                pd.DataFrame({"decile": dec, "x": x})
+                .groupby("decile", sort=False)["x"]
+                .agg(["count", "sum"])
+                .reset_index()
+            )
+            g["lang"] = s
+            out.append(
+                pa.table(
+                    {
+                        "lang": pa.array(g["lang"], pa.string()),
+                        "decile": pa.array(
+                            g["decile"].to_numpy().astype(np.int64), pa.int64()
+                        ),
+                        "cnt": pa.array(
+                            g["count"].to_numpy().astype(np.int64), pa.int64()
+                        ),
+                        "sx": pa.array(
+                            g["sum"].to_numpy().astype(np.int64), pa.int64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "decile": batch.column("decile"),
+                "n_rows": batch.column("cnt_p"),
+                "sum_x": batch.column("sx_p"),
+            }
+        )
+
+    return (
+        rows.groupby("part")
+        .map_groups(bin_partials, batch_format="pyarrow")
+        .groupby(["lang", "decile"])
+        .aggregate(Sum("cnt", alias_name="cnt_p"), Sum("sx", alias_name="sx_p"))
+        .map_batches(rename, batch_format="pyarrow")
+    )

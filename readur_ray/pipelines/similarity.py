@@ -1629,3 +1629,80 @@ def cluster_top_terms(sf_dir: str, nlist: int = KM_K) -> "ray.data.Dataset":
         .groupby("cell")
         .map_groups(per_cell_topt, batch_format="pyarrow")
     )
+
+
+def cluster_purity(sf_dir: str, nlist: int = KM_K) -> "ray.data.Dataset":
+    """EXTERNAL clustering validity — per k-means cell, the member
+    count and the majority ground-truth label with its count (ties:
+    smaller label), so purity = top_count / n_members is exact
+    integer arithmetic downstream. kmeans_inertia measures internal
+    cohesion (does the geometry tighten); this measures agreement
+    with labels (does the geometry mean anything) — the pair every
+    clustering eval reports. Labels ride in the embeddings table, so
+    no join leaves the row.
+
+    Scale shape: ONE streaming pass — each batch assigns against the
+    broadcast memoized centroids and folds to (cell, label) count
+    partials (≤ nlist × |labels| rows); a tiny Sum exchange and a
+    per-cell argmax (grouped_topk's K=1 merge) finish. No data-row
+    shuffle; ``nlist`` scales with corpus size as the semdedup
+    docstring prescribes."""
+    from ray.data.aggregate import Sum as _Sum
+
+    cents = _train_centroids(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+        ),
+        sf_dir,
+        nlist,
+    )
+    cents_ref = ray.put(cents)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cn = ray.get(cents_ref)
+        q = _quantize(
+            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        )
+        a = _assign(q, cn)
+        lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (
+            pd.DataFrame({"cell": a.astype(np.int64), "label": lab})
+            .groupby(["cell", "label"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.table(
+            {
+                "cell": pa.array(g["cell"].to_numpy().astype(np.int64), pa.int64()),
+                "label": pa.array(g["label"].to_numpy().astype(np.int64), pa.int64()),
+                "cnt": pa.array(g["cnt"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def per_cell(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["cnt", "label"], ascending=[False, True]
+        )
+        n = int(df["cnt"].sum())
+        return pa.table(
+            {
+                "cell": pa.array([int(df["cell"].iloc[0])], pa.int64()),
+                "n_members": pa.array([n], pa.int64()),
+                "top_label": pa.array([int(df["label"].iloc[0])], pa.int64()),
+                "top_count": pa.array([int(df["cnt"].iloc[0])], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["cell", "label"])
+        .aggregate(_Sum("cnt", alias_name="cnt"))
+        .groupby("cell")
+        .map_groups(per_cell, batch_format="pyarrow")
+    )

@@ -263,6 +263,11 @@ SUBSET = [
     # tail, already appear above)
     "cluster_top_terms",
     "corr_moments",
+    # round-4 wave 40: equal-frequency binning + cluster purity
+    # (quota_sample / knn_label_vote, which they displaced to the
+    # tail, already appear above)
+    "decile_table",
+    "cluster_purity",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
