@@ -299,14 +299,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # register-grid sketch arithmetic stays driver-checked via
         # hll_registers' Max grid and bloom_gate's bit grid; CMS's Sum
         # grid keeps pytest parity in the tail)
-        # (round 4, wave 31) rendezvous (highest-random-weight) shard
-        # placement — the consistent-resharding class: add/remove a
-        # worker and only ~1/W of docs move, unlike mod-W; pure
-        # streaming map, no shuffle, no driver state. Takes
-        # zorder_keys' head seat (data-LAYOUT key derivation is the
-        # same family — zorder stays bit-green in the pytest tail and
-        # its interleave kernel is hypothesis-fuzzed).
-        "rendezvous_assign": analytics.rendezvous_assign,
+        # (round 4, wave 41) exact autocorrelation at lags 1..7 of
+        # each event type's daily count series — the PERIODICITY
+        # detector (weekly seasonality, batch-replay cycles) that
+        # trend_slopes' single line cannot see; the row stream folds
+        # to the bounded (type, day) grid, per-type searchsorted lag
+        # alignment emits 7 fixed rows of Pearson sufficient sums.
+        # Takes rendezvous_assign's head seat (its md5-weight
+        # argmax-per-key is grouped_topk's head-checked K=1 shape over
+        # a derived hash column; the placement semantics stay
+        # bit-green in the pytest tail).
+        "autocorr_lags": sessions.autocorr_lags,
         # (round 4) documents→embeddings production stage: signed
         # feature hashing in an actor pool with a per-actor token cache
         "embed_documents": textops.embed_documents,
@@ -406,14 +409,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vectors); takes pivot_daily's head seat (the wide crosstab is
         # status_rollup's grouped counting reshaped to columns; pytest
         # keeps it bit-green in the tail)
-        # (round 4, wave 26) exact chi-square sufficient statistics
-        # for the lang x source contingency table — the independence-
-        # test / feature-selection class: per observed cell the count,
-        # marginals, grand total and signed deviation O*N - R*C, all
-        # integer. Takes trend_slopes' head seat (its per-group scalar
-        # (x, y) moment reduce is gram_matrix's head-checked K=1 case;
-        # pytest keeps it bit-green in the tail).
-        "contingency_grid": analytics.contingency_grid,
+        # (round 4, wave 41) Cohen's-kappa agreement audit — the
+        # lang_id heuristic scored against the ground-truth lang
+        # column in exact integers (n, n_agree, the marginal-product
+        # chance term, and the assembled kappa numerator/denominator):
+        # the can-this-classifier-gate-data readout accuracy flatters
+        # under imbalance. One streaming predict-and-count pass, ≤ L²
+        # confusion cells, single-row finish. Takes contingency_grid's
+        # head seat (the (a, b) count-grid + marginal-product
+        # machinery runs VERBATIM inside this confusion matrix; pytest
+        # keeps chi-square bit-green in the tail).
+        "kappa_agreement": textops.kappa_agreement,
         # --- multimodal plumbing (deterministic stub codec) ---
         "multimodal_meta": multimodal.multimodal_meta,
         # (round 4) the audio leg of the multimodal plumbing:
@@ -879,6 +885,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bit-green
         "quota_sample": curation.quota_sample,
         "knn_label_vote": similarity.knn_label_vote,
+        # (round 4 wave 41) displaced to the tail by kappa_agreement /
+        # autocorr_lags (see head comments); pytest keeps both
+        # bit-green
+        "contingency_grid": analytics.contingency_grid,
+        "rendezvous_assign": analytics.rendezvous_assign,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2563,6 +2574,66 @@ def oracle_sql() -> dict[str, str]:
                CAST(top.label AS BIGINT) AS top_label,
                top.cnt AS top_count
         FROM top JOIN tot ON tot.cell = top.cell
+    """
+
+    # kappa_agreement: splices the lang_id heuristic; pe_num joins the
+    # confusion-matrix marginals on the shared class key
+    sql["kappa_agreement"] = f"""
+        WITH p AS ({sql["lang_id"]}),
+        j AS (
+          SELECT p.pred_lang AS pred, d.lang AS true_lang
+          FROM p JOIN documents d USING (doc_id)
+        ),
+        cm AS (
+          SELECT pred, true_lang, CAST(count(*) AS BIGINT) AS c
+          FROM j GROUP BY 1, 2
+        ),
+        r AS (SELECT pred AS k, sum(c) AS rc FROM cm GROUP BY 1),
+        cl AS (SELECT true_lang AS k, sum(c) AS cc FROM cm GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cm),
+        ag AS (
+          SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_agree
+          FROM cm WHERE pred = true_lang
+        ),
+        pe AS (
+          SELECT CAST(coalesce(sum(r.rc * cl.cc), 0) AS BIGINT) AS pe_num
+          FROM r JOIN cl USING (k)
+        )
+        SELECT tot.n, ag.n_agree, pe.pe_num,
+               CAST(tot.n * ag.n_agree - pe.pe_num AS BIGINT) AS kappa_num,
+               CAST(tot.n * tot.n - pe.pe_num AS BIGINT) AS kappa_den
+        FROM tot, ag, pe
+    """
+
+    # autocorr_lags: the (type, lag) grid LEFT JOINs the matched pairs
+    # so zero-pair lags still emit a row, matching the Ray side
+    sql["autocorr_lags"] = """
+        WITH dc AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        lags AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag),
+        grid AS (
+          SELECT t.event_type, lags.lag
+          FROM (SELECT DISTINCT event_type FROM dc) t CROSS JOIN lags
+        ),
+        pairs AS (
+          SELECT a.event_type, l.lag, a.c AS x, b.c AS y
+          FROM dc a CROSS JOIN lags l
+          JOIN dc b ON b.event_type = a.event_type
+                   AND b.day = a.day - CAST(l.lag AS INTEGER)
+        )
+        SELECT grid.event_type, grid.lag,
+               CAST(coalesce(count(pairs.x), 0) AS BIGINT) AS n_pairs,
+               CAST(coalesce(sum(pairs.x * pairs.y), 0) AS BIGINT) AS s_xy,
+               CAST(coalesce(sum(pairs.x), 0) AS BIGINT) AS sum_x,
+               CAST(coalesce(sum(pairs.y), 0) AS BIGINT) AS sum_y,
+               CAST(coalesce(sum(pairs.x * pairs.x), 0) AS BIGINT) AS sum_xx,
+               CAST(coalesce(sum(pairs.y * pairs.y), 0) AS BIGINT) AS sum_yy
+        FROM grid LEFT JOIN pairs
+          ON pairs.event_type = grid.event_type AND pairs.lag = grid.lag
+        GROUP BY 1, 2
     """
 
     # decile_table: NTILE ties break by doc_id on both sides

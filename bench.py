@@ -141,6 +141,7 @@ def run_queries() -> dict[str, float]:
         "inter_event_gaps", "frequent_triples",
         "cluster_top_terms", "corr_moments",
         "decile_table", "cluster_purity",
+        "kappa_agreement", "autocorr_lags",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -1373,3 +1373,88 @@ def inter_event_gaps(sf_dir: str) -> "ray.data.Dataset":
         .aggregate(_Sum("n", alias_name="n_p"))
         .map_batches(rename, batch_format="pyarrow")
     )
+
+
+AUTOCORR_MAX_LAG = 7  # daily lags probed (weekly periodicity window)
+
+
+def autocorr_lags(sf_dir: str) -> "ray.data.Dataset":
+    """Periodicity detection — exact Pearson-autocorrelation
+    sufficient statistics of each event type's DAILY count series at
+    lags 1..AUTOCORR_MAX_LAG: per (event_type, lag) the matched-pair
+    count and the five sums (Σxy, Σx, Σy, Σx², Σy²) over day pairs
+    (t, t−lag) both present, all exact int64 — the weekly-seasonality
+    readout (a traffic series with a 7-day cycle lights lag 7; a
+    batch replay lights its replay period) that trend_slopes' single
+    straight line cannot see.
+
+    Scale shape: the row stream folds to the (event_type, day) count
+    grid with per-batch partials + one tiny Sum exchange (the
+    pivot_daily shape); the grid is #types × #days — bounded — so
+    each type's series fits one map_groups task, where a sort +
+    searchsorted alignment per lag emits AUTOCORR_MAX_LAG fixed rows.
+    Rows never shuffle; for decade-long ranges the same plan runs on
+    weekly buckets."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def day_partials(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        days = (
+            batch.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        g = (
+            pd.DataFrame({"event_type": et, "day": days})
+            .groupby(["event_type", "day"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "day": pa.array(g["day"].to_numpy().astype(np.int64), pa.int64()),
+                "c": pa.array(g["c"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def per_type(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        d = group.column("day").to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        order = np.argsort(d)
+        d, c = d[order], c[order]
+        rows = {k: [] for k in ("lag", "n_pairs", "s_xy", "sum_x", "sum_y",
+                                "sum_xx", "sum_yy")}
+        for lag in range(1, AUTOCORR_MAX_LAG + 1):
+            idx = np.searchsorted(d, d - lag)
+            ok = (idx < len(d)) & (d[np.minimum(idx, len(d) - 1)] == d - lag)
+            x, y = c[ok], c[np.minimum(idx, len(d) - 1)][ok]
+            rows["lag"].append(lag)
+            rows["n_pairs"].append(int(ok.sum()))
+            rows["s_xy"].append(int(np.sum(x * y)))
+            rows["sum_x"].append(int(x.sum()))
+            rows["sum_y"].append(int(y.sum()))
+            rows["sum_xx"].append(int(np.sum(x * x)))
+            rows["sum_yy"].append(int(np.sum(y * y)))
+        return pa.table(
+            {
+                "event_type": pa.array([et] * AUTOCORR_MAX_LAG, pa.string()),
+                **{k: pa.array(v, pa.int64()) for k, v in rows.items()},
+            }
+        )
+
+    return (
+        ds.map_batches(day_partials, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(_Sum("c", alias_name="c"))
+        .groupby("event_type")
+        .map_groups(per_type, batch_format="pyarrow")
+    )

@@ -721,3 +721,76 @@ def posting_sizes(sf_dir: str) -> "ray.data.Dataset":
         .groupby("part")
         .map_groups(sizes, batch_format="pyarrow")
     )
+
+
+def kappa_agreement(sf_dir: str) -> "ray.data.Dataset":
+    """Classifier-agreement audit — Cohen's kappa sufficient
+    statistics for the lang_id heuristic against the corpus's
+    ground-truth ``lang`` column, in exact integers: one row with n,
+    n_agree (observed agreement), pe_num = Σ_c row_c·col_c (the
+    chance-agreement numerator from the confusion-matrix marginals),
+    and the assembled kappa_num = n·n_agree − pe_num /
+    kappa_den = n² − pe_num, so κ = kappa_num / kappa_den is exact
+    rational arithmetic — the model-vs-truth readout that tells a
+    curation pipeline whether its cheap classifier can be trusted to
+    gate data (accuracy alone flatters under class imbalance; kappa
+    discounts it).
+
+    Scale shape: ONE streaming pass — each batch predicts in-batch
+    (the lang_id kernel, no second scan) and folds to
+    (pred, true) confusion cells (≤ L² rows); a tiny Sum exchange
+    and a single-row finish compute the marginal products. No
+    data-row shuffle; the driver never sees per-doc rows."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.textstats import predict_lang, stopword_hits
+
+    ds = read_documents(sf_dir, ["text", "lang"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        text = batch.column("text").combine_chunks()
+        pred = predict_lang(stopword_hits(text)).to_pylist()
+        true = batch.column("lang").to_pylist()
+        g = (
+            pd.DataFrame({"pred": pred, "true": true})
+            .groupby(["pred", "true"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table(
+            {
+                "pred": pa.array(g["pred"], pa.string()),
+                "true": pa.array(g["true"], pa.string()),
+                "c": pa.array(g["c"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        n = int(df["c"].sum())
+        n_agree = int(df.loc[df["pred"] == df["true"], "c"].sum())
+        rows = df.groupby("pred")["c"].sum()
+        cols = df.groupby("true")["c"].sum()
+        pe_num = int(
+            sum(int(rows[k]) * int(cols[k]) for k in rows.index if k in cols.index)
+        )
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "n_agree": pa.array([n_agree], pa.int64()),
+                "pe_num": pa.array([pe_num], pa.int64()),
+                "kappa_num": pa.array([n * n_agree - pe_num], pa.int64()),
+                "kappa_den": pa.array([n * n - pe_num], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["pred", "true"])
+        .aggregate(_Sum("c", alias_name="c"))
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )

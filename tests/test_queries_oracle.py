@@ -268,6 +268,11 @@ SUBSET = [
     # tail, already appear above)
     "decile_table",
     "cluster_purity",
+    # round-4 wave 41: kappa agreement audit + daily autocorrelation
+    # (contingency_grid / rendezvous_assign, which they displaced to
+    # the tail, already appear above)
+    "kappa_agreement",
+    "autocorr_lags",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
