@@ -502,16 +502,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # is head-checked dedup_minhash_lsh's banding over a different
         # signature, and the simhash family keeps pytest parity in the
         # tail via dedup_simhash / dedup_simhash_pairs)
-        # (round 4, wave 31) inverted-index compression planning —
-        # per heavy token the exact raw vs delta+LEB128-varint byte
-        # cost of its posting list: the storage-engineering accounting
-        # behind codec choice; one distinct-pair combiner + one token
-        # shuffle, vectorized gap/varint math. Takes
-        # winnow_fingerprints' head seat (robust fingerprint SELECTION
-        # is head-checked by the dedup_minhash_lsh signature family +
-        # dedup_substrings; pytest keeps winnowing bit-green in the
-        # tail).
-        "posting_sizes": textops.posting_sizes,
+        # (round 4, wave 42) pairwise source-vocabulary overlap —
+        # exact |V_a ∩ V_b| + both vocabulary sizes per source pair
+        # (Jaccard downstream): the corpus-comparison / domain-drift
+        # readout, and the unbounded-domain generalization of
+        # audience_overlap's bitmask intersection. One crc32(term)
+        # shuffle of distinct (source, term) pairs, sorted self-merge
+        # partials + a marginal lane, pair-keyed Sum. Takes
+        # posting_sizes' head seat (its term-keyed distinct posting
+        # grid is this operator's stage 1 VERBATIM, and the codec byte
+        # math is pure per-row integer arithmetic; pytest keeps it
+        # bit-green in the tail).
+        "vocab_overlap": textops.vocab_overlap,
         # (round 4, wave 34) the dataset-card summary row — exact
         # corpus fact sheet (docs, sources, langs, chars, total +
         # distinct tokens, exact duplicate-text count): the
@@ -770,6 +772,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # product quantizer; one streaming encode pass, <= m x k
         # partials, no data shuffle
         "pq_distortion": similarity.pq_distortion,
+        # (round 4, wave 42, tail by design) near-dup cluster-size
+        # histogram over the memoized components — the dedup audit
+        # monitor, knn_hubness's sibling on the fuzzy-dedup funnel
+        "dedup_cluster_sizes": dedup.dedup_cluster_sizes,
         # association lift numerators for the top co-occurring pairs:
         # support*N - n_a*n_b in exact integers (Apriori's null-model
         # pass on top of item_cooccurrence)
@@ -890,6 +896,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bit-green
         "contingency_grid": analytics.contingency_grid,
         "rendezvous_assign": analytics.rendezvous_assign,
+        # (round 4 wave 42) displaced to the tail by vocab_overlap
+        # (see head comment); pytest keeps it bit-green
+        "posting_sizes": textops.posting_sizes,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -1055,6 +1064,37 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS component_id
         FROM reach GROUP BY 1
+    """
+
+    # dedup_cluster_sizes: the component assignment binned by size.
+    # The spliced subquery needs an explicit RECURSIVE marker — DuckDB
+    # infers recursion for top-level CTE lists but not nested ones.
+    sql["dedup_cluster_sizes"] = f"""
+        WITH comp AS ({sql["dedup_components"].replace("WITH w AS", "WITH RECURSIVE w AS", 1)})
+        SELECT CAST(sz AS BIGINT) AS size,
+               CAST(count(*) AS BIGINT) AS n_components
+        FROM (SELECT component_id, count(*) AS sz FROM comp GROUP BY 1)
+        GROUP BY 1
+    """
+
+    # vocab_overlap: distinct (source, term) self-join on term
+    sql["vocab_overlap"] = """
+        WITH w AS (
+          SELECT source,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents
+        ),
+        st AS (SELECT DISTINCT source, term FROM w),
+        m AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY 1),
+        p AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(count(*) AS BIGINT) AS inter
+          FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT p.source_a, p.source_b, p.inter, ma.n AS n_a, mb.n AS n_b
+        FROM p JOIN m ma ON ma.source = p.source_a
+               JOIN m mb ON mb.source = p.source_b
     """.replace("WITH w AS", "WITH RECURSIVE w AS")
 
     # triangle participation over the same candidate edge set: wedges

@@ -142,6 +142,7 @@ def run_queries() -> dict[str, float]:
         "cluster_top_terms", "corr_moments",
         "decile_table", "cluster_purity",
         "kappa_agreement", "autocorr_lags",
+        "vocab_overlap", "dedup_cluster_sizes",
     ]
     out: dict[str, float] = {}
     for name in picks:

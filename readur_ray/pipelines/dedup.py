@@ -2098,3 +2098,66 @@ def linkage_scores(sf_dir: str) -> "ray.data.Dataset":
         .groupby("part")
         .map_groups(attach_b_score, batch_format="pyarrow")
     )
+
+
+def dedup_cluster_sizes(sf_dir: str) -> "ray.data.Dataset":
+    """Near-dup cluster-size histogram — (size, n_components) over the
+    memoized connected-components assignment: the dedup AUDIT readout
+    (a healthy corpus is singleton-dominated with a thin tail; a fat
+    tail of giant clusters means template spam or a broken shingle
+    gate, and size×count quantifies exactly how many rows dedup will
+    remove). Tail-seated by design: a monitor on the head-checked
+    dedup_components plan, like knn_hubness on knn_graph.
+
+    Scale shape: consumes the funnel memo (no re-contraction), folds
+    (doc, component) rows to per-batch component-count partials, one
+    component-keyed Sum gives exact sizes, a second tiny Sum over
+    (size) bins them — both exchanges carry int64 pairs bounded by
+    #components then #distinct sizes."""
+    from ray.data.aggregate import Sum as _Sum
+
+    comp = neardup_components(sf_dir)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["component_id"])
+            .group_by(["component_id"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "component_id": g.column("component_id").cast(pa.int64()),
+                "c": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def size_partials(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"size": batch.column("c_p")})
+            .group_by(["size"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "size": g.column("size").cast(pa.int64()),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "size": batch.column("size"),
+                "n_components": batch.column("n_p"),
+            }
+        )
+
+    return (
+        comp.map_batches(partials, batch_format="pyarrow")
+        .groupby("component_id")
+        .aggregate(_Sum("c", alias_name="c_p"))
+        .map_batches(size_partials, batch_format="pyarrow")
+        .groupby("size")
+        .aggregate(_Sum("n", alias_name="n_p"))
+        .map_batches(rename, batch_format="pyarrow")
+    )

@@ -794,3 +794,128 @@ def kappa_agreement(sf_dir: str) -> "ray.data.Dataset":
         .repartition(1)
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
     )
+
+
+def vocab_overlap(sf_dir: str) -> "ray.data.Dataset":
+    """Pairwise source-vocabulary overlap — for every source pair the
+    exact intersection size |V_a ∩ V_b| plus both vocabulary sizes,
+    so Jaccard = inter / (n_a + n_b − inter) is exact integer
+    arithmetic: the corpus-comparison readout (two scrapes of the
+    same site overlap near 1; a source whose vocabulary drifts from
+    its siblings signals a domain shift). The unbounded-domain
+    generalization of audience_overlap's pairwise intersection — a
+    term vocabulary does not fit a bitmask rollup.
+
+    Scale shape: rows fold to distinct (source, term) pairs per batch
+    and shuffle ONCE on crc32(term), so a term's sources co-locate:
+    per partition one sorted self-merge emits (source_a, source_b)
+    co-occurrence partials (≤ |sources|² per term) AND per-source
+    distinct-term marginal partials ((source, term) lives in exactly
+    one partition, so partition counts sum globally); a tiny pair-
+    keyed Sum plus the broadcast |sources|-entry marginal map finish.
+    Pairs sharing zero terms emit nothing on either side."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.textstats import words_of
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    ds = read_documents(sf_dir, ["source", "text"])
+
+    def st_rows(batch: pa.Table) -> pa.Table:
+        seen: set[tuple[str, str]] = set()
+        for src, text in zip(
+            batch.column("source").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for t in set(words_of(text or "")):
+                seen.add((src, t))
+        srcs = [s for s, _ in seen]
+        terms = [t for _, t in seen]
+        part = np.array(
+            [zlib.crc32(t.encode()) for t in terms], dtype=np.int64
+        ) % N_COARSE_PARTS
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "term": pa.array(terms, pa.string()),
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    def pair_partials(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.select(["source", "term"]).to_pandas().drop_duplicates()
+        m = df.merge(df, on="term")
+        m = m[m["source_x"] < m["source_y"]]
+        g = (
+            m.groupby(["source_x", "source_y"], sort=False)
+            .size()
+            .reset_index(name="inter")
+        )
+        marg = df.groupby("source", sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "source_a": pa.array(
+                    list(g["source_x"]) + list(marg["source"]), pa.string()
+                ),
+                "source_b": pa.array(
+                    list(g["source_y"]) + [""] * len(marg), pa.string()
+                ),
+                "c": pa.array(
+                    np.concatenate(
+                        [
+                            g["inter"].to_numpy().astype(np.int64),
+                            marg["n"].to_numpy().astype(np.int64),
+                        ]
+                    )
+                    if len(g) or len(marg)
+                    else np.array([], np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    cells = (
+        ds.map_batches(st_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pair_partials, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"])
+        .aggregate(_Sum("c", alias_name="c"))
+        .materialize()
+    )
+
+    # marginal lane (source_b == "") → broadcast |sources| ints
+    marg_map: dict[str, int] = {}
+    for b in cells.iter_batches(batch_format="pyarrow"):
+        for a, bb, c in zip(
+            b.column("source_a").to_pylist(),
+            b.column("source_b").to_pylist(),
+            b.column("c").to_pylist(),
+        ):
+            if bb == "":
+                marg_map[a] = marg_map.get(a, 0) + c
+    marg_ref = ray.put(marg_map)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        mm = ray.get(marg_ref)
+        a = batch.column("source_a").to_pylist()
+        bb = batch.column("source_b").to_pylist()
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        keep = np.array([x != "" for x in bb], dtype=bool)
+        a = [x for x, k in zip(a, keep) if k]
+        bb = [x for x, k in zip(bb, keep) if k]
+        c = c[keep]
+        return pa.table(
+            {
+                "source_a": pa.array(a, pa.string()),
+                "source_b": pa.array(bb, pa.string()),
+                "inter": pa.array(c, pa.int64()),
+                "n_a": pa.array([mm[x] for x in a], pa.int64()),
+                "n_b": pa.array([mm[x] for x in bb], pa.int64()),
+            }
+        )
+
+    return cells.map_batches(finish, batch_format="pyarrow")

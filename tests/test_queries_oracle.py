@@ -273,6 +273,11 @@ SUBSET = [
     # the tail, already appear above)
     "kappa_agreement",
     "autocorr_lags",
+    # round-4 wave 42: vocabulary overlap (head; posting_sizes, which
+    # it displaced to the tail, already appears above) + the cluster-
+    # size histogram (tail monitor by design)
+    "vocab_overlap",
+    "dedup_cluster_sizes",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
