@@ -237,7 +237,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partition-local lexsort consecutive-pair kernel, different
         # payload — type bigrams there, time deltas here; pytest keeps
         # transitions bit-green in the tail).
-        "inter_event_gaps": sessions.inter_event_gaps,
+        # (round 4, wave 43) gaps-and-islands run-length encoding —
+        # per user's (ts, event_id)-ordered stream, maximal same-type
+        # runs folded to the exact (event_type, run_len, n_runs)
+        # distribution: the behavioral-repetition / RLE-accounting
+        # class (a bot hammering one action is a single long run;
+        # human streams decay geometrically) that transitions' bigram
+        # counts and gap histograms cannot see. Takes
+        # inter_event_gaps' head seat (the SAME one-user-shuffle +
+        # partition-local lexsort consecutive-pair kernel — boundary
+        # mask here, time delta there; pytest keeps the gap histogram
+        # bit-green in the tail).
+        "event_runs": sessions.event_runs,
         # (round 4) distributed uniform bottom-k sampler (mergeable
         # md5-priority sketch) — takes line_dedup's head seat (global
         # first-occurrence sub-document removal + reassembly is the
@@ -370,7 +381,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # temporal-join class, its point-in-window probe is the
         # searchsorted kernel this op runs twice; pytest keeps it
         # bit-green in the tail).
-        "interval_overlaps": analytics.interval_overlaps,
+        # (round 4, wave 43) interval UNION — per user, overlapping
+        # activity windows merged by a sorted sweep (running-max
+        # frontier) into exact total covered time + merged-interval
+        # count: the utilization / metering class pair-counting cannot
+        # express (overlap says two windows touch; union says how much
+        # wall-clock the set spans). Takes interval_overlaps' head
+        # seat (the sibling sorted-interval sweep over the same
+        # synthesized closed windows — pair count there, coverage
+        # here; pytest keeps the overlap count bit-green in the tail).
+        "interval_union": analytics.interval_union,
         # --- search / suppression / incremental (F1, F2, D3, W2, A1/A6) ---
         "text_search": search.text_search,
         # (round 4) one-pass multi-level ROLLUP aggregate — takes
@@ -899,6 +919,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (round 4 wave 42) displaced to the tail by vocab_overlap
         # (see head comment); pytest keeps it bit-green
         "posting_sizes": textops.posting_sizes,
+        # (round 4 wave 43) displaced to the tail by event_runs /
+        # interval_union (see head comments); pytest keeps both
+        # bit-green
+        "inter_event_gaps": sessions.inter_event_gaps,
+        "interval_overlaps": analytics.interval_overlaps,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -3428,6 +3453,29 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
     """
 
+    # event_runs: the classic double-row_number gaps-and-islands —
+    # rn - rt is constant exactly within a maximal same-type run; the
+    # (ts, event_id) total order makes the island structure unique.
+    sql["event_runs"] = """
+        WITH e AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id
+                   ) AS rt
+            FROM events
+        ),
+        runs AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS run_len
+            FROM e GROUP BY user_id, event_type, rn - rt
+        )
+        SELECT event_type, run_len, CAST(count(*) AS BIGINT) AS n_runs
+        FROM runs GROUP BY 1, 2
+    """
+
     # json_props_extract: identical RE2 pattern both sides.
     sql["json_props_extract"] = r"""
         SELECT event_id, event_type,
@@ -3731,6 +3779,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT p.suppkey, CAST((p.c - tot.n) // 2 AS BIGINT) AS n_overlaps
         FROM p JOIN tot USING (suppkey)
         WHERE p.c - tot.n > 0 ORDER BY 1
+    """
+
+    # interval_union: the window-function merged-interval classic —
+    # a row opens a new island iff its lo exceeds the running max hi
+    # of every earlier window (frame max over 1 PRECEDING; the first
+    # row's NULL frame falls to ELSE 0). Island ids are order-free
+    # under (lo, hi) ties: an equal-lo row can never open an island
+    # (hi >= lo always), and per-island coverage is max(hi) - min(lo).
+    sql["interval_union"] = """
+        WITH iv AS (
+          SELECT user_id, epoch_us(ts) AS lo,
+                 epoch_us(ts) + (event_id % 3600 + 60) * 1000000 AS hi
+          FROM events
+        ),
+        m AS (
+          SELECT user_id, lo, hi,
+                 CASE WHEN lo > max(hi) OVER (
+                     PARTITION BY user_id ORDER BY lo, hi
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) THEN 1 ELSE 0 END AS new_island
+          FROM iv
+        ),
+        isl AS (
+          SELECT user_id, lo, hi,
+                 sum(new_island) OVER (
+                     PARTITION BY user_id ORDER BY lo, hi
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS island
+          FROM m
+        )
+        SELECT user_id,
+               CAST(sum(cov) AS BIGINT) AS covered_us,
+               CAST(count(*) AS BIGINT) AS n_merged
+        FROM (
+          SELECT user_id, island, max(hi) - min(lo) AS cov
+          FROM isl GROUP BY 1, 2
+        )
+        GROUP BY 1
     """
 
     # table_checksum: order-independent md5-lane digest of documents —

@@ -143,6 +143,7 @@ def run_queries() -> dict[str, float]:
         "decile_table", "cluster_purity",
         "kappa_agreement", "autocorr_lags",
         "vocab_overlap", "dedup_cluster_sizes",
+        "event_runs", "interval_union",
     ]
     out: dict[str, float] = {}
     for name in picks:

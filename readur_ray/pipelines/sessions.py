@@ -1375,6 +1375,97 @@ def inter_event_gaps(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def event_runs(sf_dir: str) -> "ray.data.Dataset":
+    """Run-length encoding of per-user event streams — the
+    gaps-and-islands class (SQL's classic double-row_number trick):
+    order each user's events by (ts, event_id) and split them into
+    maximal runs of the SAME event_type; output the exact
+    (event_type, run_len, n_runs) distribution. The behavioral-
+    repetition monitor no transition or gap statistic expresses:
+    event_transitions counts bigram CHANGES, inter_event_gaps times
+    them — this measures how long a user dwells on one action (a bot
+    hammering `click` 500× in a row is a single length-500 run; human
+    streams decay geometrically), and it is also the payload shape of
+    run-length compression accounting.
+
+    Scale shape: ONE coarse user shuffle (the sessionize assumption:
+    a user's events fit a partition); inside a partition a single
+    lexsort orders every user at once, one vectorized mask (user
+    change OR type change) finds run starts, np.diff of the start
+    index vector yields every run length with no per-run loop, and a
+    local (type, len) fold shrinks the partition to ≤ |types| ×
+    |distinct lengths| partials before a tiny two-key Sum exchange —
+    event rows never leave their partition after the shuffle."""
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "user": pa.array(u, pa.int64()),
+                "ts": batch.column("ts").cast(pa.int64()),
+                "eid": batch.column("event_id").cast(pa.int64()),
+                "etype": batch.column("event_type"),
+                "part": pa.array(u % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def run_partials(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        u = part_tbl.column("user").to_numpy(zero_copy_only=False)
+        ts = part_tbl.column("ts").to_numpy(zero_copy_only=False)
+        eid = part_tbl.column("eid").to_numpy(zero_copy_only=False)
+        et = part_tbl.column("etype").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, et = u[order], et[order]
+        new_run = np.concatenate(
+            ([True], (u[1:] != u[:-1]) | (et[1:] != et[:-1]))
+        )
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.concatenate([starts, [len(u)]])).astype(np.int64)
+        df = pd.DataFrame({"event_type": et[starts], "run_len": lens})
+        g = (
+            df.groupby(["event_type", "run_len"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "run_len": pa.array(g["run_len"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "run_len": batch.column("run_len"),
+                "n_runs": batch.column("n_p"),
+            }
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(run_partials, batch_format="pyarrow")
+        .groupby(["event_type", "run_len"])
+        .aggregate(_Sum("n", alias_name="n_p"))
+        .map_batches(rename, batch_format="pyarrow")
+    )
+
+
 AUTOCORR_MAX_LAG = 7  # daily lags probed (weekly periodicity window)
 
 

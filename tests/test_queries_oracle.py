@@ -278,6 +278,8 @@ SUBSET = [
     # size histogram (tail monitor by design)
     "vocab_overlap",
     "dedup_cluster_sizes",
+    "event_runs",
+    "interval_union",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
