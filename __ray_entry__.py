@@ -320,7 +320,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # argmax-per-key is grouped_topk's head-checked K=1 shape over
         # a derived hash column; the placement semantics stay
         # bit-green in the pytest tail).
-        "autocorr_lags": sessions.autocorr_lags,
+        # (round 4, wave 44) rolling MEDIAN of each event type's daily
+        # count series over the trailing 7 present days — the ROBUST
+        # trend baseline (a replay spike drags every mean/least-squares
+        # line; the windowed order statistic ignores it), emitted as
+        # med_x2 so even-width head windows stay exact integers. Takes
+        # autocorr_lags' head seat (the SAME bounded (type, day) grid
+        # fold — its five-sum co-moment kernel is corr_moments'
+        # head-checked kernel over lag-aligned pairs; pytest keeps the
+        # autocorrelation bit-green in the tail).
+        "rolling_median_daily": sessions.rolling_median_daily,
         # (round 4) documents→embeddings production stage: signed
         # feature hashing in an actor pool with a per-actor token cache
         "embed_documents": textops.embed_documents,
@@ -591,7 +600,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bit-green in the tail).
         "linkage_scores": dedup.linkage_scores,
         # --- expensive-but-unique: within the first 50 by design ---
-        "dedup_components": dedup.neardup_components,
+        # (round 4, wave 44) survivorship (golden-record) merge — the
+        # step that COMPLETES the entity-resolution arc (blocking →
+        # scoring → clustering → survivorship): per multi-member
+        # near-dup component the fused canonical record (min-id rep,
+        # richest length, majority language with lexicographic
+        # tie-break) via two narrow co-partitioned shuffles over the
+        # memoized assignment. Takes dedup_components' head seat — the
+        # resolved assignment is this operator's INPUT and its
+        # recursive-CTE oracle is spliced verbatim inside this one, so
+        # the head check subsumes the contraction plan; pytest keeps
+        # the raw assignment bit-green in the tail.
+        "survivorship_merge": dedup.survivorship_merge,
         # (round 4, wave 30) leak ATTRIBUTION — for each contaminated
         # doc, WHICH benchmark item it shares the most shingles with
         # (the name a decontamination report hands to a human):
@@ -924,6 +944,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bit-green
         "inter_event_gaps": sessions.inter_event_gaps,
         "interval_overlaps": analytics.interval_overlaps,
+        # (round 4 wave 44) displaced to the tail by survivorship_merge
+        # / rolling_median_daily (see head comments); pytest keeps both
+        # bit-green
+        "dedup_components": dedup.neardup_components,
+        "autocorr_lags": sessions.autocorr_lags,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -1100,6 +1125,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_components
         FROM (SELECT component_id, count(*) AS sz FROM comp GROUP BY 1)
         GROUP BY 1
+    """
+
+    # survivorship_merge: golden record per multi-member component —
+    # the same spliced components CTE joined back to documents; the
+    # canonical language is the (count DESC, lang ASC) row_number
+    # winner, exactly the (n desc, lang asc) sort the Ray fold takes.
+    sql["survivorship_merge"] = f"""
+        WITH comp AS ({sql["dedup_components"].replace("WITH w AS", "WITH RECURSIVE w AS", 1)}),
+        mem AS (
+          SELECT c.component_id, d.doc_id, d.lang, d.n_chars
+          FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+        ),
+        sizes AS (
+          SELECT component_id,
+                 CAST(count(*) AS BIGINT) AS n_members,
+                 CAST(min(doc_id) AS BIGINT) AS rep_id,
+                 CAST(max(n_chars) AS BIGINT) AS max_chars
+          FROM mem GROUP BY 1
+        ),
+        lc AS (
+          SELECT component_id, lang, count(*) AS c
+          FROM mem GROUP BY 1, 2
+        ),
+        best AS (
+          SELECT component_id, lang AS canon_lang,
+                 row_number() OVER (
+                     PARTITION BY component_id ORDER BY c DESC, lang
+                 ) AS rk
+          FROM lc
+        )
+        SELECT s.component_id, s.rep_id, s.n_members, s.max_chars,
+               b.canon_lang
+        FROM sizes s
+        JOIN best b ON b.component_id = s.component_id AND b.rk = 1
+        WHERE s.n_members >= 2
     """
 
     # vocab_overlap: distinct (source, term) self-join on term
@@ -2699,6 +2759,25 @@ def oracle_sql() -> dict[str, str]:
         FROM grid LEFT JOIN pairs
           ON pairs.event_type = grid.event_type AND pairs.lag = grid.lag
         GROUP BY 1, 2
+    """
+
+    # rolling_median_daily: trailing 7-PRESENT-day windowed median of
+    # the same daily grid; 2*median keeps even-width head windows
+    # exact (a .5 half is exact in a double on both sides). Day is
+    # BIGINT days-since-epoch (ts >= 1970 in every fixture, so '//'
+    # equals the numpy datetime64[D] floor).
+    sql["rolling_median_daily"] = """
+        WITH dc AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(day AS BIGINT) AS day,
+               CAST(2 * median(c) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS med_x2
+        FROM dc
     """
 
     # decile_table: NTILE ties break by doc_id on both sides

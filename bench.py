@@ -144,6 +144,7 @@ def run_queries() -> dict[str, float]:
         "kappa_agreement", "autocorr_lags",
         "vocab_overlap", "dedup_cluster_sizes",
         "event_runs", "interval_union",
+        "survivorship_merge", "rolling_median_daily",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -2161,3 +2161,128 @@ def dedup_cluster_sizes(sf_dir: str) -> "ray.data.Dataset":
         .aggregate(_Sum("n", alias_name="n_p"))
         .map_batches(rename, batch_format="pyarrow")
     )
+
+
+def survivorship_merge(sf_dir: str) -> "ray.data.Dataset":
+    """Survivorship (golden-record) merge — the step that COMPLETES
+    the entity-resolution arc (blocking → pair scoring → clustering →
+    survivorship): for every multi-member near-dup component, fuse the
+    members' attributes into one canonical record under explicit
+    survivorship rules — rep_id = min member id (stable key),
+    max_chars = richest text length, canon_lang = majority language
+    with lexicographic tie-break. Output: (component_id, rep_id,
+    n_members, max_chars, canon_lang); singleton components emit
+    nothing (they ARE their record).
+
+    Scale shape: consumes the memoized component assignment (no
+    re-contraction) and joins it to the documents attribute
+    projection with the order_priority_join discipline — both sides
+    narrow, hash-co-partitioned on doc_id, ONE union shuffle, build
+    dict + vectorized probe per partition. The attach stage re-keys
+    by component and a second coarse shuffle co-locates each
+    component's members, where one pandas fold emits golden rows
+    directly — per-partition output is bounded by its component
+    count, and no stage ever holds more than (id, lang, chars)
+    triples."""
+    comp = neardup_components(sf_dir)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def comp_side(batch: pa.Table) -> pa.Table:
+        k = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "comp": batch.column("component_id").cast(pa.int64()),
+                "lang": pa.array([""] * len(k), pa.string()),
+                "chars": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+                "side": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+                "part": pa.array(k % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        k = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "comp": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+                "lang": batch.column("lang"),
+                "chars": batch.column("n_chars").cast(pa.int64()),
+                "side": pa.array(np.ones(len(k), np.int64), pa.int64()),
+                "part": pa.array(k % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    both = comp.map_batches(comp_side, batch_format="pyarrow").union(
+        docs.map_batches(doc_side, batch_format="pyarrow")
+    )
+
+    def attach(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part_tbl.to_pandas()
+        build = df[df["side"] == 0].set_index("key")["comp"]
+        probe = df[df["side"] == 1]
+        comp_ids = probe["key"].map(build).to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "comp": pa.array(comp_ids, pa.int64()),
+                "doc": pa.array(probe["key"].to_numpy(), pa.int64()),
+                "lang": pa.array(probe["lang"], pa.string()),
+                "chars": pa.array(probe["chars"].to_numpy(), pa.int64()),
+                "part2": pa.array(comp_ids % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def golden(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part_tbl.to_pandas()
+        lc = (
+            df.groupby(["comp", "lang"], sort=False)
+            .agg(n=("doc", "size"), mn=("doc", "min"), mx=("chars", "max"))
+            .reset_index()
+        )
+        tot = (
+            lc.groupby("comp", sort=False)
+            .agg(
+                n_members=("n", "sum"),
+                rep_id=("mn", "min"),
+                max_chars=("mx", "max"),
+            )
+            .reset_index()
+        )
+        canon = (
+            lc.sort_values(
+                ["comp", "n", "lang"], ascending=[True, False, True]
+            )
+            .drop_duplicates("comp")[["comp", "lang"]]
+        )
+        out = tot.merge(canon, on="comp")
+        out = out[out["n_members"] >= 2]
+        return pa.table(
+            {
+                "component_id": pa.array(out["comp"].to_numpy(), pa.int64()),
+                "rep_id": pa.array(out["rep_id"].to_numpy(), pa.int64()),
+                "n_members": pa.array(
+                    out["n_members"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "max_chars": pa.array(
+                    out["max_chars"].to_numpy(), pa.int64()
+                ),
+                "canon_lang": pa.array(out["lang"], pa.string()),
+            }
+        )
+
+    return (
+        both.groupby("part")
+        .map_groups(attach, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(golden, batch_format="pyarrow")
+    )

@@ -1549,3 +1549,86 @@ def autocorr_lags(sf_dir: str) -> "ray.data.Dataset":
         .groupby("event_type")
         .map_groups(per_type, batch_format="pyarrow")
     )
+
+
+ROLLMED_WINDOW = 7  # rolling-median look-back in PRESENT grid days
+
+
+def rolling_median_daily(sf_dir: str) -> "ray.data.Dataset":
+    """Rolling MEDIAN of each event type's daily count series over the
+    trailing ROLLMED_WINDOW present days — the robust trend line:
+    where trend_slopes' least-squares line and a rolling MEAN both
+    chase a single replay spike, the windowed order statistic ignores
+    it (breakdown point 0.5), which is exactly what an alerting
+    baseline wants. Emitted as med_x2 = 2×median so even-width
+    windows (the first 6 rows of a series) stay EXACT integers —
+    .5 halves are exact in a double, so both sides agree bit-for-bit.
+    Windows count PRESENT grid days (ROWS frame, not RANGE): a day
+    with zero events is absent on both sides by the same rule.
+
+    Scale shape: the row stream folds to the bounded (event_type,
+    day) count grid with per-batch partials + one tiny Sum exchange
+    (the pivot_daily / autocorr_lags shape); each type's series then
+    fits one map_groups task where the trailing-window median is a
+    ≤ 7-value partial sort per grid day — work is O(#types × #days),
+    independent of event volume. Output: (event_type, day, med_x2)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def day_partials(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        days = (
+            batch.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        g = (
+            pd.DataFrame({"event_type": et, "day": days})
+            .groupby(["event_type", "day"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "day": pa.array(g["day"].to_numpy().astype(np.int64), pa.int64()),
+                "c": pa.array(g["c"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def per_type(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        d = group.column("day").to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        order = np.argsort(d)
+        d, c = d[order], c[order]
+        med_x2 = np.empty(len(d), dtype=np.int64)
+        for i in range(len(d)):
+            w = np.sort(c[max(0, i - ROLLMED_WINDOW + 1) : i + 1])
+            m = len(w)
+            med_x2[i] = (
+                2 * int(w[m // 2])
+                if m % 2
+                else int(w[m // 2 - 1]) + int(w[m // 2])
+            )
+        return pa.table(
+            {
+                "event_type": pa.array([et] * len(d), pa.string()),
+                "day": pa.array(d, pa.int64()),
+                "med_x2": pa.array(med_x2, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(day_partials, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(_Sum("c", alias_name="c"))
+        .groupby("event_type")
+        .map_groups(per_type, batch_format="pyarrow")
+    )

@@ -661,3 +661,48 @@ def test_funnel_attribution_constructed_case(ray_session, tmp_path):
         20: "benchmark",
         21: "fuzzy_dup",
     }
+
+
+def test_survivorship_merge_crafted(ray_session, tmp_path):
+    """Golden-record lanes the tiny fixtures barely reach: a 3-member
+    component with a clear majority language, a 2-member component
+    whose language counts TIE (lexicographic min must win), and a
+    singleton that must emit nothing."""
+    from readur_ray.pipelines import dedup as ddp
+
+    ddp._FUNNEL_CACHE.clear()
+    ta = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    tb = "one two three four five six seven eight nine ten eleven"
+    tc = "completely different vocabulary nothing shared here at all ok"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 10, 11, 20], pa.int64()),
+            "text": pa.array([ta, ta, ta, tb, tb, tc], pa.string()),
+            "lang": pa.array(["en", "en", "fr", "fr", "de", "en"], pa.string()),
+            "source": pa.array(["s"] * 6, pa.string()),
+            "n_chars": pa.array([50, 80, 60, 40, 30, 99], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = (
+        ddp.survivorship_merge(str(tmp_path))
+        .to_pandas()
+        .sort_values("component_id")
+        .reset_index(drop=True)
+    )
+    assert got.to_dict("records") == [
+        {
+            "component_id": 1,
+            "rep_id": 1,
+            "n_members": 3,
+            "max_chars": 80,
+            "canon_lang": "en",
+        },
+        {
+            "component_id": 10,
+            "rep_id": 10,
+            "n_members": 2,
+            "max_chars": 40,
+            "canon_lang": "de",
+        },
+    ]

@@ -280,6 +280,8 @@ SUBSET = [
     "dedup_cluster_sizes",
     "event_runs",
     "interval_union",
+    "survivorship_merge",
+    "rolling_median_daily",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
