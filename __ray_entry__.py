@@ -949,6 +949,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bit-green
         "dedup_components": dedup.neardup_components,
         "autocorr_lags": sessions.autocorr_lags,
+        # (round 4, wave 45) TPC-H Q3 shipping priority — tail-seated
+        # BY DESIGN: the canonical three-table benchmark composition
+        # whose every stage is a head-checked shape (co-partitioned
+        # semi-join, fact-fact union-shuffle, sort-limit), with NO
+        # broadcast anywhere — customer is fact-scale in TPC-H, so the
+        # segment filter rides a custkey co-partition.
+        "q3_shipping_priority": analytics.q3_shipping_priority,
+        # (round 4, wave 45) error-recovery (MTTR) latency histogram —
+        # tail-seated by design: asof_join's searchsorted next-after
+        # kernel applied within one table, inside the user-shuffle +
+        # lexsort frame event_runs head-checks; bucket -1 counts
+        # unrecovered errors.
+        "error_recovery_time": sessions.error_recovery_time,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2759,6 +2772,50 @@ def oracle_sql() -> dict[str, str]:
         FROM grid LEFT JOIN pairs
           ON pairs.event_type = grid.event_type AND pairs.lag = grid.lag
         GROUP BY 1, 2
+    """
+
+    # q3_shipping_priority: the textbook Q3 with o_orderpriority
+    # carried (the fixture has no o_shippriority); revenue in exact
+    # integer cents per line BEFORE the sum; ties fully broken by
+    # (revenue, odate, orderkey) so LIMIT is deterministic.
+    sql["q3_shipping_priority"] = """
+        SELECT l_orderkey,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                    + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               epoch_us(o_orderdate) AS o_orderdate_us,
+               o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY 1, 3, 4
+        ORDER BY revenue_cents DESC, o_orderdate_us, l_orderkey
+        LIMIT 10
+    """
+
+    # error_recovery_time: next non-error strictly after in the
+    # (ts, event_id) ROWS order — min ts over the following frame is
+    # the next one's ts because ts is nondecreasing in that order;
+    # '// 1000000' truncation equals numpy floor for the non-negative
+    # gaps; NULL frame (never recovered) lands in bucket -1.
+    sql["error_recovery_time"] = """
+        WITH o AS (
+            SELECT user_id, event_type, epoch_us(ts) AS t,
+                   min(CASE WHEN event_type <> 'error'
+                            THEN epoch_us(ts) END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+                   ) AS nxt
+            FROM events
+        )
+        SELECT CASE WHEN nxt IS NULL THEN CAST(-1 AS BIGINT)
+                    ELSE CAST(floor(log2((nxt - t) // 1000000 + 1))
+                         AS BIGINT) END AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM o WHERE event_type = 'error'
+        GROUP BY 1
     """
 
     # rolling_median_daily: trailing 7-PRESENT-day windowed median of

@@ -145,6 +145,7 @@ def run_queries() -> dict[str, float]:
         "vocab_overlap", "dedup_cluster_sizes",
         "event_runs", "interval_union",
         "survivorship_merge", "rolling_median_daily",
+        "q3_shipping_priority", "error_recovery_time",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -3093,3 +3093,181 @@ def decile_table(sf_dir: str) -> "ray.data.Dataset":
         .aggregate(Sum("cnt", alias_name="cnt_p"), Sum("sx", alias_name="sx_p"))
         .map_batches(rename, batch_format="pyarrow")
     )
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF_US = 897_264_000_000_000  # 1998-06-01 in epoch microseconds
+
+
+def q3_shipping_priority(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """TPC-H Q3 (shipping priority) — the canonical three-table
+    benchmark composition: customers of one market segment, their
+    orders placed before the cutoff, revenue from lineitems shipped
+    after it, top-k open orders by exact revenue cents. Tail-seated
+    by design: every stage is a head-checked shape composed — the
+    segment semi-join is suppression_antijoin's co-partitioned
+    build/probe with the polarity flipped, the orders⋈lineitem leg is
+    order_priority_join's fact-fact union-shuffle verbatim, and the
+    final sort().limit() is top_docs' rank-then-limit.
+
+    Scale shape: NO broadcast anywhere — customer is fact-scale in
+    TPC-H, so the segment filter rides a custkey co-partition
+    (filtered customer side is build, orders side probes), the
+    surviving (orderkey, odate, priority) rows re-key by orderkey and
+    union-shuffle against the date-filtered lineitem projection, and
+    because an orderkey lives in exactly one partition the per-group
+    revenue sums are complete there — the global stage is only the
+    k-row sort-limit. Dates prune at the scan; every money value is
+    exact integer cents before any sum."""
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        seg = batch.column("c_mktsegment").to_numpy(zero_copy_only=False)
+        keep = seg == Q3_SEGMENT
+        ck = batch.column("c_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[keep]
+        n = len(ck)
+        return pa.table(
+            {
+                "key": pa.array(ck, pa.int64()),
+                "okey": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "odate": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "prio": pa.array([""] * n, pa.string()),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "part": pa.array(ck % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = od < Q3_CUTOFF_US
+        ck = batch.column("o_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[keep]
+        return pa.table(
+            {
+                "key": pa.array(ck, pa.int64()),
+                "okey": batch.column("o_orderkey").cast(pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "odate": pa.array(od[keep], pa.int64()),
+                "prio": batch.column("o_orderpriority").filter(pa.array(keep)),
+                "side": pa.array(np.ones(int(keep.sum()), np.int64), pa.int64()),
+                "part": pa.array(ck % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    stage_a = cust.map_batches(cust_side, batch_format="pyarrow").union(
+        orders.map_batches(order_side, batch_format="pyarrow")
+    )
+
+    def semi_join(part_tbl: pa.Table) -> pa.Table:
+        side = part_tbl.column("side").to_numpy(zero_copy_only=False)
+        keys = part_tbl.column("key").to_numpy(zero_copy_only=False)
+        probe = np.isin(keys, keys[side == 0]) & (side == 1)
+        okey = part_tbl.column("okey").to_numpy(zero_copy_only=False)[probe]
+        return pa.table(
+            {
+                "okey": pa.array(okey, pa.int64()),
+                "odate": pa.array(
+                    part_tbl.column("odate").to_numpy(zero_copy_only=False)[
+                        probe
+                    ],
+                    pa.int64(),
+                ),
+                "prio": pa.array(
+                    np.asarray(part_tbl.column("prio").to_pylist(), object)[
+                        probe
+                    ],
+                    pa.string(),
+                ),
+                "cents": pa.array(
+                    np.zeros(int(probe.sum()), np.int64), pa.int64()
+                ),
+                "side": pa.array(
+                    np.zeros(int(probe.sum()), np.int64), pa.int64()
+                ),
+                "part2": pa.array(okey % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = sd > Q3_CUTOFF_US
+        lk = batch.column("l_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[keep]
+        price = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False
+        )[keep]
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        n = len(lk)
+        return pa.table(
+            {
+                "okey": pa.array(lk, pa.int64()),
+                "odate": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "prio": pa.array([""] * n, pa.string()),
+                "cents": pa.array(cents, pa.int64()),
+                "side": pa.array(np.ones(n, np.int64), pa.int64()),
+                "part2": pa.array(lk % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    stage_b = (
+        stage_a.groupby("part")
+        .map_groups(semi_join, batch_format="pyarrow")
+        .union(lines.map_batches(line_side, batch_format="pyarrow"))
+    )
+
+    def join_sum(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part_tbl.to_pandas()
+        build = df[df["side"] == 0].set_index("okey")[["odate", "prio"]]
+        probe = df[df["side"] == 1]
+        m = probe.join(build, on="okey", how="inner", rsuffix="_b")
+        g = (
+            m.groupby(["okey", "odate_b", "prio_b"], sort=False)["cents"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g["okey"].to_numpy(), pa.int64()),
+                "revenue_cents": pa.array(
+                    g["cents"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "o_orderdate_us": pa.array(
+                    g["odate_b"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "o_orderpriority": pa.array(g["prio_b"], pa.string()),
+            }
+        )
+
+    return (
+        stage_b.groupby("part2")
+        .map_groups(join_sum, batch_format="pyarrow")
+        .sort(
+            ["revenue_cents", "o_orderdate_us", "l_orderkey"],
+            descending=[True, False, False],
+        )
+        .limit(k)
+    )

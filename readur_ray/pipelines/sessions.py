@@ -1632,3 +1632,100 @@ def rolling_median_daily(sf_dir: str) -> "ray.data.Dataset":
         .groupby("event_type")
         .map_groups(per_type, batch_format="pyarrow")
     )
+
+
+def error_recovery_time(sf_dir: str) -> "ray.data.Dataset":
+    """Error-recovery latency — for EVERY error event, the gap to the
+    same user's next non-error event in (ts, event_id) order, folded
+    into power-of-two second buckets (floor(log2(gap_s + 1)); errors
+    with no later non-error event land in bucket -1 as UNRECOVERED):
+    the incident-MTTR distribution of an event stream, a per-
+    occurrence as-of alignment that funnel first-times (one row per
+    session) and consecutive-pair gaps (type-blind) cannot express.
+    Tail-seated by design: the next-after probe is asof_join's
+    searchsorted kernel applied within one table, inside the same
+    one-user-shuffle + partition lexsort frame event_runs head-checks.
+
+    Scale shape: ONE coarse user shuffle; per partition a single
+    lexsort orders every user at once, the non-error POSITION index
+    plus one searchsorted gives each error its next candidate, a
+    vectorized segment-end compare rules out cross-user bleed, and a
+    bincount folds the partition to ≤ 64 bucket partials before a
+    tiny Sum — error rows never leave their partition."""
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        is_err = (
+            batch.column("event_type").to_numpy(zero_copy_only=False)
+            == "error"
+        )
+        return pa.table(
+            {
+                "user": pa.array(u, pa.int64()),
+                "ts": batch.column("ts").cast(pa.int64()),
+                "eid": batch.column("event_id").cast(pa.int64()),
+                "is_err": pa.array(is_err, pa.bool_()),
+                "part": pa.array(u % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def bucket_partials(part_tbl: pa.Table) -> pa.Table:
+        u = part_tbl.column("user").to_numpy(zero_copy_only=False)
+        ts = part_tbl.column("ts").to_numpy(zero_copy_only=False)
+        eid = part_tbl.column("eid").to_numpy(zero_copy_only=False)
+        er = part_tbl.column("is_err").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts, er = u[order], ts[order], er[order]
+        n = len(u)
+        # last index of each user's segment, repeated per row
+        seg_start = np.flatnonzero(
+            np.concatenate(([True], u[1:] != u[:-1]))
+        )
+        seg_len = np.diff(np.concatenate([seg_start, [n]]))
+        seg_end = np.repeat(seg_start + seg_len - 1, seg_len)
+        err_idx = np.flatnonzero(er)
+        ok_pos = np.flatnonzero(~er)
+        cand = np.searchsorted(ok_pos, err_idx, side="right")
+        has = cand < len(ok_pos)
+        nxt = np.where(has, ok_pos[np.minimum(cand, len(ok_pos) - 1)], n)
+        recovered = has & (nxt <= seg_end[err_idx])
+        gaps_s = (ts[nxt[recovered]] - ts[err_idx[recovered]]) // 1_000_000
+        bucket = np.floor(np.log2(gaps_s + 1)).astype(np.int64)
+        counts = np.bincount(bucket) if len(bucket) else np.array([], np.int64)
+        nz = np.nonzero(counts)[0]
+        out_b = nz.astype(np.int64).tolist()
+        out_n = counts[nz].astype(np.int64).tolist()
+        n_unrec = int(len(err_idx) - recovered.sum())
+        if n_unrec:
+            out_b.append(-1)
+            out_n.append(n_unrec)
+        return pa.table(
+            {
+                "bucket": pa.array(out_b, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"bucket": batch.column("bucket"), "n": batch.column("n_p")}
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(bucket_partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(_Sum("n", alias_name="n_p"))
+        .map_batches(rename, batch_format="pyarrow")
+    )

@@ -282,6 +282,8 @@ SUBSET = [
     "interval_union",
     "survivorship_merge",
     "rolling_median_daily",
+    "q3_shipping_priority",
+    "error_recovery_time",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
