@@ -167,7 +167,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weighted cumulative pick. Takes quantile_gate's head seat
         # (identical two-pass machinery, strictly richer statistic;
         # pytest keeps the gate bit-green in the tail).
-        "weighted_median": curation.weighted_median,
+        # (round 4, wave 46) exact whole-table quantiles by
+        # distributed SELECTION — histogram-narrowing passes with NO
+        # shuffle at all and fixed-size driver state (≤ 4096-bucket
+        # partials per pass, log_BINS(range) passes): the machinery
+        # class every shuffle-based median plan is the alternative
+        # to. Takes weighted_median's head seat (its weighted-cumsum
+        # discrete-domain pick is decile_table's head-checked
+        # ntile-cumsum shape with weights; pytest keeps it bit-green
+        # in the tail).
+        "global_quantiles": analytics.global_quantiles,
         # (round 4, wave 9) hourly gap-fill resample with forward fill
         # — the time-series densification class (grid generation +
         # carry-forward, one coarse user shuffle), new machinery no
@@ -962,6 +971,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lexsort frame event_runs head-checks; bucket -1 counts
         # unrecovered errors.
         "error_recovery_time": sessions.error_recovery_time,
+        # (round 4 wave 46) displaced to the tail by global_quantiles
+        # (see head comment); pytest keeps it bit-green
+        "weighted_median": curation.weighted_median,
+        # (round 4, wave 46) daily growth accounting (active / new /
+        # cumulative distinct users) — tail-seated by design: a
+        # composition of distinct_users_daily's distinct-pair fold, a
+        # per-user min, and a bounded-grid prefix sum.
+        "growth_accounting": sessions.growth_accounting,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2772,6 +2789,50 @@ def oracle_sql() -> dict[str, str]:
         FROM grid LEFT JOIN pairs
           ON pairs.event_type = grid.event_type AND pairs.lag = grid.lag
         GROUP BY 1, 2
+    """
+
+    # global_quantiles: percentile_disc = smallest value whose
+    # cumulative count reaches ceil(q*n/100) — the selection scan's
+    # rank convention exactly (probed: DuckDB returns rank ceil(q*n)).
+    sql["global_quantiles"] = """
+        WITH c AS (
+          SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM lineitem
+        ),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM c)
+        SELECT CAST(50 AS BIGINT) AS q, t.n_rows,
+               (SELECT CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY cents)
+                AS BIGINT) FROM c) AS value_cents FROM t
+        UNION ALL
+        SELECT CAST(90 AS BIGINT), t.n_rows,
+               (SELECT CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY cents)
+                AS BIGINT) FROM c) FROM t
+        UNION ALL
+        SELECT CAST(99 AS BIGINT), t.n_rows,
+               (SELECT CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY cents)
+                AS BIGINT) FROM c) FROM t
+    """
+
+    # growth_accounting: every first_day is a grid day, so the
+    # running sum of n_new over grid days <= d counts exactly the
+    # users with first activity <= d.
+    sql["growth_accounting"] = """
+        WITH ud AS (
+          SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+          FROM events
+        ),
+        fd AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1),
+        act AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active
+                FROM ud GROUP BY 1),
+        nw AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
+               FROM fd GROUP BY 1)
+        SELECT CAST(act.day AS BIGINT) AS day, act.n_active,
+               CAST(coalesce(nw.n_new, 0) AS BIGINT) AS n_new,
+               CAST(sum(coalesce(nw.n_new, 0)) OVER (
+                   ORDER BY act.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_cum
+        FROM act LEFT JOIN nw ON nw.day = act.day
     """
 
     # q3_shipping_priority: the textbook Q3 with o_orderpriority

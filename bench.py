@@ -146,6 +146,7 @@ def run_queries() -> dict[str, float]:
         "event_runs", "interval_union",
         "survivorship_merge", "rolling_median_daily",
         "q3_shipping_priority", "error_recovery_time",
+        "global_quantiles", "growth_accounting",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -3271,3 +3271,126 @@ def q3_shipping_priority(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
         )
         .limit(k)
     )
+
+
+GQ_PERCENTS = (50, 90, 99)  # quantiles resolved by the selection scan
+GQ_HIST_BINS = 4096         # buckets per narrowing pass (driver state cap)
+
+
+def global_quantiles(sf_dir: str) -> "ray.data.Dataset":
+    """EXACT whole-table quantiles by distributed SELECTION — no
+    shuffle at all: the classic histogram-narrowing algorithm every
+    shuffle-based median plan (median_by_type, weighted_median,
+    hist_quantiles' grid) is the alternative to. Each pass streams
+    the column once and folds it into a ≤ GQ_HIST_BINS-bucket count
+    histogram of the still-active value range per quantile; the
+    driver keeps only (lo, hi, rank-below) per quantile — fixed-size
+    state — and descends into the bucket containing the target rank.
+    When bucket width reaches 1 the bucket IS the answer. Value range
+    R resolves in ceil(log_BINS(R)) passes: integer cents (~1e7
+    range) take ONE narrowing pass plus one width-1 pass; a 2^63
+    range takes six. Per pass the exchange is the per-batch sparse
+    histogram partials — bounded by BINS × #active quantiles — and
+    rows never move between workers.
+
+    Resolves percentile_disc(q): the smallest value whose cumulative
+    count reaches ceil(q·n/100), for q in GQ_PERCENTS over exact
+    integer cents of l_extendedprice. Output: (q, n_rows,
+    value_cents)."""
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        return pa.table({"cents": pa.array(v, pa.int64())})
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow")
+    stats = cents.aggregate(
+        _Min("cents", alias_name="mn"),
+        _Max("cents", alias_name="mx"),
+        _Count(alias_name="n"),
+    )
+    mn, mx, n = int(stats["mn"]), int(stats["mx"]), int(stats["n"])
+
+    # active[q] = (lo, hi half-open, count of rows strictly below lo)
+    active = {q: (mn, mx + 1, 0) for q in GQ_PERCENTS}
+    ranks = {q: (q * n + 99) // 100 for q in GQ_PERCENTS}
+    resolved: dict[int, int] = {}
+
+    while active:
+        ranges = [
+            (q, lo, hi, max(1, -(-(hi - lo) // GQ_HIST_BINS)))
+            for q, (lo, hi, _) in active.items()
+        ]
+        rref = ray.put(ranges)
+
+        def hist_partials(batch: pa.Table) -> pa.Table:
+            rs = ray.get(rref)
+            v = batch.column("cents").to_numpy(zero_copy_only=False)
+            out_q: list[int] = []
+            out_b: list[int] = []
+            out_n: list[int] = []
+            for q, lo, hi, width in rs:
+                in_r = v[(v >= lo) & (v < hi)]
+                if len(in_r):
+                    b = (in_r - lo) // width
+                    cnt = np.bincount(b)
+                    nz = np.nonzero(cnt)[0]
+                    out_q += [q] * len(nz)
+                    out_b += nz.tolist()
+                    out_n += cnt[nz].astype(np.int64).tolist()
+            return pa.table(
+                {
+                    "q": pa.array(out_q, pa.int64()),
+                    "bucket": pa.array(out_b, pa.int64()),
+                    "n": pa.array(out_n, pa.int64()),
+                }
+            )
+
+        hist_rows = (
+            cents.map_batches(hist_partials, batch_format="pyarrow")
+            .groupby(["q", "bucket"])
+            .aggregate(_Sum("n", alias_name="c"))
+            .take_all()
+        )  # ≤ BINS × |active| rows — the fixed-size driver budget
+        by_q: dict[int, list[tuple[int, int]]] = {q: [] for q in active}
+        for r in hist_rows:
+            by_q[int(r["q"])].append((int(r["bucket"]), int(r["c"])))
+        nxt: dict[int, tuple[int, int, int]] = {}
+        for q, (lo, hi, below) in active.items():
+            width = max(1, -(-(hi - lo) // GQ_HIST_BINS))
+            cum = below
+            for b, c in sorted(by_q[q]):
+                if cum + c >= ranks[q]:
+                    if width == 1:
+                        resolved[q] = lo + b
+                    else:
+                        nxt[q] = (
+                            lo + b * width,
+                            min(hi, lo + (b + 1) * width),
+                            cum,
+                        )
+                    break
+                cum += c
+        active = nxt
+
+    out = pa.table(
+        {
+            "q": pa.array(sorted(resolved), pa.int64()),
+            "n_rows": pa.array([n] * len(resolved), pa.int64()),
+            "value_cents": pa.array(
+                [resolved[q] for q in sorted(resolved)], pa.int64()
+            ),
+        }
+    )
+    return ray.data.from_arrow(out)

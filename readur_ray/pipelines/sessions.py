@@ -1729,3 +1729,107 @@ def error_recovery_time(sf_dir: str) -> "ray.data.Dataset":
         .aggregate(_Sum("n", alias_name="n_p"))
         .map_batches(rename, batch_format="pyarrow")
     )
+
+
+def growth_accounting(sf_dir: str) -> "ray.data.Dataset":
+    """Daily growth accounting — per day the active distinct users,
+    the NEW users (first-ever activity that day) and the cumulative
+    distinct users to date: the DAU / acquisition / saturation
+    triple every growth dashboard opens with, which neither the flat
+    DAU series (no first-seen attribution) nor the cohort matrix
+    (week grain, retention-shaped) reads off directly. Tail-seated
+    by design: a composition of distinct_users_daily's distinct-pair
+    fold, a per-user min (the first-seen lane of head-checked
+    cohort_matrix), and a bounded-grid prefix sum (the cumulative
+    lane of late_data_watermark).
+
+    Scale shape: per-batch (user, day) dedup partials cut the volume
+    before ONE coarse user shuffle; each user's group emits one row
+    per distinct day plus one first-day marker, a tiny (day) Sum
+    folds the grid, and the running total is a single-task prefix
+    sum over the bounded day grid (every first_day is a grid day, so
+    summing n_new over grid days ≤ d counts exactly the users with
+    first_day ≤ d). Output: (day, n_active, n_new, n_cum)."""
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        d = (
+            batch.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        key = np.unique(u * 1_000_000 + d)  # day fits well under 1e6
+        uu, dd = key // 1_000_000, key % 1_000_000
+        return pa.table(
+            {
+                "user": pa.array(uu, pa.int64()),
+                "day": pa.array(dd, pa.int64()),
+                "part": pa.array(uu % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def per_part(part_tbl: pa.Table) -> pa.Table:
+        u = part_tbl.column("user").to_numpy(zero_copy_only=False)
+        d = part_tbl.column("day").to_numpy(zero_copy_only=False)
+        key = np.unique(u * 1_000_000 + d)  # re-dedup across batches
+        uu, dd = key // 1_000_000, key % 1_000_000
+        # key is user-major sorted, so each user's first grid day is
+        # the first element of its run
+        first = np.concatenate(([True], uu[1:] != uu[:-1]))
+        g_day, g_act = np.unique(dd, return_counts=True)
+        n_day, n_new = np.unique(dd[first], return_counts=True)
+        new_map = dict(zip(n_day.tolist(), n_new.tolist()))
+        return pa.table(
+            {
+                "day": pa.array(g_day, pa.int64()),
+                "a": pa.array(g_act.astype(np.int64), pa.int64()),
+                "nw": pa.array(
+                    [new_map.get(x, 0) for x in g_day.tolist()], pa.int64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    def finalize(grid: pa.Table) -> pa.Table:
+        d = grid.column("day").to_numpy(zero_copy_only=False)
+        a = grid.column("a_p").to_numpy(zero_copy_only=False)
+        nw = grid.column("nw_p").to_numpy(zero_copy_only=False)
+        order = np.argsort(d)
+        d, a, nw = d[order], a[order], nw[order]
+        return pa.table(
+            {
+                "day": pa.array(d, pa.int64()),
+                "n_active": pa.array(a, pa.int64()),
+                "n_new": pa.array(nw, pa.int64()),
+                "n_cum": pa.array(np.cumsum(nw).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def const_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "k", pa.array(np.zeros(len(batch), np.int64), pa.int64())
+        )
+
+    return (
+        ds.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(
+            _Sum("a", alias_name="a_p"), _Sum("nw", alias_name="nw_p")
+        )
+        .map_batches(const_key, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(
+            lambda t: finalize(t.drop_columns(["k"])), batch_format="pyarrow"
+        )
+    )

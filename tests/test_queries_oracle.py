@@ -284,6 +284,8 @@ SUBSET = [
     "rolling_median_daily",
     "q3_shipping_priority",
     "error_recovery_time",
+    "global_quantiles",
+    "growth_accounting",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
