@@ -1144,7 +1144,10 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS component_id
         FROM reach GROUP BY 1
-    """
+    """.replace("WITH w AS", "WITH RECURSIVE w AS")
+    # ^ the marker must live on the BASE oracle too (wave 42 moved it
+    # into the splices and broke the standalone query): DuckDB never
+    # infers recursion. The splices' own replace() is then a no-op.
 
     # dedup_cluster_sizes: the component assignment binned by size.
     # The spliced subquery needs an explicit RECURSIVE marker — DuckDB
