@@ -979,6 +979,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composition of distinct_users_daily's distinct-pair fold, a
         # per-user min, and a bounded-grid prefix sum.
         "growth_accounting": sessions.growth_accounting,
+        # (round 4, wave 47) partition-key skew audit over the
+        # engine's OWN shuffle keys (rows / distinct keys / heaviest
+        # key per domain — the straggler bound of a key-partitioned
+        # stage) — tail-seated by design: a counts-of-counts monitor,
+        # dedup_cluster_sizes' sibling pointed at shuffle planning.
+        "shuffle_skew_audit": analytics.shuffle_skew_audit,
+        # (round 4, wave 47) front-coding audit of the sorted term
+        # dictionary — exact prefix-compression bytes saved per
+        # leading char via an ORDER-ALIGNED first-byte partition
+        # (cross-bucket pairs share a zero prefix by construction, so
+        # bucket-local sorted scans are globally exact) and a fully
+        # vectorized padded-byte-matrix LCP; the dictionary-encoding
+        # planner for parquet dictionary pages / FST term indexes.
+        "front_coding_audit": textops.front_coding_audit,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2792,6 +2806,77 @@ def oracle_sql() -> dict[str, str]:
         FROM grid LEFT JOIN pairs
           ON pairs.event_type = grid.event_type AND pairs.lag = grid.lag
         GROUP BY 1, 2
+    """
+
+    # shuffle_skew_audit: per key domain the rows / distinct keys /
+    # max per-key rows / min key among the heaviest (stringified so
+    # int and string key domains share one column).
+    sql["shuffle_skew_audit"] = """
+        WITH k1 AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS c
+                    FROM events GROUP BY 1),
+        k2 AS (SELECT CAST(l_orderkey AS VARCHAR) AS k, count(*) AS c
+               FROM lineitem GROUP BY 1),
+        k3 AS (SELECT CAST(l_suppkey AS VARCHAR) AS k, count(*) AS c
+               FROM lineitem GROUP BY 1),
+        k4 AS (SELECT source AS k, count(*) AS c FROM documents GROUP BY 1)
+        SELECT 'events.user_id' AS key_name,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(c) AS BIGINT) AS max_key_rows,
+               min(k) FILTER (WHERE c = (SELECT max(c) FROM k1)) AS hot_key
+        FROM k1
+        UNION ALL
+        SELECT 'lineitem.l_orderkey', CAST(sum(c) AS BIGINT),
+               CAST(count(*) AS BIGINT), CAST(max(c) AS BIGINT),
+               min(k) FILTER (WHERE c = (SELECT max(c) FROM k2))
+        FROM k2
+        UNION ALL
+        SELECT 'lineitem.l_suppkey', CAST(sum(c) AS BIGINT),
+               CAST(count(*) AS BIGINT), CAST(max(c) AS BIGINT),
+               min(k) FILTER (WHERE c = (SELECT max(c) FROM k3))
+        FROM k3
+        UNION ALL
+        SELECT 'documents.source', CAST(sum(c) AS BIGINT),
+               CAST(count(*) AS BIGINT), CAST(max(c) AS BIGINT),
+               min(k) FILTER (WHERE c = (SELECT max(c) FROM k4))
+        FROM k4
+    """
+
+    # front_coding_audit: lag() over the binary-collated term order;
+    # prefix equality nests, so max k with equal substr(1..k) IS the
+    # LCP; a bucket's first term (or first char change) saves 0.
+    sql["front_coding_audit"] = """
+        WITH t AS (
+          SELECT DISTINCT unnest(
+            regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents
+        ),
+        p AS (SELECT term, lag(term) OVER (ORDER BY term) AS prev FROM t),
+        lk AS (
+          SELECT term, prev,
+                 unnest(range(1, CAST(least(length(term), length(prev))
+                                      AS BIGINT) + 1)) AS k
+          FROM p
+          WHERE prev IS NOT NULL
+            AND substr(prev, 1, 1) = substr(term, 1, 1)
+        ),
+        lcpv AS (
+          SELECT term,
+                 coalesce(max(CASE WHEN substr(term, 1, CAST(k AS INT))
+                                        = substr(prev, 1, CAST(k AS INT))
+                                   THEN k END), 0) AS lcp
+          FROM lk GROUP BY term
+        ),
+        l AS (
+          SELECT substr(p.term, 1, 1) AS c0, length(p.term) AS blen,
+                 coalesce(lcpv.lcp, 0) AS lcp
+          FROM p LEFT JOIN lcpv ON lcpv.term = p.term
+        )
+        SELECT c0 AS first_char,
+               CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(blen) AS BIGINT) AS total_bytes,
+               CAST(sum(lcp) AS BIGINT) AS saved_bytes
+        FROM l GROUP BY 1
     """
 
     # global_quantiles: percentile_disc = smallest value whose

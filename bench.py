@@ -147,6 +147,7 @@ def run_queries() -> dict[str, float]:
         "survivorship_merge", "rolling_median_daily",
         "q3_shipping_priority", "error_recovery_time",
         "global_quantiles", "growth_accounting",
+        "shuffle_skew_audit", "front_coding_audit",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -3394,3 +3394,96 @@ def global_quantiles(sf_dir: str) -> "ray.data.Dataset":
         }
     )
     return ray.data.from_arrow(out)
+
+
+SKEW_KEYS = (  # the engine's own shuffle keys, audited as data
+    ("events.user_id", "events.parquet", "user_id"),
+    ("lineitem.l_orderkey", "lineitem.parquet", "l_orderkey"),
+    ("lineitem.l_suppkey", "lineitem.parquet", "l_suppkey"),
+    ("documents.source", "documents.parquet", "source"),
+)
+
+
+def shuffle_skew_audit(sf_dir: str) -> "ray.data.Dataset":
+    """Partition-key SKEW audit — for each key this repo actually
+    shuffles on (user_id, orderkey, suppkey, source), the exact row
+    count, distinct-key count, heaviest-key row count and the
+    heaviest key itself (min key among ties): the shuffle-planning
+    readout behind every 'pick ONE partitioning key and salt hot
+    keys' decision — max_key_rows/n_rows IS the straggler bound of a
+    key-partitioned stage. Tail-seated by design: a counts-of-counts
+    monitor (dedup_cluster_sizes' sibling) pointed at the engine's
+    own keys.
+
+    Scale shape: per key domain, per-batch (key, count) partials fold
+    before ONE keyed Sum exchange; the per-key counts then reduce to
+    a SINGLE row via per-batch (rows, keys, max, argmax) partials
+    merged in one constant-key task — nothing driver-side, nothing
+    key-cardinality-sized leaves the exchange. Keys are stringified
+    only in the final one-row fold."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def audit_one(name: str, fname: str, col: str) -> "ray.data.Dataset":
+        ds = ray.data.read_parquet(f"{sf_dir}/{fname}", columns=[col])
+
+        def count_partials(batch: pa.Table) -> pa.Table:
+            g = batch.group_by([col]).aggregate([([], "count_all")])
+            return pa.table(
+                {
+                    "key": g.column(col).cast(pa.string())
+                    if pa.types.is_string(g.column(col).type)
+                    else g.column(col).cast(pa.int64()).cast(pa.string()),
+                    "c": g.column("count_all").cast(pa.int64()),
+                }
+            )
+
+        def row_partials(batch: pa.Table) -> pa.Table:
+            c = batch.column("c_p").to_numpy(zero_copy_only=False)
+            k = np.asarray(batch.column("key").to_pylist(), dtype=object)
+            mx = int(c.max())
+            at_max = k[c == mx]
+            return pa.table(
+                {
+                    "key_name": pa.array([name], pa.string()),
+                    "rows": pa.array([int(c.sum())], pa.int64()),
+                    "keys": pa.array([len(c)], pa.int64()),
+                    "mx": pa.array([mx], pa.int64()),
+                    "hot": pa.array([min(at_max.tolist())], pa.string()),
+                }
+            )
+
+        def merge(group: pa.Table) -> pa.Table:
+            rows = int(
+                group.column("rows").to_numpy(zero_copy_only=False).sum()
+            )
+            keys = int(
+                group.column("keys").to_numpy(zero_copy_only=False).sum()
+            )
+            mx = group.column("mx").to_numpy(zero_copy_only=False)
+            hot = group.column("hot").to_pylist()
+            best = int(mx.max())
+            hot_key = min(h for h, m in zip(hot, mx) if m == best)
+            return pa.table(
+                {
+                    "key_name": pa.array([name], pa.string()),
+                    "n_rows": pa.array([rows], pa.int64()),
+                    "n_keys": pa.array([keys], pa.int64()),
+                    "max_key_rows": pa.array([best], pa.int64()),
+                    "hot_key": pa.array([hot_key], pa.string()),
+                }
+            )
+
+        return (
+            ds.map_batches(count_partials, batch_format="pyarrow")
+            .groupby("key")
+            .aggregate(_Sum("c", alias_name="c_p"))
+            .map_batches(row_partials, batch_format="pyarrow")
+            .groupby("key_name")
+            .map_groups(merge, batch_format="pyarrow")
+        )
+
+    name0, f0, c0 = SKEW_KEYS[0]
+    out = audit_one(name0, f0, c0)
+    for name, fname, col in SKEW_KEYS[1:]:
+        out = out.union(audit_one(name, fname, col))
+    return out

@@ -919,3 +919,77 @@ def vocab_overlap(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return cells.map_batches(finish, batch_format="pyarrow")
+
+
+def front_coding_audit(sf_dir: str) -> "ray.data.Dataset":
+    """Front-coding (prefix-compression) audit of the corpus term
+    dictionary — per leading character, the exact bytes a sorted
+    string dictionary saves by storing only each term's suffix after
+    its longest common prefix with the PREVIOUS term: the
+    dictionary-encoding planner for any sorted term index (parquet
+    dictionary pages, FST/trie term indexes, posting dictionaries).
+    Output: (first_char, n_terms, total_bytes, saved_bytes).
+
+    Scale shape: per-batch distinct-term partials fold before ONE
+    shuffle whose key is the term's FIRST BYTE — an ORDER-ALIGNED
+    partition: terms in different buckets share a zero-length prefix
+    by construction, so each bucket's sorted scan is globally exact
+    with no halo exchange (the bucket boundary pair saves 0 bytes on
+    both sides). Inside a bucket np.unique re-dedups and sorts once,
+    and the consecutive-pair LCP is fully vectorized: terms become a
+    zero-padded byte matrix, one shifted equality + a cumulative
+    product along the char axis yields every pair's prefix length in
+    two numpy passes (distinct terms always differ at or before the
+    shorter one's end+1, so zero padding never overcounts)."""
+    import numpy as np
+
+    from ..functions.textstats import words_of
+
+    ds = read_documents(sf_dir, ["text"])
+
+    def term_partials(batch: pa.Table) -> pa.Table:
+        seen: set[str] = set()
+        for text in batch.column("text").to_pylist():
+            seen.update(words_of(text or ""))
+        terms = sorted(seen)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "b0": pa.array(
+                    [ord(t[0]) for t in terms], pa.int64()
+                ),
+            }
+        )
+
+    def bucket_scan(group: pa.Table) -> pa.Table:
+        terms = np.unique(
+            np.asarray(group.column("term").to_pylist(), dtype=object)
+        )
+        c0 = chr(int(group.column("b0")[0].as_py()))
+        blen = np.array([len(t) for t in terms], dtype=np.int64)
+        if len(terms) > 1:
+            width = int(blen.max())
+            mat = (
+                np.array(terms, dtype=f"S{width}")
+                .view(np.uint8)
+                .reshape(len(terms), width)
+            )
+            eq = mat[1:] == mat[:-1]
+            lcp = np.cumprod(eq, axis=1).sum(axis=1).astype(np.int64)
+            saved = int(lcp.sum())
+        else:
+            saved = 0
+        return pa.table(
+            {
+                "first_char": pa.array([c0], pa.string()),
+                "n_terms": pa.array([len(terms)], pa.int64()),
+                "total_bytes": pa.array([int(blen.sum())], pa.int64()),
+                "saved_bytes": pa.array([saved], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(term_partials, batch_format="pyarrow")
+        .groupby("b0")
+        .map_groups(bucket_scan, batch_format="pyarrow")
+    )

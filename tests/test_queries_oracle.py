@@ -286,6 +286,8 @@ SUBSET = [
     "error_recovery_time",
     "global_quantiles",
     "growth_accounting",
+    "shuffle_skew_audit",
+    "front_coding_audit",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
