@@ -993,6 +993,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vectorized padded-byte-matrix LCP; the dictionary-encoding
         # planner for parquet dictionary pages / FST term indexes.
         "front_coding_audit": textops.front_coding_audit,
+        # (round 4, wave 48) IVF probe-cost accounting — per query the
+        # probed cells and EXACT candidates scanned at nprobe 1 and 2:
+        # the cost dial next to ann_recall_report's quality dial (the
+        # recall-vs-cost curve an index operator tunes against).
+        # Tail-seated by design: the trained quantizer + assignment
+        # fold are the head-checked ann/semdedup machinery.
+        "ivf_probe_cost": similarity.ivf_probe_cost,
+        # (round 4, wave 48) incremental view maintenance with a
+        # retraction changelog ('-' old value, '+' new value, ONLY for
+        # delta-touched groups — output ∝ |delta|, never ∝ |view|):
+        # the streaming-upsert emission class. Tail-seated by design:
+        # pivot_daily's grid fold + the changelog half of scd2_merge's
+        # upsert class.
+        "delta_agg_merge": sessions.delta_agg_merge,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2239,6 +2253,56 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY 1, 2
         )""",
     )
+
+    # ivf_probe_cost: same trained quantizer; per query the top-2
+    # cells by (d2, c) over the FINAL centroids plus the exact cell
+    # sizes — a query's own vector always sits in its nearest cell,
+    # so cost_p1 = n(cell1) - 1 and cost_p2 = n1 + n2 - 1; LEFT JOIN
+    # keeps empty second cells at cost n1 - 1 + 0.
+    sql["ivf_probe_cost"] = (
+        sql["ann_topk_ivf_kmeans"].split("        pd AS (")[0]
+        + """        pq AS (
+          SELECT vec_id, c, rn FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS rn
+            FROM d2c WHERE vec_id < 16) WHERE rn <= 2
+        ),
+        sz AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM a2 GROUP BY 1),
+        qc AS (
+          SELECT vec_id AS query_id,
+                 max(CASE WHEN rn = 1 THEN c END) AS c1,
+                 max(CASE WHEN rn = 2 THEN c END) AS c2
+          FROM pq GROUP BY 1
+        )
+        SELECT qc.query_id,
+               CAST(qc.c1 AS BIGINT) AS cell1,
+               CAST(qc.c2 AS BIGINT) AS cell2,
+               CAST(s1.n - 1 AS BIGINT) AS cost_p1,
+               CAST(s1.n + coalesce(s2.n, 0) - 1 AS BIGINT) AS cost_p2
+        FROM qc
+        JOIN sz s1 ON s1.c = qc.c1
+        LEFT JOIN sz s2 ON s2.c = qc.c2
+    """
+    )
+
+    # delta_agg_merge: the full-recompute view split into base/delta
+    # lanes; changelog rows only for delta-touched groups.
+    sql["delta_agg_merge"] = """
+        WITH g AS (
+          SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+                 CAST(count(*) FILTER (WHERE event_id % 10 <> 0)
+                      AS BIGINT) AS nb,
+                 CAST(count(*) FILTER (WHERE event_id % 10 = 0)
+                      AS BIGINT) AS nd,
+                 CAST(count(*) AS BIGINT) AS nt
+          FROM events GROUP BY 1, 2
+        )
+        SELECT CAST(day AS BIGINT) AS day, event_type, '-' AS op, nb AS n
+        FROM g WHERE nd > 0 AND nb > 0
+        UNION ALL
+        SELECT CAST(day AS BIGINT), event_type, '+', nt
+        FROM g WHERE nd > 0
+    """
 
     # knn_graph: the SAME trained quantizer; for EVERY vector, its
     # KNN_K nearest same-cell neighbors by exact int64 squared L2,

@@ -148,6 +148,7 @@ def run_queries() -> dict[str, float]:
         "q3_shipping_priority", "error_recovery_time",
         "global_quantiles", "growth_accounting",
         "shuffle_skew_audit", "front_coding_audit",
+        "ivf_probe_cost", "delta_agg_merge",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -1833,3 +1833,97 @@ def growth_accounting(sf_dir: str) -> "ray.data.Dataset":
             lambda t: finalize(t.drop_columns(["k"])), batch_format="pyarrow"
         )
     )
+
+
+def delta_agg_merge(sf_dir: str) -> "ray.data.Dataset":
+    """Incremental view maintenance (IVM) with a RETRACTION
+    changelog — the streaming-upsert emission class (Flink /
+    differential-dataflow style): the (day, event_type) count view is
+    'materialized' from the base slice (event_id % 10 != 0), a late
+    delta slice (event_id % 10 == 0) arrives, and the operator emits
+    ONLY the changelog a downstream consumer needs — one '-' row
+    retracting each touched group's old value (when it existed) and
+    one '+' row asserting the new value. Untouched groups emit
+    nothing: changelog volume is ∝ |delta|, never ∝ |view| — the
+    whole point of IVM. Tail-seated by design: the grid fold is
+    pivot_daily's head-adjacent shape, and the emit is the changelog
+    half of scd2_merge's upsert class.
+
+    Scale shape: ONE read of the union stream — each batch folds to
+    (day, type, n_base, n_delta) partials, one tiny two-lane Sum on
+    the bounded grid, and a vectorized filter emits the two changelog
+    rows per delta-touched group. Output: (day, event_type, op, n)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type"],
+    )
+
+    def grid_partials(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        days = (
+            batch.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        is_delta = (
+            batch.column("event_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            % 10
+            == 0
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": et,
+                    "day": days,
+                    "nb": (~is_delta).astype(np.int64),
+                    "nd": is_delta.astype(np.int64),
+                }
+            )
+            .groupby(["event_type", "day"], sort=False)
+            .agg(nb=("nb", "sum"), nd=("nd", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "day": pa.array(g["day"].to_numpy(), pa.int64()),
+                "nb": pa.array(g["nb"].to_numpy().astype(np.int64), pa.int64()),
+                "nd": pa.array(g["nd"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def changelog(batch: pa.Table) -> pa.Table:
+        d = batch.column("day").to_numpy(zero_copy_only=False)
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        nb = batch.column("nb_p").to_numpy(zero_copy_only=False)
+        nd = batch.column("nd_p").to_numpy(zero_copy_only=False)
+        touched = nd > 0
+        retract = touched & (nb > 0)
+        out_day = np.concatenate([d[retract], d[touched]])
+        out_et = np.concatenate([et[retract], et[touched]])
+        out_op = ["-"] * int(retract.sum()) + ["+"] * int(touched.sum())
+        out_n = np.concatenate([nb[retract], (nb + nd)[touched]])
+        return pa.table(
+            {
+                "day": pa.array(out_day, pa.int64()),
+                "event_type": pa.array(out_et, pa.string()),
+                "op": pa.array(out_op, pa.string()),
+                "n": pa.array(out_n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(grid_partials, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(
+            _Sum("nb", alias_name="nb_p"), _Sum("nd", alias_name="nd_p")
+        )
+        .map_batches(changelog, batch_format="pyarrow")
+    )

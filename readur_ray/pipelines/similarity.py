@@ -1706,3 +1706,94 @@ def cluster_purity(sf_dir: str, nlist: int = KM_K) -> "ray.data.Dataset":
         .groupby("cell")
         .map_groups(per_cell, batch_format="pyarrow")
     )
+
+
+def ivf_probe_cost(sf_dir: str) -> "ray.data.Dataset":
+    """IVF probe COST accounting — per query the probed cells and the
+    exact number of candidate vectors a 1-probe and a 2-probe search
+    scans: the second dial of the ANN tuning loop. ann_recall_report
+    measures what multi-probe BUYS (recall); this measures what it
+    COSTS (candidates scanned ∝ latency), and together they are the
+    recall-vs-cost curve an index operator actually tunes nlist and
+    nprobe against. Tail-seated by design: the trained quantizer, the
+    assignment fold and the probe-order tie-break are all the
+    head-checked ann/semdedup machinery re-pointed at accounting.
+
+    Scale shape: cell sizes come from one streaming assignment fold
+    (per-batch bincount partials, one ≤ nlist-row Sum); the k-entry
+    size map rides the same broadcast as the centroids, and the
+    queries (a fixed constant-size set) resolve their probe list and
+    costs in one vectorized pass. The query's own vector always lives
+    in its nearest cell, so cost_p1 = n(cell1) − 1 and
+    cost_p2 = n(cell1) + n(cell2) − 1 exactly. Output: (query_id,
+    cell1, cell2, cost_p1, cost_p2)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read_embeddings(sf_dir)
+    cents = _train_centroids(ds, sf_dir, KM_K)
+    cref = ray.put(cents)
+
+    def size_partials(batch: pa.Table) -> pa.Table:
+        cn = ray.get(cref)
+        q = _quantize(
+            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        )
+        cells = _assign(q, cn)
+        cnt = np.bincount(cells, minlength=len(cn))
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "cell": pa.array(nz.astype(np.int64), pa.int64()),
+                "n": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    sizes = {
+        int(r["cell"]): int(r["n_p"])
+        for r in ds.map_batches(size_partials, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(_Sum("n", alias_name="n_p"))
+        .take_all()
+    }
+    sref = ray.put(sizes)
+
+    def probe_rows(batch: pa.Table) -> pa.Table:
+        cn = ray.get(cref)
+        sz = ray.get(sref)
+        vid = batch.column("vec_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = vid < N_QUERIES
+        if not keep.any():
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "cell1": pa.array([], pa.int64()),
+                    "cell2": pa.array([], pa.int64()),
+                    "cost_p1": pa.array([], pa.int64()),
+                    "cost_p2": pa.array([], pa.int64()),
+                }
+            )
+        q = _quantize(
+            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        )[keep]
+        d2 = (
+            (q * q).sum(axis=1, keepdims=True)
+            - 2 * (q @ cn.T)
+            + (cn * cn).sum(axis=1)[None, :]
+        )
+        order = np.argsort(d2, axis=1, kind="stable")  # ties → lower c
+        c1, c2 = order[:, 0], order[:, 1]
+        n1 = np.array([sz.get(int(c), 0) for c in c1], dtype=np.int64)
+        n2 = np.array([sz.get(int(c), 0) for c in c2], dtype=np.int64)
+        return pa.table(
+            {
+                "query_id": pa.array(vid[keep], pa.int64()),
+                "cell1": pa.array(c1.astype(np.int64), pa.int64()),
+                "cell2": pa.array(c2.astype(np.int64), pa.int64()),
+                "cost_p1": pa.array(n1 - 1, pa.int64()),
+                "cost_p2": pa.array(n1 + n2 - 1, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(probe_rows, batch_format="pyarrow")

@@ -288,6 +288,8 @@ SUBSET = [
     "growth_accounting",
     "shuffle_skew_audit",
     "front_coding_audit",
+    "ivf_probe_cost",
+    "delta_agg_merge",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
