@@ -1007,6 +1007,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pivot_daily's grid fold + the changelog half of scd2_merge's
         # upsert class.
         "delta_agg_merge": sessions.delta_agg_merge,
+        # (round 4, wave 49) TPC-H Q10 returned-item reporting — the
+        # four-table composition: lineitem(R) ⋈ orders(quarter) on an
+        # orderkey co-partition, revenue re-keyed to a custkey
+        # co-partition against customer, nation stitched from a
+        # 25-row broadcast, top-20 by exact cents. Tail-seated by
+        # design: q3's fact-fact union-shuffle + the broadcast-dim
+        # stitch of regional_brand_revenue, composed.
+        "q10_returned_items": analytics.q10_returned_items,
+        # (round 4, wave 49) Benford first-significant-digit audit
+        # over the money columns — digits in EXACT integer arithmetic
+        # (cents → power-of-ten searchsorted), shares in basis
+        # points; the shuffle moves ≤9 rows per lane per batch.
+        # Tail-seated by design: status_counts' bincount fold +
+        # mix_weights' share-of-total finalize.
+        "benford_audit": analytics.benford_audit,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2302,6 +2317,55 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT CAST(day AS BIGINT), event_type, '+', nt
         FROM g WHERE nd > 0
+    """
+
+    # q10_returned_items: the textbook Q10 over the available columns;
+    # money in exact integer cents with the shared floor(x*100+0.5)
+    # convention; deterministic tiebreak on c_custkey.
+    sql["q10_returned_items"] = """
+        WITH rev AS (
+          SELECT o.o_custkey AS ckey,
+                 CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                      * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_returnflag = 'R'
+            AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+            AND o.o_orderdate < TIMESTAMP '1997-01-01'
+          GROUP BY 1
+        )
+        SELECT c.c_custkey, c.c_name, rev.cents AS revenue_cents,
+               c.c_acctbal, n.n_name
+        FROM rev
+        JOIN customer c ON c.c_custkey = rev.ckey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        ORDER BY revenue_cents DESC, c.c_custkey ASC
+        LIMIT 20
+    """
+
+    # benford_audit: first digit from the exact cents integer via
+    # string head (integer→varchar is exact); '// ' floor equals the
+    # numpy '//' for the non-negative shares.
+    sql["benford_audit"] = """
+        WITH vals AS (
+          SELECT 'lineitem.l_extendedprice' AS lane,
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM lineitem
+          UNION ALL
+          SELECT 'orders.o_totalprice',
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+          FROM orders
+        ),
+        g AS (
+          SELECT lane,
+                 CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM vals WHERE cents > 0 GROUP BY 1, 2
+        ),
+        t AS (SELECT lane, sum(n) AS tot FROM g GROUP BY 1)
+        SELECT g.lane, g.digit, g.n,
+               CAST(g.n * 10000 // t.tot AS BIGINT) AS share_bp
+        FROM g JOIN t ON g.lane = t.lane
     """
 
     # knn_graph: the SAME trained quantizer; for EVERY vector, its

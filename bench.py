@@ -149,6 +149,7 @@ def run_queries() -> dict[str, float]:
         "global_quantiles", "growth_accounting",
         "shuffle_skew_audit", "front_coding_audit",
         "ivf_probe_cost", "delta_agg_merge",
+        "q10_returned_items", "benford_audit",
     ]
     out: dict[str, float] = {}
     for name in picks:

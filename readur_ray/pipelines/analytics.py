@@ -3487,3 +3487,265 @@ def shuffle_skew_audit(sf_dir: str) -> "ray.data.Dataset":
     for name, fname, col in SKEW_KEYS[1:]:
         out = out.union(audit_one(name, fname, col))
     return out
+
+
+Q10_LO_US = 844_128_000_000_000   # 1996-10-01 in epoch microseconds
+Q10_HI_US = 852_076_800_000_000   # 1997-01-01
+
+
+def q10_returned_items(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
+    """TPC-H Q10 (returned-item reporting) — the four-table benchmark
+    composition: customers ranked by revenue lost to returns in one
+    quarter. lineitem(returnflag='R') ⋈ orders(quarter window) on
+    orderkey, re-keyed to custkey, ⋈ customer, nation name stitched
+    from a 25-row broadcast map, top-k by exact revenue cents.
+    Tail-seated by design: the orderkey leg is q3_shipping_priority's
+    fact-fact union-shuffle verbatim, the custkey leg is the same
+    co-partition with customer as the build side, and nation is
+    regional_brand_revenue's broadcast-dimension stitch.
+
+    Scale shape: both fact joins ride ONE modular key co-partition
+    each (orderkey, then custkey) — no broadcast of anything
+    fact-scale; nation (25 rows) is the only ray.put. Revenue is
+    summed per orderkey partition-locally before the custkey re-key,
+    so the second shuffle carries at most one row per (custkey within
+    an order-partition), and the global stage is only the k-row
+    sort-limit. Dates and the returnflag prune at the scan edge."""
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    nation_tbl = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).take_all()  # 25 rows — the one legal driver materialization
+    nation_ref = ray.put(
+        {int(r["n_nationkey"]): r["n_name"] for r in nation_tbl}
+    )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        rf = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        keep = rf == "R"
+        lk = batch.column("l_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[keep]
+        price = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False
+        )[keep]
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        g = (
+            pd.DataFrame({"k": lk, "c": cents})
+            .groupby("k", sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        kk = g["k"].to_numpy().astype(np.int64)
+        n = len(kk)
+        return pa.table(
+            {
+                "okey": pa.array(kk, pa.int64()),
+                "cents": pa.array(g["c"].to_numpy().astype(np.int64), pa.int64()),
+                "ckey": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "side": pa.array(np.ones(n, np.int64), pa.int64()),
+                "part": pa.array(kk % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = (od >= Q10_LO_US) & (od < Q10_HI_US)
+        ok = batch.column("o_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[keep]
+        ck = batch.column("o_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[keep]
+        n = len(ok)
+        return pa.table(
+            {
+                "okey": pa.array(ok, pa.int64()),
+                "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "ckey": pa.array(ck, pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "part": pa.array(ok % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    stage_a = lines.map_batches(line_side, batch_format="pyarrow").union(
+        orders.map_batches(order_side, batch_format="pyarrow")
+    )
+
+    def okey_join(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part_tbl.to_pandas()
+        build = df[df["side"] == 0].set_index("okey")["ckey"]
+        probe = df[df["side"] == 1]
+        m = probe.join(build, on="okey", how="inner", rsuffix="_b")
+        g = (
+            m.groupby("ckey_b", sort=False)["cents"]
+            .sum()
+            .reset_index()
+        )
+        ck = g["ckey_b"].to_numpy().astype(np.int64)
+        n = len(ck)
+        return pa.table(
+            {
+                "ckey": pa.array(ck, pa.int64()),
+                "cents": pa.array(g["cents"].to_numpy().astype(np.int64), pa.int64()),
+                "name": pa.array([""] * n, pa.string()),
+                "acctbal": pa.array(np.zeros(n, np.float64), pa.float64()),
+                "nname": pa.array([""] * n, pa.string()),
+                "side": pa.array(np.ones(n, np.int64), pa.int64()),
+                "part2": pa.array(ck % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    class CustSide:
+        def __init__(self) -> None:
+            self.nation = ray.get(nation_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch.column("c_custkey").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            nk = batch.column("c_nationkey").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            n = len(ck)
+            return pa.table(
+                {
+                    "ckey": pa.array(ck, pa.int64()),
+                    "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+                    "name": batch.column("c_name"),
+                    "acctbal": batch.column("c_acctbal"),
+                    "nname": pa.array(
+                        [self.nation[int(x)] for x in nk], pa.string()
+                    ),
+                    "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+                    "part2": pa.array(ck % N_COARSE_PARTS, pa.int64()),
+                }
+            )
+
+    stage_b = (
+        stage_a.groupby("part")
+        .map_groups(okey_join, batch_format="pyarrow")
+        .union(cust.map_batches(CustSide, concurrency=(1, 4), batch_format="pyarrow"))
+    )
+
+    def ckey_join(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part_tbl.to_pandas()
+        build = df[df["side"] == 0].set_index("ckey")[
+            ["name", "acctbal", "nname"]
+        ]
+        probe = df[df["side"] == 1]
+        g = (
+            probe.groupby("ckey", sort=False)["cents"]
+            .sum()
+            .reset_index()
+            .join(build, on="ckey", how="inner")
+        )
+        return pa.table(
+            {
+                "c_custkey": pa.array(g["ckey"].to_numpy(), pa.int64()),
+                "c_name": pa.array(g["name"], pa.string()),
+                "revenue_cents": pa.array(
+                    g["cents"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "c_acctbal": pa.array(g["acctbal"].to_numpy(), pa.float64()),
+                "n_name": pa.array(g["nname"], pa.string()),
+            }
+        )
+
+    return (
+        stage_b.groupby("part2")
+        .map_groups(ckey_join, batch_format="pyarrow")
+        .sort(["revenue_cents", "c_custkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+BENFORD_LANES = (
+    ("lineitem.l_extendedprice", "lineitem.parquet", "l_extendedprice"),
+    ("orders.o_totalprice", "orders.parquet", "o_totalprice"),
+)
+
+
+def benford_audit(sf_dir: str) -> "ray.data.Dataset":
+    """Benford first-significant-digit audit over the money columns —
+    the classic fraud / synthetic-data smell test: per (lane, digit)
+    the exact row count and the share in basis points. Digits are
+    extracted in EXACT integer arithmetic (value → round-half-up
+    cents → leading digit via a power-of-ten searchsorted), never via
+    float log10, so 1000.00 can never misclassify. Tail-seated by
+    design: the fold is status_counts' bincount partial and the
+    finalize is mix_weights' share-of-total on a ≤18-row grid.
+
+    Scale shape: each batch folds to at most 9 (lane, digit, n)
+    partials — the shuffle moves O(lanes × 9) rows regardless of
+    input size; the share finalize runs per-lane on the bounded
+    grid. Output: (lane, digit, n, share_bp)."""
+    POW10 = 10 ** np.arange(19, dtype=np.int64)
+
+    def digit_partials(lane: str, col: str):
+        def fold(batch: pa.Table) -> pa.Table:
+            x = batch.column(col).to_numpy(zero_copy_only=False)
+            cents = np.floor(x * 100.0 + 0.5).astype(np.int64)
+            cents = cents[cents > 0]
+            ndig = np.searchsorted(POW10, cents, side="right")
+            first = cents // POW10[ndig - 1]
+            counts = np.bincount(first, minlength=10)[1:10]
+            nz = np.nonzero(counts)[0]
+            return pa.table(
+                {
+                    "lane": pa.array([lane] * len(nz), pa.string()),
+                    "digit": pa.array((nz + 1).astype(np.int64), pa.int64()),
+                    "n": pa.array(counts[nz].astype(np.int64), pa.int64()),
+                }
+            )
+
+        return fold
+
+    def one_lane(lane: str, fname: str, col: str) -> "ray.data.Dataset":
+        return ray.data.read_parquet(
+            f"{sf_dir}/{fname}", columns=[col]
+        ).map_batches(digit_partials(lane, col), batch_format="pyarrow")
+
+    ds = one_lane(*BENFORD_LANES[0])
+    for lane, fname, col in BENFORD_LANES[1:]:
+        ds = ds.union(one_lane(lane, fname, col))
+
+    def finalize(grp: pa.Table) -> pa.Table:
+        n = grp.column("n_p").to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(n.sum())
+        return pa.table(
+            {
+                "lane": grp.column("lane"),
+                "digit": grp.column("digit"),
+                "n": pa.array(n, pa.int64()),
+                "share_bp": pa.array(n * 10000 // total, pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby(["lane", "digit"])
+        .aggregate(Sum("n", alias_name="n_p"))
+        .groupby("lane")
+        .map_groups(finalize, batch_format="pyarrow")
+    )

@@ -290,6 +290,8 @@ SUBSET = [
     "front_coding_audit",
     "ivf_probe_cost",
     "delta_agg_merge",
+    "q10_returned_items",
+    "benford_audit",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
