@@ -1022,6 +1022,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Tail-seated by design: status_counts' bincount fold +
         # mix_weights' share-of-total finalize.
         "benford_audit": analytics.benford_audit,
+        # (round 4, wave 50) ranking-quality eval — one operator
+        # grading another: bm25_scores' ordering scored against
+        # graded tf relevance with a reciprocal-rank-discounted
+        # cumulative gain whose every term is an exact int64
+        # (gain·(2520/pos), 2520 = lcm(1..10)); nDCG is ONE division
+        # of two exact integer sums. Tail-seated by design: the bm25
+        # two-pass machinery + top_docs' sort-limit, composed.
+        "ndcg_search": search.ndcg_search,
+        # (round 4, wave 50) referential-integrity audit over all 7
+        # FK edges of the star schema — orphan child keys AND
+        # unreferenced parents from ONE tagged-union co-partition per
+        # edge (Sum rows, Max parent flag), folded to a ≤7-row grid.
+        # Tail-seated by design: suppression_antijoin's co-partition
+        # with both polarities counted.
+        "orphan_fk_audit": analytics.orphan_fk_audit,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2367,6 +2382,76 @@ def oracle_sql() -> dict[str, str]:
                CAST(g.n * 10000 // t.tot AS BIGINT) AS share_bp
         FROM g JOIN t ON g.lane = t.lane
     """
+
+    # ndcg_search: the bm25 CTE reused verbatim as the ranker; rel =
+    # least(total query-term tf, 3); DCG terms are exact ints
+    # (gain · 2520/pos), nDCG one division of the two integer sums.
+    sql["ndcg_search"] = f"""
+        WITH bm AS ({sql["bm25_scores"]}),
+        w2 AS (SELECT doc_id, regexp_extract_all(lower(text),
+                      '[a-z0-9]+') AS ws FROM documents),
+        tok AS (SELECT doc_id, unnest(ws) AS t FROM w2),
+        relv AS (SELECT doc_id, CAST(least(count(*), 3) AS BIGINT) AS rel
+                 FROM tok WHERE t IN ('hash','merge','scan','table')
+                 GROUP BY 1),
+        ranked AS (SELECT bm.doc_id, relv.rel,
+                          row_number() OVER (ORDER BY bm.bm25_fp DESC,
+                                             bm.doc_id) AS pos
+                   FROM bm JOIN relv USING (doc_id)),
+        ideal AS (SELECT doc_id, rel,
+                         row_number() OVER (ORDER BY rel DESC, doc_id) AS pos
+                  FROM relv),
+        r10 AS (SELECT pos, doc_id, rel,
+                       ((1 << rel) - 1) * (2520 // pos) AS contrib
+                FROM ranked WHERE pos <= 10),
+        i10 AS (SELECT pos, doc_id AS ideal_doc_id, rel AS ideal_rel,
+                       ((1 << rel) - 1) * (2520 // pos) AS ideal_contrib
+                FROM ideal WHERE pos <= 10)
+        SELECT CAST(r10.pos AS BIGINT) AS pos, r10.doc_id, r10.rel,
+               CAST(r10.contrib AS BIGINT) AS contrib_2520,
+               i10.ideal_doc_id,
+               CAST(i10.ideal_rel AS BIGINT) AS ideal_rel,
+               CAST(i10.ideal_contrib AS BIGINT) AS ideal_contrib_2520,
+               CAST(sum(r10.contrib) OVER () AS DOUBLE)
+                 / CAST(sum(i10.ideal_contrib) OVER () AS DOUBLE) AS ndcg
+        FROM r10 JOIN i10 USING (pos)
+    """
+
+    # orphan_fk_audit: one LEFT-JOIN branch per FK edge; unreferenced
+    # parents via the reversed anti-join. Generated per edge to keep
+    # the 7 branches literally identical in shape.
+    _fk_edges = (
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+    )
+    sql["orphan_fk_audit"] = " UNION ALL ".join(
+        f"""
+        SELECT '{edge}' AS edge,
+               CAST(count(*) AS BIGINT) AS n_child_rows,
+               CAST(count(DISTINCT c.{ck}) AS BIGINT) AS n_child_keys,
+               CAST(count(*) FILTER (WHERE p.{pk} IS NULL) AS BIGINT)
+                 AS n_orphan_rows,
+               CAST(count(DISTINCT c.{ck}) FILTER (WHERE p.{pk} IS NULL)
+                 AS BIGINT) AS n_orphan_keys,
+               (SELECT CAST(count(*) AS BIGINT) FROM {pt}
+                WHERE {pk} NOT IN (SELECT {ck} FROM {ct}))
+                 AS n_unref_parents
+        FROM {ct} c LEFT JOIN {pt} p ON c.{ck} = p.{pk}
+        """
+        for edge, ct, ck, pt, pk in _fk_edges
+    )
 
     # knn_graph: the SAME trained quantizer; for EVERY vector, its
     # KNN_K nearest same-cell neighbors by exact int64 squared L2,

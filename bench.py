@@ -150,6 +150,7 @@ def run_queries() -> dict[str, float]:
         "shuffle_skew_audit", "front_coding_audit",
         "ivf_probe_cost", "delta_agg_merge",
         "q10_returned_items", "benford_audit",
+        "ndcg_search", "orphan_fk_audit",
     ]
     out: dict[str, float] = {}
     for name in picks:

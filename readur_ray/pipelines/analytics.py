@@ -3749,3 +3749,126 @@ def benford_audit(sf_dir: str) -> "ray.data.Dataset":
         .groupby("lane")
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem.parquet", "l_orderkey",
+     "orders.parquet", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem.parquet", "l_partkey",
+     "part.parquet", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem.parquet", "l_suppkey",
+     "supplier.parquet", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders.parquet", "o_custkey",
+     "customer.parquet", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer.parquet", "c_nationkey",
+     "nation.parquet", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier.parquet", "s_nationkey",
+     "nation.parquet", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation.parquet", "n_regionkey",
+     "region.parquet", "r_regionkey"),
+)
+
+
+def orphan_fk_audit(sf_dir: str) -> "ray.data.Dataset":
+    """Referential-integrity audit over every foreign-key edge in the
+    star schema — per edge the exact child rows / distinct child keys
+    / orphan rows & keys (child key with no parent) / unreferenced
+    parents (parent key no child cites): the constraint sweep a lake
+    runs before trusting joins, and the dial that catches partial
+    loads (orphans) and retention skew (unreferenced parents).
+    Tail-seated by design: each edge is suppression_antijoin's tagged
+    union co-partition with BOTH polarities counted at once.
+
+    Scale shape: per edge the child folds to per-batch (key, rows)
+    partials and the parent to (key, flag) rows, ONE groupby on the
+    FK value merges them (Sum child rows, Max parent flag), and a
+    second map_batches folds the per-key rows to edge-level count
+    partials summed on a ≤7-row grid — the driver never sees a key.
+    Tiny parents (nation, region) could broadcast instead of
+    shuffling; the uniform co-partition keeps every edge one code
+    path and the per-edge shuffle is bounded by the child's distinct
+    keys."""
+
+    def one_edge(edge, child_f, child_k, parent_f, parent_k):
+        child = ray.data.read_parquet(f"{sf_dir}/{child_f}", columns=[child_k])
+        parent = ray.data.read_parquet(
+            f"{sf_dir}/{parent_f}", columns=[parent_k]
+        )
+
+        def child_fold(batch: pa.Table) -> pa.Table:
+            k = batch.column(child_k).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            u, cnt = np.unique(k, return_counts=True)
+            return pa.table(
+                {
+                    "key": pa.array(u, pa.int64()),
+                    "rows": pa.array(cnt.astype(np.int64), pa.int64()),
+                    "is_parent": pa.array(
+                        np.zeros(len(u), np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        def parent_fold(batch: pa.Table) -> pa.Table:
+            k = np.unique(
+                batch.column(parent_k).cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                )
+            )
+            return pa.table(
+                {
+                    "key": pa.array(k, pa.int64()),
+                    "rows": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+                    "is_parent": pa.array(
+                        np.ones(len(k), np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        def edge_fold(batch: pa.Table) -> pa.Table:
+            rows = batch.column("rows_p").to_numpy(zero_copy_only=False)
+            par = batch.column("par_p").to_numpy(zero_copy_only=False) > 0
+            is_child = rows > 0
+            orphan = is_child & ~par
+            return pa.table(
+                {
+                    "edge": pa.array([edge], pa.string()),
+                    "n_child_rows": pa.array([int(rows.sum())], pa.int64()),
+                    "n_child_keys": pa.array(
+                        [int(is_child.sum())], pa.int64()
+                    ),
+                    "n_orphan_rows": pa.array(
+                        [int(rows[orphan].sum())], pa.int64()
+                    ),
+                    "n_orphan_keys": pa.array([int(orphan.sum())], pa.int64()),
+                    "n_unref_parents": pa.array(
+                        [int((par & ~is_child).sum())], pa.int64()
+                    ),
+                }
+            )
+
+        return (
+            child.map_batches(child_fold, batch_format="pyarrow")
+            .union(parent.map_batches(parent_fold, batch_format="pyarrow"))
+            .groupby("key")
+            .aggregate(
+                Sum("rows", alias_name="rows_p"),
+                Max("is_parent", alias_name="par_p"),
+            )
+            .map_batches(edge_fold, batch_format="pyarrow")
+        )
+
+    ds = one_edge(*FK_EDGES[0])
+    for spec in FK_EDGES[1:]:
+        ds = ds.union(one_edge(*spec))
+    return (
+        ds.groupby("edge")
+        .aggregate(
+            Sum("n_child_rows", alias_name="n_child_rows"),
+            Sum("n_child_keys", alias_name="n_child_keys"),
+            Sum("n_orphan_rows", alias_name="n_orphan_rows"),
+            Sum("n_orphan_keys", alias_name="n_orphan_keys"),
+            Sum("n_unref_parents", alias_name="n_unref_parents"),
+        )
+    )

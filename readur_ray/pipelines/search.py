@@ -586,3 +586,137 @@ def rrf_fusion(sf_dir: str) -> "ray.data.Dataset":
         .groupby("k")
         .map_groups(final_top, batch_format="pyarrow")
     )
+
+
+NDCG_K = 10
+NDCG_LCM = 2520  # lcm(1..10): 2520//pos is exact for every position
+
+
+def ndcg_search(sf_dir: str) -> "ray.data.Dataset":
+    """Ranking-quality evaluation of the BM25 ranker — one registry
+    operator grading another: the bm25_scores ordering (desc, doc_id
+    tiebreak) is scored against graded relevance rel = min(total
+    query-term tf, 3) with a reciprocal-rank-discounted cumulative
+    gain at k=10. The discount is 1/pos instead of 1/log2(pos+1), so
+    every DCG term is the exact rational gain·(2520/pos) — 2520 =
+    lcm(1..10) makes each term an exact int64 — and nDCG is ONE
+    division of two exact integer sums (bit-identical in any engine;
+    float log2 discounts cannot be made order-independent under
+    check_exact hashing). Tail-seated by design: the ranker is the
+    head-adjacent bm25 machinery and the two top-10s are top_docs'
+    sort-limit.
+
+    Scale shape: the bm25 two-pass plan verbatim (bounded stats
+    broadcast, vectorized scoring, zero shuffles) plus two k-row
+    sort-limits; the driver touches exactly 2×k rows. Output per
+    position: the ranked doc, its relevance and exact DCG numerator,
+    the ideal doc/relevance/numerator, and the final ndcg ratio."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    terms = np.array(sorted(BM25_TERMS))
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        import re
+
+        n_docs, n_tok = 0, 0
+        df = np.zeros(len(terms), np.int64)
+        for text in batch.column("text").to_pylist():
+            ws = re.findall(r"[a-z0-9]+", (text or "").lower())
+            n_docs += 1
+            n_tok += len(ws)
+            u = np.unique(np.asarray(ws, dtype=object))
+            idx = np.searchsorted(terms, u)
+            idx_c = np.minimum(idx, len(terms) - 1)
+            df += np.bincount(
+                idx_c[terms[idx_c] == u], minlength=len(terms)
+            ).astype(np.int64)
+        return pa.table(
+            {
+                "term": pa.array(["", ""] + list(terms), pa.string()),
+                "n": pa.array(
+                    np.concatenate(([n_docs, n_tok], df)), pa.int64()
+                ),
+                "kind": pa.array(
+                    ["N", "T"] + ["df"] * len(terms), pa.string()
+                ),
+            }
+        )
+
+    stats: dict[tuple[str, str], int] = {}
+    for b in (
+        ds.map_batches(stat_partial, batch_format="pyarrow")
+        .groupby(["kind", "term"])
+        .aggregate(Sum("n", alias_name="n"))
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for kind, term, n in zip(
+            b.column("kind").to_pylist(),
+            b.column("term").to_pylist(),
+            b.column("n").to_pylist(),
+        ):
+            stats[(kind, term)] = n
+    N = stats[("N", "")]
+    T = stats[("T", "")]
+    df_vec = np.array([stats.get(("df", t), 0) for t in terms], np.int64)
+
+    def score_rel(batch: pa.Table) -> pa.Table:
+        import re
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_s, out_r = [], [], []
+        for doc_id, text in zip(ids, batch.column("text").to_pylist()):
+            ws = re.findall(r"[a-z0-9]+", (text or "").lower())
+            dl = len(ws)
+            u, cnt = np.unique(np.asarray(ws, dtype=object), return_counts=True)
+            idx = np.searchsorted(terms, u)
+            idx_c = np.minimum(idx, len(terms) - 1)
+            hit = terms[idx_c] == u
+            if not hit.any():
+                continue
+            tf = np.zeros(len(terms), np.int64)
+            tf[idx_c[hit]] = cnt[hit]
+            m = tf > 0
+            num = (2 * N - 2 * df_vec[m] + 1) * (44 * tf[m] * T) * BM25_SCALE
+            den = (2 * df_vec[m] + 1) * (20 * tf[m] * T + 6 * T + 18 * dl * N)
+            assert (num >= 0).all() and num.max(initial=0) < (1 << 62), (
+                "fixed-point overflow headroom exceeded — lower BM25_SCALE"
+            )
+            out_id.append(doc_id)
+            out_s.append(int((num // den).sum()))
+            out_r.append(int(min(int(tf.sum()), 3)))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "bm25_fp": pa.array(out_s, pa.int64()),
+                "rel": pa.array(out_r, pa.int64()),
+            }
+        )
+
+    scored = ds.map_batches(score_rel, batch_format="pyarrow").materialize()
+    ranked = scored.sort(["bm25_fp", "doc_id"], descending=[True, False]).limit(
+        NDCG_K
+    ).take_all()
+    ideal = scored.sort(["rel", "doc_id"], descending=[True, False]).limit(
+        NDCG_K
+    ).take_all()
+
+    pos = np.arange(1, len(ranked) + 1, dtype=np.int64)
+    w = NDCG_LCM // pos
+    r_rel = np.array([r["rel"] for r in ranked], np.int64)
+    i_rel = np.array([r["rel"] for r in ideal], np.int64)
+    contrib = ((1 << r_rel) - 1) * w
+    ideal_contrib = ((1 << i_rel) - 1) * w
+    ndcg = float(int(contrib.sum())) / float(int(ideal_contrib.sum()))
+    return pa.table(
+        {
+            "pos": pa.array(pos, pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in ranked], pa.int64()),
+            "rel": pa.array(r_rel, pa.int64()),
+            "contrib_2520": pa.array(contrib, pa.int64()),
+            "ideal_doc_id": pa.array([r["doc_id"] for r in ideal], pa.int64()),
+            "ideal_rel": pa.array(i_rel, pa.int64()),
+            "ideal_contrib_2520": pa.array(ideal_contrib, pa.int64()),
+            "ndcg": pa.array(np.full(len(pos), ndcg), pa.float64()),
+        }
+    )

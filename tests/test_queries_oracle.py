@@ -292,6 +292,8 @@ SUBSET = [
     "delta_agg_merge",
     "q10_returned_items",
     "benford_audit",
+    "ndcg_search",
+    "orphan_fk_audit",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
