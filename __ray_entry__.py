@@ -1037,6 +1037,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Tail-seated by design: suppression_antijoin's co-partition
         # with both polarities counted.
         "orphan_fk_audit": analytics.orphan_fk_audit,
+        # (round 4, wave 51) halflife-1 EWMA of daily volume per
+        # type — the smoothing recursion DEFINED over fixed-point
+        # integers (E_t = (E_{t-1} + n·10^6) // 2), bit-exact in any
+        # engine; the distributed fold is the bounded (type, day)
+        # grid, the recursion runs on the tiny grid. Tail-seated by
+        # design: delta_agg_merge's grid fold + a map_groups scan.
+        "ewma_daily": sessions.ewma_daily,
+        # (round 4, wave 51) day-of-week seasonal index per type in
+        # exact basis points over present days, weekday from pure
+        # epoch-day math ((day+3)%7) — the weekly-cycle panel next to
+        # ewma_daily's trend line. Tail-seated by design: the same
+        # grid fold with a ≤7-row-per-type pivot.
+        "seasonality_dow": sessions.seasonality_dow,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2381,6 +2394,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT g.lane, g.digit, g.n,
                CAST(g.n * 10000 // t.tot AS BIGINT) AS share_bp
         FROM g JOIN t ON g.lane = t.lane
+    """
+
+    # ewma_daily: the integer recursion replayed via a recursive CTE
+    # stepping the per-type row_number chain; '//' floor == numpy for
+    # the non-negative accumulator.
+    sql["ewma_daily"] = """
+        WITH RECURSIVE d AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        idx AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                             ORDER BY day) AS rn
+                FROM d),
+        r AS (
+          SELECT event_type, day, n, rn, n * 1000000 AS e
+          FROM idx WHERE rn = 1
+          UNION ALL
+          SELECT i.event_type, i.day, i.n, i.rn,
+                 (r.e + i.n * 1000000) // 2
+          FROM r JOIN idx i
+            ON i.event_type = r.event_type AND i.rn = r.rn + 1
+        )
+        SELECT event_type, CAST(day AS BIGINT) AS day, n,
+               CAST(e AS BIGINT) AS ewma_fp
+        FROM r
+    """
+
+    # seasonality_dow: weekday via the same (day+3)%7 epoch-day math;
+    # index in exact integer basis points over present days.
+    sql["seasonality_dow"] = """
+        WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+        t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total_all,
+                     CAST(count(*) AS BIGINT) AS n_all
+              FROM d GROUP BY 1),
+        g AS (SELECT event_type, (day + 3) % 7 AS dow,
+                     CAST(count(*) AS BIGINT) AS n_days,
+                     CAST(sum(n) AS BIGINT) AS total
+              FROM d GROUP BY 1, 2)
+        SELECT g.event_type, CAST(g.dow AS BIGINT) AS dow, g.n_days,
+               g.total,
+               CAST(g.total * t.n_all * 10000
+                    // (g.n_days * t.total_all) AS BIGINT) AS index_bp
+        FROM g JOIN t USING (event_type)
     """
 
     # ndcg_search: the bm25 CTE reused verbatim as the ranker; rel =

@@ -151,6 +151,7 @@ def run_queries() -> dict[str, float]:
         "ivf_probe_cost", "delta_agg_merge",
         "q10_returned_items", "benford_audit",
         "ndcg_search", "orphan_fk_audit",
+        "ewma_daily", "seasonality_dow",
     ]
     out: dict[str, float] = {}
     for name in picks:

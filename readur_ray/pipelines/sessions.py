@@ -1927,3 +1927,159 @@ def delta_agg_merge(sf_dir: str) -> "ray.data.Dataset":
         )
         .map_batches(changelog, batch_format="pyarrow")
     )
+
+
+EWMA_SCALE = 1_000_000  # fixed-point scale for the halflife-1 EWMA
+
+
+def ewma_daily(sf_dir: str) -> "ray.data.Dataset":
+    """Exponentially weighted moving average of the daily event count
+    per type, halflife one step: E_1 = n_1·S, E_t = (E_{t-1} +
+    n_t·S) // 2 in fixed-point integers (S = 10^6) — the smoothing
+    recursion itself is DEFINED over integers, so the result is
+    bit-exact in any engine (a float (1−α)^t closed form is neither
+    order- nor libm-independent). The trend line behind every
+    "smoothed daily volume" dashboard panel.
+
+    Scale shape: the heavy part — daily counts from raw events — is
+    the distributed fold (per-batch (type, day, n) partials, one
+    bounded-grid groupby); the recursion then runs per type inside
+    map_groups over the TINY daily grid (one row per calendar day —
+    thousands of rows however big the corpus). Output:
+    (event_type, day, n, ewma_fp)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def day_partials(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        days = (
+            batch.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        g = (
+            pd.DataFrame({"event_type": et, "day": days, "n": 1})
+            .groupby(["event_type", "day"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "day": pa.array(g["day"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def ewma(grp: pa.Table) -> pa.Table:
+        day = grp.column("day").to_numpy(zero_copy_only=False)
+        n = grp.column("n_p").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(day)
+        day, n = day[order], n[order]
+        e = np.empty(len(n), np.int64)
+        acc = int(n[0]) * EWMA_SCALE
+        e[0] = acc
+        for i in range(1, len(n)):
+            acc = (acc + int(n[i]) * EWMA_SCALE) // 2
+            e[i] = acc
+        return pa.table(
+            {
+                "event_type": grp.column("event_type"),
+                "day": pa.array(day, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "ewma_fp": pa.array(e, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(day_partials, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(_Sum("n", alias_name="n_p"))
+        .groupby("event_type")
+        .map_groups(ewma, batch_format="pyarrow")
+    )
+
+
+def seasonality_dow(sf_dir: str) -> "ray.data.Dataset":
+    """Day-of-week seasonal index per event type — for each (type,
+    weekday) the mean daily count relative to the type's overall mean
+    daily count, in exact basis points: index_bp = S_d·n·10000 //
+    (n_d·S) over PRESENT days (days where the type has ≥1 event), all
+    integer arithmetic. Weekday 0 = Monday via pure epoch-day math
+    ((day+3) % 7 — 1970-01-01 was a Thursday), no engine calendar
+    functions. The weekly-cycle panel next to ewma_daily's trend
+    line.
+
+    Scale shape: the same bounded (type, day) grid fold as
+    ewma_daily; the weekday pivot and the share arithmetic run on the
+    grid, and the output is ≤ 7 rows per type. Output: (event_type,
+    dow, n_days, total, index_bp)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def day_partials(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        days = (
+            batch.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        g = (
+            pd.DataFrame({"event_type": et, "day": days, "n": 1})
+            .groupby(["event_type", "day"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "day": pa.array(g["day"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def index_bp(grp: pa.Table) -> pa.Table:
+        day = grp.column("day").to_numpy(zero_copy_only=False)
+        n = grp.column("n_p").to_numpy(zero_copy_only=False).astype(np.int64)
+        dow = (day + 3) % 7
+        total_all = int(n.sum())
+        n_all = len(day)
+        rows = []
+        for d in np.unique(dow):
+            m = dow == d
+            s_d, n_d = int(n[m].sum()), int(m.sum())
+            rows.append(
+                (int(d), n_d, s_d, s_d * n_all * 10000 // (n_d * total_all))
+            )
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [grp.column("event_type")[0].as_py()] * len(rows),
+                    pa.string(),
+                ),
+                "dow": pa.array([r[0] for r in rows], pa.int64()),
+                "n_days": pa.array([r[1] for r in rows], pa.int64()),
+                "total": pa.array([r[2] for r in rows], pa.int64()),
+                "index_bp": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(day_partials, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(_Sum("n", alias_name="n_p"))
+        .groupby("event_type")
+        .map_groups(index_bp, batch_format="pyarrow")
+    )

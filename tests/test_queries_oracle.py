@@ -294,6 +294,8 @@ SUBSET = [
     "benford_audit",
     "ndcg_search",
     "orphan_fk_audit",
+    "ewma_daily",
+    "seasonality_dow",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
