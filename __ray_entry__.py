@@ -1050,6 +1050,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ewma_daily's trend line. Tail-seated by design: the same
         # grid fold with a ≤7-row-per-type pivot.
         "seasonality_dow": sessions.seasonality_dow,
+        # (round 4, wave 52) k-anonymity audit — equivalence-class
+        # size bands over the (nation, segment, $1000-balance-bucket)
+        # quasi-identifier; classes of size < 5 are the release
+        # gate's re-identification surface. Balance cents shift +10^7
+        # before // so floor semantics hold for negatives.
+        # Tail-seated by design: a bincount fold over one QI groupby.
+        "k_anonymity_audit": analytics.k_anonymity_audit,
+        # (round 4, wave 52) l-diversity audit — distinct sensitive
+        # segments per QI class (the homogeneity-attack gate
+        # k-anonymity misses); two chained bounded groupbys, the
+        # driver never sees a class. Tail-seated by design:
+        # k_anonymity_audit's fold with a distinct count layered on.
+        "l_diversity_audit": analytics.l_diversity_audit,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2394,6 +2407,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT g.lane, g.digit, g.n,
                CAST(g.n * 10000 // t.tot AS BIGINT) AS share_bp
         FROM g JOIN t ON g.lane = t.lane
+    """
+
+    # k_anonymity_audit: the QI groupby + CASE band ladder; the
+    # +10^7 shift keeps '//' floor-correct for negative balances.
+    sql["k_anonymity_audit"] = """
+        WITH qi AS (
+          SELECT c_nationkey, c_mktsegment,
+                 (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                  + 10000000) // 100000 AS b,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM customer GROUP BY 1, 2, 3
+        ),
+        band AS (
+          SELECT CASE WHEN n = 1 THEN 1 WHEN n = 2 THEN 2
+                      WHEN n <= 4 THEN 3 WHEN n <= 9 THEN 5
+                      ELSE 10 END AS size_lo,
+                 CASE WHEN n = 1 THEN 1 WHEN n = 2 THEN 2
+                      WHEN n <= 4 THEN 4 WHEN n <= 9 THEN 9
+                      ELSE (CAST(1 AS BIGINT) << 62) END AS size_hi,
+                 n
+          FROM qi
+        )
+        SELECT CAST(size_lo AS BIGINT) AS size_lo,
+               CAST(size_hi AS BIGINT) AS size_hi,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(n) AS BIGINT) AS n_rows
+        FROM band GROUP BY 1, 2
+    """
+
+    # l_diversity_audit: distinct sensitive segments per QI class,
+    # then the l histogram.
+    sql["l_diversity_audit"] = """
+        WITH qi AS (
+          SELECT c_nationkey,
+                 (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                  + 10000000) // 100000 AS b,
+                 CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM customer GROUP BY 1, 2
+        )
+        SELECT l, CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(n) AS BIGINT) AS n_rows
+        FROM qi GROUP BY 1
     """
 
     # ewma_daily: the integer recursion replayed via a recursive CTE

@@ -152,6 +152,7 @@ def run_queries() -> dict[str, float]:
         "q10_returned_items", "benford_audit",
         "ndcg_search", "orphan_fk_audit",
         "ewma_daily", "seasonality_dow",
+        "k_anonymity_audit", "l_diversity_audit",
     ]
     out: dict[str, float] = {}
     for name in picks:

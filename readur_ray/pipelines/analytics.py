@@ -3872,3 +3872,181 @@ def orphan_fk_audit(sf_dir: str) -> "ray.data.Dataset":
             Sum("n_unref_parents", alias_name="n_unref_parents"),
         )
     )
+
+
+KANON_SIZE_BUCKETS = ((1, 1), (2, 2), (3, 4), (5, 9), (10, 1 << 62))
+KANON_BAL_SHIFT = 10_000_000  # cents min is -99_999: shift keeps // = floor
+
+
+def _kanon_qi(batch: pa.Table, with_segment: bool):
+    nk = batch.column("c_nationkey").cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    bal = batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+    cents = np.floor(bal * 100.0 + 0.5).astype(np.int64)
+    bucket = (cents + KANON_BAL_SHIFT) // 100_000
+    if not with_segment:
+        return nk, bucket, None
+    seg = np.asarray(batch.column("c_mktsegment").to_pylist(), dtype=object)
+    return nk, bucket, seg
+
+
+def k_anonymity_audit(sf_dir: str) -> "ray.data.Dataset":
+    """k-anonymity audit of the customer table — equivalence-class
+    size distribution over the quasi-identifier tuple (nation, market
+    segment, $1000 balance bucket): per size band the exact number of
+    classes and of rows living in them. Classes of size < 5 are the
+    re-identification risk a release gate blocks on. Balance buckets
+    shift cents by +10^7 before the // so floor-division semantics
+    agree for negative balances (DuckDB '//' truncates toward zero).
+    Tail-seated by design: status_counts' bincount fold over a
+    groupby-sized key.
+
+    Scale shape: per-batch (QI, n) partials → ONE groupby on the QI
+    tuple (class sizes are complete there) → per-batch size-band
+    partials → a ≤5-row grid sum; the driver never sees a class.
+    Output: (size_lo, size_hi, n_classes, n_rows)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+    )
+
+    def qi_partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        nk, bucket, seg = _kanon_qi(batch, with_segment=True)
+        g = (
+            pd.DataFrame({"nk": nk, "seg": seg, "b": bucket, "n": 1})
+            .groupby(["nk", "seg", "b"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "nk": pa.array(g["nk"].to_numpy(), pa.int64()),
+                "seg": pa.array(g["seg"], pa.string()),
+                "b": pa.array(g["b"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def band_partials(batch: pa.Table) -> pa.Table:
+        sizes = batch.column("n_p").to_numpy(zero_copy_only=False)
+        lo = np.array([b[0] for b in KANON_SIZE_BUCKETS], np.int64)
+        hi = np.array([b[1] for b in KANON_SIZE_BUCKETS], np.int64)
+        band = np.searchsorted(lo, sizes, side="right") - 1
+        n_classes = np.bincount(band, minlength=len(lo)).astype(np.int64)
+        n_rows = np.bincount(band, weights=sizes, minlength=len(lo)).astype(
+            np.int64
+        )
+        keep = n_classes > 0
+        return pa.table(
+            {
+                "size_lo": pa.array(lo[keep], pa.int64()),
+                "size_hi": pa.array(
+                    np.minimum(hi[keep], (1 << 62)), pa.int64()
+                ),
+                "n_classes": pa.array(n_classes[keep], pa.int64()),
+                "n_rows": pa.array(n_rows[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(qi_partials, batch_format="pyarrow")
+        .groupby(["nk", "seg", "b"])
+        .aggregate(_Sum("n", alias_name="n_p"))
+        .map_batches(band_partials, batch_format="pyarrow")
+        .groupby(["size_lo", "size_hi"])
+        .aggregate(
+            _Sum("n_classes", alias_name="n_classes"),
+            _Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+
+
+def l_diversity_audit(sf_dir: str) -> "ray.data.Dataset":
+    """l-diversity audit — the companion gate k-anonymity misses:
+    with quasi-identifiers (nation, $1000 balance bucket) and the
+    market segment as the sensitive attribute, a class whose members
+    all share one segment leaks the attribute even at k ≥ 5. Reports,
+    per distinct-segment count l, the exact number of QI classes and
+    rows — the l = 1 row is the homogeneity-attack surface.
+    Tail-seated by design: k_anonymity_audit's fold with the distinct
+    count layered on.
+
+    Scale shape: per-batch (QI, segment, n) partials → ONE groupby on
+    (QI, segment) → per-batch (QI, classes=1, rows=n) re-partials →
+    groupby QI (distinct-segment counts are complete there) → a
+    ≤5-row l-grid sum. Output: (l, n_classes, n_rows)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+    )
+
+    def qi_seg_partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        nk, bucket, seg = _kanon_qi(batch, with_segment=True)
+        g = (
+            pd.DataFrame({"nk": nk, "b": bucket, "seg": seg, "n": 1})
+            .groupby(["nk", "b", "seg"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "nk": pa.array(g["nk"].to_numpy(), pa.int64()),
+                "b": pa.array(g["b"].to_numpy(), pa.int64()),
+                "seg": pa.array(g["seg"], pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def one_per_seg(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "nk": batch.column("nk"),
+                "b": batch.column("b"),
+                "l1": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+                "rows": batch.column("n_p"),
+            }
+        )
+
+    def l_partials(batch: pa.Table) -> pa.Table:
+        ell = batch.column("l_p").to_numpy(zero_copy_only=False)
+        rows = batch.column("rows_p").to_numpy(zero_copy_only=False)
+        u = np.unique(ell)
+        return pa.table(
+            {
+                "l": pa.array(u, pa.int64()),
+                "n_classes": pa.array(
+                    np.array([(ell == x).sum() for x in u], np.int64),
+                    pa.int64(),
+                ),
+                "n_rows": pa.array(
+                    np.array([rows[ell == x].sum() for x in u], np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(qi_seg_partials, batch_format="pyarrow")
+        .groupby(["nk", "b", "seg"])
+        .aggregate(_Sum("n", alias_name="n_p"))
+        .map_batches(one_per_seg, batch_format="pyarrow")
+        .groupby(["nk", "b"])
+        .aggregate(
+            _Sum("l1", alias_name="l_p"), _Sum("rows", alias_name="rows_p")
+        )
+        .map_batches(l_partials, batch_format="pyarrow")
+        .groupby("l")
+        .aggregate(
+            _Sum("n_classes", alias_name="n_classes"),
+            _Sum("n_rows", alias_name="n_rows"),
+        )
+    )

@@ -296,6 +296,8 @@ SUBSET = [
     "orphan_fk_audit",
     "ewma_daily",
     "seasonality_dow",
+    "k_anonymity_audit",
+    "l_diversity_audit",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
