@@ -1063,6 +1063,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver never sees a class. Tail-seated by design:
         # k_anonymity_audit's fold with a distinct count layered on.
         "l_diversity_audit": analytics.l_diversity_audit,
+        # (round 4, wave 53) join-key discovery — exact value-set
+        # Jaccard/containment for all 28 pairs of 8 candidate key
+        # columns from ONE value-keyed shuffle (per-value presence
+        # bitmask, 256-bin histogram, popcount arithmetic on the
+        # driver's 256 ints). Tail-seated by design: dedup_exact's
+        # distinct fold with a bitmask payload.
+        "joinability_audit": analytics.joinability_audit,
+        # (round 4, wave 53) Roaring-container accounting for the
+        # lang/source doc-id bitmaps — array (<4096 entries,
+        # 2 B/entry) vs bitmap (8 KiB) per 2^16 chunk, exact counts
+        # and bytes; the structural complement of posting_sizes'
+        # varint codec over the same posting sets. Tail-seated by
+        # design: source_facets' fold with a chunk key.
+        "bitmap_index_audit": textops.bitmap_index_audit,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2407,6 +2421,68 @@ def oracle_sql() -> dict[str, str]:
         SELECT g.lane, g.digit, g.n,
                CAST(g.n * 10000 // t.tot AS BIGINT) AS share_bp
         FROM g JOIN t ON g.lane = t.lane
+    """
+
+    # joinability_audit: one branch per (i < j) column pair over
+    # DISTINCT value sets; generated so all 28 branches share one
+    # shape. '//' floor == numpy for the non-negative ratios.
+    _join_cols = (
+        ("customer.c_custkey", "customer", "c_custkey"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("orders.o_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+        ("part.p_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        ("supplier.s_suppkey", "supplier", "s_suppkey"),
+    )
+    sql["joinability_audit"] = " UNION ALL ".join(
+        f"""
+        SELECT '{na}' AS col_a, '{nb}' AS col_b,
+               (SELECT CAST(count(DISTINCT {ca}) AS BIGINT) FROM {ta}) AS n_a,
+               (SELECT CAST(count(DISTINCT {cb}) AS BIGINT) FROM {tb}) AS n_b,
+               i.c AS n_common,
+               CAST(i.c * 10000 // (
+                 (SELECT count(DISTINCT {ca}) FROM {ta})
+                 + (SELECT count(DISTINCT {cb}) FROM {tb}) - i.c
+               ) AS BIGINT) AS jaccard_bp,
+               CAST(i.c * 10000
+                 // (SELECT count(DISTINCT {ca}) FROM {ta})
+               AS BIGINT) AS containment_bp
+        FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM
+              (SELECT DISTINCT {ca} AS v FROM {ta}) a
+              JOIN (SELECT DISTINCT {cb} AS v FROM {tb}) b USING (v)) i
+        """
+        for x in range(len(_join_cols))
+        for y in range(x + 1, len(_join_cols))
+        for (na, ta, ca), (nb, tb, cb) in [(_join_cols[x], _join_cols[y])]
+    )
+
+    # bitmap_index_audit: the (dim, key, chunk) container sizes, then
+    # Roaring's array/bitmap rule and byte costs.
+    sql["bitmap_index_audit"] = """
+        WITH u AS (
+          SELECT 'lang' AS dim, lang AS key, doc_id FROM documents
+          UNION ALL
+          SELECT 'source', source, doc_id FROM documents
+        ),
+        c AS (
+          SELECT dim, key, doc_id // 65536 AS chunk,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM u GROUP BY 1, 2, 3
+        ),
+        k AS (
+          SELECT dim, key,
+                 CASE WHEN n < 4096 THEN 'array' ELSE 'bitmap' END AS kind,
+                 n,
+                 CASE WHEN n < 4096 THEN 2 * n ELSE 8192 END AS b
+          FROM c
+        )
+        SELECT dim, key, kind,
+               CAST(count(*) AS BIGINT) AS n_containers,
+               CAST(sum(n) AS BIGINT) AS n_entries,
+               CAST(sum(b) AS BIGINT) AS bytes_est
+        FROM k GROUP BY 1, 2, 3
     """
 
     # k_anonymity_audit: the QI groupby + CASE band ladder; the

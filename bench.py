@@ -153,6 +153,7 @@ def run_queries() -> dict[str, float]:
         "ndcg_search", "orphan_fk_audit",
         "ewma_daily", "seasonality_dow",
         "k_anonymity_audit", "l_diversity_audit",
+        "joinability_audit", "bitmap_index_audit",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -4050,3 +4050,125 @@ def l_diversity_audit(sf_dir: str) -> "ray.data.Dataset":
             _Sum("n_rows", alias_name="n_rows"),
         )
     )
+
+
+JOINABILITY_COLS = (
+    ("customer.c_custkey", "customer.parquet", "c_custkey"),
+    ("orders.o_custkey", "orders.parquet", "o_custkey"),
+    ("orders.o_orderkey", "orders.parquet", "o_orderkey"),
+    ("lineitem.l_orderkey", "lineitem.parquet", "l_orderkey"),
+    ("lineitem.l_partkey", "lineitem.parquet", "l_partkey"),
+    ("part.p_partkey", "part.parquet", "p_partkey"),
+    ("lineitem.l_suppkey", "lineitem.parquet", "l_suppkey"),
+    ("supplier.s_suppkey", "supplier.parquet", "s_suppkey"),
+)
+
+
+def joinability_audit(sf_dir: str) -> "ray.data.Dataset":
+    """Join-key discovery across the lake — for every pair of the 8
+    candidate key columns, the EXACT value-set overlap: |A|, |B|,
+    |A∩B|, Jaccard and containment(A in B) in basis points. This is
+    the profile a data catalog runs to propose joins (and to catch
+    key-domain drift: a custkey column that stops containing the
+    customer PK is a broken pipeline). One value-keyed shuffle serves
+    ALL 28 pairs: each column contributes (value, 1<<col) presence
+    rows, per-value masks OR together through an integer Sum (each
+    bit emitted once), and a 256-bin mask histogram — the only thing
+    the driver reads — yields every pairwise intersection by popcount
+    arithmetic. Tail-seated by design: dedup_exact's distinct fold
+    with a bitmask payload.
+
+    Scale shape: per-batch per-column distinct fold → groupby
+    (value, bit) dedups cross-batch repeats → groupby(value) Sum =
+    bitwise OR → per-batch 256-bin histogram partials → one ≤256-row
+    grid; pairwise math on the driver touches 256 ints, never a
+    value. Output: (col_a, col_b, n_a, n_b, n_common, jaccard_bp,
+    containment_bp)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def one_col(i: int, fname: str, col: str) -> "ray.data.Dataset":
+        def fold(batch: pa.Table) -> pa.Table:
+            v = np.unique(
+                batch.column(col).cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                )
+            )
+            return pa.table(
+                {
+                    "v": pa.array(v, pa.int64()),
+                    "bit": pa.array(
+                        np.full(len(v), 1 << i, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return ray.data.read_parquet(
+            f"{sf_dir}/{fname}", columns=[col]
+        ).map_batches(fold, batch_format="pyarrow")
+
+    ds = one_col(0, JOINABILITY_COLS[0][1], JOINABILITY_COLS[0][2])
+    for i, (_, fname, col) in enumerate(JOINABILITY_COLS[1:], start=1):
+        ds = ds.union(one_col(i, fname, col))
+
+    def mask_hist(batch: pa.Table) -> pa.Table:
+        m = batch.column("mask").to_numpy(zero_copy_only=False)
+        cnt = np.bincount(m, minlength=256).astype(np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "mask": pa.array(nz.astype(np.int64), pa.int64()),
+                "n": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    hist = np.zeros(256, np.int64)
+    grid = (
+        ds.groupby(["v", "bit"])
+        .aggregate(_Sum("bit", alias_name="dummy"))
+        .map_batches(
+            lambda t: pa.table(
+                {"v": t.column("v"), "bit": t.column("bit")}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("v")
+        .aggregate(_Sum("bit", alias_name="mask"))
+        .map_batches(mask_hist, batch_format="pyarrow")
+        .groupby("mask")
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    for b in grid.iter_batches(batch_format="pyarrow"):
+        for mask, n in zip(
+            b.column("mask").to_pylist(), b.column("n").to_pylist()
+        ):
+            hist[mask] += n
+
+    names = [c[0] for c in JOINABILITY_COLS]
+    masks = np.arange(256, dtype=np.int64)
+    rows = []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            in_i = (masks >> i) & 1 > 0
+            in_j = (masks >> j) & 1 > 0
+            n_a = int(hist[in_i].sum())
+            n_b = int(hist[in_j].sum())
+            n_c = int(hist[in_i & in_j].sum())
+            union = n_a + n_b - n_c
+            rows.append(
+                (
+                    names[i], names[j], n_a, n_b, n_c,
+                    n_c * 10000 // union if union else 0,
+                    n_c * 10000 // n_a if n_a else 0,
+                )
+            )
+    return pa.table(
+        {
+            "col_a": pa.array([r[0] for r in rows], pa.string()),
+            "col_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_a": pa.array([r[2] for r in rows], pa.int64()),
+            "n_b": pa.array([r[3] for r in rows], pa.int64()),
+            "n_common": pa.array([r[4] for r in rows], pa.int64()),
+            "jaccard_bp": pa.array([r[5] for r in rows], pa.int64()),
+            "containment_bp": pa.array([r[6] for r in rows], pa.int64()),
+        }
+    )

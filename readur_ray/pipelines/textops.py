@@ -993,3 +993,119 @@ def front_coding_audit(sf_dir: str) -> "ray.data.Dataset":
         .groupby("b0")
         .map_groups(bucket_scan, batch_format="pyarrow")
     )
+
+
+ROARING_CHUNK_BITS = 16
+ROARING_ARRAY_MAX = 4096  # entries; above this a chunk flips to bitmap
+
+
+def bitmap_index_audit(sf_dir: str) -> "ray.data.Dataset":
+    """Roaring-bitmap container accounting for the doc-id posting
+    bitmaps a faceted index keeps per (dimension, key) — lang and
+    source here: per 2^16-doc-id chunk the container is an array
+    (2 bytes/entry) below 4096 entries and a fixed 8 KiB bitmap at or
+    above, exactly Roaring's layout rule. Reports, per (dim, key,
+    kind), the exact container count, entries, and byte cost — the
+    sizing dial for a bitmap index, and the structural complement of
+    posting_sizes' varint-codec accounting (delta-varint postings vs
+    chunked bitmap containers over the SAME posting sets).
+    Tail-seated by design: source_facets' fold with a chunk key.
+
+    Scale shape: doc_ids are unique, so per-batch (dim, key, chunk,
+    n) partials → ONE groupby on (dim, key, chunk) completes each
+    container → per-batch kind classification folds to the bounded
+    (dim, key, kind) grid. Output: (dim, key, kind, n_containers,
+    n_entries, bytes_est)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+
+    def chunk_partials(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        chunk = ids >> ROARING_CHUNK_BITS
+        frames = []
+        for dim in ("lang", "source"):
+            key = np.asarray(batch.column(dim).to_pylist(), dtype=object)
+            frames.append(
+                pd.DataFrame(
+                    {"dim": dim, "key": key, "chunk": chunk, "n": 1}
+                )
+            )
+        g = (
+            pd.concat(frames)
+            .groupby(["dim", "key", "chunk"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "dim": pa.array(g["dim"], pa.string()),
+                "key": pa.array(g["key"], pa.string()),
+                "chunk": pa.array(g["chunk"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n = batch.column("n_p").to_numpy(zero_copy_only=False).astype(np.int64)
+        kind = np.where(n < ROARING_ARRAY_MAX, "array", "bitmap")
+        bytes_est = np.where(n < ROARING_ARRAY_MAX, 2 * n, 8192).astype(
+            np.int64
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "dim": np.asarray(
+                        batch.column("dim").to_pylist(), dtype=object
+                    ),
+                    "key": np.asarray(
+                        batch.column("key").to_pylist(), dtype=object
+                    ),
+                    "kind": kind,
+                    "c": 1,
+                    "n": n,
+                    "b": bytes_est,
+                }
+            )
+            .groupby(["dim", "key", "kind"], sort=False)
+            .agg(c=("c", "sum"), n=("n", "sum"), b=("b", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "dim": pa.array(g["dim"], pa.string()),
+                "key": pa.array(g["key"], pa.string()),
+                "kind": pa.array(g["kind"], pa.string()),
+                "n_containers": pa.array(
+                    g["c"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "n_entries": pa.array(
+                    g["n"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "bytes_est": pa.array(
+                    g["b"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(chunk_partials, batch_format="pyarrow")
+        .groupby(["dim", "key", "chunk"])
+        .aggregate(_Sum("n", alias_name="n_p"))
+        .map_batches(classify, batch_format="pyarrow")
+        .groupby(["dim", "key", "kind"])
+        .aggregate(
+            _Sum("n_containers", alias_name="n_containers"),
+            _Sum("n_entries", alias_name="n_entries"),
+            _Sum("bytes_est", alias_name="bytes_est"),
+        )
+    )

@@ -298,6 +298,8 @@ SUBSET = [
     "seasonality_dow",
     "k_anonymity_audit",
     "l_diversity_audit",
+    "joinability_audit",
+    "bitmap_index_audit",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
