@@ -1077,6 +1077,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # varint codec over the same posting sets. Tail-seated by
         # design: source_facets' fold with a chunk key.
         "bitmap_index_audit": textops.bitmap_index_audit,
+        # (round 4, wave 54) two-sided CUSUM changepoint score per
+        # type — deviations scaled to integers (n·n_days − total, so
+        # the mean is exactly zero without dividing) and the
+        # max(0, S+dev) recursion reduced to cumsum minus running
+        # extrema: pure prefix scans over the bounded daily grid.
+        # Tail-seated by design: ewma_daily's grid fold, scans for
+        # the recursion.
+        "cusum_drift": sessions.cusum_drift,
+        # (round 4, wave 54) small-file compaction planner — file_idx
+        # = exclusive-prefix-bytes // 32 KiB per source in doc_id
+        # order, via the two-pass bucket-grid prefix (per-source
+        # bucket offsets broadcast, local cumsums inside complete
+        # (source, bucket) groups). Tail-seated by design:
+        # decile_table's prefix machinery driving a storage manifest.
+        "compaction_plan": analytics.compaction_plan,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2421,6 +2436,60 @@ def oracle_sql() -> dict[str, str]:
         SELECT g.lane, g.digit, g.n,
                CAST(g.n * 10000 // t.tot AS BIGINT) AS share_bp
         FROM g JOIN t ON g.lane = t.lane
+    """
+
+    # cusum_drift: the same reduction in window functions — cum via
+    # SUM OVER, running extrema clamped through 0; first argmax day
+    # via a correlated min(day) over the tiny grid.
+    sql["cusum_drift"] = """
+        WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+        s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+                     CAST(sum(n) AS BIGINT) AS tot
+              FROM d GROUP BY 1),
+        c AS (SELECT d.event_type, day,
+                     sum(n * nd - tot) OVER (PARTITION BY d.event_type
+                                             ORDER BY day) AS cum
+              FROM d JOIN s USING (event_type)),
+        v AS (SELECT event_type, day,
+                     cum - least(0, min(cum) OVER (PARTITION BY event_type
+                                                   ORDER BY day)) AS pos,
+                     greatest(0, max(cum) OVER (PARTITION BY event_type
+                                                ORDER BY day)) - cum AS neg
+              FROM c),
+        agg AS (SELECT event_type, max(pos) AS mp, max(neg) AS mn
+                FROM v GROUP BY 1)
+        SELECT a.event_type, s.nd AS n_days,
+               CAST(a.mp AS BIGINT) AS max_pos_cusum,
+               (SELECT CAST(min(day) AS BIGINT) FROM v
+                WHERE v.event_type = a.event_type AND v.pos = a.mp)
+                 AS day_pos,
+               CAST(a.mn AS BIGINT) AS max_neg_cusum,
+               (SELECT CAST(min(day) AS BIGINT) FROM v
+                WHERE v.event_type = a.event_type AND v.neg = a.mn)
+                 AS day_neg
+        FROM agg a JOIN s USING (event_type)
+    """
+
+    # compaction_plan: the exclusive running byte prefix per source
+    # in doc_id order; '//' floor == numpy for the non-negative
+    # prefix.
+    sql["compaction_plan"] = """
+        WITH w AS (
+          SELECT source, doc_id, n_chars,
+                 coalesce(sum(n_chars) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS prev
+          FROM documents
+        )
+        SELECT source, CAST(prev // 32768 AS BIGINT) AS file_idx,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS bytes,
+               CAST(min(doc_id) AS BIGINT) AS doc_lo,
+               CAST(max(doc_id) AS BIGINT) AS doc_hi
+        FROM w GROUP BY 1, 2
     """
 
     # joinability_audit: one branch per (i < j) column pair over

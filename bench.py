@@ -154,6 +154,7 @@ def run_queries() -> dict[str, float]:
         "ewma_daily", "seasonality_dow",
         "k_anonymity_audit", "l_diversity_audit",
         "joinability_audit", "bitmap_index_audit",
+        "cusum_drift", "compaction_plan",
     ]
     out: dict[str, float] = {}
     for name in picks:

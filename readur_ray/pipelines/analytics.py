@@ -4172,3 +4172,141 @@ def joinability_audit(sf_dir: str) -> "ray.data.Dataset":
             "containment_bp": pa.array([r[6] for r in rows], pa.int64()),
         }
     )
+
+
+COMPACTION_TARGET = 32_768  # bytes per planned output file
+COMPACTION_BUCKETS = 256
+
+
+def compaction_plan(sf_dir: str) -> "ray.data.Dataset":
+    """Small-file compaction planner — the lakehouse maintenance op:
+    assign each document (in doc_id order within its source) to an
+    output file of ~32 KiB by the rule file_idx = exclusive-prefix-
+    bytes // target, and report per (source, file) the exact doc
+    count, byte total, and id range — the manifest a compactor
+    executes and a resumable writer skips finished entries of.
+    Tail-seated by design: decile_table's two-pass bucket-grid prefix
+    machinery driving a storage plan instead of a quantile.
+
+    Scale shape: a source never fits one partition at 10^12 rows, so
+    the prefix sum is two-pass — pass 1 folds per-batch (source,
+    id-range bucket) byte sums into a bounded grid, the driver builds
+    per-source EXCLUSIVE bucket offsets (≤ sources×256 ints) and
+    broadcasts them; pass 2 computes local exclusive cumsums inside
+    each (source, bucket) group (complete by construction) and folds
+    straight to (source, file) partials, summed in a final bounded
+    groupby. Output: (source, file_idx, n_docs, bytes, doc_lo,
+    doc_hi)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Min as _Min, Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    max_id = ds.aggregate(_Max("doc_id"))["max(doc_id)"]
+    span = int(max_id) + 1
+
+    def bucket_of(ids: np.ndarray) -> np.ndarray:
+        return ids * COMPACTION_BUCKETS // span
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        nb = batch.column("n_chars").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        g = (
+            pd.DataFrame({"source": src, "bucket": bucket_of(ids), "b": nb})
+            .groupby(["source", "bucket"], sort=False)["b"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "bucket": pa.array(g["bucket"].to_numpy(), pa.int64()),
+                "b": pa.array(g["b"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    grid: dict[str, np.ndarray] = {}
+    for b in (
+        ds.map_batches(pass1, batch_format="pyarrow")
+        .groupby(["source", "bucket"])
+        .aggregate(_Sum("b", alias_name="b"))
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for s, k, v in zip(
+            b.column("source").to_pylist(),
+            b.column("bucket").to_pylist(),
+            b.column("b").to_pylist(),
+        ):
+            grid.setdefault(s, np.zeros(COMPACTION_BUCKETS, np.int64))[k] = v
+    offsets = {
+        s: np.concatenate(([0], np.cumsum(arr)[:-1])) for s, arr in grid.items()
+    }
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return batch.append_column(
+            "bucket", pa.array(bucket_of(ids), pa.int64())
+        )
+
+    def pass2(grp: pa.Table) -> pa.Table:
+            ids = grp.column("doc_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            nb = grp.column("n_chars").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            src = grp.column("source")[0].as_py()
+            bkt = int(grp.column("bucket")[0].as_py())
+            order = np.argsort(ids)
+            ids, nb = ids[order], nb[order]
+            excl = (
+                np.concatenate(([0], np.cumsum(nb)[:-1]))
+                + offsets[src][bkt]
+            )
+            fidx = excl // COMPACTION_TARGET
+            g = (
+                pd.DataFrame(
+                    {"f": fidx, "n": 1, "b": nb, "lo": ids, "hi": ids}
+                )
+                .groupby("f", sort=False)
+                .agg(
+                    n=("n", "sum"), b=("b", "sum"),
+                    lo=("lo", "min"), hi=("hi", "max"),
+                )
+                .reset_index()
+            )
+            return pa.table(
+                {
+                    "source": pa.array([src] * len(g), pa.string()),
+                    "file_idx": pa.array(g["f"].to_numpy(), pa.int64()),
+                    "n_docs": pa.array(
+                        g["n"].to_numpy().astype(np.int64), pa.int64()
+                    ),
+                    "bytes": pa.array(
+                        g["b"].to_numpy().astype(np.int64), pa.int64()
+                    ),
+                    "doc_lo": pa.array(g["lo"].to_numpy(), pa.int64()),
+                    "doc_hi": pa.array(g["hi"].to_numpy(), pa.int64()),
+                }
+            )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby(["source", "bucket"])
+        .map_groups(pass2, batch_format="pyarrow")
+        .groupby(["source", "file_idx"])
+        .aggregate(
+            _Sum("n_docs", alias_name="n_docs"),
+            _Sum("bytes", alias_name="bytes"),
+            _Min("doc_lo", alias_name="doc_lo"),
+            _Max("doc_hi", alias_name="doc_hi"),
+        )
+    )

@@ -2083,3 +2083,86 @@ def seasonality_dow(sf_dir: str) -> "ray.data.Dataset":
         .groupby("event_type")
         .map_groups(index_bp, batch_format="pyarrow")
     )
+
+
+def cusum_drift(sf_dir: str) -> "ray.data.Dataset":
+    """Two-sided CUSUM changepoint score over the per-type daily
+    volume series — the classic drift alarm: with deviations scaled
+    to integers (dev_t = n_t·n_days − total, so the mean is exactly
+    zero without a division), the positive CUSUM max(0, S+dev)
+    recursion reduces to cum_t − min(0, running-min cum) and the
+    negative side to max(0, running-max cum) − cum_t: pure prefix
+    scans, no recursion, every value an exact int64. Reports per type
+    the peak excursion each side and the FIRST day attaining it —
+    where the changepoint alarm fires. Tail-seated by design:
+    ewma_daily's grid fold with cumulative-extrema scans in place of
+    the smoothing recursion.
+
+    Scale shape: the distributed fold is the bounded (type, day)
+    grid; the scans run per type over the tiny grid inside
+    map_groups. Output: (event_type, n_days, max_pos_cusum, day_pos,
+    max_neg_cusum, day_neg)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def day_partials(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        days = (
+            batch.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        g = (
+            pd.DataFrame({"event_type": et, "day": days, "n": 1})
+            .groupby(["event_type", "day"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "day": pa.array(g["day"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def scan(grp: pa.Table) -> pa.Table:
+        day = grp.column("day").to_numpy(zero_copy_only=False)
+        n = grp.column("n_p").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(day)
+        day, n = day[order], n[order]
+        nd, tot = len(n), int(n.sum())
+        dev = n * nd - tot
+        cum = np.cumsum(dev)
+        rmin = np.minimum(np.minimum.accumulate(cum), 0)
+        rmax = np.maximum(np.maximum.accumulate(cum), 0)
+        pos = cum - rmin
+        neg = rmax - cum
+        ip = int(np.argmax(pos))
+        ineg = int(np.argmax(neg))
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [grp.column("event_type")[0].as_py()], pa.string()
+                ),
+                "n_days": pa.array([nd], pa.int64()),
+                "max_pos_cusum": pa.array([int(pos[ip])], pa.int64()),
+                "day_pos": pa.array([int(day[ip])], pa.int64()),
+                "max_neg_cusum": pa.array([int(neg[ineg])], pa.int64()),
+                "day_neg": pa.array([int(day[ineg])], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(day_partials, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(_Sum("n", alias_name="n_p"))
+        .groupby("event_type")
+        .map_groups(scan, batch_format="pyarrow")
+    )

@@ -300,6 +300,8 @@ SUBSET = [
     "l_diversity_audit",
     "joinability_audit",
     "bitmap_index_audit",
+    "cusum_drift",
+    "compaction_plan",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
