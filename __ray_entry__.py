@@ -1092,6 +1092,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (source, bucket) groups). Tail-seated by design:
         # decile_table's prefix machinery driving a storage manifest.
         "compaction_plan": analytics.compaction_plan,
+        # (round 4, wave 55) TPC-H Q18 — the HAVING-gated fact
+        # aggregate joined back: the >200-unit quantity gate is
+        # computed distributed over lineitem FIRST, survivors ride
+        # the same orderkey co-partition against orders, then a
+        # custkey co-partition against customer; quantities exact
+        # centi-units. Tail-seated by design: q10's join legs with a
+        # groupby-produced build side.
+        "q18_large_orders": analytics.q18_large_orders,
+        # (round 4, wave 55) Welch's t² between every source pair on
+        # doc length, entirely in exact big-integer arithmetic from
+        # per-source (n, Σx, Σx²) — no sqrt, no float sum; the 10³
+        # fixed-point scale is the HUGEINT headroom dial. Tail-seated
+        # by design: corr_moments' sufficient-statistics fold with a
+        # driver-side pairwise grid.
+        "welch_t2_grid": analytics.welch_t2_grid,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2436,6 +2451,53 @@ def oracle_sql() -> dict[str, str]:
         SELECT g.lane, g.digit, g.n,
                CAST(g.n * 10000 // t.tot AS BIGINT) AS share_bp
         FROM g JOIN t ON g.lane = t.lane
+    """
+
+    # q18_large_orders: the textbook Q18 with the shared
+    # floor(x*100+0.5) centi-unit convention on both quantity and
+    # price; deterministic (price, orderkey) tiebreak.
+    sql["q18_large_orders"] = """
+        WITH heavy AS (
+          SELECT l_orderkey,
+                 CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS sum_qty_c
+          FROM lineitem GROUP BY 1
+          HAVING sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 20000
+        )
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               epoch_us(o.o_orderdate) AS o_orderdate_us,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                 AS o_totalprice_cents,
+               h.sum_qty_c
+        FROM heavy h
+        JOIN orders o ON o.o_orderkey = h.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY o_totalprice_cents DESC, o.o_orderkey
+        LIMIT 100
+    """
+
+    # welch_t2_grid: the same exact rational in HUGEINT over the
+    # per-source sufficient statistics; pairs via a self-join on
+    # source name order.
+    sql["welch_t2_grid"] = """
+        WITH s AS (
+          SELECT source, CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(n_chars) AS HUGEINT) AS s,
+                 CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT)
+                   AS q
+          FROM documents GROUP BY 1
+        )
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+               CAST(a.s * 1000 // a.n AS BIGINT) AS mean_a_x1000,
+               CAST(b.s * 1000 // b.n AS BIGINT) AS mean_b_x1000,
+               CAST(
+                 ((a.s * b.n - b.s * a.n) * (a.s * b.n - b.s * a.n)
+                  * (a.n - 1) * (b.n - 1) * 1000)
+                 // ((a.n * a.q - a.s * a.s) * b.n * b.n * (b.n - 1)
+                     + (b.n * b.q - b.s * b.s) * a.n * a.n * (a.n - 1))
+               AS BIGINT) AS t2_x1000
+        FROM s a JOIN s b ON a.source < b.source
     """
 
     # cusum_drift: the same reduction in window functions — cum via

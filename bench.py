@@ -155,6 +155,7 @@ def run_queries() -> dict[str, float]:
         "k_anonymity_audit", "l_diversity_audit",
         "joinability_audit", "bitmap_index_audit",
         "cusum_drift", "compaction_plan",
+        "q18_large_orders", "welch_t2_grid",
     ]
     out: dict[str, float] = {}
     for name in picks:

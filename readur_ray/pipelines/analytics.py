@@ -4310,3 +4310,287 @@ def compaction_plan(sf_dir: str) -> "ray.data.Dataset":
             _Max("doc_hi", alias_name="doc_hi"),
         )
     )
+
+
+Q18_QTY_THRESH_C = 20_000  # 200.00 quantity units in exact centi-units
+
+
+def q18_large_orders(sf_dir: str, k: int = 100) -> "ray.data.Dataset":
+    """TPC-H Q18 (large-volume customer) — the HAVING-gated fact
+    aggregate joined back to its dimensions: orders whose total
+    lineitem quantity exceeds 200 units, with customer name, order
+    date/price and the exact quantity sum, top-k by price. The shape
+    Q3/Q10 don't cover: the filter is an aggregate over the BIGGEST
+    table, so the gate itself must be computed distributed before
+    any join. Tail-seated by design: q10_returned_items' two
+    co-partition legs with the build side produced by a groupby
+    instead of a scan filter.
+
+    Scale shape: lineitem folds per-batch (orderkey, qty) partials →
+    ONE groupby(orderkey) completes the sums → the > 200 gate prunes
+    to the rare heavy orders → the survivors ride the SAME orderkey
+    co-partition against orders (no re-shuffle of lineitem), re-key
+    to a custkey co-partition against customer, and only the k-row
+    sort-limit is global. Quantities are exact centi-units."""
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+
+    def qty_partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lk = batch.column("l_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        qc = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame({"k": lk, "q": qc})
+            .groupby("k", sort=False)["q"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "okey": pa.array(g["k"].to_numpy().astype(np.int64), pa.int64()),
+                "q": pa.array(g["q"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def heavy_side(batch: pa.Table) -> pa.Table:
+        q = batch.column("q_p").to_numpy(zero_copy_only=False)
+        keep = q > Q18_QTY_THRESH_C
+        ok = batch.column("okey").to_numpy(zero_copy_only=False)[keep]
+        n = len(ok)
+        return pa.table(
+            {
+                "okey": pa.array(ok, pa.int64()),
+                "q": pa.array(q[keep], pa.int64()),
+                "ckey": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "odate": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "price_c": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "part": pa.array(ok % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        price_c = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        n = len(ok)
+        return pa.table(
+            {
+                "okey": pa.array(ok, pa.int64()),
+                "q": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "ckey": batch.column("o_custkey").cast(pa.int64()),
+                "odate": batch.column("o_orderdate").cast(pa.int64()),
+                "price_c": pa.array(price_c, pa.int64()),
+                "side": pa.array(np.ones(n, np.int64), pa.int64()),
+                "part": pa.array(ok % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    stage_a = (
+        lines.map_batches(qty_partials, batch_format="pyarrow")
+        .groupby("okey")
+        .aggregate(Sum("q", alias_name="q_p"))
+        .map_batches(heavy_side, batch_format="pyarrow")
+        .union(orders.map_batches(order_side, batch_format="pyarrow"))
+    )
+
+    def okey_join(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part_tbl.to_pandas()
+        build = df[df["side"] == 0].set_index("okey")["q"]
+        probe = df[df["side"] == 1]
+        m = probe.join(build, on="okey", how="inner", rsuffix="_b")
+        ck = m["ckey"].to_numpy().astype(np.int64)
+        n = len(ck)
+        return pa.table(
+            {
+                "ckey": pa.array(ck, pa.int64()),
+                "okey": pa.array(m["okey"].to_numpy().astype(np.int64), pa.int64()),
+                "odate": pa.array(m["odate"].to_numpy().astype(np.int64), pa.int64()),
+                "price_c": pa.array(
+                    m["price_c"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "q": pa.array(m["q_b"].to_numpy().astype(np.int64), pa.int64()),
+                "name": pa.array([""] * n, pa.string()),
+                "side": pa.array(np.ones(n, np.int64), pa.int64()),
+                "part2": pa.array(ck % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = len(ck)
+        return pa.table(
+            {
+                "ckey": pa.array(ck, pa.int64()),
+                "okey": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "odate": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "price_c": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "q": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "name": batch.column("c_name"),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "part2": pa.array(ck % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    stage_b = (
+        stage_a.groupby("part")
+        .map_groups(okey_join, batch_format="pyarrow")
+        .union(cust.map_batches(cust_side, batch_format="pyarrow"))
+    )
+
+    def ckey_join(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part_tbl.to_pandas()
+        build = df[df["side"] == 0].set_index("ckey")["name"]
+        probe = df[df["side"] == 1]
+        m = probe.join(build, on="ckey", how="inner", rsuffix="_b")
+        return pa.table(
+            {
+                "c_name": pa.array(m["name_b"], pa.string()),
+                "c_custkey": pa.array(
+                    m["ckey"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "o_orderkey": pa.array(
+                    m["okey"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "o_orderdate_us": pa.array(
+                    m["odate"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "o_totalprice_cents": pa.array(
+                    m["price_c"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "sum_qty_c": pa.array(
+                    m["q"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        stage_b.groupby("part2")
+        .map_groups(ckey_join, batch_format="pyarrow")
+        .sort(["o_totalprice_cents", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+WELCH_SCALE = 1_000  # t² fixed-point; shrink if HUGEINT headroom tightens
+
+
+def welch_t2_grid(sf_dir: str) -> "ray.data.Dataset":
+    """Welch's t² between every pair of sources on document length —
+    the mean-shift monitor for a corpus mix: which sources genuinely
+    differ in average doc length, unequal variances allowed. The
+    whole statistic is computed in EXACT big-integer arithmetic from
+    per-source sufficient statistics (n, Σx, Σx²): with D = S₁n₂ −
+    S₂n₁, t²·10³ = D²(n₁−1)(n₂−1)·10³ // [(n₁Q₁−S₁²)n₂²(n₂−1) +
+    (n₂Q₂−S₂²)n₁²(n₁−1)] — no sqrt, no float sum, bit-exact in any
+    engine (oracle computes the same in HUGEINT; the 10³ scale is
+    the headroom dial — at ~10⁶ docs/source the products near
+    HUGEINT's 1.7e38 ceiling, so larger corpora shrink the scale or
+    shard the grid). Tail-seated by design: corr_moments' sufficient
+    -statistics fold with the pairwise grid finalized driver-side on
+    ≤ sources rows.
+
+    Scale shape: ONE pass folds per-batch (source, n, S, Q) partials
+    → a bounded per-source grid; the 66-pair arithmetic touches only
+    that grid. Output: (src_a, src_b, n_a, n_b, mean_a_x1000,
+    mean_b_x1000, t2_x1000)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        x = batch.column("n_chars").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        g = (
+            pd.DataFrame({"source": src, "n": 1, "s": x, "q": x * x})
+            .groupby("source", sort=False)
+            .agg(n=("n", "sum"), s=("s", "sum"), q=("q", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+                "s": pa.array(g["s"].to_numpy().astype(np.int64), pa.int64()),
+                "q": pa.array(g["q"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    stats: list[tuple[str, int, int, int]] = []
+    for b in (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            _Sum("n", alias_name="n"),
+            _Sum("s", alias_name="s"),
+            _Sum("q", alias_name="q"),
+        )
+        .iter_batches(batch_format="pyarrow")
+    ):
+        stats.extend(
+            zip(
+                b.column("source").to_pylist(),
+                b.column("n").to_pylist(),
+                b.column("s").to_pylist(),
+                b.column("q").to_pylist(),
+            )
+        )
+    stats.sort()
+    rows = []
+    for i in range(len(stats)):
+        for j in range(i + 1, len(stats)):
+            (sa, n1, s1, q1), (sb, n2, s2, q2) = stats[i], stats[j]
+            d = s1 * n2 - s2 * n1
+            den = (n1 * q1 - s1 * s1) * n2 * n2 * (n2 - 1) + (
+                n2 * q2 - s2 * s2
+            ) * n1 * n1 * (n1 - 1)
+            t2 = d * d * (n1 - 1) * (n2 - 1) * WELCH_SCALE // den
+            rows.append(
+                (
+                    sa, sb, n1, n2,
+                    s1 * 1000 // n1, s2 * 1000 // n2, t2,
+                )
+            )
+    return pa.table(
+        {
+            "src_a": pa.array([r[0] for r in rows], pa.string()),
+            "src_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_a": pa.array([r[2] for r in rows], pa.int64()),
+            "n_b": pa.array([r[3] for r in rows], pa.int64()),
+            "mean_a_x1000": pa.array([r[4] for r in rows], pa.int64()),
+            "mean_b_x1000": pa.array([r[5] for r in rows], pa.int64()),
+            "t2_x1000": pa.array([r[6] for r in rows], pa.int64()),
+        }
+    )

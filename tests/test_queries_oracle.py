@@ -302,6 +302,8 @@ SUBSET = [
     "bitmap_index_audit",
     "cusum_drift",
     "compaction_plan",
+    "q18_large_orders",
+    "welch_t2_grid",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
