@@ -1107,6 +1107,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # by design: corr_moments' sufficient-statistics fold with a
         # driver-side pairwise grid.
         "welch_t2_grid": analytics.welch_t2_grid,
+        # (round 4, wave 56) TPC-H Q5 — three fact co-partitions
+        # CHAINED (orderkey, custkey, suppkey) with the
+        # customer-nation = supplier-nation equality applied at the
+        # last hop and the 5-nation region membership broadcast;
+        # per-hop partition-local pre-sums keep every shuffle row
+        # count bounded by the key-group count. Tail-seated by
+        # design: q10's legs plus one more hop.
+        "q5_local_supplier": analytics.q5_local_supplier,
+        # (round 4, wave 56) RAKE keyword extraction — stopword-free
+        # phrase runs score each word degree·1000 // freq in exact
+        # integers; oracle rebuilds the segmentation with the
+        # gaps-and-islands trick. Tail-seated by design: top_ngrams'
+        # token fold with a phrase-run accumulator.
+        "rake_keywords": textops.rake_keywords,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2451,6 +2465,55 @@ def oracle_sql() -> dict[str, str]:
         SELECT g.lane, g.digit, g.n,
                CAST(g.n * 10000 // t.tot AS BIGINT) AS share_bp
         FROM g JOIN t ON g.lane = t.lane
+    """
+
+    # q5_local_supplier: the textbook Q5 over the available columns;
+    # cents with the shared floor convention; revenue-desc order with
+    # the n_name tiebreak.
+    sql["q5_local_supplier"] = """
+        SELECT n.n_name,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE s.s_nationkey = c.c_nationkey
+          AND r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+        ORDER BY revenue_cents DESC, n_name
+    """
+
+    # rake_keywords: phrase runs via gaps-and-islands (pos −
+    # row_number over non-stopword tokens); the 23-word stoplist is
+    # the module constant verbatim.
+    sql["rake_keywords"] = """
+        WITH w2 AS (SELECT doc_id, regexp_extract_all(lower(text),
+                           '[a-z0-9]+') AS ws FROM documents),
+        tok AS (SELECT doc_id, i AS pos, ws[i] AS w
+                FROM w2, unnest(range(1, len(ws) + 1)) AS t(i)),
+        ns AS (SELECT doc_id, pos, w,
+                      pos - row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY pos) AS isl
+               FROM tok
+               WHERE w NOT IN ('a','an','and','are','as','at','be','by',
+                               'for','from','in','is','it','of','on','or',
+                               'that','the','this','to','was','were',
+                               'with')),
+        ph AS (SELECT doc_id, isl, CAST(count(*) AS BIGINT) AS plen
+               FROM ns GROUP BY 1, 2),
+        wd AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq,
+                      CAST(sum(plen) AS BIGINT) AS degree
+               FROM ns JOIN ph USING (doc_id, isl) GROUP BY 1)
+        SELECT word, freq, degree,
+               CAST(degree * 1000 // freq AS BIGINT) AS score_x1000
+        FROM wd
+        ORDER BY score_x1000 DESC, freq DESC, word
+        LIMIT 50
     """
 
     # q18_large_orders: the textbook Q18 with the shared

@@ -156,6 +156,7 @@ def run_queries() -> dict[str, float]:
         "joinability_audit", "bitmap_index_audit",
         "cusum_drift", "compaction_plan",
         "q18_large_orders", "welch_t2_grid",
+        "q5_local_supplier", "rake_keywords",
     ]
     out: dict[str, float] = {}
     for name in picks:

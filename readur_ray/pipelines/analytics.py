@@ -4594,3 +4594,266 @@ def welch_t2_grid(sf_dir: str) -> "ray.data.Dataset":
             "t2_x1000": pa.array([r[6] for r in rows], pa.int64()),
         }
     )
+
+
+Q5_REGION = "ASIA"
+Q5_LO_US = 852_076_800_000_000   # 1997-01-01 epoch microseconds
+Q5_HI_US = 883_612_800_000_000   # 1998-01-01
+
+
+def q5_local_supplier(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q5 (local supplier volume) — the deepest join tree in
+    the registry: revenue per nation where the ordering customer and
+    the supplying supplier sit in the SAME nation of one region, over
+    one order-date year. Three fact co-partitions CHAINED — orderkey
+    (orders⋈lineitem), custkey (⋈customer), suppkey (⋈supplier) —
+    with the nation equality applied at the last hop and the 5-nation
+    region membership broadcast. Tail-seated by design: q10's legs
+    plus one more hop; nothing fact-scale ever broadcasts.
+
+    Scale shape: dates prune orders at the scan; after each hop the
+    payload is pre-summed per next-hop key group inside the partition
+    (cents ride as exact ints), so every shuffle carries at most one
+    row per (key, nation) pair per partition; the final groupby is
+    over ≤ 5 nations. Output: (n_name, revenue_cents) by revenue
+    desc."""
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    nation_rows = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).take_all()
+    region_rows = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).take_all()
+    rkey = {r["r_regionkey"]: r["r_name"] for r in region_rows}
+    asia = {
+        int(n["n_nationkey"]): n["n_name"]
+        for n in nation_rows
+        if rkey[n["n_regionkey"]] == Q5_REGION
+    }
+    asia_ref = ray.put(asia)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = (od >= Q5_LO_US) & (od < Q5_HI_US)
+        ok = batch.column("o_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[keep]
+        ck = batch.column("o_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[keep]
+        n = len(ok)
+        return pa.table(
+            {
+                "k": pa.array(ok, pa.int64()),
+                "a": pa.array(ck, pa.int64()),
+                "b": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "part": pa.array(ok % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        lk = batch.column("l_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        sk = batch.column("l_suppkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        n = len(lk)
+        return pa.table(
+            {
+                "k": pa.array(lk, pa.int64()),
+                "a": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "b": pa.array(sk, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "side": pa.array(np.ones(n, np.int64), pa.int64()),
+                "part": pa.array(lk % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def hop1(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part_tbl.to_pandas()
+        build = df[df["side"] == 0].set_index("k")["a"]
+        probe = df[df["side"] == 1]
+        m = probe.join(build, on="k", how="inner", rsuffix="_b")
+        g = (
+            m.groupby(["a_b", "b"], sort=False)["cents"]
+            .sum()
+            .reset_index()
+        )
+        ck = g["a_b"].to_numpy().astype(np.int64)
+        n = len(ck)
+        return pa.table(
+            {
+                "k": pa.array(ck, pa.int64()),
+                "a": pa.array(g["b"].to_numpy().astype(np.int64), pa.int64()),
+                "b": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "cents": pa.array(
+                    g["cents"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "side": pa.array(np.ones(n, np.int64), pa.int64()),
+                "part": pa.array(ck % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    class CustSide:
+        def __init__(self) -> None:
+            self.asia = ray.get(asia_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch.column("c_custkey").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            nk = batch.column("c_nationkey").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            keep = np.isin(nk, np.fromiter(self.asia, np.int64))
+            ck, nk = ck[keep], nk[keep]
+            n = len(ck)
+            return pa.table(
+                {
+                    "k": pa.array(ck, pa.int64()),
+                    "a": pa.array(nk, pa.int64()),
+                    "b": pa.array(np.zeros(n, np.int64), pa.int64()),
+                    "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+                    "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+                    "part": pa.array(ck % N_COARSE_PARTS, pa.int64()),
+                }
+            )
+
+    def hop2(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part_tbl.to_pandas()
+        build = df[df["side"] == 0].set_index("k")["a"]
+        probe = df[df["side"] == 1]
+        m = probe.join(build, on="k", how="inner", rsuffix="_b")
+        g = (
+            m.groupby(["a", "a_b"], sort=False)["cents"]
+            .sum()
+            .reset_index()
+        )
+        sk = g["a"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array(sk, pa.int64()),
+                "a": pa.array(g["a_b"].to_numpy().astype(np.int64), pa.int64()),
+                "cents": pa.array(
+                    g["cents"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "side": pa.array(np.ones(len(sk), np.int64), pa.int64()),
+                "part": pa.array(sk % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    class SuppSide:
+        def __init__(self) -> None:
+            self.asia = ray.get(asia_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sk = batch.column("s_suppkey").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            nk = batch.column("s_nationkey").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            keep = np.isin(nk, np.fromiter(self.asia, np.int64))
+            sk, nk = sk[keep], nk[keep]
+            n = len(sk)
+            return pa.table(
+                {
+                    "k": pa.array(sk, pa.int64()),
+                    "a": pa.array(nk, pa.int64()),
+                    "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+                    "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+                    "part": pa.array(sk % N_COARSE_PARTS, pa.int64()),
+                }
+            )
+
+    def hop3(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part_tbl.to_pandas()
+        build = df[df["side"] == 0].set_index("k")["a"]
+        probe = df[df["side"] == 1]
+        m = probe.join(build, on="k", how="inner", rsuffix="_b")
+        m = m[m["a"] == m["a_b"]]
+        g = m.groupby("a", sort=False)["cents"].sum().reset_index()
+        return pa.table(
+            {
+                "nk": pa.array(g["a"].to_numpy().astype(np.int64), pa.int64()),
+                "cents": pa.array(
+                    g["cents"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    class Finalize:
+        def __init__(self) -> None:
+            self.asia = ray.get(asia_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            nk = batch.column("nk").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "n_name": pa.array(
+                        [self.asia[int(x)] for x in nk], pa.string()
+                    ),
+                    "revenue_cents": batch.column("cents_p"),
+                }
+            )
+
+    stage1 = orders.map_batches(order_side, batch_format="pyarrow").union(
+        lines.map_batches(line_side, batch_format="pyarrow")
+    )
+    stage2 = (
+        stage1.groupby("part")
+        .map_groups(hop1, batch_format="pyarrow")
+        .union(
+            cust.map_batches(
+                CustSide, concurrency=(1, 4), batch_format="pyarrow"
+            )
+        )
+    )
+    stage3 = (
+        stage2.groupby("part")
+        .map_groups(hop2, batch_format="pyarrow")
+        .union(
+            supp.map_batches(
+                SuppSide, concurrency=(1, 4), batch_format="pyarrow"
+            )
+        )
+    )
+    return (
+        stage3.groupby("part")
+        .map_groups(hop3, batch_format="pyarrow")
+        .groupby("nk")
+        .aggregate(Sum("cents", alias_name="cents_p"))
+        .map_batches(Finalize, concurrency=(1, 2), batch_format="pyarrow")
+        .sort(["revenue_cents", "n_name"], descending=[True, False])
+    )

@@ -1109,3 +1109,88 @@ def bitmap_index_audit(sf_dir: str) -> "ray.data.Dataset":
             _Sum("bytes_est", alias_name="bytes_est"),
         )
     )
+
+
+RAKE_STOPWORDS = (
+    "a an and are as at be by for from in is it of on or that the this",
+    "to was were with",
+)
+RAKE_STOPSET = frozenset((RAKE_STOPWORDS[0] + " " + RAKE_STOPWORDS[1]).split())
+RAKE_TOP = 50
+
+
+def rake_keywords(sf_dir: str) -> "ray.data.Dataset":
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus —
+    candidate phrases are maximal stopword-free token runs, each word
+    scores freq (occurrences) and degree (sum of its phrases'
+    lengths, self included), and the RAKE score degree/freq is
+    emitted as the exact integer degree·1000 // freq: words that
+    live in long multi-word phrases rank above bare frequent words.
+    Top-50 by (score, freq, word) — a total order, so the cut is
+    deterministic. The oracle rebuilds the phrase segmentation with
+    the gaps-and-islands trick (pos − row_number over non-stopword
+    tokens). Tail-seated by design: top_ngrams' token fold with a
+    phrase-run accumulator.
+
+    Scale shape: ONE text pass folds per-batch (word, freq, degree)
+    partials → one word-keyed groupby → score arithmetic per batch →
+    the 50-row sort-limit is the only global step."""
+    import re
+
+    import numpy as np
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        freq: dict[str, int] = {}
+        deg: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            ws = tok_re.findall((text or "").lower())
+            phrase: list[str] = []
+            for w in ws + [None]:
+                if w is None or w in RAKE_STOPSET:
+                    if phrase:
+                        plen = len(phrase)
+                        for p in phrase:
+                            freq[p] = freq.get(p, 0) + 1
+                            deg[p] = deg.get(p, 0) + plen
+                        phrase = []
+                else:
+                    phrase.append(w)
+        words = sorted(freq)
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "freq": pa.array([freq[w] for w in words], pa.int64()),
+                "degree": pa.array([deg[w] for w in words], pa.int64()),
+            }
+        )
+
+    def score(batch: pa.Table) -> pa.Table:
+        f = batch.column("freq_p").to_numpy(zero_copy_only=False)
+        d = batch.column("degree_p").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "word": batch.column("word"),
+                "freq": pa.array(f.astype(np.int64), pa.int64()),
+                "degree": pa.array(d.astype(np.int64), pa.int64()),
+                "score_x1000": pa.array(d * 1000 // f, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(
+            _Sum("freq", alias_name="freq_p"),
+            _Sum("degree", alias_name="degree_p"),
+        )
+        .map_batches(score, batch_format="pyarrow")
+        .sort(["score_x1000", "freq", "word"], descending=[True, True, False])
+        .limit(RAKE_TOP)
+    )

@@ -304,6 +304,8 @@ SUBSET = [
     "compaction_plan",
     "q18_large_orders",
     "welch_t2_grid",
+    "q5_local_supplier",
+    "rake_keywords",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
