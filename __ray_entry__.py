@@ -1121,6 +1121,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gaps-and-islands trick. Tail-seated by design: top_ngrams'
         # token fold with a phrase-run accumulator.
         "rake_keywords": textops.rake_keywords,
+        # (round 4, wave 57) SQ8 scalar-quantization distortion — the
+        # other standard vector codec next to pq_distortion: per-dim
+        # affine int8 range trained on the exact 1e-6 grid, encode/
+        # decode in pure integer arithmetic, exact per-dim SSE and
+        # max|err|. Tail-seated by design: profile_columns' min/max
+        # fold + one vectorized re-pass.
+        "sq8_distortion": similarity.sq8_distortion,
+        # (round 4, wave 57) hot-key salting plan — the actionable
+        # half of shuffle_skew_audit: per shuffle domain the 10
+        # heaviest keys with salt = ceil(rows/64); keys compare as
+        # strings so int and string domains share one total order.
+        # Tail-seated by design: the skew fold + grouped_topk's
+        # rank-then-limit.
+        "salt_plan": analytics.salt_plan,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2466,6 +2480,50 @@ def oracle_sql() -> dict[str, str]:
                CAST(g.n * 10000 // t.tot AS BIGINT) AS share_bp
         FROM g JOIN t ON g.lane = t.lane
     """
+
+    # sq8_distortion: the shared quantize CTE; affine int8 encode/
+    # decode in pure integer arithmetic ('//' operands non-negative
+    # by construction), exact per-dim SSE / max|err|.
+    sql["sq8_distortion"] = """
+        WITH qv AS (
+          SELECT vec_id, dim,
+                 CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 1000000 + 0.5)
+                      AS BIGINT) AS q
+          FROM embeddings, UNNEST(range(0, 64)) t(dim)
+        ),
+        mm AS (SELECT dim, min(q) AS mn, max(q) AS mx,
+                      greatest(max(q) - min(q), 1) AS span
+               FROM qv GROUP BY 1),
+        e AS (SELECT qv.dim, mn, mx,
+                     q - (mn + ((q - mn) * 255 // span) * span // 255)
+                       AS err
+              FROM qv JOIN mm USING (dim))
+        SELECT CAST(dim AS BIGINT) AS dim, CAST(mn AS BIGINT) AS min_q,
+               CAST(mx AS BIGINT) AS max_q,
+               CAST(sum(err * err) AS BIGINT) AS sse,
+               CAST(max(abs(err)) AS BIGINT) AS max_abs_err
+        FROM e GROUP BY 1, 2, 3
+    """
+
+    # salt_plan: per shuffle domain the 10 heaviest keys (string
+    # compare) with ceil-division salt factors.
+    sql["salt_plan"] = " UNION ALL ".join(
+        f"""
+        SELECT * FROM (
+          SELECT '{domain}' AS domain, CAST({col} AS VARCHAR) AS key,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST((count(*) + 63) // 64 AS BIGINT) AS salt
+          FROM {tbl} GROUP BY 2
+          ORDER BY n_rows DESC, key LIMIT 10
+        )
+        """
+        for domain, tbl, col in (
+            ("events.user_id", "events", "user_id"),
+            ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+            ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+            ("documents.source", "documents", "source"),
+        )
+    )
 
     # q5_local_supplier: the textbook Q5 over the available columns;
     # cents with the shared floor convention; revenue-desc order with

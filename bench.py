@@ -157,6 +157,7 @@ def run_queries() -> dict[str, float]:
         "cusum_drift", "compaction_plan",
         "q18_large_orders", "welch_t2_grid",
         "q5_local_supplier", "rake_keywords",
+        "sq8_distortion", "salt_plan",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -4857,3 +4857,67 @@ def q5_local_supplier(sf_dir: str) -> "ray.data.Dataset":
         .map_batches(Finalize, concurrency=(1, 2), batch_format="pyarrow")
         .sort(["revenue_cents", "n_name"], descending=[True, False])
     )
+
+
+SALT_TARGET_ROWS = 64  # rows per salted sub-key a partition should see
+SALT_TOP = 10
+
+
+def salt_plan(sf_dir: str) -> "ray.data.Dataset":
+    """Hot-key salting plan — the ACTIONABLE half of
+    shuffle_skew_audit: for each shuffle-key domain the engine
+    actually partitions on, the 10 heaviest keys with the salt
+    factor a planner would split them into (ceil(rows / 64), so a
+    salted sub-key carries ≤ 64 rows) — exactly the number a
+    key-partitioned stage multiplies its hot keys by before the
+    exchange. Keys compare as strings in the (rows desc, key asc)
+    tiebreak so int and string domains share one total order.
+    Tail-seated by design: shuffle_skew_audit's per-key fold with
+    grouped_topk's rank-then-limit.
+
+    Scale shape: per-batch (key, rows) partials → ONE groupby per
+    domain completes the counts → the global step is a 10-row
+    sort-limit per domain. Output: (domain, key, n_rows, salt)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def one_domain(domain: str, fname: str, col: str) -> "ray.data.Dataset":
+        ds = ray.data.read_parquet(f"{sf_dir}/{fname}", columns=[col])
+
+        def fold(batch: pa.Table) -> pa.Table:
+            vals = batch.column(col).cast(pa.string())
+            arr = np.asarray(vals.to_pylist(), dtype=object)
+            u, cnt = np.unique(arr, return_counts=True)
+            return pa.table(
+                {
+                    "key": pa.array(u, pa.string()),
+                    "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                }
+            )
+
+        def finalize(batch: pa.Table) -> pa.Table:
+            n = batch.column("n_p").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "domain": pa.array([domain] * len(n), pa.string()),
+                    "key": batch.column("key"),
+                    "n_rows": pa.array(n.astype(np.int64), pa.int64()),
+                    "salt": pa.array(
+                        (n + SALT_TARGET_ROWS - 1) // SALT_TARGET_ROWS,
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        return (
+            ds.map_batches(fold, batch_format="pyarrow")
+            .groupby("key")
+            .aggregate(_Sum("n", alias_name="n_p"))
+            .map_batches(finalize, batch_format="pyarrow")
+            .sort(["n_rows", "key"], descending=[True, False])
+            .limit(SALT_TOP)
+        )
+
+    out = one_domain(*SKEW_KEYS[0])
+    for spec in SKEW_KEYS[1:]:
+        out = out.union(one_domain(*spec))
+    return out

@@ -1797,3 +1797,94 @@ def ivf_probe_cost(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(probe_rows, batch_format="pyarrow")
+
+
+SQ8_LEVELS = 255  # codes 0..255 → 255 intervals, Faiss SQ8 layout
+
+
+def sq8_distortion(sf_dir: str) -> "ray.data.Dataset":
+    """Scalar-quantization (SQ8) distortion audit — the OTHER
+    standard vector codec next to pq_distortion's product quantizer:
+    per dimension, train the affine int8 range [min, max] on the
+    exact 1e-6 fixed-point grid, encode code = (q−min)·255 //
+    (max−min), decode deq = min + code·(max−min) // 255, and report
+    the EXACT per-dimension SSE and max |error| on that grid (plus
+    the trained range). SQ8 keeps per-dim resolution where PQ shares
+    a codebook across dims — these two rows of dials are what an
+    index builder compares before picking a codec. Tail-seated by
+    design: profile_columns' min/max fold + one vectorized re-pass.
+
+    Scale shape: pass 1 folds per-batch per-dim min/max partials to a
+    64-row grid (broadcast back as 128 ints); pass 2 encodes/decodes
+    each batch vectorized and folds (dim, sse, maxabs) partials into
+    the same bounded grid. Output: (dim, min_q, max_q, sse,
+    max_abs_err)."""
+    from ray.data.aggregate import Max as _Max, Min as _Min, Sum as _Sum
+
+    ds = _read_embeddings(sf_dir)
+
+    def mm_partials(batch: pa.Table) -> pa.Table:
+        mat = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False))
+        q = _quantize(mat)
+        dims = np.arange(q.shape[1], dtype=np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(dims, pa.int64()),
+                "mn": pa.array(q.min(axis=0), pa.int64()),
+                "mx": pa.array(q.max(axis=0), pa.int64()),
+            }
+        )
+
+    mm: dict[int, tuple[int, int]] = {}
+    for b in (
+        ds.map_batches(mm_partials, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(_Min("mn", alias_name="mn"), _Max("mx", alias_name="mx"))
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for d, lo, hi in zip(
+            b.column("dim").to_pylist(),
+            b.column("mn").to_pylist(),
+            b.column("mx").to_pylist(),
+        ):
+            mm[d] = (lo, hi)
+    n_dim = len(mm)
+    lo_vec = np.array([mm[d][0] for d in range(n_dim)], np.int64)
+    hi_vec = np.array([mm[d][1] for d in range(n_dim)], np.int64)
+    span = np.maximum(hi_vec - lo_vec, 1)  # degenerate dim → code 0
+
+    def err_partials(batch: pa.Table) -> pa.Table:
+        mat = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False))
+        q = _quantize(mat)
+        code = (q - lo_vec) * SQ8_LEVELS // span
+        deq = lo_vec + code * span // SQ8_LEVELS
+        err = q - deq
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(n_dim, dtype=np.int64), pa.int64()),
+                "sse": pa.array((err * err).sum(axis=0), pa.int64()),
+                "maxabs": pa.array(np.abs(err).max(axis=0), pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        d = batch.column("dim").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "dim": pa.array(d, pa.int64()),
+                "min_q": pa.array(lo_vec[d], pa.int64()),
+                "max_q": pa.array(hi_vec[d], pa.int64()),
+                "sse": batch.column("sse_p"),
+                "max_abs_err": batch.column("maxabs_p"),
+            }
+        )
+
+    return (
+        ds.map_batches(err_partials, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(
+            _Sum("sse", alias_name="sse_p"),
+            _Max("maxabs", alias_name="maxabs_p"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )

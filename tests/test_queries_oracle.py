@@ -306,6 +306,8 @@ SUBSET = [
     "welch_t2_grid",
     "q5_local_supplier",
     "rake_keywords",
+    "sq8_distortion",
+    "salt_plan",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
