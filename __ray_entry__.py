@@ -1135,6 +1135,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Tail-seated by design: the skew fold + grouped_topk's
         # rank-then-limit.
         "salt_plan": analytics.salt_plan,
+        # (round 4, wave 58) two-hop reach over the memoized kNN
+        # graph — per vector n1, distinct ≤2-hop nodes (self
+        # excluded), and the hop-only gain: one middle-vertex
+        # co-partition emits ≤ n·k² pairs, a (u, w) groupby dedups,
+        # counts complete per u. Tail-seated by design: the knn edge
+        # memo's fifth consumer.
+        "two_hop_reach": similarity.two_hop_reach,
+        # (round 4, wave 58) TPC-H Q19 (adapted) — the compound
+        # OR-of-ANDs predicate straddling both join sides: brands
+        # pre-filter part, the quantity envelope pre-filters
+        # lineitem, the residual OR evaluates vectorized inside a
+        # partkey co-partition; exact cents per clause + TOTAL.
+        # Tail-seated by design: order_priority_join's co-partition
+        # with a residual predicate.
+        "q19_brand_revenue": analytics.q19_brand_revenue,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2481,6 +2496,37 @@ def oracle_sql() -> dict[str, str]:
         FROM g JOIN t ON g.lane = t.lane
     """
 
+    # q19_brand_revenue: disjoint clauses (brands differ) so the CASE
+    # ladder equals the per-clause evaluation; TOTAL from the grid.
+    sql["q19_brand_revenue"] = """
+        WITH l AS (
+          SELECT l_partkey,
+                 CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc,
+                 CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                      + 0.5) AS BIGINT) AS cents
+          FROM lineitem
+        ),
+        j AS (
+          SELECT CASE
+                   WHEN p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                        AND qc BETWEEN 100 AND 1100 THEN 'Brand#1'
+                   WHEN p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+                        AND qc BETWEEN 1000 AND 2000 THEN 'Brand#2'
+                   WHEN p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+                        AND qc BETWEEN 2000 AND 3000 THEN 'Brand#3'
+                 END AS clause, cents
+          FROM l JOIN part ON p_partkey = l_partkey
+        ),
+        g AS (SELECT clause, CAST(count(*) AS BIGINT) AS n_lines,
+                     CAST(sum(cents) AS BIGINT) AS revenue_cents
+              FROM j WHERE clause IS NOT NULL GROUP BY 1)
+        SELECT * FROM g
+        UNION ALL
+        SELECT 'TOTAL',
+               coalesce((SELECT CAST(sum(n_lines) AS BIGINT) FROM g), 0),
+               coalesce((SELECT CAST(sum(revenue_cents) AS BIGINT) FROM g), 0)
+    """
+
     # sq8_distortion: the shared quantize CTE; affine int8 encode/
     # decode in pure integer arithmetic ('//' operands non-negative
     # by construction), exact per-dim SSE / max|err|.
@@ -2921,6 +2967,23 @@ def oracle_sql() -> dict[str, str]:
           FROM pd) WHERE rank <= 3
     """
     )
+
+    # two_hop_reach: the knn_graph CTE reused verbatim; reach via the
+    # UNION-dedup of direct and composed hops.
+    sql["two_hop_reach"] = f"""
+        WITH kg AS ({sql["knn_graph"]}),
+        e AS (SELECT vec_id AS u, neighbor_id AS v FROM kg),
+        two AS (SELECT a.u, b.v AS w FROM e a JOIN e b ON b.u = a.v
+                WHERE b.v <> a.u),
+        reach AS (SELECT u, v AS w FROM e UNION SELECT u, w FROM two),
+        r AS (SELECT u, CAST(count(*) AS BIGINT) AS reach2
+              FROM reach GROUP BY 1),
+        d AS (SELECT u, CAST(count(*) AS BIGINT) AS n1 FROM e GROUP BY 1)
+        SELECT r.u AS vec_id, d.n1, r.reach2,
+               CAST(r.reach2 - d.n1 AS BIGINT) AS n2_new
+        FROM r JOIN d USING (u)
+    """
+
 
     # prototype_score: the SAME trained quantizer; per vector, the
     # exact int64 distance to its own (a2) centroid and the

@@ -158,6 +158,7 @@ def run_queries() -> dict[str, float]:
         "q18_large_orders", "welch_t2_grid",
         "q5_local_supplier", "rake_keywords",
         "sq8_distortion", "salt_plan",
+        "two_hop_reach", "q19_brand_revenue",
     ]
     out: dict[str, float] = {}
     for name in picks:

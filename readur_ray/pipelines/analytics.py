@@ -4921,3 +4921,150 @@ def salt_plan(sf_dir: str) -> "ray.data.Dataset":
     for spec in SKEW_KEYS[1:]:
         out = out.union(one_domain(*spec))
     return out
+
+
+Q19_CLAUSES = (  # (brand, size_lo, size_hi, qty_lo_c, qty_hi_c)
+    ("Brand#1", 1, 10, 100, 1100),
+    ("Brand#2", 1, 20, 1000, 2000),
+    ("Brand#3", 1, 30, 2000, 3000),
+)
+
+
+def q19_brand_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q19 (discounted revenue, adapted to the available
+    columns) — the compound-predicate join benchmark: revenue from
+    lineitem ⋈ part pairs satisfying an OR of three (brand, size
+    range, quantity range) conjunctions. The OR straddles BOTH sides
+    of the join, so neither scan can apply the full predicate alone —
+    the shape that punishes naive predicate pushdown. Per clause the
+    output reports the exact revenue cents and line count (plus the
+    total), quantities in centi-units. Tail-seated by design:
+    order_priority_join's fact-fact co-partition with the residual
+    predicate evaluated at the join.
+
+    Scale shape: part pre-filters to the union of clause brands/sizes
+    (tiny fraction) and rides a partkey co-partition against the
+    quantity-prefiltered lineitem projection; the residual OR
+    evaluates vectorized inside the partition; the global step is a
+    ≤4-row grid sum. Output: (clause, n_lines, revenue_cents)."""
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    qty_lo = min(c[3] for c in Q19_CLAUSES)
+    qty_hi = max(c[4] for c in Q19_CLAUSES)
+    brands = {c[0] for c in Q19_CLAUSES}
+
+    def part_side(batch: pa.Table) -> pa.Table:
+        brand = np.asarray(batch.column("p_brand").to_pylist(), dtype=object)
+        size = batch.column("p_size").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = np.isin(brand, list(brands))
+        pk = batch.column("p_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[keep]
+        n = len(pk)
+        return pa.table(
+            {
+                "k": pa.array(pk, pa.int64()),
+                "brand": pa.array(brand[keep], pa.string()),
+                "size": pa.array(size[keep], pa.int64()),
+                "qty_c": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "part": pa.array(pk % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        qty_c = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        keep = (qty_c >= qty_lo) & (qty_c <= qty_hi)
+        pk = batch.column("l_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[keep]
+        price = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False
+        )[keep]
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        n = len(pk)
+        return pa.table(
+            {
+                "k": pa.array(pk, pa.int64()),
+                "brand": pa.array([""] * n, pa.string()),
+                "size": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "qty_c": pa.array(qty_c[keep], pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "side": pa.array(np.ones(n, np.int64), pa.int64()),
+                "part": pa.array(pk % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def join_eval(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part_tbl.to_pandas()
+        build = df[df["side"] == 0].set_index("k")[["brand", "size"]]
+        probe = df[df["side"] == 1]
+        m = probe.join(build, on="k", how="inner", rsuffix="_b")
+        brand = m["brand_b"].to_numpy()
+        size = m["size_b"].to_numpy()
+        qty = m["qty_c"].to_numpy()
+        cents = m["cents"].to_numpy()
+        out_cl, out_n, out_c = [], [], []
+        for cl, (b, slo, shi, qlo, qhi) in enumerate(Q19_CLAUSES):
+            hit = (
+                (brand == b)
+                & (size >= slo) & (size <= shi)
+                & (qty >= qlo) & (qty <= qhi)
+            )
+            if hit.any():
+                out_cl.append(b)
+                out_n.append(int(hit.sum()))
+                out_c.append(int(cents[hit].sum()))
+        return pa.table(
+            {
+                "clause": pa.array(out_cl, pa.string()),
+                "n_lines": pa.array(out_n, pa.int64()),
+                "revenue_cents": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    def add_total(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_lines_p").to_numpy(zero_copy_only=False)
+        c = batch.column("revenue_cents_p").to_numpy(zero_copy_only=False)
+        cl = batch.column("clause").to_pylist()
+        return pa.table(
+            {
+                "clause": pa.array(cl + ["TOTAL"], pa.string()),
+                "n_lines": pa.array(
+                    np.concatenate([n, [n.sum()]]).astype(np.int64), pa.int64()
+                ),
+                "revenue_cents": pa.array(
+                    np.concatenate([c, [c.sum()]]).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        lines.map_batches(line_side, batch_format="pyarrow")
+        .union(part.map_batches(part_side, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(join_eval, batch_format="pyarrow")
+        .groupby("clause")
+        .aggregate(
+            Sum("n_lines", alias_name="n_lines_p"),
+            Sum("revenue_cents", alias_name="revenue_cents_p"),
+        )
+        .repartition(1)
+        .map_batches(add_total, batch_format="pyarrow")
+    )

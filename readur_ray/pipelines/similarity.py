@@ -1888,3 +1888,142 @@ def sq8_distortion(sf_dir: str) -> "ray.data.Dataset":
         )
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def two_hop_reach(sf_dir: str) -> "ray.data.Dataset":
+    """Two-hop neighborhood size over the kNN graph — the
+    friends-of-friends reach that governs how fast label propagation
+    / graph diffusion mixes: per vector, n1 (direct kNN out-degree),
+    reach2 (distinct nodes within ≤2 directed hops, self excluded)
+    and n2_new = reach2 − n1 (nodes ONLY reachable through a hop).
+    Built on the memoized knn_graph edge set, so the expensive cell
+    shuffle + in-cell tiling are shared with the graph's four other
+    consumers. Tail-seated by design: one middle-vertex co-partition
+    (the edge set joined to itself on v = u′) + dedup_exact's
+    distinct fold.
+
+    Scale shape: the edge set is n·k rows (k = 3); the self-join on
+    the middle vertex is ONE co-partition keyed by that vertex
+    emitting ≤ n·k² candidate pairs, deduped by a (u, w) groupby;
+    counts complete per u. Output: (vec_id, n1, reach2, n2_new)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    edges = knn_edges_materialized(sf_dir)
+
+    def first_hop(batch: pa.Table) -> pa.Table:
+        u = batch.column("vec_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        v = batch.column("neighbor_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "mid": pa.array(v, pa.int64()),
+                "u": pa.array(u, pa.int64()),
+                "w": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+                "side": pa.array(np.ones(len(u), np.int64), pa.int64()),
+            }
+        )
+
+    def second_hop(batch: pa.Table) -> pa.Table:
+        u = batch.column("vec_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        v = batch.column("neighbor_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "mid": pa.array(u, pa.int64()),
+                "u": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+                "w": pa.array(v, pa.int64()),
+                "side": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+            }
+        )
+
+    def compose(grp: pa.Table) -> pa.Table:
+        side = grp.column("side").to_numpy(zero_copy_only=False)
+        u = grp.column("u").to_numpy(zero_copy_only=False)[side == 1]
+        w = grp.column("w").to_numpy(zero_copy_only=False)[side == 0]
+        if len(u) == 0 or len(w) == 0:
+            return pa.table(
+                {"u": pa.array([], pa.int64()), "w": pa.array([], pa.int64())}
+            )
+        uu = np.repeat(u, len(w))
+        ww = np.tile(w, len(u))
+        keep = uu != ww
+        return pa.table(
+            {
+                "u": pa.array(uu[keep], pa.int64()),
+                "w": pa.array(ww[keep], pa.int64()),
+            }
+        )
+
+    pairs2 = (
+        edges.map_batches(first_hop, batch_format="pyarrow")
+        .union(edges.map_batches(second_hop, batch_format="pyarrow"))
+        .groupby("mid")
+        .map_groups(compose, batch_format="pyarrow")
+    )
+    direct = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "u": t.column("vec_id").cast(pa.int64()),
+                "w": t.column("neighbor_id").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def reach_partials(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        uu, cnt = np.unique(u, return_counts=True)
+        n = len(uu)
+        return pa.table(
+            {
+                "vec_id": pa.array(uu, pa.int64()),
+                "reach2": pa.array(cnt.astype(np.int64), pa.int64()),
+                "n1": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    def n1_partials(batch: pa.Table) -> pa.Table:
+        u = batch.column("vec_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        uu, cnt = np.unique(u, return_counts=True)
+        n = len(uu)
+        return pa.table(
+            {
+                "vec_id": pa.array(uu, pa.int64()),
+                "reach2": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "n1": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        r = batch.column("reach2_p").to_numpy(zero_copy_only=False)
+        n1 = batch.column("n1_p").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "n1": pa.array(n1.astype(np.int64), pa.int64()),
+                "reach2": pa.array(r.astype(np.int64), pa.int64()),
+                "n2_new": pa.array((r - n1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        pairs2.union(direct)
+        .groupby(["u", "w"])
+        .aggregate(_Sum("w", alias_name="dummy"))
+        .map_batches(reach_partials, batch_format="pyarrow")
+        .union(edges.map_batches(n1_partials, batch_format="pyarrow"))
+        .groupby("vec_id")
+        .aggregate(
+            _Sum("reach2", alias_name="reach2_p"),
+            _Sum("n1", alias_name="n1_p"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )

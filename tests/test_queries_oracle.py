@@ -308,6 +308,8 @@ SUBSET = [
     "rake_keywords",
     "sq8_distortion",
     "salt_plan",
+    "two_hop_reach",
+    "q19_brand_revenue",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
