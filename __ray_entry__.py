@@ -1150,6 +1150,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Tail-seated by design: order_priority_join's co-partition
         # with a residual predicate.
         "q19_brand_revenue": analytics.q19_brand_revenue,
+        # (round 4, wave 59) supplier scorecard — per supplier the
+        # exact lines / returns / revenue cents / return-rate bp,
+        # dimensions stitched from a broadcast; one suppkey groupby
+        # over lineitem partials. Tail-seated by design:
+        # source_facets' FK-keyed fold with a two-flag payload.
+        "supplier_scorecard": analytics.supplier_scorecard,
+        # (round 4, wave 59) ABC/Pareto inventory segmentation — A to
+        # the 80% cumulative-revenue mark, B to 95%, C the tail, cut
+        # by integer cross-multiplication on the exclusive running
+        # revenue over the two-pass descending bucket-grid prefix.
+        # Tail-seated by design: compaction_plan's prefix machinery,
+        # descending.
+        "abc_analysis": analytics.abc_analysis,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2494,6 +2507,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT g.lane, g.digit, g.n,
                CAST(g.n * 10000 // t.tot AS BIGINT) AS share_bp
         FROM g JOIN t ON g.lane = t.lane
+    """
+
+    # supplier_scorecard: one FK groupby + the dimension stitch.
+    sql["supplier_scorecard"] = """
+        WITH l AS (
+          SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lines,
+                 CAST(count(*) FILTER (WHERE l_returnflag = 'R')
+                      AS BIGINT) AS n_returned,
+                 CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                      * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+          FROM lineitem GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name, n.n_name, l.n_lines, l.n_returned,
+               l.revenue_cents,
+               CAST(l.n_returned * 10000 // l.n_lines AS BIGINT)
+                 AS return_rate_bp
+        FROM l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+    """
+
+    # abc_analysis: the exclusive running revenue in (rev desc, pk)
+    # order; integer cross-multiplied class cuts.
+    sql["abc_analysis"] = """
+        WITH pr AS (
+          SELECT l_partkey AS pk,
+                 CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                      * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+          FROM lineitem GROUP BY 1
+        ),
+        t AS (SELECT CAST(sum(rev) AS BIGINT) AS total FROM pr),
+        w AS (SELECT pk, rev,
+                     coalesce(sum(rev) OVER (
+                       ORDER BY rev DESC, pk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS excl
+              FROM pr),
+        c AS (SELECT CASE WHEN excl * 10 < total * 8 THEN 'A'
+                          WHEN excl * 100 < total * 95 THEN 'B'
+                          ELSE 'C' END AS cls, rev, total
+              FROM w, t)
+        SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(rev) AS BIGINT) AS revenue_cents,
+               CAST(sum(rev) * 10000 // max(total) AS BIGINT) AS share_bp
+        FROM c GROUP BY 1
     """
 
     # q19_brand_revenue: disjoint clauses (brands differ) so the CASE

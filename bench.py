@@ -159,6 +159,7 @@ def run_queries() -> dict[str, float]:
         "q5_local_supplier", "rake_keywords",
         "sq8_distortion", "salt_plan",
         "two_hop_reach", "q19_brand_revenue",
+        "supplier_scorecard", "abc_analysis",
     ]
     out: dict[str, float] = {}
     for name in picks:

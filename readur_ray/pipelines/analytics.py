@@ -5068,3 +5068,257 @@ def q19_brand_revenue(sf_dir: str) -> "ray.data.Dataset":
         .repartition(1)
         .map_batches(add_total, batch_format="pyarrow")
     )
+
+
+def supplier_scorecard(sf_dir: str) -> "ray.data.Dataset":
+    """Supplier scorecard — the procurement rollup: per supplier the
+    exact line count, revenue cents, returned-line count and return
+    rate in basis points, with name and nation stitched from
+    broadcast dimensions (supplier and nation are dimension-scale
+    here; the fold itself never assumes that — it is one suppkey
+    groupby over lineitem partials). Tail-seated by design:
+    source_facets' fold keyed by the FK with a two-flag payload.
+
+    Scale shape: lineitem folds per-batch (suppkey, lines, returns,
+    cents) partials → ONE groupby(suppkey) → a broadcast-dim stitch
+    batch map; no global sort (the compare is order-insensitive).
+    Output: (s_suppkey, s_name, n_name, n_lines, n_returned,
+    revenue_cents, return_rate_bp)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+    supp_rows = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    ).take_all()
+    nation_rows = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).take_all()
+    nname = {int(r["n_nationkey"]): r["n_name"] for r in nation_rows}
+    sdim = {
+        int(r["s_suppkey"]): (r["s_name"], nname[int(r["s_nationkey"])])
+        for r in supp_rows
+    }
+    sdim_ref = ray.put(sdim)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        sk = batch.column("l_suppkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        rf = np.asarray(batch.column("l_returnflag").to_pylist(), dtype=object)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "sk": sk,
+                    "n": 1,
+                    "r": (rf == "R").astype(np.int64),
+                    "c": cents,
+                }
+            )
+            .groupby("sk", sort=False)
+            .agg(n=("n", "sum"), r=("r", "sum"), c=("c", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "sk": pa.array(g["sk"].to_numpy().astype(np.int64), pa.int64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+                "r": pa.array(g["r"].to_numpy().astype(np.int64), pa.int64()),
+                "c": pa.array(g["c"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    class Stitch:
+        def __init__(self) -> None:
+            self.sdim = ray.get(sdim_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sk = batch.column("sk").to_numpy(zero_copy_only=False)
+            n = batch.column("n_p").to_numpy(zero_copy_only=False)
+            r = batch.column("r_p").to_numpy(zero_copy_only=False)
+            c = batch.column("c_p").to_numpy(zero_copy_only=False)
+            names = [self.sdim[int(x)] for x in sk]
+            return pa.table(
+                {
+                    "s_suppkey": pa.array(sk.astype(np.int64), pa.int64()),
+                    "s_name": pa.array([x[0] for x in names], pa.string()),
+                    "n_name": pa.array([x[1] for x in names], pa.string()),
+                    "n_lines": pa.array(n.astype(np.int64), pa.int64()),
+                    "n_returned": pa.array(r.astype(np.int64), pa.int64()),
+                    "revenue_cents": pa.array(c.astype(np.int64), pa.int64()),
+                    "return_rate_bp": pa.array(
+                        (r * 10000 // n).astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+    return (
+        lines.map_batches(partials, batch_format="pyarrow")
+        .groupby("sk")
+        .aggregate(
+            _Sum("n", alias_name="n_p"),
+            _Sum("r", alias_name="r_p"),
+            _Sum("c", alias_name="c_p"),
+        )
+        .map_batches(Stitch, concurrency=(1, 2), batch_format="pyarrow")
+    )
+
+
+ABC_BUCKETS = 256
+
+
+def abc_analysis(sf_dir: str) -> "ray.data.Dataset":
+    """ABC (Pareto) analysis of part revenue — class A holds the
+    parts up to the 80% cumulative-revenue mark in descending
+    revenue order, B to 95%, C the tail; the classic inventory
+    segmentation. Class boundaries are integer cross-multiplications
+    on the EXCLUSIVE running revenue (excl·10 < total·8 → A,
+    excl·100 < total·95 → B), so the cut is exact and the
+    (rev desc, partkey asc) order is total. Tail-seated by design:
+    compaction_plan's two-pass bucket-grid prefix, descending.
+
+    Scale shape: per-part revenue is one partkey groupby; the
+    descending prefix is two-pass — pass 1 folds per-batch
+    (revenue-bucket, Σrev) partials (equal revenues share a bucket
+    by construction, so ties never straddle offsets), the driver
+    builds exclusive higher-bucket offsets (≤256 ints), and pass 2
+    sorts each bucket locally, classifies, and folds per-class
+    partials into a 3-row grid. A value-skewed bucket bounds at the
+    distinct-revenue group, the documented dial. Output: (cls,
+    n_parts, revenue_cents, share_bp)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Min as _Min, Sum as _Sum
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev_partials(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        g = (
+            pd.DataFrame({"pk": pk, "c": cents})
+            .groupby("pk", sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "pk": pa.array(g["pk"].to_numpy().astype(np.int64), pa.int64()),
+                "rev": pa.array(g["c"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_part = (
+        lines.map_batches(rev_partials, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(_Sum("rev", alias_name="rev"))
+        .materialize()
+    )
+    mm = per_part.aggregate(_Min("rev"), _Max("rev"))
+    lo, hi = int(mm["min(rev)"]), int(mm["max(rev)"])
+    span = max(hi - lo, 1)
+
+    def bucket_of(rev: np.ndarray) -> np.ndarray:
+        return np.minimum(
+            (rev - lo) * ABC_BUCKETS // span, ABC_BUCKETS - 1
+        )
+
+    def b_partials(batch: pa.Table) -> pa.Table:
+        rev = batch.column("rev").to_numpy(zero_copy_only=False)
+        b = bucket_of(rev)
+        g = (
+            pd.DataFrame({"b": b, "s": rev})
+            .groupby("b", sort=False)["s"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "b": pa.array(g["b"].to_numpy().astype(np.int64), pa.int64()),
+                "s": pa.array(g["s"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    bucket_sum = np.zeros(ABC_BUCKETS, np.int64)
+    for bt in (
+        per_part.map_batches(b_partials, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(_Sum("s", alias_name="s"))
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for b, sv in zip(bt.column("b").to_pylist(), bt.column("s").to_pylist()):
+            bucket_sum[b] += sv
+    total = int(bucket_sum.sum())
+    # offset[b] = revenue in strictly HIGHER buckets (descending order)
+    desc_cum = np.cumsum(bucket_sum[::-1])[::-1]
+    offsets = desc_cum - bucket_sum
+
+    def tag(batch: pa.Table) -> pa.Table:
+        rev = batch.column("rev").to_numpy(zero_copy_only=False)
+        return batch.append_column("b", pa.array(bucket_of(rev), pa.int64()))
+
+    def classify(grp: pa.Table) -> pa.Table:
+        rev = grp.column("rev").to_numpy(zero_copy_only=False)
+        pk = grp.column("pk").to_numpy(zero_copy_only=False)
+        b = int(grp.column("b")[0].as_py())
+        order = np.lexsort((pk, -rev))
+        rev = rev[order]
+        excl = np.concatenate(([0], np.cumsum(rev)[:-1])) + int(offsets[b])
+        cls = np.where(
+            excl * 10 < total * 8, "A",
+            np.where(excl * 100 < total * 95, "B", "C"),
+        )
+        g = (
+            pd.DataFrame({"cls": cls, "n": 1, "rev": rev})
+            .groupby("cls", sort=False)
+            .agg(n=("n", "sum"), rev=("rev", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "cls": pa.array(g["cls"], pa.string()),
+                "n_parts": pa.array(
+                    g["n"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "revenue_cents": pa.array(
+                    g["rev"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def share(batch: pa.Table) -> pa.Table:
+        rev = batch.column("revenue_cents_p").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cls": batch.column("cls"),
+                "n_parts": batch.column("n_parts_p"),
+                "revenue_cents": pa.array(rev.astype(np.int64), pa.int64()),
+                "share_bp": pa.array(rev * 10000 // total, pa.int64()),
+            }
+        )
+
+    return (
+        per_part.map_batches(tag, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(classify, batch_format="pyarrow")
+        .groupby("cls")
+        .aggregate(
+            _Sum("n_parts", alias_name="n_parts_p"),
+            _Sum("revenue_cents", alias_name="revenue_cents_p"),
+        )
+        .map_batches(share, batch_format="pyarrow")
+    )

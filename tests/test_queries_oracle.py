@@ -310,6 +310,8 @@ SUBSET = [
     "salt_plan",
     "two_hop_reach",
     "q19_brand_revenue",
+    "supplier_scorecard",
+    "abc_analysis",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
