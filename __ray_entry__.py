@@ -1163,6 +1163,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Tail-seated by design: compaction_plan's prefix machinery,
         # descending.
         "abc_analysis": analytics.abc_analysis,
+        # (round 4, wave 60) broadcast-vs-shuffle planner — the
+        # engine's own join decision materialized: per FK edge both
+        # exchange costs under the explicit integer model (parent ×
+        # 16 B × 256 workers vs both sides × 16 B), cheaper side
+        # picked; the rule q5/q10 apply, priced edge by edge.
+        # Tail-seated by design: count-only folds on the edge list.
+        "join_strategy_plan": analytics.join_strategy_plan,
+        # (round 4, wave 60) sessionization parameter sweep — exact
+        # session counts at four idle timeouts from ONE pass
+        # (sessions(θ) = n_users + #gaps>θ, gaps binned per user).
+        # Tail-seated by design: sessionize's grouping emitting a
+        # 4-row grid.
+        "session_timeout_sweep": sessions.session_timeout_sweep,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2508,6 +2521,56 @@ def oracle_sql() -> dict[str, str]:
                CAST(g.n * 10000 // t.tot AS BIGINT) AS share_bp
         FROM g JOIN t ON g.lane = t.lane
     """
+
+    # join_strategy_plan: the same integer cost model from count(*)
+    # aggregates, one branch per FK edge.
+    sql["join_strategy_plan"] = " UNION ALL ".join(
+        f"""
+        SELECT '{edge}' AS edge,
+               (SELECT CAST(count(*) AS BIGINT) FROM {ct}) AS child_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM {pt}) AS parent_rows,
+               (SELECT CAST(count(*) * 16 * 256 AS BIGINT) FROM {pt})
+                 AS broadcast_bytes,
+               (SELECT CAST(count(*) AS BIGINT) FROM {ct}) * 16
+                 + (SELECT CAST(count(*) AS BIGINT) FROM {pt}) * 16
+                 AS shuffle_bytes,
+               CASE WHEN (SELECT count(*) * 16 * 256 FROM {pt})
+                       < (SELECT count(*) FROM {ct}) * 16
+                         + (SELECT count(*) FROM {pt}) * 16
+                    THEN 'broadcast' ELSE 'shuffle' END AS strategy
+        """
+        for edge, ct, _ck, pt, _pk in (
+            ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+             "orders", "o_orderkey"),
+            ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+             "part", "p_partkey"),
+            ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+             "supplier", "s_suppkey"),
+            ("orders.o_custkey->customer", "orders", "o_custkey",
+             "customer", "c_custkey"),
+            ("customer.c_nationkey->nation", "customer", "c_nationkey",
+             "nation", "n_nationkey"),
+            ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+             "nation", "n_nationkey"),
+            ("nation.n_regionkey->region", "nation", "n_regionkey",
+             "region", "r_regionkey"),
+        )
+    )
+
+    # session_timeout_sweep: lag gaps per user in (ts, event_id)
+    # order; sessions(θ) = n_users + #gaps > θ.
+    sql["session_timeout_sweep"] = " UNION ALL ".join(
+        f"""
+        SELECT CAST({m} AS BIGINT) AS timeout_min,
+               (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+               + (SELECT CAST(count(*) AS BIGINT) FROM (
+                    SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                    FROM events) WHERE gap > {m * 60_000_000})
+                 AS n_sessions
+        """
+        for m in (5, 15, 30, 60)
+    )
 
     # supplier_scorecard: one FK groupby + the dimension stitch.
     sql["supplier_scorecard"] = """

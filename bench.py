@@ -160,6 +160,7 @@ def run_queries() -> dict[str, float]:
         "sq8_distortion", "salt_plan",
         "two_hop_reach", "q19_brand_revenue",
         "supplier_scorecard", "abc_analysis",
+        "join_strategy_plan", "session_timeout_sweep",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -3615,36 +3615,33 @@ def q10_returned_items(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
             }
         )
 
-    class CustSide:
-        def __init__(self) -> None:
-            self.nation = ray.get(nation_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ck = batch.column("c_custkey").cast(pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
-            nk = batch.column("c_nationkey").cast(pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
-            n = len(ck)
-            return pa.table(
-                {
-                    "ckey": pa.array(ck, pa.int64()),
-                    "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
-                    "name": batch.column("c_name"),
-                    "acctbal": batch.column("c_acctbal"),
-                    "nname": pa.array(
-                        [self.nation[int(x)] for x in nk], pa.string()
-                    ),
-                    "side": pa.array(np.zeros(n, np.int64), pa.int64()),
-                    "part2": pa.array(ck % N_COARSE_PARTS, pa.int64()),
-                }
-            )
+    def cust_side(batch: pa.Table) -> pa.Table:
+        nation = ray.get(nation_ref)
+        ck = batch.column("c_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        nk = batch.column("c_nationkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = len(ck)
+        return pa.table(
+            {
+                "ckey": pa.array(ck, pa.int64()),
+                "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "name": batch.column("c_name"),
+                "acctbal": batch.column("c_acctbal"),
+                "nname": pa.array(
+                    [nation[int(x)] for x in nk], pa.string()
+                ),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "part2": pa.array(ck % N_COARSE_PARTS, pa.int64()),
+            }
+        )
 
     stage_b = (
         stage_a.groupby("part")
         .map_groups(okey_join, batch_format="pyarrow")
-        .union(cust.map_batches(CustSide, concurrency=(1, 4), batch_format="pyarrow"))
+        .union(cust.map_batches(cust_side, batch_format="pyarrow"))
     )
 
     def ckey_join(part_tbl: pa.Table) -> pa.Table:
@@ -3776,102 +3773,208 @@ def orphan_fk_audit(sf_dir: str) -> "ray.data.Dataset":
     parents (parent key no child cites): the constraint sweep a lake
     runs before trusting joins, and the dial that catches partial
     loads (orphans) and retention skew (unreferenced parents).
-    Tail-seated by design: each edge is suppression_antijoin's tagged
-    union co-partition with BOTH polarities counted at once.
+    Tail-seated by design: suppression_antijoin's tagged union with
+    BOTH polarities counted — rebuilt in wave 60 after the sf0.1 wall
+    showed the uniform 7-shuffle plan treating 25-row nation like a
+    fact (99.7 s → the mixed plan below).
 
-    Scale shape: per edge the child folds to per-batch (key, rows)
-    partials and the parent to (key, flag) rows, ONE groupby on the
-    FK value merges them (Sum child rows, Max parent flag), and a
-    second map_batches folds the per-key rows to edge-level count
-    partials summed on a ≤7-row grid — the driver never sees a key.
-    Tiny parents (nation, region) could broadcast instead of
-    shuffling; the uniform co-partition keeps every edge one code
-    path and the per-edge shuffle is bounded by the child's distinct
-    keys."""
+    Scale shape — the join_strategy_plan decision applied to itself:
+    parents under ORPHAN_BCAST_MAX rows (part, supplier, nation,
+    region) broadcast their PK set once and the child fold marks
+    orphanhood inline, so those edges ship ZERO parent rows; only the
+    fact-scale parents (orders, customer) ride the tagged-union
+    co-partition. ALL edges then share ONE (edge, key) groupby — a
+    single exchange instead of seven sequential ones — and fold to a
+    7-row grid finalized with the broadcast parents' row counts
+    (n_unref = parent_rows − referenced keys there; PKs are unique by
+    audit of their own edge)."""
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
 
-    def one_edge(edge, child_f, child_k, parent_f, parent_k):
-        child = ray.data.read_parquet(f"{sf_dir}/{child_f}", columns=[child_k])
-        parent = ray.data.read_parquet(
-            f"{sf_dir}/{parent_f}", columns=[parent_k]
-        )
+    parent_rows: dict[str, int] = {}
+    bcast_keys: dict[str, "ray.ObjectRef"] = {}
+    for edge, _cf, _ck, parent_f, parent_k in FK_EDGES:
+        if parent_f not in parent_rows:
+            pds = ray.data.read_parquet(
+                f"{sf_dir}/{parent_f}", columns=[parent_k]
+            )
+            n = int(pds.count())
+            parent_rows[parent_f] = n
+            if n <= ORPHAN_BCAST_MAX:
+                keys = np.sort(
+                    np.asarray(
+                        [r[parent_k] for r in pds.take_all()], dtype=np.int64
+                    )
+                )
+                bcast_keys[parent_f] = ray.put(keys)
 
-        def child_fold(batch: pa.Table) -> pa.Table:
+    def child_fold(edge, child_k, pref):
+        def fold(batch: pa.Table) -> pa.Table:
             k = batch.column(child_k).cast(pa.int64()).to_numpy(
                 zero_copy_only=False
             )
             u, cnt = np.unique(k, return_counts=True)
+            if pref is not None:
+                pk = ray.get(pref)
+                idx = np.searchsorted(pk, u)
+                idx_c = np.minimum(idx, len(pk) - 1)
+                par = (pk[idx_c] == u).astype(np.int64)
+            else:
+                par = np.zeros(len(u), np.int64)
             return pa.table(
                 {
+                    "edge": pa.array([edge] * len(u), pa.string()),
                     "key": pa.array(u, pa.int64()),
                     "rows": pa.array(cnt.astype(np.int64), pa.int64()),
-                    "is_parent": pa.array(
-                        np.zeros(len(u), np.int64), pa.int64()
-                    ),
+                    "par": pa.array(par, pa.int64()),
                 }
             )
 
-        def parent_fold(batch: pa.Table) -> pa.Table:
+        return fold
+
+    def parent_fold(edge, parent_k):
+        def fold(batch: pa.Table) -> pa.Table:
             k = np.unique(
                 batch.column(parent_k).cast(pa.int64()).to_numpy(
                     zero_copy_only=False
                 )
             )
+            n = len(k)
             return pa.table(
                 {
+                    "edge": pa.array([edge] * n, pa.string()),
                     "key": pa.array(k, pa.int64()),
-                    "rows": pa.array(np.zeros(len(k), np.int64), pa.int64()),
-                    "is_parent": pa.array(
-                        np.ones(len(k), np.int64), pa.int64()
-                    ),
+                    "rows": pa.array(np.zeros(n, np.int64), pa.int64()),
+                    "par": pa.array(np.ones(n, np.int64), pa.int64()),
                 }
             )
 
-        def edge_fold(batch: pa.Table) -> pa.Table:
-            rows = batch.column("rows_p").to_numpy(zero_copy_only=False)
-            par = batch.column("par_p").to_numpy(zero_copy_only=False) > 0
-            is_child = rows > 0
-            orphan = is_child & ~par
-            return pa.table(
+        return fold
+
+    lanes = []
+    shuffle_edges = set()
+    for edge, child_f, child_k, parent_f, parent_k in FK_EDGES:
+        pref = bcast_keys.get(parent_f)
+        lanes.append(
+            ray.data.read_parquet(
+                f"{sf_dir}/{child_f}", columns=[child_k]
+            ).map_batches(
+                child_fold(edge, child_k, pref), batch_format="pyarrow"
+            )
+        )
+        if pref is None:
+            shuffle_edges.add(edge)
+            lanes.append(
+                ray.data.read_parquet(
+                    f"{sf_dir}/{parent_f}", columns=[parent_k]
+                ).map_batches(
+                    parent_fold(edge, parent_k), batch_format="pyarrow"
+                )
+            )
+    ds = lanes[0]
+    for lane in lanes[1:]:
+        ds = ds.union(lane)
+
+    def edge_fold(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        rows = batch.column("rows_p").to_numpy(zero_copy_only=False)
+        par = batch.column("par_p").to_numpy(zero_copy_only=False) > 0
+        is_child = rows > 0
+        orphan = is_child & ~par
+        g = (
+            pd.DataFrame(
                 {
-                    "edge": pa.array([edge], pa.string()),
-                    "n_child_rows": pa.array([int(rows.sum())], pa.int64()),
-                    "n_child_keys": pa.array(
-                        [int(is_child.sum())], pa.int64()
+                    "edge": np.asarray(
+                        batch.column("edge").to_pylist(), dtype=object
                     ),
-                    "n_orphan_rows": pa.array(
-                        [int(rows[orphan].sum())], pa.int64()
-                    ),
-                    "n_orphan_keys": pa.array([int(orphan.sum())], pa.int64()),
-                    "n_unref_parents": pa.array(
-                        [int((par & ~is_child).sum())], pa.int64()
-                    ),
+                    "cr": rows,
+                    "ck": is_child.astype(np.int64),
+                    "orr": np.where(orphan, rows, 0),
+                    "ok": orphan.astype(np.int64),
+                    "unref": (par & ~is_child).astype(np.int64),
+                    "ref": (par & is_child).astype(np.int64),
                 }
             )
-
-        return (
-            child.map_batches(child_fold, batch_format="pyarrow")
-            .union(parent.map_batches(parent_fold, batch_format="pyarrow"))
-            .groupby("key")
-            .aggregate(
-                Sum("rows", alias_name="rows_p"),
-                Max("is_parent", alias_name="par_p"),
-            )
-            .map_batches(edge_fold, batch_format="pyarrow")
+            .groupby("edge", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "edge": pa.array(g["edge"], pa.string()),
+                "n_child_rows": pa.array(
+                    g["cr"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "n_child_keys": pa.array(
+                    g["ck"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "n_orphan_rows": pa.array(
+                    g["orr"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "n_orphan_keys": pa.array(
+                    g["ok"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "n_unref": pa.array(
+                    g["unref"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "n_ref": pa.array(
+                    g["ref"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
         )
 
-    ds = one_edge(*FK_EDGES[0])
-    for spec in FK_EDGES[1:]:
-        ds = ds.union(one_edge(*spec))
+    parent_n = {
+        edge: parent_rows[pf]
+        for edge, _cf, _ck, pf, _pk in FK_EDGES
+    }
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        edges = batch.column("edge").to_pylist()
+        unref_direct = batch.column("n_unref_p").to_numpy(
+            zero_copy_only=False
+        )
+        ref = batch.column("n_ref_p").to_numpy(zero_copy_only=False)
+        unref = np.array(
+            [
+                unref_direct[i]
+                if e in shuffle_edges
+                else parent_n[e] - int(ref[i])
+                for i, e in enumerate(edges)
+            ],
+            np.int64,
+        )
+        return pa.table(
+            {
+                "edge": batch.column("edge"),
+                "n_child_rows": batch.column("n_child_rows_p"),
+                "n_child_keys": batch.column("n_child_keys_p"),
+                "n_orphan_rows": batch.column("n_orphan_rows_p"),
+                "n_orphan_keys": batch.column("n_orphan_keys_p"),
+                "n_unref_parents": pa.array(unref, pa.int64()),
+            }
+        )
+
     return (
-        ds.groupby("edge")
+        ds.groupby(["edge", "key"])
         .aggregate(
-            Sum("n_child_rows", alias_name="n_child_rows"),
-            Sum("n_child_keys", alias_name="n_child_keys"),
-            Sum("n_orphan_rows", alias_name="n_orphan_rows"),
-            Sum("n_orphan_keys", alias_name="n_orphan_keys"),
-            Sum("n_unref_parents", alias_name="n_unref_parents"),
+            _Sum("rows", alias_name="rows_p"),
+            _Max("par", alias_name="par_p"),
         )
+        .map_batches(edge_fold, batch_format="pyarrow")
+        .groupby("edge")
+        .aggregate(
+            _Sum("n_child_rows", alias_name="n_child_rows_p"),
+            _Sum("n_child_keys", alias_name="n_child_keys_p"),
+            _Sum("n_orphan_rows", alias_name="n_orphan_rows_p"),
+            _Sum("n_orphan_keys", alias_name="n_orphan_keys_p"),
+            _Sum("n_unref", alias_name="n_unref_p"),
+            _Sum("n_ref", alias_name="n_ref_p"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+ORPHAN_BCAST_MAX = 1_000_000  # parent PK sets up to this many rows broadcast
 
 
 KANON_SIZE_BUCKETS = ((1, 1), (2, 2), (3, 4), (5, 9), (10, 1 << 62))
@@ -4064,7 +4167,7 @@ JOINABILITY_COLS = (
 )
 
 
-def joinability_audit(sf_dir: str) -> "ray.data.Dataset":
+def joinability_audit(sf_dir: str) -> "pa.Table":
     """Join-key discovery across the lake — for every pair of the 8
     candidate key columns, the EXACT value-set overlap: |A|, |B|,
     |A∩B|, Jaccard and containment(A in B) in basis points. This is
@@ -4072,19 +4175,22 @@ def joinability_audit(sf_dir: str) -> "ray.data.Dataset":
     key-domain drift: a custkey column that stops containing the
     customer PK is a broken pipeline). One value-keyed shuffle serves
     ALL 28 pairs: each column contributes (value, 1<<col) presence
-    rows, per-value masks OR together through an integer Sum (each
-    bit emitted once), and a 256-bin mask histogram — the only thing
-    the driver reads — yields every pairwise intersection by popcount
-    arithmetic. Tail-seated by design: dedup_exact's distinct fold
-    with a bitmask payload.
+    rows, per-value masks OR together through a custom bitwise-OR
+    AggregateFn in a SINGLE narrow groupby (wave-60 iteration: the
+    original (value, bit)→(value) chain paid the big exchange twice,
+    and an 8-wide Max-flag row tripled the shuffled bytes — the
+    2-column OR-merge plan is the one that holds), and a 256-bin
+    mask histogram — the only thing the driver reads — yields every
+    pairwise intersection by popcount arithmetic. Tail-seated by
+    design: dedup_exact's distinct fold with a bitmask payload.
 
-    Scale shape: per-batch per-column distinct fold → groupby
-    (value, bit) dedups cross-batch repeats → groupby(value) Sum =
-    bitwise OR → per-batch 256-bin histogram partials → one ≤256-row
-    grid; pairwise math on the driver touches 256 ints, never a
-    value. Output: (col_a, col_b, n_a, n_b, n_common, jaccard_bp,
-    containment_bp)."""
-    from ray.data.aggregate import Sum as _Sum
+    Scale shape: per-batch per-column distinct fold → ONE groupby(v)
+    OR-merging int64 masks (cross-batch repeats are absorbed by the
+    idempotent OR) → per-batch 256-bin histogram partials → one
+    ≤256-row grid; pairwise math on the driver touches 256 ints,
+    never a value. Output: (col_a, col_b, n_a, n_b, n_common,
+    jaccard_bp, containment_bp)."""
+    from ray.data.aggregate import AggregateFn, Sum as _Sum
 
     def one_col(i: int, fname: str, col: str) -> "ray.data.Dataset":
         def fold(batch: pa.Table) -> pa.Table:
@@ -4096,7 +4202,7 @@ def joinability_audit(sf_dir: str) -> "ray.data.Dataset":
             return pa.table(
                 {
                     "v": pa.array(v, pa.int64()),
-                    "bit": pa.array(
+                    "m": pa.array(
                         np.full(len(v), 1 << i, np.int64), pa.int64()
                     ),
                 }
@@ -4109,6 +4215,18 @@ def joinability_audit(sf_dir: str) -> "ray.data.Dataset":
     ds = one_col(0, JOINABILITY_COLS[0][1], JOINABILITY_COLS[0][2])
     for i, (_, fname, col) in enumerate(JOINABILITY_COLS[1:], start=1):
         ds = ds.union(one_col(i, fname, col))
+
+    or_agg = AggregateFn(
+        init=lambda k: 0,
+        merge=lambda a, b: a | b,
+        accumulate_block=lambda a, blk: a
+        | int(
+            np.bitwise_or.reduce(
+                blk.column("m").to_numpy(zero_copy_only=False)
+            )
+        ),
+        name="mask",
+    )
 
     def mask_hist(batch: pa.Table) -> pa.Table:
         m = batch.column("mask").to_numpy(zero_copy_only=False)
@@ -4123,16 +4241,8 @@ def joinability_audit(sf_dir: str) -> "ray.data.Dataset":
 
     hist = np.zeros(256, np.int64)
     grid = (
-        ds.groupby(["v", "bit"])
-        .aggregate(_Sum("bit", alias_name="dummy"))
-        .map_batches(
-            lambda t: pa.table(
-                {"v": t.column("v"), "bit": t.column("bit")}
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("v")
-        .aggregate(_Sum("bit", alias_name="mask"))
+        ds.groupby("v")
+        .aggregate(or_agg)
         .map_batches(mask_hist, batch_format="pyarrow")
         .groupby("mask")
         .aggregate(_Sum("n", alias_name="n"))
@@ -4721,30 +4831,27 @@ def q5_local_supplier(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    class CustSide:
-        def __init__(self) -> None:
-            self.asia = ray.get(asia_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ck = batch.column("c_custkey").cast(pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
-            nk = batch.column("c_nationkey").cast(pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
-            keep = np.isin(nk, np.fromiter(self.asia, np.int64))
-            ck, nk = ck[keep], nk[keep]
-            n = len(ck)
-            return pa.table(
-                {
-                    "k": pa.array(ck, pa.int64()),
-                    "a": pa.array(nk, pa.int64()),
-                    "b": pa.array(np.zeros(n, np.int64), pa.int64()),
-                    "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
-                    "side": pa.array(np.zeros(n, np.int64), pa.int64()),
-                    "part": pa.array(ck % N_COARSE_PARTS, pa.int64()),
-                }
-            )
+    def cust_side(batch: pa.Table) -> pa.Table:
+        asia = ray.get(asia_ref)
+        ck = batch.column("c_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        nk = batch.column("c_nationkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = np.isin(nk, np.fromiter(asia, np.int64))
+        ck, nk = ck[keep], nk[keep]
+        n = len(ck)
+        return pa.table(
+            {
+                "k": pa.array(ck, pa.int64()),
+                "a": pa.array(nk, pa.int64()),
+                "b": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "part": pa.array(ck % N_COARSE_PARTS, pa.int64()),
+            }
+        )
 
     def hop2(part_tbl: pa.Table) -> pa.Table:
         import pandas as pd
@@ -4771,29 +4878,26 @@ def q5_local_supplier(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    class SuppSide:
-        def __init__(self) -> None:
-            self.asia = ray.get(asia_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            sk = batch.column("s_suppkey").cast(pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
-            nk = batch.column("s_nationkey").cast(pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
-            keep = np.isin(nk, np.fromiter(self.asia, np.int64))
-            sk, nk = sk[keep], nk[keep]
-            n = len(sk)
-            return pa.table(
-                {
-                    "k": pa.array(sk, pa.int64()),
-                    "a": pa.array(nk, pa.int64()),
-                    "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
-                    "side": pa.array(np.zeros(n, np.int64), pa.int64()),
-                    "part": pa.array(sk % N_COARSE_PARTS, pa.int64()),
-                }
-            )
+    def supp_side(batch: pa.Table) -> pa.Table:
+        asia = ray.get(asia_ref)
+        sk = batch.column("s_suppkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        nk = batch.column("s_nationkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = np.isin(nk, np.fromiter(asia, np.int64))
+        sk, nk = sk[keep], nk[keep]
+        n = len(sk)
+        return pa.table(
+            {
+                "k": pa.array(sk, pa.int64()),
+                "a": pa.array(nk, pa.int64()),
+                "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "part": pa.array(sk % N_COARSE_PARTS, pa.int64()),
+            }
+        )
 
     def hop3(part_tbl: pa.Table) -> pa.Table:
         import pandas as pd
@@ -4813,20 +4917,17 @@ def q5_local_supplier(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    class Finalize:
-        def __init__(self) -> None:
-            self.asia = ray.get(asia_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            nk = batch.column("nk").to_numpy(zero_copy_only=False)
-            return pa.table(
-                {
-                    "n_name": pa.array(
-                        [self.asia[int(x)] for x in nk], pa.string()
-                    ),
-                    "revenue_cents": batch.column("cents_p"),
-                }
-            )
+    def finalize(batch: pa.Table) -> pa.Table:
+        asia = ray.get(asia_ref)
+        nk = batch.column("nk").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [asia[int(x)] for x in nk], pa.string()
+                ),
+                "revenue_cents": batch.column("cents_p"),
+            }
+        )
 
     stage1 = orders.map_batches(order_side, batch_format="pyarrow").union(
         lines.map_batches(line_side, batch_format="pyarrow")
@@ -4834,27 +4935,19 @@ def q5_local_supplier(sf_dir: str) -> "ray.data.Dataset":
     stage2 = (
         stage1.groupby("part")
         .map_groups(hop1, batch_format="pyarrow")
-        .union(
-            cust.map_batches(
-                CustSide, concurrency=(1, 4), batch_format="pyarrow"
-            )
-        )
+        .union(cust.map_batches(cust_side, batch_format="pyarrow"))
     )
     stage3 = (
         stage2.groupby("part")
         .map_groups(hop2, batch_format="pyarrow")
-        .union(
-            supp.map_batches(
-                SuppSide, concurrency=(1, 4), batch_format="pyarrow"
-            )
-        )
+        .union(supp.map_batches(supp_side, batch_format="pyarrow"))
     )
     return (
         stage3.groupby("part")
         .map_groups(hop3, batch_format="pyarrow")
         .groupby("nk")
         .aggregate(Sum("cents", alias_name="cents_p"))
-        .map_batches(Finalize, concurrency=(1, 2), batch_format="pyarrow")
+        .map_batches(finalize, batch_format="pyarrow")
         .sort(["revenue_cents", "n_name"], descending=[True, False])
     )
 
@@ -5135,29 +5228,26 @@ def supplier_scorecard(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    class Stitch:
-        def __init__(self) -> None:
-            self.sdim = ray.get(sdim_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            sk = batch.column("sk").to_numpy(zero_copy_only=False)
-            n = batch.column("n_p").to_numpy(zero_copy_only=False)
-            r = batch.column("r_p").to_numpy(zero_copy_only=False)
-            c = batch.column("c_p").to_numpy(zero_copy_only=False)
-            names = [self.sdim[int(x)] for x in sk]
-            return pa.table(
-                {
-                    "s_suppkey": pa.array(sk.astype(np.int64), pa.int64()),
-                    "s_name": pa.array([x[0] for x in names], pa.string()),
-                    "n_name": pa.array([x[1] for x in names], pa.string()),
-                    "n_lines": pa.array(n.astype(np.int64), pa.int64()),
-                    "n_returned": pa.array(r.astype(np.int64), pa.int64()),
-                    "revenue_cents": pa.array(c.astype(np.int64), pa.int64()),
-                    "return_rate_bp": pa.array(
-                        (r * 10000 // n).astype(np.int64), pa.int64()
-                    ),
-                }
-            )
+    def stitch(batch: pa.Table) -> pa.Table:
+        sdim = ray.get(sdim_ref)
+        sk = batch.column("sk").to_numpy(zero_copy_only=False)
+        n = batch.column("n_p").to_numpy(zero_copy_only=False)
+        r = batch.column("r_p").to_numpy(zero_copy_only=False)
+        c = batch.column("c_p").to_numpy(zero_copy_only=False)
+        names = [sdim[int(x)] for x in sk]
+        return pa.table(
+            {
+                "s_suppkey": pa.array(sk.astype(np.int64), pa.int64()),
+                "s_name": pa.array([x[0] for x in names], pa.string()),
+                "n_name": pa.array([x[1] for x in names], pa.string()),
+                "n_lines": pa.array(n.astype(np.int64), pa.int64()),
+                "n_returned": pa.array(r.astype(np.int64), pa.int64()),
+                "revenue_cents": pa.array(c.astype(np.int64), pa.int64()),
+                "return_rate_bp": pa.array(
+                    (r * 10000 // n).astype(np.int64), pa.int64()
+                ),
+            }
+        )
 
     return (
         lines.map_batches(partials, batch_format="pyarrow")
@@ -5167,7 +5257,7 @@ def supplier_scorecard(sf_dir: str) -> "ray.data.Dataset":
             _Sum("r", alias_name="r_p"),
             _Sum("c", alias_name="c_p"),
         )
-        .map_batches(Stitch, concurrency=(1, 2), batch_format="pyarrow")
+        .map_batches(stitch, batch_format="pyarrow")
     )
 
 
@@ -5321,4 +5411,61 @@ def abc_analysis(sf_dir: str) -> "ray.data.Dataset":
             _Sum("revenue_cents", alias_name="revenue_cents_p"),
         )
         .map_batches(share, batch_format="pyarrow")
+    )
+
+
+JSP_ROW_BYTES = 16    # modeled key+payload width on the exchange
+JSP_N_WORKERS = 256   # design-point cluster the plan is priced for
+
+
+def join_strategy_plan(sf_dir: str) -> "ray.data.Dataset":
+    """Broadcast-vs-shuffle join planner — the engine's own core
+    decision materialized as data: for every FK edge, the exact row
+    counts both sides and the two exchange costs under the explicit
+    integer model (broadcast ships the parent to every worker:
+    parent_rows × 16 B × 256 workers; shuffle moves both sides once:
+    (child+parent) × 16 B), picking the cheaper. This is the rule
+    the repo itself applies — nation rides ray.put in q5/q10,
+    customer rides a co-partition — now priced edge by edge.
+    Tail-seated by design: orphan_fk_audit's edge list with a
+    constant-space count fold per side.
+
+    Scale shape: per edge two count-only folds (one int per batch);
+    the plan arithmetic runs on a 7-row grid. Output: (edge,
+    child_rows, parent_rows, broadcast_bytes, shuffle_bytes,
+    strategy)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def count_rows(fname: str, col: str) -> "ray.data.Dataset":
+        return (
+            ray.data.read_parquet(f"{sf_dir}/{fname}", columns=[col])
+            .map_batches(
+                lambda t: pa.table({"n": pa.array([t.num_rows], pa.int64())}),
+                batch_format="pyarrow",
+            )
+            .aggregate(_Sum("n", alias_name="n"))
+        )
+
+    rows = []
+    counted: dict[str, int] = {}
+    for edge, child_f, child_k, parent_f, parent_k in FK_EDGES:
+        for f, c in ((child_f, child_k), (parent_f, parent_k)):
+            if f not in counted:
+                counted[f] = int(count_rows(f, c)["n"])
+        ch, pr = counted[child_f], counted[parent_f]
+        bcast = pr * JSP_ROW_BYTES * JSP_N_WORKERS
+        shuf = (ch + pr) * JSP_ROW_BYTES
+        rows.append(
+            (edge, ch, pr, bcast, shuf,
+             "broadcast" if bcast < shuf else "shuffle")
+        )
+    return pa.table(
+        {
+            "edge": pa.array([r[0] for r in rows], pa.string()),
+            "child_rows": pa.array([r[1] for r in rows], pa.int64()),
+            "parent_rows": pa.array([r[2] for r in rows], pa.int64()),
+            "broadcast_bytes": pa.array([r[3] for r in rows], pa.int64()),
+            "shuffle_bytes": pa.array([r[4] for r in rows], pa.int64()),
+            "strategy": pa.array([r[5] for r in rows], pa.string()),
+        }
     )

@@ -2166,3 +2166,51 @@ def cusum_drift(sf_dir: str) -> "ray.data.Dataset":
         .groupby("event_type")
         .map_groups(scan, batch_format="pyarrow")
     )
+
+
+SESSION_SWEEP_MIN = (5, 15, 30, 60)
+
+
+def session_timeout_sweep(sf_dir: str) -> "ray.data.Dataset":
+    """Sessionization parameter sensitivity — the sweep an analyst
+    runs BEFORE fixing the idle timeout: for each candidate gap
+    threshold (5/15/30/60 min), the exact total session count, all
+    four from ONE pass (sessions(θ) = n_users + #gaps > θ, so the
+    per-user fold just bins its sorted gaps against the four
+    thresholds). Tail-seated by design: sessionize's per-user
+    grouping emitting a 4-row grid instead of sessions.
+
+    Scale shape: one user-keyed groupby (the group fits — one user's
+    events), a vectorized gap-bin fold per group, and a ≤4-row sum.
+    Output: (timeout_min, n_sessions)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    thresh_us = np.array([m * 60_000_000 for m in SESSION_SWEEP_MIN], np.int64)
+
+    def per_user(grp: pa.Table) -> pa.Table:
+        t = grp.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = grp.column("event_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((eid, t))
+        t = t[order]
+        gaps = np.diff(t)
+        n_sessions = 1 + (gaps[None, :] > thresh_us[:, None]).sum(axis=1)
+        return pa.table(
+            {
+                "timeout_min": pa.array(
+                    np.array(SESSION_SWEEP_MIN, np.int64), pa.int64()
+                ),
+                "n": pa.array(n_sessions.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby("timeout_min")
+        .aggregate(_Sum("n", alias_name="n_sessions"))
+    )

@@ -312,6 +312,8 @@ SUBSET = [
     "q19_brand_revenue",
     "supplier_scorecard",
     "abc_analysis",
+    "join_strategy_plan",
+    "session_timeout_sweep",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
