@@ -1176,6 +1176,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Tail-seated by design: sessionize's grouping emitting a
         # 4-row grid.
         "session_timeout_sweep": sessions.session_timeout_sweep,
+        # (round 4, wave 61) consecutive-day activity streaks — the
+        # gaps-and-islands histogram on the user-day grid: per exact
+        # streak length the streak and user counts. Tail-seated by
+        # design: event_runs' islands on days instead of events.
+        "activity_streaks": sessions.activity_streaks,
+        # (round 4, wave 61) measured Bloom false-positive rate — the
+        # eval that closes the bloom_gate loop (minhash_eval's role
+        # for MinHash): per partition exact priors/probes/true dups/
+        # flagged/false positives and the FPR in bp, from the same
+        # single coarse shuffle of int64 triples.
+        "bloom_fpr_eval": dedup.bloom_fpr_eval,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2520,6 +2531,76 @@ def oracle_sql() -> dict[str, str]:
         SELECT g.lane, g.digit, g.n,
                CAST(g.n * 10000 // t.tot AS BIGINT) AS share_bp
         FROM g JOIN t ON g.lane = t.lane
+    """
+
+    # activity_streaks: gaps-and-islands on the distinct user-day
+    # grid; the histogram counts streaks and owning users per length.
+    sql["activity_streaks"] = """
+        WITH ud AS (SELECT DISTINCT user_id AS u,
+                           epoch_us(ts) // 86400000000 AS d FROM events),
+        r AS (SELECT u, d,
+                     d - row_number() OVER (PARTITION BY u ORDER BY d)
+                       AS isl
+              FROM ud),
+        s AS (SELECT u, isl, CAST(count(*) AS BIGINT) AS len
+              FROM r GROUP BY 1, 2),
+        per AS (SELECT u, len, CAST(count(*) AS BIGINT) AS n
+                FROM s GROUP BY 1, 2)
+        SELECT len AS streak_len, CAST(sum(n) AS BIGINT) AS n_streaks,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM per GROUP BY 1
+    """
+
+    # bloom_fpr_eval: the bloom_gate CTEs with the exact (h1, h2)
+    # ground-truth join and per-partition summary folded on.
+    sql["bloom_fpr_eval"] = """
+        WITH h AS (
+          SELECT doc_id,
+                 CAST(CAST('0x' || substr(md5(text), 1, 15) AS UBIGINT)
+                      AS BIGINT) AS h1,
+                 CAST(CAST('0x' || substr(md5(text), 16, 15) AS UBIGINT)
+                      AS BIGINT) AS h2
+          FROM documents
+        ),
+        probes AS (
+          SELECT doc_id, h1 % 8 AS part, (h1 + i.i * h2) % 256 AS pos
+          FROM h CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) i
+        ),
+        bits AS (SELECT DISTINCT part, pos FROM probes WHERE doc_id % 2 = 0),
+        flag AS (
+          SELECT p.doc_id, min(p.part) AS part,
+                 CAST(min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END)
+                      AS BIGINT) AS maybe_dup
+          FROM probes p
+          LEFT JOIN bits b ON b.part = p.part AND b.pos = p.pos
+          WHERE p.doc_id % 2 = 1 GROUP BY 1
+        ),
+        td AS (
+          SELECT hp.doc_id,
+                 CAST(CASE WHEN EXISTS (
+                   SELECT 1 FROM h x
+                   WHERE x.doc_id % 2 = 0 AND x.h1 = hp.h1
+                     AND x.h2 = hp.h2) THEN 1 ELSE 0 END AS BIGINT)
+                   AS true_dup
+          FROM h hp WHERE hp.doc_id % 2 = 1
+        ),
+        pr AS (SELECT h1 % 8 AS part, CAST(count(*) AS BIGINT) AS n_prior
+               FROM h WHERE doc_id % 2 = 0 GROUP BY 1),
+        j AS (SELECT f.part, f.maybe_dup, t.true_dup
+              FROM flag f JOIN td t USING (doc_id)),
+        g AS (SELECT part, CAST(count(*) AS BIGINT) AS n_probe,
+                     CAST(sum(true_dup) AS BIGINT) AS n_true_dup,
+                     CAST(sum(maybe_dup) AS BIGINT) AS n_flagged,
+                     CAST(sum(CASE WHEN maybe_dup = 1 AND true_dup = 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+              FROM j GROUP BY 1)
+        SELECT g.part, coalesce(pr.n_prior, 0) AS n_prior, g.n_probe,
+               g.n_true_dup, g.n_flagged, g.n_false_pos,
+               CAST(CASE WHEN g.n_probe - g.n_true_dup = 0 THEN 0
+                    ELSE g.n_false_pos * 10000
+                         // (g.n_probe - g.n_true_dup) END AS BIGINT)
+                 AS fpr_bp
+        FROM g LEFT JOIN pr ON pr.part = g.part
     """
 
     # join_strategy_plan: the same integer cost model from count(*)

@@ -161,6 +161,7 @@ def run_queries() -> dict[str, float]:
         "two_hop_reach", "q19_brand_revenue",
         "supplier_scorecard", "abc_analysis",
         "join_strategy_plan", "session_timeout_sweep",
+        "activity_streaks", "bloom_fpr_eval",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -2286,3 +2286,86 @@ def survivorship_merge(sf_dir: str) -> "ray.data.Dataset":
         .groupby("part2")
         .map_groups(golden, batch_format="pyarrow")
     )
+
+
+def bloom_fpr_eval(sf_dir: str) -> "ray.data.Dataset":
+    """Measured false-positive rate of the bloom_gate filter — the
+    eval that closes the Bloom loop the way minhash_eval closes the
+    MinHash loop: per key-space partition, the exact prior/probe
+    counts, TRUE duplicates (probe text whose md5 pair exists among
+    priors — the gate's ground truth), flagged probes, false
+    positives, and the measured FPR in basis points. At m = 256 bits
+    / k = 3 the classic (1−e^(−kn/m))^k rate is deliberately
+    non-negligible, so this dial reads non-zero and the m/k sizing
+    trade is visible in data. Tail-seated by design: bloom_gate's
+    partitioned build/probe with a ground-truth join folded in.
+
+    Scale shape: the same ONE coarse shuffle as bloom_gate — int64
+    (doc_id, h1, h2) triples only; each partition builds its filter
+    AND its exact prior-key set locally, then folds to one summary
+    row: the global stage is an 8-row grid."""
+    ds = _read_docs(sf_dir)
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        hexes = [md5_hex(t) for t in batch.column("text").to_pylist()]
+        h1 = np.array([int(h[:15], 16) for h in hexes], dtype=np.int64)
+        h2 = np.array([int(h[15:30], 16) for h in hexes], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "h1": pa.array(h1, pa.int64()),
+                "h2": pa.array(h2, pa.int64()),
+                "part": pa.array(h1 % BLOOM_PARTS, pa.int64()),
+            }
+        )
+
+    def eval_part(part_tbl: pa.Table) -> pa.Table:
+        ids = part_tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        h1 = part_tbl.column("h1").to_numpy(zero_copy_only=False)
+        h2 = part_tbl.column("h2").to_numpy(zero_copy_only=False)
+        part = int(part_tbl.column("part")[0].as_py())
+        pos = (
+            h1[:, None]
+            + np.arange(BLOOM_K, dtype=np.int64)[None, :] * h2[:, None]
+        ) % BLOOM_M
+        prior = ids % 2 == 0
+        probe = ~prior
+        n_probe = int(probe.sum())
+        if n_probe == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in (
+                "part", "n_prior", "n_probe", "n_true_dup",
+                "n_flagged", "n_false_pos", "fpr_bp")})
+        bits = np.zeros(BLOOM_M, dtype=bool)
+        bits[pos[prior].ravel()] = True
+        flagged = bits[pos[probe]].all(axis=1)
+        prior_keys = set(zip(h1[prior].tolist(), h2[prior].tolist()))
+        true_dup = np.array(
+            [
+                (a, b) in prior_keys
+                for a, b in zip(h1[probe].tolist(), h2[probe].tolist())
+            ],
+            dtype=bool,
+        )
+        n_td = int(true_dup.sum())
+        n_fp = int((flagged & ~true_dup).sum())
+        denom = n_probe - n_td
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int64()),
+                "n_prior": pa.array([int(prior.sum())], pa.int64()),
+                "n_probe": pa.array([n_probe], pa.int64()),
+                "n_true_dup": pa.array([n_td], pa.int64()),
+                "n_flagged": pa.array([int(flagged.sum())], pa.int64()),
+                "n_false_pos": pa.array([n_fp], pa.int64()),
+                "fpr_bp": pa.array(
+                    [n_fp * 10000 // denom if denom else 0], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(hash_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(eval_part, batch_format="pyarrow")
+    )

@@ -2214,3 +2214,78 @@ def session_timeout_sweep(sf_dir: str) -> "ray.data.Dataset":
         .groupby("timeout_min")
         .aggregate(_Sum("n", alias_name="n_sessions"))
     )
+
+
+def activity_streaks(sf_dir: str) -> "ray.data.Dataset":
+    """Consecutive-day activity streaks — the engagement metric
+    behind every 'N-day streak' badge: maximal runs of consecutive
+    active days per user (gaps-and-islands: island id = day − rank
+    within user), reported as the exact streak-length histogram with
+    the number of streaks and of distinct users owning one of that
+    exact length. Tail-seated by design: event_runs' islands on the
+    user-day grid instead of the event stream.
+
+    Scale shape: the raw stream folds per-batch to distinct (user,
+    day) partials → one (user, day) groupby dedups → per-user
+    map_groups (a user's DAYS are bounded by the calendar) emits its
+    streak lengths → per-batch histogram partials → a bounded
+    (streak_len) grid. Output: (streak_len, n_streaks, n_users)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def ud_partials(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        days = (
+            batch.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        g = pd.DataFrame({"u": uid, "d": days}).drop_duplicates()
+        return pa.table(
+            {
+                "u": pa.array(g["u"].to_numpy().astype(np.int64), pa.int64()),
+                "d": pa.array(g["d"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def per_user(grp: pa.Table) -> pa.Table:
+        d = np.sort(
+            np.unique(grp.column("d").to_numpy(zero_copy_only=False))
+        )
+        u = int(grp.column("u")[0].as_py())
+        island = d - np.arange(len(d), dtype=np.int64)
+        _, counts = np.unique(island, return_counts=True)
+        lens, n_streaks = np.unique(counts, return_counts=True)
+        return pa.table(
+            {
+                "streak_len": pa.array(lens.astype(np.int64), pa.int64()),
+                "n_streaks": pa.array(
+                    n_streaks.astype(np.int64), pa.int64()
+                ),
+                "n_users": pa.array(
+                    np.ones(len(lens), np.int64), pa.int64()
+                ),
+                "uid": pa.array(np.full(len(lens), u, np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(ud_partials, batch_format="pyarrow")
+        .groupby(["u", "d"])
+        .aggregate(_Sum("d", alias_name="dummy"))
+        .groupby("u")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby("streak_len")
+        .aggregate(
+            _Sum("n_streaks", alias_name="n_streaks"),
+            _Sum("n_users", alias_name="n_users"),
+        )
+    )

@@ -314,6 +314,8 @@ SUBSET = [
     "abc_analysis",
     "join_strategy_plan",
     "session_timeout_sweep",
+    "activity_streaks",
+    "bloom_fpr_eval",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
