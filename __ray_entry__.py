@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         analytics, curation, dedup, e2e, extras, graph, multimodal, prep,
         search, sessions, similarity, textops,
     )
+    from readur_ray.sources import tables as tables_src
 
     # ORDERING CONTRACT: the driver's correctness sweep stopped at 50
     # entries in rounds 1-2 (cap or time budget — unknown which), so
@@ -1187,6 +1188,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagged/false positives and the FPR in bp, from the same
         # single coarse shuffle of int64 triples.
         "bloom_fpr_eval": dedup.bloom_fpr_eval,
+        # (round 4, wave 62) language-ID confusion matrix — the
+        # lang_id heuristic graded against the labeled lang column:
+        # per (true, pred) exact counts from the SAME text pass (the
+        # predictor and the label share the batch). Tail-seated by
+        # design: lang_id's predictor + contingency_grid's fold.
+        "langid_confusion": textops.langid_confusion,
+        # (round 4, wave 62) JSONL source/sink roundtrip — documents
+        # stream out via write_json (one shard per block) and back in
+        # via read_json; the 4-int checksum aggregate must equal the
+        # parquet-side oracle, escaping included. Format coverage for
+        # the NDJSON path. Tail-seated by design: a sink + source +
+        # table_checksum composition.
+        "jsonl_roundtrip": tables_src.jsonl_roundtrip,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2531,6 +2545,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT g.lane, g.digit, g.n,
                CAST(g.n * 10000 // t.tot AS BIGINT) AS share_bp
         FROM g JOIN t ON g.lane = t.lane
+    """
+
+    # langid_confusion: the lang_id CTE joined back to the label.
+    sql["langid_confusion"] = f"""
+        WITH li AS ({sql["lang_id"]})
+        SELECT d.lang AS true_lang, li.pred_lang,
+               CAST(count(*) AS BIGINT) AS n
+        FROM li JOIN documents d USING (doc_id)
+        GROUP BY 1, 2
+    """
+
+    # jsonl_roundtrip: the checksum the decoded JSONL must reproduce.
+    sql["jsonl_roundtrip"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+               CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+        FROM documents
     """
 
     # activity_streaks: gaps-and-islands on the distinct user-day

@@ -162,6 +162,7 @@ def run_queries() -> dict[str, float]:
         "supplier_scorecard", "abc_analysis",
         "join_strategy_plan", "session_timeout_sweep",
         "activity_streaks", "bloom_fpr_eval",
+        "langid_confusion", "jsonl_roundtrip",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -1194,3 +1194,52 @@ def rake_keywords(sf_dir: str) -> "ray.data.Dataset":
         .sort(["score_x1000", "freq", "word"], descending=[True, True, False])
         .limit(RAKE_TOP)
     )
+
+
+def langid_confusion(sf_dir: str) -> "ray.data.Dataset":
+    """Confusion matrix of the lang_id heuristic against the labeled
+    ``lang`` column — the eval that closes the language-ID loop
+    (bloom_fpr_eval's role for Bloom, minhash_eval's for MinHash):
+    per (true_lang, pred_lang) the exact document count; the diagonal
+    over the total is the accuracy, the off-diagonal cells say WHICH
+    languages the stopword heuristic confuses (the dial that decides
+    whether to grow a language's stopword list). Tail-seated by
+    design: lang_id's per-batch predictor with the grid fold of
+    contingency_grid.
+
+    Scale shape: ONE text pass — the predictor and the ground-truth
+    label live in the same batch, so each batch folds straight to
+    (true, pred, n) partials and the shuffle carries at most
+    |langs|² rows per batch. Output: (true_lang, pred_lang, n)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.textstats import predict_lang, stopword_hits
+
+    ds = read_documents(sf_dir, ["doc_id", "text", "lang"])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        hits = stopword_hits(batch.column("text").combine_chunks())
+        pred = np.asarray(predict_lang(hits).to_pylist(), dtype=object)
+        true = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        g = (
+            pd.DataFrame({"true_lang": true, "pred_lang": pred, "n": 1})
+            .groupby(["true_lang", "pred_lang"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "true_lang": pa.array(g["true_lang"], pa.string()),
+                "pred_lang": pa.array(g["pred_lang"], pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["true_lang", "pred_lang"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )

@@ -85,3 +85,65 @@ def write_table(ds: "ray.data.Dataset", path: str, fmt: str = "auto") -> str:
         return "lance"
     ds.write_parquet(path)
     return "parquet"
+
+
+def jsonl_roundtrip(sf_dir: str) -> "pa.Table":
+    """JSON-Lines source/sink roundtrip — the format-coverage proof
+    for the engine's newline-delimited-JSON path: the documents
+    projection streams OUT through ``Dataset.write_json`` (one shard
+    per block — the partitioned, resumable layout every sink here
+    uses) and back IN through ``ray.data.read_json``, and the
+    checksum aggregate (docs, Σdoc_id, Σn_chars, Σ|text| recomputed
+    from the decoded strings) must equal the same aggregate DuckDB
+    computes on the original parquet — newline/quote/unicode
+    escaping included, or the text-length sum drifts. Scale shape:
+    write and read both stream block-parallel; the only global step
+    is a 4-int aggregate."""
+    import shutil
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum as _Sum
+
+    out_dir = "/tmp/readur_roundtrip_jsonl"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    ).write_json(out_dir)
+
+    back = ray.data.read_json(out_dir)
+
+    def fold(batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        tl = pc.sum(
+            pc.utf8_length(batch.column("text").cast(pa.string()))
+        ).as_py() or 0
+        return pa.table(
+            {
+                "n_docs": pa.array([batch.num_rows], pa.int64()),
+                "sum_doc_id": pa.array(
+                    [int(pc.sum(batch.column("doc_id").cast(pa.int64())).as_py() or 0)],
+                    pa.int64(),
+                ),
+                "sum_n_chars": pa.array(
+                    [int(pc.sum(batch.column("n_chars").cast(pa.int64())).as_py() or 0)],
+                    pa.int64(),
+                ),
+                "sum_text_len": pa.array([int(tl)], pa.int64()),
+            }
+        )
+
+    agg = (
+        back.map_batches(fold, batch_format="pyarrow")
+        .aggregate(
+            _Sum("n_docs", alias_name="n_docs"),
+            _Sum("sum_doc_id", alias_name="sum_doc_id"),
+            _Sum("sum_n_chars", alias_name="sum_n_chars"),
+            _Sum("sum_text_len", alias_name="sum_text_len"),
+        )
+    )
+    import pyarrow as pa
+
+    return pa.table({k: pa.array([int(v)], pa.int64()) for k, v in agg.items()})

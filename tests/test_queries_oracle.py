@@ -316,6 +316,8 @@ SUBSET = [
     "session_timeout_sweep",
     "activity_streaks",
     "bloom_fpr_eval",
+    "langid_confusion",
+    "jsonl_roundtrip",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
