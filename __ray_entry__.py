@@ -1201,6 +1201,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the NDJSON path. Tail-seated by design: a sink + source +
         # table_checksum composition.
         "jsonl_roundtrip": tables_src.jsonl_roundtrip,
+        # (round 4, wave 63) IVF-PQ — the full FAISS index layout,
+        # bit-reproducible: the memoized coarse quantizer picks the
+        # cell, product quantization prices the RESIDUAL, each query
+        # scans its own cell by ADC table lookups; closes the ANN
+        # family (exact → grid-IVF → LSH → kmeans-IVF → PQ-ADC →
+        # IVF-PQ). Tail-seated by design: the memoized trainers + the
+        # streamed batch-local-top-k ranking.
+        "ann_topk_ivfpq": similarity.ann_topk_ivfpq,
+        # (round 4, wave 63) CSV source/sink roundtrip — the RFC-4180
+        # quoted path: write_csv out, read_csv back, 4-int checksum
+        # against the parquet oracle (Σ|text| from the PARSED
+        # strings catches any quoting bug). Format coverage beside
+        # the JSONL twin.
+        "csv_roundtrip": tables_src.csv_roundtrip,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2547,6 +2561,91 @@ def oracle_sql() -> dict[str, str]:
         FROM g JOIN t ON g.lane = t.lane
     """
 
+    # ann_topk_ivfpq: the coarse CTEs verbatim, then residual-PQ
+    # training replayed (2 iterations, truncating '//' division,
+    # anchor-residual seeds) and the per-query ADC over its own cell.
+    sql["ann_topk_ivfpq"] = (
+        sql["ann_topk_ivf_kmeans"].split("        pd AS (")[0]
+        + """        rv AS (
+          SELECT v.vec_id, v.dim, v.dim // 16 AS s, v.q - cn.q AS r
+          FROM qv v
+          JOIN a2 av ON av.vec_id = v.vec_id
+          JOIN cent2f cn ON cn.c = av.c AND cn.dim = v.dim
+        ),
+        pseed AS (
+          SELECT vec_id - 16 AS pc, s, dim, r FROM rv
+          WHERE vec_id BETWEEN 16 AND 23
+        ),
+        pd0 AS (
+          SELECT v.vec_id, v.s, sd.pc,
+                 sum((v.r - sd.r) * (v.r - sd.r)) AS d2
+          FROM rv v JOIN pseed sd ON sd.dim = v.dim GROUP BY 1, 2, 3
+        ),
+        pa0 AS (SELECT vec_id, s, pc FROM (
+          SELECT vec_id, s, pc, row_number() OVER (
+            PARTITION BY vec_id, s ORDER BY d2 ASC, pc ASC) AS rn
+          FROM pd0) WHERE rn = 1),
+        pcent1 AS (
+          SELECT pa0.pc, rv.s, rv.dim,
+                 CAST(sum(rv.r) // count(*) AS BIGINT) AS r
+          FROM rv JOIN pa0 ON pa0.vec_id = rv.vec_id AND pa0.s = rv.s
+          GROUP BY 1, 2, 3
+        ),
+        pcent1f AS (
+          SELECT sd.pc, sd.s, sd.dim, coalesce(p1.r, sd.r) AS r
+          FROM pseed sd LEFT JOIN pcent1 p1
+            ON p1.pc = sd.pc AND p1.dim = sd.dim
+        ),
+        pd1 AS (
+          SELECT v.vec_id, v.s, cb.pc,
+                 sum((v.r - cb.r) * (v.r - cb.r)) AS d2
+          FROM rv v JOIN pcent1f cb ON cb.dim = v.dim GROUP BY 1, 2, 3
+        ),
+        pa1 AS (SELECT vec_id, s, pc FROM (
+          SELECT vec_id, s, pc, row_number() OVER (
+            PARTITION BY vec_id, s ORDER BY d2 ASC, pc ASC) AS rn
+          FROM pd1) WHERE rn = 1),
+        pcent2 AS (
+          SELECT pa1.pc, rv.s, rv.dim,
+                 CAST(sum(rv.r) // count(*) AS BIGINT) AS r
+          FROM rv JOIN pa1 ON pa1.vec_id = rv.vec_id AND pa1.s = rv.s
+          GROUP BY 1, 2, 3
+        ),
+        pcent2f AS (
+          SELECT f.pc, f.s, f.dim, coalesce(p2.r, f.r) AS r
+          FROM pcent1f f LEFT JOIN pcent2 p2
+            ON p2.pc = f.pc AND p2.dim = f.dim
+        ),
+        pd2q AS (
+          SELECT v.vec_id, v.s, cb.pc,
+                 sum((v.r - cb.r) * (v.r - cb.r)) AS d2
+          FROM rv v JOIN pcent2f cb ON cb.dim = v.dim GROUP BY 1, 2, 3
+        ),
+        pa2 AS (SELECT vec_id, s, pc FROM (
+          SELECT vec_id, s, pc, row_number() OVER (
+            PARTITION BY vec_id, s ORDER BY d2 ASC, pc ASC) AS rn
+          FROM pd2q) WHERE rn = 1),
+        qtabr AS (
+          SELECT vec_id, s, pc, d2 FROM pd2q WHERE vec_id < 16
+        ),
+        adc AS (
+          SELECT t.vec_id AS query_id, ay.vec_id AS neighbor_id,
+                 sum(t.d2) AS d2
+          FROM qtabr t
+          JOIN a2 aq ON aq.vec_id = t.vec_id
+          JOIN a2 ay ON ay.c = aq.c AND ay.vec_id <> t.vec_id
+          JOIN pa2 py ON py.vec_id = ay.vec_id AND py.s = t.s
+                     AND py.pc = t.pc
+          GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC
+          ) AS BIGINT) AS rank
+          FROM adc) WHERE rank <= 5
+    """
+    )
+
     # langid_confusion: the lang_id CTE joined back to the label.
     sql["langid_confusion"] = f"""
         WITH li AS ({sql["lang_id"]})
@@ -2564,6 +2663,9 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(length(text)) AS BIGINT) AS sum_text_len
         FROM documents
     """
+
+    # csv_roundtrip: the same parquet-side checksum as the JSONL twin.
+    sql["csv_roundtrip"] = sql["jsonl_roundtrip"]
 
     # activity_streaks: gaps-and-islands on the distinct user-day
     # grid; the histogram counts streaks and owning users per length.

@@ -163,6 +163,7 @@ def run_queries() -> dict[str, float]:
         "join_strategy_plan", "session_timeout_sweep",
         "activity_streaks", "bloom_fpr_eval",
         "langid_confusion", "jsonl_roundtrip",
+        "ann_topk_ivfpq", "csv_roundtrip",
     ]
     out: dict[str, float] = {}
     for name in picks:

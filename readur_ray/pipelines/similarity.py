@@ -2027,3 +2027,189 @@ def two_hop_reach(sf_dir: str) -> "ray.data.Dataset":
         )
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def _train_pq_residual_codebooks(
+    ds: "ray.data.Dataset", sf_dir: str, cents: np.ndarray,
+    m: int = PQ_M, k: int = PQ_K,
+) -> np.ndarray:
+    """Residual PQ codebooks — _train_pq_codebooks re-run on r = q −
+    centroid[assign(q)] (the FAISS IVF-PQ layout: PQ prices the
+    RESIDUAL after the coarse quantizer, which is what makes the
+    codes cell-local and small). Same grid, seeds (anchor residuals),
+    iteration count, tie rule and truncating centroid division, so
+    the oracle replays every subspace bit-for-bit. Memoized with the
+    "pqres" tag beside the raw-PQ and coarse-centroid caches."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    emb_path = _os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        session = ray.get_runtime_context().get_job_id()
+    except Exception:
+        session = None
+    scope = (_os.path.abspath(sf_dir), _os.path.getmtime(emb_path), session)
+    key = (*scope, ("pqres", m, k))
+    hit = _CENTROID_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    seed_tbl = _pq.read_table(
+        emb_path, columns=["vec_id", "embedding"],
+        filters=[("vec_id", ">=", ANCHOR_LO), ("vec_id", "<", ANCHOR_LO + k)],
+    ).sort_by("vec_id")
+    seeds_q = _quantize(
+        np.array(seed_tbl.column("embedding").to_pylist(), dtype=np.float64)
+    )
+    seeds = seeds_q - cents[_assign(seeds_q, cents)]
+    sub = seeds.shape[1] // m
+    books = np.stack([seeds[:, s * sub:(s + 1) * sub] for s in range(m)])
+
+    for _ in range(KM_ITERS):
+        cur_ref = ray.put((books, cents))
+
+        def partial_sums(batch: pa.Table, _ref=cur_ref) -> pa.Table:
+            bk, cn = ray.get(_ref)
+            q = _quantize(
+                np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            )
+            r = q - cn[_assign(q, cn)]
+            rows_s, rows_c, rows_n, rows_sum = [], [], [], []
+            for s in range(bk.shape[0]):
+                rs = r[:, s * sub:(s + 1) * sub]
+                a = _assign(rs, bk[s])
+                for c in np.unique(a):
+                    msk = a == c
+                    rows_s.append(s)
+                    rows_c.append(int(c))
+                    rows_n.append(int(msk.sum()))
+                    rows_sum.append(rs[msk].sum(axis=0).tolist())
+            return pa.table(
+                {
+                    "s": pa.array(rows_s, pa.int64()),
+                    "c": pa.array(rows_c, pa.int64()),
+                    "n": pa.array(rows_n, pa.int64()),
+                    "sum": pa.array(rows_sum, pa.list_(pa.int64())),
+                }
+            )
+
+        parts = ds.map_batches(partial_sums, batch_format="pyarrow").take_all()
+        sums = np.zeros((m, k, sub), dtype=np.int64)
+        counts = np.zeros((m, k), dtype=np.int64)
+        for row in parts:
+            sums[row["s"], row["c"]] += np.array(row["sum"], dtype=np.int64)
+            counts[row["s"], row["c"]] += row["n"]
+        prev = books
+        safe = np.maximum(counts, 1)[:, :, None]
+        books = (np.sign(sums) * (np.abs(sums) // safe)).astype(np.int64)
+        books[counts == 0] = prev[counts == 0]
+
+    for stale in [c for c in _CENTROID_CACHE if c[:3] != scope]:
+        del _CENTROID_CACHE[stale]
+    _CENTROID_CACHE[key] = books
+    return books
+
+
+def ann_topk_ivfpq(
+    sf_dir: str, k: int = TOP_K, m: int = PQ_M
+) -> "ray.data.Dataset":
+    """IVF-PQ approximate top-k — the full FAISS index layout, kept
+    bit-reproducible: coarse exact-integer k-means picks the cell,
+    product quantization prices the RESIDUAL (q − centroid), and each
+    query scans only its own cell by ADC (a (m × k)-entry distance
+    table between the query's residual and the residual codebooks —
+    one add per candidate per subspace, never a full vector). This
+    closes the ANN family: exact → grid-IVF → LSH → kmeans-IVF →
+    PQ-ADC → IVF-PQ, each one dial further down the recall-vs-cost
+    curve that ann_recall_report / ivf_probe_cost / pq_distortion
+    measure. Tail-seated by design: the memoized coarse quantizer +
+    a residual re-run of the memoized PQ trainer + the streamed
+    batch-local-top-k ranking of _ann_ivf_kmeans.
+
+    Scale shape: training passes are fixed-size integer aggregates;
+    ranking is ONE map_batches pass (queries + centroids + codebooks
+    + the 16×m×k ADC table broadcast once) with batch-local top-k
+    and a tiny per-query merge — no whole-cell materialization."""
+    ds = _read_embeddings(sf_dir)
+    cents = _train_centroids(ds, sf_dir)
+    books = _train_pq_residual_codebooks(ds, sf_dir, cents, m)
+    sub = cents.shape[1] // m
+
+    import pyarrow.parquet as _pq
+
+    qt = _pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", N_QUERIES)],
+    ).sort_by("vec_id")
+    qids = qt.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    qint = _quantize(np.array(qt.column("embedding").to_pylist(), dtype=np.float64))
+    qcell = _assign(qint, cents)
+    qres = qint - cents[qcell]
+    # qtab[qi, s, c] = || r_q[subspace s] − books[s][c] ||²
+    qtab = np.stack(
+        [
+            (
+                (qres[:, s * sub:(s + 1) * sub][:, None, :] - books[s][None, :, :])
+                ** 2
+            ).sum(axis=2)
+            for s in range(m)
+        ],
+        axis=1,
+    )
+    ref = ray.put((qids, qcell, qtab, cents, books))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q_cell, q_tab, cn, bk = ray.get(ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        v = _quantize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        cells = _assign(v, cn)
+        r = v - cn[cells]
+        codes = np.stack(
+            [_assign(r[:, s * sub:(s + 1) * sub], bk[s]) for s in range(m)],
+            axis=1,
+        )  # (n, m)
+        out_q, out_n, out_d = [], [], []
+        for qi in range(len(q_ids)):
+            mask = (cells == q_cell[qi]) & (ids != q_ids[qi])
+            cand = np.flatnonzero(mask)
+            if cand.size == 0:
+                continue
+            adc = q_tab[qi][np.arange(m)[None, :], codes[cand]].sum(axis=1)
+            take = cand[np.lexsort((ids[cand], adc))[:k]]
+            adc_take = q_tab[qi][
+                np.arange(m)[None, :], codes[take]
+            ].sum(axis=1)
+            out_q.extend([q_ids[qi]] * len(take))
+            out_n.extend(ids[take].tolist())
+            out_d.extend(adc_take.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "d2": pa.array(np.array(out_d, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            group, sort_keys=[("d2", "ascending"), ("neighbor_id", "ascending")]
+        )
+        g = group.take(idx[:k])
+        return pa.table(
+            {
+                "query_id": g.column("query_id"),
+                "neighbor_id": g.column("neighbor_id"),
+                "rank": pa.array(
+                    np.arange(1, g.num_rows + 1, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pyarrow")
+    )

@@ -147,3 +147,61 @@ def jsonl_roundtrip(sf_dir: str) -> "pa.Table":
     import pyarrow as pa
 
     return pa.table({k: pa.array([int(v)], pa.int64()) for k, v in agg.items()})
+
+
+def csv_roundtrip(sf_dir: str) -> "pa.Table":
+    """CSV source/sink roundtrip — the sibling of jsonl_roundtrip for
+    the quoted-CSV path: documents stream out through
+    ``Dataset.write_csv`` (block-parallel shards) and back in through
+    ``ray.data.read_csv``; embedded quotes, commas and newlines in
+    the text column all ride RFC-4180 quoting, and the same 4-int
+    checksum (with Σ|text| recomputed from the PARSED strings) must
+    equal the parquet-side oracle. Scale shape: identical to the
+    JSONL twin — streaming both ways, one bounded aggregate."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum as _Sum
+
+    out_dir = "/tmp/readur_roundtrip_csv"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    ).write_csv(out_dir)
+
+    back = ray.data.read_csv(out_dir)
+
+    def fold(batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        tl = pc.sum(
+            pc.utf8_length(batch.column("text").cast(pa.string()))
+        ).as_py() or 0
+        return pa.table(
+            {
+                "n_docs": pa.array([batch.num_rows], pa.int64()),
+                "sum_doc_id": pa.array(
+                    [int(pc.sum(batch.column("doc_id").cast(pa.int64())).as_py() or 0)],
+                    pa.int64(),
+                ),
+                "sum_n_chars": pa.array(
+                    [int(pc.sum(batch.column("n_chars").cast(pa.int64())).as_py() or 0)],
+                    pa.int64(),
+                ),
+                "sum_text_len": pa.array([int(tl)], pa.int64()),
+            }
+        )
+
+    agg = (
+        back.map_batches(fold, batch_format="pyarrow")
+        .aggregate(
+            _Sum("n_docs", alias_name="n_docs"),
+            _Sum("sum_doc_id", alias_name="sum_doc_id"),
+            _Sum("sum_n_chars", alias_name="sum_n_chars"),
+            _Sum("sum_text_len", alias_name="sum_text_len"),
+        )
+    )
+    import pyarrow as pa
+
+    return pa.table({k: pa.array([int(v)], pa.int64()) for k, v in agg.items()})

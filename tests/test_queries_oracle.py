@@ -318,6 +318,8 @@ SUBSET = [
     "bloom_fpr_eval",
     "langid_confusion",
     "jsonl_roundtrip",
+    "ann_topk_ivfpq",
+    "csv_roundtrip",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
