@@ -1215,6 +1215,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # strings catches any quoting bug). Format coverage beside
         # the JSONL twin.
         "csv_roundtrip": tables_src.csv_roundtrip,
+        # (round 4, wave 64) IVF-PQ recall@k vs exact — the quality
+        # dial for the compressed end of the ANN family: the cell
+        # restriction and the ADC quantization each cost recall, and
+        # this is where that price reads out. Tail-seated by design:
+        # ann_recall_report's bounded pair fold over the two memoized
+        # rankings.
+        "ivfpq_recall_report": similarity.ivfpq_recall_report,
+        # (round 4, wave 64) video frame-sampling plan — the third
+        # modality: md5-derived durations (the hermetic ffprobe
+        # stand-in), stride-7 sampling capped at 16 frames/doc, exact
+        # integer-ms timestamps; the work-list a decode actor pool
+        # consumes, zero shuffles. Tail-seated by design:
+        # audio_features' ref convention with a flat-map expansion.
+        "video_frame_plan": multimodal.video_frame_plan,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2645,6 +2659,35 @@ def oracle_sql() -> dict[str, str]:
           FROM adc) WHERE rank <= 5
     """
     )
+
+    # ivfpq_recall_report: exact ∩ IVF-PQ hits per query.
+    sql["ivfpq_recall_report"] = f"""
+        WITH e AS ({sql["ann_topk"]}),
+        a AS ({sql["ann_topk_ivfpq"]})
+        SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM e JOIN a ON a.query_id = e.query_id
+                     AND a.neighbor_id = e.neighbor_id
+        GROUP BY 1 ORDER BY 1
+    """
+
+    # video_frame_plan: md5-derived duration, stride-7 sampling
+    # capped at 16; all arithmetic non-negative integers.
+    sql["video_frame_plan"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 2000 + CAST(CAST('0x' || substr(
+                   md5('video://' || CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS UBIGINT) % 58000 AS BIGINT) AS dur
+          FROM documents
+        ),
+        f AS (SELECT doc_id, dur * 25 // 1000 AS n_frames FROM d),
+        s AS (SELECT doc_id, n_frames,
+                     least((n_frames + 6) // 7, 16) AS n_s FROM f)
+        SELECT doc_id, CAST(i * 7 AS BIGINT) AS frame_idx,
+               CAST(i * 7 * 1000 // 25 AS BIGINT) AS ts_ms,
+               CAST(n_frames AS BIGINT) AS n_frames
+        FROM s, unnest(range(0, n_s)) t(i)
+    """
 
     # langid_confusion: the lang_id CTE joined back to the label.
     sql["langid_confusion"] = f"""

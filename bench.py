@@ -164,6 +164,7 @@ def run_queries() -> dict[str, float]:
         "activity_streaks", "bloom_fpr_eval",
         "langid_confusion", "jsonl_roundtrip",
         "ann_topk_ivfpq", "csv_roundtrip",
+        "ivfpq_recall_report", "video_frame_plan",
     ]
     out: dict[str, float] = {}
     for name in picks:

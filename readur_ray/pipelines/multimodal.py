@@ -367,3 +367,68 @@ def audio_features(sf_dir: str) -> "ray.data.Dataset":
             concurrency=(1, 4),
             num_cpus=1,
         )
+
+
+VIDEO_FPS = 25
+VIDEO_BASE_MS = 2_000
+VIDEO_SPAN_MS = 58_000
+VIDEO_MAX_SAMPLES = 16
+
+
+def video_frame_plan(sf_dir: str) -> "ray.data.Dataset":
+    """Video frame-sampling plan — the third modality beside image
+    preprocessing and audio windowing, same opaque-ref convention:
+    each document carries a deterministic ``video://<doc_id>`` whose
+    duration derives from the ref's md5 (the hermetic stand-in for a
+    container-header probe; a real ffprobe slots into the same
+    signature), and the planner emits the frames a FRAME_STRIDE
+    sampler would decode, capped at VIDEO_MAX_SAMPLES per doc — the
+    exact work-list a decode actor pool consumes, with timestamps in
+    exact integer milliseconds (frame_idx·1000 // fps). Tail-seated
+    by design: audio_features' md5-metadata convention with a
+    flat-map expansion.
+
+    Scale shape: one pass, vectorized np.repeat/tile expansion, ≤16
+    rows per doc — no shuffle at all. Output: (doc_id, frame_idx,
+    ts_ms, n_frames)."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def plan(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        dur = np.array(
+            [
+                VIDEO_BASE_MS
+                + int(hashlib.md5(f"video://{i}".encode()).hexdigest()[:15], 16)
+                % VIDEO_SPAN_MS
+                for i in ids
+            ],
+            np.int64,
+        )
+        n_frames = dur * VIDEO_FPS // 1000
+        n_sampled = np.minimum(
+            (n_frames + FRAME_STRIDE - 1) // FRAME_STRIDE, VIDEO_MAX_SAMPLES
+        )
+        doc_rep = np.repeat(ids, n_sampled)
+        nf_rep = np.repeat(n_frames, n_sampled)
+        # per-doc sample ordinals 0..n_sampled-1, concatenated
+        total = int(n_sampled.sum())
+        ord_all = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_sampled)[:-1])), n_sampled
+        )
+        frame_idx = ord_all * FRAME_STRIDE
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rep, pa.int64()),
+                "frame_idx": pa.array(frame_idx, pa.int64()),
+                "ts_ms": pa.array(frame_idx * 1000 // VIDEO_FPS, pa.int64()),
+                "n_frames": pa.array(nf_rep, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(plan, batch_format="pyarrow")

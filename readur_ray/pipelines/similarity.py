@@ -2213,3 +2213,53 @@ def ann_topk_ivfpq(
         .groupby("query_id")
         .map_groups(merge_topk, batch_format="pyarrow")
     )
+
+
+def ivfpq_recall_report(sf_dir: str) -> "ray.data.Dataset":
+    """Recall@k of the IVF-PQ index against the exact ranking — the
+    quality dial for the compressed end of the ANN family (next to
+    ann_recall_report's kmeans-IVF dial): the residual-PQ codes cost
+    recall twice, once from the cell restriction and once from ADC
+    quantization, and this query is where that price reads out.
+    Same plan as ann_recall_report: both rankings are the streamed
+    top-k pipelines, the intersection is one bounded fold over
+    2·N_QUERIES·k tagged pairs. Output: (query_id, n_hits)."""
+    exact = ann_topk(sf_dir)
+    approx = ann_topk_ivfpq(sf_dir)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": batch.column("query_id").cast(pa.int64()),
+                "neighbor_id": batch.column("neighbor_id").cast(pa.int64()),
+                "one": pa.array(np.ones(len(batch), np.int64), pa.int64()),
+            }
+        )
+
+    def hits(part_tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        t = part_tbl.group_by(["query_id", "neighbor_id"]).aggregate(
+            [("one", "sum")]
+        )
+        both = t.filter(_pc.equal(t.column("one_sum"), 2))
+        g = both.group_by("query_id").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "query_id": g.column("query_id"),
+                "n_hits": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    return (
+        exact.map_batches(tag, batch_format="pyarrow")
+        .union(approx.map_batches(tag, batch_format="pyarrow"))
+        .map_batches(
+            lambda b: b.append_column(
+                "k", pa.array(np.zeros(len(b), np.int64), pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("k")
+        .map_groups(hits, batch_format="pyarrow")
+    )

@@ -320,6 +320,8 @@ SUBSET = [
     "jsonl_roundtrip",
     "ann_topk_ivfpq",
     "csv_roundtrip",
+    "ivfpq_recall_report",
+    "video_frame_plan",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
