@@ -1229,6 +1229,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # consumes, zero shuffles. Tail-seated by design:
         # audio_features' ref convention with a flat-map expansion.
         "video_frame_plan": multimodal.video_frame_plan,
+        # (round 4, wave 65) TPC-H Q6 — the pure scan-edge
+        # filter-aggregate (no join, no groupby): discount compared
+        # in exact re-rounded basis points so 0.05 can never straddle
+        # engines; only 4 columns leave storage. Tail-seated by
+        # design: pricing_summary's degenerate single-group member.
+        "q6_forecast_revenue": analytics.q6_forecast_revenue,
+        # (round 4, wave 65) TPC-H Q15 — argmax-with-ties-ALL over a
+        # windowed per-supplier revenue aggregate: the cut is an
+        # equality against one broadcast global Max, so ties all
+        # surface. Tail-seated by design: supplier_scorecard's fold
+        # with a scalar filter.
+        "q15_top_supplier": analytics.q15_top_supplier,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2709,6 +2721,42 @@ def oracle_sql() -> dict[str, str]:
 
     # csv_roundtrip: the same parquet-side checksum as the JSONL twin.
     sql["csv_roundtrip"] = sql["jsonl_roundtrip"]
+
+    # q6_forecast_revenue: discounts re-rounded to basis points on
+    # BOTH sides before compare and multiply.
+    sql["q6_forecast_revenue"] = """
+        WITH f AS (
+          SELECT l_extendedprice,
+                 CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS bp
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+            AND CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)
+                BETWEEN 500 AND 700
+            AND CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) < 2400
+        )
+        SELECT coalesce(CAST(sum(CAST(floor(l_extendedprice
+                 * (bp / 10000.0) * 100 + 0.5) AS BIGINT)) AS BIGINT), 0)
+                 AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM f
+    """
+
+    # q15_top_supplier: the view + max-subquery equality, ties all.
+    sql["q15_top_supplier"] = """
+        WITH r AS (
+          SELECT l_suppkey,
+                 CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                      * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-10-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name, r.rev AS revenue_cents
+        FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        WHERE r.rev = (SELECT max(rev) FROM r)
+    """
 
     # activity_streaks: gaps-and-islands on the distinct user-day
     # grid; the histogram counts streaks and owning users per length.

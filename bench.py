@@ -165,6 +165,7 @@ def run_queries() -> dict[str, float]:
         "langid_confusion", "jsonl_roundtrip",
         "ann_topk_ivfpq", "csv_roundtrip",
         "ivfpq_recall_report", "video_frame_plan",
+        "q6_forecast_revenue", "q15_top_supplier",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -5469,3 +5469,147 @@ def join_strategy_plan(sf_dir: str) -> "ray.data.Dataset":
             "strategy": pa.array([r[5] for r in rows], pa.string()),
         }
     )
+
+
+Q6_LO_US = 852_076_800_000_000   # 1997-01-01
+Q6_HI_US = 883_612_800_000_000   # 1998-01-01
+
+
+def q6_forecast_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q6 (forecasting revenue change) — the pure scan-edge
+    query: one filter-aggregate over lineitem (ship-date year,
+    discount in [0.05, 0.07], quantity < 24) with revenue =
+    Σ price·discount in exact cents; no join, no groupby — the query
+    that isolates scan + predicate throughput, and the one a
+    column-pruned, row-group-pruned read should make IO-bound.
+    Discounts compare in exact integer basis points (floor(d·10⁴ +
+    0.5)) so the float boundary 0.05 can never straddle engines.
+    Tail-seated by design: the degenerate (single-group) member of
+    the pricing_summary family.
+
+    Scale shape: per-batch (cents, n) partials → one 2-int global
+    aggregate; only 4 columns leave storage. Output: (revenue_cents,
+    n_lines)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        disc_bp = np.floor(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 10000.0
+            + 0.5
+        ).astype(np.int64)
+        qty_c = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        keep = (
+            (sd >= Q6_LO_US) & (sd < Q6_HI_US)
+            & (disc_bp >= 500) & (disc_bp <= 700)
+            & (qty_c < 2400)
+        )
+        price = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False
+        )[keep]
+        cents = np.floor(
+            price * (disc_bp[keep] / 10000.0) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "revenue_cents": pa.array([int(cents.sum())], pa.int64()),
+                "n_lines": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(fold, batch_format="pyarrow").aggregate(
+        _Sum("revenue_cents", alias_name="revenue_cents"),
+        _Sum("n_lines", alias_name="n_lines"),
+    )
+    return pa.table(
+        {k: pa.array([int(v)], pa.int64()) for k, v in agg.items()}
+    )
+
+
+def q15_top_supplier(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q15 (top supplier) — the argmax-with-ties-ALL shape over
+    an aggregate: per-supplier revenue in one ship-date quarter, then
+    every supplier whose revenue EQUALS the global max (the classic
+    view + max subquery). Distinct from supplier_scorecard's full
+    rollup and from top-k sorts: the cut is an equality against a
+    global scalar, so ties all surface. Tail-seated by design: the
+    scorecard's suppkey fold with a broadcast-scalar filter.
+
+    Scale shape: per-batch (suppkey, cents) partials → ONE
+    groupby(suppkey) → a 1-int global Max → the equality filter
+    streams; the dimension stitch is a broadcast. Output:
+    (s_suppkey, s_name, revenue_cents)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    supp_rows = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).take_all()
+    sname = {int(r["s_suppkey"]): r["s_name"] for r in supp_rows}
+
+    def fold(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = (sd >= Q10_LO_US) & (sd < Q10_HI_US)
+        sk = batch.column("l_suppkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[keep]
+        price = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False
+        )[keep]
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        g = (
+            pd.DataFrame({"sk": sk, "c": cents})
+            .groupby("sk", sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "sk": pa.array(g["sk"].to_numpy().astype(np.int64), pa.int64()),
+                "c": pa.array(g["c"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_supp = (
+        lines.map_batches(fold, batch_format="pyarrow")
+        .groupby("sk")
+        .aggregate(_Sum("c", alias_name="rev"))
+        .materialize()
+    )
+    top = int(per_supp.aggregate(_Max("rev"))["max(rev)"])
+
+    def winners(batch: pa.Table) -> pa.Table:
+        rev = batch.column("rev").to_numpy(zero_copy_only=False)
+        keep = rev == top
+        sk = batch.column("sk").to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "s_suppkey": pa.array(sk, pa.int64()),
+                "s_name": pa.array(
+                    [sname[int(x)] for x in sk], pa.string()
+                ),
+                "revenue_cents": pa.array(
+                    rev[keep].astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return per_supp.map_batches(winners, batch_format="pyarrow")

@@ -322,6 +322,8 @@ SUBSET = [
     "csv_roundtrip",
     "ivfpq_recall_report",
     "video_frame_plan",
+    "q6_forecast_revenue",
+    "q15_top_supplier",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
