@@ -1241,6 +1241,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # surface. Tail-seated by design: supplier_scorecard's fold
         # with a scalar filter.
         "q15_top_supplier": analytics.q15_top_supplier,
+        # (round 4, wave 66) TPC-H Q14 — promo revenue share of one
+        # ship-quarter in exact basis points over a lineitem ⋈ part
+        # partkey co-partition; the CASE-inside-aggregate 'share of
+        # X' shape. Tail-seated by design: q19's co-partition with a
+        # two-lane conditional fold.
+        "q14_promo_share": analytics.q14_promo_share,
+        # (round 4, wave 66) TPC-H Q17 — the correlated aggregate:
+        # rows below 20% of their own part's mean quantity, the 1/5
+        # threshold cross-multiplied into pure integers (qty·5·n <
+        # Σqty); the per-part stats rejoin the fact on the same
+        # partkey co-partition that computed them. Tail-seated by
+        # design: q18's groupby build side probed by raw rows.
+        "q17_small_quantity": analytics.q17_small_quantity,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2756,6 +2769,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.s_suppkey, s.s_name, r.rev AS revenue_cents
         FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
         WHERE r.rev = (SELECT max(rev) FROM r)
+    """
+
+    # q14_promo_share: the share-of-X CASE aggregate; '//' floor ==
+    # numpy for the non-negative ratio.
+    sql["q14_promo_share"] = """
+        WITH j AS (
+          SELECT CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                      + 0.5) AS BIGINT) AS cents,
+                 CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS promo
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-10-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+        ),
+        g AS (SELECT coalesce(CAST(sum(cents) FILTER (WHERE promo = 1)
+                       AS BIGINT), 0) AS promo_cents,
+                     coalesce(CAST(sum(cents) AS BIGINT), 0) AS total_cents
+              FROM j)
+        SELECT promo_cents, total_cents,
+               CAST(CASE WHEN total_cents = 0 THEN 0
+                    ELSE promo_cents * 10000 // total_cents END AS BIGINT)
+                 AS promo_share_bp
+        FROM g
+    """
+
+    # q17_small_quantity: the 1/5 threshold cross-multiplied; the
+    # correlated aggregate via a plain per-part stats join.
+    sql["q17_small_quantity"] = """
+        WITH q AS (
+          SELECT l_partkey AS pk,
+                 CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   AS price_c
+          FROM lineitem
+        ),
+        st AS (SELECT pk, CAST(sum(qty_c) AS BIGINT) AS s,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM q GROUP BY 1)
+        SELECT coalesce(CAST(sum(q.price_c) AS BIGINT), 0)
+                 AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM q JOIN st USING (pk)
+        WHERE q.qty_c * 5 * st.n < st.s
     """
 
     # activity_streaks: gaps-and-islands on the distinct user-day

@@ -166,6 +166,7 @@ def run_queries() -> dict[str, float]:
         "ann_topk_ivfpq", "csv_roundtrip",
         "ivfpq_recall_report", "video_frame_plan",
         "q6_forecast_revenue", "q15_top_supplier",
+        "q14_promo_share", "q17_small_quantity",
     ]
     out: dict[str, float] = {}
     for name in picks:

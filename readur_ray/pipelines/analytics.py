@@ -5613,3 +5613,232 @@ def q15_top_supplier(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return per_supp.map_batches(winners, batch_format="pyarrow")
+
+
+def q14_promo_share(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q14 (promotion effect) — promo revenue share of one
+    ship-month's total, in exact basis points: promo_cents·10⁴ //
+    total_cents over the lineitem ⋈ part partkey co-partition. The
+    CASE-inside-aggregate shape (one join, two conditional sums, one
+    ratio) that dashboards call 'share of X'. Tail-seated by design:
+    q19's co-partition with a two-lane conditional fold.
+
+    Scale shape: the month filter prunes lineitem at the scan; part
+    ships only (partkey, is_promo) int pairs; the co-partition folds
+    each partition to (promo_cents, total_cents) partials and the
+    global stage is a 2-int sum. Output: (promo_cents, total_cents,
+    promo_share_bp)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = (sd >= Q10_LO_US) & (sd < Q10_HI_US)
+        pk = batch.column("l_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[keep]
+        price = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False
+        )[keep]
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        n = len(pk)
+        return pa.table(
+            {
+                "k": pa.array(pk, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "promo": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "side": pa.array(np.ones(n, np.int64), pa.int64()),
+                "part": pa.array(pk % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def part_side(batch: pa.Table) -> pa.Table:
+        pk = batch.column("p_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ptype = np.asarray(batch.column("p_type").to_pylist(), dtype=object)
+        promo = np.array(
+            [1 if str(t).startswith("PROMO") else 0 for t in ptype], np.int64
+        )
+        n = len(pk)
+        return pa.table(
+            {
+                "k": pa.array(pk, pa.int64()),
+                "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "promo": pa.array(promo, pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "part": pa.array(pk % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def join_fold(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.to_pandas()
+        build = df[df["side"] == 0].set_index("k")["promo"]
+        probe = df[df["side"] == 1]
+        m = probe.join(build, on="k", how="inner", rsuffix="_b")
+        cents = m["cents"].to_numpy()
+        promo = m["promo_b"].to_numpy()
+        return pa.table(
+            {
+                "promo_cents": pa.array(
+                    [int(cents[promo == 1].sum())], pa.int64()
+                ),
+                "total_cents": pa.array([int(cents.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        lines.map_batches(line_side, batch_format="pyarrow")
+        .union(part.map_batches(part_side, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(join_fold, batch_format="pyarrow")
+        .aggregate(
+            _Sum("promo_cents", alias_name="promo_cents"),
+            _Sum("total_cents", alias_name="total_cents"),
+        )
+    )
+    pc_, tc = int(agg["promo_cents"]), int(agg["total_cents"])
+    return pa.table(
+        {
+            "promo_cents": pa.array([pc_], pa.int64()),
+            "total_cents": pa.array([tc], pa.int64()),
+            "promo_share_bp": pa.array(
+                [pc_ * 10000 // tc if tc else 0], pa.int64()
+            ),
+        }
+    )
+
+
+def q17_small_quantity(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q17 (small-quantity-order revenue) — the correlated
+    aggregate: lines whose quantity is below 20% of their PART's
+    average quantity. The 1/5 threshold makes it exact integer
+    arithmetic: qty < sum/(5n) ⇔ qty_c·5·n_part < sum_qty_c_part —
+    no division anywhere. The shape Q18 doesn't cover: the gate
+    compares each ROW against its own group's aggregate, so the
+    per-part statistics must rejoin the fact on the SAME partkey
+    co-partition that computed them. Tail-seated by design: q18's
+    groupby-produced build side probed by the raw rows instead of
+    the groups.
+
+    Scale shape: pass 1 folds (partkey, sum_qty_c, n) partials → one
+    groupby; pass 2 re-keys the stats and the raw (partkey, qty_c,
+    cents) rows onto the same co-partition, evaluates the
+    cross-multiplied gate vectorized, and folds to a 2-int global
+    sum. Output: (revenue_cents, n_lines)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def qty_partials(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        qty_c = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame({"pk": pk, "s": qty_c, "n": 1})
+            .groupby("pk", sort=False)
+            .agg(s=("s", "sum"), n=("n", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "pk": pa.array(g["pk"].to_numpy().astype(np.int64), pa.int64()),
+                "s": pa.array(g["s"].to_numpy().astype(np.int64), pa.int64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def stats_side(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array(pk.astype(np.int64), pa.int64()),
+                "a": batch.column("s_p"),
+                "b": batch.column("n_p"),
+                "side": pa.array(np.zeros(len(pk), np.int64), pa.int64()),
+                "part": pa.array(pk % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def row_side(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        qty_c = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        price_c = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array(pk, pa.int64()),
+                "a": pa.array(qty_c, pa.int64()),
+                "b": pa.array(price_c, pa.int64()),
+                "side": pa.array(np.ones(len(pk), np.int64), pa.int64()),
+                "part": pa.array(pk % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    stats = (
+        lines.map_batches(qty_partials, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(_Sum("s", alias_name="s_p"), _Sum("n", alias_name="n_p"))
+        .map_batches(stats_side, batch_format="pyarrow")
+    )
+
+    def gate(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.to_pandas()
+        build = df[df["side"] == 0].set_index("k")[["a", "b"]]
+        probe = df[df["side"] == 1]
+        m = probe.join(build, on="k", how="inner", rsuffix="_s")
+        qty, price = m["a"].to_numpy(), m["b"].to_numpy()
+        sum_q, n_part = m["a_s"].to_numpy(), m["b_s"].to_numpy()
+        keep = qty * 5 * n_part < sum_q
+        return pa.table(
+            {
+                "revenue_cents": pa.array(
+                    [int(price[keep].sum())], pa.int64()
+                ),
+                "n_lines": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        stats.union(lines.map_batches(row_side, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(gate, batch_format="pyarrow")
+        .aggregate(
+            _Sum("revenue_cents", alias_name="revenue_cents"),
+            _Sum("n_lines", alias_name="n_lines"),
+        )
+    )
+    return pa.table(
+        {k: pa.array([int(v)], pa.int64()) for k, v in agg.items()}
+    )

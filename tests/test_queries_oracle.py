@@ -324,6 +324,8 @@ SUBSET = [
     "video_frame_plan",
     "q6_forecast_revenue",
     "q15_top_supplier",
+    "q14_promo_share",
+    "q17_small_quantity",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
