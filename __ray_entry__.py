@@ -1254,6 +1254,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partkey co-partition that computed them. Tail-seated by
         # design: q18's groupby build side probed by raw rows.
         "q17_small_quantity": analytics.q17_small_quantity,
+        # (round 4, wave 67) TPC-H Q7 — bidirectional two-nation
+        # trade by ship year: q5's three-hop co-partition chain with
+        # the equality flipped to a cross-pair test and a year lane
+        # (pure epoch compare) riding the payload. Tail-seated by
+        # design: q5's chain, pair-filtered at every scan edge.
+        "q7_volume_shipping": analytics.q7_volume_shipping,
+        # (round 4, wave 67) TPC-H Q13 — the LEFT-JOIN histogram:
+        # customers per exact order count INCLUDING the zero-order
+        # customers an inner join drops; one custkey co-partition
+        # (Sum orders, Max customer-flag) then a bounded histogram
+        # fold. Tail-seated by design: orphan_fk_audit's tagged union
+        # with the histogram on the missing side.
+        "q13_customer_distribution": analytics.q13_customer_distribution,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2769,6 +2782,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.s_suppkey, s.s_name, r.rev AS revenue_cents
         FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
         WHERE r.rev = (SELECT max(rev) FROM r)
+    """
+
+    # q7_volume_shipping: the textbook Q7 over the available columns;
+    # year via pure epoch comparison, nations must differ.
+    sql["q7_volume_shipping"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(1996 + CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                    THEN 1 ELSE 0 END AS BIGINT) AS l_year,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+          AND n2.n_name IN ('NATION_1', 'NATION_2')
+          AND n1.n_name <> n2.n_name
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+    """
+
+    # q13_customer_distribution: the LEFT JOIN kept explicit so the
+    # zero-order customers survive into the histogram.
+    sql["q13_customer_distribution"] = """
+        WITH cc AS (
+          SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS n
+          FROM customer c
+          LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+          GROUP BY 1
+        )
+        SELECT n AS c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM cc GROUP BY 1
     """
 
     # q14_promo_share: the share-of-X CASE aggregate; '//' floor ==

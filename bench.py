@@ -167,6 +167,7 @@ def run_queries() -> dict[str, float]:
         "ivfpq_recall_report", "video_frame_plan",
         "q6_forecast_revenue", "q15_top_supplier",
         "q14_promo_share", "q17_small_quantity",
+        "q7_volume_shipping", "q13_customer_distribution",
     ]
     out: dict[str, float] = {}
     for name in picks:

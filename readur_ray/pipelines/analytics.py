@@ -5842,3 +5842,342 @@ def q17_small_quantity(sf_dir: str) -> "ray.data.Dataset":
     return pa.table(
         {k: pa.array([int(v)], pa.int64()) for k, v in agg.items()}
     )
+
+
+Q7_NATIONS = ("NATION_1", "NATION_2")
+Q7_Y96_US = 820_454_400_000_000   # 1996-01-01
+Q7_Y97_US = 852_076_800_000_000   # 1997-01-01
+Q7_HI_US = 883_612_800_000_000    # 1998-01-01
+
+
+def q7_volume_shipping(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q7 (volume shipping) — bidirectional trade between two
+    nations by ship year: revenue where the supplier sits in one
+    nation of the pair and the customer in the OTHER, grouped by
+    (supp_nation, cust_nation, year). q5's chained co-partitions with
+    the equality flipped to a cross-pair test and a year lane riding
+    the payload; the year derives from pure epoch comparison (1996 +
+    [sd ≥ 1997-01-01]) — no calendar functions. Tail-seated by
+    design: q5's three-hop chain, filtered to the pair at every
+    scan edge.
+
+    Scale shape: both dimension sides pre-filter to the two nations
+    at the scan; the three fact co-partitions (orderkey, custkey,
+    suppkey) each pre-sum per (next-key, nation-lane, year) group;
+    the global stage is a ≤4-row grid. Output: (supp_nation,
+    cust_nation, l_year, revenue_cents)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    nation_rows = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).take_all()
+    pair = {
+        int(r["n_nationkey"]): r["n_name"]
+        for r in nation_rows
+        if r["n_name"] in Q7_NATIONS
+    }
+    pair_keys = np.array(sorted(pair), np.int64)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ck = batch.column("o_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = len(ok)
+        return pa.table(
+            {
+                "k": pa.array(ok, pa.int64()),
+                "a": pa.array(ck, pa.int64()),
+                "b": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "year": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "part": pa.array(ok % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = (sd >= Q7_Y96_US) & (sd < Q7_HI_US)
+        lk = batch.column("l_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[keep]
+        sk = batch.column("l_suppkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[keep]
+        year = 1996 + (sd[keep] >= Q7_Y97_US).astype(np.int64)
+        price = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False
+        )[keep]
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        n = len(lk)
+        return pa.table(
+            {
+                "k": pa.array(lk, pa.int64()),
+                "a": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "b": pa.array(sk, pa.int64()),
+                "year": pa.array(year, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "side": pa.array(np.ones(n, np.int64), pa.int64()),
+                "part": pa.array(lk % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def hop1(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.to_pandas()
+        build = df[df["side"] == 0].set_index("k")["a"]
+        probe = df[df["side"] == 1]
+        m = probe.join(build, on="k", how="inner", rsuffix="_b")
+        g = (
+            m.groupby(["a_b", "b", "year"], sort=False)["cents"]
+            .sum()
+            .reset_index()
+        )
+        ck = g["a_b"].to_numpy().astype(np.int64)
+        n = len(ck)
+        return pa.table(
+            {
+                "k": pa.array(ck, pa.int64()),
+                "a": pa.array(g["b"].to_numpy().astype(np.int64), pa.int64()),
+                "b": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "year": pa.array(
+                    g["year"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "cents": pa.array(
+                    g["cents"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "side": pa.array(np.ones(n, np.int64), pa.int64()),
+                "part": pa.array(ck % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        nk = batch.column("c_nationkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = np.isin(nk, pair_keys)
+        ck, nk = ck[keep], nk[keep]
+        n = len(ck)
+        return pa.table(
+            {
+                "k": pa.array(ck, pa.int64()),
+                "a": pa.array(nk, pa.int64()),
+                "b": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "year": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "part": pa.array(ck % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def hop2(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.to_pandas()
+        build = df[df["side"] == 0].set_index("k")["a"]
+        probe = df[df["side"] == 1]
+        m = probe.join(build, on="k", how="inner", rsuffix="_b")
+        g = (
+            m.groupby(["a", "a_b", "year"], sort=False)["cents"]
+            .sum()
+            .reset_index()
+        )
+        sk = g["a"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array(sk, pa.int64()),
+                "a": pa.array(g["a_b"].to_numpy().astype(np.int64), pa.int64()),
+                "year": pa.array(
+                    g["year"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "cents": pa.array(
+                    g["cents"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "side": pa.array(np.ones(len(sk), np.int64), pa.int64()),
+                "part": pa.array(sk % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def supp_side(batch: pa.Table) -> pa.Table:
+        sk = batch.column("s_suppkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        nk = batch.column("s_nationkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = np.isin(nk, pair_keys)
+        sk, nk = sk[keep], nk[keep]
+        n = len(sk)
+        return pa.table(
+            {
+                "k": pa.array(sk, pa.int64()),
+                "a": pa.array(nk, pa.int64()),
+                "year": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "part": pa.array(sk % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def hop3(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.to_pandas()
+        build = df[df["side"] == 0].set_index("k")["a"]
+        probe = df[df["side"] == 1]
+        m = probe.join(build, on="k", how="inner", rsuffix="_b")
+        m = m[m["a"] != m["a_b"]]  # cross-pair: nations must differ
+        g = (
+            m.groupby(["a_b", "a", "year"], sort=False)["cents"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "snat": pa.array(
+                    g["a_b"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "cnat": pa.array(
+                    g["a"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "year": pa.array(
+                    g["year"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "cents": pa.array(
+                    g["cents"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    stage1 = orders.map_batches(order_side, batch_format="pyarrow").union(
+        lines.map_batches(line_side, batch_format="pyarrow")
+    )
+    stage2 = (
+        stage1.groupby("part")
+        .map_groups(hop1, batch_format="pyarrow")
+        .union(cust.map_batches(cust_side, batch_format="pyarrow"))
+    )
+    stage3 = (
+        stage2.groupby("part")
+        .map_groups(hop2, batch_format="pyarrow")
+        .union(supp.map_batches(supp_side, batch_format="pyarrow"))
+    )
+    grid = (
+        stage3.groupby("part")
+        .map_groups(hop3, batch_format="pyarrow")
+        .groupby(["snat", "cnat", "year"])
+        .aggregate(_Sum("cents", alias_name="cents_p"))
+        .take_all()  # ≤ |pair|²·years rows — the bounded grid
+    )
+    return pa.table(
+        {
+            "supp_nation": pa.array(
+                [pair[int(r["snat"])] for r in grid], pa.string()
+            ),
+            "cust_nation": pa.array(
+                [pair[int(r["cnat"])] for r in grid], pa.string()
+            ),
+            "l_year": pa.array([int(r["year"]) for r in grid], pa.int64()),
+            "revenue_cents": pa.array(
+                [int(r["cents_p"]) for r in grid], pa.int64()
+            ),
+        }
+    )
+
+
+def q13_customer_distribution(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q13 (customer distribution) — the LEFT-JOIN histogram:
+    how many customers placed exactly N orders, INCLUDING the
+    zero-order customers an inner join would silently drop (the row
+    most analysts get wrong). Tail-seated by design: orphan_fk_audit's
+    tagged-union co-partition with the histogram folded on the
+    missing side.
+
+    Scale shape: orders folds per-batch (custkey, n) partials → the
+    customer keys and the order counts meet on ONE custkey
+    co-partition (Sum orders, Max customer-flag) → per-batch
+    (c_count, custdist) histogram partials → a bounded grid; zero
+    customers never leave their partition as rows, only as grid
+    counts. Output: (c_count, custdist)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+
+    def order_fold(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        u, cnt = np.unique(ck, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(u, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                "is_cust": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+            }
+        )
+
+    def cust_fold(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = len(ck)
+        return pa.table(
+            {
+                "key": pa.array(ck, pa.int64()),
+                "n": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "is_cust": pa.array(np.ones(n, np.int64), pa.int64()),
+            }
+        )
+
+    def hist_fold(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_p").to_numpy(zero_copy_only=False)
+        is_cust = batch.column("c_p").to_numpy(zero_copy_only=False) > 0
+        n = n[is_cust]  # order rows citing a non-customer key: none here
+        u, cnt = np.unique(n, return_counts=True)
+        return pa.table(
+            {
+                "c_count": pa.array(u.astype(np.int64), pa.int64()),
+                "custdist": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        orders.map_batches(order_fold, batch_format="pyarrow")
+        .union(cust.map_batches(cust_fold, batch_format="pyarrow"))
+        .groupby("key")
+        .aggregate(
+            _Sum("n", alias_name="n_p"), _Max("is_cust", alias_name="c_p")
+        )
+        .map_batches(hist_fold, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(_Sum("custdist", alias_name="custdist"))
+    )

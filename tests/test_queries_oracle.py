@@ -326,6 +326,8 @@ SUBSET = [
     "q15_top_supplier",
     "q14_promo_share",
     "q17_small_quantity",
+    "q7_volume_shipping",
+    "q13_customer_distribution",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
