@@ -1267,6 +1267,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fold. Tail-seated by design: orphan_fk_audit's tagged union
         # with the histogram on the missing side.
         "q13_customer_distribution": analytics.q13_customer_distribution,
+        # (round 4, wave 68) TPC-H Q8 — national market share: three
+        # chained fact co-partitions (partkey, orderkey, custkey) and
+        # the focus-nation suppkey set broadcast per the
+        # join_strategy_plan decision; share in exact basis points
+        # per order year. Tail-seated by design: q7's chain with a
+        # broadcast-flag lane.
+        "q8_market_share": analytics.q8_market_share,
+        # (round 4, wave 68) TPC-H Q22 (nation for the absent phone
+        # code) — above-average positive balance via integer
+        # cross-multiplication, no-orders via the anti-join polarity
+        # of q13's co-partition, ≤25-row nation rollup. Tail-seated
+        # by design: q13's tagged union with a broadcast scalar gate.
+        "q22_sales_opportunity": analytics.q22_sales_opportunity,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2782,6 +2795,62 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.s_suppkey, s.s_name, r.rev AS revenue_cents
         FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
         WHERE r.rev = (SELECT max(rev) FROM r)
+    """
+
+    # q8_market_share: the textbook Q8 adapted (market region ASIA,
+    # focus supplier nation NATION_2, p_type PROMO); year via pure
+    # epoch comparison; share an integer floor division.
+    sql["q8_market_share"] = """
+        WITH j AS (
+          SELECT 1996 + CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                 THEN 1 ELSE 0 END AS o_year,
+                 CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                      + 0.5) AS BIGINT) AS cents,
+                 CASE WHEN sn.n_name = 'NATION_2' THEN 1 ELSE 0 END AS focus
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation cn ON cn.n_nationkey = c_nationkey
+          JOIN region r ON r.r_regionkey = cn.n_regionkey
+                        AND r.r_name = 'ASIA'
+          JOIN supplier s ON s.s_suppkey = l_suppkey
+          JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+        ),
+        g AS (SELECT CAST(o_year AS BIGINT) AS o_year,
+                     CAST(sum(cents) AS BIGINT) AS total_cents,
+                     CAST(coalesce(sum(cents) FILTER (WHERE focus = 1), 0)
+                          AS BIGINT) AS focus_cents
+              FROM j GROUP BY 1)
+        SELECT o_year, total_cents, focus_cents,
+               CAST(CASE WHEN total_cents = 0 THEN 0
+                    ELSE focus_cents * 10000 // total_cents END AS BIGINT)
+                 AS share_bp
+        FROM g
+    """
+
+    # q22_sales_opportunity: the above-average gate cross-multiplied;
+    # the anti-join via NOT EXISTS.
+    sql["q22_sales_opportunity"] = """
+        WITH c AS (SELECT c_custkey, c_nationkey,
+                          CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                            AS bal
+                   FROM customer),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(bal) AS BIGINT) AS s
+               FROM c WHERE bal > 0),
+        el AS (SELECT c.* FROM c, st
+               WHERE c.bal * st.n > st.s
+                 AND NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_custkey = c.c_custkey
+                                   AND o.o_orderdate >=
+                                       TIMESTAMP '1999-01-01'))
+        SELECT n.n_name, CAST(count(*) AS BIGINT) AS numcust,
+               CAST(sum(bal) AS BIGINT) AS totacctbal_cents
+        FROM el JOIN nation n ON n.n_nationkey = el.c_nationkey
+        GROUP BY 1
     """
 
     # q7_volume_shipping: the textbook Q7 over the available columns;

@@ -168,6 +168,7 @@ def run_queries() -> dict[str, float]:
         "q6_forecast_revenue", "q15_top_supplier",
         "q14_promo_share", "q17_small_quantity",
         "q7_volume_shipping", "q13_customer_distribution",
+        "q8_market_share", "q22_sales_opportunity",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -6181,3 +6181,455 @@ def q13_customer_distribution(sf_dir: str) -> "ray.data.Dataset":
         .groupby("c_count")
         .aggregate(_Sum("custdist", alias_name="custdist"))
     )
+
+
+Q8_REGION = "ASIA"          # the market (customer side)
+Q8_FOCUS_NATION = "NATION_2"  # the supplier nation whose share we track
+Q8_PTYPE = "PROMO"
+
+
+def q8_market_share(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q8 (national market share) — the deepest composition in
+    the registry: within one region's market for one part type, the
+    revenue share supplied by one focus nation, per order year.
+    Three fact co-partitions CHAINED (partkey against the
+    type-filtered part, orderkey against the window-filtered orders,
+    custkey against the region-filtered customer) and the supplier
+    side resolved by the join_strategy_plan decision — the
+    focus-nation suppkey set broadcasts (1/25 of a dimension-scale
+    table; the co-partition fallback is q5/q7's third hop verbatim
+    when supplier goes fact-scale). Share in exact basis points.
+    Tail-seated by design: q7's chain with a broadcast-flag final
+    lane.
+
+    Scale shape: every scan pre-filters (type, window, region); each
+    hop pre-sums per next-key group; the global stage is a 2-year
+    grid. Output: (o_year, total_cents, focus_cents, share_bp)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    nation_rows = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).take_all()
+    region_rows = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).take_all()
+    rname = {r["r_regionkey"]: r["r_name"] for r in region_rows}
+    market_nations = np.array(
+        sorted(
+            int(n["n_nationkey"])
+            for n in nation_rows
+            if rname[n["n_regionkey"]] == Q8_REGION
+        ),
+        np.int64,
+    )
+    focus_key = next(
+        int(n["n_nationkey"])
+        for n in nation_rows
+        if n["n_name"] == Q8_FOCUS_NATION
+    )
+    focus_supp = np.sort(
+        np.array(
+            [
+                r["s_suppkey"]
+                for r in ray.data.read_parquet(
+                    f"{sf_dir}/supplier.parquet",
+                    columns=["s_suppkey", "s_nationkey"],
+                ).take_all()
+                if int(r["s_nationkey"]) == focus_key
+            ],
+            np.int64,
+        )
+    )
+    focus_ref = ray.put(focus_supp)
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ok = batch.column("l_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        sk = batch.column("l_suppkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        n = len(pk)
+        return pa.table(
+            {
+                "k": pa.array(pk, pa.int64()),
+                "a": pa.array(ok, pa.int64()),
+                "b": pa.array(sk, pa.int64()),
+                "year": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "side": pa.array(np.ones(n, np.int64), pa.int64()),
+                "part": pa.array(pk % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def part_side(batch: pa.Table) -> pa.Table:
+        ptype = np.asarray(batch.column("p_type").to_pylist(), dtype=object)
+        keep = ptype == Q8_PTYPE
+        pk = batch.column("p_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[keep]
+        n = len(pk)
+        return pa.table(
+            {
+                "k": pa.array(pk, pa.int64()),
+                "a": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "b": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "year": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "part": pa.array(pk % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def hop_part(part_tbl: pa.Table) -> pa.Table:
+        focus = ray.get(focus_ref)
+        df = part_tbl.to_pandas()
+        keep_keys = set(df[df["side"] == 0]["k"].to_numpy())
+        probe = df[df["side"] == 1]
+        m = probe[probe["k"].isin(keep_keys)]
+        ok = m["a"].to_numpy().astype(np.int64)
+        sk = m["b"].to_numpy().astype(np.int64)
+        if len(focus):
+            idx = np.minimum(np.searchsorted(focus, sk), len(focus) - 1)
+            is_focus = (focus[idx] == sk).astype(np.int64)
+        else:
+            is_focus = np.zeros(len(sk), np.int64)
+        n = len(ok)
+        return pa.table(
+            {
+                "k": pa.array(ok, pa.int64()),
+                "a": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "focus": pa.array(is_focus, pa.int64()),
+                "year": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "cents": pa.array(
+                    m["cents"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "side": pa.array(np.ones(n, np.int64), pa.int64()),
+                "part": pa.array(ok % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = (od >= Q7_Y96_US) & (od < Q7_HI_US)
+        ok = batch.column("o_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[keep]
+        ck = batch.column("o_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[keep]
+        year = 1996 + (od[keep] >= Q7_Y97_US).astype(np.int64)
+        n = len(ok)
+        return pa.table(
+            {
+                "k": pa.array(ok, pa.int64()),
+                "a": pa.array(ck, pa.int64()),
+                "focus": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "year": pa.array(year, pa.int64()),
+                "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "part": pa.array(ok % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def hop_order(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.to_pandas()
+        build = df[df["side"] == 0].set_index("k")[["a", "year"]]
+        probe = df[df["side"] == 1]
+        m = probe.join(build, on="k", how="inner", rsuffix="_b")
+        g = (
+            m.groupby(["a_b", "year_b", "focus"], sort=False)["cents"]
+            .sum()
+            .reset_index()
+        )
+        ck = g["a_b"].to_numpy().astype(np.int64)
+        n = len(ck)
+        return pa.table(
+            {
+                "k": pa.array(ck, pa.int64()),
+                "focus": pa.array(
+                    g["focus"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "year": pa.array(
+                    g["year_b"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "cents": pa.array(
+                    g["cents"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "side": pa.array(np.ones(n, np.int64), pa.int64()),
+                "part": pa.array(ck % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        nk = batch.column("c_nationkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = np.isin(nk, market_nations)
+        ck = ck[keep]
+        n = len(ck)
+        return pa.table(
+            {
+                "k": pa.array(ck, pa.int64()),
+                "focus": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "year": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "part": pa.array(ck % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def hop_cust(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.to_pandas()
+        keep_keys = set(df[df["side"] == 0]["k"].to_numpy())
+        probe = df[df["side"] == 1]
+        m = probe[probe["k"].isin(keep_keys)].copy()
+        m["fc"] = m["cents"] * (m["focus"] == 1)
+        g = (
+            m.groupby("year", sort=False)
+            .agg(total=("cents", "sum"), focus=("fc", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "year": pa.array(
+                    g["year"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "total": pa.array(
+                    g["total"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "focus": pa.array(
+                    g["focus"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    stage1 = lines.map_batches(line_side, batch_format="pyarrow").union(
+        part.map_batches(part_side, batch_format="pyarrow")
+    )
+    stage2 = (
+        stage1.groupby("part")
+        .map_groups(hop_part, batch_format="pyarrow")
+        .union(orders.map_batches(order_side, batch_format="pyarrow"))
+    )
+    stage3 = (
+        stage2.groupby("part")
+        .map_groups(hop_order, batch_format="pyarrow")
+        .union(cust.map_batches(cust_side, batch_format="pyarrow"))
+    )
+    grid = (
+        stage3.groupby("part")
+        .map_groups(hop_cust, batch_format="pyarrow")
+        .groupby("year")
+        .aggregate(
+            _Sum("total", alias_name="total_cents"),
+            _Sum("focus", alias_name="focus_cents"),
+        )
+        .take_all()
+    )
+    grid.sort(key=lambda r: r["year"])
+    return pa.table(
+        {
+            "o_year": pa.array([int(r["year"]) for r in grid], pa.int64()),
+            "total_cents": pa.array(
+                [int(r["total_cents"]) for r in grid], pa.int64()
+            ),
+            "focus_cents": pa.array(
+                [int(r["focus_cents"]) for r in grid], pa.int64()
+            ),
+            "share_bp": pa.array(
+                [
+                    int(r["focus_cents"]) * 10000 // int(r["total_cents"])
+                    if int(r["total_cents"])
+                    else 0
+                    for r in grid
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+Q22_RECENT_US = 915_148_800_000_000  # 1999-01-01: the dormancy cutoff
+
+
+def q22_sales_opportunity(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q22 (global sales opportunity), adapted twice to the
+    data: nation stands in for the absent phone country code, and
+    "no orders" becomes "no orders since 1999" (every synthetic
+    customer has SOME order, so the verbatim anti-join is the empty
+    set — dormancy is the version with signal): customers with an
+    ABOVE-AVERAGE positive balance and no recent orders, per nation. The
+    above-average gate is exact integer cross-multiplication
+    (bal_c · n_pos > S_pos — no division), the no-orders test is the
+    anti-join polarity of q13's co-partition, and the rollup rides
+    a 25-row broadcast. Tail-seated by design: q13's tagged union
+    with a broadcast scalar gate.
+
+    Scale shape: pass 1 is a 2-int global aggregate (n_pos, Σ_pos);
+    pass 2 meets customers and per-customer order counts on ONE
+    custkey co-partition and folds straight to per-nation partials;
+    the grid is ≤25 rows. Output: (n_name, numcust,
+    totacctbal_cents)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    nation_rows = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).take_all()
+    nname = {int(r["n_nationkey"]): r["n_name"] for r in nation_rows}
+
+    def pos_partials(batch: pa.Table) -> pa.Table:
+        bal_c = np.floor(
+            batch.column("c_acctbal").to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        pos = bal_c[bal_c > 0]
+        return pa.table(
+            {
+                "n": pa.array([len(pos)], pa.int64()),
+                "s": pa.array([int(pos.sum())], pa.int64()),
+            }
+        )
+
+    stats = cust.map_batches(pos_partials, batch_format="pyarrow").aggregate(
+        _Sum("n", alias_name="n"), _Sum("s", alias_name="s")
+    )
+    n_pos, s_pos = int(stats["n"]), int(stats["s"])
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        nk = batch.column("c_nationkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        bal_c = np.floor(
+            batch.column("c_acctbal").to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        keep = bal_c * n_pos > s_pos  # bal > avg(positive balances)
+        ck, nk, bal_c = ck[keep], nk[keep], bal_c[keep]
+        n = len(ck)
+        return pa.table(
+            {
+                "key": pa.array(ck, pa.int64()),
+                "nk": pa.array(nk, pa.int64()),
+                "bal": pa.array(bal_c, pa.int64()),
+                "has_order": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "is_cust": pa.array(np.ones(n, np.int64), pa.int64()),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ck = np.unique(
+            batch.column("o_custkey").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )[od >= Q22_RECENT_US]
+        )
+        n = len(ck)
+        return pa.table(
+            {
+                "key": pa.array(ck, pa.int64()),
+                "nk": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "bal": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "has_order": pa.array(np.ones(n, np.int64), pa.int64()),
+                "is_cust": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    def nation_fold(batch: pa.Table) -> pa.Table:
+        nk = batch.column("nk_p").to_numpy(zero_copy_only=False)
+        bal = batch.column("bal_p").to_numpy(zero_copy_only=False)
+        has_o = batch.column("o_p").to_numpy(zero_copy_only=False) > 0
+        is_c = batch.column("c_p").to_numpy(zero_copy_only=False) > 0
+        keep = is_c & ~has_o
+        g = (
+            pd.DataFrame({"nk": nk[keep], "n": 1, "b": bal[keep]})
+            .groupby("nk", sort=False)
+            .agg(n=("n", "sum"), b=("b", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "nk": pa.array(g["nk"].to_numpy().astype(np.int64), pa.int64()),
+                "numcust": pa.array(
+                    g["n"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "totacctbal_cents": pa.array(
+                    g["b"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    grid = (
+        cust.map_batches(cust_side, batch_format="pyarrow")
+        .union(orders.map_batches(order_side, batch_format="pyarrow"))
+        .groupby("key")
+        .aggregate(
+            _Sum("nk", alias_name="nk_p"),
+            _Sum("bal", alias_name="bal_p"),
+            _Max("has_order", alias_name="o_p"),
+            _Max("is_cust", alias_name="c_p"),
+        )
+        .map_batches(nation_fold, batch_format="pyarrow")
+        .groupby("nk")
+        .aggregate(
+            _Sum("numcust", alias_name="numcust"),
+            _Sum("totacctbal_cents", alias_name="totacctbal_cents"),
+        )
+        .take_all()
+    )
+    return pa.table(
+        {
+            "n_name": pa.array(
+                [nname[int(r["nk"])] for r in grid], pa.string()
+            ),
+            "numcust": pa.array([int(r["numcust"]) for r in grid], pa.int64()),
+            "totacctbal_cents": pa.array(
+                [int(r["totacctbal_cents"]) for r in grid], pa.int64()
+            ),
+        }
+    )

@@ -328,6 +328,8 @@ SUBSET = [
     "q17_small_quantity",
     "q7_volume_shipping",
     "q13_customer_distribution",
+    "q8_market_share",
+    "q22_sales_opportunity",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
