@@ -1280,6 +1280,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # of q13's co-partition, ≤25-row nation rollup. Tail-seated
         # by design: q13's tagged union with a broadcast scalar gate.
         "q22_sales_opportunity": analytics.q22_sales_opportunity,
+        # (round 4, wave 69) curation-filter funnel — per quality
+        # gate the marginal (fail-alone) and cumulative (survivors in
+        # fixed order) bite from ONE text pass; the table that
+        # decides which gate is redundant. Tail-seated by design:
+        # quality_score's component fold to a 4-row grid.
+        "filter_funnel": textops.filter_funnel,
+        # (round 4, wave 69) farthest-point (Gonzalez k-center)
+        # diversity seeding over the exact integer grid — the coreset
+        # selector + its radius curve (the 2-approx certificate);
+        # k−1 broadcast-and-max-reduce passes, no shuffle. Oracle:
+        # the greedy unrolled as a generated CTE chain. Tail-seated
+        # by design: gram_matrix's read pattern, k bounded reduces.
+        "kcenter_seeds": similarity.kcenter_seeds,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2796,6 +2809,90 @@ def oracle_sql() -> dict[str, str]:
         FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
         WHERE r.rev = (SELECT max(rev) FROM r)
     """
+
+    # filter_funnel: the quality_score CTE reused; marginal and
+    # cumulative bites per gate.
+    sql["filter_funnel"] = f"""
+        WITH q AS ({sql["quality_score"]}),
+        f AS (SELECT (ws_tokens >= 20) AS p1,
+                     (10 * hits_en >= ws_tokens) AS p2,
+                     (5 * punct <= chars) AS p3,
+                     (10 * digits <= chars) AS p4
+              FROM q)
+        SELECT CAST(1 AS BIGINT) AS stage, 'min_length' AS gate,
+               CAST(count(*) FILTER (WHERE NOT p1) AS BIGINT)
+                 AS n_fail_alone,
+               CAST(count(*) FILTER (WHERE p1) AS BIGINT)
+                 AS n_survivors_cum,
+               CAST(count(*) AS BIGINT) AS n_total
+        FROM f
+        UNION ALL
+        SELECT 2, 'stopword_density',
+               CAST(count(*) FILTER (WHERE NOT p2) AS BIGINT),
+               CAST(count(*) FILTER (WHERE p1 AND p2) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM f
+        UNION ALL
+        SELECT 3, 'punct_ratio',
+               CAST(count(*) FILTER (WHERE NOT p3) AS BIGINT),
+               CAST(count(*) FILTER (WHERE p1 AND p2 AND p3) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM f
+        UNION ALL
+        SELECT 4, 'digit_ratio',
+               CAST(count(*) FILTER (WHERE NOT p4) AS BIGINT),
+               CAST(count(*) FILTER (WHERE p1 AND p2 AND p3 AND p4)
+                    AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM f
+    """
+
+    # kcenter_seeds: the greedy unrolled as a generated CTE chain
+    # (chosen set grows one pick per step; ties to the lower id).
+    _kc_parts = [
+        """
+        WITH qv AS (
+          SELECT vec_id, dim,
+                 CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 1000000 + 0.5)
+                      AS BIGINT) AS q
+          FROM embeddings, UNNEST(range(0, 64)) t(dim)
+        ),
+        ch0 AS MATERIALIZED (SELECT 0 AS step, 0 AS vec_id)"""
+    ]
+    for _i in range(1, 8):
+        _kc_parts.append(
+            f""",
+        pair{_i} AS MATERIALIZED (
+          SELECT x.vec_id AS v, c.vec_id AS cid,
+                 sum((x.q - y.q) * (x.q - y.q)) AS d2
+          FROM qv x
+          JOIN ch{_i - 1} c ON TRUE
+          JOIN qv y ON y.vec_id = c.vec_id AND y.dim = x.dim
+          GROUP BY 1, 2
+        ),
+        dm{_i} AS MATERIALIZED (SELECT v AS vec_id, min(d2) AS dmin
+                   FROM pair{_i} GROUP BY 1),
+        p{_i} AS MATERIALIZED (SELECT vec_id, dmin FROM dm{_i}
+                  WHERE vec_id NOT IN (SELECT vec_id FROM ch{_i - 1})
+                  ORDER BY dmin DESC, vec_id LIMIT 1),
+        ch{_i} AS MATERIALIZED (SELECT step, vec_id FROM ch{_i - 1}
+                   UNION ALL SELECT {_i}, vec_id FROM p{_i})"""
+        )
+    _kc_parts.append(
+        """
+        SELECT CAST(step AS BIGINT) AS step,
+               CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(d2 AS BIGINT) AS d2_to_set
+        FROM (
+          SELECT 0 AS step, 0 AS vec_id, 0 AS d2
+          """
+        + "".join(
+            f"UNION ALL SELECT {_i}, vec_id, dmin FROM p{_i}\n          "
+            for _i in range(1, 8)
+        )
+        + ")"
+    )
+    sql["kcenter_seeds"] = "".join(_kc_parts)
 
     # q8_market_share: the textbook Q8 adapted (market region ASIA,
     # focus supplier nation NATION_2, p_type PROMO); year via pure

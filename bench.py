@@ -169,6 +169,7 @@ def run_queries() -> dict[str, float]:
         "q14_promo_share", "q17_small_quantity",
         "q7_volume_shipping", "q13_customer_distribution",
         "q8_market_share", "q22_sales_opportunity",
+        "filter_funnel", "kcenter_seeds",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -2263,3 +2263,94 @@ def ivfpq_recall_report(sf_dir: str) -> "ray.data.Dataset":
         .groupby("k")
         .map_groups(hits, batch_format="pyarrow")
     )
+
+
+KCENTER_K = 8
+
+
+def kcenter_seeds(sf_dir: str, k: int = KCENTER_K) -> "pa.Table":
+    """Farthest-point (k-center / Gonzalez) diversity seeding over
+    the exact integer-grid embeddings — the coreset selector a
+    training-data pipeline uses to pick maximally-diverse exemplars
+    (and the deterministic cousin of kmeans++ seeding): start from
+    vec 0, repeatedly take the vector farthest (exact int64 squared
+    L2) from the chosen set, ties to the lower id. Output per step:
+    the pick and its distance-to-set at selection time — the k-center
+    radius curve, which is ALSO the 2-approximation certificate for
+    the k-center objective. Tail-seated by design: k bounded
+    max-reduce passes over the gram_matrix read pattern.
+
+    Scale shape: each of the k−1 selection rounds is ONE map_batches
+    pass (chosen set ≤ k vectors broadcast) folding to a per-batch
+    (max d2min, argmin id) candidate, reduced on the driver — no
+    shuffle, driver state O(k·dim) ints."""
+    ds = _read_embeddings(sf_dir)
+
+    import pyarrow.parquet as _pq
+
+    seed_tbl = _pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 0)],
+    )
+    chosen_vecs = _quantize(
+        np.array(seed_tbl.column("embedding").to_pylist(), dtype=np.float64)
+    )
+    chosen_ids = [0]
+    steps = [(0, 0, 0)]
+
+    for step in range(1, k):
+        ref = ray.put((np.array(chosen_ids, np.int64), chosen_vecs))
+
+        def far_partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            cids, cvecs = ray.get(_ref)
+            ids = batch.column("vec_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            v = _quantize(
+                np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            )
+            d2 = (
+                (v * v).sum(axis=1, keepdims=True)
+                - 2 * (v @ cvecs.T)
+                + (cvecs * cvecs).sum(axis=1)[None, :]
+            )
+            dmin = d2.min(axis=1)
+            mask = ~np.isin(ids, cids)
+            if not mask.any():
+                return pa.table(
+                    {"vec_id": pa.array([], pa.int64()),
+                     "d2": pa.array([], pa.int64())}
+                )
+            cand = np.flatnonzero(mask)
+            best = cand[np.lexsort((ids[cand], -dmin[cand]))[0]]
+            return pa.table(
+                {
+                    "vec_id": pa.array([int(ids[best])], pa.int64()),
+                    "d2": pa.array([int(dmin[best])], pa.int64()),
+                }
+            )
+
+        cands = ds.map_batches(far_partial, batch_format="pyarrow").take_all()
+        best = max(cands, key=lambda r: (r["d2"], -r["vec_id"]))
+        steps.append((step, int(best["vec_id"]), int(best["d2"])))
+        row = _pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+            filters=[("vec_id", "=", int(best["vec_id"]))],
+        )
+        chosen_vecs = np.vstack(
+            [
+                chosen_vecs,
+                _quantize(
+                    np.array(row.column("embedding").to_pylist(), dtype=np.float64)
+                ),
+            ]
+        )
+        chosen_ids.append(int(best["vec_id"]))
+
+    return pa.table(
+        {
+            "step": pa.array([s[0] for s in steps], pa.int64()),
+            "vec_id": pa.array([s[1] for s in steps], pa.int64()),
+            "d2_to_set": pa.array([s[2] for s in steps], pa.int64()),
+        }
+    )

@@ -1243,3 +1243,74 @@ def langid_confusion(sf_dir: str) -> "ray.data.Dataset":
         .groupby(["true_lang", "pred_lang"])
         .aggregate(_Sum("n", alias_name="n"))
     )
+
+
+FUNNEL_GATES = ("min_length", "stopword_density", "punct_ratio", "digit_ratio")
+
+
+def filter_funnel(sf_dir: str) -> "ray.data.Dataset":
+    """Curation-filter funnel — the observability panel every
+    Gopher/C4-style quality pipeline needs before anyone trusts its
+    survivor set: for each gate, how many documents fail it ALONE
+    (its marginal bite) and how many survive the pipeline UP TO and
+    including it in fixed order (its cumulative position). A gate
+    whose fail-alone count is high but whose cumulative bite is ~0
+    is redundant with an earlier gate; that's the decision this
+    table drives. Gates are quality_score's four integer predicates
+    verbatim. Tail-seated by design: quality_score's component fold
+    emitting a 4-row grid instead of per-doc scores.
+
+    Scale shape: ONE text pass; each batch folds its four flag
+    vectors into (gate, n_fail_alone, n_survivors_cum, n_total)
+    partials; the global stage sums a 4-row grid. Output: (stage,
+    gate, n_fail_alone, n_survivors_cum, n_total)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.textstats import quality_scores
+
+    ds = read_documents(sf_dir, ["doc_id", "text"])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        cols = quality_scores(batch.column("text").combine_chunks())
+        tok = cols["ws_tokens"].to_numpy(zero_copy_only=False)
+        ch = cols["chars"].to_numpy(zero_copy_only=False)
+        en = cols["hits_en"].to_numpy(zero_copy_only=False)
+        pu = cols["punct"].to_numpy(zero_copy_only=False)
+        dg = cols["digits"].to_numpy(zero_copy_only=False)
+        passes = np.stack(
+            [
+                tok >= 20,
+                10 * en >= tok,
+                5 * pu <= ch,
+                10 * dg <= ch,
+            ]
+        )
+        cum = np.cumprod(passes, axis=0).astype(bool)
+        n = passes.shape[1]
+        return pa.table(
+            {
+                "stage": pa.array(
+                    np.arange(1, 5, dtype=np.int64), pa.int64()
+                ),
+                "gate": pa.array(list(FUNNEL_GATES), pa.string()),
+                "n_fail_alone": pa.array(
+                    (~passes).sum(axis=1).astype(np.int64), pa.int64()
+                ),
+                "n_survivors_cum": pa.array(
+                    cum.sum(axis=1).astype(np.int64), pa.int64()
+                ),
+                "n_total": pa.array(np.full(4, n, np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["stage", "gate"])
+        .aggregate(
+            _Sum("n_fail_alone", alias_name="n_fail_alone"),
+            _Sum("n_survivors_cum", alias_name="n_survivors_cum"),
+            _Sum("n_total", alias_name="n_total"),
+        )
+    )

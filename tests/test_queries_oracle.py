@@ -330,6 +330,8 @@ SUBSET = [
     "q13_customer_distribution",
     "q8_market_share",
     "q22_sales_opportunity",
+    "filter_funnel",
+    "kcenter_seeds",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
