@@ -1293,6 +1293,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the greedy unrolled as a generated CTE chain. Tail-seated
         # by design: gram_matrix's read pattern, k bounded reduces.
         "kcenter_seeds": similarity.kcenter_seeds,
+        # (round 4, wave 70) cross-source TEMPLATE-duplication
+        # histogram — 8-word-opening clusters (the boilerplate
+        # blocking key; exact dups are zero here by construction)
+        # split by source span (1 = crawler bug, ≥2 = syndication).
+        # Tail-seated by design: dedup_exact's fingerprint groupby
+        # with a source lane + the cluster-size histogram fold.
+        "dup_cluster_sources": dedup.dup_cluster_sources,
+        # (round 4, wave 70) measured Count-Min overestimation — the
+        # eval closing the CMS loop: for the 20 heaviest users the
+        # exact count, the sketch estimate (min over D rows) and the
+        # one-sided error; at D=4/W=256 the e/W bound reads as data.
+        # Tail-seated by design: cms_registers' grid + an exact
+        # heavy-hitter fold.
+        "cms_error_eval": analytics.cms_error_eval,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2808,6 +2822,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.s_suppkey, s.s_name, r.rev AS revenue_cents
         FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
         WHERE r.rev = (SELECT max(rev) FROM r)
+    """
+
+    # dup_cluster_sources: 8-word-opening clusters split by source
+    # span (list slice [1:8] == python [:8]).
+    sql["dup_cluster_sources"] = """
+        WITH c AS (SELECT array_to_string(
+                     (regexp_extract_all(lower(text), '[a-z0-9]+'))[1:8],
+                     ' ') AS fp, source,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM documents GROUP BY 1, 2),
+        cl AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_sources,
+                      CAST(sum(n) AS BIGINT) AS n_docs
+               FROM c GROUP BY 1)
+        SELECT n_sources, CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(n_docs) AS BIGINT) AS n_docs
+        FROM cl WHERE n_docs >= 2 GROUP BY 1
+    """
+
+    # cms_error_eval: the cms_registers CTE probed at the exact
+    # top-20 users' positions.
+    sql["cms_error_eval"] = f"""
+        WITH reg AS ({sql["cms_registers"]}),
+        t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS true_n
+              FROM events GROUP BY 1
+              ORDER BY true_n DESC, user_id LIMIT 20),
+        h AS (SELECT user_id, true_n,
+                CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                     1, 15) AS UBIGINT) AS BIGINT) AS h1,
+                CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                     16, 15) AS UBIGINT) AS BIGINT) AS h2
+              FROM t),
+        p AS (SELECT user_id, true_n, d.i AS row_d,
+                     (h1 + d.i * h2) % 256 AS pos
+              FROM h, unnest(range(0, 4)) d(i)),
+        e AS (SELECT p.user_id, p.true_n,
+                     CAST(min(reg.count) AS BIGINT) AS est_n
+              FROM p JOIN reg ON reg.row_d = p.row_d AND reg.pos = p.pos
+              GROUP BY 1, 2)
+        SELECT user_id, true_n, est_n,
+               CAST(est_n - true_n AS BIGINT) AS overestimate
+        FROM e
     """
 
     # filter_funnel: the quality_score CTE reused; marginal and

@@ -170,6 +170,7 @@ def run_queries() -> dict[str, float]:
         "q7_volume_shipping", "q13_customer_distribution",
         "q8_market_share", "q22_sales_opportunity",
         "filter_funnel", "kcenter_seeds",
+        "dup_cluster_sources", "cms_error_eval",
     ]
     out: dict[str, float] = {}
     for name in picks:

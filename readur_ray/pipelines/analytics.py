@@ -6633,3 +6633,73 @@ def q22_sales_opportunity(sf_dir: str) -> "ray.data.Dataset":
             ),
         }
     )
+
+
+CMS_EVAL_TOP = 20
+
+
+def cms_error_eval(sf_dir: str) -> "pa.Table":
+    """Measured Count-Min overestimation — the eval that closes the
+    CMS loop (bloom_fpr_eval's role for Bloom, minhash_eval's for
+    MinHash): for the 20 heaviest users by EXACT count, the sketch's
+    estimate (min over the D register rows) and the one-sided error
+    est − true. At D=4/W=256 the error is deliberately visible, so
+    the εN = e/W bound reads as data next to the measured values.
+    Tail-seated by design: cms_registers' grid + an exact
+    heavy-hitter fold + a driver-side probe of D·W ints.
+
+    Scale shape: the register build is the head-checked no-row-
+    shuffle pipeline; exact counts are one user groupby + a 20-row
+    sort-limit; the probe touches only the broadcast-sized D×W grid.
+    Output: (user_id, true_n, est_n, overestimate)."""
+    import hashlib as _hashlib
+
+    from ray.data.aggregate import Sum as _Sum
+
+    grid = np.zeros((CMS_D, CMS_W), np.int64)
+    for r in cms_registers(sf_dir).take_all():
+        grid[int(r["row_d"]), int(r["pos"])] = int(r["count"])
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        u, cnt = np.unique(
+            batch.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            ),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    top = (
+        ds.map_batches(count_partials, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(_Sum("n", alias_name="true_n"))
+        .sort(["true_n", "user_id"], descending=[True, False])
+        .limit(CMS_EVAL_TOP)
+        .take_all()
+    )
+    uids = [int(r["user_id"]) for r in top]
+    trues = [int(r["true_n"]) for r in top]
+    ests = []
+    for u in uids:
+        h = _hashlib.md5(str(u).encode()).hexdigest()
+        h1, h2 = int(h[:15], 16), int(h[15:30], 16)
+        ests.append(
+            int(min(grid[d, (h1 + d * h2) % CMS_W] for d in range(CMS_D)))
+        )
+    return pa.table(
+        {
+            "user_id": pa.array(uids, pa.int64()),
+            "true_n": pa.array(trues, pa.int64()),
+            "est_n": pa.array(ests, pa.int64()),
+            "overestimate": pa.array(
+                [e - t for e, t in zip(ests, trues)], pa.int64()
+            ),
+        }
+    )

@@ -2369,3 +2369,101 @@ def bloom_fpr_eval(sf_dir: str) -> "ray.data.Dataset":
         .groupby("part")
         .map_groups(eval_part, batch_format="pyarrow")
     )
+
+
+def dup_cluster_sources(sf_dir: str) -> "ray.data.Dataset":
+    """Cross-source template-duplication histogram — clusters keyed
+    by the 8-word normalized OPENING (the boilerplate-family blocking
+    key: exact-text dups are zero in this corpus by construction, a
+    shared opening is the template signal that survives), split by
+    how many SOURCES each cluster of size ≥ 2 spans: n_sources = 1 is
+    within-crawl templating (fix the crawler), n_sources ≥ 2 is
+    syndication (keep one canonical copy per license) — different
+    remediations, so the split is the actionable part. Tail-seated by
+    design: dedup_exact's fingerprint groupby with a source lane and
+    the dedup_cluster_sizes histogram fold.
+
+    Scale shape: per-batch (fp, source, n) partials → ONE groupby
+    (fp, source) → per-cluster source/doc counts complete in a second
+    bounded groupby(fp) → histogram partials into a ≤|sources|-row
+    grid. Output: (n_sources, n_clusters, n_docs)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+
+    import re as _re
+
+    tok_re = _re.compile(r"[a-z0-9]+")
+
+    def fp_partials(batch: pa.Table) -> pa.Table:
+        fps = [
+            " ".join(tok_re.findall((t or "").lower())[:8])
+            for t in batch.column("text").to_pylist()
+        ]
+        src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        g = (
+            pd.DataFrame({"fp": fps, "source": src, "n": 1})
+            .groupby(["fp", "source"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "fp": pa.array(g["fp"], pa.string()),
+                "source": pa.array(g["source"], pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def src_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "fp": batch.column("fp"),
+                "srcs": pa.array(
+                    np.ones(batch.num_rows, np.int64), pa.int64()
+                ),
+                "docs": batch.column("n_p"),
+            }
+        )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("srcs_p").to_numpy(zero_copy_only=False)
+        docs = batch.column("docs_p").to_numpy(zero_copy_only=False)
+        keep = docs >= 2
+        srcs, docs = srcs[keep], docs[keep]
+        u = np.unique(srcs)
+        return pa.table(
+            {
+                "n_sources": pa.array(u.astype(np.int64), pa.int64()),
+                "n_clusters": pa.array(
+                    np.array([(srcs == x).sum() for x in u], np.int64),
+                    pa.int64(),
+                ),
+                "n_docs": pa.array(
+                    np.array([docs[srcs == x].sum() for x in u], np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(fp_partials, batch_format="pyarrow")
+        .groupby(["fp", "source"])
+        .aggregate(_Sum("n", alias_name="n_p"))
+        .map_batches(src_rows, batch_format="pyarrow")
+        .groupby("fp")
+        .aggregate(
+            _Sum("srcs", alias_name="srcs_p"),
+            _Sum("docs", alias_name="docs_p"),
+        )
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby("n_sources")
+        .aggregate(
+            _Sum("n_clusters", alias_name="n_clusters"),
+            _Sum("n_docs", alias_name="n_docs"),
+        )
+    )

@@ -332,6 +332,8 @@ SUBSET = [
     "q22_sales_opportunity",
     "filter_funnel",
     "kcenter_seeds",
+    "dup_cluster_sources",
+    "cms_error_eval",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
