@@ -1307,6 +1307,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Tail-seated by design: cms_registers' grid + an exact
         # heavy-hitter fold.
         "cms_error_eval": analytics.cms_error_eval,
+        # (round 4, wave 71) measured HyperLogLog error — the LAST
+        # sketch loop closed: raw register estimate (α_m as the exact
+        # rational 7213m/(10(1000m+1079)), harmonic sum on a 2^53
+        # grid) vs exact distinct; V emitted for downstream linear
+        # counting. Tail-seated by design: hll_registers' grid + one
+        # distinct fold.
+        "hll_error_eval": analytics.hll_error_eval,
+        # (round 4, wave 71) Hamilton largest-remainder apportionment
+        # of a 10k-doc sampling budget across sources by corpus
+        # bytes — Σ alloc = B exactly, deterministic ties; the
+        # allocator a crawl scheduler runs. Tail-seated by design: a
+        # per-source fold + grid-side apportionment.
+        "budget_allocation": analytics.budget_allocation,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2822,6 +2835,53 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.s_suppkey, s.s_name, r.rev AS revenue_cents
         FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
         WHERE r.rev = (SELECT max(rev) FROM r)
+    """
+
+    # hll_error_eval: the hll_registers CTE folded through the exact
+    # rational estimator; unset registers contribute 2^53 each.
+    sql["hll_error_eval"] = f"""
+        WITH reg AS ({sql["hll_registers"]}),
+        s AS (SELECT CAST(sum(CAST(1 AS HUGEINT) << (53 - max_rho))
+                          AS HUGEINT) AS s_set,
+                     CAST(count(*) AS BIGINT) AS n_set
+              FROM reg),
+        tot AS (SELECT s_set + (256 - n_set)
+                        * (CAST(1 AS HUGEINT) << 53) AS s_all,
+                       CAST(256 - n_set AS BIGINT) AS v_zero
+                FROM s),
+        ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+               FROM events)
+        SELECT CAST(256 AS BIGINT) AS m, v_zero, n_exact,
+               CAST((CAST(7213 AS HUGEINT) * 16777216
+                     * (CAST(1 AS HUGEINT) << 53) * 1000)
+                    // (10 * 257079 * s_all) AS BIGINT) AS est_raw_x1000,
+               CAST((CAST(7213 AS HUGEINT) * 16777216
+                     * (CAST(1 AS HUGEINT) << 53) * 1000)
+                    // (10 * 257079 * s_all)
+                    - n_exact * 1000 AS BIGINT) AS err_x1000
+        FROM tot, ex
+    """
+
+    # budget_allocation: Hamilton apportionment in window functions;
+    # ties on remainder break by source name.
+    sql["budget_allocation"] = """
+        WITH w AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS wt
+                   FROM documents GROUP BY 1),
+        t AS (SELECT CAST(sum(wt) AS BIGINT) AS tot FROM w),
+        b AS (SELECT source, wt, wt * 10000 // tot AS base,
+                     (wt * 10000) % tot AS rem
+              FROM w, t),
+        lo AS (SELECT CAST(10000 - sum(base) AS BIGINT) AS leftover FROM b),
+        r AS (SELECT b.*, row_number() OVER (ORDER BY rem DESC, source)
+                       AS rk
+              FROM b)
+        SELECT r.source, r.wt AS weight, CAST(r.base AS BIGINT)
+                 AS base_alloc,
+               CAST(CASE WHEN r.rk <= lo.leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS extra,
+               CAST(r.base + CASE WHEN r.rk <= lo.leftover THEN 1 ELSE 0
+                    END AS BIGINT) AS alloc
+        FROM r, lo
     """
 
     # dup_cluster_sources: 8-word-opening clusters split by source

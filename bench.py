@@ -171,6 +171,7 @@ def run_queries() -> dict[str, float]:
         "q8_market_share", "q22_sales_opportunity",
         "filter_funnel", "kcenter_seeds",
         "dup_cluster_sources", "cms_error_eval",
+        "hll_error_eval", "budget_allocation",
     ]
     out: dict[str, float] = {}
     for name in picks:

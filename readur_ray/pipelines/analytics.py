@@ -6703,3 +6703,136 @@ def cms_error_eval(sf_dir: str) -> "pa.Table":
             ),
         }
     )
+
+
+HLL_ALPHA_NUM = 7213      # α_m = 0.7213/(1 + 1.079/m) as an exact rational
+HLL_ALPHA_DEN_BASE = 10   # → 7213·m / (10·(1000·m + 1079))
+
+
+def hll_error_eval(sf_dir: str) -> "pa.Table":
+    """Measured HyperLogLog error — the eval that closes the LAST
+    sketch loop (after bloom_fpr_eval, cms_error_eval, minhash_eval):
+    the RAW HLL estimate from the 256 registers against the exact
+    distinct-user count, every step exact rational arithmetic — α_m
+    as the published 7213m/(10(1000m+1079)), the harmonic sum over a
+    2^53 common denominator (Σ 2^(53−ρ) fits int64 at m = 256), and
+    the estimate α·m³·2^53·1000 // (den·S) one big-integer division.
+    No small-range correction (ln is transcendental); the zero-
+    register count V is emitted so a consumer can apply linear
+    counting downstream. Tail-seated by design: hll_registers' grid +
+    one exact distinct fold.
+
+    Scale shape: the register build is the head-checked fixed-
+    exchange pipeline; the exact count is one distinct fold; the
+    estimator touches 256 ints. Output: (m, v_zero, n_exact,
+    est_raw_x1000, err_x1000)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    regs = {
+        int(r["bucket"]): int(r["max_rho"])
+        for r in hll_registers(sf_dir).take_all()
+    }
+    m = 1 << HLL_P
+    s_all = sum(1 << (53 - regs.get(b, 0)) for b in range(m))
+    v_zero = sum(1 for b in range(m) if b not in regs)
+    den = HLL_ALPHA_DEN_BASE * (1000 * m + 1079)
+    est_x1000 = HLL_ALPHA_NUM * (m ** 3) * (1 << 53) * 1000 // (den * s_all)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def distinct_fold(batch: pa.Table) -> pa.Table:
+        u = np.unique(
+            batch.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        return pa.table({"u": pa.array(u, pa.int64())})
+
+    n_exact = int(
+        ds.map_batches(distinct_fold, batch_format="pyarrow")
+        .groupby("u")
+        .aggregate(_Sum("u", alias_name="dummy"))
+        .count()
+    )
+    return pa.table(
+        {
+            "m": pa.array([m], pa.int64()),
+            "v_zero": pa.array([v_zero], pa.int64()),
+            "n_exact": pa.array([n_exact], pa.int64()),
+            "est_raw_x1000": pa.array([est_x1000], pa.int64()),
+            "err_x1000": pa.array([est_x1000 - 1000 * n_exact], pa.int64()),
+        }
+    )
+
+
+BUDGET_TOTAL = 10_000  # documents the sampling budget hands out
+
+
+def budget_allocation(sf_dir: str) -> "pa.Table":
+    """Largest-remainder (Hamilton) apportionment of a sampling
+    budget across sources, weighted by corpus bytes — the allocator a
+    crawl/sampling scheduler runs: base = B·w_s // W exactly, then
+    the leftover seats go to the largest remainders (ties to the
+    lexicographically first source), so Σ alloc = B EXACTLY and the
+    allocation is deterministic — the property proportional floats
+    can't give. Tail-seated by design: welch_t2_grid's per-source
+    fold with the apportionment finalized on the ≤|sources| grid.
+
+    Scale shape: one pass folds per-source byte sums into a bounded
+    grid; the Hamilton step touches only that grid. Output: (source,
+    weight, base_alloc, extra, alloc)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        nb = batch.column("n_chars").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        g = (
+            pd.DataFrame({"source": src, "w": nb})
+            .groupby("source", sort=False)["w"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "w": pa.array(g["w"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    grid = sorted(
+        (r["source"], int(r["w"]))
+        for r in (
+            ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(_Sum("w", alias_name="w"))
+            .take_all()
+        )
+    )
+    total = sum(w for _, w in grid)
+    base = [(s, w, BUDGET_TOTAL * w // total, BUDGET_TOTAL * w % total)
+            for s, w in grid]
+    leftover = BUDGET_TOTAL - sum(b for _, _, b, _ in base)
+    order = sorted(base, key=lambda r: (-r[3], r[0]))
+    extra_set = {r[0] for r in order[:leftover]}
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in base], pa.string()),
+            "weight": pa.array([r[1] for r in base], pa.int64()),
+            "base_alloc": pa.array([r[2] for r in base], pa.int64()),
+            "extra": pa.array(
+                [1 if r[0] in extra_set else 0 for r in base], pa.int64()
+            ),
+            "alloc": pa.array(
+                [r[2] + (1 if r[0] in extra_set else 0) for r in base],
+                pa.int64(),
+            ),
+        }
+    )

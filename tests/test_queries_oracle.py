@@ -334,6 +334,8 @@ SUBSET = [
     "kcenter_seeds",
     "dup_cluster_sources",
     "cms_error_eval",
+    "hll_error_eval",
+    "budget_allocation",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
