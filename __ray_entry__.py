@@ -1320,6 +1320,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # allocator a crawl scheduler runs. Tail-seated by design: a
         # per-source fold + grid-side apportionment.
         "budget_allocation": analytics.budget_allocation,
+        # (round 4, wave 72) behavioral twins — users with IDENTICAL
+        # (type → count) profiles, canonicalized sorted and hashed;
+        # the bot-farm / duplicate-account smell test as a
+        # cluster-size histogram. Tail-seated by design: a canonical-
+        # key groupby chain + the cluster-size histogram fold.
+        "user_behavior_twins": sessions.user_behavior_twins,
+        # (round 4, wave 72) vocabulary coverage curve — the corpus
+        # share the top-k vocab covers at k ∈ {100, 1k, 10k} under a
+        # total (count, token) order; the knee of this curve is the
+        # vocab-size decision. Tail-seated by design: top_ngrams'
+        # fold + a constant-k sort-limit and three prefix sums.
+        "vocab_coverage": textops.vocab_coverage,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2835,6 +2847,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.s_suppkey, s.s_name, r.rev AS revenue_cents
         FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
         WHERE r.rev = (SELECT max(rev) FROM r)
+    """
+
+    # user_behavior_twins: canonical profile via ordered string_agg;
+    # size-≥2 clusters histogrammed.
+    sql["user_behavior_twins"] = """
+        WITH ut AS (SELECT user_id, event_type,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1, 2),
+        prof AS (SELECT user_id,
+                        md5(string_agg(event_type || ':' || n, '|'
+                            ORDER BY event_type)) AS h
+                 FROM ut GROUP BY 1),
+        cl AS (SELECT h, CAST(count(*) AS BIGINT) AS size
+               FROM prof GROUP BY 1)
+        SELECT size AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(count(*) * size AS BIGINT) AS n_users
+        FROM cl GROUP BY 1
+    """
+
+    # vocab_coverage: rank by (count desc, token) and three prefix
+    # cuts; coverage in exact basis points.
+    sql["vocab_coverage"] = """
+        WITH tok AS (SELECT unnest(regexp_extract_all(lower(text),
+                            '[a-z0-9]+')) AS t FROM documents),
+        c AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+              FROM tok GROUP BY 1),
+        r AS (SELECT n, row_number() OVER (ORDER BY n DESC, t) AS rk
+              FROM c),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        SELECT CAST(ks.k AS BIGINT) AS k,
+               coalesce((SELECT CAST(sum(n) AS BIGINT) FROM r
+                         WHERE rk <= ks.k), 0) AS top_total,
+               tot.total AS corpus_total,
+               CAST(coalesce((SELECT sum(n) FROM r WHERE rk <= ks.k), 0)
+                    * 10000 // tot.total AS BIGINT) AS coverage_bp
+        FROM (VALUES (100), (1000), (10000)) ks(k), tot
     """
 
     # hll_error_eval: the hll_registers CTE folded through the exact

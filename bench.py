@@ -172,6 +172,7 @@ def run_queries() -> dict[str, float]:
         "filter_funnel", "kcenter_seeds",
         "dup_cluster_sources", "cms_error_eval",
         "hll_error_eval", "budget_allocation",
+        "user_behavior_twins", "vocab_coverage",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -2289,3 +2289,113 @@ def activity_streaks(sf_dir: str) -> "ray.data.Dataset":
             _Sum("n_users", alias_name="n_users"),
         )
     )
+
+
+def user_behavior_twins(sf_dir: str) -> "ray.data.Dataset":
+    """Behavioral-twin detection — users with IDENTICAL event-type
+    profiles (the exact (type → count) multiset), the
+    entity-resolution smell test for bot farms / duplicate accounts:
+    profiles canonicalize to 'type:count|…' strings sorted by type,
+    hash, and cluster; the histogram reports how many clusters of
+    each size exist and how many users sit in them — the size = 1 row
+    counts the unique-profile users (the healthy bulk), the size ≥ 2
+    rows are the twins. Tail-seated by design:
+    linkage_scores' canonical-key idea on the behavioral axis, with
+    dedup_cluster_sizes' histogram fold.
+
+    Scale shape: per-batch (user, type, n) partials → ONE groupby
+    (user, type) → per-user map_groups canonicalizes (a user's TYPE
+    set is bounded) → a profile-hash groupby sizes the clusters → a
+    bounded histogram grid. Output: (cluster_size, n_clusters,
+    n_users)."""
+    import hashlib
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def ut_partials(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        g = (
+            pd.DataFrame({"u": uid, "t": et, "n": 1})
+            .groupby(["u", "t"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "u": pa.array(g["u"].to_numpy().astype(np.int64), pa.int64()),
+                "t": pa.array(g["t"], pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def profile(grp: pa.Table) -> pa.Table:
+        t = grp.column("t").to_pylist()
+        n = grp.column("n_p").to_pylist()
+        canon = "|".join(
+            f"{tt}:{nn}" for tt, nn in sorted(zip(t, n))
+        )
+        return pa.table(
+            {
+                "h": pa.array(
+                    [hashlib.md5(canon.encode()).hexdigest()], pa.string()
+                ),
+                "one": pa.array([1], pa.int64()),
+            }
+        )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        sizes = batch.column("size").to_numpy(zero_copy_only=False)
+        u = np.unique(sizes)
+        return pa.table(
+            {
+                "cluster_size": pa.array(u.astype(np.int64), pa.int64()),
+                "n_clusters": pa.array(
+                    np.array([(sizes == x).sum() for x in u], np.int64),
+                    pa.int64(),
+                ),
+                "n_users": pa.array(
+                    np.array([(sizes == x).sum() * x for x in u], np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    grid = (
+        ds.map_batches(ut_partials, batch_format="pyarrow")
+        .groupby(["u", "t"])
+        .aggregate(_Sum("n", alias_name="n_p"))
+        .groupby("u")
+        .map_groups(profile, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(_Sum("one", alias_name="size"))
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .aggregate(
+            _Sum("n_clusters", alias_name="n_clusters"),
+            _Sum("n_users", alias_name="n_users"),
+        )
+        .take_all()  # bounded histogram; typed even when EMPTY (the
+        # no-twins corpus is the common healthy case)
+    )
+    return pa.table(
+        {
+            "cluster_size": pa.array(
+                [int(r["cluster_size"]) for r in grid], pa.int64()
+            ),
+            "n_clusters": pa.array(
+                [int(r["n_clusters"]) for r in grid], pa.int64()
+            ),
+            "n_users": pa.array(
+                [int(r["n_users"]) for r in grid], pa.int64()
+            ),
+        }
+    )

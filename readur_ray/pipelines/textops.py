@@ -1314,3 +1314,68 @@ def filter_funnel(sf_dir: str) -> "ray.data.Dataset":
             _Sum("n_total", alias_name="n_total"),
         )
     )
+
+
+VOCAB_COVERAGE_KS = (100, 1_000, 10_000)
+
+
+def vocab_coverage(sf_dir: str) -> "pa.Table":
+    """Vocabulary coverage curve — what fraction of the corpus token
+    stream the top-k vocabulary covers, at k ∈ {100, 1k, 10k}: the
+    dial a tokenizer/vocab designer reads before fixing a vocab size
+    (the knee of this curve IS the vocab-size decision), exact basis
+    points under a total (count desc, token asc) order. Tail-seated
+    by design: top_ngrams' token fold with a constant-k sort-limit
+    and three prefix sums.
+
+    Scale shape: per-batch token-count partials → ONE groupby(token)
+    → a max(K)-row sort-limit (bounded by the constant, not the
+    vocab) + a 2-int total aggregate; the prefix arithmetic touches
+    only the 10k driver rows. Output: (k, top_total, corpus_total,
+    coverage_bp)."""
+    import re
+
+    import numpy as np
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = read_documents(sf_dir, ["text"])
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        freq: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            for w in tok_re.findall((text or "").lower()):
+                freq[w] = freq.get(w, 0) + 1
+        words = sorted(freq)
+        return pa.table(
+            {
+                "token": pa.array(words, pa.string()),
+                "n": pa.array([freq[w] for w in words], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(_Sum("n", alias_name="n"))
+        .materialize()
+    )
+    total = int(counts.aggregate(_Sum("n"))["sum(n)"])
+    top = counts.sort(["n", "token"], descending=[True, False]).limit(
+        max(VOCAB_COVERAGE_KS)
+    ).take_all()
+    ns = np.array([int(r["n"]) for r in top], np.int64)
+    cum = np.cumsum(ns)
+    rows = []
+    for k in VOCAB_COVERAGE_KS:
+        t = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+        rows.append((k, t, total, t * 10000 // total if total else 0))
+    return pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "top_total": pa.array([r[1] for r in rows], pa.int64()),
+            "corpus_total": pa.array([r[2] for r in rows], pa.int64()),
+            "coverage_bp": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )

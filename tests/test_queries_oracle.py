@@ -336,6 +336,8 @@ SUBSET = [
     "cms_error_eval",
     "hll_error_eval",
     "budget_allocation",
+    "user_behavior_twins",
+    "vocab_coverage",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
