@@ -1332,6 +1332,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vocab-size decision. Tail-seated by design: top_ngrams'
         # fold + a constant-k sort-limit and three prefix sums.
         "vocab_coverage": textops.vocab_coverage,
+        # (round 4, wave 73) conversion by engagement band — users in
+        # exact log2 bands of total events, converters = has a
+        # purchase; the does-engagement-drive-conversion panel.
+        # Tail-seated by design: hist_quantiles' log2 banding on a
+        # per-user aggregate.
+        "conversion_by_engagement": sessions.conversion_by_engagement,
+        # (round 4, wave 73) churn training-set materialization —
+        # per-user week-1..3 features + distinct active days (its own
+        # dedup lane) and the disjoint week-4+ label window: the
+        # label-and-feature op a training pipeline ends with, leakage
+        # -free by construction. Tail-seated by design: retention_7d's
+        # windowing as a wide feature row.
+        "churn_feature_labels": sessions.churn_feature_labels,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2847,6 +2860,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.s_suppkey, s.s_name, r.rev AS revenue_cents
         FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
         WHERE r.rev = (SELECT max(rev) FROM r)
+    """
+
+    # conversion_by_engagement: log2 band via len(bin()) — the
+    # hist_quantiles convention; n ≥ 1 so band ≥ 1.
+    sql["conversion_by_engagement"] = """
+        WITH ue AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                           CAST(max(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS c
+                    FROM events GROUP BY 1),
+        b AS (SELECT CAST(len(bin(CAST(n AS UBIGINT))) AS BIGINT) AS band,
+                     c
+              FROM ue),
+        g AS (SELECT band, CAST(count(*) AS BIGINT) AS n_users,
+                     CAST(sum(c) AS BIGINT) AS n_converted
+              FROM b GROUP BY 1)
+        SELECT band, CAST(CAST(1 AS BIGINT) << (band - 1) AS BIGINT)
+                 AS n_lo,
+               n_users, n_converted,
+               CAST(n_converted * 10000 // n_users AS BIGINT) AS rate_bp
+        FROM g
+    """
+
+    # churn_feature_labels: fixed epoch week windows off the
+    # 2024-01-01 feature clock; label window disjoint by construction.
+    sql["churn_feature_labels"] = """
+        WITH e AS (SELECT user_id,
+                          (epoch_us(ts) - 1704067200000000)
+                            // 604800000000 AS week,
+                          (epoch_us(ts) - 1704067200000000)
+                            // 86400000000 AS day
+                   FROM events)
+        SELECT user_id,
+               CAST(count(*) FILTER (WHERE week = 0) AS BIGINT) AS n_w1,
+               CAST(count(*) FILTER (WHERE week = 1) AS BIGINT) AS n_w2,
+               CAST(count(*) FILTER (WHERE week = 2) AS BIGINT) AS n_w3,
+               CAST(count(DISTINCT CASE WHEN week <= 2 THEN day END)
+                    AS BIGINT) AS active_days_w13,
+               CAST(CASE WHEN max(CASE WHEN week >= 3 THEN 1 ELSE 0 END)
+                    = 0 THEN 1 ELSE 0 END AS BIGINT) AS churned
+        FROM e GROUP BY 1
     """
 
     # user_behavior_twins: canonical profile via ordered string_agg;

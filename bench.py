@@ -173,6 +173,7 @@ def run_queries() -> dict[str, float]:
         "dup_cluster_sources", "cms_error_eval",
         "hll_error_eval", "budget_allocation",
         "user_behavior_twins", "vocab_coverage",
+        "conversion_by_engagement", "churn_feature_labels",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -2399,3 +2399,227 @@ def user_behavior_twins(sf_dir: str) -> "ray.data.Dataset":
             ),
         }
     )
+
+
+def conversion_by_engagement(sf_dir: str) -> "ray.data.Dataset":
+    """Conversion rate by engagement band — the funnel-analytics
+    cross-cut: users bucketed by the log2 band of their total event
+    count (band = bit_length(n), so the bucketing is exact integers
+    and scale-free), conversion = has ≥ 1 'purchase' event; per band
+    the user count, converters, and rate in basis points. The panel
+    that answers 'does engagement actually drive conversion, and
+    where does it saturate'. Tail-seated by design: hist_quantiles'
+    log2 banding on a per-user aggregate + a two-flag fold.
+
+    Scale shape: per-batch (user, n, converted) partials → ONE
+    groupby(user) completes both → per-batch band partials → a ≤64-
+    row grid. Output: (band, n_lo, n_users, n_converted, rate_bp)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        g = (
+            pd.DataFrame({"u": uid, "n": 1, "c": (et == "purchase").astype(np.int64)})
+            .groupby("u", sort=False)
+            .agg(n=("n", "sum"), c=("c", "max"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "u": pa.array(g["u"].to_numpy().astype(np.int64), pa.int64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+                "c": pa.array(g["c"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def band_fold(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_p").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch.column("c_p").to_numpy(zero_copy_only=False) > 0
+        band = np.zeros(len(n), np.int64)
+        nn = n.copy()
+        while (nn > 0).any():
+            band[nn > 0] += 1
+            nn >>= 1
+        u = np.unique(band)
+        return pa.table(
+            {
+                "band": pa.array(u, pa.int64()),
+                "n_users": pa.array(
+                    np.array([(band == b).sum() for b in u], np.int64),
+                    pa.int64(),
+                ),
+                "n_converted": pa.array(
+                    np.array([c[band == b].sum() for b in u], np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        band = batch.column("band").to_numpy(zero_copy_only=False)
+        nu = batch.column("n_users_p").to_numpy(zero_copy_only=False)
+        nc = batch.column("n_converted_p").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "band": pa.array(band.astype(np.int64), pa.int64()),
+                "n_lo": pa.array(
+                    (1 << np.maximum(band - 1, 0)).astype(np.int64), pa.int64()
+                ),
+                "n_users": pa.array(nu.astype(np.int64), pa.int64()),
+                "n_converted": pa.array(nc.astype(np.int64), pa.int64()),
+                "rate_bp": pa.array(nc * 10000 // nu, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("u")
+        .aggregate(_Sum("n", alias_name="n_p"), _Max("c", alias_name="c_p"))
+        .map_batches(band_fold, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(
+            _Sum("n_users", alias_name="n_users_p"),
+            _Sum("n_converted", alias_name="n_converted_p"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+CHURN_W_US = 7 * 86_400_000_000
+CHURN_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01: the feature clock
+
+
+def churn_feature_labels(sf_dir: str) -> "ray.data.Dataset":
+    """Churn training-set materialization — the label-and-feature op
+    every training-data pipeline ends with: per user, event counts in
+    weeks 1-3 of the observation month, distinct active days in that
+    window, and the LABEL churned = no events from day 21 on. The
+    week windows are fixed epoch ranges off the 2024-01-01 feature
+    clock, so features and label derive from pure integer compares —
+    and the label window is disjoint from the feature windows (no
+    leakage by construction, the property leakage_split audits).
+    Tail-seated by design: retention_7d's windowing as a wide
+    feature row instead of a cohort fold.
+
+    Scale shape: per-batch per-user window partials → ONE
+    groupby(user) sums features and Max-merges the label-window
+    flag; output is one row per user. Output: (user_id, n_w1, n_w2,
+    n_w3, active_days_w13, churned)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def week_day(batch: pa.Table):
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        t = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        off = t - CHURN_EPOCH_US
+        return uid, off // CHURN_W_US, off // 86_400_000_000
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        uid, week, _day = week_day(batch)
+        g = (
+            pd.DataFrame(
+                {
+                    "u": uid,
+                    "w1": (week == 0).astype(np.int64),
+                    "w2": (week == 1).astype(np.int64),
+                    "w3": (week == 2).astype(np.int64),
+                    "late": (week >= 3).astype(np.int64),
+                }
+            )
+            .groupby("u", sort=False)
+            .agg(
+                w1=("w1", "sum"), w2=("w2", "sum"), w3=("w3", "sum"),
+                late=("late", "max"),
+            )
+            .reset_index()
+        )
+        n = len(g)
+        return pa.table(
+            {
+                "u": pa.array(g["u"].to_numpy().astype(np.int64), pa.int64()),
+                "w1": pa.array(g["w1"].to_numpy().astype(np.int64), pa.int64()),
+                "w2": pa.array(g["w2"].to_numpy().astype(np.int64), pa.int64()),
+                "w3": pa.array(g["w3"].to_numpy().astype(np.int64), pa.int64()),
+                "late": pa.array(
+                    g["late"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "ad": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    def day_pairs(batch: pa.Table) -> pa.Table:
+        uid, week, day = week_day(batch)
+        keep = week <= 2
+        g = pd.DataFrame({"u": uid[keep], "d": day[keep]}).drop_duplicates()
+        return pa.table(
+            {
+                "u": pa.array(g["u"].to_numpy().astype(np.int64), pa.int64()),
+                "d": pa.array(g["d"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def day_rows(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        n = len(u)
+        z = np.zeros(n, np.int64)
+        return pa.table(
+            {
+                "u": pa.array(u.astype(np.int64), pa.int64()),
+                "w1": pa.array(z, pa.int64()),
+                "w2": pa.array(z, pa.int64()),
+                "w3": pa.array(z, pa.int64()),
+                "late": pa.array(z, pa.int64()),
+                "ad": pa.array(np.ones(n, np.int64), pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        late = batch.column("late_p").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch.column("u"),
+                "n_w1": batch.column("w1_p"),
+                "n_w2": batch.column("w2_p"),
+                "n_w3": batch.column("w3_p"),
+                "active_days_w13": batch.column("ad_p"),
+                "churned": pa.array(
+                    (late == 0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    days = (
+        ds.map_batches(day_pairs, batch_format="pyarrow")
+        .groupby(["u", "d"])
+        .aggregate(_Sum("d", alias_name="dummy"))
+        .map_batches(day_rows, batch_format="pyarrow")
+    )
+    return (
+        ds.map_batches(count_partials, batch_format="pyarrow")
+        .union(days)
+        .groupby("u")
+        .aggregate(
+            _Sum("w1", alias_name="w1_p"),
+            _Sum("w2", alias_name="w2_p"),
+            _Sum("w3", alias_name="w3_p"),
+            _Max("late", alias_name="late_p"),
+            _Sum("ad", alias_name="ad_p"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )

@@ -338,6 +338,8 @@ SUBSET = [
     "budget_allocation",
     "user_behavior_twins",
     "vocab_coverage",
+    "conversion_by_engagement",
+    "churn_feature_labels",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
