@@ -1345,6 +1345,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -free by construction. Tail-seated by design: retention_7d's
         # windowing as a wide feature row.
         "churn_feature_labels": sessions.churn_feature_labels,
+        # (round 4, wave 74) SimHash band selectivity — per band the
+        # candidate pairs its key collisions generate vs the popcount
+        # survivors: the PRECISION dial of the banded plan (recall is
+        # exactly 1 by pigeonhole). Tail-seated by design: the banded
+        # bucket machinery folding counts instead of pairs.
+        "simhash_band_precision": dedup.simhash_band_precision,
+        # (round 4, wave 74) per-class label-noise estimate — the
+        # aggregate knn_label_vote's docstring promises: kNN-vote
+        # disagreement rate per TRUE label via one more vec_id
+        # co-partition (labels are vector-cardinality, never
+        # broadcast). Tail-seated by design: the vote pipeline + a
+        # tagged-union grid fold.
+        "knn_label_noise": similarity.knn_label_noise,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -5870,6 +5883,42 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY vec_id ORDER BY n DESC, label ASC
                      ) AS rn FROM c)
         WHERE rn = 1 ORDER BY 1
+    """
+
+    # knn_label_noise: the vote CTE joined back to the label column.
+    sql["knn_label_noise"] = f"""
+        WITH v AS ({sql["knn_label_vote"]})
+        SELECT e.label, CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(count(*) FILTER (WHERE v.pred_label <> e.label)
+                    AS BIGINT) AS n_disagree,
+               CAST(count(*) FILTER (WHERE v.pred_label <> e.label)
+                    * 10000 // count(*) AS BIGINT) AS noise_bp
+        FROM v JOIN embeddings e USING (vec_id)
+        GROUP BY 1
+    """
+
+    # simhash_band_precision: band-key collisions vs popcount
+    # survivors, per band; pairs count once per colliding band by
+    # design.
+    sql["simhash_band_precision"] = f"""
+        WITH {_SIMHASH_CTE},
+        u AS (SELECT doc_id, CAST('0x' || simhash AS UBIGINT) AS fp
+              FROM fps),
+        b AS (SELECT doc_id, fp, i AS band,
+                     CAST((fp >> CAST(i * 16 AS UBIGINT)) & 65535
+                          AS BIGINT) AS key
+              FROM u, unnest(range(0, 4)) t(i)),
+        cand AS (SELECT x.band,
+                        CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS ham
+                 FROM b x JOIN b y ON y.band = x.band AND y.key = x.key
+                                   AND y.doc_id > x.doc_id)
+        SELECT CAST(band AS BIGINT) AS band,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(count(*) FILTER (WHERE ham <= 3) AS BIGINT)
+                 AS n_verified,
+               CAST(count(*) FILTER (WHERE ham <= 3) * 10000 // count(*)
+                    AS BIGINT) AS precision_bp
+        FROM cand GROUP BY 1
     """
 
     # contingency_grid: observed cells with marginals and the exact

@@ -174,6 +174,7 @@ def run_queries() -> dict[str, float]:
         "hll_error_eval", "budget_allocation",
         "user_behavior_twins", "vocab_coverage",
         "conversion_by_engagement", "churn_feature_labels",
+        "simhash_band_precision", "knn_label_noise",
     ]
     out: dict[str, float] = {}
     for name in picks:

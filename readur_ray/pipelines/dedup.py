@@ -2467,3 +2467,106 @@ def dup_cluster_sources(sf_dir: str) -> "ray.data.Dataset":
             _Sum("n_docs", alias_name="n_docs"),
         )
     )
+
+
+def simhash_band_precision(sf_dir: str) -> "ray.data.Dataset":
+    """Band selectivity of the SimHash LSH — the PRECISION dial of
+    the banded plan (recall is exactly 1 by pigeonhole, so precision
+    is the only free variable): per band, the candidate pairs its
+    16-bit key collisions generate and how many survive the popcount
+    verify (hamming ≤ 3). candidates − verified is wasted
+    verification work; a band whose precision collapses is where a
+    wider band key (the band_bits dial) pays. Pairs colliding in
+    SEVERAL bands count once per band by design — the metric prices
+    each band's own bucket work. Tail-seated by design:
+    dedup_simhash_banded's bucket machinery folding counts instead
+    of pairs.
+
+    Scale shape: the same band-keyed shuffle as the banded dedup;
+    each (band, key) bucket folds to (n_pairs, n_verified) partials
+    vectorized (XOR outer product within the bucket), and the global
+    stage is a 4-row grid. Output: (band, n_candidates, n_verified,
+    precision_bp)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    n_bands = SIMHASH_MAX_HAMMING + 1
+    band_bits = 64 // n_bands
+    mask = np.uint64((1 << band_bits) - 1)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        fp = np.array(
+            [int(s, 16) for s in batch.column("simhash").to_pylist()],
+            dtype=np.uint64,
+        )
+        shifts = np.arange(n_bands, dtype=np.uint64) * np.uint64(band_bits)
+        keys = ((fp[:, None] >> shifts[None, :]) & mask).astype(np.int64).ravel()
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(n_bands, dtype=np.int64), len(ids)),
+                    pa.int64(),
+                ),
+                "key": pa.array(keys, pa.int64()),
+                "fp": pa.array(np.repeat(fp.view(np.int64), n_bands), pa.int64()),
+            }
+        )
+
+    def bucket_fold(grp: pa.Table) -> pa.Table:
+        n = grp.num_rows
+        if n < 2:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "n_candidates": pa.array([], pa.int64()),
+                    "n_verified": pa.array([], pa.int64()),
+                }
+            )
+        band = int(grp.column("band")[0].as_py())
+        fp = grp.column("fp").to_numpy(zero_copy_only=False).view(np.uint64)
+        x = fp[:, None] ^ fp[None, :]
+        ham = (
+            np.unpackbits(x.view(np.uint8).reshape(n * n, 8), axis=1)
+            .sum(axis=1)
+            .reshape(n, n)
+        )
+        iu = np.triu_indices(n, k=1)
+        hams = ham[iu]
+        return pa.table(
+            {
+                "band": pa.array([band], pa.int64()),
+                "n_candidates": pa.array([len(hams)], pa.int64()),
+                "n_verified": pa.array(
+                    [int((hams <= SIMHASH_MAX_HAMMING).sum())], pa.int64()
+                ),
+            }
+        )
+
+    def precision(batch: pa.Table) -> pa.Table:
+        nc = batch.column("n_candidates_p").to_numpy(zero_copy_only=False)
+        nv = batch.column("n_verified_p").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "band": batch.column("band"),
+                "n_candidates": pa.array(nc.astype(np.int64), pa.int64()),
+                "n_verified": pa.array(nv.astype(np.int64), pa.int64()),
+                "precision_bp": pa.array(
+                    np.where(nc > 0, nv * 10000 // np.maximum(nc, 1), 0),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        simhash_fingerprints(sf_dir)
+        .map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(bucket_fold, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(
+            _Sum("n_candidates", alias_name="n_candidates_p"),
+            _Sum("n_verified", alias_name="n_verified_p"),
+        )
+        .map_batches(precision, batch_format="pyarrow")
+    )

@@ -2354,3 +2354,108 @@ def kcenter_seeds(sf_dir: str, k: int = KCENTER_K) -> "pa.Table":
             "d2_to_set": pa.array([s[2] for s in steps], pa.int64()),
         }
     )
+
+
+def knn_label_noise(sf_dir: str) -> "ray.data.Dataset":
+    """Label-noise estimate per class — the aggregate the
+    knn_label_vote docstring promises: per TRUE label, how many
+    vectors' kNN majority vote disagrees with their own label (the
+    mislabel-candidate rate curation triages by class). Tail-seated
+    by design: knn_label_vote's output joined back to the label
+    column through one more vec_id co-partition, folded to a
+    ≤|labels|-row grid.
+
+    Scale shape: the vote pipeline is the memoized-edge path; the
+    disagreement join is one tagged-union groupby on vec_id (labels
+    are vector-cardinality — never broadcast); the grid is bounded
+    by the label alphabet. Output: (label, n_vecs, n_disagree,
+    noise_bp)."""
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    votes = knn_label_vote(sf_dir)
+    labels = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+
+    def vote_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "pred": batch.column("pred_label").cast(pa.int64()),
+                "true_l": pa.array(
+                    np.full(batch.num_rows, -1, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def label_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "pred": pa.array(
+                    np.full(batch.num_rows, -1, np.int64), pa.int64()
+                ),
+                "true_l": batch.column("label").cast(pa.int64()),
+            }
+        )
+
+    def grid_fold(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        pred = batch.column("pred_p").to_numpy(zero_copy_only=False)
+        true_l = batch.column("true_p").to_numpy(zero_copy_only=False)
+        keep = pred >= 0  # vectors with a vote (all, by construction)
+        g = (
+            pd.DataFrame(
+                {
+                    "label": true_l[keep],
+                    "n": 1,
+                    "d": (pred[keep] != true_l[keep]).astype(np.int64),
+                }
+            )
+            .groupby("label", sort=False)
+            .agg(n=("n", "sum"), d=("d", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "label": pa.array(
+                    g["label"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "n_vecs": pa.array(
+                    g["n"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "n_disagree": pa.array(
+                    g["d"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_vecs_p").to_numpy(zero_copy_only=False)
+        d = batch.column("n_disagree_p").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "label": batch.column("label"),
+                "n_vecs": pa.array(n.astype(np.int64), pa.int64()),
+                "n_disagree": pa.array(d.astype(np.int64), pa.int64()),
+                "noise_bp": pa.array(d * 10000 // n, pa.int64()),
+            }
+        )
+
+    return (
+        votes.map_batches(vote_side, batch_format="pyarrow")
+        .union(labels.map_batches(label_side, batch_format="pyarrow"))
+        .groupby("vec_id")
+        .aggregate(
+            _Max("pred", alias_name="pred_p"),
+            _Max("true_l", alias_name="true_p"),
+        )
+        .map_batches(grid_fold, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(
+            _Sum("n_vecs", alias_name="n_vecs_p"),
+            _Sum("n_disagree", alias_name="n_disagree_p"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )

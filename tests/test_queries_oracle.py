@@ -340,6 +340,8 @@ SUBSET = [
     "vocab_coverage",
     "conversion_by_engagement",
     "churn_feature_labels",
+    "simhash_band_precision",
+    "knn_label_noise",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
