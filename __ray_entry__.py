@@ -1358,6 +1358,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # broadcast). Tail-seated by design: the vote pipeline + a
         # tagged-union grid fold.
         "knn_label_noise": similarity.knn_label_noise,
+        # (round 4, wave 75) OHLC candles per (type, day) — open and
+        # close at the FIRST/LAST (ts, event_id), extremes in exact
+        # cents; partials carry their own endpoints so the merge is a
+        # bounded-grid fold, no sort, no row shuffle. Tail-seated by
+        # design: pivot_daily's grid with order-aware endpoints.
+        "ohlc_daily": sessions.ohlc_daily,
+        # (round 4, wave 75) stratified k-fold assignment — fold =
+        # md5(doc_id) mod 5 (stable, stateless), per (lang, fold)
+        # counts plus each lang's fold-balance spread with ZERO folds
+        # included. Tail-seated by design: hash_sample's md5-mod on
+        # contingency_grid's cells.
+        "kfold_assignment": curation.kfold_assignment,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2873,6 +2885,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.s_suppkey, s.s_name, r.rev AS revenue_cents
         FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
         WHERE r.rev = (SELECT max(rev) FROM r)
+    """
+
+    # ohlc_daily: endpoints via two row_numbers, extremes plain.
+    sql["ohlc_daily"] = """
+        WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                          epoch_us(ts) AS t, event_id,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+                   FROM events),
+        w AS (SELECT event_type, day, c,
+                     row_number() OVER (PARTITION BY event_type, day
+                                        ORDER BY t, event_id) AS rf,
+                     row_number() OVER (PARTITION BY event_type, day
+                                        ORDER BY t DESC, event_id DESC)
+                       AS rl
+              FROM e)
+        SELECT event_type, CAST(day AS BIGINT) AS day,
+               CAST(max(CASE WHEN rf = 1 THEN c END) AS BIGINT) AS open_c,
+               CAST(max(c) AS BIGINT) AS high_c,
+               CAST(min(c) AS BIGINT) AS low_c,
+               CAST(max(CASE WHEN rl = 1 THEN c END) AS BIGINT) AS close_c
+        FROM w GROUP BY 1, 2
+    """
+
+    # kfold_assignment: md5-mod folds; spread over ALL five folds
+    # (zero cells included via the cross join).
+    sql["kfold_assignment"] = """
+        WITH f AS (SELECT lang,
+                          CAST(CAST('0x' || substr(
+                            md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                            AS UBIGINT) % 5 AS BIGINT) AS fold
+                   FROM documents),
+        g AS (SELECT lang, fold, CAST(count(*) AS BIGINT) AS n_docs
+              FROM f GROUP BY 1, 2),
+        allf AS (SELECT l.lang, k.fold, coalesce(g.n_docs, 0) AS nd
+                 FROM (SELECT DISTINCT lang FROM f) l
+                 CROSS JOIN (SELECT unnest(range(0, 5)) AS fold) k
+                 LEFT JOIN g ON g.lang = l.lang AND g.fold = k.fold),
+        sp AS (SELECT lang, CAST(max(nd) - min(nd) AS BIGINT)
+                 AS lang_spread
+               FROM allf GROUP BY 1)
+        SELECT g.lang, g.fold, g.n_docs, sp.lang_spread
+        FROM g JOIN sp USING (lang)
     """
 
     # conversion_by_engagement: log2 band via len(bin()) — the

@@ -175,6 +175,7 @@ def run_queries() -> dict[str, float]:
         "user_behavior_twins", "vocab_coverage",
         "conversion_by_engagement", "churn_feature_labels",
         "simhash_band_precision", "knn_label_noise",
+        "ohlc_daily", "kfold_assignment",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -2547,3 +2547,84 @@ def dataset_card(sf_dir: str) -> "ray.data.Dataset":
         }
     )
     return ray.data.from_arrow(out)
+
+
+KFOLD_K = 5
+
+
+def kfold_assignment(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic stratified k-fold assignment — the
+    cross-validation prerequisite: fold = md5(doc_id) mod 5 (content-
+    independent, so folds are stable under text edits; hash-based, so
+    assignment needs no global state), reported as the per (lang,
+    fold) cell counts PLUS each lang's fold-balance spread (max −
+    min cell) — the imbalance a stratified CV run must tolerate.
+    Tail-seated by design: hash_sample's md5-mod primitive folded to
+    contingency_grid's cell counts.
+
+    Scale shape: one pass folds (lang, fold, n) partials into a
+    bounded |langs|×5 grid; the spread joins through a per-lang
+    map_groups over that grid. Output: (lang, fold, n_docs,
+    lang_spread)."""
+    import hashlib
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        lang = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        fold = np.array(
+            [
+                int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+                % KFOLD_K
+                for i in ids
+            ],
+            np.int64,
+        )
+        g = (
+            pd.DataFrame({"lang": lang, "fold": fold, "n": 1})
+            .groupby(["lang", "fold"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "fold": pa.array(g["fold"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def spread(grp: pa.Table) -> pa.Table:
+        n = grp.column("n_p").to_numpy(zero_copy_only=False).astype(np.int64)
+        fold = grp.column("fold").to_numpy(zero_copy_only=False)
+        # a fold with ZERO docs in this lang still counts in the spread
+        full = np.zeros(KFOLD_K, np.int64)
+        full[fold] = n
+        sp = int(full.max() - full.min())
+        return pa.table(
+            {
+                "lang": pa.array(
+                    [grp.column("lang")[0].as_py()] * len(n), pa.string()
+                ),
+                "fold": pa.array(fold, pa.int64()),
+                "n_docs": pa.array(n, pa.int64()),
+                "lang_spread": pa.array(np.full(len(n), sp, np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["lang", "fold"])
+        .aggregate(_Sum("n", alias_name="n_p"))
+        .groupby("lang")
+        .map_groups(spread, batch_format="pyarrow")
+    )

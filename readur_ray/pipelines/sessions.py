@@ -2623,3 +2623,94 @@ def churn_feature_labels(sf_dir: str) -> "ray.data.Dataset":
         )
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def ohlc_daily(sf_dir: str) -> "ray.data.Dataset":
+    """OHLC candles — open/high/low/close of the event value per
+    (type, day) in exact cents, the canonical financial/telemetry
+    downsample: open and close are the value at the FIRST and LAST
+    (ts, event_id) of the day (the deterministic tiebreak every
+    ordered op here uses), high/low are the extremes. Tail-seated by
+    design: pivot_daily's grid with order-aware endpoints merged
+    through a second bounded fold.
+
+    Scale shape: each batch folds to at most one partial row per
+    (type, day) carrying its own endpoints and extremes; a
+    groupby-map_groups over the bounded grid merges partials by
+    comparing (ts, event_id) keys — no row-level shuffle, no sort.
+    Output: (event_type, day, open_c, high_c, low_c, close_c)."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id", "value"],
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        t = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        day = t // 86_400_000_000
+        df = pd.DataFrame(
+            {"et": et, "day": day, "t": t, "eid": eid, "c": cents}
+        ).sort_values(["t", "eid"])
+        g = df.groupby(["et", "day"], sort=False).agg(
+            ft=("t", "first"), fe=("eid", "first"), oc=("c", "first"),
+            lt=("t", "last"), le=("eid", "last"), cc=("c", "last"),
+            hi=("c", "max"), lo=("c", "min"),
+        ).reset_index()
+        return pa.table(
+            {
+                "event_type": pa.array(g["et"], pa.string()),
+                "day": pa.array(g["day"].to_numpy().astype(np.int64), pa.int64()),
+                "ft": pa.array(g["ft"].to_numpy().astype(np.int64), pa.int64()),
+                "fe": pa.array(g["fe"].to_numpy().astype(np.int64), pa.int64()),
+                "oc": pa.array(g["oc"].to_numpy().astype(np.int64), pa.int64()),
+                "lt": pa.array(g["lt"].to_numpy().astype(np.int64), pa.int64()),
+                "le": pa.array(g["le"].to_numpy().astype(np.int64), pa.int64()),
+                "cc": pa.array(g["cc"].to_numpy().astype(np.int64), pa.int64()),
+                "hi": pa.array(g["hi"].to_numpy().astype(np.int64), pa.int64()),
+                "lo": pa.array(g["lo"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def merge(grp: pa.Table) -> pa.Table:
+        ft = grp.column("ft").to_numpy(zero_copy_only=False)
+        fe = grp.column("fe").to_numpy(zero_copy_only=False)
+        oc = grp.column("oc").to_numpy(zero_copy_only=False)
+        lt = grp.column("lt").to_numpy(zero_copy_only=False)
+        le = grp.column("le").to_numpy(zero_copy_only=False)
+        cc = grp.column("cc").to_numpy(zero_copy_only=False)
+        i_open = int(np.lexsort((fe, ft))[0])
+        i_close = int(np.lexsort((-le, -lt))[0])
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [grp.column("event_type")[0].as_py()], pa.string()
+                ),
+                "day": pa.array(
+                    [int(grp.column("day")[0].as_py())], pa.int64()
+                ),
+                "open_c": pa.array([int(oc[i_open])], pa.int64()),
+                "high_c": pa.array(
+                    [int(grp.column("hi").to_numpy(zero_copy_only=False).max())],
+                    pa.int64(),
+                ),
+                "low_c": pa.array(
+                    [int(grp.column("lo").to_numpy(zero_copy_only=False).min())],
+                    pa.int64(),
+                ),
+                "close_c": pa.array([int(cc[i_close])], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .map_groups(merge, batch_format="pyarrow")
+    )

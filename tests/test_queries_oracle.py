@@ -342,6 +342,8 @@ SUBSET = [
     "churn_feature_labels",
     "simhash_band_precision",
     "knn_label_noise",
+    "ohlc_daily",
+    "kfold_assignment",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
