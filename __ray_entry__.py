@@ -1370,6 +1370,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # included. Tail-seated by design: hash_sample's md5-mod on
         # contingency_grid's cells.
         "kfold_assignment": curation.kfold_assignment,
+        # (round 4, wave 76) readability profile per lang — exact
+        # word/sentence/char totals with corpus-level ratios in
+        # milli-units (Σ·1000 // Σ merges associatively; means of
+        # per-doc ratios would not). Tail-seated by design:
+        # token_diversity's per-lang fold + a sentence-run counter.
+        "readability_stats": textops.readability_stats,
+        # (round 4, wave 76) stream-position profile — where in a
+        # user's ordered stream each event type occurs (per-event
+        # relpos (pos−1)·10⁴//(len−1), folded to per-type means in
+        # bp): the signup-early/purchase-late sanity check behind
+        # funnel definitions. Tail-seated by design: sessionize's
+        # per-user ordering folded to a grid.
+        "event_position_profile": sessions.event_position_profile,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -2885,6 +2898,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.s_suppkey, s.s_name, r.rev AS revenue_cents
         FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
         WHERE r.rev = (SELECT max(rev) FROM r)
+    """
+
+    # readability_stats: corpus-level ratios from per-lang sums.
+    sql["readability_stats"] = """
+        WITH d AS (
+          SELECT lang,
+                 CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                      AS BIGINT) AS w,
+                 CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+                   AS s,
+                 CAST(length(text) AS BIGINT) AS c
+          FROM documents
+        ),
+        g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(w) AS BIGINT) AS words,
+                     CAST(sum(s) AS BIGINT) AS sentences,
+                     CAST(sum(c) AS BIGINT) AS chars
+              FROM d GROUP BY 1)
+        SELECT lang, n_docs, words, sentences, chars,
+               CAST(chars * 1000 // greatest(words, 1) AS BIGINT)
+                 AS chars_per_word_x1000,
+               CAST(words * 1000 // greatest(sentences, 1) AS BIGINT)
+                 AS words_per_sentence_x1000
+        FROM g
+    """
+
+    # event_position_profile: per-event relative position via
+    # row_number over the per-user (ts, event_id) order.
+    sql["event_position_profile"] = """
+        WITH o AS (
+          SELECT event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) - 1 AS pos,
+                 count(*) OVER (PARTITION BY user_id) AS len
+          FROM events
+        ),
+        r AS (SELECT event_type,
+                     CASE WHEN len > 1 THEN pos * 10000 // (len - 1)
+                          ELSE 0 END AS rp
+              FROM o)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(rp) // count(*) AS BIGINT) AS mean_relpos_bp
+        FROM r GROUP BY 1
     """
 
     # ohlc_daily: endpoints via two row_numbers, extremes plain.

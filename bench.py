@@ -176,6 +176,7 @@ def run_queries() -> dict[str, float]:
         "conversion_by_engagement", "churn_feature_labels",
         "simhash_band_precision", "knn_label_noise",
         "ohlc_daily", "kfold_assignment",
+        "readability_stats", "event_position_profile",
     ]
     out: dict[str, float] = {}
     for name in picks:

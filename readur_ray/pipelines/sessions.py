@@ -2714,3 +2714,76 @@ def ohlc_daily(sf_dir: str) -> "ray.data.Dataset":
         .groupby(["event_type", "day"])
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def event_position_profile(sf_dir: str) -> "ray.data.Dataset":
+    """Stream-position profile per event type — WHERE in a user's
+    (ts, event_id)-ordered stream each type typically occurs:
+    per-event relative position (pos−1)·10⁴ // (len−1) (0 = first
+    event, 10⁴ = last; single-event streams count as 0), folded to
+    per-type sums and the mean in exact basis points. The
+    signup-early / purchase-late ordering this surfaces is the
+    sanity check behind every funnel definition. Tail-seated by
+    design: sessionize's per-user ordering folded to a grid instead
+    of sessions.
+
+    Scale shape: one user-keyed groupby (the group fits), a
+    vectorized rank fold per user, a ≤|types|-row grid. Output:
+    (event_type, n_events, mean_relpos_bp)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def per_user(grp: pa.Table) -> pa.Table:
+        t = grp.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = grp.column("event_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        et = np.asarray(grp.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((eid, t))
+        et = et[order]
+        n = len(et)
+        relpos = (
+            (np.arange(n, dtype=np.int64) * 10_000 // (n - 1))
+            if n > 1
+            else np.zeros(n, np.int64)
+        )
+        g = (
+            pd.DataFrame({"event_type": et, "n": 1, "rp": relpos})
+            .groupby("event_type", sort=False)
+            .agg(n=("n", "sum"), rp=("rp", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+                "rp": pa.array(g["rp"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_p").to_numpy(zero_copy_only=False)
+        rp = batch.column("rp_p").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n_events": pa.array(n.astype(np.int64), pa.int64()),
+                "mean_relpos_bp": pa.array(rp // n, pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            _Sum("n", alias_name="n_p"), _Sum("rp", alias_name="rp_p")
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )

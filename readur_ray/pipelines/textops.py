@@ -1379,3 +1379,90 @@ def vocab_coverage(sf_dir: str) -> "pa.Table":
             "coverage_bp": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+
+
+def readability_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Readability profile per language — the surface statistics
+    behind Flesch-style scores, kept exact: per lang the document,
+    word ([a-z0-9]+ on lowercased text), sentence ([.!?]+ runs) and
+    character totals, with chars-per-word and words-per-sentence in
+    exact milli-units (Σ·1000 // Σ — corpus-level ratios, not means
+    of per-doc ratios, so they merge associatively). The dashboard
+    row a curation team reads next to quality_score's gate counts.
+    Tail-seated by design: token_diversity's per-lang fold with a
+    sentence-run counter.
+
+    Scale shape: ONE text pass folds per-batch per-lang partials →
+    a ≤|langs|-row grid; ratios are grid-side floor divisions.
+    Output: (lang, n_docs, words, sentences, chars,
+    chars_per_word_x1000, words_per_sentence_x1000)."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = read_documents(sf_dir, ["text", "lang"])
+    word_re = re.compile(r"[a-z0-9]+")
+    sent_re = re.compile(r"[.!?]+")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lang = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        texts = batch.column("text").to_pylist()
+        words = np.array(
+            [len(word_re.findall((t or "").lower())) for t in texts], np.int64
+        )
+        sents = np.array(
+            [len(sent_re.findall(t or "")) for t in texts], np.int64
+        )
+        chars = np.array([len(t or "") for t in texts], np.int64)
+        g = (
+            pd.DataFrame(
+                {"lang": lang, "n": 1, "w": words, "s": sents, "c": chars}
+            )
+            .groupby("lang", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+                "w": pa.array(g["w"].to_numpy().astype(np.int64), pa.int64()),
+                "s": pa.array(g["s"].to_numpy().astype(np.int64), pa.int64()),
+                "c": pa.array(g["c"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        w = batch.column("w_p").to_numpy(zero_copy_only=False)
+        s = batch.column("s_p").to_numpy(zero_copy_only=False)
+        c = batch.column("c_p").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_docs": batch.column("n_p"),
+                "words": pa.array(w.astype(np.int64), pa.int64()),
+                "sentences": pa.array(s.astype(np.int64), pa.int64()),
+                "chars": pa.array(c.astype(np.int64), pa.int64()),
+                "chars_per_word_x1000": pa.array(
+                    c * 1000 // np.maximum(w, 1), pa.int64()
+                ),
+                "words_per_sentence_x1000": pa.array(
+                    w * 1000 // np.maximum(s, 1), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            _Sum("n", alias_name="n_p"),
+            _Sum("w", alias_name="w_p"),
+            _Sum("s", alias_name="s_p"),
+            _Sum("c", alias_name="c_p"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )

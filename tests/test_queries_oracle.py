@@ -344,6 +344,8 @@ SUBSET = [
     "knn_label_noise",
     "ohlc_daily",
     "kfold_assignment",
+    "readability_stats",
+    "event_position_profile",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
