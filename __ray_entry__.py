@@ -1383,6 +1383,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # funnel definitions. Tail-seated by design: sessionize's
         # per-user ordering folded to a grid.
         "event_position_profile": sessions.event_position_profile,
+        # (round 4, wave 77) contrastive negative sampling — NEG_K
+        # deterministic cross-source negatives per anchor via
+        # md5(doc, probe) mod N probing; candidates attach their
+        # source through ONE id co-partition (documents is
+        # fact-scale, never broadcast), same-source collisions drop,
+        # first NEG_K by probe order win. Tail-seated by design:
+        # hash_sample's md5 probing + suppression_antijoin's source
+        # polarity.
+        "negative_samples": curation.negative_samples,
+        # (round 4, wave 77) measured histogram-quantile error —
+        # fixed QSE_BINS-bucket sketch estimate (lower edge at rank
+        # ceil(q·n/100)) vs the exact percentile over the (type,
+        # cents) value grid, per event type; joins the measured-error
+        # family (bloom/cms/hll). Tail-seated by design:
+        # hist_quantiles' grid judged by global_quantiles' rank rule.
+        "quantile_sketch_error": analytics.quantile_sketch_error,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -6515,6 +6531,101 @@ def oracle_sql() -> dict[str, str]:
         SELECT s AS subspace, c AS code, CAST(n AS BIGINT) AS n_vectors,
                CAST(dist AS BIGINT) AS distortion
         FROM m ORDER BY 1, 2
+    """
+
+    # negative_samples: md5-probed cross-source negatives, first
+    # NEG_K by probe order; candidate ids join documents to fetch
+    # the negative's source.
+    sql["negative_samples"] = """
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        cand AS MATERIALIZED (
+          SELECT d.doc_id AS anchor, d.source AS anchor_source, p.probe,
+                 CAST(CAST('0x' || substr(md5('neg:'
+                        || CAST(d.doc_id AS VARCHAR) || ':'
+                        || CAST(p.probe AS VARCHAR)), 1, 15)
+                      AS UBIGINT) % (SELECT n FROM nn) AS BIGINT) AS cand
+          FROM documents d
+          CROSS JOIN (SELECT unnest(range(0, 8)) AS probe) p
+        ),
+        j AS (
+          SELECT c.anchor, c.probe, c.cand, c.anchor_source,
+                 d2.source AS neg_source
+          FROM cand c JOIN documents d2 ON d2.doc_id = c.cand
+          WHERE d2.source <> c.anchor_source
+        ),
+        r AS (
+          SELECT anchor, probe, cand, anchor_source, neg_source,
+                 row_number() OVER (PARTITION BY anchor
+                                    ORDER BY probe) - 1 AS neg_rank
+          FROM j
+        )
+        SELECT anchor AS doc_id, CAST(neg_rank AS BIGINT) AS neg_rank,
+               cand AS neg_doc_id, anchor_source, neg_source
+        FROM r WHERE neg_rank < 4
+    """
+
+    # quantile_sketch_error: lower-edge bucket estimate vs exact
+    # percentile_disc at rank ceil(q*n/100), all-integer cents.
+    sql["quantile_sketch_error"] = """
+        WITH c AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events
+        ),
+        s AS (
+          SELECT event_type, min(cents) AS mn, max(cents) AS mx,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM c GROUP BY event_type
+        ),
+        w AS MATERIALIZED (
+          SELECT event_type, mn, n, (mx - mn + 128) // 128 AS width
+          FROM s
+        ),
+        rk AS MATERIALIZED (
+          SELECT w.event_type, qq.q, w.mn, w.width, w.n,
+                 (qq.q * w.n + 99) // 100 AS rank
+          FROM w CROSS JOIN (SELECT unnest([50, 90, 99]) AS q) qq
+        ),
+        b AS (
+          SELECT c.event_type, (c.cents - w.mn) // w.width AS bucket,
+                 count(*) AS bn
+          FROM c JOIN w USING (event_type) GROUP BY 1, 2
+        ),
+        bc AS MATERIALIZED (
+          SELECT event_type, bucket,
+                 sum(bn) OVER (PARTITION BY event_type
+                               ORDER BY bucket) AS cum
+          FROM b
+        ),
+        est AS (
+          SELECT rk.event_type, rk.q, rk.n,
+                 rk.mn + min(bc.bucket) * rk.width AS est_cents
+          FROM rk JOIN bc ON bc.event_type = rk.event_type
+                         AND bc.cum >= rk.rank
+          GROUP BY rk.event_type, rk.q, rk.n, rk.mn, rk.width
+        ),
+        g AS (
+          SELECT event_type, cents, count(*) AS cnt FROM c GROUP BY 1, 2
+        ),
+        gc AS MATERIALIZED (
+          SELECT event_type, cents,
+                 sum(cnt) OVER (PARTITION BY event_type
+                                ORDER BY cents) AS cum
+          FROM g
+        ),
+        ex AS (
+          SELECT rk.event_type, rk.q, min(gc.cents) AS exact_cents
+          FROM rk JOIN gc ON gc.event_type = rk.event_type
+                         AND gc.cum >= rk.rank
+          GROUP BY rk.event_type, rk.q
+        )
+        SELECT est.event_type, CAST(est.q AS BIGINT) AS q,
+               est.n AS n_rows,
+               CAST(est.est_cents AS BIGINT) AS est_cents,
+               CAST(ex.exact_cents AS BIGINT) AS exact_cents,
+               CAST(est.est_cents - ex.exact_cents AS BIGINT) AS err_cents
+        FROM est JOIN ex ON est.event_type = ex.event_type
+                        AND est.q = ex.q
     """
 
     return sql

@@ -177,6 +177,7 @@ def run_queries() -> dict[str, float]:
         "simhash_band_precision", "knn_label_noise",
         "ohlc_daily", "kfold_assignment",
         "readability_stats", "event_position_profile",
+        "negative_samples", "quantile_sketch_error",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -6836,3 +6836,187 @@ def budget_allocation(sf_dir: str) -> "pa.Table":
             ),
         }
     )
+
+
+QSE_BINS = 128               # fixed-width sketch buckets per type
+QSE_PERCENTS = (50, 90, 99)  # quantiles the sketch is judged on
+
+
+def quantile_sketch_error(sf_dir: str) -> "pa.Table":
+    """Measured histogram-sketch quantile error — the eval that
+    prices the fixed-bin quantile estimate every streaming dashboard
+    ships (hist_quantiles' grid) against the EXACT percentile
+    (global_quantiles' definition), per event type. The sketch
+    estimate is the lower edge of the first QSE_BINS-wide bucket
+    whose cumulative count reaches rank ceil(q·n/100); the exact
+    answer is percentile_disc over integer cents. err_cents = est −
+    exact is the sketch's signed bias in value units — bounded above
+    by 0 (a lower edge never overshoots) and below by −width, read
+    from data instead of assumed. Joins the measured-error family
+    (bloom_fpr_eval, cms_error_eval, hll_error_eval). Tail-seated by
+    design: hist_quantiles' bucket grid judged by global_quantiles'
+    exact rank rule.
+
+    Scale shape: pass 1 is a per-type (min, max, count) aggregate
+    (driver reads #types rows); pass 2 exchanges per-(type, bucket)
+    partials (≤ #types × QSE_BINS); the exact side reduces to the
+    (type, cents) VALUE GRID — bounded by the cents range, not row
+    count — and each per-type map_groups task folds grid rows, never
+    raw rows. Output: (event_type, q, n_rows, est_cents,
+    exact_cents, err_cents)."""
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": pa.array(v, pa.int64()),
+            }
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow")
+
+    stats = {
+        r["event_type"]: (int(r["mn"]), int(r["mx"]), int(r["n"]))
+        for r in cents.groupby("event_type")
+        .aggregate(
+            _Min("cents", alias_name="mn"),
+            _Max("cents", alias_name="mx"),
+            _Count(alias_name="n"),
+        )
+        .take_all()  # bounded: one row per event type
+    }
+    widths = {t: (mx - mn + QSE_BINS) // QSE_BINS for t, (mn, mx, _) in stats.items()}
+    ranks = {
+        (t, q): (q * n + 99) // 100
+        for t, (_, _, n) in stats.items()
+        for q in QSE_PERCENTS
+    }
+    bref = ray.put({t: (mn, widths[t]) for t, (mn, _, _) in stats.items()})
+
+    def bucket_partials(batch: pa.Table) -> pa.Table:
+        bc = ray.get(bref)
+        types = batch.column("event_type").to_numpy(zero_copy_only=False)
+        v = batch.column("cents").to_numpy(zero_copy_only=False)
+        out_t: list[str] = []
+        out_b: list[int] = []
+        out_n: list[int] = []
+        for t in np.unique(types):
+            mn, width = bc[t]
+            b = (v[types == t] - mn) // width
+            cnt = np.bincount(b)
+            nz = np.nonzero(cnt)[0]
+            out_t += [t] * len(nz)
+            out_b += nz.tolist()
+            out_n += cnt[nz].astype(np.int64).tolist()
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "bucket": pa.array(out_b, pa.int64()),
+                "bn": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    bucket_rows = (
+        cents.map_batches(bucket_partials, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"])
+        .aggregate(_Sum("bn", alias_name="c"))
+        .take_all()  # bounded: ≤ #types × QSE_BINS rows
+    )
+    by_t: dict[str, list[tuple[int, int]]] = {}
+    for r in bucket_rows:
+        by_t.setdefault(r["event_type"], []).append(
+            (int(r["bucket"]), int(r["c"]))
+        )
+    est: dict[tuple[str, int], int] = {}
+    for t, rows in by_t.items():
+        mn, width = stats[t][0], widths[t]
+        cum = 0
+        pending = sorted(QSE_PERCENTS)
+        for b, c in sorted(rows):
+            cum += c
+            while pending and cum >= ranks[(t, pending[0])]:
+                est[(t, pending[0])] = mn + b * width
+                pending.pop(0)
+
+    rref = ray.put(ranks)
+
+    def grid_partials(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type").to_numpy(zero_copy_only=False)
+        v = batch.column("cents").to_numpy(zero_copy_only=False)
+        out_t: list[str] = []
+        out_v: list[int] = []
+        out_n: list[int] = []
+        for t in np.unique(types):
+            vals, cnts = np.unique(v[types == t], return_counts=True)
+            out_t += [t] * len(vals)
+            out_v += vals.tolist()
+            out_n += cnts.astype(np.int64).tolist()
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "cents": pa.array(out_v, pa.int64()),
+                "cnt": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    def exact_fold(grp: pa.Table) -> pa.Table:
+        rk = ray.get(rref)
+        t = grp.column("event_type")[0].as_py()
+        vals = grp.column("cents").to_numpy(zero_copy_only=False)
+        cnts = grp.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.argsort(vals)
+        cum = np.cumsum(cnts[order])
+        sv = vals[order]
+        qs, ex = [], []
+        for q in QSE_PERCENTS:
+            idx = int(np.searchsorted(cum, rk[(t, q)]))
+            qs.append(q)
+            ex.append(int(sv[idx]))
+        return pa.table(
+            {
+                "event_type": pa.array([t] * len(qs), pa.string()),
+                "q": pa.array(qs, pa.int64()),
+                "exact_cents": pa.array(ex, pa.int64()),
+            }
+        )
+
+    exact_rows = (
+        cents.map_batches(grid_partials, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(_Sum("cnt", alias_name="cnt"))
+        .groupby("event_type")
+        .map_groups(exact_fold, batch_format="pyarrow")
+        .take_all()  # bounded: #types × |QSE_PERCENTS| rows
+    )
+    rows = sorted(
+        (r["event_type"], int(r["q"]), int(r["exact_cents"]))
+        for r in exact_rows
+    )
+    return pa.table(
+        {
+            "event_type": pa.array([t for t, _, _ in rows], pa.string()),
+            "q": pa.array([q for _, q, _ in rows], pa.int64()),
+            "n_rows": pa.array(
+                [stats[t][2] for t, _, _ in rows], pa.int64()
+            ),
+            "est_cents": pa.array(
+                [est[(t, q)] for t, q, _ in rows], pa.int64()
+            ),
+            "exact_cents": pa.array([e for _, _, e in rows], pa.int64()),
+            "err_cents": pa.array(
+                [est[(t, q)] - e for t, q, e in rows], pa.int64()
+            ),
+        }
+    )

@@ -2628,3 +2628,133 @@ def kfold_assignment(sf_dir: str) -> "ray.data.Dataset":
         .groupby("lang")
         .map_groups(spread, batch_format="pyarrow")
     )
+
+
+NEG_K = 4        # negatives per anchor
+NEG_PROBES = 8   # deterministic probe budget before giving up
+
+
+def negative_samples(sf_dir: str) -> "ray.data.Dataset":
+    """Contrastive-training negative sampling — per anchor document,
+    NEG_K deterministic negatives from a DIFFERENT source: candidate
+    ids come from md5(doc, probe) mod N (stateless, reproducible —
+    the training_shuffle discipline), candidates join to their source
+    through one id co-partition, same-source collisions are dropped,
+    and the first NEG_K survivors by probe order win. The
+    materialized (anchor, negative) table a contrastive trainer
+    streams. Tail-seated by design: hash_sample's md5 probing + the
+    suppression-antijoin polarity on the source lane.
+
+    Scale shape: candidates are n·NEG_PROBES int rows; ONE
+    co-partition on the candidate id attaches sources (documents is
+    fact-scale — never broadcast); the per-anchor top-k by probe
+    order runs in a bounded per-anchor group. Output: (doc_id,
+    neg_rank, neg_doc_id, anchor_source, neg_source)."""
+    import hashlib
+
+    from ray.data.aggregate import Max as _Max
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    n_docs = int(docs.count())
+
+    def cand_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        anchors, probes, cands, asrc = [], [], [], []
+        for i, s in zip(ids, src):
+            for r in range(NEG_PROBES):
+                c = (
+                    int(
+                        hashlib.md5(f"neg:{i}:{r}".encode()).hexdigest()[:15],
+                        16,
+                    )
+                    % n_docs
+                )
+                anchors.append(int(i))
+                probes.append(r)
+                cands.append(c)
+                asrc.append(s)
+        return pa.table(
+            {
+                "key": pa.array(cands, pa.int64()),
+                "anchor": pa.array(anchors, pa.int64()),
+                "probe": pa.array(probes, pa.int64()),
+                "anchor_source": pa.array(asrc, pa.string()),
+                "neg_source": pa.array([""] * len(cands), pa.string()),
+                "side": pa.array(np.ones(len(cands), np.int64), pa.int64()),
+                "part": pa.array(
+                    np.asarray(cands, np.int64) % N_COARSE_PARTS, pa.int64()
+                ),
+            }
+        )
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = len(ids)
+        return pa.table(
+            {
+                "key": pa.array(ids, pa.int64()),
+                "anchor": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "probe": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "anchor_source": pa.array([""] * n, pa.string()),
+                "neg_source": batch.column("source"),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "part": pa.array(ids % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def attach(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part_tbl.to_pandas()
+        build = df[df["side"] == 0].set_index("key")["neg_source"]
+        probe = df[df["side"] == 1]
+        m = probe.join(build, on="key", how="inner", rsuffix="_b")
+        keep = m["anchor_source"] != m["neg_source_b"]
+        m = m[keep]
+        return pa.table(
+            {
+                "anchor": pa.array(
+                    m["anchor"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "probe": pa.array(
+                    m["probe"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "neg": pa.array(
+                    m["key"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "anchor_source": pa.array(m["anchor_source"], pa.string()),
+                "neg_source": pa.array(m["neg_source_b"], pa.string()),
+            }
+        )
+
+    def topk(grp: pa.Table) -> pa.Table:
+        probe = grp.column("probe").to_numpy(zero_copy_only=False)
+        order = np.argsort(probe)[:NEG_K]
+        g = grp.take(pa.array(order))
+        n = g.num_rows
+        return pa.table(
+            {
+                "doc_id": g.column("anchor"),
+                "neg_rank": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                "neg_doc_id": g.column("neg"),
+                "anchor_source": g.column("anchor_source"),
+                "neg_source": g.column("neg_source"),
+            }
+        )
+
+    return (
+        docs.map_batches(cand_side, batch_format="pyarrow")
+        .union(docs.map_batches(doc_side, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(attach, batch_format="pyarrow")
+        .groupby("anchor")
+        .map_groups(topk, batch_format="pyarrow")
+    )

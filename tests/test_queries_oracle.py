@@ -346,6 +346,8 @@ SUBSET = [
     "kfold_assignment",
     "readability_stats",
     "event_position_profile",
+    "negative_samples",
+    "quantile_sketch_error",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
