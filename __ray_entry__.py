@@ -1399,6 +1399,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family (bloom/cms/hll). Tail-seated by design:
         # hist_quantiles' grid judged by global_quantiles' rank rule.
         "quantile_sketch_error": analytics.quantile_sketch_error,
+        # (round 4, wave 78) signup→purchase conversion latency —
+        # per-user two-anchor alignment (first signup, first purchase
+        # strictly after, (ts, event_id) order), exact p50/p90/p99 at
+        # rank ceil(q·n/100) over the latency-seconds VALUE GRID.
+        # Tail-seated by design: funnel_stages' anchors +
+        # global_quantiles' rank rule.
+        "conversion_latency": sessions.conversion_latency,
+        # (round 4, wave 78) embedding drift monitor — per-dim exact
+        # fixed-point mean of even- vs odd-vec_id halves and their
+        # gap in milli-quanta; the offset-shifted floor division
+        # agrees between numpy and DuckDB. Tail-seated by design:
+        # gram_matrix's moment fold split by parity.
+        "embedding_drift": similarity.embedding_drift,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -6531,6 +6544,77 @@ def oracle_sql() -> dict[str, str]:
         SELECT s AS subspace, c AS code, CAST(n AS BIGINT) AS n_vectors,
                CAST(dist AS BIGINT) AS distortion
         FROM m ORDER BY 1, 2
+    """
+
+    # conversion_latency: first signup → first purchase strictly
+    # after in (ts, event_id) order; exact percentiles at rank
+    # ceil(q*n/100) over whole-second latencies.
+    sql["conversion_latency"] = """
+        WITH s AS MATERIALIZED (
+          SELECT user_id, sts, sid FROM (
+            SELECT user_id, ts AS sts, event_id AS sid,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'signup') WHERE rn = 1
+        ),
+        lat AS MATERIALIZED (
+          SELECT user_id, lat_s FROM (
+            SELECT e.user_id,
+                   (epoch_us(e.ts) - epoch_us(s.sts)) // 1000000 AS lat_s,
+                   row_number() OVER (PARTITION BY e.user_id
+                                      ORDER BY e.ts, e.event_id) AS rn
+            FROM events e JOIN s ON s.user_id = e.user_id
+            WHERE e.event_type = 'purchase'
+              AND (e.ts > s.sts OR (e.ts = s.sts AND e.event_id > s.sid))
+          ) WHERE rn = 1
+        ),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lat),
+        g AS (SELECT lat_s, count(*) AS cnt FROM lat GROUP BY 1),
+        gc AS (SELECT lat_s,
+                      sum(cnt) OVER (ORDER BY lat_s) AS cum FROM g),
+        rk AS (SELECT qq.q, nn.n, (qq.q * nn.n + 99) // 100 AS rank
+               FROM (SELECT unnest([50, 90, 99]) AS q) qq, nn)
+        SELECT CAST(rk.q AS BIGINT) AS q, rk.n AS n_converted,
+               CAST(min(gc.lat_s) AS BIGINT) AS latency_s
+        FROM rk JOIN gc ON gc.cum >= rk.rank
+        GROUP BY rk.q, rk.n
+    """
+
+    # embedding_drift: per-dim fixed-point means of vec_id-parity
+    # halves; offset shift keeps floor-division numerators >= 0.
+    sql["embedding_drift"] = """
+        WITH q AS MATERIALIZED (
+          SELECT vec_id % 2 AS half, dim,
+                 CAST(floor(CAST(embedding[dim + 1] AS DOUBLE)
+                      * 1000000 + 0.5) AS BIGINT) AS v
+          FROM embeddings, UNNEST(range(0, 64)) t(dim)
+        ),
+        g AS (
+          SELECT half, dim, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS BIGINT) AS s
+          FROM q GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT dim,
+                 max(CASE WHEN half = 0 THEN n END) AS n_even,
+                 max(CASE WHEN half = 1 THEN n END) AS n_odd,
+                 max(CASE WHEN half = 0 THEN s END) AS sum_even,
+                 max(CASE WHEN half = 1 THEN s END) AS sum_odd
+          FROM g GROUP BY 1
+        ),
+        mm AS (
+          SELECT dim, n_even, n_odd, sum_even, sum_odd,
+                 (sum_even + n_even * 1000000) * 1000 // n_even
+                   - 1000000000 AS me,
+                 (sum_odd + n_odd * 1000000) * 1000 // n_odd
+                   - 1000000000 AS mo
+          FROM m
+        )
+        SELECT dim, n_even, n_odd, sum_even, sum_odd,
+               CAST(me AS BIGINT) AS mean_even_milli,
+               CAST(mo AS BIGINT) AS mean_odd_milli,
+               CAST(abs(me - mo) AS BIGINT) AS drift_milli
+        FROM mm
     """
 
     # negative_samples: md5-probed cross-source negatives, first

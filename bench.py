@@ -178,6 +178,7 @@ def run_queries() -> dict[str, float]:
         "ohlc_daily", "kfold_assignment",
         "readability_stats", "event_position_profile",
         "negative_samples", "quantile_sketch_error",
+        "conversion_latency", "embedding_drift",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -2787,3 +2787,80 @@ def event_position_profile(sf_dir: str) -> "ray.data.Dataset":
         )
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+CONV_PERCENTS = (50, 90, 99)  # latency percentiles reported
+
+
+def conversion_latency(sf_dir: str) -> "pa.Table":
+    """Signup→purchase conversion latency percentiles — per user,
+    the gap in whole seconds from the FIRST signup (by (ts,
+    event_id) order) to the first purchase STRICTLY AFTER it in the
+    same order, folded to exact p50/p90/p99 at rank ceil(q·n/100)
+    over converted users. The time-to-convert distribution every
+    funnel dashboard quotes; unlike error_recovery_time's per-
+    occurrence log₂ buckets this is a per-USER two-anchor alignment
+    with exact percentiles. Tail-seated by design: funnel_stages'
+    anchors + global_quantiles' rank rule.
+
+    Scale shape: one user-keyed groupby (a user's stream fits), a
+    vectorized two-searchsorted fold per user emitting ≤1 latency
+    row, then a (lat_s) VALUE-GRID reduce — driver reads the grid
+    (bounded by the corpus time range in seconds), never user rows.
+    Output: (q, n_converted, latency_s); empty typed table when no
+    user converts."""
+    from ray.data.aggregate import Count as _Count
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def per_user(grp: pa.Table) -> pa.Table:
+        t = grp.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = grp.column("event_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        et = np.asarray(grp.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((eid, t))
+        et = et[order]
+        ts_o = t[order]
+        empty = pa.table({"lat_s": pa.array([], pa.int64())})
+        sidx = np.flatnonzero(et == "signup")
+        if len(sidx) == 0:
+            return empty
+        s = int(sidx[0])
+        pidx = np.flatnonzero(et == "purchase")
+        pidx = pidx[pidx > s]
+        if len(pidx) == 0:
+            return empty
+        lat = int((ts_o[int(pidx[0])] - ts_o[s]) // 1_000_000)
+        return pa.table({"lat_s": pa.array([lat], pa.int64())})
+
+    grid = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby("lat_s")
+        .aggregate(_Count(alias_name="cnt"))
+        .take_all()  # bounded: the latency-seconds value grid
+    )
+    rows = sorted((int(r["lat_s"]), int(r["cnt"])) for r in grid)
+    n = sum(c for _, c in rows)
+    qs: list[int] = []
+    lats: list[int] = []
+    if n:
+        cum = 0
+        pending = sorted(CONV_PERCENTS)
+        ranks = {q: (q * n + 99) // 100 for q in CONV_PERCENTS}
+        for v, c in rows:
+            cum += c
+            while pending and cum >= ranks[pending[0]]:
+                qs.append(pending.pop(0))
+                lats.append(v)
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.int64()),
+            "n_converted": pa.array([n] * len(qs), pa.int64()),
+            "latency_s": pa.array(lats, pa.int64()),
+        }
+    )

@@ -2459,3 +2459,90 @@ def knn_label_noise(sf_dir: str) -> "ray.data.Dataset":
         )
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+EDRIFT_OFF = QUANT  # shift keeps every floor-division numerator ≥ 0
+
+
+def embedding_drift(sf_dir: str) -> "pa.Table":
+    """Embedding distribution drift monitor — per dimension, the
+    exact fixed-point mean of the even-vec_id half vs the odd half
+    (two interleaved snapshots of the same corpus) and their
+    absolute gap in milli-quanta: the per-dim mean-shift check run
+    before trusting a refreshed embedding table (collapsed or
+    shifted dims shout here long before recall drops). Means are
+    (Σq + n·OFF)·1000 // n − OFF·1000 with OFF = QUANT so the
+    floor-division numerator stays non-negative (DuckDB `//`
+    truncates toward zero; numpy floors — the shift makes them
+    agree). Tail-seated by design: gram_matrix's moment fold split
+    by vec_id parity.
+
+    Scale shape: each batch folds to TWO d-vector int64 partials
+    (n, Σq per half) — fixed size regardless of rows — emitted as
+    2·d partial rows; one groupby((half, dim)).Sum() reduce and the
+    driver reads ≤ 2·d rows. int64 exact to ~4.6e9 rows per half at
+    |q| ≤ QUANT; beyond, split the ·1000 into the oracle's HUGEINT.
+    Output: (dim, n_even, n_odd, sum_even, sum_odd, mean_even_milli,
+    mean_odd_milli, drift_milli)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        q = _quantize(
+            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        )
+        halves, dims, ns, ss = [], [], [], []
+        for h in (0, 1):
+            sel = q[vid % 2 == h]
+            if not len(sel):
+                continue
+            d = sel.shape[1]
+            halves += [h] * d
+            dims += list(range(d))
+            ns += [len(sel)] * d
+            ss += sel.sum(axis=0, dtype=np.int64).tolist()
+        return pa.table(
+            {
+                "half": pa.array(halves, pa.int64()),
+                "dim": pa.array(dims, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+                "s": pa.array(ss, pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["half", "dim"])
+        .aggregate(_Sum("n", alias_name="n"), _Sum("s", alias_name="s"))
+        .take_all()  # bounded: 2 × d rows
+    )
+    acc: dict[int, dict[int, tuple[int, int]]] = {0: {}, 1: {}}
+    for r in rows:
+        acc[int(r["half"])][int(r["dim"])] = (int(r["n"]), int(r["s"]))
+    dims = sorted(set(acc[0]) & set(acc[1]))
+
+    def mean_milli(n: int, s: int) -> int:
+        return (s + n * EDRIFT_OFF) * 1000 // n - EDRIFT_OFF * 1000
+
+    me = [mean_milli(*acc[0][d]) for d in dims]
+    mo = [mean_milli(*acc[1][d]) for d in dims]
+    return pa.table(
+        {
+            "dim": pa.array(dims, pa.int64()),
+            "n_even": pa.array([acc[0][d][0] for d in dims], pa.int64()),
+            "n_odd": pa.array([acc[1][d][0] for d in dims], pa.int64()),
+            "sum_even": pa.array([acc[0][d][1] for d in dims], pa.int64()),
+            "sum_odd": pa.array([acc[1][d][1] for d in dims], pa.int64()),
+            "mean_even_milli": pa.array(me, pa.int64()),
+            "mean_odd_milli": pa.array(mo, pa.int64()),
+            "drift_milli": pa.array(
+                [abs(a - b) for a, b in zip(me, mo)], pa.int64()
+            ),
+        }
+    )

@@ -348,6 +348,8 @@ SUBSET = [
     "event_position_profile",
     "negative_samples",
     "quantile_sketch_error",
+    "conversion_latency",
+    "embedding_drift",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
