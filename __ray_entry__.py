@@ -1412,6 +1412,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # agrees between numpy and DuckDB. Tail-seated by design:
         # gram_matrix's moment fold split by parity.
         "embedding_drift": similarity.embedding_drift,
+        # (round 4, wave 79) measured KMV / bottom-k distinct error —
+        # (k−1)·2^48 // h_k from the 64 smallest distinct user
+        # hashes per type vs the exact distinct grid; the one
+        # mergeable distinct sketch the eval family lacked.
+        # Tail-seated by design: hll_error_eval's protocol on a
+        # bottom-k register.
+        "kmv_distinct_eval": analytics.kmv_distinct_eval,
+        # (round 4, wave 79) deterministic Poisson bootstrap of the
+        # mean purchase value — replica weights = zero-nibble count
+        # of md5(event, b) ~ Binomial(16, 1/16) ≈ Poisson(1); the
+        # replica-mean spread IS the estimator's sampling
+        # distribution, one streaming pass, no coordination.
+        # Tail-seated by design: hash_sample's md5 discipline
+        # replicated into weighted means.
+        "poisson_bootstrap_ci": analytics.poisson_bootstrap_ci,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -6615,6 +6630,66 @@ def oracle_sql() -> dict[str, str]:
                CAST(mo AS BIGINT) AS mean_odd_milli,
                CAST(abs(me - mo) AS BIGINT) AS drift_milli
         FROM mm
+    """
+
+    # kmv_distinct_eval: bottom-64 of 48-bit md5 hashes; types with
+    # fewer than k distinct users fall back to the exact count.
+    sql["kmv_distinct_eval"] = """
+        WITH h AS MATERIALIZED (
+          SELECT DISTINCT event_type,
+                 CAST(CAST('0x' || substr(md5('kmv:'
+                        || CAST(user_id AS VARCHAR)), 1, 12)
+                      AS UBIGINT) AS BIGINT) AS hv
+          FROM events
+        ),
+        r AS (
+          SELECT event_type, hv,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY hv) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS nd
+          FROM h
+        ),
+        k AS (
+          SELECT event_type,
+                 CAST(max(nd) AS BIGINT) AS n_exact,
+                 CAST(least(max(nd), 64) AS BIGINT) AS k_used,
+                 CAST(max(CASE WHEN rn = least(nd, 64) THEN hv END)
+                      AS BIGINT) AS hk
+          FROM r GROUP BY 1
+        )
+        SELECT event_type, n_exact, k_used,
+               CAST(CASE WHEN n_exact < 64 THEN n_exact
+                    ELSE (k_used - 1) * 281474976710656 // hk END
+                    AS BIGINT) AS est,
+               CAST(CASE WHEN n_exact < 64 THEN 0
+                    ELSE (k_used - 1) * 281474976710656 // hk - n_exact
+                    END AS BIGINT) AS err
+        FROM k
+    """
+
+    # poisson_bootstrap_ci: replica weight = zero-nibble count of
+    # the first 16 md5 hex chars ~ Binomial(16, 1/16).
+    sql["poisson_bootstrap_ci"] = """
+        WITH p AS MATERIALIZED (
+          SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'
+        ),
+        w AS (
+          SELECT b.b AS replica, cents,
+                 CAST(16 - length(replace(substr(md5('pb:'
+                        || CAST(event_id AS VARCHAR) || ':'
+                        || CAST(b.b AS VARCHAR)), 1, 16), '0', ''))
+                      AS BIGINT) AS w
+          FROM p CROSS JOIN (SELECT unnest(range(0, 16)) AS b) b
+        ),
+        g AS (
+          SELECT replica, CAST(sum(w) AS BIGINT) AS n_eff,
+                 CAST(sum(w * cents) AS BIGINT) AS sum_cents
+          FROM w GROUP BY 1
+        )
+        SELECT replica, n_eff, sum_cents,
+               CAST(sum_cents // n_eff AS BIGINT) AS mean_cents
+        FROM g
     """
 
     # negative_samples: md5-probed cross-source negatives, first

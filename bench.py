@@ -179,6 +179,7 @@ def run_queries() -> dict[str, float]:
         "readability_stats", "event_position_profile",
         "negative_samples", "quantile_sketch_error",
         "conversion_latency", "embedding_drift",
+        "kmv_distinct_eval", "poisson_bootstrap_ci",
     ]
     out: dict[str, float] = {}
     for name in picks:

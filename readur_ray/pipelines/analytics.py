@@ -7020,3 +7020,225 @@ def quantile_sketch_error(sf_dir: str) -> "pa.Table":
             ),
         }
     )
+
+
+KMV_K = 64                      # bottom-k sketch size
+KMV_HASH_MOD = 1 << 48          # 12 hex chars of md5 — keeps (k−1)·2^48 in int64
+
+
+def kmv_distinct_eval(sf_dir: str) -> "pa.Table":
+    """Measured KMV (bottom-k / theta-sketch) distinct-count error —
+    per event type, the k-minimum-values estimate (k−1)·2^48 // h_k
+    from the KMV_K smallest DISTINCT 48-bit md5 hashes of user_id,
+    against the exact distinct count (of the same hash domain, so a
+    48-bit collision cancels identically on both sides); types with
+    fewer than k distinct users fall back to the exact count, the
+    standard KMV rule. Completes the sketch-eval family
+    (bloom_fpr_eval, cms_error_eval, hll_error_eval,
+    quantile_sketch_error) with the ONE mergeable distinct sketch the
+    registry lacked — Bar-Yossef et al.'s counting-distinct-elements
+    bottom-k. Tail-seated by design: hll_error_eval's protocol on a
+    bottom-k register.
+
+    Scale shape: the exact side is the (type, hash) DISTINCT grid
+    (one coarse reduce) folded to #types counts; the sketch side
+    emits ≤ KMV_K candidate rows per (batch, type) and a per-type
+    fold over those bounded candidates — no raw row ever reaches the
+    driver. Output: (event_type, n_exact, k_used, est, err)."""
+    import hashlib
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        types = np.asarray(
+            batch.column("event_type").to_pylist(), dtype=object
+        )
+        users = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        out_t: list[str] = []
+        out_h: list[int] = []
+        for t in np.unique(types):
+            uu = np.unique(users[types == t])
+            hv = sorted(
+                {
+                    int(
+                        hashlib.md5(f"kmv:{int(u)}".encode()).hexdigest()[:12],
+                        16,
+                    )
+                    for u in uu
+                }
+            )
+            out_t += [t] * len(hv)
+            out_h += hv
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "hv": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    hashed = ds.map_batches(hash_rows, batch_format="pyarrow")
+
+    exact = {
+        r["event_type"]: int(r["nd"])
+        for r in hashed.groupby(["event_type", "hv"])
+        .aggregate(_Sum("hv", alias_name="dummy"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "event_type": b.column("event_type"),
+                    "one": pa.array(
+                        np.ones(b.num_rows, np.int64), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("event_type")
+        .aggregate(_Sum("one", alias_name="nd"))
+        .take_all()  # bounded: one row per type
+    }
+
+    def bottom_partial(batch: pa.Table) -> pa.Table:
+        types = np.asarray(
+            batch.column("event_type").to_pylist(), dtype=object
+        )
+        hv = batch.column("hv").to_numpy(zero_copy_only=False)
+        out_t: list[str] = []
+        out_h: list[int] = []
+        for t in np.unique(types):
+            vals = np.unique(hv[types == t])[:KMV_K]
+            out_t += [t] * len(vals)
+            out_h += vals.tolist()
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "hv": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    def fold(grp: pa.Table) -> pa.Table:
+        t = grp.column("event_type")[0].as_py()
+        vals = np.unique(grp.column("hv").to_numpy(zero_copy_only=False))
+        k_used = min(len(vals), KMV_K)
+        hk = int(vals[k_used - 1])
+        return pa.table(
+            {
+                "event_type": pa.array([t], pa.string()),
+                "k_used": pa.array([k_used], pa.int64()),
+                "hk": pa.array([hk], pa.int64()),
+            }
+        )
+
+    sk = {
+        r["event_type"]: (int(r["k_used"]), int(r["hk"]))
+        for r in hashed.map_batches(bottom_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(fold, batch_format="pyarrow")
+        .take_all()  # bounded: one row per type
+    }
+    types = sorted(exact)
+    ests = []
+    for t in types:
+        k_used, hk = sk[t]
+        n = exact[t]
+        ests.append(n if n < KMV_K else (k_used - 1) * KMV_HASH_MOD // hk)
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n_exact": pa.array([exact[t] for t in types], pa.int64()),
+            "k_used": pa.array([sk[t][0] for t in types], pa.int64()),
+            "est": pa.array(ests, pa.int64()),
+            "err": pa.array(
+                [e - exact[t] for e, t in zip(ests, types)], pa.int64()
+            ),
+        }
+    )
+
+
+PB_REPLICAS = 16   # Poisson-bootstrap replicas
+PB_NIBBLES = 16    # zero-nibbles of md5 → Binomial(16, 1/16) ≈ Poisson(1)
+
+
+def poisson_bootstrap_ci(sf_dir: str) -> "pa.Table":
+    """Deterministic Poisson bootstrap of the mean purchase value —
+    the resampling trick that makes bootstrap CIs computable in one
+    streaming pass over sharded data (Chamandy et al., "Estimating
+    uncertainty for massive data streams", Google 2012): replica b
+    weights each purchase by w = #zero nibbles among the first
+    PB_NIBBLES of md5(event, b) ~ Binomial(16, 1/16) ≈ Poisson(1),
+    so every replica is a with-replacement resample no two workers
+    need to coordinate, and the spread of the PB_REPLICAS replica
+    means IS the sampling distribution of the estimator. All
+    arithmetic integer cents; weights are deterministic, so the CI
+    is reproducible row-order-free. Tail-seated by design:
+    hash_sample's md5 discipline driving weighted_sample's weighted
+    mean, replicated.
+
+    Scale shape: each batch folds to PB_REPLICAS (Σw, Σw·cents)
+    int64 partials — fixed size regardless of rows — one
+    groupby(replica).Sum() reduce, driver reads PB_REPLICAS rows.
+    Output: (replica, n_eff, sum_cents, mean_cents)."""
+    import hashlib
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        sel = et == "purchase"
+        ids = batch.column("event_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[sel]
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False)[sel] * 100.0
+            + 0.5
+        ).astype(np.int64)
+        reps, ns, sums = [], [], []
+        for b in range(PB_REPLICAS):
+            w = np.fromiter(
+                (
+                    hashlib.md5(f"pb:{int(i)}:{b}".encode())
+                    .hexdigest()[:PB_NIBBLES]
+                    .count("0")
+                    for i in ids
+                ),
+                dtype=np.int64,
+                count=len(ids),
+            )
+            reps.append(b)
+            ns.append(int(w.sum()))
+            sums.append(int((w * cents).sum()))
+        return pa.table(
+            {
+                "replica": pa.array(reps, pa.int64()),
+                "n_eff": pa.array(ns, pa.int64()),
+                "s": pa.array(sums, pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("replica")
+        .aggregate(_Sum("n_eff", alias_name="n_eff"), _Sum("s", alias_name="s"))
+        .take_all()  # bounded: PB_REPLICAS rows
+    )
+    out = sorted((int(r["replica"]), int(r["n_eff"]), int(r["s"])) for r in rows)
+    return pa.table(
+        {
+            "replica": pa.array([r for r, _, _ in out], pa.int64()),
+            "n_eff": pa.array([n for _, n, _ in out], pa.int64()),
+            "sum_cents": pa.array([s for _, _, s in out], pa.int64()),
+            "mean_cents": pa.array(
+                [s // n for _, n, s in out], pa.int64()
+            ),
+        }
+    )

@@ -350,6 +350,8 @@ SUBSET = [
     "quantile_sketch_error",
     "conversion_latency",
     "embedding_drift",
+    "kmv_distinct_eval",
+    "poisson_bootstrap_ci",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
