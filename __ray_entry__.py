@@ -1427,6 +1427,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Tail-seated by design: hash_sample's md5 discipline
         # replicated into weighted means.
         "poisson_bootstrap_ci": analytics.poisson_bootstrap_ci,
+        # (round 4, wave 80) per-doc 8-gram novelty — fraction of a
+        # doc's DISTINCT 8-grams whose global first occurrence (min
+        # doc_id) is this doc, in bp: WHO coined the passage, the
+        # staleness axis dup_spans' multiplicity flag lacks.
+        # Tail-seated by design: dup_spans' gram rows + line_dedup's
+        # min-winner rule.
+        "ngram_novelty": curation.ngram_novelty,
+        # (round 4, wave 80) LPT shard-balance plan — Graham list
+        # scheduling of (source, lang) cells onto 8 shards by char
+        # weight (heaviest first → least-loaded shard), the third
+        # planner shape after compaction_plan (sequential size caps)
+        # and salt_plan (hot-key splits). Tail-seated by design:
+        # budget_allocation's bounded-grid greedy.
+        "shard_balance_plan": analytics.shard_balance_plan,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -6630,6 +6644,64 @@ def oracle_sql() -> dict[str, str]:
                CAST(mo AS BIGINT) AS mean_odd_milli,
                CAST(abs(me - mo) AS BIGINT) AS drift_milli
         FROM mm
+    """
+
+    # ngram_novelty: distinct 8-grams per doc; owner = min doc_id
+    # corpus-wide; docs with < 8 words carry no gram and are excluded.
+    sql["ngram_novelty"] = f"""
+        WITH {_WORDS_CTE},
+        g8 AS MATERIALIZED (
+          SELECT DISTINCT doc_id,
+                 CAST(CAST('0x' || substr(md5(
+                        ws[i]   || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                        ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+                        ws[i+6] || ' ' || ws[i+7]), 1, 15) AS UBIGINT)
+                      AS BIGINT) AS gh
+          FROM w, UNNEST(range(1, len(ws) - 6)) AS t(i)
+          WHERE len(ws) >= 8
+        ),
+        own AS (SELECT gh, min(doc_id) AS owner FROM g8 GROUP BY gh),
+        tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total
+                FROM g8 GROUP BY doc_id),
+        nov AS (SELECT owner AS doc_id, CAST(count(*) AS BIGINT) AS novel
+                FROM own GROUP BY owner)
+        SELECT tot.doc_id, tot.total AS grams_distinct,
+               CAST(coalesce(nov.novel, 0) AS BIGINT) AS grams_novel,
+               CAST(coalesce(nov.novel, 0) * 10000 // tot.total AS BIGINT)
+                 AS novelty_bp
+        FROM tot LEFT JOIN nov USING (doc_id)
+    """
+
+    # shard_balance_plan: LPT greedy, heaviest item to the currently
+    # least-loaded of 8 shards (tie -> lowest index), unrolled as a
+    # recursive CTE carrying the 8 loads as a list.
+    sql["shard_balance_plan"] = """
+        WITH RECURSIVE items AS MATERIALIZED (
+          SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS w,
+                 CAST(row_number() OVER (
+                   ORDER BY sum(n_chars) DESC, source, lang) AS BIGINT) AS rn
+          FROM documents GROUP BY 1, 2
+        ),
+        assign AS (
+          SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS VARCHAR) AS source,
+                 CAST(NULL AS VARCHAR) AS lang, CAST(0 AS BIGINT) AS w,
+                 CAST(-1 AS BIGINT) AS worker,
+                 CAST(0 AS BIGINT) AS load_after,
+                 [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0, 0] AS loads
+          UNION ALL
+          SELECT r.rn, r.source, r.lang, r.w, r.k,
+                 r.loads[r.k + 1] + r.w,
+                 list_transform(range(8), j -> CASE WHEN j = r.k
+                     THEN r.loads[j + 1] + r.w ELSE r.loads[j + 1] END)
+          FROM (
+            SELECT a.rn + 1 AS rn, i.source, i.lang, i.w, a.loads,
+                   CAST(list_position(a.loads,
+                        list_aggregate(a.loads, 'min')) - 1 AS BIGINT) AS k
+            FROM assign a JOIN items i ON i.rn = a.rn + 1
+          ) r
+        )
+        SELECT rn AS rank, source, lang, w AS item_chars, worker, load_after
+        FROM assign WHERE rn >= 1
     """
 
     # kmv_distinct_eval: bottom-64 of 48-bit md5 hashes; types with

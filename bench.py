@@ -180,6 +180,7 @@ def run_queries() -> dict[str, float]:
         "negative_samples", "quantile_sketch_error",
         "conversion_latency", "embedding_drift",
         "kmv_distinct_eval", "poisson_bootstrap_ci",
+        "ngram_novelty", "shard_balance_plan",
     ]
     out: dict[str, float] = {}
     for name in picks:

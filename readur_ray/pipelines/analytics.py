@@ -7242,3 +7242,61 @@ def poisson_bootstrap_ci(sf_dir: str) -> "pa.Table":
             ),
         }
     )
+
+
+LPT_WORKERS = 8   # shards the balance plan packs into
+
+
+def shard_balance_plan(sf_dir: str) -> "pa.Table":
+    """LPT shard-balance plan — Graham's longest-processing-time list
+    scheduling over the (source, lang) work cells: items sorted by
+    total chars DESC (ties (source, lang) ASC) each go to the
+    currently least-loaded of LPT_WORKERS shards (ties → lowest
+    shard), the 4/3-approximate makespan balancer every
+    heterogeneous-scan scheduler runs before launching workers.
+    Where compaction_plan packs SEQUENTIALLY into size-capped files
+    and salt_plan splits single hot keys, this is the third planner
+    shape: min-makespan ASSIGNMENT of whole cells. Tail-seated by
+    design: budget_allocation's bounded-grid greedy with a different
+    invariant.
+
+    Scale shape: per-batch (source, lang, chars) partials → ONE
+    bounded groupby (≤ sources×langs cells) → the greedy runs on the
+    driver over that grid (the plan IS driver-sized state, like
+    budget_allocation); doc rows never leave their scan. Output:
+    (rank, source, lang, item_chars, worker, load_after)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "n_chars"]
+    )
+    grid = (
+        ds.groupby(["source", "lang"])
+        .aggregate(_Sum("n_chars", alias_name="w"))
+        .take_all()  # bounded: one row per (source, lang) cell
+    )
+    items = sorted(
+        ((r["source"], r["lang"], int(r["w"])) for r in grid),
+        key=lambda r: (-r[2], r[0], r[1]),
+    )
+    loads = [0] * LPT_WORKERS
+    ranks, srcs, langs, ws_, wk, la = [], [], [], [], [], []
+    for rank, (s, l, w) in enumerate(items, start=1):
+        k = loads.index(min(loads))
+        loads[k] += w
+        ranks.append(rank)
+        srcs.append(s)
+        langs.append(l)
+        ws_.append(w)
+        wk.append(k)
+        la.append(loads[k])
+    return pa.table(
+        {
+            "rank": pa.array(ranks, pa.int64()),
+            "source": pa.array(srcs, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "item_chars": pa.array(ws_, pa.int64()),
+            "worker": pa.array(wk, pa.int64()),
+            "load_after": pa.array(la, pa.int64()),
+        }
+    )

@@ -2758,3 +2758,98 @@ def negative_samples(sf_dir: str) -> "ray.data.Dataset":
         .groupby("anchor")
         .map_groups(topk, batch_format="pyarrow")
     )
+
+
+def ngram_novelty(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc n-gram novelty — of a document's DISTINCT word-8-grams,
+    the fraction whose global FIRST occurrence (min doc_id corpus-wide)
+    is this document, in basis points: the temporal-staleness /
+    memorization proxy a crawl curator reads before adding a snapshot
+    (a doc novel in bp ≈ 0 is pure syndication; dup_spans' multiplicity
+    flag cannot say WHO coined the passage). Docs with fewer than 8
+    words carry no gram and are excluded, mirrored in the oracle.
+    Tail-seated by design: dup_spans' gram rows with line_dedup's
+    min-winner rule.
+
+    Scale shape: distinct (doc, gram) rows shuffle ONCE by gram hash —
+    each gram's owner (min doc) is exact within its partition — and
+    per-partition (doc, novel, total) partials reduce in one
+    groupby(doc_id).Sum(); gram text never leaves the batch (60-bit
+    md5). Output: (doc_id, grams_distinct, grams_novel, novelty_bp)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.textstats import md5_int60, words_of
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        out_id, out_gh = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = words_of(text or "")
+            gs = {
+                md5_int60(" ".join(ws[i : i + DUP_GRAM_N]))
+                for i in range(len(ws) - DUP_GRAM_N + 1)
+            }
+            out_id.extend([doc_id] * len(gs))
+            out_gh.extend(gs)
+        gh = np.array(out_gh, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "gh": pa.array(gh, pa.int64()),
+                "part": pa.array(gh % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def part_fold(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part_tbl.select(["doc_id", "gh"]).to_pandas()
+        owner = df.groupby("gh", sort=False)["doc_id"].transform("min")
+        novel = (
+            df[df["doc_id"] == owner]
+            .groupby("doc_id", sort=False)
+            .size()
+            .rename("novel")
+        )
+        total = df.groupby("doc_id", sort=False).size().rename("total")
+        m = pd.concat([total, novel], axis=1).fillna(0).reset_index()
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    m["doc_id"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "novel": pa.array(
+                    m["novel"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "total": pa.array(
+                    m["total"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        nv = batch.column("novel").to_numpy(zero_copy_only=False)
+        tt = batch.column("total").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "grams_distinct": pa.array(tt.astype(np.int64), pa.int64()),
+                "grams_novel": pa.array(nv.astype(np.int64), pa.int64()),
+                "novelty_bp": pa.array(nv * 10_000 // tt, pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_fold, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            _Sum("novel", alias_name="novel"), _Sum("total", alias_name="total")
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )

@@ -352,6 +352,8 @@ SUBSET = [
     "embedding_drift",
     "kmv_distinct_eval",
     "poisson_bootstrap_ci",
+    "ngram_novelty",
+    "shard_balance_plan",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
