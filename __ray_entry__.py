@@ -1441,6 +1441,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and salt_plan (hot-key splits). Tail-seated by design:
         # budget_allocation's bounded-grid greedy.
         "shard_balance_plan": analytics.shard_balance_plan,
+        # (round 4, wave 81) label-propagation communities — 3
+        # synchronized rounds over the mutual-kNN graph, most
+        # frequent neighbor label, ties → smallest; the dense-pocket
+        # axis dedup_components' connectivity cannot see. Tail-seated
+        # by design: mutual_knn's edges under pagerank's
+        # unrolled-iteration discipline.
+        "label_propagation": similarity.label_propagation,
+        # (round 4, wave 81) ROC curve + exact Mann-Whitney AUC —
+        # user-day event count scores the day's purchase label; every
+        # integer threshold's confusion in bp plus AUC (ties half
+        # weight) in millionths, all integer. Tail-seated by design:
+        # conversion_by_engagement's grain swept into a curve.
+        "roc_points": analytics.roc_points,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -6644,6 +6657,82 @@ def oracle_sql() -> dict[str, str]:
                CAST(mo AS BIGINT) AS mean_odd_milli,
                CAST(abs(me - mo) AS BIGINT) AS drift_milli
         FROM mm
+    """
+
+    # label_propagation: 3 synchronized rounds over the mutual-kNN
+    # edges; vote = most frequent neighbor label, ties -> smallest.
+    sql["label_propagation"] = f"""
+        WITH mk AS MATERIALIZED (
+          SELECT vec_a, vec_b FROM ({sql["mutual_knn"]})
+        ),
+        ed AS MATERIALIZED (
+          SELECT vec_a AS v, vec_b AS u FROM mk
+          UNION ALL
+          SELECT vec_b AS v, vec_a AS u FROM mk
+        ),
+        l0 AS (SELECT DISTINCT v, v AS lab FROM ed),
+        r1 AS MATERIALIZED (
+          SELECT v, lab FROM (
+            SELECT ed.v, l.lab,
+                   row_number() OVER (PARTITION BY ed.v
+                     ORDER BY count(*) DESC, l.lab ASC) AS rn
+            FROM ed JOIN l0 l ON l.v = ed.u GROUP BY ed.v, l.lab
+          ) WHERE rn = 1
+        ),
+        r2 AS MATERIALIZED (
+          SELECT v, lab FROM (
+            SELECT ed.v, l.lab,
+                   row_number() OVER (PARTITION BY ed.v
+                     ORDER BY count(*) DESC, l.lab ASC) AS rn
+            FROM ed JOIN r1 l ON l.v = ed.u GROUP BY ed.v, l.lab
+          ) WHERE rn = 1
+        ),
+        r3 AS (
+          SELECT v, lab FROM (
+            SELECT ed.v, l.lab,
+                   row_number() OVER (PARTITION BY ed.v
+                     ORDER BY count(*) DESC, l.lab ASC) AS rn
+            FROM ed JOIN r2 l ON l.v = ed.u GROUP BY ed.v, l.lab
+          ) WHERE rn = 1
+        )
+        SELECT v AS vec_id, CAST(lab AS BIGINT) AS community FROM r3
+    """
+
+    # roc_points: user-day grain; thresholds are the distinct score
+    # values; AUC = Mann-Whitney U with ties at half weight.
+    sql["roc_points"] = """
+        WITH ud AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+                 CAST(count(*) AS BIGINT) AS s,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS y
+          FROM events GROUP BY 1, 2
+        ),
+        g AS MATERIALIZED (
+          SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+                 CAST(sum(1 - y) AS BIGINT) AS neg
+          FROM ud GROUP BY 1
+        ),
+        tots AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+                        CAST(sum(neg) AS BIGINT) AS nn FROM g),
+        cum AS (
+          SELECT s, pos, neg,
+                 sum(pos) OVER (ORDER BY s DESC) AS tp,
+                 sum(fp_src) OVER (ORDER BY s DESC) AS fp,
+                 sum(neg) OVER (ORDER BY s ASC) - neg AS negless
+          FROM (SELECT s, pos, neg, neg AS fp_src FROM g)
+        ),
+        u2 AS (SELECT CAST(sum(pos * (2 * negless + neg)) AS BIGINT) AS u2
+               FROM cum)
+        SELECT cum.s AS thr, CAST(cum.tp AS BIGINT) AS tp,
+               CAST(cum.fp AS BIGINT) AS fp,
+               CAST(tots.p - cum.tp AS BIGINT) AS fn,
+               CAST(tots.nn - cum.fp AS BIGINT) AS tn,
+               CAST(cum.tp * 10000 // tots.p AS BIGINT) AS tpr_bp,
+               CAST(cum.fp * 10000 // tots.nn AS BIGINT) AS fpr_bp,
+               CAST(u2.u2 * 1000000 // (2 * tots.p * tots.nn) AS BIGINT)
+                 AS auc_x1e6
+        FROM cum, tots, u2
     """
 
     # ngram_novelty: distinct 8-grams per doc; owner = min doc_id

@@ -181,6 +181,7 @@ def run_queries() -> dict[str, float]:
         "conversion_latency", "embedding_drift",
         "kmv_distinct_eval", "poisson_bootstrap_ci",
         "ngram_novelty", "shard_balance_plan",
+        "label_propagation", "roc_points",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -7300,3 +7300,109 @@ def shard_balance_plan(sf_dir: str) -> "pa.Table":
             "load_after": pa.array(la, pa.int64()),
         }
     )
+
+
+ROC_DAY_US = 86_400_000_000   # µs per day — the user-day grain
+
+
+def roc_points(sf_dir: str) -> "pa.Table":
+    """ROC curve + exact Mann-Whitney AUC of the simplest conversion
+    propensity model — score a USER-DAY by its event count, label it
+    by whether a purchase happened that day, and sweep every integer
+    threshold t (predict positive iff score ≥ t): per threshold the
+    exact confusion (tp, fp, fn, tn) with TPR/FPR in basis points,
+    plus the threshold-free AUC as the exact Mann-Whitney U statistic
+    (ties at half weight) in millionths — the classifier eval loop
+    (ndcg_search ranks, kappa_agreement agrees, this discriminates)
+    closed with pure integer arithmetic. Tail-seated by design:
+    conversion_by_engagement's grain swept into a curve.
+
+    Scale shape: one (user, day) groupby completes the grain (Sum
+    count, Max label), a second bounded groupby folds it to the
+    SCORE GRID (≤ max daily events rows); the driver reads only the
+    grid and emits one row per distinct score. Output: (thr, tp, fp,
+    fn, tn, tpr_bp, fpr_bp, auc_x1e6)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def ud_partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        day = (
+            batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // ROC_DAY_US
+        )
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        g = (
+            pd.DataFrame(
+                {"u": uid, "d": day, "n": 1, "y": (et == "purchase").astype(np.int64)}
+            )
+            .groupby(["u", "d"], sort=False)
+            .agg(n=("n", "sum"), y=("y", "max"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "u": pa.array(g["u"].to_numpy().astype(np.int64), pa.int64()),
+                "d": pa.array(g["d"].to_numpy().astype(np.int64), pa.int64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+                "y": pa.array(g["y"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def to_grid(batch: pa.Table) -> pa.Table:
+        s = batch.column("n").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "s": pa.array(s.astype(np.int64), pa.int64()),
+                "pos": pa.array(y.astype(np.int64), pa.int64()),
+                "neg": pa.array((1 - y).astype(np.int64), pa.int64()),
+            }
+        )
+
+    grid = (
+        ds.map_batches(ud_partial, batch_format="pyarrow")
+        .groupby(["u", "d"])
+        .aggregate(_Sum("n", alias_name="n"), _Max("y", alias_name="y"))
+        .map_batches(to_grid, batch_format="pyarrow")
+        .groupby("s")
+        .aggregate(_Sum("pos", alias_name="pos"), _Sum("neg", alias_name="neg"))
+        .take_all()  # bounded: the daily-event-count score grid
+    )
+    rows = sorted((int(r["s"]), int(r["pos"]), int(r["neg"])) for r in grid)
+    p_tot = sum(p for _, p, _ in rows)
+    n_tot = sum(n for _, _, n in rows)
+    u2 = 0
+    negless = 0
+    for _, p, n in rows:
+        u2 += p * (2 * negless + n)
+        negless += n
+    auc = u2 * 1_000_000 // (2 * p_tot * n_tot)
+    thr, tp_l, fp_l = [], [], []
+    tp = fp = 0
+    for s, p, n in reversed(rows):
+        tp += p
+        fp += n
+        thr.append(s)
+        tp_l.append(tp)
+        fp_l.append(fp)
+    return pa.table(
+        {
+            "thr": pa.array(thr, pa.int64()),
+            "tp": pa.array(tp_l, pa.int64()),
+            "fp": pa.array(fp_l, pa.int64()),
+            "fn": pa.array([p_tot - t for t in tp_l], pa.int64()),
+            "tn": pa.array([n_tot - f for f in fp_l], pa.int64()),
+            "tpr_bp": pa.array([t * 10_000 // p_tot for t in tp_l], pa.int64()),
+            "fpr_bp": pa.array([f * 10_000 // n_tot for f in fp_l], pa.int64()),
+            "auc_x1e6": pa.array([auc] * len(thr), pa.int64()),
+        }
+    )

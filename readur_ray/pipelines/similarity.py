@@ -2546,3 +2546,143 @@ def embedding_drift(sf_dir: str) -> "pa.Table":
             ),
         }
     )
+
+
+LP_ROUNDS = 3   # synchronized label-propagation rounds
+
+
+def label_propagation(sf_dir: str) -> "ray.data.Dataset":
+    """Community detection by synchronized label propagation over the
+    mutual-kNN graph (Raghavan et al. 2007, made deterministic): every
+    node starts labeled with its own vec_id; each round it adopts the
+    most frequent label among its NEIGHBORS, ties broken by the
+    smallest label; LP_ROUNDS synchronized rounds. Where
+    dedup_components answers "which nodes are connected at all", LP
+    answers "which DENSE pocket does a node sit in" — hub bridges
+    don't glue communities the way they glue components. Isolated
+    vectors (no mutual edge) are excluded, mirrored in the oracle.
+    Tail-seated by design: mutual_knn's edge list driven through
+    pagerank's unrolled-iteration discipline.
+
+    Scale shape: the mutual edge list materializes ONCE in the object
+    store (n·k int64 rows); each round is two coarse exchanges — a
+    tagged-union co-partition attaching the endpoint's current label
+    to each directed edge (labels are node-cardinality, never
+    broadcast), then a groupby(node) whose group is one node's
+    neighbor multiset (≤ degree rows) for the argmax fold. Labels and
+    edges stay int64-only end to end. Output: (vec_id, community)."""
+    import pandas as pd
+
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    edges = mutual_knn(sf_dir)
+
+    def directed(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_a").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = batch.column("vec_b").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "v": pa.array(np.concatenate([a, b]), pa.int64()),
+                "u": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    dir_ds = edges.map_batches(directed, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Min as _Min
+
+    labels = dir_ds.groupby("v").aggregate(_Min("v", alias_name="lab"))
+    # (v, lab) — initial label is the node id itself
+
+    def lab_side(batch: pa.Table) -> pa.Table:
+        node = batch.column("v").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        lab = batch.column("lab").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = len(node)
+        return pa.table(
+            {
+                "key": pa.array(node, pa.int64()),
+                "v": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "lab": pa.array(lab, pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "part": pa.array(node % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def edge_side(batch: pa.Table) -> pa.Table:
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        n = len(v)
+        return pa.table(
+            {
+                "key": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "lab": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "side": pa.array(np.ones(n, np.int64), pa.int64()),
+                "part": pa.array(u % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def attach(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.select(["key", "v", "lab", "side"]).to_pandas()
+        build = df[df["side"] == 0].set_index("key")["lab"]
+        probe = df[df["side"] == 1]
+        m = probe.join(build, on="key", how="inner", rsuffix="_b")
+        v = m["v"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "v": pa.array(v, pa.int64()),
+                "nlab": pa.array(
+                    m["lab_b"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "vpart": pa.array(v % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def tally_part(part_tbl: pa.Table) -> pa.Table:
+        # one vectorized argmax per partition: (count desc, label asc)
+        df = part_tbl.select(["v", "nlab"]).to_pandas()
+        c = (
+            df.groupby(["v", "nlab"], sort=False)
+            .size()
+            .reset_index(name="c")
+            .sort_values(
+                ["v", "c", "nlab"], ascending=[True, False, True]
+            )
+            .drop_duplicates("v")
+        )
+        return pa.table(
+            {
+                "v": pa.array(c["v"].to_numpy().astype(np.int64), pa.int64()),
+                "lab": pa.array(
+                    c["nlab"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    for _ in range(LP_ROUNDS):
+        labels = (
+            labels.map_batches(lab_side, batch_format="pyarrow")
+            .union(dir_ds.map_batches(edge_side, batch_format="pyarrow"))
+            .groupby("part")
+            .map_groups(attach, batch_format="pyarrow")
+            .groupby("vpart")
+            .map_groups(tally_part, batch_format="pyarrow")
+        )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": batch.column("v"),
+                "community": batch.column("lab"),
+            }
+        )
+
+    return labels.map_batches(rename, batch_format="pyarrow")

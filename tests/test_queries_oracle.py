@@ -354,6 +354,8 @@ SUBSET = [
     "poisson_bootstrap_ci",
     "ngram_novelty",
     "shard_balance_plan",
+    "label_propagation",
+    "roc_points",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
