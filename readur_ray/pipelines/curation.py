@@ -2719,11 +2719,10 @@ def negative_samples(sf_dir: str) -> "ray.data.Dataset":
         m = probe.join(build, on="key", how="inner", rsuffix="_b")
         keep = m["anchor_source"] != m["neg_source_b"]
         m = m[keep]
+        anchors = m["anchor"].to_numpy().astype(np.int64)
         return pa.table(
             {
-                "anchor": pa.array(
-                    m["anchor"].to_numpy().astype(np.int64), pa.int64()
-                ),
+                "anchor": pa.array(anchors, pa.int64()),
                 "probe": pa.array(
                     m["probe"].to_numpy().astype(np.int64), pa.int64()
                 ),
@@ -2732,21 +2731,37 @@ def negative_samples(sf_dir: str) -> "ray.data.Dataset":
                 ),
                 "anchor_source": pa.array(m["anchor_source"], pa.string()),
                 "neg_source": pa.array(m["neg_source_b"], pa.string()),
+                "apart": pa.array(anchors % N_COARSE_PARTS, pa.int64()),
             }
         )
 
-    def topk(grp: pa.Table) -> pa.Table:
-        probe = grp.column("probe").to_numpy(zero_copy_only=False)
-        order = np.argsort(probe)[:NEG_K]
-        g = grp.take(pa.array(order))
-        n = g.num_rows
+    def topk_part(part_tbl: pa.Table) -> pa.Table:
+        # one vectorized (anchor, probe)-sort + head per partition —
+        # never a per-anchor Python call
+        import pandas as pd
+
+        df = (
+            part_tbl.select(
+                ["anchor", "probe", "neg", "anchor_source", "neg_source"]
+            )
+            .to_pandas()
+            .sort_values(["anchor", "probe"], kind="mergesort")
+        )
+        df["neg_rank"] = df.groupby("anchor", sort=False).cumcount()
+        df = df[df["neg_rank"] < NEG_K]
         return pa.table(
             {
-                "doc_id": g.column("anchor"),
-                "neg_rank": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
-                "neg_doc_id": g.column("neg"),
-                "anchor_source": g.column("anchor_source"),
-                "neg_source": g.column("neg_source"),
+                "doc_id": pa.array(
+                    df["anchor"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "neg_rank": pa.array(
+                    df["neg_rank"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "neg_doc_id": pa.array(
+                    df["neg"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "anchor_source": pa.array(df["anchor_source"], pa.string()),
+                "neg_source": pa.array(df["neg_source"], pa.string()),
             }
         )
 
@@ -2755,8 +2770,8 @@ def negative_samples(sf_dir: str) -> "ray.data.Dataset":
         .union(docs.map_batches(doc_side, batch_format="pyarrow"))
         .groupby("part")
         .map_groups(attach, batch_format="pyarrow")
-        .groupby("anchor")
-        .map_groups(topk, batch_format="pyarrow")
+        .groupby("apart")
+        .map_groups(topk_part, batch_format="pyarrow")
     )
 
 

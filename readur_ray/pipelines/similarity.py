@@ -2593,6 +2593,13 @@ def label_propagation(sf_dir: str) -> "ray.data.Dataset":
 
     dir_ds = edges.map_batches(directed, batch_format="pyarrow").materialize()
 
+    # Size-adaptive exchange width: the per-round exchanges carry only
+    # int64 edge/label rows, so tiny graphs use few partitions (the
+    # all-to-all fixed cost dominates below ~1M edges) while big
+    # graphs keep the full coarse width.
+    n_dir = dir_ds.count()
+    lp_parts = N_COARSE_PARTS if n_dir >= 1_000_000 else 8
+
     from ray.data.aggregate import Min as _Min
 
     labels = dir_ds.groupby("v").aggregate(_Min("v", alias_name="lab"))
@@ -2612,7 +2619,7 @@ def label_propagation(sf_dir: str) -> "ray.data.Dataset":
                 "v": pa.array(np.zeros(n, np.int64), pa.int64()),
                 "lab": pa.array(lab, pa.int64()),
                 "side": pa.array(np.zeros(n, np.int64), pa.int64()),
-                "part": pa.array(node % N_COARSE_PARTS, pa.int64()),
+                "part": pa.array(node % lp_parts, pa.int64()),
             }
         )
 
@@ -2626,7 +2633,7 @@ def label_propagation(sf_dir: str) -> "ray.data.Dataset":
                 "v": pa.array(v, pa.int64()),
                 "lab": pa.array(np.zeros(n, np.int64), pa.int64()),
                 "side": pa.array(np.ones(n, np.int64), pa.int64()),
-                "part": pa.array(u % N_COARSE_PARTS, pa.int64()),
+                "part": pa.array(u % lp_parts, pa.int64()),
             }
         )
 
@@ -2642,7 +2649,7 @@ def label_propagation(sf_dir: str) -> "ray.data.Dataset":
                 "nlab": pa.array(
                     m["lab_b"].to_numpy().astype(np.int64), pa.int64()
                 ),
-                "vpart": pa.array(v % N_COARSE_PARTS, pa.int64()),
+                "vpart": pa.array(v % lp_parts, pa.int64()),
             }
         )
 
