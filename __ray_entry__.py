@@ -1454,6 +1454,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weight) in millionths, all integer. Tail-seated by design:
         # conversion_by_engagement's grain swept into a curve.
         "roc_points": analytics.roc_points,
+        # (round 4, wave 82) blocking-quality eval — pairs
+        # completeness (SNM candidates vs exact-Jaccard truth pairs)
+        # and reduction ratio, both in bp: the recall half no
+        # single-plan audit (simhash_band_precision) can see; one
+        # packed-pair-key co-partition. Tail-seated by design:
+        # snm_pairs × dedup_ngram_jaccard on the canonical key.
+        "blocking_quality": dedup.blocking_quality,
+        # (round 4, wave 82) seasonal-naive backtest — MAE in exact
+        # cents of forecast(d) = actual(d−7) over the dense window
+        # per type: the baseline any forecaster must beat, the
+        # missing BACKTEST half of the time-series family; the lag
+        # join is the grid re-keyed at d+7 through one tagged-union
+        # co-partition. Tail-seated by design: pivot_daily's grid
+        # self-aligned at lag 7.
+        "seasonal_naive_backtest": sessions.seasonal_naive_backtest,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -6657,6 +6672,68 @@ def oracle_sql() -> dict[str, str]:
                CAST(mo AS BIGINT) AS mean_odd_milli,
                CAST(abs(me - mo) AS BIGINT) AS drift_milli
         FROM mm
+    """
+
+    # blocking_quality: SNM candidates scored against exact-Jaccard
+    # truth pairs on the canonical (min, max) key; zero truth pairs
+    # score vacuously complete.
+    sql["blocking_quality"] = f"""
+        WITH tr AS MATERIALIZED (
+          SELECT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+          FROM ({sql["dedup_ngram_jaccard"]})
+        ),
+        ca AS MATERIALIZED (
+          SELECT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+          FROM ({sql["snm_pairs"]})
+        ),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        cnt AS (
+          SELECT (SELECT count(*) FROM tr) AS nt,
+                 (SELECT count(*) FROM ca) AS nc,
+                 (SELECT count(*) FROM tr JOIN ca
+                    ON tr.a = ca.a AND tr.b = ca.b) AS cap
+        )
+        SELECT nn.n AS n_docs,
+               CAST(cnt.nt AS BIGINT) AS n_true_pairs,
+               CAST(cnt.nc AS BIGINT) AS n_cand_pairs,
+               CAST(cnt.cap AS BIGINT) AS n_captured,
+               CAST(CASE WHEN cnt.nt = 0 THEN 10000
+                    ELSE cnt.cap * 10000 // cnt.nt END AS BIGINT) AS pc_bp,
+               CAST((nn.n * (nn.n - 1) // 2 - cnt.nc) * 10000
+                    // (nn.n * (nn.n - 1) // 2) AS BIGINT) AS rr_bp
+        FROM nn, cnt
+    """
+
+    # seasonal_naive_backtest: dense window [mn+7, mx] per type;
+    # absent days are zero on either side.
+    sql["seasonal_naive_backtest"] = """
+        WITH g AS MATERIALIZED (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        r AS (SELECT event_type, min(d) AS mn, max(d) AS mx
+              FROM g GROUP BY 1),
+        days AS (
+          SELECT r.event_type, t.d
+          FROM r, UNNEST(range(r.mn + 7, r.mx + 1)) AS t(d)
+        ),
+        j AS (
+          SELECT days.event_type, days.d,
+                 coalesce(a.c, 0) AS actual, coalesce(f.c, 0) AS fcst
+          FROM days
+          LEFT JOIN g a ON a.event_type = days.event_type
+                       AND a.d = days.d
+          LEFT JOIN g f ON f.event_type = days.event_type
+                       AND f.d = days.d - 7
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(abs(actual - fcst)) AS BIGINT)
+                 AS total_abs_err_cents,
+               CAST(sum(abs(actual - fcst)) // count(*) AS BIGINT)
+                 AS mae_cents
+        FROM j GROUP BY 1
     """
 
     # label_propagation: 3 synchronized rounds over the mutual-kNN

@@ -182,6 +182,7 @@ def run_queries() -> dict[str, float]:
         "kmv_distinct_eval", "poisson_bootstrap_ci",
         "ngram_novelty", "shard_balance_plan",
         "label_propagation", "roc_points",
+        "blocking_quality", "seasonal_naive_backtest",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -2570,3 +2570,98 @@ def simhash_band_precision(sf_dir: str) -> "ray.data.Dataset":
         )
         .map_batches(precision, batch_format="pyarrow")
     )
+
+
+def blocking_quality(sf_dir: str) -> "pa.Table":
+    """Blocking-quality eval (Christen, "Data Matching" 2012) — the
+    two numbers every candidate generator is judged by: PAIRS
+    COMPLETENESS (what fraction of the true near-duplicate pairs —
+    dedup_ngram_jaccard's exact-Jaccard survivors — the
+    sorted-neighborhood candidates capture) and REDUCTION RATIO (what
+    fraction of the n·(n−1)/2 all-pairs space the blocker prunes),
+    both in basis points. simhash_band_precision prices ONE blocker's
+    wasted work; this scores a blocker against GROUND TRUTH, the
+    recall half no single-plan audit can see. A corpus with zero true
+    pairs scores PC = 10⁴ (vacuously complete). Tail-seated by
+    design: snm_pairs × dedup_ngram_jaccard joined on the canonical
+    pair key.
+
+    Scale shape: both pair sets stream through ONE co-partition on
+    the packed canonical (min, max) pair key (pair sets are
+    fact-scale — never broadcast); per partition a vectorized isin
+    counts captures; the driver reads three counters and one doc
+    count. Output: (n_docs, n_true_pairs, n_cand_pairs, n_captured,
+    pc_bp, rr_bp)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    truth = ngram_jaccard_pairs(sf_dir)
+    cand = snm_materialized(sf_dir)
+    n_docs = int(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        ).count()
+    )
+
+    def keyed(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            a = batch.column("doc_a").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            b = batch.column("doc_b").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            key = (lo << 32) + hi  # packed canonical pair key
+            return pa.table(
+                {
+                    "key": pa.array(key, pa.int64()),
+                    "side": pa.array(
+                        np.full(len(key), side, np.int64), pa.int64()
+                    ),
+                    "part": pa.array(key % N_COARSE_PARTS, pa.int64()),
+                }
+            )
+
+        return fn
+
+    def count_caps(part_tbl: pa.Table) -> pa.Table:
+        key = part_tbl.column("key").to_numpy(zero_copy_only=False)
+        side = part_tbl.column("side").to_numpy(zero_copy_only=False)
+        t = key[side == 0]
+        c = key[side == 1]
+        cap = int(np.isin(t, c).sum())
+        return pa.table(
+            {
+                "n_true": pa.array([len(t)], pa.int64()),
+                "n_cand": pa.array([len(c)], pa.int64()),
+                "n_cap": pa.array([cap], pa.int64()),
+            }
+        )
+
+    agg = (
+        truth.map_batches(keyed(0), batch_format="pyarrow")
+        .union(cand.map_batches(keyed(1), batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(count_caps, batch_format="pyarrow")
+        .aggregate(
+            _Sum("n_true", alias_name="t"),
+            _Sum("n_cand", alias_name="c"),
+            _Sum("n_cap", alias_name="cap"),
+        )
+    )
+    nt, nc, cap = int(agg["t"]), int(agg["c"]), int(agg["cap"])
+    all_pairs = n_docs * (n_docs - 1) // 2
+    pc_bp = 10_000 if nt == 0 else cap * 10_000 // nt
+    rr_bp = (all_pairs - nc) * 10_000 // all_pairs
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_true_pairs": pa.array([nt], pa.int64()),
+            "n_cand_pairs": pa.array([nc], pa.int64()),
+            "n_captured": pa.array([cap], pa.int64()),
+            "pc_bp": pa.array([pc_bp], pa.int64()),
+            "rr_bp": pa.array([rr_bp], pa.int64()),
+        }
+    )

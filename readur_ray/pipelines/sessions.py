@@ -2864,3 +2864,132 @@ def conversion_latency(sf_dir: str) -> "pa.Table":
             "latency_s": pa.array(lats, pa.int64()),
         }
     )
+
+
+SNB_LAG_DAYS = 7   # seasonal-naive lag: forecast(d) = actual(d − 7)
+
+
+def seasonal_naive_backtest(sf_dir: str) -> "pa.Table":
+    """Seasonal-naive forecast backtest — per event type, the MAE in
+    exact cents of the forecast every capacity dashboard starts from:
+    tomorrow's daily value total = the total one week ago
+    (forecast(d) = actual(d − SNB_LAG_DAYS), zero when absent), swept
+    over the full dense backtest window [min_day + 7, max_day]. The
+    baseline number any fancier model must beat — and the missing
+    BACKTEST half of the time-series family (ewma_daily smooths,
+    trend_slopes fits, seasonality_dow profiles; none of them is
+    scored). Tail-seated by design: pivot_daily's (type, day) grid
+    self-aligned at lag 7.
+
+    Scale shape: one (type, day) groupby builds the sparse grid; the
+    lag join is the SAME grid re-keyed at d + 7 through one
+    tagged-union co-partition (grid-sized, bounded by types × days —
+    never row-sized); absent-absent days contribute |0 − 0| = 0 and
+    need no rows; per-type day ranges broadcast from a #types-row
+    read. Output: (event_type, n_days, total_abs_err_cents,
+    mae_cents)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        day = (
+            batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame({"t": et, "d": day, "c": cents})
+            .groupby(["t", "d"], sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["t"], pa.string()),
+                "d": pa.array(g["d"].to_numpy().astype(np.int64), pa.int64()),
+                "c": pa.array(g["c"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    grid = (
+        ds.map_batches(day_partial, batch_format="pyarrow")
+        .groupby(["event_type", "d"])
+        .aggregate(_Sum("c", alias_name="c"))
+    )
+    ranges = {
+        r["event_type"]: (int(r["mn"]), int(r["mx"]))
+        for r in grid.groupby("event_type")
+        .aggregate(_Min("d", alias_name="mn"), _Max("d", alias_name="mx"))
+        .take_all()  # bounded: one row per type
+    }
+    rref = ray.put(ranges)
+
+    def tagged(batch: pa.Table) -> pa.Table:
+        rg = ray.get(rref)
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        d = batch.column("d").to_numpy(zero_copy_only=False)
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        # actual side keyed at d, forecast side keyed at d + lag
+        t2 = np.concatenate([et, et])
+        dk = np.concatenate([d, d + SNB_LAG_DAYS])
+        cv = np.concatenate([c, -c])  # |a − f| = |sum| since ≤1 row/side
+        keep = np.array(
+            [
+                rg[t][0] + SNB_LAG_DAYS <= int(k) <= rg[t][1]
+                for t, k in zip(t2, dk)
+            ],
+            dtype=bool,
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(t2[keep], pa.string()),
+                "dk": pa.array(dk[keep].astype(np.int64), pa.int64()),
+                "v": pa.array(cv[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    def absfold(batch: pa.Table) -> pa.Table:
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "abs_err": pa.array(np.abs(v).astype(np.int64), pa.int64()),
+            }
+        )
+
+    totals = {
+        r["event_type"]: int(r["tot"])
+        for r in grid.map_batches(tagged, batch_format="pyarrow")
+        .groupby(["event_type", "dk"])
+        .aggregate(_Sum("v", alias_name="v"))
+        .map_batches(absfold, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(_Sum("abs_err", alias_name="tot"))
+        .take_all()  # bounded: one row per type
+    }
+    types = sorted(
+        t for t, (mn, mx) in ranges.items() if mx - mn >= SNB_LAG_DAYS
+    )
+    n_days = {t: ranges[t][1] - ranges[t][0] - SNB_LAG_DAYS + 1 for t in types}
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n_days": pa.array([n_days[t] for t in types], pa.int64()),
+            "total_abs_err_cents": pa.array(
+                [totals.get(t, 0) for t in types], pa.int64()
+            ),
+            "mae_cents": pa.array(
+                [totals.get(t, 0) // n_days[t] for t in types], pa.int64()
+            ),
+        }
+    )

@@ -356,6 +356,8 @@ SUBSET = [
     "shard_balance_plan",
     "label_propagation",
     "roc_points",
+    "blocking_quality",
+    "seasonal_naive_backtest",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
