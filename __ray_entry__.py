@@ -1469,6 +1469,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # co-partition. Tail-seated by design: pivot_daily's grid
         # self-aligned at lag 7.
         "seasonal_naive_backtest": sessions.seasonal_naive_backtest,
+        # (round 4, wave 83) Newman modularity of the LP partition —
+        # exact Q in millionths over the mutual-kNN graph (shifted
+        # floor keeps numerators ≥ 0); says whether label_propagation
+        # found structure without needing ground truth. Tail-seated
+        # by design: LP's output scored against mutual_knn's edges.
+        "community_modularity": similarity.community_modularity,
+        # (round 4, wave 83) histogram-intersection overlap between
+        # source length distributions — Σ min(p_a, p_b) over log2
+        # bands in bp: which sources are shape-interchangeable in a
+        # mix. Tail-seated by design: conversion_by_engagement's
+        # banding folded into a pairwise kernel.
+        "source_shape_overlap": analytics.source_shape_overlap,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -6674,6 +6686,35 @@ def oracle_sql() -> dict[str, str]:
         FROM mm
     """
 
+    # source_shape_overlap: histogram intersection over log2 bands;
+    # pairs with no shared band still appear with overlap 0.
+    sql["source_shape_overlap"] = """
+        WITH b AS (
+          SELECT source,
+                 CAST(len(bin(CAST(n_chars AS UBIGINT))) AS BIGINT) AS band,
+                 count(*) AS c
+          FROM documents GROUP BY 1, 2
+        ),
+        t AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM b GROUP BY 1),
+        p AS MATERIALIZED (
+          SELECT b.source, b.band,
+                 CAST(b.c * 10000 // t.tot AS BIGINT) AS bp
+          FROM b JOIN t USING (source)
+        ),
+        pairs AS (SELECT a.source AS source_a, b2.source AS source_b
+                  FROM t a JOIN t b2 ON a.source < b2.source),
+        ov AS (
+          SELECT p1.source AS source_a, p2.source AS source_b,
+                 sum(least(p1.bp, p2.bp)) AS o
+          FROM p p1 JOIN p p2
+            ON p1.band = p2.band AND p1.source < p2.source
+          GROUP BY 1, 2
+        )
+        SELECT pairs.source_a, pairs.source_b,
+               CAST(coalesce(ov.o, 0) AS BIGINT) AS overlap_bp
+        FROM pairs LEFT JOIN ov USING (source_a, source_b)
+    """
+
     # blocking_quality: SNM candidates scored against exact-Jaccard
     # truth pairs on the canonical (min, max) key; zero truth pairs
     # score vacuously complete.
@@ -6774,6 +6815,52 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT v AS vec_id, CAST(lab AS BIGINT) AS community FROM r3
     """
+
+    # community_modularity: exact Q over the mutual-kNN graph with
+    # the +4m^2 shift so every floor-division numerator is >= 0.
+    sql["community_modularity"] = f"""
+        WITH lp AS MATERIALIZED (
+          SELECT vec_id, community FROM ({sql["label_propagation"]})
+        ),
+        mk AS MATERIALIZED (
+          SELECT vec_a, vec_b FROM ({sql["mutual_knn"]})
+        ),
+        mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM mk),
+        lab AS (
+          SELECT la.community AS ca, lb.community AS cb
+          FROM mk JOIN lp la ON la.vec_id = mk.vec_a
+                  JOIN lp lb ON lb.vec_id = mk.vec_b
+        ),
+        intra AS (SELECT ca AS community, CAST(count(*) AS BIGINT) AS e
+                  FROM lab WHERE ca = cb GROUP BY 1),
+        deg AS (
+          SELECT v, count(*) AS dg FROM (
+            SELECT vec_a AS v FROM mk UNION ALL SELECT vec_b FROM mk)
+          GROUP BY 1
+        ),
+        dsum AS (
+          SELECT lp.community, CAST(sum(deg.dg) AS BIGINT) AS d,
+                 CAST(count(*) AS BIGINT) AS n_nodes
+          FROM lp JOIN deg ON deg.v = lp.vec_id GROUP BY 1
+        ),
+        per AS MATERIALIZED (
+          SELECT ds.community, ds.n_nodes,
+                 CAST(coalesce(i.e, 0) AS BIGINT) AS intra_edges,
+                 ds.d AS degree_sum
+          FROM dsum ds LEFT JOIN intra i USING (community)
+        ),
+        q AS (
+          SELECT CAST((sum(4 * mm.m * intra_edges
+                           - degree_sum * degree_sum)
+                       + 4 * mm.m * mm.m) * 1000000
+                      // (4 * mm.m * mm.m) - 1000000 AS BIGINT) AS q_x1e6
+          FROM per, mm GROUP BY mm.m
+        )
+        SELECT per.community, per.n_nodes, per.intra_edges,
+               per.degree_sum, q.q_x1e6
+        FROM per, q
+    """
+
 
     # roc_points: user-day grain; thresholds are the distinct score
     # values; AUC = Mann-Whitney U with ties at half weight.

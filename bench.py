@@ -183,6 +183,7 @@ def run_queries() -> dict[str, float]:
         "ngram_novelty", "shard_balance_plan",
         "label_propagation", "roc_points",
         "blocking_quality", "seasonal_naive_backtest",
+        "community_modularity", "source_shape_overlap",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -7406,3 +7406,84 @@ def roc_points(sf_dir: str) -> "pa.Table":
             "auc_x1e6": pa.array([auc] * len(thr), pa.int64()),
         }
     )
+
+
+def source_shape_overlap(sf_dir: str) -> "pa.Table":
+    """Histogram-intersection similarity between source LENGTH
+    distributions — per source pair, Σ_band min(p_a, p_b) where p is
+    the source's share (in bp, floored) of docs in each log2(n_chars)
+    band: the distribution-shape overlap matrix (Swain & Ballard's
+    histogram intersection kernel) that says which sources are
+    interchangeable in a sampling mix and which one is shaped like
+    nothing else — the SHAPE axis where audience_overlap measures
+    shared members and ks_drift two fixed samples. Tail-seated by
+    design: conversion_by_engagement's banding folded into a
+    pairwise kernel.
+
+    Scale shape: per-batch (source, band) partials → ONE bounded
+    groupby (≤ sources × 64 cells) → the pairwise fold runs on the
+    driver over that grid (sources² pairs of ≤64-long bp vectors —
+    driver-sized by the same contract as budget_allocation). Output:
+    (source_a, source_b, overlap_bp)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+
+    def band_partial(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        n = batch.column("n_chars").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        band = np.zeros(len(n), np.int64)
+        nn = n.copy()
+        while (nn > 0).any():
+            band[nn > 0] += 1
+            nn >>= 1
+        g = (
+            pd.DataFrame({"s": src, "b": band, "c": 1})
+            .groupby(["s", "b"], sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["s"], pa.string()),
+                "band": pa.array(
+                    g["b"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "c": pa.array(g["c"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    grid = (
+        ds.map_batches(band_partial, batch_format="pyarrow")
+        .groupby(["source", "band"])
+        .aggregate(_Sum("c", alias_name="c"))
+        .take_all()  # bounded: sources × log2 bands
+    )
+    by_src: dict[str, dict[int, int]] = {}
+    for r in grid:
+        by_src.setdefault(r["source"], {})[int(r["band"])] = int(r["c"])
+    bp = {
+        s: {b: c * 10_000 // sum(cells.values()) for b, c in cells.items()}
+        for s, cells in by_src.items()
+    }
+    srcs = sorted(bp)
+    out_a, out_b, out_o = [], [], []
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            common = set(bp[sa]) & set(bp[sb])
+            out_a.append(sa)
+            out_b.append(sb)
+            out_o.append(sum(min(bp[sa][b], bp[sb][b]) for b in common))
+    return pa.table(
+        {
+            "source_a": pa.array(out_a, pa.string()),
+            "source_b": pa.array(out_b, pa.string()),
+            "overlap_bp": pa.array(out_o, pa.int64()),
+        }
+    )

@@ -2693,3 +2693,181 @@ def label_propagation(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def community_modularity(sf_dir: str) -> "pa.Table":
+    """Newman modularity of the label-propagation partition, exact —
+    Q = Σ_c [e_c/m − (d_c/2m)²] over the mutual-kNN graph, scored in
+    millionths as (Σ_c(4m·e_c − d_c²) + 4m²)·10⁶ // 4m² − 10⁶ (the
+    +4m² shift keeps the floor-division numerator ≥ 0 since Q ≥ −½):
+    the number that says whether label_propagation found structure
+    or noise (Q ≈ 0), the eval-of-the-eval cluster_purity cannot
+    play because it needs ground-truth labels and modularity needs
+    none. Per community the exact intra-edge count, degree mass and
+    node count are emitted alongside. Tail-seated by design:
+    label_propagation's output scored against mutual_knn's edges.
+
+    Scale shape: ONE tagged-union co-partition attaches each
+    endpoint's community (labels are node-cardinality, never
+    broadcast) and — since d_c is just the count of directed
+    endpoint rows labeled c — yields the degree mass for free; a
+    second co-partition on the packed edge key reassembles (c_a,
+    c_b) pairs for intra counts; Q folds from the ≤|communities|
+    grid on the driver. Output: (community, n_nodes, intra_edges,
+    degree_sum, q_x1e6)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    labels = label_propagation(sf_dir).materialize()
+    edges = mutual_knn(sf_dir).materialize()
+    m_edges = edges.count()
+
+    def lab_rows(batch: pa.Table) -> pa.Table:
+        node = batch.column("vec_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        comm = batch.column("community").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = len(node)
+        return pa.table(
+            {
+                "key": pa.array(node, pa.int64()),
+                "ekey": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "pos": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "comm": pa.array(comm, pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "part": pa.array(node % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def end_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_a").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = batch.column("vec_b").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ekey = (a << 32) + b
+        node = np.concatenate([a, b])
+        ek2 = np.concatenate([ekey, ekey])
+        pos = np.concatenate(
+            [np.zeros(len(a), np.int64), np.ones(len(b), np.int64)]
+        )
+        n = len(node)
+        return pa.table(
+            {
+                "key": pa.array(node, pa.int64()),
+                "ekey": pa.array(ek2, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "comm": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "side": pa.array(np.ones(n, np.int64), pa.int64()),
+                "part": pa.array(node % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def attach(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.select(["key", "ekey", "pos", "comm", "side"]).to_pandas()
+        build = df[df["side"] == 0].set_index("key")["comm"]
+        probe = df[df["side"] == 1]
+        mm = probe.join(build, on="key", how="inner", rsuffix="_b")
+        ek = mm["ekey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "ekey": pa.array(ek, pa.int64()),
+                "pos": pa.array(
+                    mm["pos"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "comm": pa.array(
+                    mm["comm_b"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "epart": pa.array(ek % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    attached = (
+        labels.map_batches(lab_rows, batch_format="pyarrow")
+        .union(edges.map_batches(end_rows, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(attach, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # degree mass per community: count of directed endpoint rows
+    deg = {
+        int(r["comm"]): int(r["d"])
+        for r in attached.map_batches(
+            lambda b: pa.table(
+                {
+                    "comm": b.column("comm"),
+                    "one": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("comm")
+        .aggregate(_Sum("one", alias_name="d"))
+        .take_all()  # bounded: one row per community
+    }
+
+    def pair_fold(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.select(["ekey", "pos", "comm"]).to_pandas()
+        p = df.pivot_table(
+            index="ekey", columns="pos", values="comm", aggfunc="first"
+        )
+        intra = p[p[0] == p[1]].groupby(0).size()
+        return pa.table(
+            {
+                "comm": pa.array(
+                    intra.index.to_numpy().astype(np.int64), pa.int64()
+                ),
+                "e": pa.array(
+                    intra.to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    intra = {
+        int(r["comm"]): int(r["e"])
+        for r in attached.groupby("epart")
+        .map_groups(pair_fold, batch_format="pyarrow")
+        .groupby("comm")
+        .aggregate(_Sum("e", alias_name="e"))
+        .take_all()  # bounded: one row per community
+    }
+    n_nodes = {
+        int(r["community"]): int(r["n"])
+        for r in labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "community": b.column("community"),
+                    "one": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("community")
+        .aggregate(_Sum("one", alias_name="n"))
+        .take_all()  # bounded: one row per community
+    }
+    comms = sorted(n_nodes)
+    num = sum(
+        4 * m_edges * intra.get(c, 0) - deg[c] * deg[c] for c in comms
+    )
+    q_x1e6 = (num + 4 * m_edges * m_edges) * 1_000_000 // (
+        4 * m_edges * m_edges
+    ) - 1_000_000
+    return pa.table(
+        {
+            "community": pa.array(comms, pa.int64()),
+            "n_nodes": pa.array([n_nodes[c] for c in comms], pa.int64()),
+            "intra_edges": pa.array(
+                [intra.get(c, 0) for c in comms], pa.int64()
+            ),
+            "degree_sum": pa.array([deg[c] for c in comms], pa.int64()),
+            "q_x1e6": pa.array([q_x1e6] * len(comms), pa.int64()),
+        }
+    )

@@ -358,6 +358,8 @@ SUBSET = [
     "roc_points",
     "blocking_quality",
     "seasonal_naive_backtest",
+    "community_modularity",
+    "source_shape_overlap",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
