@@ -1481,6 +1481,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mix. Tail-seated by design: conversion_by_engagement's
         # banding folded into a pairwise kernel.
         "source_shape_overlap": analytics.source_shape_overlap,
+        # (round 4, wave 84) quantile normalization — every doc's
+        # n_chars replaced by the GLOBAL value at the same relative
+        # rank (Bolstad et al. 2003): after it every source has the
+        # same length distribution by construction; ranks from the
+        # bounded (source, value) count grid, lookups via a broadcast
+        # searchsorted, never a global sort barrier. Tail-seated by
+        # design: snm_pairs' exact-rank machinery as a transform.
+        "quantile_normalize": curation.quantile_normalize,
+        # (round 4, wave 84) Herfindahl language concentration per
+        # source — Σ share² in exact bp; the square-law index that
+        # merges associatively where Gini cannot. Tail-seated by
+        # design: contingency_grid's cells under a square-law fold.
+        "hhi_concentration": analytics.hhi_concentration,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -6713,6 +6726,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT pairs.source_a, pairs.source_b,
                CAST(coalesce(ov.o, 0) AS BIGINT) AS overlap_bp
         FROM pairs LEFT JOIN ov USING (source_a, source_b)
+    """
+
+    # quantile_normalize: within-source rank maps to the global
+    # value at the same relative position; (n_chars, doc_id) ties.
+    sql["quantile_normalize"] = """
+        WITH o AS (
+          SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars, doc_id) - 1 AS r,
+                 count(*) OVER (PARTITION BY source) AS ns
+          FROM documents
+        ),
+        gidx AS MATERIALIZED (
+          SELECT n_chars AS v,
+                 row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS g
+          FROM documents
+        ),
+        nn AS (SELECT count(*) AS n FROM documents)
+        SELECT o.doc_id, o.source, o.n_chars,
+               CAST(o.r AS BIGINT) AS src_rank,
+               CAST(gi.v AS BIGINT) AS normalized_chars
+        FROM o CROSS JOIN nn
+        JOIN gidx gi ON gi.g = CASE WHEN o.ns > 1
+            THEN o.r * (nn.n - 1) // (o.ns - 1)
+            ELSE (nn.n - 1) // 2 END
+    """
+
+    # hhi_concentration: sum of squared lang shares per source.
+    sql["hhi_concentration"] = """
+        WITH g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+                   FROM documents GROUP BY 1, 2),
+        t AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot,
+                     CAST(count(*) AS BIGINT) AS nl
+              FROM g GROUP BY 1)
+        SELECT t.source, t.tot AS n_docs, t.nl AS n_langs,
+               CAST(sum(g.c * g.c) * 10000 // (t.tot * t.tot) AS BIGINT)
+                 AS hhi_bp
+        FROM g JOIN t USING (source) GROUP BY 1, 2, 3
     """
 
     # blocking_quality: SNM candidates scored against exact-Jaccard

@@ -184,6 +184,7 @@ def run_queries() -> dict[str, float]:
         "label_propagation", "roc_points",
         "blocking_quality", "seasonal_naive_backtest",
         "community_modularity", "source_shape_overlap",
+        "quantile_normalize", "hhi_concentration",
     ]
     out: dict[str, float] = {}
     for name in picks:

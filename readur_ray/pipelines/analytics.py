@@ -7487,3 +7487,78 @@ def source_shape_overlap(sf_dir: str) -> "pa.Table":
             "overlap_bp": pa.array(out_o, pa.int64()),
         }
     )
+
+
+def hhi_concentration(sf_dir: str) -> "pa.Table":
+    """Herfindahl–Hirschman language concentration per source —
+    HHI = Σ_lang share² in exact basis points (Σ cnt² · 10⁴ //
+    tot²), the antitrust regulator's concentration index read over a
+    corpus: 10⁴ = monolingual source, → 0 = perfectly spread. The
+    square-law cousin gini_sources (rank-weighted inequality) and
+    l_diversity_audit (min distinct count) don't compute — and,
+    being a plain sum of squares, it needs NO sort and merges
+    associatively where Gini cannot. Tail-seated by design:
+    contingency_grid's cells under a square-law fold.
+
+    Scale shape: per-batch (source, lang) partials → ONE bounded
+    groupby (≤ sources × langs) → the square-law fold reads the grid
+    on the driver. Output: (source, n_docs, n_langs, hhi_bp)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "s": np.asarray(
+                        batch.column("source").to_pylist(), dtype=object
+                    ),
+                    "l": np.asarray(
+                        batch.column("lang").to_pylist(), dtype=object
+                    ),
+                    "c": 1,
+                }
+            )
+            .groupby(["s", "l"], sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["s"], pa.string()),
+                "lang": pa.array(g["l"], pa.string()),
+                "c": pa.array(g["c"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    grid = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(_Sum("c", alias_name="c"))
+        .take_all()  # bounded: sources × langs cells
+    )
+    cells: dict[str, list[int]] = {}
+    for r in grid:
+        cells.setdefault(r["source"], []).append(int(r["c"]))
+    srcs = sorted(cells)
+    return pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "n_docs": pa.array([sum(cells[s]) for s in srcs], pa.int64()),
+            "n_langs": pa.array([len(cells[s]) for s in srcs], pa.int64()),
+            "hhi_bp": pa.array(
+                [
+                    sum(c * c for c in cells[s])
+                    * 10_000
+                    // (sum(cells[s]) ** 2)
+                    for s in srcs
+                ],
+                pa.int64(),
+            ),
+        }
+    )

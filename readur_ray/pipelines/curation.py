@@ -2868,3 +2868,91 @@ def ngram_novelty(sf_dir: str) -> "ray.data.Dataset":
         )
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def quantile_normalize(sf_dir: str) -> "ray.data.Dataset":
+    """Quantile normalization of per-source length distributions —
+    every doc's n_chars is replaced by the GLOBAL n_chars value at
+    the same relative rank (rank r of n_s within a source maps to
+    global position r·(N−1) // (n_s−1); a single-doc source maps to
+    the global median position), the batch-effect correction
+    (Bolstad et al. 2003) that makes sources comparable before any
+    length-based gate: after it, every source has the SAME length
+    distribution by construction. Ranks order by (n_chars, doc_id)
+    so ties are deterministic. Tail-seated by design: snm_pairs'
+    exact-global-rank machinery bent into a per-source transform.
+
+    Scale shape: within-source ranks come from the (source, n_chars)
+    COUNT GRID (driver prefix-sums the bounded grid, broadcasts the
+    bases; each (source, value) cell local-sorts its doc_ids for the
+    tie offset — cells co-locate in one groupby); the global
+    position→value lookup is a searchsorted against the broadcast
+    (value, cumcount) grid, O(1) per doc, never a global sort
+    barrier. Output: (doc_id, source, n_chars, src_rank,
+    normalized_chars)."""
+    from ray.data.aggregate import Count as _Count
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+
+    grid = (
+        docs.groupby(["source", "n_chars"])
+        .aggregate(_Count(alias_name="c"))
+        .take_all()  # bounded: the (source, value) count grid
+    )
+    per_src: dict[str, list[tuple[int, int]]] = {}
+    for r in grid:
+        per_src.setdefault(r["source"], []).append(
+            (int(r["n_chars"]), int(r["c"]))
+        )
+    bases: dict[tuple[str, int], int] = {}
+    n_src: dict[str, int] = {}
+    gvals: dict[int, int] = {}
+    for s, cells in per_src.items():
+        run = 0
+        for v, c in sorted(cells):
+            bases[(s, v)] = run
+            run += c
+            gvals[v] = gvals.get(v, 0) + c
+        n_src[s] = run
+    vs = np.array(sorted(gvals), dtype=np.int64)
+    cum = np.cumsum([gvals[int(v)] for v in vs]).astype(np.int64)
+    n_all = int(cum[-1])
+    bref = ray.put((bases, n_src, vs, cum, n_all))
+
+    def cell_ranks(grp: pa.Table) -> pa.Table:
+        bases_, n_src_, vs_, cum_, n_ = ray.get(bref)
+        s = grp.column("source")[0].as_py()
+        v = int(grp.column("n_chars")[0].as_py())
+        ids = np.sort(
+            grp.column("doc_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        rank = bases_[(s, v)] + np.arange(len(ids), dtype=np.int64)
+        ns = n_src_[s]
+        g = (
+            rank * (n_ - 1) // (ns - 1)
+            if ns > 1
+            else np.full(len(ids), (n_ - 1) // 2, np.int64)
+        )
+        norm = vs_[np.searchsorted(cum_, g + 1)]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": pa.array([s] * len(ids), pa.string()),
+                "n_chars": pa.array(
+                    np.full(len(ids), v, np.int64), pa.int64()
+                ),
+                "src_rank": pa.array(rank, pa.int64()),
+                "normalized_chars": pa.array(
+                    norm.astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return docs.groupby(["source", "n_chars"]).map_groups(
+        cell_ranks, batch_format="pyarrow"
+    )

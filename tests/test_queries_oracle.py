@@ -360,6 +360,8 @@ SUBSET = [
     "seasonal_naive_backtest",
     "community_modularity",
     "source_shape_overlap",
+    "quantile_normalize",
+    "hhi_concentration",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
