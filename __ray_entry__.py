@@ -1494,6 +1494,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # merges associatively where Gini cannot. Tail-seated by
         # design: contingency_grid's cells under a square-law fold.
         "hhi_concentration": analytics.hhi_concentration,
+        # (round 4, wave 85) decision-stump split search — exact
+        # Gini gain in nano-units for every n_chars threshold
+        # predicting lang = 'en' (CART's split primitive), emitted
+        # as the full curve; intermediates ride bigints/HUGEINT.
+        # Tail-seated by design: hist_quantiles' value grid swept by
+        # a supervised objective.
+        "gini_split_stump": analytics.gini_split_stump,
+        # (round 4, wave 85) embedding norm² profile — exact
+        # quantized Σq² per vector folded into log2 bands per label:
+        # the collapse check embedding_drift's means can miss.
+        # Tail-seated by design: gram_matrix's diagonal through
+        # conversion_by_engagement's banding.
+        "embedding_norm_profile": similarity.embedding_norm_profile,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -6726,6 +6739,65 @@ def oracle_sql() -> dict[str, str]:
         SELECT pairs.source_a, pairs.source_b,
                CAST(coalesce(ov.o, 0) AS BIGINT) AS overlap_bp
         FROM pairs LEFT JOIN ov USING (source_a, source_b)
+    """
+
+    # gini_split_stump: exact Gini gain per threshold; all
+    # intermediates in HUGEINT, numerator provably >= 0.
+    sql["gini_split_stump"] = """
+        WITH g AS (
+          SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS p
+          FROM documents GROUP BY 1
+        ),
+        t AS (SELECT CAST(sum(c) AS HUGEINT) AS n,
+                     CAST(sum(p) AS HUGEINT) AS p FROM g),
+        cum AS (
+          SELECT v, CAST(sum(c) OVER (ORDER BY v) AS HUGEINT) AS nl,
+                 CAST(sum(p) OVER (ORDER BY v) AS HUGEINT) AS pl
+          FROM g
+        )
+        SELECT cum.v AS thr, CAST(cum.nl AS BIGINT) AS n_left,
+               CAST(cum.pl AS BIGINT) AS pos_left,
+               CAST(t.n - cum.nl AS BIGINT) AS n_right,
+               CAST(t.p - cum.pl AS BIGINT) AS pos_right,
+               CAST((2 * t.p * (t.n - t.p) * cum.nl * (t.n - cum.nl)
+                     - 2 * t.n * (cum.pl * (cum.nl - cum.pl)
+                                    * (t.n - cum.nl)
+                                  + (t.p - cum.pl)
+                                    * ((t.n - cum.nl) - (t.p - cum.pl))
+                                    * cum.nl)
+                    ) * 1000000000
+                    // (t.n * t.n * cum.nl * (t.n - cum.nl)) AS BIGINT)
+                 AS gain_x1e9
+        FROM cum, t WHERE cum.nl < t.n
+    """
+
+    # embedding_norm_profile: exact quantized norm^2 per vector,
+    # log2-banded per label; a zero norm lands in band 0.
+    sql["embedding_norm_profile"] = """
+        WITH q AS (
+          SELECT vec_id, CAST(label AS BIGINT) AS label,
+                 CAST(floor(CAST(embedding[dim + 1] AS DOUBLE)
+                      * 1000000 + 0.5) AS BIGINT) AS qv
+          FROM embeddings, UNNEST(range(0, 64)) t(dim)
+        ),
+        n2 AS (
+          SELECT vec_id, max(label) AS label,
+                 CAST(sum(qv * qv) AS BIGINT) AS m
+          FROM q GROUP BY vec_id
+        ),
+        b AS (
+          SELECT label,
+                 CAST(CASE WHEN m = 0 THEN 0
+                      ELSE len(bin(CAST(m AS UBIGINT))) END AS BIGINT)
+                   AS band,
+                 m
+          FROM n2
+        )
+        SELECT label, band, CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(sum(m) AS BIGINT) AS norm2_sum
+        FROM b GROUP BY 1, 2
     """
 
     # quantile_normalize: within-source rank maps to the global

@@ -185,6 +185,7 @@ def run_queries() -> dict[str, float]:
         "blocking_quality", "seasonal_naive_backtest",
         "community_modularity", "source_shape_overlap",
         "quantile_normalize", "hhi_concentration",
+        "gini_split_stump", "embedding_norm_profile",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -7562,3 +7562,89 @@ def hhi_concentration(sf_dir: str) -> "pa.Table":
             ),
         }
     )
+
+
+def gini_split_stump(sf_dir: str) -> "pa.Table":
+    """Decision-stump split search, exact — for every candidate
+    threshold v over n_chars (split: x ≤ v vs x > v), the Gini
+    impurity DECREASE of predicting lang = 'en', in exact nano-units:
+    gain·n²·n_l·n_r = 2p(n−p)·n_l·n_r − 2n·(p_l(n_l−p_l)·n_r +
+    p_r(n_r−p_r)·n_l), floored against the common denominator — the
+    CART split-finding primitive (Breiman et al. 1984) run at corpus
+    scale, emitted as the FULL gain curve so the best stump AND the
+    plateau around it are readable (argmax = max(gain, then min
+    thr)). Gini gain is concave-guaranteed ≥ 0, so no sign tricks
+    are needed; intermediates exceed int64 and ride Python bigints /
+    the oracle's HUGEINT. Tail-seated by design: hist_quantiles'
+    value grid swept by a supervised objective.
+
+    Scale shape: ONE bounded (n_chars value) groupby with per-batch
+    (count, positives) partials; the prefix-scan gain fold reads the
+    value GRID on the driver — rows never leave their scan. Output:
+    (thr, n_left, pos_left, n_right, pos_right, gain_x1e9)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars", "lang"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        v = batch.column("n_chars").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        en = (
+            np.asarray(batch.column("lang").to_pylist(), dtype=object) == "en"
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame({"v": v, "c": 1, "p": en})
+            .groupby("v", sort=False)
+            .agg(c=("c", "sum"), p=("p", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "v": pa.array(g["v"].to_numpy().astype(np.int64), pa.int64()),
+                "c": pa.array(g["c"].to_numpy().astype(np.int64), pa.int64()),
+                "p": pa.array(g["p"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    grid = sorted(
+        (int(r["v"]), int(r["c"]), int(r["p"]))
+        for r in ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(_Sum("c", alias_name="c"), _Sum("p", alias_name="p"))
+        .take_all()  # bounded: the n_chars value grid
+    )
+    n = sum(c for _, c, _ in grid)
+    p = sum(q for _, _, q in grid)
+    thr, nl_l, pl_l, nr_l, pr_l, gain_l = [], [], [], [], [], []
+    nl = pl = 0
+    for v, c, q in grid:
+        nl += c
+        pl += q
+        if nl >= n:
+            break  # right side must be non-empty
+        nr, pr = n - nl, p - pl
+        num = 2 * p * (n - p) * nl * nr - 2 * n * (
+            pl * (nl - pl) * nr + pr * (nr - pr) * nl
+        )
+        gain = num * 1_000_000_000 // (n * n * nl * nr)
+        thr.append(v)
+        nl_l.append(nl)
+        pl_l.append(pl)
+        nr_l.append(nr)
+        pr_l.append(pr)
+        gain_l.append(gain)
+    return pa.table(
+        {
+            "thr": pa.array(thr, pa.int64()),
+            "n_left": pa.array(nl_l, pa.int64()),
+            "pos_left": pa.array(pl_l, pa.int64()),
+            "n_right": pa.array(nr_l, pa.int64()),
+            "pos_right": pa.array(pr_l, pa.int64()),
+            "gain_x1e9": pa.array(gain_l, pa.int64()),
+        }
+    )

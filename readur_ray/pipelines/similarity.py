@@ -2871,3 +2871,78 @@ def community_modularity(sf_dir: str) -> "pa.Table":
             "q_x1e6": pa.array([q_x1e6] * len(comms), pa.int64()),
         }
     )
+
+
+def embedding_norm_profile(sf_dir: str) -> "pa.Table":
+    """Per-label profile of exact quantized norm² — each embedding's
+    Σq² (QUANT fixed-point, exact int) folded into log2 bands per
+    label, with per-(label, band) counts and the band's exact norm²
+    mass: the embedding-health check run before any cosine pipeline
+    (a label whose mass pools in low bands is collapsing toward the
+    origin; cosine there is noise — the failure mode embedding_drift's
+    per-dim means can miss because collapse preserves the mean).
+    Tail-seated by design: gram_matrix's diagonal folded through
+    conversion_by_engagement's banding.
+
+    Scale shape: each batch folds rows to (label, band) partials —
+    norm² is a row-local dot product, the band a bit-length — and ONE
+    bounded groupby (≤ labels × 64 cells) finishes; the driver reads
+    the grid. Output: (label, band, n_vectors, norm2_sum)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lab = batch.column("label").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        q = _quantize(
+            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        )
+        norm2 = (q * q).sum(axis=1)
+        band = np.zeros(len(norm2), np.int64)
+        nn = norm2.copy()
+        while (nn > 0).any():
+            band[nn > 0] += 1
+            nn >>= 1
+        g = (
+            pd.DataFrame({"l": lab, "b": band, "c": 1, "m": norm2})
+            .groupby(["l", "b"], sort=False)
+            .agg(c=("c", "sum"), m=("m", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "label": pa.array(
+                    g["l"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "band": pa.array(
+                    g["b"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "c": pa.array(g["c"].to_numpy().astype(np.int64), pa.int64()),
+                "m": pa.array(g["m"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "band"])
+        .aggregate(_Sum("c", alias_name="c"), _Sum("m", alias_name="m"))
+        .take_all()  # bounded: labels × log2 bands
+    )
+    out = sorted(
+        (int(r["label"]), int(r["band"]), int(r["c"]), int(r["m"]))
+        for r in rows
+    )
+    return pa.table(
+        {
+            "label": pa.array([r[0] for r in out], pa.int64()),
+            "band": pa.array([r[1] for r in out], pa.int64()),
+            "n_vectors": pa.array([r[2] for r in out], pa.int64()),
+            "norm2_sum": pa.array([r[3] for r in out], pa.int64()),
+        }
+    )

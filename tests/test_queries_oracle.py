@@ -362,6 +362,8 @@ SUBSET = [
     "source_shape_overlap",
     "quantile_normalize",
     "hhi_concentration",
+    "gini_split_stump",
+    "embedding_norm_profile",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
