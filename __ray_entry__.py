@@ -1507,6 +1507,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Tail-seated by design: gram_matrix's diagonal through
         # conversion_by_engagement's banding.
         "embedding_norm_profile": similarity.embedding_norm_profile,
+        # (round 4, wave 86) language-affinity matrix — hashed
+        # char-trigram signatures per lang (vectorized codepoint
+        # polynomial, no per-trigram hashing) with exact pairwise
+        # cos² in 1e-8 units; the data-driven affinity
+        # langid_confusion's error matrix cannot show. Tail-seated by
+        # design: fingerprints' hashing in source_shape_overlap's
+        # pairwise kernel.
+        "lang_signature_cosine": textops.lang_signature_cosine,
+        # (round 4, wave 86) dictionary-encoding benefit audit —
+        # exact raw vs dict byte math (Σ strlen, distinct entries +
+        # n × index width) with savings in bp for every
+        # dict-candidate column; the per-chunk decision Parquet
+        # writers actually make. Tail-seated by design:
+        # profile_columns' fold with storage-cost arithmetic.
+        "dict_encoding_audit": analytics.dict_encoding_audit,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -6739,6 +6754,83 @@ def oracle_sql() -> dict[str, str]:
         SELECT pairs.source_a, pairs.source_b,
                CAST(coalesce(ov.o, 0) AS BIGINT) AS overlap_bp
         FROM pairs LEFT JOIN ov USING (source_a, source_b)
+    """
+
+    # lang_signature_cosine: codepoint-polynomial trigram buckets;
+    # cos^2 in 1e-8 units, dot^2 on HUGEINT.
+    sql["lang_signature_cosine"] = """
+        WITH tg AS MATERIALIZED (
+          SELECT lang,
+                 (unicode(substr(lt, i, 1)) * 961
+                  + unicode(substr(lt, i + 1, 1)) * 31
+                  + unicode(substr(lt, i + 2, 1))) % 256 AS bucket
+          FROM (SELECT lang, lower(text) AS lt FROM documents),
+               UNNEST(range(1, length(lt) - 1)) AS t(i)
+          WHERE length(lt) >= 3
+        ),
+        g AS MATERIALIZED (
+          SELECT lang, bucket, CAST(count(*) AS BIGINT) AS c
+          FROM tg GROUP BY 1, 2
+        ),
+        nrm AS (SELECT lang, CAST(sum(c * c) AS BIGINT) AS n2
+                FROM g GROUP BY 1),
+        dots AS (
+          SELECT a.lang AS lang_a, b.lang AS lang_b,
+                 CAST(sum(a.c * b.c) AS BIGINT) AS dot
+          FROM g a JOIN g b ON a.bucket = b.bucket AND a.lang < b.lang
+          GROUP BY 1, 2
+        ),
+        pairs AS (SELECT a.lang AS lang_a, b.lang AS lang_b
+                  FROM nrm a JOIN nrm b ON a.lang < b.lang)
+        SELECT p.lang_a, p.lang_b,
+               CAST(coalesce(d.dot, 0) AS BIGINT) AS dot,
+               CAST(CAST(coalesce(d.dot, 0) AS HUGEINT)
+                    * coalesce(d.dot, 0) * 100000000
+                    // (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT)
+                 AS cos2_x1e8
+        FROM pairs p
+        LEFT JOIN dots d ON d.lang_a = p.lang_a AND d.lang_b = p.lang_b
+        JOIN nrm na ON na.lang = p.lang_a
+        JOIN nrm nb ON nb.lang = p.lang_b
+    """
+
+    # dict_encoding_audit: raw vs dictionary bytes per candidate
+    # column; index width by cardinality; shifted floor division.
+    sql["dict_encoding_audit"] = """
+        WITH u AS MATERIALIZED (
+          SELECT 'documents' AS table_name, 'source' AS column_name,
+                 source AS v FROM documents
+          UNION ALL
+          SELECT 'documents', 'lang', lang FROM documents
+          UNION ALL
+          SELECT 'events', 'event_type', event_type FROM events
+        ),
+        agg AS (
+          SELECT table_name, column_name,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+                 CAST(sum(strlen(v)) AS BIGINT) AS raw_bytes
+          FROM u GROUP BY 1, 2
+        ),
+        de AS (
+          SELECT table_name, column_name,
+                 CAST(sum(strlen(v)) AS BIGINT) AS dict_entries
+          FROM (SELECT DISTINCT table_name, column_name, v FROM u)
+          GROUP BY 1, 2
+        ),
+        j AS (
+          SELECT agg.*, de.dict_entries,
+                 CASE WHEN agg.n_distinct <= 256 THEN 1
+                      WHEN agg.n_distinct <= 65536 THEN 2
+                      ELSE 4 END AS idx
+          FROM agg JOIN de USING (table_name, column_name)
+        )
+        SELECT table_name, column_name, n_rows, n_distinct, raw_bytes,
+               CAST(dict_entries + n_rows * idx AS BIGINT) AS dict_bytes,
+               CAST((raw_bytes - (dict_entries + n_rows * idx)
+                     + 8 * raw_bytes) * 10000 // raw_bytes - 80000
+                    AS BIGINT) AS savings_bp
+        FROM j
     """
 
     # gini_split_stump: exact Gini gain per threshold; all

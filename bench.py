@@ -186,6 +186,7 @@ def run_queries() -> dict[str, float]:
         "community_modularity", "source_shape_overlap",
         "quantile_normalize", "hhi_concentration",
         "gini_split_stump", "embedding_norm_profile",
+        "lang_signature_cosine", "dict_encoding_audit",
     ]
     out: dict[str, float] = {}
     for name in picks:

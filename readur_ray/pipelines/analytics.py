@@ -7648,3 +7648,81 @@ def gini_split_stump(sf_dir: str) -> "pa.Table":
             "gain_x1e9": pa.array(gain_l, pa.int64()),
         }
     )
+
+
+DICT_AUDIT_COLS = (
+    ("documents", "source"),
+    ("documents", "lang"),
+    ("events", "event_type"),
+)
+
+
+def dict_encoding_audit(sf_dir: str) -> "pa.Table":
+    """Dictionary-encoding benefit audit — for each low-cardinality
+    string column the writer could dictionary-encode, the exact byte
+    math a columnar layout decision needs: raw bytes (Σ strlen),
+    dictionary bytes (Σ strlen over DISTINCT values + n rows × the
+    index width 1/2/4 chosen by cardinality), and the savings in bp
+    (offset-shifted floor so a pathological negative saving still
+    divides exactly). profile_columns reports shapes and
+    front_coding_audit prices prefix compression of SORTED keys —
+    this prices the dictionary, the decision Parquet writers
+    actually make per column chunk. Tail-seated by design:
+    profile_columns' per-column fold with storage-cost arithmetic.
+
+    Scale shape: per column ONE (value) groupby with per-batch
+    (count, bytes) partials — dictionary candidates are
+    low-cardinality by selection, so the distinct grid is bounded;
+    the driver reads it and does pure integer byte math. Output:
+    (table_name, column_name, n_rows, n_distinct, raw_bytes,
+    dict_bytes, savings_bp)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    rows = []
+    for table, col in DICT_AUDIT_COLS:
+        ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[col])
+
+        def partial(batch: pa.Table, _c=col) -> pa.Table:
+            vals = np.asarray(batch.column(_c).to_pylist(), dtype=object)
+            g = (
+                pd.DataFrame({"v": vals, "c": 1})
+                .groupby("v", sort=False)["c"]
+                .sum()
+                .reset_index()
+            )
+            return pa.table(
+                {
+                    "v": pa.array(g["v"], pa.string()),
+                    "c": pa.array(
+                        g["c"].to_numpy().astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        grid = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("v")
+            .aggregate(_Sum("c", alias_name="c"))
+            .take_all()  # bounded: the column's distinct values
+        )
+        n = sum(int(r["c"]) for r in grid)
+        d = len(grid)
+        raw = sum(len(r["v"].encode()) * int(r["c"]) for r in grid)
+        dict_entries = sum(len(r["v"].encode()) for r in grid)
+        idx_bytes = 1 if d <= 256 else (2 if d <= 65536 else 4)
+        dict_total = dict_entries + n * idx_bytes
+        savings_bp = (raw - dict_total + 8 * raw) * 10_000 // raw - 80_000
+        rows.append((table, col, n, d, raw, dict_total, savings_bp))
+    return pa.table(
+        {
+            "table_name": pa.array([r[0] for r in rows], pa.string()),
+            "column_name": pa.array([r[1] for r in rows], pa.string()),
+            "n_rows": pa.array([r[2] for r in rows], pa.int64()),
+            "n_distinct": pa.array([r[3] for r in rows], pa.int64()),
+            "raw_bytes": pa.array([r[4] for r in rows], pa.int64()),
+            "dict_bytes": pa.array([r[5] for r in rows], pa.int64()),
+            "savings_bp": pa.array([r[6] for r in rows], pa.int64()),
+        }
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -1465,4 +1466,94 @@ def readability_stats(sf_dir: str) -> "ray.data.Dataset":
             _Sum("c", alias_name="c_p"),
         )
         .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+LSC_BUCKETS = 256   # hashed char-trigram signature width
+LSC_P = 31          # polynomial rolling-hash base (codepoints)
+
+
+def lang_signature_cosine(sf_dir: str) -> "pa.Table":
+    """Pairwise language similarity from hashed char-trigram
+    profiles — per lang, counts of lower(text) char trigrams hashed
+    to LSC_BUCKETS by the polynomial (c₀·31² + c₁·31 + c₂) mod 256
+    over Unicode codepoints; per lang pair the exact signature dot
+    product and cos² in 1e-8 units (dot²·10⁸ // (‖a‖²·‖b‖²) — the
+    square dodges the irrational norm, and counts are non-negative
+    so no sign is lost). The DATA-DRIVEN language affinity matrix
+    (es↔fr close, en↔de mid) that langid_confusion (classifier
+    errors) only shows where the classifier is wrong. Tail-seated by
+    design: fingerprints' hashing discipline folded into
+    source_shape_overlap's pairwise kernel.
+
+    Scale shape: per-batch (lang, bucket) Counter partials — a doc
+    contributes its trigram multiset via one vectorized codepoint
+    convolution, no per-trigram Python hash — ONE bounded groupby
+    (langs × 256), pairwise fold on the driver over that grid.
+    Output: (lang_a, lang_b, dot, cos2_x1e8)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        texts = batch.column("text").to_pylist()
+        acc: dict[str, np.ndarray] = {}
+        for lang, text in zip(langs, texts):
+            t = (text or "").lower()
+            if len(t) < 3:
+                continue
+            cp = np.fromiter(map(ord, t), dtype=np.int64, count=len(t))
+            h = (
+                cp[:-2] * (LSC_P * LSC_P) + cp[1:-1] * LSC_P + cp[2:]
+            ) % LSC_BUCKETS
+            vec = acc.setdefault(lang, np.zeros(LSC_BUCKETS, np.int64))
+            vec += np.bincount(h, minlength=LSC_BUCKETS)
+        out_l, out_b, out_c = [], [], []
+        for lang, vec in acc.items():
+            nz = np.nonzero(vec)[0]
+            out_l += [lang] * len(nz)
+            out_b += nz.tolist()
+            out_c += vec[nz].tolist()
+        return pa.table(
+            {
+                "lang": pa.array(out_l, pa.string()),
+                "bucket": pa.array(out_b, pa.int64()),
+                "c": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    grid = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "bucket"])
+        .aggregate(_Sum("c", alias_name="c"))
+        .take_all()  # bounded: langs × LSC_BUCKETS cells
+    )
+    sig: dict[str, np.ndarray] = {}
+    for r in grid:
+        sig.setdefault(r["lang"], np.zeros(LSC_BUCKETS, np.int64))[
+            int(r["bucket"])
+        ] = int(r["c"])
+    langs = sorted(sig)
+    out_a, out_b2, out_d, out_q = [], [], [], []
+    for i, la in enumerate(langs):
+        for lb in langs[i + 1 :]:
+            dot = int((sig[la] * sig[lb]).sum())
+            na = int((sig[la] * sig[la]).sum())
+            nb = int((sig[lb] * sig[lb]).sum())
+            out_a.append(la)
+            out_b2.append(lb)
+            out_d.append(dot)
+            out_q.append(dot * dot * 100_000_000 // (na * nb))
+    return pa.table(
+        {
+            "lang_a": pa.array(out_a, pa.string()),
+            "lang_b": pa.array(out_b2, pa.string()),
+            "dot": pa.array(out_d, pa.int64()),
+            "cos2_x1e8": pa.array(out_q, pa.int64()),
+        }
     )

@@ -364,6 +364,8 @@ SUBSET = [
     "hhi_concentration",
     "gini_split_stump",
     "embedding_norm_profile",
+    "lang_signature_cosine",
+    "dict_encoding_audit",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
