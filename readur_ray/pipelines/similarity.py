@@ -1154,7 +1154,33 @@ def kmeans_inertia(sf_dir: str, nlist: int = KM_K) -> "ray.data.Dataset":
     )
 
 
+_MUTUAL_EDGES_CACHE: dict[tuple, "ray.data.Dataset"] = {}
+
+
 def mutual_knn(sf_dir: str) -> "ray.data.Dataset":
+    """Registry entry for mutual-kNN edges — memoized per (corpus,
+    session) with the knn_edges_materialized discipline, because three
+    consumers share it (the registry entry, label propagation's edge
+    list, community_modularity's scoring pass); see _mutual_build for
+    the algorithm."""
+    import os as _os
+
+    emb_path = _os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        session = ray.get_runtime_context().get_job_id()
+    except Exception:
+        session = None
+    key = (_os.path.abspath(sf_dir), _os.path.getmtime(emb_path), session)
+    ds = _MUTUAL_EDGES_CACHE.get(key)
+    if ds is None:
+        ds = _mutual_build(sf_dir).materialize()
+        for stale in [k for k in _MUTUAL_EDGES_CACHE if k != key]:
+            del _MUTUAL_EDGES_CACHE[stale]
+        _MUTUAL_EDGES_CACHE[key] = ds
+    return ds
+
+
+def _mutual_build(sf_dir: str) -> "ray.data.Dataset":
     """Reciprocal (mutual) nearest neighbors — the pairs (a, b) where
     b is in a's kNN list AND a is in b's: the alignment-mining filter
     (margin-based bitext mining, mutual-NN image matching) that cuts
@@ -2549,9 +2575,79 @@ def embedding_drift(sf_dir: str) -> "pa.Table":
 
 
 LP_ROUNDS = 3   # synchronized label-propagation rounds
+LP_LOCAL_MAX = 2_000_000  # directed rows below which LP runs width-1
+
+
+def _lp_local_rounds(tbl: "pa.Table") -> "pa.Table":
+    """All LP_ROUNDS synchronized rounds over the whole directed edge
+    list in one vectorized task — the width-1 leg of _lp_build's
+    size-adaptive plan. Identical fold: each node adopts the most
+    frequent label among its neighbors, ties broken by the smallest
+    label."""
+    v = tbl.column("v").to_numpy(zero_copy_only=False)
+    u = tbl.column("u").to_numpy(zero_copy_only=False)
+    nodes = np.unique(v)  # every non-isolated node appears as v
+    vi = np.searchsorted(nodes, v)
+    ui = np.searchsorted(nodes, u)
+    lab = nodes.copy()
+    for _ in range(LP_ROUNDS):
+        nl = lab[ui]  # the neighbor's current label, per directed edge
+        order = np.lexsort((nl, vi))
+        sv, sl = vi[order], nl[order]
+        new_grp = np.r_[True, (sv[1:] != sv[:-1]) | (sl[1:] != sl[:-1])]
+        gv, gl = sv[new_grp], sl[new_grp]
+        starts = np.nonzero(new_grp)[0]
+        counts = np.diff(np.r_[starts, len(sv)])
+        # argmax per node by (count desc, label asc)
+        o2 = np.lexsort((gl, -counts, gv))
+        gv2 = gv[o2]
+        first = np.r_[True, gv2[1:] != gv2[:-1]]
+        new_lab = lab.copy()
+        new_lab[gv2[first]] = gl[o2][first]
+        lab = new_lab
+    return pa.table(
+        {
+            "vec_id": pa.array(nodes, pa.int64()),
+            "community": pa.array(lab, pa.int64()),
+        }
+    )
+
+
+_LP_LABELS_CACHE: dict[tuple, "ray.data.Dataset"] = {}
+
+
+def lp_labels_materialized(sf_dir: str) -> "ray.data.Dataset":
+    """The memoized label-propagation assignment (vec_id, community) —
+    shared root for the registry's label_propagation entry and
+    community_modularity's scoring pass, the knn_edges_materialized /
+    pairs_materialized discipline: the LP_ROUNDS exchange rounds run
+    ONCE per (corpus, session); modularity only pays its own two
+    co-partitions."""
+    import os as _os
+
+    emb_path = _os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        session = ray.get_runtime_context().get_job_id()
+    except Exception:
+        session = None
+    key = (_os.path.abspath(sf_dir), _os.path.getmtime(emb_path), session)
+    ds = _LP_LABELS_CACHE.get(key)
+    if ds is None:
+        ds = _lp_build(sf_dir).materialize()
+        for stale in [k for k in _LP_LABELS_CACHE if k != key]:
+            del _LP_LABELS_CACHE[stale]
+        _LP_LABELS_CACHE[key] = ds
+    return ds
 
 
 def label_propagation(sf_dir: str) -> "ray.data.Dataset":
+    """Registry entry for LP communities — returns the memoized
+    assignment (see lp_labels_materialized for the build/cache
+    contract and _lp_build for the algorithm)."""
+    return lp_labels_materialized(sf_dir)
+
+
+def _lp_build(sf_dir: str) -> "ray.data.Dataset":
     """Community detection by synchronized label propagation over the
     mutual-kNN graph (Raghavan et al. 2007, made deterministic): every
     node starts labeled with its own vec_id; each round it adopts the
@@ -2599,6 +2695,18 @@ def label_propagation(sf_dir: str) -> "ray.data.Dataset":
     # graphs keep the full coarse width.
     n_dir = dir_ds.count()
     lp_parts = N_COARSE_PARTS if n_dir >= 1_000_000 else 8
+
+    # Width-1 escape (the size-adaptive discipline taken to its
+    # floor): below LP_LOCAL_MAX directed rows the whole graph is a
+    # few MB of int64 — the exchange plan's 2·LP_ROUNDS all-to-alls
+    # are pure fixed cost, so run every synchronized round inside ONE
+    # worker task with the identical (most-frequent, tie-smallest)
+    # fold vectorized in numpy. Same semantics, same oracle;
+    # test_lp_exchange_parity pins exchange-plan == local-plan.
+    if n_dir < LP_LOCAL_MAX:
+        return dir_ds.repartition(1).map_batches(
+            _lp_local_rounds, batch_format="pyarrow", batch_size=None
+        )
 
     from ray.data.aggregate import Min as _Min
 
@@ -2721,9 +2829,58 @@ def community_modularity(sf_dir: str) -> "pa.Table":
 
     from ..stages.shuffle import N_COARSE_PARTS
 
-    labels = label_propagation(sf_dir).materialize()
-    edges = mutual_knn(sf_dir).materialize()
+    labels = lp_labels_materialized(sf_dir)
+    edges = mutual_knn(sf_dir)  # memoized, already materialized
     m_edges = edges.count()
+    # Size-adaptive exchange width (the _lp_build discipline): the
+    # scoring co-partitions move only int64 rows, so tiny graphs use
+    # few partitions — the all-to-all fixed cost dominates below ~1M
+    # directed rows — while big graphs keep the full coarse width.
+    md_parts = N_COARSE_PARTS if 2 * m_edges >= 1_000_000 else 8
+
+    # Width-1 escape: below LP_LOCAL_MAX tagged rows, score the whole
+    # graph in ONE worker task (a few MB of int64) instead of paying
+    # five all-to-alls of pure fixed cost; identical grid + fold,
+    # pinned by test_modularity_exchange_parity.
+    if 2 * m_edges < LP_LOCAL_MAX:
+
+        def lab_tag(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "a": batch.column("vec_id").cast(pa.int64()),
+                    "b": batch.column("community").cast(pa.int64()),
+                    "side": pa.array(
+                        np.zeros(batch.num_rows, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        def edge_tag(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "a": batch.column("vec_a").cast(pa.int64()),
+                    "b": batch.column("vec_b").cast(pa.int64()),
+                    "side": pa.array(
+                        np.ones(batch.num_rows, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        grid = (
+            labels.map_batches(lab_tag, batch_format="pyarrow")
+            .union(edges.map_batches(edge_tag, batch_format="pyarrow"))
+            .repartition(1)
+            .map_batches(
+                _md_score_local, batch_format="pyarrow", batch_size=None
+            )
+            .take_all()  # bounded: one row per community
+        )
+        deg = {int(r["comm"]): int(r["d"]) for r in grid}
+        intra = {
+            int(r["comm"]): int(r["e"]) for r in grid if int(r["e"]) > 0
+        }
+        n_nodes = {int(r["comm"]): int(r["n"]) for r in grid}
+        return _md_fold(deg, intra, n_nodes, m_edges)
 
     def lab_rows(batch: pa.Table) -> pa.Table:
         node = batch.column("vec_id").cast(pa.int64()).to_numpy(
@@ -2740,7 +2897,7 @@ def community_modularity(sf_dir: str) -> "pa.Table":
                 "pos": pa.array(np.zeros(n, np.int64), pa.int64()),
                 "comm": pa.array(comm, pa.int64()),
                 "side": pa.array(np.zeros(n, np.int64), pa.int64()),
-                "part": pa.array(node % N_COARSE_PARTS, pa.int64()),
+                "part": pa.array(node % md_parts, pa.int64()),
             }
         )
 
@@ -2765,7 +2922,7 @@ def community_modularity(sf_dir: str) -> "pa.Table":
                 "pos": pa.array(pos, pa.int64()),
                 "comm": pa.array(np.zeros(n, np.int64), pa.int64()),
                 "side": pa.array(np.ones(n, np.int64), pa.int64()),
-                "part": pa.array(node % N_COARSE_PARTS, pa.int64()),
+                "part": pa.array(node % md_parts, pa.int64()),
             }
         )
 
@@ -2784,7 +2941,7 @@ def community_modularity(sf_dir: str) -> "pa.Table":
                 "comm": pa.array(
                     mm["comm_b"].to_numpy().astype(np.int64), pa.int64()
                 ),
-                "epart": pa.array(ek % N_COARSE_PARTS, pa.int64()),
+                "epart": pa.array(ek % md_parts, pa.int64()),
             }
         )
 
@@ -2853,6 +3010,51 @@ def community_modularity(sf_dir: str) -> "pa.Table":
         .aggregate(_Sum("one", alias_name="n"))
         .take_all()  # bounded: one row per community
     }
+    return _md_fold(deg, intra, n_nodes, m_edges)
+
+
+def _md_score_local(tbl: "pa.Table") -> "pa.Table":
+    """Whole-graph modularity grid in one vectorized task — the
+    width-1 leg of community_modularity: per community the node
+    count, intra-edge count and directed-endpoint degree mass, from
+    the tagged union of (vec_id, community, side=0) label rows and
+    (vec_a, vec_b, side=1) edge rows."""
+    side = tbl.column("side").to_numpy(zero_copy_only=False)
+    a = tbl.column("a").to_numpy(zero_copy_only=False)
+    b = tbl.column("b").to_numpy(zero_copy_only=False)
+    lab_mask = side == 0
+    nodes, comm = a[lab_mask], b[lab_mask]
+    order = np.argsort(nodes)
+    nodes, comm = nodes[order], comm[order]
+    ea, eb = a[~lab_mask], b[~lab_mask]
+    ca = comm[np.searchsorted(nodes, ea)]
+    cb = comm[np.searchsorted(nodes, eb)]
+    comms = np.unique(comm)
+    ci = np.searchsorted(comms, comm)
+    cia = np.searchsorted(comms, ca)
+    cib = np.searchsorted(comms, cb)
+    n_nodes = np.bincount(ci, minlength=len(comms))
+    deg = np.bincount(cia, minlength=len(comms)) + np.bincount(
+        cib, minlength=len(comms)
+    )
+    intra = np.bincount(
+        cia[cia == cib], minlength=len(comms)
+    )
+    return pa.table(
+        {
+            "comm": pa.array(comms, pa.int64()),
+            "n": pa.array(n_nodes.astype(np.int64), pa.int64()),
+            "e": pa.array(intra.astype(np.int64), pa.int64()),
+            "d": pa.array(deg.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _md_fold(
+    deg: dict, intra: dict, n_nodes: dict, m_edges: int
+) -> "pa.Table":
+    """Shared final Q fold over the per-community grid (exact shifted
+    floor division; Q ≥ −½ keeps the numerator non-negative)."""
     comms = sorted(n_nodes)
     num = sum(
         4 * m_edges * intra.get(c, 0) - deg[c] * deg[c] for c in comms

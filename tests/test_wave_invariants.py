@@ -138,3 +138,34 @@ def test_weighted_sample_prefers_heavy_docs(ray_session):
         f"{SF_DIR}/documents.parquet", columns=["n_chars"]
     ).to_pandas()["n_chars"]
     assert got["weight"].mean() > all_w[all_w > 0].mean()
+
+
+def test_lp_exchange_parity(ray_session, monkeypatch):
+    """The width-1 LP leg and the full exchange plan are the same
+    algorithm: force the exchange path (LP_LOCAL_MAX=0, cold cache)
+    and pin its assignment row-for-row against the width-1 result."""
+    from readur_ray.pipelines import similarity as S
+
+    local = (
+        S._lp_build(SF_DIR).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    monkeypatch.setattr(S, "LP_LOCAL_MAX", 0)
+    exchange = (
+        S._lp_build(SF_DIR).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(local, exchange, check_exact=True)
+
+
+def test_modularity_exchange_parity(ray_session, monkeypatch):
+    """Same contract for the modularity scorer: the one-task grid and
+    the five-stage exchange plan agree bit-for-bit."""
+    from readur_ray.pipelines import similarity as S
+
+    local = S.community_modularity(SF_DIR).to_pandas()
+    monkeypatch.setattr(S, "LP_LOCAL_MAX", 0)
+    exchange = S.community_modularity(SF_DIR).to_pandas()
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(local, exchange, check_exact=True)
