@@ -1522,6 +1522,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # writers actually make. Tail-seated by design:
         # profile_columns' fold with storage-cost arithmetic.
         "dict_encoding_audit": analytics.dict_encoding_audit,
+        # (round 4, wave 87) exact Pearson chi² decomposition of the
+        # source × lang contingency — the TEST on top of
+        # contingency_grid's counts: per cell O, E in 1e-6 and the
+        # cross-multiplied contribution (all integer/HUGEINT), total
+        # as the sum of floored cell terms. Tail-seated by design:
+        # contingency_grid's counts through welch_t2_grid's
+        # cross-multiplication discipline.
+        "chi2_independence": analytics.chi2_independence,
+        # (round 4, wave 87) reliability diagram + exact ECE of the
+        # fixed saturating propensity p=s/(s+3) over roc_points'
+        # score grid — the calibration half of classifier eval
+        # (roc discriminates; this checks the probabilities are
+        # honest). Tail-seated by design: roc_points' grid against a
+        # fixed link function.
+        "calibration_bins": analytics.calibration_bins,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -6831,6 +6846,73 @@ def oracle_sql() -> dict[str, str]:
                      + 8 * raw_bytes) * 10000 // raw_bytes - 80000
                     AS BIGINT) AS savings_bp
         FROM j
+    """
+
+    # chi2_independence: full marginal cross (zero cells included);
+    # (O·N − R·C)² on HUGEINT, total = sum of floored cell terms.
+    sql["chi2_independence"] = """
+        WITH g AS MATERIALIZED (
+          SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1, 2
+        ),
+        r AS (SELECT source, CAST(sum(c) AS BIGINT) AS rc FROM g GROUP BY 1),
+        l AS (SELECT lang, CAST(sum(c) AS BIGINT) AS lc FROM g GROUP BY 1),
+        t AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM g),
+        cells AS (
+          SELECT r.source, l.lang, r.rc, l.lc, t.nn,
+                 CAST(coalesce(g.c, 0) AS BIGINT) AS obs
+          FROM r CROSS JOIN l CROSS JOIN t
+          LEFT JOIN g ON g.source = r.source AND g.lang = l.lang
+        ),
+        scored AS (
+          SELECT source, lang, obs,
+                 CAST(rc * lc * 1000000 // nn AS BIGINT) AS exp_x1e6,
+                 CAST((CAST(obs AS HUGEINT) * nn - CAST(rc AS HUGEINT) * lc)
+                      * (CAST(obs AS HUGEINT) * nn - CAST(rc AS HUGEINT) * lc)
+                      * 1000000
+                      // (CAST(nn AS HUGEINT) * rc * lc) AS BIGINT)
+                   AS contrib_x1e6
+          FROM cells
+        )
+        SELECT source, lang, obs, exp_x1e6, contrib_x1e6,
+               CAST(sum(contrib_x1e6) OVER () AS BIGINT) AS chi2_x1e6
+        FROM scored
+    """
+
+    # calibration_bins: fixed propensity p=s/(s+3) in 1e-6; gap and
+    # ECE on the common n·1e6 denominator, abs before the floor.
+    sql["calibration_bins"] = """
+        WITH ud AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+                 CAST(count(*) AS BIGINT) AS s,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS y
+          FROM events GROUP BY 1, 2
+        ),
+        g AS MATERIALIZED (
+          SELECT s, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS pos
+          FROM ud GROUP BY 1
+        ),
+        ph AS (
+          SELECT s, n, pos, s * 1000000 // (s + 3) AS p_hat FROM g
+        ),
+        b AS (
+          SELECT p_hat * 10 // 1000000 AS bin,
+                 CAST(sum(n) AS BIGINT) AS n,
+                 CAST(sum(pos) AS BIGINT) AS pos,
+                 CAST(sum(p_hat * n) AS BIGINT) AS conf_sum
+          FROM ph GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                       CAST(sum(abs(pos * 1000000 - conf_sum)) AS BIGINT)
+                         AS num
+                FROM b)
+        SELECT CAST(bin AS BIGINT) AS bin, b.n, b.pos, b.conf_sum,
+               CAST(abs(b.pos * 1000000 - b.conf_sum) // b.n AS BIGINT)
+                 AS gap_x1e6,
+               CAST(tot.num // tot.nn AS BIGINT) AS ece_x1e6
+        FROM b, tot
     """
 
     # gini_split_stump: exact Gini gain per threshold; all

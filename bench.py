@@ -187,6 +187,7 @@ def run_queries() -> dict[str, float]:
         "quantile_normalize", "hhi_concentration",
         "gini_split_stump", "embedding_norm_profile",
         "lang_signature_cosine", "dict_encoding_audit",
+        "chi2_independence", "calibration_bins",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -7305,23 +7305,19 @@ def shard_balance_plan(sf_dir: str) -> "pa.Table":
 ROC_DAY_US = 86_400_000_000   # µs per day — the user-day grain
 
 
-def roc_points(sf_dir: str) -> "pa.Table":
-    """ROC curve + exact Mann-Whitney AUC of the simplest conversion
-    propensity model — score a USER-DAY by its event count, label it
-    by whether a purchase happened that day, and sweep every integer
-    threshold t (predict positive iff score ≥ t): per threshold the
-    exact confusion (tp, fp, fn, tn) with TPR/FPR in basis points,
-    plus the threshold-free AUC as the exact Mann-Whitney U statistic
-    (ties at half weight) in millionths — the classifier eval loop
-    (ndcg_search ranks, kappa_agreement agrees, this discriminates)
-    closed with pure integer arithmetic. Tail-seated by design:
-    conversion_by_engagement's grain swept into a curve.
+def _conversion_score_grid(sf_dir: str) -> list[tuple[int, int, int]]:
+    """The conversion-propensity SCORE GRID shared by roc_points and
+    calibration_bins — score a USER-DAY by its event count, label it
+    by whether a purchase happened that day; returns the bounded
+    sorted grid [(score, positives, negatives)]. roc_points sweeps it
+    into the exact confusion curve + Mann-Whitney AUC (ties at half
+    weight, millionths); calibration_bins scores a fixed saturating
+    propensity model against it. Pure integer arithmetic throughout.
 
     Scale shape: one (user, day) groupby completes the grain (Sum
     count, Max label), a second bounded groupby folds it to the
-    SCORE GRID (≤ max daily events rows); the driver reads only the
-    grid and emits one row per distinct score. Output: (thr, tp, fp,
-    fn, tn, tpr_bp, fpr_bp, auc_x1e6)."""
+    score grid (≤ max daily events rows); callers read only the
+    grid."""
     import pandas as pd
 
     from ray.data.aggregate import Max as _Max
@@ -7377,7 +7373,14 @@ def roc_points(sf_dir: str) -> "pa.Table":
         .aggregate(_Sum("pos", alias_name="pos"), _Sum("neg", alias_name="neg"))
         .take_all()  # bounded: the daily-event-count score grid
     )
-    rows = sorted((int(r["s"]), int(r["pos"]), int(r["neg"])) for r in grid)
+    return sorted((int(r["s"]), int(r["pos"]), int(r["neg"])) for r in grid)
+
+
+def roc_points(sf_dir: str) -> "pa.Table":
+    """ROC curve + exact Mann-Whitney AUC over the conversion score
+    grid (see _conversion_score_grid for the grain and docstring of
+    record — this is the fold half of the original single function)."""
+    rows = _conversion_score_grid(sf_dir)
     p_tot = sum(p for _, p, _ in rows)
     n_tot = sum(n for _, _, n in rows)
     u2 = 0
@@ -7724,5 +7727,141 @@ def dict_encoding_audit(sf_dir: str) -> "pa.Table":
             "raw_bytes": pa.array([r[4] for r in rows], pa.int64()),
             "dict_bytes": pa.array([r[5] for r in rows], pa.int64()),
             "savings_bp": pa.array([r[6] for r in rows], pa.int64()),
+        }
+    )
+
+
+CAL_K = 3      # saturating-propensity half-point: p_hat = s/(s+K)
+CAL_BINS = 10  # equal-width probability bins
+
+
+def calibration_bins(sf_dir: str) -> "pa.Table":
+    """Reliability diagram + exact ECE of a FIXED propensity model —
+    score every user-day by the saturating curve p_hat = s/(s+CAL_K)
+    (in millionths, exact floor) where s is the day's event count,
+    fold user-days into CAL_BINS equal-width probability bins, and
+    per bin emit count, positives, confidence mass and the exact
+    calibration gap |pos/n − conf/n| in millionths (one common
+    denominator, so |pos·10⁶ − conf_sum| // n is exact), plus the
+    corpus ECE = Σ_b |pos_b·10⁶ − conf_b| // N. roc_points asks
+    whether the score DISCRIMINATES; this asks whether its
+    probabilities are HONEST — the other half of classifier eval,
+    and the one that decides if scores can gate data (a miscalibrated
+    quality gate silently shifts the kept distribution). Tail-seated
+    by design: roc_points' grid against a fixed link function.
+
+    Scale shape: consumes the bounded _conversion_score_grid (two
+    groupbys, per-batch partials); the bin fold is pure driver
+    integer math over that grid. Output: (bin, n, pos, conf_sum,
+    gap_x1e6, ece_x1e6), non-empty bins only."""
+    rows = _conversion_score_grid(sf_dir)
+    acc: dict[int, list[int]] = {}
+    for s, pos, neg in rows:
+        n = pos + neg
+        p_hat = s * 1_000_000 // (s + CAL_K)
+        b = p_hat * CAL_BINS // 1_000_000
+        cell = acc.setdefault(b, [0, 0, 0])
+        cell[0] += n
+        cell[1] += pos
+        cell[2] += p_hat * n
+    n_tot = sum(c[0] for c in acc.values())
+    num_tot = sum(
+        abs(c[1] * 1_000_000 - c[2]) for c in acc.values()
+    )
+    ece = num_tot // n_tot
+    bins = sorted(acc)
+    return pa.table(
+        {
+            "bin": pa.array(bins, pa.int64()),
+            "n": pa.array([acc[b][0] for b in bins], pa.int64()),
+            "pos": pa.array([acc[b][1] for b in bins], pa.int64()),
+            "conf_sum": pa.array([acc[b][2] for b in bins], pa.int64()),
+            "gap_x1e6": pa.array(
+                [
+                    abs(acc[b][1] * 1_000_000 - acc[b][2]) // acc[b][0]
+                    for b in bins
+                ],
+                pa.int64(),
+            ),
+            "ece_x1e6": pa.array([ece] * len(bins), pa.int64()),
+        }
+    )
+
+
+def chi2_independence(sf_dir: str) -> "pa.Table":
+    """Exact Pearson chi-square decomposition of the source × lang
+    contingency — for EVERY cell of the full marginal cross (including
+    zero-observation cells) the observed count, the expected count in
+    millionths (R·C·10⁶ // N) and the cell's chi-square contribution
+    (O·N − R·C)²·10⁶ // (N·R·C) — numerator a square so provably
+    ≥ 0, intermediates on Python ints / HUGEINT — plus the total
+    statistic as the sum of the floored cell terms (mirrored exactly
+    in SQL). contingency_grid emits the counts; this emits the TEST —
+    which cells drive source/language dependence, the routing signal
+    a mixture-weights job needs. Tail-seated by design:
+    contingency_grid's counts pushed through cross-multiplied
+    inference.
+
+    Scale shape: per-batch (source, lang) Counter partials → ONE
+    bounded groupby (sources × langs grid); marginals and the
+    cross-multiplied fold are pure driver integer math over that
+    grid. Output: (source, lang, obs, exp_x1e6, contrib_x1e6,
+    chi2_x1e6)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        la = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        g = (
+            pd.DataFrame({"source": s, "lang": la, "c": 1})
+            .groupby(["source", "lang"], sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "lang": pa.array(g["lang"], pa.string()),
+                "c": pa.array(g["c"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    grid = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(_Sum("c", alias_name="c"))
+        .take_all()  # bounded: sources × langs cells
+    )
+    obs = {(r["source"], r["lang"]): int(r["c"]) for r in grid}
+    sources = sorted({k[0] for k in obs})
+    langs = sorted({k[1] for k in obs})
+    rc = {s: sum(obs.get((s, la), 0) for la in langs) for s in sources}
+    lc = {la: sum(obs.get((s, la), 0) for s in sources) for la in langs}
+    nn = sum(rc.values())
+    out_s, out_l, out_o, out_e, out_c = [], [], [], [], []
+    for s in sources:
+        for la in langs:
+            o = obs.get((s, la), 0)
+            diff = o * nn - rc[s] * lc[la]
+            out_s.append(s)
+            out_l.append(la)
+            out_o.append(o)
+            out_e.append(rc[s] * lc[la] * 1_000_000 // nn)
+            out_c.append(diff * diff * 1_000_000 // (nn * rc[s] * lc[la]))
+    chi2 = sum(out_c)
+    return pa.table(
+        {
+            "source": pa.array(out_s, pa.string()),
+            "lang": pa.array(out_l, pa.string()),
+            "obs": pa.array(out_o, pa.int64()),
+            "exp_x1e6": pa.array(out_e, pa.int64()),
+            "contrib_x1e6": pa.array(out_c, pa.int64()),
+            "chi2_x1e6": pa.array([chi2] * len(out_s), pa.int64()),
         }
     )

@@ -366,6 +366,8 @@ SUBSET = [
     "embedding_norm_profile",
     "lang_signature_cosine",
     "dict_encoding_audit",
+    "chi2_independence",
+    "calibration_bins",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
