@@ -1537,6 +1537,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # honest). Tail-seated by design: roc_points' grid against a
         # fixed link function.
         "calibration_bins": analytics.calibration_bins,
+        # (round 4, wave 88) RLE pricing in PHYSICAL id order —
+        # distributed run counting over contiguous id-range buckets
+        # with associative boundary stitching; what the current
+        # layout's clustering is worth in bytes. Tail-seated by
+        # design: dict_encoding_audit's byte math over event_runs'
+        # run discipline.
+        "rle_encoding_audit": analytics.rle_encoding_audit,
+        # (round 4, wave 88) zone-map pruning audit — per-zone
+        # max(n_chars) statistics swept over a fixed threshold grid:
+        # the exact row-group skip rate a reader's min/max stats
+        # would buy. Tail-seated by design: the storage-audit fold
+        # pointed at read-side statistics.
+        "zonemap_audit": analytics.zonemap_audit,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -6913,6 +6926,63 @@ def oracle_sql() -> dict[str, str]:
                  AS gap_x1e6,
                CAST(tot.num // tot.nn AS BIGINT) AS ece_x1e6
         FROM b, tot
+    """
+
+    # rle_encoding_audit: runs in physical id order via lag(); run
+    # cost = strlen + 4 length bytes; shifted floor savings.
+    sql["rle_encoding_audit"] = """
+        WITH u AS MATERIALIZED (
+          SELECT 'documents' AS table_name, 'source' AS column_name,
+                 doc_id AS id, source AS v FROM documents
+          UNION ALL
+          SELECT 'documents', 'lang', doc_id, lang FROM documents
+          UNION ALL
+          SELECT 'events', 'event_type', event_id, event_type FROM events
+        ),
+        r AS (
+          SELECT table_name, column_name, strlen(v) AS sl,
+                 CASE WHEN lag(v) OVER (
+                        PARTITION BY table_name, column_name ORDER BY id
+                      ) IS DISTINCT FROM v THEN 1 ELSE 0 END AS st
+          FROM u
+        ),
+        agg AS (
+          SELECT table_name, column_name,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(st) AS BIGINT) AS n_runs,
+                 CAST(sum(sl) AS BIGINT) AS raw_bytes,
+                 CAST(sum(CASE WHEN st = 1 THEN sl + 4 ELSE 0 END)
+                      AS BIGINT) AS rle_bytes
+          FROM r GROUP BY 1, 2
+        )
+        SELECT table_name, column_name, n_rows, n_runs, raw_bytes,
+               rle_bytes,
+               CAST((raw_bytes - rle_bytes + 8 * raw_bytes) * 10000
+                    // raw_bytes - 80000 AS BIGINT) AS savings_bp
+        FROM agg
+    """
+
+    # zonemap_audit: doc_id zones of 1024; skip iff zone max <= thr;
+    # fixed power-of-two threshold grid.
+    sql["zonemap_audit"] = """
+        WITH b AS MATERIALIZED (
+          SELECT doc_id // 1024 AS z, max(n_chars) AS mx,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS nz,
+                       CAST(sum(c) AS BIGINT) AS nr FROM b),
+        t(thr) AS (VALUES (32), (64), (128), (256), (512), (1024),
+                          (2048), (4096), (8192), (16384))
+        SELECT CAST(t.thr AS BIGINT) AS thr, tot.nz AS n_zones,
+               CAST(coalesce(sum(CASE WHEN b.mx <= t.thr THEN 1 END), 0)
+                    AS BIGINT) AS skippable_zones,
+               CAST(coalesce(sum(CASE WHEN b.mx <= t.thr THEN b.c END), 0)
+                    AS BIGINT) AS rows_skipped,
+               CAST(coalesce(sum(CASE WHEN b.mx <= t.thr THEN b.c END), 0)
+                    * 10000 // tot.nr AS BIGINT) AS prune_bp
+        FROM t CROSS JOIN b CROSS JOIN tot
+        GROUP BY t.thr, tot.nz, tot.nr
     """
 
     # gini_split_stump: exact Gini gain per threshold; all

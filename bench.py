@@ -188,6 +188,7 @@ def run_queries() -> dict[str, float]:
         "gini_split_stump", "embedding_norm_profile",
         "lang_signature_cosine", "dict_encoding_audit",
         "chi2_independence", "calibration_bins",
+        "rle_encoding_audit", "zonemap_audit",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -7865,3 +7865,231 @@ def chi2_independence(sf_dir: str) -> "pa.Table":
             "chi2_x1e6": pa.array([chi2] * len(out_s), pa.int64()),
         }
     )
+
+
+RLE_BUCKET = 65536  # contiguous id-range width for distributed run count
+RLE_COLS = (
+    ("documents", "source", "doc_id"),
+    ("documents", "lang", "doc_id"),
+    ("events", "event_type", "event_id"),
+)
+
+
+def rle_encoding_audit(sf_dir: str) -> "pa.Table":
+    """Run-length-encoding benefit audit in PHYSICAL row order — for
+    each dict-candidate column, the exact number of value runs when
+    rows are laid out by their id, and the exact RLE byte cost
+    (Σ over runs of strlen(value) + 4 length bytes) against raw
+    Σ strlen, savings in bp (same offset-shifted floor as
+    dict_encoding_audit). dict_encoding_audit prices the dictionary
+    regardless of order; THIS prices how clustered the layout already
+    is — the signal that decides whether a rewrite (zorder_keys'
+    output) is worth the IO. Tail-seated by design:
+    dict_encoding_audit's byte math over event_runs' run discipline.
+
+    Scale shape: contiguous id-range buckets (id // RLE_BUCKET) —
+    ONE groupby whose group is a bounded bucket, sorted locally for
+    internal runs + (first, last) edge values; the driver stitches
+    adjacent buckets (a merge where last_b == first_{b+1} subtracts
+    one run and its bytes — associative, so a tree reduce replaces
+    the driver fold at extreme scale). Driver read bounded at
+    n / RLE_BUCKET rows per column. Output: (table_name,
+    column_name, n_rows, n_runs, raw_bytes, rle_bytes, savings_bp)."""
+    rows_out = []
+    for table, col, idcol in RLE_COLS:
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/{table}.parquet", columns=[idcol, col]
+        )
+
+        def to_bucket(batch: pa.Table, _id=idcol) -> pa.Table:
+            ids = batch.column(_id).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            return pa.table(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "v": batch.column(1 - batch.schema.get_field_index(_id)),
+                    "bucket": pa.array(ids // RLE_BUCKET, pa.int64()),
+                }
+            )
+
+        def bucket_runs(grp: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = grp.select(["id", "v"]).to_pandas().sort_values("id")
+            v = df["v"].to_numpy()
+            lens = np.array([len(x.encode()) for x in v], dtype=np.int64)
+            starts = np.r_[True, v[1:] != v[:-1]]
+            return pa.table(
+                {
+                    "bucket": pa.array(
+                        [int(grp.column("bucket")[0].as_py())], pa.int64()
+                    ),
+                    "n": pa.array([len(v)], pa.int64()),
+                    "raw": pa.array([int(lens.sum())], pa.int64()),
+                    "runs": pa.array([int(starts.sum())], pa.int64()),
+                    "rbytes": pa.array(
+                        [int((lens[starts] + 4).sum())], pa.int64()
+                    ),
+                    "first_v": pa.array([str(v[0])], pa.string()),
+                    "last_v": pa.array([str(v[-1])], pa.string()),
+                }
+            )
+
+        grid = sorted(
+            (
+                int(r["bucket"]),
+                int(r["n"]),
+                int(r["raw"]),
+                int(r["runs"]),
+                int(r["rbytes"]),
+                r["first_v"],
+                r["last_v"],
+            )
+            for r in ds.map_batches(to_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_runs, batch_format="pyarrow")
+            .take_all()  # bounded: n / RLE_BUCKET stitch rows
+        )
+        n = sum(g[1] for g in grid)
+        raw = sum(g[2] for g in grid)
+        runs = sum(g[3] for g in grid)
+        rbytes = sum(g[4] for g in grid)
+        for prev, cur in zip(grid, grid[1:]):
+            if prev[6] == cur[5]:  # run continues across the boundary
+                runs -= 1
+                rbytes -= len(cur[5].encode()) + 4
+        savings_bp = (raw - rbytes + 8 * raw) * 10_000 // raw - 80_000
+        rows_out.append((table, col, n, runs, raw, rbytes, savings_bp))
+    return pa.table(
+        {
+            "table_name": pa.array([r[0] for r in rows_out], pa.string()),
+            "column_name": pa.array([r[1] for r in rows_out], pa.string()),
+            "n_rows": pa.array([r[2] for r in rows_out], pa.int64()),
+            "n_runs": pa.array([r[3] for r in rows_out], pa.int64()),
+            "raw_bytes": pa.array([r[4] for r in rows_out], pa.int64()),
+            "rle_bytes": pa.array([r[5] for r in rows_out], pa.int64()),
+            "savings_bp": pa.array([r[6] for r in rows_out], pa.int64()),
+        }
+    )
+
+
+ZM_BUCKET = 1024  # zone (row-group analogue) width in doc_id space
+ZM_THRESHOLDS = tuple(2 ** k for k in range(5, 15))  # 32 .. 16384
+
+
+def zonemap_audit(sf_dir: str) -> "pa.Table":
+    """Zone-map (min/max statistics) pruning audit — partition
+    documents into doc_id zones of ZM_BUCKET rows, keep each zone's
+    max(n_chars) and row count, and for every threshold t in the
+    fixed ZM_THRESHOLDS grid report exactly how many zones the
+    predicate n_chars > t could SKIP outright (zone max ≤ t) and the
+    row fraction pruned, in bp. compaction_plan sizes files and
+    zorder_keys orders them — this measures what the ordering BUYS:
+    the skip rate a reader's row-group statistics would actually
+    achieve. Tail-seated by design: dict/rle audits' storage-cost
+    fold pointed at read-side statistics.
+
+    Scale shape: per-batch (zone, max, count) partials → ONE bounded
+    groupby (n / ZM_BUCKET zones); a vectorized threshold sweep per
+    zone block emits (thr, skippable, rows) partials → one tiny
+    groupby(thr); the driver reads |ZM_THRESHOLDS| rows. Output:
+    (thr, n_zones, skippable_zones, rows_skipped, prune_bp)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        z = (
+            batch.column("doc_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            // ZM_BUCKET
+        )
+        nc = batch.column("n_chars").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        g = (
+            pd.DataFrame({"z": z, "mx": nc, "c": 1})
+            .groupby("z", sort=False)
+            .agg(mx=("mx", "max"), c=("c", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "z": pa.array(g["z"].to_numpy().astype(np.int64), pa.int64()),
+                "mx": pa.array(
+                    g["mx"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "c": pa.array(g["c"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    zones = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("z")
+        .aggregate(_Max("mx", alias_name="mx"), _Sum("c", alias_name="c"))
+    )
+
+    thr_arr = np.array(ZM_THRESHOLDS, dtype=np.int64)
+
+    def sweep(batch: pa.Table) -> pa.Table:
+        mx = batch.column("mx").to_numpy(zero_copy_only=False)
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        skip = mx[None, :] <= thr_arr[:, None]  # (T, zones)
+        return pa.table(
+            {
+                "thr": pa.array(thr_arr, pa.int64()),
+                "zones": pa.array(
+                    np.full(len(thr_arr), len(mx), np.int64), pa.int64()
+                ),
+                "skippable": pa.array(
+                    skip.sum(axis=1).astype(np.int64), pa.int64()
+                ),
+                "rows_skipped": pa.array(
+                    (skip * c[None, :]).sum(axis=1).astype(np.int64),
+                    pa.int64(),
+                ),
+                "rows": pa.array(
+                    np.full(len(thr_arr), int(c.sum()), np.int64), pa.int64()
+                ),
+            }
+        )
+
+    grid = (
+        zones.map_batches(sweep, batch_format="pyarrow")
+        .groupby("thr")
+        .aggregate(
+            _Sum("zones", alias_name="zones"),
+            _Sum("skippable", alias_name="skippable"),
+            _Sum("rows_skipped", alias_name="rows_skipped"),
+            _Sum("rows", alias_name="rows"),
+        )
+        .take_all()  # bounded: |ZM_THRESHOLDS| rows
+    )
+    rows = sorted(
+        (
+            int(r["thr"]),
+            int(r["zones"]),
+            int(r["skippable"]),
+            int(r["rows_skipped"]),
+            int(r["rows"]),
+        )
+        for r in grid
+    )
+    return pa.table(
+        {
+            "thr": pa.array([r[0] for r in rows], pa.int64()),
+            "n_zones": pa.array([r[1] for r in rows], pa.int64()),
+            "skippable_zones": pa.array([r[2] for r in rows], pa.int64()),
+            "rows_skipped": pa.array([r[3] for r in rows], pa.int64()),
+            "prune_bp": pa.array(
+                [r[3] * 10_000 // r[4] for r in rows], pa.int64()
+            ),
+        }
+    )

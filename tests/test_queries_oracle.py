@@ -368,6 +368,8 @@ SUBSET = [
     "dict_encoding_audit",
     "chi2_independence",
     "calibration_bins",
+    "rle_encoding_audit",
+    "zonemap_audit",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
