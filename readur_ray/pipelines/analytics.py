@@ -3783,12 +3783,17 @@ def orphan_fk_audit(sf_dir: str) -> "ray.data.Dataset":
     region) broadcast their PK set once and the child fold marks
     orphanhood inline, so those edges ship ZERO parent rows; only the
     fact-scale parents (orders, customer) ride the tagged-union
-    co-partition. ALL edges then share ONE (edge, key) groupby — a
-    single exchange instead of seven sequential ones — and fold to a
-    7-row grid finalized with the broadcast parents' row counts
+    co-partition. ALL edges then share ONE hash exchange of packed
+    int64 (edge << 48 | key) rows — a single exchange instead of
+    seven sequential ones, and a single-int sort instead of a
+    (string, int) composite (wave-88 rewrite: the sorted composite
+    groupby was 42 s at sf0.1; the vectorized segment reduce below
+    is the plan that holds) — whose per-partition fold
+    sort+reduceat-reduces its key slice straight to a 7-row per-edge
+    partial grid, finalized with the broadcast parents' row counts
     (n_unref = parent_rows − referenced keys there; PKs are unique by
     audit of their own edge)."""
-    from ray.data.aggregate import Max as _Max, Sum as _Sum
+    from ray.data.aggregate import Sum as _Sum
 
     parent_rows: dict[str, int] = {}
     bcast_keys: dict[str, "ray.ObjectRef"] = {}
@@ -3807,7 +3812,15 @@ def orphan_fk_audit(sf_dir: str) -> "ray.data.Dataset":
                 )
                 bcast_keys[parent_f] = ray.put(keys)
 
+    # keys pack with the edge ordinal into ONE int64 shuffle key
+    # (edge_id << 48 | key): a single-int sort beats the (string,
+    # int) composite by a wide margin, and TPC-H keys stay far below
+    # 2^48 even at 100 TB (~10^11 rows).
+    edge_ids = {e[0]: i for i, e in enumerate(FK_EDGES)}
+
     def child_fold(edge, child_k, pref):
+        eid = edge_ids[edge] << 48
+
         def fold(batch: pa.Table) -> pa.Table:
             k = batch.column(child_k).cast(pa.int64()).to_numpy(
                 zero_copy_only=False
@@ -3820,18 +3833,21 @@ def orphan_fk_audit(sf_dir: str) -> "ray.data.Dataset":
                 par = (pk[idx_c] == u).astype(np.int64)
             else:
                 par = np.zeros(len(u), np.int64)
+            gkey = eid | u
             return pa.table(
                 {
-                    "edge": pa.array([edge] * len(u), pa.string()),
-                    "key": pa.array(u, pa.int64()),
+                    "gkey": pa.array(gkey, pa.int64()),
                     "rows": pa.array(cnt.astype(np.int64), pa.int64()),
                     "par": pa.array(par, pa.int64()),
+                    "part": pa.array(gkey % ORPHAN_PARTS, pa.int64()),
                 }
             )
 
         return fold
 
     def parent_fold(edge, parent_k):
+        eid = edge_ids[edge] << 48
+
         def fold(batch: pa.Table) -> pa.Table:
             k = np.unique(
                 batch.column(parent_k).cast(pa.int64()).to_numpy(
@@ -3839,12 +3855,13 @@ def orphan_fk_audit(sf_dir: str) -> "ray.data.Dataset":
                 )
             )
             n = len(k)
+            gkey = eid | k
             return pa.table(
                 {
-                    "edge": pa.array([edge] * n, pa.string()),
-                    "key": pa.array(k, pa.int64()),
+                    "gkey": pa.array(gkey, pa.int64()),
                     "rows": pa.array(np.zeros(n, np.int64), pa.int64()),
                     "par": pa.array(np.ones(n, np.int64), pa.int64()),
+                    "part": pa.array(gkey % ORPHAN_PARTS, pa.int64()),
                 }
             )
 
@@ -3874,52 +3891,41 @@ def orphan_fk_audit(sf_dir: str) -> "ray.data.Dataset":
     for lane in lanes[1:]:
         ds = ds.union(lane)
 
-    def edge_fold(batch: pa.Table) -> pa.Table:
-        import pandas as pd
+    edge_names = [e[0] for e in FK_EDGES]
+    n_edges = len(FK_EDGES)
 
-        rows = batch.column("rows_p").to_numpy(zero_copy_only=False)
-        par = batch.column("par_p").to_numpy(zero_copy_only=False) > 0
-        is_child = rows > 0
-        orphan = is_child & ~par
-        g = (
-            pd.DataFrame(
-                {
-                    "edge": np.asarray(
-                        batch.column("edge").to_pylist(), dtype=object
-                    ),
-                    "cr": rows,
-                    "ck": is_child.astype(np.int64),
-                    "orr": np.where(orphan, rows, 0),
-                    "ok": orphan.astype(np.int64),
-                    "unref": (par & ~is_child).astype(np.int64),
-                    "ref": (par & is_child).astype(np.int64),
-                }
-            )
-            .groupby("edge", sort=False)
-            .sum()
-            .reset_index()
-        )
+    def part_fold(grp: pa.Table) -> pa.Table:
+        # one partition = a hash slice of (edge, key) space; fully
+        # vectorized segment reduce (sort + reduceat), emits a 7-row
+        # per-edge partial grid.
+        gk = grp.column("gkey").to_numpy(zero_copy_only=False)
+        rows = grp.column("rows").to_numpy(zero_copy_only=False)
+        par = grp.column("par").to_numpy(zero_copy_only=False)
+        order = np.argsort(gk, kind="stable")
+        gks, rs, ps = gk[order], rows[order], par[order]
+        starts = np.r_[True, gks[1:] != gks[:-1]]
+        idx = np.nonzero(starts)[0]
+        seg_rows = np.add.reduceat(rs, idx)
+        seg_par = np.maximum.reduceat(ps, idx) > 0
+        eid = (gks[starts] >> 48).astype(np.int64)
+        is_child = seg_rows > 0
+        orphan = is_child & ~seg_par
+        acc = np.zeros((6, n_edges), np.int64)
+        np.add.at(acc[0], eid, seg_rows)
+        np.add.at(acc[1], eid, is_child.astype(np.int64))
+        np.add.at(acc[2], eid, np.where(orphan, seg_rows, 0))
+        np.add.at(acc[3], eid, orphan.astype(np.int64))
+        np.add.at(acc[4], eid, (seg_par & ~is_child).astype(np.int64))
+        np.add.at(acc[5], eid, (seg_par & is_child).astype(np.int64))
         return pa.table(
             {
-                "edge": pa.array(g["edge"], pa.string()),
-                "n_child_rows": pa.array(
-                    g["cr"].to_numpy().astype(np.int64), pa.int64()
-                ),
-                "n_child_keys": pa.array(
-                    g["ck"].to_numpy().astype(np.int64), pa.int64()
-                ),
-                "n_orphan_rows": pa.array(
-                    g["orr"].to_numpy().astype(np.int64), pa.int64()
-                ),
-                "n_orphan_keys": pa.array(
-                    g["ok"].to_numpy().astype(np.int64), pa.int64()
-                ),
-                "n_unref": pa.array(
-                    g["unref"].to_numpy().astype(np.int64), pa.int64()
-                ),
-                "n_ref": pa.array(
-                    g["ref"].to_numpy().astype(np.int64), pa.int64()
-                ),
+                "edge": pa.array(edge_names, pa.string()),
+                "n_child_rows": pa.array(acc[0], pa.int64()),
+                "n_child_keys": pa.array(acc[1], pa.int64()),
+                "n_orphan_rows": pa.array(acc[2], pa.int64()),
+                "n_orphan_keys": pa.array(acc[3], pa.int64()),
+                "n_unref": pa.array(acc[4], pa.int64()),
+                "n_ref": pa.array(acc[5], pa.int64()),
             }
         )
 
@@ -3955,12 +3961,8 @@ def orphan_fk_audit(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return (
-        ds.groupby(["edge", "key"])
-        .aggregate(
-            _Sum("rows", alias_name="rows_p"),
-            _Max("par", alias_name="par_p"),
-        )
-        .map_batches(edge_fold, batch_format="pyarrow")
+        ds.groupby("part")
+        .map_groups(part_fold, batch_format="pyarrow")
         .groupby("edge")
         .aggregate(
             _Sum("n_child_rows", alias_name="n_child_rows_p"),
@@ -3975,6 +3977,7 @@ def orphan_fk_audit(sf_dir: str) -> "ray.data.Dataset":
 
 
 ORPHAN_BCAST_MAX = 1_000_000  # parent PK sets up to this many rows broadcast
+ORPHAN_PARTS = 64             # hash slices of the packed (edge, key) space
 
 
 KANON_SIZE_BUCKETS = ((1, 1), (2, 2), (3, 4), (5, 9), (10, 1 << 62))
@@ -4155,6 +4158,8 @@ def l_diversity_audit(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+JOINABILITY_PARTS = 64  # hash slices of the shared value space
+
 JOINABILITY_COLS = (
     ("customer.c_custkey", "customer.parquet", "c_custkey"),
     ("orders.o_custkey", "orders.parquet", "o_custkey"),
@@ -4173,16 +4178,18 @@ def joinability_audit(sf_dir: str) -> "pa.Table":
     |A∩B|, Jaccard and containment(A in B) in basis points. This is
     the profile a data catalog runs to propose joins (and to catch
     key-domain drift: a custkey column that stops containing the
-    customer PK is a broken pipeline). One value-keyed shuffle serves
-    ALL 28 pairs: each column contributes (value, 1<<col) presence
-    rows, per-value masks OR together through a custom bitwise-OR
-    AggregateFn in a SINGLE narrow groupby (wave-60 iteration: the
-    original (value, bit)→(value) chain paid the big exchange twice,
-    and an 8-wide Max-flag row tripled the shuffled bytes — the
-    2-column OR-merge plan is the one that holds), and a 256-bin
-    mask histogram — the only thing the driver reads — yields every
-    pairwise intersection by popcount arithmetic. Tail-seated by
-    design: dedup_exact's distinct fold with a bitmask payload.
+    customer PK is a broken pipeline). One value-keyed hash exchange
+    serves ALL 28 pairs: each column contributes (value, 1<<col)
+    presence rows; each hash slice of the value space OR-merges its
+    masks with a fully vectorized sort + bitwise_or.reduceat and
+    folds STRAIGHT to a 256-bin mask-histogram partial (wave-60
+    tried a (value,bit)→(value) chain — big exchange twice — and an
+    8-wide Max-flag row — 3× shuffle bytes; wave-88 replaced the
+    surviving per-key AggregateFn, 41 s of per-value Python at
+    sf0.1, with this segment reduce). The ≤256-row histogram — the
+    only thing the driver reads — yields every pairwise intersection
+    by popcount arithmetic. Tail-seated by design: dedup_exact's
+    distinct fold with a bitmask payload.
 
     Scale shape: per-batch per-column distinct fold → ONE groupby(v)
     OR-merging int64 masks (cross-batch repeats are absorbed by the
@@ -4190,7 +4197,7 @@ def joinability_audit(sf_dir: str) -> "pa.Table":
     ≤256-row grid; pairwise math on the driver touches 256 ints,
     never a value. Output: (col_a, col_b, n_a, n_b, n_common,
     jaccard_bp, containment_bp)."""
-    from ray.data.aggregate import AggregateFn, Sum as _Sum
+    from ray.data.aggregate import Sum as _Sum
 
     def one_col(i: int, fname: str, col: str) -> "ray.data.Dataset":
         def fold(batch: pa.Table) -> pa.Table:
@@ -4205,6 +4212,7 @@ def joinability_audit(sf_dir: str) -> "pa.Table":
                     "m": pa.array(
                         np.full(len(v), 1 << i, np.int64), pa.int64()
                     ),
+                    "part": pa.array(v % JOINABILITY_PARTS, pa.int64()),
                 }
             )
 
@@ -4216,21 +4224,18 @@ def joinability_audit(sf_dir: str) -> "pa.Table":
     for i, (_, fname, col) in enumerate(JOINABILITY_COLS[1:], start=1):
         ds = ds.union(one_col(i, fname, col))
 
-    or_agg = AggregateFn(
-        init=lambda k: 0,
-        merge=lambda a, b: a | b,
-        accumulate_block=lambda a, blk: a
-        | int(
-            np.bitwise_or.reduce(
-                blk.column("m").to_numpy(zero_copy_only=False)
-            )
-        ),
-        name="mask",
-    )
-
-    def mask_hist(batch: pa.Table) -> pa.Table:
-        m = batch.column("mask").to_numpy(zero_copy_only=False)
-        cnt = np.bincount(m, minlength=256).astype(np.int64)
+    def part_or_hist(grp: pa.Table) -> pa.Table:
+        # one hash slice of the value space: vectorized segment OR
+        # (sort + bitwise_or.reduceat) folded STRAIGHT to the 256-bin
+        # mask histogram partial — no per-key Python (the wave-88
+        # rewrite of the per-key AggregateFn that cost 41 s at sf0.1).
+        v = grp.column("v").to_numpy(zero_copy_only=False)
+        m = grp.column("m").to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        vs, ms = v[order], m[order]
+        idx = np.nonzero(np.r_[True, vs[1:] != vs[:-1]])[0]
+        masks = np.bitwise_or.reduceat(ms, idx)
+        cnt = np.bincount(masks, minlength=256).astype(np.int64)
         nz = np.nonzero(cnt)[0]
         return pa.table(
             {
@@ -4241,9 +4246,8 @@ def joinability_audit(sf_dir: str) -> "pa.Table":
 
     hist = np.zeros(256, np.int64)
     grid = (
-        ds.groupby("v")
-        .aggregate(or_agg)
-        .map_batches(mask_hist, batch_format="pyarrow")
+        ds.groupby("part")
+        .map_groups(part_or_hist, batch_format="pyarrow")
         .groupby("mask")
         .aggregate(_Sum("n", alias_name="n"))
     )
