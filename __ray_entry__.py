@@ -1550,6 +1550,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # would buy. Tail-seated by design: the storage-audit fold
         # pointed at read-side statistics.
         "zonemap_audit": analytics.zonemap_audit,
+        # (round 4, wave 89) grid-density clustering (cell-quantized
+        # DBSCAN): dense-cell connected components over the quantized
+        # embedding plane — the no-k, arbitrary-shape, noise-aware
+        # clustering class (k-means partitions; this DISCOVERS blobs
+        # and outliers). Tail-seated by design: dedup_components'
+        # min-label CC on a bounded cell graph instead of a pair
+        # graph.
+        "grid_dbscan": analytics.grid_dbscan,
+        # (round 4, wave 89) exact per-source Wasserstein-1 drift —
+        # the integral-norm companion to ks_drift's sup-norm on the
+        # same (source, value) grid: total transported mass, the
+        # monitor that catches slow whole-distribution slides.
+        # Tail-seated by design: ks_drift's grid under a second norm.
+        "wasserstein_drift": analytics.wasserstein_drift,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -7477,6 +7491,94 @@ def oracle_sql() -> dict[str, str]:
                CAST(est.est_cents - ex.exact_cents AS BIGINT) AS err_cents
         FROM est JOIN ex ON est.event_type = ex.event_type
                         AND est.q = ex.q
+    """
+
+    # grid_dbscan: floor(x*32) quantization (×2^5 exact in binary
+    # float), packed cell keys, dense >= 4, 8-neighbour CC as a
+    # recursive min-label CTE; noise row cluster_id = -1.
+    sql["grid_dbscan"] = """
+        WITH RECURSIVE pts AS (
+          SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 32)
+                      AS BIGINT) AS cx,
+                 CAST(floor(CAST(embedding[2] AS DOUBLE) * 32)
+                      AS BIGINT) AS cy
+          FROM embeddings
+        ), cells AS MATERIALIZED (
+          SELECT cx, cy,
+                 (cx + 1048576) * 2097152 + (cy + 1048576) AS cell,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM pts GROUP BY 1, 2
+        ), dense AS MATERIALIZED (
+          SELECT * FROM cells WHERE c >= 4
+        ), edges AS MATERIALIZED (
+          SELECT a.cell AS u, b.cell AS v
+          FROM dense a JOIN dense b
+            ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+        ), r AS (
+          SELECT cell, cell AS lbl FROM dense
+          UNION
+          SELECT e.u AS cell, r.lbl FROM r JOIN edges e ON e.v = r.cell
+        ), lab AS MATERIALIZED (
+          SELECT cell, min(lbl) AS cluster_id FROM r GROUP BY cell
+        ), clus AS (
+          SELECT lab.cluster_id,
+                 CAST(count(*) AS BIGINT) AS n_cells,
+                 CAST(sum(d.c) AS BIGINT) AS n_points
+          FROM lab JOIN dense d ON d.cell = lab.cell
+          GROUP BY 1
+        ), noise AS (
+          SELECT CAST(-1 AS BIGINT) AS cluster_id,
+                 CAST((SELECT count(*) FROM cells)
+                      - (SELECT count(*) FROM dense) AS BIGINT)
+                   AS n_cells,
+                 CAST(COALESCE((SELECT sum(c) FROM cells), 0)
+                      - COALESCE((SELECT sum(c) FROM dense), 0)
+                      AS BIGINT) AS n_points
+        )
+        SELECT * FROM noise
+        UNION ALL
+        SELECT * FROM clus
+    """
+
+    # wasserstein_drift: ks_drift's (source, value) grid under the
+    # integral norm — sum of |n_all*cum_s - n_s*cum_all| * gap to the
+    # next global value (last point contributes 0).
+    sql["wasserstein_drift"] = """
+        WITH g AS (
+            SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1
+        ), gc AS (
+            SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum_all
+            FROM g
+        ), s AS (
+            SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1, 2
+        ), grid AS (
+            SELECT src.source, gc.v, gc.cum_all
+            FROM gc CROSS JOIN (SELECT DISTINCT source FROM documents) src
+        ), sc AS (
+            SELECT grid.source, grid.v, grid.cum_all,
+                   CAST(sum(COALESCE(s.c, 0)) OVER (
+                       PARTITION BY grid.source ORDER BY grid.v
+                   ) AS BIGINT) AS cum_s,
+                   lead(grid.v) OVER (
+                       PARTITION BY grid.source ORDER BY grid.v
+                   ) AS nxt
+            FROM grid LEFT JOIN s
+              ON s.source = grid.source AND s.v = grid.v
+        ), tot AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_s
+            FROM documents GROUP BY 1
+        ), alln AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_all FROM documents
+        )
+        SELECT sc.source,
+               CAST(max(tot.n_s) AS BIGINT) AS n_s,
+               CAST(max(alln.n_all) AS BIGINT) AS n_all,
+               CAST(sum(abs(alln.n_all * sc.cum_s - tot.n_s * sc.cum_all)
+                        * COALESCE(sc.nxt - sc.v, 0)) AS BIGINT) AS w1_num
+        FROM sc JOIN tot ON tot.source = sc.source CROSS JOIN alln
+        GROUP BY sc.source
     """
 
     return sql

@@ -189,6 +189,7 @@ def run_queries() -> dict[str, float]:
         "lang_signature_cosine", "dict_encoding_audit",
         "chi2_independence", "calibration_bins",
         "rle_encoding_audit", "zonemap_audit",
+        "grid_dbscan", "wasserstein_drift",
     ]
     out: dict[str, float] = {}
     for name in picks:

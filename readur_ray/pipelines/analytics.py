@@ -8097,3 +8097,200 @@ def zonemap_audit(sf_dir: str) -> "pa.Table":
             ),
         }
     )
+
+
+GD_SCALE = 32    # grid cell width = 1/32 in embedding coordinate space
+GD_MINPTS = 4    # a cell is DENSE when it holds >= this many points
+GD_OFF = 1 << 20   # coordinate offset keeping packed cell keys positive
+GD_SPAN = 1 << 21  # packed key stride: cell = (cx+OFF)*SPAN + (cy+OFF)
+
+
+def grid_dbscan(sf_dir: str) -> "pa.Table":
+    """Grid-density clustering — DBSCAN collapsed onto a quantized
+    grid (the cell-based variant used when pairwise eps-queries are
+    too expensive): each embedding quantizes to the cell
+    (floor(x·32), floor(y·32)) of its first two coordinates, a cell
+    is DENSE when it holds ≥ GD_MINPTS points, and dense cells that
+    touch in the 8-neighbourhood merge into clusters via connected
+    components; points in non-dense cells are noise. The DENSITY
+    clustering class the suite lacks: k-means (semdedup / kmeans_
+    inertia) partitions by nearest centroid and must be told k;
+    this finds arbitrarily-shaped blobs and outliers with no k at
+    all — the outlier-mining / region-discovery shape. Reference
+    parity: readur has no clustering; this extends the curation
+    suite (cluster_purity consumes labels; this PRODUCES them).
+
+    Exactness: quantization is floor(x·32) — ×2^5 is exact in any
+    binary float, so float32 vs DOUBLE never disagree; everything
+    after is integer. Cell keys pack as (cx+2^20)·2^21 + (cy+2^20),
+    mirrored verbatim by the oracle, whose connected components run
+    as a recursive min-label CTE (dedup_components precedent).
+
+    Scale shape: per-batch cell bincount partials (arrow list
+    offsets, no per-row stack) → ONE bounded groupby(cell) Sum; the
+    occupied-cell grid is driver-bounded by the coordinate domain —
+    normalized embeddings live in [-1, 1], so ≤ (2·32+2)² ≈ 4.4k
+    cells regardless of row count — and the union-find runs on the
+    dense subset of THAT, never on points. One exchange total;
+    points never shuffle. Output: (cluster_id = min packed cell of
+    the component, n_cells, n_points) per cluster, plus the noise
+    row cluster_id = −1 (non-dense cells and their points), sorted
+    by cluster_id."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = col.values.to_numpy(zero_copy_only=False)
+        offs = col.offsets.to_numpy(zero_copy_only=False)[:-1]
+        cx = np.floor(
+            vals[offs].astype(np.float64) * GD_SCALE
+        ).astype(np.int64)
+        cy = np.floor(
+            vals[offs + 1].astype(np.float64) * GD_SCALE
+        ).astype(np.int64)
+        cell = (cx + GD_OFF) * GD_SPAN + (cy + GD_OFF)
+        u, cnt = np.unique(cell, return_counts=True)
+        return pa.table(
+            {
+                "cell": pa.array(u, pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    grid = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(_Sum("c", alias_name="c"))
+        .take_all()  # bounded: occupied cells <= (2*GD_SCALE+2)^2
+    )
+    counts = {int(r["cell"]): int(r["c"]) for r in grid}
+    dense = {c for c, n in counts.items() if n >= GD_MINPTS}
+
+    parent = {c: c for c in dense}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for cell in dense:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = cell + dx * GD_SPAN + dy
+                if nb in dense:
+                    ra, rb = find(cell), find(nb)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+
+    comp_cells: dict[int, int] = {}
+    comp_points: dict[int, int] = {}
+    for cell in dense:
+        root = find(cell)
+        comp_cells[root] = comp_cells.get(root, 0) + 1
+        comp_points[root] = comp_points.get(root, 0) + counts[cell]
+
+    n_noise_cells = len(counts) - len(dense)
+    n_noise_pts = sum(counts.values()) - sum(comp_points.values())
+    rows = [(-1, n_noise_cells, n_noise_pts)] + sorted(
+        (cid, comp_cells[cid], comp_points[cid]) for cid in comp_cells
+    )
+    return pa.table(
+        {
+            "cluster_id": pa.array([r[0] for r in rows], pa.int64()),
+            "n_cells": pa.array([r[1] for r in rows], pa.int64()),
+            "n_points": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def wasserstein_drift(sf_dir: str) -> "ray.data.Dataset":
+    """Exact 1-D Wasserstein-1 (earth-mover) distance of each
+    source's ``n_chars`` distribution against the whole corpus — the
+    INTEGRAL-norm companion to ks_drift's sup-norm. KS flags the
+    single worst ECDF gap (sensitive to one sharp localized shift,
+    blind to magnitude elsewhere); W1 integrates |ΔECDF| over the
+    value axis, i.e. the total mass × distance that would have to
+    move — the drift monitor that responds to a slow whole-
+    distribution slide KS barely sees. Output per source: ``n_s``,
+    ``n_all`` and ``w1_num`` = Σ_i |n_all·F_s(v_i) − n_s·F(v_i)| ·
+    (v_{i+1} − v_i) over the sorted global value grid, so
+    W1 = w1_num / (n_s·n_all) is exact integer arithmetic (the last
+    grid point contributes 0: both ECDFs are complete there).
+    Overflow bound: w1_num ≤ n_s·n_all·(v_max − v_min), inside int64
+    through ~10^6 docs/source × 10^7 corpus × 10^4 range; beyond
+    that the same plan emits HUGEINT-style hi/lo splits.
+
+    Scale shape: identical to ks_drift (deliberately — one grid
+    serves both norms): rows reduce to the (source, value) count
+    grid with per-batch pyarrow group_by partials, ONE small groupby
+    folds the grid, the global cumulative is built once from the
+    tiny value histogram and broadcast, and a per-source map_groups
+    scans its ≤|domain| grid rows — rows never shuffle, only grid
+    cells do."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+
+    def cell_partials(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.group_by(["source", "n_chars"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "v": g.column("n_chars").cast(pa.int64()),
+                "c": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.map_batches(cell_partials, batch_format="pyarrow")
+        .groupby(["source", "v"])
+        .aggregate(_Sum("c", alias_name="c"))
+    )
+
+    hist: dict[int, int] = {}
+    for b in cells.iter_batches(batch_format="pyarrow"):
+        for v, c in zip(b.column("v").to_pylist(), b.column("c").to_pylist()):
+            hist[v] = hist.get(v, 0) + c
+    vals = np.array(sorted(hist), dtype=np.int64)
+    cum_all = np.cumsum([hist[int(v)] for v in vals]).astype(np.int64)
+    n_all = int(cum_all[-1])
+    dv = np.diff(vals)  # gap to the next grid value; last point drops
+    bcast = ray.put((vals, cum_all, dv))
+
+    def per_source(group: pa.Table) -> pa.Table:
+        gvals, gcum, gdv = ray.get(bcast)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        n_s = int(c.sum())
+        cum_s = np.zeros(len(gvals), dtype=np.int64)
+        cum_s[np.searchsorted(gvals, v)] = c
+        cum_s = np.cumsum(cum_s)
+        w1 = int(
+            np.sum(
+                np.abs(n_all * cum_s[:-1] - n_s * gcum[:-1]) * gdv
+            )
+        )
+        return pa.table(
+            {
+                "source": pa.array([group.column("source")[0].as_py()]),
+                "n_s": pa.array([n_s], pa.int64()),
+                "n_all": pa.array([n_all], pa.int64()),
+                "w1_num": pa.array([w1], pa.int64()),
+            }
+        )
+
+    return cells.groupby("source").map_groups(
+        per_source, batch_format="pyarrow"
+    )

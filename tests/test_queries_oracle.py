@@ -370,6 +370,8 @@ SUBSET = [
     "calibration_bins",
     "rle_encoding_audit",
     "zonemap_audit",
+    "grid_dbscan",
+    "wasserstein_drift",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
