@@ -1564,6 +1564,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # monitor that catches slow whole-distribution slides.
         # Tail-seated by design: ks_drift's grid under a second norm.
         "wasserstein_drift": analytics.wasserstein_drift,
+        # (round 4, wave 90) exact Mann-Whitney U — the nonparametric
+        # two-sample location test (welch_t2_grid's rank-based
+        # companion): tie-exact double ranks via ONE bucket-grid
+        # sort-rank exchange, per-type 2U vs the pooled rest.
+        # Tail-seated by design: the rank machinery is
+        # percentile_rank's, under a test statistic.
+        "mann_whitney_u": analytics.mann_whitney_u,
+        # (round 4, wave 90) RFM customer segmentation — exact
+        # quintile scores (recency/frequency/monetary) with the
+        # deterministic (metric, custkey) tie-break and packed segment
+        # code; one fact fold + three slim bucket-grid rank passes.
+        # Tail-seated by design: the CRM composite of the rank grid.
+        "rfm_segments": analytics.rfm_segments,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -7579,6 +7592,65 @@ def oracle_sql() -> dict[str, str]:
                         * COALESCE(sc.nxt - sc.v, 0)) AS BIGINT) AS w1_num
         FROM sc JOIN tot ON tot.source = sc.source CROSS JOIN alln
         GROUP BY sc.source
+    """
+
+    # mann_whitney_u: tie-exact double rank d = 2*RANK() + t - 1
+    # (= 2L + t + 1 with L strictly-smaller rows, t the tie size);
+    # u2 = 2R - n(n+1) is twice the one-vs-rest U statistic.
+    sql["mann_whitney_u"] = """
+        WITH d AS (
+            SELECT event_type,
+                   2 * CAST(rank() OVER (ORDER BY value) AS BIGINT)
+                     + CAST(count(*) OVER (PARTITION BY value) AS BIGINT)
+                     - 1 AS dr
+            FROM events
+            WHERE isfinite(value)
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(dr) AS BIGINT) AS r2_sum,
+               CAST(sum(dr) - count(*) * (count(*) + 1) AS BIGINT) AS u2
+        FROM d GROUP BY 1
+    """
+
+    # rfm_segments: quintile score = 1 + floor(rn0*5/n) over the
+    # deterministic (metric, custkey) row_number — NTILE-free, so the
+    # distributed bucket-grid rank mirrors it verbatim. Days are
+    # floor(epoch/86400); money is floor(x*100+0.5) cents.
+    sql["rfm_segments"] = """
+        WITH mx AS (
+            SELECT CAST(floor(epoch(max(o_orderdate)) / 86400) AS BIGINT) AS d
+            FROM orders
+        ), cust AS (
+            SELECT o_custkey AS custkey,
+                   (SELECT d FROM mx)
+                     - CAST(floor(epoch(max(o_orderdate)) / 86400) AS BIGINT)
+                     AS recency_days,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS monetary_cents
+            FROM orders GROUP BY 1
+        ), n AS (
+            SELECT CAST(count(*) AS BIGINT) AS n FROM cust
+        ), s AS (
+            SELECT cust.*,
+                   1 + ((row_number() OVER (
+                           ORDER BY recency_days DESC, custkey) - 1) * 5)
+                       // (SELECT n FROM n) AS r_score,
+                   1 + ((row_number() OVER (
+                           ORDER BY frequency, custkey) - 1) * 5)
+                       // (SELECT n FROM n) AS f_score,
+                   1 + ((row_number() OVER (
+                           ORDER BY monetary_cents, custkey) - 1) * 5)
+                       // (SELECT n FROM n) AS m_score
+            FROM cust
+        )
+        SELECT custkey, recency_days, frequency, monetary_cents,
+               CAST(r_score AS BIGINT) AS r_score,
+               CAST(f_score AS BIGINT) AS f_score,
+               CAST(m_score AS BIGINT) AS m_score,
+               CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+        FROM s
     """
 
     return sql

@@ -190,6 +190,7 @@ def run_queries() -> dict[str, float]:
         "chi2_independence", "calibration_bins",
         "rle_encoding_audit", "zonemap_audit",
         "grid_dbscan", "wasserstein_drift",
+        "mann_whitney_u", "rfm_segments",
     ]
     out: dict[str, float] = {}
     for name in picks:

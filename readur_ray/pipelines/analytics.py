@@ -8294,3 +8294,287 @@ def wasserstein_drift(sf_dir: str) -> "ray.data.Dataset":
     return cells.groupby("source").map_groups(
         per_source, batch_format="pyarrow"
     )
+
+
+MW_VALUE_BUCKETS = 512  # value-range buckets for the rank exchange
+
+
+def mann_whitney_u(sf_dir: str) -> "ray.data.Dataset":
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) statistic of each
+    event type's ``value`` sample against the pooled corpus — the
+    NONPARAMETRIC two-sample location test next to welch_t2_grid's
+    parametric one (Welch assumes finite variance and compares means;
+    U compares rank distributions, robust to the heavy-tailed /
+    ordinal metrics A/B readouts actually ship). Ties are handled
+    exactly through DOUBLE ranks: a tie group with L strictly-smaller
+    rows and size t has average rank L + (t+1)/2, so its double rank
+    d = 2L + t + 1 is always integer. Output per event_type: n_g,
+    r2_sum = Σ d (twice the rank sum) and u2 = r2_sum − n_g·(n_g+1)
+    (twice the U statistic vs the rest of the pool), all exact int64
+    (inside int64 through ~10^9 rows; beyond, the same plan emits
+    hi/lo splits). z-scores need only these plus the global tie term.
+
+    Scale shape — the percentile_rank bucket-grid sort-rank on a
+    FLOAT key: rows bucket by value range (equal values always share
+    a bucket, so tie groups never straddle the prefix boundary), the
+    MW_VALUE_BUCKETS-bounded count grid reaches the driver once and
+    exclusive prefix bases broadcast back, and ONE groupby(kb)
+    exchange ranks each bucket locally (np.unique + cumsum — no
+    global sort barrier). Per-bucket output is the tiny
+    (event_type, n, r2) partial, folded by one bounded groupby.
+    Rows shuffle once; nothing else moves."""
+    from ray.data.aggregate import Max as _Max, Min as _Min, Sum as _Sum
+
+    path = f"{sf_dir}/events.parquet"
+    ds = ray.data.read_parquet(path, columns=["event_type", "value"])
+
+    def finite(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isfinite(v)))
+
+    ds = ds.map_batches(finite, batch_format="pyarrow")
+    lohi = ds.aggregate(_Min("value"), _Max("value"))
+    lo, hi = float(lohi["min(value)"]), float(lohi["max(value)"])
+    width = (hi - lo) / MW_VALUE_BUCKETS or 1.0
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        kb = np.clip(
+            np.floor((v - lo) / width).astype(np.int64),
+            0,
+            MW_VALUE_BUCKETS - 1,
+        )
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "v": pa.array(v, pa.float64()),
+                "kb": pa.array(kb, pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(keyed, batch_format="pyarrow")
+
+    def kb_partial(batch: pa.Table) -> pa.Table:
+        u, cnt = np.unique(
+            batch.column("kb").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "kb": pa.array(u, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    grid = (
+        rows.map_batches(kb_partial, batch_format="pyarrow")
+        .groupby("kb")
+        .aggregate(_Sum("n", alias_name="n"))
+        .take_all()  # bounded: <= MW_VALUE_BUCKETS rows
+    )
+    counts = np.zeros(MW_VALUE_BUCKETS, dtype=np.int64)
+    for r in grid:
+        counts[int(r["kb"])] = int(r["n"])
+    base = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    bcast = ray.put(base)
+
+    def rank_part(group: pa.Table) -> pa.Table:
+        pre = ray.get(bcast)
+        kb = int(group.column("kb")[0].as_py())
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        uniq, inv, cnt = np.unique(v, return_inverse=True, return_counts=True)
+        before = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        d_uniq = 2 * (pre[kb] + before) + cnt + 1
+        d = d_uniq[inv]
+        part = pa.table(
+            {"event_type": group.column("event_type"), "d": pa.array(d, pa.int64())}
+        )
+        g = part.group_by("event_type").aggregate([("d", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "n_g": g.column("count_all").cast(pa.int64()),
+                "r2": g.column("d_sum").cast(pa.int64()),
+            }
+        )
+
+    partials = rows.groupby("kb").map_groups(rank_part, batch_format="pyarrow")
+    folded = partials.groupby("event_type").aggregate(
+        _Sum("n_g", alias_name="n_g"), _Sum("r2", alias_name="r2_sum")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_g").to_numpy(zero_copy_only=False)
+        r2 = batch.column("r2_sum").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n_g": pa.array(n, pa.int64()),
+                "r2_sum": pa.array(r2, pa.int64()),
+                "u2": pa.array(r2 - n * (n + 1), pa.int64()),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+RFM_BUCKETS = 64  # key-range buckets per metric for the RFM rank passes
+
+
+def rfm_segments(sf_dir: str) -> "ray.data.Dataset":
+    """RFM customer segmentation — the classic marketing/CRM composite
+    over the orders fact: per customer, recency_days (days from the
+    last order to the corpus max order day), frequency (#orders) and
+    monetary_cents (exact integer revenue), each scored into exact
+    quintiles 1-5 (5 = most recent / most frequent / highest spend)
+    with the deterministic tie-break (metric, custkey), and the packed
+    segment code rfm = 100·r + 10·f + m. Quintile score is the pure
+    rank arithmetic 1 + ⌊rn0·5/n⌋ over the row_number rn0 (0-based),
+    mirrored verbatim by the oracle — never NTILE's
+    larger-groups-first quirk.
+
+    Scale shape: the orders fact folds ONCE to the per-customer
+    (last_day, frequency, cents) table via per-batch pyarrow partials
+    + one groupby(custkey) — the only fact-sized exchange — and that
+    slim 4-int-column table is materialized once and re-ranked three
+    times with the percentile_rank bucket-grid sort-rank (bounded
+    RFM_BUCKETS count grid to the driver, exclusive prefix bases
+    broadcast, one groupby(kb) exchange per metric, bucket-local
+    lexsort — no global sort barrier). Descending metrics rank on the
+    negated key, so one ascending kernel serves all three. Total: one
+    fact exchange + three slim-row exchanges; scores ride the row, so
+    no join reassembles the output."""
+    from ray.data.aggregate import Max as _Max, Min as _Min, Sum as _Sum
+
+    path = f"{sf_dir}/orders.parquet"
+    ds = ray.data.read_parquet(
+        path, columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    mx = ds.aggregate(_Max("o_orderdate"))
+    max_day = int(
+        np.datetime64(mx["max(o_orderdate)"], "us").astype(np.int64)
+        // 86_400_000_000
+    )
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        day = pa.array(
+            batch.column("o_orderdate")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            // 86_400_000_000,
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "custkey": batch.column("o_custkey").cast(pa.int64()),
+                "day": day,
+                "cents": _cents(batch.column("o_totalprice")),
+            }
+        )
+        g = t.group_by("custkey").aggregate(
+            [("day", "max"), ("cents", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "custkey": g.column("custkey"),
+                "last_day": g.column("day_max").cast(pa.int64()),
+                "monetary_cents": g.column("cents_sum").cast(pa.int64()),
+                "frequency": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    cust = (
+        ds.map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("custkey")
+        .aggregate(
+            _Max("last_day", alias_name="last_day"),
+            _Sum("monetary_cents", alias_name="monetary_cents"),
+            _Sum("frequency", alias_name="frequency"),
+        )
+    )
+
+    def with_recency(batch: pa.Table) -> pa.Table:
+        last = batch.column("last_day").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "custkey": batch.column("custkey").cast(pa.int64()),
+                "recency_days": pa.array(max_day - last, pa.int64()),
+                "frequency": batch.column("frequency").cast(pa.int64()),
+                "monetary_cents": batch.column("monetary_cents").cast(pa.int64()),
+            }
+        )
+
+    # slim pre-reduced table (4 int64 cols, one row per customer):
+    # materialized ONCE so the three rank passes don't re-fold orders.
+    cust = cust.map_batches(with_recency, batch_format="pyarrow").materialize()
+    n_total = cust.count()
+
+    def rank_pass(dset, metric: str, score_col: str, descending: bool):
+        sign = -1 if descending else 1
+        lohi = dset.aggregate(_Min(metric), _Max(metric))
+        lo = sign * int(lohi[f"min({metric})"] if sign == 1 else lohi[f"max({metric})"])
+        hi = sign * int(lohi[f"max({metric})"] if sign == 1 else lohi[f"min({metric})"])
+        width = (hi - lo) // RFM_BUCKETS + 1
+
+        def keyed(batch: pa.Table) -> pa.Table:
+            k = sign * batch.column(metric).to_numpy(zero_copy_only=False)
+            kb = (k - lo) // width
+            return batch.append_column(
+                "_k", pa.array(k, pa.int64())
+            ).append_column("_kb", pa.array(kb, pa.int64()))
+
+        rows = dset.map_batches(keyed, batch_format="pyarrow")
+
+        def kb_partial(batch: pa.Table) -> pa.Table:
+            u, cnt = np.unique(
+                batch.column("_kb").to_numpy(zero_copy_only=False),
+                return_counts=True,
+            )
+            return pa.table(
+                {
+                    "kb": pa.array(u, pa.int64()),
+                    "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                }
+            )
+
+        grid = (
+            rows.map_batches(kb_partial, batch_format="pyarrow")
+            .groupby("kb")
+            .aggregate(_Sum("n", alias_name="n"))
+            .take_all()  # bounded: <= RFM_BUCKETS rows
+        )
+        counts = np.zeros(RFM_BUCKETS, dtype=np.int64)
+        for r in grid:
+            counts[int(r["kb"])] = int(r["n"])
+        base = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        bcast = ray.put(base)
+
+        def rank_part(group: pa.Table) -> pa.Table:
+            pre = ray.get(bcast)
+            kb = int(group.column("_kb")[0].as_py())
+            k = group.column("_k").to_numpy(zero_copy_only=False)
+            ck = group.column("custkey").to_numpy(zero_copy_only=False)
+            order = np.lexsort((ck, k))
+            rn0 = np.empty(len(k), dtype=np.int64)
+            rn0[order] = pre[kb] + np.arange(len(k), dtype=np.int64)
+            score = 1 + rn0 * 5 // n_total
+            out = group.drop_columns(["_k", "_kb"])
+            return out.append_column(score_col, pa.array(score, pa.int64()))
+
+        return rows.groupby("_kb").map_groups(rank_part, batch_format="pyarrow")
+
+    cust = rank_pass(cust, "recency_days", "r_score", descending=True)
+    cust = rank_pass(cust, "frequency", "f_score", descending=False)
+    cust = rank_pass(cust, "monetary_cents", "m_score", descending=False)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        r = batch.column("r_score").to_numpy(zero_copy_only=False)
+        f = batch.column("f_score").to_numpy(zero_copy_only=False)
+        m = batch.column("m_score").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "rfm", pa.array(r * 100 + f * 10 + m, pa.int64())
+        )
+
+    return cust.map_batches(finish, batch_format="pyarrow")

@@ -372,6 +372,8 @@ SUBSET = [
     "zonemap_audit",
     "grid_dbscan",
     "wasserstein_drift",
+    "mann_whitney_u",
+    "rfm_segments",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
