@@ -1577,6 +1577,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # code; one fact fold + three slim bucket-grid rank passes.
         # Tail-seated by design: the CRM composite of the rank grid.
         "rfm_segments": analytics.rfm_segments,
+        # (round 4, wave 91) t-closeness audit — the third leg of the
+        # privacy triad: exact per-class total-variation distance of
+        # the sensitive-segment mix vs the corpus, banded by
+        # floor(10t) in pure integer arithmetic. Tail-seated by
+        # design: l_diversity's fold under a distance.
+        "t_closeness_audit": analytics.t_closeness_audit,
+        # (round 4, wave 91) exact Spearman sufficient statistics
+        # (order price vs customer balance): tie-exact double ranks on
+        # both axes via two bucket-grid exchanges over the
+        # co-partitioned pair table; one integer moment row out.
+        # Tail-seated by design: corr_moments on the rank scale.
+        "spearman_corr": analytics.spearman_corr,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -7651,6 +7663,70 @@ def oracle_sql() -> dict[str, str]:
                CAST(m_score AS BIGINT) AS m_score,
                CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
         FROM s
+    """
+
+    # t_closeness_audit: QI = (nation, $1000 balance bucket), sensitive
+    # = market segment; tvd_num = sum_seg |n_cs*N - g_s*n_c| per class
+    # (the LEFT JOIN against the full segment domain densifies absent
+    # segments to 0), band = (10*tvd_num) // (2*n_c*N).
+    sql["t_closeness_audit"] = """
+        WITH qi AS (
+            SELECT c_nationkey AS nk,
+                   (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                    + 10000000) // 100000 AS b,
+                   c_mktsegment AS seg
+            FROM customer
+        ), cs AS (
+            SELECT nk, b, seg, CAST(count(*) AS BIGINT) AS n
+            FROM qi GROUP BY 1, 2, 3
+        ), class AS (
+            SELECT nk, b, CAST(sum(n) AS BIGINT) AS n_c
+            FROM cs GROUP BY 1, 2
+        ), gseg AS (
+            SELECT seg, CAST(count(*) AS BIGINT) AS g FROM qi GROUP BY 1
+        ), alln AS (
+            SELECT CAST(count(*) AS BIGINT) AS N FROM qi
+        ), num AS (
+            SELECT c.nk, c.b, c.n_c,
+                   CAST(sum(abs(COALESCE(cs.n, 0) * alln.N
+                                - gseg.g * c.n_c)) AS BIGINT) AS tvd_num
+            FROM class c
+            CROSS JOIN gseg
+            CROSS JOIN alln
+            LEFT JOIN cs ON cs.nk = c.nk AND cs.b = c.b AND cs.seg = gseg.seg
+            GROUP BY 1, 2, 3
+        )
+        SELECT CAST((10 * tvd_num)
+                    // (2 * n_c * (SELECT N FROM alln)) AS BIGINT) AS t_band,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(n_c) AS BIGINT) AS n_rows
+        FROM num GROUP BY 1
+    """
+
+    # spearman_corr: tie-exact double ranks (mann_whitney_u's
+    # d = 2*RANK() + t - 1) on integer-cent money axes of the
+    # orders-customer pair table; one integer sufficient-stats row.
+    sql["spearman_corr"] = """
+        WITH pr AS (
+            SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS y
+            FROM orders JOIN customer ON c_custkey = o_custkey
+        ), d AS (
+            SELECT 2 * CAST(rank() OVER (ORDER BY x) AS BIGINT)
+                     + CAST(count(*) OVER (PARTITION BY x) AS BIGINT)
+                     - 1 AS dx,
+                   2 * CAST(rank() OVER (ORDER BY y) AS BIGINT)
+                     + CAST(count(*) OVER (PARTITION BY y) AS BIGINT)
+                     - 1 AS dy
+            FROM pr
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dx) AS BIGINT) AS sx,
+               CAST(sum(dy) AS BIGINT) AS sy,
+               CAST(sum(dx * dy) AS BIGINT) AS sxy,
+               CAST(sum(dx * dx) AS BIGINT) AS sxx,
+               CAST(sum(dy * dy) AS BIGINT) AS syy
+        FROM d
     """
 
     return sql

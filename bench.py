@@ -191,6 +191,7 @@ def run_queries() -> dict[str, float]:
         "rle_encoding_audit", "zonemap_audit",
         "grid_dbscan", "wasserstein_drift",
         "mann_whitney_u", "rfm_segments",
+        "t_closeness_audit", "spearman_corr",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -8578,3 +8578,278 @@ def rfm_segments(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return cust.map_batches(finish, batch_format="pyarrow")
+
+
+def t_closeness_audit(sf_dir: str) -> "ray.data.Dataset":
+    """t-closeness audit — the third leg of the privacy-release triad
+    (k_anonymity_audit gates class SIZE, l_diversity_audit gates
+    sensitive-value VARIETY; this gates the sensitive-value
+    DISTRIBUTION): with the same quasi-identifiers (nation, $1000
+    balance bucket) and market segment as the sensitive attribute, a
+    class whose segment mix diverges from the corpus mix leaks
+    attribute information even at k ≥ 5 and l ≥ 2 — the skewness
+    attack. Per class the exact total-variation distance to the
+    global distribution is the integer numerator
+    tvd_num = Σ_seg |n_cs·N − g_s·n_c| with t = tvd_num / (2·n_c·N),
+    and classes band by t_band = ⌊10·t⌋ = (10·tvd_num) // (2·n_c·N)
+    — exact floor arithmetic mirrored verbatim by the oracle. Output
+    per band: (t_band, n_classes, n_rows); the high bands are the
+    release blockers. Tail-seated by design: l_diversity_audit's fold
+    under a distance instead of a distinct count.
+
+    Scale shape: per-batch (QI, seg, n) partials → ONE groupby on
+    (QI, seg) → per-class map_groups over its ≤|segments| grid rows
+    with the bounded global segment histogram broadcast once (absent
+    segments contribute (N − Σ_present g_s)·n_c in closed form, so
+    the grid never densifies) → per-batch band partials → a ≤11-row
+    band-grid Sum. Rows never shuffle; only grid cells do."""
+    import pandas as pd
+    from ray.data.aggregate import Sum as _Sum
+
+    path = f"{sf_dir}/customer.parquet"
+    ds = ray.data.read_parquet(
+        path, columns=["c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+
+    def qi_seg_partials(batch: pa.Table) -> pa.Table:
+        nk, bucket, seg = _kanon_qi(batch, with_segment=True)
+        g = (
+            pd.DataFrame({"nk": nk, "b": bucket, "seg": seg, "n": 1})
+            .groupby(["nk", "b", "seg"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "nk": pa.array(g["nk"].to_numpy(), pa.int64()),
+                "b": pa.array(g["b"].to_numpy(), pa.int64()),
+                "seg": pa.array(g["seg"], pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    grid = (
+        ds.map_batches(qi_seg_partials, batch_format="pyarrow")
+        .groupby(["nk", "b", "seg"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+
+    # bounded global segment histogram (<= #segments rows)
+    def seg_partials(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["c_mktsegment"])
+            .group_by("c_mktsegment")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "seg": g.column("c_mktsegment"),
+                "g": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    seg_rows = (
+        ray.data.read_parquet(path, columns=["c_mktsegment"])
+        .map_batches(seg_partials, batch_format="pyarrow")
+        .groupby("seg")
+        .aggregate(_Sum("g", alias_name="g"))
+        .take_all()
+    )
+    ghist = {r["seg"]: int(r["g"]) for r in seg_rows}
+    n_all = sum(ghist.values())
+    bcast = ray.put(ghist)
+
+    def per_class(group: pa.Table) -> pa.Table:
+        gh = ray.get(bcast)
+        segs = group.column("seg").to_pylist()
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        n_c = int(n.sum())
+        gvec = np.array([gh[s] for s in segs], dtype=np.int64)
+        present_g = int(gvec.sum())
+        tvd = int(np.abs(n * n_all - gvec * n_c).sum()) + (
+            n_all - present_g
+        ) * n_c
+        band = (10 * tvd) // (2 * n_c * n_all)
+        return pa.table(
+            {
+                "t_band": pa.array([band], pa.int64()),
+                "n_classes": pa.array([1], pa.int64()),
+                "n_rows": pa.array([n_c], pa.int64()),
+            }
+        )
+
+    return (
+        grid.groupby(["nk", "b"])
+        .map_groups(per_class, batch_format="pyarrow")
+        .groupby("t_band")
+        .aggregate(
+            _Sum("n_classes", alias_name="n_classes"),
+            _Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+
+
+SPEAR_BUCKETS = 256  # key-range buckets per axis for the rank passes
+
+
+def spearman_corr(sf_dir: str) -> "pd.DataFrame":
+    """Exact Spearman rank-correlation sufficient statistics between
+    an order's price and its customer's account balance — the
+    rank-scale companion to corr_moments' Pearson co-moments (Pearson
+    moves with outliers and nonlinearity; Spearman is the monotone-
+    association readout feature audits want on heavy-tailed money
+    columns). Ties are exact through DOUBLE ranks (d = 2L + t + 1,
+    integer; mann_whitney_u's convention), and the output is the one
+    row of integer sufficient statistics (n, sx, sy, sxy, sxx, syy)
+    from which rho = (n·sxy − sx·sy)/√((n·sxx − sx²)(n·syy − sy²)) is
+    exact rational arithmetic downstream. int64 headroom: a cross
+    term is ≤ (2n)², summed n times → safe through ~10^6 pairs; past
+    that the partial splits into (hi, lo) lanes like gini_sources
+    documents.
+
+    Scale shape: the (x, y) pair table assembles via ONE
+    co-partitioned union join on custkey (customer y-rows and order
+    x-rows tagged into the same groupby(custkey) — never a broadcast
+    of the customer table), then each axis gets one bucket-grid
+    double-rank exchange (bounded SPEAR_BUCKETS count grid to the
+    driver, prefix bases broadcast, groupby(kb) bucket-local
+    np.unique — equal keys share a bucket, so tie groups never
+    straddle bases), and per-batch moment partials fold to the single
+    output row. Three exchanges total; money is integer cents
+    before anything sums."""
+    from ray.data.aggregate import Sum as _Sum
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": batch.column("c_custkey").cast(pa.int64()),
+                "v": _cents(batch.column("c_acctbal")),
+                "side": pa.array(
+                    np.zeros(batch.num_rows, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": batch.column("o_custkey").cast(pa.int64()),
+                "v": _cents(batch.column("o_totalprice")),
+                "side": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    tagged = cust.map_batches(cust_side, batch_format="pyarrow").union(
+        orders.map_batches(order_side, batch_format="pyarrow")
+    )
+
+    def attach(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        ys = v[side == 0]
+        if len(ys) == 0:
+            return pa.table({"x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64())})
+        y = int(ys[0])
+        x = v[side == 1]
+        return pa.table(
+            {
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(np.full(len(x), y, np.int64), pa.int64()),
+            }
+        )
+
+    pairs = tagged.groupby("custkey").map_groups(
+        attach, batch_format="pyarrow"
+    )
+
+    def rank_axis(dset, col: str, out: str):
+        lohi = dset.aggregate(Min(col), Max(col))
+        lo, hi = int(lohi[f"min({col})"]), int(lohi[f"max({col})"])
+        width = (hi - lo) // SPEAR_BUCKETS + 1
+
+        def keyed(batch: pa.Table) -> pa.Table:
+            k = batch.column(col).to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "_kb", pa.array((k - lo) // width, pa.int64())
+            )
+
+        rows = dset.map_batches(keyed, batch_format="pyarrow")
+
+        def kb_partial(batch: pa.Table) -> pa.Table:
+            u, cnt = np.unique(
+                batch.column("_kb").to_numpy(zero_copy_only=False),
+                return_counts=True,
+            )
+            return pa.table(
+                {
+                    "kb": pa.array(u, pa.int64()),
+                    "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                }
+            )
+
+        g = (
+            rows.map_batches(kb_partial, batch_format="pyarrow")
+            .groupby("kb")
+            .aggregate(_Sum("n", alias_name="n"))
+            .take_all()  # bounded: <= SPEAR_BUCKETS rows
+        )
+        counts = np.zeros(SPEAR_BUCKETS, dtype=np.int64)
+        for r in g:
+            counts[int(r["kb"])] = int(r["n"])
+        base = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        bcast = ray.put(base)
+
+        def rank_part(group: pa.Table) -> pa.Table:
+            pre = ray.get(bcast)
+            kb = int(group.column("_kb")[0].as_py())
+            k = group.column(col).to_numpy(zero_copy_only=False)
+            uniq, inv, cnt = np.unique(
+                k, return_inverse=True, return_counts=True
+            )
+            before = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            d = (2 * (pre[kb] + before) + cnt + 1)[inv]
+            return group.drop_columns(["_kb"]).append_column(
+                out, pa.array(d, pa.int64())
+            )
+
+        return rows.groupby("_kb").map_groups(rank_part, batch_format="pyarrow")
+
+    ranked = rank_axis(rank_axis(pairs, "x", "dx"), "y", "dy")
+
+    def moment_partials(batch: pa.Table) -> pa.Table:
+        dx = batch.column("dx").to_numpy(zero_copy_only=False)
+        dy = batch.column("dy").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([len(dx)], pa.int64()),
+                "sx": pa.array([int(dx.sum())], pa.int64()),
+                "sy": pa.array([int(dy.sum())], pa.int64()),
+                "sxy": pa.array([int((dx * dy).sum())], pa.int64()),
+                "sxx": pa.array([int((dx * dx).sum())], pa.int64()),
+                "syy": pa.array([int((dy * dy).sum())], pa.int64()),
+            }
+        )
+
+    folded = ranked.map_batches(
+        moment_partials, batch_format="pyarrow"
+    ).aggregate(
+        _Sum("n", alias_name="n"),
+        _Sum("sx", alias_name="sx"),
+        _Sum("sy", alias_name="sy"),
+        _Sum("sxy", alias_name="sxy"),
+        _Sum("sxx", alias_name="sxx"),
+        _Sum("syy", alias_name="syy"),
+    )
+    import pandas as pd
+
+    return pd.DataFrame([{k: int(v) for k, v in folded.items()}])[
+        ["n", "sx", "sy", "sxy", "sxx", "syy"]
+    ]

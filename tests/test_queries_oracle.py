@@ -374,6 +374,8 @@ SUBSET = [
     "wasserstein_drift",
     "mann_whitney_u",
     "rfm_segments",
+    "t_closeness_audit",
+    "spearman_corr",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
