@@ -1589,6 +1589,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # co-partitioned pair table; one integer moment row out.
         # Tail-seated by design: corr_moments on the rank scale.
         "spearman_corr": analytics.spearman_corr,
+        # (round 4, wave 92) degree assortativity — exact Newman
+        # degree-mixing sufficient statistics (m, Σ(da+db),
+        # Σ(da²+db²), Σ da·db) of the mutual-kNN graph: do hubs link
+        # to hubs? Two int64-only co-partitions (node-local degrees,
+        # per-edge two-row fold with the product recovered from
+        # sum/sum-of-squares). Tail-seated by design: mutual_knn's
+        # edges under corr_moments' sufficient-statistic fold.
+        "degree_assortativity": similarity.degree_assortativity,
+        # (round 4, wave 92) exact triangle census — (n_nodes,
+        # m_edges, wedges, triangles) of the mutual-kNN graph, the
+        # global-clustering-coefficient sufficient statistics, via
+        # degree-ordered orientation (each triangle generated once at
+        # its unique two-out-edge vertex, out-degree O(sqrt(2m))).
+        # Four int64-only exchanges. Tail-seated by design: the graph
+        # triad's closure statistic over mutual_knn's edges.
+        "triangle_census": similarity.triangle_census,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -7727,6 +7743,54 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(dx * dx) AS BIGINT) AS sxx,
                CAST(sum(dy * dy) AS BIGINT) AS syy
         FROM d
+    """
+
+    # degree_assortativity: exact degree-mixing moments over the
+    # mutual-kNN edges; per-edge product of endpoint degrees.
+    sql["degree_assortativity"] = f"""
+        WITH mk AS MATERIALIZED (
+          SELECT vec_a, vec_b FROM ({sql["mutual_knn"]})
+        ),
+        deg AS (
+          SELECT v, CAST(count(*) AS BIGINT) AS dg FROM (
+            SELECT vec_a AS v FROM mk UNION ALL SELECT vec_b FROM mk)
+          GROUP BY 1
+        ),
+        e AS (
+          SELECT da.dg AS d_a, db.dg AS d_b
+          FROM mk JOIN deg da ON da.v = mk.vec_a
+                  JOIN deg db ON db.v = mk.vec_b
+        )
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(d_a + d_b) AS BIGINT) AS s_sum,
+               CAST(sum(d_a * d_a + d_b * d_b) AS BIGINT) AS s_sq,
+               CAST(sum(d_a * d_b) AS BIGINT) AS s_prod
+        FROM e
+    """
+
+    # triangle_census: exact triangles via the a<b<c three-way
+    # self-join (mk already stores vec_a < vec_b); wedges from
+    # degrees.
+    sql["triangle_census"] = f"""
+        WITH mk AS MATERIALIZED (
+          SELECT vec_a, vec_b FROM ({sql["mutual_knn"]})
+        ),
+        deg AS (
+          SELECT v, CAST(count(*) AS BIGINT) AS dg FROM (
+            SELECT vec_a AS v FROM mk UNION ALL SELECT vec_b FROM mk)
+          GROUP BY 1
+        ),
+        tri AS (
+          SELECT CAST(count(*) AS BIGINT) AS t
+          FROM mk e1
+          JOIN mk e2 ON e2.vec_a = e1.vec_b
+          JOIN mk e3 ON e3.vec_a = e1.vec_a AND e3.vec_b = e2.vec_b
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+               (SELECT CAST(count(*) AS BIGINT) FROM mk) AS m_edges,
+               (SELECT CAST(sum((dg * (dg - 1)) // 2) AS BIGINT)
+                FROM deg) AS wedges,
+               (SELECT t FROM tri) AS triangles
     """
 
     return sql

@@ -192,6 +192,7 @@ def run_queries() -> dict[str, float]:
         "grid_dbscan", "wasserstein_drift",
         "mann_whitney_u", "rfm_segments",
         "t_closeness_audit", "spearman_corr",
+        "degree_assortativity", "triangle_census",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -3148,3 +3148,314 @@ def embedding_norm_profile(sf_dir: str) -> "pa.Table":
             "norm2_sum": pa.array([r[3] for r in out], pa.int64()),
         }
     )
+
+
+def degree_assortativity(sf_dir: str) -> "pd.DataFrame":
+    """Exact degree-assortativity sufficient statistics of the
+    mutual-kNN graph (Newman 2002): the Pearson correlation of the
+    degrees at the two ends of every edge, the one-number answer to
+    "do hubs link to hubs?" that community_modularity cannot give
+    (modularity scores a PARTITION; assortativity scores the raw
+    mixing). Disassortative (r < 0) is the expected signature of a
+    mutual-kNN graph — hub vectors reciprocate mostly with low-degree
+    satellites — so r near 0 or positive flags a clustered corpus.
+    Output is ONE integer row (m, s_sum, s_sq, s_prod): m edges,
+    Σ(d_a + d_b), Σ(d_a² + d_b²), Σ d_a·d_b, from which
+    r = (4m·s_prod − s_sum²) / (2m·s_sq − s_sum²) is exact rational
+    arithmetic downstream (spearman_corr's sufficient-statistic
+    contract). Tail-seated by design: mutual_knn's edge list driven
+    through corr_moments' fold.
+
+    Scale shape: the memoized mutual edge list (built once per
+    session, shared with label_propagation and community_modularity)
+    unrolls to directed endpoint rows; ONE co-partition on node
+    computes degrees with a vectorized np.unique inside each part (a
+    node's rows never straddle parts) and re-emits (eid, deg) int64
+    rows; a SECOND co-partition on the packed edge key folds each
+    edge's two degree rows via pyarrow group_by — per-edge product
+    recovered as ((d_a+d_b)² − (d_a²+d_b²))/2, so only sums cross
+    the exchange — then per-part moment partials Sum-fold to the one
+    output row. Two int64-only exchanges, width size-adaptive on the
+    community_modularity discipline; int64 headroom: s_prod ≤ m·d²
+    with d ≤ 2k, safe through ~10^14 edges."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    edges = mutual_knn(sf_dir)  # memoized, already materialized
+    m_edges = edges.count()
+    parts = N_COARSE_PARTS if 2 * m_edges >= 1_000_000 else 8
+    PACK = 1 << 32
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_a").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = batch.column("vec_b").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = a * PACK + b
+        node = np.concatenate([a, b])
+        eid2 = np.concatenate([eid, eid])
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "eid": pa.array(eid2, pa.int64()),
+                "part": pa.array(node % parts, pa.int64()),
+            }
+        )
+
+    def node_degrees(part_tbl: pa.Table) -> pa.Table:
+        node = part_tbl.column("node").to_numpy(zero_copy_only=False)
+        eid = part_tbl.column("eid").to_numpy(zero_copy_only=False)
+        uniq, inv, cnt = np.unique(
+            node, return_inverse=True, return_counts=True
+        )
+        deg = cnt.astype(np.int64)[inv]
+        return pa.table(
+            {
+                "eid": pa.array(eid, pa.int64()),
+                "deg": pa.array(deg, pa.int64()),
+                "part": pa.array(eid % parts, pa.int64()),
+            }
+        )
+
+    def edge_moments(part_tbl: pa.Table) -> pa.Table:
+        t = (
+            part_tbl.select(["eid", "deg"])
+            .append_column(
+                "deg2",
+                pa.array(
+                    part_tbl.column("deg").to_numpy(zero_copy_only=False)
+                    ** 2,
+                    pa.int64(),
+                ),
+            )
+            .group_by("eid")
+            .aggregate([("deg", "sum"), ("deg2", "sum")])
+        )
+        sd = t.column("deg_sum").to_numpy(zero_copy_only=False)
+        sd2 = t.column("deg2_sum").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "m": pa.array([len(sd)], pa.int64()),
+                "s_sum": pa.array([int(sd.sum())], pa.int64()),
+                "s_sq": pa.array([int(sd2.sum())], pa.int64()),
+                "s_prod": pa.array(
+                    [int(((sd * sd - sd2) // 2).sum())], pa.int64()
+                ),
+            }
+        )
+
+    folded = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(node_degrees, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(edge_moments, batch_format="pyarrow")
+        .aggregate(
+            _Sum("m", alias_name="m"),
+            _Sum("s_sum", alias_name="s_sum"),
+            _Sum("s_sq", alias_name="s_sq"),
+            _Sum("s_prod", alias_name="s_prod"),
+        )
+    )
+    return pd.DataFrame([{k: int(v) for k, v in folded.items()}])[
+        ["m", "s_sum", "s_sq", "s_prod"]
+    ]
+
+
+def triangle_census(sf_dir: str) -> "pd.DataFrame":
+    """Exact triangle census of the mutual-kNN graph: ONE integer row
+    (n_nodes, m_edges, wedges, triangles) — the sufficient statistics
+    of the global clustering coefficient C = 3·triangles / wedges,
+    the third classical one-number graph health check next to
+    community_modularity (partition quality) and degree_assortativity
+    (degree mixing). High C with low modularity flags a corpus whose
+    near-duplicate structure is local cliques rather than broad
+    communities — exactly the shape where SemDeDup outperforms
+    connected-component fuzzy dedup.
+
+    Scale shape (degree-ordered orientation, the classical
+    distributed triangle-count trick): each triangle has exactly ONE
+    vertex with out-edges to the other two once every edge is
+    oriented from its lower (degree, id) endpoint, so wedges are
+    generated only at that vertex and out-degree is bounded by
+    O(sqrt(2m)) regardless of hubs. Four int64-only co-partition
+    exchanges, none carrying payload: (1) endpoint rows -> node parts
+    (a node's rows never straddle parts) compute degrees with one
+    np.unique and ride per-part (n_nodes, wedge) partials as columns
+    on the first row — wedges = Σ d(d−1)/2 needs no extra pass; (2)
+    (eid, node, deg) rows -> edge parts orient each edge at its
+    lexicographically smaller (deg, node) endpoint; (3) oriented
+    edges -> source parts emit each out-neighbor pair ONCE as a
+    packed (lo, hi) int64 key, vectorized by looping only over
+    DISTINCT out-degree values (each k handled as a (groups, k)
+    matrix under np.triu_indices); (4) wedge keys union edge keys ->
+    key parts, per-part triangles = np.isin(wedge, edge).sum() with
+    multiplicity (distinct sources = distinct triangles), Sum-folded.
+    The stage-2 input is materialized once and feeds both the
+    (n_nodes, wedges) fold and the orientation pass. int64 headroom:
+    keys pack two 32-bit ids; wedges ≤ n·d²/2 safe past 10^14."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    edges = mutual_knn(sf_dir)  # memoized, already materialized
+    m_edges = edges.count()
+    parts = N_COARSE_PARTS if 2 * m_edges >= 1_000_000 else 8
+    PACK = 1 << 32
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_a").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = batch.column("vec_b").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = a * PACK + b
+        node = np.concatenate([a, b])
+        eid2 = np.concatenate([eid, eid])
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "eid": pa.array(eid2, pa.int64()),
+                "part": pa.array(node % parts, pa.int64()),
+            }
+        )
+
+    def node_degrees(part_tbl: pa.Table) -> pa.Table:
+        node = part_tbl.column("node").to_numpy(zero_copy_only=False)
+        eid = part_tbl.column("eid").to_numpy(zero_copy_only=False)
+        uniq, inv, cnt = np.unique(
+            node, return_inverse=True, return_counts=True
+        )
+        deg = cnt.astype(np.int64)[inv]
+        n = len(node)
+        nn = np.zeros(n, np.int64)
+        wd = np.zeros(n, np.int64)
+        if n:
+            c = cnt.astype(np.int64)
+            nn[0] = len(uniq)
+            wd[0] = int((c * (c - 1) // 2).sum())
+        return pa.table(
+            {
+                "eid": pa.array(eid, pa.int64()),
+                "node": pa.array(node, pa.int64()),
+                "deg": pa.array(deg, pa.int64()),
+                "part": pa.array(eid % parts, pa.int64()),
+                "nn": pa.array(nn, pa.int64()),
+                "wd": pa.array(wd, pa.int64()),
+            }
+        )
+
+    def orient(part_tbl: pa.Table) -> pa.Table:
+        eid = part_tbl.column("eid").to_numpy(zero_copy_only=False)
+        node = part_tbl.column("node").to_numpy(zero_copy_only=False)
+        deg = part_tbl.column("deg").to_numpy(zero_copy_only=False)
+        order = np.lexsort((node, deg, eid))
+        node_s = node[order]
+        src = node_s[0::2]
+        dst = node_s[1::2]
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "part": pa.array(src % parts, pa.int64()),
+            }
+        )
+
+    def make_wedges(part_tbl: pa.Table) -> pa.Table:
+        src = part_tbl.column("src").to_numpy(zero_copy_only=False)
+        dst = part_tbl.column("dst").to_numpy(zero_copy_only=False)
+        order = np.lexsort((dst, src))
+        src_s, dst_s = src[order], dst[order]
+        uniq, start, cnt = np.unique(
+            src_s, return_index=True, return_counts=True
+        )
+        keys = []
+        for k in np.unique(cnt):
+            if k < 2:
+                continue
+            starts = start[cnt == k]
+            # (groups, k) matrix of each size-k group's out-neighbors
+            mat = dst_s[starts[:, None] + np.arange(k)[None, :]]
+            ii, jj = np.triu_indices(int(k), 1)
+            lo = np.minimum(mat[:, ii], mat[:, jj]).ravel()
+            hi = np.maximum(mat[:, ii], mat[:, jj]).ravel()
+            keys.append(lo * PACK + hi)
+        wk = (
+            np.concatenate(keys)
+            if keys
+            else np.empty(0, np.int64)
+        )
+        return pa.table(
+            {
+                "key": pa.array(wk, pa.int64()),
+                "kind": pa.array(np.ones(len(wk), np.int64)),
+                "part": pa.array(wk % parts, pa.int64()),
+            }
+        )
+
+    def edge_keys(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_a").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = batch.column("vec_b").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        key = a * PACK + b
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "kind": pa.array(np.zeros(len(key), np.int64)),
+                "part": pa.array(key % parts, pa.int64()),
+            }
+        )
+
+    def match_part(part_tbl: pa.Table) -> pa.Table:
+        key = part_tbl.column("key").to_numpy(zero_copy_only=False)
+        kind = part_tbl.column("kind").to_numpy(zero_copy_only=False)
+        ek = key[kind == 0]
+        wk = key[kind == 1]
+        tri = int(np.isin(wk, ek).sum()) if len(wk) and len(ek) else 0
+        return pa.table({"triangles": pa.array([tri], pa.int64())})
+
+    degrows = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(node_degrees, batch_format="pyarrow")
+        .materialize()
+    )
+    stats = degrows.aggregate(
+        _Sum("nn", alias_name="n_nodes"),
+        _Sum("wd", alias_name="wedges"),
+    )
+    wedge_rows = (
+        degrows.groupby("part")
+        .map_groups(orient, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(make_wedges, batch_format="pyarrow")
+    )
+    tri = (
+        wedge_rows.union(
+            edges.map_batches(edge_keys, batch_format="pyarrow")
+        )
+        .groupby("part")
+        .map_groups(match_part, batch_format="pyarrow")
+        .aggregate(_Sum("triangles", alias_name="triangles"))
+    )
+    return pd.DataFrame(
+        [
+            {
+                "n_nodes": int(stats["n_nodes"]),
+                "m_edges": int(m_edges),
+                "wedges": int(stats["wedges"]),
+                "triangles": int(tri["triangles"]),
+            }
+        ]
+    )

@@ -376,6 +376,8 @@ SUBSET = [
     "rfm_segments",
     "t_closeness_audit",
     "spearman_corr",
+    "degree_assortativity",
+    "triangle_census",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
