@@ -1605,6 +1605,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Four int64-only exchanges. Tail-seated by design: the graph
         # triad's closure statistic over mutual_knn's edges.
         "triangle_census": similarity.triangle_census,
+        # (round 4, wave 93) exact Kendall tau-b sufficient
+        # statistics (n, tie pairs per axis + joint, exact discordant
+        # count) on the spearman pair table (mod-4 order sample):
+        # D decomposed over a 2-axis value grid — per-x-bucket
+        # vectorized merge-sort inversion count, bounded count-grid
+        # cross term, per-y-cell same-cell refinement. Tail-seated by
+        # design: spearman_corr's join under pair concordance.
+        "kendall_tau": analytics.kendall_tau,
+        # (round 4, wave 93) exact Kaplan-Meier risk table over
+        # per-user activity spans — (t_days, n_risk, d_events,
+        # c_censored) with deaths = spans ending before the
+        # 7-day observation horizon; one user-keyed co-partition
+        # collapsing straight to duration value counts, driver read
+        # bounded by the corpus day span. Tail-seated by design: the
+        # survival fold of retention's (user, day) machinery.
+        "km_risk_table": sessions.km_risk_table,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -7791,6 +7807,65 @@ def oracle_sql() -> dict[str, str]:
                (SELECT CAST(sum((dg * (dg - 1)) // 2) AS BIGINT)
                 FROM deg) AS wedges,
                (SELECT t FROM tri) AS triangles
+    """
+
+    # kendall_tau: exact tau-b sufficient statistics on the mod-4
+    # sampled order-price / customer-balance pair table; disc via the
+    # quadratic strict-discordance self-join (the sample keeps it
+    # honest at sf0.01).
+    sql["kendall_tau"] = """
+        WITH pr AS MATERIALIZED (
+            SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS y
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            WHERE o_orderkey % 4 = 0
+        ),
+        t1 AS (SELECT CAST(coalesce(sum((c * (c - 1)) // 2), 0) AS BIGINT)
+                 AS n1
+               FROM (SELECT count(*) AS c FROM pr GROUP BY x)),
+        t2 AS (SELECT CAST(coalesce(sum((c * (c - 1)) // 2), 0) AS BIGINT)
+                 AS n2
+               FROM (SELECT count(*) AS c FROM pr GROUP BY y)),
+        t3 AS (SELECT CAST(coalesce(sum((c * (c - 1)) // 2), 0) AS BIGINT)
+                 AS n3
+               FROM (SELECT count(*) AS c FROM pr GROUP BY x, y)),
+        d AS (SELECT CAST(count(*) AS BIGINT) AS disc
+              FROM pr a JOIN pr b ON a.x < b.x AND a.y > b.y)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n,
+               (SELECT n1 FROM t1) AS n1,
+               (SELECT n2 FROM t2) AS n2,
+               (SELECT n3 FROM t3) AS n3,
+               (SELECT disc FROM d) AS disc
+    """
+
+    # km_risk_table: Kaplan-Meier risk table over per-user activity
+    # spans; deaths = last event older than 7 days before the corpus
+    # max; n_risk = suffix count of spans >= t.
+    sql["km_risk_table"] = """
+        WITH per_u AS (
+          SELECT user_id,
+                 date_diff('day', CAST(min(ts) AS DATE),
+                           CAST(max(ts) AS DATE)) AS dur,
+                 CAST(max(ts) AS DATE) AS last_d
+          FROM events GROUP BY 1
+        ),
+        mx AS (SELECT CAST(max(ts) AS DATE) AS gmax FROM events),
+        lab AS (
+          SELECT CAST(dur AS BIGINT) AS t_days,
+                 CAST(last_d < gmax - INTERVAL 7 DAY AS BIGINT) AS churned
+          FROM per_u, mx
+        ),
+        agg AS (
+          SELECT t_days,
+                 CAST(sum(churned) AS BIGINT) AS d_events,
+                 CAST(sum(1 - churned) AS BIGINT) AS c_censored
+          FROM lab GROUP BY 1
+        )
+        SELECT t_days,
+               CAST(sum(d_events + c_censored)
+                    OVER (ORDER BY t_days DESC) AS BIGINT) AS n_risk,
+               d_events, c_censored
+        FROM agg ORDER BY t_days
     """
 
     return sql

@@ -193,6 +193,7 @@ def run_queries() -> dict[str, float]:
         "mann_whitney_u", "rfm_segments",
         "t_closeness_audit", "spearman_corr",
         "degree_assortativity", "triangle_census",
+        "kendall_tau", "km_risk_table",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -8853,3 +8853,242 @@ def spearman_corr(sf_dir: str) -> "pd.DataFrame":
     return pd.DataFrame([{k: int(v) for k, v in folded.items()}])[
         ["n", "sx", "sy", "sxy", "sxx", "syy"]
     ]
+
+
+def _inv_count(y: "np.ndarray") -> int:
+    """Exact inversion count — #pairs i<j with y[i] > y[j] — via
+    bottom-up vectorized merge counting: O(log n) numpy passes
+    (sort-within-blocks + one global searchsorted per level), never a
+    per-row Python loop. Values are densified to ranks so the
+    block-offset trick (each block shifted into its own disjoint key
+    range, making the concatenated left halves globally sorted for
+    ONE searchsorted) stays inside int64; the array pads to a power
+    of two with a sentinel LARGER than every rank appended at the
+    end, which can never form an inversion (pads always remain a
+    global suffix at block granularity, so a left half holds pads
+    only when its right half is all pads)."""
+    n = len(y)
+    if n < 2:
+        return 0
+    _, r = np.unique(y, return_inverse=True)
+    a = r.astype(np.int64)
+    m = 1 << int(np.ceil(np.log2(n)))
+    big = np.int64(n + 1)
+    if m > n:
+        a = np.concatenate([a, np.full(m - n, big, np.int64)])
+    inv = 0
+    width = 1
+    idx = np.arange(m)
+    while width < m:
+        nb2 = 2 * width
+        blk = idx // nb2
+        keyed = a + blk * (big + 2)
+        lmask = (idx % nb2) < width
+        cnt_le = np.searchsorted(keyed[lmask], keyed[~lmask], side="right")
+        rstart = (idx[~lmask] // nb2) * width
+        inv += int((width - (cnt_le - rstart)).sum())
+        a = np.sort(a.reshape(-1, nb2), axis=1).ravel()
+        width = nb2
+    return inv
+
+
+KT_BUCKETS = 128  # per-axis grid for the Kendall discordant exchanges
+
+
+def kendall_tau(sf_dir: str) -> "pd.DataFrame":
+    """Exact Kendall tau-b sufficient statistics between an order's
+    price and its customer's account balance (the mod-4 deterministic
+    o_orderkey sample keeps the quadratic oracle honest): ONE integer
+    row (n, n1, n2, n3, disc) — pair count, x-tie pairs Σtx(tx−1)/2,
+    y-tie pairs, joint-tie pairs, and the exact DISCORDANT pair count
+    D — from which tau_b = (S − 2D)/√((n0−n1)(n0−n2)) with
+    n0 = n(n−1)/2 and S = n0 − n1 − n2 + n3 is exact rational
+    arithmetic downstream. Spearman (rank Pearson) and tau-b (pair
+    concordance) disagree exactly when association is driven by a few
+    long monotone runs — the pair completes the rank-correlation
+    readout.
+
+    Scale shape: D is an inversion count of y under (x, y) sort,
+    decomposed exactly over a 2-axis value grid (equal values share a
+    bucket on each axis, the SPEAR_BUCKETS discipline): (a) pairs in
+    the SAME x-bucket — per-bucket `_inv_count` of y under local
+    (x, y) sort, O(b log b) numpy, plus exact x-tie/joint-tie partials
+    from the same np.unique; (b) pairs in DIFFERENT x-buckets AND
+    different y-cells — read off the bounded KT_BUCKETS² count grid
+    (one tiny fold, 2D prefix arithmetic on the driver, E matrix
+    broadcast once via ray.put); (c) pairs in different x-buckets but
+    the SAME y-cell — per-y-cell `_inv_count` of y under (xb, y) sort
+    (same-xb pairs sort y-ascending and contribute zero), which also
+    yields the exact y-tie partials. Three int64-only exchanges past
+    the co-partitioned spearman union join; the slim 4-column pair
+    table is materialized once and feeds all three passes. int64
+    headroom: disc ≤ n²/2 — safe through ~10⁹ pairs, then split lanes
+    as gini_sources documents."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": batch.column("c_custkey").cast(pa.int64()),
+                "v": _cents(batch.column("c_acctbal")),
+                "side": pa.array(
+                    np.zeros(batch.num_rows, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(
+            pc.bit_wise_and(batch.column("o_orderkey").cast(pa.int64()), 3), 0
+        )
+        batch = batch.filter(keep)
+        return pa.table(
+            {
+                "custkey": batch.column("o_custkey").cast(pa.int64()),
+                "v": _cents(batch.column("o_totalprice")),
+                "side": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    tagged = cust.map_batches(cust_side, batch_format="pyarrow").union(
+        orders.map_batches(order_side, batch_format="pyarrow")
+    )
+
+    def attach(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        ys = v[side == 0]
+        x = v[side == 1]
+        if len(ys) == 0 or len(x) == 0:
+            return pa.table({"x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64())})
+        y = int(ys[0])
+        return pa.table(
+            {
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(np.full(len(x), y, np.int64), pa.int64()),
+            }
+        )
+
+    pairs = tagged.groupby("custkey").map_groups(attach, batch_format="pyarrow")
+
+    lohi = pairs.aggregate(Min("x"), Max("x"), Min("y"), Max("y"))
+    xlo, xhi = int(lohi["min(x)"]), int(lohi["max(x)"])
+    ylo, yhi = int(lohi["min(y)"]), int(lohi["max(y)"])
+    wx = (xhi - xlo) // KT_BUCKETS + 1
+    wy = (yhi - ylo) // KT_BUCKETS + 1
+
+    def add_cells(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "x": batch.column("x"),
+                "y": batch.column("y"),
+                "xb": pa.array((x - xlo) // wx, pa.int64()),
+                "yc": pa.array((y - ylo) // wy, pa.int64()),
+            }
+        )
+
+    keyed = pairs.map_batches(add_cells, batch_format="pyarrow").materialize()
+
+    # bounded KT_BUCKETS^2 count grid -> driver 2D prefix arithmetic
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        xb = batch.column("xb").to_numpy(zero_copy_only=False)
+        yc = batch.column("yc").to_numpy(zero_copy_only=False)
+        u, cnt = np.unique(xb * KT_BUCKETS + yc, return_counts=True)
+        return pa.table(
+            {
+                "cell": pa.array(u, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    grid_rows = (
+        keyed.map_batches(cell_partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(_Sum("n", alias_name="n"))
+        .take_all()  # bounded: <= KT_BUCKETS^2 rows
+    )
+    C = np.zeros((KT_BUCKETS, KT_BUCKETS), np.int64)
+    for r in grid_rows:
+        C[int(r["cell"]) // KT_BUCKETS, int(r["cell"]) % KT_BUCKETS] = int(
+            r["n"]
+        )
+    # P[xb, yc] = rows in x-buckets < xb at y-cell yc
+    P = np.vstack([np.zeros((1, KT_BUCKETS), np.int64), np.cumsum(C, 0)[:-1]])
+    # E[xb, yc] = rows in x-buckets < xb with y-cell > yc
+    E = np.cumsum(P[:, ::-1], 1)[:, ::-1]
+    E = np.hstack([E[:, 1:], np.zeros((KT_BUCKETS, 1), np.int64)])
+    e_ref = ray.put(E)
+
+    def xb_stats(group: pa.Table) -> pa.Table:
+        x = group.column("x").to_numpy(zero_copy_only=False)
+        y = group.column("y").to_numpy(zero_copy_only=False)
+        yc = group.column("yc").to_numpy(zero_copy_only=False)
+        xb = int(group.column("xb")[0].as_py())
+        order = np.lexsort((y, x))
+        inv = _inv_count(y[order])
+        _, xcnt = np.unique(x, return_counts=True)
+        n1 = int((xcnt * (xcnt - 1) // 2).sum())
+        _, xr = np.unique(x, return_inverse=True)
+        _, yr = np.unique(y, return_inverse=True)
+        _, jcnt = np.unique(
+            xr.astype(np.int64) * (yr.max() + 1) + yr, return_counts=True
+        )
+        n3 = int((jcnt * (jcnt - 1) // 2).sum())
+        cross = int(ray.get(e_ref)[xb][yc].sum())
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "n1": pa.array([n1], pa.int64()),
+                "n2": pa.array([0], pa.int64()),
+                "n3": pa.array([n3], pa.int64()),
+                "disc": pa.array([inv + cross], pa.int64()),
+            }
+        )
+
+    def yc_stats(group: pa.Table) -> pa.Table:
+        y = group.column("y").to_numpy(zero_copy_only=False)
+        xb = group.column("xb").to_numpy(zero_copy_only=False)
+        order = np.lexsort((y, xb))
+        inv = _inv_count(y[order])
+        _, ycnt = np.unique(y, return_counts=True)
+        n2 = int((ycnt * (ycnt - 1) // 2).sum())
+        return pa.table(
+            {
+                "n": pa.array([0], pa.int64()),
+                "n1": pa.array([0], pa.int64()),
+                "n2": pa.array([n2], pa.int64()),
+                "n3": pa.array([0], pa.int64()),
+                "disc": pa.array([inv], pa.int64()),
+            }
+        )
+
+    stats = (
+        keyed.groupby("xb")
+        .map_groups(xb_stats, batch_format="pyarrow")
+        .union(
+            keyed.groupby("yc").map_groups(yc_stats, batch_format="pyarrow")
+        )
+        .aggregate(
+            _Sum("n", alias_name="n"),
+            _Sum("n1", alias_name="n1"),
+            _Sum("n2", alias_name="n2"),
+            _Sum("n3", alias_name="n3"),
+            _Sum("disc", alias_name="disc"),
+        )
+    )
+    return pd.DataFrame([{k: int(v) for k, v in stats.items()}])[
+        ["n", "n1", "n2", "n3", "disc"]
+    ]

@@ -2993,3 +2993,114 @@ def seasonal_naive_backtest(sf_dir: str) -> "pa.Table":
             ),
         }
     )
+
+
+CHURN_HORIZON_DAYS = 7  # last event older than this vs corpus max = death
+
+
+def km_risk_table(sf_dir: str) -> "pd.DataFrame":
+    """Exact Kaplan-Meier risk table over per-user activity spans —
+    the survival-analysis primitive none of the retention queries
+    give: for every observed duration t (days between a user's first
+    and last event), the number still at risk n(t) = #users with
+    duration ≥ t, the deaths d(t) = users whose span ended there AND
+    whose last event is older than CHURN_HORIZON_DAYS before the
+    corpus max (observed churn), and the right-censored c(t) = spans
+    ending at t that were still active at the observation boundary.
+    S(t) = Π_{t'≤t} (1 − d/n) is exact rational arithmetic downstream
+    — the output IS the product-limit estimator's sufficient
+    statistic table (t_days, n_risk, d_events, c_censored).
+
+    Scale shape: one cheap streaming Max over the pruned (ts) column
+    fixes the observation boundary; per-batch np.reduceat min/max
+    combiner per user, ONE user-keyed coarse co-partition finalizes
+    each user's (first_day, last_day) — a user's partials never
+    straddle parts — and collapses immediately to (duration, churned)
+    value counts, so the final groupby(t_days) fold and the driver
+    read are bounded by the corpus day span, not the user count; the
+    suffix-sum n_risk is O(span) driver arithmetic (the mix_weights
+    bounded-read contract)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        d = (
+            batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // DAY_US
+        )
+        u = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "user": pa.array(u, pa.int64()),
+                "day": pa.array(d, pa.int64()),
+            }
+        )
+
+    days = ev.map_batches(to_day, batch_format="pyarrow")
+    gmax_day = int(days.aggregate(_Max("day"))["max(day)"])
+    cutoff = gmax_day - CHURN_HORIZON_DAYS
+
+    def partial_minmax(batch: pa.Table) -> pa.Table:
+        u = batch.column("user").to_numpy(zero_copy_only=False)
+        d = batch.column("day").to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        us, ds_ = u[order], d[order]
+        uniq, start = np.unique(us, return_index=True)
+        return pa.table(
+            {
+                "user": pa.array(uniq, pa.int64()),
+                "lo": pa.array(np.minimum.reduceat(ds_, start), pa.int64()),
+                "hi": pa.array(np.maximum.reduceat(ds_, start), pa.int64()),
+                "part": pa.array(uniq % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def per_part(part_tbl: pa.Table) -> pa.Table:
+        u = part_tbl.column("user").to_numpy(zero_copy_only=False)
+        lo = part_tbl.column("lo").to_numpy(zero_copy_only=False)
+        hi = part_tbl.column("hi").to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        us, los, his = u[order], lo[order], hi[order]
+        _, start = np.unique(us, return_index=True)
+        flo = np.minimum.reduceat(los, start)
+        fhi = np.maximum.reduceat(his, start)
+        dur = fhi - flo
+        churned = (fhi < cutoff).astype(np.int64)
+        key, cnt = np.unique(dur * 2 + churned, return_counts=True)
+        t = key >> 1
+        ch = key & 1
+        c = cnt.astype(np.int64)
+        return pa.table(
+            {
+                "t_days": pa.array(t, pa.int64()),
+                "d_events": pa.array(np.where(ch == 1, c, 0), pa.int64()),
+                "c_censored": pa.array(np.where(ch == 0, c, 0), pa.int64()),
+            }
+        )
+
+    rows = (
+        days.map_batches(partial_minmax, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pyarrow")
+        .groupby("t_days")
+        .aggregate(
+            _Sum("d_events", alias_name="d_events"),
+            _Sum("c_censored", alias_name="c_censored"),
+        )
+        .take_all()  # bounded: <= corpus day span rows
+    )
+    df = pd.DataFrame(rows).sort_values("t_days", ignore_index=True)
+    ends = (df["d_events"] + df["c_censored"]).to_numpy()
+    df["n_risk"] = ends[::-1].cumsum()[::-1]
+    for c in ["t_days", "n_risk", "d_events", "c_censored"]:
+        df[c] = df[c].astype("int64")
+    return df[["t_days", "n_risk", "d_events", "c_censored"]]

@@ -378,6 +378,8 @@ SUBSET = [
     "spearman_corr",
     "degree_assortativity",
     "triangle_census",
+    "kendall_tau",
+    "km_risk_table",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
