@@ -1621,6 +1621,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bounded by the corpus day span. Tail-seated by design: the
         # survival fold of retention's (user, day) machinery.
         "km_risk_table": sessions.km_risk_table,
+        # (round 4, wave 94) Cochran-Armitage trend — exact ordered-
+        # proportions trend sufficient statistics (N, R, Σs·n, Σs²n,
+        # Σs·r) over the log2 engagement bands: the ordered companion
+        # chi2_independence lacks. One user fold, one moment fold.
+        # Tail-seated by design: conversion_by_engagement's fold
+        # under a test statistic.
+        "cochran_armitage_trend": sessions.cochran_armitage_trend,
+        # (round 4, wave 94) Harrell C-index — exact survival
+        # concordance sufficient statistics (comparable, concordant,
+        # tied_risk) for risk = engagement over km_risk_table's
+        # spans: kendall's 2-axis grid decomposition made asymmetric
+        # by the event flag (left-flagged merge inversion counter).
+        # Tail-seated by design: the model-eval leg of the survival
+        # pair.
+        "harrell_c_index": sessions.harrell_c_index,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -7866,6 +7881,50 @@ def oracle_sql() -> dict[str, str]:
                     OVER (ORDER BY t_days DESC) AS BIGINT) AS n_risk,
                d_events, c_censored
         FROM agg ORDER BY t_days
+    """
+
+    # cochran_armitage_trend: exact trend sufficient statistics over
+    # the log2 engagement bands (score = bit_length of event count).
+    sql["cochran_armitage_trend"] = """
+        WITH ue AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                           CAST(max(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS c
+                    FROM events GROUP BY 1),
+        b AS (SELECT CAST(len(bin(CAST(n AS UBIGINT))) AS BIGINT) AS s, c
+              FROM ue)
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(c) AS BIGINT) AS r_total,
+               CAST(sum(s) AS BIGINT) AS s_n,
+               CAST(sum(s * s) AS BIGINT) AS s2_n,
+               CAST(sum(s * c) AS BIGINT) AS s_r
+        FROM b
+    """
+
+    # harrell_c_index: exact concordance counts; comparable pairs are
+    # (shorter span, observed event) vs any longer span; risk = event
+    # count.
+    sql["harrell_c_index"] = """
+        WITH per_u AS (
+          SELECT user_id,
+                 date_diff('day', CAST(min(ts) AS DATE),
+                           CAST(max(ts) AS DATE)) AS t,
+                 CAST(max(ts) AS DATE) AS last_d,
+                 CAST(count(*) AS BIGINT) AS r
+          FROM events GROUP BY 1
+        ),
+        mx AS (SELECT CAST(max(ts) AS DATE) AS gmax FROM events),
+        lab AS (SELECT CAST(t AS BIGINT) AS t,
+                       CAST(last_d < gmax - INTERVAL 7 DAY AS BIGINT) AS e,
+                       r
+                FROM per_u, mx),
+        p AS (SELECT a.r AS ra, b.r AS rb
+              FROM lab a JOIN lab b ON a.t < b.t AND a.e = 1)
+        SELECT CAST(count(*) AS BIGINT) AS comparable,
+               CAST(coalesce(sum(CASE WHEN ra > rb THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS concordant,
+               CAST(coalesce(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS tied_risk
+        FROM p
     """
 
     return sql

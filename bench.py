@@ -194,6 +194,7 @@ def run_queries() -> dict[str, float]:
         "t_closeness_audit", "spearman_corr",
         "degree_assortativity", "triangle_census",
         "kendall_tau", "km_risk_table",
+        "cochran_armitage_trend", "harrell_c_index",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -8892,6 +8892,47 @@ def _inv_count(y: "np.ndarray") -> int:
     return inv
 
 
+def _flagged_inv_count(v: "np.ndarray", f: "np.ndarray") -> int:
+    """Left-flagged inversion count — #pairs i<j with v[i] > v[j] AND
+    f[i] == 1 — the asymmetric variant `harrell_c_index` needs (the
+    flag marks an observed event on the earlier element). Same
+    bottom-up vectorized merge as `_inv_count`, with a cumulative
+    flag prefix over each sorted left half: flagged-greater-than =
+    block flagged total − flagged ≤, both read off one global cumsum
+    after the same single searchsorted per level; flags travel with
+    values through the per-block stable argsort. Pads carry flag 0
+    and the max sentinel, so they contribute nothing on either
+    side."""
+    n = len(v)
+    if n < 2:
+        return 0
+    _, r = np.unique(v, return_inverse=True)
+    a = r.astype(np.int64)
+    fl = f.astype(np.int64)
+    m = 1 << int(np.ceil(np.log2(n)))
+    big = np.int64(n + 1)
+    if m > n:
+        a = np.concatenate([a, np.full(m - n, big, np.int64)])
+        fl = np.concatenate([fl, np.zeros(m - n, np.int64)])
+    inv = 0
+    width = 1
+    idx = np.arange(m)
+    while width < m:
+        nb2 = 2 * width
+        blk = idx // nb2
+        keyed = a + blk * (big + 2)
+        lmask = (idx % nb2) < width
+        pos = np.searchsorted(keyed[lmask], keyed[~lmask], side="right")
+        pre = np.concatenate(([0], np.cumsum(fl[lmask])))
+        rstart = (idx[~lmask] // nb2) * width
+        inv += int((pre[rstart + width] - pre[pos]).sum())
+        order = np.argsort(a.reshape(-1, nb2), axis=1, kind="stable")
+        a = np.take_along_axis(a.reshape(-1, nb2), order, 1).ravel()
+        fl = np.take_along_axis(fl.reshape(-1, nb2), order, 1).ravel()
+        width = nb2
+    return inv
+
+
 KT_BUCKETS = 128  # per-axis grid for the Kendall discordant exchanges
 
 

@@ -3104,3 +3104,325 @@ def km_risk_table(sf_dir: str) -> "pd.DataFrame":
     for c in ["t_days", "n_risk", "d_events", "c_censored"]:
         df[c] = df[c].astype("int64")
     return df[["t_days", "n_risk", "d_events", "c_censored"]]
+
+
+def cochran_armitage_trend(sf_dir: str) -> "pd.DataFrame":
+    """Exact Cochran-Armitage trend sufficient statistics — does
+    conversion rise MONOTONICALLY with engagement? The ordered
+    companion to chi2_independence (which ignores band order) and the
+    test-statistic layer conversion_by_engagement's rate panel lacks:
+    with band score s = bit_length(events) (the same scale-free log2
+    banding), the one output row (n_total, r_total, s_n, s2_n, s_r)
+    yields T = N·Σs·r − R·Σs·n and
+    z² = N·T² / (R(N−R)(N·Σs²n − (Σsn)²)) as exact rational
+    arithmetic downstream. int64 headroom: s ≤ 64, so Σs²n ≤ 4096·N —
+    safe to ~10¹⁴ users.
+
+    Scale shape: the conversion_by_engagement fold verbatim — per-
+    batch (user, n, converted) partials, ONE groupby(user) completes
+    both, then per-batch score moments Sum-fold to the single row;
+    no second exchange."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        conv = pa.compute.equal(
+            batch.column("event_type"), "purchase"
+        ).to_numpy(zero_copy_only=False)
+        order = np.argsort(uid, kind="stable")
+        us = uid[order]
+        cs = conv[order].astype(np.int64)
+        uniq, start = np.unique(us, return_index=True)
+        return pa.table(
+            {
+                "u": pa.array(uniq, pa.int64()),
+                "n": pa.array(
+                    np.diff(np.append(start, len(us))).astype(np.int64),
+                    pa.int64(),
+                ),
+                "c": pa.array(np.maximum.reduceat(cs, start), pa.int64()),
+            }
+        )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_p").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = (batch.column("c_p").to_numpy(zero_copy_only=False) > 0).astype(
+            np.int64
+        )
+        s = np.zeros(len(n), np.int64)
+        nn = n.copy()
+        while (nn > 0).any():
+            s[nn > 0] += 1
+            nn >>= 1
+        return pa.table(
+            {
+                "n_total": pa.array([len(n)], pa.int64()),
+                "r_total": pa.array([int(c.sum())], pa.int64()),
+                "s_n": pa.array([int(s.sum())], pa.int64()),
+                "s2_n": pa.array([int((s * s).sum())], pa.int64()),
+                "s_r": pa.array([int((s * c).sum())], pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("u")
+        .aggregate(_Sum("n", alias_name="n_p"), _Max("c", alias_name="c_p"))
+        .map_batches(moments, batch_format="pyarrow")
+        .aggregate(
+            _Sum("n_total", alias_name="n_total"),
+            _Sum("r_total", alias_name="r_total"),
+            _Sum("s_n", alias_name="s_n"),
+            _Sum("s2_n", alias_name="s2_n"),
+            _Sum("s_r", alias_name="s_r"),
+        )
+    )
+    return pd.DataFrame([{k: int(v) for k, v in folded.items()}])[
+        ["n_total", "r_total", "s_n", "s2_n", "s_r"]
+    ]
+
+
+CIDX_BUCKETS = 128  # per-axis grid for the concordance exchanges
+
+
+def harrell_c_index(sf_dir: str) -> "pd.DataFrame":
+    """Exact Harrell concordance-index sufficient statistics — does
+    higher engagement predict SHORTER survival? — over the
+    km_risk_table population: duration = days between a user's first
+    and last event, event flag = churned (span ended before the
+    7-day horizon), risk score = total event count. One integer row
+    (comparable, concordant, tied_risk): comparable pairs are
+    (t_a < t_b, e_a = 1) — the pair is usable only when the shorter
+    span actually ended in an observed event; concordant when the
+    shorter-lived user carries the strictly higher risk;
+    C = (concordant + tied_risk/2) / comparable is exact rational
+    arithmetic downstream. The survival-model-evaluation leg that
+    closes the km_risk_table story (risk table = the estimator,
+    C-index = how well a score orders it).
+
+    Scale shape (kendall_tau's 2-axis grid decomposition made
+    asymmetric by the event flag): per-user fold → slim
+    (dur, event, risk) table materialized once with (tb, rc) value-
+    grid cells attached (equal values share a bucket on each axis).
+    Pairs split exactly: (a) different t-bucket AND different r-cell
+    — read off the bounded CIDX_BUCKETS² FLAGGED count grid (E1
+    matrix: flagged rows in earlier t-buckets with higher r-cells;
+    Fpre vector: flagged rows in earlier t-buckets, for comparable);
+    (b) same t-bucket — per-bucket `_flagged_inv_count` of risk under
+    (t, r) sort (equal-t pairs sort r-ascending and contribute
+    nothing; comparable local = per-distinct-t exclusive-cumsum
+    arithmetic); (c) different t-bucket, same r-cell —
+    per-r-cell `_flagged_inv_count` of risk under (tb, r) sort
+    (same-bucket pairs contribute nothing, strictness across buckets
+    is guaranteed because equal durations share a bucket); tied_risk
+    lives entirely inside one r-cell and folds from per-(r, t) counts
+    with a segment-wise exclusive cumsum. Three int64-only exchanges
+    past the user fold; driver holds only the bounded grid."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Min as _Min, Sum as _Sum
+
+    from ..stages.shuffle import N_COARSE_PARTS
+    from .analytics import _flagged_inv_count
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        d = (
+            batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // DAY_US
+        )
+        u = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {"user": pa.array(u, pa.int64()), "day": pa.array(d, pa.int64())}
+        )
+
+    days = ev.map_batches(to_day, batch_format="pyarrow")
+    gmax_day = int(days.aggregate(_Max("day"))["max(day)"])
+    cutoff = gmax_day - CHURN_HORIZON_DAYS
+
+    def partial_user(batch: pa.Table) -> pa.Table:
+        u = batch.column("user").to_numpy(zero_copy_only=False)
+        d = batch.column("day").to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        us, ds_ = u[order], d[order]
+        uniq, start = np.unique(us, return_index=True)
+        return pa.table(
+            {
+                "user": pa.array(uniq, pa.int64()),
+                "lo": pa.array(np.minimum.reduceat(ds_, start), pa.int64()),
+                "hi": pa.array(np.maximum.reduceat(ds_, start), pa.int64()),
+                "n": pa.array(
+                    np.diff(np.append(start, len(us))).astype(np.int64),
+                    pa.int64(),
+                ),
+                "part": pa.array(uniq % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def final_user(part_tbl: pa.Table) -> pa.Table:
+        u = part_tbl.column("user").to_numpy(zero_copy_only=False)
+        lo = part_tbl.column("lo").to_numpy(zero_copy_only=False)
+        hi = part_tbl.column("hi").to_numpy(zero_copy_only=False)
+        n = part_tbl.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        us, los, his, ns = u[order], lo[order], hi[order], n[order]
+        _, start = np.unique(us, return_index=True)
+        flo = np.minimum.reduceat(los, start)
+        fhi = np.maximum.reduceat(his, start)
+        risk = np.add.reduceat(ns, start)
+        return pa.table(
+            {
+                "t": pa.array(fhi - flo, pa.int64()),
+                "e": pa.array((fhi < cutoff).astype(np.int64), pa.int64()),
+                "r": pa.array(risk.astype(np.int64), pa.int64()),
+            }
+        )
+
+    peru = (
+        days.map_batches(partial_user, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(final_user, batch_format="pyarrow")
+    )
+
+    lohi = peru.aggregate(_Min("t"), _Max("t"), _Min("r"), _Max("r"))
+    tlo, thi = int(lohi["min(t)"]), int(lohi["max(t)"])
+    rlo, rhi = int(lohi["min(r)"]), int(lohi["max(r)"])
+    wt = (thi - tlo) // CIDX_BUCKETS + 1
+    wr = (rhi - rlo) // CIDX_BUCKETS + 1
+
+    def add_cells(batch: pa.Table) -> pa.Table:
+        t = batch.column("t").to_numpy(zero_copy_only=False)
+        r = batch.column("r").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "t": batch.column("t"),
+                "e": batch.column("e"),
+                "r": batch.column("r"),
+                "tb": pa.array((t - tlo) // wt, pa.int64()),
+                "rc": pa.array((r - rlo) // wr, pa.int64()),
+            }
+        )
+
+    keyed = peru.map_batches(add_cells, batch_format="pyarrow").materialize()
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        tb = batch.column("tb").to_numpy(zero_copy_only=False)
+        rc = batch.column("rc").to_numpy(zero_copy_only=False)
+        e = batch.column("e").to_numpy(zero_copy_only=False)
+        cell = tb * CIDX_BUCKETS + rc
+        u, inv = np.unique(cell, return_inverse=True)
+        flg = np.zeros(len(u), np.int64)
+        np.add.at(flg, inv, e)
+        return pa.table(
+            {
+                "cell": pa.array(u, pa.int64()),
+                "nf": pa.array(flg, pa.int64()),
+            }
+        )
+
+    grid_rows = (
+        keyed.map_batches(cell_partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(_Sum("nf", alias_name="nf"))
+        .take_all()  # bounded: <= CIDX_BUCKETS^2 rows
+    )
+    C1 = np.zeros((CIDX_BUCKETS, CIDX_BUCKETS), np.int64)
+    for row in grid_rows:
+        C1[int(row["cell"]) // CIDX_BUCKETS, int(row["cell"]) % CIDX_BUCKETS] = (
+            int(row["nf"])
+        )
+    # P1[tb, rc] = flagged rows in t-buckets < tb at r-cell rc
+    P1 = np.vstack(
+        [np.zeros((1, CIDX_BUCKETS), np.int64), np.cumsum(C1, 0)[:-1]]
+    )
+    # E1[tb, rc] = flagged rows in t-buckets < tb with r-cell > rc
+    E1 = np.cumsum(P1[:, ::-1], 1)[:, ::-1]
+    E1 = np.hstack([E1[:, 1:], np.zeros((CIDX_BUCKETS, 1), np.int64)])
+    Fpre = P1.sum(axis=1)  # flagged rows in t-buckets < tb
+    e1_ref = ray.put(E1)
+    fpre_ref = ray.put(Fpre)
+
+    def tb_stats(group: pa.Table) -> pa.Table:
+        t = group.column("t").to_numpy(zero_copy_only=False)
+        e = group.column("e").to_numpy(zero_copy_only=False)
+        r = group.column("r").to_numpy(zero_copy_only=False)
+        rc = group.column("rc").to_numpy(zero_copy_only=False)
+        tb = int(group.column("tb")[0].as_py())
+        order = np.lexsort((r, t))
+        conc = _flagged_inv_count(r[order], e[order])
+        # local comparable: per distinct t, exclusive cumsum of flags
+        ts_, es_ = t[order], e[order]
+        _, start, cnt = np.unique(ts_, return_index=True, return_counts=True)
+        ft = np.add.reduceat(es_, start)
+        exc = np.concatenate(([0], np.cumsum(ft)[:-1]))
+        comp_local = int((cnt.astype(np.int64) * exc).sum())
+        comp_cross = int(ray.get(fpre_ref)[tb]) * len(t)
+        conc_cross = int(ray.get(e1_ref)[tb][rc].sum())
+        return pa.table(
+            {
+                "comparable": pa.array([comp_local + comp_cross], pa.int64()),
+                "concordant": pa.array([conc + conc_cross], pa.int64()),
+                "tied_risk": pa.array([0], pa.int64()),
+            }
+        )
+
+    def rc_stats(group: pa.Table) -> pa.Table:
+        tb = group.column("tb").to_numpy(zero_copy_only=False)
+        t = group.column("t").to_numpy(zero_copy_only=False)
+        e = group.column("e").to_numpy(zero_copy_only=False)
+        r = group.column("r").to_numpy(zero_copy_only=False)
+        order = np.lexsort((r, tb))
+        conc = _flagged_inv_count(r[order], e[order])
+        # tied_risk: per (r, t) counts, exclusive flag cumsum within r
+        o2 = np.lexsort((t, r))
+        rs, ts_, es_ = r[o2], t[o2], e[o2]
+        key_change = np.empty(len(rs), bool)
+        key_change[0] = True
+        key_change[1:] = (rs[1:] != rs[:-1]) | (ts_[1:] != ts_[:-1])
+        start = np.flatnonzero(key_change)
+        cnt = np.diff(np.append(start, len(rs))).astype(np.int64)
+        frt = np.add.reduceat(es_, start)
+        rseg = rs[start]
+        cum = np.concatenate(([0], np.cumsum(frt)[:-1]))
+        rstart_change = np.empty(len(rseg), bool)
+        rstart_change[0] = True
+        rstart_change[1:] = rseg[1:] != rseg[:-1]
+        seg_base = cum[np.maximum.accumulate(
+            np.where(rstart_change, np.arange(len(rseg)), 0)
+        )]
+        exc = cum - seg_base
+        tied = int((cnt * exc).sum())
+        return pa.table(
+            {
+                "comparable": pa.array([0], pa.int64()),
+                "concordant": pa.array([conc], pa.int64()),
+                "tied_risk": pa.array([tied], pa.int64()),
+            }
+        )
+
+    stats = (
+        keyed.groupby("tb")
+        .map_groups(tb_stats, batch_format="pyarrow")
+        .union(keyed.groupby("rc").map_groups(rc_stats, batch_format="pyarrow"))
+        .aggregate(
+            _Sum("comparable", alias_name="comparable"),
+            _Sum("concordant", alias_name="concordant"),
+            _Sum("tied_risk", alias_name="tied_risk"),
+        )
+    )
+    return pd.DataFrame([{k: int(v) for k, v in stats.items()}])[
+        ["comparable", "concordant", "tied_risk"]
+    ]

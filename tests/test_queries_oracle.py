@@ -380,6 +380,8 @@ SUBSET = [
     "triangle_census",
     "kendall_tau",
     "km_risk_table",
+    "cochran_armitage_trend",
+    "harrell_c_index",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
