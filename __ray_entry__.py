@@ -1636,6 +1636,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Tail-seated by design: the model-eval leg of the survival
         # pair.
         "harrell_c_index": sessions.harrell_c_index,
+        # (round 4, wave 95) DP sensitivity audit — exact user-
+        # contribution bounds (max days active, max events per day,
+        # max events total) that calibrate clipping/noise for the two
+        # standard event releases; the 4th privacy leg after the
+        # k/l/t triad. One user-keyed co-partition, 4-number fold.
+        # Tail-seated by design: the release-calibration readout of
+        # the privacy family.
+        "dp_sensitivity_audit": sessions.dp_sensitivity_audit,
+        # (round 4, wave 95) exact two-sided 5%-trimmed order-value
+        # aggregates per priority — distributed exact order
+        # statistics: bounded (priority, value-bucket) count grid,
+        # driver boundary plan broadcast once, inner buckets fold as
+        # streaming partials, only the <= 2 boundary buckets per
+        # group co-partition for the local trim. Tail-seated by
+        # design: global_quantiles' boundary refinement under a
+        # robust aggregate.
+        "winsorized_stats": analytics.winsorized_stats,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -7925,6 +7942,47 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END), 0)
                     AS BIGINT) AS tied_risk
         FROM p
+    """
+
+    # dp_sensitivity_audit: exact per-user contribution bounds for
+    # the daily-active and daily-event-count releases.
+    sql["dp_sensitivity_audit"] = """
+        WITH ud AS (SELECT user_id,
+                           epoch_us(ts) // 86400000000 AS day,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1, 2),
+        pu AS (SELECT user_id,
+                      CAST(count(*) AS BIGINT) AS days_active,
+                      CAST(max(n) AS BIGINT) AS max_day,
+                      CAST(sum(n) AS BIGINT) AS total
+               FROM ud GROUP BY 1)
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(max(days_active) AS BIGINT) AS max_days_active,
+               CAST(max(max_day) AS BIGINT) AS max_events_one_day,
+               CAST(max(total) AS BIGINT) AS max_events_total
+        FROM pu
+    """
+
+    # winsorized_stats: exact two-sided n//20 trim per priority; the
+    # kept sum is tie-break-invariant multiset order statistics.
+    sql["winsorized_stats"] = """
+        WITH o AS (SELECT o_orderpriority AS priority,
+                          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                            AS v
+                   FROM orders),
+        rn AS (SELECT priority, v,
+                      row_number() OVER (PARTITION BY priority
+                                         ORDER BY v) AS rn,
+                      count(*) OVER (PARTITION BY priority) AS n
+               FROM o)
+        SELECT priority,
+               CAST(max(n) AS BIGINT) AS n,
+               CAST(max(n) // 20 AS BIGINT) AS trim_k,
+               CAST(count(*) FILTER (WHERE rn > n // 20
+                     AND rn <= n - n // 20) AS BIGINT) AS kept_n,
+               CAST(sum(v) FILTER (WHERE rn > n // 20
+                     AND rn <= n - n // 20) AS BIGINT) AS kept_sum_cents
+        FROM rn GROUP BY 1 ORDER BY 1
     """
 
     return sql

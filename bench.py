@@ -195,6 +195,7 @@ def run_queries() -> dict[str, float]:
         "degree_assortativity", "triangle_census",
         "kendall_tau", "km_risk_table",
         "cochran_armitage_trend", "harrell_c_index",
+        "dp_sensitivity_audit", "winsorized_stats",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -9133,3 +9133,222 @@ def kendall_tau(sf_dir: str) -> "pd.DataFrame":
     return pd.DataFrame([{k: int(v) for k, v in stats.items()}])[
         ["n", "n1", "n2", "n3", "disc"]
     ]
+
+
+WINS_BUCKETS = 256  # value grid for the trimmed-aggregate boundary scan
+WINS_TRIM_DEN = 20  # two-sided trim fraction denominator (5% each side)
+
+
+def winsorized_stats(sf_dir: str) -> "pd.DataFrame":
+    """Exact two-sided 5%-trimmed aggregates of order value per
+    priority class — the robust-location leg beyond mad_outliers
+    (MAD flags rows; this produces the outlier-insensitive aggregate
+    a pricing dashboard actually reports): per o_orderpriority, with
+    k = n//20 rows trimmed from EACH end of the exact cents order,
+    the row (priority, n, trim_k, kept_n, kept_sum_cents). The kept
+    SUM is tie-break-invariant (dropping either of two equal values
+    changes nothing), so the semantics are purely multiset order
+    statistics — exact, no quantile interpolation.
+
+    Scale shape (distributed exact order statistics, the
+    global_quantiles boundary-refinement discipline generalized to
+    per-group two-sided trims): ONE bounded fold builds the
+    (priority, value-bucket) count grid (≤ 5·WINS_BUCKETS rows to
+    the driver — equal values share a bucket, so a trim boundary
+    falls in exactly one bucket per side); the driver locates each
+    group's lower/upper boundary bucket and the within-bucket drop
+    counts, broadcast once. The second pass streams: rows in fully-
+    kept buckets fold as per-batch (n, sum) partials, rows in the
+    ≤ 2 boundary buckets per group co-partition on (group, bucket)
+    where a local value sort drops exactly the m smallest / largest
+    cents — never a global sort, never a per-group shuffle of
+    non-boundary rows."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+
+    def keyed_rows(batch: pa.Table) -> pa.Table:
+        v = _cents(batch.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        pcode = pc.utf8_slice_codeunits(
+            batch.column("o_orderpriority"), 0, 1
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p": pa.array(pcode, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "prio": batch.column("o_orderpriority"),
+            }
+        )
+
+    rows = ds.map_batches(keyed_rows, batch_format="pyarrow").materialize()
+
+    lohi = rows.aggregate(Min("v"), Max("v"))
+    vlo, vhi = int(lohi["min(v)"]), int(lohi["max(v)"])
+    wv = (vhi - vlo) // WINS_BUCKETS + 1
+
+    def grid_partial(batch: pa.Table) -> pa.Table:
+        p = batch.column("p").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        cell = p * WINS_BUCKETS + (v - vlo) // wv
+        u, cnt = np.unique(cell, return_counts=True)
+        return pa.table(
+            {
+                "cell": pa.array(u, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    grid = (
+        rows.map_batches(grid_partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(_Sum("n", alias_name="n"))
+        .take_all()  # bounded: <= n_priorities * WINS_BUCKETS rows
+    )
+    counts: dict[int, np.ndarray] = {}
+    for r in grid:
+        pcode, vb = int(r["cell"]) // WINS_BUCKETS, int(r["cell"]) % WINS_BUCKETS
+        counts.setdefault(pcode, np.zeros(WINS_BUCKETS, np.int64))[vb] = int(
+            r["n"]
+        )
+    # per group: boundary buckets + within-bucket drop counts
+    plan: dict[int, tuple[int, int, int, int, int, int]] = {}
+    for pcode, c in counts.items():
+        n = int(c.sum())
+        k = n // WINS_TRIM_DEN
+        cum = np.cumsum(c)
+        lo_b = int(np.searchsorted(cum, k, side="left")) if k else -1
+        m_lo = k - int(cum[lo_b - 1] if lo_b > 0 else 0) if k else 0
+        cum_hi = np.cumsum(c[::-1])
+        hi_rb = int(np.searchsorted(cum_hi, k, side="left")) if k else -1
+        hi_b = WINS_BUCKETS - 1 - hi_rb if k else WINS_BUCKETS
+        m_hi = (
+            k - int(cum_hi[hi_rb - 1] if hi_rb > 0 else 0) if k else 0
+        )
+        plan[pcode] = (n, k, lo_b, m_lo, hi_b, m_hi)
+    plan_ref = ray.put(plan)
+
+    def classify(batch: pa.Table) -> pa.Table:
+        pl = ray.get(plan_ref)
+        p = batch.column("p").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        vb = (v - vlo) // wv
+        lo_b = np.array([pl[int(x)][2] for x in p], np.int64)
+        hi_b = np.array([pl[int(x)][4] for x in p], np.int64)
+        inner = (vb > lo_b) & (vb < hi_b)
+        boundary = (vb == lo_b) | (vb == hi_b)
+        # inner partials per group
+        ip, iv = p[inner], v[inner]
+        u, inv = np.unique(ip, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, iv)
+        cnt = np.bincount(inv).astype(np.int64)
+        inner_tbl = pa.table(
+            {
+                "p": pa.array(u, pa.int64()),
+                "kept_n": pa.array(cnt, pa.int64()),
+                "kept_sum": pa.array(s, pa.int64()),
+                "bkey": pa.array(np.full(len(u), -1, np.int64), pa.int64()),
+                "v": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+            }
+        )
+        bp, bv = p[boundary], v[boundary]
+        bvb = (bv - vlo) // wv
+        bound_tbl = pa.table(
+            {
+                "p": pa.array(bp, pa.int64()),
+                "kept_n": pa.array(np.zeros(len(bp), np.int64), pa.int64()),
+                "kept_sum": pa.array(np.zeros(len(bp), np.int64), pa.int64()),
+                "bkey": pa.array(bp * WINS_BUCKETS + bvb, pa.int64()),
+                "v": pa.array(bv, pa.int64()),
+            }
+        )
+        return pa.concat_tables([inner_tbl, bound_tbl])
+
+    def boundary_trim(group: pa.Table) -> pa.Table:
+        bkey = int(group.column("bkey")[0].as_py())
+        if bkey < 0:  # inner partials pass through, pre-folded per batch
+            t = (
+                group.select(["p", "kept_n", "kept_sum"])
+                .group_by("p")
+                .aggregate([("kept_n", "sum"), ("kept_sum", "sum")])
+            )
+            return pa.table(
+                {
+                    "p": t.column("p"),
+                    "kept_n": t.column("kept_n_sum"),
+                    "kept_sum": t.column("kept_sum_sum"),
+                }
+            )
+        pl = ray.get(plan_ref)
+        pcode = bkey // WINS_BUCKETS
+        vb = bkey % WINS_BUCKETS
+        _, _, lo_b, m_lo, hi_b, m_hi = pl[pcode]
+        v = np.sort(group.column("v").to_numpy(zero_copy_only=False))
+        drop_lo = m_lo if vb == lo_b else 0
+        drop_hi = m_hi if vb == hi_b else 0
+        kept = v[drop_lo: len(v) - drop_hi]
+        return pa.table(
+            {
+                "p": pa.array([pcode], pa.int64()),
+                "kept_n": pa.array([len(kept)], pa.int64()),
+                "kept_sum": pa.array([int(kept.sum())], pa.int64()),
+            }
+        )
+
+    folded = (
+        rows.map_batches(classify, batch_format="pyarrow")
+        .groupby("bkey")
+        .map_groups(boundary_trim, batch_format="pyarrow")
+        .groupby("p")
+        .aggregate(
+            _Sum("kept_n", alias_name="kept_n"),
+            _Sum("kept_sum", alias_name="kept_sum_cents"),
+        )
+        .take_all()  # bounded: one row per priority class
+    )
+    prio_name = {
+        int(r["p"]): None for r in folded
+    }
+    # recover the display string from a bounded distinct scan
+    names = (
+        rows.map_batches(
+            lambda b: pa.table(
+                {
+                    "p": b.column("p"),
+                    "prio": b.column("prio"),
+                }
+            ).group_by(["p", "prio"]).aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby("p")
+        .map_groups(
+            lambda g: g.slice(0, 1),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    for r in names:
+        prio_name[int(r["p"])] = r["prio"]
+    out = []
+    for r in folded:
+        pcode = int(r["p"])
+        n, k, *_ = plan[pcode]
+        out.append(
+            {
+                "priority": prio_name[pcode],
+                "n": n,
+                "trim_k": k,
+                "kept_n": int(r["kept_n"]),
+                "kept_sum_cents": int(r["kept_sum_cents"]),
+            }
+        )
+    return (
+        pd.DataFrame(out)
+        .sort_values("priority", ignore_index=True)[
+            ["priority", "n", "trim_k", "kept_n", "kept_sum_cents"]
+        ]
+    )

@@ -3426,3 +3426,96 @@ def harrell_c_index(sf_dir: str) -> "pd.DataFrame":
     return pd.DataFrame([{k: int(v) for k, v in stats.items()}])[
         ["comparable", "concordant", "tied_risk"]
     ]
+
+
+def dp_sensitivity_audit(sf_dir: str) -> "pd.DataFrame":
+    """User-contribution bounding audit for differentially-private
+    releases — the fourth privacy leg after the k-anonymity /
+    l-diversity / t-closeness triad (those gate a PUBLISHED table;
+    this calibrates the NOISE for aggregate releases): one integer
+    row with the exact sensitivity drivers of the two standard event
+    releases. For the daily-active-users vector, user-level L0/L1
+    sensitivity = the most days any one user touches
+    (max_days_active); for the daily-event-counts vector, L∞ per
+    cell = the most events one user contributes to a single day
+    (max_events_one_day) and L1 = the most events one user
+    contributes in total (max_events_total). Each is exactly the
+    clipping bound a DP release must enforce (or the worst case it
+    must budget for) — Δf for Laplace/Gaussian calibration is read
+    straight off this row.
+
+    Scale shape: one pass emits per-batch (user, day) partial counts,
+    ONE user-keyed co-partition completes per-(user, day) counts and
+    collapses immediately to per-user (days_active, max_day_events,
+    total_events) — a user's rows never straddle parts — then a
+    4-number Max/Count fold. Driver reads one row."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def partial_ud(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        d = (
+            batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // DAY_US
+        )
+        key = u * (1 << 21) + d
+        uk, cnt = np.unique(key, return_counts=True)
+        uu = uk >> 21
+        return pa.table(
+            {
+                "user": pa.array(uu, pa.int64()),
+                "day": pa.array(uk & ((1 << 21) - 1), pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                "part": pa.array(uu % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def per_part(part_tbl: pa.Table) -> pa.Table:
+        u = part_tbl.column("user").to_numpy(zero_copy_only=False)
+        d = part_tbl.column("day").to_numpy(zero_copy_only=False)
+        n = part_tbl.column("n").to_numpy(zero_copy_only=False)
+        key = u * (1 << 21) + d
+        order = np.argsort(key, kind="stable")
+        ks, ns = key[order], n[order]
+        uk, start = np.unique(ks, return_index=True)
+        per_ud = np.add.reduceat(ns, start)  # events per (user, day)
+        uu = uk >> 21
+        uuniq, ustart = np.unique(uu, return_index=True)
+        days_active = np.diff(np.append(ustart, len(uu))).astype(np.int64)
+        max_day = np.maximum.reduceat(per_ud, ustart)
+        total = np.add.reduceat(per_ud, ustart)
+        return pa.table(
+            {
+                "n_users": pa.array([len(uuniq)], pa.int64()),
+                "max_days_active": pa.array(
+                    [int(days_active.max())], pa.int64()
+                ),
+                "max_events_one_day": pa.array([int(max_day.max())], pa.int64()),
+                "max_events_total": pa.array([int(total.max())], pa.int64()),
+            }
+        )
+
+    folded = (
+        ev.map_batches(partial_ud, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pyarrow")
+        .aggregate(
+            _Sum("n_users", alias_name="n_users"),
+            _Max("max_days_active", alias_name="max_days_active"),
+            _Max("max_events_one_day", alias_name="max_events_one_day"),
+            _Max("max_events_total", alias_name="max_events_total"),
+        )
+    )
+    return pd.DataFrame([{k: int(v) for k, v in folded.items()}])[
+        ["n_users", "max_days_active", "max_events_one_day",
+         "max_events_total"]
+    ]

@@ -382,6 +382,8 @@ SUBSET = [
     "km_risk_table",
     "cochran_armitage_trend",
     "harrell_c_index",
+    "dp_sensitivity_audit",
+    "winsorized_stats",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
