@@ -1653,6 +1653,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # design: global_quantiles' boundary refinement under a
         # robust aggregate.
         "winsorized_stats": analytics.winsorized_stats,
+        # (round 4, wave 96) competing-risks risk table — the cause-
+        # specific extension of km_risk_table (first purchase vs
+        # first error, purchase wins ties, censored at last event):
+        # (t_days, n_risk, d_purchase, d_error, c_censored), the
+        # Aalen-Johansen sufficient statistics. One user co-partition
+        # with masked firsts, driver read bounded by the day span.
+        # Tail-seated by design: km_risk_table under two causes.
+        "competing_risks": sessions.competing_risks,
+        # (round 4, wave 96) exact Qini/uplift decile table —
+        # treat = user_id % 2, score = engagement, users ranked into
+        # exact deciles by the rfm rank pass ((−score, user)
+        # tie-break); per decile (n_treat, n_ctrl, conv_treat,
+        # conv_ctrl). Tail-seated by design: the two-curve eval
+        # decile_table cannot express.
+        "qini_uplift_deciles": sessions.qini_uplift_deciles,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -7983,6 +7998,73 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(v) FILTER (WHERE rn > n // 20
                      AND rn <= n - n // 20) AS BIGINT) AS kept_sum_cents
         FROM rn GROUP BY 1 ORDER BY 1
+    """
+
+    # competing_risks: cause-specific risk table; purchase wins exact
+    # ties, censored at the last event when neither cause occurs.
+    sql["competing_risks"] = """
+        WITH pu AS (
+          SELECT user_id,
+                 min(epoch_us(ts) // 86400000000) AS t0,
+                 max(epoch_us(ts) // 86400000000) AS tl,
+                 min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) // 86400000000 END) AS tp,
+                 min(CASE WHEN event_type = 'error'
+                      THEN epoch_us(ts) // 86400000000 END) AS te
+          FROM events GROUP BY 1
+        ),
+        lab AS (
+          SELECT CAST(CASE
+                   WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te)
+                     THEN tp - t0
+                   WHEN te IS NOT NULL THEN te - t0
+                   ELSE tl - t0 END AS BIGINT) AS t_days,
+                 CASE
+                   WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te) THEN 1
+                   WHEN te IS NOT NULL THEN 2
+                   ELSE 0 END AS cause
+          FROM pu
+        ),
+        agg AS (
+          SELECT t_days,
+                 CAST(count(*) FILTER (WHERE cause = 1) AS BIGINT)
+                   AS d_purchase,
+                 CAST(count(*) FILTER (WHERE cause = 2) AS BIGINT)
+                   AS d_error,
+                 CAST(count(*) FILTER (WHERE cause = 0) AS BIGINT)
+                   AS c_censored
+          FROM lab GROUP BY 1
+        )
+        SELECT t_days,
+               CAST(sum(d_purchase + d_error + c_censored)
+                    OVER (ORDER BY t_days DESC) AS BIGINT) AS n_risk,
+               d_purchase, d_error, c_censored
+        FROM agg ORDER BY t_days
+    """
+
+    # qini_uplift_deciles: exact decile table with the deterministic
+    # (score DESC, user) rank and treat = user_id % 2.
+    sql["qini_uplift_deciles"] = """
+        WITH ue AS (SELECT user_id, CAST(count(*) AS BIGINT) AS score,
+                           CAST(max(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS conv
+                    FROM events GROUP BY 1),
+        rk AS (SELECT user_id, conv,
+                      row_number() OVER (ORDER BY score DESC,
+                                         user_id ASC) - 1 AS rn0,
+                      count(*) OVER () AS n
+               FROM ue),
+        d AS (SELECT 1 + rn0 * 10 // n AS decile,
+                     user_id % 2 AS treat, conv
+              FROM rk)
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(count(*) FILTER (WHERE treat = 1) AS BIGINT) AS n_treat,
+               CAST(count(*) FILTER (WHERE treat = 0) AS BIGINT) AS n_ctrl,
+               CAST(coalesce(sum(conv) FILTER (WHERE treat = 1), 0)
+                    AS BIGINT) AS conv_treat,
+               CAST(coalesce(sum(conv) FILTER (WHERE treat = 0), 0)
+                    AS BIGINT) AS conv_ctrl
+        FROM d GROUP BY 1 ORDER BY 1
     """
 
     return sql

@@ -196,6 +196,7 @@ def run_queries() -> dict[str, float]:
         "kendall_tau", "km_risk_table",
         "cochran_armitage_trend", "harrell_c_index",
         "dp_sensitivity_audit", "winsorized_stats",
+        "competing_risks", "qini_uplift_deciles",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -3519,3 +3519,264 @@ def dp_sensitivity_audit(sf_dir: str) -> "pd.DataFrame":
         ["n_users", "max_days_active", "max_events_one_day",
          "max_events_total"]
     ]
+
+
+def competing_risks(sf_dir: str) -> "pd.DataFrame":
+    """Exact competing-risks (cumulative-incidence) risk table — the
+    cause-specific extension of km_risk_table: per user, time runs
+    from the FIRST event to the first 'purchase' OR the first
+    'error', whichever comes first (purchase wins exact ties —
+    deterministic), censored at the last event when neither occurs.
+    Output per distinct duration: (t_days, n_risk, d_purchase,
+    d_error, c_censored) — the Aalen-Johansen estimator's sufficient
+    statistics, where treating the competing cause as censoring (the
+    classic mistake a single-cause KM makes) would overstate both
+    incidences; this table makes the right estimator exact rational
+    arithmetic downstream.
+
+    Scale shape: km_risk_table's fold with two masked firsts — per
+    batch, per user: min day (any), min purchase day / min error day
+    under a BIG sentinel, max day, all via one sort + reduceat; ONE
+    user-keyed co-partition finalizes and collapses straight to
+    (duration, cause) value counts, so the final fold and the driver
+    suffix-sum stay bounded by the corpus day span."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    BIG = np.int64(1 << 40)
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        d = (
+            batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // DAY_US
+        )
+        et = batch.column("event_type")
+        isp = pa.compute.equal(et, "purchase").to_numpy(zero_copy_only=False)
+        ise = pa.compute.equal(et, "error").to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        us, ds_ = u[order], d[order]
+        dp = np.where(isp[order], ds_, BIG)
+        de = np.where(ise[order], ds_, BIG)
+        uniq, start = np.unique(us, return_index=True)
+        return pa.table(
+            {
+                "user": pa.array(uniq, pa.int64()),
+                "lo": pa.array(np.minimum.reduceat(ds_, start), pa.int64()),
+                "hi": pa.array(np.maximum.reduceat(ds_, start), pa.int64()),
+                "fp": pa.array(np.minimum.reduceat(dp, start), pa.int64()),
+                "fe": pa.array(np.minimum.reduceat(de, start), pa.int64()),
+                "part": pa.array(uniq % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def per_part(part_tbl: pa.Table) -> pa.Table:
+        u = part_tbl.column("user").to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        us = u[order]
+        _, start = np.unique(us, return_index=True)
+        lo = np.minimum.reduceat(
+            part_tbl.column("lo").to_numpy(zero_copy_only=False)[order], start
+        )
+        hi = np.maximum.reduceat(
+            part_tbl.column("hi").to_numpy(zero_copy_only=False)[order], start
+        )
+        fp = np.minimum.reduceat(
+            part_tbl.column("fp").to_numpy(zero_copy_only=False)[order], start
+        )
+        fe = np.minimum.reduceat(
+            part_tbl.column("fe").to_numpy(zero_copy_only=False)[order], start
+        )
+        # cause: purchase wins exact ties; censored when neither seen
+        cause = np.where(
+            (fp < BIG) & (fp <= fe), 1, np.where(fe < BIG, 2, 0)
+        ).astype(np.int64)
+        t = np.where(cause == 1, fp, np.where(cause == 2, fe, hi)) - lo
+        key, cnt = np.unique(t * 4 + cause, return_counts=True)
+        td = key >> 2
+        cs = key & 3
+        c = cnt.astype(np.int64)
+        return pa.table(
+            {
+                "t_days": pa.array(td, pa.int64()),
+                "d_purchase": pa.array(np.where(cs == 1, c, 0), pa.int64()),
+                "d_error": pa.array(np.where(cs == 2, c, 0), pa.int64()),
+                "c_censored": pa.array(np.where(cs == 0, c, 0), pa.int64()),
+            }
+        )
+
+    rows = (
+        ev.map_batches(partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pyarrow")
+        .groupby("t_days")
+        .aggregate(
+            _Sum("d_purchase", alias_name="d_purchase"),
+            _Sum("d_error", alias_name="d_error"),
+            _Sum("c_censored", alias_name="c_censored"),
+        )
+        .take_all()  # bounded: <= corpus day span rows
+    )
+    df = pd.DataFrame(rows).sort_values("t_days", ignore_index=True)
+    ends = (df["d_purchase"] + df["d_error"] + df["c_censored"]).to_numpy()
+    df["n_risk"] = ends[::-1].cumsum()[::-1]
+    for c in ["t_days", "n_risk", "d_purchase", "d_error", "c_censored"]:
+        df[c] = df[c].astype("int64")
+    return df[["t_days", "n_risk", "d_purchase", "d_error", "c_censored"]]
+
+
+QINI_BUCKETS = 256  # score grid for the uplift decile rank pass
+
+
+def qini_uplift_deciles(sf_dir: str) -> "pd.DataFrame":
+    """Exact Qini/uplift decile table — the uplift-model evaluation
+    none of the classifier-eval queries (roc_points, calibration_bins,
+    decile_table) cover, because uplift is a DIFFERENCE of two
+    response curves: with the deterministic synthetic assignment
+    treat = user_id % 2 and score = total event count (the
+    'engagement model'), users rank by (score DESC, user_id ASC) into
+    exact deciles 1 + ⌊rn0·10/n⌋, and each decile reports
+    (n_treat, n_ctrl, conv_treat, conv_ctrl). The Qini curve's point
+    at decile k — cumulative conv_t − conv_c·(N_t/N_c) — is exact
+    rational arithmetic over the cumulative sums downstream; a
+    negative tail is the signature of a model that targets
+    persuadables first.
+
+    Scale shape: the rfm_segments single-metric rank pass verbatim —
+    per-user fold to a slim 4-int64 table, bounded QINI_BUCKETS count
+    grid, exclusive prefix bases broadcast once, bucket-local lexsort
+    with the (−score, user) tie-break — then a ≤10-row decile grid
+    Sum fold. Two exchanges past the user fold."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        conv = pa.compute.equal(
+            batch.column("event_type"), "purchase"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(u, kind="stable")
+        us, cs = u[order], conv[order]
+        uniq, start = np.unique(us, return_index=True)
+        return pa.table(
+            {
+                "user": pa.array(uniq, pa.int64()),
+                "n": pa.array(
+                    np.diff(np.append(start, len(us))).astype(np.int64),
+                    pa.int64(),
+                ),
+                "c": pa.array(np.maximum.reduceat(cs, start), pa.int64()),
+            }
+        )
+
+    users = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("user")
+        .aggregate(_Sum("n", alias_name="score"), _Max("c", alias_name="conv"))
+        .materialize()
+    )
+    n_total = users.count()
+
+    from ray.data.aggregate import Min as _Min
+
+    lohi = users.aggregate(_Min("score"), _Max("score"))
+    # descending rank: negate the score, the rfm_segments convention
+    lo = -int(lohi["max(score)"])
+    hi = -int(lohi["min(score)"])
+    width = (hi - lo) // QINI_BUCKETS + 1
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        k = -batch.column("score").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user": batch.column("user").cast(pa.int64()),
+                "conv": batch.column("conv").cast(pa.int64()),
+                "_k": pa.array(k, pa.int64()),
+                "_kb": pa.array((k - lo) // width, pa.int64()),
+            }
+        )
+
+    rows = users.map_batches(keyed, batch_format="pyarrow")
+
+    def kb_partial(batch: pa.Table) -> pa.Table:
+        u, cnt = np.unique(
+            batch.column("_kb").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "kb": pa.array(u, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    grid = (
+        rows.map_batches(kb_partial, batch_format="pyarrow")
+        .groupby("kb")
+        .aggregate(_Sum("n", alias_name="n"))
+        .take_all()  # bounded: <= QINI_BUCKETS rows
+    )
+    counts = np.zeros(QINI_BUCKETS, np.int64)
+    for r in grid:
+        counts[int(r["kb"])] = int(r["n"])
+    base = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    bcast = ray.put(base)
+
+    def decile_part(group: pa.Table) -> pa.Table:
+        pre = ray.get(bcast)
+        kb = int(group.column("_kb")[0].as_py())
+        k = group.column("_k").to_numpy(zero_copy_only=False)
+        u = group.column("user").to_numpy(zero_copy_only=False)
+        conv = group.column("conv").to_numpy(zero_copy_only=False)
+        order = np.lexsort((u, k))
+        rn0 = np.empty(len(k), np.int64)
+        rn0[order] = pre[kb] + np.arange(len(k), dtype=np.int64)
+        dec = 1 + rn0 * 10 // n_total
+        treat = (u % 2).astype(np.int64)
+        cell, inv = np.unique(dec * 2 + treat, return_inverse=True)
+        nn = np.bincount(inv).astype(np.int64)
+        cc = np.zeros(len(cell), np.int64)
+        np.add.at(cc, inv, conv)
+        d = cell >> 1
+        t = cell & 1
+        return pa.table(
+            {
+                "decile": pa.array(d, pa.int64()),
+                "n_treat": pa.array(np.where(t == 1, nn, 0), pa.int64()),
+                "n_ctrl": pa.array(np.where(t == 0, nn, 0), pa.int64()),
+                "conv_treat": pa.array(np.where(t == 1, cc, 0), pa.int64()),
+                "conv_ctrl": pa.array(np.where(t == 0, cc, 0), pa.int64()),
+            }
+        )
+
+    folded = (
+        rows.groupby("_kb")
+        .map_groups(decile_part, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(
+            _Sum("n_treat", alias_name="n_treat"),
+            _Sum("n_ctrl", alias_name="n_ctrl"),
+            _Sum("conv_treat", alias_name="conv_treat"),
+            _Sum("conv_ctrl", alias_name="conv_ctrl"),
+        )
+        .take_all()  # bounded: <= 10 rows
+    )
+    df = pd.DataFrame(folded).sort_values("decile", ignore_index=True)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df[["decile", "n_treat", "n_ctrl", "conv_treat", "conv_ctrl"]]

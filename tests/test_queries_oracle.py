@@ -384,6 +384,8 @@ SUBSET = [
     "harrell_c_index",
     "dp_sensitivity_audit",
     "winsorized_stats",
+    "competing_risks",
+    "qini_uplift_deciles",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
