@@ -1668,6 +1668,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # conv_ctrl). Tail-seated by design: the two-curve eval
         # decile_table cannot express.
         "qini_uplift_deciles": sessions.qini_uplift_deciles,
+        # (round 4, wave 97) exact time-decay multi-touch attribution
+        # — credit 2^(14−gap_days) per (touch, purchase) pair within
+        # the lookback, all integers in the power-of-two lattice; the
+        # pairwise join replaced by 15 shifted searchsorted matches
+        # per part. Tail-seated by design: the marketing-attribution
+        # reading of the (user, day) count machinery.
+        "time_decay_attribution": sessions.time_decay_attribution,
+        # (round 4, wave 97) exact Mann-Kendall trend test per event
+        # type — S = P − T − 2·inversions via the merge-sort counter
+        # over the bounded daily series, tie_term for Var(S); the
+        # nonparametric companion to trend_slopes. Tail-seated by
+        # design: _inv_count under a monitoring statistic.
+        "mann_kendall_trend": analytics.mann_kendall_trend,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -8065,6 +8078,61 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(sum(conv) FILTER (WHERE treat = 0), 0)
                     AS BIGINT) AS conv_ctrl
         FROM d GROUP BY 1 ORDER BY 1
+    """
+
+    # time_decay_attribution: day-grain halving credits; gap in
+    # [0, 14]; only touch types that earned >= 1 pair appear.
+    sql["time_decay_attribution"] = """
+        WITH e AS (SELECT user_id, event_type,
+                          epoch_us(ts) // 86400000000 AS day
+                   FROM events),
+        t AS (SELECT user_id, event_type, day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM e WHERE event_type IN ('view', 'click', 'signup')
+              GROUP BY 1, 2, 3),
+        p AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n
+              FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+        j AS (SELECT t.event_type,
+                     t.n * p.n AS pairs,
+                     t.n * p.n * (CAST(1 AS BIGINT)
+                       << CAST(14 - (p.day - t.day) AS INT)) AS credit
+              FROM t JOIN p ON p.user_id = t.user_id
+                           AND p.day - t.day BETWEEN 0 AND 14)
+        SELECT event_type,
+               CAST(sum(pairs) AS BIGINT) AS n_pairs,
+               CAST(sum(credit) AS BIGINT) AS credit_sum
+        FROM j GROUP BY 1 ORDER BY 1
+    """
+
+    # mann_kendall_trend: exact S and tie term per event type over
+    # the bounded daily count series (quadratic self-join is honest
+    # at oracle scale; the Ray side uses the merge-sort counter).
+    sql["mann_kendall_trend"] = """
+        WITH dc AS (SELECT event_type,
+                           epoch_us(ts) // 86400000000 AS day,
+                           CAST(count(*) AS BIGINT) AS x
+                    FROM events GROUP BY 1, 2),
+        s AS (SELECT a.event_type,
+                     CAST(sum(CASE WHEN b.x > a.x THEN 1
+                                   WHEN b.x < a.x THEN -1
+                                   ELSE 0 END) AS BIGINT) AS s_stat
+              FROM dc a JOIN dc b ON a.event_type = b.event_type
+                                 AND b.day > a.day
+              GROUP BY 1),
+        nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+               FROM dc GROUP BY 1),
+        tt AS (SELECT event_type,
+                      CAST(coalesce(sum(c * (c - 1) * (2 * c + 5)), 0)
+                           AS BIGINT) AS tie_term
+               FROM (SELECT event_type, x, count(*) AS c
+                     FROM dc GROUP BY 1, 2)
+               GROUP BY 1)
+        SELECT nn.event_type, nn.n_days,
+               CAST(coalesce(s.s_stat, 0) AS BIGINT) AS s_stat,
+               tt.tie_term
+        FROM nn JOIN tt USING (event_type)
+        LEFT JOIN s USING (event_type)
+        ORDER BY 1
     """
 
     return sql

@@ -197,6 +197,7 @@ def run_queries() -> dict[str, float]:
         "cochran_armitage_trend", "harrell_c_index",
         "dp_sensitivity_audit", "winsorized_stats",
         "competing_risks", "qini_uplift_deciles",
+        "time_decay_attribution", "mann_kendall_trend",
     ]
     out: dict[str, float] = {}
     for name in picks:

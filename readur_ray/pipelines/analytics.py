@@ -9352,3 +9352,84 @@ def winsorized_stats(sf_dir: str) -> "pd.DataFrame":
             ["priority", "n", "trim_k", "kept_n", "kept_sum_cents"]
         ]
     )
+
+
+def mann_kendall_trend(sf_dir: str) -> "pd.DataFrame":
+    """Exact Mann-Kendall trend test per event type over the daily
+    count series — the NONPARAMETRIC monotone-trend detector
+    (monitoring's standard "is this metric drifting" test) that
+    trend_slopes' least-squares slope is not: S = Σ_{i<j}
+    sign(x_j − x_i) is outlier-immune and needs no linearity. Output
+    per type: (event_type, n_days, s_stat, tie_term) with
+    tie_term = Σ_g t_g(t_g−1)(2t_g+5), so
+    Var(S) = (n(n−1)(2n+5) − tie_term)/18 and the z-statistic are
+    exact rational arithmetic downstream.
+
+    Scale shape: one combiner-bounded fold to per-(type, day) counts
+    (≤ |types|·day-span rows — days, not events, cross the
+    exchange), then per-type map_groups over its bounded series
+    computes S WITHOUT the quadratic pair scan: with
+    P = n(n−1)/2 total pairs, T tie pairs, and D = `_inv_count`
+    (strict decreases) over the day-ordered series,
+    S = P − T − 2D — the merge-sort counter again, O(n log n) per
+    type."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    DAY_US = 86_400_000_000
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        d = (
+            batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // DAY_US
+        )
+        et = batch.column("event_type")
+        t = pa.table({"event_type": et, "day": pa.array(d, pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "day": g.column("day"),
+                "x": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def per_type(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        day = group.column("day").to_numpy(zero_copy_only=False)
+        x = group.column("x").to_numpy(zero_copy_only=False)
+        order = np.argsort(day, kind="stable")
+        xs = x[order]
+        n = len(xs)
+        p_total = n * (n - 1) // 2
+        _, cnt = np.unique(xs, return_counts=True)
+        c = cnt.astype(np.int64)
+        t_pairs = int((c * (c - 1) // 2).sum())
+        dcr = _inv_count(xs)
+        s = p_total - t_pairs - 2 * dcr
+        tie_term = int((c * (c - 1) * (2 * c + 5)).sum())
+        return pa.table(
+            {
+                "event_type": pa.array([et], pa.string()),
+                "n_days": pa.array([n], pa.int64()),
+                "s_stat": pa.array([s], pa.int64()),
+                "tie_term": pa.array([tie_term], pa.int64()),
+            }
+        )
+
+    rows = (
+        ev.map_batches(partials, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(_Sum("x", alias_name="x"))
+        .groupby("event_type")
+        .map_groups(per_type, batch_format="pyarrow")
+        .take_all()  # bounded: one row per event type
+    )
+    df = pd.DataFrame(rows).sort_values("event_type", ignore_index=True)
+    for c in ["n_days", "s_stat", "tie_term"]:
+        df[c] = df[c].astype("int64")
+    return df[["event_type", "n_days", "s_stat", "tie_term"]]

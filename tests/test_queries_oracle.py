@@ -386,6 +386,8 @@ SUBSET = [
     "winsorized_stats",
     "competing_risks",
     "qini_uplift_deciles",
+    "time_decay_attribution",
+    "mann_kendall_trend",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
