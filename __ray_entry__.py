@@ -1681,6 +1681,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # nonparametric companion to trend_slopes. Tail-seated by
         # design: _inv_count under a monitoring statistic.
         "mann_kendall_trend": analytics.mann_kendall_trend,
+        # (round 4, wave 98) Gorilla delta-of-delta timestamp audit —
+        # exact dod bucket-class bit cost per (type, day) block (the
+        # real TSDB sealing unit IS the parallel unit), folding to
+        # per-type (blocks, events, bits, milli-bits/event).
+        # Tail-seated by design: the time-series member of the
+        # storage-audit family.
+        "gorilla_dod_audit": sessions.gorilla_dod_audit,
+        # (round 4, wave 98) exact single changepoint (binary
+        # segmentation) per event type — banded integer score
+        # floor(num^2·1e6/(nl·nr)) over the bounded daily series,
+        # Python-int scan bounded by the calendar; HUGEINT oracle.
+        # Tail-seated by design: the level-shift locator of the
+        # drift family.
+        "changepoint_split": analytics.changepoint_split,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -8133,6 +8147,76 @@ def oracle_sql() -> dict[str, str]:
         FROM nn JOIN tt USING (event_type)
         LEFT JOIN s USING (event_type)
         ORDER BY 1
+    """
+
+    # gorilla_dod_audit: exact dod bucket bit cost per (type, day)
+    # block; 64-bit header per block; equal timestamps are
+    # order-insensitive.
+    sql["gorilla_dod_audit"] = """
+        WITH e AS (SELECT event_type, epoch_us(ts) AS t,
+                          epoch_us(ts) // 86400000000 AS day
+                   FROM events),
+        d AS (SELECT event_type, day, t,
+                     t - lag(t) OVER (PARTITION BY event_type, day
+                                      ORDER BY t) AS delta
+              FROM e),
+        dd AS (SELECT event_type, day, delta,
+                      delta - coalesce(lag(delta) OVER (
+                        PARTITION BY event_type, day ORDER BY t), 0)
+                        AS dod
+               FROM d),
+        bits AS (SELECT event_type, day,
+                        CASE WHEN delta IS NULL THEN 64
+                             WHEN dod = 0 THEN 1
+                             WHEN dod BETWEEN -63 AND 64 THEN 9
+                             WHEN dod BETWEEN -255 AND 256 THEN 12
+                             WHEN dod BETWEEN -2047 AND 2048 THEN 16
+                             ELSE 36 END AS b
+                 FROM dd),
+        per_t AS (SELECT event_type,
+                         CAST(count(DISTINCT day) AS BIGINT) AS n_blocks,
+                         CAST(count(*) AS BIGINT) AS n_events,
+                         CAST(sum(b) AS BIGINT) AS total_bits
+                  FROM bits GROUP BY 1)
+        SELECT event_type, n_blocks, n_events, total_bits,
+               CAST(total_bits * 1000 // n_events AS BIGINT)
+                 AS bits_per_event_milli
+        FROM per_t ORDER BY 1
+    """
+
+    # changepoint_split: banded integer between-SS score, HUGEINT
+    # arithmetic, earliest-day tie-break; types need >= 2 days.
+    sql["changepoint_split"] = """
+        WITH dc AS (SELECT event_type,
+                           epoch_us(ts) // 86400000000 AS day,
+                           CAST(count(*) AS BIGINT) AS x
+                    FROM events GROUP BY 1, 2),
+        w AS (SELECT event_type, day,
+                     sum(x) OVER (PARTITION BY event_type
+                                  ORDER BY day) AS run,
+                     sum(x) OVER (PARTITION BY event_type) AS total,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY day) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM dc),
+        cand AS (SELECT event_type, day, n,
+                        CAST(n - rn AS HUGEINT) * CAST(run AS HUGEINT)
+                          - CAST(rn AS HUGEINT)
+                            * CAST(total - run AS HUGEINT) AS num,
+                        CAST(rn AS HUGEINT) * CAST(n - rn AS HUGEINT)
+                          AS den
+                 FROM w WHERE rn < n),
+        sc AS (SELECT event_type, day, n,
+                      (num * num * 1000000) // den AS score
+               FROM cand),
+        best AS (SELECT event_type, day, n, score,
+                        row_number() OVER (PARTITION BY event_type
+                          ORDER BY score DESC, day ASC) AS r
+                 FROM sc)
+        SELECT event_type, CAST(n AS BIGINT) AS n_days,
+               CAST(day AS BIGINT) AS split_day,
+               CAST(score AS VARCHAR) AS score_scaled
+        FROM best WHERE r = 1 ORDER BY 1
     """
 
     return sql

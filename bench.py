@@ -198,6 +198,7 @@ def run_queries() -> dict[str, float]:
         "dp_sensitivity_audit", "winsorized_stats",
         "competing_risks", "qini_uplift_deciles",
         "time_decay_attribution", "mann_kendall_trend",
+        "gorilla_dod_audit", "changepoint_split",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -9433,3 +9433,106 @@ def mann_kendall_trend(sf_dir: str) -> "pd.DataFrame":
     for c in ["n_days", "s_stat", "tie_term"]:
         df[c] = df[c].astype("int64")
     return df[["event_type", "n_days", "s_stat", "tie_term"]]
+
+
+CP_SCALE = 1_000_000  # banding scale for the changepoint score
+
+
+def changepoint_split(sf_dir: str) -> "pd.DataFrame":
+    """Exact single-changepoint detection (binary segmentation, first
+    split) per event type over the daily count series — the
+    level-shift locator cusum_drift's sequential statistic is not:
+    for every candidate boundary s the between-segment sum-of-squares
+    gain is proportional to (n_r·S_l − n_l·S_r)² / (n_l·n_r), and the
+    reported statistic is the BANDED integer
+    score = ⌊num²·CP_SCALE / (n_l·n_r)⌋ (the t_closeness flooring
+    discipline: the scaled floor IS the defined statistic, mirrored
+    verbatim by the oracle's HUGEINT arithmetic, so no float and no
+    rational comparison ambiguity exists). Output per type:
+    (event_type, n_days, split_day, score_scaled) with split_day =
+    last day of the left segment, ties broken toward the earliest
+    day. A zero score means the series is flat; a dominant score at
+    the same day across types localizes a global regime change.
+
+    Scale shape: one combiner-bounded fold to per-(type, day) counts
+    (days, not events, cross the exchange), then per-type map_groups
+    over its bounded series: prefix sums once, then the candidate
+    scan runs in PYTHON INTS over at most day-span candidates —
+    bounded by the calendar, not the data — because num² · CP_SCALE
+    overflows int64 by design (the oracle needs HUGEINT for the same
+    reason)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    DAY_US = 86_400_000_000
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        d = (
+            batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // DAY_US
+        )
+        t = pa.table(
+            {"event_type": batch.column("event_type"),
+             "day": pa.array(d, pa.int64())}
+        )
+        g = t.group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "day": g.column("day"),
+                "x": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def per_type(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        day = group.column("day").to_numpy(zero_copy_only=False)
+        x = group.column("x").to_numpy(zero_copy_only=False)
+        order = np.argsort(day, kind="stable")
+        days, xs = day[order], x[order]
+        n = len(xs)
+        if n < 2:  # no candidate boundary; mirror the oracle's rn < n
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n_days": pa.array([], pa.int64()),
+                    "split_day": pa.array([], pa.int64()),
+                    "score_scaled": pa.array([], pa.string()),
+                }
+            )
+        total = int(xs.sum())
+        best_score, best_day = -1, -1
+        run = 0
+        for i in range(n - 1):  # bounded by the day span, not rows
+            run += int(xs[i])
+            nl, nr = i + 1, n - i - 1
+            num = nr * run - nl * (total - run)
+            score = (num * num * CP_SCALE) // (nl * nr)
+            if score > best_score:
+                best_score, best_day = score, int(days[i])
+        return pa.table(
+            {
+                "event_type": pa.array([et], pa.string()),
+                "n_days": pa.array([n], pa.int64()),
+                "split_day": pa.array([best_day], pa.int64()),
+                "score_scaled": pa.array([str(best_score)], pa.string()),
+            }
+        )
+
+    rows = (
+        ev.map_batches(partials, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(_Sum("x", alias_name="x"))
+        .groupby("event_type")
+        .map_groups(per_type, batch_format="pyarrow")
+        .take_all()  # bounded: one row per event type
+    )
+    df = pd.DataFrame(rows).sort_values("event_type", ignore_index=True)
+    df["n_days"] = df["n_days"].astype("int64")
+    df["split_day"] = df["split_day"].astype("int64")
+    df["score_scaled"] = df["score_scaled"].astype(str)
+    return df[["event_type", "n_days", "split_day", "score_scaled"]]

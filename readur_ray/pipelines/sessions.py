@@ -3897,3 +3897,93 @@ def time_decay_attribution(sf_dir: str) -> "pd.DataFrame":
     for c in ["n_pairs", "credit_sum"]:
         df[c] = df[c].astype("int64")
     return df[["event_type", "n_pairs", "credit_sum"]]
+
+
+def gorilla_dod_audit(sf_dir: str) -> "pd.DataFrame":
+    """Exact delta-of-delta timestamp-encoding cost audit (the
+    Gorilla/Prometheus TSDB layout) — the time-series member of the
+    storage-audit family (rle / dict / front-coding / zonemap /
+    bitmap cover value columns; this prices the TIMESTAMP stream):
+    per event type, the exact bit cost of encoding each day block's
+    sorted timestamps with the paper's dod bucket classes — '0'
+    (1 bit) for dod = 0, '10'+7 (9 bits) for [−63, 64], '110'+9 (12)
+    for [−255, 256], '1110'+12 (16) for [−2047, 2048], '1111'+32
+    (36) otherwise — plus a 64-bit block header for the first
+    timestamp. Output per type: (event_type, n_blocks, n_events,
+    total_bits, bits_per_event_milli). High milli-bits flag a type
+    whose arrivals are too irregular for dod compression — the
+    storage planner's signal to bucket it differently.
+
+    Scale shape: blocks ARE the parallel unit, exactly as in the real
+    TSDB (Gorilla seals 2-hour blocks; we seal days): ONE
+    co-partition on (type, day) gives each map_groups task one
+    block — never a global per-type sort — where the cost is a
+    sorted diff, a second diff, and one vectorized bucket
+    searchsorted; per-block (bits, n) rows then fold in a
+    ≤|types|-row Sum. Equal timestamps are order-insensitive (any
+    sorted order yields the same delta multiset), so the cost is
+    deterministic."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "t": pa.array(t, pa.int64()),
+                "day": pa.array(t // DAY_US, pa.int64()),
+            }
+        )
+
+    # dod bucket upper bounds (inclusive) and their bit costs
+    _EDGES = np.array([-2047, -255, -63, 0, 1, 65, 257, 2049], np.int64)
+    _COSTS = np.array([36, 16, 12, 9, 1, 9, 12, 16, 36], np.int64)
+
+    def block_cost(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        t = np.sort(group.column("t").to_numpy(zero_copy_only=False))
+        n = len(t)
+        if n == 1:
+            bits = 64
+        else:
+            delta = np.diff(t)
+            dod = np.diff(delta, prepend=delta[0] - 0)
+            dod[0] = delta[0]  # first delta encodes against prev = 0
+            bits = 64 + int(_COSTS[np.searchsorted(_EDGES, dod, "right")].sum())
+        return pa.table(
+            {
+                "event_type": pa.array([et], pa.string()),
+                "n_blocks": pa.array([1], pa.int64()),
+                "n_events": pa.array([n], pa.int64()),
+                "total_bits": pa.array([bits], pa.int64()),
+            }
+        )
+
+    rows = (
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .map_groups(block_cost, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            _Sum("n_blocks", alias_name="n_blocks"),
+            _Sum("n_events", alias_name="n_events"),
+            _Sum("total_bits", alias_name="total_bits"),
+        )
+        .take_all()  # bounded: one row per event type
+    )
+    df = pd.DataFrame(rows).sort_values("event_type", ignore_index=True)
+    for c in ["n_blocks", "n_events", "total_bits"]:
+        df[c] = df[c].astype("int64")
+    df["bits_per_event_milli"] = (
+        df["total_bits"] * 1000 // df["n_events"]
+    ).astype("int64")
+    return df[
+        ["event_type", "n_blocks", "n_events", "total_bits",
+         "bits_per_event_milli"]
+    ]

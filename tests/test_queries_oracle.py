@@ -388,6 +388,8 @@ SUBSET = [
     "qini_uplift_deciles",
     "time_decay_attribution",
     "mann_kendall_trend",
+    "gorilla_dod_audit",
+    "changepoint_split",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
