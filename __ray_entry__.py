@@ -1695,6 +1695,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Tail-seated by design: the level-shift locator of the
         # drift family.
         "changepoint_split": analytics.changepoint_split,
+        # (round 4, wave 99) shingle containment pairs — the
+        # asymmetric near-dup relation (smaller set ≥ 80% inside the
+        # other) that Jaccard resemblance misses on quote/subset
+        # pairs; ngram_jaccard's inverted-index plan with a min-size
+        # finalize. Tail-seated by design: the containment reading of
+        # the shingle pair machinery.
+        "containment_pairs": dedup.containment_pairs,
+        # (round 4, wave 99) correlated-predicate audit — exact joint
+        # vs independence counts (ratio_bp) for all pairs of four
+        # canonical lineitem predicates; one shuffle-free streaming
+        # 15-integer fold. Tail-seated by design: the optimizer-
+        # statistics readout of the planner family.
+        "selectivity_drift": analytics.selectivity_drift,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -8217,6 +8230,70 @@ def oracle_sql() -> dict[str, str]:
                CAST(day AS BIGINT) AS split_day,
                CAST(score AS VARCHAR) AS score_scaled
         FROM best WHERE r = 1 ORDER BY 1
+    """
+
+    # containment_pairs: asymmetric containment of the smaller
+    # shingle set, same hot-shingle drop as the jaccard pair plan.
+    sql["containment_pairs"] = f"""
+        WITH {_WORDS_CTE}, {_SHINGLES_CTE},
+        szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                FROM sh GROUP BY 1),
+        shf AS (
+          SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY s) AS sc
+                         FROM sh)
+          WHERE sc <= 32
+        ),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS intersection
+          FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, intersection, sa.n AS size_a, sb.n AS size_b,
+               CAST(intersection * 10000 // least(sa.n, sb.n) AS BIGINT)
+                 AS contain_bp
+        FROM inter
+        JOIN szs sa ON doc_a = sa.doc_id
+        JOIN szs sb ON doc_b = sb.doc_id
+        WHERE intersection * 5 >= least(sa.n, sb.n) * 4
+    """
+
+    # selectivity_drift: exact joint vs independence counts for the
+    # six unordered predicate pairs.
+    sql["selectivity_drift"] = """
+        WITH f AS (SELECT
+            CAST(floor(l_discount * 100 + 0.5) >= 5 AS BIGINT) AS disc_hi,
+            CAST(floor(l_quantity + 0.5) >= 25 AS BIGINT) AS qty_hi,
+            CAST(l_returnflag = 'R' AS BIGINT) AS ret_r,
+            CAST(l_linestatus = 'F' AS BIGINT) AS status_f
+          FROM lineitem),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(disc_hi) AS BIGINT) AS a1,
+                     CAST(sum(qty_hi) AS BIGINT) AS a2,
+                     CAST(sum(ret_r) AS BIGINT) AS a3,
+                     CAST(sum(status_f) AS BIGINT) AS a4,
+                     CAST(sum(disc_hi * qty_hi) AS BIGINT) AS p12,
+                     CAST(sum(disc_hi * ret_r) AS BIGINT) AS p13,
+                     CAST(sum(disc_hi * status_f) AS BIGINT) AS p14,
+                     CAST(sum(qty_hi * ret_r) AS BIGINT) AS p23,
+                     CAST(sum(qty_hi * status_f) AS BIGINT) AS p24,
+                     CAST(sum(ret_r * status_f) AS BIGINT) AS p34
+              FROM f)
+        SELECT 'disc_hi' AS pred_a, 'qty_hi' AS pred_b, n,
+               a1 AS n_a, a2 AS n_b, p12 AS n_ab,
+               CAST(10000 * p12 * n // (a1 * a2) AS BIGINT) AS ratio_bp
+        FROM m
+        UNION ALL SELECT 'disc_hi', 'ret_r', n, a1, a3, p13,
+               CAST(10000 * p13 * n // (a1 * a3) AS BIGINT) FROM m
+        UNION ALL SELECT 'disc_hi', 'status_f', n, a1, a4, p14,
+               CAST(10000 * p14 * n // (a1 * a4) AS BIGINT) FROM m
+        UNION ALL SELECT 'qty_hi', 'ret_r', n, a2, a3, p23,
+               CAST(10000 * p23 * n // (a2 * a3) AS BIGINT) FROM m
+        UNION ALL SELECT 'qty_hi', 'status_f', n, a2, a4, p24,
+               CAST(10000 * p24 * n // (a2 * a4) AS BIGINT) FROM m
+        UNION ALL SELECT 'ret_r', 'status_f', n, a3, a4, p34,
+               CAST(10000 * p34 * n // (a3 * a4) AS BIGINT) FROM m
+        ORDER BY 1, 2
     """
 
     return sql

@@ -199,6 +199,7 @@ def run_queries() -> dict[str, float]:
         "competing_risks", "qini_uplift_deciles",
         "time_decay_attribution", "mann_kendall_trend",
         "gorilla_dod_audit", "changepoint_split",
+        "containment_pairs", "selectivity_drift",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -9536,3 +9536,89 @@ def changepoint_split(sf_dir: str) -> "pd.DataFrame":
     df["split_day"] = df["split_day"].astype("int64")
     df["score_scaled"] = df["score_scaled"].astype(str)
     return df[["event_type", "n_days", "split_day", "score_scaled"]]
+
+
+def selectivity_drift(sf_dir: str) -> "pd.DataFrame":
+    """Correlated-predicate audit — the optimizer-statistics readout
+    behind the classic cardinality-misestimation failure: for every
+    pair of the four canonical lineitem predicates (returnflag 'R',
+    discount ≥ 5 %, quantity ≥ 25, linestatus 'F'), the exact joint
+    count vs the independence assumption, as
+    ratio_bp = ⌊10000·n_ab·n / (n_a·n_b)⌋ — 10000 means independent,
+    ≫ 10000 positively correlated (the optimizer UNDERestimates the
+    conjunction), ≪ 10000 anticorrelated. Output one row per
+    unordered pair: (pred_a, pred_b, n, n_a, n_b, n_ab, ratio_bp).
+    This is the table a join_strategy_plan-style planner consults
+    before multiplying selectivities.
+
+    Scale shape: one streaming pass — per batch the four boolean
+    flags vectorize and the 4 single + 6 pairwise counts fold as a
+    15-integer row; Sum-fold to one row, driver expands to the six
+    output rows. No shuffle at all."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    PREDS = ["disc_hi", "qty_hi", "ret_r", "status_f"]
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_discount", "l_quantity"],
+    )
+
+    def flags(batch: pa.Table) -> pa.Table:
+        ret = pc.equal(batch.column("l_returnflag"), "R").to_numpy(
+            zero_copy_only=False
+        )
+        st = pc.equal(batch.column("l_linestatus"), "F").to_numpy(
+            zero_copy_only=False
+        )
+        disc = np.floor(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100
+            + 0.5
+        ) >= 5
+        qty = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5
+        ) >= 25
+        f = {"disc_hi": disc, "qty_hi": qty, "ret_r": ret, "status_f": st}
+        cols = {"n": pa.array([batch.num_rows], pa.int64())}
+        for p in PREDS:
+            cols[f"n_{p}"] = pa.array([int(f[p].sum())], pa.int64())
+        for i, pi in enumerate(PREDS):
+            for pj in PREDS[i + 1:]:
+                cols[f"n_{pi}__{pj}"] = pa.array(
+                    [int((f[pi] & f[pj]).sum())], pa.int64()
+                )
+        return pa.table(cols)
+
+    aggs = [_Sum("n", alias_name="n")]
+    for p in PREDS:
+        aggs.append(_Sum(f"n_{p}", alias_name=f"n_{p}"))
+    for i, pi in enumerate(PREDS):
+        for pj in PREDS[i + 1:]:
+            aggs.append(_Sum(f"n_{pi}__{pj}", alias_name=f"n_{pi}__{pj}"))
+    folded = ds.map_batches(flags, batch_format="pyarrow").aggregate(*aggs)
+    n = int(folded["n"])
+    out = []
+    for i, pi in enumerate(PREDS):
+        for pj in PREDS[i + 1:]:
+            na, nb = int(folded[f"n_{pi}"]), int(folded[f"n_{pj}"])
+            nab = int(folded[f"n_{pi}__{pj}"])
+            out.append(
+                {
+                    "pred_a": pi,
+                    "pred_b": pj,
+                    "n": n,
+                    "n_a": na,
+                    "n_b": nb,
+                    "n_ab": nab,
+                    "ratio_bp": (10000 * nab * n) // (na * nb)
+                    if na and nb
+                    else 0,
+                }
+            )
+    df = pd.DataFrame(out).sort_values(
+        ["pred_a", "pred_b"], ignore_index=True
+    )
+    for c in ["n", "n_a", "n_b", "n_ab", "ratio_bp"]:
+        df[c] = df[c].astype("int64")
+    return df

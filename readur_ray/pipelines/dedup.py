@@ -2665,3 +2665,68 @@ def blocking_quality(sf_dir: str) -> "pa.Table":
             "rr_bp": pa.array([rr_bp], pa.int64()),
         }
     )
+
+
+CONTAIN_NUM = 4  # containment threshold = NUM/DEN of the smaller set
+CONTAIN_DEN = 5
+
+
+def containment_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """Pairs where the SMALLER shingle set is ≥ 80% contained in the
+    other — the asymmetric near-dup relation Jaccard resemblance
+    misses: a short doc quoted whole inside a long one has tiny
+    Jaccard (union is dominated by the long doc) but containment ≈ 1,
+    and for training data the contained doc is the redundant one.
+    Broder's original resemblance/containment split; the curation
+    action differs too (drop the subset, not either). Output:
+    (doc_a, doc_b, intersection, size_a, size_b, contain_bp) with
+    contain_bp = ⌊10000·|A∩B| / min(|A|,|B|)⌋, exact integers.
+
+    Scale shape: ngram_jaccard_pairs' inverted-index plan verbatim —
+    explode (shingle, doc, set size), hot-shingle drop at
+    MAX_SHINGLE_DOCS, per-shingle pairs carrying both sizes, ONE
+    coarse shuffle on the packed pair key — only the finalize
+    predicate changes (min-size denominator instead of the union).
+    One shuffle, no driver state, int64 columns only."""
+    docs = _read_docs(sf_dir)
+    sh = docs.map_batches(_shingle_rows, batch_format="pyarrow")
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        sh_col = batch.column("shingle").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array(int_partition(sh_col), pa.int64())
+        )
+
+    def finalize_part(part: pa.Table) -> pa.Table:
+        keys = part.column("pair_key").to_numpy(zero_copy_only=False)
+        uk, first, counts = np.unique(
+            keys, return_index=True, return_counts=True
+        )
+        a, b = _unpack_key(uk)
+        inter_n = counts.astype(np.int64)
+        size_a = part.column("n_a").to_numpy(zero_copy_only=False)[first]
+        size_b = part.column("n_b").to_numpy(zero_copy_only=False)[first]
+        small = np.minimum(size_a, size_b)
+        keep = inter_n * CONTAIN_DEN >= small * CONTAIN_NUM
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+                "intersection": pa.array(inter_n[keep], pa.int64()),
+                "size_a": pa.array(size_a[keep], pa.int64()),
+                "size_b": pa.array(size_b[keep], pa.int64()),
+                "contain_bp": pa.array(
+                    inter_n[keep] * 10000 // small[keep], pa.int64()
+                ),
+            }
+        )
+
+    candidates = (
+        sh.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            _bucket_pairs_fn(["shingle"], MAX_SHINGLE_DOCS, carry=("n",)),
+            batch_format="pyarrow",
+        )
+    )
+    return _reduce_pairs(candidates, finalize_part)

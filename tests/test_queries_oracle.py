@@ -390,6 +390,8 @@ SUBSET = [
     "mann_kendall_trend",
     "gorilla_dod_audit",
     "changepoint_split",
+    "containment_pairs",
+    "selectivity_drift",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
