@@ -1708,6 +1708,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 15-integer fold. Tail-seated by design: the optimizer-
         # statistics readout of the planner family.
         "selectivity_drift": analytics.selectivity_drift,
+        # (round 4, wave 100) Weisfeiler-Leman color refinement —
+        # per-round (n_colors, max_class) of 1-WL over the mutual-kNN
+        # graph from the degree coloring: the graph fingerprint and
+        # the exact upper bound on what any message-passing model can
+        # separate; two tagged-union co-partitions per round, md5 per
+        # node. Tail-seated by design: the LP machinery under a
+        # canonical-form statistic.
+        "wl_refinement": similarity.wl_refinement,
+        # (round 4, wave 100) Lowe's-ratio margin profile — banded
+        # second/first squared-distance ratio per vector over the
+        # memoized knn edges; one vec-keyed co-partition, ≤51-row band
+        # grid. Tail-seated by design: the match-confidence readout
+        # of the ANN family.
+        "ann_margin_profile": similarity.ann_margin_profile,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -8294,6 +8308,65 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 'ret_r', 'status_f', n, a3, a4, p34,
                CAST(10000 * p34 * n // (a3 * a4) AS BIGINT) FROM m
         ORDER BY 1, 2
+    """
+
+    # wl_refinement: 1-WL from the degree coloring; sorted neighbor
+    # multiset via string_agg ORDER BY (ASCII, matching Python
+    # sorted() on the hex labels).
+    sql["wl_refinement"] = f"""
+        WITH mk AS MATERIALIZED (
+          SELECT vec_a, vec_b FROM ({sql["mutual_knn"]})
+        ),
+        ed AS MATERIALIZED (
+          SELECT vec_a AS v, vec_b AS u FROM mk
+          UNION ALL SELECT vec_b, vec_a FROM mk
+        ),
+        l0 AS MATERIALIZED (
+          SELECT v AS node, CAST(count(*) AS VARCHAR) AS lab
+          FROM ed GROUP BY 1
+        ),
+        l1 AS MATERIALIZED (
+          SELECT ed.v AS node,
+                 md5(lv.lab || '|' ||
+                     string_agg(lu.lab, ',' ORDER BY lu.lab)) AS lab
+          FROM ed JOIN l0 lv ON lv.node = ed.v
+                  JOIN l0 lu ON lu.node = ed.u
+          GROUP BY ed.v, lv.lab
+        ),
+        l2 AS MATERIALIZED (
+          SELECT ed.v AS node,
+                 md5(lv.lab || '|' ||
+                     string_agg(lu.lab, ',' ORDER BY lu.lab)) AS lab
+          FROM ed JOIN l1 lv ON lv.node = ed.v
+                  JOIN l1 lu ON lu.node = ed.u
+          GROUP BY ed.v, lv.lab
+        ),
+        s0 AS (SELECT CAST(0 AS BIGINT) AS round,
+                      CAST(count(*) AS BIGINT) AS n_colors,
+                      CAST(max(c) AS BIGINT) AS max_class
+               FROM (SELECT lab, count(*) AS c FROM l0 GROUP BY 1)),
+        s1 AS (SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+                      CAST(max(c) AS BIGINT)
+               FROM (SELECT lab, count(*) AS c FROM l1 GROUP BY 1)),
+        s2 AS (SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+                      CAST(max(c) AS BIGINT)
+               FROM (SELECT lab, count(*) AS c FROM l2 GROUP BY 1))
+        SELECT * FROM s0 UNION ALL SELECT * FROM s1
+        UNION ALL SELECT * FROM s2 ORDER BY round
+    """
+
+    # ann_margin_profile: banded rank-2/rank-1 d2 ratio per vector.
+    sql["ann_margin_profile"] = f"""
+        WITH g AS ({sql["knn_graph"]}),
+        p AS (
+          SELECT a.vec_id,
+                 least(b.d2 * 10 // greatest(a.d2, 1), 50) AS band
+          FROM g a JOIN g b ON b.vec_id = a.vec_id AND b.rank = 2
+          WHERE a.rank = 1
+        )
+        SELECT CAST(band AS BIGINT) AS band,
+               CAST(count(*) AS BIGINT) AS n_vecs
+        FROM p GROUP BY 1 ORDER BY 1
     """
 
     return sql

@@ -200,6 +200,7 @@ def run_queries() -> dict[str, float]:
         "time_decay_attribution", "mann_kendall_trend",
         "gorilla_dod_audit", "changepoint_split",
         "containment_pairs", "selectivity_drift",
+        "wl_refinement", "ann_margin_profile",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -3459,3 +3459,288 @@ def triangle_census(sf_dir: str) -> "pd.DataFrame":
             }
         ]
     )
+
+
+WL_ROUNDS = 2  # color-refinement rounds past the degree coloring
+
+
+def wl_refinement(sf_dir: str) -> "pd.DataFrame":
+    """Weisfeiler-Leman color refinement over the mutual-kNN graph —
+    the canonical graph-fingerprinting algorithm (1-WL: each round
+    recolors every node by the hash of its own color plus the SORTED
+    multiset of neighbor colors) and the convergence readout the
+    graph triad lacks: round 0 is the degree coloring, and the speed
+    at which n_colors grows toward n across rounds measures how much
+    local structure distinguishes nodes — a corpus of templated
+    near-dups plateaus early (many nodes stay indistinguishable,
+    exactly the symmetry class 1-WL cannot break), a diverse corpus
+    individualizes by round 2. Output per round r ∈ {0, 1, 2}:
+    (round, n_colors, max_class) — max_class is the largest set of
+    still-indistinguishable nodes, the direct upper bound on what any
+    message-passing model (GNNs are bounded by 1-WL) can separate.
+
+    Scale shape: labels are (node, color) rows; each round is TWO
+    co-partitions of int64/md5-string rows — attach the neighbor's
+    color by grouping directed edges with the label rows on the
+    NEIGHBOR key (a tagged union join, never a broadcast), then
+    regroup on the node to hash color || sorted neighbor colors
+    (md5 per NODE, the stratified_sample md5 discipline; sorting is
+    plain ASCII on hex strings so the oracle's string_agg ORDER BY
+    mirrors it byte-for-byte). Per-round color stats are a
+    value-counts fold: n_colors = rows, max_class = Max."""
+    import hashlib
+
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    edges = mutual_knn(sf_dir)
+
+    def directed(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_a").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = batch.column("vec_b").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "v": pa.array(np.concatenate([a, b]), pa.int64()),
+                "u": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    ed = edges.map_batches(directed, batch_format="pyarrow").materialize()
+
+    def degree_labels(part_tbl: pa.Table) -> pa.Table:
+        v = part_tbl.column("v").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(uniq, pa.int64()),
+                "lab": pa.array([str(int(c)) for c in cnt], pa.string()),
+            }
+        )
+
+    def part_on(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch.column(col).to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "part", pa.array(k % N_COARSE_PARTS, pa.int64())
+            )
+
+        return fn
+
+    labels = (
+        ed.map_batches(part_on("v"), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: degree_labels(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def color_stats(lab_ds, rnd: int) -> dict:
+        def vc(batch: pa.Table) -> pa.Table:
+            t = batch.select(["lab"]).group_by("lab").aggregate(
+                [([], "count_all")]
+            )
+            return pa.table(
+                {
+                    "lab": t.column("lab"),
+                    "n": t.column("count_all").cast(pa.int64()),
+                }
+            )
+
+        counts = (
+            lab_ds.map_batches(vc, batch_format="pyarrow")
+            .groupby("lab")
+            .aggregate(_Sum("n", alias_name="n"))
+        )
+        agg = counts.aggregate(_Max("n", alias_name="mx"))
+        return {
+            "round": rnd,
+            "n_colors": counts.count(),
+            "max_class": int(agg["mx"]),
+        }
+
+    out = [color_stats(labels, 0)]
+    for rnd in range(1, WL_ROUNDS + 1):
+        # attach each neighbor's label: union-join on the neighbor key
+        lab_side = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": b.column("node").cast(pa.int64()),
+                    "v": pa.array(
+                        np.full(b.num_rows, -1, np.int64), pa.int64()
+                    ),
+                    "lab": b.column("lab"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        edge_side = ed.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": b.column("u").cast(pa.int64()),
+                    "v": b.column("v").cast(pa.int64()),
+                    "lab": pa.array([""] * b.num_rows, pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def attach(part_tbl: pa.Table) -> pa.Table:
+            df = part_tbl.to_pandas()
+            labs = df[df["v"] < 0].set_index("key")["lab"]
+            e = df[df["v"] >= 0]
+            return pa.table(
+                {
+                    "v": pa.array(e["v"].to_numpy(np.int64), pa.int64()),
+                    "nlab": pa.array(
+                        e["key"].map(labs).to_numpy(dtype=object),
+                        pa.string(),
+                    ),
+                }
+            )
+
+        neigh = (
+            lab_side.union(edge_side)
+            .map_batches(part_on("key"), batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(
+                lambda g: attach(g.drop_columns(["part"])),
+                batch_format="pyarrow",
+            )
+        )
+
+        own_side = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "v": b.column("node").cast(pa.int64()),
+                    "nlab": pa.array([""] * b.num_rows, pa.string()),
+                    "own": b.column("lab"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        neigh_side = neigh.map_batches(
+            lambda b: pa.table(
+                {
+                    "v": b.column("v"),
+                    "nlab": b.column("nlab"),
+                    "own": pa.array([""] * b.num_rows, pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def rehash(part_tbl: pa.Table) -> pa.Table:
+            df = part_tbl.to_pandas()
+            own = df[df["own"] != ""].set_index("v")["own"]
+            nb = df[df["own"] == ""]
+            agg = nb.groupby("v")["nlab"].apply(
+                lambda s: ",".join(sorted(s))
+            )
+            nodes = agg.index.to_numpy()
+            labs = [
+                hashlib.md5(
+                    (own[nd] + "|" + agg[nd]).encode()
+                ).hexdigest()
+                for nd in nodes
+            ]
+            return pa.table(
+                {
+                    "node": pa.array(nodes.astype(np.int64), pa.int64()),
+                    "lab": pa.array(labs, pa.string()),
+                }
+            )
+
+        labels = (
+            own_side.union(neigh_side)
+            .map_batches(part_on("v"), batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(
+                lambda g: rehash(g.drop_columns(["part"])),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        out.append(color_stats(labels, rnd))
+
+    df = pd.DataFrame(out)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df[["round", "n_colors", "max_class"]]
+
+
+def ann_margin_profile(sf_dir: str) -> "pd.DataFrame":
+    """Lowe's-ratio margin profile of the kNN graph — the matching-
+    confidence histogram (SIFT matching, margin-based bitext mining)
+    none of the recall reports give: per vector, the banded ratio of
+    its second- to first-neighbor squared distance,
+    band = min(10·d2₂ // max(d2₁, 1), 50), so band 10 means the two
+    nearest neighbors are equidistant (ambiguous match — the classic
+    reject) and high bands mean a dominant, trustworthy nearest
+    neighbor. Output: (band, n_vecs) plus the exact tie count at
+    band 10 folded in. The curve's mass below ~13 is the fraction of
+    the corpus where ANN 'top-1' answers are effectively coin flips.
+
+    Scale shape: ranks 1-2 project out of the memoized knn edge set,
+    ONE vec-keyed co-partition pivots the two rows per vector and
+    emits banded counts, folding in a ≤51-row band grid."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    edges = knn_edges_materialized(sf_dir)
+
+    def keep12(batch: pa.Table) -> pa.Table:
+        r = batch.column("rank").to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(r <= 2))
+        v = t.column("vec_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vec": pa.array(v, pa.int64()),
+                "rank": t.column("rank").cast(pa.int64()),
+                "d2": t.column("d2").cast(pa.int64()),
+                "part": pa.array(v % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def band_part(part_tbl: pa.Table) -> pa.Table:
+        v = part_tbl.column("vec").to_numpy(zero_copy_only=False)
+        r = part_tbl.column("rank").to_numpy(zero_copy_only=False)
+        d2 = part_tbl.column("d2").to_numpy(zero_copy_only=False)
+        order = np.lexsort((r, v))
+        vs, rs, ds_ = v[order], r[order], d2[order]
+        uniq, start, cnt = np.unique(vs, return_index=True, return_counts=True)
+        has2 = cnt >= 2
+        d1 = ds_[start[has2]]
+        d2_ = ds_[start[has2] + 1]
+        band = np.minimum(d2_ * 10 // np.maximum(d1, 1), 50)
+        ub, bc = np.unique(band, return_counts=True)
+        return pa.table(
+            {
+                "band": pa.array(ub, pa.int64()),
+                "n_vecs": pa.array(bc.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        edges.map_batches(keep12, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(band_part, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(_Sum("n_vecs", alias_name="n_vecs"))
+        .take_all()  # bounded: <= 51 rows
+    )
+    df = pd.DataFrame(rows).sort_values("band", ignore_index=True)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df[["band", "n_vecs"]]

@@ -392,6 +392,8 @@ SUBSET = [
     "changepoint_split",
     "containment_pairs",
     "selectivity_drift",
+    "wl_refinement",
+    "ann_margin_profile",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
