@@ -8934,6 +8934,39 @@ def _flagged_inv_count(v: "np.ndarray", f: "np.ndarray") -> int:
 
 
 KT_BUCKETS = 128  # per-axis grid for the Kendall discordant exchanges
+KT_LOCAL_MAX = 2_000_000  # pair rows below which kendall runs width-1
+
+
+def _kt_local(tbl: "pa.Table") -> "pa.Table":
+    """All Kendall sufficient statistics over the whole pair table in
+    one vectorized task — the width-1 leg of kendall_tau's
+    size-adaptive plan (below ~2M slim int64 rows the grid plan's
+    exchanges are pure fixed cost). Identical semantics: D =
+    `_inv_count` of y under (x, y) sort, tie counts from np.unique."""
+    x = tbl.column("x").to_numpy(zero_copy_only=False)
+    y = tbl.column("y").to_numpy(zero_copy_only=False)
+    order = np.lexsort((y, x))
+    disc = _inv_count(y[order])
+    _, xc = np.unique(x, return_counts=True)
+    _, yc = np.unique(y, return_counts=True)
+    _, xr = np.unique(x, return_inverse=True)
+    _, yr = np.unique(y, return_inverse=True)
+    _, jc = np.unique(
+        xr.astype(np.int64) * (np.int64(yr.max()) + 1) + yr,
+        return_counts=True,
+    ) if len(x) else (None, np.array([], np.int64))
+    n1 = int((xc.astype(np.int64) * (xc - 1) // 2).sum())
+    n2 = int((yc.astype(np.int64) * (yc - 1) // 2).sum())
+    n3 = int((jc.astype(np.int64) * (jc - 1) // 2).sum())
+    return pa.table(
+        {
+            "n": pa.array([len(x)], pa.int64()),
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "n3": pa.array([n3], pa.int64()),
+            "disc": pa.array([disc], pa.int64()),
+        }
+    )
 
 
 def kendall_tau(sf_dir: str) -> "pd.DataFrame":
@@ -9021,7 +9054,19 @@ def kendall_tau(sf_dir: str) -> "pd.DataFrame":
             }
         )
 
-    pairs = tagged.groupby("custkey").map_groups(attach, batch_format="pyarrow")
+    pairs = tagged.groupby("custkey").map_groups(
+        attach, batch_format="pyarrow"
+    ).materialize()
+
+    # Width-1 escape: below KT_LOCAL_MAX slim pair rows the grid
+    # plan's three exchanges are pure fixed cost — one task.
+    if pairs.count() < KT_LOCAL_MAX:
+        local = pairs.repartition(1).map_batches(
+            _kt_local, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        for c in local.columns:
+            local[c] = local[c].astype("int64")
+        return local[["n", "n1", "n2", "n3", "disc"]]
 
     lohi = pairs.aggregate(Min("x"), Max("x"), Min("y"), Max("y"))
     xlo, xhi = int(lohi["min(x)"]), int(lohi["max(x)"])

@@ -3191,6 +3191,55 @@ def cochran_armitage_trend(sf_dir: str) -> "pd.DataFrame":
 
 
 CIDX_BUCKETS = 128  # per-axis grid for the concordance exchanges
+CIDX_LOCAL_MAX = 2_000_000  # user rows below which c-index runs width-1
+
+
+def _cidx_local(tbl: "pa.Table") -> "pa.Table":
+    """All concordance sufficient statistics over the whole per-user
+    (t, e, r) table in one vectorized task — the width-1 leg of
+    harrell_c_index's size-adaptive plan. Identical semantics:
+    concordant = left-flagged inversions of r under (t, r) sort
+    (equal-t pairs sort r-ascending and contribute nothing),
+    comparable = per-distinct-t exclusive flag cumsum, tied_risk =
+    per-(r, t) counts with a segment-wise exclusive cumsum."""
+    from .analytics import _flagged_inv_count
+
+    t = tbl.column("t").to_numpy(zero_copy_only=False)
+    e = tbl.column("e").to_numpy(zero_copy_only=False)
+    r = tbl.column("r").to_numpy(zero_copy_only=False)
+    order = np.lexsort((r, t))
+    conc = _flagged_inv_count(r[order], e[order])
+    ts_, es_ = t[order], e[order]
+    _, start, cnt = np.unique(ts_, return_index=True, return_counts=True)
+    ft = np.add.reduceat(es_, start) if len(ts_) else np.array([], np.int64)
+    exc = np.concatenate(([0], np.cumsum(ft)[:-1])) if len(ft) else ft
+    comparable = int((cnt.astype(np.int64) * exc).sum())
+    o2 = np.lexsort((t, r))
+    rs, ts2, es2 = r[o2], t[o2], e[o2]
+    tied = 0
+    if len(rs):
+        key_change = np.empty(len(rs), bool)
+        key_change[0] = True
+        key_change[1:] = (rs[1:] != rs[:-1]) | (ts2[1:] != ts2[:-1])
+        st = np.flatnonzero(key_change)
+        cn = np.diff(np.append(st, len(rs))).astype(np.int64)
+        frt = np.add.reduceat(es2, st)
+        rseg = rs[st]
+        cum = np.concatenate(([0], np.cumsum(frt)[:-1]))
+        rstart_change = np.empty(len(rseg), bool)
+        rstart_change[0] = True
+        rstart_change[1:] = rseg[1:] != rseg[:-1]
+        seg_base = cum[np.maximum.accumulate(
+            np.where(rstart_change, np.arange(len(rseg)), 0)
+        )]
+        tied = int((cn * (cum - seg_base)).sum())
+    return pa.table(
+        {
+            "comparable": pa.array([comparable], pa.int64()),
+            "concordant": pa.array([conc], pa.int64()),
+            "tied_risk": pa.array([tied], pa.int64()),
+        }
+    )
 
 
 def harrell_c_index(sf_dir: str) -> "pd.DataFrame":
@@ -3295,7 +3344,18 @@ def harrell_c_index(sf_dir: str) -> "pd.DataFrame":
         days.map_batches(partial_user, batch_format="pyarrow")
         .groupby("part")
         .map_groups(final_user, batch_format="pyarrow")
+        .materialize()
     )
+
+    # Width-1 escape: below CIDX_LOCAL_MAX slim user rows the grid
+    # plan's exchanges are pure fixed cost — one task.
+    if peru.count() < CIDX_LOCAL_MAX:
+        local = peru.repartition(1).map_batches(
+            _cidx_local, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        for c in local.columns:
+            local[c] = local[c].astype("int64")
+        return local[["comparable", "concordant", "tied_risk"]]
 
     lohi = peru.aggregate(_Min("t"), _Max("t"), _Min("r"), _Max("r"))
     tlo, thi = int(lohi["min(t)"]), int(lohi["max(t)"])

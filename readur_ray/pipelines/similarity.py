@@ -3462,6 +3462,56 @@ def triangle_census(sf_dir: str) -> "pd.DataFrame":
 
 
 WL_ROUNDS = 2  # color-refinement rounds past the degree coloring
+WL_LOCAL_MAX = 2_000_000  # directed rows below which WL runs width-1
+
+
+def _wl_local_rounds(tbl: "pa.Table") -> "pa.Table":
+    """All WL rounds + per-round color stats over the whole directed
+    edge list in one vectorized task — the width-1 leg of
+    wl_refinement's size-adaptive plan (the LP_LOCAL_MAX discipline:
+    below ~2M int64 rows the exchange plan's per-round all-to-alls
+    are pure fixed cost). Neighbor multisets order by np.unique's
+    lexicographic string sort — identical to the oracle's string_agg
+    ORDER BY — and the only per-node Python is the join+md5 loop the
+    distributed leg performs anyway."""
+    import hashlib
+
+    v = tbl.column("v").to_numpy(zero_copy_only=False)
+    u = tbl.column("u").to_numpy(zero_copy_only=False)
+    nodes = np.unique(v)
+    vi = np.searchsorted(nodes, v)
+    ui = np.searchsorted(nodes, u)
+    deg = np.bincount(vi, minlength=len(nodes))
+    labs = np.array([str(int(d)) for d in deg], dtype=object)
+
+    def stats(rnd: int) -> tuple:
+        _, cnt = np.unique(labs, return_counts=True)
+        return (rnd, len(cnt), int(cnt.max()))
+
+    out = [stats(0)]
+    for rnd in range(1, WL_ROUNDS + 1):
+        nl = labs[ui]
+        uniq, code = np.unique(nl, return_inverse=True)
+        order = np.lexsort((code, vi))
+        sv, sc = vi[order], code[order]
+        starts = np.r_[0, 1 + np.nonzero(sv[1:] != sv[:-1])[0]]
+        ends = np.r_[starts[1:], len(sv)]
+        new_labs = np.empty(len(nodes), dtype=object)
+        for gi in range(len(starts)):
+            nd = sv[starts[gi]]
+            joined = ",".join(uniq[sc[starts[gi]: ends[gi]]])
+            new_labs[nd] = hashlib.md5(
+                (labs[nd] + "|" + joined).encode()
+            ).hexdigest()
+        labs = new_labs
+        out.append(stats(rnd))
+    return pa.table(
+        {
+            "round": pa.array([r[0] for r in out], pa.int64()),
+            "n_colors": pa.array([r[1] for r in out], pa.int64()),
+            "max_class": pa.array([r[2] for r in out], pa.int64()),
+        }
+    )
 
 
 def wl_refinement(sf_dir: str) -> "pd.DataFrame":
@@ -3514,6 +3564,20 @@ def wl_refinement(sf_dir: str) -> "pd.DataFrame":
 
     ed = edges.map_batches(directed, batch_format="pyarrow").materialize()
 
+    # Width-1 escape: below WL_LOCAL_MAX directed rows the per-round
+    # exchanges are pure fixed cost — run every round in ONE task.
+    if ed.count() < WL_LOCAL_MAX:
+        local = (
+            ed.repartition(1)
+            .map_batches(
+                _wl_local_rounds, batch_format="pyarrow", batch_size=None
+            )
+            .to_pandas()
+        )
+        for c in local.columns:
+            local[c] = local[c].astype("int64")
+        return local[["round", "n_colors", "max_class"]]
+
     def degree_labels(part_tbl: pa.Table) -> pa.Table:
         v = part_tbl.column("v").to_numpy(zero_copy_only=False)
         uniq, cnt = np.unique(v, return_counts=True)
@@ -3555,15 +3619,29 @@ def wl_refinement(sf_dir: str) -> "pd.DataFrame":
                 }
             )
 
-        counts = (
+        def stat_partial(batch: pa.Table) -> pa.Table:
+            n = batch.column("n").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "nc": pa.array([len(n)], pa.int64()),
+                    "mx": pa.array(
+                        [int(n.max()) if len(n) else 0], pa.int64()
+                    ),
+                }
+            )
+
+        agg = (
             lab_ds.map_batches(vc, batch_format="pyarrow")
             .groupby("lab")
             .aggregate(_Sum("n", alias_name="n"))
+            .map_batches(stat_partial, batch_format="pyarrow")
+            .aggregate(
+                _Sum("nc", alias_name="nc"), _Max("mx", alias_name="mx")
+            )
         )
-        agg = counts.aggregate(_Max("n", alias_name="mx"))
         return {
             "round": rnd,
-            "n_colors": counts.count(),
+            "n_colors": int(agg["nc"]),
             "max_class": int(agg["mx"]),
         }
 

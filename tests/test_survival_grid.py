@@ -101,3 +101,17 @@ def test_harrell_c_index_brute(synth_events, ray_session):
     assert int(out["comparable"].iloc[0]) == comparable
     assert int(out["concordant"].iloc[0]) == concordant
     assert int(out["tied_risk"].iloc[0]) == tied
+
+
+def test_harrell_exchange_path_matches_local(synth_events, ray_session):
+    """The width-1 escape must agree bit-for-bit with the grid
+    exchange plan on the adversarial multi-bucket fixture."""
+    import readur_ray.pipelines.sessions as se
+
+    local = harrell_c_index(synth_events)
+    se.CIDX_LOCAL_MAX = 0
+    try:
+        grid = harrell_c_index(synth_events)
+    finally:
+        se.CIDX_LOCAL_MAX = 2_000_000
+    assert local.equals(grid)

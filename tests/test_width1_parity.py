@@ -1,0 +1,32 @@
+"""Width-1-escape parity: the one-task legs of kendall_tau and
+wl_refinement must agree bit-for-bit with their grid/exchange plans
+on the real sf0.001 tables (the same discipline as
+test_lp_exchange_parity)."""
+
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kendall_exchange_path_matches_local(ray_session):
+    import readur_ray.pipelines.analytics as an
+
+    local = an.kendall_tau(SF)
+    an.KT_LOCAL_MAX = 0
+    try:
+        grid = an.kendall_tau(SF)
+    finally:
+        an.KT_LOCAL_MAX = 2_000_000
+    assert local.equals(grid)
+
+
+def test_wl_exchange_path_matches_local(ray_session):
+    import readur_ray.pipelines.similarity as sim
+
+    local = sim.wl_refinement(SF)
+    sim.WL_LOCAL_MAX = 0
+    try:
+        ex = sim.wl_refinement(SF)
+    finally:
+        sim.WL_LOCAL_MAX = 2_000_000
+    assert local.equals(ex)
