@@ -1722,6 +1722,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grid. Tail-seated by design: the match-confidence readout
         # of the ANN family.
         "ann_margin_profile": similarity.ann_margin_profile,
+        # (round 4, wave 101) exact isotonic (PAV) calibration —
+        # monotone regression of conversion on engagement bins via
+        # the max-min closed form in exact Fractions over the
+        # bounded ≤32-bin grid; fit_milli banded floor output.
+        # Tail-seated by design: calibration_bins' fold under the
+        # monotone-cone projection.
+        "isotonic_calibration": sessions.isotonic_calibration,
+        # (round 4, wave 101) Kaplan-Meier product-limit curve —
+        # s_milli integer recurrence over km_risk_table's bounded
+        # rows (sequential banding; the oracle is a recursive CTE).
+        # Tail-seated by design: the estimator of the survival pair.
+        "km_survival_curve": sessions.km_survival_curve,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -8367,6 +8379,65 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(band AS BIGINT) AS band,
                CAST(count(*) AS BIGINT) AS n_vecs
         FROM p GROUP BY 1 ORDER BY 1
+    """
+
+    # isotonic_calibration: PAV via the max-min closed form over the
+    # ordered non-empty bins; exact HUGEINT cross-multiplied argmins.
+    sql["isotonic_calibration"] = """
+        WITH ue AS (SELECT user_id, CAST(count(*) AS BIGINT) AS score,
+                           CAST(max(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS conv
+                    FROM events GROUP BY 1),
+        mx AS (SELECT max(score) AS smax FROM ue),
+        b AS (SELECT CAST(score * 32 // (smax + 1) AS BIGINT) AS bin,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(conv) AS BIGINT) AS pos
+              FROM ue, mx GROUP BY 1),
+        rk AS (SELECT bin, n, pos,
+                      row_number() OVER (ORDER BY bin) AS i
+               FROM b),
+        fr AS (SELECT j.i AS j, k.i AS k,
+                      CAST(sum(m.pos) AS HUGEINT) AS num,
+                      CAST(sum(m.n) AS HUGEINT) AS den
+               FROM rk j JOIN rk k ON k.i >= j.i
+               JOIN rk m ON m.i BETWEEN j.i AND k.i
+               GROUP BY 1, 2),
+        mn AS (SELECT f.j, f.num, f.den FROM fr f
+               WHERE NOT EXISTS (SELECT 1 FROM fr g WHERE g.j = f.j
+                     AND (g.num * f.den < f.num * g.den
+                          OR (g.num * f.den = f.num * g.den
+                              AND g.k < f.k)))),
+        fit AS (SELECT r.i, m.num, m.den
+                FROM rk r JOIN mn m ON m.j <= r.i
+                WHERE NOT EXISTS (SELECT 1 FROM mn m2 WHERE m2.j <= r.i
+                      AND (m2.num * m.den > m.num * m2.den
+                           OR (m2.num * m.den = m.num * m2.den
+                               AND m2.j < m.j))))
+        SELECT rk.bin, rk.n AS n_bin, rk.pos AS pos_bin,
+               CAST(1000 * fit.num // fit.den AS BIGINT) AS fit_milli
+        FROM rk JOIN fit ON fit.i = rk.i ORDER BY rk.bin
+    """
+
+    # km_survival_curve: sequential integer banding of the
+    # product-limit estimator over the km risk table.
+    sql["km_survival_curve"] = f"""
+        WITH RECURSIVE base AS MATERIALIZED (
+          SELECT t_days, n_risk, d_events,
+                 row_number() OVER (ORDER BY t_days) AS rn
+          FROM ({sql["km_risk_table"]})
+        ),
+        rec(rn, t_days, n_risk, d_events, s) AS (
+          SELECT rn, t_days, n_risk, d_events,
+                 CAST(1000 * (n_risk - d_events) // n_risk AS BIGINT)
+          FROM base WHERE rn = 1
+          UNION ALL
+          SELECT b.rn, b.t_days, b.n_risk, b.d_events,
+                 CAST(rec.s * (b.n_risk - b.d_events) // b.n_risk
+                      AS BIGINT)
+          FROM rec JOIN base b ON b.rn = rec.rn + 1
+        )
+        SELECT t_days, n_risk, d_events, s AS s_milli
+        FROM rec ORDER BY t_days
     """
 
     return sql

@@ -201,6 +201,7 @@ def run_queries() -> dict[str, float]:
         "gorilla_dod_audit", "changepoint_split",
         "containment_pairs", "selectivity_drift",
         "wl_refinement", "ann_margin_profile",
+        "isotonic_calibration", "km_survival_curve",
     ]
     out: dict[str, float] = {}
     for name in picks:

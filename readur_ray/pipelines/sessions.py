@@ -4047,3 +4047,158 @@ def gorilla_dod_audit(sf_dir: str) -> "pd.DataFrame":
         ["event_type", "n_blocks", "n_events", "total_bits",
          "bits_per_event_milli"]
     ]
+
+
+ISO_BINS = 32  # equal-width score bins for the isotonic fit
+
+
+def isotonic_calibration(sf_dir: str) -> "pd.DataFrame":
+    """Exact isotonic (PAV) calibration of conversion on engagement —
+    the monotone regression calibration_bins' raw ECE table is not:
+    with users binned by equal-width score bins (score = event count,
+    ISO_BINS bins over [0, max]), the isotonic fit at bin i is the
+    classic max-min closed form of pool-adjacent-violators,
+    fit_i = max_{j≤i} min_{k≥j} (Σpos / Σn over bins j..k) — the
+    unique L2 projection of the bin conversion rates onto the
+    monotone cone, weighted by bin size. Output per non-empty bin:
+    (bin, n_bin, pos_bin, fit_milli) with fit_milli = ⌊1000·fit⌋ —
+    the banded-integer discipline; the floor is representative-
+    invariant (equal rationals floor equally), so no tie-break
+    ambiguity can reach the output.
+
+    Scale shape: the conversion_by_engagement user fold, one Max for
+    the bin width, then a ≤ISO_BINS-row grid to the driver where the
+    O(B³) max-min runs in exact Python Fractions — bounded by the
+    BIN COUNT, never the user count; the oracle mirrors with HUGEINT
+    cross-multiplied NOT EXISTS argmins over the same grid."""
+    from fractions import Fraction
+
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        conv = pa.compute.equal(
+            batch.column("event_type"), "purchase"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(u, kind="stable")
+        us, cs = u[order], conv[order]
+        uniq, start = np.unique(us, return_index=True)
+        return pa.table(
+            {
+                "user": pa.array(uniq, pa.int64()),
+                "n": pa.array(
+                    np.diff(np.append(start, len(us))).astype(np.int64),
+                    pa.int64(),
+                ),
+                "c": pa.array(np.maximum.reduceat(cs, start), pa.int64()),
+            }
+        )
+
+    users = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("user")
+        .aggregate(_Sum("n", alias_name="score"), _Max("c", alias_name="conv"))
+        .materialize()
+    )
+    smax = int(users.aggregate(_Max("score"))["max(score)"])
+
+    def bin_partial(batch: pa.Table) -> pa.Table:
+        sc = batch.column("score").to_numpy(zero_copy_only=False)
+        cv = (batch.column("conv").to_numpy(zero_copy_only=False) > 0).astype(
+            np.int64
+        )
+        b = sc * ISO_BINS // (smax + 1)
+        u, inv = np.unique(b, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        pos = np.zeros(len(u), np.int64)
+        np.add.at(pos, inv, cv)
+        return pa.table(
+            {
+                "bin": pa.array(u, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    grid = (
+        users.map_batches(bin_partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(_Sum("n", alias_name="n"), _Sum("pos", alias_name="pos"))
+        .take_all()  # bounded: <= ISO_BINS rows
+    )
+    grid.sort(key=lambda r: int(r["bin"]))
+    bins = [int(r["bin"]) for r in grid]
+    ns = [int(r["n"]) for r in grid]
+    ps = [int(r["pos"]) for r in grid]
+    B = len(bins)
+    # prefix sums -> avg over ordered bin positions j..k
+    cn = np.concatenate(([0], np.cumsum(ns)))
+    cp = np.concatenate(([0], np.cumsum(ps)))
+    mins = []  # min_{k>=j} avg(j..k) per j
+    for j in range(B):
+        m = min(
+            Fraction(int(cp[k + 1] - cp[j]), int(cn[k + 1] - cn[j]))
+            for k in range(j, B)
+        )
+        mins.append(m)
+    out = []
+    for i in range(B):
+        fit = max(mins[: i + 1])
+        out.append(
+            {
+                "bin": bins[i],
+                "n_bin": ns[i],
+                "pos_bin": ps[i],
+                "fit_milli": (1000 * fit.numerator) // fit.denominator,
+            }
+        )
+    df = pd.DataFrame(out)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df[["bin", "n_bin", "pos_bin", "fit_milli"]]
+
+
+def km_survival_curve(sf_dir: str) -> "pd.DataFrame":
+    """The Kaplan-Meier product-limit curve itself, banded — the
+    estimator km_risk_table supplies sufficient statistics for:
+    S(t) = Π_{t'≤t} (1 − d/n) evaluated as the INTEGER recurrence
+    s_milli(t) = s_milli(prev) · (n−d) // n from s = 1000, i.e. the
+    survival probability in exact floored milli-units (true rational
+    products have unbounded denominators; the banded recurrence IS
+    the defined statistic, mirrored by the oracle's recursive CTE —
+    the t_closeness flooring discipline applied sequentially).
+    Output per observed duration: (t_days, n_risk, d_events,
+    s_milli), monotone non-increasing by construction.
+
+    Scale shape: the km_risk_table fold verbatim (one user-keyed
+    co-partition, driver read bounded by the corpus day span); the
+    recurrence is O(day span) driver arithmetic on the bounded
+    table."""
+    import pandas as pd
+
+    base = km_risk_table(sf_dir)
+    s = 1000
+    out = []
+    for _, row in base.iterrows():
+        n, d = int(row["n_risk"]), int(row["d_events"])
+        s = s * (n - d) // n
+        out.append(
+            {
+                "t_days": int(row["t_days"]),
+                "n_risk": n,
+                "d_events": d,
+                "s_milli": s,
+            }
+        )
+    df = pd.DataFrame(out)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df[["t_days", "n_risk", "d_events", "s_milli"]]

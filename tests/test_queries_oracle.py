@@ -394,6 +394,8 @@ SUBSET = [
     "selectivity_drift",
     "wl_refinement",
     "ann_margin_profile",
+    "isotonic_calibration",
+    "km_survival_curve",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
