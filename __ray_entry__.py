@@ -1734,6 +1734,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows (sequential banding; the oracle is a recursive CTE).
         # Tail-seated by design: the estimator of the survival pair.
         "km_survival_curve": sessions.km_survival_curve,
+        # (round 4, wave 102) two-sample Cramér-von Mises integer
+        # core — Σ m·(n2·C1 − n1·C2)² over distinct values, folded
+        # through a three-lane int64 split (no HUGEINT crosses the
+        # exchange); the integrated-gap companion to ks_drift's sup.
+        # Tail-seated by design: the rank grid under an integral
+        # statistic.
+        "cramer_von_mises": analytics.cramer_von_mises,
+        # (round 4, wave 102) Kruskal-Wallis sufficient statistics —
+        # per-priority tie-exact double-rank sums + pooled tie term
+        # over one bucket-grid rank exchange; the k-sample
+        # generalization of mann_whitney_u. Tail-seated by design.
+        "kruskal_wallis": analytics.kruskal_wallis,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -8438,6 +8450,56 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT t_days, n_risk, d_events, s AS s_milli
         FROM rec ORDER BY t_days
+    """
+
+    # cramer_von_mises: value-level tie handling; HUGEINT total
+    # emitted as a decimal string on both sides.
+    sql["cramer_von_mises"] = """
+        WITH o AS (SELECT CAST(o_orderpriority = '1-URGENT' AS BIGINT)
+                     AS g,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+                   FROM orders),
+        nn AS (SELECT CAST(sum(g) AS BIGINT) AS n1,
+                      CAST(count(*) - sum(g) AS BIGINT) AS n2 FROM o),
+        dv AS (SELECT v, CAST(count(*) AS BIGINT) AS m,
+                      CAST(sum(g) AS BIGINT) AS m1
+               FROM o GROUP BY 1),
+        cum AS (SELECT m,
+                       CAST(sum(m1) OVER (ORDER BY v) AS HUGEINT) AS c1,
+                       CAST(sum(m - m1) OVER (ORDER BY v) AS HUGEINT)
+                         AS c2
+                FROM dv),
+        t AS (SELECT CAST(sum(CAST(m AS HUGEINT)
+                * (CAST(nn.n2 AS HUGEINT) * c1
+                   - CAST(nn.n1 AS HUGEINT) * c2)
+                * (CAST(nn.n2 AS HUGEINT) * c1
+                   - CAST(nn.n1 AS HUGEINT) * c2)) AS HUGEINT) AS t
+              FROM cum, nn)
+        SELECT nn.n1, nn.n2, CAST(t.t AS VARCHAR) AS t_stat
+        FROM nn, t
+    """
+
+    # kruskal_wallis: tie-exact double ranks over the pooled values;
+    # constant n_total/tie_term columns ride every class row.
+    sql["kruskal_wallis"] = """
+        WITH o AS (SELECT o_orderpriority AS priority,
+                          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                            AS v
+                   FROM orders),
+        d AS (SELECT priority,
+                     2 * CAST(rank() OVER (ORDER BY v) AS BIGINT)
+                       + CAST(count(*) OVER (PARTITION BY v) AS BIGINT)
+                       - 1 AS dd
+              FROM o),
+        g AS (SELECT priority, CAST(count(*) AS BIGINT) AS n_g,
+                     CAST(sum(dd) AS BIGINT) AS d_sum
+              FROM d GROUP BY 1),
+        t AS (SELECT CAST(coalesce(sum(c * c * c - c), 0) AS BIGINT)
+                AS tie_term
+              FROM (SELECT count(*) AS c FROM o GROUP BY v)),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM o)
+        SELECT priority, n_g, d_sum, n_total, tie_term
+        FROM g, n, t ORDER BY 1
     """
 
     return sql

@@ -202,6 +202,7 @@ def run_queries() -> dict[str, float]:
         "containment_pairs", "selectivity_drift",
         "wl_refinement", "ann_margin_profile",
         "isotonic_calibration", "km_survival_curve",
+        "cramer_von_mises", "kruskal_wallis",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -9667,3 +9667,317 @@ def selectivity_drift(sf_dir: str) -> "pd.DataFrame":
     for c in ["n", "n_a", "n_b", "n_ab", "ratio_bp"]:
         df[c] = df[c].astype("int64")
     return df
+
+
+CVM_BUCKETS = 256  # value grid for the two-sample CvM pass
+CVM_LOCAL_MAX = 2_000_000  # rows below which CvM runs width-1
+
+
+def _cvm_lanes(m: "np.ndarray", a: "np.ndarray") -> tuple:
+    """Σ m·a² decomposed into three int64 lanes with a = q·2²⁰ + r —
+    the gini_sources split-lane discipline: a ≤ n1·n2 can reach
+    ~5·10⁹, so a² overflows int64; with r < 2²⁰ every lane partial
+    (Σm·q², Σm·q·r, Σm·r²) stays comfortably inside int64 and the
+    exact total reassembles as 2⁴⁰·L2 + 2²¹·L1 + L0 in Python."""
+    aa = np.abs(a)
+    q, r = aa >> 20, aa & ((1 << 20) - 1)
+    return (
+        int((m * q * q).sum()),
+        int((m * q * r).sum()),
+        int((m * r * r).sum()),
+    )
+
+
+def cramer_von_mises(sf_dir: str) -> "pd.DataFrame":
+    """Exact two-sample Cramér-von Mises integer core — urgent
+    (1-URGENT) vs non-urgent order values: where ks_drift reads only
+    the SUP of the CDF gap, CvM integrates the SQUARED gap over the
+    whole pooled sample, T = Σ_{distinct v} m_v·(n₂·C₁(v) −
+    n₁·C₂(v))² with inclusive cumulative counts — sensitive to
+    distributed small shifts a single-point KS misses. Ties are
+    handled at value level (the whole tie group contributes at its
+    post-group CDF, deterministically). Output one row:
+    (n1, n2, t_stat) with t_stat a decimal string — the classic
+    U = T/(n₁n₂n) − (4n₁n₂−1)/(6n) normalization is exact rational
+    arithmetic downstream.
+
+    Scale shape: a (value-bucket × group) count grid (equal values
+    share a bucket) gives exclusive cumulative bases per bucket
+    (bounded fold, broadcast once); each bucket then sorts locally,
+    forms per-distinct-value a = n₂C₁ − n₁C₂ (|a| ≤ n₁n₂, int64-
+    safe), and folds Σ m·a² through the `_cvm_lanes` three-lane
+    split — no HUGEINT ever crosses the exchange; the driver
+    reassembles the exact total in Python. Width-1 escape below
+    CVM_LOCAL_MAX rows."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+
+    def rows_fn(batch: pa.Table) -> pa.Table:
+        g = pc.equal(batch.column("o_orderpriority"), "1-URGENT").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        v = _cents(batch.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"g": pa.array(g, pa.int64()), "v": pa.array(v, pa.int64())}
+        )
+
+    rows = ds.map_batches(rows_fn, batch_format="pyarrow").materialize()
+    counts = rows.aggregate(_Sum("g", alias_name="n1"))
+    n_total = rows.count()
+    n1 = int(counts["n1"])
+    n2 = n_total - n1
+
+    def lanes_to_row(l2: int, l1: int, l0: int) -> "pd.DataFrame":
+        t = (l2 << 40) + (l1 << 21) + l0
+        return pd.DataFrame(
+            [{"n1": n1, "n2": n2, "t_stat": str(t)}]
+        ).astype({"n1": "int64", "n2": "int64", "t_stat": str})
+
+    def local_all(tbl: pa.Table) -> pa.Table:
+        g = tbl.column("g").to_numpy(zero_copy_only=False)
+        v = tbl.column("v").to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        vs, gs = v[order], g[order]
+        uniq, start, m = np.unique(vs, return_index=True, return_counts=True)
+        m1 = np.add.reduceat(gs, start)
+        c1 = np.cumsum(m1)
+        c2 = np.cumsum(m.astype(np.int64) - m1)
+        a = n2 * c1 - n1 * c2
+        l2, l1, l0 = _cvm_lanes(m.astype(np.int64), a)
+        return pa.table(
+            {
+                "l2": pa.array([l2], pa.int64()),
+                "l1": pa.array([l1], pa.int64()),
+                "l0": pa.array([l0], pa.int64()),
+            }
+        )
+
+    if n_total < CVM_LOCAL_MAX:
+        out = rows.repartition(1).map_batches(
+            local_all, batch_format="pyarrow", batch_size=None
+        ).take_all()
+        return lanes_to_row(int(out[0]["l2"]), int(out[0]["l1"]),
+                            int(out[0]["l0"]))
+
+    lohi = rows.aggregate(Min("v"), Max("v"))
+    vlo, vhi = int(lohi["min(v)"]), int(lohi["max(v)"])
+    wv = (vhi - vlo) // CVM_BUCKETS + 1
+
+    def grid_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        g = batch.column("g").to_numpy(zero_copy_only=False)
+        vb = (v - vlo) // wv
+        u, inv = np.unique(vb, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        g1 = np.zeros(len(u), np.int64)
+        np.add.at(g1, inv, g)
+        return pa.table(
+            {
+                "vb": pa.array(u, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "m1": pa.array(g1, pa.int64()),
+            }
+        )
+
+    grid = (
+        rows.map_batches(grid_partial, batch_format="pyarrow")
+        .groupby("vb")
+        .aggregate(_Sum("n", alias_name="n"), _Sum("m1", alias_name="m1"))
+        .take_all()  # bounded: <= CVM_BUCKETS rows
+    )
+    cnt1 = np.zeros(CVM_BUCKETS, np.int64)
+    cnt2 = np.zeros(CVM_BUCKETS, np.int64)
+    for r in grid:
+        cnt1[int(r["vb"])] = int(r["m1"])
+        cnt2[int(r["vb"])] = int(r["n"]) - int(r["m1"])
+    base1 = np.concatenate(([0], np.cumsum(cnt1)[:-1]))
+    base2 = np.concatenate(([0], np.cumsum(cnt2)[:-1]))
+    b1_ref, b2_ref = ray.put(base1), ray.put(base2)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "vb", pa.array((v - vlo) // wv, pa.int64())
+        )
+
+    def bucket_lanes(group: pa.Table) -> pa.Table:
+        vb = int(group.column("vb")[0].as_py())
+        g = group.column("g").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        vs, gs = v[order], g[order]
+        uniq, start, m = np.unique(vs, return_index=True, return_counts=True)
+        m1 = np.add.reduceat(gs, start)
+        c1 = ray.get(b1_ref)[vb] + np.cumsum(m1)
+        c2 = ray.get(b2_ref)[vb] + np.cumsum(m.astype(np.int64) - m1)
+        a = n2 * c1 - n1 * c2
+        l2, l1, l0 = _cvm_lanes(m.astype(np.int64), a)
+        return pa.table(
+            {
+                "l2": pa.array([l2], pa.int64()),
+                "l1": pa.array([l1], pa.int64()),
+                "l0": pa.array([l0], pa.int64()),
+            }
+        )
+
+    folded = (
+        rows.map_batches(keyed, batch_format="pyarrow")
+        .groupby("vb")
+        .map_groups(bucket_lanes, batch_format="pyarrow")
+        .aggregate(
+            _Sum("l2", alias_name="l2"),
+            _Sum("l1", alias_name="l1"),
+            _Sum("l0", alias_name="l0"),
+        )
+    )
+    return lanes_to_row(int(folded["l2"]), int(folded["l1"]),
+                        int(folded["l0"]))
+
+
+def kruskal_wallis(sf_dir: str) -> "pd.DataFrame":
+    """Exact Kruskal-Wallis sufficient statistics — the k-sample
+    generalization of mann_whitney_u over the five order-priority
+    classes on order value: per class the tie-exact double-rank sum
+    (d = 2·rank + t − 1, always integer) plus the pooled tie term
+    Σ(t³−t), from which H = [12·Σ n_g R̄_g² / (n(n+1)) − 3(n+1)]
+    with its tie correction is exact rational arithmetic downstream.
+    Output per class: (priority, n_g, d_sum, n_total, tie_term) —
+    the last two constant columns ride every row so the statistic
+    assembles from any single row subset.
+
+    Scale shape: spearman's single-axis bucket-grid double-rank
+    exchange (bounded count grid, broadcast exclusive prefix bases,
+    bucket-local np.unique — equal values share a bucket so tie
+    groups never straddle bases) with the class label riding each
+    row; per-bucket partials fold in a ≤5-row class grid, and the
+    tie term folds from the same per-bucket np.unique. int64
+    headroom: d ≤ 2n, d_sum ≤ 2n·n_g — safe past 10⁹ rows."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+
+    def rows_fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "priority": batch.column("o_orderpriority"),
+                "v": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    rows = ds.map_batches(rows_fn, batch_format="pyarrow").materialize()
+    n_total = rows.count()
+
+    lohi = rows.aggregate(Min("v"), Max("v"))
+    vlo, vhi = int(lohi["min(v)"]), int(lohi["max(v)"])
+    wv = (vhi - vlo) // SPEAR_BUCKETS + 1
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "vb", pa.array((v - vlo) // wv, pa.int64())
+        )
+
+    def vb_partial(batch: pa.Table) -> pa.Table:
+        u, cnt = np.unique(
+            batch.column("vb").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "vb": pa.array(u, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    g = (
+        rows.map_batches(keyed, batch_format="pyarrow")
+        .map_batches(vb_partial, batch_format="pyarrow")
+        .groupby("vb")
+        .aggregate(_Sum("n", alias_name="n"))
+        .take_all()  # bounded: <= SPEAR_BUCKETS rows
+    )
+    counts = np.zeros(SPEAR_BUCKETS, np.int64)
+    for r in g:
+        counts[int(r["vb"])] = int(r["n"])
+    base = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    bcast = ray.put(base)
+
+    def rank_part(group: pa.Table) -> pa.Table:
+        pre = ray.get(bcast)
+        vb = int(group.column("vb")[0].as_py())
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        prio = group.column("priority").to_pandas().to_numpy(dtype=object)
+        uniq, inv, cnt = np.unique(v, return_inverse=True, return_counts=True)
+        before = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        d = (2 * (pre[vb] + before) + cnt + 1)[inv]
+        c = cnt.astype(np.int64)
+        tie = int((c * c * c - c).sum())
+        import pandas as pd  # noqa: F811
+
+        gdf = (
+            pd.DataFrame({"priority": prio, "d": d})
+            .groupby("priority", sort=False)["d"]
+            .agg(["count", "sum"])
+            .reset_index()
+        )
+        t = pa.table(
+            {
+                "priority": pa.array(gdf["priority"], pa.string()),
+                "n_g": pa.array(
+                    gdf["count"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "d_sum": pa.array(
+                    gdf["sum"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "tie_term": pa.array(
+                    np.zeros(len(gdf), np.int64), pa.int64()
+                ),
+            }
+        )
+        tie_row = pa.table(
+            {
+                "priority": pa.array([""], pa.string()),
+                "n_g": pa.array([0], pa.int64()),
+                "d_sum": pa.array([0], pa.int64()),
+                "tie_term": pa.array([tie], pa.int64()),
+            }
+        )
+        return pa.concat_tables([t, tie_row])
+
+    folded = (
+        rows.map_batches(keyed, batch_format="pyarrow")
+        .groupby("vb")
+        .map_groups(rank_part, batch_format="pyarrow")
+        .groupby("priority")
+        .aggregate(
+            _Sum("n_g", alias_name="n_g"),
+            _Sum("d_sum", alias_name="d_sum"),
+            _Sum("tie_term", alias_name="tie_term"),
+        )
+        .take_all()  # bounded: <= classes + 1 rows
+    )
+    tie_term = sum(int(r["tie_term"]) for r in folded)
+    out = [
+        {
+            "priority": r["priority"],
+            "n_g": int(r["n_g"]),
+            "d_sum": int(r["d_sum"]),
+            "n_total": n_total,
+            "tie_term": tie_term,
+        }
+        for r in folded
+        if r["priority"] != ""
+    ]
+    df = pd.DataFrame(out).sort_values("priority", ignore_index=True)
+    for c in ["n_g", "d_sum", "n_total", "tie_term"]:
+        df[c] = df[c].astype("int64")
+    return df[["priority", "n_g", "d_sum", "n_total", "tie_term"]]

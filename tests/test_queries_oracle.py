@@ -396,6 +396,8 @@ SUBSET = [
     "ann_margin_profile",
     "isotonic_calibration",
     "km_survival_curve",
+    "cramer_von_mises",
+    "kruskal_wallis",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",

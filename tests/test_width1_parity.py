@@ -30,3 +30,15 @@ def test_wl_exchange_path_matches_local(ray_session):
     finally:
         sim.WL_LOCAL_MAX = 2_000_000
     assert local.equals(ex)
+
+
+def test_cvm_exchange_path_matches_local(ray_session):
+    import readur_ray.pipelines.analytics as an
+
+    local = an.cramer_von_mises(SF)
+    an.CVM_LOCAL_MAX = 0
+    try:
+        grid = an.cramer_von_mises(SF)
+    finally:
+        an.CVM_LOCAL_MAX = 2_000_000
+    assert local.equals(grid)
