@@ -1746,6 +1746,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # over one bucket-grid rank exchange; the k-sample
         # generalization of mann_whitney_u. Tail-seated by design.
         "kruskal_wallis": analytics.kruskal_wallis,
+        # (round 4, wave 103) Heaps'-law vocabulary growth — |V| and
+        # token count over doc-id-ordered prefixes via ONE
+        # groupby(token) Min(first doc) + two bounded ≤4-cell folds;
+        # no prefix re-scan. Tail-seated by design: the growth-curve
+        # complement of vocab_coverage.
+        "heaps_curve": textops.heaps_curve,
+        # (round 4, wave 103) varint encoding cost audit — exact
+        # LEB128 bytes for zigzag-raw vs sorted-delta layouts per
+        # integer column, the sorted-delta total assembled from
+        # within-bucket local sorts + the bounded per-bucket
+        # (min, max) grid (one boundary delta per bucket pair); no
+        # global sort. Tail-seated by design: the integer-column
+        # member of the storage family.
+        "varint_cost_audit": analytics.varint_cost_audit,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -8500,6 +8514,68 @@ def oracle_sql() -> dict[str, str]:
         n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM o)
         SELECT priority, n_g, d_sum, n_total, tie_term
         FROM g, n, t ORDER BY 1
+    """
+
+    # heaps_curve: vocabulary/token growth at doc-id-ordered prefix
+    # cutoffs n/64, n/16, n/4, n.
+    sql["heaps_curve"] = f"""
+        WITH {_WORDS_CTE},
+        tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        cuts AS (SELECT DISTINCT greatest(1, n // f) AS cutoff
+                 FROM nd, UNNEST([64, 16, 4, 1]) AS t(f)),
+        firsts AS (SELECT word, min(doc_id) AS fd FROM tok GROUP BY 1),
+        v AS (SELECT cutoff,
+                     (SELECT CAST(count(*) AS BIGINT) FROM firsts
+                      WHERE fd < cutoff) AS vocab_size
+              FROM cuts),
+        t AS (SELECT cutoff,
+                     (SELECT CAST(coalesce(sum(len(ws)), 0) AS BIGINT)
+                      FROM w WHERE doc_id < cutoff) AS n_tokens_seen
+              FROM cuts)
+        SELECT v.cutoff AS cutoff_docs, t.n_tokens_seen, v.vocab_size
+        FROM v JOIN t USING (cutoff) ORDER BY 1
+    """
+
+    # varint_cost_audit: LEB128 cost, zigzag raw vs sorted deltas
+    # (first value zigzag-encoded, deltas plain).
+    sql["varint_cost_audit"] = """
+        WITH vals AS (
+          SELECT 'o_custkey' AS col, CAST(o_custkey AS BIGINT) AS v
+          FROM orders
+          UNION ALL SELECT 'o_orderkey', o_orderkey FROM orders
+          UNION ALL SELECT 'price_cents',
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+          FROM orders),
+        zz AS (SELECT col,
+                      CAST(CASE WHEN v >= 0 THEN 2 * v
+                           ELSE -2 * v - 1 END AS UBIGINT) AS u
+               FROM vals),
+        raw AS (SELECT col, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN u = 0 THEN 1
+                            ELSE (len(bin(u)) + 6) // 7 END) AS BIGINT)
+                         AS raw_bytes
+                FROM zz GROUP BY 1),
+        srt AS (SELECT col, v,
+                       v - lag(v) OVER (PARTITION BY col ORDER BY v)
+                         AS dlt
+                FROM vals),
+        sd AS (SELECT col,
+                      CAST(sum(CASE WHEN dlt IS NULL THEN
+                        (CASE WHEN zu = 0 THEN 1
+                              ELSE (len(bin(zu)) + 6) // 7 END)
+                      ELSE
+                        (CASE WHEN du = 0 THEN 1
+                              ELSE (len(bin(du)) + 6) // 7 END)
+                      END) AS BIGINT) AS delta_bytes
+               FROM (SELECT col, dlt,
+                            CAST(CASE WHEN v >= 0 THEN 2 * v
+                                 ELSE -2 * v - 1 END AS UBIGINT) AS zu,
+                            CAST(coalesce(dlt, 0) AS UBIGINT) AS du
+                     FROM srt)
+               GROUP BY 1)
+        SELECT raw.col, raw.n, raw.raw_bytes, sd.delta_bytes
+        FROM raw JOIN sd USING (col) ORDER BY 1
     """
 
     return sql

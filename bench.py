@@ -203,6 +203,7 @@ def run_queries() -> dict[str, float]:
         "wl_refinement", "ann_margin_profile",
         "isotonic_calibration", "km_survival_curve",
         "cramer_von_mises", "kruskal_wallis",
+        "heaps_curve", "varint_cost_audit",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -9981,3 +9981,205 @@ def kruskal_wallis(sf_dir: str) -> "pd.DataFrame":
     for c in ["n_g", "d_sum", "n_total", "tie_term"]:
         df[c] = df[c].astype("int64")
     return df[["priority", "n_g", "d_sum", "n_total", "tie_term"]]
+
+
+VARINT_BUCKETS = 256  # value grid for the sorted-delta cost pass
+VARINT_LOCAL_MAX = 2_000_000  # rows below which the audit runs width-1
+
+
+def _bitlen(u: "np.ndarray") -> "np.ndarray":
+    """Exact bit length per element via the shift loop (≤64 numpy
+    passes) — float log2 misrounds near powers of two."""
+    bl = np.zeros(len(u), np.int64)
+    uu = u.copy()
+    while (uu > 0).any():
+        bl[uu > 0] += 1
+        uu = uu >> 1
+    return bl
+
+
+def _varint_bytes(u: "np.ndarray") -> "np.ndarray":
+    """LEB128 byte cost per non-negative value: 1 for 0, else
+    ⌈bit_length/7⌉."""
+    return np.where(u == 0, 1, (_bitlen(u) + 6) // 7)
+
+
+def _zigzag(v: "np.ndarray") -> "np.ndarray":
+    return np.where(v >= 0, 2 * v, -2 * v - 1)
+
+
+def varint_cost_audit(sf_dir: str) -> "pd.DataFrame":
+    """Exact varint encoding cost audit — the integer-column member
+    of the storage family (rle/dict/front-coding/zonemap price value
+    columns; gorilla prices timestamps; this prices the LEB128
+    layouts every Parquet/proto writer chooses between): per column
+    (order key, customer key, price cents), the exact byte cost of
+    (a) zigzag-varint on raw values and (b) varint on SORTED deltas
+    (first value zigzag-encoded, each next value as its non-negative
+    delta). delta_bytes ≪ raw_bytes is the signal to sort or
+    delta-encode that column. Output: (col, n, raw_bytes,
+    delta_bytes).
+
+    Scale shape: raw cost is a pure streaming fold (the bit-length
+    shift loop is ≤64 vectorized passes). The sorted-delta cost
+    needs NO global sort: a (col, value-bucket) grid fold carries
+    each bucket's (count, min, max, within-bucket delta bytes —
+    computed from a LOCAL sort inside the co-partitioned bucket
+    task), and the driver adds the one BOUNDARY delta per non-empty
+    bucket pair from the bounded (min, max) grid — exact total,
+    exchanges touch only packed int64 rows. Width-1 escape below
+    VARINT_LOCAL_MAX rows per column."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def rows_fn(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ck = batch.column("o_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        pc_ = _cents(batch.column("o_totalprice")).to_numpy(
+            zero_copy_only=False
+        )
+        n = len(ok)
+        return pa.table(
+            {
+                "col": pa.array(
+                    np.repeat(np.array([0, 1, 2], np.int64), n), pa.int64()
+                ),
+                "v": pa.array(np.concatenate([ck, ok, pc_]), pa.int64()),
+            }
+        )
+
+    COLS = ["o_custkey", "o_orderkey", "price_cents"]
+    rows = ds.map_batches(rows_fn, batch_format="pyarrow").materialize()
+
+    def raw_partial(batch: pa.Table) -> pa.Table:
+        c = batch.column("col").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        b = _varint_bytes(_zigzag(v))
+        out_n = np.zeros(3, np.int64)
+        out_b = np.zeros(3, np.int64)
+        np.add.at(out_n, c, 1)
+        np.add.at(out_b, c, b)
+        return pa.table(
+            {
+                "col": pa.array(np.arange(3), pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+                "raw_bytes": pa.array(out_b, pa.int64()),
+            }
+        )
+
+    raw = (
+        rows.map_batches(raw_partial, batch_format="pyarrow")
+        .groupby("col")
+        .aggregate(
+            _Sum("n", alias_name="n"),
+            _Sum("raw_bytes", alias_name="raw_bytes"),
+        )
+        .take_all()  # bounded: 3 rows
+    )
+
+    def local_delta(tbl: pa.Table) -> pa.Table:
+        c = tbl.column("col").to_numpy(zero_copy_only=False)
+        v = tbl.column("v").to_numpy(zero_copy_only=False)
+        out = np.zeros(3, np.int64)
+        for ci in range(3):
+            vv = np.sort(v[c == ci])
+            if len(vv) == 0:
+                continue
+            first = int(_varint_bytes(_zigzag(vv[:1]))[0])
+            out[ci] = first + int(_varint_bytes(np.diff(vv)).sum())
+        return pa.table(
+            {
+                "col": pa.array(np.arange(3), pa.int64()),
+                "delta_bytes": pa.array(out, pa.int64()),
+            }
+        )
+
+    n_rows = rows.count()
+    if n_rows < 3 * VARINT_LOCAL_MAX:
+        drows = (
+            rows.repartition(1)
+            .map_batches(local_delta, batch_format="pyarrow", batch_size=None)
+            .take_all()
+        )
+        dmap = {int(r["col"]): int(r["delta_bytes"]) for r in drows}
+    else:
+        lohi = rows.aggregate(Min("v"), Max("v"))
+        vlo, vhi = int(lohi["min(v)"]), int(lohi["max(v)"])
+        wv = (vhi - vlo) // VARINT_BUCKETS + 1
+
+        def keyed(batch: pa.Table) -> pa.Table:
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            c = batch.column("col").to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "cell", pa.array(c * VARINT_BUCKETS + (v - vlo) // wv,
+                                 pa.int64())
+            )
+
+        def bucket_cost(group: pa.Table) -> pa.Table:
+            cell = int(group.column("cell")[0].as_py())
+            v = np.sort(group.column("v").to_numpy(zero_copy_only=False))
+            inner = int(_varint_bytes(np.diff(v)).sum())
+            return pa.table(
+                {
+                    "cell": pa.array([cell], pa.int64()),
+                    "inner_bytes": pa.array([inner], pa.int64()),
+                    "vmin": pa.array([int(v[0])], pa.int64()),
+                    "vmax": pa.array([int(v[-1])], pa.int64()),
+                }
+            )
+
+        grid = (
+            rows.map_batches(keyed, batch_format="pyarrow")
+            .groupby("cell")
+            .map_groups(bucket_cost, batch_format="pyarrow")
+            .take_all()  # bounded: <= 3 * VARINT_BUCKETS rows
+        )
+        dmap = {}
+        per_col: dict[int, list] = {0: [], 1: [], 2: []}
+        for r in grid:
+            per_col[int(r["cell"]) // VARINT_BUCKETS].append(
+                (int(r["cell"]) % VARINT_BUCKETS, int(r["inner_bytes"]),
+                 int(r["vmin"]), int(r["vmax"]))
+            )
+        for ci, cells in per_col.items():
+            cells.sort()
+            total, prev_max = 0, None
+            for _, inner, vmin, vmax in cells:
+                total += inner
+                if prev_max is None:
+                    total += int(
+                        _varint_bytes(_zigzag(np.array([vmin], np.int64)))[0]
+                    )
+                else:
+                    total += int(
+                        _varint_bytes(np.array([vmin - prev_max],
+                                               np.int64))[0]
+                    )
+                prev_max = vmax
+            dmap[ci] = total
+
+    out = []
+    for r in raw:
+        ci = int(r["col"])
+        out.append(
+            {
+                "col": COLS[ci],
+                "n": int(r["n"]),
+                "raw_bytes": int(r["raw_bytes"]),
+                "delta_bytes": dmap.get(ci, 0),
+            }
+        )
+    df = pd.DataFrame(out).sort_values("col", ignore_index=True)
+    for c in ["n", "raw_bytes", "delta_bytes"]:
+        df[c] = df[c].astype("int64")
+    return df[["col", "n", "raw_bytes", "delta_bytes"]]

@@ -1557,3 +1557,110 @@ def lang_signature_cosine(sf_dir: str) -> "pa.Table":
             "cos2_x1e8": pa.array(out_q, pa.int64()),
         }
     )
+
+
+HEAPS_FRACS = (64, 16, 4, 1)  # prefix denominators: n/64, n/16, n/4, all
+
+
+def heaps_curve(sf_dir: str) -> "pa.Table":
+    """Heaps'-law vocabulary-growth curve — |V| and token count over
+    deterministic doc-id-ordered corpus prefixes (first n/64, n/16,
+    n/4, all docs): the dial that says whether a corpus is still
+    discovering vocabulary (V ~ N^β, β ≈ 0.5) or has saturated —
+    complementary to vocab_coverage (which fixes the vocab and asks
+    how much stream it covers; this fixes the stream order and asks
+    how fast the vocab grows). Output per checkpoint:
+    (cutoff_docs, n_tokens_seen, vocab_size), all exact.
+
+    Scale shape: vocabulary growth needs NO prefix re-scan — a token
+    is in V(cutoff) iff its FIRST-occurrence doc id is below the
+    cutoff, so one groupby(token) Min(doc_id) plus a per-batch
+    ≤4-cell indicator fold answers every checkpoint at once; token
+    counts per prefix are a second per-batch ≤4-cell fold over doc
+    rows. Two bounded folds, one token exchange."""
+    from ..functions.textstats import words_of
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    from ray.data.aggregate import Min as _Min, Sum as _Sum
+
+    n_docs = int(docs.count())
+    cutoffs = sorted({max(1, n_docs // f) for f in HEAPS_FRACS})
+    cut_arr = np.array(cutoffs, np.int64)
+
+    def token_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_t, out_d = [], []
+        for did, tx in zip(ids, texts):
+            ws = set(words_of(tx or ""))
+            out_t.extend(ws)
+            out_d.extend([did] * len(ws))
+        return pa.table(
+            {
+                "token": pa.array(out_t, pa.string()),
+                "doc": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    first = (
+        docs.map_batches(token_rows, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(_Min("doc", alias_name="first_doc"))
+    )
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        fd = batch.column("first_doc").to_numpy(zero_copy_only=False)
+        # vocab(cutoff) counts first_doc < cutoff (doc ids are ranks
+        # in the deterministic order)
+        counts = np.searchsorted(np.sort(fd), cut_arr, side="left")
+        return pa.table(
+            {
+                "ci": pa.array(np.arange(len(cut_arr)), pa.int64()),
+                "v": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    vgrid = (
+        first.map_batches(vocab_partial, batch_format="pyarrow")
+        .groupby("ci")
+        .aggregate(_Sum("v", alias_name="v"))
+        .take_all()  # bounded: <= 4 rows
+    )
+    vocab = {int(r["ci"]): int(r["v"]) for r in vgrid}
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        ntok = np.array(
+            [len(words_of(t or "")) for t in texts], np.int64
+        )
+        out = []
+        for i, c in enumerate(cutoffs):
+            out.append(int(ntok[ids < c].sum()))
+        return pa.table(
+            {
+                "ci": pa.array(np.arange(len(cut_arr)), pa.int64()),
+                "t": pa.array(out, pa.int64()),
+            }
+        )
+
+    tgrid = (
+        docs.map_batches(tok_partial, batch_format="pyarrow")
+        .groupby("ci")
+        .aggregate(_Sum("t", alias_name="t"))
+        .take_all()  # bounded: <= 4 rows
+    )
+    toks = {int(r["ci"]): int(r["t"]) for r in tgrid}
+    return pa.table(
+        {
+            "cutoff_docs": pa.array(cutoffs, pa.int64()),
+            "n_tokens_seen": pa.array(
+                [toks[i] for i in range(len(cutoffs))], pa.int64()
+            ),
+            "vocab_size": pa.array(
+                [vocab[i] for i in range(len(cutoffs))], pa.int64()
+            ),
+        }
+    )

@@ -398,6 +398,8 @@ SUBSET = [
     "km_survival_curve",
     "cramer_von_mises",
     "kruskal_wallis",
+    "heaps_curve",
+    "varint_cost_audit",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",

@@ -42,3 +42,15 @@ def test_cvm_exchange_path_matches_local(ray_session):
     finally:
         an.CVM_LOCAL_MAX = 2_000_000
     assert local.equals(grid)
+
+
+def test_varint_grid_path_matches_local(ray_session):
+    import readur_ray.pipelines.analytics as an
+
+    local = an.varint_cost_audit(SF)
+    an.VARINT_LOCAL_MAX = 0
+    try:
+        grid = an.varint_cost_audit(SF)
+    finally:
+        an.VARINT_LOCAL_MAX = 2_000_000
+    assert local.equals(grid)
