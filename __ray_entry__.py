@@ -1760,6 +1760,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # global sort. Tail-seated by design: the integer-column
         # member of the storage family.
         "varint_cost_audit": analytics.varint_cost_audit,
+        # (round 4, wave 104) Friedman-test sufficient statistics —
+        # k treatments double-ranked WITHIN each block (nation), the
+        # repeated-measures leg of the nonparametric family; one
+        # union join + one bounded category-grid fold, ranking on
+        # the driver over ≤ nations×priorities cells. Tail-seated by
+        # design.
+        "friedman_test": analytics.friedman_test,
+        # (round 4, wave 104) rich-club connectivity curve — per
+        # degree threshold, rich-node and rich-edge counts over the
+        # MinHash candidate graph (the template-core signature);
+        # two int64 exchanges with first-row-carry threshold
+        # partials. Tail-seated by design: degree_assortativity's
+        # mixing number resolved across the degree scale.
+        "rich_club": graph.rich_club,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -8576,6 +8590,55 @@ def oracle_sql() -> dict[str, str]:
                GROUP BY 1)
         SELECT raw.col, raw.n, raw.raw_bytes, sd.delta_bytes
         FROM raw JOIN sd USING (col) ORDER BY 1
+    """
+
+    # friedman_test: treatments double-ranked within nation blocks on
+    # total order cents; incomplete blocks rank over their present
+    # treatments.
+    sql["friedman_test"] = """
+        WITH cell AS (
+          SELECT c_nationkey AS nation, o_orderpriority AS priority,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders JOIN customer ON c_custkey = o_custkey
+          GROUP BY 1, 2),
+        d AS (SELECT nation, priority,
+                     2 * CAST(rank() OVER (PARTITION BY nation
+                                           ORDER BY cents) AS BIGINT)
+                       + CAST(count(*) OVER (PARTITION BY nation, cents)
+                              AS BIGINT) - 1 AS dd
+              FROM cell),
+        nb AS (SELECT CAST(count(DISTINCT nation) AS BIGINT) AS n_blocks
+               FROM cell),
+        kt AS (SELECT CAST(count(DISTINCT priority) AS BIGINT) AS k_treat
+               FROM cell)
+        SELECT priority, CAST(sum(dd) AS BIGINT) AS r2_sum,
+               nb.n_blocks, kt.k_treat
+        FROM d, nb, kt GROUP BY 1, 3, 4 ORDER BY 1
+    """
+
+    # rich_club: degree-threshold curve over the MinHash candidate
+    # graph.
+    sql["rich_club"] = f"""
+        WITH pr AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM ({sql["dedup_minhash_lsh"]})
+        ),
+        deg AS MATERIALIZED (
+          SELECT v, CAST(count(*) AS BIGINT) AS dg FROM (
+            SELECT doc_a AS v FROM pr UNION ALL SELECT doc_b FROM pr)
+          GROUP BY 1
+        ),
+        ks AS (SELECT unnest([1, 2, 4, 8, 16]) AS k),
+        nr AS (SELECT k, (SELECT CAST(count(*) AS BIGINT) FROM deg
+                          WHERE dg > k) AS n_rich FROM ks),
+        er AS (SELECT k,
+                      (SELECT CAST(count(*) AS BIGINT)
+                       FROM pr JOIN deg da ON da.v = pr.doc_a
+                               JOIN deg db ON db.v = pr.doc_b
+                       WHERE least(da.dg, db.dg) > k) AS e_rich
+               FROM ks)
+        SELECT CAST(nr.k AS BIGINT) AS k, nr.n_rich, er.e_rich
+        FROM nr JOIN er USING (k) ORDER BY 1
     """
 
     return sql

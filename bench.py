@@ -204,6 +204,7 @@ def run_queries() -> dict[str, float]:
         "isotonic_calibration", "km_survival_curve",
         "cramer_von_mises", "kruskal_wallis",
         "heaps_curve", "varint_cost_audit",
+        "friedman_test", "rich_club",
     ]
     out: dict[str, float] = {}
     for name in picks:

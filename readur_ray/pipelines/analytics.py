@@ -10183,3 +10183,138 @@ def varint_cost_audit(sf_dir: str) -> "pd.DataFrame":
     for c in ["n", "raw_bytes", "delta_bytes"]:
         df[c] = df[c].astype("int64")
     return df[["col", "n", "raw_bytes", "delta_bytes"]]
+
+
+def friedman_test(sf_dir: str) -> "pd.DataFrame":
+    """Exact Friedman-test sufficient statistics — the repeated-
+    measures rank test that completes the nonparametric family
+    (mann_whitney_u: 2 independent samples; kruskal_wallis: k
+    independent samples; this: k TREATMENTS ranked within each of b
+    BLOCKS, so block-level scale differences cancel): blocks =
+    customer nations, treatments = order priorities, measurement =
+    the block's total order cents per priority. Per treatment the
+    double-rank sum (d = 2L + T + 1 within each block, always
+    integer) folds across blocks; output per priority:
+    (priority, r2_sum, n_blocks, k_treat), from which the Friedman
+    chi-square with tie handling is exact rational arithmetic
+    downstream. Blocks missing a treatment rank over their present
+    treatments — stated semantics, mirrored by the oracle.
+
+    Scale shape: the spearman co-partitioned union join on custkey
+    attaches the nation (never a broadcast of the customer table);
+    per-group (nation, priority, cents) partials fold through ONE
+    bounded groupby into the ≤ nations×priorities grid, and the
+    within-block ranking is driver arithmetic on that grid — bounded
+    by the CATEGORY product, never the order count."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": batch.column("c_custkey").cast(pa.int64()),
+                "nation": batch.column("c_nationkey").cast(pa.int64()),
+                "priority": pa.array([""] * batch.num_rows, pa.string()),
+                "cents": pa.array(np.zeros(batch.num_rows, np.int64),
+                                  pa.int64()),
+                "side": pa.array(np.zeros(batch.num_rows, np.int64),
+                                 pa.int64()),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": batch.column("o_custkey").cast(pa.int64()),
+                "nation": pa.array(np.zeros(batch.num_rows, np.int64),
+                                   pa.int64()),
+                "priority": batch.column("o_orderpriority"),
+                "cents": _cents(batch.column("o_totalprice")),
+                "side": pa.array(np.ones(batch.num_rows, np.int64),
+                                 pa.int64()),
+            }
+        )
+
+    tagged = cust.map_batches(cust_side, batch_format="pyarrow").union(
+        orders.map_batches(order_side, batch_format="pyarrow")
+    )
+
+    def attach(group: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        if not (side == 0).any() or not (side == 1).any():
+            return pa.table(
+                {
+                    "nation": pa.array([], pa.int64()),
+                    "priority": pa.array([], pa.string()),
+                    "cents": pa.array([], pa.int64()),
+                }
+            )
+        nation = int(
+            group.column("nation").to_numpy(zero_copy_only=False)[side == 0][0]
+        )
+        prio = group.column("priority").to_pandas().to_numpy(dtype=object)[
+            side == 1
+        ]
+        cents = group.column("cents").to_numpy(zero_copy_only=False)[side == 1]
+        g = (
+            pd.DataFrame({"priority": prio, "cents": cents})
+            .groupby("priority", sort=False)["cents"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "nation": pa.array(
+                    np.full(len(g), nation, np.int64), pa.int64()
+                ),
+                "priority": pa.array(g["priority"], pa.string()),
+                "cents": pa.array(
+                    g["cents"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    grid = (
+        tagged.groupby("custkey")
+        .map_groups(attach, batch_format="pyarrow")
+        .groupby(["nation", "priority"])
+        .aggregate(_Sum("cents", alias_name="cents"))
+        .take_all()  # bounded: <= nations * priorities rows
+    )
+    df = pd.DataFrame(grid)
+    n_blocks = df["nation"].nunique()
+    k_treat = df["priority"].nunique()
+    out: dict[str, int] = {}
+    for _, blk in df.groupby("nation"):
+        v = blk["cents"].to_numpy()
+        pr = blk["priority"].to_numpy()
+        less = (v[:, None] > v[None, :]).sum(axis=1)
+        ties = (v[:, None] == v[None, :]).sum(axis=1)  # includes self
+        d = 2 * less + ties + 1
+        for p, dd in zip(pr, d):
+            out[p] = out.get(p, 0) + int(dd)
+    res = pd.DataFrame(
+        [
+            {
+                "priority": p,
+                "r2_sum": s,
+                "n_blocks": n_blocks,
+                "k_treat": k_treat,
+            }
+            for p, s in out.items()
+        ]
+    ).sort_values("priority", ignore_index=True)
+    for c in ["r2_sum", "n_blocks", "k_treat"]:
+        res[c] = res[c].astype("int64")
+    return res[["priority", "r2_sum", "n_blocks", "k_treat"]]

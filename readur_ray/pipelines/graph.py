@@ -441,3 +441,121 @@ def triangle_count(sf_dir: str) -> "ray.data.Dataset":
         .groupby("part3")
         .map_groups(sum_part, batch_format="pyarrow")
     )
+
+
+RICH_KS = (1, 2, 4, 8, 16)  # degree thresholds for the rich-club curve
+
+
+def rich_club(sf_dir: str) -> "pd.DataFrame":
+    """Rich-club connectivity curve over the MinHash-LSH candidate
+    graph — for each degree threshold k, how densely do the
+    high-degree nodes link to EACH OTHER: (k, n_rich, e_rich) with
+    n_rich = nodes of degree > k and e_rich = candidate pairs whose
+    BOTH endpoints are rich. φ(k) = e_rich / C(n_rich, 2) rising
+    toward 1 is the template-family signature (hot near-dup hubs
+    forming a dense core — exactly the structure TRI_DEGREE_CAP and
+    MAX_BUCKET defend against), while a flat low curve says
+    duplication is scattered; degree_assortativity summarizes mixing
+    in ONE number, this resolves it across the degree scale.
+
+    Scale shape (the degree_assortativity two-exchange shape plus a
+    bounded threshold fold): endpoint rows co-partition on node
+    (degrees via one np.unique; per-part rich-node counts per
+    threshold ride as first-row carry columns, the triangle_census
+    discipline); (eid, deg) rows co-partition on the packed edge key
+    where a two-row pyarrow min gives each edge's weaker endpoint,
+    folding per-threshold indicator sums. Output is |RICH_KS| rows;
+    only int64 rows cross either exchange."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from .dedup import pairs_materialized
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    edges = pairs_materialized(sf_dir)
+    m_edges = edges.count()
+    parts = N_COARSE_PARTS if 2 * m_edges >= 1_000_000 else 8
+    PACK = 1 << 32
+    ks = np.array(RICH_KS, np.int64)
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = batch.column("doc_b").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = a * PACK + b
+        node = np.concatenate([a, b])
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "eid": pa.array(np.concatenate([eid, eid]), pa.int64()),
+                "part": pa.array(node % parts, pa.int64()),
+            }
+        )
+
+    def node_degrees(part_tbl: pa.Table) -> pa.Table:
+        node = part_tbl.column("node").to_numpy(zero_copy_only=False)
+        eid = part_tbl.column("eid").to_numpy(zero_copy_only=False)
+        uniq, inv, cnt = np.unique(
+            node, return_inverse=True, return_counts=True
+        )
+        deg = cnt.astype(np.int64)[inv]
+        n = len(node)
+        carry = np.zeros((len(ks), n), np.int64)
+        if n:
+            c = cnt.astype(np.int64)
+            for i, k in enumerate(ks):
+                carry[i, 0] = int((c > k).sum())
+        cols = {
+            "eid": pa.array(eid, pa.int64()),
+            "deg": pa.array(deg, pa.int64()),
+            "part": pa.array(eid % parts, pa.int64()),
+        }
+        for i in range(len(ks)):
+            cols[f"nr{i}"] = pa.array(carry[i], pa.int64())
+        return pa.table(cols)
+
+    degrows = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(node_degrees, batch_format="pyarrow")
+        .materialize()
+    )
+    nr_aggs = [_Sum(f"nr{i}", alias_name=f"nr{i}") for i in range(len(ks))]
+    nrich = degrows.aggregate(*nr_aggs)
+
+    def edge_minfold(part_tbl: pa.Table) -> pa.Table:
+        t = (
+            part_tbl.select(["eid", "deg"])
+            .group_by("eid")
+            .aggregate([("deg", "min")])
+        )
+        mind = t.column("deg_min").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                f"er{i}": pa.array([int((mind > k).sum())], pa.int64())
+                for i, k in enumerate(ks)
+            }
+        )
+
+    er_aggs = [_Sum(f"er{i}", alias_name=f"er{i}") for i in range(len(ks))]
+    erich = (
+        degrows.groupby("part")
+        .map_groups(edge_minfold, batch_format="pyarrow")
+        .aggregate(*er_aggs)
+    )
+    out = [
+        {
+            "k": int(k),
+            "n_rich": int(nrich[f"nr{i}"]),
+            "e_rich": int(erich[f"er{i}"]),
+        }
+        for i, k in enumerate(ks)
+    ]
+    df = pd.DataFrame(out)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df[["k", "n_rich", "e_rich"]]

@@ -400,6 +400,8 @@ SUBSET = [
     "kruskal_wallis",
     "heaps_curve",
     "varint_cost_audit",
+    "friedman_test",
+    "rich_club",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
