@@ -1774,6 +1774,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partials. Tail-seated by design: degree_assortativity's
         # mixing number resolved across the degree scale.
         "rich_club": graph.rich_club,
+        # (round 4, wave 105) Markov absorption toward purchase —
+        # banded 1/2/3-step reach probabilities per starting event
+        # type via the sequential integer matrix recurrence over the
+        # bounded transition grid; purchase absorbing. Tail-seated
+        # by design: event_transitions' counts under a journey
+        # statistic.
+        "absorption_reach_milli": sessions.absorption_reach_milli,
+        # (round 4, wave 105) BFS layer sizes from the 8 smallest
+        # seeds over the mutual-kNN graph — the expansion/diameter
+        # probe; width-1 escape + per-hop tagged-union exchange
+        # plan. Tail-seated by design: the connectivity readout
+        # before paying for full components.
+        "bfs_layers": similarity.bfs_layers,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -8639,6 +8652,83 @@ def oracle_sql() -> dict[str, str]:
                FROM ks)
         SELECT CAST(nr.k AS BIGINT) AS k, nr.n_rich, er.e_rich
         FROM nr JOIN er USING (k) ORDER BY 1
+    """
+
+    # absorption_reach_milli: banded matrix recurrence, purchase
+    # absorbing; next-types without outgoing rows contribute 0.
+    sql["absorption_reach_milli"] = """
+        WITH tr AS (
+          SELECT event_type AS prev, nxt, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT user_id, event_type,
+                       lead(event_type) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS nxt
+                FROM events)
+          WHERE nxt IS NOT NULL AND event_type <> 'purchase'
+          GROUP BY 1, 2),
+        r AS (SELECT prev AS s, CAST(sum(n) AS BIGINT) AS r
+              FROM tr GROUP BY 1),
+        cp AS (SELECT r.s,
+                      CAST(coalesce((SELECT sum(n) FROM tr
+                            WHERE tr.prev = r.s
+                              AND tr.nxt = 'purchase'), 0) AS BIGINT)
+                        AS c_p
+               FROM r),
+        m1 AS (SELECT r.s, (1000 * cp.c_p) // r.r AS m
+               FROM r JOIN cp ON cp.s = r.s),
+        m2 AS (SELECT r.s,
+                      (1000 * cp.c_p + coalesce(a.acc, 0)) // r.r AS m
+               FROM r JOIN cp ON cp.s = r.s
+               LEFT JOIN (SELECT tr.prev AS s,
+                                 CAST(sum(tr.n * m1.m) AS BIGINT) AS acc
+                          FROM tr JOIN m1 ON m1.s = tr.nxt
+                          GROUP BY 1) a ON a.s = r.s),
+        m3 AS (SELECT r.s,
+                      (1000 * cp.c_p + coalesce(a.acc, 0)) // r.r AS m
+               FROM r JOIN cp ON cp.s = r.s
+               LEFT JOIN (SELECT tr.prev AS s,
+                                 CAST(sum(tr.n * m2.m) AS BIGINT) AS acc
+                          FROM tr JOIN m2 ON m2.s = tr.nxt
+                          GROUP BY 1) a ON a.s = r.s)
+        SELECT r.s AS event_type, r.r AS n_out,
+               CAST(m1.m AS BIGINT) AS reach1_milli,
+               CAST(m2.m AS BIGINT) AS reach2_milli,
+               CAST(m3.m AS BIGINT) AS reach3_milli
+        FROM r JOIN m1 ON m1.s = r.s JOIN m2 ON m2.s = r.s
+        JOIN m3 ON m3.s = r.s ORDER BY 1
+    """
+
+    # bfs_layers: first-reached layer sizes from the 8 smallest
+    # nodes; only non-empty layers appear.
+    sql["bfs_layers"] = f"""
+        WITH mk AS MATERIALIZED (
+          SELECT vec_a, vec_b FROM ({sql["mutual_knn"]})
+        ),
+        ed AS MATERIALIZED (
+          SELECT vec_a AS v, vec_b AS u FROM mk
+          UNION ALL SELECT vec_b, vec_a FROM mk
+        ),
+        d0 AS (SELECT v FROM (SELECT DISTINCT v FROM ed)
+               ORDER BY v LIMIT 8),
+        d1 AS (SELECT DISTINCT ed.u AS v FROM ed
+               JOIN d0 ON d0.v = ed.v
+               WHERE ed.u NOT IN (SELECT v FROM d0)),
+        d2 AS (SELECT DISTINCT ed.u AS v FROM ed
+               JOIN d1 ON d1.v = ed.v
+               WHERE ed.u NOT IN (SELECT v FROM d0)
+                 AND ed.u NOT IN (SELECT v FROM d1)),
+        d3 AS (SELECT DISTINCT ed.u AS v FROM ed
+               JOIN d2 ON d2.v = ed.v
+               WHERE ed.u NOT IN (SELECT v FROM d0)
+                 AND ed.u NOT IN (SELECT v FROM d1)
+                 AND ed.u NOT IN (SELECT v FROM d2)),
+        sz AS (
+          SELECT CAST(0 AS BIGINT) AS hop,
+                 CAST(count(*) AS BIGINT) AS n_nodes FROM d0
+          UNION ALL SELECT 1, CAST(count(*) AS BIGINT) FROM d1
+          UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM d2
+          UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM d3)
+        SELECT hop, n_nodes FROM sz WHERE n_nodes > 0 ORDER BY hop
     """
 
     return sql

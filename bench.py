@@ -205,6 +205,7 @@ def run_queries() -> dict[str, float]:
         "cramer_von_mises", "kruskal_wallis",
         "heaps_curve", "varint_cost_audit",
         "friedman_test", "rich_club",
+        "absorption_reach_milli", "bfs_layers",
     ]
     out: dict[str, float] = {}
     for name in picks:

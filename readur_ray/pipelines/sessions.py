@@ -4202,3 +4202,128 @@ def km_survival_curve(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df[["t_days", "n_risk", "d_events", "s_milli"]]
+
+
+ABSORB_STEPS = 3  # reach-horizon in transitions
+
+
+def absorption_reach_milli(sf_dir: str) -> "pd.DataFrame":
+    """Markov absorption toward 'purchase' — per starting event type,
+    the banded probability of reaching a purchase within 1, 2, and 3
+    transitions of the user-journey chain (event_transitions'
+    consecutive-by-(ts, event_id) definition, purchase absorbing):
+    the journey-planning readout raw transition counts don't give —
+    'error' with a high 3-step reach is recoverable friction, a low
+    one is a funnel exit. Banded by the sequential integer recurrence
+    m_{k+1}(s) = (1000·C[s,purchase] + Σ_{t≠purchase} C[s,t]·m_k(t))
+    // r[s] from m_0 = 0 — the km_survival_curve flooring discipline
+    applied to a matrix recurrence; exact rational absorption needs
+    unbounded denominators, the banded recurrence IS the defined
+    statistic, mirrored verbatim by the oracle's three CTE steps.
+    Output per non-absorbing type: (event_type, n_out, reach1_milli,
+    reach2_milli, reach3_milli).
+
+    Scale shape: one user-keyed co-partition orders each user's
+    events and emits per-pair transition partials (a user's events
+    never straddle parts); the ≤|types|² count matrix folds in one
+    bounded groupby and the K×K recurrence is driver arithmetic —
+    bounded by the type alphabet, never the event count."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_id", "user_id", "event_type"],
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "user": pa.array(u, pa.int64()),
+                "ts": batch.column("ts").cast(pa.int64()),
+                "eid": batch.column("event_id").cast(pa.int64()),
+                "event_type": batch.column("event_type"),
+                "part": pa.array(u % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def per_part(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        u = part_tbl.column("user").to_numpy(zero_copy_only=False)
+        t = part_tbl.column("ts").to_numpy(zero_copy_only=False)
+        e = part_tbl.column("eid").to_numpy(zero_copy_only=False)
+        et = part_tbl.column("event_type").to_pandas().to_numpy(dtype=object)
+        order = np.lexsort((e, t, u))
+        us, ets = u[order], et[order]
+        same = us[1:] == us[:-1]
+        prev, nxt = ets[:-1][same], ets[1:][same]
+        keep = prev != "purchase"  # purchase is absorbing
+        g = (
+            pd.DataFrame({"prev": prev[keep], "nxt": nxt[keep], "n": 1})
+            .groupby(["prev", "nxt"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "prev": pa.array(g["prev"], pa.string()),
+                "nxt": pa.array(g["nxt"], pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    grid = (
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pyarrow")
+        .groupby(["prev", "nxt"])
+        .aggregate(_Sum("n", alias_name="n"))
+        .take_all()  # bounded: <= |types|^2 rows
+    )
+    import collections
+
+    C: dict[str, collections.Counter] = collections.defaultdict(
+        collections.Counter
+    )
+    for r in grid:
+        C[r["prev"]][r["nxt"]] += int(r["n"])
+    states = sorted(C)
+    rsum = {s: sum(C[s].values()) for s in states}
+    m = {s: 0 for s in states}
+    hist = []
+    for _ in range(ABSORB_STEPS):
+        m = {
+            s: (
+                1000 * C[s].get("purchase", 0)
+                + sum(
+                    C[s].get(t, 0) * m[t]
+                    for t in states
+                    if t != "purchase"
+                )
+            )
+            // rsum[s]
+            for s in states
+        }
+        hist.append(dict(m))
+    df = pd.DataFrame(
+        [
+            {
+                "event_type": s,
+                "n_out": rsum[s],
+                "reach1_milli": hist[0][s],
+                "reach2_milli": hist[1][s],
+                "reach3_milli": hist[2][s],
+            }
+            for s in states
+        ]
+    ).sort_values("event_type", ignore_index=True)
+    for c in df.columns[1:]:
+        df[c] = df[c].astype("int64")
+    return df

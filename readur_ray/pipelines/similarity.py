@@ -3822,3 +3822,247 @@ def ann_margin_profile(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df[["band", "n_vecs"]]
+
+
+BFS_SEEDS = 8  # smallest node ids seed the traversal
+BFS_HOPS = 3
+BFS_LOCAL_MAX = 2_000_000  # directed rows below which BFS runs width-1
+
+
+def bfs_layers(sf_dir: str) -> "pd.DataFrame":
+    """Exact BFS layer sizes from a fixed seed set over the
+    mutual-kNN graph — the diameter/expansion probe the per-node
+    two_hop_reach histogram doesn't give: seeding at the BFS_SEEDS
+    smallest node ids, (hop, n_nodes) counts nodes FIRST reached at
+    each hop ≤ 3. Fast layer decay means the reciprocal graph is
+    fragmented (near-dup islands); sustained growth means one giant
+    component — the cheap connectivity readout before paying for full
+    components.
+
+    Scale shape: width-1 escape below BFS_LOCAL_MAX directed rows
+    (one vectorized frontier loop); above it, each hop is two
+    tagged-union co-partitions of int64 rows — edges grouped with the
+    current distance rows on the NEIGHBOR-source key emit candidate
+    nodes, then candidates merge with distance rows on the node key
+    taking the minimum hop (the WL/LP exchange discipline; never a
+    broadcast frontier). Layer sizes fold from the final distance
+    rows in one bounded ≤(hops+2)-cell aggregate."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    edges = mutual_knn(sf_dir)
+
+    def directed(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_a").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = batch.column("vec_b").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "v": pa.array(np.concatenate([a, b]), pa.int64()),
+                "u": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    ed = edges.map_batches(directed, batch_format="pyarrow").materialize()
+
+    def finish(dist: "np.ndarray") -> "pd.DataFrame":
+        hops, counts = np.unique(dist[dist >= 0], return_counts=True)
+        df = pd.DataFrame(
+            {
+                "hop": hops.astype("int64"),
+                "n_nodes": counts.astype("int64"),
+            }
+        )
+        return df.sort_values("hop", ignore_index=True)
+
+    if ed.count() < BFS_LOCAL_MAX:
+
+        def local(tbl: pa.Table) -> pa.Table:
+            v = tbl.column("v").to_numpy(zero_copy_only=False)
+            u = tbl.column("u").to_numpy(zero_copy_only=False)
+            nodes = np.unique(v)
+            vi = np.searchsorted(nodes, v)
+            ui = np.searchsorted(nodes, u)
+            dist = np.full(len(nodes), -1, np.int64)
+            dist[: min(BFS_SEEDS, len(nodes))] = 0  # smallest ids seed
+            for hop in range(1, BFS_HOPS + 1):
+                reach = np.zeros(len(nodes), bool)
+                src_on = dist[vi] == hop - 1
+                reach[ui[src_on]] = True
+                new = reach & (dist < 0)
+                dist[new] = hop
+            h, c = np.unique(dist[dist >= 0], return_counts=True)
+            return pa.table(
+                {
+                    "hop": pa.array(h, pa.int64()),
+                    "n_nodes": pa.array(c.astype(np.int64), pa.int64()),
+                }
+            )
+
+        out = (
+            ed.repartition(1)
+            .map_batches(local, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+        )
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out.sort_values("hop", ignore_index=True)
+
+    # exchange plan: dist rows (node, d); seeds = BFS_SEEDS smallest
+    def part_on(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch.column(col).to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "part", pa.array(k % N_COARSE_PARTS, pa.int64())
+            )
+
+        return fn
+
+    def node_rows(part_tbl: pa.Table) -> pa.Table:
+        v = part_tbl.column("v").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.unique(v), pa.int64())})
+
+    nodes_ds = (
+        ed.map_batches(part_on("v"), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: node_rows(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    seed_rows = nodes_ds.sort("node").limit(BFS_SEEDS).take_all()
+    seeds = {int(r["node"]) for r in seed_rows}
+    seeds_ref = ray.put(np.array(sorted(seeds), np.int64))
+
+    def init_dist(batch: pa.Table) -> pa.Table:
+        n = batch.column("node").to_numpy(zero_copy_only=False)
+        sd = ray.get(seeds_ref)
+        d = np.where(np.isin(n, sd), 0, -1).astype(np.int64)
+        return pa.table(
+            {"node": pa.array(n, pa.int64()), "d": pa.array(d, pa.int64())}
+        )
+
+    dist = nodes_ds.map_batches(init_dist, batch_format="pyarrow").materialize()
+
+    for hop in range(1, BFS_HOPS + 1):
+        dist_side = dist.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": b.column("node").cast(pa.int64()),
+                    "v": pa.array(np.full(b.num_rows, -1, np.int64),
+                                  pa.int64()),
+                    "d": b.column("d").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        edge_side = ed.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": b.column("u").cast(pa.int64()),
+                    "v": b.column("v").cast(pa.int64()),
+                    "d": pa.array(np.full(b.num_rows, -2, np.int64),
+                                  pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def expand(part_tbl: pa.Table, h=hop) -> pa.Table:
+            v = part_tbl.column("v").to_numpy(zero_copy_only=False)
+            key = part_tbl.column("key").to_numpy(zero_copy_only=False)
+            d = part_tbl.column("d").to_numpy(zero_copy_only=False)
+            lab = d[v == -1]
+            lkey = key[v == -1]
+            frontier = np.sort(lkey[lab == h - 1])
+            e_mask = v != -1
+            hit = np.isin(key[e_mask], frontier)
+            cand = np.unique(v[e_mask][hit])
+            return pa.table({"node": pa.array(cand, pa.int64())})
+
+        cand = (
+            dist_side.union(edge_side)
+            .map_batches(part_on("key"), batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(
+                lambda g, h=hop: expand(g.drop_columns(["part"]), h),
+                batch_format="pyarrow",
+            )
+        )
+
+        cand_side = cand.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b.column("node").cast(pa.int64()),
+                    "d": pa.array(np.full(b.num_rows, -3, np.int64),
+                                  pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def merge(part_tbl: pa.Table, h=hop) -> pa.Table:
+            n = part_tbl.column("node").to_numpy(zero_copy_only=False)
+            d = part_tbl.column("d").to_numpy(zero_copy_only=False)
+            is_c = d == -3
+            order = np.argsort(n[~is_c], kind="stable")
+            base_n = n[~is_c][order]
+            base_d = d[~is_c][order]
+            cpos = np.searchsorted(base_n, np.unique(n[is_c]))
+            newly = np.unique(n[is_c])[base_d[cpos] < 0]
+            upd = base_d.copy()
+            upd[np.searchsorted(base_n, newly)] = h
+            return pa.table(
+                {
+                    "node": pa.array(base_n, pa.int64()),
+                    "d": pa.array(upd, pa.int64()),
+                }
+            )
+
+        dist = (
+            dist.map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b.column("node").cast(pa.int64()),
+                        "d": b.column("d").cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .union(cand_side)
+            .map_batches(part_on("node"), batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(
+                lambda g, h=hop: merge(g.drop_columns(["part"]), h),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    def layer_partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("d").to_numpy(zero_copy_only=False)
+        h, c = np.unique(d[d >= 0], return_counts=True)
+        return pa.table(
+            {
+                "hop": pa.array(h, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        dist.map_batches(layer_partial, batch_format="pyarrow")
+        .groupby("hop")
+        .aggregate(_Sum("n", alias_name="n_nodes"))
+        .take_all()  # bounded: <= hops + 1 rows
+    )
+    df = pd.DataFrame(rows).sort_values("hop", ignore_index=True)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df[["hop", "n_nodes"]]

@@ -402,6 +402,8 @@ SUBSET = [
     "varint_cost_audit",
     "friedman_test",
     "rich_club",
+    "absorption_reach_milli",
+    "bfs_layers",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",

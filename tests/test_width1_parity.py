@@ -54,3 +54,15 @@ def test_varint_grid_path_matches_local(ray_session):
     finally:
         an.VARINT_LOCAL_MAX = 2_000_000
     assert local.equals(grid)
+
+
+def test_bfs_exchange_path_matches_local(ray_session):
+    import readur_ray.pipelines.similarity as sim
+
+    local = sim.bfs_layers(SF)
+    sim.BFS_LOCAL_MAX = 0
+    try:
+        ex = sim.bfs_layers(SF)
+    finally:
+        sim.BFS_LOCAL_MAX = 2_000_000
+    assert local.equals(ex)
