@@ -1787,6 +1787,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # plan. Tail-seated by design: the connectivity readout
         # before paying for full components.
         "bfs_layers": similarity.bfs_layers,
+        # (round 4, wave 106) vocabulary trie audit — exact trie
+        # node count (= distinct prefixes) and shared-prefix savings
+        # over the distinct token set; two token-keyed exchanges.
+        # Tail-seated by design: the all-token complement of
+        # front_coding_audit's sorted-adjacent sharing.
+        "vocab_trie_audit": textops.vocab_trie_audit,
+        # (round 4, wave 106) order-to-ship lag profile — per
+        # priority the banded lag-day histogram + exact lag sums over
+        # the big-big co-partitioned equi-join (order_priority_join's
+        # shape; partitions emit only bounded cell partials).
+        # Tail-seated by design: the SLA readout of the join family.
+        "ship_lag_profile": analytics.ship_lag_profile,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -8729,6 +8741,47 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM d2
           UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM d3)
         SELECT hop, n_nodes FROM sz WHERE n_nodes > 0 ORDER BY hop
+    """
+
+    # vocab_trie_audit: distinct prefixes of the truncated distinct
+    # token set.
+    sql["vocab_trie_audit"] = f"""
+        WITH {_WORDS_CTE},
+        tok AS (SELECT DISTINCT unnest(ws) AS t FROM w),
+        tc AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+                      CAST(sum(len(left(t, 16))) AS BIGINT) AS total_chars
+               FROM tok),
+        pref AS (SELECT DISTINCT substr(left(t, 16), 1, i) AS p
+                 FROM tok,
+                      UNNEST(range(1, len(left(t, 16)) + 1)) AS r(i)),
+        pn AS (SELECT CAST(count(*) AS BIGINT) AS trie_nodes FROM pref)
+        SELECT tc.n_tokens, tc.total_chars, pn.trie_nodes,
+               CAST(tc.total_chars - pn.trie_nodes AS BIGINT)
+                 AS saved_chars
+        FROM tc, pn
+    """
+
+    # ship_lag_profile: lag-day bands per priority over the big-big
+    # join; negative lags band at 0 but sum raw.
+    sql["ship_lag_profile"] = """
+        WITH j AS (
+          SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pcode,
+                 epoch_us(l_shipdate) // 86400000000
+                   - epoch_us(o_orderdate) // 86400000000 AS lag
+          FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        ),
+        b AS (SELECT pcode,
+                     CASE WHEN greatest(lag, 0) >= 91 THEN 91
+                          WHEN greatest(lag, 0) >= 61 THEN 61
+                          WHEN greatest(lag, 0) >= 31 THEN 31
+                          WHEN greatest(lag, 0) >= 8 THEN 8
+                          ELSE 0 END AS band_lo,
+                     lag
+              FROM j)
+        SELECT pcode, CAST(band_lo AS BIGINT) AS band_lo,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(lag) AS BIGINT) AS lag_days_sum
+        FROM b GROUP BY 1, 2 ORDER BY 1, 2
     """
 
     return sql

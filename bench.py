@@ -206,6 +206,7 @@ def run_queries() -> dict[str, float]:
         "heaps_curve", "varint_cost_audit",
         "friedman_test", "rich_club",
         "absorption_reach_milli", "bfs_layers",
+        "vocab_trie_audit", "ship_lag_profile",
     ]
     out: dict[str, float] = {}
     for name in picks:

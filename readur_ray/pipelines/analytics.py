@@ -10318,3 +10318,142 @@ def friedman_test(sf_dir: str) -> "pd.DataFrame":
     for c in ["r2_sum", "n_blocks", "k_treat"]:
         res[c] = res[c].astype("int64")
     return res[["priority", "r2_sum", "n_blocks", "k_treat"]]
+
+
+def ship_lag_profile(sf_dir: str) -> "pd.DataFrame":
+    """Order-to-ship lag profile — the operational SLA readout of the
+    big-big join: per order priority, the exact distribution of
+    DAYS between o_orderdate and each line's l_shipdate, banded into
+    the operations ladder (0-7, 8-30, 31-60, 61-90, >90 days) plus
+    the exact lag-day sum for the mean. The cross-priority comparison
+    is the 'does urgent actually ship faster' audit. Output per
+    (priority, band): (priority, band_lo, n_lines, lag_days_sum).
+
+    Scale shape: order_priority_join's co-partitioned equi-join
+    verbatim — both sides project to (key, small ints), hash-
+    co-partition on the SAME orderkey % P map, one union shuffle;
+    inside a partition the probe is a vectorized searchsorted and
+    the partition emits only its ≤ priorities×bands partial counts,
+    so the final exchange is a handful of rows."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    DAY_US = 86_400_000_000
+    BANDS = np.array([0, 8, 31, 61, 91], np.int64)  # band lower edges
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+    )
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        d = (
+            batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        p = pc.utf8_slice_codeunits(
+            batch.column("o_orderpriority"), 0, 1
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "day": pa.array(d, pa.int64()),
+                "pcode": pa.array(p, pa.int64()),
+                "side": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+                "part": pa.array(k % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        d = (
+            batch.column("l_shipdate").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "day": pa.array(d, pa.int64()),
+                "pcode": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+                "side": pa.array(np.ones(len(k), np.int64), pa.int64()),
+                "part": pa.array(k % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def probe(part_tbl: pa.Table) -> pa.Table:
+        key = part_tbl.column("key").to_numpy(zero_copy_only=False)
+        day = part_tbl.column("day").to_numpy(zero_copy_only=False)
+        pcode = part_tbl.column("pcode").to_numpy(zero_copy_only=False)
+        side = part_tbl.column("side").to_numpy(zero_copy_only=False)
+        ok = side == 0
+        okey = key[ok]
+        order = np.argsort(okey, kind="stable")
+        okey_s = okey[order]
+        oday = day[ok][order]
+        opc = pcode[ok][order]
+        lkey, lday = key[~ok], day[~ok]
+        pos = np.searchsorted(okey_s, lkey)
+        pos = np.clip(pos, 0, max(len(okey_s) - 1, 0))
+        match = okey_s[pos] == lkey if len(okey_s) else np.zeros(
+            len(lkey), bool
+        )
+        lag = lday[match] - oday[pos[match]]
+        pc_ = opc[pos[match]]
+        band = np.searchsorted(BANDS, np.maximum(lag, 0), side="right") - 1
+        cell = pc_ * 8 + band
+        u, inv = np.unique(cell, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, lag)
+        return pa.table(
+            {
+                "cell": pa.array(u, pa.int64()),
+                "n_lines": pa.array(n, pa.int64()),
+                "lag_days_sum": pa.array(s, pa.int64()),
+            }
+        )
+
+    folded = (
+        orders.map_batches(order_side, batch_format="pyarrow")
+        .union(lines.map_batches(line_side, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(probe, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(
+            _Sum("n_lines", alias_name="n_lines"),
+            _Sum("lag_days_sum", alias_name="lag_days_sum"),
+        )
+        .take_all()  # bounded: <= priorities * bands rows
+    )
+    out = []
+    for r in folded:
+        cell = int(r["cell"])
+        out.append(
+            {
+                "pcode": cell // 8,
+                "band_lo": int(BANDS[cell % 8]),
+                "n_lines": int(r["n_lines"]),
+                "lag_days_sum": int(r["lag_days_sum"]),
+            }
+        )
+    df = pd.DataFrame(out).sort_values(
+        ["pcode", "band_lo"], ignore_index=True
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df[["pcode", "band_lo", "n_lines", "lag_days_sum"]]

@@ -1664,3 +1664,93 @@ def heaps_curve(sf_dir: str) -> "pa.Table":
             ),
         }
     )
+
+
+TRIE_MAX_LEN = 16  # prefix depth cap for the trie audit
+
+
+def vocab_trie_audit(sf_dir: str) -> "pd.DataFrame":
+    """Exact trie/FST sizing of the corpus vocabulary — the
+    shared-prefix audit that prices a prefix-compressed term
+    dictionary (FST term index, radix-tree router): over the distinct
+    token set (tokens truncated to TRIE_MAX_LEN chars), the number of
+    trie NODES is exactly the number of distinct prefixes, and
+    saved_chars = total_chars − trie_nodes is the exact character
+    count prefix sharing removes. Complements front_coding_audit
+    (which prices the SORTED-adjacent sharing; the trie shares across
+    ALL tokens). Output one row: (n_tokens, total_chars, trie_nodes,
+    saved_chars).
+
+    Scale shape: per-batch distinct-token partials → ONE
+    groupby(token) makes the vocabulary (materialized once — the
+    vocab, not the corpus); character totals fold per batch; prefix
+    rows (≤ TRIE_MAX_LEN per token) flow through ONE
+    groupby(prefix) distinct fold whose row count IS the node count.
+    Two token-keyed exchanges, strings never longer than the cap."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.textstats import words_of
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        toks = set()
+        for t in batch.column("text").to_pylist():
+            toks.update(words_of(t or ""))
+        return pa.table({"token": pa.array(sorted(toks), pa.string())})
+
+    vocab = (
+        docs.map_batches(tok_rows, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .materialize()
+    )
+    n_tokens = vocab.count()
+
+    def char_partial(batch: pa.Table) -> pa.Table:
+        toks = batch.column("token").to_pylist()
+        return pa.table(
+            {
+                "chars": pa.array(
+                    [sum(len(t[:TRIE_MAX_LEN]) for t in toks)], pa.int64()
+                )
+            }
+        )
+
+    total_chars = int(
+        vocab.map_batches(char_partial, batch_format="pyarrow").aggregate(
+            _Sum("chars", alias_name="chars")
+        )["chars"]
+    )
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        out = set()
+        for t in batch.column("token").to_pylist():
+            tt = t[:TRIE_MAX_LEN]
+            for i in range(1, len(tt) + 1):
+                out.add(tt[:i])
+        return pa.table({"p": pa.array(sorted(out), pa.string())})
+
+    trie_nodes = (
+        vocab.map_batches(prefix_rows, batch_format="pyarrow")
+        .groupby("p")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .count()
+    )
+    df = pd.DataFrame(
+        [
+            {
+                "n_tokens": n_tokens,
+                "total_chars": total_chars,
+                "trie_nodes": trie_nodes,
+                "saved_chars": total_chars - trie_nodes,
+            }
+        ]
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df

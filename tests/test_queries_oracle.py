@@ -404,6 +404,8 @@ SUBSET = [
     "rich_club",
     "absorption_reach_milli",
     "bfs_layers",
+    "vocab_trie_audit",
+    "ship_lag_profile",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
