@@ -1799,6 +1799,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shape; partitions emit only bounded cell partials).
         # Tail-seated by design: the SLA readout of the join family.
         "ship_lag_profile": analytics.ship_lag_profile,
+        # (round 4, wave 107) FD violation audit — per candidate
+        # functional dependency the exact g3 repair count
+        # (n_rows − Σ per-lhs max), the TANE-style dependency-
+        # profiling leg; four bounded count folds. Tail-seated by
+        # design: the dependency layer above profile_columns.
+        "fd_violation_audit": analytics.fd_violation_audit,
+        # (round 4, wave 107) exact Q-Q drift deciles — the decile
+        # VALUES of first- vs second-half order totals via
+        # distributed selection (bounded count grid locates each
+        # order statistic; only boundary buckets co-partition and
+        # local-sort). Tail-seated by design: the named-values
+        # companion of ks/wasserstein drift.
+        "qq_drift_deciles": analytics.qq_drift_deciles,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -8782,6 +8795,82 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_lines,
                CAST(sum(lag) AS BIGINT) AS lag_days_sum
         FROM b GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    # fd_violation_audit: g3 error per candidate FD.
+    sql["fd_violation_audit"] = """
+        SELECT 'lang_to_source' AS fd_name,
+               CAST((SELECT count(DISTINCT lang) FROM documents)
+                    AS BIGINT) AS n_groups,
+               CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_rows,
+               CAST((SELECT count(*) FROM documents)
+                    - (SELECT sum(mx) FROM (SELECT max(c) AS mx FROM
+                        (SELECT lang, source, count(*) AS c
+                         FROM documents GROUP BY 1, 2) GROUP BY lang))
+                    AS BIGINT) AS n_violations
+        UNION ALL
+        SELECT 'nation_to_segment',
+               CAST((SELECT count(DISTINCT c_nationkey) FROM customer)
+                    AS BIGINT),
+               CAST((SELECT count(*) FROM customer) AS BIGINT),
+               CAST((SELECT count(*) FROM customer)
+                    - (SELECT sum(mx) FROM (SELECT max(c) AS mx FROM
+                        (SELECT c_nationkey, c_mktsegment, count(*) AS c
+                         FROM customer GROUP BY 1, 2)
+                        GROUP BY c_nationkey)) AS BIGINT)
+        UNION ALL
+        SELECT 'priority_to_status',
+               CAST((SELECT count(DISTINCT o_orderpriority) FROM orders)
+                    AS BIGINT),
+               CAST((SELECT count(*) FROM orders) AS BIGINT),
+               CAST((SELECT count(*) FROM orders)
+                    - (SELECT sum(mx) FROM (SELECT max(c) AS mx FROM
+                        (SELECT o_orderpriority, o_orderstatus,
+                                count(*) AS c
+                         FROM orders GROUP BY 1, 2)
+                        GROUP BY o_orderpriority)) AS BIGINT)
+        UNION ALL
+        SELECT 'user_to_event_type',
+               CAST((SELECT count(DISTINCT user_id) FROM events)
+                    AS BIGINT),
+               CAST((SELECT count(*) FROM events) AS BIGINT),
+               CAST((SELECT count(*) FROM events)
+                    - (SELECT sum(mx) FROM (SELECT max(c) AS mx FROM
+                        (SELECT user_id, event_type, count(*) AS c
+                         FROM events GROUP BY 1, 2) GROUP BY user_id))
+                    AS BIGINT)
+        ORDER BY 1
+    """
+
+    # qq_drift_deciles: type-1 decile order statistics per half of
+    # the order-date range; ceil via (a + 9) // 10 (DuckDB //
+    # truncates toward zero, so the negate-floor idiom is wrong).
+    sql["qq_drift_deciles"] = """
+        WITH o AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                            AS v
+                   FROM orders),
+        lim AS (SELECT min(day) AS dlo, max(day) AS dhi FROM o),
+        p AS (SELECT CAST(day > (dlo + dhi) // 2 AS BIGINT) AS period, v
+              FROM o, lim),
+        rk AS (SELECT period, v,
+                      row_number() OVER (PARTITION BY period
+                                         ORDER BY v) AS rn,
+                      count(*) OVER (PARTITION BY period) AS n
+               FROM p),
+        q AS (SELECT unnest(range(1, 10)) AS decile),
+        sel AS (SELECT q.decile, rk.period, rk.v
+                FROM q JOIN rk
+                  ON rk.rn = (q.decile * rk.n + 9) // 10)
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(max(CASE WHEN period = 0 THEN v END) AS BIGINT)
+                 AS v_h1_cents,
+               CAST(max(CASE WHEN period = 1 THEN v END) AS BIGINT)
+                 AS v_h2_cents,
+               CAST(max(CASE WHEN period = 1 THEN v END)
+                    - max(CASE WHEN period = 0 THEN v END) AS BIGINT)
+                 AS diff_cents
+        FROM sel GROUP BY 1 ORDER BY 1
     """
 
     return sql

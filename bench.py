@@ -207,6 +207,7 @@ def run_queries() -> dict[str, float]:
         "friedman_test", "rich_club",
         "absorption_reach_milli", "bfs_layers",
         "vocab_trie_audit", "ship_lag_profile",
+        "fd_violation_audit", "qq_drift_deciles",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -10457,3 +10457,233 @@ def ship_lag_profile(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df[["pcode", "band_lo", "n_lines", "lag_days_sum"]]
+
+
+_FD_SPECS = [
+    # (name, table, lhs col, rhs col)
+    ("nation_to_segment", "customer", "c_nationkey", "c_mktsegment"),
+    ("priority_to_status", "orders", "o_orderpriority", "o_orderstatus"),
+    ("lang_to_source", "documents", "lang", "source"),
+    ("user_to_event_type", "events", "user_id", "event_type"),
+]
+
+
+def fd_violation_audit(sf_dir: str) -> "pd.DataFrame":
+    """Functional-dependency violation audit — the dependency-
+    profiling leg the column-wise profiler (profile_columns) and the
+    constraint checker (data_quality_audit) don't cover: for each
+    candidate FD lhs → rhs, the exact minimum number of rows whose
+    rhs would have to change for the FD to hold
+    (n_violations = n_rows − Σ_lhs max-rhs-count, the g₃ error of FD
+    discovery à la TANE). Zero means the dependency holds exactly
+    (a normalization opportunity); a small count is dirty data; a
+    large one means no dependency. Output per FD:
+    (fd_name, n_groups, n_rows, n_violations).
+
+    Scale shape: per FD one combiner-bounded (lhs, rhs) count fold →
+    per-lhs max and sum partials fold through a groupby(lhs) whose
+    width is the LHS cardinality — counts, never rows, cross either
+    exchange; the four FDs run as four independent bounded folds."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    out = []
+    for name, table, lhs, rhs in _FD_SPECS:
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/{table}.parquet", columns=[lhs, rhs]
+        )
+
+        def pair_partial(batch: pa.Table, lhs=lhs, rhs=rhs) -> pa.Table:
+            g = batch.group_by([lhs, rhs]).aggregate([([], "count_all")])
+            return pa.table(
+                {
+                    "lhs": g.column(lhs).cast(pa.string()),
+                    "rhs": g.column(rhs).cast(pa.string()),
+                    "n": g.column("count_all").cast(pa.int64()),
+                }
+            )
+
+        per_lhs = (
+            ds.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby(["lhs", "rhs"])
+            .aggregate(_Sum("n", alias_name="n"))
+            .groupby("lhs")
+            .aggregate(
+                _Sum("n", alias_name="n_rows"),
+                _Max("n", alias_name="n_max"),
+            )
+        )
+
+        def fold(batch: pa.Table) -> pa.Table:
+            nr = batch.column("n_rows").to_numpy(zero_copy_only=False)
+            nm = batch.column("n_max").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "g": pa.array([len(nr)], pa.int64()),
+                    "r": pa.array([int(nr.sum())], pa.int64()),
+                    "v": pa.array([int((nr - nm).sum())], pa.int64()),
+                }
+            )
+
+        agg = per_lhs.map_batches(fold, batch_format="pyarrow").aggregate(
+            _Sum("g", alias_name="g"),
+            _Sum("r", alias_name="r"),
+            _Sum("v", alias_name="v"),
+        )
+        out.append(
+            {
+                "fd_name": name,
+                "n_groups": int(agg["g"]),
+                "n_rows": int(agg["r"]),
+                "n_violations": int(agg["v"]),
+            }
+        )
+    df = pd.DataFrame(out).sort_values("fd_name", ignore_index=True)
+    for c in ["n_groups", "n_rows", "n_violations"]:
+        df[c] = df[c].astype("int64")
+    return df[["fd_name", "n_groups", "n_rows", "n_violations"]]
+
+
+QQ_BUCKETS = 256  # value grid for the quantile-drift selection
+
+
+def qq_drift_deciles(sf_dir: str) -> "pd.DataFrame":
+    """Exact quantile-quantile drift table — the decile VALUES of
+    order totals in the first vs second half of the order-date range,
+    side by side: wasserstein_drift integrates the gap and ks_drift
+    finds its sup; this names the actual dollar values at each
+    decile, the table a finance reviewer reads ('the p90 order grew
+    $212'). Deciles are type-1 order statistics (the ⌈q·n/10⌉-th
+    smallest cents value, 1-indexed) — exact selection, no
+    interpolation. Output per decile 1-9:
+    (decile, v_h1_cents, v_h2_cents, diff_cents).
+
+    Scale shape (distributed SELECTION, one step past
+    winsorized_stats' trimmed sums): a bounded (period, value-bucket)
+    count grid locates each decile's bucket and within-bucket offset
+    (equal values share a bucket); the second pass co-partitions ONLY
+    the ≤ 18 boundary buckets, local-sorts each, and emits the
+    requested order statistics — ≤ 18 small rows to the driver,
+    never a global sort."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Min as _Min, Sum as _Sum
+
+    DAY_US = 86_400_000_000
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    lohi_d = ds.aggregate(_Min("o_orderdate"), _Max("o_orderdate"))
+    dlo = int(pd.Timestamp(lohi_d["min(o_orderdate)"]).value // 1000) // DAY_US
+    dhi = int(pd.Timestamp(lohi_d["max(o_orderdate)"]).value // 1000) // DAY_US
+    mid = (dlo + dhi) // 2  # first half: day <= mid
+
+    def rows_fn(batch: pa.Table) -> pa.Table:
+        day = (
+            batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        v = _cents(batch.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "period": pa.array((day > mid).astype(np.int64), pa.int64()),
+                "v": pa.array(v, pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(rows_fn, batch_format="pyarrow").materialize()
+    lohi = rows.aggregate(_Min("v"), _Max("v"))
+    vlo, vhi = int(lohi["min(v)"]), int(lohi["max(v)"])
+    wv = (vhi - vlo) // QQ_BUCKETS + 1
+
+    def grid_partial(batch: pa.Table) -> pa.Table:
+        p = batch.column("period").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        cell = p * QQ_BUCKETS + (v - vlo) // wv
+        u, cnt = np.unique(cell, return_counts=True)
+        return pa.table(
+            {
+                "cell": pa.array(u, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    grid = (
+        rows.map_batches(grid_partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(_Sum("n", alias_name="n"))
+        .take_all()  # bounded: <= 2 * QQ_BUCKETS rows
+    )
+    counts = np.zeros((2, QQ_BUCKETS), np.int64)
+    for r in grid:
+        counts[int(r["cell"]) // QQ_BUCKETS, int(r["cell"]) % QQ_BUCKETS] = (
+            int(r["n"])
+        )
+    # plan: per (period, bucket) -> list of (decile, within-offset)
+    plan: dict[int, list] = {}
+    for p in (0, 1):
+        n = int(counts[p].sum())
+        cum = np.cumsum(counts[p])
+        for q in range(1, 10):
+            k = -(-q * n // 10)  # ceil
+            b = int(np.searchsorted(cum, k, side="left"))
+            off = k - int(cum[b - 1] if b > 0 else 0)  # 1-indexed in bucket
+            plan.setdefault(p * QQ_BUCKETS + b, []).append((q, off))
+    plan_ref = ray.put(plan)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        pl = ray.get(plan_ref)
+        p = batch.column("period").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        cell = p * QQ_BUCKETS + (v - vlo) // wv
+        want = np.isin(cell, np.array(sorted(pl), np.int64))
+        return pa.table(
+            {
+                "cell": pa.array(cell[want], pa.int64()),
+                "v": pa.array(v[want], pa.int64()),
+            }
+        )
+
+    def select_part(group: pa.Table) -> pa.Table:
+        pl = ray.get(plan_ref)
+        cell = int(group.column("cell")[0].as_py())
+        v = np.sort(group.column("v").to_numpy(zero_copy_only=False))
+        qs, vals = [], []
+        for q, off in pl[cell]:
+            qs.append(q)
+            vals.append(int(v[off - 1]))
+        return pa.table(
+            {
+                "period": pa.array(
+                    [cell // QQ_BUCKETS] * len(qs), pa.int64()
+                ),
+                "decile": pa.array(qs, pa.int64()),
+                "val": pa.array(vals, pa.int64()),
+            }
+        )
+
+    picked = (
+        rows.map_batches(keyed, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(select_part, batch_format="pyarrow")
+        .take_all()  # bounded: <= 18 rows
+    )
+    vmap = {(int(r["period"]), int(r["decile"])): int(r["val"])
+            for r in picked}
+    out = [
+        {
+            "decile": q,
+            "v_h1_cents": vmap[(0, q)],
+            "v_h2_cents": vmap[(1, q)],
+            "diff_cents": vmap[(1, q)] - vmap[(0, q)],
+        }
+        for q in range(1, 10)
+    ]
+    df = pd.DataFrame(out)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df[["decile", "v_h1_cents", "v_h2_cents", "diff_cents"]]

@@ -406,6 +406,8 @@ SUBSET = [
     "bfs_layers",
     "vocab_trie_audit",
     "ship_lag_profile",
+    "fd_violation_audit",
+    "qq_drift_deciles",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
