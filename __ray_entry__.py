@@ -1812,6 +1812,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # local-sort). Tail-seated by design: the named-values
         # companion of ks/wasserstein drift.
         "qq_drift_deciles": analytics.qq_drift_deciles,
+        # (round 4, wave 108) SimHash bit-balance audit — per bit
+        # position the exact set count and bp fraction (stuck bits
+        # shrink band entropy and inflate collisions); one streaming
+        # 64-cell fold, no row shuffle. Tail-seated by design: the
+        # hash-quality micro-audit of the simhash family.
+        "simhash_bit_bias": dedup.simhash_bit_bias,
+        # (round 4, wave 108) Wald-Wolfowitz runs test — exact
+        # (n_runs, n_above, n_below) of the daily order-count series
+        # around its exact median; one bounded day fold + driver
+        # scan. Tail-seated by design: the randomness check of the
+        # drift family.
+        "runs_test": analytics.runs_test,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -8871,6 +8883,46 @@ def oracle_sql() -> dict[str, str]:
                     - max(CASE WHEN period = 0 THEN v END) AS BIGINT)
                  AS diff_cents
         FROM sel GROUP BY 1 ORDER BY 1
+    """
+
+    # simhash_bit_bias: per-bit set counts over the simhash CTE.
+    sql["simhash_bit_bias"] = f"""
+        WITH {_SIMHASH_CTE},
+        pb AS (SELECT bit,
+                      CAST(sum(CAST((CAST('0x' || simhash AS UBIGINT)
+                                     >> bit) & 1 AS BIGINT)) AS BIGINT)
+                        AS n_set,
+                      CAST(count(*) AS BIGINT) AS n_docs
+               FROM fps, UNNEST(range(0, 64)) AS r(bit) GROUP BY 1)
+        SELECT CAST(bit AS BIGINT) AS bit, n_set, n_docs,
+               CAST(n_set * 10000 // n_docs AS BIGINT) AS set_bp
+        FROM pb ORDER BY 1
+    """
+
+    # runs_test: above/below the exact type-1 median of daily counts;
+    # median-equal days dropped.
+    sql["runs_test"] = """
+        WITH dc AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                           CAST(count(*) AS BIGINT) AS x
+                    FROM orders GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM dc),
+        med AS (SELECT x AS m FROM
+                  (SELECT x, row_number() OVER (ORDER BY x) AS rn
+                   FROM dc), n
+                WHERE rn = (n_days + 1) // 2),
+        lab AS (SELECT day, CASE WHEN x > m THEN 1 ELSE 0 END AS l
+                FROM dc, med WHERE x <> m),
+        runs AS (SELECT CAST(coalesce(sum(CASE WHEN prev IS NULL
+                          OR l <> prev THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_runs
+                 FROM (SELECT l, lag(l) OVER (ORDER BY day) AS prev
+                       FROM lab)),
+        ab AS (SELECT CAST(coalesce(sum(l), 0) AS BIGINT) AS n_above,
+                      CAST(coalesce(sum(1 - l), 0) AS BIGINT) AS n_below
+               FROM lab)
+        SELECT n.n_days, CAST(med.m AS BIGINT) AS median_x,
+               ab.n_above, ab.n_below, runs.n_runs
+        FROM n, med, ab, runs
     """
 
     return sql

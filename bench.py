@@ -208,6 +208,7 @@ def run_queries() -> dict[str, float]:
         "absorption_reach_milli", "bfs_layers",
         "vocab_trie_audit", "ship_lag_profile",
         "fd_violation_audit", "qq_drift_deciles",
+        "simhash_bit_bias", "runs_test",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -10687,3 +10687,71 @@ def qq_drift_deciles(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df[["decile", "v_h1_cents", "v_h2_cents", "diff_cents"]]
+
+
+def runs_test(sf_dir: str) -> "pd.DataFrame":
+    """Exact Wald-Wolfowitz runs test sufficient statistics over the
+    daily order-count series — the randomness check the drift family
+    doesn't make: with each day labeled above/below the series
+    MEDIAN (exact type-1 median of the daily counts; median-equal
+    days dropped, the classic convention), too FEW runs means
+    clustering/trend, too MANY means oscillation; (n_runs, n_above,
+    n_below) make E[R] and Var[R] exact rationals downstream. Output
+    one row.
+
+    Scale shape: one combiner-bounded fold to per-day counts (days,
+    not orders, cross the exchange), then the median pick and the
+    run scan are driver arithmetic over the bounded day span."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    DAY_US = 86_400_000_000
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        d = (
+            batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        u, cnt = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(u, pa.int64()),
+                "x": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(_Sum("x", alias_name="x"))
+        .take_all()  # bounded: <= day span rows
+    )
+    df = pd.DataFrame(rows).sort_values("day", ignore_index=True)
+    x = df["x"].to_numpy()
+    n = len(x)
+    med = int(np.sort(x)[(n + 1) // 2 - 1])  # type-1 median
+    lab = np.where(x > med, 1, np.where(x < med, 0, -1))
+    lab = lab[lab >= 0]
+    n_above = int((lab == 1).sum())
+    n_below = int((lab == 0).sum())
+    n_runs = int(1 + (lab[1:] != lab[:-1]).sum()) if len(lab) else 0
+    out = pd.DataFrame(
+        [
+            {
+                "n_days": n,
+                "median_x": med,
+                "n_above": n_above,
+                "n_below": n_below,
+                "n_runs": n_runs,
+            }
+        ]
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

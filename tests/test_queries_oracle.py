@@ -408,6 +408,8 @@ SUBSET = [
     "ship_lag_profile",
     "fd_violation_audit",
     "qq_drift_deciles",
+    "simhash_bit_bias",
+    "runs_test",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
