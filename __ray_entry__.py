@@ -1824,6 +1824,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scan. Tail-seated by design: the randomness check of the
         # drift family.
         "runs_test": analytics.runs_test,
+        # (round 4, wave 109) customer quintile-migration matrix —
+        # per-half exact spend quintiles ((cents, custkey) tie-break,
+        # rfm rank pass per half, band 0 = absent) folded to the
+        # ≤36-cell H1→H2 matrix: diagonal = loyalty, row 0 =
+        # acquisition, column 0 = churn. Tail-seated by design: the
+        # temporal reading of the rfm rank machinery.
+        "quintile_migration": analytics.quintile_migration,
+        # (round 4, wave 109) token document-frequency drift — the
+        # top-20 tokens by cross-normalized |df1·N2 − df2·N1| between
+        # corpus halves; (token, h) distinct fold → token pivot →
+        # per-batch K-prune → K-bounded sort-limit. Tail-seated by
+        # design: the lexical localization of the drift family.
+        "token_df_drift": textops.token_df_drift,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -8923,6 +8936,60 @@ def oracle_sql() -> dict[str, str]:
         SELECT n.n_days, CAST(med.m AS BIGINT) AS median_x,
                ab.n_above, ab.n_below, runs.n_runs
         FROM n, med, ab, runs
+    """
+
+    # quintile_migration: per-half exact quintiles with the
+    # (cents, custkey) tie-break; absent halves band 0.
+    sql["quintile_migration"] = """
+        WITH o AS (SELECT o_custkey AS ck,
+                          epoch_us(o_orderdate) // 86400000000 AS day,
+                          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                            AS v
+                   FROM orders),
+        lim AS (SELECT min(day) AS dlo, max(day) AS dhi FROM o),
+        h AS (SELECT ck, CAST(day > (dlo + dhi) // 2 AS BIGINT) AS half,
+                     CAST(sum(v) AS BIGINT) AS cents
+              FROM o, lim GROUP BY 1, 2),
+        q1 AS (SELECT ck,
+                      CAST(1 + (row_number() OVER (ORDER BY cents, ck)
+                                - 1) * 5 // count(*) OVER () AS BIGINT)
+                        AS q
+               FROM h WHERE half = 0),
+        q2 AS (SELECT ck,
+                      CAST(1 + (row_number() OVER (ORDER BY cents, ck)
+                                - 1) * 5 // count(*) OVER () AS BIGINT)
+                        AS q
+               FROM h WHERE half = 1),
+        allc AS (SELECT DISTINCT ck FROM h),
+        m AS (SELECT coalesce(q1.q, 0) AS q_h1,
+                     coalesce(q2.q, 0) AS q_h2
+              FROM allc LEFT JOIN q1 USING (ck) LEFT JOIN q2 USING (ck))
+        SELECT q_h1, q_h2, CAST(count(*) AS BIGINT) AS n_customers
+        FROM m GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    # token_df_drift: top-20 by |df1*N2 - df2*N1|, (score desc,
+    # token asc) tie-break; halves split at doc_id < n//2.
+    sql["token_df_drift"] = f"""
+        WITH {_WORDS_CTE},
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        tok AS (SELECT DISTINCT doc_id, unnest(ws) AS token FROM w),
+        lab AS (SELECT token,
+                       CAST(doc_id >= (SELECT n // 2 FROM nd) AS BIGINT)
+                         AS h
+                FROM tok),
+        dfs AS (SELECT token,
+                       CAST(count(*) FILTER (WHERE h = 0) AS BIGINT)
+                         AS df_h1,
+                       CAST(count(*) FILTER (WHERE h = 1) AS BIGINT)
+                         AS df_h2
+                FROM lab GROUP BY 1)
+        SELECT token, df_h1, df_h2,
+               CAST(abs(df_h1 * (nd.n - nd.n // 2)
+                        - df_h2 * (nd.n // 2)) AS BIGINT)
+                 AS drift_score
+        FROM dfs, nd
+        ORDER BY drift_score DESC, token ASC LIMIT 20
     """
 
     return sql

@@ -209,6 +209,7 @@ def run_queries() -> dict[str, float]:
         "vocab_trie_audit", "ship_lag_profile",
         "fd_violation_audit", "qq_drift_deciles",
         "simhash_bit_bias", "runs_test",
+        "quintile_migration", "token_df_drift",
     ]
     out: dict[str, float] = {}
     for name in picks:

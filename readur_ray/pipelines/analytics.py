@@ -10755,3 +10755,200 @@ def runs_test(sf_dir: str) -> "pd.DataFrame":
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+QMIG_BUCKETS = 256  # value grid for the migration rank passes
+
+
+def quintile_migration(sf_dir: str) -> "pd.DataFrame":
+    """Customer spend-quintile migration matrix — how customers move
+    between spend quintiles from the first to the second half of the
+    order-date range: the CRM churn/upsell readout rfm_segments'
+    static snapshot cannot give. Within each half, ACTIVE customers
+    rank by (total cents, custkey) into exact quintiles
+    1 + ⌊rn0·5/n⌋ (the rfm convention); customers absent from a half
+    take band 0, so the matrix diagonal is loyalty, the upper
+    triangle is growth, row 0 is acquisition and column 0 is churn.
+    Output per non-empty cell: (q_h1, q_h2, n_customers).
+
+    Scale shape: one (custkey, half) cents fold; per half one
+    bucket-grid rank pass over that half's active customers (bounded
+    count grid, broadcast exclusive prefix bases, bucket-local
+    (cents, custkey) lexsort); the two rank outputs co-partition on
+    custkey (tagged union, never a join shuffle of wide rows) and
+    collapse to the ≤36-cell matrix."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Min as _Min, Sum as _Sum
+
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    DAY_US = 86_400_000_000
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    lohi_d = ds.aggregate(_Min("o_orderdate"), _Max("o_orderdate"))
+    dlo = int(pd.Timestamp(lohi_d["min(o_orderdate)"]).value // 1000) // DAY_US
+    dhi = int(pd.Timestamp(lohi_d["max(o_orderdate)"]).value // 1000) // DAY_US
+    mid = (dlo + dhi) // 2
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        day = (
+            batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        v = _cents(batch.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        half = (day > mid).astype(np.int64)
+        key = ck * 2 + half
+        u, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, v)
+        return pa.table(
+            {
+                "key": pa.array(u, pa.int64()),
+                "cents": pa.array(s, pa.int64()),
+            }
+        )
+
+    perch = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(_Sum("cents", alias_name="cents"))
+        .materialize()
+    )
+
+    def rank_half(half: int) -> "ray.data.Dataset":
+        rows = perch.map_batches(
+            lambda b, h=half: (
+                lambda k, c: pa.table(
+                    {
+                        "ck": pa.array(k[k % 2 == h] // 2, pa.int64()),
+                        "cents": pa.array(c[k % 2 == h], pa.int64()),
+                    }
+                )
+            )(
+                b.column("key").to_numpy(zero_copy_only=False),
+                b.column("cents").to_numpy(zero_copy_only=False),
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        n_h = rows.count()
+        lohi = rows.aggregate(_Min("cents"), _Max("cents"))
+        vlo, vhi = int(lohi["min(cents)"]), int(lohi["max(cents)"])
+        wv = (vhi - vlo) // QMIG_BUCKETS + 1
+
+        def keyed(batch: pa.Table) -> pa.Table:
+            c = batch.column("cents").to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "vb", pa.array((c - vlo) // wv, pa.int64())
+            )
+
+        def vb_partial(batch: pa.Table) -> pa.Table:
+            u, cnt = np.unique(
+                batch.column("vb").to_numpy(zero_copy_only=False),
+                return_counts=True,
+            )
+            return pa.table(
+                {
+                    "vb": pa.array(u, pa.int64()),
+                    "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                }
+            )
+
+        grid = (
+            rows.map_batches(keyed, batch_format="pyarrow")
+            .map_batches(vb_partial, batch_format="pyarrow")
+            .groupby("vb")
+            .aggregate(_Sum("n", alias_name="n"))
+            .take_all()  # bounded: <= QMIG_BUCKETS rows
+        )
+        counts = np.zeros(QMIG_BUCKETS, np.int64)
+        for r in grid:
+            counts[int(r["vb"])] = int(r["n"])
+        base = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        bref = ray.put(base)
+
+        def rank_part(group: pa.Table, h=half) -> pa.Table:
+            pre = ray.get(bref)
+            vb = int(group.column("vb")[0].as_py())
+            c = group.column("cents").to_numpy(zero_copy_only=False)
+            ck = group.column("ck").to_numpy(zero_copy_only=False)
+            order = np.lexsort((ck, c))
+            rn0 = np.empty(len(c), np.int64)
+            rn0[order] = pre[vb] + np.arange(len(c), dtype=np.int64)
+            q = 1 + rn0 * 5 // n_h
+            return pa.table(
+                {
+                    "ck": pa.array(ck, pa.int64()),
+                    "q": pa.array(q, pa.int64()),
+                    "half": pa.array(np.full(len(c), h, np.int64),
+                                     pa.int64()),
+                }
+            )
+
+        return (
+            rows.map_batches(keyed, batch_format="pyarrow")
+            .groupby("vb")
+            .map_groups(rank_part, batch_format="pyarrow")
+        )
+
+    def cell_fold(part_tbl: pa.Table) -> pa.Table:
+        ck = part_tbl.column("ck").to_numpy(zero_copy_only=False)
+        q = part_tbl.column("q").to_numpy(zero_copy_only=False)
+        h = part_tbl.column("half").to_numpy(zero_copy_only=False)
+        order = np.argsort(ck, kind="stable")
+        cks, qs, hs = ck[order], q[order], h[order]
+        uniq, start = np.unique(cks, return_index=True)
+        q1 = np.zeros(len(uniq), np.int64)
+        q2 = np.zeros(len(uniq), np.int64)
+        for hh, dest in ((0, q1), (1, q2)):
+            sel = hs == hh
+            pos = np.searchsorted(uniq, cks[sel])
+            dest[pos] = qs[sel]
+        cell = q1 * 8 + q2
+        u, cnt = np.unique(cell, return_counts=True)
+        return pa.table(
+            {
+                "cell": pa.array(u, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ck = batch.column("ck").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array(ck % N_COARSE_PARTS, pa.int64())
+        )
+
+    folded = (
+        rank_half(0)
+        .union(rank_half(1))
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: cell_fold(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+        .groupby("cell")
+        .aggregate(_Sum("n", alias_name="n_customers"))
+        .take_all()  # bounded: <= 36 cells
+    )
+    out = [
+        {
+            "q_h1": int(r["cell"]) // 8,
+            "q_h2": int(r["cell"]) % 8,
+            "n_customers": int(r["n_customers"]),
+        }
+        for r in folded
+    ]
+    df = pd.DataFrame(out).sort_values(["q_h1", "q_h2"], ignore_index=True)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df[["q_h1", "q_h2", "n_customers"]]

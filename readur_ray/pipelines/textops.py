@@ -1754,3 +1754,111 @@ def vocab_trie_audit(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df
+
+
+DF_DRIFT_K = 20  # top drifting tokens reported
+
+
+def token_df_drift(sf_dir: str) -> "pd.DataFrame":
+    """Top lexical drift — the tokens whose DOCUMENT FREQUENCY moved
+    most between the first and second half of the corpus (doc_id
+    order): the vocabulary-drift monitor embedding_drift's geometric
+    readout can't localize ('which words changed'). Drift is scored
+    cross-normalized and exactly integer:
+    score = |df_h1·N2 − df_h2·N1| (the common-denominator numerator
+    of |df1/N1 − df2/N2|), top DF_DRIFT_K under the deterministic
+    (score DESC, token ASC) order. Output:
+    (token, df_h1, df_h2, drift_score).
+
+    Scale shape: per-batch distinct (token, half) partials → ONE
+    groupby(token) pivots both halves' dfs (a token's two rows never
+    straddle groups) and scores; per-partition top-K prune then a
+    K-bounded global sort-limit — the top_ngrams driver-read
+    contract (≤ partitions·K rows ever sorted)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.textstats import words_of
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_docs = int(docs.count())
+    cut = n_docs // 2  # first half: doc_id < cut
+    n1, n2 = cut, n_docs - cut
+
+    def tok_half(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_t, out_h = [], []
+        for did, tx in zip(ids, texts):
+            h = 0 if did < cut else 1
+            for w in set(words_of(tx or "")):
+                out_t.append(w)
+                out_h.append(h)
+        return pa.table(
+            {
+                "token": pa.array(out_t, pa.string()),
+                "h": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["token", "h"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "token": g.column("token"),
+                "h": g.column("h"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "token": batch.column("token"),
+                "d1": pa.array(np.where(h == 0, n, 0), pa.int64()),
+                "d2": pa.array(np.where(h == 1, n, 0), pa.int64()),
+            }
+        )
+
+    def score_prune(batch: pa.Table) -> pa.Table:
+        d1 = batch.column("d1").to_numpy(zero_copy_only=False)
+        d2 = batch.column("d2").to_numpy(zero_copy_only=False)
+        tok = batch.column("token").to_pandas().to_numpy(dtype=object)
+        sc = np.abs(d1 * n2 - d2 * n1)
+        # per-batch prune: the K best under (score desc, token asc),
+        # so the global sort-limit touches K rows per block
+        order = np.lexsort((tok, -sc))[:DF_DRIFT_K]
+        keep = np.sort(order)
+        return pa.table(
+            {
+                "token": pa.array(tok[keep], pa.string()),
+                "df_h1": pa.array(d1[keep], pa.int64()),
+                "df_h2": pa.array(d2[keep], pa.int64()),
+                "drift_score": pa.array(sc[keep], pa.int64()),
+            }
+        )
+
+    top = (
+        docs.map_batches(tok_half, batch_format="pyarrow")
+        .map_batches(df_partial, batch_format="pyarrow")
+        .groupby(["token", "h"])
+        .aggregate(_Sum("n", alias_name="n"))
+        .map_batches(widen, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(
+            _Sum("d1", alias_name="d1"), _Sum("d2", alias_name="d2")
+        )
+        .map_batches(score_prune, batch_format="pyarrow")
+        .sort(["drift_score", "token"], descending=[True, False])
+        .limit(DF_DRIFT_K)
+        .take_all()
+    )
+    df = pd.DataFrame(top)
+    for c in ["df_h1", "df_h2", "drift_score"]:
+        df[c] = df[c].astype("int64")
+    return df[["token", "df_h1", "df_h2", "drift_score"]]

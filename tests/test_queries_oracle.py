@@ -410,6 +410,8 @@ SUBSET = [
     "qq_drift_deciles",
     "simhash_bit_bias",
     "runs_test",
+    "quintile_migration",
+    "token_df_drift",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
