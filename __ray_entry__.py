@@ -1837,6 +1837,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-batch K-prune → K-bounded sort-limit. Tail-seated by
         # design: the lexical localization of the drift family.
         "token_df_drift": textops.token_df_drift,
+        # (round 4, wave 110) linkage transitivity audit — the exact
+        # (nodes, edges, wedges, triangles, open triads) census of
+        # the ACCEPTED linkage graph (score ≥ 12): every open triad
+        # is an implied match the scorer rejected, the evidence
+        # transitive closure silently adds. Shared degree-ordered
+        # census machinery. Tail-seated by design: the ER-QA reading
+        # of the triangle machinery.
+        "linkage_transitivity_audit": dedup.linkage_transitivity_audit,
+        # (round 4, wave 110) local clustering-coefficient histogram
+        # — nodes of degree ≥ 2 banded by ⌊10·2t/(d(d−1))⌋ over the
+        # LSH candidate graph (triangle_count's capped t, mirrored
+        # on both sides); one tagged-union node co-partition to an
+        # ≤11-cell grid. Tail-seated by design: the distribution
+        # behind triangle_census's global number.
+        "clustering_coeff_hist": graph.clustering_coeff_hist,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -8990,6 +9005,60 @@ def oracle_sql() -> dict[str, str]:
                  AS drift_score
         FROM dfs, nd
         ORDER BY drift_score DESC, token ASC LIMIT 20
+    """
+
+    # linkage_transitivity_audit: triangle census over accepted
+    # linkage pairs (score >= 12).
+    sql["linkage_transitivity_audit"] = f"""
+        WITH acc AS MATERIALIZED (
+          SELECT DISTINCT least(doc_a, doc_b) AS doc_a,
+                 greatest(doc_a, doc_b) AS doc_b
+          FROM ({sql["linkage_scores"]})
+          WHERE score >= 12
+        ),
+        deg AS (
+          SELECT v, CAST(count(*) AS BIGINT) AS dg FROM (
+            SELECT doc_a AS v FROM acc UNION ALL SELECT doc_b FROM acc)
+          GROUP BY 1
+        ),
+        tri AS (
+          SELECT CAST(count(*) AS BIGINT) AS t
+          FROM acc e1
+          JOIN acc e2 ON e2.doc_a = e1.doc_b
+          JOIN acc e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+        ),
+        wd AS (SELECT CAST(coalesce(sum((dg * (dg - 1)) // 2), 0)
+                           AS BIGINT) AS w FROM deg)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+               (SELECT CAST(count(*) AS BIGINT) FROM acc) AS m_edges,
+               wd.w AS wedges,
+               tri.t AS triangles,
+               CAST(wd.w - 3 * tri.t AS BIGINT) AS open_triads
+        FROM wd, tri
+    """
+
+    # clustering_coeff_hist: per-node band over degrees and the
+    # capped triangle counts.
+    sql["clustering_coeff_hist"] = f"""
+        WITH pr AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM ({sql["dedup_minhash_lsh"]})
+        ),
+        deg AS (
+          SELECT v, CAST(count(*) AS BIGINT) AS dg FROM (
+            SELECT doc_a AS v FROM pr UNION ALL SELECT doc_b FROM pr)
+          GROUP BY 1
+        ),
+        tc AS (SELECT doc_id, n_triangles
+               FROM ({sql["triangle_count"]})),
+        j AS (SELECT deg.dg, CAST(coalesce(tc.n_triangles, 0) AS BIGINT)
+                AS t
+              FROM deg LEFT JOIN tc ON tc.doc_id = deg.v
+              WHERE deg.dg >= 2),
+        b AS (SELECT least(10 * t // ((dg * (dg - 1)) // 2), 10) AS band
+              FROM j)
+        SELECT CAST(band AS BIGINT) AS band,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM b GROUP BY 1 ORDER BY 1
     """
 
     return sql

@@ -210,6 +210,7 @@ def run_queries() -> dict[str, float]:
         "fd_violation_audit", "qq_drift_deciles",
         "simhash_bit_bias", "runs_test",
         "quintile_migration", "token_df_drift",
+        "linkage_transitivity_audit", "clustering_coeff_hist",
     ]
     out: dict[str, float] = {}
     for name in picks:

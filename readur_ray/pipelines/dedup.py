@@ -2782,3 +2782,54 @@ def simhash_bit_bias(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df[["bit", "n_set", "n_docs", "set_bp"]]
+
+
+LNK_ACCEPT = 12  # accept threshold: lang AND source agree at minimum
+
+
+def linkage_transitivity_audit(sf_dir: str) -> "pd.DataFrame":
+    """Transitive-consistency audit of the record-linkage decision —
+    over the ACCEPTED linkage graph (linkage_scores pairs with
+    score ≥ 12, i.e. lang and source both agree), the exact
+    (n_nodes, m_edges, wedges, triangles, open_triads) census with
+    open_triads = wedges − 3·triangles: every open triad is a pair
+    of accepted matches A~B, B~C whose implied A~C the scorer did
+    NOT accept — exactly the evidence survivorship_merge's
+    transitive closure will silently add, so a high open-triad share
+    means the threshold and the closure disagree and the clerical
+    queue should see the wedge centers first. The ER-QA table
+    Fellegi-Sunter scoring alone never shows.
+
+    Scale shape: the accepted edge list filters in one streaming map
+    off the memoized linkage scores, then the shared degree-ordered
+    triangle census (`_triangle_census_over`) runs its four
+    int64-only exchanges; open_triads is driver arithmetic on the
+    one-row output."""
+    import pandas as pd
+
+    from .similarity import _triangle_census_over
+
+    scores = linkage_scores(sf_dir)
+
+    def accepted(batch: pa.Table) -> pa.Table:
+        sc = batch.column("score").to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(sc >= LNK_ACCEPT))
+        a = t.column("doc_a").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        key = np.unique(lo * (1 << 32) + hi)  # canonical + distinct
+        return pa.table(
+            {
+                "doc_a": pa.array(key >> 32, pa.int64()),
+                "doc_b": pa.array(key & ((1 << 32) - 1), pa.int64()),
+            }
+        )
+
+    edges = scores.map_batches(accepted, batch_format="pyarrow").materialize()
+    base = _triangle_census_over(edges, "doc_a", "doc_b")
+    base["open_triads"] = (
+        base["wedges"] - 3 * base["triangles"]
+    ).astype("int64")
+    return base[
+        ["n_nodes", "m_edges", "wedges", "triangles", "open_triads"]
+    ]

@@ -559,3 +559,101 @@ def rich_club(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df[["k", "n_rich", "e_rich"]]
+
+
+def clustering_coeff_hist(sf_dir: str) -> "pd.DataFrame":
+    """Per-node local clustering-coefficient histogram over the
+    MinHash-LSH candidate graph — the DISTRIBUTION behind
+    triangle_census's single global number: nodes of degree ≥ 2 band
+    by ⌊10·2t/(d(d−1))⌋ where t is the node's capped triangle
+    participation (triangle_count's TRI_DEGREE_CAP semantics,
+    mirrored by its oracle: triangles whose minimum vertex is a hot
+    hub are dropped on BOTH sides, so the histogram is exact for the
+    capped statistic). Band 10 is a locally-complete neighborhood
+    (clique member — the template-family core); a heavy band 0 with
+    high degree is hub noise. Output per band: (band, n_nodes).
+
+    Scale shape: degrees fold from one endpoint co-partition;
+    per-node capped triangle counts come from the memoized
+    triangle_count plan; the two slim int64 row sets co-partition on
+    the node key (tagged union) and collapse to an ≤11-cell band
+    grid."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from .dedup import pairs_materialized
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    edges = pairs_materialized(sf_dir)
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = batch.column("doc_b").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        node = np.concatenate([a, b])
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "t": pa.array(np.zeros(len(node), np.int64), pa.int64()),
+                "side": pa.array(np.zeros(len(node), np.int64), pa.int64()),
+                "part": pa.array(node % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    tri = triangle_count(sf_dir)
+
+    def tri_side(batch: pa.Table) -> pa.Table:
+        n = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "node": pa.array(n, pa.int64()),
+                "t": batch.column("n_triangles").cast(pa.int64()),
+                "side": pa.array(np.ones(len(n), np.int64), pa.int64()),
+                "part": pa.array(n % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def band_part(part_tbl: pa.Table) -> pa.Table:
+        node = part_tbl.column("node").to_numpy(zero_copy_only=False)
+        t = part_tbl.column("t").to_numpy(zero_copy_only=False)
+        side = part_tbl.column("side").to_numpy(zero_copy_only=False)
+        en = node[side == 0]
+        uniq, cnt = np.unique(en, return_counts=True)
+        deg = cnt.astype(np.int64)
+        tn, tv = node[side == 1], t[side == 1]
+        tmap = np.zeros(len(uniq), np.int64)
+        pos = np.searchsorted(uniq, tn)
+        ok = (pos < len(uniq)) & (uniq[np.minimum(pos, len(uniq) - 1)] == tn)
+        np.add.at(tmap, pos[ok], tv[ok])
+        sel = deg >= 2
+        poss = deg[sel] * (deg[sel] - 1) // 2
+        band = np.minimum(10 * tmap[sel] // poss, 10)
+        u, c = np.unique(band, return_counts=True)
+        return pa.table(
+            {
+                "band": pa.array(u, pa.int64()),
+                "n_nodes": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .union(tri.map_batches(tri_side, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(
+            lambda g: band_part(g), batch_format="pyarrow"
+        )
+        .groupby("band")
+        .aggregate(_Sum("n_nodes", alias_name="n_nodes"))
+        .take_all()  # bounded: <= 11 rows
+    )
+    df = pd.DataFrame(rows).sort_values("band", ignore_index=True)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df[["band", "n_nodes"]]

@@ -3184,16 +3184,30 @@ def degree_assortativity(sf_dir: str) -> "pd.DataFrame":
 
     from ..stages.shuffle import N_COARSE_PARTS
 
-    edges = mutual_knn(sf_dir)  # memoized, already materialized
+    return _triangle_census_over(mutual_knn(sf_dir), "vec_a", "vec_b")
+
+
+def _triangle_census_over(
+    edges: "ray.data.Dataset", ca: str, cb: str
+) -> "pd.DataFrame":
+    """The degree-ordered-orientation census of `triangle_census`,
+    parameterized over any canonical (a < b) edge list — shared with
+    linkage_transitivity_audit."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.shuffle import N_COARSE_PARTS
+
     m_edges = edges.count()
     parts = N_COARSE_PARTS if 2 * m_edges >= 1_000_000 else 8
     PACK = 1 << 32
 
     def endpoints(batch: pa.Table) -> pa.Table:
-        a = batch.column("vec_a").cast(pa.int64()).to_numpy(
+        a = batch.column(ca).cast(pa.int64()).to_numpy(
             zero_copy_only=False
         )
-        b = batch.column("vec_b").cast(pa.int64()).to_numpy(
+        b = batch.column(cb).cast(pa.int64()).to_numpy(
             zero_copy_only=False
         )
         eid = a * PACK + b
@@ -3305,16 +3319,30 @@ def triangle_census(sf_dir: str) -> "pd.DataFrame":
 
     from ..stages.shuffle import N_COARSE_PARTS
 
-    edges = mutual_knn(sf_dir)  # memoized, already materialized
+    return _triangle_census_over(mutual_knn(sf_dir), "vec_a", "vec_b")
+
+
+def _triangle_census_over(
+    edges: "ray.data.Dataset", ca: str, cb: str
+) -> "pd.DataFrame":
+    """The degree-ordered-orientation census of `triangle_census`,
+    parameterized over any canonical (a < b) edge list — shared with
+    linkage_transitivity_audit."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.shuffle import N_COARSE_PARTS
+
     m_edges = edges.count()
     parts = N_COARSE_PARTS if 2 * m_edges >= 1_000_000 else 8
     PACK = 1 << 32
 
     def endpoints(batch: pa.Table) -> pa.Table:
-        a = batch.column("vec_a").cast(pa.int64()).to_numpy(
+        a = batch.column(ca).cast(pa.int64()).to_numpy(
             zero_copy_only=False
         )
-        b = batch.column("vec_b").cast(pa.int64()).to_numpy(
+        b = batch.column(cb).cast(pa.int64()).to_numpy(
             zero_copy_only=False
         )
         eid = a * PACK + b
@@ -3402,10 +3430,10 @@ def triangle_census(sf_dir: str) -> "pd.DataFrame":
         )
 
     def edge_keys(batch: pa.Table) -> pa.Table:
-        a = batch.column("vec_a").cast(pa.int64()).to_numpy(
+        a = batch.column(ca).cast(pa.int64()).to_numpy(
             zero_copy_only=False
         )
-        b = batch.column("vec_b").cast(pa.int64()).to_numpy(
+        b = batch.column(cb).cast(pa.int64()).to_numpy(
             zero_copy_only=False
         )
         key = a * PACK + b

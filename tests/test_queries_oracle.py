@@ -412,6 +412,8 @@ SUBSET = [
     "runs_test",
     "quintile_migration",
     "token_df_drift",
+    "linkage_transitivity_audit",
+    "clustering_coeff_hist",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
