@@ -1852,6 +1852,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ≤11-cell grid. Tail-seated by design: the distribution
         # behind triangle_census's global number.
         "clustering_coeff_hist": graph.clustering_coeff_hist,
+        # (round 4, wave 111) rarity-weighted Jaccard pairs — shared
+        # RARE content (w = N // df per shingle, ≥ 1/4 weighted
+        # overlap): the plagiarism detector boilerplate-blind plain
+        # Jaccard is not; three coarse exchanges, weights travel ON
+        # rows, never broadcast. Tail-seated by design: the weighted
+        # reading of the shingle pair plan.
+        "dedup_weighted_jaccard": dedup.weighted_jaccard_pairs,
+        # (round 4, wave 111) vocabulary attribution — per source the
+        # tokens whose FIRST occurrence lands there (heaps identity),
+        # per-kdoc normalized; one token Min fold + one doc-key
+        # tagged co-partition. Tail-seated by design: the
+        # source-level reading of heaps_curve.
+        "vocab_attribution": textops.vocab_attribution,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -9059,6 +9072,54 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(band AS BIGINT) AS band,
                CAST(count(*) AS BIGINT) AS n_nodes
         FROM b GROUP BY 1 ORDER BY 1
+    """
+
+    # dedup_weighted_jaccard: w = N // df per kept shingle, hot
+    # guard at 32 docs, threshold 1/4 on the weighted overlap.
+    sql["dedup_weighted_jaccard"] = f"""
+        WITH {_WORDS_CTE}, {_SHINGLES_CTE},
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        shf AS (
+          SELECT doc_id, s,
+                 CAST((SELECT n FROM nd) // cnt AS BIGINT) AS w
+          FROM (SELECT doc_id, s,
+                       count(*) OVER (PARTITION BY s) AS cnt FROM sh)
+          WHERE cnt <= 32
+        ),
+        wd AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS W
+               FROM shf GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(sum(a.w) AS BIGINT) AS inter_w
+          FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, inter_w, wa.W AS w_a, wb.W AS w_b,
+               CAST(inter_w * 10000 // (wa.W + wb.W - inter_w)
+                    AS BIGINT) AS wj_bp
+        FROM inter
+        JOIN wd wa ON wa.doc_id = doc_a
+        JOIN wd wb ON wb.doc_id = doc_b
+        WHERE inter_w * 4 >= (wa.W + wb.W - inter_w)
+    """
+
+    # vocab_attribution: first-occurrence tokens per source.
+    sql["vocab_attribution"] = f"""
+        WITH {_WORDS_CTE},
+        tok AS (SELECT doc_id, unnest(ws) AS token FROM w),
+        firsts AS (SELECT token, min(doc_id) AS fd FROM tok GROUP BY 1),
+        j AS (SELECT d.source FROM firsts f
+              JOIN documents d ON d.doc_id = f.fd),
+        sc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_first_tokens
+               FROM j GROUP BY 1),
+        dc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY 1)
+        SELECT dc.source, dc.n_docs,
+               CAST(coalesce(sc.n_first_tokens, 0) AS BIGINT)
+                 AS n_first_tokens,
+               CAST(coalesce(sc.n_first_tokens, 0) * 1000 // dc.n_docs
+                    AS BIGINT) AS tokens_per_kdoc
+        FROM dc LEFT JOIN sc USING (source) ORDER BY 1
     """
 
     return sql

@@ -211,6 +211,7 @@ def run_queries() -> dict[str, float]:
         "simhash_bit_bias", "runs_test",
         "quintile_migration", "token_df_drift",
         "linkage_transitivity_audit", "clustering_coeff_hist",
+        "dedup_weighted_jaccard", "vocab_attribution",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -2833,3 +2833,135 @@ def linkage_transitivity_audit(sf_dir: str) -> "pd.DataFrame":
     return base[
         ["n_nodes", "m_edges", "wedges", "triangles", "open_triads"]
     ]
+
+
+WJ_NUM = 1  # weighted-Jaccard threshold = NUM/DEN
+WJ_DEN = 4
+
+
+def weighted_jaccard_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """Rarity-weighted Jaccard pairs — near-dups by SHARED RARE
+    content: each 3-shingle carries the integer weight
+    w(s) = N // df(s) (rare shingles weigh ~N, boilerplate weighs
+    ~1), and a pair reports when
+    Σ_shared w / (W_a + W_b − Σ_shared w) ≥ 1/4. Plain Jaccard
+    treats 'click here to subscribe' and a verbatim rare paragraph
+    equally; the weighted form is the plagiarism/citation detector
+    that ignores boilerplate without a stopword list. Output:
+    (doc_a, doc_b, inter_w, w_a, w_b, wj_bp), exact integers.
+
+    Scale shape: THREE coarse exchanges, no driver state — (1) one
+    shingle-hash co-partition computes df in place (a shingle's
+    rows never straddle parts), applies the MAX_SHINGLE_DOCS hot
+    guard, and attaches w; (2) one doc-hash co-partition folds each
+    doc's total weight W and re-emits rows with W riding; (3) the
+    jaccard pair plan verbatim (`_bucket_pairs_fn` carrying w and W,
+    packed pair keys, `_reduce_pairs` coarse reduce) with the
+    weighted finalize. Weights are data-derived but never
+    broadcast — they travel ON the rows."""
+    docs = _read_docs(sf_dir)
+    n_docs = docs.count()
+    sh = docs.map_batches(_shingle_rows, batch_format="pyarrow")
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        sh_col = batch.column("shingle").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array(int_partition(sh_col), pa.int64())
+        )
+
+    def weigh(part_tbl: pa.Table) -> pa.Table:
+        s = part_tbl.column("shingle").to_numpy(zero_copy_only=False)
+        d = part_tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        uniq, inv, cnt = np.unique(s, return_inverse=True, return_counts=True)
+        df = cnt.astype(np.int64)[inv]
+        keep = df <= MAX_SHINGLE_DOCS
+        w = n_docs // df[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(d[keep], pa.int64()),
+                "shingle": pa.array(s[keep], pa.int64()),
+                "w": pa.array(w, pa.int64()),
+            }
+        )
+
+    def doc_part(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array(int_partition(d), pa.int64())
+        )
+
+    def with_totals(part_tbl: pa.Table) -> pa.Table:
+        d = part_tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        s = part_tbl.column("shingle").to_numpy(zero_copy_only=False)
+        w = part_tbl.column("w").to_numpy(zero_copy_only=False)
+        order = np.argsort(d, kind="stable")
+        ds_, ss, ws = d[order], s[order], w[order]
+        uniq, start = np.unique(ds_, return_index=True)
+        tot = np.add.reduceat(ws, start)
+        inv = np.searchsorted(uniq, ds_)
+        return pa.table(
+            {
+                "doc_id": pa.array(ds_, pa.int64()),
+                "shingle": pa.array(ss, pa.int64()),
+                "w": pa.array(ws, pa.int64()),
+                "W": pa.array(tot[inv], pa.int64()),
+            }
+        )
+
+    weighted = (
+        sh.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: weigh(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+        .map_batches(doc_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: with_totals(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+    )
+
+    def shingle_part(batch: pa.Table) -> pa.Table:
+        s = batch.column("shingle").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array(int_partition(s), pa.int64())
+        )
+
+    def finalize_part(part: pa.Table) -> pa.Table:
+        keys = part.column("pair_key").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        wa_row = part.column("w_a").to_numpy(zero_copy_only=False)[order]
+        Wa = part.column("W_a").to_numpy(zero_copy_only=False)[order]
+        Wb = part.column("W_b").to_numpy(zero_copy_only=False)[order]
+        uk, start = np.unique(ks, return_index=True)
+        inter = np.add.reduceat(wa_row, start)
+        a, b = _unpack_key(uk)
+        w_a = Wa[start]
+        w_b = Wb[start]
+        union = w_a + w_b - inter
+        keep = inter * WJ_DEN >= union * WJ_NUM
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+                "inter_w": pa.array(inter[keep], pa.int64()),
+                "w_a": pa.array(w_a[keep], pa.int64()),
+                "w_b": pa.array(w_b[keep], pa.int64()),
+                "wj_bp": pa.array(
+                    inter[keep] * 10000 // union[keep], pa.int64()
+                ),
+            }
+        )
+
+    candidates = (
+        weighted.map_batches(shingle_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            _bucket_pairs_fn(["shingle"], MAX_SHINGLE_DOCS, carry=("w", "W")),
+            batch_format="pyarrow",
+        )
+    )
+    return _reduce_pairs(candidates, finalize_part)

@@ -1862,3 +1862,142 @@ def token_df_drift(sf_dir: str) -> "pd.DataFrame":
     for c in ["df_h1", "df_h2", "drift_score"]:
         df[c] = df[c].astype("int64")
     return df[["token", "df_h1", "df_h2", "drift_score"]]
+
+
+def vocab_attribution(sf_dir: str) -> "pd.DataFrame":
+    """Vocabulary attribution by source — which source CONTRIBUTES
+    the corpus' vocabulary: per source, the number of tokens whose
+    FIRST occurrence (min doc_id, the heaps_curve identity) lands in
+    that source's documents, normalized per thousand docs. A source
+    with high tokens-per-kdoc is where novel language enters
+    (keep it); one near zero is pure repetition of vocabulary other
+    sources already introduced. Output per source:
+    (source, n_docs, n_first_tokens, tokens_per_kdoc).
+
+    Scale shape: one groupby(token) Min(first doc) (the heaps fold),
+    then the slim (first_doc) rows co-partition with the documents'
+    (doc_id, source) projection on the doc key (tagged union, never
+    a broadcast) and collapse to per-source counts; a second bounded
+    fold adds per-source doc totals."""
+    import pandas as pd
+
+    from ray.data.aggregate import Min as _Min, Sum as _Sum
+
+    from ..functions.textstats import words_of
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def token_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_t, out_d = [], []
+        for did, tx in zip(ids, texts):
+            ws = set(words_of(tx or ""))
+            out_t.extend(ws)
+            out_d.extend([did] * len(ws))
+        return pa.table(
+            {
+                "token": pa.array(out_t, pa.string()),
+                "doc": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    firsts = (
+        docs.map_batches(token_rows, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(_Min("doc", alias_name="fd"))
+    )
+
+    def first_side(batch: pa.Table) -> pa.Table:
+        fd = batch.column("fd").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(fd, pa.int64()),
+                "source": pa.array([""] * len(fd), pa.string()),
+                "side": pa.array(np.ones(len(fd), np.int64), pa.int64()),
+                "part": pa.array(fd % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "key": pa.array(d, pa.int64()),
+                "source": batch.column("source"),
+                "side": pa.array(np.zeros(len(d), np.int64), pa.int64()),
+                "part": pa.array(d % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def attribute(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        key = part_tbl.column("key").to_numpy(zero_copy_only=False)
+        side = part_tbl.column("side").to_numpy(zero_copy_only=False)
+        src = part_tbl.column("source").to_pandas().to_numpy(dtype=object)
+        dkey = key[side == 0]
+        dsrc = src[side == 0]
+        order = np.argsort(dkey, kind="stable")
+        dkey_s, dsrc_s = dkey[order], dsrc[order]
+        fkey = key[side == 1]
+        pos = np.searchsorted(dkey_s, fkey)
+        srcs = dsrc_s[pos]  # every first-doc exists in documents
+        g = (
+            pd.Series(srcs).value_counts().rename_axis("source")
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_src = (
+        docs.map_batches(doc_side, batch_format="pyarrow")
+        .union(firsts.map_batches(first_side, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(attribute, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(_Sum("n", alias_name="n_first_tokens"))
+        .take_all()  # bounded: <= n_sources rows
+    )
+    fmap = {r["source"]: int(r["n_first_tokens"]) for r in per_src}
+
+    def src_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["source"]).group_by("source").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    dmap_rows = (
+        docs.map_batches(src_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(_Sum("n", alias_name="n_docs"))
+        .take_all()  # bounded: <= n_sources rows
+    )
+    out = [
+        {
+            "source": r["source"],
+            "n_docs": int(r["n_docs"]),
+            "n_first_tokens": fmap.get(r["source"], 0),
+            "tokens_per_kdoc": fmap.get(r["source"], 0) * 1000
+            // int(r["n_docs"]),
+        }
+        for r in dmap_rows
+    ]
+    df = pd.DataFrame(out).sort_values("source", ignore_index=True)
+    for c in ["n_docs", "n_first_tokens", "tokens_per_kdoc"]:
+        df[c] = df[c].astype("int64")
+    return df[["source", "n_docs", "n_first_tokens", "tokens_per_kdoc"]]

@@ -414,6 +414,8 @@ SUBSET = [
     "token_df_drift",
     "linkage_transitivity_audit",
     "clustering_coeff_hist",
+    "dedup_weighted_jaccard",
+    "vocab_attribution",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
