@@ -1865,6 +1865,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tagged co-partition. Tail-seated by design: the
         # source-level reading of heaps_curve.
         "vocab_attribution": textops.vocab_attribution,
+        # (round 4, wave 112 — the 300th registry entry) Zipf head
+        # audit — top-32 tokens with the exact banded ratio
+        # f_k·k·1000 // f_1 (the log-free power-law check); token
+        # fold + K-bounded sort-limit. Tail-seated by design.
+        "zipf_head_audit": textops.zipf_head_audit,
+        # (round 4, wave 112) exact probability-weighted-moment
+        # numerators (B0, B1, B2 — L-scale is Gini's mean difference,
+        # L-skewness follows) via one rank pass folded through
+        # base-2²⁰ digit-class lanes; sums exceed int64 by design,
+        # emitted as decimal strings (HUGEINT oracle). Tail-seated
+        # by design: the order-statistic moment family.
+        "l_moment_ratios": analytics.l_moment_ratios,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -9120,6 +9132,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(sc.n_first_tokens, 0) * 1000 // dc.n_docs
                     AS BIGINT) AS tokens_per_kdoc
         FROM dc LEFT JOIN sc USING (source) ORDER BY 1
+    """
+
+    # zipf_head_audit: top-32 head with banded Zipf ratios.
+    sql["zipf_head_audit"] = f"""
+        WITH {_WORDS_CTE},
+        tok AS (SELECT unnest(ws) AS token FROM w),
+        tf AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+               FROM tok GROUP BY 1),
+        top AS (SELECT token, freq,
+                       CAST(row_number() OVER (
+                         ORDER BY freq DESC, token ASC) AS BIGINT)
+                         AS rank
+                FROM tf ORDER BY freq DESC, token ASC LIMIT 32),
+        f1 AS (SELECT freq AS f FROM top WHERE rank = 1)
+        SELECT rank, token, freq,
+               CAST(freq * rank * 1000 // f1.f AS BIGINT)
+                 AS zipf_ratio_milli
+        FROM top, f1 ORDER BY rank
+    """
+
+    # l_moment_ratios: HUGEINT B-sums over the exact value ranks;
+    # decimal-string output on both sides.
+    sql["l_moment_ratios"] = """
+        WITH o AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                     AS v
+                   FROM orders),
+        rk AS (SELECT v,
+                      row_number() OVER (ORDER BY v) - 1 AS i0
+               FROM o),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS b0,
+                     CAST(sum(CAST(i0 AS HUGEINT) * v) AS HUGEINT) AS b1,
+                     CAST(sum(CAST(i0 AS HUGEINT) * (i0 - 1) * v)
+                          AS HUGEINT) AS b2
+              FROM rk)
+        SELECT n, CAST(b0 AS VARCHAR) AS b0_sum,
+               CAST(b1 AS VARCHAR) AS b1_sum,
+               CAST(b2 AS VARCHAR) AS b2_sum
+        FROM s
     """
 
     return sql

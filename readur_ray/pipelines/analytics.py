@@ -8768,7 +8768,42 @@ def spearman_corr(sf_dir: str) -> "pd.DataFrame":
 
     pairs = tagged.groupby("custkey").map_groups(
         attach, batch_format="pyarrow"
-    )
+    ).materialize()
+
+    # Width-1 escape (the kendall_tau discipline): below the cap the
+    # two rank exchanges are pure fixed cost — one vectorized task.
+    if pairs.count() < KT_LOCAL_MAX:
+        def _spear_local(tbl: pa.Table) -> pa.Table:
+            x = tbl.column("x").to_numpy(zero_copy_only=False)
+            y = tbl.column("y").to_numpy(zero_copy_only=False)
+
+            def dr(v):
+                _, inv, cnt = np.unique(
+                    v, return_inverse=True, return_counts=True
+                )
+                before = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+                return (2 * before + cnt + 1)[inv]
+
+            dx, dy = dr(x), dr(y)
+            return pa.table(
+                {
+                    "n": pa.array([len(dx)], pa.int64()),
+                    "sx": pa.array([int(dx.sum())], pa.int64()),
+                    "sy": pa.array([int(dy.sum())], pa.int64()),
+                    "sxy": pa.array([int((dx * dy).sum())], pa.int64()),
+                    "sxx": pa.array([int((dx * dx).sum())], pa.int64()),
+                    "syy": pa.array([int((dy * dy).sum())], pa.int64()),
+                }
+            )
+
+        import pandas as pd
+
+        local = pairs.repartition(1).map_batches(
+            _spear_local, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        for c in local.columns:
+            local[c] = local[c].astype("int64")
+        return local[["n", "sx", "sy", "sxy", "sxx", "syy"]]
 
     def rank_axis(dset, col: str, out: str):
         lohi = dset.aggregate(Min(col), Max(col))
@@ -10824,6 +10859,60 @@ def quintile_migration(sf_dir: str) -> "pd.DataFrame":
         .materialize()
     )
 
+    # Width-1 escape: below the cap the two rank passes and the
+    # matrix co-partition are pure fixed cost — one vectorized task.
+    if perch.count() < 2_000_000:
+        def _qmig_local(tbl: pa.Table) -> pa.Table:
+            key = tbl.column("key").to_numpy(zero_copy_only=False)
+            cents = tbl.column("cents").to_numpy(zero_copy_only=False)
+            ck, half = key // 2, key % 2
+            qmap: dict[int, np.ndarray] = {}
+            for h in (0, 1):
+                sel = half == h
+                cs, ks = cents[sel], ck[sel]
+                order = np.lexsort((ks, cs))
+                rn0 = np.empty(len(cs), np.int64)
+                rn0[order] = np.arange(len(cs), dtype=np.int64)
+                qmap[h] = (ks, 1 + rn0 * 5 // max(len(cs), 1))
+            allc = np.unique(ck)
+            q1 = np.zeros(len(allc), np.int64)
+            q2 = np.zeros(len(allc), np.int64)
+            for h, dest in ((0, q1), (1, q2)):
+                ks, qv = qmap[h]
+                dest[np.searchsorted(allc, ks)] = qv
+            cell = q1 * 8 + q2
+            u, cnt = np.unique(cell, return_counts=True)
+            return pa.table(
+                {
+                    "cell": pa.array(u, pa.int64()),
+                    "n_customers": pa.array(
+                        cnt.astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        folded = (
+            perch.repartition(1)
+            .map_batches(
+                _qmig_local, batch_format="pyarrow", batch_size=None
+            )
+            .take_all()
+        )
+        out = [
+            {
+                "q_h1": int(r["cell"]) // 8,
+                "q_h2": int(r["cell"]) % 8,
+                "n_customers": int(r["n_customers"]),
+            }
+            for r in folded
+        ]
+        df = pd.DataFrame(out).sort_values(
+            ["q_h1", "q_h2"], ignore_index=True
+        )
+        for c in df.columns:
+            df[c] = df[c].astype("int64")
+        return df[["q_h1", "q_h2", "n_customers"]]
+
     def rank_half(half: int) -> "ray.data.Dataset":
         rows = perch.map_batches(
             lambda b, h=half: (
@@ -10952,3 +11041,132 @@ def quintile_migration(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df[["q_h1", "q_h2", "n_customers"]]
+
+
+LMOM_BUCKETS = 256  # value grid for the L-moment rank pass
+LANE_SHIFT = 20  # base-2^20 lane split for overflow-free partials
+
+
+def l_moment_ratios(sf_dir: str) -> "pd.DataFrame":
+    """Exact probability-weighted-moment numerators of the order-value
+    distribution — the L-moment family (Hosking), the robust
+    alternative to classical moments that corr_moments' Σx² cannot
+    give: with x_(1) ≤ … ≤ x_(n) the cents order statistics,
+    B0 = Σ x_(i), B1 = Σ (i−1)·x_(i), B2 = Σ (i−1)(i−2)·x_(i), so
+    λ2 = 2B1/(n(n−1)) − B0/n (the L-scale: half the mean absolute
+    pairwise difference — Gini's mean difference), and
+    τ3 = (6B2' …) the L-skewness, all exact rationals downstream.
+    Tie order does not matter: within a tie group x is constant, so
+    the weight SUM over the group is rank-order invariant. Output
+    one row: (n, b0_sum, b1_sum, b2_sum) with the B-sums as decimal
+    strings (B2 ≤ n²·max_cents·n exceeds int64 by design; the
+    oracle needs HUGEINT for the same reason).
+
+    Scale shape: one bucket-grid rank pass (bounded count grid,
+    broadcast exclusive prefix bases — ranks are base + local
+    position after a bucket sort); per-bucket partials fold through
+    the `_cvm_lanes`-style base-2²⁰ split — per element
+    every base-2²⁰ digit product stays < 2⁴⁰, and the per-CLASS
+    global lane sums stay int64 through ~4·10⁶ rows (the next split
+    level, base-2¹⁵, extends to ~10⁹ — documented dial). The driver
+    reassembles exact Python ints from the 9 lane totals."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+
+    def rows_fn(batch: pa.Table) -> pa.Table:
+        return pa.table({"v": _cents(batch.column("o_totalprice"))})
+
+    rows = ds.map_batches(rows_fn, batch_format="pyarrow").materialize()
+    lohi = rows.aggregate(Min("v"), Max("v"))
+    vlo, vhi = int(lohi["min(v)"]), int(lohi["max(v)"])
+    wv = (vhi - vlo) // LMOM_BUCKETS + 1
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "vb", pa.array((v - vlo) // wv, pa.int64())
+        )
+
+    def vb_partial(batch: pa.Table) -> pa.Table:
+        u, cnt = np.unique(
+            batch.column("vb").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "vb": pa.array(u, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    grid = (
+        rows.map_batches(keyed, batch_format="pyarrow")
+        .map_batches(vb_partial, batch_format="pyarrow")
+        .groupby("vb")
+        .aggregate(_Sum("n", alias_name="n"))
+        .take_all()  # bounded: <= LMOM_BUCKETS rows
+    )
+    counts = np.zeros(LMOM_BUCKETS, np.int64)
+    for r in grid:
+        counts[int(r["vb"])] = int(r["n"])
+    base = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    bref = ray.put(base)
+
+    M = (1 << LANE_SHIFT) - 1
+    LANE_COLS = (
+        [f"b0_l{k}" for k in range(2)]
+        + [f"b1_l{k}" for k in range(3)]
+        + [f"b2_l{k}" for k in range(4)]
+    )
+
+    def moment_part(group: pa.Table) -> pa.Table:
+        pre = ray.get(bref)
+        vb = int(group.column("vb")[0].as_py())
+        v = np.sort(group.column("v").to_numpy(zero_copy_only=False))
+        i0 = pre[vb] + np.arange(len(v), dtype=np.int64)  # rank - 1
+        w2 = i0 * (i0 - 1)
+        vd = [v & M, v >> LANE_SHIFT]
+        id_ = [i0 & M, (i0 >> LANE_SHIFT) & M]
+        wd = [w2 & M, (w2 >> LANE_SHIFT) & M, w2 >> (2 * LANE_SHIFT)]
+        out = {c: 0 for c in LANE_COLS}
+        out["b0_l0"] = int(vd[0].sum())
+        out["b0_l1"] = int(vd[1].sum())
+        for a in range(2):
+            for b in range(2):
+                out[f"b1_l{a + b}"] += int((id_[a] * vd[b]).sum())
+        for a in range(3):
+            for b in range(2):
+                out[f"b2_l{a + b}"] += int((wd[a] * vd[b]).sum())
+        return pa.table({k: pa.array([x], pa.int64())
+                         for k, x in out.items()})
+
+    lanes = (
+        rows.map_batches(keyed, batch_format="pyarrow")
+        .groupby("vb")
+        .map_groups(moment_part, batch_format="pyarrow")
+        .aggregate(*[_Sum(c, alias_name=c) for c in LANE_COLS])
+    )
+    S = 1 << LANE_SHIFT
+    b0 = sum(int(lanes[f"b0_l{k}"]) * S**k for k in range(2))
+    b1 = sum(int(lanes[f"b1_l{k}"]) * S**k for k in range(3))
+    b2 = sum(int(lanes[f"b2_l{k}"]) * S**k for k in range(4))
+    n = int(counts.sum())
+    df = pd.DataFrame(
+        [
+            {
+                "n": n,
+                "b0_sum": str(b0),
+                "b1_sum": str(b1),
+                "b2_sum": str(b2),
+            }
+        ]
+    )
+    df["n"] = df["n"].astype("int64")
+    for c in ["b0_sum", "b1_sum", "b2_sum"]:
+        df[c] = df[c].astype(str)
+    return df[["n", "b0_sum", "b1_sum", "b2_sum"]]

@@ -1946,6 +1946,15 @@ LNK_LEN_TOL = 32                            # |n_chars delta| tolerance
 
 
 def linkage_scores(sf_dir: str) -> "ray.data.Dataset":
+    """Memoized record-linkage scores — the registry entry and
+    linkage_transitivity_audit share one materialized build per
+    (corpus, session), the pairs_materialized discipline."""
+    return _funnel_memo(
+        "linkage_scores", sf_dir, lambda: _linkage_scores_build(sf_dir)
+    )
+
+
+def _linkage_scores_build(sf_dir: str) -> "ray.data.Dataset":
     """Record-linkage SCORING on top of sorted-neighborhood blocking —
     the Fellegi-Sunter-shaped agreement step: every snm_pairs
     candidate gets an integer agreement vector over three fields

@@ -3203,6 +3203,67 @@ def _triangle_census_over(
     parts = N_COARSE_PARTS if 2 * m_edges >= 1_000_000 else 8
     PACK = 1 << 32
 
+    # Width-1 escape: below CENSUS_LOCAL_MAX directed rows the four
+    # exchanges are pure fixed cost — the identical census in one
+    # vectorized task.
+    if 2 * m_edges < CENSUS_LOCAL_MAX:
+        def _census_local(tbl: pa.Table) -> pa.Table:
+            a = tbl.column(ca).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            b = tbl.column(cb).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            node = np.concatenate([a, b])
+            uniq, inv, cnt = np.unique(
+                node, return_inverse=True, return_counts=True
+            )
+            c = cnt.astype(np.int64)
+            n_nodes = len(uniq)
+            wedges = int((c * (c - 1) // 2).sum())
+            deg = c[inv]
+            da, db = deg[: len(a)], deg[len(a):]
+            na, nb = a, b
+            # orient from lower (deg, node)
+            a_first = (da < db) | ((da == db) & (na < nb))
+            src = np.where(a_first, na, nb)
+            dst = np.where(a_first, nb, na)
+            order = np.lexsort((dst, src))
+            src_s, dst_s = src[order], dst[order]
+            _, start, scnt = np.unique(
+                src_s, return_index=True, return_counts=True
+            )
+            keys = []
+            for k in np.unique(scnt):
+                if k < 2:
+                    continue
+                starts = start[scnt == k]
+                mat = dst_s[starts[:, None] + np.arange(k)[None, :]]
+                ii, jj = np.triu_indices(int(k), 1)
+                lo = np.minimum(mat[:, ii], mat[:, jj]).ravel()
+                hi = np.maximum(mat[:, ii], mat[:, jj]).ravel()
+                keys.append(lo * PACK + hi)
+            wk = (
+                np.concatenate(keys) if keys else np.empty(0, np.int64)
+            )
+            ek = np.sort(a * PACK + b)
+            tri = int(np.isin(wk, ek).sum()) if len(wk) else 0
+            return pa.table(
+                {
+                    "n_nodes": pa.array([n_nodes], pa.int64()),
+                    "m_edges": pa.array([len(a)], pa.int64()),
+                    "wedges": pa.array([wedges], pa.int64()),
+                    "triangles": pa.array([tri], pa.int64()),
+                }
+            )
+
+        local = edges.repartition(1).map_batches(
+            _census_local, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        for col in local.columns:
+            local[col] = local[col].astype("int64")
+        return local[["n_nodes", "m_edges", "wedges", "triangles"]]
+
     def endpoints(batch: pa.Table) -> pa.Table:
         a = batch.column(ca).cast(pa.int64()).to_numpy(
             zero_copy_only=False
@@ -3337,6 +3398,67 @@ def _triangle_census_over(
     m_edges = edges.count()
     parts = N_COARSE_PARTS if 2 * m_edges >= 1_000_000 else 8
     PACK = 1 << 32
+
+    # Width-1 escape: below CENSUS_LOCAL_MAX directed rows the four
+    # exchanges are pure fixed cost — the identical census in one
+    # vectorized task.
+    if 2 * m_edges < CENSUS_LOCAL_MAX:
+        def _census_local(tbl: pa.Table) -> pa.Table:
+            a = tbl.column(ca).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            b = tbl.column(cb).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            node = np.concatenate([a, b])
+            uniq, inv, cnt = np.unique(
+                node, return_inverse=True, return_counts=True
+            )
+            c = cnt.astype(np.int64)
+            n_nodes = len(uniq)
+            wedges = int((c * (c - 1) // 2).sum())
+            deg = c[inv]
+            da, db = deg[: len(a)], deg[len(a):]
+            na, nb = a, b
+            # orient from lower (deg, node)
+            a_first = (da < db) | ((da == db) & (na < nb))
+            src = np.where(a_first, na, nb)
+            dst = np.where(a_first, nb, na)
+            order = np.lexsort((dst, src))
+            src_s, dst_s = src[order], dst[order]
+            _, start, scnt = np.unique(
+                src_s, return_index=True, return_counts=True
+            )
+            keys = []
+            for k in np.unique(scnt):
+                if k < 2:
+                    continue
+                starts = start[scnt == k]
+                mat = dst_s[starts[:, None] + np.arange(k)[None, :]]
+                ii, jj = np.triu_indices(int(k), 1)
+                lo = np.minimum(mat[:, ii], mat[:, jj]).ravel()
+                hi = np.maximum(mat[:, ii], mat[:, jj]).ravel()
+                keys.append(lo * PACK + hi)
+            wk = (
+                np.concatenate(keys) if keys else np.empty(0, np.int64)
+            )
+            ek = np.sort(a * PACK + b)
+            tri = int(np.isin(wk, ek).sum()) if len(wk) else 0
+            return pa.table(
+                {
+                    "n_nodes": pa.array([n_nodes], pa.int64()),
+                    "m_edges": pa.array([len(a)], pa.int64()),
+                    "wedges": pa.array([wedges], pa.int64()),
+                    "triangles": pa.array([tri], pa.int64()),
+                }
+            )
+
+        local = edges.repartition(1).map_batches(
+            _census_local, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        for col in local.columns:
+            local[col] = local[col].astype("int64")
+        return local[["n_nodes", "m_edges", "wedges", "triangles"]]
 
     def endpoints(batch: pa.Table) -> pa.Table:
         a = batch.column(ca).cast(pa.int64()).to_numpy(
@@ -3491,6 +3613,7 @@ def _triangle_census_over(
 
 WL_ROUNDS = 2  # color-refinement rounds past the degree coloring
 WL_LOCAL_MAX = 2_000_000  # directed rows below which WL runs width-1
+CENSUS_LOCAL_MAX = 1_000_000  # directed rows below which the census runs width-1
 
 
 def _wl_local_rounds(tbl: "pa.Table") -> "pa.Table":

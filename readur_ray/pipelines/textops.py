@@ -2001,3 +2001,68 @@ def vocab_attribution(sf_dir: str) -> "pd.DataFrame":
     for c in ["n_docs", "n_first_tokens", "tokens_per_kdoc"]:
         df[c] = df[c].astype("int64")
     return df[["source", "n_docs", "n_first_tokens", "tokens_per_kdoc"]]
+
+
+ZIPF_HEAD_K = 32  # head ranks audited
+
+
+def zipf_head_audit(sf_dir: str) -> "pd.DataFrame":
+    """Zipf head audit — the top-ZIPF_HEAD_K tokens by frequency with
+    the exact banded Zipf ratio f_k·k·1000 // f_1 per rank: under a
+    perfect Zipf law every ratio is ~1000, a head that decays faster
+    (ratios ≪ 1000) is stopword-dominated, slower (≫ 1000) is
+    template repetition — the log-free power-law check (fitting a
+    slope needs logs; the head RATIOS need only integer products).
+    Ranks order by (count DESC, token ASC), deterministic. Output:
+    (rank, token, freq, zipf_ratio_milli).
+
+    Scale shape: the top_ngrams token fold (per-batch Counter
+    combiner → one token groupby) then a K-bounded sort-limit; the
+    ratio arithmetic touches only the K driver rows."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.textstats import words_of
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        import collections
+
+        c: collections.Counter = collections.Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(words_of(t or ""))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(
+                    np.fromiter(c.values(), np.int64, len(c)), pa.int64()
+                ),
+            }
+        )
+
+    top = (
+        docs.map_batches(tok_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(_Sum("n", alias_name="freq"))
+        .sort(["freq", "token"], descending=[True, False])
+        .limit(ZIPF_HEAD_K)
+        .take_all()
+    )
+    f1 = int(top[0]["freq"])
+    out = [
+        {
+            "rank": i + 1,
+            "token": r["token"],
+            "freq": int(r["freq"]),
+            "zipf_ratio_milli": int(r["freq"]) * (i + 1) * 1000 // f1,
+        }
+        for i, r in enumerate(top)
+    ]
+    df = pd.DataFrame(out)
+    for c in ["rank", "freq", "zipf_ratio_milli"]:
+        df[c] = df[c].astype("int64")
+    return df[["rank", "token", "freq", "zipf_ratio_milli"]]

@@ -66,3 +66,27 @@ def test_bfs_exchange_path_matches_local(ray_session):
     finally:
         sim.BFS_LOCAL_MAX = 2_000_000
     assert local.equals(ex)
+
+
+def test_spearman_exchange_path_matches_local(ray_session):
+    import readur_ray.pipelines.analytics as an
+
+    local = an.spearman_corr(SF)
+    an.KT_LOCAL_MAX = 0
+    try:
+        grid = an.spearman_corr(SF)
+    finally:
+        an.KT_LOCAL_MAX = 2_000_000
+    assert local.equals(grid)
+
+
+def test_census_exchange_path_matches_local(ray_session):
+    import readur_ray.pipelines.similarity as sim
+
+    local = sim.triangle_census(SF)
+    sim.CENSUS_LOCAL_MAX = 0
+    try:
+        grid = sim.triangle_census(SF)
+    finally:
+        sim.CENSUS_LOCAL_MAX = 1_000_000
+    assert local.equals(grid)
