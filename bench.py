@@ -212,6 +212,7 @@ def run_queries() -> dict[str, float]:
         "quintile_migration", "token_df_drift",
         "linkage_transitivity_audit", "clustering_coeff_hist",
         "dedup_weighted_jaccard", "vocab_attribution",
+        "zipf_head_audit", "l_moment_ratios",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -416,6 +416,8 @@ SUBSET = [
     "clustering_coeff_hist",
     "dedup_weighted_jaccard",
     "vocab_attribution",
+    "zipf_head_audit",
+    "l_moment_ratios",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
