@@ -1877,6 +1877,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # emitted as decimal strings (HUGEINT oracle). Tail-seated
         # by design: the order-statistic moment family.
         "l_moment_ratios": analytics.l_moment_ratios,
+        # (round 4, wave 113) composite sort-key planner — exact run
+        # counts of every measured column under each candidate
+        # (key, orderkey) total order (runs are what RLE/zone-maps
+        # pay for); per-bucket local sorts + driver boundary
+        # stitching, width-1 escape below 2M rows. Tail-seated by
+        # design: the comparative layer above rle_encoding_audit.
+        "sort_key_planner": analytics.sort_key_planner,
+        # (round 4, wave 113) cross-correlation lag profile — exact
+        # integer co-moment rows for error→purchase daily series at
+        # lags ±14 (the lead-lag detector); two bounded day folds,
+        # driver alignment over the bounded spans. Tail-seated by
+        # design: corr_moments swept across time offsets.
+        "xcorr_lag_profile": analytics.xcorr_lag_profile,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -9171,6 +9184,138 @@ def oracle_sql() -> dict[str, str]:
                CAST(b1 AS VARCHAR) AS b1_sum,
                CAST(b2 AS VARCHAR) AS b2_sum
         FROM s
+    """
+
+    # sort_key_planner: exact run counts per candidate sort key via
+    # 12 window-lag blocks over the shared projection.
+    sql["sort_key_planner"] = """
+        WITH o AS (SELECT o_orderkey AS okey, o_custkey AS ck,
+                          epoch_us(o_orderdate) // 86400000000 AS day,
+                          CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+                            AS pcode,
+                          CASE o_orderstatus WHEN 'F' THEN 0
+                               WHEN 'O' THEN 1 ELSE 2 END AS status
+                   FROM orders)
+        SELECT 'ck' AS sort_key, 'pcode' AS col,
+               CAST(1 + coalesce(sum(CASE WHEN pcode <> prev
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_runs
+        FROM (SELECT pcode,
+                     lag(pcode) OVER (ORDER BY ck, okey) AS prev
+              FROM o)
+        WHERE prev IS NOT NULL
+        UNION ALL
+        SELECT 'ck' AS sort_key, 'status' AS col,
+               CAST(1 + coalesce(sum(CASE WHEN status <> prev
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_runs
+        FROM (SELECT status,
+                     lag(status) OVER (ORDER BY ck, okey) AS prev
+              FROM o)
+        WHERE prev IS NOT NULL
+        UNION ALL
+        SELECT 'ck' AS sort_key, 'ck' AS col,
+               CAST(1 + coalesce(sum(CASE WHEN ck <> prev
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_runs
+        FROM (SELECT ck,
+                     lag(ck) OVER (ORDER BY ck, okey) AS prev
+              FROM o)
+        WHERE prev IS NOT NULL
+        UNION ALL
+        SELECT 'ck' AS sort_key, 'day' AS col,
+               CAST(1 + coalesce(sum(CASE WHEN day <> prev
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_runs
+        FROM (SELECT day,
+                     lag(day) OVER (ORDER BY ck, okey) AS prev
+              FROM o)
+        WHERE prev IS NOT NULL
+        UNION ALL
+        SELECT 'day' AS sort_key, 'pcode' AS col,
+               CAST(1 + coalesce(sum(CASE WHEN pcode <> prev
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_runs
+        FROM (SELECT pcode,
+                     lag(pcode) OVER (ORDER BY day, okey) AS prev
+              FROM o)
+        WHERE prev IS NOT NULL
+        UNION ALL
+        SELECT 'day' AS sort_key, 'status' AS col,
+               CAST(1 + coalesce(sum(CASE WHEN status <> prev
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_runs
+        FROM (SELECT status,
+                     lag(status) OVER (ORDER BY day, okey) AS prev
+              FROM o)
+        WHERE prev IS NOT NULL
+        UNION ALL
+        SELECT 'day' AS sort_key, 'ck' AS col,
+               CAST(1 + coalesce(sum(CASE WHEN ck <> prev
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_runs
+        FROM (SELECT ck,
+                     lag(ck) OVER (ORDER BY day, okey) AS prev
+              FROM o)
+        WHERE prev IS NOT NULL
+        UNION ALL
+        SELECT 'day' AS sort_key, 'day' AS col,
+               CAST(1 + coalesce(sum(CASE WHEN day <> prev
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_runs
+        FROM (SELECT day,
+                     lag(day) OVER (ORDER BY day, okey) AS prev
+              FROM o)
+        WHERE prev IS NOT NULL
+        UNION ALL
+        SELECT 'pcode' AS sort_key, 'pcode' AS col,
+               CAST(1 + coalesce(sum(CASE WHEN pcode <> prev
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_runs
+        FROM (SELECT pcode,
+                     lag(pcode) OVER (ORDER BY pcode, okey) AS prev
+              FROM o)
+        WHERE prev IS NOT NULL
+        UNION ALL
+        SELECT 'pcode' AS sort_key, 'status' AS col,
+               CAST(1 + coalesce(sum(CASE WHEN status <> prev
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_runs
+        FROM (SELECT status,
+                     lag(status) OVER (ORDER BY pcode, okey) AS prev
+              FROM o)
+        WHERE prev IS NOT NULL
+        UNION ALL
+        SELECT 'pcode' AS sort_key, 'ck' AS col,
+               CAST(1 + coalesce(sum(CASE WHEN ck <> prev
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_runs
+        FROM (SELECT ck,
+                     lag(ck) OVER (ORDER BY pcode, okey) AS prev
+              FROM o)
+        WHERE prev IS NOT NULL
+        UNION ALL
+        SELECT 'pcode' AS sort_key, 'day' AS col,
+               CAST(1 + coalesce(sum(CASE WHEN day <> prev
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_runs
+        FROM (SELECT day,
+                     lag(day) OVER (ORDER BY pcode, okey) AS prev
+              FROM o)
+        WHERE prev IS NOT NULL
+        ORDER BY 1, 2
+    """
+
+    # xcorr_lag_profile: integer co-moment rows per lag over the two
+    # bounded daily series; lags with < 2 overlapping days dropped.
+    sql["xcorr_lag_profile"] = """
+        WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type
+                   FROM events),
+        xd AS (SELECT day, CAST(count(*) AS BIGINT) AS x FROM e
+               WHERE event_type = 'error' GROUP BY 1),
+        yd AS (SELECT day, CAST(count(*) AS BIGINT) AS y FROM e
+               WHERE event_type = 'purchase' GROUP BY 1),
+        lags AS (SELECT unnest(range(-14, 15)) AS lag),
+        j AS (SELECT l.lag, xd.x, yd.y
+              FROM lags l
+              JOIN xd ON TRUE
+              JOIN yd ON yd.day = xd.day + l.lag)
+        SELECT CAST(lag AS BIGINT) AS lag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM j GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1
     """
 
     return sql

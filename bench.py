@@ -213,6 +213,7 @@ def run_queries() -> dict[str, float]:
         "linkage_transitivity_audit", "clustering_coeff_hist",
         "dedup_weighted_jaccard", "vocab_attribution",
         "zipf_head_audit", "l_moment_ratios",
+        "sort_key_planner", "xcorr_lag_profile",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -11170,3 +11170,250 @@ def l_moment_ratios(sf_dir: str) -> "pd.DataFrame":
     for c in ["b0_sum", "b1_sum", "b2_sum"]:
         df[c] = df[c].astype(str)
     return df[["n", "b0_sum", "b1_sum", "b2_sum"]]
+
+
+SKP_BUCKETS = 256  # key grid for the sort-key planner
+SKP_LOCAL_MAX = 2_000_000  # rows below which the planner runs width-1
+
+
+def sort_key_planner(sf_dir: str) -> "pd.DataFrame":
+    """Composite sort-key planner — for each candidate ORDER BY key,
+    the EXACT total run count of every measured column under the
+    (key, o_orderkey) total order: run counts are precisely what
+    RLE/delta encodings and zone-map pruning pay for, so the argmin
+    row per column IS the physical-design decision
+    (rle_encoding_audit prices ONE given layout; this compares the
+    candidates). Candidates: custkey, order day, priority; measured:
+    priority code, status code, custkey, day. Output per
+    (sort_key, column): n_runs.
+
+    Scale shape: per candidate key, one bounded (key-bucket) count
+    grid and one key-bucket co-partition — each bucket local-sorts
+    by (key, orderkey) and counts adjacent changes; the ONE run that
+    may span a bucket boundary is stitched on the driver from the
+    bounded per-bucket (first, last) value tuples (the
+    varint_cost_audit boundary discipline). Width-1 escape below
+    SKP_LOCAL_MAX rows runs all candidates in one task."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    DAY_US = 86_400_000_000
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority", "o_orderstatus"],
+    )
+
+    STATUS = {"F": 0, "O": 1, "P": 2}
+
+    def rows_fn(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ck = batch.column("o_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        day = (
+            batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        pc_ = pc.utf8_slice_codeunits(
+            batch.column("o_orderpriority"), 0, 1
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        st = np.array(
+            [STATUS[x] for x in
+             batch.column("o_orderstatus").to_pylist()],
+            np.int64,
+        )
+        return pa.table(
+            {
+                "okey": pa.array(ok, pa.int64()),
+                "ck": pa.array(ck, pa.int64()),
+                "day": pa.array(day, pa.int64()),
+                "pcode": pa.array(pc_, pa.int64()),
+                "status": pa.array(st, pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(rows_fn, batch_format="pyarrow").materialize()
+    CANDS = ["ck", "day", "pcode"]
+    MEASURED = ["pcode", "status", "ck", "day"]
+
+    def runs_under(mat: dict, order: "np.ndarray") -> dict:
+        out = {}
+        for c in MEASURED:
+            v = mat[c][order]
+            out[c] = 1 + int((v[1:] != v[:-1]).sum()) if len(v) else 0
+        return out
+
+    if rows.count() < SKP_LOCAL_MAX:
+
+        def local(tbl: pa.Table) -> pa.Table:
+            mat = {
+                c: tbl.column(c).to_numpy(zero_copy_only=False)
+                for c in ["okey", *MEASURED]
+            }
+            keys, cols, runs = [], [], []
+            for k in CANDS:
+                order = np.lexsort((mat["okey"], mat[k]))
+                for c, r in runs_under(mat, order).items():
+                    keys.append(k)
+                    cols.append(c)
+                    runs.append(r)
+            return pa.table(
+                {
+                    "sort_key": pa.array(keys, pa.string()),
+                    "col": pa.array(cols, pa.string()),
+                    "n_runs": pa.array(runs, pa.int64()),
+                }
+            )
+
+        out = (
+            rows.repartition(1)
+            .map_batches(local, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+        )
+        out = out.sort_values(["sort_key", "col"], ignore_index=True)
+        out["n_runs"] = out["n_runs"].astype("int64")
+        return out[["sort_key", "col", "n_runs"]]
+
+    # grid path: per candidate key, bucket the key range; local
+    # adjacent changes + driver boundary stitching off per-bucket
+    # (first, last) tuples
+    out_rows = []
+    for k in CANDS:
+        lohi = rows.aggregate(Min(k), Max(k))
+        klo, khi = int(lohi[f"min({k})"]), int(lohi[f"max({k})"])
+        wk = (khi - klo) // SKP_BUCKETS + 1
+
+        def keyed(batch: pa.Table, k=k, klo=klo, wk=wk) -> pa.Table:
+            v = batch.column(k).to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "kb", pa.array((v - klo) // wk, pa.int64())
+            )
+
+        def bucket_runs(group: pa.Table, k=k) -> pa.Table:
+            kb = int(group.column("kb")[0].as_py())
+            mat = {
+                c: group.column(c).to_numpy(zero_copy_only=False)
+                for c in ["okey", *MEASURED, k]
+            }
+            order = np.lexsort((mat["okey"], mat[k]))
+            cols = {"kb": pa.array([kb], pa.int64())}
+            for c in MEASURED:
+                v = mat[c][order]
+                cols[f"chg_{c}"] = pa.array(
+                    [int((v[1:] != v[:-1]).sum())], pa.int64()
+                )
+                cols[f"first_{c}"] = pa.array([int(v[0])], pa.int64())
+                cols[f"last_{c}"] = pa.array([int(v[-1])], pa.int64())
+            return pa.table(cols)
+
+        grid = (
+            rows.map_batches(keyed, batch_format="pyarrow")
+            .groupby("kb")
+            .map_groups(bucket_runs, batch_format="pyarrow")
+            .take_all()  # bounded: <= SKP_BUCKETS rows
+        )
+        grid.sort(key=lambda r: int(r["kb"]))
+        for c in MEASURED:
+            total = sum(int(r[f"chg_{c}"]) for r in grid) + 1
+            for prev, cur in zip(grid, grid[1:]):
+                if int(prev[f"last_{c}"]) != int(cur[f"first_{c}"]):
+                    total += 1
+            out_rows.append(
+                {"sort_key": k, "col": c, "n_runs": total}
+            )
+    df = pd.DataFrame(out_rows).sort_values(
+        ["sort_key", "col"], ignore_index=True
+    )
+    df["n_runs"] = df["n_runs"].astype("int64")
+    return df[["sort_key", "col", "n_runs"]]
+
+
+XCORR_MAX_LAG = 14
+
+
+def xcorr_lag_profile(sf_dir: str) -> "pd.DataFrame":
+    """Exact cross-correlation lag profile between the daily 'error'
+    and 'purchase' count series — the lead-lag detector ('do errors
+    LEAD purchases down?') that same-day correlation misses: for
+    every lag in ±XCORR_MAX_LAG days, the exact integer co-moment
+    row (lag, n, sx, sy, sxy, sxx, syy) over the days where both
+    x_t and y_{t+lag} exist, so r(lag) and its argmax are exact
+    rational arithmetic downstream. Output: one row per lag with
+    n ≥ 2.
+
+    Scale shape: two combiner-bounded day folds (days, not events,
+    cross the exchange); the 29-lag alignment is driver arithmetic
+    over the bounded spans — the runs_test/changepoint driver-read
+    contract."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    DAY_US = 86_400_000_000
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        keep = pc.is_in(
+            et, value_set=pa.array(["error", "purchase"])
+        )
+        t = batch.filter(keep)
+        d = (
+            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // DAY_US
+        )
+        isp = pc.equal(t.column("event_type"), "purchase").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        key = d * 2 + isp
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(u, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        ev.map_batches(partials, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(_Sum("n", alias_name="n"))
+        .take_all()  # bounded: <= 2 * day span rows
+    )
+    xs: dict[int, int] = {}
+    ys: dict[int, int] = {}
+    for r in rows:
+        k, n = int(r["key"]), int(r["n"])
+        (ys if k % 2 else xs)[k // 2] = n
+    out = []
+    for lag in range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1):
+        pairs = [
+            (xs[d], ys[d + lag]) for d in xs if (d + lag) in ys
+        ]
+        if len(pairs) < 2:
+            continue
+        xa = np.array([p[0] for p in pairs], np.int64)
+        ya = np.array([p[1] for p in pairs], np.int64)
+        out.append(
+            {
+                "lag": lag,
+                "n": len(pairs),
+                "sx": int(xa.sum()),
+                "sy": int(ya.sum()),
+                "sxy": int((xa * ya).sum()),
+                "sxx": int((xa * xa).sum()),
+                "syy": int((ya * ya).sum()),
+            }
+        )
+    df = pd.DataFrame(out)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df

@@ -418,6 +418,8 @@ SUBSET = [
     "vocab_attribution",
     "zipf_head_audit",
     "l_moment_ratios",
+    "sort_key_planner",
+    "xcorr_lag_profile",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",

@@ -90,3 +90,15 @@ def test_census_exchange_path_matches_local(ray_session):
     finally:
         sim.CENSUS_LOCAL_MAX = 1_000_000
     assert local.equals(grid)
+
+
+def test_sort_key_planner_grid_matches_local(ray_session):
+    import readur_ray.pipelines.analytics as an
+
+    local = an.sort_key_planner(SF)
+    an.SKP_LOCAL_MAX = 0
+    try:
+        grid = an.sort_key_planner(SF)
+    finally:
+        an.SKP_LOCAL_MAX = 2_000_000
+    assert local.equals(grid)
