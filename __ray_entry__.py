@@ -1890,6 +1890,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver alignment over the bounded spans. Tail-seated by
         # design: corr_moments swept across time offsets.
         "xcorr_lag_profile": analytics.xcorr_lag_profile,
+        # (round 4, wave 114) Tukey fence outliers — exact per-type
+        # quartiles (type-1) and 1.5·IQR fence-violation counts, all
+        # integer via doubling; selection plan per type + one
+        # broadcast-fence streaming pass, width-1 escape. Tail-
+        # seated by design: the per-group boxplot over the selection
+        # machinery.
+        "tukey_fences": analytics.tukey_fences,
+        # (round 4, wave 114) Theil-Sen robust slope — the exact
+        # lower-median pairwise slope of the trailing-64-day order
+        # counts, selected by cross-multiplied comparison with the
+        # deterministic (value, dx, dd) tie-break; driver scan
+        # bounded by the window constant. Tail-seated by design: the
+        # robust leg of trend_slopes.
+        "theil_sen_slope": analytics.theil_sen_slope,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -9316,6 +9330,73 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(x * x) AS BIGINT) AS sxx,
                CAST(sum(y * y) AS BIGINT) AS syy
         FROM j GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1
+    """
+
+    # tukey_fences: type-1 quartiles per type; fences doubled to
+    # stay integer.
+    sql["tukey_fences"] = """
+        WITH e AS (SELECT event_type,
+                          CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+                   FROM events),
+        rk AS (SELECT event_type, v,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY v) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM e),
+        qs AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                      max(CASE WHEN rn = (n + 3) // 4 THEN v END) AS q1,
+                      max(CASE WHEN rn = (3 * n + 3) // 4 THEN v END)
+                        AS q3
+               FROM rk GROUP BY 1),
+        o AS (SELECT e.event_type,
+                     CAST(sum(CASE WHEN 2 * e.v < 2 * q1 - 3 * (q3 - q1)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_low_out,
+                     CAST(sum(CASE WHEN 2 * e.v > 2 * q3 + 3 * (q3 - q1)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_high_out
+              FROM e JOIN qs USING (event_type) GROUP BY 1)
+        SELECT qs.event_type, qs.n,
+               CAST(q1 AS BIGINT) AS q1_milli,
+               CAST(q3 AS BIGINT) AS q3_milli,
+               o.n_low_out, o.n_high_out
+        FROM qs JOIN o USING (event_type) ORDER BY 1
+    """
+
+    # theil_sen_slope: lower-median pairwise slope over the trailing
+    # 64 days; rank-by-count with exact cross-multiplied comparison
+    # and the (value, dx, dd) tie-break; duplicate triples share a
+    # rank range, hence the r <= target < r + cnt selection.
+    sql["theil_sen_slope"] = """
+        WITH dc AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                           CAST(count(*) AS BIGINT) AS x
+                    FROM orders GROUP BY 1),
+        t AS (SELECT day, x,
+                     row_number() OVER (ORDER BY day DESC) AS rd
+              FROM dc),
+        w AS (SELECT day, x FROM t WHERE rd <= 64),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM w),
+        p AS (SELECT b.x - a.x AS dx, b.day - a.day AS dd
+              FROM w a JOIN w b ON b.day > a.day),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS np FROM p),
+        rk AS (SELECT p.dx, p.dd,
+                      (SELECT CAST(count(*) AS BIGINT) FROM p q
+                       WHERE q.dx * p.dd < p.dx * q.dd
+                          OR (q.dx * p.dd = p.dx * q.dd
+                              AND (q.dx < p.dx
+                                   OR (q.dx = p.dx AND q.dd < p.dd))))
+                        AS r,
+                      (SELECT CAST(count(*) AS BIGINT) FROM p q
+                       WHERE q.dx = p.dx AND q.dd = p.dd) AS cnt
+               FROM p),
+        sel AS (SELECT DISTINCT dx, dd FROM rk, st
+                WHERE r <= (np - 1) // 2 AND (np - 1) // 2 < r + cnt)
+        SELECT nn.n_days, st.np AS n_pairs,
+               CAST(sel.dx AS BIGINT) AS slope_num,
+               CAST(sel.dd AS BIGINT) AS slope_den,
+               CAST(CASE WHEN sel.dx >= 0
+                    THEN 1000 * sel.dx // sel.dd
+                    ELSE -((-1000 * sel.dx + sel.dd - 1) // sel.dd)
+                    END AS BIGINT) AS slope_milli
+        FROM sel, nn, st
     """
 
     return sql

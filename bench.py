@@ -214,6 +214,7 @@ def run_queries() -> dict[str, float]:
         "dedup_weighted_jaccard", "vocab_attribution",
         "zipf_head_audit", "l_moment_ratios",
         "sort_key_planner", "xcorr_lag_profile",
+        "tukey_fences", "theil_sen_slope",
     ]
     out: dict[str, float] = {}
     for name in picks:

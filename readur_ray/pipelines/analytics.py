@@ -11417,3 +11417,350 @@ def xcorr_lag_profile(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df
+
+
+TUKEY_BUCKETS = 256  # value grid for the per-type quartile pass
+TUKEY_LOCAL_MAX = 2_000_000  # rows below which fences run width-1
+
+
+def tukey_fences(sf_dir: str) -> "pd.DataFrame":
+    """Exact Tukey-fence outlier profile per event type — the EDA
+    boxplot numbers, exactly: per type the type-1 quartiles of the
+    event value (milli-units), and the counts outside the 1.5·IQR
+    fences, kept integer by doubling (outlier iff 2v < 2Q1 − 3·IQR
+    or 2v > 2Q3 + 3·IQR — no halves ever materialize). mad_outliers
+    flags rows by a global median scale; this is the per-group
+    quartile version every dashboard draws. Output per type:
+    (event_type, n, q1_milli, q3_milli, n_low_out, n_high_out).
+
+    Scale shape: width-1 escape below TUKEY_LOCAL_MAX rows (one
+    task, all types); above it, the qq_drift_deciles selection plan
+    per type — bounded (type, value-bucket) count grid locates both
+    quartiles' buckets and offsets, only boundary buckets
+    co-partition for the exact order statistics, then ONE streaming
+    pass counts fence violations with the ≤|types| fence table
+    broadcast."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def rows_fn(batch: pa.Table) -> pa.Table:
+        v = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 1000 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "v": pa.array(v, pa.int64()),
+            }
+        )
+
+    rows = ev.map_batches(rows_fn, batch_format="pyarrow").materialize()
+
+    def finish(per_type: dict) -> "pd.DataFrame":
+        out = []
+        for et in sorted(per_type):
+            n, q1, q3, lo_n, hi_n = per_type[et]
+            out.append(
+                {
+                    "event_type": et,
+                    "n": n,
+                    "q1_milli": q1,
+                    "q3_milli": q3,
+                    "n_low_out": lo_n,
+                    "n_high_out": hi_n,
+                }
+            )
+        df = pd.DataFrame(out)
+        for c in df.columns[1:]:
+            df[c] = df[c].astype("int64")
+        return df
+
+    if rows.count() < TUKEY_LOCAL_MAX:
+
+        def local(tbl: pa.Table) -> pa.Table:
+            import pandas as pd  # noqa: F811
+
+            et = tbl.column("event_type").to_pandas().to_numpy(dtype=object)
+            v = tbl.column("v").to_numpy(zero_copy_only=False)
+            rows_out = []
+            for t in np.unique(et):
+                vv = np.sort(v[et == t])
+                n = len(vv)
+                q1 = int(vv[(n + 3) // 4 - 1])  # ceil(n/4), 1-indexed
+                q3 = int(vv[(3 * n + 3) // 4 - 1])
+                iqr = q3 - q1
+                lo2, hi2 = 2 * q1 - 3 * iqr, 2 * q3 + 3 * iqr
+                rows_out.append(
+                    (t, n, q1, q3, int((2 * vv < lo2).sum()),
+                     int((2 * vv > hi2).sum()))
+                )
+            return pa.table(
+                {
+                    "event_type": pa.array([r[0] for r in rows_out],
+                                           pa.string()),
+                    "n": pa.array([r[1] for r in rows_out], pa.int64()),
+                    "q1_milli": pa.array([r[2] for r in rows_out],
+                                         pa.int64()),
+                    "q3_milli": pa.array([r[3] for r in rows_out],
+                                         pa.int64()),
+                    "n_low_out": pa.array([r[4] for r in rows_out],
+                                          pa.int64()),
+                    "n_high_out": pa.array([r[5] for r in rows_out],
+                                           pa.int64()),
+                }
+            )
+
+        df = (
+            rows.repartition(1)
+            .map_batches(local, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+            .sort_values("event_type", ignore_index=True)
+        )
+        for c in df.columns[1:]:
+            df[c] = df[c].astype("int64")
+        return df
+
+    # grid path: type codes are discovered from a bounded fold
+    lohi = rows.aggregate(Min("v"), Max("v"))
+    vlo, vhi = int(lohi["min(v)"]), int(lohi["max(v)"])
+    wv = (vhi - vlo) // TUKEY_BUCKETS + 1
+
+    def grid_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        et = batch.column("event_type").to_pandas().to_numpy(dtype=object)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame({"et": et, "vb": (v - vlo) // wv, "n": 1})
+            .groupby(["et", "vb"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "et": pa.array(g["et"], pa.string()),
+                "vb": pa.array(g["vb"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    grid = (
+        rows.map_batches(grid_partial, batch_format="pyarrow")
+        .groupby(["et", "vb"])
+        .aggregate(_Sum("n", alias_name="n"))
+        .take_all()  # bounded: <= |types| * TUKEY_BUCKETS rows
+    )
+    import collections
+
+    counts: dict[str, np.ndarray] = collections.defaultdict(
+        lambda: np.zeros(TUKEY_BUCKETS, np.int64)
+    )
+    for r in grid:
+        counts[r["et"]][int(r["vb"])] = int(r["n"])
+    plan: dict[str, list] = {}
+    for et, c in counts.items():
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        for which, k in (("q1", (n + 3) // 4), ("q3", (3 * n + 3) // 4)):
+            b = int(np.searchsorted(cum, k, side="left"))
+            off = k - int(cum[b - 1] if b > 0 else 0)
+            plan.setdefault(et, []).append((which, b, off))
+    plan_ref = ray.put(plan)
+
+    def pick_part(group: pa.Table) -> pa.Table:
+        pl = ray.get(plan_ref)
+        et = group.column("event_type")[0].as_py()
+        vb = int(
+            (group.column("v").to_numpy(zero_copy_only=False)[0] - vlo) // wv
+        )
+        wants = [(w, off) for (w, b, off) in pl.get(et, []) if b == vb]
+        if not wants:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "which": pa.array([], pa.string()),
+                    "val": pa.array([], pa.int64()),
+                }
+            )
+        v = np.sort(group.column("v").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "event_type": pa.array([et] * len(wants), pa.string()),
+                "which": pa.array([w for w, _ in wants], pa.string()),
+                "val": pa.array([int(v[off - 1]) for _, off in wants],
+                                pa.int64()),
+            }
+        )
+
+    def route(batch: pa.Table) -> pa.Table:
+        pl = ray.get(plan_ref)
+        et = batch.column("event_type").to_pandas().to_numpy(dtype=object)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        vb = (v - vlo) // wv
+        want = np.zeros(len(v), bool)
+        for t, entries in pl.items():
+            bs = {b for _, b, _ in entries}
+            for b in bs:
+                want |= (et == t) & (vb == b)
+        t2 = batch.filter(pa.array(want))
+        vv = t2.column("v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t2.column("event_type"),
+                "v": t2.column("v"),
+                "gk": pa.array((vv - vlo) // wv, pa.int64()),
+            }
+        )
+
+    picked = (
+        rows.map_batches(route, batch_format="pyarrow")
+        .groupby(["event_type", "gk"])
+        .map_groups(
+            lambda g: pick_part(g.drop_columns(["gk"])),
+            batch_format="pyarrow",
+        )
+        .take_all()  # bounded: <= 2 rows per type
+    )
+    q: dict[str, dict] = collections.defaultdict(dict)
+    for r in picked:
+        q[r["event_type"]][r["which"]] = int(r["val"])
+    fences = {
+        et: (
+            2 * q[et]["q1"] - 3 * (q[et]["q3"] - q[et]["q1"]),
+            2 * q[et]["q3"] + 3 * (q[et]["q3"] - q[et]["q1"]),
+        )
+        for et in q
+    }
+    f_ref = ray.put(fences)
+
+    def out_partial(batch: pa.Table) -> pa.Table:
+        fl = ray.get(f_ref)
+        et = batch.column("event_type").to_pandas().to_numpy(dtype=object)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        rows_out = []
+        for t in np.unique(et):
+            lo2, hi2 = fl[t]
+            vv = v[et == t]
+            rows_out.append(
+                (t, int((2 * vv < lo2).sum()), int((2 * vv > hi2).sum()))
+            )
+        return pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows_out],
+                                       pa.string()),
+                "lo": pa.array([r[1] for r in rows_out], pa.int64()),
+                "hi": pa.array([r[2] for r in rows_out], pa.int64()),
+            }
+        )
+
+    outs = (
+        rows.map_batches(out_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            _Sum("lo", alias_name="lo"), _Sum("hi", alias_name="hi")
+        )
+        .take_all()  # bounded: one row per type
+    )
+    omap = {r["event_type"]: (int(r["lo"]), int(r["hi"])) for r in outs}
+    per_type = {
+        et: (
+            int(counts[et].sum()),
+            q[et]["q1"],
+            q[et]["q3"],
+            omap.get(et, (0, 0))[0],
+            omap.get(et, (0, 0))[1],
+        )
+        for et in counts
+    }
+    return finish(per_type)
+
+
+THEIL_WINDOW = 64  # trailing days for the robust slope
+
+
+def theil_sen_slope(sf_dir: str) -> "pd.DataFrame":
+    """Exact Theil-Sen robust slope of the trailing-64-day daily
+    order counts — the median of all pairwise slopes (Δcount/Δdays),
+    outlier-immune where trend_slopes' least squares is not, and
+    EXACT: slopes compare as cross-multiplied integers (denominators
+    positive), the lower median element (0-based rank (P−1)//2 under
+    (value, dx, dd) order) is selected deterministically, and the
+    output is its exact rational (slope_num, slope_den) plus
+    slope_milli = ⌊1000·num/den⌋. Output one row:
+    (n_days, n_pairs, slope_num, slope_den, slope_milli).
+
+    Scale shape: one combiner-bounded day fold; the ≤ C(64,2) = 2016
+    pair scan is driver arithmetic bounded by the WINDOW constant —
+    the oracle mirrors with a rank-by-count self-join over the same
+    bounded pair set."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    DAY_US = 86_400_000_000
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        d = (
+            batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        u, cnt = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(u, pa.int64()),
+                "x": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(_Sum("x", alias_name="x"))
+        .take_all()  # bounded: <= day span rows
+    )
+    rows.sort(key=lambda r: int(r["day"]))
+    tail = rows[-THEIL_WINDOW:]
+    days = np.array([int(r["day"]) for r in tail], np.int64)
+    x = np.array([int(r["x"]) for r in tail], np.int64)
+    n = len(days)
+    ii, jj = np.triu_indices(n, 1)
+    dx = x[jj] - x[ii]
+    dd = days[jj] - days[ii]
+    p = len(dx)
+    # deterministic lower-median under (value, dx, dd): value order
+    # via cross-multiplied comparison — sort by (dx/dd, dx, dd) using
+    # a stable key: numpy lexsort over (dd, dx, dx*LCM? ) — compare
+    # exactly by sorting with Fraction keys (bounded P, driver-side)
+    from fractions import Fraction
+
+    order = sorted(
+        range(p), key=lambda k: (Fraction(int(dx[k]), int(dd[k])),
+                                 int(dx[k]), int(dd[k]))
+    )
+    sel = order[(p - 1) // 2]
+    num, den = int(dx[sel]), int(dd[sel])
+    milli = (1000 * num) // den
+    df = pd.DataFrame(
+        [
+            {
+                "n_days": n,
+                "n_pairs": p,
+                "slope_num": num,
+                "slope_den": den,
+                "slope_milli": milli,
+            }
+        ]
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df

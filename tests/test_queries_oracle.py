@@ -420,6 +420,8 @@ SUBSET = [
     "l_moment_ratios",
     "sort_key_planner",
     "xcorr_lag_profile",
+    "tukey_fences",
+    "theil_sen_slope",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",

@@ -102,3 +102,15 @@ def test_sort_key_planner_grid_matches_local(ray_session):
     finally:
         an.SKP_LOCAL_MAX = 2_000_000
     assert local.equals(grid)
+
+
+def test_tukey_grid_path_matches_local(ray_session):
+    import readur_ray.pipelines.analytics as an
+
+    local = an.tukey_fences(SF)
+    an.TUKEY_LOCAL_MAX = 0
+    try:
+        grid = an.tukey_fences(SF)
+    finally:
+        an.TUKEY_LOCAL_MAX = 2_000_000
+    assert local.equals(grid)
