@@ -1904,6 +1904,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bounded by the window constant. Tail-seated by design: the
         # robust leg of trend_slopes.
         "theil_sen_slope": analytics.theil_sen_slope,
+        # (round 4, wave 115) revenue bridge — per-nation H1/H2
+        # revenue with exact bp shares and the share-delta mix-shift
+        # readout; union join + one bounded (nation, half) fold.
+        # Tail-seated by design: the finance-bridge reading of the
+        # nation grid.
+        "revenue_bridge": analytics.revenue_bridge,
+        # (round 4, wave 115) line-number sequence audit — exact
+        # per-order 1..k completeness (ok / bad-start / gapped /
+        # duped counts); whole-group integrity data_quality_audit's
+        # row rules can't see. One orderkey co-partition, five
+        # counters out. Tail-seated by design.
+        "sequence_gap_audit": analytics.sequence_gap_audit,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -9397,6 +9409,60 @@ def oracle_sql() -> dict[str, str]:
                     ELSE -((-1000 * sel.dx + sel.dd - 1) // sel.dd)
                     END AS BIGINT) AS slope_milli
         FROM sel, nn, st
+    """
+
+    # revenue_bridge: per-nation H1/H2 cents with exact bp shares.
+    sql["revenue_bridge"] = """
+        WITH o AS (SELECT o_custkey,
+                          epoch_us(o_orderdate) // 86400000000 AS day,
+                          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                            AS v
+                   FROM orders),
+        lim AS (SELECT min(day) AS dlo, max(day) AS dhi FROM o),
+        g AS (SELECT c_nationkey AS nation,
+                     CAST(day > (dlo + dhi) // 2 AS BIGINT) AS half,
+                     CAST(sum(v) AS BIGINT) AS cents
+              FROM o CROSS JOIN lim
+              JOIN customer ON c_custkey = o_custkey
+              GROUP BY 1, 2),
+        p AS (SELECT nation,
+                     CAST(coalesce(sum(CASE WHEN half = 0 THEN cents
+                          END), 0) AS BIGINT) AS r1,
+                     CAST(coalesce(sum(CASE WHEN half = 1 THEN cents
+                          END), 0) AS BIGINT) AS r2
+              FROM g GROUP BY 1),
+        t AS (SELECT CAST(sum(r1) AS BIGINT) AS t1,
+                     CAST(sum(r2) AS BIGINT) AS t2 FROM p)
+        SELECT CAST(nation AS BIGINT) AS nation, r1 AS r1_cents,
+               r2 AS r2_cents, CAST(r2 - r1 AS BIGINT) AS delta_cents,
+               CAST(r1 * 10000 // t1 AS BIGINT) AS share1_bp,
+               CAST(r2 * 10000 // t2 AS BIGINT) AS share2_bp,
+               CAST(r2 * 10000 // t2 - r1 * 10000 // t1 AS BIGINT)
+                 AS share_delta_bp
+        FROM p, t ORDER BY 1
+    """
+
+    # sequence_gap_audit: per-order 1..k completeness counters.
+    sql["sequence_gap_audit"] = """
+        WITH g AS (SELECT l_orderkey,
+                          CAST(count(*) AS BIGINT) AS n_lines,
+                          CAST(count(DISTINCT l_linenumber) AS BIGINT)
+                            AS n_dist,
+                          CAST(min(l_linenumber) AS BIGINT) AS mn,
+                          CAST(max(l_linenumber) AS BIGINT) AS mx
+                   FROM lineitem GROUP BY 1)
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN n_dist = n_lines AND mn = 1
+                    AND mx = n_lines THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_ok,
+               CAST(sum(CASE WHEN mn <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bad_start,
+               CAST(sum(CASE WHEN n_dist = n_lines AND mx <> n_dist
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_gapped,
+               CAST(sum(CASE WHEN n_dist <> n_lines THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_duped,
+               CAST(max(mx) AS BIGINT) AS max_linenumber
+        FROM g
     """
 
     return sql

@@ -215,6 +215,7 @@ def run_queries() -> dict[str, float]:
         "zipf_head_audit", "l_moment_ratios",
         "sort_key_planner", "xcorr_lag_profile",
         "tukey_fences", "theil_sen_slope",
+        "revenue_bridge", "sequence_gap_audit",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -11764,3 +11764,224 @@ def theil_sen_slope(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df
+
+
+def revenue_bridge(sf_dir: str) -> "pd.DataFrame":
+    """Exact revenue bridge (mix-shift decomposition) — per customer
+    nation, first-half vs second-half revenue in integer cents with
+    exact basis-point shares: the classic finance 'bridge' that
+    splits growth into market growth vs mix shift, where
+    share_delta_bp ≠ 0 localizes WHERE the mix moved (a nation can
+    grow in cents yet shrink in share). Output per nation:
+    (nation, r1_cents, r2_cents, delta_cents, share1_bp, share2_bp,
+    share_delta_bp) — shares floor against each half's exact total.
+
+    Scale shape: the spearman union join attaches the nation (never
+    a customer broadcast); one bounded (nation, half) cents fold;
+    the share arithmetic is driver work over ≤ nations rows."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Min as _Min, Sum as _Sum
+
+    DAY_US = 86_400_000_000
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    lohi_d = orders.aggregate(_Min("o_orderdate"), _Max("o_orderdate"))
+    dlo = int(pd.Timestamp(lohi_d["min(o_orderdate)"]).value // 1000) // DAY_US
+    dhi = int(pd.Timestamp(lohi_d["max(o_orderdate)"]).value // 1000) // DAY_US
+    mid = (dlo + dhi) // 2
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "custkey": batch.column("c_custkey").cast(pa.int64()),
+                "nation": batch.column("c_nationkey").cast(pa.int64()),
+                "half": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        day = (
+            batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        n = batch.num_rows
+        return pa.table(
+            {
+                "custkey": batch.column("o_custkey").cast(pa.int64()),
+                "nation": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "half": pa.array((day > mid).astype(np.int64), pa.int64()),
+                "cents": _cents(batch.column("o_totalprice")),
+                "side": pa.array(np.ones(n, np.int64), pa.int64()),
+            }
+        )
+
+    def attach(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        if not (side == 0).any() or not (side == 1).any():
+            return pa.table(
+                {
+                    "nation": pa.array([], pa.int64()),
+                    "half": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                }
+            )
+        nation = int(
+            group.column("nation").to_numpy(zero_copy_only=False)[side == 0][0]
+        )
+        half = group.column("half").to_numpy(zero_copy_only=False)[side == 1]
+        cents = group.column("cents").to_numpy(zero_copy_only=False)[side == 1]
+        out = np.zeros(2, np.int64)
+        np.add.at(out, half, cents)
+        return pa.table(
+            {
+                "nation": pa.array([nation, nation], pa.int64()),
+                "half": pa.array([0, 1], pa.int64()),
+                "cents": pa.array(out, pa.int64()),
+            }
+        )
+
+    grid = (
+        cust.map_batches(cust_side, batch_format="pyarrow")
+        .union(orders.map_batches(order_side, batch_format="pyarrow"))
+        .groupby("custkey")
+        .map_groups(attach, batch_format="pyarrow")
+        .groupby(["nation", "half"])
+        .aggregate(_Sum("cents", alias_name="cents"))
+        .take_all()  # bounded: <= 2 * nations rows
+    )
+    r: dict[int, list] = {}
+    for row in grid:
+        r.setdefault(int(row["nation"]), [0, 0])[int(row["half"])] = int(
+            row["cents"]
+        )
+    t1 = sum(v[0] for v in r.values())
+    t2 = sum(v[1] for v in r.values())
+    out = [
+        {
+            "nation": n,
+            "r1_cents": v[0],
+            "r2_cents": v[1],
+            "delta_cents": v[1] - v[0],
+            "share1_bp": v[0] * 10000 // t1 if t1 else 0,
+            "share2_bp": v[1] * 10000 // t2 if t2 else 0,
+        }
+        for n, v in r.items()
+    ]
+    for o in out:
+        o["share_delta_bp"] = o["share2_bp"] - o["share1_bp"]
+    df = pd.DataFrame(out).sort_values("nation", ignore_index=True)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df
+
+
+def sequence_gap_audit(sf_dir: str) -> "pd.DataFrame":
+    """Line-number sequence completeness audit — lineitem's
+    l_linenumber should enumerate 1..k within every order; the audit
+    reports exactly how many orders violate that (gaps, wrong
+    starts, duplicates) — the ingestion-integrity check
+    data_quality_audit's row-level rules can't express because it
+    needs the WHOLE group. An order passes iff min = 1, max = count,
+    and the line numbers are distinct (equivalently: distinct count
+    = count AND min = 1 AND max = count). Output one row:
+    (n_orders, n_ok, n_bad_start, n_gapped, n_duped,
+    max_linenumber).
+
+    Scale shape: per-batch per-order partials (min, max, count,
+    distinct-count via sorted unique) → ONE orderkey-keyed
+    co-partition finalizes each order and folds the five counters —
+    a handful of int64s per partition reach the driver."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ln = batch.column("l_linenumber").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        P = 1 << 20  # linenumbers < 2^20 by contract
+        key = k * P + ln  # dedupe-aware partial
+        u, cnt = np.unique(key, return_counts=True)
+        uk = u // P
+        uln = u % P
+        return pa.table(
+            {
+                "okey": pa.array(uk, pa.int64()),
+                "ln": pa.array(uln, pa.int64()),
+                "m": pa.array(cnt.astype(np.int64), pa.int64()),
+                "part": pa.array(uk % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def per_part(part_tbl: pa.Table) -> pa.Table:
+        k = part_tbl.column("okey").to_numpy(zero_copy_only=False)
+        ln = part_tbl.column("ln").to_numpy(zero_copy_only=False)
+        m = part_tbl.column("m").to_numpy(zero_copy_only=False)
+        P = 1 << 20
+        key = k * P + ln
+        order = np.argsort(key, kind="stable")
+        ms = m[order]
+        u, start = np.unique(key[order], return_index=True)
+        mm = np.add.reduceat(ms, start)  # final multiplicity
+        uk = u // P
+        uln = u % P
+        ouniq, ostart = np.unique(uk, return_index=True)
+        n_lines = np.add.reduceat(mm, ostart)
+        n_dist = np.diff(np.append(ostart, len(uk)))
+        mn = np.minimum.reduceat(uln, ostart)
+        mx = np.maximum.reduceat(uln, ostart)
+        duped = n_dist != n_lines
+        bad_start = mn != 1
+        gapped = mx != n_dist  # with distinct lines, max != distinct
+        ok = ~(duped | bad_start | (mx != n_lines))
+        return pa.table(
+            {
+                "n_orders": pa.array([len(ouniq)], pa.int64()),
+                "n_ok": pa.array([int(ok.sum())], pa.int64()),
+                "n_bad_start": pa.array([int(bad_start.sum())], pa.int64()),
+                "n_gapped": pa.array(
+                    [int((gapped & ~duped).sum())], pa.int64()
+                ),
+                "n_duped": pa.array([int(duped.sum())], pa.int64()),
+                "max_linenumber": pa.array([int(mx.max())], pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pyarrow")
+        .aggregate(
+            _Sum("n_orders", alias_name="n_orders"),
+            _Sum("n_ok", alias_name="n_ok"),
+            _Sum("n_bad_start", alias_name="n_bad_start"),
+            _Sum("n_gapped", alias_name="n_gapped"),
+            _Sum("n_duped", alias_name="n_duped"),
+            _Max("max_linenumber", alias_name="max_linenumber"),
+        )
+    )
+    df = pd.DataFrame([{k: int(v) for k, v in folded.items()}])
+    return df[
+        ["n_orders", "n_ok", "n_bad_start", "n_gapped", "n_duped",
+         "max_linenumber"]
+    ]

@@ -422,6 +422,8 @@ SUBSET = [
     "xcorr_lag_profile",
     "tukey_fences",
     "theil_sen_slope",
+    "revenue_bridge",
+    "sequence_gap_audit",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
