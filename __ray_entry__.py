@@ -1916,6 +1916,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # row rules can't see. One orderkey co-partition, five
         # counters out. Tail-seated by design.
         "sequence_gap_audit": analytics.sequence_gap_audit,
+        # (round 4, wave 116) matryoshka truncation audit — per probe
+        # the exact top-10 overlap between full-64-dim and
+        # first-16-dim quantized L2² rankings ((d2, id) tie-break):
+        # the MRL/prefix-quantizer feasibility test; the ann streamed
+        # top-k pattern twice in one pass. Tail-seated by design.
+        "matryoshka_recall": similarity.matryoshka_recall,
+        # (round 4, wave 116) near-dup cluster persistence — size-≥2
+        # fuzzy components classed by which corpus half their members
+        # occupy (both = persistent template, h2-only = new template
+        # taking hold); memoized components + one component fold.
+        # Tail-seated by design: the temporal reading of the
+        # component machinery.
+        "dup_cluster_persistence": dedup.dup_cluster_persistence,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -9463,6 +9476,70 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS n_duped,
                CAST(max(mx) AS BIGINT) AS max_linenumber
         FROM g
+    """
+
+    # matryoshka_recall: exact top-10 overlap, full vs 16-dim prefix,
+    # on the e6-quantized grid with the (d2, id) tie-break.
+    sql["matryoshka_recall"] = """
+        WITH qv AS (
+          SELECT vec_id, dim,
+                 CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 1000000
+                      + 0.5) AS BIGINT) AS q
+          FROM embeddings, UNNEST(range(0, 64)) t(dim)
+        ),
+        qs AS (SELECT * FROM qv WHERE vec_id < 16),
+        dfull AS (
+          SELECT a.vec_id AS qid, b.vec_id AS nid,
+                 sum((a.q - b.q) * (a.q - b.q)) AS d2
+          FROM qs a JOIN qv b USING (dim)
+          WHERE b.vec_id <> a.vec_id GROUP BY 1, 2
+        ),
+        dpre AS (
+          SELECT a.vec_id AS qid, b.vec_id AS nid,
+                 sum((a.q - b.q) * (a.q - b.q)) AS d2
+          FROM qs a JOIN qv b USING (dim)
+          WHERE b.vec_id <> a.vec_id AND a.dim < 16 GROUP BY 1, 2
+        ),
+        tf AS (SELECT qid, nid FROM (
+                 SELECT qid, nid, row_number() OVER (
+                   PARTITION BY qid ORDER BY d2, nid) AS rn
+                 FROM dfull) WHERE rn <= 10),
+        tp AS (SELECT qid, nid FROM (
+                 SELECT qid, nid, row_number() OVER (
+                   PARTITION BY qid ORDER BY d2, nid) AS rn
+                 FROM dpre) WHERE rn <= 10),
+        ov AS (SELECT tf.qid, CAST(count(*) AS BIGINT) AS n_overlap
+               FROM tf JOIN tp ON tp.qid = tf.qid AND tp.nid = tf.nid
+               GROUP BY 1)
+        SELECT q.qid AS query_id,
+               CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap
+        FROM (SELECT DISTINCT qid FROM tf) q
+        LEFT JOIN ov USING (qid) ORDER BY 1
+    """
+
+    # dup_cluster_persistence: component era classes over the
+    # recursive-CTE component assignment.
+    sql["dup_cluster_persistence"] = f"""
+        WITH comp AS ({sql["dedup_components"].replace(
+            "WITH w AS", "WITH RECURSIVE w AS", 1)}),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        lab AS (SELECT component_id,
+                       CAST(doc_id >= (SELECT n // 2 FROM nd) AS BIGINT)
+                         AS h
+                FROM comp),
+        per AS (SELECT component_id,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       max(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS has1,
+                       max(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS has2
+                FROM lab GROUP BY 1 HAVING count(*) >= 2),
+        cls AS (SELECT CASE WHEN has1 = 1 AND has2 = 1 THEN 'both'
+                            WHEN has1 = 1 THEN 'h1_only'
+                            ELSE 'h2_only' END AS era,
+                       n_docs
+                FROM per)
+        SELECT era, CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(n_docs) AS BIGINT) AS n_docs
+        FROM cls GROUP BY 1 ORDER BY 1
     """
 
     return sql

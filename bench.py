@@ -216,6 +216,7 @@ def run_queries() -> dict[str, float]:
         "sort_key_planner", "xcorr_lag_profile",
         "tukey_fences", "theil_sen_slope",
         "revenue_bridge", "sequence_gap_audit",
+        "matryoshka_recall", "dup_cluster_persistence",
     ]
     out: dict[str, float] = {}
     for name in picks:

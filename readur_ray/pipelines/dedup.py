@@ -2974,3 +2974,96 @@ def weighted_jaccard_pairs(sf_dir: str) -> "ray.data.Dataset":
         )
     )
     return _reduce_pairs(candidates, finalize_part)
+
+
+def dup_cluster_persistence(sf_dir: str) -> "pd.DataFrame":
+    """Temporal persistence of near-dup clusters — every size-≥2
+    fuzzy component classed by which corpus half (doc-id order) its
+    members occupy: 'both' = a PERSISTENT template family (the
+    crawler keeps re-ingesting it — fix upstream), 'h1_only' = a
+    retired template, 'h2_only' = a NEW template taking hold (the
+    early-warning class). Output per era class:
+    (era, n_clusters, n_docs).
+
+    Scale shape: the memoized component assignment (one build per
+    corpus+session) streams through per-batch (component,
+    half-presence) partials; one component-keyed groupby folds
+    presence bits and sizes, then a ≤3-cell class fold — components,
+    never docs, cross the second exchange."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    comp = neardup_components(sf_dir)
+    n_docs = _read_docs(sf_dir).count()
+    cut = n_docs // 2
+
+    def partials(batch: pa.Table) -> pa.Table:
+        c = batch.column("component_id").to_numpy(zero_copy_only=False)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = (d >= cut).astype(np.int64)
+        u, inv = np.unique(c, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        h1 = np.zeros(len(u), np.int64)
+        h2 = np.zeros(len(u), np.int64)
+        np.add.at(h1, inv, 1 - h)
+        np.add.at(h2, inv, h)
+        return pa.table(
+            {
+                "component_id": pa.array(u, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "n1": pa.array(h1, pa.int64()),
+                "n2": pa.array(h2, pa.int64()),
+            }
+        )
+
+    per_comp = (
+        comp.map_batches(partials, batch_format="pyarrow")
+        .groupby("component_id")
+        .aggregate(
+            _Sum("n", alias_name="n"),
+            _Sum("n1", alias_name="n1"),
+            _Sum("n2", alias_name="n2"),
+        )
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        n1 = batch.column("n1").to_numpy(zero_copy_only=False)
+        n2 = batch.column("n2").to_numpy(zero_copy_only=False)
+        keep = n >= 2
+        era = np.where(
+            (n1[keep] > 0) & (n2[keep] > 0), "both",
+            np.where(n1[keep] > 0, "h1_only", "h2_only"),
+        )
+        import pandas as pd  # noqa: F811
+
+        g = (
+            pd.DataFrame({"era": era, "nc": 1, "nd": n[keep]})
+            .groupby("era", sort=False)
+            .agg(nc=("nc", "sum"), nd=("nd", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "era": pa.array(g["era"], pa.string()),
+                "n_clusters": pa.array(
+                    g["nc"].to_numpy(np.int64), pa.int64()
+                ),
+                "n_docs": pa.array(g["nd"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        per_comp.map_batches(classify, batch_format="pyarrow")
+        .groupby("era")
+        .aggregate(
+            _Sum("n_clusters", alias_name="n_clusters"),
+            _Sum("n_docs", alias_name="n_docs"),
+        )
+        .take_all()  # bounded: <= 3 rows
+    )
+    df = pd.DataFrame(rows).sort_values("era", ignore_index=True)
+    for c in ["n_clusters", "n_docs"]:
+        df[c] = df[c].astype("int64")
+    return df[["era", "n_clusters", "n_docs"]]

@@ -4217,3 +4217,111 @@ def bfs_layers(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df[["hop", "n_nodes"]]
+
+
+MAT_PREFIX_DIMS = 16  # truncated prefix for the matryoshka audit
+MAT_K = 10
+
+
+def matryoshka_recall(sf_dir: str) -> "pd.DataFrame":
+    """Dimension-truncation (matryoshka) retrieval audit — per probe
+    query, the exact overlap between the top-10 neighbors under the
+    FULL 64-dim quantized L2² and under only the FIRST 16 dims: the
+    feasibility test for MRL-style truncated serving and for IVF
+    coarse quantizers built on prefixes (overlap ≈ 10 → truncate and
+    serve 4× cheaper; low overlap → the tail dims carry the
+    geometry). Distances are exact integers on the e6-quantized
+    grid with the (d2, id) tie-break — both rankings and the overlap
+    are bit-deterministic. Output per probe: (query_id, n_overlap).
+
+    Scale shape: the ann_topk streamed pattern twice in ONE pass —
+    each batch emits its local top-10 per (query, metric) against
+    the broadcast 16-query matrix (never the corpus against itself),
+    one query-keyed co-partition merges exact global top-10s for
+    both metrics and counts the set overlap; ≤ 16 rows reach the
+    driver."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    rows = _read_embeddings(sf_dir)
+
+    def quantize(batch: pa.Table):
+        ids = batch.column("vec_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        emb = np.array(batch.column("embedding").to_pylist(), np.float64)
+        q = np.floor(emb * 1_000_000 + 0.5).astype(np.int64)
+        return ids, q
+
+    # broadcast the quantized probe matrix (vec_id < N_QUERIES) via a
+    # PUSHDOWN-filtered read — never a full scan on the driver
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(f"{sf_dir}/embeddings.parquet")
+    qt = dset.to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < N_QUERIES,
+    )
+    qids, qmat = quantize(qt)
+    order = np.argsort(qids)
+    qids, qmat = qids[order], qmat[order]
+    ref = ray.put((qids, qmat))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat = ray.get(ref)
+        ids, x = quantize(batch)
+        out = {"query_id": [], "metric": [], "nid": [], "d2": []}
+        for metric, dims in (("full", 64), ("pre", MAT_PREFIX_DIMS)):
+            qm = q_mat[:, :dims]
+            xm = x[:, :dims]
+            # exact integer d2 via (a-b)^2 expansion per query row
+            for qi in range(len(q_ids)):
+                diff = xm - qm[qi][None, :]
+                d2 = (diff * diff).sum(axis=1)
+                mask = ids != q_ids[qi]
+                cand = np.flatnonzero(mask)
+                o2 = np.lexsort((ids[cand], d2[cand]))[:MAT_K]
+                take = cand[o2]
+                out["query_id"].extend([int(q_ids[qi])] * len(take))
+                out["metric"].extend([metric] * len(take))
+                out["nid"].extend(ids[take].tolist())
+                out["d2"].extend(d2[take].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "metric": pa.array(out["metric"], pa.string()),
+                "nid": pa.array(out["nid"], pa.int64()),
+                "d2": pa.array(out["d2"], pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = int(group.column("query_id")[0].as_py())
+        met = group.column("metric").to_pandas().to_numpy(dtype=object)
+        nid = group.column("nid").to_numpy(zero_copy_only=False)
+        d2 = group.column("d2").to_numpy(zero_copy_only=False)
+        tops = {}
+        for m in ("full", "pre"):
+            sel = met == m
+            o = np.lexsort((nid[sel], d2[sel]))[:MAT_K]
+            tops[m] = set(nid[sel][o].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array([qid], pa.int64()),
+                "n_overlap": pa.array(
+                    [len(tops["full"] & tops["pre"])], pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        rows.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pyarrow")
+        .take_all()  # bounded: <= N_QUERIES rows
+    )
+    df = pd.DataFrame(out).sort_values("query_id", ignore_index=True)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df[["query_id", "n_overlap"]]

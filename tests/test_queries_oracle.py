@@ -424,6 +424,8 @@ SUBSET = [
     "theil_sen_slope",
     "revenue_bridge",
     "sequence_gap_audit",
+    "matryoshka_recall",
+    "dup_cluster_persistence",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
