@@ -1929,6 +1929,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Tail-seated by design: the temporal reading of the
         # component machinery.
         "dup_cluster_persistence": dedup.dup_cluster_persistence,
+        # (round 4, wave 117) Kendall dependence matrix — exact tau-b
+        # sufficient statistics for every pair of the five event
+        # types' daily series (rank-robust co-movement panel); one
+        # bounded (type, day) fold, merge-sort counting per pair on
+        # the driver. Tail-seated by design: kendall_tau swept
+        # across series pairs.
+        "kendall_matrix_daily": analytics.kendall_matrix_daily,
+        # (round 4, wave 117) representative-quality audit — per
+        # size-≥2 fuzzy cluster, the kept min-id representative's
+        # quality vs the cluster max (n_rep_not_best, regret_sum):
+        # the evidence for a quality-argmax keep policy; doc-key
+        # tagged attach + component fold. Tail-seated by design.
+        "rep_quality_audit": dedup.rep_quality_audit,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -9540,6 +9553,67 @@ def oracle_sql() -> dict[str, str]:
         SELECT era, CAST(count(*) AS BIGINT) AS n_clusters,
                CAST(sum(n_docs) AS BIGINT) AS n_docs
         FROM cls GROUP BY 1 ORDER BY 1
+    """
+
+    # kendall_matrix_daily: tau-b sufficient statistics per type
+    # pair over aligned days; quadratic day-pair join per pair is
+    # honest at oracle scale.
+    sql["kendall_matrix_daily"] = """
+        WITH dc AS (SELECT event_type,
+                           epoch_us(ts) // 86400000000 AS day,
+                           CAST(count(*) AS BIGINT) AS x
+                    FROM events GROUP BY 1, 2),
+        pr AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                      a.day, a.x AS xa, b.x AS xb
+               FROM dc a JOIN dc b
+                 ON b.day = a.day AND a.event_type < b.event_type),
+        st AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_days
+               FROM pr GROUP BY 1, 2),
+        dd AS (SELECT p1.ta, p1.tb,
+                      CAST(sum(CASE WHEN (p2.xa - p1.xa)
+                           * (p2.xb - p1.xb) < 0 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS disc,
+                      CAST(sum(CASE WHEN p1.xa = p2.xa THEN 1 ELSE 0
+                           END) AS BIGINT) AS n1,
+                      CAST(sum(CASE WHEN p1.xb = p2.xb THEN 1 ELSE 0
+                           END) AS BIGINT) AS n2,
+                      CAST(sum(CASE WHEN p1.xa = p2.xa
+                           AND p1.xb = p2.xb THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n3
+               FROM pr p1 JOIN pr p2
+                 ON p2.ta = p1.ta AND p2.tb = p1.tb
+                AND p2.day > p1.day
+               GROUP BY 1, 2)
+        SELECT st.ta AS type_a, st.tb AS type_b, st.n_days,
+               CAST(coalesce(dd.n1, 0) AS BIGINT) AS n1,
+               CAST(coalesce(dd.n2, 0) AS BIGINT) AS n2,
+               CAST(coalesce(dd.n3, 0) AS BIGINT) AS n3,
+               CAST(coalesce(dd.disc, 0) AS BIGINT) AS disc
+        FROM st LEFT JOIN dd USING (ta, tb) ORDER BY 1, 2
+    """
+
+    # rep_quality_audit: min-id representative vs cluster-max
+    # quality over the recursive components and the quality CTE.
+    sql["rep_quality_audit"] = f"""
+        WITH comp AS ({sql["dedup_components"].replace(
+            "WITH w AS", "WITH RECURSIVE w AS", 1)}),
+        q AS ({sql["quality_score"]}),
+        j AS (SELECT comp.component_id, comp.doc_id,
+                     q.quality_score AS qs
+              FROM comp JOIN q ON q.doc_id = comp.doc_id),
+        per AS (SELECT component_id,
+                       CAST(max(qs) AS BIGINT) AS best_q,
+                       CAST(min(doc_id) AS BIGINT) AS rep
+                FROM j GROUP BY 1 HAVING count(*) >= 2),
+        rq AS (SELECT per.component_id, per.best_q, j.qs AS rep_q
+               FROM per JOIN j ON j.component_id = per.component_id
+                             AND j.doc_id = per.rep)
+        SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(coalesce(sum(CASE WHEN rep_q < best_q THEN 1
+                    ELSE 0 END), 0) AS BIGINT) AS n_rep_not_best,
+               CAST(coalesce(sum(best_q - rep_q), 0) AS BIGINT)
+                 AS regret_sum
+        FROM rq
     """
 
     return sql

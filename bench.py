@@ -217,6 +217,7 @@ def run_queries() -> dict[str, float]:
         "tukey_fences", "theil_sen_slope",
         "revenue_bridge", "sequence_gap_audit",
         "matryoshka_recall", "dup_cluster_persistence",
+        "kendall_matrix_daily", "rep_quality_audit",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -11985,3 +11985,92 @@ def sequence_gap_audit(sf_dir: str) -> "pd.DataFrame":
         ["n_orders", "n_ok", "n_bad_start", "n_gapped", "n_duped",
          "max_linenumber"]
     ]
+
+
+def kendall_matrix_daily(sf_dir: str) -> "pd.DataFrame":
+    """Pairwise Kendall dependence MATRIX of the five event types'
+    daily count series — the rank-robust co-movement panel ('do
+    errors and purchases move together day to day?') that
+    xcorr_lag_profile's lag-0 Pearson row reads linearly and
+    outliers can flip: per unordered type pair, over the days where
+    BOTH series have counts, the exact tau-b sufficient statistics
+    (n_days, n1, n2, n3, disc) with disc = `_inv_count` of y under
+    (x, y) order — kendall_tau's statistic, swept across all
+    C(5,2) = 10 pairs. Output one row per pair.
+
+    Scale shape: one combiner-bounded (type, day) fold; the pair
+    sweep is driver arithmetic over the bounded day spans (the
+    xcorr/runs_test driver-read contract), merge-sort counting per
+    pair."""
+    import itertools
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    DAY_US = 86_400_000_000
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        et = batch.column("event_type").to_pandas().to_numpy(dtype=object)
+        d = (
+            batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // DAY_US
+        )
+        g = (
+            pd.DataFrame({"et": et, "day": d, "n": 1})
+            .groupby(["et", "day"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "et": pa.array(g["et"], pa.string()),
+                "day": pa.array(g["day"].to_numpy(np.int64), pa.int64()),
+                "x": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        ev.map_batches(partials, batch_format="pyarrow")
+        .groupby(["et", "day"])
+        .aggregate(_Sum("x", alias_name="x"))
+        .take_all()  # bounded: <= |types| * day span rows
+    )
+    series: dict[str, dict[int, int]] = {}
+    for r in rows:
+        series.setdefault(r["et"], {})[int(r["day"])] = int(r["x"])
+    out = []
+    for ta, tb in itertools.combinations(sorted(series), 2):
+        days = sorted(set(series[ta]) & set(series[tb]))
+        x = np.array([series[ta][d] for d in days], np.int64)
+        y = np.array([series[tb][d] for d in days], np.int64)
+        n = len(days)
+        order = np.lexsort((y, x))
+        disc = _inv_count(y[order])
+        _, xc = np.unique(x, return_counts=True)
+        _, yc = np.unique(y, return_counts=True)
+        _, jc = np.unique(
+            x * (np.int64(y.max()) + 1) + y, return_counts=True
+        ) if n else (None, np.array([], np.int64))
+        out.append(
+            {
+                "type_a": ta,
+                "type_b": tb,
+                "n_days": n,
+                "n1": int((xc.astype(np.int64) * (xc - 1) // 2).sum()),
+                "n2": int((yc.astype(np.int64) * (yc - 1) // 2).sum()),
+                "n3": int((jc.astype(np.int64) * (jc - 1) // 2).sum()),
+                "disc": disc,
+            }
+        )
+    df = pd.DataFrame(out).sort_values(
+        ["type_a", "type_b"], ignore_index=True
+    )
+    for c in ["n_days", "n1", "n2", "n3", "disc"]:
+        df[c] = df[c].astype("int64")
+    return df

@@ -3067,3 +3067,115 @@ def dup_cluster_persistence(sf_dir: str) -> "pd.DataFrame":
     for c in ["n_clusters", "n_docs"]:
         df[c] = df[c].astype("int64")
     return df[["era", "n_clusters", "n_docs"]]
+
+
+def rep_quality_audit(sf_dir: str) -> "pd.DataFrame":
+    """Representative-quality audit of the dedup policy — the
+    min-doc-id representative every exact/fuzzy dedup stage keeps is
+    NOT necessarily the best-quality member of its cluster: per
+    size-≥2 fuzzy component, compare the kept representative's
+    quality_score with the cluster max; n_rep_not_best counts the
+    clusters where the policy kept a worse document and regret_sum
+    totals the quality points left on the table — the evidence for
+    (or against) switching to a quality-argmax keep policy. Output
+    one row: (n_clusters, n_rep_not_best, regret_sum).
+
+    Scale shape: the memoized component assignment and the per-doc
+    quality projection co-partition on the doc key (tagged union);
+    a second component-keyed co-partition folds each cluster's
+    (rep quality, max quality) with one sort + reduceat — clusters,
+    never docs, cross the final fold."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.shuffle import N_COARSE_PARTS
+    from ..pipelines import textops
+
+    comp = neardup_components(sf_dir)
+    qual = textops.quality_score(sf_dir)
+
+    def comp_side(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "key": pa.array(d, pa.int64()),
+                "component_id": batch.column("component_id").cast(pa.int64()),
+                "q": pa.array(np.full(len(d), -1, np.int64), pa.int64()),
+                "part": pa.array(d % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def qual_side(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "key": pa.array(d, pa.int64()),
+                "component_id": pa.array(
+                    np.full(len(d), -1, np.int64), pa.int64()
+                ),
+                "q": batch.column("quality_score").cast(pa.int64()),
+                "part": pa.array(d % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def attach(part_tbl: pa.Table) -> pa.Table:
+        key = part_tbl.column("key").to_numpy(zero_copy_only=False)
+        cid = part_tbl.column("component_id").to_numpy(zero_copy_only=False)
+        q = part_tbl.column("q").to_numpy(zero_copy_only=False)
+        is_q = cid < 0
+        qk = key[is_q]
+        qorder = np.argsort(qk, kind="stable")
+        qk_s, qv_s = qk[qorder], q[is_q][qorder]
+        ck, cc = key[~is_q], cid[~is_q]
+        pos = np.searchsorted(qk_s, ck)
+        return pa.table(
+            {
+                "doc_id": pa.array(ck, pa.int64()),
+                "component_id": pa.array(cc, pa.int64()),
+                "q": pa.array(qv_s[pos], pa.int64()),
+                "part": pa.array(cc % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def per_comp(part_tbl: pa.Table) -> pa.Table:
+        d = part_tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        c = part_tbl.column("component_id").to_numpy(zero_copy_only=False)
+        q = part_tbl.column("q").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, c))
+        cs, ds_, qs_ = c[order], d[order], q[order]
+        _, start, cnt = np.unique(cs, return_index=True, return_counts=True)
+        keep = cnt >= 2
+        rep_q = qs_[start[keep]]  # doc-sorted: first member = min id
+        best_q = np.maximum.reduceat(qs_, start)[keep]
+        return pa.table(
+            {
+                "n_clusters": pa.array([int(keep.sum())], pa.int64()),
+                "n_rep_not_best": pa.array(
+                    [int((rep_q < best_q).sum())], pa.int64()
+                ),
+                "regret_sum": pa.array(
+                    [int((best_q - rep_q).sum())], pa.int64()
+                ),
+            }
+        )
+
+    folded = (
+        comp.map_batches(comp_side, batch_format="pyarrow")
+        .union(qual.map_batches(qual_side, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(attach, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_comp, batch_format="pyarrow")
+        .aggregate(
+            _Sum("n_clusters", alias_name="n_clusters"),
+            _Sum("n_rep_not_best", alias_name="n_rep_not_best"),
+            _Sum("regret_sum", alias_name="regret_sum"),
+        )
+    )
+    df = pd.DataFrame([{k: int(v) for k, v in folded.items()}])
+    return df[["n_clusters", "n_rep_not_best", "regret_sum"]]

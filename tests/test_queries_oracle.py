@@ -426,6 +426,8 @@ SUBSET = [
     "sequence_gap_audit",
     "matryoshka_recall",
     "dup_cluster_persistence",
+    "kendall_matrix_daily",
+    "rep_quality_audit",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
