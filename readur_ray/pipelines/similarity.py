@@ -3184,7 +3184,87 @@ def degree_assortativity(sf_dir: str) -> "pd.DataFrame":
 
     from ..stages.shuffle import N_COARSE_PARTS
 
-    return _triangle_census_over(mutual_knn(sf_dir), "vec_a", "vec_b")
+    edges = mutual_knn(sf_dir)  # memoized, already materialized
+    m_edges = edges.count()
+    parts = N_COARSE_PARTS if 2 * m_edges >= 1_000_000 else 8
+    PACK = 1 << 32
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_a").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = batch.column("vec_b").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = a * PACK + b
+        node = np.concatenate([a, b])
+        eid2 = np.concatenate([eid, eid])
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "eid": pa.array(eid2, pa.int64()),
+                "part": pa.array(node % parts, pa.int64()),
+            }
+        )
+
+    def node_degrees(part_tbl: pa.Table) -> pa.Table:
+        node = part_tbl.column("node").to_numpy(zero_copy_only=False)
+        eid = part_tbl.column("eid").to_numpy(zero_copy_only=False)
+        uniq, inv, cnt = np.unique(
+            node, return_inverse=True, return_counts=True
+        )
+        deg = cnt.astype(np.int64)[inv]
+        return pa.table(
+            {
+                "eid": pa.array(eid, pa.int64()),
+                "deg": pa.array(deg, pa.int64()),
+                "part": pa.array(eid % parts, pa.int64()),
+            }
+        )
+
+    def edge_moments(part_tbl: pa.Table) -> pa.Table:
+        t = (
+            part_tbl.select(["eid", "deg"])
+            .append_column(
+                "deg2",
+                pa.array(
+                    part_tbl.column("deg").to_numpy(zero_copy_only=False)
+                    ** 2,
+                    pa.int64(),
+                ),
+            )
+            .group_by("eid")
+            .aggregate([("deg", "sum"), ("deg2", "sum")])
+        )
+        sd = t.column("deg_sum").to_numpy(zero_copy_only=False)
+        sd2 = t.column("deg2_sum").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "m": pa.array([len(sd)], pa.int64()),
+                "s_sum": pa.array([int(sd.sum())], pa.int64()),
+                "s_sq": pa.array([int(sd2.sum())], pa.int64()),
+                "s_prod": pa.array(
+                    [int(((sd * sd - sd2) // 2).sum())], pa.int64()
+                ),
+            }
+        )
+
+    folded = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(node_degrees, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(edge_moments, batch_format="pyarrow")
+        .aggregate(
+            _Sum("m", alias_name="m"),
+            _Sum("s_sum", alias_name="s_sum"),
+            _Sum("s_sq", alias_name="s_sq"),
+            _Sum("s_prod", alias_name="s_prod"),
+        )
+    )
+    return pd.DataFrame([{k: int(v) for k, v in folded.items()}])[
+        ["m", "s_sum", "s_sq", "s_prod"]
+    ]
 
 
 def _triangle_census_over(
