@@ -1942,6 +1942,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the evidence for a quality-argmax keep policy; doc-key
         # tagged attach + component fold. Tail-seated by design.
         "rep_quality_audit": dedup.rep_quality_audit,
+        # (round 4, wave 118) k-anonymity generalization ladder — per
+        # width-doubling level of the balance bucket, the class
+        # count, smallest class, and rows still under k = 5: the
+        # minimal-generalization remediation dial; one bounded QI
+        # grid fold, the whole ladder re-aggregated on the driver.
+        # Tail-seated by design: the remediation layer of the
+        # privacy family.
+        "k_anon_ladder": analytics.k_anon_ladder,
+        # (round 4, wave 118) language homophily — Newman Q for the
+        # LANG partition of the near-dup candidate graph (Q ≈ 0
+        # flags cross-language boilerplate collisions fuzzy dedup
+        # would wrongly merge); community_modularity's tagged
+        # co-partitions with the label side swapped for the doc
+        # projection, width-1 escape. Tail-seated by design.
+        "lang_homophily": graph.lang_homophily,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -9614,6 +9629,60 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(sum(best_q - rep_q), 0) AS BIGINT)
                  AS regret_sum
         FROM rq
+    """
+
+    # k_anon_ladder: width-doubling generalization of the balance
+    # bucket; levels re-aggregate the finest QI grid exactly.
+    sql["k_anon_ladder"] = """
+        WITH qi AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,
+                           (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                            + 10000000) // 100000 AS b
+                    FROM customer),
+        lv AS (SELECT unnest(range(0, 7)) AS level),
+        cls AS (SELECT lv.level, nk, seg, b >> lv.level AS bl,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM qi CROSS JOIN lv GROUP BY 1, 2, 3, 4)
+        SELECT CAST(level AS BIGINT) AS level,
+               CAST(1000 * (1 << level) AS BIGINT) AS width_dollars,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(min(n) AS BIGINT) AS min_class,
+               CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0)
+                    AS BIGINT) AS n_rows_under_5
+        FROM cls GROUP BY level ORDER BY 1
+    """
+
+    # lang_homophily: Newman Q for the lang partition of the
+    # candidate graph, the +4m^2 shift discipline.
+    sql["lang_homophily"] = f"""
+        WITH pr AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM ({sql["dedup_minhash_lsh"]})
+        ),
+        mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pr),
+        lab AS (SELECT doc_id, lang FROM documents),
+        pl AS (SELECT la.lang AS lga, lb.lang AS lgb
+               FROM pr JOIN lab la ON la.doc_id = pr.doc_a
+                       JOIN lab lb ON lb.doc_id = pr.doc_b),
+        intra AS (SELECT lga AS lang, CAST(count(*) AS BIGINT) AS e
+                  FROM pl WHERE lga = lgb GROUP BY 1),
+        ep AS (SELECT doc_a AS v FROM pr
+               UNION ALL SELECT doc_b FROM pr),
+        deg AS (SELECT lab.lang, CAST(count(*) AS BIGINT) AS d
+                FROM ep JOIN lab ON lab.doc_id = ep.v GROUP BY 1),
+        nn AS (SELECT lab.lang, CAST(count(*) AS BIGINT) AS n_nodes
+               FROM (SELECT DISTINCT v FROM ep) nd
+               JOIN lab ON lab.doc_id = nd.v GROUP BY 1),
+        q AS (SELECT CAST(((sum(4 * mm.m * coalesce(i.e, 0)
+                                - d.d * d.d) + 4 * mm.m * mm.m)
+                           * 1000000) // (4 * mm.m * mm.m) - 1000000
+                          AS BIGINT) AS qv
+              FROM deg d LEFT JOIN intra i ON i.lang = d.lang, mm
+              GROUP BY mm.m)
+        SELECT nn.lang, nn.n_nodes,
+               CAST(coalesce(intra.e, 0) AS BIGINT) AS intra_edges,
+               deg.d AS degree_sum, q.qv AS q_x1e6
+        FROM nn JOIN deg USING (lang)
+        LEFT JOIN intra USING (lang), q
+        ORDER BY 1
     """
 
     return sql

@@ -218,6 +218,7 @@ def run_queries() -> dict[str, float]:
         "revenue_bridge", "sequence_gap_audit",
         "matryoshka_recall", "dup_cluster_persistence",
         "kendall_matrix_daily", "rep_quality_audit",
+        "k_anon_ladder", "lang_homophily",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -12074,3 +12074,81 @@ def kendall_matrix_daily(sf_dir: str) -> "pd.DataFrame":
     for c in ["n_days", "n1", "n2", "n3", "disc"]:
         df[c] = df[c].astype("int64")
     return df
+
+
+KLAD_LEVELS = 7  # width-doubling generalization levels audited
+
+
+def k_anon_ladder(sf_dir: str) -> "pd.DataFrame":
+    """k-anonymity generalization ladder — the REMEDIATION dial
+    k_anonymity_audit's snapshot doesn't give: starting from the
+    release QI (nation, segment, $1000 balance bucket), each level
+    DOUBLES the balance-bucket width (merging adjacent buckets, so
+    level l's classes are exact unions of level 0's), and the ladder
+    reports per level the class count, the smallest class, and the
+    rows still living in classes under k = 5 — the level where
+    n_rows_under_5 hits zero is the minimal generalization that
+    makes the release safe. Output per level:
+    (level, width_dollars, n_classes, min_class, n_rows_under_5).
+
+    Scale shape: ONE bounded (nation, segment, bucket) count-grid
+    fold; every level is exact integer re-aggregation of that grid
+    on the driver (bucket >> level), so the whole ladder costs one
+    exchange."""
+    import collections
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        nk, bucket, seg = _kanon_qi(batch, with_segment=True)
+        g = (
+            pd.DataFrame({"nk": nk, "b": bucket, "seg": seg, "n": 1})
+            .groupby(["nk", "b", "seg"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "nk": pa.array(g["nk"].to_numpy(np.int64), pa.int64()),
+                "b": pa.array(g["b"].to_numpy(np.int64), pa.int64()),
+                "seg": pa.array(g["seg"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    grid = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["nk", "b", "seg"])
+        .aggregate(_Sum("n", alias_name="n"))
+        .take_all()  # bounded: <= nations * segments * buckets rows
+    )
+    out = []
+    for level in range(KLAD_LEVELS):
+        agg: collections.Counter = collections.Counter()
+        for r in grid:
+            agg[(int(r["nk"]), r["seg"], int(r["b"]) >> level)] += int(
+                r["n"]
+            )
+        sizes = np.array(list(agg.values()), np.int64)
+        out.append(
+            {
+                "level": level,
+                "width_dollars": 1000 * (1 << level),
+                "n_classes": len(sizes),
+                "min_class": int(sizes.min()),
+                "n_rows_under_5": int(sizes[sizes < 5].sum()),
+            }
+        )
+    df = pd.DataFrame(out)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df

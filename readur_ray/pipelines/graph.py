@@ -657,3 +657,258 @@ def clustering_coeff_hist(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df[["band", "n_nodes"]]
+
+
+def lang_homophily(sf_dir: str) -> "pd.DataFrame":
+    """Attribute homophily of the near-dup candidate graph — Newman
+    modularity Q computed for the LANGUAGE partition instead of a
+    learned one: do candidate pairs stay within a language (Q ≫ 0,
+    the expected signature — near-dups are same-language) or do
+    cross-language candidates leak in (Q ≈ 0 flags transliteration /
+    boilerplate collisions that fuzzy dedup would wrongly merge)?
+    Exact integers throughout: per language the intra-edge count,
+    degree mass and node count, and the global
+    q_x1e6 = (Σ_l(4m·e_l − d_l²) + 4m²)·10⁶ // 4m² − 10⁶ (the
+    community_modularity shift discipline). Output per language:
+    (lang, n_nodes, intra_edges, degree_sum, q_x1e6).
+
+    Scale shape: community_modularity's two tagged-union
+    co-partitions with the label side swapped for the documents'
+    (doc_id, lang) projection — labels are doc-cardinality, never
+    broadcast; degree mass falls out of the directed endpoint rows;
+    the Q fold runs on the ≤|langs| driver grid. Width-1 escape
+    below 1M directed rows."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from .dedup import pairs_materialized
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    edges = pairs_materialized(sf_dir)
+    m_edges = edges.count()
+    parts = N_COARSE_PARTS if 2 * m_edges >= 1_000_000 else 8
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    if 2 * m_edges < 1_000_000:
+        # width-1: gather the edge list and the label projection for
+        # graph nodes via ONE pushdown-free pass over the slim rows
+        et = edges.select_columns(["doc_a", "doc_b"]).take_all()
+        a = np.array([r["doc_a"] for r in et], np.int64)
+        b = np.array([r["doc_b"] for r in et], np.int64)
+        nodes = np.unique(np.concatenate([a, b]))
+        lt = docs.take_all()
+        lmap = {int(r["doc_id"]): r["lang"] for r in lt}
+        la = np.array([lmap[int(x)] for x in a], object)
+        lb = np.array([lmap[int(x)] for x in b], object)
+        m = len(a)
+        langs = sorted({lmap[int(n)] for n in nodes})
+        rows = []
+        tot = 0
+        for lg in langs:
+            intra = int(((la == lg) & (lb == lg)).sum())
+            dmass = int((la == lg).sum() + (lb == lg).sum())
+            n_nodes = int(
+                sum(1 for n in nodes if lmap[int(n)] == lg)
+            )
+            tot += 4 * m * intra - dmass * dmass
+            rows.append((lg, n_nodes, intra, dmass))
+        q = ((tot + 4 * m * m) * 1_000_000) // (4 * m * m) - 1_000_000
+        df = pd.DataFrame(
+            [
+                {
+                    "lang": lg,
+                    "n_nodes": nn,
+                    "intra_edges": ie,
+                    "degree_sum": dm,
+                    "q_x1e6": q,
+                }
+                for lg, nn, ie, dm in rows
+            ]
+        ).sort_values("lang", ignore_index=True)
+        for c in df.columns[1:]:
+            df[c] = df[c].astype("int64")
+        return df
+
+    # exchange plan: attach langs on the node key, reassemble pairs
+    # on the edge key
+    PACK = 1 << 32
+
+    def endpoint_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = batch.column("doc_b").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = a * PACK + b
+        node = np.concatenate([a, b])
+        return pa.table(
+            {
+                "key": pa.array(node, pa.int64()),
+                "eid": pa.array(np.concatenate([eid, eid]), pa.int64()),
+                "lang": pa.array([""] * (2 * len(a)), pa.string()),
+                "part": pa.array(node % parts, pa.int64()),
+            }
+        )
+
+    def lab_rows(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "key": pa.array(d, pa.int64()),
+                "eid": pa.array(np.full(len(d), -1, np.int64), pa.int64()),
+                "lang": batch.column("lang"),
+                "part": pa.array(d % parts, pa.int64()),
+            }
+        )
+
+    def attach(part_tbl: pa.Table) -> pa.Table:
+        key = part_tbl.column("key").to_numpy(zero_copy_only=False)
+        eid = part_tbl.column("eid").to_numpy(zero_copy_only=False)
+        lang = part_tbl.column("lang").to_pandas().to_numpy(dtype=object)
+        is_lab = eid < 0
+        lk = key[is_lab]
+        lorder = np.argsort(lk, kind="stable")
+        lk_s, lv_s = lk[lorder], lang[is_lab][lorder]
+        ek, ee = key[~is_lab], eid[~is_lab]
+        pos = np.searchsorted(lk_s, ek)
+        return pa.table(
+            {
+                "eid": pa.array(ee, pa.int64()),
+                "lang": pa.array(lv_s[pos], pa.string()),
+                "part": pa.array(ee % parts, pa.int64()),
+            }
+        )
+
+    def pair_fold(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        eid = part_tbl.column("eid").to_numpy(zero_copy_only=False)
+        lang = part_tbl.column("lang").to_pandas().to_numpy(dtype=object)
+        order = np.argsort(eid, kind="stable")
+        es, ls = eid[order], lang[order]
+        # two rows per eid; intra iff both langs equal
+        la, lb = ls[0::2], ls[1::2]
+        same = la == lb
+        g = (
+            pd.DataFrame({"lang": la[same], "n": 1})
+            .groupby("lang", sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        dm = (
+            pd.DataFrame({"lang": ls, "n": 1})
+            .groupby("lang", sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        t1 = pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "intra": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+                "dmass": pa.array(np.zeros(len(g), np.int64), pa.int64()),
+            }
+        )
+        t2 = pa.table(
+            {
+                "lang": pa.array(dm["lang"], pa.string()),
+                "intra": pa.array(np.zeros(len(dm), np.int64), pa.int64()),
+                "dmass": pa.array(dm["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+        return pa.concat_tables([t1, t2])
+
+    grid = (
+        edges.map_batches(endpoint_rows, batch_format="pyarrow")
+        .union(docs.map_batches(lab_rows, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(attach, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pair_fold, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            _Sum("intra", alias_name="intra_edges"),
+            _Sum("dmass", alias_name="degree_sum"),
+        )
+        .take_all()  # bounded: <= |langs| rows
+    )
+    # node counts per lang over graph nodes: one more bounded fold
+    def node_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = batch.column("doc_b").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = np.unique(np.concatenate([a, b]))
+        return pa.table(
+            {
+                "key": pa.array(n, pa.int64()),
+                "eid": pa.array(np.full(len(n), -2, np.int64), pa.int64()),
+                "lang": pa.array([""] * len(n), pa.string()),
+                "part": pa.array(n % parts, pa.int64()),
+            }
+        )
+
+    def attach_nodes(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        key = part_tbl.column("key").to_numpy(zero_copy_only=False)
+        eid = part_tbl.column("eid").to_numpy(zero_copy_only=False)
+        lang = part_tbl.column("lang").to_pandas().to_numpy(dtype=object)
+        is_lab = eid < -1
+        # labels ride eid == -1; nodes ride eid == -2
+        lab = eid == -1
+        lk = key[lab]
+        lo = np.argsort(lk, kind="stable")
+        lk_s, lv_s = lk[lo], lang[lab][lo]
+        nk = np.unique(key[eid == -2])
+        pos = np.searchsorted(lk_s, nk)
+        g = (
+            pd.Series(lv_s[pos]).value_counts().rename_axis("lang")
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "n_nodes": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    nodes_grid = (
+        edges.map_batches(node_rows, batch_format="pyarrow")
+        .union(docs.map_batches(lab_rows, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(attach_nodes, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(_Sum("n_nodes", alias_name="n_nodes"))
+        .take_all()  # bounded: <= |langs| rows
+    )
+    nmap = {r["lang"]: int(r["n_nodes"]) for r in nodes_grid}
+    m = m_edges
+    tot = sum(
+        4 * m * int(r["intra_edges"]) - int(r["degree_sum"]) ** 2
+        for r in grid
+    )
+    q = ((tot + 4 * m * m) * 1_000_000) // (4 * m * m) - 1_000_000
+    df = pd.DataFrame(
+        [
+            {
+                "lang": r["lang"],
+                "n_nodes": nmap.get(r["lang"], 0),
+                "intra_edges": int(r["intra_edges"]),
+                "degree_sum": int(r["degree_sum"]),
+                "q_x1e6": q,
+            }
+            for r in grid
+        ]
+    ).sort_values("lang", ignore_index=True)
+    for c in df.columns[1:]:
+        df[c] = df[c].astype("int64")
+    return df

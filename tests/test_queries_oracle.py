@@ -428,6 +428,8 @@ SUBSET = [
     "dup_cluster_persistence",
     "kendall_matrix_daily",
     "rep_quality_audit",
+    "k_anon_ladder",
+    "lang_homophily",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
