@@ -1957,6 +1957,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # co-partitions with the label side swapped for the doc
         # projection, width-1 escape. Tail-seated by design.
         "lang_homophily": graph.lang_homophily,
+        # (round 4, wave 119) blocker-union evaluation — SNM and
+        # MinHash-LSH candidates vs the exact Jaccard ≥ 1/2 truth:
+        # per-blocker and UNION capture, the marginal-recall number
+        # that decides whether the second blocker is worth its
+        # shuffle; one key-hash co-partition, np.isin per part.
+        # Tail-seated by design: blocking_quality over ensembles.
+        "blocking_union_eval": dedup.blocking_union_eval,
+        # (round 4, wave 119) HLL union-algebra error — both halves'
+        # register tables built in one pass, merged by elementwise
+        # max, exact-rational raw estimates vs exact distinct counts
+        # for H1/H2/union. Tail-seated by design: the sketch-merge
+        # eval hll_error_eval's single-set row can't show.
+        "hll_union_error": analytics.hll_union_error,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -9683,6 +9696,99 @@ def oracle_sql() -> dict[str, str]:
         FROM nn JOIN deg USING (lang)
         LEFT JOIN intra USING (lang), q
         ORDER BY 1
+    """
+
+    # blocking_union_eval: capture vs the exact ppjoin truth.
+    sql["blocking_union_eval"] = f"""
+        WITH tr AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM ({sql["ppjoin_exact"]})
+        ),
+        sn AS MATERIALIZED (
+          SELECT DISTINCT least(doc_a, doc_b) AS doc_a,
+                 greatest(doc_a, doc_b) AS doc_b
+          FROM ({sql["snm_pairs"]})
+        ),
+        ls AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM ({sql["dedup_minhash_lsh"]})
+        ),
+        un AS (SELECT doc_a, doc_b FROM sn
+               UNION SELECT doc_a, doc_b FROM ls)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_truth,
+               (SELECT CAST(count(*) AS BIGINT) FROM sn) AS n_snm,
+               (SELECT CAST(count(*) AS BIGINT) FROM ls) AS n_lsh,
+               (SELECT CAST(count(*) AS BIGINT) FROM un) AS n_union,
+               (SELECT CAST(count(*) AS BIGINT) FROM tr
+                JOIN sn USING (doc_a, doc_b)) AS cap_snm,
+               (SELECT CAST(count(*) AS BIGINT) FROM tr
+                JOIN ls USING (doc_a, doc_b)) AS cap_lsh,
+               (SELECT CAST(count(*) AS BIGINT) FROM tr
+                JOIN un USING (doc_a, doc_b)) AS cap_union
+    """
+
+    # hll_union_error: per-half registers, elementwise-max merge,
+    # exact-rational raw estimates (hll_error_eval's convention).
+    sql["hll_union_error"] = """
+        WITH e AS (SELECT user_id,
+                          epoch_us(ts) // 86400000000 AS day
+                   FROM events),
+        lim AS (SELECT min(day) AS dlo, max(day) AS dhi FROM e),
+        lab AS (SELECT DISTINCT user_id,
+                       CAST(day > (dlo + dhi) // 2 AS BIGINT) AS half
+                FROM e CROSS JOIN lim),
+        h AS (SELECT half,
+                     CAST(CAST('0x' || substr(md5(CAST(user_id
+                          AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT)
+                       AS h
+              FROM lab),
+        r AS (SELECT half, h // 4503599627370496 AS bucket,
+                     h % 4503599627370496 AS suffix
+              FROM h),
+        reg AS (SELECT half, bucket,
+                       CAST(max(CASE WHEN suffix = 0 THEN 53
+                            ELSE 52 - len(bin(CAST(suffix AS UBIGINT)))
+                                 + 1 END) AS BIGINT) AS rho
+                FROM r GROUP BY 1, 2),
+        allb AS (SELECT unnest(range(0, 256)) AS bucket),
+        mrg AS (SELECT allb.bucket,
+                       CAST(coalesce(a.rho, 0) AS BIGINT) AS r1,
+                       CAST(coalesce(b.rho, 0) AS BIGINT) AS r2,
+                       CAST(greatest(coalesce(a.rho, 0),
+                                     coalesce(b.rho, 0)) AS BIGINT)
+                         AS ru
+                FROM allb
+                LEFT JOIN reg a ON a.bucket = allb.bucket AND a.half = 0
+                LEFT JOIN reg b ON b.bucket = allb.bucket
+                              AND b.half = 1),
+        ss AS (SELECT CAST(sum(CAST(1 AS HUGEINT) << (53 - r1))
+                           AS HUGEINT) AS s1,
+                      CAST(sum(CAST(1 AS HUGEINT) << (53 - r2))
+                           AS HUGEINT) AS s2,
+                      CAST(sum(CAST(1 AS HUGEINT) << (53 - ru))
+                           AS HUGEINT) AS su
+               FROM mrg),
+        cnts AS (SELECT
+                   CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_h1,
+                   CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_h2,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_union
+                 FROM lab)
+        SELECT CAST(256 AS BIGINT) AS m, cnts.n_h1, cnts.n_h2,
+               cnts.n_union,
+               CAST(CAST(7213 AS HUGEINT) * 16777216
+                    * 9007199254740992 * 1000 // (2570790 * ss.s1)
+                    AS BIGINT) AS est_h1_x1000,
+               CAST(CAST(7213 AS HUGEINT) * 16777216
+                    * 9007199254740992 * 1000 // (2570790 * ss.s2)
+                    AS BIGINT) AS est_h2_x1000,
+               CAST(CAST(7213 AS HUGEINT) * 16777216
+                    * 9007199254740992 * 1000 // (2570790 * ss.su)
+                    AS BIGINT) AS est_union_x1000,
+               CAST(CAST(7213 AS HUGEINT) * 16777216
+                    * 9007199254740992 * 1000 // (2570790 * ss.su)
+                    - 1000 * cnts.n_union AS BIGINT)
+                 AS union_err_x1000
+        FROM ss, cnts
     """
 
     return sql

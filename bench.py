@@ -219,6 +219,7 @@ def run_queries() -> dict[str, float]:
         "matryoshka_recall", "dup_cluster_persistence",
         "kendall_matrix_daily", "rep_quality_audit",
         "k_anon_ladder", "lang_homophily",
+        "blocking_union_eval", "hll_union_error",
     ]
     out: dict[str, float] = {}
     for name in picks:

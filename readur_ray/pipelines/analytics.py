@@ -12152,3 +12152,144 @@ def k_anon_ladder(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df
+
+
+def hll_union_error(sf_dir: str) -> "pd.DataFrame":
+    """Measured HyperLogLog UNION-algebra error — the property that
+    justifies shipping sketches instead of sets: registers merge by
+    elementwise max, so |A ∪ B| estimates WITHOUT re-reading either
+    stream. Splitting the event stream at the date midpoint, this
+    builds both halves' register tables in ONE pass, merges them,
+    and reports the exact-rational raw estimates (the
+    hll_error_eval α_m convention, no floats) for H1, H2, and the
+    union against the exact distinct-user counts — union_err is the
+    number a capacity planner actually absorbs when combining
+    per-shard sketches. Output one row: (m, n_h1, n_h2, n_union,
+    est_h1_x1000, est_h2_x1000, est_union_x1000, union_err_x1000).
+
+    Scale shape: per-batch distinct (half, user) md5-rho partials →
+    one ≤2·2^P-row Max grid; exact counts are one distinct fold per
+    axis; the estimator touches 512 ints on the driver."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Min as _Min, Sum as _Sum
+
+    from ..functions.textstats import md5_int60
+
+    DAY_US = 86_400_000_000
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def day_rows(batch: pa.Table) -> pa.Table:
+        d = (
+            batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // DAY_US
+        )
+        u = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {"day": pa.array(d, pa.int64()), "user": pa.array(u, pa.int64())}
+        )
+
+    days = ev.map_batches(day_rows, batch_format="pyarrow").materialize()
+    lim = days.aggregate(_Min("day"), _Max("day"))
+    mid = (int(lim["min(day)"]) + int(lim["max(day)"])) // 2
+
+    def reg_partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("day").to_numpy(zero_copy_only=False)
+        u = batch.column("user").to_numpy(zero_copy_only=False)
+        half = (d > mid).astype(np.int64)
+        key = np.unique(u * 2 + half)
+        uu, hh = key // 2, key % 2
+        h = np.array([md5_int60(str(x)) for x in uu], dtype=np.int64)
+        bucket = h >> HLL_W
+        suffix = h & (HLL_SUFFIX_MOD - 1)
+        bl = _bit_length(suffix)
+        rho = np.where(suffix > 0, HLL_W - bl + 1, HLL_W + 1)
+        t = pa.table(
+            {
+                "hb": pa.array(hh * (1 << HLL_P) + bucket, pa.int64()),
+                "rho": pa.array(rho.astype(np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by("hb").aggregate([("rho", "max")])
+        return pa.table(
+            {"hb": g.column("hb"), "max_rho": g.column("rho_max")}
+        )
+
+    regs_rows = (
+        days.map_batches(reg_partial, batch_format="pyarrow")
+        .groupby("hb")
+        .aggregate(_Max("max_rho", alias_name="max_rho"))
+        .take_all()  # bounded: <= 2 * 2^P rows
+    )
+    m = 1 << HLL_P
+    regs = [dict(), dict()]
+    for r in regs_rows:
+        hb = int(r["hb"])
+        regs[hb // m][hb % m] = int(r["max_rho"])
+    union = {b: max(regs[0].get(b, 0), regs[1].get(b, 0))
+             for b in range(m)}
+
+    def est_x1000(rg: dict) -> int:
+        s = sum(1 << (53 - rg.get(b, 0)) for b in range(m))
+        den = HLL_ALPHA_DEN_BASE * (1000 * m + 1079)
+        return HLL_ALPHA_NUM * (m ** 3) * (1 << 53) * 1000 // (den * s)
+
+    def half_counts(batch: pa.Table) -> pa.Table:
+        d = batch.column("day").to_numpy(zero_copy_only=False)
+        u = batch.column("user").to_numpy(zero_copy_only=False)
+        half = (d > mid).astype(np.int64)
+        key = np.unique(u * 2 + half)
+        return pa.table({"key": pa.array(key, pa.int64())})
+
+    uh = (
+        days.map_batches(half_counts, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .materialize()
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "h1": pa.array([int((k % 2 == 0).sum())], pa.int64()),
+                "h2": pa.array([int((k % 2 == 1).sum())], pa.int64()),
+            }
+        )
+
+    hc = uh.map_batches(hist, batch_format="pyarrow").aggregate(
+        _Sum("h1", alias_name="h1"), _Sum("h2", alias_name="h2")
+    )
+
+    def user_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy(zero_copy_only=False)
+        return pa.table({"u": pa.array(np.unique(k // 2), pa.int64())})
+
+    n_union = (
+        uh.map_batches(user_rows, batch_format="pyarrow")
+        .groupby("u")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .count()
+    )
+    eu = est_x1000(union)
+    df = pd.DataFrame(
+        [
+            {
+                "m": m,
+                "n_h1": int(hc["h1"]),
+                "n_h2": int(hc["h2"]),
+                "n_union": n_union,
+                "est_h1_x1000": est_x1000(regs[0]),
+                "est_h2_x1000": est_x1000(regs[1]),
+                "est_union_x1000": eu,
+                "union_err_x1000": eu - 1000 * n_union,
+            }
+        ]
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df

@@ -3179,3 +3179,97 @@ def rep_quality_audit(sf_dir: str) -> "pd.DataFrame":
     )
     df = pd.DataFrame([{k: int(v) for k, v in folded.items()}])
     return df[["n_clusters", "n_rep_not_best", "regret_sum"]]
+
+
+def blocking_union_eval(sf_dir: str) -> "pd.DataFrame":
+    """Blocker-UNION evaluation — does combining sorted-neighborhood
+    blocking with MinHash-LSH actually buy recall, or do they find
+    the same pairs? Against the exact Jaccard ≥ 1/2 truth set
+    (ppjoin_exact), the audit reports each blocker's candidate count
+    and true-pair capture plus the UNION's — the marginal-capture
+    number that decides whether running the second blocker is worth
+    its shuffle (blocking_quality grades ONE blocker; pipelines ship
+    ensembles). Output one row: (n_truth, n_snm, n_lsh, n_union,
+    cap_snm, cap_lsh, cap_union).
+
+    Scale shape: the three pair sets reduce to canonical packed
+    int64 keys (snm pairs canonicalized + deduped in stream), tag,
+    and meet in ONE key-hash co-partition where membership is a
+    vectorized np.isin per part; seven counters fold to the
+    driver."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+    from ..stages.shuffle import int_partition
+
+    truth = ppjoin_exact(sf_dir)
+    snm = snm_materialized(sf_dir)
+    lsh = pairs_materialized(sf_dir)
+
+    def keyed(kind: int, ca: str, cb: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            a = batch.column(ca).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            b = batch.column(cb).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            key = np.unique(lo * (1 << 32) + hi)
+            return pa.table(
+                {
+                    "key": pa.array(key, pa.int64()),
+                    "kind": pa.array(
+                        np.full(len(key), kind, np.int64), pa.int64()
+                    ),
+                    "part": pa.array(int_partition(key), pa.int64()),
+                }
+            )
+
+        return fn
+
+    def count_part(part_tbl: pa.Table) -> pa.Table:
+        key = part_tbl.column("key").to_numpy(zero_copy_only=False)
+        kind = part_tbl.column("kind").to_numpy(zero_copy_only=False)
+        # dedupe within kind (snm batches may re-emit)
+        k0 = np.unique(key[kind == 0])  # truth
+        k1 = np.unique(key[kind == 1])  # snm
+        k2 = np.unique(key[kind == 2])  # lsh
+        cap1 = int(np.isin(k0, k1).sum())
+        cap2 = int(np.isin(k0, k2).sum())
+        capu = int((np.isin(k0, k1) | np.isin(k0, k2)).sum())
+        nu = len(np.union1d(k1, k2))
+        return pa.table(
+            {
+                "n_truth": pa.array([len(k0)], pa.int64()),
+                "n_snm": pa.array([len(k1)], pa.int64()),
+                "n_lsh": pa.array([len(k2)], pa.int64()),
+                "n_union": pa.array([nu], pa.int64()),
+                "cap_snm": pa.array([cap1], pa.int64()),
+                "cap_lsh": pa.array([cap2], pa.int64()),
+                "cap_union": pa.array([capu], pa.int64()),
+            }
+        )
+
+    folded = (
+        truth.map_batches(keyed(0, "doc_a", "doc_b"),
+                          batch_format="pyarrow")
+        .union(snm.map_batches(keyed(1, "doc_a", "doc_b"),
+                               batch_format="pyarrow"))
+        .union(lsh.map_batches(keyed(2, "doc_a", "doc_b"),
+                               batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(count_part, batch_format="pyarrow")
+        .aggregate(
+            *[
+                _Sum(c, alias_name=c)
+                for c in ["n_truth", "n_snm", "n_lsh", "n_union",
+                          "cap_snm", "cap_lsh", "cap_union"]
+            ]
+        )
+    )
+    df = pd.DataFrame([{k: int(v) for k, v in folded.items()}])
+    return df[
+        ["n_truth", "n_snm", "n_lsh", "n_union", "cap_snm", "cap_lsh",
+         "cap_union"]
+    ]

@@ -430,6 +430,8 @@ SUBSET = [
     "rep_quality_audit",
     "k_anon_ladder",
     "lang_homophily",
+    "blocking_union_eval",
+    "hll_union_error",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
