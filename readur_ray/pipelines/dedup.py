@@ -1663,6 +1663,13 @@ def _pp_verify(part_tbl: pa.Table) -> pa.Table:
 
 
 def ppjoin_exact(sf_dir: str) -> "ray.data.Dataset":
+    """Memoized exact similarity self-join — the registry entry and
+    blocking_union_eval's truth set share one materialized build per
+    (corpus, session), the pairs_materialized discipline."""
+    return _funnel_memo("ppjoin", sf_dir, lambda: _ppjoin_build(sf_dir))
+
+
+def _ppjoin_build(sf_dir: str) -> "ray.data.Dataset":
     """EXACT set-similarity self-join: every pair of documents with
     Jaccard(3-shingle sets) ≥ PP_NUM/PP_DEN, via AllPairs/PPJoin-style
     prefix filtering — NO approximation anywhere, unlike the sketch
