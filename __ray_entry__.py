@@ -1970,6 +1970,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # for H1/H2/union. Tail-seated by design: the sketch-merge
         # eval hll_error_eval's single-set row can't show.
         "hll_union_error": analytics.hll_union_error,
+        # (round 4, wave 120) MinHash shared-band threshold curve —
+        # per minimum band count the candidates, truth capture, and
+        # exact precision/recall bp vs the ppjoin truth; memoized
+        # pairs and truth meet in one key-hash co-partition.
+        # Tail-seated by design: simhash_band_precision for the
+        # MinHash family.
+        "minhash_threshold_curve": dedup.minhash_threshold_curve,
+        # (round 4, wave 120) recycled-content rate — H2 docs that
+        # are ≥80%-contained re-publications of H1 content (the
+        # contained side of a cross-half containment pair); one
+        # streaming classification over the containment pairs + a
+        # distinct fold. Tail-seated by design: the policy aggregate
+        # of containment_pairs.
+        "recycled_content_rate": dedup.recycled_content_rate,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -9789,6 +9803,61 @@ def oracle_sql() -> dict[str, str]:
                     - 1000 * cnts.n_union AS BIGINT)
                  AS union_err_x1000
         FROM ss, cnts
+    """
+
+    # minhash_threshold_curve: precision/recall per shared-band
+    # threshold vs the ppjoin truth.
+    sql["minhash_threshold_curve"] = f"""
+        WITH ls AS MATERIALIZED (
+          SELECT doc_a, doc_b, n_shared_bands
+          FROM ({sql["dedup_minhash_lsh"]})
+        ),
+        tr AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM ({sql["ppjoin_exact"]})
+        ),
+        t AS (SELECT unnest([1, 2, 3, 4]) AS min_bands),
+        c AS (SELECT t.min_bands,
+                     (SELECT CAST(count(*) AS BIGINT) FROM ls
+                      WHERE n_shared_bands >= t.min_bands) AS n_cand,
+                     (SELECT CAST(count(*) AS BIGINT) FROM ls
+                      JOIN tr USING (doc_a, doc_b)
+                      WHERE n_shared_bands >= t.min_bands)
+                       AS n_captured,
+                     (SELECT CAST(count(*) AS BIGINT) FROM tr) AS nt
+              FROM t)
+        SELECT CAST(min_bands AS BIGINT) AS min_bands, n_cand,
+               n_captured,
+               CAST(CASE WHEN n_cand = 0 THEN 0
+                    ELSE n_captured * 10000 // n_cand END AS BIGINT)
+                 AS precision_bp,
+               CAST(CASE WHEN nt = 0 THEN 10000
+                    ELSE n_captured * 10000 // nt END AS BIGINT)
+                 AS recall_bp
+        FROM c ORDER BY 1
+    """
+
+    # recycled_content_rate: H2 docs contained (>= 8000 bp, smaller
+    # side) in an H1 doc.
+    sql["recycled_content_rate"] = f"""
+        WITH cp AS MATERIALIZED (
+          SELECT * FROM ({sql["containment_pairs"]})
+        ),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        rec AS (
+          SELECT doc_b AS doc FROM cp, nd
+          WHERE contain_bp >= 8000 AND doc_b >= nd.n // 2
+            AND doc_a < nd.n // 2 AND size_b <= size_a
+          UNION
+          SELECT doc_a FROM cp, nd
+          WHERE contain_bp >= 8000 AND doc_a >= nd.n // 2
+            AND doc_b < nd.n // 2 AND size_a <= size_b
+        )
+        SELECT CAST(nd.n - nd.n // 2 AS BIGINT) AS n_h2_docs,
+               (SELECT CAST(count(*) AS BIGINT) FROM rec)
+                 AS n_recycled,
+               CAST((SELECT count(*) FROM rec) * 10000
+                    // (nd.n - nd.n // 2) AS BIGINT) AS recycled_bp
+        FROM nd
     """
 
     return sql

@@ -220,6 +220,7 @@ def run_queries() -> dict[str, float]:
         "kendall_matrix_daily", "rep_quality_audit",
         "k_anon_ladder", "lang_homophily",
         "blocking_union_eval", "hll_union_error",
+        "minhash_threshold_curve", "recycled_content_rate",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -3280,3 +3280,174 @@ def blocking_union_eval(sf_dir: str) -> "pd.DataFrame":
         ["n_truth", "n_snm", "n_lsh", "n_union", "cap_snm", "cap_lsh",
          "cap_union"]
     ]
+
+
+def minhash_threshold_curve(sf_dir: str) -> "pd.DataFrame":
+    """Shared-band threshold tuning curve for MinHash-LSH — for each
+    minimum number of shared bands t, the candidate count, the
+    capture of the exact Jaccard ≥ 1/2 truth, and both as exact
+    basis points (precision and recall): the dial that says whether
+    requiring ≥ 2 shared bands (cutting candidates ~10×) costs any
+    real recall — simhash_band_precision's readout for the MinHash
+    family. Output per threshold: (min_bands, n_cand, n_captured,
+    precision_bp, recall_bp).
+
+    Scale shape: the memoized candidate pairs (with n_shared_bands
+    riding) and the memoized ppjoin truth meet in one key-hash
+    co-partition; per part a vectorized isin per threshold folds
+    ≤ 4·2 counters."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+    from ..stages.shuffle import int_partition
+
+    cand = pairs_materialized(sf_dir)
+    truth = ppjoin_exact(sf_dir)
+
+    def cand_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = batch.column("doc_b").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        nb = batch.column("n_shared_bands").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        key = a * (1 << 32) + b
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "nb": pa.array(nb, pa.int64()),
+                "part": pa.array(int_partition(key), pa.int64()),
+            }
+        )
+
+    def truth_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = batch.column("doc_b").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        key = a * (1 << 32) + b
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "nb": pa.array(np.full(len(key), -1, np.int64), pa.int64()),
+                "part": pa.array(int_partition(key), pa.int64()),
+            }
+        )
+
+    def count_part(part_tbl: pa.Table) -> pa.Table:
+        key = part_tbl.column("key").to_numpy(zero_copy_only=False)
+        nb = part_tbl.column("nb").to_numpy(zero_copy_only=False)
+        tk = np.sort(key[nb < 0])
+        ck, cb = key[nb >= 0], nb[nb >= 0]
+        cols = {"n_truth": pa.array([len(tk)], pa.int64())}
+        for t in (1, 2, 3, 4):
+            sel = cb >= t
+            cols[f"cand_{t}"] = pa.array([int(sel.sum())], pa.int64())
+            cols[f"cap_{t}"] = pa.array(
+                [int(np.isin(ck[sel], tk).sum())], pa.int64()
+            )
+        return pa.table(cols)
+
+    names = ["n_truth"] + [f"cand_{t}" for t in (1, 2, 3, 4)] + [
+        f"cap_{t}" for t in (1, 2, 3, 4)
+    ]
+    folded = (
+        cand.map_batches(cand_rows, batch_format="pyarrow")
+        .union(truth.map_batches(truth_rows, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(count_part, batch_format="pyarrow")
+        .aggregate(*[_Sum(c, alias_name=c) for c in names])
+    )
+    nt = int(folded["n_truth"])
+    out = []
+    for t in (1, 2, 3, 4):
+        nc = int(folded[f"cand_{t}"])
+        cp = int(folded[f"cap_{t}"])
+        out.append(
+            {
+                "min_bands": t,
+                "n_cand": nc,
+                "n_captured": cp,
+                "precision_bp": cp * 10000 // nc if nc else 0,
+                "recall_bp": cp * 10000 // nt if nt else 10000,
+            }
+        )
+    df = pd.DataFrame(out)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df
+
+
+RECYCLE_BP = 8000  # containment threshold for "recycled"
+
+
+def recycled_content_rate(sf_dir: str) -> "pd.DataFrame":
+    """Recycled-content rate of the newer corpus half — how much of
+    H2 is (≥ 80%-contained) re-publication of H1 content: an H2 doc
+    counts as RECYCLED when a containment pair links it to an H1 doc
+    and the H2 doc is the contained (smaller-or-equal shingle set)
+    side. The ingestion-policy number containment_pairs' raw pair
+    list doesn't aggregate: a rising recycled rate means the crawl
+    frontier is re-reading old material. Output one row:
+    (n_h2_docs, n_recycled, recycled_bp).
+
+    Scale shape: one streaming classification over the containment
+    pair rows (sizes ride every pair, so the contained side is a
+    vectorized comparison) → distinct recycled ids via one bounded-
+    output groupby; the H2 doc count is one metadata fold."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    docs = _read_docs(sf_dir)
+    n_docs = docs.count()
+    cut = n_docs // 2
+    pairs = containment_pairs(sf_dir)
+
+    def recycled_ids(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = batch.column("doc_b").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        sa = batch.column("size_a").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        sb = batch.column("size_b").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        bp = batch.column("contain_bp").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        strong = bp >= RECYCLE_BP
+        # b recycled: b in H2, partner in H1, b the contained side
+        b_rec = strong & (b >= cut) & (a < cut) & (sb <= sa)
+        a_rec = strong & (a >= cut) & (b < cut) & (sa <= sb)
+        ids = np.unique(np.concatenate([b[b_rec], a[a_rec]]))
+        return pa.table({"doc": pa.array(ids, pa.int64())})
+
+    n_recycled = (
+        pairs.map_batches(recycled_ids, batch_format="pyarrow")
+        .groupby("doc")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .count()
+    )
+    n_h2 = n_docs - cut
+    df = pd.DataFrame(
+        [
+            {
+                "n_h2_docs": n_h2,
+                "n_recycled": n_recycled,
+                "recycled_bp": n_recycled * 10000 // n_h2,
+            }
+        ]
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df

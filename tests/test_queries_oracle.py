@@ -432,6 +432,8 @@ SUBSET = [
     "lang_homophily",
     "blocking_union_eval",
     "hll_union_error",
+    "minhash_threshold_curve",
+    "recycled_content_rate",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
