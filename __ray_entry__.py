@@ -1984,6 +1984,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distinct fold. Tail-seated by design: the policy aggregate
         # of containment_pairs.
         "recycled_content_rate": dedup.recycled_content_rate,
+        # (round 4, wave 121) heavy-hitter churn — the top-32 token
+        # heads of the two halves compared: overlap, exact rank
+        # displacement, new entries; one (token, half) fold + two
+        # K-bounded sort-limits. Tail-seated by design: the one-row
+        # stability summary over token_df_drift's list.
+        "head_churn": textops.head_churn,
+        # (round 4, wave 121) Cochran-Mantel-Haenszel sufficient
+        # statistics — per-stratum exact 2×2 rows (segment strata,
+        # balance exposure, purchased outcome): the stratified
+        # association test immune to Simpson confounding; custkey
+        # co-partition semi-join + bounded stratum fold. Tail-seated
+        # by design: the stratified leg of the categorical family.
+        "cmh_test": analytics.cmh_test,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -9858,6 +9871,50 @@ def oracle_sql() -> dict[str, str]:
                CAST((SELECT count(*) FROM rec) * 10000
                     // (nd.n - nd.n // 2) AS BIGINT) AS recycled_bp
         FROM nd
+    """
+
+    # head_churn: top-32 heads per half under (count desc, token).
+    sql["head_churn"] = f"""
+        WITH {_WORDS_CTE},
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        tok AS (SELECT doc_id, unnest(ws) AS token FROM w),
+        lab AS (SELECT token,
+                       CAST(doc_id >= (SELECT n // 2 FROM nd) AS BIGINT)
+                         AS h
+                FROM tok),
+        tf AS (SELECT token, h, CAST(count(*) AS BIGINT) AS n
+               FROM lab GROUP BY 1, 2),
+        t1 AS (SELECT token,
+                      row_number() OVER (ORDER BY n DESC, token) - 1
+                        AS r
+               FROM tf WHERE h = 0 ORDER BY n DESC, token LIMIT 32),
+        t2 AS (SELECT token,
+                      row_number() OVER (ORDER BY n DESC, token) - 1
+                        AS r
+               FROM tf WHERE h = 1 ORDER BY n DESC, token LIMIT 32),
+        c AS (SELECT t1.token, abs(t1.r - t2.r) AS shift
+              FROM t1 JOIN t2 USING (token))
+        SELECT CAST(32 AS BIGINT) AS k,
+               CAST((SELECT count(*) FROM c) AS BIGINT) AS n_common,
+               CAST((SELECT coalesce(sum(shift), 0) FROM c) AS BIGINT)
+                 AS rank_shift_sum,
+               CAST(32 - (SELECT count(*) FROM c) AS BIGINT)
+                 AS new_in_h2
+    """
+
+    # cmh_test: per-stratum exact 2x2 sufficient rows.
+    sql["cmh_test"] = """
+        WITH buyers AS (SELECT DISTINCT o_custkey FROM orders),
+        c AS (SELECT c_mktsegment AS stratum,
+                     CAST(c_acctbal >= 0 AS BIGINT) AS ex,
+                     CAST(c_custkey IN (SELECT o_custkey FROM buyers)
+                          AS BIGINT) AS oc
+              FROM customer)
+        SELECT stratum, CAST(sum(ex * oc) AS BIGINT) AS a,
+               CAST(sum(ex) AS BIGINT) AS r1,
+               CAST(sum(oc) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS n
+        FROM c GROUP BY 1 ORDER BY 1
     """
 
     return sql

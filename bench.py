@@ -221,6 +221,7 @@ def run_queries() -> dict[str, float]:
         "k_anon_ladder", "lang_homophily",
         "blocking_union_eval", "hll_union_error",
         "minhash_threshold_curve", "recycled_content_rate",
+        "head_churn", "cmh_test",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -12293,3 +12293,120 @@ def hll_union_error(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df
+
+
+def cmh_test(sf_dir: str) -> "pd.DataFrame":
+    """Exact Cochran-Mantel-Haenszel sufficient statistics — the
+    STRATIFIED 2×2 association test that completes the categorical
+    family (chi2_independence tests the marginal table; CMH tests
+    exposure→outcome WITHIN strata, immune to the confounding that
+    makes marginal associations lie — Simpson's paradox, quantified):
+    strata = market segment, exposure = non-negative account
+    balance, outcome = customer placed ≥ 1 order. Per stratum the
+    exact 2×2 row (stratum, a, r1, c1, n) where a = exposed∧outcome,
+    r1/c1 = margins: the CMH statistic
+    (Σa − Σ r1·c1/n)² / Σ r1·c1·(n−r1)(n−c1)/(n²(n−1)) is exact
+    rational arithmetic downstream, per-stratum expectations never
+    floored early. Output one row per stratum.
+
+    Scale shape: the customer projection and an orders semi-join
+    flag meet in one custkey co-partition (never a broadcast); the
+    2×2 grid folds in a bounded ≤|segments|-cell exchange."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        bal = batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "ck": pa.array(ck, pa.int64()),
+                "seg": batch.column("c_mktsegment"),
+                "exposed": pa.array((bal >= 0).astype(np.int64), pa.int64()),
+                "side": pa.array(np.zeros(len(ck), np.int64), pa.int64()),
+                "part": pa.array(ck % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        ck = np.unique(
+            batch.column("o_custkey").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        return pa.table(
+            {
+                "ck": pa.array(ck, pa.int64()),
+                "seg": pa.array([""] * len(ck), pa.string()),
+                "exposed": pa.array(np.zeros(len(ck), np.int64), pa.int64()),
+                "side": pa.array(np.ones(len(ck), np.int64), pa.int64()),
+                "part": pa.array(ck % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def grid_part(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        ck = part_tbl.column("ck").to_numpy(zero_copy_only=False)
+        seg = part_tbl.column("seg").to_pandas().to_numpy(dtype=object)
+        ex = part_tbl.column("exposed").to_numpy(zero_copy_only=False)
+        side = part_tbl.column("side").to_numpy(zero_copy_only=False)
+        buyers = np.unique(ck[side == 1])
+        cmask = side == 0
+        has = np.isin(ck[cmask], buyers).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "seg": seg[cmask],
+                    "n": 1,
+                    "r1": ex[cmask],
+                    "c1": has,
+                    "a": ex[cmask] * has,
+                }
+            )
+            .groupby("seg", sort=False)
+            .agg(n=("n", "sum"), r1=("r1", "sum"), c1=("c1", "sum"),
+                 a=("a", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "stratum": pa.array(g["seg"], pa.string()),
+                "a": pa.array(g["a"].to_numpy(np.int64), pa.int64()),
+                "r1": pa.array(g["r1"].to_numpy(np.int64), pa.int64()),
+                "c1": pa.array(g["c1"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        cust.map_batches(cust_side, batch_format="pyarrow")
+        .union(orders.map_batches(order_side, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(grid_part, batch_format="pyarrow")
+        .groupby("stratum")
+        .aggregate(
+            _Sum("a", alias_name="a"),
+            _Sum("r1", alias_name="r1"),
+            _Sum("c1", alias_name="c1"),
+            _Sum("n", alias_name="n"),
+        )
+        .take_all()  # bounded: one row per segment
+    )
+    df = pd.DataFrame(rows).sort_values("stratum", ignore_index=True)
+    for c in ["a", "r1", "c1", "n"]:
+        df[c] = df[c].astype("int64")
+    return df[["stratum", "a", "r1", "c1", "n"]]

@@ -2066,3 +2066,90 @@ def zipf_head_audit(sf_dir: str) -> "pd.DataFrame":
     for c in ["rank", "freq", "zipf_ratio_milli"]:
         df[c] = df[c].astype("int64")
     return df[["rank", "token", "freq", "zipf_ratio_milli"]]
+
+
+HEAD_CHURN_K = 32
+
+
+def head_churn(sf_dir: str) -> "pd.DataFrame":
+    """Heavy-hitter churn — how stable is the token HEAD between the
+    two corpus halves: the top-HEAD_CHURN_K tokens per half (by
+    half-local frequency, (count DESC, token ASC) order), their
+    overlap, and the exact total rank displacement of the common
+    tokens — the one-row stability readout token_df_drift's per-token
+    list doesn't summarize (a stable head with churn in the tail is
+    healthy drift; head churn means the domain mix moved). Output:
+    (k, n_common, rank_shift_sum, new_in_h2).
+
+    Scale shape: one (token, half) count fold, two K-bounded
+    sort-limits; the comparison touches 2K driver rows."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.textstats import words_of
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_docs = int(docs.count())
+    cut = n_docs // 2
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        import collections
+
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        c: collections.Counter = collections.Counter()
+        for did, tx in zip(ids, texts):
+            h = 0 if did < cut else 1
+            for w in words_of(tx or ""):
+                c[(w, h)] += 1
+        return pa.table(
+            {
+                "token": pa.array([k[0] for k in c], pa.string()),
+                "h": pa.array([k[1] for k in c], pa.int64()),
+                "n": pa.array(
+                    np.fromiter(c.values(), np.int64, len(c)), pa.int64()
+                ),
+            }
+        )
+
+    counts = (
+        docs.map_batches(tok_partial, batch_format="pyarrow")
+        .groupby(["token", "h"])
+        .aggregate(_Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    def top_half(h: int) -> list:
+        def keep(batch: pa.Table, h=h) -> pa.Table:
+            hh = batch.column("h").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(hh == h))
+
+        rows = (
+            counts.map_batches(keep, batch_format="pyarrow")
+            .sort(["n", "token"], descending=[True, False])
+            .limit(HEAD_CHURN_K)
+            .take_all()
+        )
+        return [r["token"] for r in rows]
+
+    t1, t2 = top_half(0), top_half(1)
+    r1 = {t: i for i, t in enumerate(t1)}
+    r2 = {t: i for i, t in enumerate(t2)}
+    common = [t for t in t1 if t in r2]
+    shift = sum(abs(r1[t] - r2[t]) for t in common)
+    df = pd.DataFrame(
+        [
+            {
+                "k": HEAD_CHURN_K,
+                "n_common": len(common),
+                "rank_shift_sum": shift,
+                "new_in_h2": HEAD_CHURN_K - len(common),
+            }
+        ]
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df

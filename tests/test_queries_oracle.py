@@ -434,6 +434,8 @@ SUBSET = [
     "hll_union_error",
     "minhash_threshold_curve",
     "recycled_content_rate",
+    "head_churn",
+    "cmh_test",
     # round-4 wave 14: shared-scan grouping sets (LMFAO)
     "multi_groupby",
     "extract_status",
