@@ -1997,6 +1997,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # co-partition semi-join + bounded stratum fold. Tail-seated
         # by design: the stratified leg of the categorical family.
         "cmh_test": analytics.cmh_test,
+        # (round 4, wave 122) truncated-digest collision census —
+        # exact bucket/pair counts at 16/24/32-bit md5 prefixes: the
+        # birthday-curve measurement behind sizing a dedup shuffle
+        # key; one (bits, bucket) coarse shuffle + a 3-row fold.
+        # Tail-seated by design: the key-sizing audit of dedup_exact.
+        "hash_collision_audit": dedup.hash_collision_audit,
+        # (round 4, wave 122) Hodges-Lehmann pseudo-median per
+        # segment — exact lower/upper middle order statistics of the
+        # Walsh-sum multiset, selected by binary search over a
+        # domain-bounded (segment, cents) histogram: O(n²) pairs at
+        # histogram cost, never materialized. Tail-seated by design:
+        # the robust-location leg beside winsorized_stats.
+        "hodges_lehmann": analytics.hodges_lehmann,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -9915,6 +9928,50 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(oc) AS BIGINT) AS c1,
                CAST(count(*) AS BIGINT) AS n
         FROM c GROUP BY 1 ORDER BY 1
+    """
+
+    # hash_collision_audit: truncated-md5 bucket census per width.
+    sql["hash_collision_audit"] = """
+        WITH d AS (SELECT md5(text) AS h FROM documents),
+        w AS (SELECT * FROM (VALUES (16, 4), (24, 6), (32, 8))
+              AS t(bits, chars)),
+        b AS (SELECT bits, substr(h, 1, chars) AS bucket,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM d CROSS JOIN w GROUP BY 1, 2)
+        SELECT CAST(bits AS BIGINT) AS width_bits,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_colliding_buckets,
+               CAST(sum(c * (c - 1) // 2) AS BIGINT)
+                 AS n_colliding_pairs,
+               CAST(max(c) AS BIGINT) AS max_bucket
+        FROM b GROUP BY 1 ORDER BY 1
+    """
+
+    # hodges_lehmann: exact middle order statistics of the per-segment
+    # Walsh-sum multiset (x_i + x_j, i <= j) over balance cents.
+    sql["hodges_lehmann"] = """
+        WITH c AS (SELECT c_mktsegment AS seg,
+                          CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                            AS v,
+                          row_number() OVER (ORDER BY c_custkey) AS rid
+                   FROM customer),
+        p AS (SELECT a.seg, a.v + b.v AS ws
+              FROM c a JOIN c b ON a.seg = b.seg AND a.rid <= b.rid),
+        r AS (SELECT seg, ws,
+                     row_number() OVER (PARTITION BY seg ORDER BY ws)
+                       AS rk,
+                     count(*) OVER (PARTITION BY seg) AS m
+              FROM p),
+        nn AS (SELECT seg, CAST(count(*) AS BIGINT) AS n
+               FROM c GROUP BY 1)
+        SELECT r.seg AS segment, max(nn.n) AS n,
+               CAST(max(CASE WHEN rk = (m + 1) // 2 THEN ws END)
+                 AS BIGINT) AS walsh_lo,
+               CAST(max(CASE WHEN rk = m // 2 + 1 THEN ws END)
+                 AS BIGINT) AS walsh_hi
+        FROM r JOIN nn ON r.seg = nn.seg
+        GROUP BY 1 ORDER BY 1
     """
 
     return sql

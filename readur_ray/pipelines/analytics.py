@@ -12410,3 +12410,100 @@ def cmh_test(sf_dir: str) -> "pd.DataFrame":
     for c in ["a", "r1", "c1", "n"]:
         df[c] = df[c].astype("int64")
     return df[["stratum", "a", "r1", "c1", "n"]]
+
+
+def hodges_lehmann(sf_dir: str) -> "pd.DataFrame":
+    """Exact Hodges-Lehmann pseudo-median per market segment — the
+    median of the Walsh-average multiset {(x_i + x_j)/2 : i ≤ j} over
+    customer balances (integer cents): the location estimator dual to
+    the Wilcoxon signed-rank test, ~95% Gaussian-efficient yet with a
+    29% breakdown point — the robust-location leg the stats family
+    lacks (`winsorized_stats` trims by quantile, `tukey_fences` flags
+    by IQR, `theil_sen_slope` is the HL idea applied to slopes; this
+    is the HL estimator itself). To stay in integers the output is
+    the lower/upper middle ORDER STATISTICS of the Walsh-SUM multiset
+    (x_i + x_j, i ≤ j): hl_cents = (walsh_lo + walsh_hi) / 4.
+
+    Scale shape: never materializes the O(n²) pair multiset — a
+    per-batch (segment, cents) → count pre-reduction bounds the
+    shuffled rows by the DISCRETE balance domain (acctbal spans
+    [-999.99, 9999.99]: ≤ 1.1M distinct cents, the `weighted_median`
+    contract), then per-segment the k-th smallest Walsh sum is found
+    by binary search over the sum domain with a vectorized
+    two-pointer/prefix-sum count of pairs ≤ T (O(D log D) per probe,
+    ~22 probes) — selection over n² implicit pairs at histogram
+    cost. Output (segment, n, walsh_lo, walsh_hi)."""
+    import pandas as pd
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_mktsegment", "c_acctbal"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        bal = batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        cents = np.floor(bal * 100.0 + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                "seg": batch.column("c_mktsegment"),
+                "v": pa.array(cents, pa.int64()),
+                "c": pa.array(np.ones(len(cents), np.int64), pa.int64()),
+            }
+        ).group_by(["seg", "v"]).aggregate([("c", "sum")])
+        return pa.table(
+            {
+                "seg": t.column("seg"),
+                "v": t.column("v"),
+                "c": t.column("c_sum").cast(pa.int64()),
+            }
+        )
+
+    def pick(group: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        df = group.to_pandas().groupby("v", sort=True)["c"].sum()
+        vals = df.index.to_numpy(dtype=np.int64)
+        cnt = df.to_numpy(dtype=np.int64)
+        cum = cnt.cumsum()
+        n = int(cum[-1])
+        m = n * (n + 1) // 2
+        k1, k2 = (m + 1) // 2, m // 2 + 1
+
+        def pairs_le(t: int) -> int:
+            # ordered pairs (any order, incl i=j) with v_i + v_j <= t
+            idx = np.searchsorted(vals, t - vals, side="right") - 1
+            w = np.where(idx >= 0, cum[np.maximum(idx, 0)], 0)
+            p = int((cnt * w).sum())
+            d = int(cnt[2 * vals <= t].sum())
+            return (p + d) // 2
+
+        def kth(k: int) -> int:
+            lo, hi = int(2 * vals[0]), int(2 * vals[-1])
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if pairs_le(mid) >= k:
+                    hi = mid
+                else:
+                    lo = mid + 1
+            return lo
+
+        return pa.table(
+            {
+                "segment": pa.array(
+                    [group.column("seg")[0].as_py()], pa.string()
+                ),
+                "n": pa.array([n], pa.int64()),
+                "walsh_lo": pa.array([kth(k1)], pa.int64()),
+                "walsh_hi": pa.array([kth(k2)], pa.int64()),
+            }
+        )
+
+    rows = (
+        cust.map_batches(partials, batch_format="pyarrow")
+        .groupby("seg")
+        .map_groups(pick, batch_format="pyarrow")
+        .take_all()  # bounded: one row per segment
+    )
+    df = pd.DataFrame(rows).sort_values("segment", ignore_index=True)
+    for c in ["n", "walsh_lo", "walsh_hi"]:
+        df[c] = df[c].astype("int64")
+    return df[["segment", "n", "walsh_lo", "walsh_hi"]]

@@ -3451,3 +3451,115 @@ def recycled_content_rate(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df
+
+
+def hash_collision_audit(sf_dir: str) -> "pd.DataFrame":
+    """Dedup-KEY-SIZING audit — exact collision census of truncated
+    content digests: for md5(text) truncated to 16 / 24 / 32 bits
+    (4 / 6 / 8 hex chars), the number of occupied buckets, buckets
+    holding >1 doc, total colliding PAIRS (Σ c·(c−1)/2 — the number
+    of false exact-dup candidates a key that narrow would emit), and
+    the largest bucket. This is the measurement behind choosing the
+    dedup shuffle key width: `dedup_exact` keys on the full digest;
+    a sharded index that truncates (to pack the key into an int or a
+    fixed-width prefix) trades key bytes for exactly these collision
+    pairs, and the birthday curve (n²/2^{w+1} expected pairs) can be
+    read straight off the three rows. Output one row per width.
+
+    Scale shape: digests are computed once per doc in a streaming
+    pass and pre-reduced per batch to (bits, bucket, count) rows —
+    never one row per doc per width downstream; the bucket census is
+    one coarse crc32(bucket) shuffle (a bucket's rows co-locate, so
+    the per-partition census is vectorized pandas), then a ≤ 3·64-row
+    (width, partial) fold. No driver state beyond the 3-row result."""
+    import hashlib
+
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    from ..stages.shuffle import str_partition
+
+    docs = _read_docs(sf_dir)
+    WIDTHS = ((16, 4), (24, 6), (32, 8))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        digests = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+        bits_out, bucket_out, cnt_out = [], [], []
+        for bits, chars in WIDTHS:
+            s = pd.Series([d[:chars] for d in digests]).value_counts()
+            bits_out.extend([bits] * len(s))
+            bucket_out.extend(s.index.tolist())
+            cnt_out.extend(int(v) for v in s.to_numpy())
+        t = pa.table(
+            {
+                "bits": pa.array(bits_out, pa.int64()),
+                "bucket": pa.array(bucket_out, pa.string()),
+                "c": pa.array(cnt_out, pa.int64()),
+            }
+        )
+        part = str_partition(t.column("bucket").to_pylist())
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def census(part_tbl: pa.Table) -> pa.Table:
+        df = part_tbl.to_pandas()
+        g = df.groupby(["bits", "bucket"], sort=False)["c"].sum()
+        per = g.reset_index().groupby("bits")["c"]
+        agg = pd.DataFrame(
+            {
+                "n_buckets": per.count(),
+                "n_colliding_buckets": per.apply(
+                    lambda s: int((s > 1).sum())
+                ),
+                "n_colliding_pairs": per.apply(
+                    lambda s: int((s * (s - 1) // 2).sum())
+                ),
+                "max_bucket": per.max(),
+            }
+        ).reset_index()
+        return pa.table(
+            {
+                "width_bits": pa.array(
+                    agg["bits"].to_numpy(np.int64), pa.int64()
+                ),
+                "n_buckets": pa.array(
+                    agg["n_buckets"].to_numpy(np.int64), pa.int64()
+                ),
+                "n_colliding_buckets": pa.array(
+                    agg["n_colliding_buckets"].to_numpy(np.int64), pa.int64()
+                ),
+                "n_colliding_pairs": pa.array(
+                    agg["n_colliding_pairs"].to_numpy(np.int64), pa.int64()
+                ),
+                "max_bucket": pa.array(
+                    agg["max_bucket"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    rows = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(census, batch_format="pyarrow")
+        .groupby("width_bits")
+        .aggregate(
+            _Sum("n_buckets", alias_name="n_buckets"),
+            _Sum("n_colliding_buckets", alias_name="n_colliding_buckets"),
+            _Sum("n_colliding_pairs", alias_name="n_colliding_pairs"),
+            _Max("max_bucket", alias_name="max_bucket"),
+        )
+        .take_all()  # bounded: exactly 3 width rows
+    )
+    df = pd.DataFrame(rows).sort_values("width_bits", ignore_index=True)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df[
+        [
+            "width_bits",
+            "n_buckets",
+            "n_colliding_buckets",
+            "n_colliding_pairs",
+            "max_bucket",
+        ]
+    ]
