@@ -2010,6 +2010,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # histogram cost, never materialized. Tail-seated by design:
         # the robust-location leg beside winsorized_stats.
         "hodges_lehmann": analytics.hodges_lehmann,
+        # (round 4, wave 123) k-core peeling cascade — fixed-round
+        # simultaneous-removal census (k, round, n_nodes,
+        # n_survivors) for k∈{2,3} over the mutual-kNN graph: the
+        # density-skeleton readout triangle_census/rich_club lack;
+        # width-1 escape below 2M directed rows, else one degree
+        # co-partition + two edge-drop co-partitions per round.
+        # Tail-seated by design: the iterative-peel leg of the graph
+        # family.
+        "k_core_peel": similarity.k_core_peel,
+        # (round 4, wave 123) Roaring container plan — per 2^16
+        # chunk of the distinct order-key set: exact value/run
+        # counts and the array/bitmap/run container choice with its
+        # serialized cost; per-batch pre-distinct + one chunk-keyed
+        # exchange. Tail-seated by design: the per-container
+        # complement of bitmap_index_audit.
+        "roaring_container_audit": analytics.roaring_container_audit,
+        # (round 4, wave 124) McNemar paired-gate statistics — the
+        # exact 2×2 paired cells + (b−c)²/(b+c) integer pieces for
+        # the length gate vs the stopword gate on the same docs: the
+        # paired test chi2_independence can't do; one streaming pass,
+        # 4-cell fold. Tail-seated by design: the paired leg of the
+        # categorical test family.
+        "mcnemar_test": textops.mcnemar_test,
+        # (round 4, wave 124) Threshold-Algorithm depth audit — exact
+        # TA state (threshold, seen count, k-th best, stop flag) at
+        # audited sorted-access depths for the two-score rank join:
+        # two bounded sort-limits + one streaming pass with per-depth
+        # batch-local top-k partials. Tail-seated by design: the
+        # early-termination certificate beside rrf_fusion.
+        "ta_topk_depth_audit": analytics.ta_topk_depth_audit,
+        # (round 4, wave 125) Haar wavelet synopsis — top-16 integer
+        # detail coefficients of the daily-revenue series by exact
+        # basis energy (arbitrary-precision compare): the
+        # multi-resolution synopsis of the time-series family; one
+        # day-domain-bounded fold + driver transform. Tail-seated by
+        # design: the scale-decomposition leg beside ewma/seasonality.
+        "haar_synopsis": analytics.haar_synopsis,
+        # (round 4, wave 125) equi-depth selectivity error — the
+        # 16-bucket histogram estimate vs true count for six range
+        # predicates, exact floor arithmetic; one price-domain-bounded
+        # histogram fold, audit vectorized in one task. Tail-seated
+        # by design: the within-column complement of
+        # selectivity_drift.
+        "histogram_selectivity_audit": analytics.histogram_selectivity_audit,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -9972,6 +10016,215 @@ def oracle_sql() -> dict[str, str]:
                  AS BIGINT) AS walsh_hi
         FROM r JOIN nn ON r.seg = nn.seg
         GROUP BY 1 ORDER BY 1
+    """
+
+    # k_core_peel: fixed-round peel replay, unrolled per (k, round)
+    # with the same simultaneous-removal semantics as the Ray plan.
+    _kc_ctes = [
+        f"mk AS MATERIALIZED (SELECT vec_a, vec_b FROM ({sql['mutual_knn']}))",
+        "g0 AS MATERIALIZED (SELECT vec_a AS v, vec_b AS u FROM mk"
+        " UNION ALL SELECT vec_b, vec_a FROM mk)",
+    ]
+    _kc_selects = []
+    for _k in (2, 3):
+        _prev = "g0"
+        for _r in range(1, 7):
+            _s, _g = f"s_{_k}_{_r}", f"g_{_k}_{_r}"
+            _kc_ctes.append(
+                f"{_s} AS MATERIALIZED (SELECT v FROM {_prev}"
+                f" GROUP BY v HAVING count(*) >= {_k})"
+            )
+            _kc_selects.append(
+                f"SELECT CAST({_k} AS BIGINT) AS k,"
+                f" CAST({_r} AS BIGINT) AS round,"
+                f" CAST((SELECT count(DISTINCT v) FROM {_prev}) AS BIGINT)"
+                f" AS n_nodes,"
+                f" CAST((SELECT count(*) FROM {_s}) AS BIGINT)"
+                f" AS n_survivors"
+            )
+            _kc_ctes.append(
+                f"{_g} AS MATERIALIZED (SELECT g.v, g.u FROM {_prev} g"
+                f" JOIN {_s} a ON g.v = a.v JOIN {_s} b ON g.u = b.v)"
+            )
+            _prev = _g
+    sql["k_core_peel"] = (
+        "WITH "
+        + ",\n".join(_kc_ctes)
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(_kc_selects)
+        + ") ORDER BY k, round"
+    )
+
+    # roaring_container_audit: per-2^16-chunk container plan over the
+    # distinct order-key set (array 2n / bitmap 8192 / run 2+4r).
+    sql["roaring_container_audit"] = """
+        WITH d AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS v
+                   FROM orders),
+        c AS (SELECT v, v // 65536 AS chunk FROM d),
+        r AS (SELECT chunk, v,
+                     CASE WHEN v - lag(v) OVER (PARTITION BY chunk
+                                                ORDER BY v) = 1
+                          THEN 0 ELSE 1 END AS newrun
+              FROM c),
+        s AS (SELECT chunk, CAST(count(*) AS BIGINT) AS n_values,
+                     CAST(sum(newrun) AS BIGINT) AS n_runs
+              FROM r GROUP BY 1)
+        SELECT CAST(chunk AS BIGINT) AS chunk, n_values, n_runs,
+               CASE WHEN 2 + 4 * n_runs <
+                         CASE WHEN n_values <= 4096 THEN 2 * n_values
+                              ELSE 8192 END THEN 'run'
+                    WHEN n_values <= 4096 THEN 'array'
+                    ELSE 'bitmap' END AS container,
+               CAST(CASE WHEN 2 + 4 * n_runs <
+                              CASE WHEN n_values <= 4096
+                                   THEN 2 * n_values ELSE 8192 END
+                         THEN 2 + 4 * n_runs
+                         WHEN n_values <= 4096 THEN 2 * n_values
+                         ELSE 8192 END AS BIGINT) AS est_bytes
+        FROM s ORDER BY chunk
+    """
+
+    # mcnemar_test: paired 2x2 cells of the two quality gates.
+    sql["mcnemar_test"] = f"""
+        WITH q AS ({sql["quality_score"]}),
+        g AS (SELECT CAST(ws_tokens >= 20 AS BIGINT) AS a,
+                     CAST(10 * hits_en >= ws_tokens AS BIGINT) AS b
+              FROM q)
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a * b) AS BIGINT) AS both_pass,
+               CAST(sum(a * (1 - b)) AS BIGINT) AS a_only,
+               CAST(sum((1 - a) * b) AS BIGINT) AS b_only,
+               CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS neither,
+               CAST((sum(a * (1 - b)) - sum((1 - a) * b))
+                    * (sum(a * (1 - b)) - sum((1 - a) * b)) AS BIGINT)
+                 AS stat_num,
+               CAST(sum(a * (1 - b)) + sum((1 - a) * b) AS BIGINT)
+                 AS stat_den
+        FROM g
+    """
+
+    # ta_topk_depth_audit: exact TA state at audited depths.
+    sql["ta_topk_depth_audit"] = """
+        WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS id,
+                          CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                            AS s1,
+                          CAST(p_size AS BIGINT) * 1000 AS s2
+                   FROM part),
+        r AS (SELECT id, s1, s2, s1 + s2 AS total,
+                     row_number() OVER (ORDER BY s1 DESC, id) AS r1,
+                     row_number() OVER (ORDER BY s2 DESC, id) AS r2
+              FROM p),
+        g AS (SELECT d FROM (VALUES (1), (2), (4), (8), (16), (32),
+                                    (64), (128), (256)) AS t(d)
+              WHERE d <= (SELECT count(*) FROM p)),
+        thr AS (SELECT g.d,
+                       (SELECT s1 FROM r WHERE r1 = g.d)
+                       + (SELECT s2 FROM r WHERE r2 = g.d) AS threshold
+                FROM g),
+        seen AS (SELECT g.d, r.total
+                 FROM g JOIN r ON r.r1 <= g.d OR r.r2 <= g.d),
+        kb AS (SELECT d, CAST(count(*) AS BIGINT) AS n_seen,
+                      max(CASE WHEN rk = 8 THEN total END) AS kth
+               FROM (SELECT d, total,
+                            row_number() OVER (PARTITION BY d
+                                               ORDER BY total DESC) AS rk
+                     FROM seen)
+               GROUP BY d)
+        SELECT CAST(kb.d AS BIGINT) AS depth, kb.n_seen,
+               CAST(thr.threshold AS BIGINT) AS threshold,
+               CAST(coalesce(kb.kth, -1) AS BIGINT) AS kth_best,
+               CAST(coalesce(kb.kth, -1) >= thr.threshold AS BIGINT)
+                 AS stopped
+        FROM kb JOIN thr ON kb.d = thr.d
+        ORDER BY 1
+    """
+
+    # haar_synopsis: unrolled integer Haar levels; energy ranking in
+    # HUGEINT (exact, mirrors Python arbitrary-precision ints).
+    _hs_ctes = [
+        "dd AS (SELECT CAST(date_diff('day', DATE '1992-01-01',"
+        " CAST(l_shipdate AS DATE)) AS BIGINT)"
+        " AS day, CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        " AS cents FROM lineitem)",
+        "ds AS (SELECT day, CAST(sum(cents) AS BIGINT) AS s FROM dd"
+        " GROUP BY 1)",
+        "lv0 AS MATERIALIZED (SELECT t.i AS pos, coalesce(ds.s, 0) AS s"
+        " FROM range(4096) t(i) LEFT JOIN ds ON ds.day = t.i)",
+    ]
+    _hs_dets = []
+    for _l in range(1, 13):
+        _hs_ctes.append(
+            f"lv{_l} AS MATERIALIZED (SELECT pos // 2 AS pos,"
+            f" CAST(sum(s) AS BIGINT) AS s,"
+            f" CAST(sum(CASE WHEN pos % 2 = 0 THEN s ELSE -s END)"
+            f" AS BIGINT) AS d FROM lv{_l - 1} GROUP BY 1)"
+        )
+        _hs_dets.append(
+            f"SELECT CAST({_l} AS BIGINT) AS level, CAST(pos AS BIGINT)"
+            f" AS pos, d AS coef,"
+            f" CAST(d AS HUGEINT) * CAST(d AS HUGEINT)"
+            f" * CAST({1 << (12 - _l)} AS HUGEINT) AS energy FROM lv{_l}"
+        )
+    sql["haar_synopsis"] = (
+        "WITH "
+        + ",\n".join(_hs_ctes)
+        + ",\ndt AS ("
+        + " UNION ALL ".join(_hs_dets)
+        + ")\nSELECT CAST(row_number() OVER (ORDER BY energy DESC,"
+        " level, pos) AS BIGINT) AS rnk, level, pos, coef FROM dt"
+        " ORDER BY energy DESC, level, pos LIMIT 16"
+    )
+
+    # histogram_selectivity_audit: 16-bucket equi-depth estimate vs
+    # true count, exact floor arithmetic on half-open cent ranges.
+    sql["histogram_selectivity_audit"] = """
+        WITH vv AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5)
+                               AS BIGINT) AS v FROM lineitem),
+        h AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM vv
+              GROUP BY 1),
+        o AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT)
+                     AS cum
+              FROM h),
+        nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+        bk AS (SELECT t.b,
+                      CAST(t.b * nn.n // 16 AS BIGINT) AS lo_rank,
+                      CAST((t.b + 1) * nn.n // 16 AS BIGINT) AS hi_rank
+               FROM range(16) t(b), nn),
+        bounds AS (SELECT bk.b, bk.hi_rank - bk.lo_rank AS nb,
+                          (SELECT min(v) FROM o
+                           WHERE cum >= bk.lo_rank + 1) AS minb,
+                          (SELECT min(v) FROM o
+                           WHERE cum >= bk.hi_rank) AS maxb
+                   FROM bk WHERE bk.hi_rank > bk.lo_rank),
+        preds AS (SELECT * FROM (VALUES
+                    (1, 100000, 200000),
+                    (2, 1000000, 2000000),
+                    (3, 2000000, 4000000),
+                    (4, 5000000, 10000000),
+                    (5, 0, 1500000),
+                    (6, 9000000, 99999999)) p(pid, lo, hi)),
+        est AS (SELECT p.pid, p.lo, p.hi,
+                       CAST(sum(CASE WHEN least(p.hi, maxb + 1)
+                                          - greatest(p.lo, minb) > 0
+                                     THEN nb * (least(p.hi, maxb + 1)
+                                          - greatest(p.lo, minb))
+                                          // (maxb + 1 - minb)
+                                     ELSE 0 END) AS BIGINT) AS est_rows
+                FROM preds p CROSS JOIN bounds
+                GROUP BY 1, 2, 3),
+        tr AS (SELECT p.pid,
+                      CAST(coalesce(sum(h.c), 0) AS BIGINT) AS true_rows
+               FROM preds p LEFT JOIN h
+                 ON h.v >= p.lo AND h.v < p.hi
+               GROUP BY 1)
+        SELECT CAST(est.pid AS BIGINT) AS pred_id,
+               CAST(est.lo AS BIGINT) AS lo,
+               CAST(est.hi AS BIGINT) AS hi,
+               est.est_rows, tr.true_rows,
+               CAST(abs(est.est_rows - tr.true_rows) AS BIGINT)
+                 AS abs_err
+        FROM est JOIN tr ON est.pid = tr.pid
+        ORDER BY 1
     """
 
     return sql

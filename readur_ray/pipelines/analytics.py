@@ -12507,3 +12507,443 @@ def hodges_lehmann(sf_dir: str) -> "pd.DataFrame":
     for c in ["n", "walsh_lo", "walsh_hi"]:
         df[c] = df[c].astype("int64")
     return df[["segment", "n", "walsh_lo", "walsh_hi"]]
+
+
+def roaring_container_audit(sf_dir: str) -> "pd.DataFrame":
+    """Roaring-bitmap CONTAINER plan for the distinct order-key set —
+    per 2^16-value chunk, the exact distinct count, the number of
+    maximal consecutive-integer runs, and the container the Roaring
+    rules pick with its serialized cost: `array` (2 bytes/value) when
+    ≤ 4096 values, `bitmap` (fixed 8 KiB) above, overridden by `run`
+    (2 + 4·runs bytes) when cheaper — the storage layout every
+    bitmap-index / posting-list engine (Lucene, ClickHouse, Druid,
+    Pilosa) derives from exactly these three numbers. TPC-H order
+    keys are gappy by construction (3 of every 4 key slots unused),
+    so chunks sit near the array/run boundary and the audit is a
+    non-trivial planning decision per chunk — the per-container
+    complement to `bitmap_index_audit`'s per-column view and
+    `rle_encoding_audit`'s sorted-column runs.
+
+    Scale shape: per-batch pre-distinct bounds the shuffled rows by
+    distinct keys per batch; one coarse chunk-keyed exchange
+    co-locates each chunk (a chunk's rows never straddle
+    partitions), then the census is one vectorized np.unique/diff
+    per partition. Output one row per chunk, ordered."""
+    import pandas as pd
+
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = np.unique(
+            batch.column("o_orderkey").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        chunk = v >> 16
+        return pa.table(
+            {
+                "chunk": pa.array(chunk, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "part": pa.array(chunk % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def census(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        df = pd.DataFrame(
+            {
+                "chunk": part_tbl.column("chunk").to_numpy(
+                    zero_copy_only=False
+                ),
+                "v": part_tbl.column("v").to_numpy(zero_copy_only=False),
+            }
+        )
+        rows = []
+        for chunk, g in df.groupby("chunk", sort=True):
+            vals = np.unique(g["v"].to_numpy(np.int64))
+            n = len(vals)
+            runs = 1 + int((np.diff(vals) > 1).sum()) if n else 0
+            run_cost = 2 + 4 * runs
+            alt_cost = 2 * n if n <= 4096 else 8192
+            if run_cost < alt_cost:
+                cont, cost = "run", run_cost
+            elif n <= 4096:
+                cont, cost = "array", alt_cost
+            else:
+                cont, cost = "bitmap", alt_cost
+            rows.append((int(chunk), n, runs, cont, cost))
+        return pa.table(
+            {
+                "chunk": pa.array([r[0] for r in rows], pa.int64()),
+                "n_values": pa.array([r[1] for r in rows], pa.int64()),
+                "n_runs": pa.array([r[2] for r in rows], pa.int64()),
+                "container": pa.array([r[3] for r in rows], pa.string()),
+                "est_bytes": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+
+    df = (
+        orders.map_batches(partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: census(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    for c in ["chunk", "n_values", "n_runs", "est_bytes"]:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("chunk", ignore_index=True)[
+        ["chunk", "n_values", "n_runs", "container", "est_bytes"]
+    ]
+
+
+TA_K = 8                    # rank-join top-k
+TA_GRID = (1, 2, 4, 8, 16, 32, 64, 128, 256)  # audited sorted-access depths
+
+
+def ta_topk_depth_audit(sf_dir: str) -> "pd.DataFrame":
+    """Fagin Threshold-Algorithm EARLY-TERMINATION audit for the
+    rank-join top-k over two part scores (s1 = retail-price cents,
+    s2 = 1000·size): at each audited sorted-access depth d, the
+    exact TA state — threshold T(d) = s1@d + s2@d (the d-th entries
+    of the two descending lists, ties broken by part id), the number
+    of items SEEN (rank ≤ d in either list), and the k-th best exact
+    total among seen items — plus the stop flag kth_best ≥ T(d).
+    The first stopped depth is how deep a top-k rank join must scan
+    before the TA bound certifies the answer: the measurement behind
+    choosing sorted-access prefetch for any score-combining top-k
+    (retrieval fusion, `rrf_fusion`'s cousin with a certificate).
+
+    Scale shape: the two depth-256 list prefixes come from two
+    bounded sort-limits (driver holds 2·256 rows — the audited-depth
+    contract); the cutoffs broadcast in-closure and item scoring is
+    ONE streaming pass emitting per-(depth) partials: a seen-count
+    cell plus the batch-local top-k totals; the global k-th best is
+    a per-depth top-k merge over ≤ k·|grid| rows per partition fold.
+    Never a full rank materialization, never a driver scan."""
+    import pandas as pd
+
+    parts_ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_retailprice", "p_size"],
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        pk = batch.column("p_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        s1 = np.floor(
+            batch.column("p_retailprice").to_numpy(zero_copy_only=False)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        s2 = batch.column("p_size").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) * 1000
+        return pa.table(
+            {
+                "id": pa.array(pk, pa.int64()),
+                "s1": pa.array(s1, pa.int64()),
+                "s2": pa.array(s2, pa.int64()),
+            }
+        )
+
+    scored = parts_ds.map_batches(score, batch_format="pyarrow").materialize()
+    n_items = scored.count()
+    grid = [d for d in TA_GRID if d <= n_items]
+    max_d = grid[-1]
+
+    pre1 = scored.sort(["s1", "id"], descending=[True, False]).limit(
+        max_d
+    ).take_all()
+    pre2 = scored.sort(["s2", "id"], descending=[True, False]).limit(
+        max_d
+    ).take_all()
+    cut1 = [(int(pre1[d - 1]["s1"]), int(pre1[d - 1]["id"])) for d in grid]
+    cut2 = [(int(pre2[d - 1]["s2"]), int(pre2[d - 1]["id"])) for d in grid]
+    thresholds = {
+        d: cut1[i][0] + cut2[i][0] for i, d in enumerate(grid)
+    }
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        s1 = batch.column("s1").to_numpy(zero_copy_only=False)
+        s2 = batch.column("s2").to_numpy(zero_copy_only=False)
+        total = s1 + s2
+        d_out, seen_out, tot_out = [], [], []
+        for i, d in enumerate(grid):
+            c1v, c1i = cut1[i]
+            c2v, c2i = cut2[i]
+            seen = (
+                (s1 > c1v)
+                | ((s1 == c1v) & (ids <= c1i))
+                | (s2 > c2v)
+                | ((s2 == c2v) & (ids <= c2i))
+            )
+            tops = np.sort(total[seen])[::-1][:TA_K]
+            d_out.extend([d] * (1 + len(tops)))
+            seen_out.append(int(seen.sum()))
+            seen_out.extend([0] * len(tops))
+            tot_out.append(-1)
+            tot_out.extend(int(t) for t in tops)
+        return pa.table(
+            {
+                "d": pa.array(d_out, pa.int64()),
+                "n_seen": pa.array(seen_out, pa.int64()),
+                "cand": pa.array(tot_out, pa.int64()),
+            }
+        )
+
+    def per_depth(group: pa.Table) -> pa.Table:
+        d = int(group.column("d")[0].as_py())
+        seen = int(
+            group.column("n_seen").to_numpy(zero_copy_only=False).sum()
+        )
+        cand = group.column("cand").to_numpy(zero_copy_only=False)
+        cand = np.sort(cand[cand >= 0])[::-1]
+        kth = int(cand[TA_K - 1]) if len(cand) >= TA_K and seen >= TA_K else -1
+        return pa.table(
+            {
+                "depth": pa.array([d], pa.int64()),
+                "n_seen": pa.array([seen], pa.int64()),
+                "kth_best": pa.array([kth], pa.int64()),
+            }
+        )
+
+    rows = (
+        scored.map_batches(partials, batch_format="pyarrow")
+        .groupby("d")
+        .map_groups(per_depth, batch_format="pyarrow")
+        .take_all()  # bounded: one row per audited depth
+    )
+    df = pd.DataFrame(rows).sort_values("depth", ignore_index=True)
+    df["threshold"] = df["depth"].map(thresholds)
+    df["stopped"] = (
+        (df["kth_best"] >= 0) & (df["kth_best"] >= df["threshold"])
+    ).astype("int64")
+    for c in ["depth", "n_seen", "threshold", "kth_best", "stopped"]:
+        df[c] = df[c].astype("int64")
+    return df[["depth", "n_seen", "threshold", "kth_best", "stopped"]]
+
+
+HAAR_L = 12                 # series padded to 2^12 = 4096 days
+HAAR_TOP_K = 16             # synopsis size
+HAAR_EPOCH = np.datetime64("1992-01-01")
+
+
+def haar_synopsis(sf_dir: str) -> "pd.DataFrame":
+    """Exact Haar-wavelet SYNOPSIS of the daily-revenue series — the
+    top-16 detail coefficients of the unnormalized (integer) Haar
+    transform of day-indexed revenue cents (zero-padded to 2^12),
+    ranked by exact basis energy d²·2^{L−l}: the classic wavelet
+    synopsis every approximate-query engine keeps instead of the
+    full series (Matias/Vitter/Wang SIGMOD'98), and the
+    multi-RESOLUTION complement to the time-series family here
+    (`ewma_daily` smooths, `seasonality_dow` reads one period,
+    `changepoint_split` finds one break; the wavelet ranking says
+    WHICH scales carry the series' energy — a top-heavy low-level
+    set means high-frequency noise, top-heavy high-level
+    coefficients mean seasonal/trend structure). Integer sums/differences keep every
+    coefficient exact; energies are compared in arbitrary precision
+    (Python int / HUGEINT) so the ranking is bit-stable. Output
+    (rnk, level, pos, coef), rnk 1..16 by (energy desc, level, pos).
+
+    Scale shape: one domain-bounded (day, cents) fold — the day
+    domain is the 7-year TPC-H calendar (≤ 2 557 rows, the
+    `kendall_matrix_daily` contract) — then the 4096-point transform
+    is driver arithmetic. At a series too long to hold (10^9 points)
+    the transform tiles: each 2^k block transforms independently in
+    a map_groups and only block summaries recurse — the documented
+    dial; the day-grid fixture never needs it."""
+    import pandas as pd
+
+    lit = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_extendedprice"],
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        d = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        day = ((d.astype("datetime64[D]") - HAAR_EPOCH) // np.timedelta64(
+            1, "D"
+        )).astype(np.int64)
+        cents = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "day": pa.array(day, pa.int64()),
+                "c": pa.array(cents, pa.int64()),
+            }
+        ).group_by("day").aggregate([("c", "sum")])
+        return pa.table(
+            {
+                "day": t.column("day"),
+                "c": t.column("c_sum").cast(pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    rows = (
+        lit.map_batches(partials, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(_Sum("c", alias_name="c"))
+        .take_all()  # bounded: the 7-year day domain
+    )
+    n = 1 << HAAR_L
+    series = [0] * n
+    for r in rows:
+        d = int(r["day"])
+        if 0 <= d < n:
+            series[d] = int(r["c"])
+
+    details: list[tuple[int, int, int, int]] = []  # (energy, level, pos, d)
+    s = series
+    for level in range(1, HAAR_L + 1):
+        nxt, det = [], []
+        for i in range(0, len(s), 2):
+            a, b = s[i], s[i + 1]
+            nxt.append(a + b)
+            det.append(a - b)
+        for pos, d in enumerate(det):
+            details.append((d * d * (1 << (HAAR_L - level)), level, pos, d))
+        s = nxt
+
+    details.sort(key=lambda t: (-t[0], t[1], t[2]))
+    top = details[:HAAR_TOP_K]
+    df = pd.DataFrame(
+        {
+            "rnk": np.arange(1, len(top) + 1, dtype=np.int64),
+            "level": np.array([t[1] for t in top], np.int64),
+            "pos": np.array([t[2] for t in top], np.int64),
+            "coef": np.array([t[3] for t in top], np.int64),
+        }
+    )
+    return df
+
+
+HIST_SEL_B = 16             # equi-depth buckets
+HIST_SEL_PREDS = (          # (pred_id, lo, hi) in cents, half-open
+    (1, 100_000, 200_000),
+    (2, 1_000_000, 2_000_000),
+    (3, 2_000_000, 4_000_000),
+    (4, 5_000_000, 10_000_000),
+    (5, 0, 1_500_000),
+    (6, 9_000_000, 99_999_999),
+)
+
+
+def histogram_selectivity_audit(sf_dir: str) -> "pd.DataFrame":
+    """Equi-depth-histogram SELECTIVITY-ESTIMATION error — build the
+    16-bucket equi-depth histogram the classical optimizer keeps for
+    l_extendedprice (bucket b spans ranks ⌊b·n/16⌋+1..⌊(b+1)·n/16⌋;
+    boundaries are exact order statistics) and, for six fixed range
+    predicates, compare the textbook continuous-uniform
+    interpolation estimate Σ_b n_b·overlap/width (integer floor
+    arithmetic, half-open [min_b, max_b+1) domains) against the true
+    count: the estimation-error table behind every cost model's
+    range-scan cardinality, and the single-column complement to
+    `selectivity_drift`'s correlation audit (this one measures
+    WITHIN-column skew error, that one cross-column independence
+    error). Output (pred_id, lo, hi, est_rows, true_rows, abs_err).
+
+    Scale shape: the (cents, count) histogram fold is bounded by the
+    discrete price domain (the `weighted_median` contract) and goes
+    through one constant-key co-partition so boundaries, estimates
+    and true counts are all computed VECTORIZED inside one task —
+    the driver sees only the 6 output rows."""
+    import pandas as pd
+
+    lit = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "v": pa.array(cents, pa.int64()),
+                "c": pa.array(np.ones(len(cents), np.int64), pa.int64()),
+            }
+        ).group_by("v").aggregate([("c", "sum")])
+        return pa.table(
+            {
+                "v": t.column("v"),
+                "c": t.column("c_sum").cast(pa.int64()),
+                "g": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+            }
+        )
+
+    def audit(group: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        df = group.to_pandas().groupby("v", sort=True)["c"].sum()
+        vals = df.index.to_numpy(dtype=np.int64)
+        cnt = df.to_numpy(dtype=np.int64)
+        cum = cnt.cumsum()
+        n = int(cum[-1])
+
+        def at_rank(k: int) -> int:
+            return int(vals[np.searchsorted(cum, k, side="left")])
+
+        buckets = []
+        for b in range(HIST_SEL_B):
+            lo_r = b * n // HIST_SEL_B
+            hi_r = (b + 1) * n // HIST_SEL_B
+            if hi_r == lo_r:
+                continue
+            buckets.append(
+                (hi_r - lo_r, at_rank(lo_r + 1), at_rank(hi_r))
+            )
+
+        def true_count(lo: int, hi: int) -> int:
+            a = np.searchsorted(vals, lo, side="left")
+            b2 = np.searchsorted(vals, hi, side="left")
+            return int(cnt[a:b2].sum())
+
+        out = []
+        for pid, lo, hi in HIST_SEL_PREDS:
+            est = 0
+            for nb, minb, maxb in buckets:
+                ov = min(hi, maxb + 1) - max(lo, minb)
+                if ov > 0:
+                    est += nb * ov // (maxb + 1 - minb)
+            tr = true_count(lo, hi)
+            out.append((pid, lo, hi, est, tr, abs(est - tr)))
+        arr = np.array(out, np.int64)
+        return pa.table(
+            {
+                "pred_id": pa.array(arr[:, 0], pa.int64()),
+                "lo": pa.array(arr[:, 1], pa.int64()),
+                "hi": pa.array(arr[:, 2], pa.int64()),
+                "est_rows": pa.array(arr[:, 3], pa.int64()),
+                "true_rows": pa.array(arr[:, 4], pa.int64()),
+                "abs_err": pa.array(arr[:, 5], pa.int64()),
+            }
+        )
+
+    df = (
+        lit.map_batches(partials, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(
+            lambda g: audit(g.drop_columns(["g"])),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("pred_id", ignore_index=True)

@@ -4405,3 +4405,229 @@ def matryoshka_recall(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df[["query_id", "n_overlap"]]
+
+
+K_CORE_KS = (2, 3)         # peel thresholds reported
+K_CORE_ROUNDS = 6          # fixed unrolled rounds (oracle-matched)
+K_CORE_LOCAL_MAX = 2_000_000  # directed rows below which peel runs width-1
+K_CORE_PARTS = 16          # peel-round exchange fan (see PR_PARTS)
+
+
+def k_core_peel(sf_dir: str) -> "pd.DataFrame":
+    """Exact k-core PEELING CASCADE of the mutual-kNN graph — for
+    k ∈ {2, 3} and K_CORE_ROUNDS simultaneous-removal rounds, the
+    per-round census (k, round, n_nodes, n_survivors): round r drops
+    every node whose degree in the current graph is < k, then drops
+    edges incident to dropped nodes; n_nodes counts the endpoints of
+    the current edge list, n_survivors the nodes meeting the degree
+    bar. The converged tail is the k-CORE — the maximal subgraph of
+    minimum degree ≥ k, the classical density skeleton that
+    `triangle_census` (closure) and `rich_club` (hub interlinking)
+    don't expose: a corpus whose 3-core is tiny has near-dup
+    structure made of trees/chains (safe to keep representatives); a
+    giant 3-core means dense clique mass where fuzzy dedup must cut
+    deeper. Fixed rounds keep the result exact and layout-free even
+    when peeling hasn't converged (the cascade profile itself is the
+    signal: how fast the periphery burns off).
+
+    Scale shape: width-1 escape below K_CORE_LOCAL_MAX directed rows
+    (one vectorized searchsorted/bincount peel); above it each round
+    is the WL/LP exchange discipline — one node-key co-partition
+    computes exact degrees and survivor rows (a node's directed rows
+    never straddle partitions), then two tagged-union co-partitions
+    drop edges whose v / u endpoint fell (never a broadcast removal
+    set); the 4-column census rides per-round driver ints bounded by
+    2·K_CORE_ROUNDS·|ks| rows. Edge payload is two int64 columns
+    throughout."""
+    import pandas as pd
+
+    # Narrow fan (the PR_PARTS rationale): a peel round's cost is the
+    # fixed all-to-all barrier, not data volume — 16-way keeps the
+    # 3-exchange rounds from paying 64 map_groups tasks each; at
+    # 100 TB this is the dial to raise toward #cores (results are
+    # partitioning-invariant).
+    N_COARSE_PARTS = K_CORE_PARTS
+
+    edges = mutual_knn(sf_dir)
+
+    def directed(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_a").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = batch.column("vec_b").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "v": pa.array(np.concatenate([a, b]), pa.int64()),
+                "u": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    ed0 = edges.map_batches(directed, batch_format="pyarrow").materialize()
+    out_rows: list[dict] = []
+
+    if ed0.count() < K_CORE_LOCAL_MAX:
+
+        def local(tbl: pa.Table) -> pa.Table:
+            v0 = tbl.column("v").to_numpy(zero_copy_only=False)
+            u0 = tbl.column("u").to_numpy(zero_copy_only=False)
+            rows = []
+            for k in K_CORE_KS:
+                v, u = v0, u0
+                for rnd in range(1, K_CORE_ROUNDS + 1):
+                    nodes, deg = np.unique(v, return_counts=True)
+                    keep_nodes = nodes[deg >= k]
+                    rows.append((k, rnd, len(nodes), len(keep_nodes)))
+                    vk = np.isin(v, keep_nodes)
+                    uk = np.isin(u, keep_nodes)
+                    m = vk & uk
+                    v, u = v[m], u[m]
+            arr = np.array(rows, np.int64).reshape(-1, 4)
+            return pa.table(
+                {
+                    "k": pa.array(arr[:, 0], pa.int64()),
+                    "round": pa.array(arr[:, 1], pa.int64()),
+                    "n_nodes": pa.array(arr[:, 2], pa.int64()),
+                    "n_survivors": pa.array(arr[:, 3], pa.int64()),
+                }
+            )
+
+        df = (
+            ed0.repartition(1)
+            .map_batches(local, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+        )
+        for c in df.columns:
+            df[c] = df[c].astype("int64")
+        return df.sort_values(["k", "round"], ignore_index=True)
+
+    # grid plan: per round one degree co-partition + two edge-drop
+    # co-partitions (tagged unions; never a broadcast removal set)
+    def part_on(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            kk = batch.column(col).to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "part", pa.array(kk % N_COARSE_PARTS, pa.int64())
+            )
+
+        return fn
+
+    for k in K_CORE_KS:
+        ed = ed0
+        for rnd in range(1, K_CORE_ROUNDS + 1):
+
+            def surv_rows(part_tbl: pa.Table, _k=k) -> pa.Table:
+                v = part_tbl.column("v").to_numpy(zero_copy_only=False)
+                nodes, deg = np.unique(v, return_counts=True)
+                return pa.table(
+                    {
+                        "node": pa.array(nodes, pa.int64()),
+                        "ok": pa.array(
+                            (deg >= _k).astype(np.int64), pa.int64()
+                        ),
+                    }
+                )
+
+            nd = (
+                ed.map_batches(part_on("v"), batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(
+                    lambda g: surv_rows(g.drop_columns(["part"])),
+                    batch_format="pyarrow",
+                )
+                .materialize()
+            )
+            n_nodes = nd.count()
+            surv = nd.map_batches(
+                lambda b: b.filter(
+                    pa.compute.equal(b.column("ok"), pa.scalar(1, pa.int64()))
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+            n_surv = surv.count()
+            out_rows.append(
+                {
+                    "k": k,
+                    "round": rnd,
+                    "n_nodes": n_nodes,
+                    "n_survivors": n_surv,
+                }
+            )
+
+            keep = surv.map_batches(
+                lambda b: pa.table(
+                    {
+                        "key": b.column("node").cast(pa.int64()),
+                        "v": pa.array(
+                            np.full(b.num_rows, -1, np.int64), pa.int64()
+                        ),
+                        "u": pa.array(
+                            np.full(b.num_rows, -1, np.int64), pa.int64()
+                        ),
+                        "side": pa.array(
+                            np.ones(b.num_rows, np.int64), pa.int64()
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+
+            def drop_end(col: str, keep_ds, ed_ds):
+                tagged = ed_ds.map_batches(
+                    lambda b, _c=col: pa.table(
+                        {
+                            "key": b.column(_c).cast(pa.int64()),
+                            "v": b.column("v").cast(pa.int64()),
+                            "u": b.column("u").cast(pa.int64()),
+                            "side": pa.array(
+                                np.zeros(b.num_rows, np.int64), pa.int64()
+                            ),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                ).union(keep_ds)
+
+                def filt(part_tbl: pa.Table) -> pa.Table:
+                    key = part_tbl.column("key").to_numpy(
+                        zero_copy_only=False
+                    )
+                    side = part_tbl.column("side").to_numpy(
+                        zero_copy_only=False
+                    )
+                    kept = np.unique(key[side == 1])
+                    em = side == 0
+                    ok = np.isin(key[em], kept)
+                    return pa.table(
+                        {
+                            "v": pa.array(
+                                part_tbl.column("v").to_numpy(
+                                    zero_copy_only=False
+                                )[em][ok],
+                                pa.int64(),
+                            ),
+                            "u": pa.array(
+                                part_tbl.column("u").to_numpy(
+                                    zero_copy_only=False
+                                )[em][ok],
+                                pa.int64(),
+                            ),
+                        }
+                    )
+
+                return (
+                    tagged.map_batches(part_on("key"), batch_format="pyarrow")
+                    .groupby("part")
+                    .map_groups(
+                        lambda g: filt(g.drop_columns(["part"])),
+                        batch_format="pyarrow",
+                    )
+                )
+
+            ed = drop_end("v", keep, ed)
+            ed = drop_end("u", keep, ed).materialize()
+
+    df = pd.DataFrame(out_rows)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["k", "round"], ignore_index=True)

@@ -2153,3 +2153,76 @@ def head_churn(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df
+
+
+def mcnemar_test(sf_dir: str) -> "pd.DataFrame":
+    """Exact McNemar sufficient statistics for the PAIRED comparison
+    of two quality gates on the same documents — gate A = length
+    (ws_tokens ≥ 20), gate B = English-stopword density
+    (10·hits_en ≥ ws_tokens), the two binding components of
+    `quality_score`. The marginal pass rates (what `quality_score`'s
+    distribution shows) can be equal while the gates disagree on
+    WHICH docs pass; McNemar's test conditions on the discordant
+    pairs only — stat = (b−c)²/(b+c) with b = A-only passes, c =
+    B-only passes — the right test for "did swapping gate A for gate
+    B change the kept set?" (paired, same units; the unpaired
+    chi2_independence is wrong here). Output one row: the 2×2 paired
+    cells plus the integer stat numerator/denominator.
+
+    Scale shape: one streaming pass; per-batch vectorized gate
+    evaluation folds to four int64 cells — no shuffle wider than the
+    4-cell Sum. Exact integers end to end."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.textstats import stopword_hits, token_stats
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").combine_chunks()
+        tok = token_stats(texts)["ws_tokens"].to_numpy(zero_copy_only=False)
+        en = stopword_hits(texts)["hits_en"].to_numpy(zero_copy_only=False)
+        a = tok >= 20
+        b = 10 * en >= tok
+        return pa.table(
+            {
+                "both_pass": pa.array([int((a & b).sum())], pa.int64()),
+                "a_only": pa.array([int((a & ~b).sum())], pa.int64()),
+                "b_only": pa.array([int((~a & b).sum())], pa.int64()),
+                "neither": pa.array([int((~a & ~b).sum())], pa.int64()),
+            }
+        )
+
+    rows = (
+        docs.map_batches(cells, batch_format="pyarrow")
+        .aggregate(
+            _Sum("both_pass", alias_name="both_pass"),
+            _Sum("a_only", alias_name="a_only"),
+            _Sum("b_only", alias_name="b_only"),
+            _Sum("neither", alias_name="neither"),
+        )
+    )
+    bp, ao, bo, ne = (
+        int(rows["both_pass"]),
+        int(rows["a_only"]),
+        int(rows["b_only"]),
+        int(rows["neither"]),
+    )
+    df = pd.DataFrame(
+        [
+            {
+                "n": bp + ao + bo + ne,
+                "both_pass": bp,
+                "a_only": ao,
+                "b_only": bo,
+                "neither": ne,
+                "stat_num": (ao - bo) ** 2,
+                "stat_den": ao + bo,
+            }
+        ]
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df

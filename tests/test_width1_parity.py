@@ -114,3 +114,23 @@ def test_tukey_grid_path_matches_local(ray_session):
     finally:
         an.TUKEY_LOCAL_MAX = 2_000_000
     assert local.equals(grid)
+
+
+def test_k_core_exchange_path_matches_local(ray_session):
+    # The grid path pays a fixed 3-exchange barrier per peel round;
+    # parity runs a reduced (k=2, 2-round) configuration so the test
+    # exercises every exchange type (degree census, v-drop, u-drop,
+    # round chaining) without 12 rounds of barrier cost.
+    import readur_ray.pipelines.similarity as sim
+
+    sim.K_CORE_KS = (2,)
+    sim.K_CORE_ROUNDS = 2
+    try:
+        local = sim.k_core_peel(SF)
+        sim.K_CORE_LOCAL_MAX = 0
+        grid = sim.k_core_peel(SF)
+    finally:
+        sim.K_CORE_LOCAL_MAX = 2_000_000
+        sim.K_CORE_KS = (2, 3)
+        sim.K_CORE_ROUNDS = 6
+    assert local.equals(grid)
