@@ -2054,6 +2054,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # by design: the within-column complement of
         # selectivity_drift.
         "histogram_selectivity_audit": analytics.histogram_selectivity_audit,
+        # (round 4, wave 126) Count-Sketch error — signed-median
+        # estimates vs exact for the 20 heaviest users: the unbiased
+        # two-sided sketch next to cms_error_eval's one-sided min;
+        # registers are pure sums folded to the fixed D×W grid.
+        # Tail-seated by design: the sketch-family trade read.
+        "count_sketch_error": analytics.count_sketch_error,
+        # (round 4, wave 126) Selinger left-deep enumeration — the 8
+        # cross-product-free orders of the filtered FK chain costed
+        # with EXACT interval cardinalities (10 ints: catalog
+        # lookups + one 3-flag custkey co-partition), ranked.
+        # Tail-seated by design: the logical-order leg beside
+        # join_strategy_plan.
+        "join_order_costs": analytics.join_order_costs,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -10224,6 +10237,95 @@ def oracle_sql() -> dict[str, str]:
                CAST(abs(est.est_rows - tr.true_rows) AS BIGINT)
                  AS abs_err
         FROM est JOIN tr ON est.pid = tr.pid
+        ORDER BY 1
+    """
+
+    # count_sketch_error: signed-median estimator, md5-mirrored.
+    sql["count_sketch_error"] = """
+        WITH uc AS (SELECT CAST(user_id AS BIGINT) AS u,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1),
+        hx AS (SELECT u, n, md5(CAST(u AS VARCHAR)) AS h FROM uc),
+        hh AS (SELECT u, n,
+                      CAST('0x' || substr(h, 1, 15) AS BIGINT) AS h1,
+                      CAST('0x' || substr(h, 16, 15) AS BIGINT) AS h2,
+                      h
+               FROM hx),
+        rows_d AS (SELECT d FROM (VALUES (0), (1), (2)) t(d)),
+        cells AS (SELECT hh.u, hh.n, rows_d.d,
+                         (hh.h1 + rows_d.d * hh.h2) % 256 AS cell,
+                         CASE WHEN CAST('0x' ||
+                                substr(hh.h, 30 + rows_d.d, 1) AS BIGINT)
+                                % 2 = 0
+                              THEN 1 ELSE -1 END AS sgn
+                  FROM hh CROSS JOIN rows_d),
+        reg AS (SELECT d, cell, CAST(sum(sgn * n) AS BIGINT) AS val
+                FROM cells GROUP BY 1, 2),
+        top AS (SELECT u, n FROM uc
+                ORDER BY n DESC, u LIMIT 20),
+        est3 AS (SELECT top.u, top.n, cells.d,
+                        cells.sgn * coalesce(reg.val, 0) AS e
+                 FROM top JOIN cells ON cells.u = top.u
+                 LEFT JOIN reg ON reg.d = cells.d
+                              AND reg.cell = cells.cell),
+        med AS (SELECT u, max(n) AS n,
+                       greatest(least(max(CASE WHEN d = 0 THEN e END),
+                                      max(CASE WHEN d = 1 THEN e END)),
+                                least(greatest(
+                                        max(CASE WHEN d = 0 THEN e END),
+                                        max(CASE WHEN d = 1 THEN e END)),
+                                      max(CASE WHEN d = 2 THEN e END)))
+                         AS est
+                FROM est3 GROUP BY u)
+        SELECT u AS user_id, n AS true_n,
+               CAST(est AS BIGINT) AS est_n,
+               CAST(est - n AS BIGINT) AS err
+        FROM med ORDER BY true_n DESC, user_id
+    """
+
+    # join_order_costs: the 8 left-deep orders costed from the same
+    # enumeration helper the Ray plan uses, over exact interval sizes.
+    from readur_ray.pipelines.analytics import join_order_sequences
+
+    _jo_col = {
+        (0, 1): "s_rn", (1, 2): "s_nc", (2, 3): "s_co",
+        (0, 2): "s_rnc", (1, 3): "s_nco", (0, 3): "s_rnco",
+    }
+    _jo_rows = " UNION ALL ".join(
+        f"SELECT '{os}' AS order_str, "
+        + " + ".join(_jo_col[iv] for iv in ivs)
+        + " AS cost FROM sizes"
+        for os, ivs in join_order_sequences()
+    )
+    sql["join_order_costs"] = f"""
+        WITH rf AS (SELECT r_regionkey FROM region
+                    WHERE r_name IN ('ASIA', 'EUROPE')),
+        nf AS (SELECT n_nationkey, n_regionkey FROM nation
+               WHERE n_name >= 'J'),
+        nrf AS (SELECT nf.n_nationkey FROM nf
+                JOIN rf ON nf.n_regionkey = rf.r_regionkey),
+        cf AS (SELECT c_custkey, c_nationkey FROM customer
+               WHERE c_mktsegment = 'BUILDING'),
+        ofl AS (SELECT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'),
+        sizes AS (SELECT
+          (SELECT count(*) FROM nrf) AS s_rn,
+          (SELECT count(*) FROM cf JOIN nf
+             ON cf.c_nationkey = nf.n_nationkey) AS s_nc,
+          (SELECT count(*) FROM ofl JOIN cf
+             ON ofl.o_custkey = cf.c_custkey) AS s_co,
+          (SELECT count(*) FROM cf JOIN nrf
+             ON cf.c_nationkey = nrf.n_nationkey) AS s_rnc,
+          (SELECT count(*) FROM ofl JOIN cf
+             ON ofl.o_custkey = cf.c_custkey
+             JOIN nf ON cf.c_nationkey = nf.n_nationkey) AS s_nco,
+          (SELECT count(*) FROM ofl JOIN cf
+             ON ofl.o_custkey = cf.c_custkey
+             JOIN nrf ON cf.c_nationkey = nrf.n_nationkey) AS s_rnco)
+        SELECT CAST(row_number() OVER (ORDER BY cost, order_str)
+                 AS BIGINT) AS ord,
+               order_str, CAST(cost AS BIGINT) AS cost
+        FROM ({_jo_rows})
         ORDER BY 1
     """
 

@@ -12947,3 +12947,354 @@ def histogram_selectivity_audit(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df.sort_values("pred_id", ignore_index=True)
+
+
+CSK_D = 3          # count-sketch register rows
+CSK_W = 256        # counters per row
+CSK_EVAL_TOP = 20  # heaviest users probed
+
+
+def count_sketch_error(sf_dir: str) -> "pd.DataFrame":
+    """Measured Count-SKETCH error — the signed-median estimator
+    (Charikar/Chen/Farach-Colton) next to `cms_error_eval`'s
+    min-estimator: registers C[d][h_d(u)] accumulate s_d(u)·count
+    with a ±1 hash sign, and the estimate is the MEDIAN over rows of
+    s_d(u)·C[d][h_d(u)] — unbiased with TWO-sided error (collisions
+    cancel in expectation), where Count-Min only ever overestimates.
+    For the 20 heaviest users by exact count, (user_id, true_n,
+    est_n, err = est−true): read against cms_error_eval's one-sided
+    column, this is the sketch-family trade the curation pipeline
+    picks between (biased-small-memory vs unbiased-needs-median).
+
+    Scale shape: registers are PURE SUMS (layout-independent): each
+    batch folds its unique users locally and emits signed (d, cell)
+    contributions, Sum-reduced to the fixed D·W grid; exact top-20
+    is one user fold + bounded sort-limit; the probe touches the
+    broadcast-sized grid only. md5-derived cells/signs mirror the
+    oracle bit-for-bit."""
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def _cells(u: int):
+        h = _hashlib.md5(str(u).encode()).hexdigest()
+        h1, h2 = int(h[:15], 16), int(h[15:30], 16)
+        cells = [(h1 + d * h2) % CSK_W for d in range(CSK_D)]
+        signs = [1 if int(h[29 + d], 16) % 2 == 0 else -1
+                 for d in range(CSK_D)]
+        return cells, signs
+
+    def reg_partials(batch: pa.Table) -> pa.Table:
+        u, cnt = np.unique(
+            batch.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            ),
+            return_counts=True,
+        )
+        d_out, cell_out, val_out = [], [], []
+        for uid, n in zip(u, cnt):
+            cells, signs = _cells(int(uid))
+            for d in range(CSK_D):
+                d_out.append(d)
+                cell_out.append(cells[d])
+                val_out.append(signs[d] * int(n))
+        return pa.table(
+            {
+                "d": pa.array(d_out, pa.int64()),
+                "cell": pa.array(cell_out, pa.int64()),
+                "val": pa.array(val_out, pa.int64()),
+            }
+        )
+
+    grid = np.zeros((CSK_D, CSK_W), np.int64)
+    for r in (
+        ds.map_batches(reg_partials, batch_format="pyarrow")
+        .groupby(["d", "cell"])
+        .aggregate(_Sum("val", alias_name="val"))
+        .take_all()  # bounded: the fixed D x W register grid
+    ):
+        grid[int(r["d"]), int(r["cell"])] = int(r["val"])
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        u, cnt = np.unique(
+            batch.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            ),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    top = (
+        ds.map_batches(count_partials, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(_Sum("n", alias_name="true_n"))
+        .sort(["true_n", "user_id"], descending=[True, False])
+        .limit(CSK_EVAL_TOP)
+        .take_all()
+    )
+
+    def med3(a: int, b: int, c: int) -> int:
+        return max(min(a, b), min(max(a, b), c))
+
+    rows = []
+    for r in top:
+        uid, tn = int(r["user_id"]), int(r["true_n"])
+        cells, signs = _cells(uid)
+        ests = [signs[d] * int(grid[d, cells[d]]) for d in range(CSK_D)]
+        est = med3(*ests)
+        rows.append((uid, tn, est, est - tn))
+    df = pd.DataFrame(
+        rows, columns=["user_id", "true_n", "est_n", "err"]
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values(
+        ["true_n", "user_id"], ascending=[False, True], ignore_index=True
+    )
+
+
+JO_TABLES = ("region", "nation", "customer", "orders")
+# Per-table local filters (each table carries its own predicate into
+# every join order, as a Selinger enumerator assumes):
+JO_REGIONS = ("ASIA", "EUROPE")
+JO_NATION_MIN = "J"              # n_name >= 'J'
+JO_SEGMENT = "BUILDING"
+JO_PRIORITY = "1-URGENT"
+
+
+def join_order_sequences():
+    """All left-deep cross-product-free join orders of the 4-table FK
+    chain region-nation-customer-orders: start anywhere, extend the
+    connected interval left or right (2^3 patterns, 8 valid). Returns
+    [(order_str, [interval prefixes of len >= 2])], sorted by
+    order_str — shared verbatim with the SQL oracle generator."""
+    import itertools
+
+    seqs = []
+    for start in range(4):
+        for pattern in itertools.product((0, 1), repeat=3):
+            lo = hi = start
+            order = [JO_TABLES[start]]
+            intervals = []
+            ok = True
+            for b in pattern:
+                if b == 1:
+                    if hi == 3:
+                        ok = False
+                        break
+                    hi += 1
+                    order.append(JO_TABLES[hi])
+                else:
+                    if lo == 0:
+                        ok = False
+                        break
+                    lo -= 1
+                    order.append(JO_TABLES[lo])
+                intervals.append((lo, hi))
+            if ok:
+                seqs.append((">".join(order), intervals))
+    return sorted(seqs)
+
+
+def join_order_costs(sf_dir: str) -> "pd.DataFrame":
+    """Selinger-style left-deep join-ORDER enumeration with EXACT
+    intermediate cardinalities — for each of the 8 cross-product-free
+    left-deep orders of the filtered FK chain σ(region) ⋈ σ(nation)
+    ⋈ σ(customer) ⋈ σ(orders), the cost Σ|prefix join| over all
+    length-≥2 prefixes (the classic CP-free cost model), ranked. On
+    an UNfiltered N:1 chain every interval collapses to the fact
+    count and the enumeration is degenerate; the per-table filters
+    make the interval sizes genuinely diverge, so the ranking shows
+    the real Selinger phenomenon — push the most selective tables
+    earliest — with EXACT sizes where an optimizer uses estimates
+    (read next to `histogram_selectivity_audit`'s estimation error
+    and `join_strategy_plan`'s physical-operator choice, this is the
+    third leg: logical order). Output (ord, order_str, cost).
+
+    Scale shape: the 10 interval cardinalities are 4 streaming
+    filtered counts, 3 catalog-bounded lookups (region 5 rows /
+    nation 25 rows broadcast in-closure), and ONE custkey
+    co-partition carrying three 0/1 customer flags that scores
+    |c⋈o|, |n⋈c⋈o|, |r⋈n⋈c⋈o| together — the driver sees 10 ints
+    and ranks 8 constant rows."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    region = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).take_all()  # bounded: 5-row catalog
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_regionkey", "n_name"],
+    ).take_all()  # bounded: 25-row catalog
+
+    rkeys_f = {
+        int(r["r_regionkey"]) for r in region if r["r_name"] in JO_REGIONS
+    }
+    nat_f = [r for r in nation if r["n_name"] >= JO_NATION_MIN]
+    nkeys_f = {int(r["n_nationkey"]) for r in nat_f}
+    nkeys_rf = {
+        int(r["n_nationkey"])
+        for r in nat_f
+        if int(r["n_regionkey"]) in rkeys_f
+    }
+
+    sizes = {
+        (0, 0): len(rkeys_f),
+        (1, 1): len(nat_f),
+        (0, 1): len(nkeys_rf),
+    }
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_mktsegment"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+
+    nf_arr = np.array(sorted(nkeys_f), np.int64)
+    nrf_arr = np.array(sorted(nkeys_rf), np.int64)
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        seg = batch.column("c_mktsegment").to_numpy(zero_copy_only=False)
+        nk = batch.column("c_nationkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ck = batch.column("c_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        f_plain = (seg == JO_SEGMENT).astype(np.int64)
+        f_n = f_plain * np.isin(nk, nf_arr).astype(np.int64)
+        f_rn = f_plain * np.isin(nk, nrf_arr).astype(np.int64)
+        return pa.table(
+            {
+                "ck": pa.array(ck, pa.int64()),
+                "f_plain": pa.array(f_plain, pa.int64()),
+                "f_n": pa.array(f_n, pa.int64()),
+                "f_rn": pa.array(f_rn, pa.int64()),
+                "side": pa.array(np.zeros(len(ck), np.int64), pa.int64()),
+                "part": pa.array(ck % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        pr = batch.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        ck = batch.column("o_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[pr == JO_PRIORITY]
+        z = np.zeros(len(ck), np.int64)
+        return pa.table(
+            {
+                "ck": pa.array(ck, pa.int64()),
+                "f_plain": pa.array(z, pa.int64()),
+                "f_n": pa.array(z, pa.int64()),
+                "f_rn": pa.array(z, pa.int64()),
+                "side": pa.array(np.ones(len(ck), np.int64), pa.int64()),
+                "part": pa.array(ck % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def score(part_tbl: pa.Table) -> pa.Table:
+        ck = part_tbl.column("ck").to_numpy(zero_copy_only=False)
+        side = part_tbl.column("side").to_numpy(zero_copy_only=False)
+        cm = side == 0
+        c_ck = ck[cm]
+        o_ck = ck[~cm]
+        if len(c_ck) == 0 or len(o_ck) == 0:
+            z = [0, 0, 0]
+            return pa.table(
+                {
+                    "co": pa.array([z[0]], pa.int64()),
+                    "nco": pa.array([z[1]], pa.int64()),
+                    "rnco": pa.array([z[2]], pa.int64()),
+                }
+            )
+        srt = np.argsort(c_ck)
+        c_ck_s = c_ck[srt]
+        idx = np.searchsorted(c_ck_s, o_ck)
+        idx = np.clip(idx, 0, len(c_ck_s) - 1)
+        hit = c_ck_s[idx] == o_ck
+        out = []
+        for col in ("f_plain", "f_n", "f_rn"):
+            f = part_tbl.column(col).to_numpy(zero_copy_only=False)[cm][srt]
+            out.append(int(f[idx[hit]].sum()))
+        return pa.table(
+            {
+                "co": pa.array([out[0]], pa.int64()),
+                "nco": pa.array([out[1]], pa.int64()),
+                "rnco": pa.array([out[2]], pa.int64()),
+            }
+        )
+
+    # customer-only interval sizes fold in the same pass as the flags
+    c_sizes = cust.map_batches(cust_side, batch_format="pyarrow").aggregate(
+        _Sum("f_plain", alias_name="c"),
+        _Sum("f_n", alias_name="nc"),
+        _Sum("f_rn", alias_name="rnc"),
+    )
+    sizes[(2, 2)] = int(c_sizes["c"])
+    sizes[(1, 2)] = int(c_sizes["nc"])
+    sizes[(0, 2)] = int(c_sizes["rnc"])
+
+    o_cnt = orders.map_batches(
+        lambda b: pa.table(
+            {
+                "n": pa.array(
+                    [
+                        int(
+                            (
+                                b.column("o_orderpriority").to_numpy(
+                                    zero_copy_only=False
+                                )
+                                == JO_PRIORITY
+                            ).sum()
+                        )
+                    ],
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).aggregate(_Sum("n", alias_name="n"))
+    sizes[(3, 3)] = int(o_cnt["n"])
+
+    fact = (
+        cust.map_batches(cust_side, batch_format="pyarrow")
+        .union(orders.map_batches(order_side, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(
+            lambda g: score(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+        .aggregate(
+            _Sum("co", alias_name="co"),
+            _Sum("nco", alias_name="nco"),
+            _Sum("rnco", alias_name="rnco"),
+        )
+    )
+    sizes[(2, 3)] = int(fact["co"])
+    sizes[(1, 3)] = int(fact["nco"])
+    sizes[(0, 3)] = int(fact["rnco"])
+
+    rows = []
+    for order_str, intervals in join_order_sequences():
+        rows.append((order_str, sum(sizes[iv] for iv in intervals)))
+    df = pd.DataFrame(rows, columns=["order_str", "cost"]).sort_values(
+        ["cost", "order_str"], ignore_index=True
+    )
+    df.insert(0, "ord", np.arange(1, len(df) + 1, dtype=np.int64))
+    df["cost"] = df["cost"].astype("int64")
+    return df
