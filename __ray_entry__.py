@@ -2067,6 +2067,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Tail-seated by design: the logical-order leg beside
         # join_strategy_plan.
         "join_order_costs": analytics.join_order_costs,
+        # (round 4, wave 127) dedup threshold-sensitivity curve —
+        # exact near-dup graph census (edges, linked nodes,
+        # components, giant size) at Jaccard 10/30/50/70 %: the
+        # policy curve behind choosing the dedup operating point;
+        # one pair materialization + per-threshold one-level
+        # contraction (width-1 under 2M pairs). Tail-seated by
+        # design: the sensitivity sweep over dedup_components.
+        "dedup_threshold_curve": dedup.dedup_threshold_curve,
+        # (round 4, wave 127) exact total-variation distance between
+        # the two halves' token distributions, integer-scaled
+        # (tv_num, tv_bp): the scalar the drift family reduces to;
+        # one (token, half) fold + a token co-partition. Tail-seated
+        # by design: the one-number summary over token_df_drift.
+        "tv_distance": textops.tv_distance,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -10327,6 +10341,93 @@ def oracle_sql() -> dict[str, str]:
                order_str, CAST(cost AS BIGINT) AS cost
         FROM ({_jo_rows})
         ORDER BY 1
+    """
+
+    # dedup_threshold_curve: per-threshold census over the nested
+    # Jaccard pair sets; components via the recursive reach CTE.
+    _dtc_parts = [
+        "jp AS MATERIALIZED (SELECT doc_a, doc_b, intersection,"
+        " size_a + size_b - intersection AS u FROM ("
+        + sql["dedup_ngram_jaccard"]
+        + "))"
+    ]
+    _dtc_rows = []
+    for _t in (10, 30, 50, 70):
+        _dtc_parts.append(
+            f"e_{_t} AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst"
+            f" FROM jp WHERE intersection * 100 >= {_t} * u"
+            f" UNION ALL SELECT doc_b, doc_a FROM jp"
+            f" WHERE intersection * 100 >= {_t} * u)"
+        )
+        _dtc_parts.append(
+            f"r_{_t} AS (SELECT DISTINCT src AS doc, src AS lab"
+            f" FROM e_{_t}"
+            f" UNION SELECT e.src, r.lab FROM r_{_t} r"
+            f" JOIN e_{_t} e ON e.dst = r.doc)"
+        )
+        _dtc_parts.append(
+            f"c_{_t} AS (SELECT doc, min(lab) AS comp FROM r_{_t}"
+            f" GROUP BY 1)"
+        )
+        _dtc_parts.append(
+            f"s_{_t} AS (SELECT comp, count(*) AS sz FROM c_{_t}"
+            f" GROUP BY 1)"
+        )
+        _dtc_rows.append(
+            f"SELECT CAST({_t} AS BIGINT) AS t_pct,"
+            f" CAST((SELECT count(*) FROM jp"
+            f" WHERE intersection * 100 >= {_t} * u) AS BIGINT)"
+            f" AS n_edges,"
+            f" CAST((SELECT count(*) FROM c_{_t}) AS BIGINT) AS n_nodes,"
+            f" CAST((SELECT count(*) FROM s_{_t}) AS BIGINT)"
+            f" AS n_components,"
+            f" CAST((SELECT coalesce(max(sz), 0) FROM s_{_t}) AS BIGINT)"
+            f" AS max_component"
+        )
+    sql["dedup_threshold_curve"] = (
+        "WITH RECURSIVE "
+        + ",\n".join(_dtc_parts)
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(_dtc_rows)
+        + ") ORDER BY t_pct"
+    )
+
+    # tv_distance: exact integer-scaled total variation between the
+    # two halves' token distributions.
+    sql["tv_distance"] = f"""
+        WITH {_WORDS_CTE},
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        tok AS (SELECT doc_id, unnest(ws) AS token FROM w),
+        lab AS (SELECT token,
+                       CAST(doc_id >= (SELECT n // 2 FROM nd) AS BIGINT)
+                         AS h
+                FROM tok),
+        tf AS (SELECT token, h, CAST(count(*) AS BIGINT) AS n
+               FROM lab GROUP BY 1, 2),
+        tot AS (SELECT
+          CAST(coalesce(sum(CASE WHEN h = 0 THEN n END), 0) AS BIGINT)
+            AS n1,
+          CAST(coalesce(sum(CASE WHEN h = 1 THEN n END), 0) AS BIGINT)
+            AS n2,
+          CAST(coalesce(sum(CASE WHEN h = 0 THEN 1 END), 0) AS BIGINT)
+            AS v1,
+          CAST(coalesce(sum(CASE WHEN h = 1 THEN 1 END), 0) AS BIGINT)
+            AS v2
+          FROM tf),
+        piv AS (SELECT token,
+          CAST(coalesce(sum(CASE WHEN h = 0 THEN n END), 0) AS BIGINT)
+            AS c1,
+          CAST(coalesce(sum(CASE WHEN h = 1 THEN n END), 0) AS BIGINT)
+            AS c2
+          FROM tf GROUP BY 1),
+        tv AS (SELECT CAST(sum(abs(c1 * tot.n2 - c2 * tot.n1))
+                 AS BIGINT) AS tv_num
+               FROM piv, tot)
+        SELECT tot.n1 AS n1_tokens, tot.n2 AS n2_tokens,
+               tot.v1 AS vocab1, tot.v2 AS vocab2, tv.tv_num,
+               CAST(tv.tv_num * 10000 // (2 * tot.n1 * tot.n2)
+                 AS BIGINT) AS tv_bp
+        FROM tot, tv
     """
 
     return sql

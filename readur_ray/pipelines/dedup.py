@@ -3563,3 +3563,256 @@ def hash_collision_audit(sf_dir: str) -> "pd.DataFrame":
             "max_bucket",
         ]
     ]
+
+
+DTC_THRESHOLDS = (10, 30, 50, 70)   # Jaccard percent grid
+DTC_LOCAL_MAX = 2_000_000           # pair rows below which UF runs width-1
+DTC_BRIDGE_CAP = 5_000_000          # driver cap for the bridge-label graph
+DTC_PARTS = 16                      # contraction fan (narrow: barrier-bound)
+
+
+def dedup_threshold_curve(sf_dir: str) -> "pd.DataFrame":
+    """Fuzzy-dedup THRESHOLD-SENSITIVITY curve — for Jaccard
+    thresholds 10/30/50/70 %, the exact near-dup graph census over
+    the 3-shingle inverted-index pairs: surviving edges, linked
+    nodes, connected components among them, and the largest
+    component. This is the policy curve a curation run consults
+    BEFORE fixing its dedup threshold (`dedup_components` resolves
+    ONE operating point): a max-component that collapses only at
+    high t means chained boilerplate (transitive over-merging — keep
+    t high or cut bridges); components ≈ edges/2 at every t means
+    isolated twin pairs (any t works). Thresholds ≥ the 10 % base
+    are nested, so one pair materialization serves the whole curve.
+    Output (t_pct, n_edges, n_nodes, n_components, max_component).
+
+    Scale shape: pairs come from the one-shuffle inverted-index plan
+    (`ngram_jaccard_pairs`, hot-shingle-guarded), materialized ONCE;
+    per threshold the census is a width-1 union-find below
+    DTC_LOCAL_MAX pair rows, else a ONE-LEVEL contraction — local
+    union-find per 16-way edge partition, per-node bridge pairs
+    between local labels through one node-key co-partition, driver
+    union-find ONLY on the bridge-label graph (capped at
+    DTC_BRIDGE_CAP, the `dedup_components` recursion dial if ever
+    exceeded), then a label-keyed size fold. Driver state is bounded
+    by the bridge graph, never the corpus."""
+    import pandas as pd
+
+    pairs = ngram_jaccard_pairs(sf_dir).materialize()
+    n_pairs = pairs.count()
+    rows = []
+
+    if n_pairs < DTC_LOCAL_MAX:
+        tbls = list(pairs.iter_batches(batch_format="pyarrow"))
+        if tbls:
+            big = pa.concat_tables(tbls)
+            a0 = big.column("doc_a").to_numpy(zero_copy_only=False)
+            b0 = big.column("doc_b").to_numpy(zero_copy_only=False)
+            inter = big.column("intersection").to_numpy(
+                zero_copy_only=False
+            )
+            union = (
+                big.column("size_a").to_numpy(zero_copy_only=False)
+                + big.column("size_b").to_numpy(zero_copy_only=False)
+                - inter
+            )
+        else:
+            a0 = b0 = inter = union = np.zeros(0, np.int64)
+        for t in DTC_THRESHOLDS:
+            keep = inter * 100 >= t * union
+            a, b = a0[keep], b0[keep]
+            uf = _UnionFind()
+            for x, y in zip(a.tolist(), b.tolist()):
+                uf.union(x, y)
+            comp: dict = {}
+            for v in uf.parent:
+                comp[v] = uf.find(v)
+            if comp:
+                labs, szs = np.unique(
+                    np.array(list(comp.values()), np.int64),
+                    return_counts=True,
+                )
+                rows.append(
+                    (t, int(keep.sum()), len(comp), len(labs),
+                     int(szs.max()))
+                )
+            else:
+                rows.append((t, 0, 0, 0, 0))
+    else:
+        from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+        for t in DTC_THRESHOLDS:
+
+            def edge_rows(batch: pa.Table, _t=t) -> pa.Table:
+                a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+                b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+                inter = batch.column("intersection").to_numpy(
+                    zero_copy_only=False
+                )
+                union = (
+                    batch.column("size_a").to_numpy(zero_copy_only=False)
+                    + batch.column("size_b").to_numpy(zero_copy_only=False)
+                    - inter
+                )
+                keep = inter * 100 >= _t * union
+                a, b = a[keep], b[keep]
+                return pa.table(
+                    {
+                        "a": pa.array(a, pa.int64()),
+                        "b": pa.array(b, pa.int64()),
+                        "part": pa.array(a % DTC_PARTS, pa.int64()),
+                    }
+                )
+
+            ed = pairs.map_batches(edge_rows, batch_format="pyarrow")
+            n_edges = ed.count()
+
+            def local_uf(part_tbl: pa.Table) -> pa.Table:
+                a = part_tbl.column("a").to_numpy(zero_copy_only=False)
+                b = part_tbl.column("b").to_numpy(zero_copy_only=False)
+                uf = _UnionFind()
+                for x, y in zip(a.tolist(), b.tolist()):
+                    uf.union(x, y)
+                nodes = np.array(sorted(uf.parent), np.int64)
+                labs = np.array(
+                    [uf.find(int(v)) for v in nodes], np.int64
+                )
+                return pa.table(
+                    {
+                        "node": pa.array(nodes, pa.int64()),
+                        "lab": pa.array(labs, pa.int64()),
+                        "part": pa.array(nodes % DTC_PARTS, pa.int64()),
+                    }
+                )
+
+            nl = (
+                ed.groupby("part")
+                .map_groups(
+                    lambda g: local_uf(g.drop_columns(["part"])),
+                    batch_format="pyarrow",
+                )
+                .materialize()
+            )
+
+            def bridge_pairs(part_tbl: pa.Table) -> pa.Table:
+                import pandas as pd  # noqa: F811
+
+                df = pd.DataFrame(
+                    {
+                        "node": part_tbl.column("node").to_numpy(
+                            zero_copy_only=False
+                        ),
+                        "lab": part_tbl.column("lab").to_numpy(
+                            zero_copy_only=False
+                        ),
+                    }
+                )
+                g = df.groupby("node")["lab"]
+                mn = g.transform("min")
+                mask = df["lab"].to_numpy() != mn.to_numpy()
+                return pa.table(
+                    {
+                        "la": pa.array(
+                            mn.to_numpy()[mask].astype(np.int64),
+                            pa.int64(),
+                        ),
+                        "lb": pa.array(
+                            df["lab"].to_numpy()[mask].astype(np.int64),
+                            pa.int64(),
+                        ),
+                    }
+                )
+
+            bridges = (
+                nl.groupby("part")
+                .map_groups(
+                    lambda g: bridge_pairs(g.drop_columns(["part"])),
+                    batch_format="pyarrow",
+                )
+                .materialize()
+            )
+            n_bridges = bridges.count()
+            if n_bridges > DTC_BRIDGE_CAP:
+                raise RuntimeError(
+                    "dedup_threshold_curve: bridge graph exceeds "
+                    f"DTC_BRIDGE_CAP ({n_bridges}); raise the cap or "
+                    "recurse the contraction (dedup_components plan)"
+                )
+            uf = _UnionFind()
+            for bt in bridges.iter_batches(batch_format="pyarrow"):
+                for x, y in zip(
+                    bt.column("la").to_numpy(zero_copy_only=False).tolist(),
+                    bt.column("lb").to_numpy(zero_copy_only=False).tolist(),
+                ):
+                    uf.union(x, y)
+            roots = {v: uf.find(v) for v in uf.parent}
+            roots_ref = ray.put(roots)
+
+            def node_comp(part_tbl: pa.Table) -> pa.Table:
+                import pandas as pd  # noqa: F811
+
+                rt = ray.get(roots_ref)
+                df = pd.DataFrame(
+                    {
+                        "node": part_tbl.column("node").to_numpy(
+                            zero_copy_only=False
+                        ),
+                        "lab": part_tbl.column("lab").to_numpy(
+                            zero_copy_only=False
+                        ),
+                    }
+                )
+                # one row per node (it may carry labels from several
+                # edge partitions — all now resolve to the same root)
+                df = df.groupby("node", sort=False)["lab"].min().reset_index()
+                comp = np.array(
+                    [rt.get(int(v), int(v)) for v in df["lab"]], np.int64
+                )
+                t2 = pa.table(
+                    {
+                        "comp": pa.array(comp, pa.int64()),
+                        "one": pa.array(
+                            np.ones(len(comp), np.int64), pa.int64()
+                        ),
+                    }
+                ).group_by("comp").aggregate([("one", "sum")])
+                return pa.table(
+                    {
+                        "comp": t2.column("comp"),
+                        "sz": t2.column("one_sum").cast(pa.int64()),
+                    }
+                )
+
+            sizes = (
+                nl.groupby("part")
+                .map_groups(
+                    lambda g: node_comp(g.drop_columns(["part"])),
+                    batch_format="pyarrow",
+                )
+                .groupby("comp")
+                .aggregate(_Sum("sz", alias_name="sz"))
+                .materialize()
+            )
+            n_comp = sizes.count()
+            agg = sizes.aggregate(
+                _Sum("sz", alias_name="n_nodes"),
+                _Max("sz", alias_name="mx"),
+            )
+            rows.append(
+                (
+                    t,
+                    int(n_edges),
+                    int(agg["n_nodes"]) if n_comp else 0,
+                    int(n_comp),
+                    int(agg["mx"]) if n_comp else 0,
+                )
+            )
+
+    df = pd.DataFrame(
+        rows,
+        columns=[
+            "t_pct", "n_edges", "n_nodes", "n_components", "max_component"
+        ],
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("t_pct", ignore_index=True)

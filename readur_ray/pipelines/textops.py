@@ -2226,3 +2226,134 @@ def mcnemar_test(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df
+
+
+def tv_distance(sf_dir: str) -> "pd.DataFrame":
+    """Exact TOTAL-VARIATION distance between the token-frequency
+    distributions of the two corpus halves — the single scalar the
+    drift family reduces to: `token_df_drift` lists per-token df
+    deltas and `head_churn` compares the heads; TV = ½·Σ_t |p₁(t) −
+    p₂(t)| is the tightest bound on how differently ANY
+    token-measurable event is weighted by the two halves (the metric
+    used for shift detection between corpus snapshots). Kept exact
+    in integers: tv_num = Σ_t |c₁(t)·N₂ − c₂(t)·N₁| so that
+    TV = tv_num / (2·N₁·N₂); tv_bp = ⌊10⁴·tv_num / (2·N₁·N₂)⌋ is
+    the floor-basis-point readout. Output one row:
+    (n1_tokens, n2_tokens, vocab1, vocab2, tv_num, tv_bp).
+
+    Scale shape: one (token, half) count fold (per-batch Counter
+    pre-reduction), half totals from a 2-cell aggregate over the
+    SAME folded counts, then a crc32(token) co-partition folds the
+    |c₁·N₂ − c₂·N₁| partials vectorized — tokens never reach the
+    driver; int64 headroom: tv_num ≤ 2·N₁·N₂ (~10¹³ at sf0.1)."""
+    import collections
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.textstats import words_of
+    from ..stages.shuffle import str_partition
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+    n_docs = int(docs.count())
+    cut = n_docs // 2
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        c: collections.Counter = collections.Counter()
+        for did, tx in zip(ids, texts):
+            h = 0 if did < cut else 1
+            for w in words_of(tx or ""):
+                c[(w, h)] += 1
+        return pa.table(
+            {
+                "token": pa.array([k[0] for k in c], pa.string()),
+                "h": pa.array([k[1] for k in c], pa.int64()),
+                "n": pa.array(
+                    np.fromiter(c.values(), np.int64, len(c)), pa.int64()
+                ),
+            }
+        )
+
+    counts = (
+        docs.map_batches(tok_partial, batch_format="pyarrow")
+        .groupby(["token", "h"])
+        .aggregate(_Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    totals = {0: 0, 1: 0}
+    vocab = {0: 0, 1: 0}
+    for r in (
+        counts.map_batches(
+            lambda b: pa.table(
+                {
+                    "h": b.column("h"),
+                    "n": b.column("n"),
+                    "v": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("h")
+        .aggregate(_Sum("n", alias_name="n"), _Sum("v", alias_name="v"))
+        .take_all()  # bounded: 2 half rows
+    ):
+        totals[int(r["h"])] = int(r["n"])
+        vocab[int(r["h"])] = int(r["v"])
+    n1, n2 = totals[0], totals[1]
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = str_partition(batch.column("token").to_pylist())
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def tv_partial(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        df = pd.DataFrame(
+            {
+                "token": part_tbl.column("token").to_pandas(),
+                "h": part_tbl.column("h").to_numpy(zero_copy_only=False),
+                "n": part_tbl.column("n").to_numpy(zero_copy_only=False),
+            }
+        )
+        piv = df.pivot_table(
+            index="token", columns="h", values="n", aggfunc="sum",
+            fill_value=0,
+        )
+        c1 = piv[0].to_numpy(np.int64) if 0 in piv.columns else np.zeros(
+            len(piv), np.int64
+        )
+        c2 = piv[1].to_numpy(np.int64) if 1 in piv.columns else np.zeros(
+            len(piv), np.int64
+        )
+        val = int(np.abs(c1 * n2 - c2 * n1).sum())
+        return pa.table({"tv": pa.array([val], pa.int64())})
+
+    agg = (
+        counts.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: tv_partial(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+        .aggregate(_Sum("tv", alias_name="tv"))
+    )
+    tv_num = int(agg["tv"])
+    df = pd.DataFrame(
+        [
+            {
+                "n1_tokens": n1,
+                "n2_tokens": n2,
+                "vocab1": vocab[0],
+                "vocab2": vocab[1],
+                "tv_num": tv_num,
+                "tv_bp": tv_num * 10000 // (2 * n1 * n2) if n1 and n2 else 0,
+            }
+        ]
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df

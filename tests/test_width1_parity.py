@@ -134,3 +134,15 @@ def test_k_core_exchange_path_matches_local(ray_session):
         sim.K_CORE_KS = (2, 3)
         sim.K_CORE_ROUNDS = 6
     assert local.equals(grid)
+
+
+def test_dtc_contraction_path_matches_local(ray_session):
+    import readur_ray.pipelines.dedup as dd
+
+    local = dd.dedup_threshold_curve(SF)
+    dd.DTC_LOCAL_MAX = 0
+    try:
+        grid = dd.dedup_threshold_curve(SF)
+    finally:
+        dd.DTC_LOCAL_MAX = 2_000_000
+    assert local.equals(grid)
