@@ -2081,6 +2081,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one (token, half) fold + a token co-partition. Tail-seated
         # by design: the one-number summary over token_df_drift.
         "tv_distance": textops.tv_distance,
+        # (round 4, wave 128) PForDelta pack-width audit — exact
+        # exception census + layout cost at six bit widths over the
+        # sorted order-key deltas: the bit-packed storage leg beside
+        # varint_cost_audit; width-1 under 2M rows, else the value-
+        # bucket grid with driver boundary deltas. Tail-seated by
+        # design: the FastPFOR cost valley read.
+        "pfor_exception_audit": analytics.pfor_exception_audit,
+        # (round 4, wave 128) randomized-response debiasing eval —
+        # the Warner local-DP mechanism with a deterministic md5
+        # coin, per-segment debiased estimate (4·obs − n)/2 vs truth
+        # in exact integers; one streaming pass, segment fold.
+        # Tail-seated by design: the local-privacy leg beside
+        # dp_sensitivity_audit.
+        "randomized_response_eval": analytics.randomized_response_eval,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -10428,6 +10442,54 @@ def oracle_sql() -> dict[str, str]:
                CAST(tv.tv_num * 10000 // (2 * tot.n1 * tot.n2)
                  AS BIGINT) AS tv_bp
         FROM tot, tv
+    """
+
+    # pfor_exception_audit: exceptions + layout cost per pack width
+    # over the sorted order-key deltas.
+    sql["pfor_exception_audit"] = """
+        WITH vv AS (SELECT CAST(o_orderkey AS BIGINT) AS v FROM orders),
+        s AS (SELECT v, v - lag(v) OVER (ORDER BY v) AS d FROM vv),
+        d AS (SELECT d FROM s WHERE d IS NOT NULL),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM d),
+        bs AS (SELECT b FROM (VALUES (2), (4), (6), (8), (12), (16))
+               t(b)),
+        e AS (SELECT bs.b,
+                     CAST(coalesce(sum(CASE WHEN d.d >=
+                            (CAST(1 AS BIGINT) << bs.b)
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS exc
+              FROM bs LEFT JOIN d ON TRUE GROUP BY 1),
+        c AS (SELECT e.b, n.nd, e.exc,
+                     CAST(8 + (n.nd * e.b + 7) // 8 + 8 * e.exc
+                       AS BIGINT) AS est_bytes
+              FROM e, n),
+        r AS (SELECT *, row_number() OVER (ORDER BY est_bytes, b)
+                AS rn FROM c)
+        SELECT CAST(b AS BIGINT) AS bits, nd AS n_deltas,
+               exc AS n_exceptions, est_bytes,
+               CAST(b = (SELECT b FROM r WHERE rn = 1) AS BIGINT)
+                 AS is_best
+        FROM c ORDER BY 1
+    """
+
+    # randomized_response_eval: Warner mechanism with md5 coin.
+    sql["randomized_response_eval"] = """
+        WITH c AS (SELECT c_mktsegment AS stratum,
+                          CAST(c_acctbal < 0 AS BIGINT) AS y,
+                          CAST(CAST('0x' || substr(
+                                 md5(CAST(CAST(c_custkey AS BIGINT)
+                                          AS VARCHAR)), 1, 2)
+                               AS BIGINT) % 4 = 0 AS BIGINT) AS flip
+                   FROM customer),
+        o AS (SELECT stratum, y,
+                     CASE WHEN flip = 1 THEN 1 - y ELSE y END AS obs
+              FROM c)
+        SELECT stratum, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS true_yes,
+               CAST(sum(obs) AS BIGINT) AS obs_yes,
+               CAST(4 * sum(obs) - count(*) AS BIGINT) AS est_x2,
+               CAST(4 * sum(obs) - count(*) - 2 * sum(y) AS BIGINT)
+                 AS err_x2
+        FROM o GROUP BY 1 ORDER BY 1
     """
 
     return sql

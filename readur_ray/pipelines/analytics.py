@@ -13298,3 +13298,222 @@ def join_order_costs(sf_dir: str) -> "pd.DataFrame":
     df.insert(0, "ord", np.arange(1, len(df) + 1, dtype=np.int64))
     df["cost"] = df["cost"].astype("int64")
     return df
+
+
+PFOR_BITS = (2, 4, 6, 8, 12, 16)   # audited pack widths
+PFOR_LOCAL_MAX = 2_000_000         # rows below which the audit runs width-1
+PFOR_BUCKETS = 256                 # value grid for the sorted-delta pass
+
+
+def pfor_exception_audit(sf_dir: str) -> "pd.DataFrame":
+    """PForDelta PACK-WIDTH audit — for the sorted order-key stream,
+    the exact exception census at each candidate bit width b: deltas
+    that don't fit b bits become 8-byte exceptions, so the estimated
+    layout cost is 8 (first value) + ⌈(n−1)·b/8⌉ (packed deltas) +
+    8·exc(b), and the audited widths trace the classic FastPFOR
+    cost valley — too narrow drowns in exceptions, too wide wastes
+    every slot. This is the BIT-PACKED member of the storage family:
+    `varint_cost_audit` prices the byte-aligned LEB128 layouts; the
+    posting-list engines that beat varint do it with exactly this
+    exception tradeoff. Output one row per width:
+    (bits, n_deltas, n_exceptions, est_bytes, is_best).
+
+    Scale shape: the sorted-delta stream is never globally sorted —
+    width-1 escape below PFOR_LOCAL_MAX rows (one local sort+diff);
+    above it, the `varint_cost_audit` value-bucket grid: per-bucket
+    LOCAL sorted diffs fold a 6-counter exceedance vector plus
+    (vmin, vmax, count), and the driver adds the one boundary delta
+    per consecutive non-empty bucket pair from the bounded
+    256-bucket grid."""
+    import pandas as pd
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    )
+    rows = orders.map_batches(
+        lambda b: pa.table(
+            {
+                "v": b.column("o_orderkey").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n_rows = rows.count()
+
+    if n_rows < PFOR_LOCAL_MAX:
+
+        def local(tbl: pa.Table) -> pa.Table:
+            v = np.sort(tbl.column("v").to_numpy(zero_copy_only=False))
+            d = np.diff(v)
+            nd = len(d)
+            out_b, out_e = [], []
+            for b in PFOR_BITS:
+                out_b.append(b)
+                out_e.append(int((d >= (1 << b)).sum()))
+            return pa.table(
+                {
+                    "bits": pa.array(out_b, pa.int64()),
+                    "nd": pa.array([nd] * len(out_b), pa.int64()),
+                    "exc": pa.array(out_e, pa.int64()),
+                }
+            )
+
+        got = (
+            rows.repartition(1)
+            .map_batches(local, batch_format="pyarrow", batch_size=None)
+            .take_all()
+        )
+        nd = int(got[0]["nd"]) if got else 0
+        exc_map = {int(r["bits"]): int(r["exc"]) for r in got}
+    else:
+        from ray.data.aggregate import Max as _Max, Min as _Min
+
+        lohi = rows.aggregate(_Min("v"), _Max("v"))
+        vlo, vhi = int(lohi["min(v)"]), int(lohi["max(v)"])
+        wv = (vhi - vlo) // PFOR_BUCKETS + 1
+
+        def keyed(batch: pa.Table) -> pa.Table:
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "cell", pa.array((v - vlo) // wv, pa.int64())
+            )
+
+        def bucket_census(group: pa.Table) -> pa.Table:
+            cell = int(group.column("cell")[0].as_py())
+            v = np.sort(group.column("v").to_numpy(zero_copy_only=False))
+            d = np.diff(v)
+            excs = [int((d >= (1 << b)).sum()) for b in PFOR_BITS]
+            return pa.table(
+                {
+                    "cell": pa.array([cell], pa.int64()),
+                    "cnt": pa.array([len(v)], pa.int64()),
+                    "vmin": pa.array([int(v[0])], pa.int64()),
+                    "vmax": pa.array([int(v[-1])], pa.int64()),
+                    **{
+                        f"e{b}": pa.array([e], pa.int64())
+                        for b, e in zip(PFOR_BITS, excs)
+                    },
+                }
+            )
+
+        grid = (
+            rows.map_batches(keyed, batch_format="pyarrow")
+            .groupby("cell")
+            .map_groups(bucket_census, batch_format="pyarrow")
+            .take_all()  # bounded: the fixed 256-bucket grid
+        )
+        grid.sort(key=lambda r: int(r["cell"]))
+        nd = sum(int(r["cnt"]) for r in grid) - 1 if grid else 0
+        exc_map = {b: 0 for b in PFOR_BITS}
+        prev_max = None
+        for r in grid:
+            for b in PFOR_BITS:
+                exc_map[b] += int(r[f"e{b}"])
+            if prev_max is not None:
+                bd = int(r["vmin"]) - prev_max
+                for b in PFOR_BITS:
+                    if bd >= (1 << b):
+                        exc_map[b] += 1
+            prev_max = int(r["vmax"])
+
+    out = []
+    for b in PFOR_BITS:
+        exc = exc_map.get(b, 0)
+        est = 8 + (nd * b + 7) // 8 + 8 * exc
+        out.append((b, nd, exc, est))
+    import pandas as pd  # noqa: F811
+
+    df = pd.DataFrame(
+        out, columns=["bits", "n_deltas", "n_exceptions", "est_bytes"]
+    )
+    best = df.sort_values(["est_bytes", "bits"]).iloc[0]["bits"]
+    df["is_best"] = (df["bits"] == best).astype("int64")
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("bits", ignore_index=True)
+
+
+RR_FLIP_DEN = 4   # flip with probability 1/4 (hash-simulated)
+
+
+def randomized_response_eval(sf_dir: str) -> "pd.DataFrame":
+    """Randomized-response (Warner) DEBIASING eval — the local-DP
+    mechanism simulated deterministically and closed exactly: each
+    customer reports their sensitive bit (negative account balance)
+    FLIPPED with probability 1/4 (an md5 bit of the customer key, so
+    the 'coin' is reproducible), and the per-segment debiased
+    estimate ŷ = (4·obs − n)/2 is compared to the true count. The
+    LOCAL-privacy complement to `dp_sensitivity_audit`'s central
+    sensitivity: this is the estimator a collector uses when it
+    never sees true bits, and err_x2 measures the realized (not
+    just expected) debiasing error on this corpus. All integer:
+    est_x2 = 4·obs − n so est = est_x2/2. Output per segment:
+    (stratum, n, true_yes, obs_yes, est_x2, err_x2).
+
+    Scale shape: one streaming pass — per batch the md5 coin and
+    both bits vectorize into four per-segment cells; one bounded
+    ≤|segments| fold. No shuffle wider than the segment grid."""
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        bal = batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        y = (bal < 0).astype(np.int64)
+        flip = np.array(
+            [
+                int(_hashlib.md5(str(int(c)).encode()).hexdigest()[:2], 16)
+                % RR_FLIP_DEN
+                == 0
+                for c in ck
+            ],
+            np.int64,
+        )
+        obs = y ^ flip
+        t = pa.table(
+            {
+                "stratum": batch.column("c_mktsegment"),
+                "n": pa.array(np.ones(len(ck), np.int64), pa.int64()),
+                "true_yes": pa.array(y, pa.int64()),
+                "obs_yes": pa.array(obs, pa.int64()),
+            }
+        ).group_by("stratum").aggregate(
+            [("n", "sum"), ("true_yes", "sum"), ("obs_yes", "sum")]
+        )
+        return pa.table(
+            {
+                "stratum": t.column("stratum"),
+                "n": t.column("n_sum").cast(pa.int64()),
+                "true_yes": t.column("true_yes_sum").cast(pa.int64()),
+                "obs_yes": t.column("obs_yes_sum").cast(pa.int64()),
+            }
+        )
+
+    rows = (
+        cust.map_batches(cells, batch_format="pyarrow")
+        .groupby("stratum")
+        .aggregate(
+            _Sum("n", alias_name="n"),
+            _Sum("true_yes", alias_name="true_yes"),
+            _Sum("obs_yes", alias_name="obs_yes"),
+        )
+        .take_all()  # bounded: one row per segment
+    )
+    df = pd.DataFrame(rows).sort_values("stratum", ignore_index=True)
+    for c in ["n", "true_yes", "obs_yes"]:
+        df[c] = df[c].astype("int64")
+    df["est_x2"] = 4 * df["obs_yes"] - df["n"]
+    df["err_x2"] = df["est_x2"] - 2 * df["true_yes"]
+    for c in ["est_x2", "err_x2"]:
+        df[c] = df[c].astype("int64")
+    return df[["stratum", "n", "true_yes", "obs_yes", "est_x2", "err_x2"]]

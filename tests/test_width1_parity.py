@@ -146,3 +146,15 @@ def test_dtc_contraction_path_matches_local(ray_session):
     finally:
         dd.DTC_LOCAL_MAX = 2_000_000
     assert local.equals(grid)
+
+
+def test_pfor_grid_path_matches_local(ray_session):
+    import readur_ray.pipelines.analytics as an
+
+    local = an.pfor_exception_audit(SF)
+    an.PFOR_LOCAL_MAX = 0
+    try:
+        grid = an.pfor_exception_audit(SF)
+    finally:
+        an.PFOR_LOCAL_MAX = 2_000_000
+    assert local.equals(grid)
