@@ -2095,6 +2095,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Tail-seated by design: the local-privacy leg beside
         # dp_sensitivity_audit.
         "randomized_response_eval": analytics.randomized_response_eval,
+        # (round 4, wave 129) odd-cycle census — per mutual-kNN
+        # component, 2-colorability folded to one row (components,
+        # odd components, nodes, nodes-in-odd): chain-vs-clique
+        # dichotomy beside triangle_census/k_core_peel; parity
+        # union-find width-1, one-level parity contraction above.
+        # Tail-seated by design: the structure-portfolio leg.
+        "bipartiteness_audit": similarity.bipartiteness_audit,
+        # (round 4, wave 129) Siegel-Tukey dispersion statistics —
+        # alternating-extreme ranks over pooled R/A price cents with
+        # deterministic tie-break, exact integer rank sums: the
+        # nonparametric SCALE test beside mann_whitney_u's location
+        # test; bucket-grid distributed ranking, width-1 escape.
+        # Tail-seated by design: the spread leg of the rank family.
+        "siegel_tukey": analytics.siegel_tukey,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -10490,6 +10504,72 @@ def oracle_sql() -> dict[str, str]:
                CAST(4 * sum(obs) - count(*) - 2 * sum(y) AS BIGINT)
                  AS err_x2
         FROM o GROUP BY 1 ORDER BY 1
+    """
+
+    # bipartiteness_audit: components via the recursive reach CTE,
+    # then parities re-propagated from each component's root only.
+    sql["bipartiteness_audit"] = f"""
+        WITH RECURSIVE mk AS MATERIALIZED (
+          SELECT vec_a, vec_b FROM ({sql["mutual_knn"]})
+        ),
+        e AS MATERIALIZED (
+          SELECT vec_a AS src, vec_b AS dst FROM mk
+          UNION ALL SELECT vec_b, vec_a FROM mk
+        ),
+        reach AS (
+          SELECT DISTINCT src AS doc, src AS lab FROM e
+          UNION
+          SELECT e.src, r.lab FROM reach r JOIN e ON e.dst = r.doc
+        ),
+        comp AS (SELECT doc, min(lab) AS comp FROM reach GROUP BY 1),
+        roots AS (SELECT DISTINCT comp FROM comp),
+        par AS (
+          SELECT comp AS doc, comp, 0 AS par FROM roots
+          UNION
+          SELECT e.src, p.comp, 1 - p.par
+          FROM par p JOIN e ON e.dst = p.doc
+        ),
+        flags AS (SELECT doc, comp,
+                         CAST(count(DISTINCT par) AS BIGINT) AS np
+                  FROM par GROUP BY 1, 2),
+        cstat AS (SELECT comp,
+                         max(CASE WHEN np > 1 THEN 1 ELSE 0 END) AS odd,
+                         CAST(count(*) AS BIGINT) AS sz
+                  FROM flags GROUP BY 1)
+        SELECT CAST(count(*) AS BIGINT) AS n_components,
+               CAST(coalesce(sum(odd), 0) AS BIGINT)
+                 AS n_odd_components,
+               CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_nodes,
+               CAST(coalesce(sum(sz * odd), 0) AS BIGINT)
+                 AS n_nodes_in_odd
+        FROM cstat
+    """
+
+    # siegel_tukey: alternating-extreme ranks with deterministic
+    # tie-break, exact integer rank sums per return-flag group.
+    sql["siegel_tukey"] = """
+        WITH x AS (SELECT l_returnflag AS grp,
+                          CAST(floor(l_extendedprice * 100 + 0.5)
+                            AS BIGINT) AS v,
+                          CAST(l_orderkey AS BIGINT) AS ok,
+                          CAST(l_linenumber AS BIGINT) AS ln
+                   FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+        r AS (SELECT grp,
+                     row_number() OVER (ORDER BY v, ok, ln) AS i,
+                     count(*) OVER () AS n
+              FROM x),
+        a AS (SELECT grp,
+                     CASE WHEN i <= (n + 1) // 2
+                          THEN CASE WHEN i % 2 = 1 THEN 2 * i - 1
+                                    ELSE 2 * i END
+                          ELSE CASE WHEN (n + 1 - i) % 2 = 1
+                                    THEN 2 * (n + 1 - i)
+                                    ELSE 2 * (n + 1 - i) - 1 END
+                     END AS alt
+              FROM r)
+        SELECT grp, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(alt) AS BIGINT) AS rank_sum
+        FROM a GROUP BY 1 ORDER BY 1
     """
 
     return sql

@@ -13239,8 +13239,13 @@ def join_order_costs(sf_dir: str) -> "pd.DataFrame":
             }
         )
 
-    # customer-only interval sizes fold in the same pass as the flags
-    c_sizes = cust.map_batches(cust_side, batch_format="pyarrow").aggregate(
+    # customer-only interval sizes fold in the same pass as the flags;
+    # the mapped side is materialized once and reused by the custkey
+    # co-partition below (saves a second full customer scan+map)
+    cust_mapped = cust.map_batches(
+        cust_side, batch_format="pyarrow"
+    ).materialize()
+    c_sizes = cust_mapped.aggregate(
         _Sum("f_plain", alias_name="c"),
         _Sum("f_n", alias_name="nc"),
         _Sum("f_rn", alias_name="rnc"),
@@ -13272,7 +13277,7 @@ def join_order_costs(sf_dir: str) -> "pd.DataFrame":
     sizes[(3, 3)] = int(o_cnt["n"])
 
     fact = (
-        cust.map_batches(cust_side, batch_format="pyarrow")
+        cust_mapped
         .union(orders.map_batches(order_side, batch_format="pyarrow"))
         .groupby("part")
         .map_groups(
@@ -13517,3 +13522,163 @@ def randomized_response_eval(sf_dir: str) -> "pd.DataFrame":
     for c in ["est_x2", "err_x2"]:
         df[c] = df[c].astype("int64")
     return df[["stratum", "n", "true_yes", "obs_yes", "est_x2", "err_x2"]]
+
+
+ST_LOCAL_MAX = 2_000_000   # rows below which the ranking runs width-1
+ST_BUCKETS = 256           # value-range buckets for the distributed rank
+
+
+def siegel_tukey(sf_dir: str) -> "pd.DataFrame":
+    """Exact Siegel-Tukey rank-DISPERSION test statistics — the
+    scale-difference leg of the nonparametric family: ranks are
+    assigned ALTERNATING FROM THE EXTREMES of the pooled sorted
+    order (1 to the smallest, 2-3 to the two largest, 4-5 to the
+    next smallest pair, ...), so a group concentrated in the middle
+    collects high ranks and a dispersed group low ones; the rank sum
+    then feeds the Mann-Whitney machinery but tests VARIANCE, not
+    location (`mann_whitney_u` / `kruskal_wallis` test shift;
+    nothing else here tests spread nonparametrically). Pooled groups
+    are the R vs A return flags over price cents; ties are broken
+    deterministically by (value, orderkey, linenumber) — the audit
+    convention, documented in place of midranks, keeping every rank
+    an exact integer. Output per group: (grp, n, rank_sum).
+
+    Scale shape: the global position is never computed by a global
+    sort — width-1 escape below ST_LOCAL_MAX rows; above it the
+    spearman bucket-grid discipline: a bounded 256-cell value-range
+    count grid folds to the driver, prefix bases broadcast, and each
+    bucket sorts LOCALLY by (v, ok, ln) to get exact global
+    positions; the alternating-rank closed form (low depth d: odd →
+    2d−1, even → 2d; high depth e: odd → 2e, even → 2e−1) vectorizes
+    per bucket and two rank sums fold out."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    lit = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+        ],
+    )
+
+    def rows_fn(batch: pa.Table) -> pa.Table:
+        fl = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        keep = (fl == "R") | (fl == "A")
+        cents = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)[keep]
+        ok = batch.column("l_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[keep]
+        ln = batch.column("l_linenumber").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[keep]
+        g = (fl[keep] == "R").astype(np.int64)  # 1 = R, 0 = A
+        return pa.table(
+            {
+                "v": pa.array(cents, pa.int64()),
+                "ok": pa.array(ok, pa.int64()),
+                "ln": pa.array(ln, pa.int64()),
+                "g": pa.array(g, pa.int64()),
+            }
+        )
+
+    rows = lit.map_batches(rows_fn, batch_format="pyarrow").materialize()
+    n_total = rows.count()
+
+    def alt_ranks(pos: "np.ndarray", n: int) -> "np.ndarray":
+        # pos is 1-based global position in the pooled sorted order
+        low = pos <= (n + 1) // 2
+        d = np.where(low, pos, n + 1 - pos)
+        odd = d % 2 == 1
+        r_low = np.where(odd, 2 * d - 1, 2 * d)
+        r_high = np.where(odd, 2 * d, 2 * d - 1)
+        return np.where(low, r_low, r_high).astype(np.int64)
+
+    def fold(g: "np.ndarray", r: "np.ndarray") -> pa.Table:
+        return pa.table(
+            {
+                "grp": pa.array(["A", "R"], pa.string()),
+                "n": pa.array(
+                    [int((g == 0).sum()), int((g == 1).sum())], pa.int64()
+                ),
+                "rank_sum": pa.array(
+                    [int(r[g == 0].sum()), int(r[g == 1].sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    if n_total < ST_LOCAL_MAX:
+
+        def local(tbl: pa.Table) -> pa.Table:
+            v = tbl.column("v").to_numpy(zero_copy_only=False)
+            ok = tbl.column("ok").to_numpy(zero_copy_only=False)
+            ln = tbl.column("ln").to_numpy(zero_copy_only=False)
+            g = tbl.column("g").to_numpy(zero_copy_only=False)
+            order = np.lexsort((ln, ok, v))
+            pos = np.empty(len(v), np.int64)
+            pos[order] = np.arange(1, len(v) + 1)
+            return fold(g, alt_ranks(pos, len(v)))
+
+        parts = (
+            rows.repartition(1)
+            .map_batches(local, batch_format="pyarrow", batch_size=None)
+        )
+    else:
+        from ray.data.aggregate import Max as _Max, Min as _Min
+
+        lohi = rows.aggregate(_Min("v"), _Max("v"))
+        vlo, vhi = int(lohi["min(v)"]), int(lohi["max(v)"])
+        wv = (vhi - vlo) // ST_BUCKETS + 1
+
+        def keyed(batch: pa.Table) -> pa.Table:
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "cell", pa.array((v - vlo) // wv, pa.int64())
+            )
+
+        kd = rows.map_batches(keyed, batch_format="pyarrow").materialize()
+        counts = {
+            int(r["cell"]): int(r["count()"])
+            for r in kd.groupby("cell").count().take_all()
+        }  # bounded: the 256-cell grid
+        bases = {}
+        acc = 0
+        for c in sorted(counts):
+            bases[c] = acc
+            acc += counts[c]
+        bases_ref = ray.put(bases)
+
+        def bucket_fold(group: pa.Table, _n=n_total) -> pa.Table:
+            cell = int(group.column("cell")[0].as_py())
+            base = ray.get(bases_ref)[cell]
+            v = group.column("v").to_numpy(zero_copy_only=False)
+            ok = group.column("ok").to_numpy(zero_copy_only=False)
+            ln = group.column("ln").to_numpy(zero_copy_only=False)
+            g = group.column("g").to_numpy(zero_copy_only=False)
+            order = np.lexsort((ln, ok, v))
+            pos = np.empty(len(v), np.int64)
+            pos[order] = base + np.arange(1, len(v) + 1)
+            return fold(g, alt_ranks(pos, _n))
+
+        parts = (
+            kd.groupby("cell")
+            .map_groups(bucket_fold, batch_format="pyarrow")
+        )
+
+    out = (
+        parts.groupby("grp")
+        .aggregate(
+            _Sum("n", alias_name="n"),
+            _Sum("rank_sum", alias_name="rank_sum"),
+        )
+        .take_all()  # bounded: 2 group rows
+    )
+    df = pd.DataFrame(out).sort_values("grp", ignore_index=True)
+    for c in ["n", "rank_sum"]:
+        df[c] = df[c].astype("int64")
+    return df[["grp", "n", "rank_sum"]]

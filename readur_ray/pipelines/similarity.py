@@ -4631,3 +4631,397 @@ def k_core_peel(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df.sort_values(["k", "round"], ignore_index=True)
+
+
+BIP_LOCAL_MAX = 2_000_000  # directed rows below which parity-UF runs width-1
+BIP_BRIDGE_CAP = 5_000_000  # driver cap for the parity bridge graph
+BIP_PARTS = 16              # contraction fan
+
+
+class _ParityUF:
+    """Union-find with edge parity (weighted UF over GF(2)): find(x)
+    returns (root, parity of the x→root path); union(x, y, p) merges
+    under the constraint par(x) ⊕ par(y) = p and reports False when
+    the constraint CONFLICTS with an existing relation (an odd cycle
+    when p = 1 on a same-color merge)."""
+
+    def __init__(self) -> None:
+        self.parent: dict = {}
+        self.par: dict = {}
+
+    def find(self, x):
+        if x not in self.parent:
+            self.parent[x] = x
+            self.par[x] = 0
+            return x, 0
+        path = []
+        while self.parent[x] != x:
+            path.append(x)
+            x = self.parent[x]
+        root = x
+        # compress: walking the path from nearest-to-root outward, the
+        # running XOR after absorbing a node's edge parity IS that
+        # node's parity to the root (its own edge was still original
+        # when absorbed; nearer nodes were rewritten already).
+        p = 0
+        for y in reversed(path):
+            p ^= self.par[y]
+            self.parent[y] = root
+            self.par[y] = p
+        return root, p
+
+    def union(self, x, y, p: int) -> bool:
+        rx, px = self.find(x)
+        ry, py = self.find(y)
+        if rx == ry:
+            return (px ^ py) == p
+        self.parent[rx] = ry
+        self.par[rx] = px ^ py ^ p
+        return True
+
+
+def bipartiteness_audit(sf_dir: str) -> "pd.DataFrame":
+    """ODD-CYCLE census of the mutual-kNN graph — per connected
+    component, is it 2-COLORABLE, folded to one row: (n_components,
+    n_odd_components, n_nodes, n_nodes_in_odd). A bipartite near-dup
+    component is chain/star/grid structure (pairwise similarity that
+    never closes a triangle — safe to keep one representative per
+    side); odd components contain odd cycles, i.e. clique-like mass
+    where `triangle_census` counts closures and SemDeDup-style
+    cutting applies. Read with `k_core_peel` this completes the
+    structure portfolio: core depth (density), triangles (closure),
+    2-colorability (chain-vs-clique dichotomy).
+
+    Scale shape: width-1 escape below BIP_LOCAL_MAX directed rows —
+    a parity union-find (weighted UF over GF(2), odd cycle = parity
+    conflict) in one task. Above it, a ONE-LEVEL parity contraction
+    (the `dedup_threshold_curve` plan carrying parities): local
+    parity-UF per 16-way edge partition emits (node, local-root,
+    parity) rows plus local odd-root flags; a node-key co-partition
+    turns multi-label nodes into parity bridge edges; the driver
+    runs parity-UF ONLY on the capped bridge graph (conflict ⇒ odd
+    root), broadcasts the root/parity/odd map, and sizes + odd flags
+    fold back through one root-key exchange — per-component rows
+    never sit on the driver."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    edges = mutual_knn(sf_dir)
+
+    def directed(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_a").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = batch.column("vec_b").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([a, b]), pa.int64()),
+                "b": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    ed = edges.map_batches(directed, batch_format="pyarrow").materialize()
+
+    def stats_from(comp_rows) -> "pd.DataFrame":
+        # comp_rows: iterable of (size, odd) per component
+        n_comp = n_odd = n_nodes = n_in_odd = 0
+        for sz, odd in comp_rows:
+            n_comp += 1
+            n_nodes += sz
+            if odd:
+                n_odd += 1
+                n_in_odd += sz
+        return pd.DataFrame(
+            [
+                {
+                    "n_components": n_comp,
+                    "n_odd_components": n_odd,
+                    "n_nodes": n_nodes,
+                    "n_nodes_in_odd": n_in_odd,
+                }
+            ]
+        ).astype("int64")
+
+    if ed.count() < BIP_LOCAL_MAX:
+        uf = _ParityUF()
+        odd_roots: set = set()
+        for bt in edges.iter_batches(batch_format="pyarrow"):
+            a = bt.column("vec_a").to_numpy(zero_copy_only=False)
+            b = bt.column("vec_b").to_numpy(zero_copy_only=False)
+            for x, y in zip(a.tolist(), b.tolist()):
+                if not uf.union(x, y, 1):
+                    odd_roots.add(uf.find(x)[0])
+        comp: dict = {}
+        odd_final: set = set()
+        for v in list(uf.parent):
+            r, _ = uf.find(v)
+            comp[r] = comp.get(r, 0) + 1
+        for r0 in odd_roots:
+            odd_final.add(uf.find(r0)[0])
+        return stats_from(
+            (sz, r in odd_final) for r, sz in comp.items()
+        )
+
+    # grid plan: one-level parity contraction
+    def local_uf(part_tbl: pa.Table) -> pa.Table:
+        a = part_tbl.column("a").to_numpy(zero_copy_only=False)
+        b = part_tbl.column("b").to_numpy(zero_copy_only=False)
+        uf = _ParityUF()
+        odd: set = set()
+        for x, y in zip(a.tolist(), b.tolist()):
+            if not uf.union(x, y, 1):
+                odd.add(uf.find(x)[0])
+        odd = {uf.find(r)[0] for r in odd}
+        nodes = sorted(uf.parent)
+        roots, pars = [], []
+        for v in nodes:
+            r, p = uf.find(v)
+            roots.append(r)
+            pars.append(p)
+        n = len(nodes)
+        rset = sorted({*roots})
+        return pa.table(
+            {
+                "kind": pa.array(
+                    [0] * n + [1] * len(rset), pa.int64()
+                ),
+                "node": pa.array(
+                    nodes + rset, pa.int64()
+                ),
+                "root": pa.array(
+                    roots + rset, pa.int64()
+                ),
+                "par": pa.array(
+                    pars + [1 if r in odd else 0 for r in rset],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    nl = (
+        ed.map_batches(
+            lambda b: b.append_column(
+                "part",
+                pa.array(
+                    b.column("a").to_numpy(zero_copy_only=False)
+                    % BIP_PARTS,
+                    pa.int64(),
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("part")
+        .map_groups(
+            lambda g: local_uf(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    node_rows = nl.map_batches(
+        lambda b: b.filter(
+            pa.compute.equal(b.column("kind"), pa.scalar(0, pa.int64()))
+        ).drop_columns(["kind"]),
+        batch_format="pyarrow",
+    ).materialize()
+    oddroot_rows = nl.map_batches(
+        lambda b: b.filter(
+            pa.compute.equal(b.column("kind"), pa.scalar(1, pa.int64()))
+        ).drop_columns(["kind"]),
+        batch_format="pyarrow",
+    )
+
+    def bridge_rows(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        df = pd.DataFrame(
+            {
+                "node": part_tbl.column("node").to_numpy(
+                    zero_copy_only=False
+                ),
+                "root": part_tbl.column("root").to_numpy(
+                    zero_copy_only=False
+                ),
+                "par": part_tbl.column("par").to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        ).sort_values(["node", "root", "par"])
+        ra, rb, pp = [], [], []
+        for _, g in df.groupby("node", sort=False):
+            rows = g[["root", "par"]].to_numpy()
+            r0, p0 = int(rows[0][0]), int(rows[0][1])
+            for r1, p1 in rows[1:]:
+                ra.append(r0)
+                rb.append(int(r1))
+                pp.append(p0 ^ int(p1))
+        return pa.table(
+            {
+                "ra": pa.array(ra, pa.int64()),
+                "rb": pa.array(rb, pa.int64()),
+                "p": pa.array(pp, pa.int64()),
+            }
+        )
+
+    bridges = (
+        node_rows.map_batches(
+            lambda b: b.append_column(
+                "part",
+                pa.array(
+                    b.column("node").to_numpy(zero_copy_only=False)
+                    % BIP_PARTS,
+                    pa.int64(),
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("part")
+        .map_groups(
+            lambda g: bridge_rows(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    if bridges.count() > BIP_BRIDGE_CAP:
+        raise RuntimeError(
+            "bipartiteness_audit: bridge graph exceeds BIP_BRIDGE_CAP; "
+            "recurse the contraction (dedup_components plan)"
+        )
+    uf = _ParityUF()
+    odd_roots = set()
+    for bt in bridges.iter_batches(batch_format="pyarrow"):
+        for x, y, p in zip(
+            bt.column("ra").to_numpy(zero_copy_only=False).tolist(),
+            bt.column("rb").to_numpy(zero_copy_only=False).tolist(),
+            bt.column("p").to_numpy(zero_copy_only=False).tolist(),
+        ):
+            if not uf.union(x, y, p):
+                odd_roots.add(uf.find(x)[0])
+    gmap = {}
+    for v in list(uf.parent):
+        r, p = uf.find(v)
+        gmap[v] = r
+    odd_global = {uf.find(r)[0] for r in odd_roots}
+    gmap_ref = ray.put((gmap, odd_global))
+
+    def node_comp(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        gm, _og = ray.get(gmap_ref)
+        df = (
+            pd.DataFrame(
+                {
+                    "node": part_tbl.column("node").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "root": part_tbl.column("root").to_numpy(
+                        zero_copy_only=False
+                    ),
+                }
+            )
+            .groupby("node", sort=False)["root"]
+            .min()
+            .reset_index()
+        )
+        groot = np.array(
+            [gm.get(int(r), int(r)) for r in df["root"]], np.int64
+        )
+        t = pa.table(
+            {
+                "groot": pa.array(groot, pa.int64()),
+                "sz": pa.array(np.ones(len(groot), np.int64), pa.int64()),
+            }
+        ).group_by("groot").aggregate([("sz", "sum")])
+        return pa.table(
+            {
+                "groot": t.column("groot"),
+                "sz": t.column("sz_sum").cast(pa.int64()),
+                "odd": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+            }
+        )
+
+    def oddflag_map(batch: pa.Table) -> pa.Table:
+        gm, og = ray.get(gmap_ref)
+        roots = batch.column("node").to_numpy(zero_copy_only=False)
+        odd = batch.column("par").to_numpy(zero_copy_only=False)
+        groot = np.array([gm.get(int(r), int(r)) for r in roots], np.int64)
+        gflag = np.array(
+            [
+                1 if (o == 1 or g in og) else 0
+                for o, g in zip(odd.tolist(), groot.tolist())
+            ],
+            np.int64,
+        )
+        return pa.table(
+            {
+                "groot": pa.array(groot, pa.int64()),
+                "sz": pa.array(np.zeros(len(groot), np.int64), pa.int64()),
+                "odd": pa.array(gflag, pa.int64()),
+            }
+        )
+
+    per_root = (
+        node_rows.map_batches(
+            lambda b: b.append_column(
+                "part",
+                pa.array(
+                    b.column("node").to_numpy(zero_copy_only=False)
+                    % BIP_PARTS,
+                    pa.int64(),
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("part")
+        .map_groups(
+            lambda g: node_comp(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+        .union(oddroot_rows.map_batches(oddflag_map, batch_format="pyarrow"))
+        .groupby("groot")
+        .aggregate(
+            _Sum("sz", alias_name="sz"),
+            _Max("odd", alias_name="odd"),
+        )
+        .materialize()
+    )
+    agg = per_root.aggregate(
+        _Sum("sz", alias_name="n_nodes"),
+        _Sum("odd", alias_name="n_odd"),
+    )
+    n_comp = per_root.count()
+    odd_nodes = per_root.map_batches(
+        lambda b: pa.table(
+            {
+                "x": pa.array(
+                    [
+                        int(
+                            (
+                                b.column("sz").to_numpy(
+                                    zero_copy_only=False
+                                )
+                                * b.column("odd").to_numpy(
+                                    zero_copy_only=False
+                                )
+                            ).sum()
+                        )
+                    ],
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).aggregate(_Sum("x", alias_name="x"))
+    return pd.DataFrame(
+        [
+            {
+                "n_components": int(n_comp),
+                "n_odd_components": int(agg["n_odd"]),
+                "n_nodes": int(agg["n_nodes"]),
+                "n_nodes_in_odd": int(odd_nodes["x"]),
+            }
+        ]
+    ).astype("int64")

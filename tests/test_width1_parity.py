@@ -158,3 +158,27 @@ def test_pfor_grid_path_matches_local(ray_session):
     finally:
         an.PFOR_LOCAL_MAX = 2_000_000
     assert local.equals(grid)
+
+
+def test_bip_contraction_path_matches_local(ray_session):
+    import readur_ray.pipelines.similarity as sim
+
+    local = sim.bipartiteness_audit(SF)
+    sim.BIP_LOCAL_MAX = 0
+    try:
+        grid = sim.bipartiteness_audit(SF)
+    finally:
+        sim.BIP_LOCAL_MAX = 2_000_000
+    assert local.equals(grid)
+
+
+def test_siegel_tukey_grid_path_matches_local(ray_session):
+    import readur_ray.pipelines.analytics as an
+
+    local = an.siegel_tukey(SF)
+    an.ST_LOCAL_MAX = 0
+    try:
+        grid = an.siegel_tukey(SF)
+    finally:
+        an.ST_LOCAL_MAX = 2_000_000
+    assert local.equals(grid)
