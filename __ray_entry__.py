@@ -2109,6 +2109,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # test; bucket-grid distributed ranking, width-1 escape.
         # Tail-seated by design: the spread leg of the rank family.
         "siegel_tukey": analytics.siegel_tukey,
+        # (round 4, wave 130) space-filling-curve locality — total /
+        # max Manhattan jump between consecutive non-empty cells of
+        # the day×custkey grid under row-major, Z-order and Hilbert
+        # layout (canonical xy2d, 6 unrolled levels in the oracle);
+        # one fixed-4096-cell fold + driver walk. Tail-seated by
+        # design: the layout-choice leg beside zorder_keys.
+        "hilbert_locality_audit": analytics.hilbert_locality_audit,
+        # (round 4, wave 130) naive distributed top-k eval — shard
+        # events by event_id%16, local top-32 per shard, merged
+        # estimate vs exact top-32 (underestimation + missing
+        # shards per user): the local-topk-then-merge failure mode
+        # measured exactly. Tail-seated by design: the shortcut
+        # audit between heavy_hitters_exact and cms_error_eval.
+        "partial_topk_merge_eval": analytics.partial_topk_merge_eval,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -10570,6 +10584,101 @@ def oracle_sql() -> dict[str, str]:
         SELECT grp, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(alt) AS BIGINT) AS rank_sum
         FROM a GROUP BY 1 ORDER BY 1
+    """
+
+    # hilbert_locality_audit: canonical xy2d unrolled 6 levels;
+    # z-order bit interleave; jumps via lag windows per ordering.
+    _hl_levels = []
+    _prev = "h0"
+    for _i, _s in enumerate((32, 16, 8, 4, 2, 1), 1):
+        _hl_levels.append(
+            f"h{_i} AS (SELECT cell, x0, y0,"
+            f" CASE WHEN ry = 0 THEN"
+            f" (CASE WHEN rx = 1 THEN 63 - y ELSE y END)"
+            f" ELSE x END AS x,"
+            f" CASE WHEN ry = 0 THEN"
+            f" (CASE WHEN rx = 1 THEN 63 - x ELSE x END)"
+            f" ELSE y END AS y,"
+            f" d + {_s * _s} * (CASE WHEN rx = 0 THEN ry"
+            f" ELSE 3 - ry END) AS d"
+            f" FROM (SELECT *, (x // {_s}) % 2 AS rx,"
+            f" (y // {_s}) % 2 AS ry FROM {_prev}))"
+        )
+        _prev = f"h{_i}"
+    _hl_jump = (
+        "SELECT '{name}' AS ordering,"
+        " CAST(count(*) AS BIGINT) AS n_cells,"
+        " CAST(coalesce(sum(abs(x0 - px) + abs(y0 - py)), 0) AS BIGINT)"
+        " AS total_jump,"
+        " CAST(coalesce(max(abs(x0 - px) + abs(y0 - py)), 0) AS BIGINT)"
+        " AS max_jump"
+        " FROM (SELECT x0, y0,"
+        " lag(x0) OVER (ORDER BY {key}) AS px,"
+        " lag(y0) OVER (ORDER BY {key}) AS py FROM {src})"
+    )
+    sql["hilbert_locality_audit"] = (
+        """
+        WITH od AS (SELECT CAST(date_diff('day', DATE '1992-01-01',
+                          CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                          CAST(o_custkey AS BIGINT) AS ck
+                    FROM orders),
+        cl AS (SELECT DISTINCT
+                 least(greatest(day * 64 // 2557, 0), 63) AS x0,
+                 ck % 64 AS y0
+               FROM od),
+        h0 AS (SELECT y0 * 64 + x0 AS cell, x0, y0, x0 AS x, y0 AS y,
+                      CAST(0 AS BIGINT) AS d
+               FROM cl),
+        """
+        + ",\n".join(_hl_levels)
+        + f""",
+        zc AS (SELECT cell, x0, y0,
+                 ((x0 // 1) % 2) * 1 + ((y0 // 1) % 2) * 2
+               + ((x0 // 2) % 2) * 4 + ((y0 // 2) % 2) * 8
+               + ((x0 // 4) % 2) * 16 + ((y0 // 4) % 2) * 32
+               + ((x0 // 8) % 2) * 64 + ((y0 // 8) % 2) * 128
+               + ((x0 // 16) % 2) * 256 + ((y0 // 16) % 2) * 512
+               + ((x0 // 32) % 2) * 1024 + ((y0 // 32) % 2) * 2048
+                 AS zd
+               FROM h0)
+        SELECT * FROM (
+        {_hl_jump.format(name="hilbert", key="d", src="h6")}
+        UNION ALL
+        {_hl_jump.format(name="row_major", key="cell", src="h0")}
+        UNION ALL
+        {_hl_jump.format(name="z_order", key="zd", src="zc")}
+        ) ORDER BY ordering
+    """
+    )
+
+    # partial_topk_merge_eval: local top-32 per event shard, merged
+    # estimate vs the exact top-32.
+    sql["partial_topk_merge_eval"] = """
+        WITH s AS (SELECT CAST(event_id AS BIGINT) % 16 AS shard,
+                          CAST(user_id AS BIGINT) AS u
+                   FROM events),
+        pc AS (SELECT shard, u, CAST(count(*) AS BIGINT) AS n
+               FROM s GROUP BY 1, 2),
+        lt AS (SELECT shard, u, n FROM
+                 (SELECT *, row_number() OVER (PARTITION BY shard
+                            ORDER BY n DESC, u) AS rk FROM pc)
+               WHERE rk <= 32),
+        cand AS (SELECT u, CAST(sum(n) AS BIGINT) AS est_n,
+                        CAST(count(*) AS BIGINT) AS nsh
+                 FROM lt GROUP BY 1),
+        tot AS (SELECT u, CAST(sum(n) AS BIGINT) AS true_n
+                FROM pc GROUP BY 1),
+        top AS (SELECT u, true_n,
+                       row_number() OVER (ORDER BY true_n DESC, u)
+                         AS rnk
+                FROM tot ORDER BY true_n DESC, u LIMIT 32)
+        SELECT CAST(top.rnk AS BIGINT) AS rank, top.u AS user_id,
+               top.true_n,
+               CAST(coalesce(cand.est_n, 0) AS BIGINT) AS est_n,
+               CAST(coalesce(cand.nsh, 0) AS BIGINT)
+                 AS n_shards_counted,
+               CAST(cand.u IS NOT NULL AS BIGINT) AS in_candidates
+        FROM top LEFT JOIN cand ON top.u = cand.u ORDER BY 1
     """
 
     return sql

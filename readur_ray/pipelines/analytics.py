@@ -13682,3 +13682,241 @@ def siegel_tukey(sf_dir: str) -> "pd.DataFrame":
     for c in ["n", "rank_sum"]:
         df[c] = df[c].astype("int64")
     return df[["grp", "n", "rank_sum"]]
+
+
+HILB_N = 64    # grid side (order-6 Hilbert curve)
+
+
+def _hilbert_xy2d(n: int, x: "np.ndarray", y: "np.ndarray") -> "np.ndarray":
+    """Vectorized order-log2(n) Hilbert curve index (xy2d), the
+    classic bit-twiddling walk mirrored level-by-level in the SQL
+    oracle."""
+    x = x.copy()
+    y = y.copy()
+    d = np.zeros(len(x), np.int64)
+    s = n // 2
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * np.where(rx == 0, ry, 3 - ry)
+        # rotate quadrant (canonical Wikipedia rot(): reflect with
+        # n-1-·, then swap, whenever ry == 0)
+        flip = (ry == 0) & (rx == 1)
+        x = np.where(flip, n - 1 - x, x)
+        y = np.where(flip, n - 1 - y, y)
+        rot = ry == 0
+        x2 = np.where(rot, y, x)
+        y2 = np.where(rot, x, y)
+        x, y = x2, y2
+        s //= 2
+    return d
+
+
+def hilbert_locality_audit(sf_dir: str) -> "pd.DataFrame":
+    """Space-filling-curve LOCALITY comparison — lay the non-empty
+    cells of the (order-day × customer-key) 64×64 grid out in
+    row-major, Z-order (bit interleave, `zorder_keys`' curve) and
+    HILBERT order, and measure each layout's locality as the total
+    and max Manhattan jump between consecutive non-empty cells: the
+    number every clustered-storage engine is implicitly optimizing
+    when it picks a cell ordering (neighboring cells share pages /
+    row groups; a big jump is a seek). Z-order pays its notorious
+    boundary jumps (crossing a quadrant seam teleports); Hilbert is
+    jump-1 on the FULL grid by construction and near-1 on sparse
+    grids — this audit puts exact numbers on that folklore for this
+    corpus's occupancy pattern. Output one row per ordering:
+    (ordering, n_cells, total_jump, max_jump).
+
+    Scale shape: one domain-bounded (cell → count) fold — the grid
+    is FIXED at 4096 cells regardless of corpus size (the
+    `haar_synopsis` contract) — then all three orderings and their
+    jump sums are driver arithmetic over ≤ 4096 rows; the Hilbert
+    walk is the vectorized 6-level bit rotation, mirrored level by
+    level in the oracle's unrolled CTEs."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_custkey"]
+    )
+
+    def cells(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        day = (
+            (d.astype("datetime64[D]") - HAAR_EPOCH)
+            // np.timedelta64(1, "D")
+        ).astype(np.int64)
+        ck = batch.column("o_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        x = np.clip(day * HILB_N // 2557, 0, HILB_N - 1)
+        y = ck % HILB_N
+        cell = y * HILB_N + x
+        t = pa.table(
+            {
+                "cell": pa.array(cell, pa.int64()),
+                "c": pa.array(np.ones(len(cell), np.int64), pa.int64()),
+            }
+        ).group_by("cell").aggregate([("c", "sum")])
+        return pa.table(
+            {"cell": t.column("cell"), "c": t.column("c_sum").cast(pa.int64())}
+        )
+
+    rows = (
+        orders.map_batches(cells, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(_Sum("c", alias_name="c"))
+        .take_all()  # bounded: the fixed 4096-cell grid
+    )
+    cell = np.array(sorted(int(r["cell"]) for r in rows), np.int64)
+    x = cell % HILB_N
+    y = cell // HILB_N
+
+    def zorder(xv: "np.ndarray", yv: "np.ndarray") -> "np.ndarray":
+        z = np.zeros(len(xv), np.int64)
+        for b in range(6):
+            z |= ((xv >> b) & 1) << (2 * b)
+            z |= ((yv >> b) & 1) << (2 * b + 1)
+        return z
+
+    orderings = {
+        "row_major": y * HILB_N + x,
+        "z_order": zorder(x, y),
+        "hilbert": _hilbert_xy2d(HILB_N, x, y),
+    }
+    out = []
+    for name in sorted(orderings):
+        idx = np.argsort(orderings[name], kind="stable")
+        xs, ys = x[idx], y[idx]
+        jumps = np.abs(np.diff(xs)) + np.abs(np.diff(ys))
+        out.append(
+            (
+                name,
+                len(xs),
+                int(jumps.sum()) if len(jumps) else 0,
+                int(jumps.max()) if len(jumps) else 0,
+            )
+        )
+    df = pd.DataFrame(
+        out, columns=["ordering", "n_cells", "total_jump", "max_jump"]
+    )
+    for c in ["n_cells", "total_jump", "max_jump"]:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("ordering", ignore_index=True)
+
+
+PTK_SHARDS = 16   # deterministic event shards (event_id % 16)
+PTK_K = 32        # local and global top-k
+
+
+def partial_topk_merge_eval(sf_dir: str) -> "pd.DataFrame":
+    """The classic distributed-top-k FAILURE MODE measured exactly —
+    shard events by event_id % 16 (ingest-order sharding: a user's
+    events SPLIT across shards), take each shard's local top-32
+    users by partial count, merge the candidate lists, and score the
+    naive estimate (sum of the partial counts that survived local
+    top-k) against the exact answer: for each true top-32 user,
+    (rank, user_id, true_n, est_n, n_shards_counted, in_candidates).
+    est_n < true_n happens exactly when a heavy user misses some
+    shard's local top-k — the underestimation every
+    local-topk-then-merge pipeline silently ships (`heavy_hitters_exact`
+    is the exact fold; this measures what the shortcut loses; a
+    sketch (`cms_error_eval`) brackets it from the other side).
+
+    Scale shape: per-batch (shard, user) partial counts fold through
+    one (shard, user)-keyed exchange; local top-32 is a per-shard
+    bounded sort inside the fold partition; the candidate/truth
+    comparison touches ≤ 16·32 candidate rows + the 32-row exact
+    top (one user fold + bounded sort-limit)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ev = batch.column("event_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        u = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        shard = ev % PTK_SHARDS
+        t = pa.table(
+            {
+                "shard": pa.array(shard, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "n": pa.array(np.ones(len(u), np.int64), pa.int64()),
+            }
+        ).group_by(["shard", "user_id"]).aggregate([("n", "sum")])
+        return pa.table(
+            {
+                "shard": t.column("shard"),
+                "user_id": t.column("user_id"),
+                "n": t.column("n_sum").cast(pa.int64()),
+            }
+        )
+
+    sharded = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["shard", "user_id"])
+        .aggregate(_Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    def local_topk(group: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        df = group.to_pandas().sort_values(
+            ["n", "user_id"], ascending=[False, True]
+        ).head(PTK_K)
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    df["user_id"].to_numpy(np.int64), pa.int64()
+                ),
+                "est": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+                "sh": pa.array(np.ones(len(df), np.int64), pa.int64()),
+            }
+        )
+
+    cands = (
+        sharded.groupby("shard")
+        .map_groups(local_topk, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            _Sum("est", alias_name="est_n"),
+            _Sum("sh", alias_name="n_shards_counted"),
+        )
+        .take_all()  # bounded: <= 16*32 candidate rows
+    )
+    cmap = {
+        int(r["user_id"]): (int(r["est_n"]), int(r["n_shards_counted"]))
+        for r in cands
+    }
+
+    top = (
+        sharded.groupby("user_id")
+        .aggregate(_Sum("n", alias_name="true_n"))
+        .sort(["true_n", "user_id"], descending=[True, False])
+        .limit(PTK_K)
+        .take_all()
+    )
+    out = []
+    for i, r in enumerate(top, 1):
+        u, tn = int(r["user_id"]), int(r["true_n"])
+        est, nsh = cmap.get(u, (0, 0))
+        out.append((i, u, tn, est, nsh, 1 if u in cmap else 0))
+    df = pd.DataFrame(
+        out,
+        columns=[
+            "rank", "user_id", "true_n", "est_n", "n_shards_counted",
+            "in_candidates",
+        ],
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df
