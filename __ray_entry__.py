@@ -2123,6 +2123,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # measured exactly. Tail-seated by design: the shortcut
         # audit between heavy_hitters_exact and cms_error_eval.
         "partial_topk_merge_eval": analytics.partial_topk_merge_eval,
+        # (round 4, wave 131) energy-distance sufficient statistics
+        # — the omnibus Székely-Rizzo two-sample pieces (three exact
+        # pairwise |diff| sums, no pairs materialized: sorted-rank
+        # coefficient within groups, prefix-histogram cross term);
+        # two domain-bounded histograms, one constant-key fold.
+        # Tail-seated by design: the omnibus leg of the two-sample
+        # family.
+        "energy_distance": analytics.energy_distance,
+        # (round 4, wave 131) CUPED moment statistics — per-arm
+        # (pre, post) event-count moments + pooled θ pieces, the
+        # variance-reduction read of online experimentation; one
+        # user-keyed count exchange + an 8-int fold. Tail-seated by
+        # design: the CI-shrink leg beside ab_lift.
+        "cuped_moments": analytics.cuped_moments,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -10679,6 +10693,74 @@ def oracle_sql() -> dict[str, str]:
                  AS n_shards_counted,
                CAST(cand.u IS NOT NULL AS BIGINT) AS in_candidates
         FROM top LEFT JOIN cand ON top.u = cand.u ORDER BY 1
+    """
+
+    # energy_distance: pairwise |diff| sums via rank coefficients
+    # (within) and RANGE-frame prefix sums (cross), never pairs.
+    sql["energy_distance"] = """
+        WITH x AS (SELECT CAST(l_returnflag = 'R' AS BIGINT) AS g,
+                          CAST(floor(l_extendedprice * 100 + 0.5)
+                            AS BIGINT) AS v
+                   FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+        wth AS (SELECT g,
+                       CAST(sum(v * (2 * rn - n - 1)) AS BIGINT) AS s,
+                       CAST(max(n) AS BIGINT) AS n
+                FROM (SELECT g, v,
+                             row_number() OVER (PARTITION BY g
+                                                ORDER BY v) AS rn,
+                             count(*) OVER (PARTITION BY g) AS n
+                      FROM x)
+                GROUP BY g),
+        yagg AS (SELECT CAST(count(*) AS BIGINT) AS ny,
+                        CAST(sum(v) AS BIGINT) AS sy
+                 FROM x WHERE g = 0),
+        pref AS (SELECT v,
+                        CAST(coalesce(sum(CASE WHEN g = 0 THEN 1 END)
+                          OVER (ORDER BY v RANGE UNBOUNDED PRECEDING),
+                          0) AS BIGINT) AS yle_c,
+                        CAST(coalesce(sum(CASE WHEN g = 0 THEN v END)
+                          OVER (ORDER BY v RANGE UNBOUNDED PRECEDING),
+                          0) AS BIGINT) AS yle_s,
+                        g
+                 FROM x),
+        cross_t AS (SELECT CAST(sum(v * yle_c - yle_s
+                           + (yagg.sy - yle_s)
+                           - v * (yagg.ny - yle_c)) AS BIGINT)
+                      AS sum_xy
+                    FROM pref, yagg WHERE pref.g = 1)
+        SELECT (SELECT n FROM wth WHERE g = 1) AS n_x,
+               (SELECT n FROM wth WHERE g = 0) AS n_y,
+               cross_t.sum_xy,
+               (SELECT s FROM wth WHERE g = 1) AS sum_xx,
+               (SELECT s FROM wth WHERE g = 0) AS sum_yy
+        FROM cross_t
+    """
+
+    # cuped_moments: per-arm (pre, post) count moments + θ pieces.
+    sql["cuped_moments"] = """
+        WITH b AS (SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS lo,
+                          CAST(epoch_us(max(ts)) AS BIGINT) AS hi
+                   FROM events),
+        u AS (SELECT CAST(user_id AS BIGINT) AS uid,
+                     CAST(sum(CASE WHEN epoch_us(ts) <
+                            b.lo + (b.hi - b.lo) // 2
+                          THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                     CAST(sum(CASE WHEN epoch_us(ts) <
+                            b.lo + (b.hi - b.lo) // 2
+                          THEN 0 ELSE 1 END) AS BIGINT) AS y
+              FROM events, b GROUP BY 1, b.lo, b.hi),
+        m AS (SELECT uid % 2 AS arm,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM u GROUP BY 1)
+        SELECT CAST(arm AS BIGINT) AS arm, n, sx, sy, sxx, sxy, syy,
+               CAST(n * sxy - sx * sy AS BIGINT) AS theta_num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS theta_den
+        FROM m ORDER BY 1
     """
 
     return sql

@@ -13920,3 +13920,253 @@ def partial_topk_merge_eval(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df
+
+
+def energy_distance(sf_dir: str) -> "pd.DataFrame":
+    """Exact ENERGY-DISTANCE sufficient statistics between the R and
+    A return-flag price distributions — the Székely-Rizzo two-sample
+    statistic E = 2·E|X−Y| − E|X−X'| − E|Y−Y'|, kept exact as the
+    three pairwise-absolute-difference SUMS over cents plus the two
+    counts (n_x, n_y, sum_xy, sum_xx, sum_yy): E's sign/magnitude is
+    then pure rational arithmetic. Energy distance is consistent
+    against ALL distribution differences (location, scale, shape),
+    where `mann_whitney_u` sees location, `siegel_tukey` scale and
+    `ks_drift` the max ECDF gap — this is the omnibus leg of the
+    two-sample family, and O(n²) pairwise sums are computed WITHOUT
+    pairs: from the sorted value multiset, Σ_{i<j}|v_i−v_j| =
+    Σ_i v_i·(2i−n−1) (tie-order invariant), and the cross term folds
+    from per-value prefix counts of the opposite group.
+
+    Scale shape: two domain-bounded (cents → count) histograms (the
+    `weighted_median` contract) meet in ONE constant-key
+    co-partition where all three sums vectorize from cumulative
+    histogram arrays; the driver sees one 5-integer row. int64
+    headroom: Σ|diff| ≤ n²·range ≈ 10¹⁷ at sf0.1 — the HUGEINT /
+    split-accumulator dial is documented for beyond."""
+    import pandas as pd
+
+    lit = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        fl = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        keep = (fl == "R") | (fl == "A")
+        cents = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)[keep]
+        g = (fl[keep] == "R").astype(np.int64)
+        t = pa.table(
+            {
+                "v": pa.array(cents, pa.int64()),
+                "g": pa.array(g, pa.int64()),
+                "c": pa.array(np.ones(len(cents), np.int64), pa.int64()),
+            }
+        ).group_by(["v", "g"]).aggregate([("c", "sum")])
+        return pa.table(
+            {
+                "v": t.column("v"),
+                "g": t.column("g"),
+                "c": t.column("c_sum").cast(pa.int64()),
+                "k": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        df = (
+            group.to_pandas()
+            .groupby(["v", "g"], sort=True)["c"]
+            .sum()
+            .reset_index()
+        )
+
+        def within(vals: "np.ndarray", cnt: "np.ndarray") -> int:
+            # sum_{i<j} |v_i - v_j| over the expanded multiset:
+            # expand via cumulative positions — for sorted distinct
+            # values with counts, each value v at positions
+            # (L+1..L+c): sum v*(2i-n-1) over its run =
+            # v * (2*(L*c + c*(c+1)/2) - c*(n+1))
+            n = int(cnt.sum())
+            L = np.concatenate([[0], cnt.cumsum()[:-1]])
+            coef = 2 * (L * cnt + cnt * (cnt + 1) // 2) - cnt * (n + 1)
+            return int((vals * coef).sum())
+
+        out = {}
+        hists = {}
+        for gi in (0, 1):
+            sub = df[df["g"] == gi]
+            vals = sub["v"].to_numpy(np.int64)
+            cnt = sub["c"].to_numpy(np.int64)
+            hists[gi] = (vals, cnt)
+            out[gi] = (int(cnt.sum()), within(vals, cnt))
+
+        # cross term: for each x value, sum over y of |x - y| from
+        # the opposite histogram's prefix sums
+        vx, cx = hists[1]  # R
+        vy, cy = hists[0]  # A
+        cumy_c = np.concatenate([[0], cy.cumsum()])
+        cumy_s = np.concatenate([[0], (vy * cy).cumsum()])
+        idx = np.searchsorted(vy, vx, side="right")
+        ny, sy = int(cy.sum()), int((vy * cy).sum())
+        le_c, le_s = cumy_c[idx], cumy_s[idx]
+        per_x = vx * le_c - le_s + (sy - le_s) - vx * (ny - le_c)
+        sum_xy = int((per_x * cx).sum())
+
+        return pa.table(
+            {
+                "n_x": pa.array([out[1][0]], pa.int64()),
+                "n_y": pa.array([out[0][0]], pa.int64()),
+                "sum_xy": pa.array([sum_xy], pa.int64()),
+                "sum_xx": pa.array([out[1][1]], pa.int64()),
+                "sum_yy": pa.array([out[0][1]], pa.int64()),
+            }
+        )
+
+    df = (
+        lit.map_batches(partials, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(
+            lambda g: fold(g.drop_columns(["k"])),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df
+
+
+def cuped_moments(sf_dir: str) -> "pd.DataFrame":
+    """Exact CUPED sufficient statistics — the variance-reduction
+    workhorse of online experimentation (Deng et al., WSDM'13) kept
+    in integers: per deterministic arm (user-id parity), the moment
+    sums (n, sx, sy, sxx, sxy, syy) of X = the user's
+    first-half-of-timeline event count (the pre-period covariate)
+    and Y = the second-half count (the metric), plus the pooled
+    θ pieces theta_num = n·Σxy − Σx·Σy and theta_den = n·Σxx −
+    (Σx)², from which θ̂ and the variance-reduction factor
+    1 − ρ² are exact rationals. `ab_lift` reads the effect;
+    this measures how much pre-period adjustment would shrink its
+    confidence interval — the experimentation-family leg nothing
+    else here covers. Output one row per arm.
+
+    Scale shape: the per-user (pre, post) pair folds from one
+    (user)-keyed count exchange (timeline midpoint from a bounded
+    min/max aggregate), then moments are a per-batch vectorized
+    fold to two 8-integer rows. No driver state beyond them."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Min as _Min, Sum as _Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    lohi = ev.aggregate(_Min("ts"), _Max("ts"))
+    # exact integer-microsecond midpoint (floor), mirrored by the
+    # oracle's epoch_us arithmetic — no sub-µs interval rounding
+    lo_us = int(
+        np.datetime64(lohi["min(ts)"], "us").astype(np.int64)
+    )
+    hi_us = int(
+        np.datetime64(lohi["max(ts)"], "us").astype(np.int64)
+    )
+    mid_us = lo_us + (hi_us - lo_us) // 2
+
+    def per_user(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ts = (
+            batch.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        pre = (ts < mid_us).astype(np.int64)
+        t = pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "x": pa.array(pre, pa.int64()),
+                "y": pa.array(1 - pre, pa.int64()),
+            }
+        ).group_by("user_id").aggregate([("x", "sum"), ("y", "sum")])
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "x": t.column("x_sum").cast(pa.int64()),
+                "y": t.column("y_sum").cast(pa.int64()),
+            }
+        )
+
+    users = (
+        ev.map_batches(per_user, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            _Sum("x", alias_name="x"), _Sum("y", alias_name="y")
+        )
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        arm = (u % 2).astype(np.int64)
+        rows = []
+        for a in (0, 1):
+            m = arm == a
+            xa, ya = x[m], y[m]
+            rows.append(
+                (
+                    a,
+                    int(m.sum()),
+                    int(xa.sum()),
+                    int(ya.sum()),
+                    int((xa * xa).sum()),
+                    int((xa * ya).sum()),
+                    int((ya * ya).sum()),
+                )
+            )
+        arr = np.array(rows, np.int64)
+        return pa.table(
+            {
+                "arm": pa.array(arr[:, 0], pa.int64()),
+                "n": pa.array(arr[:, 1], pa.int64()),
+                "sx": pa.array(arr[:, 2], pa.int64()),
+                "sy": pa.array(arr[:, 3], pa.int64()),
+                "sxx": pa.array(arr[:, 4], pa.int64()),
+                "sxy": pa.array(arr[:, 5], pa.int64()),
+                "syy": pa.array(arr[:, 6], pa.int64()),
+            }
+        )
+
+    rows = (
+        users.map_batches(moments, batch_format="pyarrow")
+        .groupby("arm")
+        .aggregate(
+            _Sum("n", alias_name="n"),
+            _Sum("sx", alias_name="sx"),
+            _Sum("sy", alias_name="sy"),
+            _Sum("sxx", alias_name="sxx"),
+            _Sum("sxy", alias_name="sxy"),
+            _Sum("syy", alias_name="syy"),
+        )
+        .take_all()  # bounded: 2 arm rows
+    )
+    df = pd.DataFrame(rows).sort_values("arm", ignore_index=True)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    df["theta_num"] = df["n"] * df["sxy"] - df["sx"] * df["sy"]
+    df["theta_den"] = df["n"] * df["sxx"] - df["sx"] * df["sx"]
+    for c in ["theta_num", "theta_den"]:
+        df[c] = df[c].astype("int64")
+    return df[
+        ["arm", "n", "sx", "sy", "sxx", "sxy", "syy",
+         "theta_num", "theta_den"]
+    ]
