@@ -2137,6 +2137,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # user-keyed count exchange + an 8-int fold. Tail-seated by
         # design: the CI-shrink leg beside ab_lift.
         "cuped_moments": analytics.cuped_moments,
+        # (round 4, wave 132) site-percolation census — 4-neighbor
+        # connectivity of the occupied day×custkey grid cells
+        # (occupied, adjacent pairs, clusters, giant cluster): the
+        # spatial-connectivity read over the same fixed 4096-cell
+        # grid as hilbert_locality_audit; one fold + driver UF.
+        # Tail-seated by design: the heatmap-topology leg.
+        "grid_percolation": analytics.grid_percolation,
+        # (round 4, wave 132) string range-partition plan — the 15
+        # part-name order statistics at ranks i·n/16 and each range
+        # bucket's exact row count; never a global string sort: a
+        # 2-char prefix count grid locates each rank, one prefix
+        # co-partition extracts the bounds from local sorts, one
+        # streaming searchsorted pass counts. Tail-seated by design:
+        # the sort-key skew read beside shard_balance_plan.
+        "string_range_partition_plan": analytics.string_range_partition_plan,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -10761,6 +10776,63 @@ def oracle_sql() -> dict[str, str]:
                CAST(n * sxy - sx * sy AS BIGINT) AS theta_num,
                CAST(n * sxx - sx * sx AS BIGINT) AS theta_den
         FROM m ORDER BY 1
+    """
+
+    # grid_percolation: recursive reach over 4-neighbor cell edges.
+    sql["grid_percolation"] = """
+        WITH RECURSIVE od AS (
+          SELECT CAST(date_diff('day', DATE '1992-01-01',
+                   CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                 CAST(o_custkey AS BIGINT) AS ck
+          FROM orders),
+        cl AS (SELECT DISTINCT
+                 least(greatest(day * 64 // 2557, 0), 63) AS x,
+                 ck % 64 AS y
+               FROM od),
+        cells AS (SELECT y * 64 + x AS cell, x, y FROM cl),
+        e AS (SELECT a.cell AS src, b.cell AS dst
+              FROM cells a JOIN cells b
+                ON abs(a.x - b.x) + abs(a.y - b.y) = 1),
+        reach AS (
+          SELECT cell AS doc, cell AS lab FROM cells
+          UNION
+          SELECT e.src, r.lab FROM reach r JOIN e ON e.dst = r.doc
+        ),
+        comp AS (SELECT doc, min(lab) AS comp FROM reach GROUP BY 1),
+        sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS s
+               FROM comp GROUP BY 1)
+        SELECT CAST((SELECT count(*) FROM cells) AS BIGINT)
+                 AS n_occupied,
+               CAST((SELECT count(*) // 2 FROM e) AS BIGINT)
+                 AS n_adjacent_pairs,
+               CAST((SELECT count(*) FROM sz) AS BIGINT) AS n_clusters,
+               CAST((SELECT coalesce(max(s), 0) FROM sz) AS BIGINT)
+                 AS largest_cluster
+    """
+
+    # string_range_partition_plan: 15 order-statistic bounds + exact
+    # per-bucket counts by boundary comparison.
+    sql["string_range_partition_plan"] = """
+        WITH nm AS (SELECT p_name AS v FROM part),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nm),
+        r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM nm),
+        b AS (SELECT t.i,
+                     (SELECT v FROM r, nn WHERE rk = t.i * nn.n // 16)
+                       AS bound
+              FROM range(1, 16) t(i)),
+        asg AS (SELECT nm.v,
+                       (SELECT count(*) FROM b WHERE b.bound <= nm.v)
+                         AS bucket
+                FROM nm),
+        cnt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows
+                FROM asg GROUP BY 1)
+        SELECT CAST(t.i AS BIGINT) AS bucket,
+               CASE WHEN t.i = 0 THEN ''
+                    ELSE (SELECT bound FROM b WHERE b.i = t.i) END
+                 AS lo_bound,
+               CAST(coalesce(cnt.n_rows, 0) AS BIGINT) AS n_rows
+        FROM range(16) t(i) LEFT JOIN cnt ON cnt.bucket = t.i
+        ORDER BY 1
     """
 
     return sql

@@ -14170,3 +14170,223 @@ def cuped_moments(sf_dir: str) -> "pd.DataFrame":
         ["arm", "n", "sx", "sy", "sxx", "sxy", "syy",
          "theta_num", "theta_den"]
     ]
+
+
+def grid_percolation(sf_dir: str) -> "pd.DataFrame":
+    """Spatial CONNECTIVITY census of the workload heatmap — treat
+    the occupied cells of the (order-day × custkey) 64×64 grid as
+    sites and connect 4-neighbors (site percolation): one row with
+    (n_occupied, n_adjacent_pairs, n_clusters, largest_cluster).
+    Read next to `hilbert_locality_audit` (same grid, layout cost)
+    this says whether occupancy is one percolating slab — batch
+    scheduling and cache reuse behave completely differently than
+    for scattered islands, and the giant-cluster fraction is the
+    standard percolation order parameter for that transition.
+
+    Scale shape: the grid is FIXED at 4096 cells — one
+    domain-bounded (cell → count) fold, then adjacency and
+    union-find are driver arithmetic over ≤ 4096 sites (the
+    `haar_synopsis` contract); the oracle reaches the same
+    components with a recursive CTE over the derived edge set."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_custkey"]
+    )
+
+    def cells(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        day = (
+            (d.astype("datetime64[D]") - HAAR_EPOCH)
+            // np.timedelta64(1, "D")
+        ).astype(np.int64)
+        ck = batch.column("o_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        x = np.clip(day * HILB_N // 2557, 0, HILB_N - 1)
+        y = ck % HILB_N
+        cell = y * HILB_N + x
+        t = pa.table(
+            {
+                "cell": pa.array(cell, pa.int64()),
+                "c": pa.array(np.ones(len(cell), np.int64), pa.int64()),
+            }
+        ).group_by("cell").aggregate([("c", "sum")])
+        return pa.table(
+            {"cell": t.column("cell"), "c": t.column("c_sum").cast(pa.int64())}
+        )
+
+    rows = (
+        orders.map_batches(cells, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(_Sum("c", alias_name="c"))
+        .take_all()  # bounded: the fixed 4096-cell grid
+    )
+    occ = sorted(int(r["cell"]) for r in rows)
+    occ_set = set(occ)
+    parent = {c: c for c in occ}
+
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+
+    n_adj = 0
+    for c in occ:
+        x, y = c % HILB_N, c // HILB_N
+        for nb in ((x + 1, y), (x, y + 1)):
+            if nb[0] < HILB_N and nb[1] < HILB_N:
+                c2 = nb[1] * HILB_N + nb[0]
+                if c2 in occ_set:
+                    n_adj += 1
+                    ra, rb = find(c), find(c2)
+                    if ra != rb:
+                        parent[ra] = rb
+    sizes: dict = {}
+    for c in occ:
+        r = find(c)
+        sizes[r] = sizes.get(r, 0) + 1
+    return pd.DataFrame(
+        [
+            {
+                "n_occupied": len(occ),
+                "n_adjacent_pairs": n_adj,
+                "n_clusters": len(sizes),
+                "largest_cluster": max(sizes.values()) if sizes else 0,
+            }
+        ]
+    ).astype("int64")
+
+
+SRP_BUCKETS = 16  # range-partition fan
+
+
+def string_range_partition_plan(sf_dir: str) -> "pd.DataFrame":
+    """RANGE-PARTITION boundary plan for a STRING sort key — the 15
+    part-name order statistics at ranks ⌊i·n/16⌋ and the exact row
+    count each resulting range bucket receives (row → bucket = how
+    many boundaries ≤ its key): what a sort-based writer (Iceberg /
+    Delta range distribution, Spark range partitioner) materializes
+    before a global string sort, and the skew read that
+    `shard_balance_plan`'s hash fan can't give — duplicate-heavy
+    keys pile into one bucket HERE, visibly. Output per bucket:
+    (bucket, lo_bound, n_rows).
+
+    Scale shape: never a global string sort — a bounded 2-char
+    prefix count grid (≤ 26² cells) folds to the driver, the driver
+    locates which prefix cell holds each target rank, ONE
+    prefix-cell co-partition extracts the 15 boundary strings from
+    local sorts at local offsets, and a final streaming pass counts
+    searchsorted bucket assignments; the driver holds 15 strings
+    and the 16-row plan."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    parts_ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_name"]
+    )
+
+    def prefix_counts(batch: pa.Table) -> pa.Table:
+        names = batch.column("p_name").to_pylist()
+        pre = [(n or "  ")[:2] for n in names]
+        import collections
+
+        c = collections.Counter(pre)
+        return pa.table(
+            {
+                "pre": pa.array(list(c.keys()), pa.string()),
+                "c": pa.array(
+                    np.fromiter(c.values(), np.int64, len(c)), pa.int64()
+                ),
+            }
+        )
+
+    grid = (
+        parts_ds.map_batches(prefix_counts, batch_format="pyarrow")
+        .groupby("pre")
+        .aggregate(_Sum("c", alias_name="c"))
+        .take_all()  # bounded: the 2-char prefix grid
+    )
+    grid.sort(key=lambda r: r["pre"])
+    n = sum(int(r["c"]) for r in grid)
+    targets = [i * n // SRP_BUCKETS for i in range(1, SRP_BUCKETS)]
+
+    # locate (prefix cell, local offset) for each target rank
+    acc = 0
+    want: dict = {}
+    for r in grid:
+        c = int(r["c"])
+        for t in targets:
+            if acc < t <= acc + c:
+                want.setdefault(r["pre"], []).append(t - acc)
+        acc += c
+    want_ref = ray.put(want)
+
+    def extract(group: pa.Table) -> pa.Table:
+        wt = ray.get(want_ref)
+        pre = group.column("pre")[0].as_py()
+        offs = wt.get(pre)
+        if not offs:
+            return pa.table({"rank_off": pa.array([], pa.int64()),
+                             "bound": pa.array([], pa.string())})
+        names = sorted(group.column("name").to_pylist())
+        return pa.table(
+            {
+                "rank_off": pa.array(offs, pa.int64()),
+                "bound": pa.array([names[o - 1] for o in offs], pa.string()),
+            }
+        )
+
+    tagged = parts_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "pre": pa.array(
+                    [(x or "  ")[:2] for x in b.column("p_name").to_pylist()],
+                    pa.string(),
+                ),
+                "name": b.column("p_name"),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    got = (
+        tagged.groupby("pre")
+        .map_groups(extract, batch_format="pyarrow")
+        .take_all()  # bounded: <= 15 boundary rows
+    )
+    # global boundary order == sorted bound strings: prefix cells are
+    # contiguous in string order and within-cell local sort + offset
+    # is the global rank, so sorting the extracted strings (dups kept)
+    # reconstructs the rank order exactly
+    bounds = sorted(r["bound"] for r in got)
+    bref = np.array(bounds, dtype=object)
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        names = np.array(batch.column("p_name").to_pylist(), dtype=object)
+        b = np.searchsorted(bref, names, side="right")
+        bc = np.bincount(b, minlength=SRP_BUCKETS).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    np.arange(SRP_BUCKETS, dtype=np.int64), pa.int64()
+                ),
+                "n_rows": pa.array(bc[:SRP_BUCKETS], pa.int64()),
+            }
+        )
+
+    agg = (
+        parts_ds.map_batches(bucket_counts, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(_Sum("n_rows", alias_name="n_rows"))
+        .take_all()
+    )
+    df = pd.DataFrame(agg).sort_values("bucket", ignore_index=True)
+    df["lo_bound"] = [""] + bounds
+    df["n_rows"] = df["n_rows"].astype("int64")
+    df["bucket"] = df["bucket"].astype("int64")
+    return df[["bucket", "lo_bound", "n_rows"]]
