@@ -2152,6 +2152,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # streaming searchsorted pass counts. Tail-seated by design:
         # the sort-key skew read beside shard_balance_plan.
         "string_range_partition_plan": analytics.string_range_partition_plan,
+        # (round 4, wave 133) max-min fair allocation — exact
+        # water-filling over the 16 heaviest users at capacity
+        # total/2, integerized by largest-remainder (Σalloc = C
+        # exactly): the fairness pole of the allocation family
+        # (budget_allocation is the value pole); one fold + 16-int
+        # driver scan. Tail-seated by design.
+        "fair_share_allocation": analytics.fair_share_allocation,
+        # (round 4, wave 133) rebalance delta — exact moved-key
+        # counts for 16→17 nodes under modulo vs rendezvous
+        # placement (the consistent-hashing elasticity argument as
+        # data); one streaming md5-argmax pass, 2-row fold.
+        # Tail-seated by design: the resize-cost read beside
+        # rendezvous_assign.
+        "rebalance_delta_audit": analytics.rebalance_delta_audit,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -10833,6 +10847,97 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(cnt.n_rows, 0) AS BIGINT) AS n_rows
         FROM range(16) t(i) LEFT JOIN cnt ON cnt.bucket = t.i
         ORDER BY 1
+    """
+
+    # fair_share_allocation: water-filling level scan by integer
+    # cross-multiplication, largest-remainder split by user id.
+    sql["fair_share_allocation"] = """
+        WITH pc AS (SELECT CAST(user_id AS BIGINT) AS u,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1),
+        top AS (SELECT u, n FROM pc ORDER BY n DESC, u LIMIT 16),
+        a AS (SELECT u, n,
+                     row_number() OVER (ORDER BY n, u) AS i,
+                     CAST(sum(n) OVER (ORDER BY n, u
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre
+              FROM top),
+        mm AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                      CAST(sum(n) AS BIGINT) AS total,
+                      CAST(sum(n) // 2 AS BIGINT) AS cap
+               FROM top),
+        kk AS (SELECT t.k FROM range(0, 17) t(k), mm
+               WHERE t.k < mm.m
+                 AND (t.k = 0 OR
+                      (SELECT n FROM a WHERE i = t.k) * (mm.m - t.k)
+                        <= mm.cap
+                           - coalesce((SELECT pre FROM a
+                                       WHERE i = t.k), 0))
+                 AND mm.cap - coalesce((SELECT pre FROM a
+                                        WHERE i = t.k), 0)
+                     < (SELECT n FROM a WHERE i = t.k + 1)
+                       * (mm.m - t.k)),
+        k0 AS (SELECT CASE WHEN mm.total <= mm.cap THEN mm.m
+                           ELSE (SELECT min(k) FROM kk) END AS k,
+                      mm.m AS m, mm.cap AS cap
+               FROM mm),
+        lvl AS (SELECT k0.k,
+                       CASE WHEN k0.k >= k0.m THEN 0
+                            ELSE (k0.cap
+                                  - coalesce((SELECT pre FROM a
+                                              WHERE i = k0.k), 0))
+                                 // (k0.m - k0.k) END AS base,
+                       CASE WHEN k0.k >= k0.m THEN 0
+                            ELSE (k0.cap
+                                  - coalesce((SELECT pre FROM a
+                                              WHERE i = k0.k), 0))
+                                 % (k0.m - k0.k) END AS extra
+                FROM k0),
+        uns AS (SELECT a.u, row_number() OVER (ORDER BY a.u) AS r
+                FROM a, k0 WHERE a.i > k0.k)
+        SELECT a.u AS user_id, a.n AS demand,
+               CAST(CASE WHEN a.i <= (SELECT k FROM k0) THEN a.n
+                    ELSE (SELECT base FROM lvl)
+                         + CASE WHEN (SELECT r FROM uns
+                                      WHERE uns.u = a.u)
+                                     <= (SELECT extra FROM lvl)
+                                THEN 1 ELSE 0 END END AS BIGINT)
+                 AS alloc
+        FROM a ORDER BY demand DESC, user_id
+    """
+
+    # rebalance_delta_audit: mod vs rendezvous moved keys, 16 -> 17.
+    sql["rebalance_delta_audit"] = """
+        WITH ky AS (SELECT CAST(c_custkey AS BIGINT) AS k
+                    FROM customer),
+        nd AS (SELECT i FROM range(17) t(i)),
+        sc AS (SELECT ky.k, nd.i,
+                      CAST('0x' || substr(md5(CAST(nd.i AS VARCHAR)
+                           || ':' || CAST(ky.k AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS s
+               FROM ky, nd),
+        a16 AS (SELECT k, i FROM
+                  (SELECT k, i, row_number() OVER (PARTITION BY k
+                     ORDER BY s DESC, i DESC) AS rn
+                   FROM sc WHERE i < 16) q
+                WHERE rn = 1),
+        a17 AS (SELECT k, i FROM
+                  (SELECT k, i, row_number() OVER (PARTITION BY k
+                     ORDER BY s DESC, i DESC) AS rn
+                   FROM sc) q
+                WHERE rn = 1),
+        stats AS (
+          SELECT 'mod' AS scheme, CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(CASE WHEN k % 16 <> k % 17 THEN 1 ELSE 0
+                          END) AS BIGINT) AS n_moved
+          FROM ky
+          UNION ALL
+          SELECT 'rendezvous', CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN a16.i <> a17.i THEN 1 ELSE 0 END)
+                   AS BIGINT)
+          FROM a16 JOIN a17 USING (k))
+        SELECT scheme, n_keys, n_moved,
+               CAST(n_moved * 10000 // n_keys AS BIGINT) AS moved_bp
+        FROM stats ORDER BY scheme
     """
 
     return sql

@@ -14390,3 +14390,162 @@ def string_range_partition_plan(sf_dir: str) -> "pd.DataFrame":
     df["n_rows"] = df["n_rows"].astype("int64")
     df["bucket"] = df["bucket"].astype("int64")
     return df[["bucket", "lo_bound", "n_rows"]]
+
+
+FSA_TENANTS = 16   # top users treated as tenants
+FSA_CAP_DEN = 2    # capacity = total demand // 2
+
+
+def fair_share_allocation(sf_dir: str) -> "pd.DataFrame":
+    """Exact MAX-MIN FAIR (water-filling) allocation — the 16
+    heaviest users are tenants with demand = their event count, the
+    scheduler has capacity C = ⌊total/2⌋, and the allocation is the
+    max-min fair point: tenants under the water level keep their
+    demand, the rest share the remainder at one level L = R/(m−k),
+    integerized by largest-remainder with the +1s going to the
+    smallest user ids (fully deterministic, Σalloc = C exactly).
+    This is the allocator inside every multi-tenant fair scheduler
+    (YARN fair share / DRF's single-resource case); the audit names
+    exactly who is capped and by how much on this workload —
+    `budget_allocation`'s greedy knapsack is value-seeking, this is
+    fairness-seeking, the two poles of the allocation family.
+    Output (user_id, demand, alloc) by (demand desc, user_id).
+
+    Scale shape: one user-count fold + a bounded 16-row sort-limit;
+    the water-level scan (integer cross-multiplication, no
+    division) and the remainder split are driver arithmetic on 16
+    integers."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        u, cnt = np.unique(
+            batch.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            ),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    top = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(_Sum("n", alias_name="n"))
+        .sort(["n", "user_id"], descending=[True, False])
+        .limit(FSA_TENANTS)
+        .take_all()
+    )
+    dem = sorted((int(r["n"]), int(r["user_id"])) for r in top)
+    m = len(dem)
+    total = sum(d for d, _ in dem)
+    cap = total // FSA_CAP_DEN
+
+    prefix = [0]
+    for d, _ in dem:
+        prefix.append(prefix[-1] + d)
+
+    allocs: dict = {}
+    if total <= cap:
+        for d, u in dem:
+            allocs[u] = d
+    else:
+        for kk in range(m):
+            rem_n = m - kk
+            rem = cap - prefix[kk]
+            lower_ok = kk == 0 or dem[kk - 1][0] * rem_n <= rem
+            upper_ok = rem < dem[kk][0] * rem_n
+            if lower_ok and upper_ok:
+                base, extra = divmod(rem, rem_n)
+                unsat = sorted(u for _, u in dem[kk:])
+                for d, u in dem[:kk]:
+                    allocs[u] = d
+                for i, u in enumerate(unsat):
+                    allocs[u] = base + (1 if i < extra else 0)
+                break
+
+    rows = sorted(dem, key=lambda t: (-t[0], t[1]))
+    df = pd.DataFrame(
+        [(u, d, allocs[u]) for d, u in rows],
+        columns=["user_id", "demand", "alloc"],
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df
+
+
+RB_NODES = 16   # cluster size before the resize
+
+
+def rebalance_delta_audit(sf_dir: str) -> "pd.DataFrame":
+    """REBALANCE-DELTA audit for two placement schemes — when the
+    cluster grows 16 → 17 nodes, how many keys MOVE under (a) naive
+    modulo placement and (b) rendezvous (highest-random-weight)
+    hashing, as exact counts over the customer keys: the classic
+    consistent-hashing result made concrete (modulo reshuffles
+    ~15/16 of all keys; rendezvous moves only the ~1/17 that now
+    prefer the new node — and every key that moves goes TO the new
+    node, never laterally). `rendezvous_assign` places keys; this
+    measures the operational cost of elasticity, which is the reason
+    the scheme exists. Output (scheme, n_keys, n_moved, moved_bp).
+
+    Scale shape: one streaming pass per scheme folded to two
+    3-integer rows — per batch the 17 md5 scores per key vectorize
+    as a (keys × nodes) argmax (md5 mirrored bit-for-bit in the
+    oracle; ties broken by higher node id on both sides)."""
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ks = batch.column("c_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = len(ks)
+        scores = np.empty((n, RB_NODES + 1), np.int64)
+        for j, k in enumerate(ks.tolist()):
+            for i in range(RB_NODES + 1):
+                h = _hashlib.md5(f"{i}:{k}".encode()).hexdigest()
+                scores[j, i] = int(h[:15], 16)
+        # argmax with ties to the HIGHER node id: reverse the node
+        # axis so np.argmax's first-wins picks the largest id
+        rev = scores[:, ::-1]
+        a16 = RB_NODES - 1 - np.argmax(rev[:, 1:], axis=1)
+        a17 = RB_NODES - np.argmax(rev, axis=1)
+        mv_r = int((a16 != a17).sum())
+        mv_m = int(((ks % RB_NODES) != (ks % (RB_NODES + 1))).sum())
+        return pa.table(
+            {
+                "scheme": pa.array(["mod", "rendezvous"], pa.string()),
+                "n_keys": pa.array([n, n], pa.int64()),
+                "n_moved": pa.array([mv_m, mv_r], pa.int64()),
+            }
+        )
+
+    rows = (
+        cust.map_batches(cells, batch_format="pyarrow")
+        .groupby("scheme")
+        .aggregate(
+            _Sum("n_keys", alias_name="n_keys"),
+            _Sum("n_moved", alias_name="n_moved"),
+        )
+        .take_all()  # bounded: 2 scheme rows
+    )
+    df = pd.DataFrame(rows).sort_values("scheme", ignore_index=True)
+    for c in ["n_keys", "n_moved"]:
+        df[c] = df[c].astype("int64")
+    df["moved_bp"] = (df["n_moved"] * 10000 // df["n_keys"]).astype("int64")
+    return df[["scheme", "n_keys", "n_moved", "moved_bp"]]
