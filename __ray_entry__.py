@@ -2166,6 +2166,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Tail-seated by design: the resize-cost read beside
         # rendezvous_assign.
         "rebalance_delta_audit": analytics.rebalance_delta_audit,
+        # (round 4, wave 134) targeted-attack robustness — census of
+        # the mutual-kNN graph after removing the top-k degree hubs
+        # (k∈{0..16}): the Albert-Barabási attack-tolerance read
+        # that says whether near-dup mass is hub-glued or intrinsic;
+        # degree fold + bounded hub broadcast, per-point census via
+        # width-1 UF or the SHARED one-level contraction.
+        # Tail-seated by design: the decapitation leg beside
+        # k_core_peel.
+        "attack_robustness_curve": similarity.attack_robustness_curve,
+        # (round 4, wave 134) partial-dictionary cutoff curve —
+        # exact hybrid dict+escape cost at k∈{1..128} over p_type
+        # (1 escape bit + code-or-raw per row + dict bytes), is_best
+        # flag: the dict-size fallback knob real writers tune; one
+        # catalog-bounded histogram fold + driver curve. Tail-seated
+        # by design: the partial leg beside dict_encoding_audit.
+        "dict_cutoff_curve": analytics.dict_cutoff_curve,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -10939,5 +10955,105 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_moved * 10000 // n_keys AS BIGINT) AS moved_bp
         FROM stats ORDER BY scheme
     """
+
+    # attack_robustness_curve: per hub-removal point, a filtered
+    # edge set + recursive component census (unrolled per k).
+    _atk_parts = [
+        f"mk AS MATERIALIZED (SELECT vec_a, vec_b FROM ({sql['mutual_knn']}))",
+        "allv AS (SELECT vec_a AS v FROM mk"
+        " UNION ALL SELECT vec_b FROM mk)",
+        "deg AS MATERIALIZED (SELECT v AS node,"
+        " CAST(count(*) AS BIGINT) AS dg FROM allv GROUP BY 1)",
+        "hub AS MATERIALIZED (SELECT node,"
+        " row_number() OVER (ORDER BY dg DESC, node) AS rk FROM deg)",
+    ]
+    _atk_rows = []
+    for _k in (0, 1, 2, 4, 8, 16):
+        _atk_parts.append(
+            f"g_{_k} AS MATERIALIZED (SELECT vec_a AS a, vec_b AS b"
+            f" FROM mk WHERE vec_a NOT IN (SELECT node FROM hub"
+            f" WHERE rk <= {_k}) AND vec_b NOT IN (SELECT node"
+            f" FROM hub WHERE rk <= {_k}))"
+        )
+        _atk_parts.append(
+            f"e_{_k} AS MATERIALIZED (SELECT a AS src, b AS dst"
+            f" FROM g_{_k} UNION ALL SELECT b, a FROM g_{_k})"
+        )
+        _atk_parts.append(
+            f"r_{_k} AS (SELECT DISTINCT src AS doc, src AS lab"
+            f" FROM e_{_k}"
+            f" UNION SELECT e.src, r.lab FROM r_{_k} r"
+            f" JOIN e_{_k} e ON e.dst = r.doc)"
+        )
+        _atk_parts.append(
+            f"c_{_k} AS (SELECT doc, min(lab) AS comp FROM r_{_k}"
+            f" GROUP BY 1)"
+        )
+        _atk_parts.append(
+            f"s_{_k} AS (SELECT comp, count(*) AS sz FROM c_{_k}"
+            f" GROUP BY 1)"
+        )
+        _atk_rows.append(
+            f"SELECT CAST({_k} AS BIGINT) AS k_removed,"
+            f" CAST((SELECT count(*) FROM c_{_k}) AS BIGINT)"
+            f" AS n_nodes,"
+            f" CAST((SELECT count(*) FROM g_{_k}) AS BIGINT)"
+            f" AS n_edges,"
+            f" CAST((SELECT count(*) FROM s_{_k}) AS BIGINT)"
+            f" AS n_components,"
+            f" CAST((SELECT coalesce(max(sz), 0) FROM s_{_k})"
+            f" AS BIGINT) AS largest_component"
+        )
+    sql["attack_robustness_curve"] = (
+        "WITH RECURSIVE "
+        + ",\n".join(_atk_parts)
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(_atk_rows)
+        + ") ORDER BY k_removed"
+    )
+
+    # dict_cutoff_curve: partial-dictionary cost at fixed cutoffs
+    # (code widths precomputed per k).
+    _dcc_rows = []
+    for _k in (1, 2, 4, 8, 16, 32, 64, 128):
+        _w = _k.bit_length()  # ceil(log2(k+1))
+        _dcc_rows.append(
+            f"SELECT CAST({_k} AS BIGINT) AS k,"
+            f" CAST((SELECT coalesce(sum(c), 0) FROM e"
+            f" WHERE rk <= {_k}) AS BIGINT) AS n_hits,"
+            f" CAST((SELECT coalesce(sum(lv + 1), 0) FROM e"
+            f" WHERE rk <= {_k}) AS BIGINT) AS dict_bytes,"
+            f" CAST((SELECT coalesce(sum(lv + 1), 0) FROM e"
+            f" WHERE rk <= {_k})"
+            f" + ((SELECT n FROM tot)"
+            f"    + (SELECT coalesce(sum(c), 0) FROM e"
+            f"       WHERE rk <= {_k}) * {_w}"
+            f"    + (SELECT missbits FROM tot)"
+            f"    - (SELECT coalesce(sum(c * 8 * (lv + 1)), 0) FROM e"
+            f"       WHERE rk <= {_k}) + 7) // 8 AS BIGINT)"
+            f" AS est_bytes"
+        )
+    sql["dict_cutoff_curve"] = (
+        """
+        WITH h AS (SELECT p_type AS v, CAST(count(*) AS BIGINT) AS c
+                   FROM part GROUP BY 1),
+        e AS (SELECT v, c, CAST(length(v) AS BIGINT) AS lv,
+                     row_number() OVER (ORDER BY c DESC, v) AS rk
+              FROM h),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                       CAST(sum(c * 8 * (length(v) + 1)) AS BIGINT)
+                         AS missbits
+                FROM h),
+        curve AS ("""
+        + " UNION ALL ".join(_dcc_rows)
+        + """)
+        SELECT k, n_hits, dict_bytes, est_bytes,
+               CAST(k = (SELECT k FROM
+                 (SELECT k, row_number() OVER (ORDER BY est_bytes, k)
+                    AS rn FROM curve) WHERE rn = 1) AS BIGINT)
+                 AS is_best
+        FROM curve ORDER BY k
+    """
+    )
 
     return sql

@@ -14549,3 +14549,87 @@ def rebalance_delta_audit(sf_dir: str) -> "pd.DataFrame":
         df[c] = df[c].astype("int64")
     df["moved_bp"] = (df["n_moved"] * 10000 // df["n_keys"]).astype("int64")
     return df[["scheme", "n_keys", "n_moved", "moved_bp"]]
+
+
+DCC_KS = (1, 2, 4, 8, 16, 32, 64, 128)  # dictionary cutoff grid
+
+
+def dict_cutoff_curve(sf_dir: str) -> "pd.DataFrame":
+    """HYBRID dictionary-encoding cutoff curve — for the part-type
+    column, the exact serialized cost of a PARTIAL dictionary
+    holding only the k most frequent values (freq desc, value asc)
+    with an escape path for the rest: per row 1 escape bit plus
+    either a ⌈log2(k+1)⌉-bit code (hit) or the raw 8·(len+1)-bit
+    string (miss), plus the dictionary itself (Σ len+1 bytes over
+    its k entries); est_bytes = dict + ⌈bits/8⌉. The is_best row is
+    the partial-dictionary optimum — the knob real writers
+    (Parquet's dict-size fallback, ORC's dictionary check) tune,
+    where `dict_encoding_audit` only prices the all-or-nothing
+    choice. Skewed value frequencies make the curve genuinely
+    non-monotone in k. Output (k, n_hits, dict_bytes, est_bytes,
+    is_best).
+
+    Scale shape: one (value → count) fold bounded by the column's
+    dictionary domain (p_type ≈ 150 values — the catalog-bounded
+    contract), then the whole curve is driver arithmetic over that
+    histogram."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    parts_ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_type"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        vals = batch.column("p_type").to_pylist()
+        import collections
+
+        c = collections.Counter(vals)
+        return pa.table(
+            {
+                "v": pa.array(list(c.keys()), pa.string()),
+                "c": pa.array(
+                    np.fromiter(c.values(), np.int64, len(c)), pa.int64()
+                ),
+            }
+        )
+
+    hist = (
+        parts_ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(_Sum("c", alias_name="c"))
+        .take_all()  # bounded: the p_type dictionary domain
+    )
+    ent = sorted(
+        ((int(r["c"]), r["v"]) for r in hist), key=lambda t: (-t[0], t[1])
+    )
+    n = sum(c for c, _ in ent)
+    miss_bits_total = sum(c * 8 * (len(v) + 1) for c, v in ent)
+
+    out = []
+    hits = 0
+    dict_bytes = 0
+    hit_miss_bits = 0  # bits of rows now encoded as dict hits
+    cum = {0: (0, 0, 0)}
+    for k in range(1, max(DCC_KS) + 1):
+        if k <= len(ent):
+            c, v = ent[k - 1]
+            hits += c
+            dict_bytes += len(v) + 1
+            hit_miss_bits += c * 8 * (len(v) + 1)
+        cum[k] = (hits, dict_bytes, hit_miss_bits)
+    for k in DCC_KS:
+        hits_k, db_k, hmb_k = cum[min(k, len(ent))] if k > len(ent) else cum[k]
+        w_bits = max(1, (k + 1 - 1).bit_length())  # ceil(log2(k+1))
+        bits = n + hits_k * w_bits + (miss_bits_total - hmb_k)
+        est = db_k + (bits + 7) // 8
+        out.append((k, hits_k, db_k, est))
+    df = pd.DataFrame(
+        out, columns=["k", "n_hits", "dict_bytes", "est_bytes"]
+    )
+    best = df.sort_values(["est_bytes", "k"]).iloc[0]["k"]
+    df["is_best"] = (df["k"] == best).astype("int64")
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("k", ignore_index=True)

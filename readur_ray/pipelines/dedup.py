@@ -3816,3 +3816,162 @@ def dedup_threshold_curve(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df.sort_values("t_pct", ignore_index=True)
+
+
+def one_level_component_sizes(
+    ed: "ray.data.Dataset",
+    parts: int = DTC_PARTS,
+    cap: int = DTC_BRIDGE_CAP,
+) -> tuple:
+    """Shared ONE-LEVEL contraction (the `dedup_threshold_curve`
+    plan, factored): given a dataset of undirected edges (columns
+    a, b; one row per edge, any orientation), return the exact
+    (n_components, n_nodes, largest_component) census. Local union-find per `parts`-way edge
+    partition → per-node bridge pairs between local labels through
+    one node-key co-partition → driver union-find ONLY on the
+    bridge-label graph (capped at `cap`; the recursion dial if ever
+    exceeded) → label-keyed size fold. Driver state is bounded by
+    the bridge graph and the component count, never the corpus.
+    Consumers: dedup_threshold_curve's sibling census queries,
+    attack_robustness_curve."""
+    import pandas as pd  # noqa: F401
+
+    from ray.data.aggregate import Sum as _Sum
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array(a % parts, pa.int64())
+        )
+
+    def local_uf(part_tbl: pa.Table) -> pa.Table:
+        a = part_tbl.column("a").to_numpy(zero_copy_only=False)
+        b = part_tbl.column("b").to_numpy(zero_copy_only=False)
+        uf = _UnionFind()
+        for x, y in zip(a.tolist(), b.tolist()):
+            uf.union(x, y)
+        nodes = np.array(sorted(uf.parent), np.int64)
+        labs = np.array([uf.find(int(v)) for v in nodes], np.int64)
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "lab": pa.array(labs, pa.int64()),
+                "part": pa.array(nodes % parts, pa.int64()),
+            }
+        )
+
+    nl = (
+        ed.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: local_uf(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def bridge_pairs(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        df = pd.DataFrame(
+            {
+                "node": part_tbl.column("node").to_numpy(
+                    zero_copy_only=False
+                ),
+                "lab": part_tbl.column("lab").to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        g = df.groupby("node")["lab"]
+        mn = g.transform("min")
+        mask = df["lab"].to_numpy() != mn.to_numpy()
+        return pa.table(
+            {
+                "la": pa.array(
+                    mn.to_numpy()[mask].astype(np.int64), pa.int64()
+                ),
+                "lb": pa.array(
+                    df["lab"].to_numpy()[mask].astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    bridges = (
+        nl.groupby("part")
+        .map_groups(
+            lambda g: bridge_pairs(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    if bridges.count() > cap:
+        raise RuntimeError(
+            "one_level_component_sizes: bridge graph exceeds cap; "
+            "recurse the contraction (dedup_components plan)"
+        )
+    uf = _UnionFind()
+    for bt in bridges.iter_batches(batch_format="pyarrow"):
+        for x, y in zip(
+            bt.column("la").to_numpy(zero_copy_only=False).tolist(),
+            bt.column("lb").to_numpy(zero_copy_only=False).tolist(),
+        ):
+            uf.union(x, y)
+    roots = {v: uf.find(v) for v in uf.parent}
+    roots_ref = ray.put(roots)
+
+    def node_comp(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        rt = ray.get(roots_ref)
+        df = (
+            pd.DataFrame(
+                {
+                    "node": part_tbl.column("node").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "lab": part_tbl.column("lab").to_numpy(
+                        zero_copy_only=False
+                    ),
+                }
+            )
+            .groupby("node", sort=False)["lab"]
+            .min()
+            .reset_index()
+        )
+        comp = np.array(
+            [rt.get(int(v), int(v)) for v in df["lab"]], np.int64
+        )
+        t2 = pa.table(
+            {
+                "comp": pa.array(comp, pa.int64()),
+                "one": pa.array(np.ones(len(comp), np.int64), pa.int64()),
+            }
+        ).group_by("comp").aggregate([("one", "sum")])
+        return pa.table(
+            {
+                "comp": t2.column("comp"),
+                "sz": t2.column("one_sum").cast(pa.int64()),
+            }
+        )
+
+    sizes = (
+        nl.groupby("part")
+        .map_groups(
+            lambda g: node_comp(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+        .groupby("comp")
+        .aggregate(_Sum("sz", alias_name="sz"))
+        .materialize()
+    )
+    n_comp = sizes.count()
+    if n_comp == 0:
+        return 0, 0, 0
+    from ray.data.aggregate import Max as _Max
+
+    agg = sizes.aggregate(
+        _Sum("sz", alias_name="n_nodes"), _Max("sz", alias_name="mx")
+    )
+    return n_comp, int(agg["n_nodes"]), int(agg["mx"])

@@ -5025,3 +5025,130 @@ def bipartiteness_audit(sf_dir: str) -> "pd.DataFrame":
             }
         ]
     ).astype("int64")
+
+
+ATK_GRID = (0, 1, 2, 4, 8, 16)   # hubs removed per curve point
+ATK_LOCAL_MAX = 2_000_000        # directed rows below which UF runs width-1
+
+
+def attack_robustness_curve(sf_dir: str) -> "pd.DataFrame":
+    """Targeted-ATTACK robustness curve of the mutual-kNN graph —
+    remove the top-k degree hubs (ties → smaller node id) for
+    k ∈ {0,1,2,4,8,16} and census what remains: (k_removed,
+    n_nodes, n_edges, n_components, largest_component). The
+    scale-free literature's signature experiment (Albert-Barabási
+    attack tolerance): a giant component that collapses after
+    removing a handful of hubs means the near-dup mass is glued by
+    a few boilerplate-heavy documents — remove THOSE and fuzzy
+    dedup decomposes into cheap islands; robustness to hub removal
+    means the density is intrinsic and SemDeDup-style cutting is
+    needed. The operational complement to `k_core_peel` (which
+    peels the periphery; this decapitates the core).
+
+    Scale shape: degrees fold from one node-key co-partition; the
+    top-16 hub set is a bounded sort-limit broadcast in-closure;
+    per curve point the filtered edge census is width-1 union-find
+    below ATK_LOCAL_MAX directed rows, else the SHARED one-level
+    contraction (`one_level_component_sizes`, the
+    dedup_threshold_curve plan) whose driver state is bounded by
+    the bridge graph."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..pipelines.dedup import _UnionFind, one_level_component_sizes
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    edges = mutual_knn(sf_dir).materialize()
+
+    def endpoint_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_a").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = batch.column("vec_b").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        v = np.concatenate([a, b])
+        return pa.table(
+            {
+                "node": pa.array(v, pa.int64()),
+                "part": pa.array(v % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def deg_rows(part_tbl: pa.Table) -> pa.Table:
+        v = part_tbl.column("node").to_numpy(zero_copy_only=False)
+        nodes, deg = np.unique(v, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "deg": pa.array(deg.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hubs = (
+        edges.map_batches(endpoint_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: deg_rows(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+        .sort(["deg", "node"], descending=[True, False])
+        .limit(max(ATK_GRID))
+        .take_all()  # bounded: the 16 hub rows
+    )
+    hub_ids = [int(r["node"]) for r in hubs]
+
+    n_directed = 2 * edges.count()
+    rows = []
+    for k in ATK_GRID:
+        rm = np.array(sorted(hub_ids[:k]), np.int64)
+
+        def filt(batch: pa.Table, _rm=rm) -> pa.Table:
+            a = batch.column("vec_a").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            b = batch.column("vec_b").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            keep = ~(np.isin(a, _rm) | np.isin(b, _rm))
+            return pa.table(
+                {
+                    "a": pa.array(a[keep], pa.int64()),
+                    "b": pa.array(b[keep], pa.int64()),
+                }
+            )
+
+        ed_k = edges.map_batches(filt, batch_format="pyarrow").materialize()
+        n_edges = ed_k.count()
+        if n_directed < ATK_LOCAL_MAX:
+            uf = _UnionFind()
+            for bt in ed_k.iter_batches(batch_format="pyarrow"):
+                for x, y in zip(
+                    bt.column("a").to_numpy(zero_copy_only=False).tolist(),
+                    bt.column("b").to_numpy(zero_copy_only=False).tolist(),
+                ):
+                    uf.union(x, y)
+            comp: dict = {}
+            for v in list(uf.parent):
+                r = uf.find(v)
+                comp[r] = comp.get(r, 0) + 1
+            n_c, n_n, mx = (
+                len(comp),
+                sum(comp.values()),
+                max(comp.values()) if comp else 0,
+            )
+        else:
+            n_c, n_n, mx = one_level_component_sizes(ed_k)
+        rows.append((k, n_n, n_edges, n_c, mx))
+
+    df = pd.DataFrame(
+        rows,
+        columns=[
+            "k_removed", "n_nodes", "n_edges", "n_components",
+            "largest_component",
+        ],
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df

@@ -182,3 +182,15 @@ def test_siegel_tukey_grid_path_matches_local(ray_session):
     finally:
         an.ST_LOCAL_MAX = 2_000_000
     assert local.equals(grid)
+
+
+def test_attack_curve_contraction_matches_local(ray_session):
+    import readur_ray.pipelines.similarity as sim
+
+    local = sim.attack_robustness_curve(SF)
+    sim.ATK_LOCAL_MAX = 0
+    try:
+        grid = sim.attack_robustness_curve(SF)
+    finally:
+        sim.ATK_LOCAL_MAX = 2_000_000
+    assert local.equals(grid)
