@@ -2182,6 +2182,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # catalog-bounded histogram fold + driver curve. Tail-seated
         # by design: the partial leg beside dict_encoding_audit.
         "dict_cutoff_curve": analytics.dict_cutoff_curve,
+        # (round 4, wave 135) AMS F2 sketch eval — twelve ±1-sign
+        # pure-sum trials vs the exact second frequency moment,
+        # median-of-means in exact integers (est_x4, err_x4): the
+        # moment leg of the sketch-family evals; 12-cell + Σn²
+        # folds. Tail-seated by design.
+        "ams_f2_eval": analytics.ams_f2_eval,
+        # (round 4, wave 135) b-bit minwise fidelity — matched
+        # minhash positions at b∈{1,2,4,8} low bits vs full, over
+        # the exact-Jaccard truth pairs: the 64/b signature-store
+        # compression trade priced on real near-dups; two tagged
+        # doc-key co-partitions, never a broadcast signature map.
+        # Tail-seated by design: the compression leg of the minhash
+        # family.
+        "bbit_minwise_eval": dedup.bbit_minwise_eval,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -11055,5 +11069,73 @@ def oracle_sql() -> dict[str, str]:
         FROM curve ORDER BY k
     """
     )
+
+    # ams_f2_eval: twelve signed pure-sum trials vs exact F2.
+    sql["ams_f2_eval"] = """
+        WITH uc AS (SELECT CAST(user_id AS BIGINT) AS u,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1),
+        tr AS (SELECT j FROM range(12) t(j)),
+        sg AS (SELECT tr.j, uc.u, uc.n,
+                      CASE WHEN CAST('0x' || substr(
+                             md5(CAST(tr.j AS VARCHAR) || ':'
+                                 || CAST(uc.u AS VARCHAR)), 1, 2)
+                           AS BIGINT) % 2 = 0
+                           THEN 1 ELSE -1 END AS s
+               FROM uc CROSS JOIN tr),
+        tj AS (SELECT j, CAST(sum(s * n) AS BIGINT) AS t
+               FROM sg GROUP BY 1),
+        gg AS (SELECT j // 4 AS g, CAST(sum(t * t) AS BIGINT) AS st2
+               FROM tj GROUP BY 1),
+        f2 AS (SELECT CAST(sum(n * n) AS BIGINT) AS f2 FROM uc),
+        p AS (SELECT
+                (SELECT st2 FROM gg WHERE g = 0) AS g1,
+                (SELECT st2 FROM gg WHERE g = 1) AS g2,
+                (SELECT st2 FROM gg WHERE g = 2) AS g3,
+                f2.f2
+              FROM f2)
+        SELECT f2 AS f2_exact, g1 AS g1_sum_t2, g2 AS g2_sum_t2,
+               g3 AS g3_sum_t2,
+               CAST(greatest(least(g1, g2),
+                             least(greatest(g1, g2), g3)) AS BIGINT)
+                 AS est_x4,
+               CAST(greatest(least(g1, g2),
+                             least(greatest(g1, g2), g3)) - 4 * f2
+                 AS BIGINT) AS err_x4
+        FROM p
+    """
+
+    # bbit_minwise_eval: matched positions at low-b bits vs full,
+    # over the exact ppjoin truth pairs.
+    sql["bbit_minwise_eval"] = f"""
+        WITH {_WORDS_CTE}, {_SHINGLES_CTE},
+        bandk AS (SELECT * FROM (VALUES {_BAND_VALUES}) AS t(b, am, ac)),
+        sig AS (
+          SELECT doc_id, b,
+                 min(CAST(((CAST(CAST('0x' || substr(md5(s), 1, 15)
+                      AS UBIGINT) AS HUGEINT)
+                      * am + ac) % 18446744073709551616) // 16
+                      AS BIGINT)) AS mh
+          FROM sh, bandk
+          GROUP BY doc_id, b
+        ),
+        pairs AS (SELECT doc_a, doc_b FROM ({sql["ppjoin_exact"]})),
+        m AS (SELECT p.doc_a, p.doc_b, sa.mh AS ma, sb.mh AS mb
+              FROM pairs p
+              JOIN sig sa ON sa.doc_id = p.doc_a
+              JOIN sig sb ON sb.doc_id = p.doc_b AND sb.b = sa.b),
+        np_ AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs),
+        bs AS (SELECT bb, CAST((CAST(1 AS BIGINT) << bb) - 1 AS BIGINT)
+                 AS mask
+               FROM (VALUES (1), (2), (4), (8)) t(bb))
+        SELECT CAST(bs.bb AS BIGINT) AS b, np_.n_pairs,
+               CAST(sum(CASE WHEN m.ma = m.mb THEN 1 ELSE 0 END)
+                 AS BIGINT) AS sum_matches_full,
+               CAST(sum(CASE WHEN (m.ma & bs.mask) = (m.mb & bs.mask)
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                 AS sum_matches_bbit
+        FROM bs CROSS JOIN m, np_
+        GROUP BY 1, 2 ORDER BY 1
+    """
 
     return sql

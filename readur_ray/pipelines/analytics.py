@@ -14633,3 +14633,127 @@ def dict_cutoff_curve(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df.sort_values("k", ignore_index=True)
+
+
+AMS_TRIALS = 12   # sign trials (3 groups of 4 -> median of means)
+
+
+def ams_f2_eval(sf_dir: str) -> "pd.DataFrame":
+    """AMS second-moment (F2) sketch eval — the Alon-Matias-Szegedy
+    estimator measured against the exact second frequency moment of
+    the user-activity distribution: twelve ±1-sign trials (md5
+    coins) each maintain the PURE SUM T_j = Σ_u s_j(u)·f_u, the
+    estimator is the median over 3 groups of the mean of 4 trial
+    squares (E[T²] = F2), and the output row carries the exact F2,
+    the three group sums, est_x4 = med3 (so est = est_x4/4) and the
+    signed error. F2 is the self-join size / skew statistic
+    (`hhi_concentration` is F2 normalized; a CMS row's collision
+    mass is F2/W in expectation) — this closes the sketch-family
+    loop for moments the way cms/count-sketch evals do for point
+    queries. All integers: T_j ≤ ΣF1, T² ≤ 10¹² at sf0.1.
+
+    Scale shape: trial sums are layout-independent pure sums — per
+    batch the 12 signed contributions of its unique users fold as a
+    12-cell exchange; exact F2 is one user-count exchange + a
+    Σn² partial fold. Driver sees 12 + 1 integers."""
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def trial_partials(batch: pa.Table) -> pa.Table:
+        u, cnt = np.unique(
+            batch.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            ),
+            return_counts=True,
+        )
+        t_out = np.zeros(AMS_TRIALS, np.int64)
+        for uid, n in zip(u.tolist(), cnt.tolist()):
+            for j in range(AMS_TRIALS):
+                h = _hashlib.md5(f"{j}:{uid}".encode()).hexdigest()
+                s = 1 if int(h[:2], 16) % 2 == 0 else -1
+                t_out[j] += s * n
+        return pa.table(
+            {
+                "trial": pa.array(
+                    np.arange(AMS_TRIALS, dtype=np.int64), pa.int64()
+                ),
+                "t": pa.array(t_out, pa.int64()),
+            }
+        )
+
+    trials = {
+        int(r["trial"]): int(r["t"])
+        for r in (
+            ds.map_batches(trial_partials, batch_format="pyarrow")
+            .groupby("trial")
+            .aggregate(_Sum("t", alias_name="t"))
+            .take_all()  # bounded: 12 trial rows
+        )
+    }
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        u, cnt = np.unique(
+            batch.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            ),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    f2 = int(
+        (
+            ds.map_batches(count_partials, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(_Sum("n", alias_name="n"))
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "sq": pa.array(
+                            [
+                                int(
+                                    (
+                                        b.column("n").to_numpy(
+                                            zero_copy_only=False
+                                        ).astype(np.int64)
+                                        ** 2
+                                    ).sum()
+                                )
+                            ],
+                            pa.int64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .aggregate(_Sum("sq", alias_name="sq"))
+        )["sq"]
+    )
+
+    g = [
+        sum(trials[j] * trials[j] for j in range(4 * i, 4 * i + 4))
+        for i in range(3)
+    ]
+    est_x4 = max(min(g[0], g[1]), min(max(g[0], g[1]), g[2]))
+    df = pd.DataFrame(
+        [
+            {
+                "f2_exact": f2,
+                "g1_sum_t2": g[0],
+                "g2_sum_t2": g[1],
+                "g3_sum_t2": g[2],
+                "est_x4": est_x4,
+                "err_x4": est_x4 - 4 * f2,
+            }
+        ]
+    ).astype("int64")
+    return df

@@ -3975,3 +3975,231 @@ def one_level_component_sizes(
         _Sum("sz", alias_name="n_nodes"), _Max("sz", alias_name="mx")
     )
     return n_comp, int(agg["n_nodes"]), int(agg["mx"])
+
+
+BBIT_BS = (1, 2, 4, 8)   # audited low-bit widths
+
+
+def bbit_minwise_eval(sf_dir: str) -> "pd.DataFrame":
+    """b-BIT MINWISE hashing fidelity (Li & König, WWW'10) — store
+    only the lowest b bits of each of the 16 minhashes and measure,
+    over the EXACT Jaccard ≥ 1/2 truth pairs (`ppjoin_exact`), how
+    many of the 16 positions still match: sum_matches_bbit vs
+    sum_matches_full per b ∈ {1,2,4,8}. The inflation
+    (bbit − full ≈ (16 − full)/2^b random collisions) is the
+    memory-accuracy trade that lets a 10^12-doc signature store
+    shrink 64/b-fold — this audit prices it on this corpus's actual
+    near-dups instead of the paper's asymptotics. Output
+    (b, n_pairs, sum_matches_full, sum_matches_bbit).
+
+    Scale shape: signatures are the existing one-md5-per-shingle
+    affine-mix rows; the truth pairs ride TWO tagged doc-key
+    co-partitions (pick up sig_a at doc_a's partition, sig_b at
+    doc_b's) so no signature map ever broadcasts; the 16-column
+    match counts vectorize per batch and fold to 4 rows."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    truth = ppjoin_exact(sf_dir)
+    sigs = _read_docs(sf_dir).map_batches(
+        _signature_rows, batch_format="pyarrow"
+    )
+
+    SIG_COLS = [f"mh{i}" for i in range(NUM_MINHASH)]
+
+    def sig_wide(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        df = pd.DataFrame(
+            {
+                "doc_id": part_tbl.column("doc_id").to_numpy(
+                    zero_copy_only=False
+                ),
+                "band": part_tbl.column("band").to_numpy(
+                    zero_copy_only=False
+                ),
+                "mh": part_tbl.column("minhash").to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        piv = df.pivot_table(
+            index="doc_id", columns="band", values="mh", aggfunc="min"
+        )
+        cols = {
+            "doc_id": pa.array(piv.index.to_numpy(np.int64), pa.int64())
+        }
+        for i in range(NUM_MINHASH):
+            cols[f"mh{i}"] = pa.array(
+                piv[i].to_numpy(np.int64), pa.int64()
+            )
+        return pa.table(cols)
+
+    def part_on(col):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch.column(col).to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "part", pa.array(k % N_COARSE_PARTS, pa.int64())
+            )
+
+        return fn
+
+    sig_w = (
+        sigs.map_batches(part_on("doc_id"), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: sig_wide(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def attach(side: str, pairs_ds, key_col: str):
+        # tagged union: pair rows (side=0) + sig rows (side=1) meet
+        # at the key's partition; sigs copy onto the pair rows
+        def pair_rows(batch: pa.Table) -> pa.Table:
+            cols = {
+                "key": batch.column(key_col).cast(pa.int64()),
+                "doc_a": batch.column("doc_a").cast(pa.int64()),
+                "doc_b": batch.column("doc_b").cast(pa.int64()),
+                "side": pa.array(
+                    np.zeros(batch.num_rows, np.int64), pa.int64()
+                ),
+            }
+            for c in SIG_COLS:
+                pref_a = f"a_{c}"
+                if pref_a in batch.column_names:
+                    cols[pref_a] = batch.column(pref_a)
+                else:
+                    cols[pref_a] = pa.array(
+                        np.zeros(batch.num_rows, np.int64), pa.int64()
+                    )
+            return pa.table(cols)
+
+        def sig_rows(batch: pa.Table) -> pa.Table:
+            cols = {
+                "key": batch.column("doc_id").cast(pa.int64()),
+                "doc_a": pa.array(
+                    np.zeros(batch.num_rows, np.int64), pa.int64()
+                ),
+                "doc_b": pa.array(
+                    np.zeros(batch.num_rows, np.int64), pa.int64()
+                ),
+                "side": pa.array(
+                    np.ones(batch.num_rows, np.int64), pa.int64()
+                ),
+            }
+            for c in SIG_COLS:
+                cols[f"a_{c}"] = batch.column(c)
+            return pa.table(cols)
+
+        def join_part(part_tbl: pa.Table) -> pa.Table:
+            import pandas as pd  # noqa: F811
+
+            df = part_tbl.to_pandas()
+            sig_df = df[df["side"] == 1].set_index("key")
+            pr = df[df["side"] == 0]
+            if not len(pr):
+                return pa.table(
+                    {
+                        c: pa.array([], pa.int64())
+                        for c in ["doc_a", "doc_b"]
+                        + [f"{side}_{c2}" for c2 in SIG_COLS]
+                        + (
+                            [f"a_{c2}" for c2 in SIG_COLS]
+                            if side == "b"
+                            else []
+                        )
+                    }
+                )
+            looked = sig_df.loc[pr["key"]]
+            out = {
+                "doc_a": pa.array(
+                    pr["doc_a"].to_numpy(np.int64), pa.int64()
+                ),
+                "doc_b": pa.array(
+                    pr["doc_b"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+            for c in SIG_COLS:
+                out[f"{side}_{c}"] = pa.array(
+                    looked[f"a_{c}"].to_numpy(np.int64), pa.int64()
+                )
+            if side == "b":
+                for c in SIG_COLS:
+                    out[f"a_{c}"] = pa.array(
+                        pr[f"a_{c}"].to_numpy(np.int64), pa.int64()
+                    )
+            return pa.table(out)
+
+        return (
+            pairs_ds.map_batches(pair_rows, batch_format="pyarrow")
+            .union(sig_w.map_batches(sig_rows, batch_format="pyarrow"))
+            .map_batches(part_on("key"), batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(
+                lambda g: join_part(g.drop_columns(["part"])),
+                batch_format="pyarrow",
+            )
+        )
+
+    with_a = attach("a", truth, "doc_a")
+    with_ab = attach("b", with_a, "doc_b")
+
+    def match_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "b": pa.array([], pa.int64()),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "full_m": pa.array([], pa.int64()),
+                    "bbit_m": pa.array([], pa.int64()),
+                }
+            )
+        ma = np.stack(
+            [
+                batch.column(f"a_{c}").to_numpy(zero_copy_only=False)
+                for c in SIG_COLS
+            ]
+        )
+        mb = np.stack(
+            [
+                batch.column(f"b_{c}").to_numpy(zero_copy_only=False)
+                for c in SIG_COLS
+            ]
+        )
+        n = ma.shape[1]
+        full = int((ma == mb).sum())
+        bs, nps, fm, bm = [], [], [], []
+        for b in BBIT_BS:
+            mask = (1 << b) - 1
+            bs.append(b)
+            nps.append(n)
+            fm.append(full)
+            bm.append(int(((ma & mask) == (mb & mask)).sum()))
+        return pa.table(
+            {
+                "b": pa.array(bs, pa.int64()),
+                "n_pairs": pa.array(nps, pa.int64()),
+                "full_m": pa.array(fm, pa.int64()),
+                "bbit_m": pa.array(bm, pa.int64()),
+            }
+        )
+
+    rows = (
+        with_ab.map_batches(match_counts, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(
+            _Sum("n_pairs", alias_name="n_pairs"),
+            _Sum("full_m", alias_name="sum_matches_full"),
+            _Sum("bbit_m", alias_name="sum_matches_bbit"),
+        )
+        .take_all()  # bounded: 4 width rows
+    )
+    df = pd.DataFrame(rows).sort_values("b", ignore_index=True)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df[["b", "n_pairs", "sum_matches_full", "sum_matches_bbit"]]
