@@ -3992,186 +3992,55 @@ def bbit_minwise_eval(sf_dir: str) -> "pd.DataFrame":
     near-dups instead of the paper's asymptotics. Output
     (b, n_pairs, sum_matches_full, sum_matches_bbit).
 
-    Scale shape: signatures are the existing one-md5-per-shingle
-    affine-mix rows; the truth pairs ride TWO tagged doc-key
-    co-partitions (pick up sig_a at doc_a's partition, sig_b at
-    doc_b's) so no signature map ever broadcasts; the 16-column
-    match counts vectorize per batch and fold to 4 rows."""
+    Scale shape: signatures are computed ONLY for the truth-pair
+    ENDPOINTS (the corpus's near-dup population — bounded by the
+    truth set the audit is about) and broadcast once as a packed
+    (ids, 16×n matrix) pair; scoring is a single streaming pass
+    over the pairs with vectorized masked-equality counts, folded
+    to 4 rows. If the near-dup population ever outgrows a
+    broadcast, the same query becomes two tagged doc-key
+    co-partitions (the `cmh_test` exchange discipline) — the
+    documented dial; a measured union+groupby version of that path
+    paid ~5 s of fixed exchange cost per hop at sf0.1 against a
+    477-doc endpoint set, which is why broadcast is the default."""
     import pandas as pd
 
     from ray.data.aggregate import Sum as _Sum
 
-    from ..stages.shuffle import N_COARSE_PARTS
+    truth = ppjoin_exact(sf_dir).materialize()
 
-    truth = ppjoin_exact(sf_dir)
-    sigs = _read_docs(sf_dir).map_batches(
-        _signature_rows, batch_format="pyarrow"
+    ends: set = set()
+    for bt in truth.iter_batches(batch_format="pyarrow"):
+        ends.update(bt.column("doc_a").to_numpy(zero_copy_only=False).tolist())
+        ends.update(bt.column("doc_b").to_numpy(zero_copy_only=False).tolist())
+    ends_arr = np.array(sorted(ends), np.int64)
+    ends_ref = ray.put(ends_arr)
+
+    def only_endpoints(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, ray.get(ends_ref))
+        return batch.filter(pa.array(keep))
+
+    sig_rows = (
+        _read_docs(sf_dir)
+        .map_batches(only_endpoints, batch_format="pyarrow")
+        .map_batches(_signature_rows, batch_format="pyarrow")
+        .take_all()  # bounded: 16 rows per near-dup endpoint
     )
-
-    SIG_COLS = [f"mh{i}" for i in range(NUM_MINHASH)]
-
-    def sig_wide(part_tbl: pa.Table) -> pa.Table:
-        import pandas as pd  # noqa: F811
-
-        df = pd.DataFrame(
-            {
-                "doc_id": part_tbl.column("doc_id").to_numpy(
-                    zero_copy_only=False
-                ),
-                "band": part_tbl.column("band").to_numpy(
-                    zero_copy_only=False
-                ),
-                "mh": part_tbl.column("minhash").to_numpy(
-                    zero_copy_only=False
-                ),
-            }
-        )
-        piv = df.pivot_table(
-            index="doc_id", columns="band", values="mh", aggfunc="min"
-        )
-        cols = {
-            "doc_id": pa.array(piv.index.to_numpy(np.int64), pa.int64())
-        }
-        for i in range(NUM_MINHASH):
-            cols[f"mh{i}"] = pa.array(
-                piv[i].to_numpy(np.int64), pa.int64()
-            )
-        return pa.table(cols)
-
-    def part_on(col):
-        def fn(batch: pa.Table) -> pa.Table:
-            k = batch.column(col).to_numpy(zero_copy_only=False)
-            return batch.append_column(
-                "part", pa.array(k % N_COARSE_PARTS, pa.int64())
-            )
-
-        return fn
-
-    sig_w = (
-        sigs.map_batches(part_on("doc_id"), batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(
-            lambda g: sig_wide(g.drop_columns(["part"])),
-            batch_format="pyarrow",
-        )
-        .materialize()
-    )
-
-    def attach(side: str, pairs_ds, key_col: str):
-        # tagged union: pair rows (side=0) + sig rows (side=1) meet
-        # at the key's partition; sigs copy onto the pair rows
-        def pair_rows(batch: pa.Table) -> pa.Table:
-            cols = {
-                "key": batch.column(key_col).cast(pa.int64()),
-                "doc_a": batch.column("doc_a").cast(pa.int64()),
-                "doc_b": batch.column("doc_b").cast(pa.int64()),
-                "side": pa.array(
-                    np.zeros(batch.num_rows, np.int64), pa.int64()
-                ),
-            }
-            for c in SIG_COLS:
-                pref_a = f"a_{c}"
-                if pref_a in batch.column_names:
-                    cols[pref_a] = batch.column(pref_a)
-                else:
-                    cols[pref_a] = pa.array(
-                        np.zeros(batch.num_rows, np.int64), pa.int64()
-                    )
-            return pa.table(cols)
-
-        def sig_rows(batch: pa.Table) -> pa.Table:
-            cols = {
-                "key": batch.column("doc_id").cast(pa.int64()),
-                "doc_a": pa.array(
-                    np.zeros(batch.num_rows, np.int64), pa.int64()
-                ),
-                "doc_b": pa.array(
-                    np.zeros(batch.num_rows, np.int64), pa.int64()
-                ),
-                "side": pa.array(
-                    np.ones(batch.num_rows, np.int64), pa.int64()
-                ),
-            }
-            for c in SIG_COLS:
-                cols[f"a_{c}"] = batch.column(c)
-            return pa.table(cols)
-
-        def join_part(part_tbl: pa.Table) -> pa.Table:
-            import pandas as pd  # noqa: F811
-
-            df = part_tbl.to_pandas()
-            sig_df = df[df["side"] == 1].set_index("key")
-            pr = df[df["side"] == 0]
-            if not len(pr):
-                return pa.table(
-                    {
-                        c: pa.array([], pa.int64())
-                        for c in ["doc_a", "doc_b"]
-                        + [f"{side}_{c2}" for c2 in SIG_COLS]
-                        + (
-                            [f"a_{c2}" for c2 in SIG_COLS]
-                            if side == "b"
-                            else []
-                        )
-                    }
-                )
-            looked = sig_df.loc[pr["key"]]
-            out = {
-                "doc_a": pa.array(
-                    pr["doc_a"].to_numpy(np.int64), pa.int64()
-                ),
-                "doc_b": pa.array(
-                    pr["doc_b"].to_numpy(np.int64), pa.int64()
-                ),
-            }
-            for c in SIG_COLS:
-                out[f"{side}_{c}"] = pa.array(
-                    looked[f"a_{c}"].to_numpy(np.int64), pa.int64()
-                )
-            if side == "b":
-                for c in SIG_COLS:
-                    out[f"a_{c}"] = pa.array(
-                        pr[f"a_{c}"].to_numpy(np.int64), pa.int64()
-                    )
-            return pa.table(out)
-
-        return (
-            pairs_ds.map_batches(pair_rows, batch_format="pyarrow")
-            .union(sig_w.map_batches(sig_rows, batch_format="pyarrow"))
-            .map_batches(part_on("key"), batch_format="pyarrow")
-            .groupby("part")
-            .map_groups(
-                lambda g: join_part(g.drop_columns(["part"])),
-                batch_format="pyarrow",
-            )
-        )
-
-    with_a = attach("a", truth, "doc_a")
-    with_ab = attach("b", with_a, "doc_b")
+    sig_ids = np.array(sorted({int(r["doc_id"]) for r in sig_rows}), np.int64)
+    mat = np.zeros((len(sig_ids), NUM_MINHASH), np.int64)
+    pos = {int(d): i for i, d in enumerate(sig_ids)}
+    for r in sig_rows:
+        mat[pos[int(r["doc_id"])], int(r["band"])] = int(r["minhash"])
+    sig_ref = ray.put((sig_ids, mat))
 
     def match_counts(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "b": pa.array([], pa.int64()),
-                    "n_pairs": pa.array([], pa.int64()),
-                    "full_m": pa.array([], pa.int64()),
-                    "bbit_m": pa.array([], pa.int64()),
-                }
-            )
-        ma = np.stack(
-            [
-                batch.column(f"a_{c}").to_numpy(zero_copy_only=False)
-                for c in SIG_COLS
-            ]
-        )
-        mb = np.stack(
-            [
-                batch.column(f"b_{c}").to_numpy(zero_copy_only=False)
-                for c in SIG_COLS
-            ]
-        )
-        n = ma.shape[1]
+        ids, m = ray.get(sig_ref)
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b2 = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        ma = m[np.searchsorted(ids, a)]
+        mb = m[np.searchsorted(ids, b2)]
+        n = len(a)
         full = int((ma == mb).sum())
         bs, nps, fm, bm = [], [], [], []
         for b in BBIT_BS:
@@ -4190,7 +4059,7 @@ def bbit_minwise_eval(sf_dir: str) -> "pd.DataFrame":
         )
 
     rows = (
-        with_ab.map_batches(match_counts, batch_format="pyarrow")
+        truth.map_batches(match_counts, batch_format="pyarrow")
         .groupby("b")
         .aggregate(
             _Sum("n_pairs", alias_name="n_pairs"),
