@@ -2196,6 +2196,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Tail-seated by design: the compression leg of the minhash
         # family.
         "bbit_minwise_eval": dedup.bbit_minwise_eval,
+        # (round 4, wave 136) doc-reordering compression gain —
+        # shared 3-shingles between CONSECUTIVE docs under doc_id
+        # vs simhash-sorted layout (the cluster-before-compress
+        # trick, exactly): per-ordering positions from bounded
+        # 256-cell rank grids, one tagged doc-key co-partition
+        # explodes shingles with both positions, adjacency folds
+        # per shingle. Tail-seated by design: the layout-gain leg
+        # beside zorder/hilbert.
+        "compression_neighbor_gain": textops.compression_neighbor_gain,
+        # (round 4, wave 136) kNN reciprocity rate — directed edges
+        # vs mutual pairs as one exact row: the hub-domination
+        # scalar behind mutual_knn's filter; two counts over
+        # memoized datasets, no new exchange. Tail-seated by
+        # design: knn_hubness' policy number.
+        "knn_reciprocity": similarity.knn_reciprocity,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -11136,6 +11151,52 @@ def oracle_sql() -> dict[str, str]:
                  AS sum_matches_bbit
         FROM bs CROSS JOIN m, np_
         GROUP BY 1, 2 ORDER BY 1
+    """
+
+    # compression_neighbor_gain: per-shingle adjacency counts under
+    # two layouts (positions by doc_id and by simhash).
+    sql["compression_neighbor_gain"] = f"""
+        WITH {_WORDS_CTE}, {_SHINGLES_CTE}, {_SIMHASH_CTE},
+        pa_ AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id)
+                  AS p
+                FROM documents),
+        pc_ AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY simhash, doc_id)
+                         AS p
+                FROM fps),
+        sh2 AS (SELECT doc_id,
+                       CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                         AS h
+                FROM sh),
+        sa AS (SELECT sh2.h, pa_.p FROM sh2 JOIN pa_ USING (doc_id)),
+        sc AS (SELECT sh2.h, pc_.p FROM sh2 JOIN pc_ USING (doc_id)),
+        ga AS (SELECT CAST(count(*) AS BIGINT) AS g
+               FROM sa x JOIN sa y ON x.h = y.h AND y.p = x.p + 1),
+        gc AS (SELECT CAST(count(*) AS BIGINT) AS g
+               FROM sc x JOIN sc y ON x.h = y.h AND y.p = x.p + 1),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        SELECT * FROM (
+          SELECT 'doc_id' AS ordering, nn.n - 1 AS n_pairs,
+                 ga.g AS shared_shingles
+          FROM nn, ga
+          UNION ALL
+          SELECT 'simhash', nn.n - 1, gc.g FROM nn, gc
+        ) ORDER BY ordering
+    """
+
+    # knn_reciprocity: directed edges vs mutual pairs.
+    sql["knn_reciprocity"] = f"""
+        WITH g AS ({sql["knn_graph"]}),
+        mk AS (SELECT vec_a, vec_b FROM ({sql["mutual_knn"]}))
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+                 AS n_nodes,
+               (SELECT CAST(count(*) AS BIGINT) FROM g)
+                 AS n_directed,
+               (SELECT CAST(count(*) AS BIGINT) FROM mk)
+                 AS n_mutual_pairs,
+               CAST(2 * (SELECT count(*) FROM mk) * 10000
+                    // (SELECT count(*) FROM g) AS BIGINT)
+                 AS reciprocity_bp
     """
 
     return sql

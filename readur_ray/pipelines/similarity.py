@@ -5152,3 +5152,40 @@ def attack_robustness_curve(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df
+
+
+def knn_reciprocity(sf_dir: str) -> "pd.DataFrame":
+    """kNN RECIPROCITY rate — of all directed kNN edges, how many
+    belong to a mutual pair: one exact row (n_nodes, n_directed,
+    n_mutual_pairs, reciprocity_bp = 2·mutual·10⁴/directed). The
+    scalar behind `mutual_knn`'s filter choice: low reciprocity
+    means the kNN graph is hub-dominated (most edges point AT a few
+    vectors that don't point back — `knn_hubness`' distribution
+    collapsed to its policy number) and mutual filtering will cut
+    aggressively; reciprocity near 10⁴ means the embedding space is
+    locally symmetric and mutual-kNN keeps almost everything.
+
+    Scale shape: two counts over already-memoized datasets (the
+    directed kNN edge list and the mutual pair list) plus the
+    embeddings row count — no new exchange at all."""
+    import pandas as pd
+
+    n_nodes = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).count()
+    n_directed = knn_edges_materialized(sf_dir).count()
+    n_mutual = mutual_knn(sf_dir).count()
+    df = pd.DataFrame(
+        [
+            {
+                "n_nodes": int(n_nodes),
+                "n_directed": int(n_directed),
+                "n_mutual_pairs": int(n_mutual),
+                "reciprocity_bp": 2 * int(n_mutual) * 10000
+                // int(n_directed)
+                if n_directed
+                else 0,
+            }
+        ]
+    ).astype("int64")
+    return df

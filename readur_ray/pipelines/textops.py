@@ -2357,3 +2357,287 @@ def tv_distance(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df
+
+
+CNG_BUCKETS = 256  # rank-pass bucket fan per ordering
+
+
+def compression_neighbor_gain(sf_dir: str) -> "pd.DataFrame":
+    """Doc-REORDERING compression gain — how many distinct 3-shingles
+    CONSECUTIVE documents share when the corpus is laid out (a) in
+    doc_id order vs (b) sorted by simhash fingerprint: the exact
+    integer proxy for the well-known trick of clustering similar
+    documents before compression (URL-sorted WARCs, simhash-sorted
+    shards compress better because neighboring docs share
+    back-reference windows). gain = Σ over consecutive pairs
+    |shingles(dᵢ) ∩ shingles(dᵢ₊₁)|, computed WITHOUT materializing
+    pair intersections: a shared shingle contributes 1 iff its two
+    docs sit at adjacent positions, so the total folds per SHINGLE
+    from sorted position lists. Shingles travel as 60-bit md5
+    prefixes on BOTH sides (oracle joins on the same hash), so the
+    exchanges carry int64 only and any hash merge is bit-identical
+    across the two paths. Output (ordering, n_pairs,
+    shared_shingles) — the simhash row exceeding the doc_id row is
+    the measured reordering win.
+
+    Scale shape: each ordering's exact positions come from one
+    bounded 256-cell count grid (doc-id ranges / 2-hex-char simhash
+    prefixes) + per-bucket local sort — never a global sort; text
+    is exploded to (doc, shingle-hash) rows in the FIRST map and
+    never shuffles; positions attach in one tagged doc-key
+    co-partition of slim int64 rows; adjacency counts fold per
+    hash partition and Sum to two rows."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Min as _Min, Sum as _Sum
+
+    from ..functions.textstats import shingles_of
+    from ..pipelines.dedup import simhash_fingerprints
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+
+    # --- rank pass (a): position by doc_id ------------------------
+    lohi = docs.aggregate(_Min("doc_id"), _Max("doc_id"))
+    dlo, dhi = int(lohi["min(doc_id)"]), int(lohi["max(doc_id)"])
+    wa = (dhi - dlo) // CNG_BUCKETS + 1
+
+    def bucket_a(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "doc": pa.array(d, pa.int64()),
+                "cell": pa.array((d - dlo) // wa, pa.int64()),
+            }
+        )
+
+    cells_a = docs.map_batches(bucket_a, batch_format="pyarrow").materialize()
+    counts_a = {
+        int(r["cell"]): int(r["count()"])
+        for r in cells_a.groupby("cell").count().take_all()
+    }  # bounded: 256 cells
+    bases_a = {}
+    acc = 0
+    for c in sorted(counts_a):
+        bases_a[c] = acc
+        acc += counts_a[c]
+    bases_a_ref = ray.put(bases_a)
+
+    def pos_a_rows(group: pa.Table) -> pa.Table:
+        cell = int(group.column("cell")[0].as_py())
+        base = ray.get(bases_a_ref)[cell]
+        d = np.sort(group.column("doc").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "doc": pa.array(d, pa.int64()),
+                "pos": pa.array(
+                    base + np.arange(1, len(d) + 1, dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    pos_a = (
+        cells_a.groupby("cell")
+        .map_groups(pos_a_rows, batch_format="pyarrow")
+        .repartition(8)
+        .materialize()
+    )
+
+    # --- rank pass (c): position by (simhash hex, doc_id) ---------
+    fps = simhash_fingerprints(sf_dir).materialize()
+
+    def bucket_c(batch: pa.Table) -> pa.Table:
+        sh = batch.column("simhash").to_pylist()
+        return pa.table(
+            {
+                "doc": batch.column("doc_id").cast(pa.int64()),
+                "sim": batch.column("simhash"),
+                "cell": pa.array(
+                    [int(x[:2], 16) for x in sh], pa.int64()
+                ),
+            }
+        )
+
+    cells_c = fps.map_batches(bucket_c, batch_format="pyarrow").materialize()
+    counts_c = {
+        int(r["cell"]): int(r["count()"])
+        for r in cells_c.groupby("cell").count().take_all()
+    }  # bounded: 256 hex-prefix cells
+    bases_c = {}
+    acc = 0
+    for c in sorted(counts_c):
+        bases_c[c] = acc
+        acc += counts_c[c]
+    bases_c_ref = ray.put(bases_c)
+
+    def pos_c_rows(group: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        cell = int(group.column("cell")[0].as_py())
+        base = ray.get(bases_c_ref)[cell]
+        df = pd.DataFrame(
+            {
+                "doc": group.column("doc").to_numpy(zero_copy_only=False),
+                "sim": group.column("sim").to_pylist(),
+            }
+        ).sort_values(["sim", "doc"])
+        return pa.table(
+            {
+                "doc": pa.array(df["doc"].to_numpy(np.int64), pa.int64()),
+                "pos": pa.array(
+                    base + np.arange(1, len(df) + 1, dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    pos_c = (
+        cells_c.groupby("cell")
+        .map_groups(pos_c_rows, batch_format="pyarrow")
+        .repartition(8)
+        .materialize()
+    )
+
+    # --- early explosion: (doc, 60-bit shingle hash), no text on ---
+    def explode_hash(batch: pa.Table) -> pa.Table:
+        from ..pipelines.dedup import _shingle_base  # cached md5_int60
+
+        out_d, out_h = [], []
+        for doc, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            for s in set(shingles_of(text or "", 3)):
+                out_d.append(doc)
+                out_h.append(_shingle_base(s))
+        return pa.table(
+            {
+                "doc": pa.array(out_d, pa.int64()),
+                "h": pa.array(out_h, pa.int64()),
+                "pos": pa.array(
+                    np.zeros(len(out_d), np.int64), pa.int64()
+                ),
+                "side": pa.array(
+                    np.zeros(len(out_d), np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def tag_pos(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc": batch.column("doc").cast(pa.int64()),
+                    "h": pa.array(
+                        np.zeros(batch.num_rows, np.int64), pa.int64()
+                    ),
+                    "pos": batch.column("pos").cast(pa.int64()),
+                    "side": pa.array(
+                        np.full(batch.num_rows, side, np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        return fn
+
+    def attach(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        df = part_tbl.to_pandas()
+        pa_map = dict(
+            zip(df[df["side"] == 1]["doc"], df[df["side"] == 1]["pos"])
+        )
+        pc_map = dict(
+            zip(df[df["side"] == 2]["doc"], df[df["side"] == 2]["pos"])
+        )
+        sh = df[df["side"] == 0]
+        docs_v = sh["doc"].to_numpy(np.int64)
+        h = sh["h"].to_numpy(np.int64)
+        p1 = np.array([pa_map[d] for d in docs_v], np.int64)
+        p2 = np.array([pc_map[d] for d in docs_v], np.int64)
+        return pa.table(
+            {
+                "h": pa.array(h, pa.int64()),
+                "pa_": pa.array(p1, pa.int64()),
+                "pc_": pa.array(p2, pa.int64()),
+                "part2": pa.array(h % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    sh_rows = (
+        docs.map_batches(explode_hash, batch_format="pyarrow")
+        .union(pos_a.map_batches(tag_pos(1), batch_format="pyarrow"))
+        .union(pos_c.map_batches(tag_pos(2), batch_format="pyarrow"))
+        .map_batches(
+            lambda b: b.append_column(
+                "part",
+                pa.array(
+                    b.column("doc").to_numpy(zero_copy_only=False)
+                    % N_COARSE_PARTS,
+                    pa.int64(),
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("part")
+        .map_groups(
+            lambda g: attach(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+    )
+
+    def adjacency(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        df = pd.DataFrame(
+            {
+                "h": part_tbl.column("h").to_numpy(zero_copy_only=False),
+                "pa_": part_tbl.column("pa_").to_numpy(
+                    zero_copy_only=False
+                ),
+                "pc_": part_tbl.column("pc_").to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        ).sort_values("h", kind="stable")
+        h = df["h"].to_numpy(np.int64)
+        ga = gc = 0
+        if len(h):
+            starts = np.concatenate(
+                [[0], np.nonzero(np.diff(h))[0] + 1, [len(h)]]
+            )
+            va = df["pa_"].to_numpy(np.int64)
+            vc = df["pc_"].to_numpy(np.int64)
+            for i in range(len(starts) - 1):
+                a0, a1 = starts[i], starts[i + 1]
+                sa = np.sort(va[a0:a1])
+                sc = np.sort(vc[a0:a1])
+                ga += int((np.diff(sa) == 1).sum())
+                gc += int((np.diff(sc) == 1).sum())
+        return pa.table(
+            {
+                "ordering": pa.array(["doc_id", "simhash"], pa.string()),
+                "g": pa.array([ga, gc], pa.int64()),
+            }
+        )
+
+    n_docs = int(docs.count())
+    rows = (
+        sh_rows.groupby("part2")
+        .map_groups(
+            lambda g: adjacency(g.drop_columns(["part2"])),
+            batch_format="pyarrow",
+        )
+        .groupby("ordering")
+        .aggregate(_Sum("g", alias_name="shared_shingles"))
+        .take_all()  # bounded: 2 ordering rows
+    )
+    df = pd.DataFrame(rows).sort_values("ordering", ignore_index=True)
+    df["n_pairs"] = n_docs - 1
+    df["shared_shingles"] = df["shared_shingles"].astype("int64")
+    df["n_pairs"] = df["n_pairs"].astype("int64")
+    return df[["ordering", "n_pairs", "shared_shingles"]]
