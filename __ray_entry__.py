@@ -2211,6 +2211,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # memoized datasets, no new exchange. Tail-seated by
         # design: knn_hubness' policy number.
         "knn_reciprocity": similarity.knn_reciprocity,
+        # (round 4, wave 137) pilot-sample sufficiency curve — five
+        # NESTED md5 samples (1/16..1) with exact doc stats and
+        # distinct vocabulary per level (linear stats converge,
+        # vocab climbs — Heaps in sample-fraction order): one
+        # streaming doc pass + a (token → min doc-hash) fold with
+        # per-partition threshold counts. Tail-seated by design:
+        # the sampling-sufficiency read beside heaps_curve.
+        "sample_convergence_curve": textops.sample_convergence_curve,
+        # (round 4, wave 137) sample-based selectivity (AQP) error —
+        # the histogram_selectivity predicates estimated from
+        # deterministic 1/16 and 1/4 Bernoulli row samples, scaled
+        # and compared to truth: histogram-vs-sample estimation side
+        # by side; one 18-cell streaming fold. Tail-seated by
+        # design: the AQP leg of the optimizer family.
+        "sampled_selectivity_audit": analytics.sampled_selectivity_audit,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -11197,6 +11212,81 @@ def oracle_sql() -> dict[str, str]:
                CAST(2 * (SELECT count(*) FROM mk) * 10000
                     // (SELECT count(*) FROM g) AS BIGINT)
                  AS reciprocity_bp
+    """
+
+    # sample_convergence_curve: nested md5 doc samples; vocab via
+    # per-token min doc-hash thresholds.
+    sql["sample_convergence_curve"] = f"""
+        WITH {_WORDS_CTE},
+        du AS (SELECT doc_id, n_chars,
+                      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                           1, 15) AS BIGINT) AS u
+               FROM documents),
+        dens AS (SELECT d FROM (VALUES (16), (8), (4), (2), (1)) t(d)),
+        ds_ AS (SELECT dens.d,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(coalesce(sum(du.n_chars), 0) AS BIGINT)
+                         AS total_chars
+                FROM dens LEFT JOIN du
+                  ON du.u < CAST(1152921504606846976 AS BIGINT) / dens.d
+                GROUP BY 1),
+        tok AS (SELECT w.doc_id, unnest(w.ws) AS token FROM w),
+        tm AS (SELECT tok.token, min(du.u) AS mu
+               FROM tok JOIN du ON du.doc_id = tok.doc_id
+               GROUP BY 1),
+        vc AS (SELECT dens.d, CAST(count(*) AS BIGINT) AS vocab
+               FROM dens LEFT JOIN tm
+                 ON tm.mu < CAST(1152921504606846976 AS BIGINT) / dens.d
+               GROUP BY 1)
+        SELECT CAST(ds_.d AS BIGINT) AS fraction_den, ds_.n_docs,
+               ds_.total_chars,
+               CAST(CASE WHEN ds_.n_docs > 0
+                    THEN ds_.total_chars * 1000 // ds_.n_docs
+                    ELSE 0 END AS BIGINT) AS mean_chars_x1000,
+               vc.vocab
+        FROM ds_ JOIN vc ON ds_.d = vc.d
+        ORDER BY 1
+    """
+
+    # sampled_selectivity_audit: Bernoulli row-sample estimates vs
+    # truth on the histogram predicates.
+    sql["sampled_selectivity_audit"] = """
+        WITH r AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5)
+                     AS BIGINT) AS v,
+                          CAST('0x' || substr(md5(
+                            CAST(CAST(l_orderkey AS BIGINT) AS VARCHAR)
+                            || ':' ||
+                            CAST(CAST(l_linenumber AS BIGINT)
+                                 AS VARCHAR)), 1, 15) AS BIGINT) AS u
+                   FROM lineitem),
+        preds AS (SELECT * FROM (VALUES
+                    (1, 100000, 200000),
+                    (2, 1000000, 2000000),
+                    (3, 2000000, 4000000),
+                    (4, 5000000, 10000000),
+                    (5, 0, 1500000),
+                    (6, 9000000, 99999999)) p(pid, lo, hi)),
+        c AS (SELECT p.pid, p.lo, p.hi,
+                     CAST(count(*) FILTER (WHERE r.v >= p.lo
+                       AND r.v < p.hi) AS BIGINT) AS true_rows,
+                     CAST(count(*) FILTER (WHERE r.v >= p.lo
+                       AND r.v < p.hi
+                       AND r.u < CAST(1152921504606846976 AS BIGINT)
+                           / 16) AS BIGINT) AS s16,
+                     CAST(count(*) FILTER (WHERE r.v >= p.lo
+                       AND r.v < p.hi
+                       AND r.u < CAST(1152921504606846976 AS BIGINT)
+                           / 4) AS BIGINT) AS s4
+              FROM preds p CROSS JOIN r
+              GROUP BY 1, 2, 3)
+        SELECT CAST(pid AS BIGINT) AS pred_id,
+               CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+               true_rows,
+               CAST(s16 * 16 AS BIGINT) AS est16,
+               CAST(s4 * 4 AS BIGINT) AS est4,
+               CAST(abs(s16 * 16 - true_rows) AS BIGINT) AS err16,
+               CAST(abs(s4 * 4 - true_rows) AS BIGINT) AS err4
+        FROM c ORDER BY 1
     """
 
     return sql

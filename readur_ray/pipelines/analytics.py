@@ -14757,3 +14757,102 @@ def ams_f2_eval(sf_dir: str) -> "pd.DataFrame":
         ]
     ).astype("int64")
     return df
+
+
+AQP_DENS = (16, 4)   # sample denominators for the estimate columns
+
+
+def sampled_selectivity_audit(sf_dir: str) -> "pd.DataFrame":
+    """SAMPLE-BASED selectivity estimation (AQP) error — the same
+    six price-range predicates `histogram_selectivity_audit` feeds
+    its equi-depth synopsis, estimated instead from deterministic
+    Bernoulli row samples (md5(orderkey:linenumber) thresholds) at
+    1/16 and 1/4, scaled back up and compared to the true count:
+    the two classical cardinality-estimation inputs (histogram vs
+    sample) now sit side by side on identical predicates, which is
+    how an optimizer bake-off actually reads — histograms are
+    cheap-but-shape-blind inside buckets, samples are shape-exact
+    but noisy at low selectivity, and the err columns quantify both
+    on this corpus. Output (pred_id, lo, hi, true_rows, est16,
+    est4, err16, err4).
+
+    Scale shape: ONE streaming pass — per batch the row hash and
+    the six predicate masks vectorize into an 18-cell (pred ×
+    {true, s16, s4}) partial, Sum-folded; the md5 row key is the
+    `hash_sample` discipline (deterministic, layout-free)."""
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    lit = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    SPACE = 1 << 60
+    thr = {d: SPACE // d for d in AQP_DENS}
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ln = batch.column("l_linenumber").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        cents = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        u = np.array(
+            [
+                int(
+                    _hashlib.md5(f"{o}:{l}".encode()).hexdigest()[:15], 16
+                )
+                for o, l in zip(ok.tolist(), ln.tolist())
+            ],
+            np.int64,
+        )
+        pid_out, tr, s16, s4 = [], [], [], []
+        in16 = u < thr[16]
+        in4 = u < thr[4]
+        for pid, lo, hi in HIST_SEL_PREDS:
+            m = (cents >= lo) & (cents < hi)
+            pid_out.append(pid)
+            tr.append(int(m.sum()))
+            s16.append(int((m & in16).sum()))
+            s4.append(int((m & in4).sum()))
+        return pa.table(
+            {
+                "pred_id": pa.array(pid_out, pa.int64()),
+                "tr": pa.array(tr, pa.int64()),
+                "s16": pa.array(s16, pa.int64()),
+                "s4": pa.array(s4, pa.int64()),
+            }
+        )
+
+    rows = (
+        lit.map_batches(cells, batch_format="pyarrow")
+        .groupby("pred_id")
+        .aggregate(
+            _Sum("tr", alias_name="true_rows"),
+            _Sum("s16", alias_name="s16"),
+            _Sum("s4", alias_name="s4"),
+        )
+        .take_all()  # bounded: 6 predicate rows
+    )
+    df = pd.DataFrame(rows).sort_values("pred_id", ignore_index=True)
+    pred = {p: (lo, hi) for p, lo, hi in HIST_SEL_PREDS}
+    df["lo"] = df["pred_id"].map(lambda p: pred[p][0])
+    df["hi"] = df["pred_id"].map(lambda p: pred[p][1])
+    df["est16"] = df["s16"] * 16
+    df["est4"] = df["s4"] * 4
+    df["err16"] = (df["est16"] - df["true_rows"]).abs()
+    df["err4"] = (df["est4"] - df["true_rows"]).abs()
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df[
+        ["pred_id", "lo", "hi", "true_rows", "est16", "est4",
+         "err16", "err4"]
+    ]

@@ -2641,3 +2641,146 @@ def compression_neighbor_gain(sf_dir: str) -> "pd.DataFrame":
     df["shared_shingles"] = df["shared_shingles"].astype("int64")
     df["n_pairs"] = df["n_pairs"].astype("int64")
     return df[["ordering", "n_pairs", "shared_shingles"]]
+
+
+SCC_DENS = (16, 8, 4, 2, 1)   # nested sample denominators
+_SCC_SPACE = 1 << 60          # md5_int60 hash space
+
+
+def sample_convergence_curve(sf_dir: str) -> "pd.DataFrame":
+    """PILOT-SAMPLE sufficiency curve — five NESTED deterministic
+    corpus samples (1/16 ⊂ 1/8 ⊂ 1/4 ⊂ 1/2 ⊂ 1, membership by
+    md5(doc_id) threshold so every level contains the previous) and
+    per level the exact doc count, total chars, floor-scaled mean
+    length, and DISTINCT VOCABULARY: linear statistics (mean length)
+    converge almost immediately while vocabulary keeps climbing (the
+    Heaps-law tail `heaps_curve` shows in document order — here in
+    SAMPLE-FRACTION order, which is what you actually dial when
+    sizing a pilot). The table answers 'how small a sample is
+    enough' per statistic, the everyday question before paying for
+    a full-corpus pass. Output (fraction_den, n_docs, total_chars,
+    mean_chars_x1000, vocab).
+
+    Scale shape: doc stats fold per level from one streaming pass
+    (5 threshold cells); vocabulary never reaches the driver — a
+    (token → min doc-hash) MIN fold co-partitioned by token, then a
+    per-partition 5-threshold count partial Sum-folds to the level
+    grid. Nesting makes all five levels one pass."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.textstats import md5_int60, words_of
+    from ..stages.shuffle import str_partition
+
+    docs = read_documents(sf_dir, ["doc_id", "text", "n_chars"])
+    thr = {d: _SCC_SPACE // d for d in SCC_DENS}
+
+    def doc_cells(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        nch = batch.column("n_chars").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        u = np.array([md5_int60(str(i)) for i in ids], np.int64)
+        dens, nd, tc = [], [], []
+        for d in SCC_DENS:
+            m = u < thr[d]
+            dens.append(d)
+            nd.append(int(m.sum()))
+            tc.append(int(nch[m].sum()))
+        return pa.table(
+            {
+                "fraction_den": pa.array(dens, pa.int64()),
+                "n_docs": pa.array(nd, pa.int64()),
+                "total_chars": pa.array(tc, pa.int64()),
+            }
+        )
+
+    stats = {
+        int(r["fraction_den"]): (int(r["n_docs"]), int(r["total_chars"]))
+        for r in (
+            docs.map_batches(doc_cells, batch_format="pyarrow")
+            .groupby("fraction_den")
+            .aggregate(
+                _Sum("n_docs", alias_name="n_docs"),
+                _Sum("total_chars", alias_name="total_chars"),
+            )
+            .take_all()  # bounded: 5 level rows
+        )
+    }
+
+    def tok_minu(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        best: dict = {}
+        for i, tx in zip(ids, texts):
+            u = md5_int60(str(i))
+            for w in set(words_of(tx or "")):
+                if w not in best or u < best[w]:
+                    best[w] = u
+        toks = list(best.keys())
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "mu": pa.array([best[t] for t in toks], pa.int64()),
+                "part": pa.array(str_partition(toks), pa.int64()),
+            }
+        )
+
+    def vocab_partial(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        df = pd.DataFrame(
+            {
+                "token": part_tbl.column("token").to_pylist(),
+                "mu": part_tbl.column("mu").to_numpy(zero_copy_only=False),
+            }
+        )
+        mu = df.groupby("token", sort=False)["mu"].min().to_numpy(np.int64)
+        return pa.table(
+            {
+                "fraction_den": pa.array(list(SCC_DENS), pa.int64()),
+                "v": pa.array(
+                    [int((mu < thr[d]).sum()) for d in SCC_DENS],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    vocab = {
+        int(r["fraction_den"]): int(r["v"])
+        for r in (
+            docs.map_batches(tok_minu, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(
+                lambda g: vocab_partial(g.drop_columns(["part"])),
+                batch_format="pyarrow",
+            )
+            .groupby("fraction_den")
+            .aggregate(_Sum("v", alias_name="v"))
+            .take_all()  # bounded: 5 level rows
+        )
+    }
+
+    rows = []
+    for d in SCC_DENS:
+        nd, tc = stats.get(d, (0, 0))
+        rows.append(
+            (
+                d,
+                nd,
+                tc,
+                tc * 1000 // nd if nd else 0,
+                vocab.get(d, 0),
+            )
+        )
+    df = pd.DataFrame(
+        rows,
+        columns=[
+            "fraction_den", "n_docs", "total_chars", "mean_chars_x1000",
+            "vocab",
+        ],
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("fraction_den", ignore_index=True)
