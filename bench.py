@@ -222,6 +222,22 @@ def run_queries() -> dict[str, float]:
         "blocking_union_eval", "hll_union_error",
         "minhash_threshold_curve", "recycled_content_rate",
         "head_churn", "cmh_test",
+        "hash_collision_audit", "hodges_lehmann",
+        "k_core_peel", "roaring_container_audit",
+        "mcnemar_test", "ta_topk_depth_audit",
+        "haar_synopsis", "histogram_selectivity_audit",
+        "count_sketch_error", "join_order_costs",
+        "dedup_threshold_curve", "tv_distance",
+        "pfor_exception_audit", "randomized_response_eval",
+        "bipartiteness_audit", "siegel_tukey",
+        "hilbert_locality_audit", "partial_topk_merge_eval",
+        "energy_distance", "cuped_moments",
+        "grid_percolation", "string_range_partition_plan",
+        "fair_share_allocation", "rebalance_delta_audit",
+        "attack_robustness_curve", "dict_cutoff_curve",
+        "ams_f2_eval", "bbit_minwise_eval",
+        "compression_neighbor_gain", "knn_reciprocity",
+        "sample_convergence_curve", "sampled_selectivity_audit",
     ]
     out: dict[str, float] = {}
     for name in picks:
