@@ -2226,6 +2226,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # by side; one 18-cell streaming fold. Tail-seated by
         # design: the AQP leg of the optimizer family.
         "sampled_selectivity_audit": analytics.sampled_selectivity_audit,
+        # (round 4, wave 138) canonicalization dedup ladder — exact
+        # duplicate census at five normalization rungs (raw, lower,
+        # ws-collapse, alnum, sorted word bag): the evidence for how
+        # aggressive to normalize before near-dup takes over; five
+        # digests in one pass, one digest-keyed exchange.
+        # Tail-seated by design: the policy ladder over dedup_exact.
+        "normalization_dedup_ladder": curation.normalization_dedup_ladder,
+        # (round 4, wave 138) median-of-medians pivot audit — the
+        # BFPRT pivot's realized rank vs the 30-70% guarantee over
+        # document lengths; group medians fold slim, the pick is a
+        # domain-bounded histogram, the rank one streaming pass.
+        # Tail-seated by design: the selection-guarantee read beside
+        # global_quantiles.
+        "mom_selection_audit": analytics.mom_selection_audit,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -11287,6 +11301,63 @@ def oracle_sql() -> dict[str, str]:
                CAST(abs(s16 * 16 - true_rows) AS BIGINT) AS err16,
                CAST(abs(s4 * 4 - true_rows) AS BIGINT) AS err4
         FROM c ORDER BY 1
+    """
+
+    # normalization_dedup_ladder: duplicate census per rung.
+    sql["normalization_dedup_ladder"] = r"""
+        WITH v AS (SELECT text AS t0, lower(text) AS t1,
+                          trim(regexp_replace(text, '\s+', ' ', 'g'))
+                            AS t2,
+                          trim(regexp_replace(regexp_replace(
+                            lower(text), '[^a-z0-9 ]', '', 'g'),
+                            '\s+', ' ', 'g')) AS t3
+                   FROM documents),
+        v2 AS (SELECT t0, t1, t2, t3,
+                      array_to_string(list_sort(
+                        string_split(t3, ' ')), ' ') AS t4
+               FROM v),
+        u AS (SELECT 0 AS lid, md5(t0) AS h FROM v2
+              UNION ALL SELECT 1, md5(t1) FROM v2
+              UNION ALL SELECT 2, md5(t2) FROM v2
+              UNION ALL SELECT 3, md5(t3) FROM v2
+              UNION ALL SELECT 4, md5(t4) FROM v2),
+        g AS (SELECT lid, h, CAST(count(*) AS BIGINT) AS c
+              FROM u GROUP BY 1, 2)
+        SELECT CAST(lid AS BIGINT) AS level_id,
+               CASE lid WHEN 0 THEN 'raw' WHEN 1 THEN 'lower'
+                        WHEN 2 THEN 'ws_collapse' WHEN 3 THEN 'alnum'
+                        ELSE 'bag' END AS level,
+               CAST(sum(c) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(c) - count(*) AS BIGINT) AS n_dup_docs,
+               CAST(max(c) AS BIGINT) AS max_group
+        FROM g GROUP BY 1, 2 ORDER BY 1
+    """
+
+    # mom_selection_audit: BFPRT pivot rank over document lengths.
+    sql["mom_selection_audit"] = """
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                          CAST(n_chars AS BIGINT) AS v
+                   FROM documents),
+        r AS (SELECT id // 5 AS g, v,
+                     row_number() OVER (PARTITION BY id // 5
+                                        ORDER BY v) AS rk,
+                     count(*) OVER (PARTITION BY id // 5) AS cnt
+              FROM d),
+        gm AS (SELECT g, v AS m FROM r WHERE rk = (cnt + 1) // 2),
+        rm AS (SELECT m, row_number() OVER (ORDER BY m) AS rk,
+                      count(*) OVER () AS ng
+               FROM gm),
+        mv AS (SELECT m FROM rm WHERE rk = (ng + 1) // 2),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(CASE WHEN v < (SELECT m FROM mv)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS lt
+               FROM d)
+        SELECT n, CAST((SELECT m FROM mv) AS BIGINT) AS mom_value,
+               CAST(lt + 1 AS BIGINT) AS mom_rank,
+               CAST((n + 1) // 2 AS BIGINT) AS median_rank,
+               CAST((lt + 1) * 10000 // n AS BIGINT) AS rank_bp
+        FROM st
     """
 
     return sql

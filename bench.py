@@ -238,6 +238,7 @@ def run_queries() -> dict[str, float]:
         "ams_f2_eval", "bbit_minwise_eval",
         "compression_neighbor_gain", "knn_reciprocity",
         "sample_convergence_curve", "sampled_selectivity_audit",
+        "normalization_dedup_ladder", "mom_selection_audit",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -14856,3 +14856,120 @@ def sampled_selectivity_audit(sf_dir: str) -> "pd.DataFrame":
         ["pred_id", "lo", "hi", "true_rows", "est16", "est4",
          "err16", "err4"]
     ]
+
+
+def mom_selection_audit(sf_dir: str) -> "pd.DataFrame":
+    """MEDIAN-OF-MEDIANS pivot-quality audit — run the classic BFPRT
+    grouping (consecutive doc_id groups of 5 over document lengths),
+    take each group's middle element, take the exact lower median of
+    those group medians, and measure where that pivot actually lands
+    in the full distribution: (n, mom_value, mom_rank, median_rank,
+    rank_bp). The theorem guarantees the pivot's rank in [30%, 70%];
+    the audit shows the realized split on this corpus — the number
+    behind every deterministic-selection / distributed-quantile
+    fallback path (`global_quantiles`' exact ranks are what MoM
+    approximates in one shuffle-free pass). rank_bp = ⌊10⁴·rank/n⌋.
+
+    Scale shape: groups are doc_id//5 (contiguous ids — the
+    `haar_synopsis` fixture contract), so group medians fold from a
+    group-keyed exchange bounded by n/5 SLIM int rows; the median of
+    medians is a domain-bounded (length → count) histogram pick
+    (the `weighted_median` plan), and the final rank is one
+    streaming count-less-than pass."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def grp_rows(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        v = batch.column("n_chars").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "g": pa.array(d // 5, pa.int64()),
+                "pos": pa.array(d % 5, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "part": pa.array((d // 5) % 64, pa.int64()),
+            }
+        )
+
+    def grp_median(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        df = pd.DataFrame(
+            {
+                "g": part_tbl.column("g").to_numpy(zero_copy_only=False),
+                "v": part_tbl.column("v").to_numpy(zero_copy_only=False),
+            }
+        )
+        med = (
+            df.groupby("g")["v"]
+            .apply(lambda s: int(np.sort(s.to_numpy())[(len(s) - 1) // 2]))
+            .reset_index(name="m")
+        )
+        t = pa.table(
+            {
+                "m": pa.array(med["m"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(np.ones(len(med), np.int64), pa.int64()),
+            }
+        ).group_by("m").aggregate([("c", "sum")])
+        return pa.table(
+            {"m": t.column("m"), "c": t.column("c_sum").cast(pa.int64())}
+        )
+
+    meds = (
+        docs.map_batches(grp_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: grp_median(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+        .groupby("m")
+        .aggregate(_Sum("c", alias_name="c"))
+        .take_all()  # bounded: the discrete length domain
+    )
+    mv = np.array(sorted(int(r["m"]) for r in meds), np.int64)
+    mc = np.array(
+        [c for _, c in sorted((int(r["m"]), int(r["c"])) for r in meds)],
+        np.int64,
+    )
+    cum = mc.cumsum()
+    n_groups = int(cum[-1])
+    k = (n_groups + 1) // 2  # lower median of the group medians
+    mom = int(mv[np.searchsorted(cum, k, side="left")])
+
+    def rank_cells(batch: pa.Table) -> pa.Table:
+        v = batch.column("n_chars").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "lt": pa.array([int((v < mom).sum())], pa.int64()),
+                "n": pa.array([len(v)], pa.int64()),
+            }
+        )
+
+    agg = docs.map_batches(rank_cells, batch_format="pyarrow").aggregate(
+        _Sum("lt", alias_name="lt"), _Sum("n", alias_name="n")
+    )
+    n, lt = int(agg["n"]), int(agg["lt"])
+    mom_rank = lt + 1
+    df = pd.DataFrame(
+        [
+            {
+                "n": n,
+                "mom_value": mom,
+                "mom_rank": mom_rank,
+                "median_rank": (n + 1) // 2,
+                "rank_bp": mom_rank * 10000 // n if n else 0,
+            }
+        ]
+    ).astype("int64")
+    return df

@@ -2956,3 +2956,130 @@ def quantile_normalize(sf_dir: str) -> "ray.data.Dataset":
     return docs.groupby(["source", "n_chars"]).map_groups(
         cell_ranks, batch_format="pyarrow"
     )
+
+
+NDL_LEVELS = ("raw", "lower", "ws_collapse", "alnum", "bag")
+
+
+def normalization_dedup_ladder(sf_dir: str) -> "pd.DataFrame":
+    """Canonicalization LADDER for exact dedup — how many more
+    duplicate docs each normalization step surfaces: md5 groups of
+    (1) raw text, (2) lowercased, (3) whitespace-collapsed+trimmed,
+    (4) lowercase alphanumerics+single-space only, (5) the sorted
+    WORD BAG (order-free). Every real ingestion pipeline picks a
+    rung on this ladder (the reference hashes raw bytes; C4
+    normalizes; bag-level catches shuffled boilerplate), and the
+    ladder read — n_dup_docs per level, monotone nondecreasing — is
+    the evidence for how aggressive to go before near-dup methods
+    take over (`dedup_exact` is rung 1; `dedup_minhash_lsh` starts
+    where rung 5 stops). Output (level_id, level, n_docs, n_groups,
+    n_dup_docs, max_group).
+
+    Scale shape: one streaming pass computes all five digests per
+    doc (vectorized regex/string kernels + one md5 each), emitting
+    (level, digest) rows pre-counted per batch; one coarse
+    crc32(digest) exchange folds group censuses per level (a
+    digest's rows co-locate), then a ≤ 5·64-row fold. Payload text
+    never shuffles."""
+    import hashlib as _hashlib
+    import re as _re
+
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    from ..stages.shuffle import str_partition
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    ws_re = _re.compile(r"\s+")
+    al_re = _re.compile(r"[^a-z0-9 ]")
+
+    def digests(batch: pa.Table) -> pa.Table:
+        import collections
+
+        texts = batch.column("text").to_pylist()
+        c: collections.Counter = collections.Counter()
+        for t in texts:
+            t = t or ""
+            lower = t.lower()
+            wsc = ws_re.sub(" ", t).strip()
+            aln = ws_re.sub(" ", al_re.sub("", lower)).strip()
+            bag = " ".join(sorted(aln.split()))
+            for lid, variant in enumerate(
+                (t, lower, wsc, aln, bag)
+            ):
+                c[
+                    (lid, _hashlib.md5(variant.encode()).hexdigest())
+                ] += 1
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "lid": pa.array([k[0] for k in keys], pa.int64()),
+                "h": pa.array([k[1] for k in keys], pa.string()),
+                "n": pa.array(
+                    np.fromiter(c.values(), np.int64, len(c)), pa.int64()
+                ),
+                "part": pa.array(
+                    str_partition([k[1] for k in keys]), pa.int64()
+                ),
+            }
+        )
+
+    def census(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        df = (
+            part_tbl.to_pandas()
+            .groupby(["lid", "h"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        g = df.groupby("lid")["n"]
+        agg = pd.DataFrame(
+            {
+                "n_docs": g.sum(),
+                "n_groups": g.count(),
+                "max_group": g.max(),
+            }
+        ).reset_index()
+        return pa.table(
+            {
+                "level_id": pa.array(
+                    agg["lid"].to_numpy(np.int64), pa.int64()
+                ),
+                "n_docs": pa.array(
+                    agg["n_docs"].to_numpy(np.int64), pa.int64()
+                ),
+                "n_groups": pa.array(
+                    agg["n_groups"].to_numpy(np.int64), pa.int64()
+                ),
+                "max_group": pa.array(
+                    agg["max_group"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    rows = (
+        docs.map_batches(digests, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: census(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+        .groupby("level_id")
+        .aggregate(
+            _Sum("n_docs", alias_name="n_docs"),
+            _Sum("n_groups", alias_name="n_groups"),
+            _Max("max_group", alias_name="max_group"),
+        )
+        .take_all()  # bounded: 5 level rows
+    )
+    df = pd.DataFrame(rows).sort_values("level_id", ignore_index=True)
+    df["level"] = [NDL_LEVELS[int(i)] for i in df["level_id"]]
+    df["n_dup_docs"] = df["n_docs"] - df["n_groups"]
+    for c in ["level_id", "n_docs", "n_groups", "n_dup_docs", "max_group"]:
+        df[c] = df[c].astype("int64")
+    return df[
+        ["level_id", "level", "n_docs", "n_groups", "n_dup_docs",
+         "max_group"]
+    ]
