@@ -2240,6 +2240,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Tail-seated by design: the selection-guarantee read beside
         # global_quantiles.
         "mom_selection_audit": analytics.mom_selection_audit,
+        # (round 4, wave 139) shared-affix census — top-16 first-5 /
+        # last-5 token grams with doc counts and coverage: the
+        # text-level header/footer boilerplate read feeding the
+        # north-star stripper; one gram-keyed exchange with
+        # per-partition exact top-16 prune. Tail-seated by design:
+        # the furniture census beside html_extract.
+        "boilerplate_affix_census": textops.boilerplate_affix_census,
+        # (round 4, wave 139) tokenizer fertility by language —
+        # exact per-language char/byte/ws/BPE totals + floor-scaled
+        # fertility ratios: the token-budget table behind
+        # fertility-aware mixing (mix_weights' companion); one
+        # streaming pass, language fold. Tail-seated by design.
+        "tokenizer_fertility": textops.tokenizer_fertility,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -11358,6 +11371,56 @@ def oracle_sql() -> dict[str, str]:
                CAST((n + 1) // 2 AS BIGINT) AS median_rank,
                CAST((lt + 1) * 10000 // n AS BIGINT) AS rank_bp
         FROM st
+    """
+
+    # boilerplate_affix_census: top-16 head/tail 5-gram census.
+    sql["boilerplate_affix_census"] = f"""
+        WITH {_WORDS_CTE},
+        aff AS (SELECT 'head' AS position,
+                       array_to_string(list_slice(ws, 1,
+                         least(5, len(ws))), ' ') AS gram
+                FROM w WHERE len(ws) >= 1
+                UNION ALL
+                SELECT 'tail',
+                       array_to_string(list_slice(ws,
+                         greatest(1, len(ws) - 4), len(ws)), ' ')
+                FROM w WHERE len(ws) >= 1),
+        g AS (SELECT position, gram, CAST(count(*) AS BIGINT) AS n
+              FROM aff GROUP BY 1, 2),
+        r AS (SELECT position, gram, n,
+                     row_number() OVER (PARTITION BY position
+                                        ORDER BY n DESC, gram) AS rnk
+              FROM g),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        SELECT position, CAST(rnk AS BIGINT) AS rnk, gram,
+               r.n AS n_docs,
+               CAST(r.n * 10000 // nd.n AS BIGINT) AS coverage_bp
+        FROM r, nd WHERE rnk <= 16 ORDER BY position, rnk
+    """
+
+    # tokenizer_fertility: per-language token-budget totals.
+    sql["tokenizer_fertility"] = r"""
+        WITH t AS (SELECT lang,
+                          CAST(length(text) AS BIGINT) AS chars,
+                          CAST(strlen(text) AS BIGINT) AS bytes,
+                          CAST(len(regexp_extract_all(text, '\S+'))
+                            AS BIGINT) AS ws_tokens,
+                          CAST(len(regexp_extract_all(text,
+                            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                            AS BIGINT) AS bpe_tokens
+                   FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(chars) AS BIGINT) AS chars,
+               CAST(sum(bytes) AS BIGINT) AS bytes,
+               CAST(sum(ws_tokens) AS BIGINT) AS ws_tokens,
+               CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens,
+               CAST(CASE WHEN sum(bpe_tokens) > 0
+                    THEN sum(chars) * 1000 // sum(bpe_tokens)
+                    ELSE 0 END AS BIGINT) AS chars_per_bpe_x1000,
+               CAST(CASE WHEN sum(ws_tokens) > 0
+                    THEN sum(bpe_tokens) * 1000 // sum(ws_tokens)
+                    ELSE 0 END AS BIGINT) AS bpe_per_ws_x1000
+        FROM t GROUP BY 1 ORDER BY 1
     """
 
     return sql

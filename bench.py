@@ -239,6 +239,7 @@ def run_queries() -> dict[str, float]:
         "compression_neighbor_gain", "knn_reciprocity",
         "sample_convergence_curve", "sampled_selectivity_audit",
         "normalization_dedup_ladder", "mom_selection_audit",
+        "boilerplate_affix_census", "tokenizer_fertility",
     ]
     out: dict[str, float] = {}
     for name in picks:

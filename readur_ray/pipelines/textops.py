@@ -2784,3 +2784,201 @@ def sample_convergence_curve(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df.sort_values("fraction_den", ignore_index=True)
+
+
+AFFIX_K = 5        # tokens per affix gram
+AFFIX_TOP = 16     # reported heads/tails
+
+
+def boilerplate_affix_census(sf_dir: str) -> "pd.DataFrame":
+    """Shared document-AFFIX census — the top-16 most common first-5
+    and last-5 token grams across the corpus with their exact doc
+    counts and coverage: repeated heads are navigation/header
+    boilerplate, repeated tails are footers/license blocks — the
+    empirical input to the north-star HTML boilerplate stripper
+    (`html_extract` strips DOM furniture; this measures the
+    TEXT-level furniture that survives into the corpus, exactly the
+    signature CCNet/C4-style line filters key on). Output (position,
+    rnk, gram, n_docs, coverage_bp) for position ∈ {head, tail}.
+
+    Scale shape: one streaming pass emits per-batch pre-counted
+    (position, gram) cells; one gram-keyed coarse exchange folds
+    exact counts; two bounded top-16 sort-limits close it. Docs
+    shorter than 5 tokens contribute their whole token string."""
+    import collections
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.textstats import words_of
+    from ..stages.shuffle import str_partition
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+    n_docs = int(docs.count())
+
+    def cells(batch: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for t in batch.column("text").to_pylist():
+            ws = words_of(t or "")
+            if not ws:
+                continue
+            c[("head", " ".join(ws[:AFFIX_K]))] += 1
+            c[("tail", " ".join(ws[-AFFIX_K:]))] += 1
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "position": pa.array([k[0] for k in keys], pa.string()),
+                "gram": pa.array([k[1] for k in keys], pa.string()),
+                "n": pa.array(
+                    np.fromiter(c.values(), np.int64, len(c)), pa.int64()
+                ),
+                "part": pa.array(
+                    str_partition([k[1] for k in keys]), pa.int64()
+                ),
+            }
+        )
+
+    def fold(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        df = (
+            part_tbl.to_pandas()
+            .groupby(["position", "gram"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        # per-partition prune: only candidates that could reach the
+        # global top-16 survive (a gram's rows are co-located, so
+        # per-partition counts are exact — keep each position's 16
+        # largest)
+        df = (
+            df.sort_values(["position", "n", "gram"],
+                           ascending=[True, False, True])
+            .groupby("position")
+            .head(AFFIX_TOP)
+        )
+        return pa.table(
+            {
+                "position": pa.array(df["position"], pa.string()),
+                "gram": pa.array(df["gram"], pa.string()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        docs.map_batches(cells, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: fold(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+        .take_all()  # bounded: <= 2 * 16 * 64 pruned candidate rows
+    )
+    out = []
+    for posn in ("head", "tail"):
+        cand = sorted(
+            (
+                (-int(r["n"]), r["gram"])
+                for r in rows
+                if r["position"] == posn
+            ),
+        )[:AFFIX_TOP]
+        for i, (negn, gram) in enumerate(cand, 1):
+            n = -negn
+            out.append((posn, i, gram, n, n * 10000 // n_docs))
+    df = pd.DataFrame(
+        out, columns=["position", "rnk", "gram", "n_docs", "coverage_bp"]
+    )
+    for c in ["rnk", "n_docs", "coverage_bp"]:
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["position", "rnk"], ignore_index=True)
+
+
+def tokenizer_fertility(sf_dir: str) -> "pd.DataFrame":
+    """Tokenizer FERTILITY by language — per language bucket the
+    exact totals (docs, chars, bytes, whitespace tokens, BPE-ish
+    tokens) and the floor-scaled ratios chars_per_bpe_x1000 /
+    bpe_per_ws_x1000: the per-language token-budget table every
+    multilingual training plan starts from (a language whose BPE
+    fertility runs 2× pays 2× the context budget for the same text —
+    the standard argument for fertility-aware mixing next to
+    `mix_weights`' count-based temperatures). Output one row per
+    language.
+
+    Scale shape: one streaming pass — the existing vectorized
+    token_stats kernels fold five integer cells per language
+    through a ≤|langs| exchange. No shuffle wider than the language
+    grid."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.textstats import token_stats
+
+    docs = read_documents(sf_dir, ["doc_id", "text", "lang"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ts = token_stats(batch.column("text").combine_chunks())
+        t = pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_docs": pa.array(
+                    np.ones(batch.num_rows, np.int64), pa.int64()
+                ),
+                "chars": ts["chars"],
+                "bytes": ts["bytes"],
+                "ws_tokens": ts["ws_tokens"],
+                "bpe_tokens": ts["bpe_tokens"],
+            }
+        ).group_by("lang").aggregate(
+            [
+                ("n_docs", "sum"),
+                ("chars", "sum"),
+                ("bytes", "sum"),
+                ("ws_tokens", "sum"),
+                ("bpe_tokens", "sum"),
+            ]
+        )
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                **{
+                    c: t.column(f"{c}_sum").cast(pa.int64())
+                    for c in (
+                        "n_docs", "chars", "bytes", "ws_tokens",
+                        "bpe_tokens",
+                    )
+                },
+            }
+        )
+
+    rows = (
+        docs.map_batches(cells, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            _Sum("n_docs", alias_name="n_docs"),
+            _Sum("chars", alias_name="chars"),
+            _Sum("bytes", alias_name="bytes"),
+            _Sum("ws_tokens", alias_name="ws_tokens"),
+            _Sum("bpe_tokens", alias_name="bpe_tokens"),
+        )
+        .take_all()  # bounded: one row per language
+    )
+    df = pd.DataFrame(rows).sort_values("lang", ignore_index=True)
+    for c in ["n_docs", "chars", "bytes", "ws_tokens", "bpe_tokens"]:
+        df[c] = df[c].astype("int64")
+    df["chars_per_bpe_x1000"] = np.where(
+        df["bpe_tokens"] > 0, df["chars"] * 1000 // df["bpe_tokens"], 0
+    ).astype("int64")
+    df["bpe_per_ws_x1000"] = np.where(
+        df["ws_tokens"] > 0,
+        df["bpe_tokens"] * 1000 // df["ws_tokens"],
+        0,
+    ).astype("int64")
+    return df[
+        [
+            "lang", "n_docs", "chars", "bytes", "ws_tokens", "bpe_tokens",
+            "chars_per_bpe_x1000", "bpe_per_ws_x1000",
+        ]
+    ]
