@@ -2253,6 +2253,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fertility-aware mixing (mix_weights' companion); one
         # streaming pass, language fold. Tail-seated by design.
         "tokenizer_fertility": textops.tokenizer_fertility,
+        # (round 4, wave 140) daily-series path extremes — exact max
+        # drawdown of the daily-revenue level series (peak/trough
+        # days, earliest-tie) + longest strict rise/fall runs: the
+        # path-dependent stats the pointwise family misses; one
+        # day-domain fold + driver scan. Tail-seated by design.
+        "revenue_path_extremes": analytics.revenue_path_extremes,
+        # (round 4, wave 140) Poisson-PPS calibration — realized
+        # md5-coin inclusions vs exact expected numerators per price
+        # decile (HT-design check); bounded price histogram for W +
+        # decile bounds, one streaming inclusion fold. Tail-seated
+        # by design: the variable-size leg beside weighted_sample.
+        "pps_sample_calibration": analytics.pps_sample_calibration,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -11421,6 +11433,88 @@ def oracle_sql() -> dict[str, str]:
                     THEN sum(bpe_tokens) * 1000 // sum(ws_tokens)
                     ELSE 0 END AS BIGINT) AS bpe_per_ws_x1000
         FROM t GROUP BY 1 ORDER BY 1
+    """
+
+    # revenue_path_extremes: drawdown + monotone runs of the daily
+    # level series, earliest-tie conventions mirrored.
+    sql["revenue_path_extremes"] = """
+        WITH dd0 AS (SELECT CAST(date_diff('day', DATE '1992-01-01',
+                       CAST(l_shipdate AS DATE)) AS BIGINT) AS day,
+                            CAST(floor(l_extendedprice * 100 + 0.5)
+                              AS BIGINT) AS cents
+                     FROM lineitem),
+        ds AS (SELECT day, CAST(sum(cents) AS BIGINT) AS s
+               FROM dd0 GROUP BY 1),
+        pm AS (SELECT day, s, max(s) OVER (ORDER BY day) AS runmax
+               FROM ds),
+        ddx AS (SELECT day, s, runmax, runmax - s AS dd FROM pm),
+        best AS (SELECT CAST(max(dd) AS BIGINT) AS bd FROM ddx),
+        trough AS (SELECT CASE WHEN (SELECT bd FROM best) = 0 THEN -1
+                        ELSE (SELECT min(day) FROM ddx
+                              WHERE dd = (SELECT bd FROM best)) END
+                     AS td),
+        peak AS (SELECT CASE WHEN (SELECT bd FROM best) = 0 THEN -1
+                      ELSE (SELECT min(day) FROM ds
+                            WHERE s = (SELECT runmax FROM ddx, trough
+                                       WHERE day = td)) END AS pd),
+        rr AS (SELECT day, s,
+                      CASE WHEN s > lag(s) OVER (ORDER BY day)
+                           THEN 0 ELSE 1 END AS brk_r,
+                      CASE WHEN s < lag(s) OVER (ORDER BY day)
+                           THEN 0 ELSE 1 END AS brk_f
+               FROM ds),
+        rg AS (SELECT day,
+                      sum(brk_r) OVER (ORDER BY day) AS grp_r,
+                      sum(brk_f) OVER (ORDER BY day) AS grp_f
+               FROM rr),
+        lr AS (SELECT CAST(max(c) AS BIGINT) AS v FROM
+                 (SELECT count(*) AS c FROM rg GROUP BY grp_r)),
+        lf AS (SELECT CAST(max(c) AS BIGINT) AS v FROM
+                 (SELECT count(*) AS c FROM rg GROUP BY grp_f))
+        SELECT CAST((SELECT count(*) FROM ds) AS BIGINT) AS n_days,
+               (SELECT bd FROM best) AS max_drawdown_cents,
+               CAST((SELECT pd FROM peak) AS BIGINT) AS peak_day,
+               CAST((SELECT td FROM trough) AS BIGINT) AS trough_day,
+               (SELECT v FROM lr) AS longest_rise,
+               (SELECT v FROM lf) AS longest_fall
+    """
+
+    # pps_sample_calibration: exact HUGEINT inclusion rule + decile
+    # by value-run start rank.
+    sql["pps_sample_calibration"] = """
+        WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+                          CAST(floor(o_totalprice * 100 + 0.5)
+                            AS BIGINT) AS w
+                   FROM orders),
+        tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM o),
+        sr AS (SELECT w AS v, CAST(count(*) AS BIGINT) AS c
+               FROM o GROUP BY 1),
+        sr2 AS (SELECT v,
+                       CAST(coalesce(sum(c) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS BIGINT) AS start_rank
+                FROM sr),
+        x AS (SELECT o.k, o.w, sr2.start_rank,
+                     CAST('0x' || substr(md5(CAST(o.k AS VARCHAR)),
+                          1, 15) AS BIGINT) AS u
+              FROM o JOIN sr2 ON sr2.v = o.w),
+        cells AS (SELECT CAST(x.start_rank * 10 // tot.n AS BIGINT)
+                    AS decile,
+                         x.w,
+                         CASE WHEN CAST(x.u AS HUGEINT) * tot.tw
+                              < CAST(256 AS HUGEINT) * x.w
+                                * CAST(1152921504606846976 AS HUGEINT)
+                              THEN 1 ELSE 0 END AS inc,
+                         least(1000000,
+                               1000000 * 256 * x.w // tot.tw) AS exp_
+                  FROM x, tot)
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(w) AS BIGINT) AS sum_price_cents,
+               CAST(sum(exp_) AS BIGINT) AS expected_x1m,
+               CAST(sum(inc) AS BIGINT) AS realized
+        FROM cells GROUP BY 1 ORDER BY 1
     """
 
     return sql

@@ -240,6 +240,7 @@ def run_queries() -> dict[str, float]:
         "sample_convergence_curve", "sampled_selectivity_audit",
         "normalization_dedup_ladder", "mom_selection_audit",
         "boilerplate_affix_census", "tokenizer_fertility",
+        "revenue_path_extremes", "pps_sample_calibration",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -14973,3 +14973,268 @@ def mom_selection_audit(sf_dir: str) -> "pd.DataFrame":
         ]
     ).astype("int64")
     return df
+
+
+def revenue_path_extremes(sf_dir: str) -> "pd.DataFrame":
+    """PATH extremes of the daily-revenue series — exact maximum
+    drawdown of the cumulative series (the largest peak-to-trough
+    drop: max over t of running-max − v_t, with the peak/trough
+    day indices, ties to the earliest) plus the longest strictly
+    rising and strictly falling runs of the DAILY series: the
+    path-dependent statistics the pointwise family (`ewma_daily`,
+    `tukey_fences`, `runs_test` counts sign runs, `ohlc_daily` bars)
+    never sees — drawdown (of the daily LEVEL series: largest drop
+    from any earlier day's level, the price-series convention) is
+    THE robustness number for level processes, and the longest
+    monotone runs bound how long a trend detector can stay wrong. Output one row: (n_days, max_drawdown_cents, peak_day,
+    trough_day, longest_rise, longest_fall).
+
+    Scale shape: one day-domain-bounded (day, cents) fold (the
+    `haar_synopsis` contract), then the path scan is driver
+    arithmetic over ≤ 2557 integers; the oracle replays the same
+    scan with window prefix-max and run-group CTEs."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    lit = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_extendedprice"],
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        d = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        day = (
+            (d.astype("datetime64[D]") - HAAR_EPOCH)
+            // np.timedelta64(1, "D")
+        ).astype(np.int64)
+        cents = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "day": pa.array(day, pa.int64()),
+                "c": pa.array(cents, pa.int64()),
+            }
+        ).group_by("day").aggregate([("c", "sum")])
+        return pa.table(
+            {"day": t.column("day"), "c": t.column("c_sum").cast(pa.int64())}
+        )
+
+    rows = (
+        lit.map_batches(partials, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(_Sum("c", alias_name="c"))
+        .take_all()  # bounded: the 7-year day domain
+    )
+    series = sorted((int(r["day"]), int(r["c"])) for r in rows)
+    days = [d for d, _ in series]
+    vals = [c for _, c in series]
+
+    run_max = None
+    run_max_day = -1
+    best_dd = 0
+    best_peak = best_trough = -1
+    for d, c in series:
+        if run_max is None or c > run_max:
+            run_max = c
+            run_max_day = d
+        dd = run_max - c
+        if dd > best_dd:
+            best_dd = dd
+            best_peak = run_max_day
+            best_trough = d
+
+    longest_rise = longest_fall = 0
+    cur_r = cur_f = 1 if vals else 0
+    for i in range(1, len(vals)):
+        if vals[i] > vals[i - 1]:
+            cur_r += 1
+            cur_f = 1
+        elif vals[i] < vals[i - 1]:
+            cur_f += 1
+            cur_r = 1
+        else:
+            cur_r = cur_f = 1
+        longest_rise = max(longest_rise, cur_r)
+        longest_fall = max(longest_fall, cur_f)
+    longest_rise = max(longest_rise, cur_r if vals else 0)
+    longest_fall = max(longest_fall, cur_f if vals else 0)
+
+    return pd.DataFrame(
+        [
+            {
+                "n_days": len(series),
+                "max_drawdown_cents": best_dd,
+                "peak_day": best_peak,
+                "trough_day": best_trough,
+                "longest_rise": longest_rise,
+                "longest_fall": longest_fall,
+            }
+        ]
+    ).astype("int64")
+
+
+PPS_TARGET = 256   # Poisson-PPS expected sample size
+
+
+def pps_sample_calibration(sf_dir: str) -> "pd.DataFrame":
+    """Poisson-PPS SAMPLING calibration — include each order with
+    probability min(1, k·w/W) proportional to its price (k = 256,
+    the deterministic md5 coin: include iff u·W < k·w·2⁶⁰ scaled
+    exactly), then compare realized inclusion counts against the
+    exact expected-count numerators per price decile: the
+    design-calibration read for weighted sampling (`weighted_sample`
+    draws a fixed-size A-ES sample; Poisson-PPS is the
+    variable-size estimator HT-weighting assumes, and its realized-
+    vs-expected gap per stratum is what a survey statistician
+    checks first). expected_x1m = Σ ⌊10⁶·min(1, k·w/W)⌋ keeps the
+    comparison in integers. Output per decile: (decile, n_orders,
+    sum_price_cents, expected_x1m, realized).
+
+    Scale shape: W and the decile boundaries come from the bounded
+    price-histogram plan (`weighted_median` contract); the
+    inclusion pass is one streaming map folding 4 cells per decile.
+    The decile of an order is its rank bucket by (price, orderkey)
+    — computed from the same histogram, never a global sort."""
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def hist_partials(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "v": pa.array(cents, pa.int64()),
+                "c": pa.array(np.ones(len(cents), np.int64), pa.int64()),
+            }
+        ).group_by("v").aggregate([("c", "sum")])
+        return pa.table(
+            {"v": t.column("v"), "c": t.column("c_sum").cast(pa.int64())}
+        )
+
+    hist = (
+        orders.map_batches(hist_partials, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(_Sum("c", alias_name="c"))
+        .take_all()  # bounded: the discrete price domain
+    )
+    vals = np.array(sorted(int(r["v"]) for r in hist), np.int64)
+    cnts = np.array(
+        [c for _, c in sorted((int(r["v"]), int(r["c"])) for r in hist)],
+        np.int64,
+    )
+    cum = cnts.cumsum()
+    n = int(cum[-1])
+    W = int((vals * cnts).sum())
+    # decile of a value: by rank of its LAST occurrence bucketed —
+    # deciles split at ranks ceil(i*n/10); a value's orders may span
+    # deciles only at boundaries — assign by the order's rank among
+    # (price, orderkey), reproduced below via (value, within-value
+    # orderkey rank); for the decile bounds we need rank prefixes:
+    starts = np.concatenate([[0], cum[:-1]])  # rank before each value
+
+    SPACE = 1 << 60
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        cents = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        u = np.array(
+            [
+                int(_hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+                for k in ok.tolist()
+            ],
+            dtype=object,
+        )
+        # exact inclusion: u*W < k*w*2^60  (python ints, no overflow)
+        inc = np.array(
+            [
+                1 if int(uu) * W < PPS_TARGET * int(w) * SPACE else 0
+                for uu, w in zip(u, cents.tolist())
+            ],
+            np.int64,
+        )
+        # expected numerator per order: floor(1e6 * min(1, k*w/W))
+        exp = np.array(
+            [
+                min(10**6, 10**6 * PPS_TARGET * int(w) // W)
+                for w in cents.tolist()
+            ],
+            np.int64,
+        )
+        # decile via global rank midpoint of the order's value run:
+        # rank(order) = starts[value] + (rank among same-value orders)
+        # — same-value rank needs orderkey order within value; for
+        # decile assignment we use the value's START rank (all orders
+        # of one value share a decile unless the run straddles a
+        # boundary; using the start rank makes the rule exact and
+        # mirrorable: decile = start_rank * 10 // n)
+        idx = np.searchsorted(vals, cents)
+        dec = (starts[idx] * 10 // n).astype(np.int64)
+        t = pa.table(
+            {
+                "decile": pa.array(dec, pa.int64()),
+                "n_orders": pa.array(
+                    np.ones(len(dec), np.int64), pa.int64()
+                ),
+                "sum_price_cents": pa.array(cents, pa.int64()),
+                "expected_x1m": pa.array(exp, pa.int64()),
+                "realized": pa.array(inc, pa.int64()),
+            }
+        ).group_by("decile").aggregate(
+            [
+                ("n_orders", "sum"),
+                ("sum_price_cents", "sum"),
+                ("expected_x1m", "sum"),
+                ("realized", "sum"),
+            ]
+        )
+        return pa.table(
+            {
+                "decile": t.column("decile"),
+                **{
+                    c: t.column(f"{c}_sum").cast(pa.int64())
+                    for c in (
+                        "n_orders", "sum_price_cents", "expected_x1m",
+                        "realized",
+                    )
+                },
+            }
+        )
+
+    rows = (
+        orders.map_batches(cells, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(
+            _Sum("n_orders", alias_name="n_orders"),
+            _Sum("sum_price_cents", alias_name="sum_price_cents"),
+            _Sum("expected_x1m", alias_name="expected_x1m"),
+            _Sum("realized", alias_name="realized"),
+        )
+        .take_all()  # bounded: 10 decile rows
+    )
+    df = pd.DataFrame(rows).sort_values("decile", ignore_index=True)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df[
+        ["decile", "n_orders", "sum_price_cents", "expected_x1m",
+         "realized"]
+    ]
