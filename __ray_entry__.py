@@ -2265,6 +2265,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # decile bounds, one streaming inclusion fold. Tail-seated
         # by design: the variable-size leg beside weighted_sample.
         "pps_sample_calibration": analytics.pps_sample_calibration,
+        # (round 4, wave 141) LSH banding-scheme eval — the same 16
+        # minhashes grouped 16×1 / 8×2 / 4×4 / 2×8, candidate count
+        # + capture/precision/recall vs the exact truth per scheme:
+        # the b×r S-curve dial itself (minhash_threshold_curve tunes
+        # within one scheme; this chooses between them); band keys
+        # in the signature map, one bucket exchange, one pair-dedupe
+        # exchange with broadcast truth. Tail-seated by design.
+        "lsh_banding_scheme_eval": dedup.lsh_banding_scheme_eval,
+        # (round 4, wave 141) time-to-first-duplicate histogram —
+        # doc-id gap between each exact-dup group's first two
+        # occurrences in power-of-two buckets: what fraction of dup
+        # mass each streaming-dedup window catches; one digest
+        # exchange, 21-cell fold. Tail-seated by design: the
+        # window-sizing read under window_dedup.
+        "dup_gap_histogram": dedup.dup_gap_histogram,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -11515,6 +11530,105 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(exp_) AS BIGINT) AS expected_x1m,
                CAST(sum(inc) AS BIGINT) AS realized
         FROM cells GROUP BY 1 ORDER BY 1
+    """
+
+    # lsh_banding_scheme_eval: per-scheme candidate census vs truth
+    # (band keys = md5 of concatenated hashes; buckets > 128 dropped).
+    _lsh_parts = [
+        f"bandk AS (SELECT * FROM (VALUES {_BAND_VALUES}) AS t(b, am, ac))",
+        "sig AS MATERIALIZED ("
+        " SELECT doc_id, b,"
+        " min(CAST(((CAST(CAST('0x' || substr(md5(s), 1, 15)"
+        " AS UBIGINT) AS HUGEINT) * am + ac)"
+        " % 18446744073709551616) // 16 AS BIGINT)) AS mh"
+        " FROM sh, bandk GROUP BY doc_id, b)",
+        "tp AS MATERIALIZED (SELECT doc_a, doc_b FROM"
+        " (" + sql["ppjoin_exact"] + "))",
+        "ntp AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tp)",
+    ]
+    _lsh_rows = []
+    for _bc, _r in ((16, 1), (8, 2), (4, 4), (2, 8)):
+        _pw = [1]
+        for _ in range(7):
+            _pw.append((_pw[-1] * 0x9E3779B97F4A7C15) % (1 << 64))
+        _case = (
+            "CASE b % {r} "
+            + " ".join(f"WHEN {j} THEN CAST({_pw[j]} AS HUGEINT)"
+                       for j in range(8))
+            + " END"
+        ).format(r=_r)
+        _lsh_parts.append(
+            f"bk_{_bc} AS MATERIALIZED (SELECT doc_id, b // {_r} AS band,"
+            f" CAST((sum((CAST(mh AS HUGEINT) * ({_case}))"
+            f" % 18446744073709551616) % 18446744073709551616)"
+            f" % 2305843009213693952 AS BIGINT) AS kh"
+            f" FROM sig GROUP BY doc_id, b // {_r})"
+        )
+        _lsh_parts.append(
+            f"bf_{_bc} AS MATERIALIZED (SELECT * FROM"
+            f" (SELECT *, count(*) OVER (PARTITION BY band, kh) AS bs"
+            f" FROM bk_{_bc}) WHERE bs <= 128)"
+        )
+        _lsh_parts.append(
+            f"pr_{_bc} AS MATERIALIZED (SELECT DISTINCT a.doc_id AS da,"
+            f" c.doc_id AS db"
+            f" FROM bf_{_bc} a JOIN bf_{_bc} c"
+            f" ON a.band = c.band AND a.kh = c.kh"
+            f" AND a.doc_id < c.doc_id)"
+        )
+        _lsh_rows.append(
+            f"SELECT CAST({_bc} AS BIGINT) AS bands,"
+            f" CAST({_r} AS BIGINT) AS rows_per_band,"
+            f" CAST((SELECT count(*) FROM pr_{_bc}) AS BIGINT)"
+            f" AS n_cand,"
+            f" CAST((SELECT count(*) FROM pr_{_bc} p JOIN tp"
+            f" ON tp.doc_a = p.da AND tp.doc_b = p.db) AS BIGINT)"
+            f" AS n_captured"
+        )
+    sql["lsh_banding_scheme_eval"] = (
+        f"WITH {_WORDS_CTE}, {_SHINGLES_CTE},\n"
+        + ",\n".join(_lsh_parts)
+        + ",\ncurve AS ("
+        + " UNION ALL ".join(_lsh_rows)
+        + """)
+        SELECT bands, rows_per_band, n_cand, n_captured,
+               CAST(CASE WHEN n_cand > 0
+                    THEN n_captured * 10000 // n_cand ELSE 0 END
+                 AS BIGINT) AS precision_bp,
+               CAST(CASE WHEN (SELECT n FROM ntp) > 0
+                    THEN n_captured * 10000 // (SELECT n FROM ntp)
+                    ELSE 0 END AS BIGINT) AS recall_bp
+        FROM curve ORDER BY bands DESC"""
+    )
+
+    # dup_gap_histogram: first-to-second member gaps per LSH bucket
+    # (2..128 docs), power-of-two buckets via binary-string length.
+    sql["dup_gap_histogram"] = f"""
+        WITH {_WORDS_CTE}, {_SHINGLES_CTE},
+        bandk AS (SELECT * FROM (VALUES {_BAND_VALUES}) AS t(b, am, ac)),
+        sig AS (
+          SELECT doc_id, b,
+                 min(CAST(((CAST(CAST('0x' || substr(md5(s), 1, 15)
+                      AS UBIGINT) AS HUGEINT)
+                      * am + ac) % 18446744073709551616) // 16
+                      AS BIGINT)) AS mh
+          FROM sh, bandk
+          GROUP BY doc_id, b
+        ),
+        r AS (SELECT b AS band, mh, doc_id,
+                     row_number() OVER (PARTITION BY b, mh
+                                        ORDER BY doc_id) AS rk,
+                     count(*) OVER (PARTITION BY b, mh) AS c
+              FROM sig),
+        g AS (SELECT band, mh,
+                     max(CASE WHEN rk = 2 THEN doc_id END)
+                     - max(CASE WHEN rk = 1 THEN doc_id END) AS gap
+              FROM r WHERE c BETWEEN 2 AND 128 AND rk <= 2
+              GROUP BY 1, 2)
+        SELECT CAST(length(printf('%b', gap)) - 1 AS BIGINT)
+                 AS bucket_pow2,
+               CAST(count(*) AS BIGINT) AS n_buckets
+        FROM g GROUP BY 1 ORDER BY 1
     """
 
     return sql

@@ -241,6 +241,7 @@ def run_queries() -> dict[str, float]:
         "normalization_dedup_ladder", "mom_selection_audit",
         "boilerplate_affix_census", "tokenizer_fertility",
         "revenue_path_extremes", "pps_sample_calibration",
+        "lsh_banding_scheme_eval", "dup_gap_histogram",
     ]
     out: dict[str, float] = {}
     for name in picks:

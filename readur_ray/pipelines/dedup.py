@@ -4072,3 +4072,300 @@ def bbit_minwise_eval(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df[["b", "n_pairs", "sum_matches_full", "sum_matches_bbit"]]
+
+
+LSH_SCHEMES = ((16, 1), (8, 2), (4, 4), (2, 8))   # (bands, rows/band)
+
+
+def lsh_banding_scheme_eval(sf_dir: str) -> "pd.DataFrame":
+    """LSH banding-SCHEME eval — the b×r design dial measured
+    against exact truth: the same 16 minhashes grouped as 16×1,
+    8×2, 4×4 and 2×8 bands (band key = wrap-around linear combine
+    of the band's hashes, mirrored exactly by the oracle's HUGEINT
+    mod-2^64 arithmetic), candidate pairs generated per scheme
+    (hot buckets > MAX_BUCKET dropped, the standing convention),
+    and each scheme's exact candidate count, true-pair capture,
+    precision and recall vs the Jaccard ≥ 1/2 truth
+    (`ppjoin_exact`). This is the S-curve trade itself: more rows
+    per band sharpens the threshold (16×1 catches everything and
+    drowns in candidates; 2×8 is surgical and misses) —
+    `minhash_threshold_curve` tunes WITHIN the 16×1 scheme; this
+    chooses BETWEEN schemes. Output (bands, rows_per_band, n_cand,
+    n_captured, precision_bp, recall_bp).
+
+    Scale shape: band keys are computed VECTORIZED per doc inside
+    the signature map (uint64 wrap arithmetic — a 15M-call python
+    md5 loop measured 36 s before this); one key-hash exchange
+    forms buckets and emits packed candidate pairs (per-bucket cap
+    bounds the blowup), one pair-key exchange dedupes pairs and
+    scores capture against the BROADCAST truth pair set (bounded by
+    the near-dup population, the `bbit_minwise_eval` contract);
+    4×4 counters fold out."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    truth = ppjoin_exact(sf_dir).materialize()
+    PACK = 1 << 32
+    tset = set()
+    for bt in truth.iter_batches(batch_format="pyarrow"):
+        a = bt.column("doc_a").to_numpy(zero_copy_only=False)
+        b = bt.column("doc_b").to_numpy(zero_copy_only=False)
+        tset.update((a * PACK + b).tolist())
+    n_truth = len(tset)
+    truth_ref = ray.put(np.array(sorted(tset), np.int64))
+
+    _pows = [1]
+    for _ in range(7):
+        _pows.append((_pows[-1] * 0x9E3779B97F4A7C15) % (1 << 64))
+    LSH_POW = [np.uint64(v) for v in _pows]
+    LSH_MOD61 = np.uint64(1 << 61)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        sig = _signature_rows(batch)
+        if sig.num_rows == 0:
+            return pa.table(
+                {
+                    "scheme": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int64()),
+                    "kh": pa.array([], pa.int64()),
+                    "doc": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        ids = sig.column("doc_id").to_numpy(zero_copy_only=False)
+        band = sig.column("band").to_numpy(zero_copy_only=False)
+        mh = sig.column("minhash").to_numpy(zero_copy_only=False)
+        order = np.lexsort((band, ids))
+        mh_mat = mh[order].reshape(-1, NUM_MINHASH).astype(np.uint64)
+        doc_u = ids[order][::NUM_MINHASH]
+        n = len(doc_u)
+        s_out, b_out, k_out, d_out = [], [], [], []
+        for bcount, r in LSH_SCHEMES:
+            for bi in range(bcount):
+                acc = np.zeros(n, np.uint64)
+                for j in range(r):
+                    acc = acc + mh_mat[:, bi * r + j] * LSH_POW[j]
+                kh = (acc % LSH_MOD61).astype(np.int64)
+                s_out.append(np.full(n, bcount, np.int64))
+                b_out.append(np.full(n, bi, np.int64))
+                k_out.append(kh)
+                d_out.append(doc_u)
+        sc = np.concatenate(s_out)
+        bc = np.concatenate(b_out)
+        kc = np.concatenate(k_out)
+        dc = np.concatenate(d_out)
+        return pa.table(
+            {
+                "scheme": pa.array(sc, pa.int64()),
+                "band": pa.array(bc, pa.int64()),
+                "kh": pa.array(kc, pa.int64()),
+                "doc": pa.array(dc, pa.int64()),
+                "part": pa.array(kc % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def bucket_pairs(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        df = pd.DataFrame(
+            {
+                "scheme": part_tbl.column("scheme").to_numpy(
+                    zero_copy_only=False
+                ),
+                "band": part_tbl.column("band").to_numpy(
+                    zero_copy_only=False
+                ),
+                "kh": part_tbl.column("kh").to_numpy(zero_copy_only=False),
+                "doc": part_tbl.column("doc").to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        out_s, out_p = [], []
+        for (sch, _bd, kh), g in df.groupby(
+            ["scheme", "band", "kh"], sort=False
+        ):
+            docs = np.unique(g["doc"].to_numpy(np.int64))
+            if len(docs) < 2 or len(docs) > MAX_BUCKET:
+                continue
+            lo, hi = np.triu_indices(len(docs), k=1)
+            keys = docs[lo] * PACK + docs[hi]
+            out_s.extend([int(sch)] * len(keys))
+            out_p.extend(keys.tolist())
+        t = pa.table(
+            {
+                "scheme": pa.array(out_s, pa.int64()),
+                "pk": pa.array(out_p, pa.int64()),
+            }
+        )
+        return t.append_column(
+            "part2",
+            pa.array(
+                np.array(out_p, np.int64) % N_COARSE_PARTS, pa.int64()
+            ),
+        )
+
+    def score(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        tarr = ray.get(truth_ref)
+        df = pd.DataFrame(
+            {
+                "scheme": part_tbl.column("scheme").to_numpy(
+                    zero_copy_only=False
+                ),
+                "pk": part_tbl.column("pk").to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        out = []
+        for sch, g in df.groupby("scheme", sort=True):
+            pk = g["pk"].to_numpy(np.int64)
+            cap = int(np.isin(pk, tarr).sum())
+            out.append((int(sch), len(pk), cap))
+        arr = (
+            np.array(out, np.int64).reshape(-1, 3)
+            if out
+            else np.zeros((0, 3), np.int64)
+        )
+        return pa.table(
+            {
+                "scheme": pa.array(arr[:, 0], pa.int64()),
+                "n_cand": pa.array(arr[:, 1], pa.int64()),
+                "n_captured": pa.array(arr[:, 2], pa.int64()),
+            }
+        )
+
+    rows = (
+        _read_docs(sf_dir)
+        .map_batches(band_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: bucket_pairs(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+        .groupby("part2")
+        .map_groups(
+            lambda g: score(g.drop_columns(["part2"])),
+            batch_format="pyarrow",
+        )
+        .groupby("scheme")
+        .aggregate(
+            _Sum("n_cand", alias_name="n_cand"),
+            _Sum("n_captured", alias_name="n_captured"),
+        )
+        .take_all()  # bounded: 4 scheme rows
+    )
+    got = {int(r["scheme"]): r for r in rows}
+    out = []
+    for bcount, r in LSH_SCHEMES:
+        rec = got.get(bcount)
+        nc = int(rec["n_cand"]) if rec else 0
+        cp = int(rec["n_captured"]) if rec else 0
+        out.append(
+            (
+                bcount,
+                r,
+                nc,
+                cp,
+                cp * 10000 // nc if nc else 0,
+                cp * 10000 // n_truth if n_truth else 0,
+            )
+        )
+    df = pd.DataFrame(
+        out,
+        columns=[
+            "bands", "rows_per_band", "n_cand", "n_captured",
+            "precision_bp", "recall_bp",
+        ],
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("bands", ascending=False, ignore_index=True)
+
+
+def dup_gap_histogram(sf_dir: str) -> "pd.DataFrame":
+    """NEAR-DUP first-contact gap histogram — for every MinHash-LSH
+    bucket holding 2..MAX_BUCKET docs, the doc-id gap between the
+    bucket's first two members, folded into power-of-two buckets
+    (bucket_pow2 = ⌊log2 gap⌋): the dedup BUFFER-SIZING read. A
+    windowed/streaming deduper (`window_dedup`) only catches a
+    near-dup pair if its gap fits the window — this histogram says
+    what fraction of candidate mass each window size would catch on
+    this corpus, turning the window parameter from folklore into a
+    measured dial. (Exact-hash gaps would be the stricter read, but
+    this corpus has zero byte-identical dups at any normalization
+    rung — `normalization_dedup_ladder` — so the LSH candidate
+    buckets ARE the duplicate locality structure.) Output
+    (bucket_pow2, n_buckets).
+
+    Scale shape: the (band, minhash, doc) projection through one
+    coarse minhash-keyed exchange (a bucket's rows co-locate); per
+    partition the two smallest ids per bucket vectorize from one
+    sort; a ≤ 21·64-cell Sum folds the histogram."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    sig = _read_docs(sf_dir).map_batches(
+        _signature_rows, batch_format="pyarrow"
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        mh = batch.column("minhash").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array(mh % N_COARSE_PARTS, pa.int64())
+        )
+
+    def gaps(part_tbl: pa.Table) -> pa.Table:
+        import collections
+
+        import pandas as pd  # noqa: F811
+
+        df = pd.DataFrame(
+            {
+                "band": part_tbl.column("band").to_numpy(
+                    zero_copy_only=False
+                ),
+                "mh": part_tbl.column("minhash").to_numpy(
+                    zero_copy_only=False
+                ),
+                "doc": part_tbl.column("doc_id").to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        c: collections.Counter = collections.Counter()
+        for _, g in df.groupby(["band", "mh"], sort=False):
+            docs = np.unique(g["doc"].to_numpy(np.int64))
+            if 2 <= len(docs) <= MAX_BUCKET:
+                gap = int(docs[1] - docs[0])
+                c[gap.bit_length() - 1] += 1
+        keys = sorted(c)
+        return pa.table(
+            {
+                "bucket_pow2": pa.array(keys, pa.int64()),
+                "n_buckets": pa.array([c[k] for k in keys], pa.int64()),
+            }
+        )
+
+    rows = (
+        sig.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: gaps(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket_pow2")
+        .aggregate(_Sum("n_buckets", alias_name="n_buckets"))
+        .take_all()  # bounded: <= 21 log buckets
+    )
+    if not rows:
+        return pd.DataFrame(
+            {"bucket_pow2": pd.Series([], dtype="int64"),
+             "n_buckets": pd.Series([], dtype="int64")}
+        )
+    df = pd.DataFrame(rows).sort_values("bucket_pow2", ignore_index=True)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df
