@@ -2280,6 +2280,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exchange, 21-cell fold. Tail-seated by design: the
         # window-sizing read under window_dedup.
         "dup_gap_histogram": dedup.dup_gap_histogram,
+        # (round 4, wave 142) dedup quality shift — exact quality
+        # moment sums for kept (component representative) vs
+        # removed docs under the near-dup components: does keep-
+        # first dedup bias quality; one doc-key co-partition + 2×4
+        # fold. Tail-seated by design: the policy score over
+        # fuzzy_dedup_keep.
+        "dedup_quality_shift": curation.dedup_quality_shift,
+        # (round 4, wave 142) ranking overlap curve — overlap@k of
+        # the top docs by char length vs ws-token count (k ≤ 64):
+        # where the two length definitions diverge for selection
+        # policies; two bounded sort-limits. Tail-seated by design.
+        "ranking_overlap_curve": textops.ranking_overlap_curve,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -11629,6 +11641,55 @@ def oracle_sql() -> dict[str, str]:
                  AS bucket_pow2,
                CAST(count(*) AS BIGINT) AS n_buckets
         FROM g GROUP BY 1 ORDER BY 1
+    """
+
+    # dedup_quality_shift: kept-vs-removed quality moments under the
+    # spliced components assignment.
+    sql["dedup_quality_shift"] = f"""
+        WITH comp AS ({sql["dedup_components"].replace(
+            "WITH w AS", "WITH RECURSIVE w AS", 1)}),
+        q AS ({sql["quality_score"]}),
+        j AS (SELECT CASE WHEN c.doc_id = c.component_id
+                          THEN 'kept' ELSE 'removed' END AS grp,
+                     q.quality_score AS qs
+              FROM comp c JOIN q ON q.doc_id = c.doc_id)
+        SELECT grp, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(qs) AS BIGINT) AS sum_q,
+               CAST(sum(qs * qs) AS BIGINT) AS sum_q2,
+               CAST(CASE WHEN count(*) > 0
+                    THEN sum(qs) * 1000 // count(*) ELSE 0 END
+                 AS BIGINT) AS mean_q_x1000
+        FROM j GROUP BY 1 ORDER BY 1
+    """
+
+    # ranking_overlap_curve: overlap@k of the two length orderings.
+    sql["ranking_overlap_curve"] = r"""
+        WITH m AS (SELECT doc_id,
+                          CAST(n_chars AS BIGINT) AS a,
+                          CAST(len(regexp_extract_all(text, '\S+'))
+                            AS BIGINT) AS b
+                   FROM documents),
+        ra AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY a DESC, doc_id)
+                        AS rk
+               FROM m),
+        rb AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY b DESC, doc_id)
+                        AS rk
+               FROM m),
+        ks AS (SELECT k FROM (VALUES (1), (2), (4), (8), (16), (32),
+                              (64)) t(k)),
+        ov AS (SELECT ks.k,
+                      CAST(count(*) AS BIGINT) AS overlap
+               FROM ks LEFT JOIN ra ON ra.rk <= ks.k
+               JOIN rb ON rb.doc_id = ra.doc_id AND rb.rk <= ks.k
+               GROUP BY 1)
+        SELECT CAST(ks.k AS BIGINT) AS k,
+               CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap,
+               CAST(coalesce(ov.overlap, 0) * 10000 // ks.k
+                 AS BIGINT) AS overlap_bp
+        FROM ks LEFT JOIN ov ON ov.k = ks.k
+        ORDER BY 1
     """
 
     return sql

@@ -242,6 +242,7 @@ def run_queries() -> dict[str, float]:
         "boilerplate_affix_census", "tokenizer_fertility",
         "revenue_path_extremes", "pps_sample_calibration",
         "lsh_banding_scheme_eval", "dup_gap_histogram",
+        "dedup_quality_shift", "ranking_overlap_curve",
     ]
     out: dict[str, float] = {}
     for name in picks:

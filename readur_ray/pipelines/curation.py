@@ -3083,3 +3083,121 @@ def normalization_dedup_ladder(sf_dir: str) -> "pd.DataFrame":
         ["level_id", "level", "n_docs", "n_groups", "n_dup_docs",
          "max_group"]
     ]
+
+
+def dedup_quality_shift(sf_dir: str) -> "pd.DataFrame":
+    """Does fuzzy dedup BIAS quality? — exact quality-score moment
+    sums for KEPT (component representative, doc_id ==
+    component_id) vs REMOVED docs under the MinHash near-dup
+    components: (grp, n, sum_q, sum_q2, mean_q_x1000). Keep-first
+    dedup implicitly assumes duplicates are exchangeable; if
+    removed docs score systematically lower (boilerplate-heavy
+    copies) the dedup is quality-POSITIVE, if higher it is eating
+    good variants — this is the one-table answer, the audit
+    CCNet-style pipelines run before trusting min-id keep policy.
+    `fuzzy_dedup_keep` chooses the survivors; this scores the
+    choice.
+
+    Scale shape: the memoized component assignment and the
+    streaming quality pass meet in ONE doc-key tagged co-partition
+    (slim int columns); the 2×4 moment cells fold out. No driver
+    state beyond two rows."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.textstats import quality_scores
+    from ..pipelines.dedup import neardup_components
+    from ..stages.shuffle import N_COARSE_PARTS
+
+    comp = neardup_components(sf_dir)
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def comp_rows(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        c = batch.column("component_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "doc": pa.array(d, pa.int64()),
+                "kept": pa.array((d == c).astype(np.int64), pa.int64()),
+                "q": pa.array(np.zeros(len(d), np.int64), pa.int64()),
+                "side": pa.array(np.ones(len(d), np.int64), pa.int64()),
+                "part": pa.array(d % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def q_rows(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        q = (
+            quality_scores(batch.column("text").combine_chunks())[
+                "quality_score"
+            ]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "doc": pa.array(d, pa.int64()),
+                "kept": pa.array(np.zeros(len(d), np.int64), pa.int64()),
+                "q": pa.array(q, pa.int64()),
+                "side": pa.array(np.zeros(len(d), np.int64), pa.int64()),
+                "part": pa.array(d % N_COARSE_PARTS, pa.int64()),
+            }
+        )
+
+    def join_fold(part_tbl: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        df = part_tbl.to_pandas()
+        qmap = dict(
+            zip(df[df["side"] == 0]["doc"], df[df["side"] == 0]["q"])
+        )
+        cr = df[df["side"] == 1]
+        q = np.array([qmap[d] for d in cr["doc"]], np.int64)
+        kept = cr["kept"].to_numpy(np.int64)
+        rows = []
+        for g in (0, 1):
+            m = kept == g
+            rows.append(
+                (g, int(m.sum()), int(q[m].sum()), int((q[m] ** 2).sum()))
+            )
+        arr = np.array(rows, np.int64)
+        return pa.table(
+            {
+                "kept": pa.array(arr[:, 0], pa.int64()),
+                "n": pa.array(arr[:, 1], pa.int64()),
+                "sum_q": pa.array(arr[:, 2], pa.int64()),
+                "sum_q2": pa.array(arr[:, 3], pa.int64()),
+            }
+        )
+
+    rows = (
+        docs.map_batches(q_rows, batch_format="pyarrow")
+        .union(comp.map_batches(comp_rows, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(
+            lambda g: join_fold(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+        .groupby("kept")
+        .aggregate(
+            _Sum("n", alias_name="n"),
+            _Sum("sum_q", alias_name="sum_q"),
+            _Sum("sum_q2", alias_name="sum_q2"),
+        )
+        .take_all()  # bounded: 2 group rows
+    )
+    df = pd.DataFrame(rows).sort_values("kept", ignore_index=True)
+    df["grp"] = ["removed" if int(k) == 0 else "kept" for k in df["kept"]]
+    for c in ["n", "sum_q", "sum_q2"]:
+        df[c] = df[c].astype("int64")
+    df["mean_q_x1000"] = np.where(
+        df["n"] > 0, df["sum_q"] * 1000 // df["n"], 0
+    ).astype("int64")
+    return df[["grp", "n", "sum_q", "sum_q2", "mean_q_x1000"]]

@@ -2982,3 +2982,57 @@ def tokenizer_fertility(sf_dir: str) -> "pd.DataFrame":
             "chars_per_bpe_x1000", "bpe_per_ws_x1000",
         ]
     ]
+
+
+ROC_KS = (1, 2, 4, 8, 16, 32, 64)  # audited list depths
+
+
+def ranking_overlap_curve(sf_dir: str) -> "pd.DataFrame":
+    """RANK-AGREEMENT overlap curve — overlap@k between the corpus's
+    top documents by CHARACTER length and by WHITESPACE-TOKEN count
+    (ties → doc_id) for k ∈ {1..64}: the retrieval-style agreement
+    read (`kendall_tau` correlates full numeric columns; overlap@k
+    is what selection policies actually experience — 'top-k longest
+    docs' differs depending on the length DEFINITION, and the curve
+    shows where the two definitions diverge). Output (k, overlap,
+    overlap_bp).
+
+    Scale shape: two bounded top-64 sort-limits (never a global
+    rank materialization) and a 7-row driver comparison."""
+    import pandas as pd
+
+    from ..functions.textstats import token_stats
+
+    docs = read_documents(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def metric_rows(batch: pa.Table) -> pa.Table:
+        ts = token_stats(batch.column("text").combine_chunks())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_chars": batch.column("n_chars").cast(pa.int64()),
+                "ws_tokens": ts["ws_tokens"],
+            }
+        )
+
+    m = docs.map_batches(metric_rows, batch_format="pyarrow").materialize()
+    top_a = [
+        int(r["doc_id"])
+        for r in m.sort(
+            ["n_chars", "doc_id"], descending=[True, False]
+        ).limit(max(ROC_KS)).take_all()
+    ]
+    top_b = [
+        int(r["doc_id"])
+        for r in m.sort(
+            ["ws_tokens", "doc_id"], descending=[True, False]
+        ).limit(max(ROC_KS)).take_all()
+    ]
+    out = []
+    for k in ROC_KS:
+        ov = len(set(top_a[:k]) & set(top_b[:k]))
+        out.append((k, ov, ov * 10000 // k))
+    df = pd.DataFrame(out, columns=["k", "overlap", "overlap_bp"])
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df
