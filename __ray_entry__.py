@@ -2292,6 +2292,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # where the two length definitions diverge for selection
         # policies; two bounded sort-limits. Tail-seated by design.
         "ranking_overlap_curve": textops.ranking_overlap_curve,
+        # (round 4, wave 143) code-switching census — token-level
+        # language-tag switches (stopword tags, priority en>de>fr>
+        # es): is document-level language routing well-posed; one
+        # streaming pass, 5-cell fold. Tail-seated by design: the
+        # multilingual sanity check beside lang_id.
+        "code_switch_census": textops.code_switch_census,
+        # (round 4, wave 143) equi-width quantile error — the
+        # 64-bucket synopsis's nine decile estimates vs exact order
+        # statistics (integer interpolation in the crossing bucket):
+        # the dual of histogram_selectivity_audit and the case for
+        # equi-depth when quantiles are the workload; one
+        # domain-bounded histogram fold. Tail-seated by design.
+        "histogram_quantile_error": analytics.histogram_quantile_error,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -11690,6 +11703,98 @@ def oracle_sql() -> dict[str, str]:
                  AS BIGINT) AS overlap_bp
         FROM ks LEFT JOIN ov ON ov.k = ks.k
         ORDER BY 1
+    """
+
+    # code_switch_census: token-level language-tag switches; word
+    # lists extracted from the same stopword patterns the Ray
+    # kernels use (single source of truth).
+    from readur_ray.functions.textstats import (
+        LANG_PRIORITY as _LP,
+        STOPWORD_PATTERNS as _SP,
+    )
+
+    _in_lists = {}
+    for _lang in _LP:
+        _ws = _SP[_lang][len(r"\b(?:"):-len(r")\b")].split("|")
+        _in_lists[_lang] = ", ".join(f"'{w}'" for w in _ws)
+    sql["code_switch_census"] = f"""
+        WITH {_WORDS_CTE},
+        tok AS (SELECT doc_id, t.i AS i, ws[i] AS wd
+                FROM w, UNNEST(range(1, len(ws) + 1)) AS t(i)),
+        tg AS (SELECT doc_id, i,
+                      CASE WHEN wd IN ({_in_lists['en']}) THEN 1
+                           WHEN wd IN ({_in_lists['de']}) THEN 2
+                           WHEN wd IN ({_in_lists['fr']}) THEN 3
+                           WHEN wd IN ({_in_lists['es']}) THEN 4
+                           ELSE 0 END AS tag
+               FROM tok),
+        tt AS (SELECT doc_id, i, tag FROM tg WHERE tag > 0),
+        sw AS (SELECT doc_id,
+                      CASE WHEN tag <> lag(tag) OVER (
+                             PARTITION BY doc_id ORDER BY i)
+                           THEN 1 ELSE 0 END AS s
+               FROM tt),
+        pd_ AS (SELECT doc_id,
+                       CAST(coalesce(sum(s), 0) AS BIGINT) AS sw
+                FROM sw GROUP BY 1)
+        SELECT CAST((SELECT count(*) FROM documents) AS BIGINT)
+                 AS n_docs,
+               CAST((SELECT count(*) FROM pd_) AS BIGINT)
+                 AS n_tagged_docs,
+               CAST((SELECT count(*) FROM pd_ WHERE sw > 0) AS BIGINT)
+                 AS n_mixed_docs,
+               CAST((SELECT coalesce(sum(sw), 0) FROM pd_) AS BIGINT)
+                 AS total_switches,
+               CAST((SELECT coalesce(max(sw), 0) FROM pd_) AS BIGINT)
+                 AS max_switches
+    """
+
+    # histogram_quantile_error: equi-width decile estimates vs exact
+    # order statistics.
+    sql["histogram_quantile_error"] = """
+        WITH vv AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5)
+                      AS BIGINT) AS v FROM lineitem),
+        h AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM vv
+              GROUP BY 1),
+        o AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT)
+                AS cum
+              FROM h),
+        nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+        mm AS (SELECT CAST(min(v) AS BIGINT) AS vmin,
+                      CAST(max(v) AS BIGINT) AS vmax
+               FROM h),
+        wb AS (SELECT (vmax - vmin) // 64 + 1 AS w, vmin FROM mm),
+        b AS (SELECT (h.v - wb.vmin) // wb.w AS b,
+                     CAST(sum(h.c) AS BIGINT) AS bc
+              FROM h, wb GROUP BY 1),
+        bo AS (SELECT b, bc,
+                      CAST(sum(bc) OVER (ORDER BY b) AS BIGINT)
+                        AS bcum
+               FROM b),
+        dec AS (SELECT t.i, greatest(t.i * nn.n // 10, 1) AS k
+                FROM range(1, 10) t(i), nn),
+        pick AS (SELECT dec.i, dec.k,
+                        (SELECT min(v) FROM o WHERE cum >= dec.k)
+                          AS exact,
+                        (SELECT min(b) FROM bo WHERE bcum >= dec.k)
+                          AS bb
+                 FROM dec),
+        est AS (SELECT pick.i, pick.k, pick.exact, pick.bb,
+                       (SELECT coalesce(max(bcum), 0) FROM bo
+                        WHERE b < pick.bb) AS cum_before,
+                       (SELECT bc FROM bo WHERE b = pick.bb) AS bcnt
+                FROM pick)
+        SELECT CAST(est.i AS BIGINT) AS decile,
+               CAST(est.exact AS BIGINT) AS exact_value,
+               CAST(wb.vmin + est.bb * wb.w
+                    + (est.k - est.cum_before) * wb.w
+                      // greatest(est.bcnt, 1) AS BIGINT)
+                 AS est_value,
+               CAST(abs(wb.vmin + est.bb * wb.w
+                    + (est.k - est.cum_before) * wb.w
+                      // greatest(est.bcnt, 1) - est.exact) AS BIGINT)
+                 AS abs_err
+        FROM est, wb ORDER BY 1
     """
 
     return sql

@@ -243,6 +243,7 @@ def run_queries() -> dict[str, float]:
         "revenue_path_extremes", "pps_sample_calibration",
         "lsh_banding_scheme_eval", "dup_gap_histogram",
         "dedup_quality_shift", "ranking_overlap_curve",
+        "code_switch_census", "histogram_quantile_error",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -15238,3 +15238,102 @@ def pps_sample_calibration(sf_dir: str) -> "pd.DataFrame":
         ["decile", "n_orders", "sum_price_cents", "expected_x1m",
          "realized"]
     ]
+
+
+HQE_BUCKETS = 64   # equi-width synopsis size
+
+
+def histogram_quantile_error(sf_dir: str) -> "pd.DataFrame":
+    """Equi-WIDTH-histogram QUANTILE-estimation error — the dual of
+    `histogram_selectivity_audit`: that one asks a synopsis for a
+    range COUNT; this one asks it for the nine DECILE VALUES of
+    l_extendedprice and compares against the exact order statistics.
+    The 64-bucket equi-width synopsis estimates decile i (target
+    rank k = i·n/10, value at rank max(k,1)) by walking bucket
+    cumulative counts and interpolating uniformly inside the
+    crossing bucket (integer floor arithmetic on the half-open
+    bucket span): est = lo_b + (k − cum_before)·width_b //
+    count_b. Skewed mass makes the mid-deciles land deep inside
+    fat buckets — the error column is the case for equi-DEPTH
+    synopses when quantiles are the workload. Output (decile,
+    exact_value, est_value, abs_err).
+
+    Scale shape: everything derives from one domain-bounded
+    (cents → count) histogram fold (the `weighted_median`
+    contract) routed through one constant-key co-partition; both
+    the exact deciles and the synopsis walk vectorize in that one
+    task and the driver sees 9 rows."""
+    import pandas as pd
+
+    lit = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "v": pa.array(cents, pa.int64()),
+                "c": pa.array(np.ones(len(cents), np.int64), pa.int64()),
+            }
+        ).group_by("v").aggregate([("c", "sum")])
+        return pa.table(
+            {
+                "v": t.column("v"),
+                "c": t.column("c_sum").cast(pa.int64()),
+                "g": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+            }
+        )
+
+    def audit(group: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        df = group.to_pandas().groupby("v", sort=True)["c"].sum()
+        vals = df.index.to_numpy(dtype=np.int64)
+        cnt = df.to_numpy(dtype=np.int64)
+        cum = cnt.cumsum()
+        n = int(cum[-1])
+        vmin, vmax = int(vals[0]), int(vals[-1])
+        wb = (vmax - vmin) // HQE_BUCKETS + 1
+
+        # equi-width bucket counts
+        bidx = (vals - vmin) // wb
+        bcnt = np.zeros(HQE_BUCKETS, np.int64)
+        np.add.at(bcnt, bidx, cnt)
+        bcum = bcnt.cumsum()
+
+        out = []
+        for i in range(1, 10):
+            k = max(i * n // 10, 1)
+            exact = int(vals[np.searchsorted(cum, k, side="left")])
+            b = int(np.searchsorted(bcum, k, side="left"))
+            cum_before = int(bcum[b - 1]) if b > 0 else 0
+            lo_b = vmin + b * wb
+            est = lo_b + (k - cum_before) * wb // max(int(bcnt[b]), 1)
+            out.append((i, exact, int(est), abs(int(est) - exact)))
+        arr = np.array(out, np.int64)
+        return pa.table(
+            {
+                "decile": pa.array(arr[:, 0], pa.int64()),
+                "exact_value": pa.array(arr[:, 1], pa.int64()),
+                "est_value": pa.array(arr[:, 2], pa.int64()),
+                "abs_err": pa.array(arr[:, 3], pa.int64()),
+            }
+        )
+
+    df = (
+        lit.map_batches(partials, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(
+            lambda g: audit(g.drop_columns(["g"])),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("decile", ignore_index=True)

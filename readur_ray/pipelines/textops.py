@@ -3036,3 +3036,84 @@ def ranking_overlap_curve(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df
+
+
+def code_switch_census(sf_dir: str) -> "pd.DataFrame":
+    """CODE-SWITCHING census — token-level language-tag switches per
+    document: each token gets a language tag from the stopword
+    lists (priority en>de>fr>es for tokens in several; untagged
+    tokens are skipped), and a SWITCH is an adjacent pair of tagged
+    tokens with different tags. One row: (n_docs, n_tagged_docs,
+    n_mixed_docs, total_switches, max_switches). `lang_id` assigns
+    ONE language per doc; a corpus with many mixed docs breaks that
+    assumption (and all per-language routing downstream) — this is
+    the census that says whether document-level language routing is
+    well-posed on this corpus, the standard multilingual-curation
+    check before fertility-aware mixing (`tokenizer_fertility`).
+
+    Scale shape: one streaming pass; per-doc tagging and
+    adjacent-tag switch counts fold as five integer cells. No
+    shuffle at all."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    from ..functions.textstats import (
+        LANG_PRIORITY,
+        STOPWORD_PATTERNS,
+        words_of,
+    )
+
+    sets = {}
+    for i, lang in enumerate(LANG_PRIORITY, 1):
+        pat = STOPWORD_PATTERNS[lang]
+        words = pat[len(r"\b(?:"):-len(r")\b")].split("|")
+        sets[i] = frozenset(words)
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        n_docs = n_tagged = n_mixed = total_sw = max_sw = 0
+        for t in batch.column("text").to_pylist():
+            n_docs += 1
+            tags = []
+            for w in words_of(t or ""):
+                for i in (1, 2, 3, 4):
+                    if w in sets[i]:
+                        tags.append(i)
+                        break
+            if tags:
+                n_tagged += 1
+            sw = sum(1 for a, b in zip(tags, tags[1:]) if a != b)
+            if sw:
+                n_mixed += 1
+            total_sw += sw
+            max_sw = max(max_sw, sw)
+        return pa.table(
+            {
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "n_tagged_docs": pa.array([n_tagged], pa.int64()),
+                "n_mixed_docs": pa.array([n_mixed], pa.int64()),
+                "total_switches": pa.array([total_sw], pa.int64()),
+                "max_switches": pa.array([max_sw], pa.int64()),
+            }
+        )
+
+    agg = docs.map_batches(cells, batch_format="pyarrow").aggregate(
+        _Sum("n_docs", alias_name="n_docs"),
+        _Sum("n_tagged_docs", alias_name="n_tagged_docs"),
+        _Sum("n_mixed_docs", alias_name="n_mixed_docs"),
+        _Sum("total_switches", alias_name="total_switches"),
+        _Max("max_switches", alias_name="max_switches"),
+    )
+    return pd.DataFrame(
+        [
+            {
+                k: int(agg[k])
+                for k in (
+                    "n_docs", "n_tagged_docs", "n_mixed_docs",
+                    "total_switches", "max_switches",
+                )
+            }
+        ]
+    ).astype("int64")
