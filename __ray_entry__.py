@@ -2305,6 +2305,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # equi-depth when quantiles are the workload; one
         # domain-bounded histogram fold. Tail-seated by design.
         "histogram_quantile_error": analytics.histogram_quantile_error,
+        # (round 4, wave 144) SimHash↔Jaccard calibration — per
+        # Hamming distance over the truth pairs, exact
+        # (n, Σinter, Σunion): what Jaccard a SimHash cutoff buys
+        # on THIS corpus; broadcast endpoint fingerprints + one
+        # streaming XOR-popcount pass. Tail-seated by design: the
+        # cross-sketch mapping read.
+        "simhash_jaccard_curve": dedup.simhash_jaccard_curve,
+        # (round 4, wave 144) random-failure robustness — census at
+        # deterministic edge survival 1, 1/2, 1/4: the Albert-
+        # Barabási contrast to attack_robustness_curve (hubs vs
+        # bulk); md5 edge coins, shared contraction above the
+        # width-1 cap. Tail-seated by design.
+        "random_failure_curve": similarity.random_failure_curve,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -11796,5 +11809,76 @@ def oracle_sql() -> dict[str, str]:
                  AS abs_err
         FROM est, wb ORDER BY 1
     """
+
+    # simhash_jaccard_curve: hamming vs exact Jaccard pieces over
+    # the truth pairs.
+    sql["simhash_jaccard_curve"] = f"""
+        WITH {_SIMHASH_CTE},
+        pairs AS (SELECT doc_a, doc_b, intersection,
+                         size_a + size_b - intersection AS u
+                  FROM ({sql["ppjoin_exact"]})),
+        m AS (SELECT p.intersection AS i, p.u,
+                     CAST(bit_count(xor(
+                       CAST('0x' || fa.simhash AS UBIGINT),
+                       CAST('0x' || fb.simhash AS UBIGINT)))
+                       AS BIGINT) AS hamming
+              FROM pairs p
+              JOIN fps fa ON fa.doc_id = p.doc_a
+              JOIN fps fb ON fb.doc_id = p.doc_b)
+        SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(i) AS BIGINT) AS sum_inter,
+               CAST(sum(u) AS BIGINT) AS sum_union
+        FROM m GROUP BY 1 ORDER BY 1
+    """
+
+    # random_failure_curve: census at deterministic edge survival.
+    _rf_parts = [
+        f"mk AS MATERIALIZED (SELECT vec_a, vec_b FROM ({sql['mutual_knn']}))",
+    ]
+    _rf_rows = []
+    for _d in (1, 2, 4):
+        _rf_parts.append(
+            f"g_{_d} AS MATERIALIZED (SELECT vec_a AS a, vec_b AS b"
+            f" FROM mk WHERE CAST('0x' || substr(md5("
+            f"CAST(vec_a AS VARCHAR) || ':' || CAST(vec_b AS VARCHAR)"
+            f"), 1, 15) AS BIGINT)"
+            f" < CAST(1152921504606846976 AS BIGINT) / {_d})"
+        )
+        _rf_parts.append(
+            f"e_{_d} AS MATERIALIZED (SELECT a AS src, b AS dst"
+            f" FROM g_{_d} UNION ALL SELECT b, a FROM g_{_d})"
+        )
+        _rf_parts.append(
+            f"r_{_d} AS (SELECT DISTINCT src AS doc, src AS lab"
+            f" FROM e_{_d}"
+            f" UNION SELECT e.src, r.lab FROM r_{_d} r"
+            f" JOIN e_{_d} e ON e.dst = r.doc)"
+        )
+        _rf_parts.append(
+            f"c_{_d} AS (SELECT doc, min(lab) AS comp FROM r_{_d}"
+            f" GROUP BY 1)"
+        )
+        _rf_parts.append(
+            f"s_{_d} AS (SELECT comp, count(*) AS sz FROM c_{_d}"
+            f" GROUP BY 1)"
+        )
+        _rf_rows.append(
+            f"SELECT CAST({_d} AS BIGINT) AS survive_den,"
+            f" CAST((SELECT count(*) FROM g_{_d}) AS BIGINT)"
+            f" AS n_edges,"
+            f" CAST((SELECT count(*) FROM c_{_d}) AS BIGINT)"
+            f" AS n_nodes,"
+            f" CAST((SELECT count(*) FROM s_{_d}) AS BIGINT)"
+            f" AS n_components,"
+            f" CAST((SELECT coalesce(max(sz), 0) FROM s_{_d})"
+            f" AS BIGINT) AS largest_component"
+        )
+    sql["random_failure_curve"] = (
+        "WITH RECURSIVE "
+        + ",\n".join(_rf_parts)
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(_rf_rows)
+        + ") ORDER BY survive_den"
+    )
 
     return sql

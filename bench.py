@@ -244,6 +244,7 @@ def run_queries() -> dict[str, float]:
         "lsh_banding_scheme_eval", "dup_gap_histogram",
         "dedup_quality_shift", "ranking_overlap_curve",
         "code_switch_census", "histogram_quantile_error",
+        "simhash_jaccard_curve", "random_failure_curve",
     ]
     out: dict[str, float] = {}
     for name in picks:

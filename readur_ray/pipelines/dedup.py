@@ -4369,3 +4369,112 @@ def dup_gap_histogram(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df
+
+
+def simhash_jaccard_curve(sf_dir: str) -> "pd.DataFrame":
+    """CROSS-SKETCH calibration curve — SimHash Hamming distance vs
+    exact Jaccard over the truth pairs: for every Jaccard ≥ 1/2
+    pair (`ppjoin_exact`, which carries exact intersection/union),
+    compute the 64-bit SimHash Hamming distance and fold per
+    distance: (hamming, n_pairs, sum_inter, sum_union) — the mean
+    Jaccard per Hamming bucket is then exact rational arithmetic.
+    This is the empirical mapping behind choosing a SimHash cutoff
+    to emulate a Jaccard threshold (`dedup_simhash_pairs` uses
+    hamming ≤ 3; this curve says what Jaccard that actually
+    corresponds to on THIS corpus, where the cos-vs-Jaccard theory
+    only gives asymptotics). Output one row per observed distance.
+
+    Scale shape: truth-pair endpoints' fingerprints are computed in
+    one filtered pass and broadcast (bounded by the near-dup
+    population, the `bbit_minwise_eval` contract); scoring is one
+    streaming pass over the pairs with vectorized XOR popcount,
+    folded to ≤ 65 rows."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    truth = ppjoin_exact(sf_dir).materialize()
+    ends: set = set()
+    for bt in truth.iter_batches(batch_format="pyarrow"):
+        ends.update(bt.column("doc_a").to_numpy(zero_copy_only=False).tolist())
+        ends.update(bt.column("doc_b").to_numpy(zero_copy_only=False).tolist())
+    ends_ref = ray.put(np.array(sorted(ends), np.int64))
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = np.isin(ids, ray.get(ends_ref))
+        sub = batch.filter(pa.array(keep))
+        fps = _simhash_batch(sub.column("text").to_pylist())
+        return pa.table(
+            {
+                "doc": sub.column("doc_id").cast(pa.int64()),
+                "fp": pa.array(
+                    [int(f, 16) - (1 << 63) for f in fps], pa.int64()
+                ),
+            }
+        )
+
+    fp_got = (
+        _read_docs(sf_dir)
+        .map_batches(fp_rows, batch_format="pyarrow")
+        .take_all()  # bounded: one row per near-dup endpoint
+    )
+    ids = np.array(sorted(int(r["doc"]) for r in fp_got), np.int64)
+    fmap = {int(r["doc"]): int(r["fp"]) for r in fp_got}
+    fps_arr = np.array([fmap[int(d)] for d in ids], np.int64).view(np.uint64)
+    sig_ref = ray.put((ids, fps_arr))
+
+    def cells(batch: pa.Table) -> pa.Table:
+        sids, sfps = ray.get(sig_ref)
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        inter = batch.column("intersection").to_numpy(zero_copy_only=False)
+        union = (
+            batch.column("size_a").to_numpy(zero_copy_only=False)
+            + batch.column("size_b").to_numpy(zero_copy_only=False)
+            - inter
+        )
+        fa = sfps[np.searchsorted(sids, a)]
+        fb = sfps[np.searchsorted(sids, b)]
+        x = fa ^ fb
+        # popcount per pair (truth-pair batches are bounded; a python
+        # bit_count over them is cheaper than it looks)
+        ham = np.array(
+            [int(v).bit_count() for v in x.tolist()], np.int64
+        )
+        t = pa.table(
+            {
+                "hamming": pa.array(ham, pa.int64()),
+                "n_pairs": pa.array(np.ones(len(x), np.int64), pa.int64()),
+                "sum_inter": pa.array(inter.astype(np.int64), pa.int64()),
+                "sum_union": pa.array(union.astype(np.int64), pa.int64()),
+            }
+        ).group_by("hamming").aggregate(
+            [("n_pairs", "sum"), ("sum_inter", "sum"), ("sum_union", "sum")]
+        )
+        return pa.table(
+            {
+                "hamming": t.column("hamming"),
+                **{
+                    c: t.column(f"{c}_sum").cast(pa.int64())
+                    for c in ("n_pairs", "sum_inter", "sum_union")
+                },
+            }
+        )
+
+    rows = (
+        truth.map_batches(cells, batch_format="pyarrow")
+        .groupby("hamming")
+        .aggregate(
+            _Sum("n_pairs", alias_name="n_pairs"),
+            _Sum("sum_inter", alias_name="sum_inter"),
+            _Sum("sum_union", alias_name="sum_union"),
+        )
+        .take_all()  # bounded: <= 65 distance rows
+    )
+    df = pd.DataFrame(rows).sort_values("hamming", ignore_index=True)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df[["hamming", "n_pairs", "sum_inter", "sum_union"]]

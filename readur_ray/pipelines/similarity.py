@@ -5189,3 +5189,96 @@ def knn_reciprocity(sf_dir: str) -> "pd.DataFrame":
         ]
     ).astype("int64")
     return df
+
+
+RF_DENS = (1, 2, 4)        # edge-survival denominators
+RF_LOCAL_MAX = 2_000_000   # directed rows below which UF runs width-1
+
+
+def random_failure_curve(sf_dir: str) -> "pd.DataFrame":
+    """RANDOM-FAILURE robustness of the mutual-kNN graph — keep each
+    edge with deterministic probability 1, 1/2, 1/4 (md5 of the
+    canonical pair) and census the survivors: (survive_den,
+    n_edges, n_nodes, n_components, largest_component). The classic
+    Albert-Barabási CONTRAST to `attack_robustness_curve`: heavy-
+    tailed graphs are robust to random failure yet fragile to
+    targeted hub removal — reading the two curves together
+    diagnoses whether near-dup connectivity lives in hubs or in the
+    bulk, which decides hub-doc removal vs global thinning as the
+    dedup strategy.
+
+    Scale shape: per level one streaming md5-threshold filter over
+    the canonical pairs; census via width-1 union-find below
+    RF_LOCAL_MAX directed rows, else the SHARED one-level
+    contraction (`one_level_component_sizes`)."""
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    from ..pipelines.dedup import _UnionFind, one_level_component_sizes
+
+    edges = mutual_knn(sf_dir).materialize()
+    n_directed = 2 * edges.count()
+    SPACE = 1 << 60
+    rows = []
+    for den in RF_DENS:
+        thr = SPACE // den
+
+        def filt(batch: pa.Table, _t=thr) -> pa.Table:
+            a = batch.column("vec_a").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            b = batch.column("vec_b").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            u = np.array(
+                [
+                    int(
+                        _hashlib.md5(f"{x}:{y}".encode()).hexdigest()[:15],
+                        16,
+                    )
+                    for x, y in zip(a.tolist(), b.tolist())
+                ],
+                np.int64,
+            )
+            keep = u < _t
+            return pa.table(
+                {
+                    "a": pa.array(a[keep], pa.int64()),
+                    "b": pa.array(b[keep], pa.int64()),
+                }
+            )
+
+        ed_k = edges.map_batches(filt, batch_format="pyarrow").materialize()
+        n_edges = ed_k.count()
+        if n_directed < RF_LOCAL_MAX:
+            uf = _UnionFind()
+            for bt in ed_k.iter_batches(batch_format="pyarrow"):
+                for x, y in zip(
+                    bt.column("a").to_numpy(zero_copy_only=False).tolist(),
+                    bt.column("b").to_numpy(zero_copy_only=False).tolist(),
+                ):
+                    uf.union(x, y)
+            comp: dict = {}
+            for v in list(uf.parent):
+                r = uf.find(v)
+                comp[r] = comp.get(r, 0) + 1
+            n_c, n_n, mx = (
+                len(comp),
+                sum(comp.values()),
+                max(comp.values()) if comp else 0,
+            )
+        else:
+            n_c, n_n, mx = one_level_component_sizes(ed_k)
+        rows.append((den, n_edges, n_n, n_c, mx))
+
+    df = pd.DataFrame(
+        rows,
+        columns=[
+            "survive_den", "n_edges", "n_nodes", "n_components",
+            "largest_component",
+        ],
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("survive_den", ignore_index=True)
