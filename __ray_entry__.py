@@ -2318,6 +2318,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bulk); md5 edge coins, shared contraction above the
         # width-1 cap. Tail-seated by design.
         "random_failure_curve": similarity.random_failure_curve,
+        # (round 4, wave 145) hash-ring vnode balance — exact
+        # per-node load spread at v∈{1,4,16,64} virtual nodes (the
+        # Dynamo/Cassandra placement): the vnode sizing curve beside
+        # rendezvous_assign and rebalance_delta_audit; driver-built
+        # ≤1024-position ring broadcast once, one streaming
+        # searchsorted pass, 4×16 load grid. Tail-seated by design.
+        "ring_vnode_balance": analytics.ring_vnode_balance,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -11879,6 +11886,57 @@ def oracle_sql() -> dict[str, str]:
         + "\nSELECT * FROM ("
         + " UNION ALL ".join(_rf_rows)
         + ") ORDER BY survive_den"
+    )
+
+    # ring_vnode_balance: per-vnode-level ring placement census.
+    _rv_parts = [
+        "ks AS MATERIALIZED (SELECT CAST('0x' || substr(md5("
+        "CAST(CAST(c_custkey AS BIGINT) AS VARCHAR)), 1, 15)"
+        " AS BIGINT) AS u FROM customer)",
+    ]
+    _rv_rows = []
+    for _v in (1, 4, 16, 64):
+        _rv_parts.append(
+            f"ring_{_v} AS MATERIALIZED (SELECT CAST('0x' || substr("
+            f"md5(CAST(n.i AS VARCHAR) || ':' ||"
+            f" CAST(r.j AS VARCHAR)), 1, 15) AS BIGINT) AS pos,"
+            f" n.i AS node"
+            f" FROM range(16) n(i), range({_v}) r(j))"
+        )
+        _rv_parts.append(
+            f"asg_{_v} AS MATERIALIZED (SELECT coalesce("
+            f" (SELECT node FROM ring_{_v}"
+            f"  WHERE pos >= ks.u ORDER BY pos, node LIMIT 1),"
+            f" (SELECT node FROM ring_{_v}"
+            f"  ORDER BY pos, node LIMIT 1)) AS node"
+            f" FROM ks)"
+        )
+        _rv_parts.append(
+            f"ld_{_v} AS (SELECT t.i AS node,"
+            f" CAST(coalesce(c.c, 0) AS BIGINT) AS load"
+            f" FROM range(16) t(i) LEFT JOIN"
+            f" (SELECT node, count(*) AS c FROM asg_{_v} GROUP BY 1) c"
+            f" ON c.node = t.i)"
+        )
+        _rv_rows.append(
+            f"SELECT CAST({_v} AS BIGINT) AS vnodes,"
+            f" CAST((SELECT sum(load) FROM ld_{_v}) AS BIGINT)"
+            f" AS n_keys,"
+            f" CAST((SELECT max(load) FROM ld_{_v}) AS BIGINT)"
+            f" AS max_load,"
+            f" CAST((SELECT min(load) FROM ld_{_v}) AS BIGINT)"
+            f" AS min_load,"
+            f" CAST(((SELECT max(load) FROM ld_{_v})"
+            f" - (SELECT min(load) FROM ld_{_v})) * 10000"
+            f" // greatest((SELECT sum(load) FROM ld_{_v}) // 16, 1)"
+            f" AS BIGINT) AS imbalance_bp"
+        )
+    sql["ring_vnode_balance"] = (
+        "WITH "
+        + ",\n".join(_rv_parts)
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(_rv_rows)
+        + ") ORDER BY vnodes"
     )
 
     return sql

@@ -245,6 +245,7 @@ def run_queries() -> dict[str, float]:
         "dedup_quality_shift", "ranking_overlap_curve",
         "code_switch_census", "histogram_quantile_error",
         "simhash_jaccard_curve", "random_failure_curve",
+        "ring_vnode_balance",
     ]
     out: dict[str, float] = {}
     for name in picks:

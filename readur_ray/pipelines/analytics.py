@@ -15337,3 +15337,114 @@ def histogram_quantile_error(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df.sort_values("decile", ignore_index=True)
+
+
+RING_NODES = 16              # physical nodes
+RING_VNODES = (1, 4, 16, 64)  # virtual nodes per physical node
+
+
+def ring_vnode_balance(sf_dir: str) -> "pd.DataFrame":
+    """Consistent-hash RING balance vs virtual-node count — place
+    the customer keys on a 16-node hash ring with v ∈ {1,4,16,64}
+    virtual nodes each (ring positions md5(node:replica), key goes
+    to the first position clockwise from md5(key)), and report the
+    exact per-level load spread: (vnodes, n_keys, max_load,
+    min_load, imbalance_bp = 10⁴·(max−min)/mean). The classic ring
+    result measured: v = 1 leaves O(log n / n) spread, and the
+    spread shrinks ~1/√v — the third placement scheme beside
+    `rendezvous_assign` (HRW) and `rebalance_delta_audit`'s modulo,
+    and the one real stores (Dynamo/Cassandra) actually run; the
+    curve is the vnode-count sizing table.
+
+    Scale shape: the ring (≤ 16·64 positions) is built on the
+    driver and broadcast once; key placement is one streaming pass
+    with a vectorized searchsorted per level, folding a bounded
+    16-cell load grid per level."""
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+
+    rings = {}
+    for v in RING_VNODES:
+        pos, owner = [], []
+        for node in range(RING_NODES):
+            for rep in range(v):
+                h = int(
+                    _hashlib.md5(f"{node}:{rep}".encode()).hexdigest()[:15],
+                    16,
+                )
+                pos.append(h)
+                owner.append(node)
+        order = np.argsort(np.array(pos, np.int64), kind="stable")
+        rings[v] = (
+            np.array(pos, np.int64)[order],
+            np.array(owner, np.int64)[order],
+        )
+    rings_ref = ray.put(rings)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        rg = ray.get(rings_ref)
+        ks = batch.column("c_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        u = np.array(
+            [
+                int(_hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+                for k in ks.tolist()
+            ],
+            np.int64,
+        )
+        v_out, n_out, l_out = [], [], []
+        for v in RING_VNODES:
+            pos, owner = rg[v]
+            idx = np.searchsorted(pos, u, side="left")
+            idx[idx == len(pos)] = 0  # wrap
+            nodes = owner[idx]
+            counts = np.bincount(nodes, minlength=RING_NODES).astype(
+                np.int64
+            )
+            v_out.extend([v] * RING_NODES)
+            n_out.extend(range(RING_NODES))
+            l_out.extend(counts.tolist())
+        return pa.table(
+            {
+                "vnodes": pa.array(v_out, pa.int64()),
+                "node": pa.array(n_out, pa.int64()),
+                "load": pa.array(l_out, pa.int64()),
+            }
+        )
+
+    rows = (
+        cust.map_batches(cells, batch_format="pyarrow")
+        .groupby(["vnodes", "node"])
+        .aggregate(_Sum("load", alias_name="load"))
+        .take_all()  # bounded: 4 levels x 16 nodes
+    )
+    import collections
+
+    per = collections.defaultdict(list)
+    for r in rows:
+        per[int(r["vnodes"])].append(int(r["load"]))
+    out = []
+    for v in RING_VNODES:
+        loads = per[v]
+        n_keys = sum(loads)
+        mx, mn = max(loads), min(loads)
+        mean = n_keys // RING_NODES
+        out.append(
+            (v, n_keys, mx, mn, (mx - mn) * 10000 // max(mean, 1))
+        )
+    df = pd.DataFrame(
+        out,
+        columns=["vnodes", "n_keys", "max_load", "min_load",
+                 "imbalance_bp"],
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df
