@@ -2325,6 +2325,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ≤1024-position ring broadcast once, one streaming
         # searchsorted pass, 4×16 load grid. Tail-seated by design.
         "ring_vnode_balance": analytics.ring_vnode_balance,
+        # (round 4, wave 146) short-circuit conjunct ordering — all
+        # 24 evaluation orders of the four canonical predicates
+        # costed with EXACT conditional selectivities from the
+        # 16-cell joint bitmask fold: how far the marginal-order
+        # heuristic lands from optimal under correlation
+        # (selectivity_drift's consequence); one streaming pass +
+        # driver arithmetic. Tail-seated by design.
+        "predicate_order_costs": analytics.predicate_order_costs,
+        # (round 4, wave 146) stream-disorder profile — histogram of
+        # |rank-by-ts − rank-by-arrival| in power-of-two buckets:
+        # reorder-buffer sizing in RANK units where
+        # late_data_watermark counts TIME; bounded ts-range rank
+        # grid, displacement fold in the bucket tasks. Tail-seated
+        # by design.
+        "stream_disorder_profile": analytics.stream_disorder_profile,
         # --- flagship extraction DAG (hermetic engines; rows-only) ---
         "extraction_e2e": e2e.extraction_e2e,
         "extraction_summary": e2e.extraction_summary,
@@ -11938,5 +11953,71 @@ def oracle_sql() -> dict[str, str]:
         + " UNION ALL ".join(_rv_rows)
         + ") ORDER BY vnodes"
     )
+
+    # predicate_order_costs: exact short-circuit evaluation counts
+    # for all 24 conjunct orders, from the shared enumeration.
+    from readur_ray.pipelines.analytics import (
+        PRED_ORDER_NAMES as _PON,
+        predicate_order_sequences as _pos,
+    )
+
+    _po_subsets = set()
+    for _os in _pos():
+        _ps = _os.split(">")
+        for _i in (1, 2, 3):
+            _po_subsets.add(tuple(sorted(_ps[:_i])))
+    _po_sums = ",\n          ".join(
+        "CAST(sum({expr}) AS BIGINT) AS s_{name}".format(
+            expr=" * ".join(sub), name="_".join(sub)
+        )
+        for sub in sorted(_po_subsets)
+    )
+    _po_rows = " UNION ALL ".join(
+        "SELECT '{os}' AS order_str, n + {terms} AS evals FROM agg".format(
+            os=_os,
+            terms=" + ".join(
+                "s_" + "_".join(sorted(_os.split(">")[:_i]))
+                for _i in (1, 2, 3)
+            ),
+        )
+        for _os in _pos()
+    )
+    sql["predicate_order_costs"] = f"""
+        WITH f AS (SELECT
+            CAST(l_returnflag = 'R' AS BIGINT) AS ret_r,
+            CAST(l_quantity >= 25 AS BIGINT) AS qty_hi,
+            CAST(floor(l_discount * 100 + 0.5) >= 5 AS BIGINT)
+              AS disc_hi,
+            CAST(l_linestatus = 'F' AS BIGINT) AS status_f
+          FROM lineitem),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          {_po_sums}
+          FROM f)
+        SELECT CAST(row_number() OVER (ORDER BY evals, order_str)
+                 AS BIGINT) AS ord,
+               order_str, CAST(evals AS BIGINT) AS evals
+        FROM ({_po_rows})
+        ORDER BY 1
+    """
+
+    # stream_disorder_profile: rank displacement histogram over the
+    # order-level (orderkey vs first-ship-day) sequences.
+    sql["stream_disorder_profile"] = """
+        WITH e AS (SELECT CAST(l_orderkey AS BIGINT) AS ok,
+                          CAST(min(date_diff('day',
+                            DATE '1992-01-01',
+                            CAST(l_shipdate AS DATE))) AS BIGINT)
+                            AS day
+                   FROM lineitem GROUP BY 1),
+        r AS (SELECT row_number() OVER (ORDER BY ok) AS ra,
+                     row_number() OVER (ORDER BY day, ok) AS rt
+              FROM e),
+        d AS (SELECT abs(ra - rt) AS d FROM r)
+        SELECT CAST(CASE WHEN d = 0 THEN -1
+                    ELSE length(printf('%b', d)) - 1 END AS BIGINT)
+                 AS bucket_pow2,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM d GROUP BY 1 ORDER BY 1
+    """
 
     return sql

@@ -246,6 +246,7 @@ def run_queries() -> dict[str, float]:
         "code_switch_census", "histogram_quantile_error",
         "simhash_jaccard_curve", "random_failure_curve",
         "ring_vnode_balance",
+        "predicate_order_costs", "stream_disorder_profile",
     ]
     out: dict[str, float] = {}
     for name in picks:

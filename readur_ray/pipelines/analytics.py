@@ -15448,3 +15448,288 @@ def ring_vnode_balance(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df
+
+
+import itertools as _itertools
+
+PRED_ORDER_NAMES = ("ret_r", "qty_hi", "disc_hi", "status_f")
+
+
+def predicate_order_sequences():
+    """All 24 evaluation orders of the four canonical lineitem
+    predicates — shared verbatim with the SQL oracle generator."""
+    return sorted(
+        ">".join(p) for p in _itertools.permutations(PRED_ORDER_NAMES)
+    )
+
+
+def predicate_order_costs(sf_dir: str) -> "pd.DataFrame":
+    """SHORT-CIRCUIT conjunct-ordering costs with EXACT conditional
+    selectivities — for every one of the 24 evaluation orders of the
+    four canonical lineitem predicates (returnflag='R',
+    quantity≥25, discount≥5%, linestatus='F'), the exact number of
+    predicate evaluations a short-circuiting AND performs:
+    evals = n + n_{p1} + n_{p1∧p2} + n_{p1∧p2∧p3}. The textbook
+    rule orders by MARGINAL selectivity, but correlated predicates
+    break it (`selectivity_drift` measures the correlations; this
+    costs their consequence): the exact 2⁴-cell joint distribution
+    makes every conditional exact, and the ranking shows how far
+    the marginal-order heuristic lands from optimal on this corpus.
+    Output (ord, order_str, evals), ranked by (evals, order_str).
+
+    Scale shape: ONE streaming pass folds the 16-cell predicate-
+    bitmask histogram (vectorized flags per batch); all 24 order
+    costs are driver arithmetic over those 16 integers."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    lit = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_quantity", "l_discount", "l_linestatus"
+        ],
+    )
+
+    def cells(batch: pa.Table) -> pa.Table:
+        rf = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        dc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        ls = batch.column("l_linestatus").to_numpy(zero_copy_only=False)
+        flags = (
+            (rf == "R").astype(np.int64)
+            + 2 * (qty >= 25).astype(np.int64)
+            + 4 * (np.floor(dc * 100.0 + 0.5) >= 5).astype(np.int64)
+            + 8 * (ls == "F").astype(np.int64)
+        )
+        cnt = np.bincount(flags, minlength=16).astype(np.int64)
+        return pa.table(
+            {
+                "mask": pa.array(np.arange(16, dtype=np.int64), pa.int64()),
+                "c": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    rows = (
+        lit.map_batches(cells, batch_format="pyarrow")
+        .groupby("mask")
+        .aggregate(_Sum("c", alias_name="c"))
+        .take_all()  # bounded: the 16-cell joint grid
+    )
+    cnt = np.zeros(16, np.int64)
+    for r in rows:
+        cnt[int(r["mask"])] = int(r["c"])
+    n = int(cnt.sum())
+    bit = {name: 1 << i for i, name in enumerate(PRED_ORDER_NAMES)}
+
+    def count_all(preds) -> int:
+        need = 0
+        for p in preds:
+            need |= bit[p]
+        return int(
+            sum(cnt[m] for m in range(16) if (m & need) == need)
+        )
+
+    out = []
+    for order_str in predicate_order_sequences():
+        ps = order_str.split(">")
+        evals = n
+        for i in range(1, 4):
+            evals += count_all(ps[:i])
+        out.append((order_str, evals))
+    df = pd.DataFrame(out, columns=["order_str", "evals"]).sort_values(
+        ["evals", "order_str"], ignore_index=True
+    )
+    df.insert(0, "ord", np.arange(1, len(df) + 1, dtype=np.int64))
+    df["evals"] = df["evals"].astype("int64")
+    return df
+
+
+def stream_disorder_profile(sf_dir: str) -> "pd.DataFrame":
+    """STREAM-DISORDER profile — the histogram of |rank-by-event-time
+    − rank-by-ingest-order| over ORDERS (ingest order = orderkey;
+    event time = the order's FIRST ship date, ties broken by
+    orderkey), bucketed by powers of two (bucket −1 = perfectly
+    placed): how far orders sit from their time-ordered position,
+    which is exactly the reorder-buffer / allowed-lateness sizing
+    question — `late_data_watermark` counts lateness in TIME; this
+    measures it in RANKS, the unit a bounded reorder buffer
+    actually works in. (The events table is perfectly time-ordered
+    by construction and lineitem's (orderkey, linenumber) is not
+    unique in this fixture, so the order-level stream is the
+    well-posed disordered sequence.) Output (bucket_pow2, n_rows).
+
+    Scale shape: the (orderkey → min ship-day) fold is one
+    exchange; BOTH ranks then come from bounded 256-cell count
+    grids (orderkey ranges / day ranges) + per-bucket local sorts —
+    never a global sort; the two rank row-sets meet in one
+    orderkey co-partition of slim int64 rows and displacements
+    fold into a ≤ 26-cell histogram."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max, Min as _Min, Sum as _Sum
+
+    lit = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def base_rows(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        d = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        day = (
+            (d.astype("datetime64[D]") - HAAR_EPOCH)
+            // np.timedelta64(1, "D")
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "key": pa.array(ok, pa.int64()),
+                "day": pa.array(day, pa.int64()),
+            }
+        ).group_by("key").aggregate([("day", "min")])
+        return pa.table(
+            {
+                "key": t.column("key"),
+                "day": t.column("day_min").cast(pa.int64()),
+            }
+        )
+
+    rows0 = (
+        lit.map_batches(base_rows, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(_Min("day"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "key": b.column("key").cast(pa.int64()),
+                    "day": b.column("min(day)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def rank_pass(cell_col_fn, sort_cols):
+        kd = rows0.map_batches(
+            cell_col_fn, batch_format="pyarrow"
+        ).materialize()
+        counts = {
+            int(r["cell"]): int(r["count()"])
+            for r in kd.groupby("cell").count().take_all()
+        }  # bounded: 256 cells
+        bases = {}
+        acc = 0
+        for c in sorted(counts):
+            bases[c] = acc
+            acc += counts[c]
+        bases_ref = ray.put(bases)
+
+        def pos_rows(group: pa.Table) -> pa.Table:
+            import pandas as pd  # noqa: F811
+
+            cell = int(group.column("cell")[0].as_py())
+            base = ray.get(bases_ref)[cell]
+            df = group.to_pandas().sort_values(sort_cols)
+            return pa.table(
+                {
+                    "key": pa.array(
+                        df["key"].to_numpy(np.int64), pa.int64()
+                    ),
+                    "pos": pa.array(
+                        base + np.arange(1, len(df) + 1, dtype=np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        return (
+            kd.groupby("cell")
+            .map_groups(pos_rows, batch_format="pyarrow")
+            .repartition(8)
+            .materialize()
+        )
+
+    lohi = rows0.aggregate(_Min("key"), _Max("key"))
+    olo, ohi = int(lohi["min(key)"]), int(lohi["max(key)"])
+    wo = (ohi - olo) // 256 + 1
+
+    def cell_ingest(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "cell", pa.array((k - olo) // wo, pa.int64())
+        )
+
+    dlohi = rows0.aggregate(_Min("day"), _Max("day"))
+    dlo, dhi = int(dlohi["min(day)"]), int(dlohi["max(day)"])
+    wd = (dhi - dlo) // 256 + 1
+
+    def cell_time(batch: pa.Table) -> pa.Table:
+        day = batch.column("day").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "cell", pa.array((day - dlo) // wd, pa.int64())
+        )
+
+    pos_a = rank_pass(cell_ingest, ["key"])
+    pos_t = rank_pass(cell_time, ["day", "key"])
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": batch.column("key").cast(pa.int64()),
+                    "pos": batch.column("pos").cast(pa.int64()),
+                    "side": pa.array(
+                        np.full(batch.num_rows, side, np.int64),
+                        pa.int64(),
+                    ),
+                    "part": pa.array(
+                        batch.column("key").to_numpy(
+                            zero_copy_only=False
+                        )
+                        % 64,
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        return fn
+
+    def disp_fold(part_tbl: pa.Table) -> pa.Table:
+        import collections
+
+        import pandas as pd  # noqa: F811
+
+        df = part_tbl.to_pandas()
+        a = df[df["side"] == 0].set_index("key")["pos"]
+        t = df[df["side"] == 1].set_index("key")["pos"]
+        d = (a - t).abs().to_numpy(np.int64)
+        c: collections.Counter = collections.Counter()
+        for v in d.tolist():
+            b = -1 if v == 0 else int(v).bit_length() - 1
+            c[b] += 1
+        keys = sorted(c)
+        return pa.table(
+            {
+                "bucket_pow2": pa.array(keys, pa.int64()),
+                "n_rows": pa.array([c[k] for k in keys], pa.int64()),
+            }
+        )
+
+    rows = (
+        pos_a.map_batches(tag(0), batch_format="pyarrow")
+        .union(pos_t.map_batches(tag(1), batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(
+            lambda g: disp_fold(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket_pow2")
+        .aggregate(_Sum("n_rows", alias_name="n_rows"))
+        .take_all()  # bounded: <= 26 log buckets
+    )
+    df = pd.DataFrame(rows).sort_values("bucket_pow2", ignore_index=True)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df
