@@ -1,9 +1,15 @@
 """Benchmark harness. Prints ONE JSON line.
 
-    python bench.py                 # all headline pipelines over $GRAFT_SF_DIR
+    python bench.py                 # --full: the whole certification sweep
+    python bench.py --quick         # ~27 canonical picks, <3 min (wave gating)
     python bench.py --scaling       # headline extraction at 8 vs 32 CPUs
                                     # (fresh ray sessions), + efficiency
     python bench.py --headline-only # internal: one headline run, used by --scaling
+
+Every BLOCK_SIZE-query block is followed by a 1.5-s ALU probe; the
+JSON's probe_blocks[*].alu_rel is the host's relative speed during
+that window (1.0 = pre-run speed), so throttled shared-VM windows
+are visible next to the numbers they distort.
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32), BENCH_CORPUS_DOCS (default 20000).
@@ -85,14 +91,30 @@ def run_headline(num_cpus: int) -> dict:
             "docs_per_sec": round(CORPUS_DOCS / dt, 1), "num_cpus": num_cpus}
 
 
-def run_queries() -> dict[str, float]:
-    """Time the headline operator pipelines over the sf dir."""
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import __ray_entry__ as entrymod
+# ~25 canonical picks covering every registry theme (extraction, dedup,
+# similarity, curation, analytics/TPC-H, audits, sketches, multimodal).
+# `bench.py --quick` times ONLY these — the <3-min wave-gating tier.
+QUICK_PICKS = [
+    "extraction_e2e", "dedup_exact", "dedup_minhash_lsh", "fuzzy_dedup_keep",
+    "semdedup", "ppjoin_exact", "dedup_substrings", "ann_topk", "ann_topk_ivf",
+    "knn_graph", "embed_documents", "pricing_summary", "q5_local_supplier",
+    "q18_large_orders", "hourly_event_metrics", "sessionize", "text_search",
+    "quality_score", "line_dedup", "contamination", "pack_sequences",
+    "training_shuffle", "hll_registers", "joinability_audit", "orphan_fk_audit",
+    "multimodal_meta", "tfidf_top_terms",
+]
 
-    qs = entrymod.queries()
-    # Scale paths only — the pipelines one would actually run at 100 TB
-    # (banded simhash not O(n²) popcount; LSH-bucketed embedding near-dup).
+# Per-block host probes: the full sweep is chunked into blocks of this
+# many picks; after each block a short ALU probe records the host's
+# relative speed so a throttled window (shared VM, ~2× swings) can
+# never masquerade as a per-query regression (BENCH_r04 lesson).
+BLOCK_SIZE = 24
+
+
+def full_picks() -> list[str]:
+    """The certification sweep (--full / default): every scale-path
+    pipeline one would actually run at 100 TB (banded simhash not
+    O(n²) popcount; LSH-bucketed embedding near-dup)."""
     picks = [
         "extraction_e2e", "dedup_minhash_lsh", "dedup_ngram_jaccard",
         "dedup_simhash_banded", "dedup_embedding_lsh", "ann_topk", "ann_topk_lsh",
@@ -248,32 +270,64 @@ def run_queries() -> dict[str, float]:
         "ring_vnode_balance",
         "predicate_order_costs", "stream_disorder_profile",
     ]
+    return picks
+
+
+def run_queries(picks: list[str], probe_ref: float | None = None):
+    """Time the picked pipelines over the sf dir.
+
+    Returns (times, blocks): per-query wall seconds, plus per-block
+    metadata — wall, the query names in the block, and (when
+    probe_ref is given) the host's relative ALU speed measured right
+    after the block finished (1.0 = same speed as the pre-run probe;
+    <1.0 = throttled window)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
     out: dict[str, float] = {}
-    for name in picks:
-        t0 = time.perf_counter()
-        _consume(qs[name](SF_DIR))
-        out[name] = round(time.perf_counter() - t0, 3)
-    return out
+    blocks: dict[str, dict] = {}
+    for bi in range(0, len(picks), BLOCK_SIZE):
+        chunk = picks[bi : bi + BLOCK_SIZE]
+        b0 = time.perf_counter()
+        for name in chunk:
+            t0 = time.perf_counter()
+            _consume(qs[name](SF_DIR))
+            out[name] = round(time.perf_counter() - t0, 3)
+        binfo: dict = {"sec": round(time.perf_counter() - b0, 3),
+                       "queries": chunk}
+        if probe_ref:
+            binfo["alu_rel"] = round(
+                _alu_throughput(8, 1.5) / probe_ref, 3)
+        blocks[f"block{bi // BLOCK_SIZE:02d}"] = binfo
+    return out, blocks
 
 
-def _alu_worker(q):
-    t_end = time.perf_counter() + 3.0
+def _alu_worker(q, dur):
+    t_end = time.perf_counter() + dur
     n, x = 0, 1.0
     while time.perf_counter() < t_end:
         for _ in range(10000):
             x = x * 1.0000001 + 1e-9
         n += 10000
-    q.put(n / 3.0)
+    q.put(n / dur)
 
 
-def _alu_aggregate(nproc: int) -> float:
+def _alu_aggregate(nproc: int, dur: float = 3.0) -> float:
     import multiprocessing as _mp
 
     q = _mp.Queue()
-    ps = [_mp.Process(target=_alu_worker, args=(q,)) for _ in range(nproc)]
+    ps = [_mp.Process(target=_alu_worker, args=(q, dur)) for _ in range(nproc)]
     [p.start() for p in ps]
     [p.join() for p in ps]
     return sum(q.get() for _ in ps)
+
+
+def _alu_throughput(nproc: int, dur: float = 1.5) -> float:
+    """Absolute aggregate ALU ops/s at `nproc` concurrency — the
+    host's effective speed RIGHT NOW. Ratios of two of these taken
+    minutes apart expose throttled windows on this shared VM."""
+    return _alu_aggregate(nproc, dur)
 
 
 def host_alu_eff(lo: int, hi: int) -> float:
@@ -343,15 +397,24 @@ def main() -> None:
         }))
         return
 
-    # bracket the sweep with the host's own 8→N ALU ceiling so the
-    # recorded numbers carry their window context (see BASELINE.md:
-    # per-query walls swing ~2-6× between throttled and clean windows)
+    # Two tiers: --quick (~27 canonical picks, <3 min — wave gating)
+    # vs --full / default (the whole certification sweep). Both
+    # bracket every BLOCK_SIZE-query block with a short ALU probe so
+    # the recorded numbers carry their window context (see
+    # BASELINE.md: per-query walls swing ~2-6× between throttled and
+    # clean windows — BENCH_r04's sketch-family "regression" was one).
+    quick = "--quick" in sys.argv
+    picks = QUICK_PICKS if quick else full_picks()
     alu_pre = host_alu_eff(min(8, NUM_CPUS), NUM_CPUS)
+    probe_ref = _alu_throughput(8, 1.5)
     _init_ray(NUM_CPUS)
     headline = run_headline(NUM_CPUS)
-    queries = run_queries()
+    queries, blocks = run_queries(picks, probe_ref=probe_ref)
     total = round(headline["sec"] + sum(queries.values()), 3)
     queries["extract_synth_corpus"] = headline["sec"]
+    quick_sec = round(
+        headline["sec"]
+        + sum(queries.get(n, 0.0) for n in QUICK_PICKS), 3)
     print(json.dumps({
         "metric": "end_to_end_pipeline_seconds",
         "value": total, "unit": "sec",
@@ -359,6 +422,10 @@ def main() -> None:
         "sf": SF_DIR, "num_cpus": NUM_CPUS,
         "extraction_docs_per_sec": headline["docs_per_sec"],
         "host_alu_ceiling_pre": alu_pre,
+        "tier": "quick" if quick else "full",
+        "tiers": {"quick_picks": QUICK_PICKS, "quick_sec": quick_sec,
+                  "full_sec": total if not quick else None},
+        "probe_blocks": blocks,
     }))
 
 

@@ -524,3 +524,13 @@ def test_bench_sweep_keys_are_registered():
     assert picks, "bench.py sweep list not found"
     missing = [p for p in picks if p not in entrymod.queries()]
     assert not missing, missing
+
+    # both tiers: every --quick pick must be registered AND part of
+    # the full certification sweep
+    import bench as benchmod
+
+    qmissing = [p for p in benchmod.QUICK_PICKS if p not in entrymod.queries()]
+    assert not qmissing, qmissing
+    full = set(benchmod.full_picks())
+    not_in_full = [p for p in benchmod.QUICK_PICKS if p not in full]
+    assert not not_in_full, not_in_full
