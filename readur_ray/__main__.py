@@ -42,11 +42,19 @@ def land_connector_input(out_dir: str, webdav_url: str | None = None,
     import shutil
 
     ingested = os.path.join(out_dir, "ingested")
-    shutil.rmtree(ingested, ignore_errors=True)
     if webdav_url:
-        from .sources.webdav import read_webdav
+        # incremental landing (round 5): stable per-directory shards +
+        # an etag manifest — an unchanged share lands for free, a
+        # partial mutation re-downloads only its shards, and unchanged
+        # shard files keep their bytes so run_incremental's content
+        # etags match and group chunks reuse. (The previous rmtree +
+        # read_webdav().write_parquet() re-landed every file under
+        # fresh random shard names: every re-run of a 100k-file share
+        # was a full re-extraction.)
+        from .sources.webdav import land_webdav
 
-        ds = read_webdav(
+        ingested = land_webdav(
+            out_dir,
             webdav_url,
             username=os.environ.get("READUR_WEBDAV_USERNAME", ""),
             password=os.environ.get("READUR_WEBDAV_PASSWORD", ""),
@@ -55,9 +63,10 @@ def land_connector_input(out_dir: str, webdav_url: str | None = None,
     else:
         from .sources.upload import read_uploads
 
+        shutil.rmtree(ingested, ignore_errors=True)
         ds = read_uploads(spool_dir)
+        ds.write_parquet(ingested)
         resolver = f"spool:{spool_dir}"
-    ds.write_parquet(ingested)
     return ingested, resolver
 
 

@@ -265,3 +265,64 @@ def test_read_webdav_empty_share(ray_session):
         assert ds.count() == 0
     finally:
         shutdown()
+
+
+# ---------------------------------------------------------------------------
+# etag-aware incremental landing (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_land_webdav_incremental_stable_shards(ray_session, tmp_path):
+    from readur_ray.sources.webdav import land_webdav
+
+    tree = WebDavTree()
+    for d in ("alpha", "beta", "gamma"):
+        for f in range(4):
+            tree.put(f"/{d}/f{f}.txt", f"{d} body {f}".encode(), "text/plain")
+    url, shutdown = start_server(tree)
+    try:
+        out = str(tmp_path / "job")
+        ingested = land_webdav(out, url)
+        import glob
+        import os
+
+        shard_bytes = {
+            p: open(p, "rb").read() for p in glob.glob(f"{ingested}/*.parquet")
+        }
+        assert len(shard_bytes) == 3                 # one shard per directory
+
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(ingested).to_table()
+        assert t.num_rows == 12
+        assert sorted(t.column("doc_id").to_pylist())[0] == "/alpha/f0.txt"
+
+        # unchanged re-landing rewrites nothing (byte-stable shards)
+        land_webdav(out, url)
+        for p, data in shard_bytes.items():
+            assert open(p, "rb").read() == data
+
+        # mutate ONE directory: exactly its shard changes
+        tree.put("/beta/f0.txt", b"beta body CHANGED", "text/plain")
+        land_webdav(out, url)
+        changed = [
+            p for p, data in shard_bytes.items()
+            if open(p, "rb").read() != data
+        ]
+        assert len(changed) == 1
+        t2 = pads.dataset(ingested).to_table()
+        texts = {
+            r["doc_id"]: r["spans"][0]["text"] for r in t2.to_pylist()
+        }
+        assert texts["/beta/f0.txt"] == "beta body CHANGED"
+        assert texts["/alpha/f0.txt"] == "alpha body 0"
+
+        # delete a directory: its shard file goes away
+        for f in range(4):
+            tree.delete(f"/gamma/f{f}.txt")
+        land_webdav(out, url)
+        assert len(glob.glob(f"{ingested}/*.parquet")) == 2
+        assert pads.dataset(ingested).to_table().num_rows == 8
+        assert not glob.glob(f"{ingested}/*.tmp")
+    finally:
+        shutdown()
