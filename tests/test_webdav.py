@@ -260,7 +260,7 @@ def test_read_webdav_empty_share(ray_session):
     tree.put("/only/dir/marker.keep", b"x", "")  # unknown ext → octet-stream media
     url, shutdown = start_server(tree)
     try:
-        tree.files.clear()
+        tree.clear()
         ds = read_webdav(url, "/")
         assert ds.count() == 0
     finally:

@@ -19,17 +19,62 @@ MOUNT = "/remote.php/webdav"
 
 
 class WebDavTree:
-    """In-memory share: relpath ('/a/b.txt') → (bytes, mime, etag_style)."""
+    """In-memory share: relpath ('/a/b.txt') → (bytes, mime, etag_style).
+
+    Directory membership is INDEXED (parent → child files / dirs) so a
+    PROPFIND costs O(listing), not O(total files) — the original
+    prefix-scan implementation made every request on a 100k-file share
+    cost seconds and the connector scale drive measured the fixture,
+    not the engine. Semantics are unchanged: directories exist exactly
+    while a file lives under them, and `dir_etag` still folds the
+    sorted subtree file paths + etags (Nextcloud propagation)."""
 
     def __init__(self):
         self.files: dict[str, tuple[bytes, str, str]] = {}
+        self._kid_files: dict[str, set] = {"/": set()}
+        self._kid_dirs: dict[str, set] = {"/": set()}
+
+    @staticmethod
+    def _parent(path: str) -> str:
+        return path.rsplit("/", 1)[0] or "/"
 
     def put(self, relpath: str, data: bytes, mime: str = "", etag_style: str = "quoted"):
         relpath = "/" + relpath.strip("/")
+        new = relpath not in self.files
         self.files[relpath] = (data, mime, etag_style)
+        if not new:
+            return
+        # register the file and any missing ancestor dirs bottom-up
+        self._kid_files.setdefault(self._parent(relpath), set()).add(relpath)
+        d = self._parent(relpath)
+        while d != "/":
+            parent = self._parent(d)
+            kids = self._kid_dirs.setdefault(parent, set())
+            if d in kids:
+                break
+            kids.add(d)
+            self._kid_files.setdefault(d, set())
+            self._kid_dirs.setdefault(d, set())
+            d = parent
+
+    def clear(self):
+        """Empty the share (files AND directory indexes)."""
+        self.__init__()
 
     def delete(self, relpath: str):
-        self.files.pop("/" + relpath.strip("/"), None)
+        relpath = "/" + relpath.strip("/")
+        if self.files.pop(relpath, None) is None:
+            return
+        d = self._parent(relpath)
+        self._kid_files[d].discard(relpath)
+        # prune now-empty directories bottom-up (a dir exists only
+        # while a file lives somewhere under it)
+        while d != "/" and not self._kid_files[d] and not self._kid_dirs[d]:
+            parent = self._parent(d)
+            self._kid_dirs[parent].discard(d)
+            del self._kid_files[d]
+            del self._kid_dirs[d]
+            d = parent
 
     def file_etag(self, relpath: str) -> str:
         data, _, style = self.files[relpath]
@@ -40,37 +85,32 @@ class WebDavTree:
             return raw
         return f'"{raw}"'
 
+    def _subtree_files(self, dirpath: str) -> list[str]:
+        out: list[str] = []
+        stack = [dirpath]
+        while stack:
+            d = stack.pop()
+            out.extend(self._kid_files.get(d, ()))
+            stack.extend(self._kid_dirs.get(d, ()))
+        return sorted(out)
+
     def dir_etag(self, dirpath: str) -> str:
         dirpath = "/" + dirpath.strip("/")
-        prefix = dirpath.rstrip("/") + "/" if dirpath != "/" else "/"
         h = hashlib.md5()
-        for p in sorted(self.files):
-            if p.startswith(prefix):
-                h.update(p.encode())
-                h.update(self.file_etag(p).encode())
+        for p in self._subtree_files(dirpath if dirpath != "/" else "/"):
+            h.update(p.encode())
+            h.update(self.file_etag(p).encode())
         return f'"{h.hexdigest()[:16]}"'
 
     def is_dir(self, relpath: str) -> bool:
         relpath = "/" + relpath.strip("/")
-        if relpath == "/":
-            return True
-        prefix = relpath + "/"
-        return any(p.startswith(prefix) for p in self.files)
+        return relpath == "/" or relpath in self._kid_dirs
 
     def children(self, dirpath: str):
         """Direct child (files, dirs) of dirpath."""
         dirpath = "/" + dirpath.strip("/")
-        prefix = dirpath.rstrip("/") + "/" if dirpath != "/" else "/"
-        files, dirs = [], set()
-        for p in self.files:
-            if not p.startswith(prefix):
-                continue
-            rest = p[len(prefix):]
-            if "/" in rest:
-                dirs.add(prefix + rest.split("/")[0])
-            else:
-                files.append(p)
-        return sorted(files), sorted(dirs)
+        return (sorted(self._kid_files.get(dirpath, ())),
+                sorted(self._kid_dirs.get(dirpath, ())))
 
 
 def _response_xml(tree: WebDavTree, relpath: str, omit_displayname: bool) -> str:
