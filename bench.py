@@ -97,11 +97,14 @@ def run_headline(num_cpus: int) -> dict:
 QUICK_PICKS = [
     "extraction_e2e", "dedup_exact", "dedup_minhash_lsh", "fuzzy_dedup_keep",
     "semdedup", "ppjoin_exact", "dedup_substrings", "ann_topk", "ann_topk_ivf",
-    "knn_graph", "embed_documents", "pricing_summary", "q5_local_supplier",
+    "knn_graph", "embed_documents", "pricing_summary", "q14_promo_share",
     "q18_large_orders", "hourly_event_metrics", "sessionize", "text_search",
     "quality_score", "line_dedup", "contamination", "pack_sequences",
-    "training_shuffle", "hll_registers", "joinability_audit", "orphan_fk_audit",
-    "multimodal_meta", "tfidf_top_terms",
+    "training_shuffle", "hll_registers", "joinability_audit",
+    "data_quality_audit", "multimodal_meta", "tfidf_top_terms",
+    # (q5_local_supplier and orphan_fk_audit are certification-sweep
+    # only: 24 s + 29 s walls would eat half the quick budget; q14 +
+    # data_quality_audit keep the TPC-H-join and audit themes covered)
 ]
 
 # Per-block host probes: the full sweep is chunked into blocks of this
