@@ -268,15 +268,36 @@ def _quantize(mat: np.ndarray) -> np.ndarray:
     return np.floor(mat * QUANT + 0.5).astype(np.int64)
 
 
+# float64 holds every integer below 2^53 exactly, and adding exactly-
+# representable integers whose running sums stay below 2^53 is exact in
+# ANY order — so for unit-norm quantized vectors (|coord| ≤ QUANT=1e6,
+# products ≤ 1e12, d² ≤ 4·dim·1e12) the whole distance computation is
+# bit-identical in float64 up to dim 2251. BLAS dgemm is ~40× numpy's
+# naive int64 matmul, which was semdedup's 1.34×-linear term in the 2M
+# scale run (assignment is O(n·nlist) and nlist grows with the corpus).
+_EXACT_F64_DIM = 2048
+
+
 def _assign(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
-    """Nearest centroid by squared L2 (ties → lower centroid index)."""
-    # (n, k) int64 distances: ||v||² - 2 v·c + ||c||² stays exact in
-    # int64 at this quantization (|q| ≤ ~4e5, 64 dims → d² ≤ ~4e13)
-    d2 = (
-        (q * q).sum(axis=1, keepdims=True)
-        - 2 * (q @ cents.T)
-        + (cents * cents).sum(axis=1)[None, :]
-    )
+    """Nearest centroid by squared L2 (ties → lower centroid index).
+
+    Exact integer semantics (the DuckDB oracles pin the clustering
+    bit-for-bit); the arithmetic runs in float64 BLAS when the
+    exactness bound above holds, falling back to int64 beyond it."""
+    if q.shape[1] <= _EXACT_F64_DIM:
+        qf = q.astype(np.float64)
+        cf = cents.astype(np.float64)
+        d2 = (
+            (qf * qf).sum(axis=1, keepdims=True)
+            - 2.0 * (qf @ cf.T)
+            + (cf * cf).sum(axis=1)[None, :]
+        )
+    else:
+        d2 = (
+            (q * q).sum(axis=1, keepdims=True)
+            - 2 * (q @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
     return np.argmin(d2, axis=1)  # argmin takes the FIRST min → lower c
 
 

@@ -236,6 +236,8 @@ def main() -> None:
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--skip-extract", action="store_true")
+    ap.add_argument("--phases", default="generate,extract,funnel,semdedup",
+                    help="comma list: generate,extract,funnel,semdedup")
     ap.add_argument("--target-cell-rows", type=int, default=2000)
     args = ap.parse_args()
 
@@ -263,17 +265,20 @@ def main() -> None:
                          **mon.snapshot(), **extra}
         print(json.dumps({name: results[name]}), flush=True)
 
-    if not args.skip_gen:
+    want = set(args.phases.split(","))
+
+    if not args.skip_gen and "generate" in want:
         def gen_all():
             from readur_ray import synth
 
-            generate(base, n)
-            if not args.skip_extract:
+            if want & {"funnel", "semdedup"}:
+                generate(base, n)
+            if not args.skip_extract and "extract" in want:
                 synth.write_corpus_parallel(corpus, n, seed=42,
                                             rows_per_file=20_000)
         phase("generate", gen_all)
 
-    if not args.skip_extract:
+    if not args.skip_extract and "extract" in want:
         def extract():
             import shutil
 
@@ -290,12 +295,18 @@ def main() -> None:
             return {"rows_out": rows}
         phase("extract_dag", extract)
 
-    def funnel():
-        from readur_ray.pipelines.curation import fuzzy_dedup_keep
+    if "funnel" in want:
+        def funnel():
+            from readur_ray.pipelines.curation import fuzzy_dedup_keep
 
-        rows = _consume(fuzzy_dedup_keep(base))
-        return {"clusters": rows}
-    phase("fuzzy_funnel", funnel)
+            rows = _consume(fuzzy_dedup_keep(base))
+            return {"clusters": rows}
+        phase("fuzzy_funnel", funnel)
+
+    if "semdedup" not in want:
+        mon.stop()
+        print(json.dumps({"scale10x": results}), flush=True)
+        return
 
     def semdedup_phase():
         from readur_ray.pipelines.similarity import semdedup

@@ -193,3 +193,44 @@ def test_pq_uniform_returns_real_neighbors(ray_session, exact_pairs):
     """On near-uniform embeddings (worst case) the ADC ranking still
     recovers a real fraction of the exact top-5 (measured 0.1125)."""
     assert _recall(similarity.pq_topk(SF), exact_pairs) > 0.0
+
+
+def test_assign_float64_path_is_bit_exact():
+    """The BLAS (float64) assignment path must agree with the int64
+    reference everywhere the _EXACT_F64_DIM bound claims exactness —
+    including exact distance ties (argmin must still pick the lower
+    centroid index) and d2 margins of exactly 1 at QUANT-magnitude
+    coordinates, where any rounding would flip the winner."""
+    import numpy as np
+
+    from readur_ray.pipelines.similarity import QUANT, _assign
+
+    def ref_assign(q, cents):
+        d2 = (
+            (q * q).sum(axis=1, keepdims=True)
+            - 2 * (q @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        return np.argmin(d2, axis=1)
+
+    rng = np.random.RandomState(7)
+    for dim in (64, 256):
+        # unit-norm-quantized magnitudes, the production envelope
+        q = rng.randint(-QUANT, QUANT, size=(512, dim)).astype(np.int64)
+        cents = rng.randint(-QUANT, QUANT, size=(97, dim)).astype(np.int64)
+        np.testing.assert_array_equal(_assign(q, cents), ref_assign(q, cents))
+
+    # adversarial: duplicate centroids (exact tie -> first index wins)
+    cents = rng.randint(-QUANT, QUANT, size=(8, 256)).astype(np.int64)
+    cents[5] = cents[2]
+    q = cents[5:6].copy()                # sits exactly ON the tied pair
+    assert _assign(q, cents)[0] == 2 == ref_assign(q, cents)[0]
+
+    # adversarial: margin of exactly 1 in d2 at max magnitude
+    c0 = np.full((1, 256), QUANT, dtype=np.int64)
+    c1 = c0.copy()
+    c1[0, 0] -= 1                        # d2 differs by 2*QUANT-1... exactly
+    cents = np.vstack([c0, c1])
+    q = np.full((1, 256), QUANT, dtype=np.int64)
+    q[0, 0] = QUANT - 1                  # nearer c1 by exactly 1... vs 1
+    assert _assign(q, cents)[0] == ref_assign(q, cents)[0] == 1
