@@ -697,6 +697,38 @@ def make_reassemble_fn(cfg: ExtractionConfig):
     return reassemble
 
 
+def make_reassemble_batch_fn(cfg: ExtractionConfig):
+    """Block-local reassembly behind the keyed hash repartition (see
+    _assemble): every row of a doc_id is guaranteed co-located in one
+    block by hash(doc_id), so splitting the block by doc_id and
+    running the per-group reassemble gives the exact groupby result —
+    without the logical Sort that groupby().map_groups() plans (which
+    would force preserve_order on the whole DAG and turn the
+    downstream union into an unbounded buffer). The skew branch holds
+    only page-exploded giants (a fixed small fraction of the corpus),
+    so the per-block doc loop is over a handful of groups."""
+    reassemble = make_reassemble_fn(cfg)
+
+    def reassemble_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # hash partitions can be empty; emit the output schema
+            return pa.table({name: [] for name in EXTRACTED.names},
+                            schema=EXTRACTED)
+        import numpy as np
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        bounds = np.flatnonzero(
+            np.r_[True, ids[order][1:] != ids[order][:-1]]
+        ).tolist() + [len(ids)]
+        outs = []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            outs.append(reassemble(batch.take(order[a:b])))
+        return pa.concat_tables(outs)
+
+    return reassemble_block
+
+
 # ---------------------------------------------------------------------------
 # assembly
 # ---------------------------------------------------------------------------
@@ -904,7 +936,26 @@ def _assemble(branch, cfg, main_pool, page_pool, main_cpus, page_cpus):
             PageExtractor, fn_constructor_args=(cfg,), batch_format="pyarrow",
             batch_size=32, concurrency=page_pool, num_cpus=page_cpus,
         )
-        .groupby("doc_id")
-        .map_groups(make_reassemble_fn(cfg), batch_format="pyarrow")
+        # keyed HASH-shuffle co-location, NOT groupby(doc_id): groupby
+        # compiles to a logical Sort, and any Sort in the plan flips
+        # the WHOLE execution to preserve_order=True (plan.py
+        # require_preserve_order) — under which the downstream union
+        # buffers its entire input instead of streaming. Harmless at
+        # 2M docs (~2 GB buffered); at 20M the union held 14+ GB, the
+        # reservation allocator backpressured every upstream operator,
+        # and the DAG crawled at <10% CPU (observed 2026-08-21). The
+        # hash repartition co-locates each doc's pages with no Sort op,
+        # so the union streams; per-doc ordering is re-established
+        # LOCALLY inside the reassemble wrapper (offset is data).
+        # partition count sizes the aggregator-actor pool (one hash
+        # partition each at 0.05 CPU, see stages/tuning.py) — the
+        # reassembly stream is small, so page_pool-width partitions
+        # spread it without reserving real CPU from the extractors
+        .repartition(num_blocks=max(8, page_pool[1]), keys=["doc_id"],
+                     sort=False)
+        .map_batches(
+            make_reassemble_batch_fn(cfg), batch_format="pyarrow",
+            batch_size=None,
+        )
     )
     return main_ds.union(skew_ds)

@@ -43,11 +43,25 @@ def tuned_executor():
     ctx = DataContext.get_current()
     prev_autoscaling = ctx.autoscaling_config
     prev_limits = ctx.execution_options.resource_limits
+    prev_shuffle = ctx.shuffle_strategy
+    prev_hash_cpus = ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
     try:
         thr = float(os.environ.get("READUR_POOL_UPSCALE_THRESHOLD", "1.0"))
         ctx.autoscaling_config = AutoscalingConfig(
             actor_pool_util_upscaling_threshold=thr,
         )
+        # the skew branch's doc_id co-location runs as a keyed HASH
+        # shuffle (extract._assemble) — sort-based groupby would plant
+        # a logical Sort and flip the whole DAG to preserve_order,
+        # under which the final union buffers its entire input (the
+        # 20M-doc stall, BASELINE.md round-5). Aggregator actors get a
+        # token CPU claim: the reassembly stream is a fixed small
+        # fraction of the corpus, and the default sizing (up to 50% of
+        # the cluster) would starve the extraction pools.
+        from ray.data.context import ShuffleStrategy
+
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
         factor = float(os.environ.get("READUR_CPU_BUDGET_FACTOR", "2.0"))
         if factor != 1.0 and ray.is_initialized():
             ncpu = int(ray.cluster_resources().get("CPU", 0))
@@ -59,3 +73,7 @@ def tuned_executor():
     finally:
         ctx.autoscaling_config = prev_autoscaling
         ctx.execution_options.resource_limits = prev_limits
+        ctx.shuffle_strategy = prev_shuffle
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = (
+            prev_hash_cpus
+        )
