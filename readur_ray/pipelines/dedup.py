@@ -51,6 +51,27 @@ import ray.data
 from ..functions.textstats import md5_hex, md5_int60, md5_int64, shingles_of, words_of
 from ..stages.shuffle import N_COARSE_PARTS, int_partition, partitioned_map
 
+
+def _emb_np(col) -> np.ndarray:
+    """list<float> column -> (n, dim) float64 matrix WITHOUT Python
+    objects: flatten the Arrow values buffer and reshape. The previous
+    `np.array(col.to_pylist(), dtype=np.float64)` materialized n*dim
+    Python floats per batch — at 2M x 256 that is half a billion
+    objects and was the dominant cost of every embedding scan (it,
+    not the distance matmul, kept semdedup at 1.34x-linear). float32
+    -> float64 widening is exact, so downstream quantization and the
+    bit-pinned oracles are unchanged."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = flat.size // n
+    assert dim * n == flat.size, "ragged/null embedding column"
+    return flat.reshape(n, dim)
+
+
 NUM_MINHASH = 16          # 16 bands × 1 row
 MAX_BUCKET = 128          # LSH band buckets larger than this are dropped
 MAX_SHINGLE_DOCS = 32     # shingles appearing in more docs are dropped
@@ -584,7 +605,7 @@ def ngram_jaccard_pairs(sf_dir: str) -> "ray.data.Dataset":
 
 def _normalized_matrix(table: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = table.column("vec_id").to_numpy(zero_copy_only=False)
-    emb = np.array(table.column("embedding").to_pylist(), dtype=np.float64)
+    emb = _emb_np(table.column("embedding"))
     norms = np.linalg.norm(emb, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return ids, emb / norms

@@ -24,6 +24,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .dedup import _emb_np
+
 N_QUERIES = 16            # queries = vec_id < N_QUERIES
 TOP_K = 5
 N_ANCHORS = 8             # hyperplanes = embeddings with vec_id in [16, 24)
@@ -32,7 +34,7 @@ ANCHOR_LO = 16
 
 def _normalized(table: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = table.column("vec_id").to_numpy(zero_copy_only=False)
-    emb = np.array(table.column("embedding").to_pylist(), dtype=np.float64)
+    emb = _emb_np(table.column("embedding"))
     norms = np.linalg.norm(emb, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return ids, emb / norms
@@ -343,7 +345,7 @@ def _train_centroids(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
         filters=[("vec_id", ">=", ANCHOR_LO), ("vec_id", "<", ANCHOR_LO + k)],
     ).sort_by("vec_id")
-    cents = _quantize(np.array(seed_tbl.column("embedding").to_pylist(), dtype=np.float64))
+    cents = _quantize(_emb_np(seed_tbl.column("embedding")))
     dim = cents.shape[1]
 
     for _ in range(KM_ITERS):
@@ -352,7 +354,7 @@ def _train_centroids(
         def partial_sums(batch: pa.Table, _ref=cur_ref) -> pa.Table:
             cn = ray.get(_ref)
             q = _quantize(
-                np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+                _emb_np(batch.column("embedding"))
             )
             a = _assign(q, cn)
             rows_c, rows_n, rows_s = [], [], []
@@ -409,7 +411,7 @@ def _ann_ivf_kmeans(sf_dir: str, k: int, nprobe: int) -> "ray.data.Dataset":
         filters=[("vec_id", "<", N_QUERIES)],
     ).sort_by("vec_id")
     qids = qt.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    qint = _quantize(np.array(qt.column("embedding").to_pylist(), dtype=np.float64))
+    qint = _quantize(_emb_np(qt.column("embedding")))
     qd2 = (
         (qint * qint).sum(axis=1, keepdims=True)
         - 2 * (qint @ cents.T)
@@ -421,7 +423,7 @@ def _ann_ivf_kmeans(sf_dir: str, k: int, nprobe: int) -> "ray.data.Dataset":
     def local_topk(batch: pa.Table) -> pa.Table:
         q_ids, q_int, q_probe, cn = ray.get(ref)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        v = _quantize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        v = _quantize(_emb_np(batch.column("embedding")))
         cells = _assign(v, cn)
         d2 = (
             (q_int * q_int).sum(axis=1, keepdims=True)
@@ -532,7 +534,7 @@ def semdedup(
     def assign_rows(batch: pa.Table) -> pa.Table:
         cn = ray.get(cref)
         q = _quantize(
-            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            _emb_np(batch.column("embedding"))
         )
         cells = _assign(q, cn).astype(np.int64)
         return batch.append_column("cell", pa.array(cells, pa.int64()))
@@ -605,7 +607,7 @@ def prototype_score(sf_dir: str, nlist: int = KM_K) -> "ray.data.Dataset":
         cn = ray.get(cref)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         q = _quantize(
-            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            _emb_np(batch.column("embedding"))
         )
         d2 = (
             (q * q).sum(axis=1, keepdims=True)
@@ -669,7 +671,7 @@ def knn_graph(sf_dir: str, k: int = KNN_K, nlist: int = KM_K,
     def assign_rows(batch: pa.Table) -> pa.Table:
         cn = ray.get(cref)
         q = _quantize(
-            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            _emb_np(batch.column("embedding"))
         )
         cells = _assign(q, cn).astype(np.int64)
         return batch.append_column("cell", pa.array(cells, pa.int64()))
@@ -692,7 +694,7 @@ def knn_graph(sf_dir: str, k: int = KNN_K, nlist: int = KM_K,
     def cell_knn(group: pa.Table) -> pa.Table:
         ids = group.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         mat = _quantize(
-            np.array(group.column("embedding").to_pylist(), dtype=np.float64)
+            _emb_np(group.column("embedding"))
         )
         order = np.argsort(ids)
         ids, mat = ids[order], mat[order]
@@ -793,7 +795,7 @@ def _train_pq_codebooks(
         filters=[("vec_id", ">=", ANCHOR_LO), ("vec_id", "<", ANCHOR_LO + k)],
     ).sort_by("vec_id")
     seeds = _quantize(
-        np.array(seed_tbl.column("embedding").to_pylist(), dtype=np.float64)
+        _emb_np(seed_tbl.column("embedding"))
     )
     sub = seeds.shape[1] // m
     # (m, k, sub): codebook[s][c] = centroid c of subspace s
@@ -805,7 +807,7 @@ def _train_pq_codebooks(
         def partial_sums(batch: pa.Table, _ref=cur_ref) -> pa.Table:
             bk = ray.get(_ref)
             q = _quantize(
-                np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+                _emb_np(batch.column("embedding"))
             )
             rows_s, rows_c, rows_n, rows_sum = [], [], [], []
             for s in range(bk.shape[0]):
@@ -877,7 +879,7 @@ def pq_topk(
         filters=[("vec_id", "<", n_queries)],
     ).sort_by("vec_id")
     qids = qt.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    qint = _quantize(np.array(qt.column("embedding").to_pylist(), dtype=np.float64))
+    qint = _quantize(_emb_np(qt.column("embedding")))
     # ADC tables: dtab[qi, s, c] = ||q_s - books[s, c]||² (exact int64)
     dtab = np.zeros((len(qids), books.shape[0], books.shape[1]), dtype=np.int64)
     for s in range(books.shape[0]):
@@ -889,7 +891,7 @@ def pq_topk(
     def local_topk(batch: pa.Table) -> pa.Table:
         q_ids, q_tab, bk = ray.get(ref)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        v = _quantize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        v = _quantize(_emb_np(batch.column("embedding")))
         n, mm = len(ids), bk.shape[0]
         codes = np.empty((n, mm), dtype=np.int64)
         for s in range(mm):
@@ -974,7 +976,7 @@ def gram_matrix(sf_dir: str) -> "ray.data.Dataset":
 
     def partial(batch: pa.Table) -> pa.Table:
         q = _quantize(
-            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            _emb_np(batch.column("embedding"))
         )
         g = q.T @ q
         s = q.sum(axis=0)
@@ -1137,7 +1139,7 @@ def kmeans_inertia(sf_dir: str, nlist: int = KM_K) -> "ray.data.Dataset":
     def partial(batch: pa.Table) -> pa.Table:
         cn = ray.get(cref)
         q = _quantize(
-            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            _emb_np(batch.column("embedding"))
         )
         cells = _assign(q, cn).astype(np.int64)
         # exact d2 to the OWN centroid per row
@@ -1436,7 +1438,7 @@ def pq_distortion(sf_dir: str, m: int = PQ_M) -> "ray.data.Dataset":
     def partial(batch: pa.Table) -> pa.Table:
         bk = ray.get(bref)
         q = _quantize(
-            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            _emb_np(batch.column("embedding"))
         )
         out_s, out_c, out_n, out_d = [], [], [], []
         for s in range(bk.shape[0]):
@@ -1536,7 +1538,7 @@ def cluster_top_terms(sf_dir: str, nlist: int = KM_K) -> "ray.data.Dataset":
     def member_rows(batch: pa.Table) -> pa.Table:
         cn = ray.get(cents_ref)
         q = _quantize(
-            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            _emb_np(batch.column("embedding"))
         )
         a = _assign(q, cn)
         vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
@@ -1714,7 +1716,7 @@ def cluster_purity(sf_dir: str, nlist: int = KM_K) -> "ray.data.Dataset":
 
         cn = ray.get(cents_ref)
         q = _quantize(
-            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            _emb_np(batch.column("embedding"))
         )
         a = _assign(q, cn)
         lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1783,7 +1785,7 @@ def ivf_probe_cost(sf_dir: str) -> "ray.data.Dataset":
     def size_partials(batch: pa.Table) -> pa.Table:
         cn = ray.get(cref)
         q = _quantize(
-            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            _emb_np(batch.column("embedding"))
         )
         cells = _assign(q, cn)
         cnt = np.bincount(cells, minlength=len(cn))
@@ -1822,7 +1824,7 @@ def ivf_probe_cost(sf_dir: str) -> "ray.data.Dataset":
                 }
             )
         q = _quantize(
-            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            _emb_np(batch.column("embedding"))
         )[keep]
         d2 = (
             (q * q).sum(axis=1, keepdims=True)
@@ -2107,7 +2109,7 @@ def _train_pq_residual_codebooks(
         filters=[("vec_id", ">=", ANCHOR_LO), ("vec_id", "<", ANCHOR_LO + k)],
     ).sort_by("vec_id")
     seeds_q = _quantize(
-        np.array(seed_tbl.column("embedding").to_pylist(), dtype=np.float64)
+        _emb_np(seed_tbl.column("embedding"))
     )
     seeds = seeds_q - cents[_assign(seeds_q, cents)]
     sub = seeds.shape[1] // m
@@ -2119,7 +2121,7 @@ def _train_pq_residual_codebooks(
         def partial_sums(batch: pa.Table, _ref=cur_ref) -> pa.Table:
             bk, cn = ray.get(_ref)
             q = _quantize(
-                np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+                _emb_np(batch.column("embedding"))
             )
             r = q - cn[_assign(q, cn)]
             rows_s, rows_c, rows_n, rows_sum = [], [], [], []
@@ -2190,7 +2192,7 @@ def ann_topk_ivfpq(
         filters=[("vec_id", "<", N_QUERIES)],
     ).sort_by("vec_id")
     qids = qt.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    qint = _quantize(np.array(qt.column("embedding").to_pylist(), dtype=np.float64))
+    qint = _quantize(_emb_np(qt.column("embedding")))
     qcell = _assign(qint, cents)
     qres = qint - cents[qcell]
     # qtab[qi, s, c] = || r_q[subspace s] − books[s][c] ||²
@@ -2209,7 +2211,7 @@ def ann_topk_ivfpq(
     def local_topk(batch: pa.Table) -> pa.Table:
         q_ids, q_cell, q_tab, cn, bk = ray.get(ref)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        v = _quantize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        v = _quantize(_emb_np(batch.column("embedding")))
         cells = _assign(v, cn)
         r = v - cn[cells]
         codes = np.stack(
@@ -2340,7 +2342,7 @@ def kcenter_seeds(sf_dir: str, k: int = KCENTER_K) -> "pa.Table":
         filters=[("vec_id", "=", 0)],
     )
     chosen_vecs = _quantize(
-        np.array(seed_tbl.column("embedding").to_pylist(), dtype=np.float64)
+        _emb_np(seed_tbl.column("embedding"))
     )
     chosen_ids = [0]
     steps = [(0, 0, 0)]
@@ -2354,7 +2356,7 @@ def kcenter_seeds(sf_dir: str, k: int = KCENTER_K) -> "pa.Table":
                 zero_copy_only=False
             )
             v = _quantize(
-                np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+                _emb_np(batch.column("embedding"))
             )
             d2 = (
                 (v * v).sum(axis=1, keepdims=True)
@@ -2388,7 +2390,7 @@ def kcenter_seeds(sf_dir: str, k: int = KCENTER_K) -> "pa.Table":
             [
                 chosen_vecs,
                 _quantize(
-                    np.array(row.column("embedding").to_pylist(), dtype=np.float64)
+                    _emb_np(row.column("embedding"))
                 ),
             ]
         )
@@ -2542,7 +2544,7 @@ def embedding_drift(sf_dir: str) -> "pa.Table":
             zero_copy_only=False
         )
         q = _quantize(
-            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            _emb_np(batch.column("embedding"))
         )
         halves, dims, ns, ss = [], [], [], []
         for h in (0, 1):
@@ -3124,7 +3126,7 @@ def embedding_norm_profile(sf_dir: str) -> "pa.Table":
             zero_copy_only=False
         )
         q = _quantize(
-            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            _emb_np(batch.column("embedding"))
         )
         norm2 = (q * q).sum(axis=1)
         band = np.zeros(len(norm2), np.int64)
@@ -4351,7 +4353,7 @@ def matryoshka_recall(sf_dir: str) -> "pd.DataFrame":
         ids = batch.column("vec_id").cast(pa.int64()).to_numpy(
             zero_copy_only=False
         )
-        emb = np.array(batch.column("embedding").to_pylist(), np.float64)
+        emb = _emb_np(batch.column("embedding"))
         q = np.floor(emb * 1_000_000 + 0.5).astype(np.int64)
         return ids, q
 
