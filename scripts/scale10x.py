@@ -2,9 +2,9 @@
 
 Generates a deterministic sf1-equivalent corpus — N interleaved
 extraction docs, an N-row documents table with planted near-dup
-families, and an N-row 64-dim embeddings table with planted semantic
-dups — then runs the three pipelines whose 100-TB scale story was so
-far argued only in docstrings:
+families, and an N-row EMB_DIM(=256)-dim embeddings table with
+planted semantic dups — then runs the three pipelines whose 100-TB
+scale story was so far argued only in docstrings:
 
   1. the extraction DAG (build_extracted -> write_parquet),
   2. the fuzzy funnel (minhash -> components -> fuzzy_dedup_keep),
